@@ -1,0 +1,95 @@
+"""Document merge / sessionization stage (SURVEY.md §2.5 A7, §2.6 W1-W4).
+
+Rebuilds the reference's sequential page-merge fold
+(document_merger_service.py:175-221) as a grouped-map pandas stage:
+
+- pages are grouped by their source document (for web pages: the url with the
+  trailing path segment stripped — all pages of one crawl document share it),
+- within each group the EXACT reference fold runs (kernels.merge_pages):
+  empty-page drop (P4), renumber (W1), compare-to-last-page-of-current-group
+  grouping (A7 — deliberately NOT a lag() window: the fold compares against
+  the group's last page, which lag cannot express — SURVEY.md §7 risk 3),
+  doc-level regex re-extraction (K15).
+
+Scale shape: one shuffle on source_doc (groups are tiny — the pages of one
+crawl document), ``applyInPandas`` streams one group per Arrow batch; no
+driver-side loops, no collect.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .config import FIELD_NAMES
+from .kernels import merge_pages
+
+MERGED_DOC_TYPE = StructType(
+    [StructField("source_doc", StringType()), StructField("document_id", StringType())]
+    + [StructField(f, StringType()) for f in FIELD_NAMES]
+    + [
+        StructField("content", StringType()),
+        StructField("page_numbers", ArrayType(IntegerType())),
+    ]
+)
+
+# url minus the trailing path segment identifies the source document
+def _source_doc_expr():
+    return F.regexp_replace(F.col("url"), r"/[^/]*$", "")
+
+
+def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("url", kind="mergesort")  # stable reading order
+    pages: list[dict[str, Any]] = []
+    for _, row in pdf.iterrows():
+        fields = row["fields"]
+        if not isinstance(fields, dict):  # Row -> dict when Arrow passes structs
+            fields = dict(fields.asDict()) if hasattr(fields, "asDict") else dict(fields)
+        pages.append(
+            {
+                "ocr_text": row["extracted_text"],
+                "extracted_info": fields,
+                "regions": list(row["spans"]) if row["spans"] is not None else [],
+            }
+        )
+    docs = merge_pages(pages)
+    out = []
+    source_doc = pdf["source_doc"].iloc[0]
+    for d in docs:
+        info = d["document_info"]
+        rec = {"source_doc": source_doc, "document_id": d["document_id"]}
+        for f in FIELD_NAMES:
+            rec[f] = info.get(f)
+        rec["content"] = info["content"]
+        rec["page_numbers"] = info["page_numbers"]
+        out.append(rec)
+    return pd.DataFrame(out, columns=[f.name for f in MERGED_DOC_TYPE.fields])
+
+
+def merge_documents(extracted: DataFrame, group_col: str | None = None) -> DataFrame:
+    """Merge per-page extraction output into logical documents.
+
+    ``extracted`` needs columns (url, extracted_text, spans, fields).
+    Returns one row per merged document.
+    """
+    df = extracted
+    if group_col is None:
+        df = df.withColumn("source_doc", _source_doc_expr())
+        group_col = "source_doc"
+    elif group_col != "source_doc":
+        df = df.withColumn("source_doc", F.col(group_col))
+    return (
+        df.select("source_doc", "url", "extracted_text", "spans", "fields")
+        .groupBy("source_doc")
+        .applyInPandas(_merge_group, MERGED_DOC_TYPE)
+    )

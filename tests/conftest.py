@@ -1,0 +1,11 @@
+import pytest
+
+from legal_document_ocr_spark.session import build_session
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = build_session(app_name="ldos-tests", master="local[4]", shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()

@@ -1,0 +1,121 @@
+"""Scale combinator tests: dedup_compute, checkpoint/resume, skew keys."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from legal_document_ocr_spark.scale import (
+    CheckpointStore,
+    dedup_compute,
+    salted_repartition,
+    with_skew_keys,
+)
+from legal_document_ocr_spark.sources import fixture_pages_df
+from legal_document_ocr_spark.stages import run_extraction
+
+
+class TestDedupCompute:
+    def test_compute_called_once_per_distinct(self, spark):
+        df = spark.createDataFrame(
+            [("a", "p1"), ("b", "p1"), ("c", "p2")], ["id", "payload"]
+        )
+
+        def compute(distinct):
+            return distinct.withColumn("result", F.upper(F.col("payload")))
+
+        out = dedup_compute(df, "payload", compute).collect()
+        assert {(r["id"], r["result"]) for r in out} == {
+            ("a", "P1"),
+            ("b", "P1"),
+            ("c", "P2"),
+        }
+
+    def test_distinct_side_is_deduped(self, spark):
+        df = spark.createDataFrame([("x", "same")] * 10, ["id", "payload"])
+        seen = spark.sparkContext.accumulator(0)
+
+        def compute(distinct):
+            # count the distinct side without touching the lazy plan twice
+            assert distinct.count() == 1
+            return distinct.withColumn("result", F.length("payload"))
+
+        out = dedup_compute(df, "payload", compute)
+        assert out.count() == 10
+
+
+class TestSkewKeys:
+    def test_keys_attached(self, spark):
+        df = with_skew_keys(fixture_pages_df(spark))
+        row = df.filter(F.col("url").contains("megasite")).first()
+        assert row["domain"] == "megasite.example.com"
+        assert 0 <= row["salt"] < 16
+        assert row["size_bucket"] >= 0
+
+    def test_hot_domain_spread_over_salts(self, spark):
+        df = with_skew_keys(fixture_pages_df(spark))
+        n_salts = (
+            df.filter(F.col("domain") == "megasite.example.com")
+            .select("salt")
+            .distinct()
+            .count()
+        )
+        assert n_salts > 1  # the F11 hot domain must not collapse to one task
+
+    def test_repartition_preserves_rows(self, spark):
+        base = fixture_pages_df(spark)
+        assert salted_repartition(base, 7).count() == base.count()
+
+
+class TestCheckpointResume:
+    def test_resume_processes_only_pending(self, spark, tmp_path):
+        store = CheckpointStore(str(tmp_path / "ckpt"))
+        pages = fixture_pages_df(spark)
+        first_half = pages.filter(F.crc32(F.col("url")) % 2 == 0)
+
+        out1 = run_extraction(first_half, with_fields=False, checkpoint=store)
+        m1 = store.commit(out1.select("url", "extracted_text"))
+        assert m1["total_rows"] > 0
+
+        # second run over the FULL input: the anti-join must skip committed urls
+        out2 = run_extraction(pages, with_fields=False, checkpoint=store)
+        done = {r["url"] for r in store.read_results(spark).select("url").collect()}
+        pending = {r["url"] for r in out2.select("url").collect()}
+        assert done.isdisjoint(pending)
+
+        m2 = store.commit(out2.select("url", "extracted_text"))
+        total = store.read_results(spark)
+        # exactly-once: every valid url exactly one row, no duplicates
+        assert total.count() == total.select("url").distinct().count()
+        assert m1["total_rows"] + m2["total_rows"] == total.count()
+
+    def test_rerun_after_complete_is_noop(self, spark, tmp_path):
+        store = CheckpointStore(str(tmp_path / "ckpt2"))
+        pages = fixture_pages_df(spark)
+        store.commit(
+            run_extraction(pages, with_fields=False, checkpoint=store).select(
+                "url", "extracted_text"
+            )
+        )
+        again = run_extraction(pages, with_fields=False, checkpoint=store)
+        assert again.count() == 0
+
+    def test_uncommitted_run_invisible(self, spark, tmp_path):
+        import os
+
+        store = CheckpointStore(str(tmp_path / "ckpt3"))
+        pages = fixture_pages_df(spark).limit(5)
+        out = run_extraction(pages, with_fields=False).select("url", "extracted_text")
+        # simulate a crash: data written, manifest never created
+        out.withColumn("partition_id", F.spark_partition_id()).write.parquet(
+            os.path.join(store.runs_dir, "run_id=deadbeef")
+        )
+        assert store.read_results(spark) is None
+
+    def test_lineage_counters(self, spark, tmp_path):
+        store = CheckpointStore(str(tmp_path / "ckpt4"))
+        out = run_extraction(
+            fixture_pages_df(spark), with_fields=False
+        ).select("url", "extracted_text")
+        manifest = store.commit(out)
+        assert manifest["total_rows"] == sum(p["rows"] for p in manifest["partitions"])
+        for p in manifest["partitions"]:
+            assert p["url_min"] <= p["url_max"]
