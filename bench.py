@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Default mode prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {<name>: sec, ...}, "sf": <sf>, ...extras}
+
+--scaling mode runs the flagship extraction pipeline at two parallelism
+levels (local[8] vs local[32]) on identical input and reports throughput at
+both plus scaling efficiency = T8/T32/4 — the sandbox evidence protocol for
+the north rule's "efficiency >= 0.8 from N to 4N executors" (BASELINE.md §
+evidence; a real cluster would use spark-submit at N and 4N executors).
+
+Every query is forced end-to-end with the noop sink (full column
+materialization — a .count() would let Catalyst prune the UDF columns and
+measure nothing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from legal_document_ocr_spark.session import build_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline set: flagship pipeline + one representative per operator family
+HEADLINE = [
+    "extract_main_text",      # full pipeline: validate→dedup→UDF stages
+    "extract_fields_vn",      # + field battery UDF
+    "merge_documents_vn",     # + merge fold (applyInPandas)
+    "pricing_summary",        # aggregation battery
+    "revenue_by_nation",      # broadcast join chain
+    "sessionize_events",      # window battery / gaps-and-islands
+    "dedup_exact",            # hash-group dedup
+    "minhash_pairs",          # MinHash+LSH near-dup
+    "ngram_jaccard",          # shingle-join Jaccard
+    "embedding_knn",          # brute-force ANN baseline
+    "embedding_near_dups",    # sign-LSH bucketed cosine
+    "quality_scores",         # text-analysis battery
+    "multimodal_features",    # binary-column mapInPandas stage
+]
+
+
+def _force(df) -> int:
+    """Materialize every column (noop sink), return row count cheaply after."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_headline(spark, sf_dir: str) -> dict[str, float]:
+    from legal_document_ocr_spark import queries as registry
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.SPARK[name]
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def run_pipeline_throughput(spark, sf_dir: str) -> tuple[float, int]:
+    """Flagship extraction docs/sec (the north metric's unit)."""
+    from legal_document_ocr_spark.sources.pages import synthesize_pages_df
+    from legal_document_ocr_spark.stages import run_extraction
+
+    pages = synthesize_pages_df(spark, sf_dir)
+    n = pages.count()
+    t0 = time.time()
+    _force(run_extraction(pages, dedup=True, with_fields=True))
+    dt = time.time() - t0
+    return dt, n
+
+
+def main_bench() -> None:
+    spark = build_session(app_name="ldos-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    # one warmup pass so JVM/Arrow init doesn't dominate small-SF numbers
+    dt_warm, n_docs = run_pipeline_throughput(spark, SF_DIR)
+    dt_pipe, _ = run_pipeline_throughput(spark, SF_DIR)
+    timings = run_headline(spark, SF_DIR)
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(SF_DIR),
+        "pipeline_docs": n_docs,
+        "pipeline_sec": round(dt_pipe, 3),
+        "pipeline_docs_per_sec": round(n_docs / dt_pipe, 1),
+        "cpus": int(CPUS),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+def main_scaling() -> None:
+    """local[8] vs local[32] on identical input -> scaling efficiency."""
+    results = {}
+    for cores in (8, 32):
+        spark = build_session(
+            app_name=f"ldos-scale-{cores}", master=f"local[{cores}]"
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        run_pipeline_throughput(spark, SF_DIR)  # warmup
+        best = min(run_pipeline_throughput(spark, SF_DIR)[0] for _ in range(3))
+        n = results.setdefault("docs", 0)
+        _, n_docs = run_pipeline_throughput(spark, SF_DIR)
+        results["docs"] = n_docs
+        results[f"t_{cores}"] = round(best, 3)
+        results[f"throughput_{cores}"] = round(n_docs / best, 1)
+        spark.stop()
+    results["efficiency"] = round(
+        results["t_8"] / results["t_32"] / 4.0, 3
+    )
+    results["speedup"] = round(results["t_8"] / results["t_32"], 2)
+    results["sf"] = _sf_of(SF_DIR)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_bench()

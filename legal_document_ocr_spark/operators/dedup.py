@@ -1,0 +1,354 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The web-scale generalization of the reference's content-addressed result cache
+(app/utils/cache_manager.py:24-37 / ocr_process_service.py:72-79 — skip work
+on byte-identical payloads): at 10^12 Common-Crawl pages, dedup is not a cache
+but a first-class plan stage (SURVEY.md §2.4 J2).
+
+Scale shapes (why each survives 100 TB):
+- exact:        map-side-combinable groupBy on a 64-char sha2 key — one
+                shuffle of short fixed-width keys, payload never re-shuffled.
+- minhash_lsh:  banding turns the quadratic all-pairs problem into an
+                equi-join on band-bucket keys: candidates = pairs sharing a
+                bucket. Shuffle volume = rows x bands (small constant), join
+                keys are 32-char md5s. Skewed buckets (boilerplate-identical
+                shingle sets) are real duplicates — exactly what we want
+                grouped.
+- simhash:      one 64-bit signature per doc; near-dup = hamming <= k —
+                pairs found by exact-match on bit-masked rotations at scale
+                (here: signature emission; banded probing mirrors minhash).
+- ngram_jaccard: explode shingles -> self-equi-join on shingle -> per-pair
+                common count vs union — exact Jaccard, bounded by a
+                candidate filter at scale (run AFTER lsh bucketing).
+- embedding:    sign-LSH bucket on fixed dims, cosine verified in-bucket —
+                never all-pairs.
+
+Portability: every hash here is md5/sha2 over explicit strings, and every
+numeric is either integer or per-row double rounded to 6 dp — so the DuckDB
+oracle can state the identical computation and hash-match values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..scale.salt import ensure_parallelism
+from .textops import ws_tokens
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group byte-identical texts: (content sha2, copies, representative id).
+
+    One partial-aggregated shuffle on the hash; `F.min` picks a deterministic
+    representative (the reference keeps the first cache writer —
+    cache_manager.py:24-37 — min(doc_id) is the order-free equivalent).
+    """
+    return (
+        docs.select(F.sha2(F.col(text_col), 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("copies"),
+            F.min("doc_id").alias("representative"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by minhash / jaccard)
+# ---------------------------------------------------------------------------
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a text column (space-joined, lowercased)."""
+    tokens = ws_tokens(F.lower(col))
+    n = F.size(tokens)
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, i + j) for j in range(k)]
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+# sentinel greater than any lowercase-hex md5 digest
+_MH_SENTINEL = "\x7f"
+
+
+def minhash_signature_array(sh: Column, num_hashes: int = 8) -> Column:
+    """All MinHash components in ONE traversal of the shingle array.
+
+    Component i = min over shingles of md5(i || '|' || shingle), using the
+    *string* order of hex md5 — portable across engines (identical lowercase
+    hex, identical lexicographic min), as uniform as an integer variant.
+
+    Single-pass shape matters: Catalyst's CollapseProject inlines a shingle
+    expression into every per-component projection, so k independent
+    ``array_min(transform(...))`` columns re-tokenize and re-shingle the text
+    k times. One ``aggregate`` fold computes the k running minima together —
+    shingling happens once, md5 k× per shingle (inherent to MinHash).
+    Empty shingle sets yield the sentinel (caller filters).
+    """
+    init = F.array(*[F.lit(_MH_SENTINEL) for _ in range(num_hashes)])
+    prefixes = F.array(*[F.lit(f"{i}|") for i in range(num_hashes)])
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc, prefixes, lambda m, p: F.least(m, F.md5(F.concat(p, s)))
+        ),
+    )
+
+
+def minhash_bands(docs: DataFrame, text_col: str = "text", *, k: int = 3,
+                  num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """Per-doc LSH band keys: (doc_id, band, bucket).
+
+    bucket = md5 of the band's signature slice; docs sharing any (band,
+    bucket) are near-dup candidates.
+    """
+    rows = num_hashes // bands
+    sh = shingles(F.col(text_col), k)
+    docs = ensure_parallelism(docs)  # signature compute is the hot loop
+    sig = (
+        docs.select(
+            "doc_id", minhash_signature_array(sh, num_hashes).alias("mh")
+        )
+        .where(F.element_at("mh", 1) != _MH_SENTINEL)  # >= k tokens only
+        .select(
+            "doc_id",
+            *[F.element_at("mh", i + 1).alias(f"mh_{i}") for i in range(num_hashes)],
+        )
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text", *, k: int = 3,
+                            num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """Distinct candidate near-dup pairs (id_a < id_b) via band-bucket join.
+
+    The band table is persisted before the self-join: Catalyst does not reuse
+    the (expensive) signature subtree across the two join sides, so without
+    it every signature is computed twice. At production scale the band table
+    is written to its own table/stage anyway (the candidates feed a verify
+    pass), so the persist models exactly that materialization boundary.
+    """
+    bb = minhash_bands(
+        docs, text_col, k=k, num_hashes=num_hashes, bands=bands
+    ).persist()
+    left = bb.alias("l")
+    right = bb.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+# 24 bits keeps the per-bit expression battery compact while making random
+# collisions at hamming<=3 rare (~1.4e-4 per pair); generalizes to 64.
+SIMHASH_BITS = 24
+
+
+def _portable_hash60(col: Column) -> Column:
+    """First 60 bits of md5 as bigint — identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash(docs: DataFrame, text_col: str = "text", *, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash over whitespace tokens (distinct-token weights = 1).
+
+    bit j of the signature = sign of sum over tokens of (2*bit_j(h(token))-1);
+    h = 60-bit md5 prefix. Pure expressions — explode-free, one pass.
+    """
+    docs = ensure_parallelism(docs)  # per-token hash fold is the hot loop
+    tokens = F.array_distinct(ws_tokens(F.lower(F.col(text_col))))
+    hashes = F.transform(tokens, _portable_hash60)
+    bit_sums = [
+        F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        for j in range(bits)
+    ]
+    sig = None
+    for j, s in enumerate(bit_sums):
+        bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << j).cast("long")
+        sig = term if sig is None else sig + term
+    return docs.select(
+        F.col("doc_id"),
+        F.size(tokens).alias("n_tokens"),
+        sig.alias("simhash"),
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text", *,
+                       bits: int = SIMHASH_BITS, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by hamming distance on SimHash.
+
+    Candidate generation at scale uses band-exact-match (split signature into
+    max_hamming+1 chunks; a pair within distance k must agree exactly on at
+    least one chunk — pigeonhole). Verified with bit_count(xor).
+    """
+    sig = simhash(docs, text_col, bits=bits)
+    chunks = max_hamming + 1
+    width = bits // chunks
+    chunk_cols = [
+        F.shiftright(F.col("simhash"), c * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        .alias(f"chunk_{c}")
+        for c in range(chunks)
+    ]
+    # persist: the signature feeds 2 x chunks join sides; without a
+    # materialization boundary the per-token hash fold runs 2*chunks times
+    keyed = sig.select("doc_id", "simhash", *chunk_cols).persist()
+    pairs = None
+    for c in range(chunks):
+        l, r = keyed.alias("l"), keyed.alias("r")
+        p = l.join(
+            r,
+            (F.col(f"l.chunk_{c}") == F.col(f"r.chunk_{c}"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        ).select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.where(F.col("hamming") <= max_hamming).distinct()
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", *, k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard similarity over k-word shingles for candidate pairs.
+
+    Explode -> self-equi-join on shingle -> count common per pair -> union
+    via inclusion-exclusion. At 100 TB this runs AFTER minhash bucketing so
+    the join touches candidates only; shingle keys are md5'd to fixed width
+    so the shuffle carries 32-byte keys, not raw 3-gram strings.
+    """
+    # persisted: feeds both self-join sides plus the per-doc size aggregate
+    sh = ensure_parallelism(docs).select(
+        "doc_id",
+        F.explode(
+            F.transform(shingles(F.col(text_col), k), F.md5)
+        ).alias("shingle"),
+    ).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    l, r = sh.alias("l"), sh.alias("r")
+    common = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (see similarity.py for the shared cosine expr)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+    bucket_dims: int = 4,
+) -> DataFrame:
+    """Near-identical vectors: sign-LSH bucket on the first ``bucket_dims``
+    dims, exact cosine verification within buckets (pairs ordered id_a<id_b).
+
+    Vectors within cosine >= 0.99 almost surely agree on coordinate signs, so
+    the bucket join finds them without the quadratic all-pairs pass; the
+    bucket key is a short string -> cheap shuffle.
+    """
+    from .similarity import cosine_expr, sign_bucket_expr
+
+    keyed = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        sign_bucket_expr(F.col(vec_col), bucket_dims).alias("bucket"),
+    )
+    l, r = keyed.alias("l"), keyed.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vid") < F.col("r.vid")),
+        )
+        .select(
+            F.col("l.vid").alias("id_a"),
+            F.col("r.vid").alias("id_b"),
+            F.round(cosine_expr(F.col("l.v"), F.col("r.v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,95 @@
+"""Multimodal column plumbing — opaque binary payloads with typed metadata.
+
+The Spark-side contract for image/audio/video columns in a training-data
+pipeline: payloads travel as ``binary`` columns with a typed metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages. The actual media decoders (PIL/cv2/ffmpeg) are NOT
+available in this environment, so the decode kernel is split:
+
+- ``_media_features`` — the REAL plumbing: batch iteration, schema, bounded
+  batch sizes, hash/length features computable from bytes alone, plus a
+  deterministic fake decode (dimensions derived from the content hash) so the
+  whole stage is testable end-to-end and oracle-checkable;
+- ``decode_image`` — the genuine decoder entry point, stubbed with
+  ``NotImplementedError`` and an import-try so dropping a real library in
+  later changes one function, not the plan.
+
+This mirrors how the reference isolates its media deps (pdf2image/PIL inside
+image_preprocessing_service.py:57-122, subprocess tesseract inside
+ocr_process_service.py:85-86): the pipeline shape is independent of the codec.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_hash", StringType()),
+        StructField("fake_width", IntegerType()),
+        StructField("fake_height", IntegerType()),
+    ]
+)
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub by design
+    """Real image decode — requires a codec library absent from this env."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding needs PIL/cv2; install a codec library and "
+            "replace the fake decode in _media_features"
+        ) from exc
+    raise NotImplementedError("wire PIL decode here when the library exists")
+
+
+def _fake_dims(content_hash: str) -> tuple[int, int]:
+    """Deterministic stand-in for decoded dimensions: hash-derived.
+
+    width  = int(md5 hex[0:4], 16) % 1000
+    height = int(md5 hex[4:8], 16) % 1000
+    — expressible in SQL on both engines, so the stage is oracle-checked.
+    """
+    return int(content_hash[0:4], 16) % 1000, int(content_hash[4:8], 16) % 1000
+
+
+def _media_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        hashes = [
+            hashlib.md5(bytes(p)).hexdigest() if p is not None else ""
+            for p in pdf["payload"]
+        ]
+        dims = [_fake_dims(h) if h else (0, 0) for h in hashes]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(bytes(p)) if p is not None else 0 for p in pdf["payload"]],
+                "content_hash": hashes,
+                "fake_width": [d[0] for d in dims],
+                "fake_height": [d[1] for d in dims],
+            }
+        )
+
+
+def media_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Feature-extract stage over a binary media column via mapInPandas.
+
+    Input needs (doc_id, ``payload_col``); Arrow batch size is bounded by the
+    session's maxRecordsPerBatch (set for multi-MB payloads in session.py).
+    """
+    selected = df.selectExpr(f"doc_id", f"{payload_col} as payload")
+    return selected.mapInPandas(_media_features, MEDIA_FEATURE_SCHEMA)

@@ -1,0 +1,246 @@
+"""Relational operator surface — the reference's query API + the §2 battery.
+
+Mirrors app/services/document_service.py:83-229 (listing / filter /
+pagination / point lookup / projection-to-response) and exercises the full
+SURVEY.md §2 inventory that is SQL-expressible: aggregations (A1-A11), windows
+(W1-W4), sorts/limits/top-k (O1-O4), joins (J1), set-ish ops (U1-U2),
+sessionization (A7 gaps-and-islands).
+
+Determinism rules for oracle parity (shared with __spark_entry__):
+- money aggregates sum DECIMAL(18,2) (exact, order-independent), cast to
+  double only at the end;
+- every ordered surface has a total-order tiebreak;
+- ratios are per-row doubles rounded to 6 dp.
+
+Scale notes are inline per operator — broadcast the dimension side, let the
+fact side shuffle once on the group key, never collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# reference query surface (document_service.py:83-229)
+# ---------------------------------------------------------------------------
+
+
+def list_documents(
+    docs: DataFrame,
+    *,
+    lang: str | None = None,
+    skip: int = 0,
+    limit: int = 100,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """P5 filter + O3 offset/limit pagination (document_service.py:83-115).
+
+    Unlike the reference (no ORDER BY -> arbitrary page order), pagination is
+    pinned to a total order so pages are stable across runs and engines.
+    """
+    df = docs
+    if lang is not None:
+        df = df.where(F.col("lang") == lang)
+    return df.orderBy(order_col).offset(skip).limit(limit)
+
+
+def get_document(docs: DataFrame, doc_id: int) -> DataFrame:
+    """P6 point lookup (document_service.py:143-153) — partition-prunable
+    equality predicate, pushed to the scan."""
+    return docs.where(F.col("doc_id") == doc_id).limit(1)
+
+
+def document_response(docs: DataFrame) -> DataFrame:
+    """P7 projection to the nested response shape (document_service.py:208-229)."""
+    return docs.select(
+        F.struct(
+            F.col("doc_id").cast("string").alias("document_id"),
+            F.col("source").alias("source"),
+        ).alias("metadata"),
+        F.struct(
+            F.col("text").alias("content"),
+            F.col("lang").alias("lang"),
+            F.col("n_chars").alias("n_chars"),
+        ).alias("document_info"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation battery (TPC-H-shaped, over the driver testdata tables)
+# ---------------------------------------------------------------------------
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: grouped sums/avgs/count over lineitem (A1/A5).
+
+    Decimal sums -> exact + order-independent; avg derived from the exact sum
+    so the double is identical across engines. Map-side partial aggregation
+    collapses the 600k rows to |flag x status| groups before the exchange.
+    """
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+                .cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_nation(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """J1 equi-join chain: fact orders ⋈ broadcast(customer) ⋈ broadcast(nation).
+
+    Both dimension sides are broadcast explicitly (they are orders-of-
+    magnitude smaller than the fact side at every SF) — zero shuffle for the
+    joins; the single exchange is the final groupBy on n_name.
+    """
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def top_brands_by_revenue(lineitem: DataFrame, part: DataFrame, k: int = 5) -> DataFrame:
+    """O-family top-k after a broadcast join + agg (revenue per brand)."""
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+                .cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("p_brand"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# window battery (W1-W4) + sessionization (A7)
+# ---------------------------------------------------------------------------
+
+
+def order_ranks(orders: DataFrame, max_custkey: int = 100) -> DataFrame:
+    """W1/W4: per-customer order sequence + rank by price.
+
+    One shuffle on o_custkey serves both window functions (same partitioning).
+    Bounded to a customer range so the oracle result stays small.
+    """
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.where(F.col("o_custkey") <= max_custkey)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w_seq).alias("order_seq"),
+            F.rank().over(w_price).alias("price_rank"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def sessionize_events(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """A7/W2/W3 gaps-and-islands: sessions = runs of per-user events with
+    inter-event gap < ``gap_seconds`` (the SQL-expressible cousin of the page
+    merge fold — the fold itself needs applyInPandas, see merge.py).
+
+    Two stacked windows over the SAME partitioning (user_id) -> one shuffle;
+    the group-by on (user_id, session_id) reuses it.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ -> LTZ -> long: epoch seconds (session tz pinned to UTC in session.py,
+    # so this equals DuckDB's epoch() on the naive timestamp, floored)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs, 1).over(w)
+    is_break = F.when(gap.isNull() | (gap >= gap_seconds), 1).otherwise(0)
+    with_session = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(is_break)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def windowed_event_counts(events: DataFrame, bucket_seconds: int = 300) -> DataFrame:
+    """Tumbling-window aggregation (the batch mirror of the streaming path in
+    streaming/pipeline.py): epoch-floored buckets x event_type."""
+    bucket = (
+        F.floor(F.col("ts").cast("timestamp").cast("double") / bucket_seconds)
+        * bucket_seconds
+    ).cast("long")
+    return (
+        events.groupBy(bucket.alias("bucket_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# set-ish ops (U1/U2) — adjacent-document word overlap
+# ---------------------------------------------------------------------------
+
+
+def adjacent_word_overlap(docs: DataFrame, min_common: int = 2) -> DataFrame:
+    """U1: distinct-word overlap between each doc and the next by doc_id
+    (the reference's page-continuation check, document_merger_service.py:43-46,
+    lifted to a lag window — one shuffle, no self-join)."""
+    from .textops import ws_tokens
+
+    words = F.array_distinct(ws_tokens(F.lower(F.col("text"))))
+    w = Window.orderBy("doc_id")
+    with_prev = docs.select(
+        "doc_id",
+        words.alias("words"),
+        F.lag(words, 1).over(w).alias("prev_words"),
+    )
+    return (
+        with_prev.where(F.col("prev_words").isNotNull())
+        .select(
+            "doc_id",
+            F.size(F.array_intersect("words", "prev_words")).alias("common_words"),
+        )
+        .where(F.col("common_words") >= min_common)
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,195 @@
+"""Text-analysis operators over a documents table — pure Catalyst expressions.
+
+Training-data-pipeline text ops (language-ID, quality scoring, token counting,
+fingerprinting) plus the SQL-safe subset of the reference's field-extraction
+battery (information_extraction_service.py:90-98 first-match-wins as
+``F.coalesce`` chains — SURVEY.md §2.3 K9).
+
+Everything here is JVM-side whole-stage-codegen-able: no Python in the hot
+path, so at 100 TB these run at scan speed with full predicate pushdown and
+column pruning. Each operator is written to be expressible 1:1 in ANSI SQL
+(the DuckDB oracle in ``__spark_entry__.py`` states the same computation), so
+regexes are kept to the dialect-portable subset (simple character classes, no
+lookaround, no backrefs — Java regex and RE2 agree on these).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization (shared by lang-id / quality / token-count)
+# ---------------------------------------------------------------------------
+
+# BPE-ish word pattern: letter runs, digit runs, single non-space symbols —
+# the deterministic stand-in for a real BPE tokenizer's pre-tokenization.
+WORD_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokens of a non-empty trimmed string (empty -> empty array)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) > 0, F.split(trimmed, r"\s+")).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens per document."""
+    c = F.col(text_col)
+    return docs.select(
+        F.col("doc_id"),
+        F.size(ws_tokens(c)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(c, F.lit(WORD_PATTERN), 0)).alias("bpe_tokens"),
+        F.length(c).alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (marker-token heuristic)
+# ---------------------------------------------------------------------------
+
+# Deterministic marker lists (function words / high-frequency tokens). A real
+# deployment swaps in full n-gram profiles; the operator shape (score per
+# language -> argmax with deterministic tiebreak) is the same.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to", "in", "that", "it", "for"),
+    "es": ("el", "la", "de", "y", "es", "en", "que", "los", "una", "por"),
+    "de": ("der", "die", "das", "und", "ist", "zu", "den", "von", "mit", "ein"),
+    "fr": ("le", "la", "de", "et", "est", "les", "des", "une", "que", "pour"),
+    "vi": ("và", "của", "là", "các", "có", "được", "cho", "trong", "ngày", "số"),
+}
+
+
+def _marker_score(tokens: Column, markers: tuple[str, ...]) -> Column:
+    lits = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(lits, t)))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predict language by marker-token count argmax (ties -> lexicographic).
+
+    Argmax is expressed as a sort over (score desc, lang asc) structs via
+    ``array_max`` on (score, negated-ordering-safe lang) — implemented here as
+    a greatest-of-structs comparison, fully codegen'd.
+    """
+    tokens = ws_tokens(F.lower(F.col(text_col)))
+    scored = docs.select(
+        F.col("doc_id"),
+        *[
+            _marker_score(tokens, m).alias(f"score_{lang}")
+            for lang, m in sorted(LANG_MARKERS.items())
+        ],
+    )
+    # argmax with deterministic tiebreak: left-to-right fold with strict >,
+    # so the lexicographically-first language wins ties; zero score -> "und".
+    langs = sorted(LANG_MARKERS)
+    pred = F.lit("und")
+    best = F.lit(0)
+    for lang in langs:
+        s = F.col(f"score_{lang}")
+        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+        best = F.when(s > best, s).otherwise(best)
+    return scored.select("doc_id", *[f"score_{lang}" for lang in langs], pred.alias("pred_lang"))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality features + score.
+
+    Ratios are per-row arithmetic (deterministic in IEEE double); the final
+    score is rounded to 6 dp so it hash-compares across engines.
+    """
+    c = F.col(text_col)
+    tokens = ws_tokens(F.lower(c))
+    n_chars = F.length(c)
+    n_tokens = F.size(tokens)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    stop_lits = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_lits, t)))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            tokens, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        )
+        / n_tokens.cast("double"),
+    ).otherwise(F.lit(0.0))
+    length_component = F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0))
+    score = F.round(
+        length_component * 0.4 + stop_ratio * 0.4 + (1.0 - punct_ratio) * 0.2, 6
+    )
+    return docs.select(
+        F.col("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        score.alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: exact sha256 + normalized md5 (casefold/ws-collapse).
+
+    The normalized fingerprint is the rolling-hash analogue the reference's
+    pickle cache keys on (cache_manager.py:33-34, sha256 of raw bytes) —
+    normalization makes it robust to whitespace/case-only edits.
+    """
+    c = F.col(text_col)
+    normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return docs.select(
+        F.col("doc_id"),
+        F.sha2(c, 256).alias("exact_fp"),
+        F.md5(normalized).alias("norm_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-safe field-extraction battery (K9 as coalesce of regexp_extract)
+# ---------------------------------------------------------------------------
+
+# Dialect-portable pattern subset of config.EXTRACTION_PATTERNS: first-match-
+# wins via coalesce(nullif(regexp_extract(...),'')...). The byte-identical
+# Python-re battery lives in kernels.extract_fields (pinned in the UDF stage);
+# this variant is the Catalyst-native fast path for SQL surfaces.
+SQL_FIELD_PATTERNS: dict[str, list[tuple[str, int]]] = {
+    "document_number": [(r"S[ốô]\s*:\s*([\w-]+)", 1), (r"S[ốô]\s+([\w-]+)", 1)],
+    "recipients": [(r"K[íi]nh\s+g[ửư]i\s*:\s*([^\r\n]+)", 1)],
+    "subject": [(r"V/v\s+([^\r\n]+)", 1)],
+    "signer": [(r"\n([A-Z][A-Z ]+)$", 1)],
+}
+
+
+def _first_match(col: Column, patterns: list[tuple[str, int]]) -> Column:
+    alts = [
+        F.nullif(F.regexp_extract(col, pat, grp), F.lit("")) for pat, grp in patterns
+    ]
+    return alts[0] if len(alts) == 1 else F.coalesce(*alts)
+
+
+def sql_extract_fields(df: DataFrame, text_col: str = "extracted_text") -> DataFrame:
+    """Attach first-match-wins field columns using native regexp_extract."""
+    c = F.col(text_col)
+    out = df
+    for field, patterns in SQL_FIELD_PATTERNS.items():
+        out = out.withColumn(field, _first_match(c, patterns))
+    return out

@@ -1,0 +1,821 @@
+"""Query registry: every implemented operator as (Spark callable, DuckDB oracle).
+
+This is the correctness surface consumed by ``__spark_entry__.py``: for each
+name, ``SPARK`` holds a ``(spark, sf_dir) -> DataFrame`` callable and
+``ORACLE`` the equivalent ANSI SQL DuckDB runs over the same parquet views
+(tables ``region nation customer supplier part orders lineitem events
+documents embeddings``). The driver compares row-count + schema +
+order-insensitive value-hash, with columns sorted by name — so both sides
+alias every computed column identically.
+
+Oracle-parity rules used throughout (see operator docstrings for detail):
+- extraction oracles are BY CONSTRUCTION: the synthesized pages corpus
+  (sources/pages.py) is a pure-Catalyst function of documents.parquet, so the
+  oracle states the closed-form expected output rather than re-implementing
+  the HTML parser in SQL;
+- hashes are md5/sha2 over explicit strings (identical hex in both engines);
+- money/int aggregates go through DECIMAL (exact, order-independent), doubles
+  are per-row expressions with a pinned evaluation order, rounded to 6 dp;
+- DuckDB float literals are DECIMAL — every oracle literal in a double
+  expression carries an explicit ``::double``;
+- computed ints are cast to bigint on both sides (DuckDB len()/count() are
+  BIGINT; Spark size()/row_number() are int).
+
+Non-SQL-expressible entries (the merge fold is; it's oracle'd by
+construction) register ``None`` oracles and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .merge import merge_documents
+from .operators import dedup, multimodal, relational, similarity, textops
+from .operators.textops import LANG_MARKERS, STOPWORDS, WORD_PATTERN
+from .sources.pages import synthesize_pages_df, synthesize_vn_pages_df
+from .stages import run_extraction
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _as_long(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("long"))
+    return df
+
+
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies under shifted ids (dedup test corpus)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 100000))
+
+
+def _neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ suffix-perturbed copies under shifted ids."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zulu yankee xray")).alias("text"),
+        )
+    )
+
+
+_DOUBLED_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000, text FROM documents"
+)
+_NEARDUP_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 100000, text || ' zulu yankee xray' FROM documents"
+)
+
+# shared SQL fragments ------------------------------------------------------
+
+_CRLF = "(chr(13) || chr(10))"
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+# VN corpus closed forms (sources/pages.py synthesize_vn_pages_df)
+_VN_BASE = f"""
+  SELECT doc_id, text, source,
+    CASE (doc_id % 4) WHEN 0 THEN 'CÔNG VĂN' WHEN 1 THEN 'TỜ TRÌNH'
+                      WHEN 2 THEN 'QUYẾT ĐỊNH' ELSE 'THÔNG BÁO' END AS dtype,
+    ((doc_id % 28) + 1)::varchar AS d,
+    ((doc_id % 12) + 1)::varchar AS m,
+    (doc_id % 7)::varchar AS k
+  FROM documents
+"""
+
+# extracted page text for page number :p (lines L1-L8, \r\n-joined)
+def _vn_page_text_sql(page_no: str) -> str:
+    c = _CRLF
+    return (
+        f"dtype || {c} || 'Số: ' || doc_id || '/QD-BTC' || {c} || "
+        f"'Hà Nội, ngày ' || d || ' tháng ' || m || ' năm 2024' || {c} || "
+        f"'Kính gửi: Đơn vị ' || k || {c} || 'NGUYỄN VĂN AN' || {c} || "
+        f"'Điện thoại: 0243' || {c} || text || ' trang ' || {page_no} || {c} || "
+        f"'V/v kế hoạch ' || doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# extraction pipeline queries
+# ---------------------------------------------------------------------------
+
+
+def q_extract_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full pipeline on the synthesized template corpus.
+
+    By construction extracted_text == the document's text column (the single
+    <main><p> block survives the density filter; all boilerplate is dropped).
+    """
+    pages = synthesize_pages_df(spark, sf_dir)
+    out = run_extraction(pages, dedup=True, with_fields=False)
+    return out.select("url", "extracted_text")
+
+
+_SQL_EXTRACT_MAIN = """
+SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+       CASE WHEN length(text) >= 25 THEN text ELSE '' END AS extracted_text
+FROM documents
+"""
+
+
+def q_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synthesize_pages_df(spark, sf_dir)
+    out = run_extraction(pages, dedup=False, with_fields=False)
+    return _as_long(
+        out.select(
+            "url",
+            F.size("spans").alias("n_spans"),
+            F.length("extracted_text").alias("text_len"),
+            F.element_at("spans", 1)["w"].alias("span_w"),
+        ),
+        "n_spans",
+        "text_len",
+        "span_w",
+    )
+
+
+_SQL_EXTRACT_STATS = """
+SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+       1::bigint AS n_spans,
+       length(text)::bigint AS text_len,
+       length(text)::bigint AS span_w
+FROM documents
+"""
+
+
+def q_extract_fields_vn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K9-K13 field battery (Python-re pandas UDF) on the VN corpus —
+    every field value is a closed-form function of (doc_id, text)."""
+    pages = synthesize_vn_pages_df(spark, sf_dir, pages_per_doc=1)
+    out = run_extraction(pages, dedup=False, with_fields=True)
+    return out.select("url", "fields.*")
+
+
+_SQL_EXTRACT_FIELDS_VN = f"""
+WITH t AS ({_VN_BASE})
+SELECT
+  'https://legal-' || source || '.example.vn/doc' || doc_id || '/p1' AS url,
+  dtype AS document_type,
+  doc_id::varchar AS document_number,
+  'Hà Nội' AS issue_location,
+  d || '/' || m || '/2024' AS issue_date,
+  dtype AS issuing_agency,
+  'Đơn vị ' || k AS recipients,
+  NULL::varchar AS recipient_address,
+  'NGUYỄN VĂN AN' AS signer,
+  dtype || {_CRLF} || 'Số' AS position,
+  'kế hoạch ' || doc_id AS subject
+FROM t
+"""
+
+
+def q_merge_documents_vn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge fold (A7/K15, applyInPandas) on 2-page VN documents — both
+    pages share ``Số:`` so each source_doc folds into exactly one logical
+    document; all K15 re-extracted fields are closed-form."""
+    pages = synthesize_vn_pages_df(spark, sf_dir, pages_per_doc=2)
+    extracted = run_extraction(pages, dedup=False, with_fields=True)
+    merged = merge_documents(extracted)
+    return merged.select(
+        "source_doc",
+        "document_id",
+        "document_type",
+        "document_number",
+        "issue_location",
+        "issue_date",
+        "issuing_agency",
+        "recipients",
+        "signer",
+        "subject",
+        "content",
+        F.array_join("page_numbers", ",").alias("page_numbers"),
+    )
+
+
+_SQL_MERGE_VN = f"""
+WITH t AS ({_VN_BASE}),
+p AS (
+  SELECT *, {_vn_page_text_sql("1")} AS p1, {_vn_page_text_sql("2")} AS p2
+  FROM t
+)
+SELECT
+  'https://legal-' || source || '.example.vn/doc' || doc_id AS source_doc,
+  '1' AS document_id,
+  dtype AS document_type,
+  doc_id || '/QD-BTC' AS document_number,
+  'Hà Nội' AS issue_location,
+  d || '/' || m || '/2024' AS issue_date,
+  dtype || {_CRLF} || 'Số: ' || doc_id || '/QD-BTC' AS issuing_agency,
+  'Đơn vị ' || k || {_CRLF} || 'NGUYỄN VĂN AN' AS recipients,
+  NULL::varchar AS signer,
+  'kế hoạch ' || doc_id AS subject,
+  p1 || chr(10) || chr(10) || p2 AS content,
+  '1,2' AS page_numbers
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational battery
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pricing_summary(_tbl(spark, sf_dir, "lineitem"))
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  sum(cast(l_quantity as decimal(18,2)))::double AS sum_qty,
+  sum(cast(l_extendedprice as decimal(18,2)))::double AS sum_base_price,
+  sum(cast(cast(l_extendedprice as decimal(18,2))
+           * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+      as decimal(18,4)))::double AS sum_disc_price,
+  count(*) AS count_order,
+  sum(cast(l_quantity as decimal(18,2)))::double / count(*) AS avg_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.revenue_by_nation(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
+_SQL_REVENUE_NATION = """
+SELECT n_name,
+  sum(cast(o_totalprice as decimal(18,2)))::double AS revenue,
+  count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_top_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_brands_by_revenue(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part"), k=5
+    )
+
+
+_SQL_TOP_BRANDS = """
+SELECT p_brand,
+  sum(cast(cast(l_extendedprice as decimal(18,2))
+           * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+      as decimal(18,4)))::double AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY revenue DESC, p_brand LIMIT 5
+"""
+
+
+def q_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_long(
+        relational.order_ranks(_tbl(spark, sf_dir, "orders"), max_custkey=100),
+        "order_seq",
+        "price_rank",
+    )
+
+
+_SQL_ORDER_RANKS = """
+SELECT o_custkey, o_orderkey,
+  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    AS order_seq,
+  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    AS price_rank
+FROM orders WHERE o_custkey <= 100
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_long(
+        relational.sessionize_events(_tbl(spark, sf_dir, "events")), "session_id"
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR floor(epoch(ts))::bigint - floor(epoch(lag(ts) OVER w))::bigint
+              >= 1800
+         THEN 1 ELSE 0 END AS is_break
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id,
+    sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.windowed_event_counts(_tbl(spark, sf_dir, "events"))
+
+
+_SQL_WINDOWED_COUNTS = """
+SELECT (floor(epoch(ts) / 300) * 300)::bigint AS bucket_start, event_type,
+  count(*) AS n_events,
+  sum(cast(value as decimal(18,2)))::double AS sum_value
+FROM events GROUP BY bucket_start, event_type ORDER BY bucket_start, event_type
+"""
+
+
+def q_list_documents_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.list_documents(
+        _docs(spark, sf_dir), lang="en", skip=10, limit=20
+    )
+
+
+_SQL_LIST_DOCS = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE lang = 'en' ORDER BY doc_id LIMIT 20 OFFSET 10
+"""
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.get_document(_docs(spark, sf_dir), 42)
+
+
+_SQL_POINT_LOOKUP = "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = 42"
+
+
+def q_adjacent_word_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_long(
+        relational.adjacent_word_overlap(_docs(spark, sf_dir)), "common_words"
+    )
+
+
+_SQL_WORD_OVERLAP = f"""
+WITH w AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS words FROM documents
+), p AS (
+  SELECT doc_id, words, lag(words) OVER (ORDER BY doc_id) AS prev_words FROM w
+)
+SELECT doc_id, len(list_intersect(words, prev_words)) AS common_words
+FROM p WHERE prev_words IS NOT NULL
+  AND len(list_intersect(words, prev_words)) >= 2
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_long(
+        textops.token_counts(_docs(spark, sf_dir)), "ws_tokens", "bpe_tokens"
+    )
+
+
+_SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) > 0
+       THEN len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0 END
+    AS ws_tokens,
+  len(regexp_extract_all(text, '{WORD_PATTERN}')) AS bpe_tokens,
+  length(text) AS n_chars
+FROM documents
+"""
+
+
+def _in_list(sql_items: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in sql_items)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = textops.lang_id(_docs(spark, sf_dir))
+    return _as_long(df, *[f"score_{lang}" for lang in sorted(LANG_MARKERS)])
+
+
+def _sql_lang_id() -> str:
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n  ".join(
+        f"len(list_filter(toks, t -> t IN ({_in_list(LANG_MARKERS[lang])})))"
+        f" AS score_{lang}"
+        for lang in langs
+    )
+    # left-to-right strict-> fold, mirroring textops.lang_id exactly
+    pred = "'und'"
+    best = "0"
+    for lang in langs:
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN score_{lang} > {best} THEN score_{lang} ELSE {best} END"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {scores} FROM t)
+SELECT doc_id, {', '.join(f'score_{lang}' for lang in langs)},
+  {pred} AS pred_lang
+FROM s
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_long(textops.quality_scores(_docs(spark, sf_dir)), "n_tokens")
+
+
+_SQL_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+  FROM documents
+), s AS (
+  SELECT doc_id, text, toks, n_punct,
+    len(list_filter(toks, t -> t IN ({_in_list(STOPWORDS)}))) AS n_stop
+  FROM t
+)
+SELECT doc_id,
+  length(text)::bigint AS n_chars,
+  len(toks) AS n_tokens,
+  round(CASE WHEN length(text) > 0
+             THEN n_punct / length(text)::double ELSE 0.0::double END, 6)
+    AS punct_ratio,
+  round(CASE WHEN len(toks) > 0
+             THEN n_stop / len(toks)::double ELSE 0.0::double END, 6)
+    AS stop_ratio,
+  round(CASE WHEN len(toks) > 0
+             THEN list_reduce(list_transform(toks, t -> length(t)::double),
+                              (a, b) -> a + b) / len(toks)::double
+             ELSE 0.0::double END, 6) AS mean_tok_len,
+  round(least(length(text)::double / 500.0::double, 1.0::double)
+          * 0.4::double
+        + (CASE WHEN len(toks) > 0
+                THEN n_stop / len(toks)::double ELSE 0.0::double END)
+          * 0.4::double
+        + (1.0::double - CASE WHEN length(text) > 0
+                              THEN n_punct / length(text)::double
+                              ELSE 0.0::double END)
+          * 0.2::double, 6) AS quality_score
+FROM s
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprints(_docs(spark, sf_dir))
+
+
+_SQL_FINGERPRINTS = """
+SELECT doc_id, sha256(text) AS exact_fp,
+  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dups(_doubled_docs(spark, sf_dir))
+
+
+_SQL_DEDUP_EXACT = f"""
+WITH d2 AS ({_DOUBLED_SQL})
+SELECT sha256(text) AS content_hash, count(*) AS copies,
+       min(doc_id) AS representative
+FROM d2 GROUP BY content_hash
+"""
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(toks) - 2, 0)), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+
+def _sql_minhash_sig(source_sql: str, num_hashes: int = 8) -> str:
+    mins = ",\n    ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5('{i}|' || s)), 'min')"
+        f" AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH src AS ({source_sql}),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM src),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM sh WHERE len(shingles) > 0
+)"""
+
+
+def _sql_minhash_bands(source_sql: str, num_hashes: int = 8, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"{_sql_minhash_sig(source_sql, num_hashes)},\nbands AS ({band_selects})"
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_long(
+        dedup.minhash_bands(_docs(spark, sf_dir).select("doc_id", "text")), "band"
+    )
+
+
+_SQL_MINHASH_BANDS = (
+    _sql_minhash_bands("SELECT doc_id, text FROM documents")
+    + "\nSELECT doc_id, band::bigint AS band, bucket FROM bands"
+)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_candidate_pairs(_neardup_docs(spark, sf_dir))
+
+
+_SQL_MINHASH_PAIRS = (
+    _sql_minhash_bands(_NEARDUP_SQL)
+    + """
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+"""
+)
+
+
+def _sql_simhash(source_sql: str, bits: int = dedup.SIMHASH_BITS) -> str:
+    terms = "\n    + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, v -> ((v >> {j}) & 1) * 2 - 1))"
+        f" > 0 THEN {1 << j}::bigint ELSE 0::bigint END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH src AS ({source_sql}),
+t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM src),
+h AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+    list_transform(toks, s -> ('0x' || substr(md5(s), 1, 15))::bigint) AS hs
+  FROM t
+),
+s AS (SELECT doc_id, n_tokens, ({terms}) AS simhash FROM h)"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_long(
+        dedup.simhash(_docs(spark, sf_dir).select("doc_id", "text")), "n_tokens"
+    )
+
+
+_SQL_SIMHASH = (
+    _sql_simhash("SELECT doc_id, text FROM documents")
+    + "\nSELECT doc_id, n_tokens, simhash FROM s"
+)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_long(
+        dedup.simhash_near_pairs(_neardup_docs(spark, sf_dir)), "hamming"
+    )
+
+
+# oracle = brute force; equals the chunked candidate join by pigeonhole
+_SQL_SIMHASH_PAIRS = (
+    _sql_simhash(_NEARDUP_SQL)
+    + """
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+  bit_count(xor(l.simhash, r.simhash))::bigint AS hamming
+FROM s l JOIN s r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+"""
+)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_neardup_docs(spark, sf_dir), threshold=0.5)
+
+
+_SQL_NGRAM_JACCARD = f"""
+WITH src AS ({_NEARDUP_SQL}),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM src),
+sh AS (SELECT doc_id, list_transform({_SHINGLES_SQL}, s -> md5(s)) AS shingles
+       FROM t),
+e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+common AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
+  FROM e l JOIN e r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+)
+SELECT id_a, id_b,
+  round(common / (sa.n + sb.n - common)::double, 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(common / (sa.n + sb.n - common)::double, 6) >= 0.5::double
+"""
+
+# shared cosine SQL (pinned evaluation order — mirrors similarity.cosine_expr)
+_COS_SQL = (
+    "list_reduce(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+    " / (sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+    " * sqrt(list_reduce(list_transform({b}, x -> x * x), (x, y) -> x + y)))"
+)
+
+
+def _sign_bucket_sql(vec: str, dims: int) -> str:
+    return " || ".join(
+        f"(CASE WHEN {vec}[{i + 1}]::double >= 0 THEN '+' ELSE '-' END)"
+        for i in range(dims)
+    )
+
+
+def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(_tbl(spark, sf_dir, "embeddings"), 0, k=10)
+
+
+def _sql_embedding_knn() -> str:
+    cos = _COS_SQL.format(a="e.v", b="q.qv")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id, round({cos}, 6) AS cosine
+FROM e, q WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id LIMIT 10
+"""
+
+
+def q_embedding_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.bucketed_topk(
+        _tbl(spark, sf_dir, "embeddings"), 0, k=10, bucket_dims=2
+    )
+
+
+def _sql_embedding_knn_bucketed() -> str:
+    cos = _COS_SQL.format(a="e.v", b="q.qv")
+    bucket = _sign_bucket_sql("embedding", 2)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v,
+         {bucket} AS bucket
+  FROM embeddings
+),
+q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
+SELECT e.vec_id, round({cos}, 6) AS cosine
+FROM e, q WHERE e.vec_id <> 0 AND e.bucket = q.qbucket
+ORDER BY cosine DESC, e.vec_id LIMIT 10
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb2 = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 100000))
+    return dedup.embedding_near_dups(emb2, threshold=0.99, bucket_dims=4)
+
+
+def _sql_embedding_near_dups() -> str:
+    cos = _COS_SQL.format(a="l.v", b="r.v")
+    bucket = _sign_bucket_sql("embedding", 4)
+    return f"""
+WITH e2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings
+),
+b AS (
+  SELECT vec_id AS vid, list_transform(embedding, x -> x::double) AS v,
+         {bucket} AS bucket
+  FROM e2
+)
+SELECT l.vid AS id_a, r.vid AS id_b, round({cos}, 6) AS cosine
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vid < r.vid
+WHERE round({cos}, 6) >= 0.99::double
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal + streaming
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return multimodal.media_features(payloads)
+
+
+_SQL_MULTIMODAL = """
+SELECT doc_id,
+  octet_length(encode(text))::bigint AS n_bytes,
+  md5(text) AS content_hash,
+  (('0x' || substr(md5(text), 1, 4))::integer % 1000)::integer AS fake_width,
+  (('0x' || substr(md5(text), 5, 4))::integer % 1000)::integer AS fake_height
+FROM documents
+"""
+
+
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.pipeline import run_stream_to_table, stream_windowed_counts
+
+    name = "stream_counts_result"
+    sdf = stream_windowed_counts(spark, f"{sf_dir}/events.parquet")
+    run_stream_to_table(spark, sdf, name)
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # extraction pipeline
+    "extract_main_text": q_extract_main_text,
+    "extract_stats": q_extract_stats,
+    "extract_fields_vn": q_extract_fields_vn,
+    "merge_documents_vn": q_merge_documents_vn,
+    # relational battery
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_brands": q_top_brands,
+    "order_ranks": q_order_ranks,
+    "sessionize_events": q_sessionize_events,
+    "windowed_event_counts": q_windowed_event_counts,
+    "list_documents_page": q_list_documents_page,
+    "point_lookup": q_point_lookup,
+    "adjacent_word_overlap": q_adjacent_word_overlap,
+    # text analysis
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "fingerprints": q_fingerprints,
+    # dedup family
+    "dedup_exact": q_dedup_exact,
+    "minhash_bands": q_minhash_bands,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    # similarity search
+    "embedding_knn": q_embedding_knn,
+    "embedding_knn_bucketed": q_embedding_knn_bucketed,
+    "embedding_near_dups": q_embedding_near_dups,
+    # multimodal + streaming
+    "multimodal_features": q_multimodal_features,
+    "stream_windowed_counts": q_stream_windowed_counts,
+}
+
+ORACLE: dict[str, str] = {
+    "extract_main_text": _SQL_EXTRACT_MAIN,
+    "extract_stats": _SQL_EXTRACT_STATS,
+    "extract_fields_vn": _SQL_EXTRACT_FIELDS_VN,
+    "merge_documents_vn": _SQL_MERGE_VN,
+    "pricing_summary": _SQL_PRICING,
+    "revenue_by_nation": _SQL_REVENUE_NATION,
+    "top_brands": _SQL_TOP_BRANDS,
+    "order_ranks": _SQL_ORDER_RANKS,
+    "sessionize_events": _SQL_SESSIONIZE,
+    "windowed_event_counts": _SQL_WINDOWED_COUNTS,
+    "list_documents_page": _SQL_LIST_DOCS,
+    "point_lookup": _SQL_POINT_LOOKUP,
+    "adjacent_word_overlap": _SQL_WORD_OVERLAP,
+    "token_counts": _SQL_TOKEN_COUNTS,
+    "lang_id": _sql_lang_id(),
+    "quality_scores": _SQL_QUALITY,
+    "fingerprints": _SQL_FINGERPRINTS,
+    "dedup_exact": _SQL_DEDUP_EXACT,
+    "minhash_bands": _SQL_MINHASH_BANDS,
+    "minhash_pairs": _SQL_MINHASH_PAIRS,
+    "simhash": _SQL_SIMHASH,
+    "simhash_pairs": _SQL_SIMHASH_PAIRS,
+    "ngram_jaccard": _SQL_NGRAM_JACCARD,
+    "embedding_knn": _sql_embedding_knn(),
+    "embedding_knn_bucketed": _sql_embedding_knn_bucketed(),
+    "embedding_near_dups": _sql_embedding_near_dups(),
+    "multimodal_features": _SQL_MULTIMODAL,
+    # streaming result equals the batch windowed aggregation
+    "stream_windowed_counts": _SQL_WINDOWED_COUNTS,
+}

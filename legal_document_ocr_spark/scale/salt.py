@@ -21,6 +21,21 @@ from ..config import SALT_BUCKETS, SIZE_BUCKET_EDGES
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread a narrow input before compute-heavy stages.
+
+    A small parquet file scans as ONE partition (row-group granularity), which
+    serializes every downstream expression/UDF on one core. At 100 TB inputs
+    arrive with thousands of partitions and this is a no-op; below the
+    session's default parallelism it inserts one round-robin exchange so the
+    heavy stage actually uses the cluster.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def with_skew_keys(df: DataFrame, url_col: str = "url", payload_col: str = "html") -> DataFrame:
     """Attach (domain, size_bucket, salt) partitioning keys."""
     return (

@@ -90,6 +90,85 @@ def synthesize_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Vietnamese legal-document corpus (by-construction field/merge oracle)
+# ---------------------------------------------------------------------------
+
+VN_DOC_TYPES = ("CÔNG VĂN", "TỜ TRÌNH", "QUYẾT ĐỊNH", "THÔNG BÁO")
+
+# Page line layout (joined with <br> inside one <main><p>; the block collector
+# turns <br> into \r\n, so extracted_text is exactly these lines \r\n-joined).
+# Every field the K9-K15 regex batteries produce on this layout is a closed-
+# form function of (doc_id, page_no, text) — see __spark_entry__ oracles:
+#   L1  {TYPE}                                    (doc_id % 4 cycle)
+#   L2  Số: {doc_id}/QD-BTC
+#   L3  Hà Nội, ngày {d} tháng {m} năm 2024       (d=doc_id%28+1, m=doc_id%12+1)
+#   L4  Kính gửi: Đơn vị {doc_id % 7}
+#   L5  NGUYỄN VĂN AN                             (signer line)
+#   L6  Điện thoại: 0243                          (digit barrier for the
+#                                                  signer regex's letter run)
+#   L7  {text} trang {page_no}
+#   L8  V/v kế hoạch {doc_id}                     (last line -> subject regex
+#                                                  stops at end of text)
+
+
+def synthesize_vn_pages_df(
+    spark: SparkSession, sf_dir: str, pages_per_doc: int = 1
+) -> DataFrame:
+    """Derive a Vietnamese legal-document pages table from documents.parquet.
+
+    Pure Catalyst (no UDF): a DuckDB oracle derives the identical table from
+    the same parquet and can therefore state the expected output of the field
+    battery and the merge fold in closed form. Pages of one document share
+    ``Số:`` so the merge fold groups them; urls sort in page order.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.explode(F.sequence(F.lit(1), F.lit(pages_per_doc))).alias("page_no"),
+    )
+    did = F.col("doc_id").cast("string")
+    dtype = F.element_at(
+        F.array(*[F.lit(t) for t in VN_DOC_TYPES]),
+        (F.pmod(F.col("doc_id"), 4) + 1).cast("int"),
+    )
+    d = (F.pmod(F.col("doc_id"), 28) + 1).cast("string")
+    m = (F.pmod(F.col("doc_id"), 12) + 1).cast("string")
+    k = F.pmod(F.col("doc_id"), 7).cast("string")
+    lines = [
+        dtype,
+        F.concat(F.lit("Số: "), did, F.lit("/QD-BTC")),
+        F.concat(F.lit("Hà Nội, ngày "), d, F.lit(" tháng "), m, F.lit(" năm 2024")),
+        F.concat(F.lit("Kính gửi: Đơn vị "), k),
+        F.lit("NGUYỄN VĂN AN"),
+        F.lit("Điện thoại: 0243"),
+        F.concat(F.col("text"), F.lit(" trang "), F.col("page_no").cast("string")),
+        F.concat(F.lit("V/v kế hoạch "), did),
+    ]
+    body = F.concat_ws("<br>", *lines)
+    return pages.select(
+        F.concat(
+            F.lit("https://legal-"),
+            F.col("source"),
+            F.lit(".example.vn/doc"),
+            did,
+            F.lit("/p"),
+            F.col("page_no").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id") * 10 + F.col("page_no")
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit(_TEMPLATE_HEAD), body, F.lit(_TEMPLATE_TAIL)), "UTF-8"
+        ).alias("html"),
+        F.col("text"),
+        F.lit("vi").alias("lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # pytest fixture corpus (FIXTURES.md §3 families)
 # ---------------------------------------------------------------------------
 

@@ -43,7 +43,7 @@ from pyspark.sql.types import (
 from .config import ALLOWED_SCHEMES, FIELD_NAMES, MAX_HTML_BYTES
 from .kernels import extract_fields, extract_page
 from .scale.dedup_compute import dedup_compute
-from .scale.salt import salted_repartition
+from .scale.salt import ensure_parallelism, salted_repartition
 
 SPAN_TYPE = StructType(
     [
@@ -122,6 +122,10 @@ def run_extraction(
         df = checkpoint.filter_pending(df)
     if salt:
         df = salted_repartition(df, salt_partitions)
+    else:
+        # narrow inputs (single-file local scans) would serialize the UDF
+        # stages on one core; no-op when the scan is already parallel
+        df = ensure_parallelism(df)
 
     def compute(distinct: DataFrame) -> DataFrame:
         return distinct.withColumn("_page", extract_page_udf(F.col("html")))

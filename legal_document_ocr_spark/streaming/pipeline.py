@@ -1,0 +1,139 @@
+"""Structured Streaming surface — incremental arrival as a stream.
+
+The reference's nearest streaming concept is incremental HTTP upload arrival
+(app/api/v1/endpoints/documents.py:16 — request/response batch, SURVEY.md
+§2.12). The rebuild's streaming variant treats the pages/events table as an
+append-only source:
+
+- ``stream_windowed_counts`` — watermarked tumbling-window aggregation over
+  the events table read as a file stream; event-time windows + late-data
+  bound via ``withWatermark``. Run with ``availableNow`` it drains the
+  current table exactly once and its result equals the batch
+  ``relational.windowed_event_counts`` (that equivalence is the oracle).
+- ``stream_extraction`` — the extraction pipeline inside ``foreachBatch``:
+  every micro-batch runs the SAME batch stages (stages.run_extraction) and
+  appends through the checkpoint store, so exactly-once comes from the sink's
+  manifest commit, not from the streaming engine. This is the Iceberg
+  incremental-scan pattern from SURVEY.md §2.12 with parquet standing in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.pages import PAGES_SCHEMA
+from ..stages import run_extraction
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _as_stream_dir(spark: SparkSession, path: str) -> str:
+    """Spark's file stream source requires a DIRECTORY; the driver testdata is
+    one parquet file per table. Stage single files into a session-temp dir
+    (hardlink when possible — no data copy) exactly once per path."""
+    import os
+    import tempfile
+
+    if os.path.isdir(path):
+        return path
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        "ldos-stream",
+        path.strip("/").replace("/", "_"),
+    )
+    target = os.path.join(staged, os.path.basename(path))
+    if not os.path.exists(target):
+        os.makedirs(staged, exist_ok=True)
+        try:
+            os.link(path, target)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(path, target)
+    return staged
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    bucket_seconds: int = 300,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming tumbling-window counts per event_type (returns a streaming DF).
+
+    Uses ``F.window`` (event-time) + watermark; output mode append-safe. The
+    window start is projected to epoch seconds so results compare exactly with
+    the batch/oracle formulation (floor(epoch/bucket)*bucket).
+    """
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        _as_stream_dir(spark, events_dir)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", f"{bucket_seconds} seconds").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_table(
+    spark: SparkSession, streaming_df: DataFrame, table_name: str
+) -> None:
+    """Drain a streaming DF into an in-memory table with availableNow
+    (exactly the rows present at start — the batch-equivalence harness)."""
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_extraction(
+    spark: SparkSession,
+    pages_dir: str,
+    checkpoint_store,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> "object":
+    """Run the batch extraction pipeline over a pages file-stream.
+
+    foreachBatch -> stages.run_extraction -> checkpoint_store.commit: each
+    micro-batch is one manifest commit, so a crash between batches loses
+    nothing and re-processing is prevented by the store's anti-join. Returns
+    the StreamingQuery (caller awaits/stops).
+    """
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(pages_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        result = run_extraction(batch_df, checkpoint=checkpoint_store)
+        checkpoint_store.commit(result, run_id=f"stream-{batch_id:08d}")
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
