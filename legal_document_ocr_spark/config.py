@@ -90,6 +90,28 @@ EXTRACTION_PATTERNS: dict[str, list[str]] = {
     ],
 }
 
+# Literal pre-gates, parallel to EXTRACTION_PATTERNS: each inner list holds
+# lowercase literals of which AT LEAST ONE must appear in the lowercased text
+# for the pattern to possibly match (an empty list means "always try").
+# Purely an evaluation shortcut — a pattern whose mandatory literal is absent
+# cannot match, so skipping it never changes the result. This is the same
+# literal-prefilter trick production regex engines apply internally; CPython
+# re does not, and failing Unicode-IGNORECASE searches dominate the field
+# battery on non-matching (non-Vietnamese) documents without it.
+PATTERN_GATES: dict[str, list[list[str]]] = {
+    "document_type": [
+        ["công văn", "tờ trình", "quyết định", "thông báo"],
+        ["số"],
+    ],
+    "document_number": [["số"], ["số"]],
+    "issue_date": [["ngày"], ["/"]],
+    "issuing_agency": [["cộng"]],
+    "recipients": [["kính"]],
+    "recipient_address": [["nơi"]],
+    "signer": [["ký"], ["\n"]],
+    "position": [["chức"], []],
+}
+
 FIELD_NAMES = (
     "document_type",
     "document_number",

@@ -54,6 +54,7 @@ from .config import (
     MIN_FIELD_MATCHES,
     MIN_HEADING_CHARS,
     MIN_MATCHING_WORDS,
+    PATTERN_GATES,
 )
 
 _CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)", re.IGNORECASE)
@@ -352,33 +353,48 @@ _AGENCY_HEAD_RE = re.compile(
 )
 _AGENCY_LINE_DROP_RE = re.compile(r"(?i)(số|ngày)")  # :57 (P10)
 
-_COMPILED_PATTERNS: dict[str, list[re.Pattern[str]]] = {
+_COMPILED_PATTERNS: dict[str, list[tuple[re.Pattern[str], list[str]]]] = {
     field: [
-        re.compile(p, re.MULTILINE | re.IGNORECASE | re.DOTALL)
-        for p in patterns
+        (
+            re.compile(p, re.MULTILINE | re.IGNORECASE | re.DOTALL),
+            PATTERN_GATES.get(field, [[]] * len(patterns))[i],
+        )
+        for i, p in enumerate(patterns)
     ]
     for field, patterns in EXTRACTION_PATTERNS.items()
 }
 
 
+def _gate_open(lower_text: str, gate: list[str]) -> bool:
+    """True iff the pattern could match: no gate, or a required literal
+    (any-of, lowercase) is present. Skipping a gated-out pattern never
+    changes the result — see config.PATTERN_GATES."""
+    return not gate or any(lit in lower_text for lit in gate)
+
+
 def extract_fields(text: str | None) -> dict[str, str | None]:
     """information_extraction_service.py:61-116 (minus metadata/timestamps)."""
     text = clean_text(text)
+    lower = text.lower()
     info: dict[str, str | None] = {f: None for f in FIELD_NAMES}
     for field, patterns in _COMPILED_PATTERNS.items():
-        for pat in patterns:
+        for pat, gate in patterns:
+            if not _gate_open(lower, gate):
+                continue
             m = pat.search(text)
             if m:
                 value = m.group(1) if m.groups() else m.group(0)
                 info[field] = value.strip()
                 break
-    m = _LOCATION_DATE_RE.search(text)
-    if m:
-        info["issue_location"] = m.group(1).strip()
-        info["issue_date"] = f"{m.group(2)}/{m.group(3)}/{m.group(4)}"
-    m = _SUBJECT_RE.search(text)
-    if m:
-        info["subject"] = m.group(1).strip()
+    if "ngày" in lower:
+        m = _LOCATION_DATE_RE.search(text)
+        if m:
+            info["issue_location"] = m.group(1).strip()
+            info["issue_date"] = f"{m.group(2)}/{m.group(3)}/{m.group(4)}"
+    if "v/v" in lower or "về việc" in lower:
+        m = _SUBJECT_RE.search(text)
+        if m:
+            info["subject"] = m.group(1).strip()
     if not info["issuing_agency"]:
         m = _AGENCY_HEAD_RE.search(text)
         if m:

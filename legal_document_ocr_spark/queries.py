@@ -35,7 +35,11 @@ from pyspark.sql import functions as F
 from .merge import merge_documents
 from .operators import dedup, multimodal, relational, similarity, textops
 from .operators.textops import LANG_MARKERS, STOPWORDS, WORD_PATTERN
-from .sources.pages import synthesize_pages_df, synthesize_vn_pages_df
+from .sources.pages import (
+    synthesize_pages_df,
+    synthesize_table_pages_df,
+    synthesize_vn_pages_df,
+)
 from .stages import run_extraction
 
 # ---------------------------------------------------------------------------
@@ -182,6 +186,40 @@ SELECT
   dtype || {_CRLF} || 'Số' AS position,
   'kế hoạch ' || doc_id AS subject
 FROM t
+"""
+
+
+def q_extract_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-grid extraction (K5-K7) + table shape (A6) on the known 2x3
+    table corpus: cells arrive in (row, col) reading order by construction."""
+    pages = synthesize_table_pages_df(spark, sf_dir)
+    out = run_extraction(pages, dedup=False, with_fields=False)
+    return _as_long(
+        out.select(
+            "url",
+            F.size("tables").alias("n_cells"),
+            F.size(
+                F.array_distinct(F.transform("tables", lambda c: c["row"]))
+            ).alias("num_rows"),
+            F.size(
+                F.array_distinct(F.transform("tables", lambda c: c["col"]))
+            ).alias("num_cols"),
+            F.md5(
+                F.concat_ws(",", F.transform("tables", lambda c: c["text"]))
+            ).alias("cells_fp"),
+        ),
+        "n_cells",
+        "num_rows",
+        "num_cols",
+    )
+
+
+_SQL_EXTRACT_TABLES = """
+SELECT 'https://tables-' || source || '.example.com/' || doc_id AS url,
+  6::bigint AS n_cells, 2::bigint AS num_rows, 3::bigint AS num_cols,
+  md5('c' || doc_id || 'x00,c' || doc_id || 'x01,c' || doc_id || 'x02,c'
+      || doc_id || 'x10,c' || doc_id || 'x11,c' || doc_id || 'x12') AS cells_fp
+FROM documents
 """
 
 
@@ -756,6 +794,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_main_text": q_extract_main_text,
     "extract_stats": q_extract_stats,
     "extract_fields_vn": q_extract_fields_vn,
+    "extract_tables": q_extract_tables,
     "merge_documents_vn": q_merge_documents_vn,
     # relational battery
     "pricing_summary": q_pricing_summary,
@@ -792,6 +831,7 @@ ORACLE: dict[str, str] = {
     "extract_main_text": _SQL_EXTRACT_MAIN,
     "extract_stats": _SQL_EXTRACT_STATS,
     "extract_fields_vn": _SQL_EXTRACT_FIELDS_VN,
+    "extract_tables": _SQL_EXTRACT_TABLES,
     "merge_documents_vn": _SQL_MERGE_VN,
     "pricing_summary": _SQL_PRICING,
     "revenue_by_nation": _SQL_REVENUE_NATION,

@@ -63,13 +63,23 @@ _TEMPLATE_TAIL = (
 )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin a narrow scan across the default parallelism (test corpora
+    are single parquet files = single partitions; synthesis expressions run
+    below any later exchange, so the spread must happen before them)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def synthesize_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the pages table from documents.parquet — pure Catalyst, no UDF.
 
     url/warc_ts/html are all deterministic functions of (doc_id, source, lang,
     text); html is the fixed template around the document body, UTF-8 encoded.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return docs.select(
         F.concat(
             F.lit("https://"),
@@ -83,6 +93,93 @@ def synthesize_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(
             F.concat(F.lit(_TEMPLATE_HEAD), F.col("text"), F.lit(_TEMPLATE_TAIL)),
             "UTF-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def synthesize_scaled_pages_df(
+    spark: SparkSession, sf_dir: str, replicas: int
+) -> DataFrame:
+    """The template corpus replicated ``replicas``x with DISTINCT payloads.
+
+    Each replica appends its index to the text, so sha2-dedup cannot collapse
+    the corpus — used by the scaling benchmark, where the measured work must
+    grow linearly with the row count.
+    """
+    # spread BEFORE the explode/encode: the driver parquet is one file = one
+    # partition, and Catalyst evaluates the synthesis expressions below any
+    # later repartition — without this the corpus is built on a single core
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    rep = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.lit(replicas))).alias("rep"),
+    )
+    return rep.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/r"),
+            F.col("rep").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id") * 100 + F.col("rep")
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit(_TEMPLATE_HEAD),
+                F.col("text"),
+                F.lit(" replica "),
+                F.col("rep").cast("string"),
+                F.lit(_TEMPLATE_TAIL),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def synthesize_table_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages whose <main> holds one paragraph + a known 2x3 <table>.
+
+    Cell (r, c) text is ``c{doc_id}x{r}{c}`` — the cell-grid extraction
+    (SURVEY.md K5-K7) and table-shape aggregate (A6) become by-construction
+    oracle-checkable: num_rows=2, num_cols=3, cells in (row, col) order.
+    """
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    did = F.col("doc_id").cast("string")
+
+    def cell(r: int, c: int):
+        return F.concat(
+            F.lit("<td>c"), did, F.lit(f"x{r}{c}"), F.lit("</td>")
+        )
+
+    table = F.concat(
+        F.lit("<table>"),
+        F.lit("<tr>"), cell(0, 0), cell(0, 1), cell(0, 2), F.lit("</tr>"),
+        F.lit("<tr>"), cell(1, 0), cell(1, 1), cell(1, 2), F.lit("</tr>"),
+        F.lit("</table>"),
+    )
+    body = F.concat(F.col("text"), F.lit("</p>"), table, F.lit("<p>"))
+    return docs.select(
+        F.concat(
+            F.lit("https://tables-"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            did,
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit(_TEMPLATE_HEAD), body, F.lit(_TEMPLATE_TAIL)), "UTF-8"
         ).alias("html"),
         F.col("text"),
         F.col("lang"),
@@ -121,7 +218,7 @@ def synthesize_vn_pages_df(
     battery and the merge fold in closed form. Pages of one document share
     ``Số:`` so the merge fold groups them; urls sort in page order.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     pages = docs.select(
         "doc_id",
         "text",

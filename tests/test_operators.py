@@ -1,0 +1,245 @@
+"""Unit + plan-shape tests for the operator library (operators/*)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from legal_document_ocr_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    textops,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dedup semantics
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dups_counts_copies(spark, docs):
+    d = docs.select("doc_id", "text")
+    tripled = d.unionByName(
+        d.withColumn("doc_id", F.col("doc_id") + 10_000)
+    ).unionByName(d.withColumn("doc_id", F.col("doc_id") + 20_000))
+    out = dedup.exact_dups(tripled)
+    rows = out.collect()
+    assert all(r["copies"] == 3 for r in rows)
+    # representative is the minimum id of the duplicate set
+    assert all(r["representative"] < 10_000 for r in rows)
+
+
+def test_minhash_identical_docs_share_all_bands(spark, docs):
+    d = docs.select("doc_id", "text").limit(50)
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 10_000))
+    bands = dedup.minhash_bands(doubled)
+    # identical text -> identical signature -> same bucket in every band
+    joined = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.doc_id") + 10_000 == F.col("r.doc_id"))
+            & (F.col("l.band") == F.col("r.band")),
+        )
+        .where(F.col("l.bucket") != F.col("r.bucket"))
+    )
+    assert joined.count() == 0
+
+
+def test_minhash_pairs_find_exact_duplicates(spark, docs):
+    d = docs.select("doc_id", "text").limit(50)
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 10_000))
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidate_pairs(doubled).collect()
+    }
+    expected = {(r["doc_id"], r["doc_id"] + 10_000) for r in d.collect()}
+    assert expected <= pairs
+
+
+def test_simhash_zero_hamming_for_identical(spark, docs):
+    d = docs.select("doc_id", "text").limit(30)
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 10_000))
+    sig = dedup.simhash(doubled)
+    l, r = sig.alias("l"), sig.alias("r")
+    diff = (
+        l.join(r, F.col("l.doc_id") + 10_000 == F.col("r.doc_id"))
+        .where(F.col("l.simhash") != F.col("r.simhash"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_ngram_jaccard_identical_is_one(spark, docs):
+    d = docs.select("doc_id", "text").limit(30)
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 10_000))
+    pairs = dedup.ngram_jaccard_pairs(doubled, threshold=0.999)
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()
+    }
+    for r in d.collect():
+        assert exact.get((r["doc_id"], r["doc_id"] + 10_000)) == 1.0
+
+
+def test_embedding_near_dups_finds_copies(spark, embeddings):
+    e = embeddings.select("vec_id", "embedding").limit(100)
+    doubled = e.unionByName(e.withColumn("vec_id", F.col("vec_id") + 10_000))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_near_dups(doubled).collect()
+    }
+    for r in e.collect():
+        assert pairs.get((r["vec_id"], r["vec_id"] + 10_000)) == pytest.approx(
+            1.0, abs=1e-6
+        )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_topk_is_subset_of_brute_force(spark, embeddings):
+    brute = similarity.cosine_topk(embeddings, 0, k=500).collect()
+    brute_rank = {r["vec_id"]: i for i, r in enumerate(brute)}
+    bucketed = similarity.bucketed_topk(embeddings, 0, k=10, bucket_dims=2).collect()
+    # every bucketed hit exists in the exact ranking with the same score
+    brute_scores = {r["vec_id"]: r["cosine"] for r in brute}
+    for r in bucketed:
+        assert brute_scores[r["vec_id"]] == r["cosine"]
+    # and bucketed results are ordered by descending cosine
+    scores = [r["cosine"] for r in bucketed]
+    assert scores == sorted(scores, reverse=True)
+    assert len(bucketed) == 10
+    assert 0 not in brute_rank  # query excluded
+
+
+# ---------------------------------------------------------------------------
+# textops
+# ---------------------------------------------------------------------------
+
+
+def test_lang_id_marker_texts(spark):
+    rows = [
+        (1, "the cat is on the mat and it is warm"),
+        (2, "el gato es de la casa y es que los gatos"),
+        (3, "der hund ist das tier und die katze ist zu"),
+        (4, "ngày số của là các có được và cho trong"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["pred_lang"] for r in textops.lang_id(df).collect()}
+    assert out == {1: "en", 2: "es", 3: "de", 4: "vi"}
+
+
+def test_quality_score_bounds(spark, docs):
+    out = textops.quality_scores(docs)
+    bad = out.where(
+        (F.col("quality_score") < 0) | (F.col("quality_score") > 1)
+    ).count()
+    assert bad == 0
+
+
+def test_token_counts_simple(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world, 42 times!"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textops.token_counts(df).collect()}
+    assert rows[1]["ws_tokens"] == 4
+    # hello / world / , / 42 / times / !
+    assert rows[1]["bpe_tokens"] == 6
+    assert rows[2]["ws_tokens"] == 0
+
+
+def test_fingerprint_ws_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in textops.fingerprints(df).collect()}
+    assert rows[1]["norm_fp"] == rows[2]["norm_fp"]
+    assert rows[1]["exact_fp"] != rows[2]["exact_fp"]
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_media_features_deterministic(spark):
+    import hashlib
+
+    payload = b"fake image bytes"
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    row = multimodal.media_features(df).collect()[0]
+    h = hashlib.md5(payload).hexdigest()
+    assert row["content_hash"] == h
+    assert row["n_bytes"] == len(payload)
+    assert row["fake_width"] == int(h[0:4], 16) % 1000
+    assert row["fake_height"] == int(h[4:8], 16) % 1000
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"bytes")
+
+
+# ---------------------------------------------------------------------------
+# plan shapes (the 100 TB story: pushdown + broadcast + no extra shuffles)
+# ---------------------------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_lookup_pushes_filter_to_scan(spark, docs):
+    plan = _plan(relational.get_document(docs, 42))
+    assert "PushedFilters" in plan and "doc_id" in plan.split("PushedFilters")[1][:200]
+
+
+def test_revenue_join_broadcasts_dimensions(spark):
+    plan = _plan(
+        relational.revenue_by_nation(
+            spark.read.parquet(f"{SF}/orders.parquet"),
+            spark.read.parquet(f"{SF}/customer.parquet"),
+            spark.read.parquet(f"{SF}/nation.parquet"),
+        )
+    )
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_extraction_prunes_html_after_udf(spark):
+    from legal_document_ocr_spark.sources.pages import synthesize_pages_df
+    from legal_document_ocr_spark.stages import run_extraction
+
+    out = run_extraction(synthesize_pages_df(spark, SF), dedup=False,
+                         with_fields=False)
+    assert "html" not in out.columns
+    # only url/extracted_text requested -> scan must not read the text column
+    # of documents twice nor keep binary downstream of the UDF stage
+    plan = _plan(out.select("url", "extracted_text"))
+    assert "ArrowEvalPython" in plan
+
+
+def test_sessionize_single_shuffle(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(relational.sessionize_events(events))
+    # one exchange for the user_id windows + the final order; the two stacked
+    # windows and the groupBy must REUSE the user_id partitioning
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 hash exchange, got {n_exchanges}"
