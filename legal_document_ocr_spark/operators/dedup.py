@@ -64,22 +64,26 @@ def exact_dups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a text column (space-joined, lowercased)."""
+def shingles(col: Column, k: int = 3, *, distinct: bool = True) -> Column:
+    """k-word shingles of a text column (space-joined, lowercased).
+
+    ``distinct=True`` gives set semantics (needed for Jaccard counting);
+    MinHash passes ``distinct=False`` — min over a multiset equals min over
+    its set, and ``array_distinct`` is O(n²) string comparisons per document.
+    """
     tokens = ws_tokens(F.lower(col))
     n = F.size(tokens)
     # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tokens, i + j) for j in range(k)]
-            ),
-        )
+    out = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + j) for j in range(k)]
+        ),
     )
+    return F.array_distinct(out) if distinct else out
 
 
 # ---------------------------------------------------------------------------
@@ -87,31 +91,58 @@ def shingles(col: Column, k: int = 3) -> Column:
 # ---------------------------------------------------------------------------
 
 
-# sentinel greater than any lowercase-hex md5 digest
-_MH_SENTINEL = "\x7f"
+# MinHash integer-hash family: g_i(s) = (A_i * h(s) + B_i) mod P over the
+# 28-bit md5-prefix base hash h. P = 2^31 - 1 (Mersenne prime); A_i/B_i are
+# fixed odd constants. All arithmetic stays below 2^62, so bigint math is
+# exact and identical in Spark and DuckDB (the oracle states the same
+# formula). One md5 per shingle (the base hash) serves every component —
+# 8x fewer digests than hashing "i|shingle" per component.
+MINHASH_P = (1 << 31) - 1
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (1_103_515_245, 12_345),
+    (214_013, 2_531_011),
+    (134_775_813, 1),
+    (69_069, 362_437),
+    (1_664_525, 1_013_904_223),
+    (22_695_477, 1_628_273),
+    (747_796_405, 907_633_385),
+    (265_263_263, 374_761_393),
+)
+_MH_SENTINEL = MINHASH_P  # g_i < P always
+
+
+def base_hash28(col: Column) -> Column:
+    """First 28 bits (7 hex chars) of md5 as bigint — identical in DuckDB
+    via ('0x' || substr(md5(s), 1, 7))::bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
 
 
 def minhash_signature_array(sh: Column, num_hashes: int = 8) -> Column:
     """All MinHash components in ONE traversal of the shingle array.
 
-    Component i = min over shingles of md5(i || '|' || shingle), using the
-    *string* order of hex md5 — portable across engines (identical lowercase
-    hex, identical lexicographic min), as uniform as an integer variant.
-
-    Single-pass shape matters: Catalyst's CollapseProject inlines a shingle
-    expression into every per-component projection, so k independent
-    ``array_min(transform(...))`` columns re-tokenize and re-shingle the text
-    k times. One ``aggregate`` fold computes the k running minima together —
-    shingling happens once, md5 k× per shingle (inherent to MinHash).
-    Empty shingle sets yield the sentinel (caller filters).
+    Single-pass shape matters twice over: Catalyst's CollapseProject inlines
+    a shingle expression into every per-component projection (so k
+    independent ``array_min(transform(...))`` columns would re-tokenize and
+    re-shingle k times), and the md5 base hash is computed once per shingle
+    with the k components derived by exact integer mixing.
+    Empty shingle sets yield the sentinel P (caller filters).
     """
-    init = F.array(*[F.lit(_MH_SENTINEL) for _ in range(num_hashes)])
-    prefixes = F.array(*[F.lit(f"{i}|") for i in range(num_hashes)])
+    coeffs = MINHASH_COEFFS[:num_hashes]
+    init = F.array(*[F.lit(_MH_SENTINEL).cast("long") for _ in coeffs])
+    a = F.array(*[F.lit(ai).cast("long") for ai, _ in coeffs])
+    b = F.array(*[F.lit(bi).cast("long") for _, bi in coeffs])
+    p = F.lit(MINHASH_P).cast("long")
+    # hoist the md5 into its own transform: referencing base_hash28(s) inside
+    # the per-component lambda would inline (and recompute) the digest k
+    # times — here the fold sees h only as a bound lambda variable
+    hashes = F.transform(sh, base_hash28)
     return F.aggregate(
-        sh,
+        hashes,
         init,
-        lambda acc, s: F.zip_with(
-            acc, prefixes, lambda m, p: F.least(m, F.md5(F.concat(p, s)))
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(a, b, lambda ai, bi: (ai * h + bi) % p),
+            lambda m, g: F.least(m, g),
         ),
     )
 
@@ -124,30 +155,47 @@ def minhash_bands(docs: DataFrame, text_col: str = "text", *, k: int = 3,
     bucket) are near-dup candidates.
     """
     rows = num_hashes // bands
-    sh = shingles(F.col(text_col), k)
+    sh = shingles(F.col(text_col), k, distinct=False)  # min ignores dups
     docs = ensure_parallelism(docs)  # signature compute is the hot loop
-    sig = (
-        docs.select(
-            "doc_id", minhash_signature_array(sh, num_hashes).alias("mh")
-        )
-        .where(F.element_at("mh", 1) != _MH_SENTINEL)  # >= k tokens only
-        .select(
-            "doc_id",
-            *[F.element_at("mh", i + 1).alias(f"mh_{i}") for i in range(num_hashes)],
-        )
+    # >= k tokens predicate HERE, as a cheap pushable expression. Filtering
+    # on the signature sentinel instead looks equivalent but is catastrophic:
+    # Catalyst pushes the predicate below the exchange fence and the filter
+    # then re-evaluates the whole signature fold per row on the narrow scan.
+    docs = docs.where(F.size(ws_tokens(F.lower(F.col(text_col)))) >= k)
+    sig = docs.select(
+        "doc_id", minhash_signature_array(sh, num_hashes).alias("mh")
     )
+    # exchange fence: every reference to `mh` below (filter + per-band
+    # buckets) must read the MATERIALIZED array. Without it CollapseProject
+    # inlines the signature fold into each consumer and the whole
+    # shingle+hash pipeline re-executes once per reference (measured 9x).
+    # The shuffled rows are (long, 8xlong) — negligible next to the text scan;
+    # at production scale this is where the signature table would be
+    # persisted anyway.
+    sig = sig.repartition("doc_id")
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
             F.md5(
-                F.concat_ws("|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at("mh", b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ],
+                )
             ).alias("bucket"),
         )
         for b in range(bands)
     ]
-    return sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return (
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
+        .select(
+            "doc_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+    )
 
 
 def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text", *, k: int = 3,
@@ -229,7 +277,9 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text", *,
     max_hamming+1 chunks; a pair within distance k must agree exactly on at
     least one chunk — pigeonhole). Verified with bit_count(xor).
     """
-    sig = simhash(docs, text_col, bits=bits)
+    # exchange fence (see minhash_bands): the chunk columns below each embed
+    # a reference to the signature; materialize it once before splitting
+    sig = simhash(docs, text_col, bits=bits).repartition("doc_id")
     chunks = max_hamming + 1
     width = bits // chunks
     chunk_cols = [

@@ -71,6 +71,34 @@ def document_response(docs: DataFrame) -> DataFrame:
     )
 
 
+def delete_documents(docs: DataFrame, doc_ids: DataFrame) -> DataFrame:
+    """Row-level delete (document_service.py:117-141) as a left-anti join.
+
+    On an Iceberg catalog this is ``DELETE FROM t WHERE ...`` (merge-on-read);
+    on the parquet+manifest store it is the dataframe that a rewrite commits.
+    The anti-join broadcasts the (small) id side — no shuffle of the table.
+    """
+    return docs.join(F.broadcast(doc_ids), "doc_id", "left_anti")
+
+
+def update_documents(docs: DataFrame, patch: DataFrame) -> DataFrame:
+    """Merge-patch update (document_service.py:155-206): for rows matched by
+    ``patch.doc_id``, non-null patch columns override; everything else keeps
+    the current value — the reference's ``data.get(k, current)`` semantics.
+
+    Shape: broadcast left join + per-column coalesce(patch, current) — the
+    DataFrame form of Iceberg's ``MERGE INTO ... WHEN MATCHED THEN UPDATE``.
+    """
+    patch_cols = [c for c in patch.columns if c != "doc_id"]
+    renamed = patch.select(
+        "doc_id", *[F.col(c).alias(f"__patch_{c}") for c in patch_cols]
+    )
+    out = docs.join(F.broadcast(renamed), "doc_id", "left")
+    for c in patch_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"__patch_{c}"), F.col(c)))
+    return out.select(docs.columns)
+
+
 # ---------------------------------------------------------------------------
 # aggregation battery (TPC-H-shaped, over the driver testdata tables)
 # ---------------------------------------------------------------------------

@@ -404,6 +404,42 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_POINT_LOOKUP = "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = 42"
 
 
+def q_delete_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level delete surface: drop doc_ids divisible by 7, keep a bounded
+    slice so the oracle result stays small."""
+    docs = _docs(spark, sf_dir)
+    ids = docs.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    return relational.delete_documents(docs, ids).where(F.col("doc_id") < 100)
+
+
+_SQL_DELETE_DOCS = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE doc_id % 7 <> 0 AND doc_id < 100
+"""
+
+
+def q_update_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-patch update surface: relabel lang of even doc_ids, null patch
+    fields fall through to current values."""
+    docs = _docs(spark, sf_dir)
+    patch = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.lit("xx").alias("lang"),
+        F.lit(None).cast("string").alias("source"),  # null -> keep current
+    )
+    return relational.update_documents(docs, patch).where(
+        F.col("doc_id") < 100
+    )
+
+
+_SQL_UPDATE_DOCS = """
+SELECT doc_id, text,
+  CASE WHEN doc_id % 2 = 0 THEN 'xx' ELSE lang END AS lang,
+  source, n_chars
+FROM documents WHERE doc_id < 100
+"""
+
+
 def q_adjacent_word_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_long(
         relational.adjacent_word_overlap(_docs(spark, sf_dir)), "common_words"
@@ -551,18 +587,26 @@ _SHINGLES_SQL = (
 
 
 def _sql_minhash_sig(source_sql: str, num_hashes: int = 8) -> str:
+    # mirrors dedup.minhash_signature_array: 28-bit md5-prefix base hash,
+    # g_i = (A_i*h + B_i) mod P, component = min over shingles
+    p = dedup.MINHASH_P
     mins = ",\n    ".join(
-        f"list_aggregate(list_transform(shingles, s -> md5('{i}|' || s)), 'min')"
-        f" AS mh_{i}"
-        for i in range(num_hashes)
+        f"list_aggregate(list_transform(hs, h -> ({a}::bigint * h + {b}::bigint)"
+        f" % {p}::bigint), 'min') AS mh_{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_COEFFS[:num_hashes])
     )
     return f"""
 WITH src AS ({source_sql}),
 t AS (SELECT doc_id, {_TOKS} AS toks FROM src),
 sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t),
+hx AS (
+  SELECT doc_id,
+    list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 7))::bigint) AS hs
+  FROM sh WHERE len(shingles) > 0
+),
 sig AS (
   SELECT doc_id, {mins}
-  FROM sh WHERE len(shingles) > 0
+  FROM hx
 )"""
 
 
@@ -570,7 +614,7 @@ def _sql_minhash_bands(source_sql: str, num_hashes: int = 8, bands: int = 4) -> 
     rows = num_hashes // bands
     band_selects = "\n  UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
-        + " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + " || '|' || ".join(f"mh_{b * rows + r}::varchar" for r in range(rows))
         + ") AS bucket FROM sig"
         for b in range(bands)
     )
@@ -805,6 +849,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_event_counts": q_windowed_event_counts,
     "list_documents_page": q_list_documents_page,
     "point_lookup": q_point_lookup,
+    "delete_documents": q_delete_documents,
+    "update_documents": q_update_documents,
     "adjacent_word_overlap": q_adjacent_word_overlap,
     # text analysis
     "token_counts": q_token_counts,
@@ -841,6 +887,8 @@ ORACLE: dict[str, str] = {
     "windowed_event_counts": _SQL_WINDOWED_COUNTS,
     "list_documents_page": _SQL_LIST_DOCS,
     "point_lookup": _SQL_POINT_LOOKUP,
+    "delete_documents": _SQL_DELETE_DOCS,
+    "update_documents": _SQL_UPDATE_DOCS,
     "adjacent_word_overlap": _SQL_WORD_OVERLAP,
     "token_counts": _SQL_TOKEN_COUNTS,
     "lang_id": _sql_lang_id(),
