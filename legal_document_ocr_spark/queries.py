@@ -138,6 +138,18 @@ FROM documents
 """
 
 
+def q_extract_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same flagship extraction driven through the registered SQL
+    function surface (functions/register.py) — a pure spark.sql statement."""
+    from .functions import register_all
+
+    register_all(spark)
+    synthesize_pages_df(spark, sf_dir).createOrReplaceTempView("pages_sql_v")
+    return spark.sql(
+        "SELECT url, ldos_extract_text(html) AS extracted_text FROM pages_sql_v"
+    )
+
+
 def q_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = synthesize_pages_df(spark, sf_dir)
     out = run_extraction(pages, dedup=False, with_fields=False)
@@ -836,6 +848,7 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # extraction pipeline
     "extract_main_text": q_extract_main_text,
+    "extract_sql_surface": q_extract_sql_surface,
     "extract_stats": q_extract_stats,
     "extract_fields_vn": q_extract_fields_vn,
     "extract_tables": q_extract_tables,
@@ -875,6 +888,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE: dict[str, str] = {
     "extract_main_text": _SQL_EXTRACT_MAIN,
+    "extract_sql_surface": _SQL_EXTRACT_MAIN,
     "extract_stats": _SQL_EXTRACT_STATS,
     "extract_fields_vn": _SQL_EXTRACT_FIELDS_VN,
     "extract_tables": _SQL_EXTRACT_TABLES,

@@ -129,8 +129,19 @@ def stream_extraction(
     stream = reader.parquet(pages_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        result = run_extraction(batch_df, checkpoint=checkpoint_store)
-        checkpoint_store.commit(result, run_id=f"stream-{batch_id:08d}")
+        import uuid
+
+        # resume filter FIRST (url anti-join, no UDF — cheap to test for
+        # emptiness), so re-streaming an already-committed directory is a
+        # no-op instead of an empty or colliding commit; run ids are unique
+        # per micro-batch attempt (batch numbering restarts across queries)
+        pending = checkpoint_store.filter_pending(batch_df)
+        if not pending.limit(1).count():
+            return
+        result = run_extraction(pending)
+        checkpoint_store.commit(
+            result, run_id=f"stream-{batch_id:04d}-{uuid.uuid4().hex[:8]}"
+        )
 
     return (
         stream.writeStream.foreachBatch(process_batch)

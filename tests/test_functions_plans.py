@@ -1,0 +1,57 @@
+"""SQL function surface (functions/) + plan inspection helpers (plans/)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from legal_document_ocr_spark.functions import register_all
+from legal_document_ocr_spark.kernels import clean_text, extract_page
+from legal_document_ocr_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    pushed_filters,
+)
+from legal_document_ocr_spark.sources.pages import fixture_pages_df
+
+
+def test_sql_surface_matches_kernels(spark):
+    register_all(spark)
+    fixture_pages_df(spark).limit(30).createOrReplaceTempView("pages_fn_v")
+    rows = spark.sql(
+        """
+        SELECT url, html,
+               ldos_extract_text(html) AS txt,
+               ldos_extract_page(html).n_kept AS n_kept,
+               ldos_clean_text('a\\nb ') AS cleaned
+        FROM pages_fn_v
+        """
+    ).collect()
+    assert rows
+    for r in rows:
+        expected = extract_page(r["html"])
+        assert r["txt"] == expected["extracted_text"]
+        assert r["n_kept"] == expected["n_kept"]
+        assert r["cleaned"] == clean_text("a\nb ")
+
+
+def test_sql_fields_surface(spark):
+    register_all(spark)
+    df = spark.createDataFrame(
+        [("Số: 12/AB-CD",)], "t string"
+    )
+    df.createOrReplaceTempView("fields_fn_v")
+    row = spark.sql(
+        "SELECT ldos_extract_fields(t).document_number AS num FROM fields_fn_v"
+    ).collect()[0]
+    assert row["num"] == "12"
+
+
+def test_plan_helpers(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    filtered = docs.where(F.col("doc_id") == 7)
+    assert any("doc_id" in f for f in pushed_filters(filtered))
+    joined = docs.join(F.broadcast(nation), docs.doc_id == nation.n_nationkey)
+    assert has_broadcast_join(joined)
+    agg = docs.groupBy("lang").count()
+    assert count_exchanges(agg) >= 1
