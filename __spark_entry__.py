@@ -29,7 +29,14 @@ def entry(spark: SparkSession) -> DataFrame:
     pages = synthesize_pages_df(spark, "/root/testdata/sf0.001")
     out = run_extraction(pages, dedup=True, with_fields=True)
     return out.select(
-        "url", "warc_ts", "lang", "extracted_text", "spans", "tables", "fields"
+        "url",
+        "warc_ts",
+        "lang",
+        "extracted_text",
+        "spans",
+        "tables",
+        "fields",
+        "lineage",
     )
 
 

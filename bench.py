@@ -151,8 +151,53 @@ def main_scaling() -> None:
     print(json.dumps(results))
 
 
+def main_stages() -> None:
+    """Per-stage timing decomposition of the flagship pipeline (BASELINE.md
+    'per-stage metrics'): each stage is timed as the delta between nested
+    pipeline configurations on the same input."""
+    from legal_document_ocr_spark.merge import merge_documents
+    from legal_document_ocr_spark.sources.pages import synthesize_scaled_pages_df
+    from legal_document_ocr_spark.stages import run_extraction
+
+    replicas = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "20"))
+    spark = build_session(app_name="ldos-stages", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = synthesize_scaled_pages_df(spark, SF_DIR, replicas)
+    n = pages.count()
+
+    def timed(df) -> float:
+        _force(df)  # warm
+        t0 = time.time()
+        _force(df)
+        return time.time() - t0
+
+    t_scan = timed(pages)
+    t_extract = timed(run_extraction(pages, dedup=False, with_fields=False))
+    t_fields = timed(run_extraction(pages, dedup=False, with_fields=True))
+    t_dedup = timed(run_extraction(pages, dedup=True, with_fields=True))
+    t_merge = timed(
+        merge_documents(run_extraction(pages, dedup=False, with_fields=True))
+    )
+    out = {
+        "docs": n,
+        "scan_synthesize_sec": round(t_scan, 3),
+        "extract_stage_sec": round(t_extract - t_scan, 3),
+        "fields_stage_sec": round(t_fields - t_extract, 3),
+        "dedup_overhead_sec": round(t_dedup - t_fields, 3),
+        "merge_stage_sec": round(t_merge - t_fields, 3),
+        "end_to_end_sec": round(t_dedup, 3),
+        "docs_per_sec": round(n / t_dedup, 1),
+        "sf": _sf_of(SF_DIR),
+        "cpus": int(CPUS),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
+    elif "--stages" in sys.argv:
+        main_stages()
     else:
         main_bench()

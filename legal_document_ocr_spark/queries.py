@@ -235,6 +235,77 @@ FROM documents
 """
 
 
+def q_explode_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3-shaped fan-out: one page row -> N span rows (UDF returns an array,
+    F.explode splits it). On the template corpus each page has exactly one
+    kept span whose slice equals the whole extracted text."""
+    pages = synthesize_pages_df(spark, sf_dir)
+    out = run_extraction(pages, dedup=False, with_fields=False)
+    exploded = out.select(
+        "url", "extracted_text", F.explode("spans").alias("s")
+    )
+    return _as_long(
+        exploded.select(
+            "url",
+            F.col("s.y").alias("block_index"),
+            F.col("s.kind").alias("kind"),
+            F.expr(
+                "substring(extracted_text, s.x + 1, s.w)"
+            ).alias("span_text"),
+        ),
+        "block_index",
+    )
+
+
+_SQL_EXPLODE_SPANS = """
+SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+       2::bigint AS block_index, 'p' AS kind, text AS span_text
+FROM documents WHERE length(text) >= 25
+"""
+
+
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup ratio (A4): the metric that sizes the dedup-before-compute
+    win. Doubled corpus -> ratio exactly 0.5."""
+    d = _doubled_docs(spark, sf_dir)
+    return d.agg(
+        F.count("*").alias("total_rows"),
+        F.count_distinct(F.sha2("text", 256)).alias("distinct_payloads"),
+        F.round(
+            F.count_distinct(F.sha2("text", 256)) / F.count("*").cast("double"), 6
+        ).alias("dedup_ratio"),
+    )
+
+
+_SQL_DEDUP_STATS = f"""
+WITH d2 AS ({_DOUBLED_SQL})
+SELECT count(*) AS total_rows,
+       count(DISTINCT sha256(text)) AS distinct_payloads,
+       round(count(DISTINCT sha256(text)) / count(*)::double, 6) AS dedup_ratio
+FROM d2
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar surface (§2.9): extract props.k, aggregate per bucket."""
+    events = _tbl(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k")
+        )
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.min("k").alias("k_min"))
+        .orderBy("k_bucket")
+    )
+
+
+_SQL_EVENTS_JSON = """
+SELECT (props->>'k')::bigint % 10 AS k_bucket, count(*) AS n,
+       min((props->>'k')::bigint) AS k_min
+FROM events GROUP BY k_bucket ORDER BY k_bucket
+"""
+
+
 def q_merge_documents_vn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The merge fold (A7/K15, applyInPandas) on 2-page VN documents — both
     pages share ``Số:`` so each source_doc folds into exactly one logical
@@ -852,6 +923,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_stats": q_extract_stats,
     "extract_fields_vn": q_extract_fields_vn,
     "extract_tables": q_extract_tables,
+    "explode_spans": q_explode_spans,
     "merge_documents_vn": q_merge_documents_vn,
     # relational battery
     "pricing_summary": q_pricing_summary,
@@ -872,6 +944,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprints": q_fingerprints,
     # dedup family
     "dedup_exact": q_dedup_exact,
+    "dedup_stats": q_dedup_stats,
+    "events_json": q_events_json,
     "minhash_bands": q_minhash_bands,
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
@@ -892,6 +966,7 @@ ORACLE: dict[str, str] = {
     "extract_stats": _SQL_EXTRACT_STATS,
     "extract_fields_vn": _SQL_EXTRACT_FIELDS_VN,
     "extract_tables": _SQL_EXTRACT_TABLES,
+    "explode_spans": _SQL_EXPLODE_SPANS,
     "merge_documents_vn": _SQL_MERGE_VN,
     "pricing_summary": _SQL_PRICING,
     "revenue_by_nation": _SQL_REVENUE_NATION,
@@ -909,6 +984,8 @@ ORACLE: dict[str, str] = {
     "quality_scores": _SQL_QUALITY,
     "fingerprints": _SQL_FINGERPRINTS,
     "dedup_exact": _SQL_DEDUP_EXACT,
+    "dedup_stats": _SQL_DEDUP_STATS,
+    "events_json": _SQL_EVENTS_JSON,
     "minhash_bands": _SQL_MINHASH_BANDS,
     "minhash_pairs": _SQL_MINHASH_PAIRS,
     "simhash": _SQL_SIMHASH,
