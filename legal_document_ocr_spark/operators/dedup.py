@@ -361,6 +361,53 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", *, k: int = 3,
     )
 
 
+def verified_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """The production near-dup shape: MinHash-LSH candidate generation, exact
+    Jaccard verification ON CANDIDATES ONLY.
+
+    This is the composition that scales: the shingle self-join inside
+    ``ngram_jaccard_pairs`` is quadratic in per-shingle document frequency,
+    but restricted to LSH candidates it touches O(candidates) pairs. Output
+    = (id_a, id_b, jaccard) for verified pairs only.
+    """
+    candidates = minhash_candidate_pairs(
+        docs, text_col, k=k, num_hashes=num_hashes, bands=bands
+    )
+    # exact jaccard on the candidate set: join shingle multiplicity-free sets
+    sh = ensure_parallelism(docs).select(
+        "doc_id",
+        shingles(F.col(text_col), k).alias("sh"),
+    ).persist()
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / (
+                    F.size("sh_a")
+                    + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (see similarity.py for the shared cosine expr)
 # ---------------------------------------------------------------------------

@@ -163,6 +163,85 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.): rolling k-char-gram
+    hashes, minimum per sliding window of w, distinct selected values.
+
+    Output: (doc_id, n_grams, n_selected, winnow_fp) where winnow_fp is the
+    md5 of the sorted selected hash set — a compact, alignment-robust content
+    fingerprint (two docs sharing long substrings share selected minima).
+
+    Plan shape: the gram-hash array is materialized behind an exchange fence
+    before the window pass — the sliding-window transform references it once
+    per window, and without the fence Catalyst would inline (and re-hash) the
+    whole gram array per window element, turning O(n·w) into O(n²) digests.
+    """
+    from ..operators.dedup import base_hash28
+
+    c = F.col(text_col)
+    n = F.length(c)
+    gram_idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashes = F.transform(gram_idx, lambda i: base_hash28(F.substring(c, i, k)))
+    hashed = docs.select("doc_id", hashes.alias("hs")).repartition("doc_id")
+    m = F.size("hs")
+    win_idx = F.when(m >= w, F.sequence(F.lit(1), m - (w - 1))).otherwise(
+        F.when(m > 0, F.array(F.lit(1))).otherwise(F.array().cast("array<int>"))
+    )
+    selected = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                win_idx,
+                lambda j: F.array_min(F.slice("hs", j, F.least(F.lit(w), m))),
+            )
+        )
+    )
+    return hashed.select(
+        "doc_id",
+        m.cast("long").alias("n_grams"),
+        F.size(selected).cast("long").alias("n_selected"),
+        F.md5(F.concat_ws(",", F.transform(selected, lambda x: x.cast("string")))).alias(
+            "winnow_fp"
+        ),
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition features for quality filtering: distinct-token ratio and
+    the dominant token's share. explode -> two stacked aggregations (token
+    counts, then per-doc max) — both map-side combinable."""
+    tokens = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    per_tok = tokens.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_token_count"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(F.col("n_distinct") / F.col("n_tokens").cast("double"), 6).alias(
+                "distinct_ratio"
+            ),
+            F.round(
+                F.col("top_token_count") / F.col("n_tokens").cast("double"), 6
+            ).alias("top_token_share"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL-safe field-extraction battery (K9 as coalesce of regexp_extract)
 # ---------------------------------------------------------------------------

@@ -801,6 +801,113 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(common / (sa.n + sb.n - common)::double, 6) >= 0.5::double
 """
 
+def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup: MinHash-LSH candidates -> exact Jaccard verify on
+    candidates only (the composition that scales — see dedup.verified_near_dups)."""
+    return dedup.verified_near_dups(_neardup_docs(spark, sf_dir), threshold=0.5)
+
+
+_SQL_NEARDUP_VERIFIED = (
+    _sql_minhash_bands(_NEARDUP_SQL)
+    + f""",
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+shd AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM src) tt
+)
+SELECT id_a, id_b,
+  round(len(list_intersect(a.sh, b.sh))
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::double,
+        6) AS jaccard
+FROM cand JOIN shd a ON a.doc_id = id_a JOIN shd b ON b.doc_id = id_b
+WHERE round(len(list_intersect(a.sh, b.sh))
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::double,
+        6) >= 0.5::double
+"""
+)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.repetition_stats(_docs(spark, sf_dir))
+
+
+_SQL_REPETITION = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+pt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok)
+SELECT doc_id, sum(c)::bigint AS n_tokens, count(*) AS n_distinct,
+  round(count(*) / sum(c)::double, 6) AS distinct_ratio,
+  round(max(c) / sum(c)::double, 6) AS top_token_share
+FROM pt GROUP BY doc_id
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+_SQL_WINNOW = """
+WITH h AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= 8 THEN
+      list_transform(generate_series(1, length(text) - 7),
+                     i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 7))::bigint)
+    ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM documents
+), wnd AS (
+  SELECT doc_id, hs, len(hs) AS m,
+    CASE WHEN len(hs) >= 4 THEN generate_series(1, len(hs) - 3)
+         WHEN len(hs) > 0 THEN [1]
+         ELSE CAST([] AS BIGINT[]) END AS widx
+  FROM h
+), sel AS (
+  SELECT doc_id, m,
+    list_sort(list_distinct(list_transform(
+      widx, j -> list_aggregate(hs[j : j + least(4, m) - 1], 'min')))) AS s
+  FROM wnd
+)
+SELECT doc_id, m::bigint AS n_grams, len(s) AS n_selected,
+       md5(array_to_string(s, ',')) AS winnow_fp
+FROM sel
+"""
+
+
+def q_embedding_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(_tbl(spark, sf_dir, "embeddings"), 9, k=10)
+
+
+def _sql_embedding_ivf_knn() -> str:
+    dist = (
+        "list_reduce(list_transform(generate_series(1, len(e.v)),"
+        " i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), (x, y) -> x + y)"
+    )
+    cos = _COS_SQL.format(a="t.v", b="q.qv")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+cents AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 8),
+dists AS (
+  SELECT e.vec_id, c.cell_id, {dist} AS dist
+  FROM e, cents c
+),
+mind AS (SELECT vec_id, min(dist) AS md FROM dists GROUP BY vec_id),
+cells AS (
+  SELECT d.vec_id, min(d.cell_id) AS cell
+  FROM dists d JOIN mind m ON d.vec_id = m.vec_id AND d.dist = m.md
+  GROUP BY d.vec_id
+),
+t AS (SELECT e.vec_id, e.v, cells.cell FROM e JOIN cells ON e.vec_id = cells.vec_id),
+q AS (SELECT v AS qv, cell AS qcell FROM t WHERE vec_id = 9)
+SELECT t.vec_id, round({cos}, 6) AS cosine
+FROM t, q WHERE t.vec_id <> 9 AND t.cell = q.qcell
+ORDER BY cosine DESC, t.vec_id LIMIT 10
+"""
+
+
 # shared cosine SQL (pinned evaluation order — mirrors similarity.cosine_expr)
 _COS_SQL = (
     "list_reduce(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]),"
@@ -951,8 +1058,13 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "neardup_verified": q_neardup_verified,
+    # text analysis (advanced)
+    "repetition_stats": q_repetition_stats,
+    "winnow_fingerprints": q_winnow_fingerprints,
     # similarity search
     "embedding_knn": q_embedding_knn,
+    "embedding_ivf_knn": q_embedding_ivf_knn,
     "embedding_knn_bucketed": q_embedding_knn_bucketed,
     "embedding_near_dups": q_embedding_near_dups,
     # multimodal + streaming
@@ -991,7 +1103,11 @@ ORACLE: dict[str, str] = {
     "simhash": _SQL_SIMHASH,
     "simhash_pairs": _SQL_SIMHASH_PAIRS,
     "ngram_jaccard": _SQL_NGRAM_JACCARD,
+    "neardup_verified": _SQL_NEARDUP_VERIFIED,
+    "repetition_stats": _SQL_REPETITION,
+    "winnow_fingerprints": _SQL_WINNOW,
     "embedding_knn": _sql_embedding_knn(),
+    "embedding_ivf_knn": _sql_embedding_ivf_knn(),
     "embedding_knn_bucketed": _sql_embedding_knn_bucketed(),
     "embedding_near_dups": _sql_embedding_near_dups(),
     "multimodal_features": _SQL_MULTIMODAL,
