@@ -38,10 +38,14 @@ HEADLINE = [
     "sessionize_events",      # window battery / gaps-and-islands
     "dedup_exact",            # hash-group dedup
     "minhash_pairs",          # MinHash+LSH near-dup
-    "ngram_jaccard",          # shingle-join Jaccard
+    "ngram_jaccard",          # shingle-join Jaccard (exact baseline)
+    "neardup_verified",       # LSH candidates -> exact verify (scale path)
     "embedding_knn",          # brute-force ANN baseline
+    "embedding_ivf_knn",      # IVF cell-probe ANN (scale path)
     "embedding_near_dups",    # sign-LSH bucketed cosine
     "quality_scores",         # text-analysis battery
+    "repetition_stats",       # explode + stacked aggs
+    "winnow_fingerprints",    # rolling-hash winnowing
     "multimodal_features",    # binary-column mapInPandas stage
 ]
 
@@ -66,6 +70,10 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.SPARK[name]
+        # isolate queries: operators persist intermediates at self-join
+        # boundaries; letting them accumulate across queries squeezes
+        # execution memory and skews later measurements
+        spark.catalog.clearCache()
         t0 = time.time()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)

@@ -31,14 +31,24 @@ def dedup_compute(
     df: DataFrame,
     payload_col: str,
     compute: Callable[[DataFrame], DataFrame],
+    *,
+    keep_payload: bool = False,
 ) -> DataFrame:
     """Run ``compute`` once per distinct ``payload_col`` value, join back.
 
     ``compute`` receives a DataFrame of ``(__content_key, payload_col)`` with
     one row per distinct payload; it must return the input columns it wants to
     keep plus its result columns, preserving ``__content_key``. The returned
-    DataFrame has every original row of ``df`` (payload column retained) with
-    the computed columns attached.
+    DataFrame has every original row of ``df`` with the computed columns
+    attached.
+
+    ``keep_payload=False`` (default) drops the payload from the CARRIER side
+    before the join-back: with multi-KB payloads the carrier rows would
+    otherwise drag every original payload through the join exchange just to
+    be dropped downstream — at web scale that is the single largest shuffle
+    in the pipeline. The payload still reaches ``compute`` (once per distinct
+    value, via the group-by); pass ``keep_payload=True`` only when the caller
+    genuinely needs the raw payload on every output row.
     """
     keyed = df.withColumn(_KEY, F.sha2(F.col(payload_col), 256))
     distinct = (
@@ -47,4 +57,5 @@ def dedup_compute(
         .agg(F.first(payload_col).alias(payload_col))
     )
     computed = compute(distinct).drop(payload_col)
-    return keyed.join(computed, _KEY, "left").drop(_KEY)
+    carrier = keyed if keep_payload else keyed.drop(payload_col)
+    return carrier.join(computed, _KEY, "left").drop(_KEY)
