@@ -39,6 +39,7 @@ from .sources.pages import (
     synthesize_pages_df,
     synthesize_table_pages_df,
     synthesize_vn_pages_df,
+    synthesize_vn_split_pages_df,
 )
 from .stages import run_extraction
 
@@ -348,6 +349,48 @@ SELECT
   'kế hoạch ' || doc_id AS subject,
   p1 || chr(10) || chr(10) || p2 AS content,
   '1,2' AS page_numbers
+FROM p
+"""
+
+
+def q_merge_split_vn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge fold's GROUP BOUNDARY: pages engineered so number equality,
+    word overlap and field voting all fail -> exactly two logical documents
+    per source_doc, each carrying its own page's fields."""
+    pages = synthesize_vn_split_pages_df(spark, sf_dir)
+    extracted = run_extraction(pages, dedup=False, with_fields=True)
+    merged = merge_documents(extracted)
+    return merged.select(
+        "source_doc",
+        "document_id",
+        "document_type",
+        "document_number",
+        "issue_date",
+        "subject",
+        F.array_join("page_numbers", ",").alias("page_numbers"),
+    )
+
+
+_SQL_MERGE_SPLIT_VN = """
+WITH p AS (
+  SELECT doc_id, source, page_no,
+    CASE ((doc_id + page_no) % 4) WHEN 0 THEN 'CÔNG VĂN' WHEN 1 THEN 'TỜ TRÌNH'
+                                  WHEN 2 THEN 'QUYẾT ĐỊNH' ELSE 'THÔNG BÁO' END
+      AS dtype,
+    ((doc_id + page_no) % 28 + 1)::varchar AS d,
+    ((doc_id + page_no) % 12 + 1)::varchar AS m,
+    (doc_id * 10 + page_no)::varchar AS num
+  FROM documents
+  CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS page_no) g
+)
+SELECT
+  'https://split-' || source || '.example.vn/doc' || doc_id AS source_doc,
+  page_no::varchar AS document_id,
+  dtype AS document_type,
+  num || '/QD-BTC' AS document_number,
+  d || '/' || m || '/2024' AS issue_date,
+  'kế hoạch ' || doc_id || '.' AS subject,
+  page_no::varchar AS page_numbers
 FROM p
 """
 
@@ -1010,6 +1053,27 @@ FROM documents
 """
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState) — NOT
+    SQL-expressible (driver records the rows-only check): emitted rows are
+    the CLOSED sessions; the batch-equivalence property (streamed == batch
+    minus each user's open tail session) is pinned in tests/test_streaming.py.
+    """
+    from .streaming.pipeline import stream_sessionize
+
+    name = "stream_sessions_result"
+    sdf = stream_sessionize(spark, f"{sf_dir}/events.parquet")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.pipeline import run_stream_to_table, stream_windowed_counts
 
@@ -1032,6 +1096,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_tables": q_extract_tables,
     "explode_spans": q_explode_spans,
     "merge_documents_vn": q_merge_documents_vn,
+    "merge_split_vn": q_merge_split_vn,
     # relational battery
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1070,6 +1135,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal + streaming
     "multimodal_features": q_multimodal_features,
     "stream_windowed_counts": q_stream_windowed_counts,
+    # custom stateful streaming — rows-only check (no oracle_sql entry)
+    "stream_sessionize": q_stream_sessionize,
 }
 
 ORACLE: dict[str, str] = {
@@ -1080,6 +1147,7 @@ ORACLE: dict[str, str] = {
     "extract_tables": _SQL_EXTRACT_TABLES,
     "explode_spans": _SQL_EXPLODE_SPANS,
     "merge_documents_vn": _SQL_MERGE_VN,
+    "merge_split_vn": _SQL_MERGE_SPLIT_VN,
     "pricing_summary": _SQL_PRICING,
     "revenue_by_nation": _SQL_REVENUE_NATION,
     "top_brands": _SQL_TOP_BRANDS,

@@ -47,12 +47,41 @@ class CheckpointStore:
             if f.endswith(".json")
         )
 
-    def read_results(self, spark: SparkSession) -> DataFrame | None:
-        """All rows from committed runs only (uncommitted data is invisible)."""
-        runs = self.committed_run_ids()
-        if not runs:
+    def manifests(self) -> list[dict]:
+        """All commit manifests in snapshot order (Iceberg snapshot log
+        analogue). Ordering key is the monotonically increasing
+        ``snapshot_seq`` stamped at commit (single-writer), with run_id as a
+        deterministic tiebreak for legacy manifests without one."""
+        out = []
+        for rid in self.committed_run_ids():
+            with open(os.path.join(self.manifest_dir, f"{rid}.json")) as f:
+                out.append(json.load(f))
+        return sorted(out, key=lambda m: (m.get("snapshot_seq", 0), m["run_id"]))
+
+    def read_results(
+        self, spark: SparkSession, as_of: str | int | None = None
+    ) -> DataFrame | None:
+        """Rows from committed runs only (uncommitted data is invisible).
+
+        ``as_of`` = time travel (Iceberg ``VERSION AS OF`` analogue): a
+        run_id or a snapshot_seq — only runs committed up to and including
+        that snapshot are read.
+        """
+        ms = self.manifests()
+        if as_of is not None:
+            cut = [
+                i
+                for i, m in enumerate(ms)
+                if m["run_id"] == as_of or m.get("snapshot_seq") == as_of
+            ]
+            if not cut:
+                raise ValueError(f"unknown snapshot {as_of!r}")
+            ms = ms[: cut[0] + 1]
+        if not ms:
             return None
-        paths = [os.path.join(self.runs_dir, f"run_id={r}") for r in runs]
+        paths = [
+            os.path.join(self.runs_dir, f"run_id={m['run_id']}") for m in ms
+        ]
         return spark.read.parquet(*paths)
 
     def done_urls(self, spark: SparkSession) -> DataFrame | None:
@@ -89,6 +118,7 @@ class CheckpointStore:
         ]
         manifest = {
             "run_id": run_id,
+            "snapshot_seq": len(self.committed_run_ids()) + 1,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
             "total_rows": sum(p["rows"] for p in lineage),
             "partitions": lineage,

@@ -265,6 +265,64 @@ def synthesize_vn_pages_df(
     )
 
 
+def synthesize_vn_split_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two pages per source_doc engineered so the merge fold must SPLIT them.
+
+    Versus ``synthesize_vn_pages_df``: document number, type and date vary
+    per page (so number-equality fails and field-match voting scores 0), and
+    every page ends with '.' so the reference's word-overlap continuation
+    check sees an empty last sentence and cannot fire
+    (document_merger_service.py:39-46). The fold therefore yields exactly two
+    logical documents per source_doc — a closed-form oracle for the group
+    BOUNDARY, complementing the all-merge corpus.
+    """
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    pages = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        F.explode(F.sequence(F.lit(1), F.lit(2))).alias("page_no"),
+    )
+    did = F.col("doc_id").cast("string")
+    num = (F.col("doc_id") * 10 + F.col("page_no")).cast("string")
+    dtype = F.element_at(
+        F.array(*[F.lit(t) for t in VN_DOC_TYPES]),
+        (F.pmod(F.col("doc_id") + F.col("page_no"), 4) + 1).cast("int"),
+    )
+    d = (F.pmod(F.col("doc_id") + F.col("page_no"), 28) + 1).cast("string")
+    m = (F.pmod(F.col("doc_id") + F.col("page_no"), 12) + 1).cast("string")
+    k = F.pmod(F.col("doc_id"), 7).cast("string")
+    lines = [
+        dtype,
+        F.concat(F.lit("Số: "), num, F.lit("/QD-BTC")),
+        F.concat(F.lit("Hà Nội, ngày "), d, F.lit(" tháng "), m, F.lit(" năm 2024")),
+        F.concat(F.lit("Kính gửi: Đơn vị "), k),
+        F.lit("NGUYỄN VĂN AN"),
+        F.lit("Điện thoại: 0243"),
+        F.concat(F.col("text"), F.lit(" trang "), F.col("page_no").cast("string")),
+        F.concat(F.lit("V/v kế hoạch "), did, F.lit(".")),
+    ]
+    body = F.concat_ws("<br>", *lines)
+    return pages.select(
+        F.concat(
+            F.lit("https://split-"),
+            F.col("source"),
+            F.lit(".example.vn/doc"),
+            did,
+            F.lit("/p"),
+            F.col("page_no").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id") * 10 + F.col("page_no")
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit(_TEMPLATE_HEAD), body, F.lit(_TEMPLATE_TAIL)), "UTF-8"
+        ).alias("html"),
+        F.col("text"),
+        F.lit("vi").alias("lang"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # pytest fixture corpus (FIXTURES.md §3 families)
 # ---------------------------------------------------------------------------

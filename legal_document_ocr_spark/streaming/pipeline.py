@@ -109,6 +109,78 @@ def run_stream_to_table(
     q.awaitTermination()
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_id bigint, n_events bigint, "
+    "first_event bigint, last_event bigint"
+)
+SESSION_STATE_SCHEMA = (
+    "last_ts bigint, session_id bigint, n_events bigint, "
+    "first_event bigint, last_event bigint"
+)
+
+
+def stream_sessionize(
+    spark: SparkSession, events_dir: str, gap_seconds: int = 1800
+):
+    """Custom stateful streaming operator: per-user gap sessionization via
+    ``applyInPandasWithState`` (SURVEY.md §2.12 — the stateful analogue of
+    the batch gaps-and-islands in relational.sessionize_events).
+
+    State per user = the OPEN session (last event time, running counters).
+    A session CLOSES — and is emitted — when a later event arrives more than
+    ``gap_seconds`` after the previous one; the final open session per user
+    remains in state (it would emit on event-time timeout in a live stream).
+    Emitted rows therefore equal the batch sessionization minus each user's
+    last session — pinned by tests/test_streaming.py.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def sessionize_user(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        secs = rows["ts"].astype("int64") // 1_000_000_000  # floor epoch s
+        (user_id,) = key
+        if state.exists:
+            last_ts, session_id, n, first_e, last_e = state.get
+        else:
+            last_ts, session_id, n, first_e, last_e = None, 0, 0, None, None
+        out = []
+        for ts, eid in zip(secs.tolist(), rows["event_id"].tolist()):
+            if last_ts is None or ts - last_ts >= gap_seconds:
+                if n:
+                    out.append((user_id, session_id, n, first_e, last_e))
+                session_id += 1
+                n, first_e, last_e = 0, eid, eid
+            n += 1
+            first_e = min(first_e, eid)
+            last_e = max(last_e, eid)
+            last_ts = ts
+        state.update((last_ts, session_id, n, first_e, last_e))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id",
+                    "session_id",
+                    "n_events",
+                    "first_event",
+                    "last_event",
+                ],
+            )
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        _as_stream_dir(spark, events_dir)
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        sessionize_user,
+        SESSION_OUTPUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_extraction(
     spark: SparkSession,
     pages_dir: str,

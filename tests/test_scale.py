@@ -119,3 +119,24 @@ class TestCheckpointResume:
         assert manifest["total_rows"] == sum(p["rows"] for p in manifest["partitions"])
         for p in manifest["partitions"]:
             assert p["url_min"] <= p["url_max"]
+
+
+class TestTimeTravel:
+    def test_as_of_snapshot(self, spark, tmp_path):
+        from legal_document_ocr_spark.scale.checkpoint import CheckpointStore
+
+        store = CheckpointStore(str(tmp_path / "tt"))
+        df1 = spark.createDataFrame([("u1", "a")], ["url", "extracted_text"])
+        df2 = spark.createDataFrame([("u2", "b")], ["url", "extracted_text"])
+        m1 = store.commit(df1, run_id="zzz-first")  # ids NOT in commit order
+        m2 = store.commit(df2, run_id="aaa-second")
+        assert m1["snapshot_seq"] == 1 and m2["snapshot_seq"] == 2
+        assert store.read_results(spark).count() == 2
+        # as-of first snapshot: only run 1's rows, despite run-id sort order
+        old = store.read_results(spark, as_of="zzz-first")
+        assert [r["url"] for r in old.collect()] == ["u1"]
+        assert store.read_results(spark, as_of=2).count() == 2
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            store.read_results(spark, as_of="nope")

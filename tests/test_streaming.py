@@ -54,3 +54,44 @@ def test_stream_windowed_counts_matches_batch(spark):
         for r in windowed_event_counts(events).collect()
     }
     assert streamed == batch
+
+
+def test_stream_sessionize_closed_sessions_match_batch(spark):
+    from legal_document_ocr_spark.operators.relational import sessionize_events
+    from legal_document_ocr_spark.streaming.pipeline import stream_sessionize
+
+    sdf = stream_sessionize(spark, "/root/testdata/sf0.001/events.parquet")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_stream_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"],
+            r["first_event"],
+            r["last_event"],
+        )
+        for r in spark.table("t_stream_sessions").collect()
+    }
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch_rows = sessionize_events(events).collect()
+    last_per_user = {}
+    for r in batch_rows:
+        last_per_user[r["user_id"]] = max(
+            last_per_user.get(r["user_id"], 0), r["session_id"]
+        )
+    expected = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"],
+            r["first_event"],
+            r["last_event"],
+        )
+        for r in batch_rows
+        if r["session_id"] != last_per_user[r["user_id"]]
+    }
+    assert streamed == expected
+    assert streamed  # non-trivial: some sessions actually closed
