@@ -48,29 +48,46 @@ def _source_doc_expr():
     return F.regexp_replace(F.col("url"), r"/[^/]*$", "")
 
 
+_OUT_COLS = [f.name for f in MERGED_DOC_TYPE.fields]
+
+
 def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     """One Arrow batch = one hash bucket of many source_docs; the reference
-    fold runs per source_doc via a pandas groupby. Bucketing (instead of one
-    applyInPandas group per source_doc) amortizes the per-call pandas/Arrow
-    overhead over thousands of tiny groups — the same fold, ~100x fewer
-    crossings."""
-    outs = [
-        _merge_group(g)
-        for _, g in pdf.groupby("source_doc", sort=True)
-    ]
-    if not outs:
-        return pd.DataFrame(columns=[f.name for f in MERGED_DOC_TYPE.fields])
-    return pd.concat(outs, ignore_index=True)
+    fold runs per source_doc over plain python lists. Bucketing (instead of
+    one applyInPandas group per source_doc) amortizes the per-call
+    pandas/Arrow overhead over thousands of tiny groups, and one bucket-level
+    sort + boundary walk replaces per-group pandas objects entirely — the
+    same fold, ~100x fewer crossings and no per-group DataFrames."""
+    pdf = pdf.sort_values(["source_doc", "url"], kind="mergesort")
+    sds = pdf["source_doc"].tolist()
+    texts = pdf["extracted_text"].tolist()
+    fields_col = pdf["fields"].tolist()
+    spans_col = pdf["spans"].tolist()
+    out: list[dict[str, Any]] = []
+    start = 0
+    for i in range(1, len(sds) + 1):
+        if i == len(sds) or sds[i] != sds[i - 1]:
+            out.extend(
+                _merge_group_rows(
+                    sds[start],
+                    texts[start:i],
+                    fields_col[start:i],
+                    spans_col[start:i],
+                )
+            )
+            start = i
+    return pd.DataFrame(out, columns=_OUT_COLS)
 
 
-def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("url", kind="mergesort")  # stable reading order
+def _merge_group_rows(
+    source_doc: str,
+    texts: list[str],
+    fields_col: list[Any],
+    spans_col: list[Any],
+) -> list[dict[str, Any]]:
+    """The reference fold for one source_doc (inputs already in url order)."""
     pages: list[dict[str, Any]] = []
-    # column-wise zip, not iterrows: per-row Series construction costs ~1 ms
-    # each, which dominated the whole merge stage at bench scale
-    for text, fields, spans in zip(
-        pdf["extracted_text"].tolist(), pdf["fields"].tolist(), pdf["spans"].tolist()
-    ):
+    for text, fields, spans in zip(texts, fields_col, spans_col):
         if not isinstance(fields, dict):  # Row -> dict when Arrow passes structs
             fields = dict(fields.asDict()) if hasattr(fields, "asDict") else dict(fields)
         pages.append(
@@ -82,7 +99,6 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         )
     docs = merge_pages(pages)
     out = []
-    source_doc = pdf["source_doc"].iloc[0]
     for d in docs:
         info = d["document_info"]
         rec = {"source_doc": source_doc, "document_id": d["document_id"]}
@@ -91,7 +107,7 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         rec["content"] = info["content"]
         rec["page_numbers"] = info["page_numbers"]
         out.append(rec)
-    return pd.DataFrame(out, columns=[f.name for f in MERGED_DOC_TYPE.fields])
+    return out
 
 
 def merge_documents(extracted: DataFrame, group_col: str | None = None) -> DataFrame:
