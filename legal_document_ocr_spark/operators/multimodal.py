@@ -85,6 +85,53 @@ def _media_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
+
+def _frame_sample(n_frames: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_hash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                # fixed-count frame sampling: frame i = contiguous byte slice
+                # [start_i, start_i+len_i); a video decoder would replace the
+                # slicing with timestamped frame extraction — the fan-out
+                # shape, schema and batch handling stay identical
+                base, rem = divmod(len(b), n_frames)
+                start = 0
+                for i in range(n_frames):
+                    ln = base + (1 if i < rem else 0)
+                    chunk = b[start : start + ln]
+                    start += ln
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_hash"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def frame_sample(
+    df: DataFrame, n_frames: int = 4, payload_col: str = "payload"
+) -> DataFrame:
+    """1 -> N multimodal fan-out: sample ``n_frames`` frames per payload
+    (mapInPandas; the reference's PDF->page-images explode, SURVEY.md S3,
+    re-expressed for opaque media bytes)."""
+    selected = df.selectExpr("doc_id", f"{payload_col} as payload")
+    return selected.mapInPandas(_frame_sample(n_frames), FRAME_SCHEMA)
+
+
 def media_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Feature-extract stage over a binary media column via mapInPandas.
 

@@ -1053,6 +1053,32 @@ FROM documents
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1->N frame sampling over binary payloads (mapInPandas fan-out); on
+    ascii payloads each frame hash is a closed-form md5 of a text slice."""
+    payloads = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return multimodal.frame_sample(payloads, n_frames=4)
+
+
+_SQL_MULTIMODAL_FRAMES = """
+WITH f AS (
+  SELECT doc_id, length(text) AS n, text,
+         unnest([0, 1, 2, 3]) AS frame_idx
+  FROM documents
+)
+SELECT doc_id, frame_idx::int AS frame_idx,
+  (n // 4 + CASE WHEN frame_idx < (n % 4) THEN 1 ELSE 0 END)::bigint
+    AS frame_bytes,
+  md5(substr(text,
+             (frame_idx * (n // 4) + least(frame_idx, n % 4) + 1)::int,
+             (n // 4 + CASE WHEN frame_idx < (n % 4) THEN 1 ELSE 0 END)::int))
+    AS frame_hash
+FROM f
+"""
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming op (applyInPandasWithState) — NOT
     SQL-expressible (driver records the rows-only check): emitted rows are
@@ -1134,6 +1160,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dups": q_embedding_near_dups,
     # multimodal + streaming
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
     "stream_windowed_counts": q_stream_windowed_counts,
     # custom stateful streaming — rows-only check (no oracle_sql entry)
     "stream_sessionize": q_stream_sessionize,
@@ -1179,6 +1206,7 @@ ORACLE: dict[str, str] = {
     "embedding_knn_bucketed": _sql_embedding_knn_bucketed(),
     "embedding_near_dups": _sql_embedding_near_dups(),
     "multimodal_features": _SQL_MULTIMODAL,
+    "multimodal_frames": _SQL_MULTIMODAL_FRAMES,
     # streaming result equals the batch windowed aggregation
     "stream_windowed_counts": _SQL_WINDOWED_COUNTS,
 }

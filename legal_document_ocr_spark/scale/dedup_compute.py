@@ -58,4 +58,10 @@ def dedup_compute(
     )
     computed = compute(distinct).drop(payload_col)
     carrier = keyed if keep_payload else keyed.drop(payload_col)
-    return carrier.join(computed, _KEY, "left").drop(_KEY)
+    # shuffle-hash join, explicitly: the computed side carries full extraction
+    # results (easily 100s of GB at corpus scale) — a planner-chosen broadcast
+    # would funnel it through the driver (measured: 4 executors scaled at 0.26
+    # until disabled), and sort-merge pays a needless sort on random 64-char
+    # keys. Shuffle-hash is the right strategy at every scale where dedup
+    # itself is worth running.
+    return carrier.join(computed.hint("shuffle_hash"), _KEY, "left").drop(_KEY)

@@ -100,25 +100,30 @@ def synthesize_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def synthesize_scaled_pages_df(
-    spark: SparkSession, sf_dir: str, replicas: int
+    spark: SparkSession, sf_dir: str, replicas: int, dup_rate: float = 0.0
 ) -> DataFrame:
-    """The template corpus replicated ``replicas``x with DISTINCT payloads.
+    """The template corpus replicated ``replicas``x.
 
-    Each replica appends its index to the text, so sha2-dedup cannot collapse
-    the corpus — used by the scaling benchmark, where the measured work must
-    grow linearly with the row count.
+    ``dup_rate=0`` gives fully DISTINCT payloads (each replica appends its
+    index to the text) — dedup's worst case: the sha2 stage shuffles every
+    payload and collapses nothing. ``dup_rate=0.5`` makes every second
+    replica a byte-identical copy of an earlier one (urls stay unique) —
+    the Common-Crawl-like profile the dedup-before-compute design targets
+    (SURVEY.md §2.4 J2). Used by the scaling benchmarks; both profiles are
+    reported in BASELINE.md.
     """
     # spread BEFORE the explode/encode: the driver parquet is one file = one
     # partition, and Catalyst evaluates the synthesis expressions below any
     # later repartition — without this the corpus is built on a single core
     docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    n_distinct = max(1, round(replicas * (1.0 - dup_rate)))
     rep = docs.select(
         "doc_id",
         "source",
         "lang",
         "text",
         F.explode(F.sequence(F.lit(1), F.lit(replicas))).alias("rep"),
-    )
+    ).withColumn("payload_rep", (F.pmod(F.col("rep") - 1, F.lit(n_distinct)) + 1))
     return rep.select(
         F.concat(
             F.lit("https://"),
@@ -138,7 +143,7 @@ def synthesize_scaled_pages_df(
                 F.lit(_TEMPLATE_HEAD),
                 F.col("text"),
                 F.lit(" replica "),
-                F.col("rep").cast("string"),
+                F.col("payload_rep").cast("string"),
                 F.lit(_TEMPLATE_TAIL),
             ),
             "UTF-8",

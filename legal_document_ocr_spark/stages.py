@@ -106,18 +106,47 @@ def valid_pages(pages: DataFrame) -> DataFrame:
     )
 
 
+DEDUP_AUTO_SAMPLE = 0.02       # sample fraction for the dup-ratio estimate
+DEDUP_AUTO_THRESHOLD = 0.95    # distinct_ratio above this -> skip dedup
+
+
+def estimate_distinct_ratio(
+    df: DataFrame, payload_col: str = "html", fraction: float = DEDUP_AUTO_SAMPLE
+) -> float:
+    """Cheap dup-ratio estimate: distinct/total over a payload sample.
+
+    Scans a sample of the input (hashes only, no shuffle of payloads) — the
+    cost that decides whether the dedup payload shuffle is worth paying.
+    """
+    sample = df.select(payload_col).sample(fraction=fraction, seed=7)
+    row = sample.agg(
+        F.count("*").alias("n"),
+        F.approx_count_distinct(F.sha2(F.col(payload_col), 256)).alias("d"),
+    ).collect()[0]
+    return 1.0 if not row["n"] else min(1.0, row["d"] / row["n"])
+
+
 def run_extraction(
     pages: DataFrame,
     *,
-    dedup: bool = True,
+    dedup: bool | str = True,
     salt: bool = False,
     salt_partitions: int | None = None,
     with_fields: bool = True,
     checkpoint=None,
 ) -> DataFrame:
     """The flagship pipeline: pages -> (url, warc_ts, lang, extracted_text,
-    spans, tables, fields, lineage)."""
-    df = valid_pages(pages)
+    spans, tables, fields, lineage).
+
+    ``dedup``: True = always dedup-before-compute; False = never;
+    ``"auto"`` = estimate the corpus dup ratio from a payload sample and skip
+    the dedup payload shuffle when the corpus is (nearly) duplicate-free —
+    on a dup-free corpus dedup shuffles every payload and collapses nothing,
+    pure cost; on a Common-Crawl-like corpus it halves the UDF work or more.
+    """
+    # the input `text` column is not part of the output contract and would
+    # otherwise ride through every exchange (dedup join, merge shuffle)
+    df = valid_pages(pages).drop("text")
     if checkpoint is not None:
         df = checkpoint.filter_pending(df)
     if salt:
@@ -130,6 +159,8 @@ def run_extraction(
     def compute(distinct: DataFrame) -> DataFrame:
         return distinct.withColumn("_page", extract_page_udf(F.col("html")))
 
+    if dedup == "auto":
+        dedup = estimate_distinct_ratio(df) <= DEDUP_AUTO_THRESHOLD
     if dedup:
         extracted = dedup_compute(df, "html", compute)
     else:
