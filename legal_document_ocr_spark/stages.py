@@ -118,11 +118,16 @@ def estimate_distinct_ratio(
     Scans a sample of the input (hashes only, no shuffle of payloads) — the
     cost that decides whether the dedup payload shuffle is worth paying.
     """
-    sample = df.select(payload_col).sample(fraction=fraction, seed=7)
-    row = sample.agg(
-        F.count("*").alias("n"),
-        F.approx_count_distinct(F.sha2(F.col(payload_col), 256)).alias("d"),
-    ).collect()[0]
+    def ratio_of(frame: DataFrame):
+        return frame.agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct(F.sha2(F.col(payload_col), 256)).alias("d"),
+        ).collect()[0]
+
+    row = ratio_of(df.select(payload_col).sample(fraction=fraction, seed=7))
+    if row["n"] < 5000:
+        # tiny sample -> estimator variance dominates; exact pass is cheap
+        row = ratio_of(df.select(payload_col))
     return 1.0 if not row["n"] else min(1.0, row["d"] / row["n"])
 
 

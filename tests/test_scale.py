@@ -140,3 +140,39 @@ class TestTimeTravel:
 
         with _pytest.raises(ValueError):
             store.read_results(spark, as_of="nope")
+
+
+class TestDedupAuto:
+    def test_auto_skips_dedup_on_distinct_corpus(self, spark):
+        from legal_document_ocr_spark.sources.pages import synthesize_scaled_pages_df
+        from legal_document_ocr_spark.stages import run_extraction
+
+        distinct = synthesize_scaled_pages_df(spark, "/root/testdata/sf0.001", 4)
+        plan = (
+            run_extraction(distinct, dedup="auto")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "Join" not in plan  # payload shuffle skipped
+
+        dup = synthesize_scaled_pages_df(
+            spark, "/root/testdata/sf0.001", 4, dup_rate=0.5
+        )
+        plan2 = (
+            run_extraction(dup, dedup="auto")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "Join" in plan2  # dedup engaged
+
+    def test_estimate_distinct_ratio(self, spark):
+        from legal_document_ocr_spark.sources.pages import synthesize_scaled_pages_df
+        from legal_document_ocr_spark.stages import estimate_distinct_ratio
+
+        dup = synthesize_scaled_pages_df(
+            spark, "/root/testdata/sf0.001", 8, dup_rate=0.5
+        )
+        r = estimate_distinct_ratio(dup, fraction=1.0)
+        assert 0.4 < r < 0.6
