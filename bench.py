@@ -202,10 +202,72 @@ def main_stages() -> None:
     print(json.dumps(out))
 
 
+def main_skew() -> None:
+    """Skew demonstration (north_rule 'salted repartitioning on domain/size
+    buckets'): a corpus where one domain owns 80% of pages at 5x the size,
+    arriving partitioned BY DOMAIN (the layout a per-domain crawl store
+    produces). Naive = keep that partitioning through the UDF stage (one
+    straggler task does most of the work); salted = repartition on
+    (domain, size_bucket, salt) first."""
+    from pyspark.sql import functions as F
+
+    from legal_document_ocr_spark.sources.pages import synthesize_scaled_pages_df
+    from legal_document_ocr_spark.stages import run_extraction
+
+    spark = build_session(app_name="ldos-skew", master="local[8]",
+                          shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    base = synthesize_scaled_pages_df(spark, SF_DIR, 4)
+    # 80% of urls rehomed to one megasite with 5x payloads
+    hot = F.xxhash64("url") % 10 < 8
+    pages = base.select(
+        F.when(
+            hot,
+            F.concat(F.lit("https://megasite.example.com/"), F.sha2("url", 256)),
+        )
+        .otherwise(F.col("url"))
+        .alias("url"),
+        "warc_ts",
+        F.when(hot, F.concat(*([F.col("html")] * 5))).otherwise(F.col("html")).alias("html"),
+        "text",
+        "lang",
+    )
+    domain = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    by_domain = pages.repartition(8, domain)
+
+    def timed(df, **kw) -> float:
+        run_extraction(df, dedup=False, with_fields=False, **kw).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t0 = time.time()
+        run_extraction(df, dedup=False, with_fields=False, **kw).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.time() - t0
+
+    t_naive = timed(by_domain)                 # domain partitioning persists
+    t_salted = timed(by_domain, salt=True)     # salted repartition first
+    n = pages.count()
+    print(
+        json.dumps(
+            {
+                "docs": n,
+                "naive_domain_partitioned_sec": round(t_naive, 3),
+                "salted_sec": round(t_salted, 3),
+                "speedup": round(t_naive / t_salted, 2),
+                "sf": _sf_of(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
     elif "--stages" in sys.argv:
         main_stages()
+    elif "--skew" in sys.argv:
+        main_skew()
     else:
         main_bench()
