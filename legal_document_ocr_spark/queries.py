@@ -48,6 +48,17 @@ from .stages import run_extraction
 # ---------------------------------------------------------------------------
 
 
+def _utc(spark: SparkSession) -> SparkSession:
+    """Pin the session timezone for epoch-sensitive queries.
+
+    The NTZ->LTZ cast used to get epoch seconds interprets the naive
+    timestamp in the SESSION timezone; the DuckDB oracle's epoch() is
+    UTC-naive. Our own session factory sets UTC, but the driver's session
+    may not — set it at query time (runtime-settable conf)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -473,6 +484,7 @@ ORDER BY o_custkey, o_orderkey
 
 
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
     return _as_long(
         relational.sessionize_events(_tbl(spark, sf_dir, "events")), "session_id"
     )
@@ -500,6 +512,7 @@ FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
 
 
 def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
     return relational.windowed_event_counts(_tbl(spark, sf_dir, "events"))
 
 
@@ -1103,6 +1116,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.pipeline import run_stream_to_table, stream_windowed_counts
 
+    _utc(spark)
     name = "stream_counts_result"
     sdf = stream_windowed_counts(spark, f"{sf_dir}/events.parquet")
     run_stream_to_table(spark, sdf, name)
