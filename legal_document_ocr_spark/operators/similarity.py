@@ -170,6 +170,49 @@ def cosine_topk(
     )
 
 
+def batch_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Many-queries kNN — the realistic serving shape: the (small) query set
+    broadcasts against the (huge) corpus; one pass computes every query's
+    scores, a rank-over-query window takes top-k per query.
+
+    Output: (query_id, vec_id, cosine, rank) with deterministic tiebreak
+    (cosine desc, vec_id asc) — one shuffle (the per-query window), corpus
+    scanned once regardless of |queries|.
+    """
+    from pyspark.sql import Window
+
+    queries = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    corpus = ensure_parallelism(embeddings).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def bucketed_topk(
     embeddings: DataFrame,
     query_vec_id: int,

@@ -691,6 +691,35 @@ FROM s
 """
 
 
+def q_corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile: count + mean/median/p90 of document
+    length — the summary a training-data pipeline computes before filtering.
+    Exact percentiles (Spark `percentile` == DuckDB `quantile_cont`, both
+    linear interpolation); mean from the exact integer sum."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count("*"), 6
+            ).alias("mean_chars"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("median_chars"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_CORPUS_STATS = """
+SELECT lang, count(*) AS n_docs,
+  round(sum(n_chars)::double / count(*), 6) AS mean_chars,
+  round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.fingerprints(_docs(spark, sf_dir))
 
@@ -964,6 +993,37 @@ ORDER BY cosine DESC, t.vec_id LIMIT 10
 """
 
 
+def q_embedding_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_long(
+        similarity.batch_topk(
+            _tbl(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=3
+        ),
+        "rank",
+    )
+
+
+def _sql_embedding_batch_knn() -> str:
+    cos = _COS_SQL.format(a="c.v", b="q.qv")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)),
+scored AS (
+  SELECT q.query_id, c.vec_id, round({cos}, 6) AS cosine
+  FROM e c, q WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
+      AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
 # shared cosine SQL (pinned evaluation order — mirrors similarity.cosine_expr)
 _COS_SQL = (
     "list_reduce(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]),"
@@ -1153,6 +1213,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
+    "corpus_length_stats": q_corpus_length_stats,
     "fingerprints": q_fingerprints,
     # dedup family
     "dedup_exact": q_dedup_exact,
@@ -1169,6 +1230,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     # similarity search
     "embedding_knn": q_embedding_knn,
+    "embedding_batch_knn": q_embedding_batch_knn,
     "embedding_ivf_knn": q_embedding_ivf_knn,
     "embedding_knn_bucketed": q_embedding_knn_bucketed,
     "embedding_near_dups": q_embedding_near_dups,
@@ -1203,6 +1265,7 @@ ORACLE: dict[str, str] = {
     "token_counts": _SQL_TOKEN_COUNTS,
     "lang_id": _sql_lang_id(),
     "quality_scores": _SQL_QUALITY,
+    "corpus_length_stats": _SQL_CORPUS_STATS,
     "fingerprints": _SQL_FINGERPRINTS,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_stats": _SQL_DEDUP_STATS,
@@ -1216,6 +1279,7 @@ ORACLE: dict[str, str] = {
     "repetition_stats": _SQL_REPETITION,
     "winnow_fingerprints": _SQL_WINNOW,
     "embedding_knn": _sql_embedding_knn(),
+    "embedding_batch_knn": _sql_embedding_batch_knn(),
     "embedding_ivf_knn": _sql_embedding_ivf_knn(),
     "embedding_knn_bucketed": _sql_embedding_knn_bucketed(),
     "embedding_near_dups": _sql_embedding_near_dups(),

@@ -243,3 +243,17 @@ def test_sessionize_single_shuffle(spark):
     # windows and the groupBy must REUSE the user_id partitioning
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected 1 hash exchange, got {n_exchanges}"
+
+
+def test_batch_topk_matches_single_query_topk(spark, embeddings):
+    batch = similarity.batch_topk(embeddings, [0, 3], k=5)
+    rows = [r for r in batch.collect()]
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    for qid in (0, 3):
+        single = [
+            (r["vec_id"], r["cosine"])
+            for r in similarity.cosine_topk(embeddings, qid, k=5).collect()
+        ]
+        assert by_query[qid] == single
