@@ -98,9 +98,13 @@ EXTRACTION_PATTERNS: dict[str, list[str]] = {
 # literal-prefilter trick production regex engines apply internally; CPython
 # re does not, and failing Unicode-IGNORECASE searches dominate the field
 # battery on non-matching (non-Vietnamese) documents without it.
+# Gate literals must be SINGLE WORDS: the regexes allow \s+ (incl. \r\n
+# across merged blocks) between words, so a multi-word literal like
+# "công văn" would gate out a document whose type spans a line break even
+# though the regex matches it.
 PATTERN_GATES: dict[str, list[list[str]]] = {
     "document_type": [
-        ["công văn", "tờ trình", "quyết định", "thông báo"],
+        ["công", "tờ", "quyết", "thông"],
         ["số"],
     ],
     "document_number": [["số"], ["số"]],

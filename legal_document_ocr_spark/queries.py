@@ -178,11 +178,16 @@ def q_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# mirrors the density filter (MIN_BLOCK_CHARS=25): a sub-threshold body
+# keeps no span, so n_spans=0, extracted_text='' and span_w NULL — same
+# guard as _SQL_EXTRACT_MAIN/_SQL_EXPLODE_SPANS (pinned by
+# tests/test_pipeline.py short-doc case)
 _SQL_EXTRACT_STATS = """
 SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
-       1::bigint AS n_spans,
-       length(text)::bigint AS text_len,
-       length(text)::bigint AS span_w
+       (CASE WHEN length(text) >= 25 THEN 1 ELSE 0 END)::bigint AS n_spans,
+       (CASE WHEN length(text) >= 25 THEN length(text) ELSE 0 END)::bigint
+         AS text_len,
+       (CASE WHEN length(text) >= 25 THEN length(text) END)::bigint AS span_w
 FROM documents
 """
 
@@ -501,8 +506,9 @@ WITH e AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, event_id,
+    -- ::bigint: DuckDB's windowed sum yields HUGEINT; Spark casts to long
     sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS session_id
+                        ROWS UNBOUNDED PRECEDING)::bigint AS session_id
   FROM e
 )
 SELECT user_id, session_id, count(*) AS n_events,

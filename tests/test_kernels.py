@@ -160,6 +160,12 @@ class TestFields:
         assert f["document_number"] is None
         assert f["issue_date"] is None
 
+    def test_document_type_across_line_break(self):
+        # the \s+ in the type regex matches \r\n (merged-block boundary);
+        # the literal gate must not reject it (gates are single words)
+        f = extract_fields("CÔNG\r\nVĂN\r\nSố: 7/CV\r\n")
+        assert f["document_type"] == "CÔNG\r\nVĂN"
+
 
 class TestMergePredicates:
     def test_normalize(self):

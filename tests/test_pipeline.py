@@ -75,6 +75,37 @@ class TestByteIdentity:
             assert r["lineage"]["partition_id"] >= 0
 
 
+class TestShortDocument:
+    """A body below MIN_BLOCK_CHARS keeps no span: extracted_text='' and
+    spans=[] — the guard _SQL_EXTRACT_STATS mirrors (ADVICE round 1)."""
+
+    def test_template_short_body_drops_all_blocks(self, spark):
+        from datetime import datetime
+
+        from legal_document_ocr_spark.sources.pages import (
+            PAGES_SCHEMA,
+            _TEMPLATE_HEAD,
+            _TEMPLATE_TAIL,
+        )
+
+        short = "tiny body"  # 9 chars < MIN_BLOCK_CHARS=25
+        html = (_TEMPLATE_HEAD + short + _TEMPLATE_TAIL).encode("utf-8")
+        page = extract_page(html)
+        assert page["extracted_text"] == ""
+        assert page["spans"] == []
+
+        df = spark.createDataFrame(
+            [("https://short.example.com/1", datetime(2024, 1, 1), html, short, "en")],
+            PAGES_SCHEMA,
+        )
+        row = (
+            run_extraction(df, dedup=False, with_fields=False)
+            .select("extracted_text", F.size("spans").alias("n_spans"))
+            .collect()[0]
+        )
+        assert row["extracted_text"] == "" and row["n_spans"] == 0
+
+
 class TestValidation:
     def test_bad_scheme_filtered(self, spark, corpus):
         df = valid_pages(fixture_pages_df(spark))
