@@ -110,11 +110,22 @@ def _merge_group_rows(
     return out
 
 
-def merge_documents(extracted: DataFrame, group_col: str | None = None) -> DataFrame:
+def merge_documents(
+    extracted: DataFrame,
+    group_col: str | None = None,
+    *,
+    buckets: int | None = None,
+) -> DataFrame:
     """Merge per-page extraction output into logical documents.
 
     ``extracted`` needs columns (url, extracted_text, spans, fields).
     Returns one row per merged document.
+
+    ``buckets`` sets the applyInPandas fan-out; default is
+    ``spark.sql.shuffle.partitions`` so each task materializes ~1/partitions
+    of the corpus, not a fixed 1/256 (a hardcoded bucket count caps
+    parallelism AND grows per-task memory linearly with corpus size — raise
+    shuffle partitions for bigger corpora and the merge scales with it).
     """
     df = extracted
     if group_col is None:
@@ -122,9 +133,13 @@ def merge_documents(extracted: DataFrame, group_col: str | None = None) -> DataF
         group_col = "source_doc"
     elif group_col != "source_doc":
         df = df.withColumn("source_doc", F.col(group_col))
+    if buckets is None:
+        buckets = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
     return (
         df.select("source_doc", "url", "extracted_text", "spans", "fields")
-        .withColumn("_bucket", F.pmod(F.xxhash64("source_doc"), F.lit(256)))
+        .withColumn("_bucket", F.pmod(F.xxhash64("source_doc"), F.lit(buckets)))
         .groupBy("_bucket")
         .applyInPandas(_merge_bucket, MERGED_DOC_TYPE)
     )

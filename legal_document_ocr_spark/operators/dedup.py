@@ -31,7 +31,7 @@ oracle can state the identical computation and hash-match values.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..scale.salt import ensure_parallelism
@@ -315,21 +315,42 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text", *,
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", *, k: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact Jaccard similarity over k-word shingles for candidate pairs.
+                        threshold: float = 0.5,
+                        df_cap: int | None = 64) -> DataFrame:
+    """Jaccard similarity over k-word shingles via shingle self-join.
 
     Explode -> self-equi-join on shingle -> count common per pair -> union
-    via inclusion-exclusion. At 100 TB this runs AFTER minhash bucketing so
-    the join touches candidates only; shingle keys are md5'd to fixed width
-    so the shuffle carries 32-byte keys, not raw 3-gram strings.
+    via inclusion-exclusion; shingle keys are md5'd to fixed width so the
+    shuffle carries 32-byte keys, not raw 3-gram strings.
+
+    ``df_cap`` bounds the quadratic blowup: a shingle appearing in d
+    documents contributes d^2 join rows, so boilerplate shingles shared by
+    millions of pages make the exact formulation infeasible. Shingles with
+    document frequency > df_cap are dropped BEFORE the join (the standard
+    super-shingle/stop-shingle cap); Jaccard is then computed over the capped
+    shingle sets — both sets AND sizes, so the estimator is self-consistent
+    and the oracle states the identical capped computation. ``df_cap=None``
+    restores the uncapped exact baseline. For verified near-dups at scale
+    prefer ``verified_near_dups`` (LSH candidates + exact verify).
     """
-    # persisted: feeds both self-join sides plus the per-doc size aggregate
     sh = ensure_parallelism(docs).select(
         "doc_id",
         F.explode(
             F.transform(shingles(F.col(text_col), k), F.md5)
         ).alias("shingle"),
-    ).persist()
+    )
+    if df_cap is not None:
+        # document frequency via a window over the shingle partitioning: one
+        # exchange on shingle that the self-join below reuses; no join, and
+        # no corpus-sized frequency table to move twice
+        wdf = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count("*").over(wdf))
+            .where(F.col("_df") <= df_cap)
+            .drop("_df")
+        )
+    # persisted: feeds both self-join sides plus the per-doc size aggregate
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     l, r = sh.alias("l"), sh.alias("r")
     common = (
@@ -343,11 +364,13 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", *, k: int = 3,
         )
         .agg(F.count("*").alias("common"))
     )
+    # sizes is corpus-sized: join it by shuffle on the id key (broadcasting
+    # it would funnel one row per document through the driver — ADVICE r1)
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("nb"))
     return (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",

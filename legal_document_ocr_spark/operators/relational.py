@@ -250,21 +250,56 @@ def windowed_event_counts(events: DataFrame, bucket_seconds: int = 300) -> DataF
 # ---------------------------------------------------------------------------
 
 
-def adjacent_word_overlap(docs: DataFrame, min_common: int = 2) -> DataFrame:
+def adjacent_word_overlap(
+    docs: DataFrame, min_common: int = 2, *, bucket_size: int = 100_000
+) -> DataFrame:
     """U1: distinct-word overlap between each doc and the next by doc_id
-    (the reference's page-continuation check, document_merger_service.py:43-46,
-    lifted to a lag window — one shuffle, no self-join)."""
+    (the reference's page-continuation check, document_merger_service.py:43-46).
+
+    A plain ``lag() OVER (ORDER BY doc_id)`` is a single-partition scale
+    killer (the whole corpus through one task). Instead the lag runs inside
+    id-range buckets (floor(doc_id / bucket_size) — ordering by (bucket,
+    doc_id) == ordering by doc_id, so the in-bucket lag IS the global lag for
+    every row but the first of each bucket), and the bucket-boundary rows get
+    their predecessor from a per-bucket summary: the max-doc_id row of each
+    non-empty bucket, lagged over buckets. The summary has corpus/bucket_size
+    rows — the only data that ever crosses a global window or a broadcast.
+    Exact same output as the global-lag formulation (the oracle states the
+    global lag), including across EMPTY buckets (the summary lag skips them).
+    """
     from .textops import ws_tokens
 
     words = F.array_distinct(ws_tokens(F.lower(F.col("text"))))
-    w = Window.orderBy("doc_id")
-    with_prev = docs.select(
+    tokens = docs.select(
         "doc_id",
+        F.floor(F.col("doc_id") / bucket_size).alias("_bucket"),
         words.alias("words"),
-        F.lag(words, 1).over(w).alias("prev_words"),
+    )
+    w = Window.partitionBy("_bucket").orderBy("doc_id")
+    with_prev = tokens.select(
+        "doc_id",
+        "_bucket",
+        "words",
+        F.lag("words", 1).over(w).alias("prev_words"),
+    )
+    # per-bucket last row (struct max: doc_id decides — unique), then lag
+    # over the bucket summary to reach the nearest preceding NON-EMPTY bucket
+    wb = Window.orderBy("_bucket")  # bounded: one row per non-empty bucket
+    boundary = (
+        tokens.groupBy("_bucket")
+        .agg(F.max(F.struct("doc_id", "words")).alias("m"))
+        .select(
+            "_bucket", F.lag(F.col("m.words"), 1).over(wb).alias("boundary_words")
+        )
     )
     return (
-        with_prev.where(F.col("prev_words").isNotNull())
+        with_prev.join(F.broadcast(boundary), "_bucket", "left")
+        .select(
+            "doc_id",
+            "words",
+            F.coalesce("prev_words", "boundary_words").alias("prev_words"),
+        )
+        .where(F.col("prev_words").isNotNull())
         .select(
             "doc_id",
             F.size(F.array_intersect("words", "prev_words")).alias("common_words"),

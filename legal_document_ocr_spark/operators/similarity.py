@@ -65,43 +65,87 @@ def sq_dist_expr(a: Column, b: Column) -> Column:
     )
 
 
+def _assign_to_centroids(
+    corpus: DataFrame, cents: DataFrame, id_col: str
+) -> DataFrame:
+    """Per-vector argmin over a broadcast centroid table -> (id, cell).
+
+    ``corpus``: (id, v double[]); ``cents``: (cell_id, cv double[]) — the
+    centroid side is bounded (n_cells rows), the ONLY broadcast here. The
+    argmin is ONE aggregation: ``min(struct(dist, cell_id))`` orders by dist
+    first, then cell_id — the same deterministic min-distance /
+    min-id-at-that-distance tie-break as two aggregations, without joining a
+    corpus-sized min-distance frame back (the round-1 plan broadcast one row
+    per corpus vector through the driver — the named 100 TB failure mode).
+    """
+    dists = corpus.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "cell_id",
+        sq_dist_expr(F.col("v"), F.col("cv")).alias("dist"),
+    )
+    return (
+        dists.groupBy(id_col)
+        .agg(F.min(F.struct("dist", "cell_id")).alias("m"))
+        .select(id_col, F.col("m.cell_id").alias("cell"))
+    )
+
+
+def _refine_centroids(
+    corpus: DataFrame, assigned: DataFrame, id_col: str
+) -> DataFrame:
+    """One k-means update: new centroid = component-wise mean per cell.
+
+    posexplode -> groupBy(cell, pos) -> exact decimal mean -> re-assemble the
+    array ordered by pos. Sums go through DECIMAL(28,12) of the 12-dp-rounded
+    component so the mean is order-independent (parallel double summation is
+    not) — the oracle states the identical computation. Output is n_cells
+    rows: bounded, broadcastable.
+    """
+    comp = (
+        corpus.join(assigned, id_col)
+        .select("cell", F.posexplode("v").alias("pos", "comp"))
+        .groupBy("cell", "pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("comp"), 12).cast("decimal(28,12)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("cv_i")
+        )
+    )
+    return comp.groupBy(F.col("cell").alias("cell_id")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv_i"))),
+            lambda s: s["cv_i"],
+        ).alias("cv")
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_cells: int = 8,
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest centroid.
 
-    Centroids are the vectors with ids 0..n_cells-1 (deterministic seeds —
-    a k-means step would refine them; the assignment/probe plan is the same).
-    Shape: corpus x broadcast(centroids) -> per-vector argmin. The argmin is
-    expressed as min-distance + min-id-at-that-distance (two aggregations)
-    rather than min_by, because min_by tie-breaking is engine-defined and the
-    oracle must reproduce ties exactly.
+    Seed centroids are the vectors with ids 0..n_cells-1 (deterministic);
+    ``refine_iters`` k-means iterations re-estimate them (assign -> mean ->
+    re-assign) — every step is corpus x broadcast(n_cells), one shuffle on
+    the short (id, cell) key; nothing corpus-sized is ever broadcast.
     """
+    corpus = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    )
     cents = embeddings.where(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cell_id"), _as_double(F.col(vec_col)).alias("cv")
     )
-    dists = (
-        embeddings.select(
-            F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-        )
-        .crossJoin(F.broadcast(cents))
-        .select(
-            id_col,
-            "cell_id",
-            sq_dist_expr(F.col("v"), F.col("cv")).alias("dist"),
-        )
-    )
-    min_d = dists.groupBy(id_col).agg(F.min("dist").alias("min_dist"))
-    return (
-        dists.join(F.broadcast(min_d), id_col)
-        .where(F.col("dist") == F.col("min_dist"))
-        .groupBy(id_col)
-        .agg(F.min("cell_id").alias("cell"))
-    )
+    for _ in range(refine_iters):
+        assigned = _assign_to_centroids(corpus, cents, id_col)
+        cents = _refine_centroids(corpus, assigned, id_col)
+    return _assign_to_centroids(corpus, cents, id_col)
 
 
 def ivf_topk(
@@ -180,14 +224,12 @@ def batch_topk(
 ) -> DataFrame:
     """Many-queries kNN — the realistic serving shape: the (small) query set
     broadcasts against the (huge) corpus; one pass computes every query's
-    scores, a rank-over-query window takes top-k per query.
+    scores, two-phase partial top-k merges them per query.
 
     Output: (query_id, vec_id, cosine, rank) with deterministic tiebreak
-    (cosine desc, vec_id asc) — one shuffle (the per-query window), corpus
-    scanned once regardless of |queries|.
+    (cosine desc, vec_id asc) — corpus scanned once regardless of |queries|;
+    no task ever holds more than k rows per (query, partition).
     """
-    from pyspark.sql import Window
-
     queries = embeddings.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
@@ -203,12 +245,29 @@ def batch_topk(
             F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col(id_col)
+    # two-phase top-k (replaces a rank window partitioned by query_id, which
+    # routed ALL corpus scores for one query through a single reducer): each
+    # input partition keeps its local top-k per query (map-side combined
+    # collect_list -> sort -> slice), the final merge per query sees at most
+    # k x n_partitions rows. Sort key struct(-cosine, id) = (cosine desc,
+    # id asc) — the same deterministic order as the window formulation.
+    item = F.struct((-F.col("cosine")).alias("neg"), F.col(id_col).alias("vid"))
+    partial = scored.groupBy(
+        "query_id", F.spark_partition_id().alias("_pid")
+    ).agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("topk"))
+    final = partial.groupBy("query_id").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("topk"))), 1, k
+        ).alias("topk")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        final.select("query_id", F.posexplode("topk").alias("pos", "item"))
+        .select(
+            "query_id",
+            F.col("item.vid").alias(id_col),
+            (-F.col("item.neg")).alias("cosine"),
+            (F.col("pos") + 1).alias("rank"),
+        )
         .orderBy("query_id", "rank")
     )
 

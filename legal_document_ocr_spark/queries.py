@@ -872,12 +872,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_neardup_docs(spark, sf_dir), threshold=0.5)
 
 
+# mirrors dedup.ngram_jaccard_pairs df_cap=64: shingles with document
+# frequency above the cap are dropped before sizes AND the pair join
 _SQL_NGRAM_JACCARD = f"""
 WITH src AS ({_NEARDUP_SQL}),
 t AS (SELECT doc_id, {_TOKS} AS toks FROM src),
 sh AS (SELECT doc_id, list_transform({_SHINGLES_SQL}, s -> md5(s)) AS shingles
        FROM t),
-e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+e0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+dfreq AS (SELECT shingle, count(*) AS c FROM e0 GROUP BY shingle),
+e AS (SELECT e0.doc_id, e0.shingle FROM e0 JOIN dfreq USING (shingle)
+      WHERE c <= 64),
 sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
 common AS (
   SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
@@ -996,6 +1001,67 @@ q AS (SELECT v AS qv, cell AS qcell FROM t WHERE vec_id = 9)
 SELECT t.vec_id, round({cos}, 6) AS cosine
 FROM t, q WHERE t.vec_id <> 9 AND t.cell = q.qcell
 ORDER BY cosine DESC, t.vec_id LIMIT 10
+"""
+
+
+def q_ivf_refined_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with ONE k-means refinement iteration (assign -> decimal-exact
+    component means -> re-assign); output = per-cell population stats. The
+    whole loop is corpus x broadcast(n_cells) — nothing corpus-sized is
+    broadcast (the round-1 ivf_assign defect)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    assigned = similarity.ivf_assign(emb, 8, refine_iters=1)
+    return _as_long(
+        assigned.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+        )
+        .orderBy("cell"),
+        "cell",
+        "n_vecs",
+        "min_vec",
+        "max_vec",
+    )
+
+
+def _sql_ivf_refined_assign() -> str:
+    dist = (
+        "list_reduce(list_transform(generate_series(1, len(e.v)),"
+        " i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), (x, y) -> x + y)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 8),
+d0 AS (SELECT e.vec_id, c.cell_id, {dist} AS dist FROM e, c0 c),
+m0 AS (SELECT vec_id, min(dist) AS md FROM d0 GROUP BY vec_id),
+a0 AS (
+  SELECT d.vec_id, min(d.cell_id) AS cell
+  FROM d0 d JOIN m0 ON d.vec_id = m0.vec_id AND d.dist = m0.md
+  GROUP BY d.vec_id
+),
+u AS (
+  SELECT a0.cell, e.v, unnest(generate_series(1, len(e.v))) AS i
+  FROM e JOIN a0 USING (vec_id)
+),
+comp AS (SELECT cell, i, round(v[i], 12)::decimal(28,12) AS cmp FROM u),
+cm AS (
+  SELECT cell AS cell_id, i, sum(cmp)::double / count(*) AS cv_i
+  FROM comp GROUP BY cell, i
+),
+c1 AS (SELECT cell_id, list(cv_i ORDER BY i) AS cv FROM cm GROUP BY cell_id),
+d1 AS (SELECT e.vec_id, c.cell_id, {dist} AS dist FROM e, c1 c),
+m1 AS (SELECT vec_id, min(dist) AS md FROM d1 GROUP BY vec_id),
+a1 AS (
+  SELECT d.vec_id, min(d.cell_id) AS cell
+  FROM d1 d JOIN m1 ON d.vec_id = m1.vec_id AND d.dist = m1.md
+  GROUP BY d.vec_id
+)
+SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_vec, max(vec_id) AS max_vec
+FROM a1 GROUP BY cell ORDER BY cell
 """
 
 
@@ -1238,6 +1304,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_knn": q_embedding_knn,
     "embedding_batch_knn": q_embedding_batch_knn,
     "embedding_ivf_knn": q_embedding_ivf_knn,
+    "ivf_refined_assign": q_ivf_refined_assign,
     "embedding_knn_bucketed": q_embedding_knn_bucketed,
     "embedding_near_dups": q_embedding_near_dups,
     # multimodal + streaming
@@ -1287,6 +1354,7 @@ ORACLE: dict[str, str] = {
     "embedding_knn": _sql_embedding_knn(),
     "embedding_batch_knn": _sql_embedding_batch_knn(),
     "embedding_ivf_knn": _sql_embedding_ivf_knn(),
+    "ivf_refined_assign": _sql_ivf_refined_assign(),
     "embedding_knn_bucketed": _sql_embedding_knn_bucketed(),
     "embedding_near_dups": _sql_embedding_near_dups(),
     "multimodal_features": _SQL_MULTIMODAL,

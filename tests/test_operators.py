@@ -257,3 +257,62 @@ def test_batch_topk_matches_single_query_topk(spark, embeddings):
             for r in similarity.cosine_topk(embeddings, qid, k=5).collect()
         ]
         assert by_query[qid] == single
+
+
+def test_batch_topk_partitioning_invariant_and_no_rank_window(
+    spark, embeddings
+):
+    """Two-phase top-k: output must not depend on input partitioning (the
+    per-partition partial phase sees different slices), and the plan must not
+    contain a rank window partitioned by query_id (round 1: all corpus scores
+    for one query through a single reducer)."""
+    base = similarity.batch_topk(embeddings, [0, 1, 2], k=4)
+    skewed = similarity.batch_topk(embeddings.repartition(1), [0, 1, 2], k=4)
+    spread = similarity.batch_topk(embeddings.repartition(7), [0, 1, 2], k=4)
+    rows = lambda df: [tuple(r) for r in df.collect()]  # noqa: E731
+    assert rows(base) == rows(skewed) == rows(spread)
+    assert "Window" not in _plan(base)
+
+
+def test_ivf_assign_no_corpus_sized_broadcast(spark, embeddings):
+    """The only broadcast in the assignment plan is the bounded centroid
+    table (round 1 additionally broadcast a one-row-per-corpus-vector
+    min-distance frame through the driver)."""
+    assigned = similarity.ivf_assign(embeddings, 8)
+    plan = _plan(assigned)
+    assert plan.count("BroadcastExchange") == 1, plan
+
+
+def test_ivf_refined_assign_moves_centroids(spark, embeddings):
+    """One k-means iteration must produce a valid total assignment (every
+    vector exactly once) and be deterministic across partitionings."""
+    a = similarity.ivf_assign(embeddings, 8, refine_iters=1)
+    b = similarity.ivf_assign(embeddings.repartition(7), 8, refine_iters=1)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
+    assert len(ra) == embeddings.count()
+    assert {c for _, c in ra} <= set(range(8))
+
+
+def test_adjacent_overlap_sparse_ids_cross_empty_buckets(spark):
+    """Bucketed lag == global lag even when consecutive doc_ids span empty
+    buckets (the boundary summary lags over NON-EMPTY buckets)."""
+    rows = [
+        (1, "alpha beta gamma"),
+        (5, "alpha beta delta"),        # vs 1: {alpha, beta} -> 2
+        (250_001, "beta delta omega"),  # vs 5 across empty buckets -> 2
+        (250_002, "zz yy xx"),          # vs 250_001: 0 common -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = relational.adjacent_word_overlap(docs, bucket_size=10)
+    got = {r["doc_id"]: r["common_words"] for r in out.collect()}
+    assert got == {5: 2, 250_001: 2}
+
+
+def test_adjacent_overlap_no_corpus_global_window(spark, docs):
+    """The corpus-side window is partitioned by the id-range bucket; the only
+    single-partition stage is the bounded per-bucket summary."""
+    plan = _plan(relational.adjacent_word_overlap(docs))
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "hashpartitioning(_bucket" in plan, plan
