@@ -1225,15 +1225,15 @@ FROM f
 
 
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming op (applyInPandasWithState) — NOT
-    SQL-expressible (driver records the rows-only check): emitted rows are
-    the CLOSED sessions; the batch-equivalence property (streamed == batch
-    minus each user's open tail session) is pinned in tests/test_streaming.py.
-    """
+    """Custom stateful streaming op (applyInPandasWithState + EventTimeTimeout):
+    closed sessions emit on gap breaks; each user's final open session emits
+    through a real event-time timeout once the sentinel-driven watermark
+    passes its deadline (streaming/pipeline.py). Streamed output == batch
+    sessionization exactly, so the full _SQL_SESSIONIZE oracle applies."""
     from .streaming.pipeline import stream_sessionize
 
     name = "stream_sessions_result"
-    sdf = stream_sessionize(spark, f"{sf_dir}/events.parquet")
+    sdf = stream_sessionize(spark, f"{sf_dir}/events.parquet", emit_final=True)
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -1311,7 +1311,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "stream_windowed_counts": q_stream_windowed_counts,
-    # custom stateful streaming — rows-only check (no oracle_sql entry)
+    # custom stateful streaming — fully oracle-checked since round 2
+    # (event-time timeout emits the open tails)
     "stream_sessionize": q_stream_sessionize,
 }
 
@@ -1359,6 +1360,7 @@ ORACLE: dict[str, str] = {
     "embedding_near_dups": _sql_embedding_near_dups(),
     "multimodal_features": _SQL_MULTIMODAL,
     "multimodal_frames": _SQL_MULTIMODAL_FRAMES,
-    # streaming result equals the batch windowed aggregation
+    # streaming results equal their batch formulations
     "stream_windowed_counts": _SQL_WINDOWED_COUNTS,
+    "stream_sessionize": _SQL_SESSIONIZE,
 }

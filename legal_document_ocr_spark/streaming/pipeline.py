@@ -63,16 +63,21 @@ def stream_windowed_counts(
     *,
     bucket_seconds: int = 300,
     watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming tumbling-window counts per event_type (returns a streaming DF).
 
     Uses ``F.window`` (event-time) + watermark; output mode append-safe. The
     window start is projected to epoch seconds so results compare exactly with
     the batch/oracle formulation (floor(epoch/bucket)*bucket).
+    ``max_files_per_trigger`` splits the drain into multiple micro-batches
+    (one file each) so out-of-order files exercise real watermark semantics —
+    the late-data tests pin drop/emit behavior with it.
     """
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
-        _as_stream_dir(spark, events_dir)
-    )
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(_as_stream_dir(spark, events_dir))
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(
@@ -117,10 +122,74 @@ SESSION_STATE_SCHEMA = (
     "last_ts bigint, session_id bigint, n_events bigint, "
     "first_event bigint, last_event bigint"
 )
+_SESSION_COLS = ["user_id", "session_id", "n_events", "first_event", "last_event"]
+
+# reserved user id for the watermark-advancing sentinel event (emit_final):
+# never emitted, never collides with real (non-negative) user ids
+SENTINEL_USER = -1
+
+
+def _stage_with_sentinel(
+    spark: SparkSession, path: str, gap_seconds: int, margin_seconds: int = 3600
+) -> str:
+    """Stage the events file(s) plus ONE sentinel event for SENTINEL_USER at
+    max(ts) + gap + margin into a fresh stream dir.
+
+    The sentinel is the end-of-stream watermark driver: once it is processed
+    the watermark exceeds every open session's (last_ts + gap), so every
+    user's EventTimeTimeout fires and the open tails are emitted. In a live
+    deployment the same role is played by the ever-advancing event time;
+    availableNow drains need the explicit nudge.
+    """
+    import os
+    import tempfile
+
+    staged = tempfile.mkdtemp(prefix="ldos-sessions-")
+    src_files = (
+        [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+        if os.path.isdir(path)
+        else [path]
+    )
+    for f in src_files:
+        target = os.path.join(staged, os.path.basename(f))
+        try:
+            os.link(f, target)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(f, target)
+    max_ts = spark.read.parquet(path).agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts, SENTINEL_USER, "sentinel", 0.0, "{}")],
+        EVENTS_SCHEMA,
+    ).select(
+        "event_id",
+        (F.col("ts") + F.expr(f"INTERVAL {gap_seconds + margin_seconds} SECONDS")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    tmp_out = os.path.join(staged, "_sentinel_tmp")
+    sentinel.coalesce(1).write.parquet(tmp_out)
+    part = next(
+        f for f in os.listdir(tmp_out) if f.endswith(".parquet")
+    )
+    os.rename(
+        os.path.join(tmp_out, part), os.path.join(staged, "zz-sentinel.parquet")
+    )
+    import shutil
+
+    shutil.rmtree(tmp_out)
+    return staged
 
 
 def stream_sessionize(
-    spark: SparkSession, events_dir: str, gap_seconds: int = 1800
+    spark: SparkSession,
+    events_dir: str,
+    gap_seconds: int = 1800,
+    *,
+    emit_final: bool = True,
 ):
     """Custom stateful streaming operator: per-user gap sessionization via
     ``applyInPandasWithState`` (SURVEY.md §2.12 — the stateful analogue of
@@ -128,19 +197,34 @@ def stream_sessionize(
 
     State per user = the OPEN session (last event time, running counters).
     A session CLOSES — and is emitted — when a later event arrives more than
-    ``gap_seconds`` after the previous one; the final open session per user
-    remains in state (it would emit on event-time timeout in a live stream).
-    Emitted rows therefore equal the batch sessionization minus each user's
-    last session — pinned by tests/test_streaming.py.
+    ``gap_seconds`` after the previous one.
+
+    ``emit_final=True`` (default) additionally emits each user's final open
+    session through a real event-time timeout: the stream carries a sentinel
+    event (see ``_stage_with_sentinel``) whose event time pushes the
+    watermark past every open session's deadline; the timed-out state handler
+    emits the tail and clears state. Streamed output then equals the batch
+    sessionization EXACTLY (oracle: _SQL_SESSIONIZE). ``emit_final=False``
+    keeps the pure closed-sessions semantics (batch minus open tails —
+    pinned by tests/test_streaming.py).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def sessionize_user(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if emit_final and state.hasTimedOut:
+            last_ts, session_id, n, first_e, last_e = state.get
+            state.remove()
+            if user_id != SENTINEL_USER and n:
+                yield pd.DataFrame(
+                    [(user_id, session_id, n, first_e, last_e)],
+                    columns=_SESSION_COLS,
+                )
+            return
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
         secs = rows["ts"].astype("int64") // 1_000_000_000  # floor epoch s
-        (user_id,) = key
         if state.exists:
             last_ts, session_id, n, first_e, last_e = state.get
         else:
@@ -148,7 +232,7 @@ def stream_sessionize(
         out = []
         for ts, eid in zip(secs.tolist(), rows["event_id"].tolist()):
             if last_ts is None or ts - last_ts >= gap_seconds:
-                if n:
+                if n and user_id != SENTINEL_USER:
                     out.append((user_id, session_id, n, first_e, last_e))
                 session_id += 1
                 n, first_e, last_e = 0, eid, eid
@@ -157,27 +241,28 @@ def stream_sessionize(
             last_e = max(last_e, eid)
             last_ts = ts
         state.update((last_ts, session_id, n, first_e, last_e))
+        if emit_final:
+            # deadline = the moment this session can no longer be extended;
+            # fires once the (sentinel-driven) watermark passes it
+            state.setTimeoutTimestamp((last_ts + gap_seconds) * 1000)
         if out:
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "user_id",
-                    "session_id",
-                    "n_events",
-                    "first_event",
-                    "last_event",
-                ],
-            )
+            yield pd.DataFrame(out, columns=_SESSION_COLS)
 
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
-        _as_stream_dir(spark, events_dir)
-    )
+    if emit_final:
+        src = _stage_with_sentinel(spark, events_dir, gap_seconds)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        src = _as_stream_dir(spark, events_dir)
+        timeout = GroupStateTimeout.NoTimeout
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    if emit_final:
+        stream = stream.withWatermark("ts", "0 seconds")
     return stream.groupBy("user_id").applyInPandasWithState(
         sessionize_user,
         SESSION_OUTPUT_SCHEMA,
         SESSION_STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        timeout,
     )
 
 

@@ -60,7 +60,9 @@ def test_stream_sessionize_closed_sessions_match_batch(spark):
     from legal_document_ocr_spark.operators.relational import sessionize_events
     from legal_document_ocr_spark.streaming.pipeline import stream_sessionize
 
-    sdf = stream_sessionize(spark, "/root/testdata/sf0.001/events.parquet")
+    sdf = stream_sessionize(
+        spark, "/root/testdata/sf0.001/events.parquet", emit_final=False
+    )
     q = (
         sdf.writeStream.format("memory")
         .queryName("t_stream_sessions")
@@ -95,3 +97,118 @@ def test_stream_sessionize_closed_sessions_match_batch(spark):
     }
     assert streamed == expected
     assert streamed  # non-trivial: some sessions actually closed
+
+
+def test_stream_sessionize_emit_final_matches_batch_exactly(spark):
+    """With emit_final, the event-time timeout flushes every open tail: the
+    streamed result equals batch sessionization EXACTLY (the property that
+    makes the full _SQL_SESSIONIZE oracle apply to the streaming op)."""
+    from legal_document_ocr_spark.operators.relational import sessionize_events
+    from legal_document_ocr_spark.streaming.pipeline import stream_sessionize
+
+    sdf = stream_sessionize(
+        spark, "/root/testdata/sf0.001/events.parquet", emit_final=True
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_stream_sessions_final")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(
+        tuple(r) for r in spark.table("t_stream_sessions_final").collect()
+    )
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = sorted(tuple(r) for r in sessionize_events(events).collect())
+    assert streamed == batch
+
+
+def _write_event_file(spark, path, rows, mtime):
+    """One parquet file of (event_id, ts-epoch-seconds, user_id) events with a
+    pinned mtime (the file stream source orders batches by mtime)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(eid, ts, uid, "click", 1.0, "{}") for eid, ts, uid in rows],
+        "event_id bigint, tsec bigint, user_id bigint, "
+        "event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_seconds("tsec").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    tmp = path + ".tmp"
+    df.coalesce(1).write.parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.rename(os.path.join(tmp, part), path)
+    import shutil
+
+    shutil.rmtree(tmp)
+    os.utime(path, (mtime, mtime))
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Out-of-order files across micro-batches pin watermark semantics
+    (README round-1 known gap), exactly as Spark implements them:
+
+    - late data arriving while its window's state is STILL LIVE (append mode:
+      not yet finalized) is merged into the aggregate;
+    - late data arriving after the window was finalized + evicted is DROPPED
+      (visible in numRowsDroppedByWatermark) and never re-opens the window
+      (no duplicate emission);
+    - open windows at end of drain are not emitted.
+
+    Timeline (bucket=300s, watermark=600s, one file per micro-batch):
+      batch0: ts 10000, 10100 (window 9900), 20000   -> wm after = 19400
+      batch1: ts 10050 (window 9900 state live: MERGED -> count 3), 19700;
+              window 9900 finalizes at batch end (wm 19400 > 10200)
+      batch2: ts 10075 (window 9900 finalized: DROPPED), 30000
+      flush:  windows 19500 and 19800 finalize; 30000's window stays open
+    """
+    from legal_document_ocr_spark.streaming.pipeline import (
+        stream_windowed_counts,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = str(tmp_path / "late_events")
+    _write_event_file(
+        spark, f"{d}/f1.parquet",
+        [(1, 10000, 1), (2, 10100, 1), (3, 20000, 1)], mtime=1_000_000
+    )
+    _write_event_file(spark, f"{d}/f2.parquet",
+                      [(4, 10050, 1), (5, 19700, 1)], mtime=1_000_100)
+    _write_event_file(spark, f"{d}/f3.parquet",
+                      [(6, 10075, 1), (7, 30000, 1)], mtime=1_000_200)
+
+    sdf = stream_windowed_counts(spark, d, max_files_per_trigger=1)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_late_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_late_counts").collect()
+    got = {r["bucket_start"]: r["n_events"] for r in rows}
+    # state-live late event merged; finalized-window late event dropped and
+    # the window emitted exactly once (no duplicate row for bucket 9900)
+    assert got[9900] == 3
+    assert sum(1 for r in rows if r["bucket_start"] == 9900) == 1
+    assert got[19500] == 1 and got[19800] == 1
+    # 30000's window never passed the final watermark: still open, not emitted
+    assert 29700 not in got and 30000 not in got
+    # the drop is observable in the engine's own metric, in the 10075 batch
+    dropped_by_batch = [
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+    ]
+    assert sum(dropped_by_batch) == 1
