@@ -286,8 +286,14 @@ def extract_page(raw: bytes | str | None) -> dict[str, Any]:
 
     Returns ``{"extracted_text", "spans", "tables", "n_blocks", "n_kept"}``.
     spans: one per kept block — (x=start char offset in extracted_text,
-    y=block reading-order index, w=char length, h=1, kind=source tag); the
-    structural analogue of region bboxes (region_segmentation_service.py:20-31).
+    y=block reading-order index, w=char length, h=1, kind=source tag,
+    score=extraction confidence); the structural analogue of region bboxes
+    (region_segmentation_service.py:20-31). score is the P8 analogue of the
+    reference's per-OCR-result confidence (ocr_process_service.py:89-95):
+    the keep/drop decision's own inputs surfaced as a 0..1 quality signal,
+    round(min(chars/500, 1) * (1 - link_density), 6) — so downstream filters
+    can threshold extraction confidence exactly like the reference drops
+    conf == -1 entries.
     tables: flat cell list (row, col, bbox=[table_idx,row,col,0], text) — the
     analogue of the cell grid at table_detector_service.py:97-105.
     """
@@ -306,8 +312,16 @@ def extract_page(raw: bytes | str | None) -> dict[str, Any]:
     spans = []
     offset = 0
     for b, t in zip(kept, texts):
+        score = round(min(len(t) / 500.0, 1.0) * (1.0 - b.link_density), 6)
         spans.append(
-            {"x": offset, "y": b.index, "w": len(t), "h": 1, "kind": b.tag}
+            {
+                "x": offset,
+                "y": b.index,
+                "w": len(t),
+                "h": 1,
+                "kind": b.tag,
+                "score": score,
+            }
         )
         offset += len(t) + 2  # + len("\r\n")
     cells = []

@@ -37,3 +37,13 @@ def pushed_filters(df: DataFrame) -> list[str]:
         if body:
             out.extend(p.strip() for p in body.split(","))
     return out
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """The PartitionFilters lists of every scan (partition-pruning proof)."""
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", executed_plan(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out

@@ -281,6 +281,65 @@ FROM documents WHERE length(text) >= 25
 """
 
 
+def q_span_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 analogue: filter spans on the per-span extraction-confidence score
+    (reference drops conf == -1 OCR entries, ocr_process_service.py:89). On
+    the template corpus the single kept span has link_density 0, so
+    score == round(min(len/500, 1), 6) — closed form for the oracle."""
+    pages = synthesize_pages_df(spark, sf_dir)
+    out = run_extraction(pages, dedup=False, with_fields=False)
+    s = out.select("url", F.explode("spans").alias("s"))
+    return _as_long(
+        s.select(
+            "url",
+            F.col("s.kind").alias("kind"),
+            F.col("s.score").alias("score"),
+            F.col("s.w").alias("span_w"),
+        ).where(F.col("score") >= 0.5),
+        "span_w",
+    )
+
+
+_SQL_SPAN_SCORES = """
+SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+       'p' AS kind,
+       round(least(length(text)::double / 500.0::double, 1.0::double), 6)
+         AS score,
+       length(text)::bigint AS span_w
+FROM documents
+WHERE length(text) >= 25
+  AND round(least(length(text)::double / 500.0::double, 1.0::double), 6)
+      >= 0.5::double
+"""
+
+
+def q_partitioned_sink_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 partitioned sink + partition-pruned read-back: extraction output
+    written partitionBy(lang), the lang='en' slice read back through the
+    pruned scan (pruning is plan-asserted in tests/test_operators.py)."""
+    import tempfile
+
+    from .sources.sink import read_partition, write_partitioned
+
+    pages = synthesize_pages_df(spark, sf_dir)
+    out = run_extraction(pages, dedup=False, with_fields=False).select(
+        "url", "extracted_text", "lang"
+    )
+    path = tempfile.mkdtemp(prefix="ldos-sink-")
+    write_partitioned(out, path, ("lang",))
+    return read_partition(spark, path, lang="en").select(
+        "url", "extracted_text", "lang"
+    )
+
+
+_SQL_PARTITIONED_SINK = """
+SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+       CASE WHEN length(text) >= 25 THEN text ELSE '' END AS extracted_text,
+       lang
+FROM documents WHERE lang = 'en'
+"""
+
+
 def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus dedup ratio (A4): the metric that sizes the dedup-before-compute
     win. Doubled corpus -> ratio exactly 0.5."""
@@ -1269,6 +1328,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "explode_spans": q_explode_spans,
     "merge_documents_vn": q_merge_documents_vn,
     "merge_split_vn": q_merge_split_vn,
+    "span_scores": q_span_scores,
+    "partitioned_sink_readback": q_partitioned_sink_readback,
     # relational battery
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1325,6 +1386,8 @@ ORACLE: dict[str, str] = {
     "explode_spans": _SQL_EXPLODE_SPANS,
     "merge_documents_vn": _SQL_MERGE_VN,
     "merge_split_vn": _SQL_MERGE_SPLIT_VN,
+    "span_scores": _SQL_SPAN_SCORES,
+    "partitioned_sink_readback": _SQL_PARTITIONED_SINK,
     "pricing_summary": _SQL_PRICING,
     "revenue_by_nation": _SQL_REVENUE_NATION,
     "top_brands": _SQL_TOP_BRANDS,

@@ -4,3 +4,4 @@ from .pages import (  # noqa: F401
     fixture_pages_df,
     synthesize_pages_df,
 )
+from .sink import read_partition, write_partitioned  # noqa: F401

@@ -1,0 +1,46 @@
+"""Partitioned file-tree sink (SURVEY.md §2.1 S7).
+
+The reference writes a per-document/per-page output tree
+(/root/reference/app/services/document_merger_service.py:227-306: per-page
+dirs + per-doc dirs + documents.json). The Spark-native shape of that sink is
+a Hive-partitioned parquet tree: ``partitionBy(col)`` encodes the grouping in
+the directory layout, and every read that filters on the partition column is
+partition-PRUNED — the scan lists only the matching directories, the
+100 TB property the file-tree sink exists for (tests assert the pruning in
+the physical plan via ``plans.inspect.partition_filters``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] = ("lang",),
+    *,
+    mode: str = "overwrite",
+) -> str:
+    """Write ``df`` as a parquet tree partitioned by ``partition_cols``.
+
+    Column order: partition columns move to the directory layout; everything
+    else stays columnar inside the leaf files. Returns ``path``.
+    """
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+    return path
+
+
+def read_partition(
+    spark: SparkSession, path: str, **filters: object
+) -> DataFrame:
+    """Read back a partition-pruned slice: every kwarg is an equality filter
+    on a partition column, applied BEFORE the scan materializes (Catalyst
+    turns it into PartitionFilters — only matching directories are listed)."""
+    df = spark.read.parquet(path)
+    for col, value in filters.items():
+        df = df.where(F.col(col) == value)
+    return df

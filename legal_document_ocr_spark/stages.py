@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     IntegerType,
     StringType,
     StructField,
@@ -52,6 +53,8 @@ SPAN_TYPE = StructType(
         StructField("w", IntegerType()),
         StructField("h", IntegerType()),
         StructField("kind", StringType()),
+        # P8 analogue: per-span extraction confidence (kernels.extract_page)
+        StructField("score", DoubleType()),
     ]
 )
 TABLE_CELL_TYPE = StructType(

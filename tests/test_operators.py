@@ -310,6 +310,42 @@ def test_adjacent_overlap_sparse_ids_cross_empty_buckets(spark):
     assert got == {5: 2, 250_001: 2}
 
 
+def test_partitioned_sink_prunes_on_read(spark, docs, tmp_path):
+    """S7: a lang= filter over the partitionBy(lang) tree must reach the scan
+    as a PartitionFilter (only matching directories listed), and the slice
+    must round-trip exactly."""
+    from legal_document_ocr_spark.plans.inspect import partition_filters
+    from legal_document_ocr_spark.sources.sink import (
+        read_partition,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "tree")
+    write_partitioned(docs.select("doc_id", "text", "lang"), out, ("lang",))
+    sliced = read_partition(spark, out, lang="en")
+    pf = partition_filters(sliced)
+    assert any("lang" in f for f in pf), pf
+    want = {r["doc_id"] for r in docs.where(F.col("lang") == "en").collect()}
+    assert {r["doc_id"] for r in sliced.collect()} == want
+
+
+def test_span_score_thresholds_like_confidence(spark):
+    """P8: spans carry an extraction-confidence score; link-heavy blocks that
+    survive the keep filter score lower than clean prose of equal length."""
+    from legal_document_ocr_spark.kernels import extract_page
+
+    clean = "<html><body><p>" + ("word " * 120) + "</p></body></html>"
+    linky = (
+        "<html><body><p>"
+        + ("word " * 80)
+        + '<a href="/x">' + ("link " * 40) + "</a>"
+        + "</p></body></html>"
+    )
+    s_clean = extract_page(clean.encode())["spans"][0]["score"]
+    s_linky = extract_page(linky.encode())["spans"][0]["score"]
+    assert 0.0 < s_linky < s_clean <= 1.0
+
+
 def test_adjacent_overlap_no_corpus_global_window(spark, docs):
     """The corpus-side window is partitioned by the id-range bucket; the only
     single-partition stage is the bounded per-bucket summary."""
