@@ -47,6 +47,74 @@ class CheckpointStore:
             if f.endswith(".json")
         )
 
+    # -- maintenance (Iceberg expire_snapshots / remove_orphan_files; the
+    # reference's analogue is the pickle-cache TTL GC at
+    # app/utils/cache_manager.py:77-97) ------------------------------------
+    def expire_snapshots(
+        self,
+        *,
+        retain_last: int | None = None,
+        older_than_seconds: float | None = None,
+    ) -> list[str]:
+        """Expire old snapshots as TIME-TRAVEL TARGETS.
+
+        The store is append-only: every retained snapshot still references
+        every earlier run's data files, so expiration deletes NO data — it
+        marks old manifests expired, after which ``read_results(as_of=<old>)``
+        raises while the current table state (and as-of any retained
+        snapshot) is unchanged. Exactly Iceberg ``expire_snapshots``
+        semantics: history trimmed, referenced data kept. The LATEST snapshot
+        is never expired. Returns the expired run_ids.
+        """
+        ms = self.manifests()
+        if not ms:
+            return []
+        candidates = ms[:-1]  # newest always retained
+        if retain_last is not None:
+            candidates = ms[: -max(retain_last, 1)]
+        if older_than_seconds is not None:
+            cutoff = time.time() - older_than_seconds
+            candidates = [
+                m
+                for m in candidates
+                if time.mktime(
+                    time.strptime(m["committed_at"], "%Y-%m-%dT%H:%M:%S")
+                )
+                < cutoff
+            ]
+        expired = []
+        for m in candidates:
+            if m.get("expired"):
+                continue
+            m["expired"] = True
+            path = os.path.join(self.manifest_dir, f"{m['run_id']}.json")
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(m, f, indent=2)
+            os.rename(tmp, path)
+            expired.append(m["run_id"])
+        return expired
+
+    def remove_orphan_files(self) -> list[str]:
+        """Delete run directories with NO manifest — data written by a run
+        that died before its commit (invisible to every reader, pure
+        garbage). Iceberg ``remove_orphan_files``; safe at any time because
+        commit order is data-then-manifest. Returns removed run_ids."""
+        import shutil
+
+        if not os.path.isdir(self.runs_dir):
+            return []
+        committed = set(self.committed_run_ids())
+        removed = []
+        for d in os.listdir(self.runs_dir):
+            if not d.startswith("run_id="):
+                continue
+            rid = d[len("run_id="):]
+            if rid not in committed:
+                shutil.rmtree(os.path.join(self.runs_dir, d))
+                removed.append(rid)
+        return removed
+
     def manifests(self) -> list[dict]:
         """All commit manifests in snapshot order (Iceberg snapshot log
         analogue). Ordering key is the monotonically increasing
@@ -76,6 +144,8 @@ class CheckpointStore:
             ]
             if not cut:
                 raise ValueError(f"unknown snapshot {as_of!r}")
+            if ms[cut[0]].get("expired"):
+                raise ValueError(f"snapshot {as_of!r} has been expired")
             ms = ms[: cut[0] + 1]
         if not ms:
             return None

@@ -141,6 +141,52 @@ class TestTimeTravel:
         with _pytest.raises(ValueError):
             store.read_results(spark, as_of="nope")
 
+    def test_expire_snapshots_keeps_data_trims_history(self, spark, tmp_path):
+        """Iceberg expire_snapshots semantics on the manifest store: after
+        expiring all but the last 2 snapshots, the current state and every
+        RETAINED as-of point read identically (append-only: no data deleted);
+        only time travel to the expired snapshot is refused."""
+        import pytest as _pytest
+
+        from legal_document_ocr_spark.scale.checkpoint import CheckpointStore
+
+        store = CheckpointStore(str(tmp_path / "exp"))
+        for i in range(3):
+            store.commit(
+                spark.createDataFrame([(f"u{i}", "t")], ["url", "extracted_text"]),
+                run_id=f"r{i}",
+            )
+        assert store.expire_snapshots(retain_last=2) == ["r0"]
+        # current table state unchanged: all three runs' rows
+        assert store.read_results(spark).count() == 3
+        # retained snapshots still time-travel (and still include r0's DATA)
+        assert store.read_results(spark, as_of="r1").count() == 2
+        assert store.read_results(spark, as_of="r2").count() == 3
+        with _pytest.raises(ValueError, match="expired"):
+            store.read_results(spark, as_of="r0")
+        # idempotent; latest never expires
+        assert store.expire_snapshots(retain_last=2) == []
+        assert store.expire_snapshots(retain_last=1) == ["r1"]
+
+    def test_remove_orphan_files(self, spark, tmp_path):
+        import os
+
+        from legal_document_ocr_spark.scale.checkpoint import CheckpointStore
+
+        store = CheckpointStore(str(tmp_path / "gc"))
+        store.commit(
+            spark.createDataFrame([("u1", "t")], ["url", "extracted_text"]),
+            run_id="alive",
+        )
+        # simulate a crashed run: data present, no manifest
+        spark.createDataFrame([("ux", "t")], ["url", "extracted_text"]).write.parquet(
+            os.path.join(store.runs_dir, "run_id=crashed")
+        )
+        assert store.remove_orphan_files() == ["crashed"]
+        assert not os.path.exists(os.path.join(store.runs_dir, "run_id=crashed"))
+        assert store.read_results(spark).count() == 1
+        assert store.remove_orphan_files() == []
+
 
 class TestDedupAuto:
     def test_auto_skips_dedup_on_distinct_corpus(self, spark):
