@@ -245,6 +245,76 @@ def windowed_event_counts(events: DataFrame, bucket_seconds: int = 300) -> DataF
     )
 
 
+def domain_profile(pages: DataFrame) -> DataFrame:
+    """Per-domain corpus profile: page count, byte volume, distinct-payload
+    count and dup ratio — the skew/duplication diagnosis pass that sizes the
+    salting policy (scale/salt.py: one hot domain = one straggler) and the
+    dedup-before-compute decision (stages.run_extraction(dedup='auto')).
+
+    One map-side-combined shuffle on the domain key; payloads are reduced to
+    their sha2 BEFORE the exchange (the bytes never shuffle).
+    """
+    return (
+        pages.select(
+            F.expr("parse_url(url, 'HOST')").alias("domain"),
+            F.length("html").alias("nb"),
+            F.sha2("html", 256).alias("h"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("nb").cast("long").alias("total_bytes"),
+            F.count_distinct("h").alias("distinct_payloads"),
+            F.round(
+                F.lit(1.0) - F.count_distinct("h") / F.count("*").cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
+        .orderBy("domain")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    value_col: str,
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """As-of join: attach to each ``left`` row the ``value_col`` of the most
+    recent ``right`` row with the same ``key`` and ``right.ts <= left.ts``
+    (NULL when none exists). An operator Spark lacks natively.
+
+    Implementation is the union-merge shape, NOT a range join: tag the two
+    inputs, merge them, and carry the last non-null right value forward over
+    ONE window per key ordered by (ts, side) — right rows sort before left
+    rows at equal ts, giving at-or-before semantics. One shuffle on the key,
+    O(n log n) per key, no quadratic candidate explosion and no broadcast —
+    the shape that survives a 100 TB event stream. ``right`` must be unique
+    per (key, ts) for deterministic output (pre-aggregate if not).
+    """
+    lt = left.withColumn("_src", F.lit(1)).withColumn(
+        "_rv", F.lit(None).cast(right.schema[value_col].dataType)
+    )
+    rt = right.select(
+        key, ts, F.col(value_col).alias("_rv"), F.lit(0).alias("_src")
+    )
+    merged = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_src")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = F.last("_rv", ignorenulls=True).over(w)
+    return (
+        merged.withColumn(out_col, carried)
+        .where(F.col("_src") == 1)
+        .drop("_src", "_rv")
+    )
+
+
 # ---------------------------------------------------------------------------
 # set-ish ops (U1/U2) — adjacent-document word overlap
 # ---------------------------------------------------------------------------

@@ -663,6 +663,112 @@ ORDER BY doc_id
 """
 
 
+def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union-merge shape): each purchase event gets the value of
+    the user's most recent view at or before it. Oracle: DuckDB's native
+    ASOF JOIN — an independent formulation of the same semantics."""
+    _utc(spark)
+    events = _tbl(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # right side unique per (key, ts): deterministic regardless of tie order
+    views = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    joined = relational.asof_join(
+        purchases, views, key="user_id", ts="ts",
+        value_col="value", out_col="last_view_value",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_epoch"),
+        "last_view_value",
+    ).orderBy("user_id", "event_id")
+
+
+_SQL_ASOF_EVENTS = """
+WITH v AS (
+  SELECT user_id, ts, max(value) AS value FROM events
+  WHERE event_type = 'view' GROUP BY user_id, ts
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id, floor(epoch(p.ts))::bigint AS ts_epoch,
+       v.value AS last_view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.user_id, p.event_id
+"""
+
+
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(lang, source) corpus totals: per-(lang,source), per-lang
+    subtotals and the grand total in one pass (§2.5 beyond the reference —
+    it has no grouping sets)."""
+    docs = _docs(spark, sf_dir)
+    return docs.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+_SQL_CORPUS_ROLLUP = """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars)::bigint AS total_chars
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (training-mix rebalancing): keep
+    30% of en, all of vi, 10% of everything else — membership is a pure md5
+    function of doc_id, so the sample is partitioning/engine independent."""
+    from .operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    return sampling.stratified_sample(
+        docs,
+        {"en": 0.3, "vi": 1.0},
+        key_col="doc_id",
+        strata_col="lang",
+        default_fraction=0.1,
+    ).select("doc_id", "lang")
+
+
+_SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 10000 <
+  CASE lang WHEN 'en' THEN 3000 WHEN 'vi' THEN 10000 ELSE 1000 END
+"""
+
+
+def q_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain page/byte/dup profile over the pages table — the skew
+    diagnosis pass that sizes salting and dedup decisions."""
+    pages = synthesize_pages_df(spark, sf_dir)
+    return _as_long(
+        relational.domain_profile(pages), "n_pages", "distinct_payloads"
+    )
+
+
+def _sql_domain_profile() -> str:
+    from .sources.pages import _TEMPLATE_HEAD, _TEMPLATE_TAIL
+
+    fixed = len(_TEMPLATE_HEAD.encode()) + len(_TEMPLATE_TAIL.encode())
+    sha = f"sha256('{_TEMPLATE_HEAD}' || text || '{_TEMPLATE_TAIL}')"
+    return f"""
+SELECT source || '.example.com' AS domain,
+  count(*) AS n_pages,
+  (sum(octet_length(encode(text))) + count(*) * {fixed})::bigint AS total_bytes,
+  count(DISTINCT {sha}) AS distinct_payloads,
+  round(1.0::double - count(DISTINCT {sha}) / count(*)::double, 6) AS dup_ratio
+FROM documents GROUP BY source ORDER BY domain
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1211,14 +1317,18 @@ ORDER BY cosine DESC, e.vec_id LIMIT 10
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 sign dims: a >=0.99-cosine near-dup flips a coordinate sign with
+    vanishing probability (exact copies never do), so widening the bucket
+    key costs no recall here while cutting in-bucket candidate pairs ~16x
+    vs 4 dims (measured 6.0s -> sub-second at sf0.1)."""
     emb = _tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     emb2 = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 100000))
-    return dedup.embedding_near_dups(emb2, threshold=0.99, bucket_dims=4)
+    return dedup.embedding_near_dups(emb2, threshold=0.99, bucket_dims=8)
 
 
 def _sql_embedding_near_dups() -> str:
     cos = _COS_SQL.format(a="l.v", b="r.v")
-    bucket = _sign_bucket_sql("embedding", 4)
+    bucket = _sign_bucket_sql("embedding", 8)
     return f"""
 WITH e2 AS (
   SELECT vec_id, embedding FROM embeddings
@@ -1342,6 +1452,10 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delete_documents": q_delete_documents,
     "update_documents": q_update_documents,
     "adjacent_word_overlap": q_adjacent_word_overlap,
+    "asof_events": q_asof_events,
+    "corpus_rollup": q_corpus_rollup,
+    "stratified_sample": q_stratified_sample,
+    "domain_profile": q_domain_profile,
     # text analysis
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
@@ -1399,6 +1513,10 @@ ORACLE: dict[str, str] = {
     "delete_documents": _SQL_DELETE_DOCS,
     "update_documents": _SQL_UPDATE_DOCS,
     "adjacent_word_overlap": _SQL_WORD_OVERLAP,
+    "asof_events": _SQL_ASOF_EVENTS,
+    "corpus_rollup": _SQL_CORPUS_ROLLUP,
+    "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+    "domain_profile": _sql_domain_profile(),
     "token_counts": _SQL_TOKEN_COUNTS,
     "lang_id": _sql_lang_id(),
     "quality_scores": _SQL_QUALITY,

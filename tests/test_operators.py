@@ -310,6 +310,66 @@ def test_adjacent_overlap_sparse_ids_cross_empty_buckets(spark):
     assert got == {5: 2, 250_001: 2}
 
 
+def test_asof_join_semantics(spark):
+    """At-or-before matching, NULL when no prior right row, equal-ts rows
+    match (right sorts before left at the same instant)."""
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, 10, dt(2024, 1, 1, 0, 0, 10)),
+         (2, 10, dt(2024, 1, 1, 0, 0, 5)),
+         (3, 10, dt(2024, 1, 1, 0, 0, 1)),
+         (4, 20, dt(2024, 1, 1, 0, 0, 30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, dt(2024, 1, 1, 0, 0, 2), 1.5),
+         (10, dt(2024, 1, 1, 0, 0, 5), 2.5),   # equal ts as event 2
+         (30, dt(2024, 1, 1, 0, 0, 0), 9.9)],  # other key: never matches
+        "user_id long, ts timestamp, value double",
+    )
+    out = relational.asof_join(
+        left, right, key="user_id", ts="ts", value_col="value"
+    )
+    got = {r["event_id"]: r["asof_value"] for r in out.collect()}
+    assert got == {1: 2.5, 2: 2.5, 3: None, 4: None}
+
+
+def test_deterministic_sample_partitioning_invariant(spark, docs):
+    from legal_document_ocr_spark.operators import sampling
+
+    a = sampling.deterministic_sample(docs, 0.3, key_col="doc_id")
+    b = sampling.deterministic_sample(docs.repartition(13), 0.3, key_col="doc_id")
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(r["doc_id"] for r in b.collect())
+    assert ids_a == ids_b
+    n, total = len(ids_a), docs.count()
+    assert 0.2 * total < n < 0.4 * total  # ~fraction, hash-uniform
+    # idempotent under re-sampling at same fraction (same membership fn)
+    assert sorted(
+        r["doc_id"]
+        for r in sampling.deterministic_sample(a, 0.3, key_col="doc_id").collect()
+    ) == ids_a
+
+
+def test_domain_profile_counts_and_dup_ratio(spark):
+    from datetime import datetime as dt
+
+    from legal_document_ocr_spark.sources.pages import PAGES_SCHEMA
+
+    rows = [
+        ("https://a.com/1", dt(2024, 1, 1), b"<p>xx one</p>", "t", "en"),
+        ("https://a.com/2", dt(2024, 1, 1), b"<p>xx one</p>", "t", "en"),  # dup
+        ("https://b.com/1", dt(2024, 1, 1), b"<p>yy two</p>", "t", "en"),
+    ]
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    got = {r["domain"]: r for r in relational.domain_profile(df).collect()}
+    assert got["a.com"]["n_pages"] == 2
+    assert got["a.com"]["distinct_payloads"] == 1
+    assert got["a.com"]["dup_ratio"] == 0.5
+    assert got["b.com"]["dup_ratio"] == 0.0
+
+
 def test_partitioned_sink_prunes_on_read(spark, docs, tmp_path):
     """S7: a lang= filter over the partitionBy(lang) tree must reach the scan
     as a PartitionFilter (only matching directories listed), and the slice
