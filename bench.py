@@ -47,6 +47,10 @@ HEADLINE = [
     "repetition_stats",       # explode + stacked aggs
     "winnow_fingerprints",    # rolling-hash winnowing
     "multimodal_features",    # binary-column mapInPandas stage
+    # round-2 additions
+    "asof_events",            # as-of join (union-merge window)
+    "domain_profile",         # per-domain skew/dup diagnosis
+    "stratified_sample",      # deterministic hash sampling
 ]
 
 

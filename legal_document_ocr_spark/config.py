@@ -129,6 +129,41 @@ FIELD_NAMES = (
     "subject",
 )
 
+# --- config-shape validation (P2, validation.py:58-91) ----------------------
+
+
+def validate_config() -> None:
+    """Driver-side config assert (the rebuild of the reference's
+    validate_config at app/utils/validation.py:58-91): every field has a
+    non-empty pattern list, every gate list is parallel to its pattern list,
+    gate literals are lowercase single entries, and thresholds are sane.
+    Runs once at session build (session.build_session) — a broken config
+    fails the job BEFORE any executor work, like the reference fails the
+    request at the validator."""
+    for field, patterns in EXTRACTION_PATTERNS.items():
+        if not patterns:
+            raise ValueError(f"extraction_patterns[{field!r}] is empty")
+        gates = PATTERN_GATES.get(field)
+        if gates is not None and len(gates) != len(patterns):
+            raise ValueError(
+                f"pattern_gates[{field!r}] has {len(gates)} entries for "
+                f"{len(patterns)} patterns"
+            )
+        for gate in gates or []:
+            for lit in gate:
+                if lit != lit.lower():
+                    raise ValueError(
+                        f"gate literal {lit!r} for {field!r} must be lowercase"
+                    )
+    unknown = set(EXTRACTION_PATTERNS) - set(FIELD_NAMES)
+    if unknown:
+        raise ValueError(f"patterns for unknown fields: {sorted(unknown)}")
+    if not (0 < MIN_BLOCK_CHARS and 0 <= MAX_LINK_DENSITY <= 1):
+        raise ValueError("segmentation thresholds out of range")
+    if MAX_HTML_BYTES <= 0 or SALT_BUCKETS <= 0 or ARROW_MAX_RECORDS <= 0:
+        raise ValueError("scale knobs must be positive")
+
+
 # --- scale knobs (SURVEY.md §2.11) ------------------------------------------
 SALT_BUCKETS = 16                     # salt modulus for skew-busting repartition
 SIZE_BUCKET_EDGES = (1_000, 10_000, 100_000, 1_000_000)  # html-size buckets

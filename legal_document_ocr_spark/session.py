@@ -13,7 +13,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-from .config import ARROW_MAX_RECORDS
+from .config import ARROW_MAX_RECORDS, validate_config
 
 
 def _export_package_to_workers() -> None:
@@ -36,6 +36,7 @@ def build_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    validate_config()  # P2: fail a broken config before any executor work
     _export_package_to_workers()
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     if shuffle_partitions is None:

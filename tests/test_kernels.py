@@ -160,6 +160,23 @@ class TestFields:
         assert f["document_number"] is None
         assert f["issue_date"] is None
 
+    def test_config_shape_validation(self):
+        """P2: the driver-side config assert (validation.py:58-91 analogue)
+        passes on the shipped config and catches shape breakage."""
+        from unittest import mock
+
+        from legal_document_ocr_spark import config
+
+        config.validate_config()  # shipped config is valid
+        with mock.patch.object(
+            config, "PATTERN_GATES", {**config.PATTERN_GATES, "signer": [["ký"]]}
+        ):
+            try:
+                config.validate_config()
+                raise AssertionError("expected gate/pattern arity mismatch")
+            except ValueError as e:
+                assert "signer" in str(e)
+
     def test_document_type_across_line_break(self):
         # the \s+ in the type regex matches \r\n (merged-block boundary);
         # the literal gate must not reject it (gates are single words)
