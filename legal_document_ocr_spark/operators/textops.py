@@ -15,6 +15,9 @@ lookaround, no backrefs — Java regex and RE2 agree on these).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -239,6 +242,74 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 F.col("top_token_count") / F.col("n_tokens").cast("double"), 6
             ).alias("top_token_share"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# normalization / redaction / corpus vocabulary
+# ---------------------------------------------------------------------------
+
+
+def nfc_normalized(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalization (UAX #15) — the canonicalization pass a
+    multilingual corpus needs before exact dedup (composed vs decomposed
+    diacritics hash differently; Vietnamese is full of both encodings in the
+    wild). Spark has no NFC builtin, so this is an Arrow-batched pandas UDF
+    over Python's unicodedata; DuckDB's nfc_normalize implements the same
+    UAX #15 (verified equal on diacritic/ligature cases), so the oracle can
+    state the identical computation."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import unicodedata
+
+        for s in batches:
+            yield s.map(
+                lambda t: unicodedata.normalize("NFC", t)
+                if t is not None
+                else None
+            )
+
+    return docs.withColumn("text_nfc", _nfc(F.col(text_col)))
+
+
+# Dialect-portable PII patterns (simple classes only — Java regex and RE2
+# agree): the anonymization pass of a web-text curation pipeline.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9 \-]{7,}[0-9]"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails then phone-number-shaped digit runs (order matters: the
+    email pass consumes its local digits so the phone pass can't bite into
+    redacted addresses). Adds ``n_emails``/``n_phones`` counts and the
+    ``redacted`` text — pure codegen (regexp_count + regexp_replace)."""
+    c = F.col(text_col)
+    no_email = F.regexp_replace(c, EMAIL_PATTERN, "[EMAIL]")
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(c, F.lit(EMAIL_PATTERN)).cast("long"),
+            "n_phones": F.regexp_count(
+                no_email, F.lit(PHONE_PATTERN)
+            ).cast("long"),
+            "redacted": F.regexp_replace(no_email, PHONE_PATTERN, "[PHONE]"),
+        }
+    )
+
+
+def top_terms(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Corpus top-k vocabulary (stopwords removed): explode -> map-side-
+    combined count -> TakeOrdered top-k (count desc, token asc — total
+    order). The corpus-profiling pass that drives tokenizer/mix decisions."""
+    toks = docs.select(
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token")
+    ).where(~F.col("token").isin(*STOPWORDS))
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
     )
 
 

@@ -891,6 +891,120 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_nfc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization before hashing — composed vs decomposed
+    diacritics must dedup together. Oracle: DuckDB nfc_normalize implements
+    the same UAX #15 (decomposed-input canonicalization is pinned separately
+    in tests/test_operators.py with explicit NFD strings)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    normalized = textops.nfc_normalized(d)
+    return _as_long(
+        normalized.select(
+            "doc_id",
+            F.md5("text_nfc").alias("nfc_fp"),
+            (F.col("text_nfc") == F.col("text")).cast("long").alias("unchanged"),
+        ),
+        "unchanged",
+    )
+
+
+_SQL_NFC_FP = """
+SELECT doc_id, md5(nfc_normalize(text)) AS nfc_fp,
+       (nfc_normalize(text) = text)::bigint AS unchanged
+FROM documents
+"""
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over text with injected contact lines (emails + phone
+    runs appended deterministically so the redaction pass provably fires)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +84 9"),
+            F.col("doc_id").cast("string"),
+            F.lit("1234567"),
+        ).alias("text"),
+    )
+    out = textops.redact_pii(d)
+    return out.select(
+        "doc_id", "n_emails", "n_phones", F.md5("redacted").alias("redacted_fp")
+    )
+
+
+_SQL_REDACT_PII = f"""
+WITH d AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id || '@example.com or +84 9'
+         || doc_id || '1234567' AS text
+  FROM documents
+),
+e AS (
+  SELECT doc_id, text,
+    len(regexp_extract_all(text, '{textops.EMAIL_PATTERN}')) AS n_emails,
+    regexp_replace(text, '{textops.EMAIL_PATTERN}', '[EMAIL]', 'g') AS no_email
+  FROM d
+)
+SELECT doc_id, n_emails,
+  len(regexp_extract_all(no_email, '{textops.PHONE_PATTERN}')) AS n_phones,
+  md5(regexp_replace(no_email, '{textops.PHONE_PATTERN}', '[PHONE]', 'g'))
+    AS redacted_fp
+FROM e
+"""
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.top_terms(_docs(spark, sf_dir), k=20)
+
+
+_SQL_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS token FROM documents
+)
+SELECT token, count(*) AS n FROM toks
+WHERE token NOT IN ({{stop}})
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+""".format(stop=", ".join(f"'{w}'" for w in STOPWORDS))
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass a training-data pipeline actually runs:
+    quality threshold -> language allowlist -> exact-dedup representatives ->
+    deterministic downsample. Exercises operator COMPOSITION (quality_scores
+    ⨝ docs, exact_dups semi-join, md5-bucket sample) end to end."""
+    from .operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    q = textops.quality_scores(docs).select("doc_id", "quality_score")
+    kept = (
+        docs.join(q, "doc_id")
+        .where((F.col("quality_score") >= 0.45) & F.col("lang").isin("en", "zh"))
+    )
+    reps = dedup.exact_dups(kept).select(
+        F.col("representative").alias("doc_id")
+    )
+    kept = kept.join(reps, "doc_id", "semi")
+    sampled = sampling.deterministic_sample(kept, 0.5, key_col="doc_id")
+    return sampled.select("doc_id", "lang", "quality_score")
+
+
+_SQL_CURATION_FUNNEL = f"""
+WITH q AS ({_SQL_QUALITY}),
+k AS (
+  SELECT d.doc_id, d.lang, d.text, q.quality_score
+  FROM documents d JOIN q USING (doc_id)
+  WHERE q.quality_score >= 0.45::double AND d.lang IN ('en', 'zh')
+),
+reps AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY sha256(text))
+SELECT k.doc_id, k.lang, k.quality_score
+FROM k JOIN reps USING (doc_id)
+WHERE ('0x' || substr(md5(k.doc_id::varchar), 1, 7))::bigint % 10000 < 5000
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.fingerprints(_docs(spark, sf_dir))
 
@@ -1414,6 +1528,29 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (stateful dropDuplicates): the emitted hash SET
+    equals the batch distinct — first-seen semantics, deterministic set."""
+    from .streaming.pipeline import run_stream_to_table, stream_dedup_hashes
+
+    name = "stream_dedup_result"
+    sdf = stream_dedup_hashes(spark, f"{sf_dir}/documents.parquet")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_SQL_STREAM_DEDUP = (
+    "SELECT DISTINCT sha256(text) AS content_hash FROM documents"
+)
+
+
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.pipeline import run_stream_to_table, stream_windowed_counts
 
@@ -1462,6 +1599,10 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": q_quality_scores,
     "corpus_length_stats": q_corpus_length_stats,
     "fingerprints": q_fingerprints,
+    "nfc_fingerprints": q_nfc_fingerprints,
+    "redact_pii": q_redact_pii,
+    "top_terms": q_top_terms,
+    "curation_funnel": q_curation_funnel,
     # dedup family
     "dedup_exact": q_dedup_exact,
     "dedup_stats": q_dedup_stats,
@@ -1485,6 +1626,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal + streaming
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
+    "stream_dedup": q_stream_dedup,
     "stream_windowed_counts": q_stream_windowed_counts,
     # custom stateful streaming — fully oracle-checked since round 2
     # (event-time timeout emits the open tails)
@@ -1522,6 +1664,10 @@ ORACLE: dict[str, str] = {
     "quality_scores": _SQL_QUALITY,
     "corpus_length_stats": _SQL_CORPUS_STATS,
     "fingerprints": _SQL_FINGERPRINTS,
+    "nfc_fingerprints": _SQL_NFC_FP,
+    "redact_pii": _SQL_REDACT_PII,
+    "top_terms": _SQL_TOP_TERMS,
+    "curation_funnel": _SQL_CURATION_FUNNEL,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_stats": _SQL_DEDUP_STATS,
     "events_json": _SQL_EVENTS_JSON,
@@ -1542,6 +1688,7 @@ ORACLE: dict[str, str] = {
     "multimodal_features": _SQL_MULTIMODAL,
     "multimodal_frames": _SQL_MULTIMODAL_FRAMES,
     # streaming results equal their batch formulations
+    "stream_dedup": _SQL_STREAM_DEDUP,
     "stream_windowed_counts": _SQL_WINDOWED_COUNTS,
     "stream_sessionize": _SQL_SESSIONIZE,
 }

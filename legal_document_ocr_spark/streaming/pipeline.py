@@ -266,6 +266,27 @@ def stream_sessionize(
     )
 
 
+DOCUMENTS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def stream_dedup_hashes(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """Streaming exact dedup: first-seen content hashes only, via stateful
+    ``dropDuplicates`` on the sha2 key (the streaming face of the
+    dedup-before-compute rewrite — state = the set of hashes seen so far; in
+    production bounded by ``withWatermark`` + dropDuplicatesWithinWatermark).
+    Projected to the hash alone so the emitted SET is deterministic
+    (which duplicate arrives first is not)."""
+    stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(
+        _as_stream_dir(spark, docs_dir)
+    )
+    return (
+        stream.select(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .dropDuplicates(["content_hash"])
+    )
+
+
 def stream_extraction(
     spark: SparkSession,
     pages_dir: str,

@@ -310,6 +310,34 @@ def test_adjacent_overlap_sparse_ids_cross_empty_buckets(spark):
     assert got == {5: 2, 250_001: 2}
 
 
+def test_nfc_canonicalizes_decomposed_input(spark):
+    """NFD (decomposed) and NFC (composed) encodings of the same string must
+    produce the same normalized text — the property that makes exact dedup
+    correct on mixed-encoding corpora."""
+    import unicodedata
+
+    composed = "Hà Nội quyết định"
+    decomposed = unicodedata.normalize("NFD", composed)
+    assert composed != decomposed  # genuinely different byte sequences
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["text_nfc"] for r in textops.nfc_normalized(df).collect()}
+    assert out[1] == out[2] == composed
+
+
+def test_redact_pii_counts_and_replaces(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.co.uk or call +84 912-345 678 now, id 42")],
+        "doc_id long, text string",
+    )
+    r = textops.redact_pii(df).collect()[0]
+    assert r["n_emails"] == 1 and r["n_phones"] == 1
+    assert "[EMAIL]" in r["redacted"] and "[PHONE]" in r["redacted"]
+    assert "x-corp" not in r["redacted"] and "912" not in r["redacted"]
+    assert "id 42" in r["redacted"]  # short digit runs survive
+
+
 def test_asof_join_semantics(spark):
     """At-or-before matching, NULL when no prior right row, equal-ts rows
     match (right sorts before left at the same instant)."""
