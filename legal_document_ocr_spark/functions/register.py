@@ -19,6 +19,7 @@ expression builders — no row-at-a-time Python):
 - ``ldos_extract_fields(txt) -> struct(<10 reference fields>)``
 - ``ldos_clean_text(txt)     -> string`` (K8 golden normalization)
 - ``ldos_norm_match(txt)     -> string`` (K16 match-key normalization)
+- ``ldos_nfc(txt)            -> string`` (UAX #15 NFC canonicalization)
 """
 
 from __future__ import annotations
@@ -69,6 +70,16 @@ def _norm_match_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield pd.Series([normalize_match_text(t) for t in series])
 
 
+@pandas_udf(StringType())
+def _nfc_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    import unicodedata
+
+    for s in batches:
+        yield s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+
 def register_all(spark: SparkSession) -> None:
     """Register the full SQL function surface on a session (idempotent)."""
     spark.udf.register("ldos_extract_page", _extract_page_udf)
@@ -76,3 +87,4 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ldos_extract_fields", _extract_fields_udf)
     spark.udf.register("ldos_clean_text", _clean_text_udf)
     spark.udf.register("ldos_norm_match", _norm_match_udf)
+    spark.udf.register("ldos_nfc", _nfc_udf)

@@ -298,6 +298,51 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms: tf = c/doc_tokens, idf = ln(N/df),
+    ranked on the 6-dp-rounded score (tiebreak: token asc) so the ordering is
+    engine-portable.
+
+    Scale shape: token explode -> (doc, token) counts (map-side combined) ->
+    document-frequency join on token -> rank window partitioned by doc_id.
+    The window partition is ONE DOCUMENT's vocabulary — bounded by document
+    length, never by corpus size, so (unlike a per-query kNN window) it
+    cannot concentrate a reducer. N arrives as a broadcast 1-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(c))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    n_tok = tf.groupBy("doc_id").agg(F.sum("c").alias("n_tokens"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(n_tok, "doc_id")
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                (F.col("c") / F.col("n_tokens").cast("double"))
+                * F.log(F.col("n_docs") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("doc_id", "rank")
+    )
+
+
 def top_terms(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
     """Corpus top-k vocabulary (stopwords removed): explode -> map-side-
     combined count -> TakeOrdered top-k (count desc, token asc — total

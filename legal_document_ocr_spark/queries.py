@@ -970,6 +970,35 @@ GROUP BY token ORDER BY n DESC, token LIMIT 20
 """.format(stop=", ".join(f"'{w}'" for w in STOPWORDS))
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_long(
+        textops.tfidf_top_terms(_docs(spark, sf_dir), k=3), "rank"
+    )
+
+
+_SQL_TFIDF_TERMS = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY doc_id, token),
+nt AS (SELECT doc_id, sum(c) AS n_tokens FROM tf GROUP BY doc_id),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+tot AS (SELECT count(*) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.token,
+    round((c / nt.n_tokens::double) * ln(tot.n_docs / dfq.df::double), 6)
+      AS tfidf
+  FROM tf JOIN nt USING (doc_id) JOIN dfq USING (token) CROSS JOIN tot
+),
+r AS (
+  SELECT doc_id, token, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token)
+      AS rank
+  FROM s
+)
+SELECT doc_id, token, tfidf, rank::bigint AS rank FROM r WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pass a training-data pipeline actually runs:
     quality threshold -> language allowlist -> exact-dedup representatives ->
@@ -1602,6 +1631,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nfc_fingerprints": q_nfc_fingerprints,
     "redact_pii": q_redact_pii,
     "top_terms": q_top_terms,
+    "tfidf_terms": q_tfidf_terms,
     "curation_funnel": q_curation_funnel,
     # dedup family
     "dedup_exact": q_dedup_exact,
@@ -1667,6 +1697,7 @@ ORACLE: dict[str, str] = {
     "nfc_fingerprints": _SQL_NFC_FP,
     "redact_pii": _SQL_REDACT_PII,
     "top_terms": _SQL_TOP_TERMS,
+    "tfidf_terms": _SQL_TFIDF_TERMS,
     "curation_funnel": _SQL_CURATION_FUNNEL,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_stats": _SQL_DEDUP_STATS,
