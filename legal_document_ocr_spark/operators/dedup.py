@@ -432,6 +432,109 @@ def verified_near_dups(
 
 
 # ---------------------------------------------------------------------------
+# connected components: near-dup pairs -> dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Label every node with the MINIMUM node id reachable through ``edges``
+    (undirected): (node, cluster_id). Pairs alone don't dedup a corpus — A~B
+    and B~C must collapse to ONE keep-decision for {A,B,C}; this is the final
+    step the pair generators above feed.
+
+    Spark-first iterative shape (no GraphFrames dependency):
+    min-label propagation with POINTER JUMPING — each round a node adopts the
+    smallest label among itself and its neighbors, then labels are re-resolved
+    through the label table itself (label := label-of-label). The jump halves
+    chain lengths every round, so convergence is O(log diameter) rounds, not
+    O(diameter) — at web scale dup chains (mirror-of-mirror) can be long.
+
+    Scale notes per round: one shuffle join edges-to-labels + one partial-
+    aggregated groupBy min + one labels self-join — all on (long, long) rows,
+    payload never enters the loop. ``localCheckpoint`` after each round
+    truncates the lineage so the plan doesn't grow with iterations (on a
+    cluster checkpoint to durable storage instead — same call site). The
+    convergence test is sum(label): labels only ever decrease, so an
+    unchanged sum IS the fixpoint — one scalar action per round, no
+    old-vs-new join. Reference analogue: transitive merge grouping in
+    document_merger_service.py:43-76 (adjacent-page merge chains), here
+    generalized to arbitrary similarity graphs.
+    """
+    sym = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    sym = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = nodes.select(
+        F.col(id_col).cast("long").alias("node"),
+        F.col(id_col).cast("long").alias("label"),
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        # neighbor step: a node sees every neighbor's current label
+        cand = sym.join(labels, sym.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        merged = (
+            labels.unionByName(cand).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        # pointer jump: resolve label through the label table (label-of-label).
+        # Every label IS a node id, so the join partner always exists.
+        lut = merged.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
+        labels = (
+            merged.join(lut, merged.label == F.col("l_node"))
+            .select("node", F.col("l_label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sym.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup clustering: LSH candidates -> exact-Jaccard verify
+    -> connected components -> per-cluster representative election.
+
+    Output: (doc_id, cluster_id, cluster_size, is_representative) for EVERY
+    input document (singletons are their own cluster). cluster_id = min doc_id
+    in the component — deterministic across partitionings and engines;
+    is_representative = the keep-decision a curation funnel consumes.
+    cluster_size comes from a count window over cluster_id — one shuffle,
+    bounded by the largest dup cluster, no corpus-sized join-back.
+    """
+    edges = verified_near_dups(docs, text_col, k=k, threshold=threshold)
+    cc = connected_components(docs.select("doc_id"), edges)
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_representative"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup (see similarity.py for the shared cosine expr)
 # ---------------------------------------------------------------------------
 

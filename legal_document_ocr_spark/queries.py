@@ -1235,6 +1235,52 @@ WHERE round(len(list_intersect(a.sh, b.sh))
 )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> representative election:
+    the decision table a curation pass consumes (dedup.dedup_clusters)."""
+    return dedup.dedup_clusters(_neardup_docs(spark, sf_dir))
+
+
+# oracle: the verified-pair SQL feeding a recursive reachability walk;
+# cluster_id = min reachable node = the component minimum (what the Spark
+# min-label fixpoint computes)
+_SQL_DEDUP_CLUSTERS = (
+    _sql_minhash_bands(_NEARDUP_SQL).replace("\nWITH src AS", "\nWITH RECURSIVE src AS", 1)
+    + f""",
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+shd AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM src) tt
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN shd a ON a.doc_id = id_a JOIN shd b ON b.doc_id = id_b
+  WHERE round(len(list_intersect(a.sh, b.sh))
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::double,
+          6) >= 0.5::double
+),
+sym AS (
+  SELECT id_a AS src_n, id_b AS dst_n FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+walk(node, lbl) AS (
+  SELECT doc_id, doc_id FROM src
+  UNION
+  SELECT s.dst_n, w.lbl FROM walk w JOIN sym s ON s.src_n = w.node
+),
+cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY node)
+SELECT doc_id, cluster_id,
+  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+  (doc_id = cluster_id)::int AS is_representative
+FROM cc
+"""
+)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.repetition_stats(_docs(spark, sf_dir))
 
@@ -1643,6 +1689,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "neardup_verified": q_neardup_verified,
+    "dedup_clusters": q_dedup_clusters,
     # text analysis (advanced)
     "repetition_stats": q_repetition_stats,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -1708,6 +1755,7 @@ ORACLE: dict[str, str] = {
     "simhash_pairs": _SQL_SIMHASH_PAIRS,
     "ngram_jaccard": _SQL_NGRAM_JACCARD,
     "neardup_verified": _SQL_NEARDUP_VERIFIED,
+    "dedup_clusters": _SQL_DEDUP_CLUSTERS,
     "repetition_stats": _SQL_REPETITION,
     "winnow_fingerprints": _SQL_WINNOW,
     "embedding_knn": _sql_embedding_knn(),

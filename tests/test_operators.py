@@ -440,3 +440,45 @@ def test_adjacent_overlap_no_corpus_global_window(spark, docs):
     plan = _plan(relational.adjacent_word_overlap(docs))
     assert plan.count("Exchange SinglePartition") <= 1, plan
     assert "hashpartitioning(_bucket" in plan, plan
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C, C~D collapse to one cluster labeled min(id); isolated nodes
+    stay their own cluster. A 12-node path also converges (pointer jumping
+    needs O(log n) rounds, well under max_iters)."""
+    nodes = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)] + [(i, i + 1) for i in range(10, 19)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(nodes, edges).collect()
+    }
+    assert out[1] == out[2] == out[3] == out[4] == 1
+    assert all(out[i] == 10 for i in range(10, 20))
+    assert out[0] == 0 and out[5] == 5  # singletons untouched
+    assert len(out) == 20
+
+
+def test_dedup_clusters_representative_election(spark):
+    """dedup_clusters marks exactly one representative per cluster and its
+    id equals the cluster_id (min member)."""
+    d = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "alpha beta gamma delta epsilon eta"),
+            (9, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.dedup_clusters(d, threshold=0.4).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        reps = [m for m in members if m["is_representative"] == 1]
+        assert len(reps) == 1 and reps[0]["doc_id"] == cid
+        assert all(m["cluster_size"] == len(members) for m in members)
+    assert rows and {r["doc_id"] for r in rows} == {1, 2, 3, 9}
