@@ -432,6 +432,61 @@ def verified_near_dups(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination (train/test n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    text_col: str = "text",
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document k-gram overlap against a benchmark/eval set — the
+    decontamination pass every training pipeline runs before a corpus ships
+    (report + drop documents whose shingles leak evaluation data).
+
+    Output: (doc_id, n_shingles, n_matched, contamination) for every corpus
+    document; contamination = matched/total distinct shingles rounded to 6 dp,
+    NULL for documents too short to shingle.
+
+    Scale shape: the benchmark side is DISTINCT shingles of the (bounded,
+    human-written) eval set — genuinely small, so ``F.broadcast`` is correct
+    here (contrast the corpus-sized frames ADVICE r1 flagged); the corpus
+    side streams through one exploded left-join + partial-aggregated count,
+    no shuffle of the corpus on the shingle key at all.
+    """
+    sh = docs.select("doc_id", F.explode(shingles(F.col(text_col), k)).alias("s"))
+    bsh = (
+        bench_docs.select(F.explode(shingles(F.col(text_col), k)).alias("s"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    agg = (
+        sh.join(F.broadcast(bsh), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_matched"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+            F.when(
+                F.col("n_shingles").isNotNull(),
+                F.round(F.col("n_matched") / F.col("n_shingles").cast("double"), 6),
+            ).alias("contamination"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # connected components: near-dup pairs -> dedup clusters
 # ---------------------------------------------------------------------------
 

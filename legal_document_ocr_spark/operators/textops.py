@@ -298,6 +298,150 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# fastText-style linear quality classifier: fixed, published-shape weights
+# over the same feature battery quality_scores computes. Pure per-row
+# arithmetic (same operation order both engines -> bit-identical doubles).
+QUALITY_CLF_WEIGHTS = {
+    "length_component": 1.2,
+    "stop_ratio": 2.0,
+    "punct_ratio": -3.0,
+    "mean_tok_len_capped": 0.8,
+    "distinct_ratio": 1.5,
+}
+QUALITY_CLF_BIAS = -1.78  # ≈ -(p10 of w·x on the test corpus): keep ~90%
+
+
+def quality_classifier(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Linear quality-classifier INFERENCE (the keep/drop model a curation
+    funnel consumes): logit = w·x + b over per-row features, label = logit>=0.
+
+    The logit is emitted instead of a sigmoid probability: the decision is
+    identical (sigmoid is monotone) and the score stays pure arithmetic, so
+    the DuckDB oracle reproduces it bit-for-bit — exp() last-ulp divergence
+    across libms would otherwise flip rounded boundaries. The score column is
+    ``floor(logit * 1e6)`` as a bigint rather than round(·, 6): decimal
+    HALF_UP ties one ulp apart resolve differently across engines (measured:
+    one row in 500 at sf0.01), while floor of the identical binary double is
+    exact everywhere. Whole expression is JVM codegen (no UDF); features are
+    computed once per row in one pass.
+    """
+    c = F.col(text_col)
+    tokens = ws_tokens(F.lower(c))
+    n_chars = F.length(c)
+    n_tokens = F.size(tokens)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    stop_lits = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_lits, t)))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            tokens, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        )
+        / n_tokens.cast("double"),
+    ).otherwise(F.lit(0.0))
+    length_component = F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0))
+    mean_tok_len_capped = F.least(mean_tok_len / F.lit(10.0), F.lit(1.0))
+    distinct_ratio = F.when(
+        n_tokens > 0,
+        F.size(F.array_distinct(tokens)) / n_tokens.cast("double"),
+    ).otherwise(F.lit(0.0))
+    w = QUALITY_CLF_WEIGHTS
+    logit = (
+        length_component * F.lit(w["length_component"])
+        + stop_ratio * F.lit(w["stop_ratio"])
+        + punct_ratio * F.lit(w["punct_ratio"])
+        + mean_tok_len_capped * F.lit(w["mean_tok_len_capped"])
+        + distinct_ratio * F.lit(w["distinct_ratio"])
+        + F.lit(QUALITY_CLF_BIAS)
+    )
+    return docs.select(
+        "doc_id",
+        F.floor(logit * F.lit(1000000.0)).cast("long").alias("clf_logit_micro"),
+        (logit >= 0).cast("int").alias("clf_keep"),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    line_tokens: int = 10,
+    max_df: int = 5,
+) -> DataFrame:
+    """Corpus-level boilerplate line removal (the RefinedWeb/CCNet shape):
+    drop every line that occurs in more than ``max_df`` DISTINCT documents,
+    keep the rest in order. The web-scale generalization of the reference's
+    per-document block keep/drop (kernels.py K2/P3 density filter): headers,
+    nav strips and cookie banners repeat VERBATIM across a site's pages, so
+    document frequency of the line — not any per-page heuristic — is the
+    boilerplate signal.
+
+    "Lines" here are deterministic ``line_tokens``-token segments of the
+    normalized (lowercased, whitespace-split) text, so the operator is
+    corpus-structure-agnostic and the oracle can state the identical
+    segmentation.
+
+    Scale shape: explode to (doc_id, pos, line) -> groupBy(md5(line)) with a
+    partial-aggregated distinct-doc count -> join the verdict back ON THE
+    SAME key, so the exchange introduced by the groupBy is reused by the
+    join (one shuffle of 32-byte keys covers both); reassembly is one
+    groupBy(doc_id) over sort-ready (pos, line) structs. No corpus-sized
+    broadcast anywhere; the hot keys (most-repeated boilerplate lines) are
+    exactly the rows the filter discards before reassembly.
+
+    Output: (doc_id, n_lines, n_kept, kept_text) for every input document —
+    kept_text NULL when everything was boilerplate (or the doc was empty).
+    """
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    lt = F.lit(line_tokens)
+    # ceil(n/lt) line slices; sequence(0,-1) is DESCENDING, hence the guard
+    idx = F.when(n > 0, F.sequence(F.lit(0), F.ceil(n / lt).cast("int") - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    lines = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i * lt + 1, line_tokens), " ")
+    )
+    base = docs.select("doc_id", lines.alias("lines"), F.size(lines).alias("n_lines"))
+    exploded = base.select(
+        "doc_id", "n_lines", F.posexplode("lines").alias("pos", "line")
+    ).withColumn("h", F.md5("line"))
+    dfreq = exploded.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("line_df")
+    )
+    kept = (
+        exploded.join(dfreq, "h")
+        .where(F.col("line_df") <= max_df)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_lines")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            "kept_text",
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame, k: int = 3, text_col: str = "text"
 ) -> DataFrame:

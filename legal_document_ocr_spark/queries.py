@@ -1281,6 +1281,115 @@ FROM cc
 )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate line removal (textops.line_dedup): lines
+    repeating across > max_df distinct documents are dropped, text reassembled."""
+    return textops.line_dedup(_docs(spark, sf_dir))
+
+
+_SQL_LINE_DEDUP = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) > 0 THEN
+      list_transform(generate_series(0, ((len(toks) + 9) // 10) - 1),
+        i -> array_to_string(toks[i*10+1 : i*10+10], ' '))
+    ELSE []::varchar[] END AS lines
+  FROM t
+),
+b AS (SELECT doc_id, lines, len(lines) AS n_lines FROM c),
+l AS (
+  SELECT doc_id, unnest(lines) AS line, unnest(range(len(lines))) AS pos
+  FROM b
+),
+dfreq AS (SELECT md5(line) AS h, count(DISTINCT doc_id) AS line_df
+          FROM l GROUP BY 1),
+kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, ' ' ORDER BY pos) AS kept_text
+  FROM l JOIN dfreq ON md5(l.line) = dfreq.h
+  WHERE line_df <= 5
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_lines::bigint AS n_lines,
+       coalesce(k.n_kept, 0)::bigint AS n_kept, k.kept_text
+FROM b LEFT JOIN kept k USING (doc_id)
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 3-gram overlap of every corpus document
+    against a bounded eval set (doc_id % 97 == 0 stands in for the benchmark);
+    broadcast of the SMALL side only (dedup.benchmark_contamination)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    return dedup.benchmark_contamination(d, bench)
+
+
+_SQL_CONTAMINATION = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t),
+e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+bs AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0),
+hit AS (SELECT s, 1 AS _hit FROM bs),
+agg AS (
+  SELECT doc_id, count(*) AS n_shingles,
+         sum(coalesce(_hit, 0)) AS n_matched
+  FROM e LEFT JOIN hit USING (s) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(a.n_shingles, 0)::bigint AS n_shingles,
+  coalesce(a.n_matched, 0)::bigint AS n_matched,
+  CASE WHEN a.n_shingles IS NOT NULL
+       THEN round(a.n_matched / a.n_shingles::double, 6) END AS contamination
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference (textops.quality_classifier):
+    logit + keep decision, pure codegen arithmetic."""
+    return textops.quality_classifier(_docs(spark, sf_dir))
+
+
+_SQL_QUALITY_CLF = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+  FROM documents
+), s AS (
+  SELECT doc_id, text, toks, n_punct,
+    len(list_filter(toks, t -> t IN ({_in_list(STOPWORDS)}))) AS n_stop
+  FROM t
+), f AS (
+  SELECT doc_id,
+    least(length(text)::double / 500.0::double, 1.0::double) AS length_component,
+    CASE WHEN len(toks) > 0 THEN n_stop / len(toks)::double
+         ELSE 0.0::double END AS stop_ratio,
+    CASE WHEN length(text) > 0 THEN n_punct / length(text)::double
+         ELSE 0.0::double END AS punct_ratio,
+    least((CASE WHEN len(toks) > 0
+               THEN list_reduce(list_transform(toks, t -> length(t)::double),
+                                (a, b) -> a + b) / len(toks)::double
+               ELSE 0.0::double END) / 10.0::double, 1.0::double)
+      AS mean_tok_len_capped,
+    CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) / len(toks)::double
+         ELSE 0.0::double END AS distinct_ratio
+  FROM s
+)
+SELECT doc_id,
+  floor((length_component * 1.2::double + stop_ratio * 2.0::double
+        + punct_ratio * (-3.0::double) + mean_tok_len_capped * 0.8::double
+        + distinct_ratio * 1.5::double + (-1.78::double))
+        * 1000000.0::double)::bigint AS clf_logit_micro,
+  (length_component * 1.2::double + stop_ratio * 2.0::double
+   + punct_ratio * (-3.0::double) + mean_tok_len_capped * 0.8::double
+   + distinct_ratio * 1.5::double + (-1.78::double) >= 0.0::double)::int
+    AS clf_keep
+FROM f
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.repetition_stats(_docs(spark, sf_dir))
 
@@ -1690,6 +1799,9 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "neardup_verified": q_neardup_verified,
     "dedup_clusters": q_dedup_clusters,
+    "line_dedup": q_line_dedup,
+    "contamination": q_contamination,
+    "quality_classifier": q_quality_classifier,
     # text analysis (advanced)
     "repetition_stats": q_repetition_stats,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -1756,6 +1868,9 @@ ORACLE: dict[str, str] = {
     "ngram_jaccard": _SQL_NGRAM_JACCARD,
     "neardup_verified": _SQL_NEARDUP_VERIFIED,
     "dedup_clusters": _SQL_DEDUP_CLUSTERS,
+    "line_dedup": _SQL_LINE_DEDUP,
+    "contamination": _SQL_CONTAMINATION,
+    "quality_classifier": _SQL_QUALITY_CLF,
     "repetition_stats": _SQL_REPETITION,
     "winnow_fingerprints": _SQL_WINNOW,
     "embedding_knn": _sql_embedding_knn(),

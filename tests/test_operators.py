@@ -482,3 +482,59 @@ def test_dedup_clusters_representative_election(spark):
         assert len(reps) == 1 and reps[0]["doc_id"] == cid
         assert all(m["cluster_size"] == len(members) for m in members)
     assert rows and {r["doc_id"] for r in rows} == {1, 2, 3, 9}
+
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    """A 10-token segment repeated across >max_df docs is removed everywhere;
+    unique segments survive in original order; all-boilerplate docs yield
+    NULL kept_text with n_kept=0."""
+    nav = " ".join(f"nav{i}" for i in range(10))
+    rows = [(i, nav + " " + " ".join(f"u{i}w{j}" for j in range(10))) for i in range(6)]
+    rows.append((6, nav))  # all boilerplate
+    rows.append((7, " ".join(f"solo{j}" for j in range(25))))  # 3 lines, all unique
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.line_dedup(d, max_df=5).collect()}
+    for i in range(6):
+        assert out[i]["n_lines"] == 2 and out[i]["n_kept"] == 1
+        assert out[i]["kept_text"] == " ".join(f"u{i}w{j}" for j in range(10))
+    assert out[6]["n_kept"] == 0 and out[6]["kept_text"] is None
+    assert out[7]["n_kept"] == 3
+    assert out[7]["kept_text"] == " ".join(f"solo{j}" for j in range(25))
+
+
+def test_contamination_flags_benchmark_overlap(spark):
+    """A doc copying a benchmark doc scores 1.0; disjoint text scores 0.0;
+    a half-overlapping doc lands strictly between; too-short docs are NULL."""
+    bench = spark.createDataFrame(
+        [(100, "secret eval question about spark shuffles here")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "secret eval question about spark shuffles here"),
+            (2, "completely unrelated words that never appeared before"),
+            (3, "secret eval question about something else entirely now"),
+            (4, "hi there"),  # < 3 tokens -> no shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.benchmark_contamination(corpus, bench).collect()}
+    assert out[1]["contamination"] == 1.0
+    assert out[2]["contamination"] == 0.0
+    assert 0.0 < out[3]["contamination"] < 1.0
+    assert out[4]["contamination"] is None and out[4]["n_shingles"] == 0
+
+
+def test_quality_classifier_orders_quality(spark):
+    """Clean stopword-rich prose keeps; punctuation soup drops; logit_micro
+    is the floor-scaled logit (monotone in the raw score)."""
+    d = spark.createDataFrame(
+        [
+            (1, "the quick brown fox is on the mat and it is a very fine day " * 5),
+            (2, "@@@ ### !!! ;;; ::: %%% &&& *** ((( ))) $$$ " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.quality_classifier(d).collect()}
+    assert out[1]["clf_keep"] == 1 and out[2]["clf_keep"] == 0
+    assert out[1]["clf_logit_micro"] > 0 > out[2]["clf_logit_micro"]
