@@ -51,6 +51,8 @@ HEADLINE = [
     "asof_events",            # as-of join (union-merge window)
     "domain_profile",         # per-domain skew/dup diagnosis
     "stratified_sample",      # deterministic hash sampling
+    "dedup_clusters",         # pairs -> connected components -> reps
+    "line_dedup",             # corpus-level boilerplate line removal
 ]
 
 

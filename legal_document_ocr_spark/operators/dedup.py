@@ -212,7 +212,9 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text", *, k: int =
         docs, text_col, k=k, num_hashes=num_hashes, bands=bands
     ).persist()
     left = bb.alias("l")
-    right = bb.alias("r")
+    # both sides are the corpus-sized band table: shuffle join on the
+    # (band, bucket) key, never a planner broadcast of one side
+    right = bb.alias("r").hint("shuffle_hash")
     return (
         left.join(
             right,
@@ -293,7 +295,8 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text", *,
     keyed = sig.select("doc_id", "simhash", *chunk_cols).persist()
     pairs = None
     for c in range(chunks):
-        l, r = keyed.alias("l"), keyed.alias("r")
+        # corpus-sized signature table on both sides: shuffle join per chunk
+        l, r = keyed.alias("l"), keyed.alias("r").hint("shuffle_hash")
         p = l.join(
             r,
             (F.col(f"l.chunk_{c}") == F.col(f"r.chunk_{c}"))
@@ -409,11 +412,13 @@ def verified_near_dups(
         "doc_id",
         shingles(F.col(text_col), k).alias("sh"),
     ).persist()
+    # the shingle tables carry full per-doc shingle ARRAYS and are
+    # corpus-sized — the worst possible broadcast payload; shuffle join on id
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        candidates.join(a, "id_a")
-        .join(b, "id_b")
+        candidates.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -429,6 +434,47 @@ def verified_near_dups(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (arriving batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    arriving: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Admit only arriving documents whose content hash is new — the
+    CONTINUOUS-ingest shape of exact dedup (a crawl never dedups from
+    scratch; each batch checks against the accumulated hash set). Direct
+    generalization of the reference's cache-hit short-circuit
+    (app/utils/cache_manager.py:24-37): known hash => skip work.
+
+    Two stages, both hash-keyed:
+    1. intra-batch: keep min(doc_id) per hash WITHIN the arrivals (a batch
+       can carry its own duplicates),
+    2. cross-corpus: LEFT ANTI join against the corpus hash set — at rest
+       that set is a hash-bucketed table, so the anti join is co-located
+       and touches only matching buckets; nothing is broadcast (both sides
+       corpus-scale).
+
+    Output: admitted rows (doc_id, content_hash) — the delta a writer would
+    append to the corpus hash set, completing the loop.
+    """
+    arr = arriving.select(
+        "doc_id", F.sha2(F.col(text_col), 256).alias("content_hash")
+    )
+    batch_reps = (
+        arr.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "content_hash")
+    )
+    seen = corpus.select(F.sha2(F.col(text_col), 256).alias("content_hash"))
+    return batch_reps.join(
+        seen.hint("shuffle_hash"), "content_hash", "left_anti"
+    ).select("doc_id", "content_hash")
 
 
 # ---------------------------------------------------------------------------
@@ -473,7 +519,8 @@ def benchmark_contamination(
     )
     return (
         docs.select("doc_id")
-        .join(agg, "doc_id", "left")
+        # agg is corpus-sized (one row per doc): shuffle join, never broadcast
+        .join(agg.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
@@ -536,8 +583,10 @@ def connected_components(
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iters):
-        # neighbor step: a node sees every neighbor's current label
-        cand = sym.join(labels, sym.src == labels.node).select(
+        # neighbor step: a node sees every neighbor's current label. Both the
+        # label table and the edge list are corpus-sized — shuffle_hash keeps
+        # the planner from broadcasting whichever side looks small this round.
+        cand = sym.join(labels.hint("shuffle_hash"), sym.src == labels.node).select(
             F.col("dst").alias("node"), "label"
         )
         merged = (
@@ -549,7 +598,7 @@ def connected_components(
             F.col("node").alias("l_node"), F.col("label").alias("l_label")
         )
         labels = (
-            merged.join(lut, merged.label == F.col("l_node"))
+            merged.join(lut.hint("shuffle_hash"), merged.label == F.col("l_node"))
             .select("node", F.col("l_label").alias("label"))
             .localCheckpoint()
         )
@@ -616,7 +665,8 @@ def embedding_near_dups(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         sign_bucket_expr(F.col(vec_col), bucket_dims).alias("bucket"),
     )
-    l, r = keyed.alias("l"), keyed.alias("r")
+    # corpus-sized vector table on both sides: shuffle join on the bucket key
+    l, r = keyed.alias("l"), keyed.alias("r").hint("shuffle_hash")
     return (
         l.join(
             r,

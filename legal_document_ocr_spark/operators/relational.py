@@ -282,6 +282,7 @@ def asof_join(
     ts: str,
     value_col: str,
     out_col: str = "asof_value",
+    dedupe_right: str | None = None,
 ) -> DataFrame:
     """As-of join: attach to each ``left`` row the ``value_col`` of the most
     recent ``right`` row with the same ``key`` and ``right.ts <= left.ts``
@@ -292,9 +293,19 @@ def asof_join(
     ONE window per key ordered by (ts, side) — right rows sort before left
     rows at equal ts, giving at-or-before semantics. One shuffle on the key,
     O(n log n) per key, no quadratic candidate explosion and no broadcast —
-    the shape that survives a 100 TB event stream. ``right`` must be unique
-    per (key, ts) for deterministic output (pre-aggregate if not).
+    the shape that survives a 100 TB event stream.
+
+    ``right`` must be unique per (key, ts) for deterministic output;
+    ``dedupe_right`` folds the pre-aggregate in: an order-insensitive SQL
+    aggregate name ('max'/'min'/'avg'/'sum') applied to ``value_col`` per
+    (key, ts) before the merge. The groupBy partial-aggregates map-side, so
+    duplicate-heavy right streams (tick data, retried events) shrink before
+    the shuffle.
     """
+    if dedupe_right is not None:
+        right = right.groupBy(key, ts).agg(
+            F.expr(f"{dedupe_right}(`{value_col}`)").alias(value_col)
+        )
     lt = left.withColumn("_src", F.lit(1)).withColumn(
         "_rv", F.lit(None).cast(right.schema[value_col].dataType)
     )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -298,6 +298,98 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    window: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window preparation step of
+    a training pipeline: each document becomes overlapping ``window``-token
+    chunks advancing by ``stride`` (overlap = window - stride), preserving
+    order. Output: (doc_id, chunk_id, n_tokens, chunk_text); empty documents
+    produce no chunks.
+
+    Pure array expressions (tokenize once, slice per chunk) — stays in
+    whole-stage codegen, fan-out is a single posexplode; no shuffle at all,
+    so the operator scales exactly as the scan does.
+    """
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    s, w = F.lit(stride), F.lit(window)
+    n_chunks = F.floor((F.greatest(n - w, F.lit(0)) + s - 1) / s).cast("int") + 1
+    starts = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(starts, lambda i: F.slice(toks, i * s + 1, window))
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size("c").cast("long").alias("n_tokens"),
+            F.array_join("c", " ").alias("chunk_text"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    seq_len: int = 64,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Concat-and-split sequence packing (the GPT-style batch layout): lay
+    every document's tokens end-to-end in doc_id order and cut fixed
+    ``seq_len`` sequences; emit each document's placement. Output:
+    (doc_id, n_tokens, start_offset, first_seq, last_seq) for documents with
+    tokens — the metadata a loader needs to pack without materializing
+    token-level rows.
+
+    The global running offset is the scale hazard: ``sum() OVER (ORDER BY
+    doc_id)`` is a single-partition window. Same cure as
+    adjacent_word_overlap — cumsum inside id-range buckets (ordering by
+    (bucket, doc_id) == ordering by doc_id), then add per-bucket offsets
+    computed from the bounded bucket-total table (corpus/bucket_size rows,
+    the only single-partition window). The oracle states the plain global
+    window — identical result, different (scalable) plan.
+    """
+    base = docs.select(
+        "doc_id",
+        F.size(ws_tokens(F.lower(F.col(text_col)))).cast("long").alias("n_tokens"),
+        F.floor(F.col("doc_id") / bucket_size).alias("_bucket"),
+    ).where(F.col("n_tokens") > 0)
+    in_bucket = Window.partitionBy("_bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = base.withColumn(
+        "_local_off", F.coalesce(F.sum("n_tokens").over(in_bucket), F.lit(0))
+    )
+    totals = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_tot"))
+    over_buckets = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = totals.withColumn(
+        "_bucket_off", F.coalesce(F.sum("_tot").over(over_buckets), F.lit(0))
+    ).select("_bucket", "_bucket_off")
+    packed = local.join(F.broadcast(offs), "_bucket").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("_local_off") + F.col("_bucket_off")).alias("start_offset"),
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / seq_len).alias("first_seq"),
+        F.floor(
+            (F.col("start_offset") + F.col("n_tokens") - 1) / seq_len
+        ).alias("last_seq"),
+    )
+
+
 # fastText-style linear quality classifier: fixed, published-shape weights
 # over the same feature battery quality_scores computes. Pure per-row
 # arithmetic (same operation order both engines -> bit-identical doubles).
@@ -415,8 +507,12 @@ def line_dedup(
     dfreq = exploded.groupBy("h").agg(
         F.count_distinct("doc_id").alias("line_df")
     )
+    # shuffle_hash: dfreq has one row per DISTINCT LINE — corpus-sized, never
+    # broadcastable (the planner happily broadcasts it at test scale; at 100 TB
+    # that's the driver-funnel trap BASELINE.md measured at 0.26 scaling).
+    # Both sides are already exchanged on h, so the hint costs nothing extra.
     kept = (
-        exploded.join(dfreq, "h")
+        exploded.join(dfreq.hint("shuffle_hash"), "h")
         .where(F.col("line_df") <= max_df)
         .groupBy("doc_id")
         .agg(
@@ -432,7 +528,7 @@ def line_dedup(
     )
     return (
         base.select("doc_id", "n_lines")
-        .join(kept, "doc_id", "left")
+        .join(kept.hint("shuffle_hash"), "doc_id", "left")  # kept is corpus-sized
         .select(
             "doc_id",
             "n_lines",

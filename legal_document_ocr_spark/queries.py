@@ -672,15 +672,14 @@ def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = events.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    # right side unique per (key, ts): deterministic regardless of tie order
-    views = (
-        events.where(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("value"))
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
     )
+    # dedupe_right='max' makes the right side unique per (key, ts) inside
+    # the operator: deterministic regardless of tie order
     joined = relational.asof_join(
         purchases, views, key="user_id", ts="ts",
-        value_col="value", out_col="last_view_value",
+        value_col="value", out_col="last_view_value", dedupe_right="max",
     )
     return joined.select(
         "user_id",
@@ -1317,6 +1316,87 @@ FROM b LEFT JOIN kept k USING (doc_id)
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest exact dedup (dedup.incremental_dedup): an arriving
+    batch (tail of the corpus + exact copies of the head) is admitted only
+    where its content hash is new; intra-batch dups collapse first."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.where(F.col("doc_id") < 400)
+    arriving = d.where(F.col("doc_id") >= 400).unionByName(
+        d.where(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + 200000
+        )
+    )
+    return dedup.incremental_dedup(corpus, arriving)
+
+
+_SQL_INCREMENTAL_DEDUP = """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+arriving AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id < 50
+),
+arr AS (SELECT doc_id, sha256(text) AS content_hash FROM arriving),
+reps AS (SELECT min(doc_id) AS doc_id, content_hash FROM arr
+         GROUP BY content_hash),
+seen AS (SELECT DISTINCT sha256(text) AS content_hash FROM corpus)
+SELECT doc_id, content_hash FROM reps r
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.content_hash = r.content_hash)
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (textops.chunk_documents): 50-token
+    windows advancing by 40 — shuffle-free posexplode fan-out."""
+    return textops.chunk_documents(_docs(spark, sf_dir))
+
+
+_SQL_CHUNK_DOCS = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) > 0 THEN
+      list_transform(
+        generate_series(0, ((greatest(len(toks) - 50, 0) + 39) // 40)::int),
+        i -> toks[i*40+1 : i*40+50])
+    ELSE []::varchar[][] END AS chunks
+  FROM t
+),
+l AS (
+  SELECT doc_id, unnest(range(len(chunks))) AS chunk_id, unnest(chunks) AS c
+  FROM c
+)
+SELECT doc_id, chunk_id::bigint AS chunk_id, len(c)::bigint AS n_tokens,
+       array_to_string(c, ' ') AS chunk_text
+FROM l
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing metadata (textops.pack_sequences):
+    global token offsets in doc_id order via bucketed two-phase cumsum; the
+    oracle states the plain single-window formulation."""
+    return textops.pack_sequences(_docs(spark, sf_dir))
+
+
+_SQL_PACK_SEQUENCES = f"""
+WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+nz AS (SELECT doc_id, n_tokens FROM t WHERE n_tokens > 0),
+s AS (
+  SELECT doc_id, n_tokens::bigint AS n_tokens,
+    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+      AS start_offset
+  FROM nz
+)
+SELECT doc_id, n_tokens, start_offset,
+  (start_offset // 64)::bigint AS first_seq,
+  ((start_offset + n_tokens - 1) // 64)::bigint AS last_seq
+FROM s
+"""
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: 3-gram overlap of every corpus document
     against a bounded eval set (doc_id % 97 == 0 stands in for the benchmark);
@@ -1802,6 +1882,9 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "contamination": q_contamination,
     "quality_classifier": q_quality_classifier,
+    "incremental_dedup": q_incremental_dedup,
+    "chunk_documents": q_chunk_documents,
+    "pack_sequences": q_pack_sequences,
     # text analysis (advanced)
     "repetition_stats": q_repetition_stats,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -1871,6 +1954,9 @@ ORACLE: dict[str, str] = {
     "line_dedup": _SQL_LINE_DEDUP,
     "contamination": _SQL_CONTAMINATION,
     "quality_classifier": _SQL_QUALITY_CLF,
+    "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
+    "chunk_documents": _SQL_CHUNK_DOCS,
+    "pack_sequences": _SQL_PACK_SEQUENCES,
     "repetition_stats": _SQL_REPETITION,
     "winnow_fingerprints": _SQL_WINNOW,
     "embedding_knn": _sql_embedding_knn(),

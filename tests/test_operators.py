@@ -538,3 +538,111 @@ def test_quality_classifier_orders_quality(spark):
     out = {r["doc_id"]: r for r in textops.quality_classifier(d).collect()}
     assert out[1]["clf_keep"] == 1 and out[2]["clf_keep"] == 0
     assert out[1]["clf_logit_micro"] > 0 > out[2]["clf_logit_micro"]
+
+
+def test_ivf_refinement_reduces_inertia(spark, embeddings):
+    """k-means property: each refinement iteration is non-increasing in
+    inertia (sum of squared distances to the assigned centroid), and the
+    first iteration strictly improves on the raw id-seeded centroids."""
+    corpus = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    def inertia(refine_iters: int) -> float:
+        cents = embeddings.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cell_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+        )
+        for _ in range(refine_iters):
+            assigned = similarity._assign_to_centroids(corpus, cents, "vec_id")
+            cents = similarity._refine_centroids(corpus, assigned, "vec_id")
+        d = corpus.crossJoin(F.broadcast(cents)).select(
+            "vec_id", similarity.sq_dist_expr(F.col("v"), F.col("cv")).alias("dist")
+        )
+        return (
+            d.groupBy("vec_id").agg(F.min("dist").alias("m"))
+            .agg(F.sum("m")).collect()[0][0]
+        )
+
+    i0, i1, i2 = inertia(0), inertia(1), inertia(2)
+    assert i1 < i0
+    assert i2 <= i1 + 1e-9
+
+
+def test_dedup_family_plans_have_no_corpus_broadcasts(spark):
+    """Every pair/cluster/line operator joins corpus-sized computed frames —
+    none may appear as a BroadcastExchange (the planner happily broadcasts
+    them at test scale; at corpus scale that funnels the table through the
+    driver). benchmark_contamination keeps exactly ONE broadcast: the bounded
+    benchmark shingle set."""
+    import legal_document_ocr_spark.queries as Q
+
+    zero_broadcast = [
+        "minhash_pairs", "simhash_pairs", "neardup_verified",
+        "dedup_clusters", "line_dedup", "embedding_near_dups",
+    ]
+    for name in zero_broadcast:
+        plan = _plan(Q.SPARK[name](spark, SF))
+        assert plan.count("BroadcastExchange") == 0, f"{name}:\n{plan}"
+    plan = _plan(Q.SPARK["contamination"](spark, SF))
+    assert plan.count("BroadcastExchange") == 1, plan
+
+
+def test_incremental_dedup_admits_only_new_content(spark):
+    """Cross-corpus dups and intra-batch dups are both rejected; one
+    representative (min doc_id) per genuinely-new hash is admitted."""
+    corpus = spark.createDataFrame(
+        [(1, "seen before text one"), (2, "seen before text two")],
+        "doc_id long, text string",
+    )
+    arriving = spark.createDataFrame(
+        [
+            (10, "seen before text one"),   # cross-corpus dup -> reject
+            (11, "brand new text alpha"),   # admit
+            (12, "brand new text alpha"),   # intra-batch dup -> collapse to 11
+            (13, "brand new text beta"),    # admit
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"] for r in dedup.incremental_dedup(corpus, arriving).collect()}
+    assert out == {11, 13}
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    """95 tokens with window=50/stride=40 -> chunks [0:50], [40:90], [80:95]
+    (every token covered, ceil((n-w)/s)+1 chunks); empty docs produce no
+    chunks; short docs produce one full-copy chunk."""
+    long_doc = " ".join(f"t{i}" for i in range(95))
+    d = spark.createDataFrame(
+        [(1, long_doc), (2, "only three tokens"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = textops.chunk_documents(d).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_tokens"] for r in c1] == [50, 50, 15]
+    assert c1[1]["chunk_text"].split()[0] == "t40"
+    assert c1[2]["chunk_text"].split() == [f"t{i}" for i in range(80, 95)]
+    assert [r["n_tokens"] for r in by_doc[2]] == [3]
+    assert 3 not in by_doc
+
+
+def test_pack_sequences_offsets_are_contiguous(spark, docs):
+    """Offsets in doc_id order tile the token stream exactly: each doc starts
+    where the previous ended, and seq ids match floor(offset / seq_len).
+    The corpus-side cumsum must not be a single global-window partition."""
+    out = sorted(
+        textops.pack_sequences(docs, bucket_size=100).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    off = 0
+    for r in out:
+        assert r["start_offset"] == off
+        assert r["first_seq"] == off // 64
+        assert r["last_seq"] == (off + r["n_tokens"] - 1) // 64
+        off += r["n_tokens"]
+    plan = _plan(textops.pack_sequences(docs, bucket_size=100))
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "hashpartitioning(_bucket" in plan, plan
