@@ -53,6 +53,7 @@ HEADLINE = [
     "stratified_sample",      # deterministic hash sampling
     "dedup_clusters",         # pairs -> connected components -> reps
     "line_dedup",             # corpus-level boilerplate line removal
+    "lm_scores",              # self-trained char-bigram LM perplexity
 ]
 
 

@@ -390,6 +390,68 @@ def pack_sequences(
     )
 
 
+def lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style LM quality scoring with a SELF-TRAINED character-bigram
+    model: P(c2|c1) from corpus counts, per-document score = average negative
+    log-likelihood of its bigrams (lower = more "normal" text — the
+    perplexity filter of web-corpus curation, with the n-gram model trained
+    on the corpus itself so no external artifact is needed).
+
+    Scale shape: the corpus explodes to (doc_id, bigram) once and feeds BOTH
+    the model (two map-side-combined groupBys onto the bounded
+    alphabet²-sized vocabulary) and the scoring join — where the MODEL side
+    broadcasts (bounded by construction; the corpus side never shuffles on
+    the bigram key). Determinism across engines: each bigram's ln P is
+    rounded to 9 dp and summed as DECIMAL — parallel double summation is
+    order-dependent, decimal addition is exact — then one double division
+    and a floor(·1e6) at the end (floor of the identical binary double is
+    engine-exact; decimal HALF_UP is not).
+
+    Output: (doc_id, n_bigrams, nll_micro) for every document; NULL score
+    for documents shorter than 2 characters.
+    """
+    lt = F.lower(F.col(text_col))
+    n = F.length(lt)
+    src = docs.select("doc_id", lt.alias("lt")).where(F.length("lt") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.length("lt") - 1),
+        lambda i: F.col("lt").substr(i, F.lit(2)),
+    )
+    ex = src.select("doc_id", F.explode(bigrams).alias("bg")).persist()
+    mc = ex.groupBy("bg").agg(F.count("*").alias("cnt"))
+    pc = mc.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("cnt").alias("pcnt")
+    )
+    model = (
+        mc.join(pc, F.substring("bg", 1, 1) == F.col("c1"))
+        .select(
+            "bg",
+            F.round(F.log(F.col("cnt") / F.col("pcnt").cast("double")), 9)
+            .cast("decimal(28,12)")
+            .alias("lnp"),
+        )
+    )
+    sc = (
+        ex.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(F.sum("lnp").alias("s"), F.count("*").alias("m"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(sc.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("m", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.when(
+                F.col("m").isNotNull(),
+                F.floor(
+                    (-(F.col("s").cast("double")) / F.col("m")) * 1000000.0
+                ).cast("long"),
+            ).alias("nll_micro"),
+        )
+    )
+
+
 # fastText-style linear quality classifier: fixed, published-shape weights
 # over the same feature battery quality_scores computes. Pure per-row
 # arithmetic (same operation order both engines -> bit-identical doubles).

@@ -1397,6 +1397,36 @@ FROM s
 """
 
 
+def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained char-bigram LM perplexity scoring (textops.lm_scores)."""
+    return textops.lm_scores(_docs(spark, sf_dir))
+
+
+_SQL_LM_SCORES = """
+WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+e AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, length(lt) - 1),
+                          i -> substr(lt, i, 2))) AS bg
+  FROM t WHERE length(lt) >= 2
+),
+mc AS (SELECT bg, count(*) AS cnt FROM e GROUP BY bg),
+pc AS (SELECT substr(bg, 1, 1) AS c1, sum(cnt) AS pcnt FROM mc GROUP BY 1),
+model AS (
+  SELECT bg, round(ln(cnt / pcnt::double), 9)::decimal(28,12) AS lnp
+  FROM mc JOIN pc ON substr(mc.bg, 1, 1) = pc.c1
+),
+sc AS (
+  SELECT doc_id, sum(lnp) AS s, count(*) AS m
+  FROM e JOIN model USING (bg) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(sc.m, 0)::bigint AS n_bigrams,
+  CASE WHEN sc.m IS NOT NULL
+       THEN floor((-(s::double) / m) * 1000000.0)::bigint END AS nll_micro
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: 3-gram overlap of every corpus document
     against a bounded eval set (doc_id % 97 == 0 stands in for the benchmark);
@@ -1885,6 +1915,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
+    "lm_scores": q_lm_scores,
     # text analysis (advanced)
     "repetition_stats": q_repetition_stats,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -1957,6 +1988,7 @@ ORACLE: dict[str, str] = {
     "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
     "chunk_documents": _SQL_CHUNK_DOCS,
     "pack_sequences": _SQL_PACK_SEQUENCES,
+    "lm_scores": _SQL_LM_SCORES,
     "repetition_stats": _SQL_REPETITION,
     "winnow_fingerprints": _SQL_WINNOW,
     "embedding_knn": _sql_embedding_knn(),

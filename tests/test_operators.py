@@ -646,3 +646,16 @@ def test_pack_sequences_offsets_are_contiguous(spark, docs):
     plan = _plan(textops.pack_sequences(docs, bucket_size=100))
     assert plan.count("Exchange SinglePartition") <= 1, plan
     assert "hashpartitioning(_bucket" in plan, plan
+
+
+def test_lm_scores_rank_anomalous_text_higher(spark):
+    """Self-trained bigram LM: documents matching the corpus distribution
+    score lower avg-NLL than an anomalous outlier; sub-2-char docs are NULL."""
+    rows = [(i, "the cat sat on the mat near the hat") for i in range(8)]
+    rows += [(100, "zqxj vwkp qzzx jjvw pkqz")]  # out-of-distribution bigrams
+    rows += [(101, "x")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.lm_scores(d).collect()}
+    normal = max(out[i]["nll_micro"] for i in range(8))
+    assert out[100]["nll_micro"] > normal
+    assert out[101]["nll_micro"] is None and out[101]["n_bigrams"] == 0
