@@ -42,6 +42,49 @@ def deterministic_sample(
     return df.where(hash_bucket(F.col(key_col)) < int(fraction * _BUCKETS))
 
 
+def mixture_weights(
+    df: DataFrame,
+    targets: Mapping[str, float],
+    *,
+    key_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Rebalance a corpus toward a TARGET MIXTURE (the data-mixing step of
+    training-set assembly: "the final mix should be 50% src0, 30% src1, ...").
+
+    For each group g with c_g rows in a corpus of T rows and target share
+    t_g, the keep rate is r_g = min(1, t_g·T / c_g) — downsample
+    over-represented groups toward the target, never upsample. The keep
+    decision is the content-addressed hash bucket (< floor(r_g·10⁴)), so
+    membership is stable across runs/partitionings/engines and the realized
+    mixture converges to the target as T grows.
+
+    Scale shape: one map-side-combined count per group (bounded by |groups|,
+    broadcastable by construction) joined back to the corpus; the decision
+    itself is a pure row expression. Output: every input row plus
+    (keep_threshold, keep) — the caller filters on ``keep`` or audits rates.
+    """
+    total = df.count()  # scalar driver aggregate, O(1) result
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_cg"))
+    thr = F.lit(0)
+    for g, t in sorted(targets.items()):
+        rate = F.least(
+            F.lit(1.0), F.lit(float(t)) * F.lit(total) / F.col("_cg").cast("double")
+        )
+        thr = F.when(
+            F.col(group_col) == g, F.floor(rate * _BUCKETS).cast("long")
+        ).otherwise(thr)
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .withColumn("keep_threshold", thr)
+        .withColumn(
+            "keep",
+            (hash_bucket(F.col(key_col)) < F.col("keep_threshold")).cast("int"),
+        )
+        .drop("_cg")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: Mapping[str, float],

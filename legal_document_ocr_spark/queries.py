@@ -1033,6 +1033,42 @@ WHERE ('0x' || substr(md5(k.doc_id::varchar), 1, 7))::bigint % 10000 < 5000
 """
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing rebalance (sampling.mixture_weights): per-source keep
+    rates toward a target mixture, content-addressed keep decisions."""
+    from .operators import sampling
+
+    targets = {"src0": 0.2, "src1": 0.04, "src2": 0.01, "src3": 0.05}
+    out = sampling.mixture_weights(
+        _docs(spark, sf_dir), targets, key_col="doc_id", group_col="source"
+    )
+    return out.select("doc_id", "source", "keep_threshold", "keep")
+
+
+_SQL_MIXTURE_WEIGHTS = """
+WITH c AS (SELECT source, count(*) AS cg FROM documents GROUP BY source),
+tt AS (SELECT count(*) AS total FROM documents),
+j AS (
+  SELECT d.doc_id, d.source, c.cg, tt.total
+  FROM documents d JOIN c USING (source) CROSS JOIN tt
+),
+thr AS (
+  SELECT doc_id, source,
+    CASE source
+      WHEN 'src0' THEN floor(least(1.0::double, 0.2::double * total / cg::double) * 10000)::bigint
+      WHEN 'src1' THEN floor(least(1.0::double, 0.04::double * total / cg::double) * 10000)::bigint
+      WHEN 'src2' THEN floor(least(1.0::double, 0.01::double * total / cg::double) * 10000)::bigint
+      WHEN 'src3' THEN floor(least(1.0::double, 0.05::double * total / cg::double) * 10000)::bigint
+      ELSE 0::bigint END AS keep_threshold
+  FROM j
+)
+SELECT doc_id, source, keep_threshold,
+  (('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 10000
+   < keep_threshold)::int AS keep
+FROM thr
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.fingerprints(_docs(spark, sf_dir))
 
@@ -1500,6 +1536,75 @@ FROM f
 """
 
 
+def q_curation_funnel_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel upgraded with NEAR-dup clustering: quality + language
+    filter -> connected-component representatives (dedup.dedup_clusters) ->
+    deterministic downsample. The production composition: exact dedup alone
+    leaves trivially-perturbed copies in the mix."""
+    from .operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    q = textops.quality_scores(docs).select("doc_id", "quality_score")
+    kept = docs.join(q, "doc_id").where(
+        (F.col("quality_score") >= 0.45) & F.col("lang").isin("en", "zh")
+    )
+    reps = (
+        dedup.dedup_clusters(kept.select("doc_id", "text"))
+        .where(F.col("is_representative") == 1)
+        .select("doc_id")
+    )
+    sampled = sampling.deterministic_sample(
+        kept.join(reps, "doc_id", "semi"), 0.5, key_col="doc_id"
+    )
+    return sampled.select("doc_id", "lang", "quality_score")
+
+
+_SQL_CURATION_FUNNEL_NEARDUP = (
+    f"""
+WITH RECURSIVE qq AS ({_SQL_QUALITY}),
+filtered AS (
+  SELECT d.doc_id, d.text, d.lang, qq.quality_score
+  FROM documents d JOIN qq USING (doc_id)
+  WHERE qq.quality_score >= 0.45::double AND d.lang IN ('en', 'zh')
+),
+"""
+    + _sql_minhash_bands("SELECT doc_id, text FROM filtered").replace(
+        "\nWITH src AS", "\nsrc AS", 1
+    ).lstrip()
+    + f""",
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+shd AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM src) tt
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN shd a ON a.doc_id = id_a JOIN shd b ON b.doc_id = id_b
+  WHERE round(len(list_intersect(a.sh, b.sh))
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::double,
+          6) >= 0.5::double
+),
+sym AS (
+  SELECT id_a AS src_n, id_b AS dst_n FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+walk(node, lbl) AS (
+  SELECT doc_id, doc_id FROM src
+  UNION
+  SELECT s.dst_n, w.lbl FROM walk w JOIN sym s ON s.src_n = w.node
+),
+cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY node)
+SELECT f.doc_id, f.lang, f.quality_score
+FROM filtered f JOIN cc ON cc.doc_id = f.doc_id AND cc.doc_id = cc.cluster_id
+WHERE ('0x' || substr(md5(f.doc_id::varchar), 1, 7))::bigint % 10000 < 5000
+"""
+)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.repetition_stats(_docs(spark, sf_dir))
 
@@ -1898,6 +2003,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_terms": q_top_terms,
     "tfidf_terms": q_tfidf_terms,
     "curation_funnel": q_curation_funnel,
+    "curation_funnel_neardup": q_curation_funnel_neardup,
+    "mixture_weights": q_mixture_weights,
     # dedup family
     "dedup_exact": q_dedup_exact,
     "dedup_stats": q_dedup_stats,
@@ -1972,6 +2079,8 @@ ORACLE: dict[str, str] = {
     "top_terms": _SQL_TOP_TERMS,
     "tfidf_terms": _SQL_TFIDF_TERMS,
     "curation_funnel": _SQL_CURATION_FUNNEL,
+    "curation_funnel_neardup": _SQL_CURATION_FUNNEL_NEARDUP,
+    "mixture_weights": _SQL_MIXTURE_WEIGHTS,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_stats": _SQL_DEDUP_STATS,
     "events_json": _SQL_EVENTS_JSON,

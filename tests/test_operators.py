@@ -659,3 +659,26 @@ def test_lm_scores_rank_anomalous_text_higher(spark):
     normal = max(out[i]["nll_micro"] for i in range(8))
     assert out[100]["nll_micro"] > normal
     assert out[101]["nll_micro"] is None and out[101]["n_bigrams"] == 0
+
+
+def test_mixture_weights_rebalances_toward_target(spark):
+    """Over-represented groups downsample toward the target share;
+    under-represented groups cap at keep-all; unlisted groups drop."""
+    from legal_document_ocr_spark.operators import sampling
+
+    rows = [(i, "a") for i in range(80)] + [(100 + i, "b") for i in range(20)]
+    rows += [(200 + i, "c") for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = sampling.mixture_weights(
+        d, {"a": 0.5, "b": 0.5}, key_col="doc_id", group_col="grp"
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["grp"], []).append(r)
+    # a: rate = 0.5*110/80 -> 0.6875 -> threshold 6875
+    assert all(r["keep_threshold"] == 6875 for r in by["a"])
+    # b: rate = 0.5*110/20 -> capped at 1.0 -> keep all
+    assert all(r["keep_threshold"] == 10000 and r["keep"] == 1 for r in by["b"])
+    assert all(r["keep_threshold"] == 0 and r["keep"] == 0 for r in by["c"])
+    kept_a = sum(r["keep"] for r in by["a"])
+    assert 0 < kept_a < 80
