@@ -1033,6 +1033,71 @@ WHERE ('0x' || substr(md5(k.doc_id::varchar), 1, 7))::bigint % 10000 < 5000
 """
 
 
+def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/urls.py) over deterministically
+    dirtied urls: mixed case, default port, tracking params, fragments,
+    trailing slashes — one codegen'd expression, no shuffle."""
+    from .operators import urls
+
+    d = _docs(spark, sf_dir)
+    messy = F.concat(
+        F.lit("HTTP://"),
+        F.upper(F.col("source")),
+        F.lit(".Example.COM:80/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/?utm_source=x&b=2&a=1#frag"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+        .otherwise(F.lit("?a=1&utm_campaign=y")),
+    )
+    return urls.canonicalize_urls(d.select(messy.alias("url")))
+
+
+_SQL_CANONICAL_URLS = r"""
+WITH m AS (
+  SELECT 'HTTP://' || upper(source) || '.Example.COM:80/' || lang || '/'
+    || doc_id
+    || CASE doc_id % 3 WHEN 0 THEN '/?utm_source=x&b=2&a=1#frag'
+                       WHEN 1 THEN '/' ELSE '?a=1&utm_campaign=y' END AS url
+  FROM documents
+),
+p AS (
+  SELECT url,
+    lower(coalesce(regexp_extract(url,
+      '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1), '')) AS scheme,
+    lower(coalesce(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)', 1), '')) AS auth,
+    coalesce(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)', 1), '') AS raw_path,
+    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS raw_q
+  FROM m
+),
+n AS (
+  SELECT url, scheme,
+    CASE WHEN scheme = 'http' AND auth LIKE '%:80'
+           THEN substr(auth, 1, length(auth) - 3)
+         WHEN scheme = 'https' AND auth LIKE '%:443'
+           THEN substr(auth, 1, length(auth) - 4)
+         ELSE auth END AS host,
+    CASE WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(raw_path, '/+$', '') END AS path,
+    coalesce(array_to_string(list_sort(list_filter(string_split(raw_q, '&'),
+      q -> length(q) > 0
+           AND NOT regexp_matches(q, '^(utm_[^=]*|fbclid|gclid|ref)='))),
+      '&'), '') AS q
+  FROM p
+)
+SELECT url,
+  scheme || '://' || host || path
+    || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url,
+  host,
+  (scheme || '://' || host || path
+    || CASE WHEN q = '' THEN '' ELSE '?' || q END <> url)::int AS changed
+FROM n
+"""
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing rebalance (sampling.mixture_weights): per-source keep
     rates toward a target mixture, content-addressed keep decisions."""
@@ -2005,6 +2070,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_funnel": q_curation_funnel,
     "curation_funnel_neardup": q_curation_funnel_neardup,
     "mixture_weights": q_mixture_weights,
+    "canonical_urls": q_canonical_urls,
     # dedup family
     "dedup_exact": q_dedup_exact,
     "dedup_stats": q_dedup_stats,
@@ -2081,6 +2147,7 @@ ORACLE: dict[str, str] = {
     "curation_funnel": _SQL_CURATION_FUNNEL,
     "curation_funnel_neardup": _SQL_CURATION_FUNNEL_NEARDUP,
     "mixture_weights": _SQL_MIXTURE_WEIGHTS,
+    "canonical_urls": _SQL_CANONICAL_URLS,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_stats": _SQL_DEDUP_STATS,
     "events_json": _SQL_EVENTS_JSON,

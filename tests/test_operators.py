@@ -682,3 +682,28 @@ def test_mixture_weights_rebalances_toward_target(spark):
     assert all(r["keep_threshold"] == 0 and r["keep"] == 0 for r in by["c"])
     kept_a = sum(r["keep"] for r in by["a"])
     assert 0 < kept_a < 80
+
+
+def test_canonicalize_urls_edge_cases(spark):
+    """Scheme/host casing, default ports, fragments, tracking params, param
+    sorting, trailing/empty paths; https keeps :8443, already-canonical rows
+    flag changed=0."""
+    from legal_document_ocr_spark.operators import urls
+
+    rows = [
+        (r"HTTPS://WWW.Site.COM:443/A/B/?b=2&utm_source=t&a=1#x",),
+        (r"http://site.com:8080/p",),      # non-default port kept
+        (r"https://site.com:8443/",),      # non-default https port kept
+        (r"http://site.com",),             # empty path -> '/'
+        (r"http://site.com/a?fbclid=1&gclid=2&ref=3",),  # all tracking
+        (r"http://site.com/a",),           # already canonical
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    out = {r["url"]: r for r in urls.canonicalize_urls(df).collect()}
+    assert out[rows[0][0]]["canonical_url"] == "https://www.site.com/A/B?a=1&b=2"
+    assert out[rows[1][0]]["canonical_url"] == "http://site.com:8080/p"
+    assert out[rows[2][0]]["canonical_url"] == "https://site.com:8443/"
+    assert out[rows[3][0]]["canonical_url"] == "http://site.com/"
+    assert out[rows[4][0]]["canonical_url"] == "http://site.com/a"
+    assert out[rows[5][0]]["changed"] == 0
+    assert out[rows[0][0]]["host"] == "www.site.com"
