@@ -707,3 +707,45 @@ def test_canonicalize_urls_edge_cases(spark):
     assert out[rows[4][0]]["canonical_url"] == "http://site.com/a"
     assert out[rows[5][0]]["changed"] == 0
     assert out[rows[0][0]]["host"] == "www.site.com"
+
+
+def test_chunk_documents_reconstruct_corpus(spark, docs):
+    """Invariant over the whole test corpus: stride-prefixes of all chunks
+    but the last, plus the last chunk, reconstruct the token stream exactly
+    (no token lost or duplicated beyond the declared overlap)."""
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    chunks = {}
+    for r in textops.chunk_documents(docs).collect():
+        chunks.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"].split()
+    for doc_id, text in texts.items():
+        toks = text.lower().split()
+        got = chunks.get(doc_id, {})
+        if not toks:
+            assert got == {}
+            continue
+        parts = [got[i] for i in sorted(got)]
+        rebuilt = [t for p in parts[:-1] for t in p[:40]] + parts[-1]
+        assert rebuilt == toks, doc_id
+
+
+def test_line_dedup_matches_independent_recomputation(spark, docs):
+    """line_dedup against a from-scratch pure-Python recomputation of the
+    same spec (segment, count distinct docs per line, filter, reassemble)."""
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    lines_by_doc = {}
+    for doc_id, text in texts.items():
+        toks = text.lower().split()
+        lines_by_doc[doc_id] = [
+            " ".join(toks[i : i + 10]) for i in range(0, len(toks), 10)
+        ]
+    df_count = {}
+    for doc_id, lines in lines_by_doc.items():
+        for ln in set(lines):
+            df_count[ln] = df_count.get(ln, 0) + 1
+    out = {r["doc_id"]: r for r in textops.line_dedup(docs).collect()}
+    for doc_id, lines in lines_by_doc.items():
+        kept = [ln for ln in lines if df_count[ln] <= 5]
+        r = out[doc_id]
+        assert r["n_lines"] == len(lines)
+        assert r["n_kept"] == len(kept)
+        assert r["kept_text"] == (" ".join(kept) if kept else None)
