@@ -56,6 +56,42 @@ def canonical_url_expr(url: Column) -> Column:
     )
 
 
+def extract_links(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Out-link extraction — the web-graph construction step: one page row
+    fans out to (url, link_pos, href, resolved) rows, root-relative hrefs
+    resolved against the page's own scheme://host. Reference analogue: the
+    reference's DOM walk collects anchors for its link-density heuristic
+    (SURVEY.md K2/P3); here the anchors themselves are the product.
+
+    regexp_extract_all over the decoded payload + one posexplode — stays in
+    codegen, no UDF, no shuffle; at corpus scale the output IS the edge list
+    a host-graph (PageRank, spam-rank) stage consumes.
+    """
+    url = F.col(url_col)
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    hrefs = F.regexp_extract_all(html_txt, F.lit(r'href="([^"]*)"'), 1)
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
+    ex = df.select(
+        url.alias("url"),
+        scheme.alias("_scheme"),
+        host.alias("_host"),
+        F.posexplode(hrefs).alias("link_pos", "href"),
+    )
+    resolved = F.when(
+        F.col("href").startswith("/"),
+        F.concat(F.col("_scheme"), F.lit("://"), F.col("_host"), F.col("href")),
+    ).otherwise(F.col("href"))
+    return ex.select(
+        "url",
+        F.col("link_pos").cast("long").alias("link_pos"),
+        "href",
+        resolved.alias("resolved"),
+    )
+
+
 def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     """(url, canonical_url, host, changed) per row — ``changed`` flags rows
     whose canonical form differs (the audit signal: how dirty is the crawl).

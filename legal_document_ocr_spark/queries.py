@@ -768,6 +768,45 @@ FROM documents GROUP BY source ORDER BY domain
 """
 
 
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-link edge list from the pages corpus (urls.extract_links):
+    regexp anchor extraction + root-relative resolution, no UDF."""
+    from .operators import urls
+
+    return urls.extract_links(synthesize_pages_df(spark, sf_dir))
+
+
+def _sql_extract_links() -> str:
+    from .sources.pages import _TEMPLATE_HEAD, _TEMPLATE_TAIL
+
+    return f"""
+WITH pages AS (
+  SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id
+           AS url,
+         '{_TEMPLATE_HEAD}' || text || '{_TEMPLATE_TAIL}' AS html
+  FROM documents
+),
+e AS (
+  SELECT url,
+    lower(coalesce(regexp_extract(url,
+      '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1), '')) AS scheme,
+    lower(coalesce(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]+)', 1), '')) AS host,
+    regexp_extract_all(html, 'href="([^"]*)"', 1) AS hrefs
+  FROM pages
+),
+l AS (
+  SELECT url, scheme, host,
+    unnest(range(len(hrefs))) AS link_pos, unnest(hrefs) AS href
+  FROM e
+)
+SELECT url, link_pos::bigint AS link_pos, href,
+  CASE WHEN href LIKE '/%' THEN scheme || '://' || host || href
+       ELSE href END AS resolved
+FROM l
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -2071,6 +2110,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_funnel_neardup": q_curation_funnel_neardup,
     "mixture_weights": q_mixture_weights,
     "canonical_urls": q_canonical_urls,
+    "extract_links": q_extract_links,
     # dedup family
     "dedup_exact": q_dedup_exact,
     "dedup_stats": q_dedup_stats,
@@ -2148,6 +2188,7 @@ ORACLE: dict[str, str] = {
     "curation_funnel_neardup": _SQL_CURATION_FUNNEL_NEARDUP,
     "mixture_weights": _SQL_MIXTURE_WEIGHTS,
     "canonical_urls": _SQL_CANONICAL_URLS,
+    "extract_links": _sql_extract_links(),
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_stats": _SQL_DEDUP_STATS,
     "events_json": _SQL_EVENTS_JSON,

@@ -749,3 +749,20 @@ def test_line_dedup_matches_independent_recomputation(spark, docs):
         assert r["n_lines"] == len(lines)
         assert r["n_kept"] == len(kept)
         assert r["kept_text"] == (" ".join(kept) if kept else None)
+
+
+def test_extract_links_resolution(spark):
+    """Root-relative hrefs resolve against the page host; absolute hrefs
+    pass through; positions preserve document order."""
+    from legal_document_ocr_spark.operators import urls
+
+    html = b'<a href="/a">x</a><a href="https://other.com/b">y</a><a href="/c">z</a>'
+    df = spark.createDataFrame(
+        [("https://h.example.com/p", html)], "url string, html binary"
+    )
+    rows = sorted(urls.extract_links(df).collect(), key=lambda r: r["link_pos"])
+    assert [r["resolved"] for r in rows] == [
+        "https://h.example.com/a",
+        "https://other.com/b",
+        "https://h.example.com/c",
+    ]
