@@ -807,6 +807,67 @@ FROM l
 """
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (graph.pagerank) over a deterministic host
+    graph (each host links to two formula-derived peers — no dangling
+    nodes, no self-loops by construction). At corpus scale the edge list
+    comes from urls.extract_links aggregated to hosts."""
+    from .operators import graph
+
+    hosts = _docs(spark, sf_dir).select("source").distinct()
+    k = F.regexp_replace(F.col("source"), "^src", "").cast("int")
+    e1 = hosts.select(
+        F.col("source").alias("src"),
+        F.concat(F.lit("src"), ((k * k + 1) % 20).cast("string")).alias("dst"),
+    )
+    e2 = hosts.select(
+        F.col("source").alias("src"),
+        F.concat(F.lit("src"), ((k * 3 + 1) % 20).cast("string")).alias("dst"),
+    )
+    return graph.pagerank(e1.unionByName(e2))
+
+
+def _sql_host_pagerank(iters: int = 3) -> str:
+    parts = [
+        """
+WITH hosts AS (SELECT DISTINCT source FROM documents),
+e AS (
+  SELECT source AS src,
+    'src' || ((regexp_replace(source, '^src', '')::int * regexp_replace(source, '^src', '')::int + 1) % 20) AS dst
+  FROM hosts
+  UNION
+  SELECT source,
+    'src' || ((regexp_replace(source, '^src', '')::int * 3 + 1) % 20)
+  FROM hosts
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*)::double AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0::double / nn.n AS rank FROM nodes, nn)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT e.dst AS node, round(r.rank / o.deg, 12)::decimal(28,12) AS c
+  FROM e JOIN r{i-1} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+),
+s{i} AS (SELECT node, sum(c) AS s FROM c{i} GROUP BY node),
+r{i} AS (
+  SELECT nodes.node,
+    (1.0::double - 0.85::double) / nn.n
+    + 0.85::double * coalesce(s::double, 0.0::double) AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN s{i} USING (node)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, floor(rank * 1000000000.0)::bigint AS rank_nano FROM r{iters}
+"""
+    )
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -2111,6 +2172,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_weights": q_mixture_weights,
     "canonical_urls": q_canonical_urls,
     "extract_links": q_extract_links,
+    "host_pagerank": q_host_pagerank,
     # dedup family
     "dedup_exact": q_dedup_exact,
     "dedup_stats": q_dedup_stats,
@@ -2189,6 +2251,7 @@ ORACLE: dict[str, str] = {
     "mixture_weights": _SQL_MIXTURE_WEIGHTS,
     "canonical_urls": _SQL_CANONICAL_URLS,
     "extract_links": _sql_extract_links(),
+    "host_pagerank": _sql_host_pagerank(),
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_stats": _SQL_DEDUP_STATS,
     "events_json": _SQL_EVENTS_JSON,

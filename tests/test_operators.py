@@ -766,3 +766,20 @@ def test_extract_links_resolution(spark):
         "https://other.com/b",
         "https://h.example.com/c",
     ]
+
+
+def test_pagerank_favors_in_degree_and_conserves_mass(spark):
+    """Star graph: the hub collects rank from all spokes; total mass stays
+    within [1 - d*dangling_share, 1] (dangling mass is dropped by contract:
+    the hub here has no out-edges)."""
+    from legal_document_ocr_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(f"s{i}", "hub") for i in range(5)] + [("hub", "s0")],
+        "src string, dst string",
+    )
+    out = {r["node"]: r["rank_nano"] for r in graph.pagerank(edges).collect()}
+    assert out["hub"] == max(out.values())
+    assert out["hub"] > out["s1"]
+    total = sum(out.values()) / 1e9
+    assert 0.5 < total <= 1.0 + 1e-6
