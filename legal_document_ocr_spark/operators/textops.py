@@ -452,6 +452,52 @@ def lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def packed_sequence_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    seq_len: int = 64,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Materialize the packed training sequences ``pack_sequences`` lays out:
+    every token gets its global index (doc start_offset + in-doc position),
+    sequences are the ``seq_len``-sized cuts of that stream — documents
+    crossing a boundary are split, sequences mixing documents are merged,
+    exactly like a GPT-style loader. Output: (seq_id, n_tokens, seq_text);
+    all sequences are full except the final one.
+
+    Scale shape: the token explode is the honest cost (corpus tokens × 1
+    rows — this IS the materialization a loader performs); the only shuffle
+    after it is one partial-aggregated groupBy on seq_id, where each group
+    is bounded at seq_len tokens. The per-doc metadata joins in by
+    shuffle_hash (corpus-sized, never broadcast); in-sequence order is
+    restored by sorting the ≤seq_len collected (gidx, tok) structs.
+    """
+    meta = pack_sequences(
+        docs, text_col, seq_len=seq_len, bucket_size=bucket_size
+    ).select("doc_id", "start_offset")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(ws_tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    )
+    j = toks.join(meta.hint("shuffle_hash"), "doc_id").select(
+        (F.col("start_offset") + F.col("pos")).alias("gidx"), "tok"
+    )
+    return (
+        j.groupBy(F.floor(F.col("gidx") / seq_len).alias("seq_id"))
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("gidx", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("seq_text"),
+        )
+    )
+
+
 # fastText-style linear quality classifier: fixed, published-shape weights
 # over the same feature battery quality_scores computes. Pure per-row
 # arithmetic (same operation order both engines -> bit-identical doubles).

@@ -1598,6 +1598,36 @@ FROM s
 """
 
 
+def q_pack_sequence_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed sequences (textops.packed_sequence_rows): the
+    loader-ready seq_id -> text rows cut from the concatenated token stream."""
+    return textops.packed_sequence_rows(_docs(spark, sf_dir))
+
+
+_SQL_PACK_SEQUENCE_ROWS = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+s AS (
+  SELECT doc_id,
+    coalesce(sum(n) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+      AS start_offset
+  FROM nz
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS pos
+  FROM nz
+),
+j AS (
+  SELECT s.start_offset + tok.pos AS gidx, tok.tok
+  FROM tok JOIN s USING (doc_id)
+)
+SELECT (gidx // 64)::bigint AS seq_id, count(*) AS n_tokens,
+       string_agg(tok, ' ' ORDER BY gidx) AS seq_text
+FROM j GROUP BY 1
+"""
+
+
 def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained char-bigram LM perplexity scoring (textops.lm_scores)."""
     return textops.lm_scores(_docs(spark, sf_dir))
@@ -2190,6 +2220,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
+    "pack_sequence_rows": q_pack_sequence_rows,
     "lm_scores": q_lm_scores,
     # text analysis (advanced)
     "repetition_stats": q_repetition_stats,
@@ -2268,6 +2299,7 @@ ORACLE: dict[str, str] = {
     "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
     "chunk_documents": _SQL_CHUNK_DOCS,
     "pack_sequences": _SQL_PACK_SEQUENCES,
+    "pack_sequence_rows": _SQL_PACK_SEQUENCE_ROWS,
     "lm_scores": _SQL_LM_SCORES,
     "repetition_stats": _SQL_REPETITION,
     "winnow_fingerprints": _SQL_WINNOW,

@@ -783,3 +783,32 @@ def test_pagerank_favors_in_degree_and_conserves_mass(spark):
     assert out["hub"] > out["s1"]
     total = sum(out.values()) / 1e9
     assert 0.5 < total <= 1.0 + 1e-6
+
+
+def test_canonicalization_is_idempotent(spark, docs):
+    """canon(canon(u)) == canon(u) over the dirtied corpus urls — the fixpoint
+    property that makes the canonical form usable as a join key."""
+    from legal_document_ocr_spark.operators import urls
+    import legal_document_ocr_spark.queries as Q
+
+    once = Q.SPARK["canonical_urls"](spark, SF).select(
+        F.col("canonical_url").alias("url")
+    )
+    twice = urls.canonicalize_urls(once)
+    assert twice.where(F.col("changed") != 0).count() == 0
+
+
+def test_packed_rows_rebuild_the_token_stream(spark, docs):
+    """Concatenating seq_text in seq_id order reproduces the corpus token
+    stream in doc_id order exactly; every sequence but the last is full."""
+    out = sorted(
+        textops.packed_sequence_rows(docs).collect(), key=lambda r: r["seq_id"]
+    )
+    assert all(r["n_tokens"] == 64 for r in out[:-1])
+    rebuilt = " ".join(r["seq_text"] for r in out).split()
+    stream = [
+        t
+        for r in sorted(docs.collect(), key=lambda r: r["doc_id"])
+        for t in r["text"].lower().split()
+    ]
+    assert rebuilt == stream
