@@ -1,0 +1,169 @@
+"""Pure-stdlib media codecs (zlib/struct/wave — no PIL/cv2 in this env).
+
+Round-1 shipped ``decode_image`` as a declared NotImplementedError stub
+because "the image libs aren't in this container". That's true of
+PIL/cv2/ffmpeg — but PNG, BMP and WAV are decodable with nothing beyond
+zlib + struct + wave, so the decode step is REAL for those formats and the
+stub now covers only genuinely-library-bound codecs (JPEG/video).
+
+Scope: non-interlaced 8-bit-depth PNG in grayscale (color type 0), RGB (2)
+and RGBA (6) with all five scanline filters; uncompressed 24-bit BMP;
+PCM WAV. Reference analogue: the reference leans on PIL inside
+image_preprocessing_service.py:57-122 — same contract, stdlib engine.
+These kernels run inside Arrow-batched mapInPandas stages
+(operators/multimodal.py); per-image Python is the accepted cost of a real
+codec, exactly as it would be with PIL.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def encode_png(width: int, height: int, pixels: bytes, color_type: int = 0) -> bytes:
+    """Minimal PNG encoder (filter 0 rows, one IDAT). ``pixels`` is
+    row-major samples, ``len == width*height*channels``."""
+    ch = _PNG_CHANNELS[color_type]
+    if len(pixels) != width * height * ch:
+        raise ValueError("pixel buffer does not match dimensions")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * ch
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: bytes, width: int, height: int, ch: int) -> bytes:
+    """Reverse PNG scanline filters (types 0-4) for 8-bit samples."""
+    stride = width * ch
+    out = bytearray(height * stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        prev_row = out[(y - 1) * stride : y * stride] if y > 0 else b"\x00" * stride
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev_row[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prev_row[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev_row[i]
+                c = prev_row[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+    return bytes(out)
+
+
+def decode_png(payload: bytes) -> dict:
+    """Decode a non-interlaced 8-bit PNG: {width, height, mode, pixels}."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, width, height, ctype, idat = 8, None, None, None, b""
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
+                raise NotImplementedError(
+                    "only 8-bit non-interlaced gray/RGB/RGBA PNG supported"
+                )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    ch = _PNG_CHANNELS[ctype]
+    pixels = _unfilter(zlib.decompress(idat), width, height, ch)
+    mode = {1: "L", 3: "RGB", 4: "RGBA"}[ch]
+    return {"width": width, "height": height, "mode": mode, "pixels": pixels}
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Decode an uncompressed 24-bit BMP: {width, height, mode, pixels}
+    (pixels top-down RGB, padding stripped)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    width, height = struct.unpack("<ii", payload[18:26])
+    bpp, comp = struct.unpack("<HI", payload[28:34])
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    row_sz = (width * 3 + 3) & ~3
+    flip = height > 0
+    height = abs(height)
+    out = bytearray()
+    for y in range(height):
+        src_y = (height - 1 - y) if flip else y
+        row = payload[data_off + src_y * row_sz : data_off + src_y * row_sz + width * 3]
+        for x in range(width):  # BGR -> RGB
+            b, g, r = row[x * 3 : x * 3 + 3]
+            out += bytes((r, g, b))
+    return {"width": width, "height": height, "mode": "RGB", "pixels": bytes(out)}
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode a PCM WAV via stdlib wave: {channels, sample_rate, n_frames,
+    sample_width, pcm}."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        return {
+            "channels": w.getnchannels(),
+            "sample_rate": w.getframerate(),
+            "n_frames": w.getnframes(),
+            "sample_width": w.getsampwidth(),
+            "pcm": w.readframes(w.getnframes()),
+        }
+
+
+def decode_image(payload: bytes) -> dict:
+    """Dispatch by magic bytes. PNG/BMP decode for real; JPEG and other
+    formats still need an external codec."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "only PNG and BMP decode without an external codec library "
+        "(JPEG et al. need PIL/cv2)"
+    )

@@ -45,16 +45,51 @@ MEDIA_FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """Real image decode — requires a codec library absent from this env."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image decoding needs PIL/cv2; install a codec library and "
-            "replace the fake decode in _media_features"
-        ) from exc
-    raise NotImplementedError("wire PIL decode here when the library exists")
+def decode_image(payload: bytes) -> dict:
+    """REAL image decode for PNG and BMP via the pure-stdlib codecs
+    (codecs.py: zlib/struct, all five PNG scanline filters, 24-bit BMP).
+    Formats that genuinely need an external library (JPEG, video) still
+    raise NotImplementedError — the stub now covers only those.
+    """
+    from ..codecs import decode_image as _decode
+
+    return _decode(payload)
+
+
+IMAGE_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mode", StringType()),
+        StructField("px_sum", LongType()),
+    ]
+)
+
+
+def _image_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..codecs import decode_image as _decode
+
+    for pdf in batches:
+        out = {"doc_id": [], "width": [], "height": [], "mode": [], "px_sum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                continue
+            img = _decode(bytes(payload))
+            out["doc_id"].append(doc_id)
+            out["width"].append(img["width"])
+            out["height"].append(img["height"])
+            out["mode"].append(img["mode"])
+            out["px_sum"].append(sum(img["pixels"]))
+        yield pd.DataFrame(out)
+
+
+def image_decode(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real decode stage over an image binary column (mapInPandas): emits
+    decoded (width, height, mode) and the pixel-sum — the per-image Python
+    cost of an actual codec, batch shape identical to media_features."""
+    selected = df.selectExpr("doc_id", f"{payload_col} as payload")
+    return selected.mapInPandas(_image_decode, IMAGE_DECODE_SCHEMA)
 
 
 def _fake_dims(content_hash: str) -> tuple[int, int]:

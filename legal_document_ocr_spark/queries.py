@@ -1628,6 +1628,57 @@ FROM j GROUP BY 1
 """
 
 
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode roundtrip: synthesize a gradient grayscale PNG per
+    document (pure-stdlib encoder), decode it with the pure-stdlib decoder
+    (multimodal.image_decode), and emit recovered dims + pixel sum. The
+    oracle computes the same quantities from the synthesis closed form —
+    so the decoder must actually recover the encoded pixels to pass."""
+    import pandas as _pd
+
+    from .codecs import encode_png
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = int(doc_id) % 16 + 1
+                h = int(doc_id) % 8 + 1
+                px = bytes(
+                    (int(doc_id) + x + y) % 256 for y in range(h) for x in range(w)
+                )
+                payloads.append(encode_png(w, h, px, color_type=0))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pages = _docs(spark, sf_dir).select("doc_id")
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.image_decode(payloads)
+
+
+_SQL_IMAGE_DECODE = """
+SELECT doc_id,
+  (doc_id % 16 + 1)::int AS width,
+  (doc_id % 8 + 1)::int AS height,
+  'L' AS mode,
+  list_sum(flatten(list_transform(range((doc_id % 8 + 1)::int), y ->
+    list_transform(range((doc_id % 16 + 1)::int), x ->
+      (doc_id + x + y) % 256))))::bigint AS px_sum
+FROM documents
+"""
+
+
 def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained char-bigram LM perplexity scoring (textops.lm_scores)."""
     return textops.lm_scores(_docs(spark, sf_dir))
@@ -2235,6 +2286,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal + streaming
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
+    "image_decode": q_image_decode,
     "stream_dedup": q_stream_dedup,
     "stream_windowed_counts": q_stream_windowed_counts,
     # custom stateful streaming — fully oracle-checked since round 2
@@ -2311,6 +2363,7 @@ ORACLE: dict[str, str] = {
     "embedding_near_dups": _sql_embedding_near_dups(),
     "multimodal_features": _SQL_MULTIMODAL,
     "multimodal_frames": _SQL_MULTIMODAL_FRAMES,
+    "image_decode": _SQL_IMAGE_DECODE,
     # streaming results equal their batch formulations
     "stream_dedup": _SQL_STREAM_DEDUP,
     "stream_windowed_counts": _SQL_WINDOWED_COUNTS,

@@ -192,9 +192,17 @@ def test_media_features_deterministic(spark):
     assert row["fake_height"] == int(h[4:8], 16) % 1000
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_real_for_png_stub_for_jpeg():
+    """decode_image is REAL for PNG/BMP (pure-stdlib codec, round 2);
+    formats needing an external library still raise NotImplementedError."""
+    from legal_document_ocr_spark.codecs import encode_png
+
+    img = multimodal.decode_image(encode_png(2, 2, bytes([1, 2, 3, 4]), 0))
+    assert (img["width"], img["height"], img["pixels"]) == (2, 2, bytes([1, 2, 3, 4]))
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"bytes")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"bytes")  # unrecognized magic
 
 
 # ---------------------------------------------------------------------------
