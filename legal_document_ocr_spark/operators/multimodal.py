@@ -84,6 +84,51 @@ def _image_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+AUDIO_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("sample_sum", LongType()),
+    ]
+)
+
+
+def _audio_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import struct as _struct
+
+    from ..codecs import decode_wav
+
+    for pdf in batches:
+        out = {
+            "doc_id": [],
+            "channels": [],
+            "sample_rate": [],
+            "n_frames": [],
+            "sample_sum": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                continue
+            wav = decode_wav(bytes(payload))
+            n = len(wav["pcm"]) // 2
+            samples = _struct.unpack(f"<{n}h", wav["pcm"])
+            out["doc_id"].append(doc_id)
+            out["channels"].append(wav["channels"])
+            out["sample_rate"].append(wav["sample_rate"])
+            out["n_frames"].append(wav["n_frames"])
+            out["sample_sum"].append(sum(samples))
+        yield pd.DataFrame(out)
+
+
+def audio_decode(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real PCM WAV decode stage (mapInPandas): header fields + the exact
+    16-bit sample sum — the audio analogue of image_decode."""
+    selected = df.selectExpr("doc_id", f"{payload_col} as payload")
+    return selected.mapInPandas(_audio_decode, AUDIO_DECODE_SCHEMA)
+
+
 def image_decode(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Real decode stage over an image binary column (mapInPandas): emits
     decoded (width, height, mode) and the pixel-sum — the per-image Python

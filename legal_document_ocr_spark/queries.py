@@ -1679,6 +1679,61 @@ FROM documents
 """
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM WAV decode roundtrip (multimodal.audio_decode): synthesize a
+    deterministic mono 16-bit clip per document with the stdlib writer,
+    decode it, emit header fields + the exact sample sum; the oracle states
+    the synthesis closed form."""
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    import pandas as _pd
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 32 + 4
+                samples = [((d * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+                buf = _io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(_struct.pack(f"<{n}h", *samples))
+                payloads.append(buf.getvalue())
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    base = _docs(spark, sf_dir).select("doc_id")
+    payloads = base.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.audio_decode(payloads)
+
+
+_SQL_AUDIO_DECODE = """
+SELECT doc_id,
+  1::int AS channels,
+  8000::int AS sample_rate,
+  (doc_id % 32 + 4)::bigint AS n_frames,
+  list_sum(list_transform(range((doc_id % 32 + 4)::int),
+    i -> (doc_id * 31 + i * 17) % 65536 - 32768))::bigint AS sample_sum
+FROM documents
+"""
+
+
 def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained char-bigram LM perplexity scoring (textops.lm_scores)."""
     return textops.lm_scores(_docs(spark, sf_dir))
@@ -2287,6 +2342,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "image_decode": q_image_decode,
+    "audio_decode": q_audio_decode,
     "stream_dedup": q_stream_dedup,
     "stream_windowed_counts": q_stream_windowed_counts,
     # custom stateful streaming — fully oracle-checked since round 2
@@ -2364,6 +2420,7 @@ ORACLE: dict[str, str] = {
     "multimodal_features": _SQL_MULTIMODAL,
     "multimodal_frames": _SQL_MULTIMODAL_FRAMES,
     "image_decode": _SQL_IMAGE_DECODE,
+    "audio_decode": _SQL_AUDIO_DECODE,
     # streaming results equal their batch formulations
     "stream_dedup": _SQL_STREAM_DEDUP,
     "stream_windowed_counts": _SQL_WINDOWED_COUNTS,
