@@ -390,6 +390,59 @@ def pack_sequences(
     )
 
 
+def bpe_pair_counts(
+    docs: DataFrame, text_col: str = "text", *, top_k: int = 50
+) -> DataFrame:
+    """The inner loop of BPE tokenizer training: count adjacent
+    character-pair frequencies WITHIN tokens across the corpus and return
+    the top-k merge candidates. One explode → one map-side-combined groupBy
+    onto the bounded pair vocabulary → TakeOrdered top-k (no full sort).
+    Deterministic tiebreak (count desc, pair asc) so the result is a set.
+    """
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    pairs_per_doc = F.flatten(
+        F.transform(
+            toks,
+            lambda t: F.transform(
+                F.when(F.length(t) >= 2, F.sequence(F.lit(1), F.length(t) - 1))
+                .otherwise(F.array().cast("array<int>")),
+                lambda i: t.substr(i, F.lit(2)),
+            ),
+        )
+    )
+    return (
+        docs.select(F.explode(pairs_per_doc).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(top_k)
+    )
+
+
+def holdout_split(
+    docs: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every training
+    run needs, content-addressed so membership never changes when the
+    corpus grows or repartitions (a doc can never silently migrate from
+    test into train). Buckets: [0, val) -> val, [val, val+test) -> test,
+    rest -> train, over the md5 bucket in [0, 10000).
+    """
+    from .sampling import hash_bucket
+
+    b = hash_bucket(F.col(key_col))  # [0, 10000): percent = bucket / 100
+    split = (
+        F.when(b < val_pct * 100, F.lit("val"))
+        .when(b < (val_pct + test_pct) * 100, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select(key_col, split.alias("split"))
+
+
 def lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """CCNet-style LM quality scoring with a SELF-TRAINED character-bigram
     model: P(c2|c1) from corpus counts, per-document score = average negative

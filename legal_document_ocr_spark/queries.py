@@ -1734,6 +1734,41 @@ FROM documents
 """
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 BPE merge candidates (textops.bpe_pair_counts)."""
+    return textops.bpe_pair_counts(_docs(spark, sf_dir))
+
+
+_SQL_BPE_PAIRS = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+p AS (
+  SELECT unnest(flatten(list_transform(toks, t ->
+    CASE WHEN length(t) >= 2 THEN
+      list_transform(generate_series(1, length(t) - 1), i -> substr(t, i, 2))
+    ELSE []::varchar[] END))) AS pair
+  FROM t
+)
+SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT 50
+"""
+
+
+def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (textops.holdout_split)."""
+    return textops.holdout_split(_docs(spark, sf_dir))
+
+
+_SQL_HOLDOUT_SPLIT = """
+SELECT doc_id,
+  CASE WHEN ('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 10000 < 500
+         THEN 'val'
+       WHEN ('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 10000 < 1000
+         THEN 'test'
+       ELSE 'train' END AS split
+FROM documents
+"""
+
+
 def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained char-bigram LM perplexity scoring (textops.lm_scores)."""
     return textops.lm_scores(_docs(spark, sf_dir))
@@ -2327,6 +2362,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
     "pack_sequence_rows": q_pack_sequence_rows,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "holdout_split": q_holdout_split,
     "lm_scores": q_lm_scores,
     # text analysis (advanced)
     "repetition_stats": q_repetition_stats,
@@ -2408,6 +2445,8 @@ ORACLE: dict[str, str] = {
     "chunk_documents": _SQL_CHUNK_DOCS,
     "pack_sequences": _SQL_PACK_SEQUENCES,
     "pack_sequence_rows": _SQL_PACK_SEQUENCE_ROWS,
+    "bpe_pair_counts": _SQL_BPE_PAIRS,
+    "holdout_split": _SQL_HOLDOUT_SPLIT,
     "lm_scores": _SQL_LM_SCORES,
     "repetition_stats": _SQL_REPETITION,
     "winnow_fingerprints": _SQL_WINNOW,
