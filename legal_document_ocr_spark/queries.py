@@ -2286,6 +2286,40 @@ _SQL_STREAM_DEDUP = (
 )
 
 
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous-ingest dedup: stream-side first-seen dedup +
+    anti-join against the static corpus hash set (streaming face of
+    incremental_dedup; emitted set equals the batch formulation)."""
+    from .streaming.pipeline import stream_incremental_dedup
+
+    name = "stream_incr_dedup_result"
+    corpus = _docs(spark, sf_dir).where(F.col("doc_id") < 400)
+    sdf = stream_incremental_dedup(
+        spark, f"{sf_dir}/documents.parquet", corpus
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_SQL_STREAM_INCR_DEDUP = """
+WITH seen AS (
+  SELECT DISTINCT sha256(text) AS content_hash FROM documents
+  WHERE doc_id < 400
+)
+SELECT DISTINCT sha256(text) AS content_hash FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM seen s WHERE s.content_hash = sha256(d.text)
+)
+"""
+
+
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.pipeline import run_stream_to_table, stream_windowed_counts
 
@@ -2381,6 +2415,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_decode": q_image_decode,
     "audio_decode": q_audio_decode,
     "stream_dedup": q_stream_dedup,
+    "stream_incremental_dedup": q_stream_incremental_dedup,
     "stream_windowed_counts": q_stream_windowed_counts,
     # custom stateful streaming — fully oracle-checked since round 2
     # (event-time timeout emits the open tails)
@@ -2462,6 +2497,7 @@ ORACLE: dict[str, str] = {
     "audio_decode": _SQL_AUDIO_DECODE,
     # streaming results equal their batch formulations
     "stream_dedup": _SQL_STREAM_DEDUP,
+    "stream_incremental_dedup": _SQL_STREAM_INCR_DEDUP,
     "stream_windowed_counts": _SQL_WINDOWED_COUNTS,
     "stream_sessionize": _SQL_SESSIONIZE,
 }

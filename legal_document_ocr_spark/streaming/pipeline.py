@@ -287,6 +287,28 @@ def stream_dedup_hashes(spark: SparkSession, docs_dir: str) -> DataFrame:
     )
 
 
+def stream_incremental_dedup(
+    spark: SparkSession, docs_dir: str, corpus_df
+) -> DataFrame:
+    """Streaming continuous-ingest dedup — the live face of
+    ``dedup.incremental_dedup``: arriving micro-batches are (1) first-seen
+    deduped WITHIN the stream (stateful dropDuplicates on the hash) and
+    (2) anti-joined against the STATIC accumulated-corpus hash set, so only
+    genuinely-new content is admitted. Stream-static joins need no state
+    for the static side — at production scale the corpus hash table is a
+    hash-bucketed table and the anti join prunes to matching buckets.
+    Emitted set == batch ``incremental_dedup`` on the same inputs.
+    """
+    stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(
+        _as_stream_dir(spark, docs_dir)
+    )
+    arriving = stream.select(
+        F.sha2(F.col("text"), 256).alias("content_hash")
+    ).dropDuplicates(["content_hash"])
+    seen = corpus_df.select(F.sha2(F.col("text"), 256).alias("content_hash"))
+    return arriving.join(seen, "content_hash", "left_anti")
+
+
 def stream_extraction(
     spark: SparkSession,
     pages_dir: str,
