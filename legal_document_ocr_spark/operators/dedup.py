@@ -597,6 +597,9 @@ def connected_components(
         lut = merged.select(
             F.col("node").alias("l_node"), F.col("label").alias("l_label")
         )
+        # rebinding `labels` drops the only reference to the previous round's
+        # checkpoint; Spark's ContextCleaner reclaims dereferenced local
+        # checkpoints on driver GC, so storage stays O(1) rounds, not O(iters)
         labels = (
             merged.join(lut.hint("shuffle_hash"), merged.label == F.col("l_node"))
             .select("node", F.col("l_label").alias("label"))

@@ -37,6 +37,10 @@ def pagerank(
     fix add a sink edge per dangling node — the demo graph has none).
     Output: (node, rank_nano) with rank_nano = floor(rank·1e9).
     """
+    # persisted for the life of the returned (lazy) plan — every iteration
+    # references e/nodes, and the caller materializes after we return, so
+    # eager unpersist here would defeat the cache; both are released by
+    # ContextCleaner when the result DataFrame is dropped
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct().persist()

@@ -3,16 +3,18 @@
 The Spark-side contract for image/audio/video columns in a training-data
 pipeline: payloads travel as ``binary`` columns with a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages. The actual media decoders (PIL/cv2/ffmpeg) are NOT
-available in this environment, so the decode kernel is split:
+``mapInPandas`` stages. Since round 2 the decode is REAL for the formats
+stdlib can handle (codecs.py: PNG with all five scanline filters, 24-bit
+BMP, PCM WAV); PIL/cv2/ffmpeg remain absent, so:
 
-- ``_media_features`` — the REAL plumbing: batch iteration, schema, bounded
-  batch sizes, hash/length features computable from bytes alone, plus a
-  deterministic fake decode (dimensions derived from the content hash) so the
-  whole stage is testable end-to-end and oracle-checkable;
-- ``decode_image`` — the genuine decoder entry point, stubbed with
-  ``NotImplementedError`` and an import-try so dropping a real library in
-  later changes one function, not the plan.
+- ``image_decode`` / ``audio_decode`` — genuine decoders inside
+  mapInPandas, roundtrip-verified against closed-form oracles;
+- ``_media_features`` — format-agnostic plumbing: batch iteration, schema,
+  hash/length features computable from bytes alone, plus a deterministic
+  fake decode (dimensions derived from the content hash) so the stage works
+  on payloads of ANY format, decodable or not;
+- ``decode_image`` — raises ``NotImplementedError`` only for library-bound
+  formats (JPEG, video).
 
 This mirrors how the reference isolates its media deps (pdf2image/PIL inside
 image_preprocessing_service.py:57-122, subprocess tesseract inside
@@ -112,6 +114,11 @@ def _audio_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if payload is None:
                 continue
             wav = decode_wav(bytes(payload))
+            if wav["sample_width"] != 2:
+                raise NotImplementedError(
+                    f"only 16-bit PCM supported (got sample_width="
+                    f"{wav['sample_width']})"
+                )
             n = len(wav["pcm"]) // 2
             samples = _struct.unpack(f"<{n}h", wav["pcm"])
             out["doc_id"].append(doc_id)

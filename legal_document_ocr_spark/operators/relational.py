@@ -303,6 +303,14 @@ def asof_join(
     the shuffle.
     """
     if dedupe_right is not None:
+        # allowlist: only order-insensitive aggregates keep the operator's
+        # determinism contract ('first' would parse fine and silently break it)
+        allowed = {"max", "min", "avg", "sum"}
+        if dedupe_right not in allowed:
+            raise ValueError(
+                f"dedupe_right must be one of {sorted(allowed)}, "
+                f"got {dedupe_right!r}"
+            )
         right = right.groupBy(key, ts).agg(
             F.expr(f"{dedupe_right}(`{value_col}`)").alias(value_col)
         )

@@ -66,22 +66,31 @@ def mixture_weights(
     """
     total = df.count()  # scalar driver aggregate, O(1) result
     counts = df.groupBy(group_col).agg(F.count("*").alias("_cg"))
-    thr = F.lit(0)
-    for g, t in sorted(targets.items()):
-        rate = F.least(
-            F.lit(1.0), F.lit(float(t)) * F.lit(total) / F.col("_cg").cast("double")
-        )
-        thr = F.when(
-            F.col(group_col) == g, F.floor(rate * _BUCKETS).cast("long")
-        ).otherwise(thr)
+    # targets as a joined table, not a |targets|-deep CASE chain: a realistic
+    # per-domain mixture has thousands of groups, and a nested-WHEN expression
+    # tree that size breaks codegen long before the data does
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(g, float(t)) for g, t in sorted(targets.items())],
+        f"{group_col} string, _target double",
+    )
+    rate = F.least(
+        F.lit(1.0), F.col("_target") * F.lit(total) / F.col("_cg").cast("double")
+    )
+    # explicit null guard: F.least SKIPS nulls (least(1.0, NULL) == 1.0), so
+    # an unlisted group would silently keep everything instead of dropping
+    thr = F.when(
+        F.col("_target").isNotNull(), F.floor(rate * _BUCKETS).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
     return (
         df.join(F.broadcast(counts), group_col)
+        .join(F.broadcast(tgt), group_col, "left")
         .withColumn("keep_threshold", thr)
         .withColumn(
             "keep",
             (hash_bucket(F.col(key_col)) < F.col("keep_threshold")).cast("int"),
         )
-        .drop("_cg")
+        .drop("_cg", "_target")
     )
 
 

@@ -356,11 +356,14 @@ def pack_sequences(
     the only single-partition window). The oracle states the plain global
     window — identical result, different (scalable) plan.
     """
+    # persisted: consumed by BOTH the in-bucket cumsum and the bucket-total
+    # aggregate — without it the tokenize+size scan runs twice. Rows are
+    # (long, long, long): metadata only, token arrays never enter this path.
     base = docs.select(
         "doc_id",
         F.size(ws_tokens(F.lower(F.col(text_col)))).cast("long").alias("n_tokens"),
         F.floor(F.col("doc_id") / bucket_size).alias("_bucket"),
-    ).where(F.col("n_tokens") > 0)
+    ).where(F.col("n_tokens") > 0).persist()
     in_bucket = Window.partitionBy("_bucket").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -455,7 +458,9 @@ def lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     alphabet²-sized vocabulary) and the scoring join — where the MODEL side
     broadcasts (bounded by construction; the corpus side never shuffles on
     the bigram key). Determinism across engines: each bigram's ln P is
-    rounded to 9 dp and summed as DECIMAL — parallel double summation is
+    rounded to 6 dp and summed as DECIMAL — coarse on purpose: libm ln
+    differs across engines by 1 ulp, and the tie probability of decimal
+    rounding scales with ulp/granularity, so 6 dp is ~1000x safer than 9 — parallel double summation is
     order-dependent, decimal addition is exact — then one double division
     and a floor(·1e6) at the end (floor of the identical binary double is
     engine-exact; decimal HALF_UP is not).
@@ -464,7 +469,6 @@ def lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for documents shorter than 2 characters.
     """
     lt = F.lower(F.col(text_col))
-    n = F.length(lt)
     src = docs.select("doc_id", lt.alias("lt")).where(F.length("lt") >= 2)
     bigrams = F.transform(
         F.sequence(F.lit(1), F.length("lt") - 1),
@@ -479,7 +483,7 @@ def lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         mc.join(pc, F.substring("bg", 1, 1) == F.col("c1"))
         .select(
             "bg",
-            F.round(F.log(F.col("cnt") / F.col("pcnt").cast("double")), 9)
+            F.round(F.log(F.col("cnt") / F.col("pcnt").cast("double")), 6)
             .cast("decimal(28,12)")
             .alias("lnp"),
         )

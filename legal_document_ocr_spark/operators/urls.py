@@ -28,7 +28,14 @@ TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
 
 
 def canonical_url_expr(url: Column) -> Column:
-    """Canonical form of ``url`` as a single codegen'd expression."""
+    """Canonical form of ``url`` as a single codegen'd expression.
+
+    The fragment is stripped FIRST: a '?' inside the fragment (SPA hash
+    routing, 'https://site.com/app#/route?tab=2') must not be mistaken for
+    the query string — the query regex below is unanchored and would
+    otherwise find it.
+    """
+    url = F.regexp_replace(url, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     auth = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
     host = F.when(
@@ -80,10 +87,20 @@ def extract_links(
         host.alias("_host"),
         F.posexplode(hrefs).alias("link_pos", "href"),
     )
-    resolved = F.when(
-        F.col("href").startswith("/"),
-        F.concat(F.col("_scheme"), F.lit("://"), F.col("_host"), F.col("href")),
-    ).otherwise(F.col("href"))
+    # protocol-relative ('//host/path') BEFORE root-relative ('/path'):
+    # startswith('/') matches both, and resolving '//cdn.other.com/x' against
+    # the page host would fabricate a same-host edge with a garbage path
+    resolved = (
+        F.when(
+            F.col("href").startswith("//"),
+            F.concat(F.col("_scheme"), F.lit(":"), F.col("href")),
+        )
+        .when(
+            F.col("href").startswith("/"),
+            F.concat(F.col("_scheme"), F.lit("://"), F.col("_host"), F.col("href")),
+        )
+        .otherwise(F.col("href"))
+    )
     return ex.select(
         "url",
         F.col("link_pos").cast("long").alias("link_pos"),

@@ -801,7 +801,8 @@ l AS (
   FROM e
 )
 SELECT url, link_pos::bigint AS link_pos, href,
-  CASE WHEN href LIKE '/%' THEN scheme || '://' || host || href
+  CASE WHEN href LIKE '//%' THEN scheme || ':' || href
+       WHEN href LIKE '/%' THEN scheme || '://' || host || href
        ELSE href END AS resolved
 FROM l
 """
@@ -1162,16 +1163,17 @@ WITH m AS (
                        WHEN 1 THEN '/' ELSE '?a=1&utm_campaign=y' END AS url
   FROM documents
 ),
+p0 AS (SELECT url, regexp_replace(url, '#.*$', '') AS nf FROM m),
 p AS (
   SELECT url,
-    lower(coalesce(regexp_extract(url,
+    lower(coalesce(regexp_extract(nf,
       '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1), '')) AS scheme,
-    lower(coalesce(regexp_extract(url,
+    lower(coalesce(regexp_extract(nf,
       '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)', 1), '')) AS auth,
-    coalesce(regexp_extract(url,
+    coalesce(regexp_extract(nf,
       '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)', 1), '') AS raw_path,
-    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS raw_q
-  FROM m
+    coalesce(regexp_extract(nf, '\?([^#]*)', 1), '') AS raw_q
+  FROM p0
 ),
 n AS (
   SELECT url, scheme,
@@ -1785,7 +1787,7 @@ e AS (
 mc AS (SELECT bg, count(*) AS cnt FROM e GROUP BY bg),
 pc AS (SELECT substr(bg, 1, 1) AS c1, sum(cnt) AS pcnt FROM mc GROUP BY 1),
 model AS (
-  SELECT bg, round(ln(cnt / pcnt::double), 9)::decimal(28,12) AS lnp
+  SELECT bg, round(ln(cnt / pcnt::double), 6)::decimal(28,12) AS lnp
   FROM mc JOIN pc ON substr(mc.bg, 1, 1) = pc.c1
 ),
 sc AS (

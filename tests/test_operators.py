@@ -201,6 +201,8 @@ def test_decode_image_real_for_png_stub_for_jpeg():
     assert (img["width"], img["height"], img["pixels"]) == (2, 2, bytes([1, 2, 3, 4]))
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg")
+    # separate raises block: a second call inside the block above would be
+    # unreachable (pytest.raises exits at the first raise)
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"bytes")  # unrecognized magic
 
@@ -820,3 +822,33 @@ def test_packed_rows_rebuild_the_token_stream(spark, docs):
         for t in r["text"].lower().split()
     ]
     assert rebuilt == stream
+
+
+def test_canonicalize_fragment_query_and_protocol_relative_links(spark):
+    """Review regressions: a '?' inside the fragment is NOT a query string;
+    protocol-relative hrefs resolve to the href's own host, not the page's."""
+    from legal_document_ocr_spark.operators import urls
+
+    df = spark.createDataFrame(
+        [("https://site.com/app#/route?tab=2",)], "url string"
+    )
+    row = urls.canonicalize_urls(df).collect()[0]
+    assert row["canonical_url"] == "https://site.com/app"
+
+    html = b'<a href="//cdn.other.com/lib.js">x</a>'
+    pages = spark.createDataFrame(
+        [("https://h.example.com/p", html)], "url string, html binary"
+    )
+    link = urls.extract_links(pages).collect()[0]
+    assert link["resolved"] == "https://cdn.other.com/lib.js"
+
+
+def test_asof_dedupe_right_rejects_order_sensitive_aggregates(spark):
+    events = spark.createDataFrame(
+        [(1, 1, 1.0)], "user_id long, ts long, value double"
+    )
+    with pytest.raises(ValueError):
+        relational.asof_join(
+            events, events, key="user_id", ts="ts",
+            value_col="value", dedupe_right="first",
+        )
