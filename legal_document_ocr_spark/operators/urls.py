@@ -35,9 +35,9 @@ def canonical_url_expr(url: Column) -> Column:
     the query string — the query regex below is unanchored and would
     otherwise find it.
     """
-    url = F.regexp_replace(url, r"#.*$", "")
-    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
-    auth = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
+    nf = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(nf, _SCHEME_RE, 1))
+    auth = F.lower(F.regexp_extract(nf, _AUTH_RE, 1))
     host = F.when(
         (scheme == "http") & auth.endswith(":80"),
         F.substring(auth, 1, F.length(auth) - 3),
@@ -45,22 +45,26 @@ def canonical_url_expr(url: Column) -> Column:
         (scheme == "https") & auth.endswith(":443"),
         F.substring(auth, 1, F.length(auth) - 4),
     ).otherwise(auth)
-    raw_path = F.regexp_extract(url, _PATH_RE, 1)
+    raw_path = F.regexp_extract(nf, _PATH_RE, 1)
     trimmed = F.regexp_replace(raw_path, r"/+$", "")
     path = F.when(trimmed == "", F.lit("/")).otherwise(trimmed)
-    raw_q = F.regexp_extract(url, _QUERY_RE, 1)
+    raw_q = F.regexp_extract(nf, _QUERY_RE, 1)
     params = F.filter(
         F.split(raw_q, "&"),
         lambda p: (F.length(p) > 0) & ~p.rlike(TRACKING_PARAM_RE),
     )
     q = F.array_join(F.array_sort(params), "&")
-    return F.concat(
+    rebuilt = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
     )
+    # unparseable input (no scheme://authority) passes through UNCHANGED —
+    # rebuilding from empty captures would emit ':///'-shaped garbage and
+    # collide every malformed url onto one key
+    return F.when(scheme == "", url).otherwise(rebuilt)
 
 
 def extract_links(

@@ -1189,14 +1189,18 @@ n AS (
            AND NOT regexp_matches(q, '^(utm_[^=]*|fbclid|gclid|ref)='))),
       '&'), '') AS q
   FROM p
+),
+r AS (
+  SELECT url, host,
+    CASE WHEN scheme = '' THEN url
+         ELSE scheme || '://' || host || path
+              || CASE WHEN q = '' THEN '' ELSE '?' || q END
+    END AS canonical_url
+  FROM n
 )
-SELECT url,
-  scheme || '://' || host || path
-    || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url,
-  host,
-  (scheme || '://' || host || path
-    || CASE WHEN q = '' THEN '' ELSE '?' || q END <> url)::int AS changed
-FROM n
+SELECT url, canonical_url, host,
+  (canonical_url <> url)::int AS changed
+FROM r
 """
 
 

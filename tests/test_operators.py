@@ -852,3 +852,15 @@ def test_asof_dedupe_right_rejects_order_sensitive_aggregates(spark):
             events, events, key="user_id", ts="ts",
             value_col="value", dedupe_right="first",
         )
+
+
+def test_canonicalize_passes_through_unparseable(spark):
+    """No scheme://authority -> input unchanged (changed=0), never ':///'
+    garbage that collides all malformed urls onto one key."""
+    from legal_document_ocr_spark.operators import urls
+
+    rows = [("not a url at all",), ("mailto:a@b.com",), ("",)]
+    out = {r["url"]: r for r in urls.canonicalize_urls(
+        spark.createDataFrame(rows, "url string")).collect()}
+    for (u,) in rows:
+        assert out[u]["canonical_url"] == u and out[u]["changed"] == 0
