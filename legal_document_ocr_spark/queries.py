@@ -869,6 +869,103 @@ SELECT node, floor(rank * 1000000000.0)::bigint AS rank_nano FROM r{iters}
     return "".join(parts)
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier prioritization — the composition the webtext operators
+    exist for: out-links (urls.extract_links) -> canonicalize -> anti-join
+    the already-crawled url set -> attach the host's PageRank -> top-100 by
+    (rank desc, url asc). Every stage is an existing oracle-checked
+    operator; this query checks their COMPOSITION end to end."""
+    from .operators import graph, urls
+
+    pages = synthesize_pages_df(spark, sf_dir)
+    links = urls.extract_links(pages)
+    canon = urls.canonicalize_urls(links.select(F.col("resolved").alias("url")))
+    cand = canon.select(F.col("canonical_url").alias("url")).distinct()
+    seen = pages.select("url").distinct()
+    frontier = cand.join(seen.hint("shuffle_hash"), "url", "left_anti")
+    # host rank from the deterministic host graph (same graph as host_pagerank)
+    hosts = _docs(spark, sf_dir).select("source").distinct()
+    k = F.regexp_replace(F.col("source"), "^src", "").cast("int")
+    e1 = hosts.select(
+        F.col("source").alias("src"),
+        F.concat(F.lit("src"), ((k * k + 1) % 20).cast("string")).alias("dst"),
+    )
+    e2 = hosts.select(
+        F.col("source").alias("src"),
+        F.concat(F.lit("src"), ((k * 3 + 1) % 20).cast("string")).alias("dst"),
+    )
+    ranks = graph.pagerank(e1.unionByName(e2)).select(
+        F.concat(F.col("node"), F.lit(".example.com")).alias("host"), "rank_nano"
+    )
+    out = frontier.select(
+        "url",
+        F.regexp_extract(
+            F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)", 1
+        ).alias("host"),
+    ).join(F.broadcast(ranks), "host")
+    return (
+        out.select("url", "host", "rank_nano")
+        .orderBy(F.col("rank_nano").desc(), F.col("url"))
+        .limit(100)
+    )
+
+
+def _sql_crawl_frontier() -> str:
+    from .sources.pages import _TEMPLATE_HEAD, _TEMPLATE_TAIL
+
+    pr = _sql_host_pagerank().strip()
+    assert pr.startswith("WITH ")
+    return (
+        "WITH "
+        + pr[len("WITH "):pr.rindex("SELECT node")].rstrip()
+        + f""",
+ranks AS (
+  SELECT node || '.example.com' AS host,
+         floor(rank * 1000000000.0)::bigint AS rank_nano
+  FROM r3
+),
+pages AS (
+  SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id
+           AS url,
+         '{_TEMPLATE_HEAD}' || text || '{_TEMPLATE_TAIL}' AS html
+  FROM documents
+),
+le AS (
+  SELECT url,
+    lower(coalesce(regexp_extract(url,
+      '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1), '')) AS scheme,
+    lower(coalesce(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]+)', 1), '')) AS phost,
+    regexp_extract_all(html, 'href="([^"]*)"', 1) AS hrefs
+  FROM pages
+),
+ll AS (SELECT scheme, phost, unnest(hrefs) AS href FROM le),
+resolved AS (
+  SELECT DISTINCT CASE WHEN href LIKE '//%' THEN scheme || ':' || href
+       WHEN href LIKE '/%' THEN scheme || '://' || phost || href
+       ELSE href END AS url
+  FROM ll
+),
+-- resolved urls are already canonical (https, no port/query/fragment,
+-- root path kept) so canonicalization is the identity here; the Spark side
+-- runs the full canonicalizer to prove that
+frontier AS (
+  SELECT r.url FROM resolved r
+  WHERE NOT EXISTS (SELECT 1 FROM pages p WHERE p.url = r.url)
+),
+fh AS (
+  SELECT url,
+    coalesce(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]+)', 1), '') AS host
+  FROM frontier
+)
+SELECT url, host, rank_nano
+FROM fh JOIN ranks USING (host)
+ORDER BY rank_nano DESC, url LIMIT 100
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -2384,6 +2481,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "canonical_urls": q_canonical_urls,
     "extract_links": q_extract_links,
     "host_pagerank": q_host_pagerank,
+    "crawl_frontier": q_crawl_frontier,
     # dedup family
     "dedup_exact": q_dedup_exact,
     "dedup_stats": q_dedup_stats,
@@ -2469,6 +2567,7 @@ ORACLE: dict[str, str] = {
     "canonical_urls": _SQL_CANONICAL_URLS,
     "extract_links": _sql_extract_links(),
     "host_pagerank": _sql_host_pagerank(),
+    "crawl_frontier": _sql_crawl_frontier(),
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_stats": _SQL_DEDUP_STATS,
     "events_json": _SQL_EVENTS_JSON,
