@@ -869,6 +869,43 @@ SELECT node, floor(rank * 1000000000.0)::bigint AS rank_nano FROM r{iters}
     return "".join(parts)
 
 
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC roundtrip (sources/warc.py): synthesize response records from
+    the template corpus, parse them back with pure expressions, and emit
+    recovered fields + payload integrity. The oracle states the synthesis
+    closed form, so the parser must actually recover headers AND payload."""
+    from .sources.warc import parse_warc_records, synthesize_warc_df
+
+    _utc(spark)
+    parsed = parse_warc_records(synthesize_warc_df(spark, sf_dir))
+    return parsed.select(
+        "url",
+        F.col("warc_ts").cast("long").alias("ts_epoch"),
+        "content_length",
+        F.length("payload").cast("long").alias("payload_chars"),
+        F.md5("payload").alias("payload_md5"),
+        (F.col("content_length") == F.octet_length("payload"))
+        .cast("int")
+        .alias("length_ok"),
+    )
+
+
+def _sql_warc_parse() -> str:
+    from .sources.pages import _TEMPLATE_HEAD, _TEMPLATE_TAIL
+
+    html = f"'{_TEMPLATE_HEAD}' || text || '{_TEMPLATE_TAIL}'"
+    return f"""
+SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id
+         AS url,
+  (1704067200 + doc_id)::bigint AS ts_epoch,
+  octet_length(encode({html}))::bigint AS content_length,
+  length({html})::bigint AS payload_chars,
+  md5({html}) AS payload_md5,
+  1::int AS length_ok
+FROM documents
+"""
+
+
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier prioritization — the composition the webtext operators
     exist for: out-links (urls.extract_links) -> canonicalize -> anti-join
@@ -2482,6 +2519,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_links": q_extract_links,
     "host_pagerank": q_host_pagerank,
     "crawl_frontier": q_crawl_frontier,
+    "warc_parse": q_warc_parse,
     # dedup family
     "dedup_exact": q_dedup_exact,
     "dedup_stats": q_dedup_stats,
@@ -2568,6 +2606,7 @@ ORACLE: dict[str, str] = {
     "extract_links": _sql_extract_links(),
     "host_pagerank": _sql_host_pagerank(),
     "crawl_frontier": _sql_crawl_frontier(),
+    "warc_parse": _sql_warc_parse(),
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_stats": _SQL_DEDUP_STATS,
     "events_json": _SQL_EVENTS_JSON,

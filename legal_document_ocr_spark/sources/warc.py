@@ -1,0 +1,80 @@
+"""WARC-shaped record synthesis and parsing — the Common-Crawl input format.
+
+The pages source (pages.py) hands the pipeline a clean (url, ts, html)
+table; real crawls arrive as WARC: a header block of ``Name: value`` lines,
+a blank line, then the payload. This module closes that gap Spark-first:
+
+- ``synthesize_warc_df`` derives one WARC *response-record string* per
+  document from the same deterministic template corpus (pure Catalyst
+  concat — no UDF), so the parser has a by-construction oracle;
+- ``parse_warc_records`` recovers (url, warc_ts, content_length, payload)
+  from the record text with regexp/substring expressions only — no Python,
+  no shuffle; the parse runs at scan speed and the extraction pipeline's
+  contract (pages.PAGES_SCHEMA) is reachable with one further select.
+
+Header extraction is anchored to line starts (``(?m)`` multiline) so a
+payload containing ``WARC-Target-URI:`` text cannot spoof a header — the
+payload begins after the FIRST blank line, and headers are only read from
+the text before it.
+
+Reference analogue: the upload path's multipart parsing + content-type
+dispatch (app/api/v1/endpoints/documents.py:16-26 → ocr_service.py:66-103)
+— same job, crawl-archive framing instead of HTTP multipart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CRLF = "\r\n"
+
+
+def synthesize_warc_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One WARC response record per document: (record_id, record) with
+    record = headers + blank line + html payload, all deterministic."""
+    from .pages import synthesize_pages_df
+
+    pages = synthesize_pages_df(spark, sf_dir)
+    html_txt = F.decode(F.col("html"), "UTF-8")
+    record = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: response" + _CRLF),
+        F.lit("WARC-Target-URI: "), F.col("url"), F.lit(_CRLF),
+        F.lit("WARC-Date: "),
+        F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit(_CRLF),
+        F.lit("Content-Length: "),
+        F.length(F.col("html")).cast("string"),  # bytes (html is binary)
+        F.lit(_CRLF + _CRLF),
+        html_txt,
+    )
+    return pages.select(
+        F.xxhash64("url").alias("record_id"), record.alias("record")
+    )
+
+
+# header regexes: multiline-anchored, value = rest of line (no CR)
+_URI_RE = r"(?m)^WARC-Target-URI: ([^\r\n]*)$"
+_DATE_RE = r"(?m)^WARC-Date: ([^\r\n]*)$"
+_LEN_RE = r"(?m)^Content-Length: ([^\r\n]*)$"
+
+
+def parse_warc_records(records: DataFrame, record_col: str = "record") -> DataFrame:
+    """Parse WARC record strings back to (url, warc_ts, content_length,
+    payload) with pure expressions. The payload is everything after the
+    first blank line; headers are read ONLY from the text before it."""
+    rec = F.col(record_col)
+    head = F.substring_index(rec, _CRLF + _CRLF, 1)
+    payload = F.expr(
+        f"substring({record_col}, length(substring_index({record_col}, "
+        f"'\\r\\n\\r\\n', 1)) + 5)"
+    )
+    return records.select(
+        F.regexp_extract(head, _URI_RE, 1).alias("url"),
+        F.to_timestamp(
+            F.regexp_extract(head, _DATE_RE, 1), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        ).alias("warc_ts"),
+        F.regexp_extract(head, _LEN_RE, 1).cast("long").alias("content_length"),
+        payload.alias("payload"),
+    )

@@ -864,3 +864,24 @@ def test_canonicalize_passes_through_unparseable(spark):
         spark.createDataFrame(rows, "url string")).collect()}
     for (u,) in rows:
         assert out[u]["canonical_url"] == u and out[u]["changed"] == 0
+
+
+def test_warc_parse_is_header_spoof_resistant(spark):
+    """A payload containing 'WARC-Target-URI:' text must NOT override the
+    real header: headers are only read before the first blank line."""
+    from legal_document_ocr_spark.sources.warc import parse_warc_records
+
+    rec = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: https://real.example.com/a\r\n"
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        "Content-Length: 41\r\n"
+        "\r\n"
+        "WARC-Target-URI: https://spoof.evil.com/x\r\n"
+    )
+    df = spark.createDataFrame([(rec,)], "record string")
+    row = parse_warc_records(df).collect()[0]
+    assert row["url"] == "https://real.example.com/a"
+    assert row["payload"].startswith("WARC-Target-URI: https://spoof")
+    assert row["content_length"] == 41
