@@ -274,6 +274,33 @@ def domain_profile(pages: DataFrame) -> DataFrame:
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key_col: str,
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Crawl-snapshot diff: classify every key across two snapshots as
+    added / removed / changed / unchanged — the incremental-crawl planning
+    step (recrawl 'changed', ingest 'added', tombstone 'removed').
+
+    One full-outer shuffle join on the key; both sides carry only
+    (key, fixed-width hash), so the exchange never moves payloads. At rest
+    both snapshots are key-bucketed tables and the join is co-located.
+    """
+    o = old.select(F.col(key_col).alias("k"), F.col(hash_col).alias("_oh"))
+    n = new.select(F.col(key_col).alias("k"), F.col(hash_col).alias("_nh"))
+    joined = o.join(n.hint("shuffle_hash"), "k", "full_outer")
+    status = (
+        F.when(F.col("_oh").isNull(), F.lit("added"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(F.col("k").alias(key_col), status.alias("status"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

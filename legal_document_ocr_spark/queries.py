@@ -869,6 +869,41 @@ SELECT node, floor(rank * 1000000000.0)::bigint AS rank_nano FROM r{iters}
     return "".join(parts)
 
 
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two deterministic crawl states
+    (relational.snapshot_diff): docs <100 removed, >=400 added, every 7th
+    of the overlap changed."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    old = d.where(F.col("doc_id") < 400).select(
+        "doc_id", F.sha2("text", 256).alias("content_hash")
+    )
+    new_text = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    new = d.where(F.col("doc_id") >= 100).select(
+        "doc_id", F.sha2(new_text, 256).alias("content_hash")
+    )
+    return relational.snapshot_diff(old, new, key_col="doc_id")
+
+
+_SQL_CRAWL_DIFF = """
+WITH o AS (
+  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id < 400
+),
+n AS (
+  SELECT doc_id,
+    sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+  FROM documents WHERE doc_id >= 100
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.h IS NULL THEN 'added'
+       WHEN n.h IS NULL THEN 'removed'
+       WHEN o.h <> n.h THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
 def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC roundtrip (sources/warc.py): synthesize response records from
     the template corpus, parse them back with pure expressions, and emit
@@ -2520,6 +2555,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_pagerank": q_host_pagerank,
     "crawl_frontier": q_crawl_frontier,
     "warc_parse": q_warc_parse,
+    "crawl_diff": q_crawl_diff,
     # dedup family
     "dedup_exact": q_dedup_exact,
     "dedup_stats": q_dedup_stats,
@@ -2607,6 +2643,7 @@ ORACLE: dict[str, str] = {
     "host_pagerank": _sql_host_pagerank(),
     "crawl_frontier": _sql_crawl_frontier(),
     "warc_parse": _sql_warc_parse(),
+    "crawl_diff": _SQL_CRAWL_DIFF,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_stats": _SQL_DEDUP_STATS,
     "events_json": _SQL_EVENTS_JSON,
