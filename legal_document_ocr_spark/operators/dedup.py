@@ -437,6 +437,60 @@ def verified_near_dups(
 
 
 # ---------------------------------------------------------------------------
+# KMV distinct-count sketch
+# ---------------------------------------------------------------------------
+
+
+def kmv_distinct(
+    docs: DataFrame, text_col: str = "text", *, k: int = 64
+) -> DataFrame:
+    """K-minimum-values cardinality sketch: estimate the number of DISTINCT
+    payloads from the k smallest content-hash values — the deterministic,
+    engine-portable alternative to HLL (Spark's approx_count_distinct and
+    DuckDB's use different HLL implementations, so their estimates can
+    never hash-match; KMV over md5 is bit-identical everywhere).
+
+    Scale shape — the point of a sketch is to AVOID the corpus-wide
+    distinct shuffle: each partition keeps its own k smallest distinct
+    hashes (map-side collect_list -> array_distinct -> sort -> slice), the
+    final merge sees only k x n_partitions values in ONE single-row
+    aggregate. Estimator: (k-1) / (kth_min / 2^60) with fixed double op
+    order; emitted floored. The exact distinct count rides along for the
+    accuracy check (cheap at test scale, the thing you'd skip at 100 TB).
+    """
+    h = _portable_hash60(F.col(text_col))
+    per_part = (
+        docs.select(h.alias("h"), F.spark_partition_id().alias("_pid"))
+        .groupBy("_pid")
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.collect_list("h"))), 1, k
+            ).alias("mins")
+        )
+    )
+    merged = per_part.agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("mins")))),
+            1,
+            k,
+        ).alias("mins")
+    )
+    kth = F.element_at("mins", F.size("mins"))
+    est = F.floor(
+        F.lit(float(k - 1)) / (kth.cast("double") / F.lit(float(1 << 60)))
+    ).cast("long")
+    exact = docs.select(F.count_distinct(F.col(text_col)).alias("exact_distinct"))
+    return (
+        merged.select(
+            F.size("mins").cast("long").alias("k_used"),
+            kth.alias("kth_min"),
+            est.alias("est_distinct"),
+        )
+        .crossJoin(F.broadcast(exact))
+    )
+
+
+# ---------------------------------------------------------------------------
 # incremental dedup (arriving batch vs existing corpus)
 # ---------------------------------------------------------------------------
 

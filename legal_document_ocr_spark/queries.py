@@ -869,6 +869,29 @@ SELECT node, floor(rank * 1000000000.0)::bigint AS rank_nano FROM r{iters}
     return "".join(parts)
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (dedup.kmv_distinct) on the doubled corpus
+    (2x rows, same distinct payloads — the estimate must ignore copies)."""
+    return dedup.kmv_distinct(_doubled_docs(spark, sf_dir))
+
+
+_SQL_KMV_DISTINCT = f"""
+WITH d2 AS ({_DOUBLED_SQL}),
+h AS (
+  SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::bigint AS h FROM d2
+),
+mins AS (SELECT h FROM h ORDER BY h LIMIT 64),
+agg AS (
+  SELECT count(*)::bigint AS k_used, max(h) AS kth_min FROM mins
+)
+SELECT k_used, kth_min,
+  floor(63.0::double / (kth_min::double / 1152921504606846976.0::double))::bigint
+    AS est_distinct,
+  (SELECT count(DISTINCT text) FROM d2)::bigint AS exact_distinct
+FROM agg
+"""
+
+
 def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between two deterministic crawl states
     (relational.snapshot_diff): docs <100 removed, >=400 added, every 7th
@@ -2556,6 +2579,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_frontier": q_crawl_frontier,
     "warc_parse": q_warc_parse,
     "crawl_diff": q_crawl_diff,
+    "kmv_distinct": q_kmv_distinct,
     # dedup family
     "dedup_exact": q_dedup_exact,
     "dedup_stats": q_dedup_stats,
@@ -2644,6 +2668,7 @@ ORACLE: dict[str, str] = {
     "crawl_frontier": _sql_crawl_frontier(),
     "warc_parse": _sql_warc_parse(),
     "crawl_diff": _SQL_CRAWL_DIFF,
+    "kmv_distinct": _SQL_KMV_DISTINCT,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_stats": _SQL_DEDUP_STATS,
     "events_json": _SQL_EVENTS_JSON,
