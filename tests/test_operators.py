@@ -885,3 +885,24 @@ def test_warc_parse_is_header_spoof_resistant(spark):
     assert row["url"] == "https://real.example.com/a"
     assert row["payload"].startswith("WARC-Target-URI: https://spoof")
     assert row["content_length"] == 41
+
+
+def test_snapshot_diff_classifies_all_states(spark):
+    old = spark.createDataFrame(
+        [(1, "h1"), (2, "h2"), (3, "h3")], "doc_id long, content_hash string"
+    )
+    new = spark.createDataFrame(
+        [(2, "h2"), (3, "h3x"), (4, "h4")], "doc_id long, content_hash string"
+    )
+    out = {r["doc_id"]: r["status"]
+           for r in relational.snapshot_diff(old, new, key_col="doc_id").collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_kmv_estimate_ignores_duplicates_and_is_exact_when_k_covers(spark):
+    """With k >= true distinct count the sketch degrades gracefully: every
+    distinct hash is in the min-set, and duplicates never inflate k_used."""
+    rows = [(i, f"text number {i % 10}") for i in range(100)]  # 10 distinct
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    r = dedup.kmv_distinct(d, k=64).collect()[0]
+    assert r["k_used"] == 10 and r["exact_distinct"] == 10
