@@ -451,22 +451,35 @@ def kmv_distinct(
     never hash-match; KMV over md5 is bit-identical everywhere).
 
     Scale shape — the point of a sketch is to AVOID the corpus-wide
-    distinct shuffle: each partition keeps its own k smallest distinct
-    hashes (map-side collect_list -> array_distinct -> sort -> slice), the
-    final merge sees only k x n_partitions values in ONE single-row
-    aggregate. Estimator: (k-1) / (kth_min / 2^60) with fixed double op
-    order; emitted floored. The exact distinct count rides along for the
+    distinct shuffle. A single collect_list per partition would buffer the
+    WHOLE partition's hashes in one aggregation row before any slice
+    applies, so the reduction is three-level: (1) salt groups of
+    (partition, h % 256) — each buffer holds ~1/256 of a partition and the
+    sort-agg fallback can spill; (2) per-partition merge of 256 k-slices;
+    (3) one global single-row merge of k x n_partitions values. Estimator:
+    when the sketch is NOT full (k_used < k) every distinct hash is in the
+    min-set and the count is EXACT = k_used; otherwise
+    (k-1) / (kth_min / 2^60), fixed double op order, floored. Empty input
+    yields (0, NULL, 0). The exact distinct count rides along for the
     accuracy check (cheap at test scale, the thing you'd skip at 100 TB).
     """
     h = _portable_hash60(F.col(text_col))
-    per_part = (
+    salted = (
         docs.select(h.alias("h"), F.spark_partition_id().alias("_pid"))
-        .groupBy("_pid")
+        .where(F.col("h").isNotNull())
+        .groupBy("_pid", F.pmod("h", F.lit(256)).alias("_salt"))
         .agg(
             F.slice(
                 F.array_sort(F.array_distinct(F.collect_list("h"))), 1, k
             ).alias("mins")
         )
+    )
+    per_part = salted.groupBy("_pid").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("mins")))),
+            1,
+            k,
+        ).alias("mins")
     )
     merged = per_part.agg(
         F.slice(
@@ -475,14 +488,17 @@ def kmv_distinct(
             k,
         ).alias("mins")
     )
-    kth = F.element_at("mins", F.size("mins"))
-    est = F.floor(
-        F.lit(float(k - 1)) / (kth.cast("double") / F.lit(float(1 << 60)))
-    ).cast("long")
+    k_used = F.size("mins")
+    kth = F.when(k_used > 0, F.element_at("mins", k_used))
+    est = F.when(k_used < k, k_used.cast("long")).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) / (kth.cast("double") / F.lit(float(1 << 60)))
+        ).cast("long")
+    )
     exact = docs.select(F.count_distinct(F.col(text_col)).alias("exact_distinct"))
     return (
         merged.select(
-            F.size("mins").cast("long").alias("k_used"),
+            k_used.cast("long").alias("k_used"),
             kth.alias("kth_min"),
             est.alias("est_distinct"),
         )

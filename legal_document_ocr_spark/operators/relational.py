@@ -288,14 +288,27 @@ def snapshot_diff(
     One full-outer shuffle join on the key; both sides carry only
     (key, fixed-width hash), so the exchange never moves payloads. At rest
     both snapshots are key-bucketed tables and the join is co-located.
+
+    Presence is tracked with explicit per-side flags, NOT hash nullness —
+    a key present in both snapshots whose hash is NULL on one side (failed
+    fetch) must classify as changed/unchanged by the null-safe hash
+    comparison, never as added/removed.
     """
-    o = old.select(F.col(key_col).alias("k"), F.col(hash_col).alias("_oh"))
-    n = new.select(F.col(key_col).alias("k"), F.col(hash_col).alias("_nh"))
+    o = old.select(
+        F.col(key_col).alias("k"),
+        F.col(hash_col).alias("_oh"),
+        F.lit(1).alias("_op"),
+    )
+    n = new.select(
+        F.col(key_col).alias("k"),
+        F.col(hash_col).alias("_nh"),
+        F.lit(1).alias("_np"),
+    )
     joined = o.join(n.hint("shuffle_hash"), "k", "full_outer")
     status = (
-        F.when(F.col("_oh").isNull(), F.lit("added"))
-        .when(F.col("_nh").isNull(), F.lit("removed"))
-        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+        F.when(F.col("_op").isNull(), F.lit("added"))
+        .when(F.col("_np").isNull(), F.lit("removed"))
+        .when(~F.col("_oh").eqNullSafe(F.col("_nh")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return joined.select(F.col("k").alias(key_col), status.alias("status"))

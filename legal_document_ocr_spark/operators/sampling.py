@@ -70,9 +70,18 @@ def mixture_weights(
     # per-domain mixture has thousands of groups, and a nested-WHEN expression
     # tree that size breaks codegen long before the data does
     spark = df.sparkSession
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # the group key keeps the INPUT column's type (an int-keyed mixture must
+    # not silently fail against a string-typed schema, or vice versa)
     tgt = spark.createDataFrame(
         [(g, float(t)) for g, t in sorted(targets.items())],
-        f"{group_col} string, _target double",
+        StructType(
+            [
+                StructField(group_col, df.schema[group_col].dataType),
+                StructField("_target", DoubleType()),
+            ]
+        ),
     )
     rate = F.least(
         F.lit(1.0), F.col("_target") * F.lit(total) / F.col("_cg").cast("double")

@@ -808,13 +808,10 @@ FROM l
 """
 
 
-def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-iteration PageRank (graph.pagerank) over a deterministic host
-    graph (each host links to two formula-derived peers — no dangling
-    nodes, no self-loops by construction). At corpus scale the edge list
-    comes from urls.extract_links aggregated to hosts."""
-    from .operators import graph
-
+def _host_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic demo host graph shared by q_host_pagerank and
+    q_crawl_frontier: each host links to two formula-derived peers
+    (squaring map varies in-degree; no dangling nodes, no self-loops)."""
     hosts = _docs(spark, sf_dir).select("source").distinct()
     k = F.regexp_replace(F.col("source"), "^src", "").cast("int")
     e1 = hosts.select(
@@ -825,10 +822,22 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("src"),
         F.concat(F.lit("src"), ((k * 3 + 1) % 20).cast("string")).alias("dst"),
     )
-    return graph.pagerank(e1.unionByName(e2))
+    return e1.unionByName(e2)
 
 
-def _sql_host_pagerank(iters: int = 3) -> str:
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (graph.pagerank) over the deterministic
+    host graph. At corpus scale the edge list comes from
+    urls.extract_links aggregated to hosts."""
+    from .operators import graph
+
+    return graph.pagerank(_host_graph_edges(spark, sf_dir))
+
+
+def _sql_host_pagerank_ctes(iters: int = 3) -> tuple[str, str]:
+    """(CTE prefix WITHOUT the leading WITH, final relation name) — shared
+    verbatim by the standalone pagerank oracle and the frontier oracle, so
+    the two can never desynchronize on iteration count or rank expression."""
     parts = [
         """
 WITH hosts AS (SELECT DISTINCT source FROM documents),
@@ -861,12 +870,20 @@ r{i} AS (
   FROM nodes CROSS JOIN nn LEFT JOIN s{i} USING (node)
 )"""
         )
-    parts.append(
-        f"""
-SELECT node, floor(rank * 1000000000.0)::bigint AS rank_nano FROM r{iters}
+    prefix = "".join(parts).lstrip()
+    assert prefix.startswith("WITH ")
+    return prefix[len("WITH "):], f"r{iters}"
+
+
+def _sql_host_pagerank(iters: int = 3) -> str:
+    ctes, final = _sql_host_pagerank_ctes(iters)
+    return (
+        "WITH "
+        + ctes
+        + f"""
+SELECT node, floor(rank * 1000000000.0)::bigint AS rank_nano FROM {final}
 """
     )
-    return "".join(parts)
 
 
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -885,8 +902,10 @@ agg AS (
   SELECT count(*)::bigint AS k_used, max(h) AS kth_min FROM mins
 )
 SELECT k_used, kth_min,
-  floor(63.0::double / (kth_min::double / 1152921504606846976.0::double))::bigint
-    AS est_distinct,
+  CASE WHEN k_used < 64 THEN k_used
+       ELSE floor(63.0::double
+              / (kth_min::double / 1152921504606846976.0::double))::bigint
+  END AS est_distinct,
   (SELECT count(DISTINCT text) FROM d2)::bigint AS exact_distinct
 FROM agg
 """
@@ -919,9 +938,9 @@ n AS (
   FROM documents WHERE doc_id >= 100
 )
 SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-  CASE WHEN o.h IS NULL THEN 'added'
-       WHEN n.h IS NULL THEN 'removed'
-       WHEN o.h <> n.h THEN 'changed'
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.h IS DISTINCT FROM n.h THEN 'changed'
        ELSE 'unchanged' END AS status
 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """
@@ -978,18 +997,9 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = canon.select(F.col("canonical_url").alias("url")).distinct()
     seen = pages.select("url").distinct()
     frontier = cand.join(seen.hint("shuffle_hash"), "url", "left_anti")
-    # host rank from the deterministic host graph (same graph as host_pagerank)
-    hosts = _docs(spark, sf_dir).select("source").distinct()
-    k = F.regexp_replace(F.col("source"), "^src", "").cast("int")
-    e1 = hosts.select(
-        F.col("source").alias("src"),
-        F.concat(F.lit("src"), ((k * k + 1) % 20).cast("string")).alias("dst"),
-    )
-    e2 = hosts.select(
-        F.col("source").alias("src"),
-        F.concat(F.lit("src"), ((k * 3 + 1) % 20).cast("string")).alias("dst"),
-    )
-    ranks = graph.pagerank(e1.unionByName(e2)).select(
+    # host rank from the SHARED deterministic host graph (one definition,
+    # both queries — see _host_graph_edges)
+    ranks = graph.pagerank(_host_graph_edges(spark, sf_dir)).select(
         F.concat(F.col("node"), F.lit(".example.com")).alias("host"), "rank_nano"
     )
     out = frontier.select(
@@ -1008,16 +1018,15 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_crawl_frontier() -> str:
     from .sources.pages import _TEMPLATE_HEAD, _TEMPLATE_TAIL
 
-    pr = _sql_host_pagerank().strip()
-    assert pr.startswith("WITH ")
+    ctes, final = _sql_host_pagerank_ctes()
     return (
         "WITH "
-        + pr[len("WITH "):pr.rindex("SELECT node")].rstrip()
+        + ctes
         + f""",
 ranks AS (
   SELECT node || '.example.com' AS host,
          floor(rank * 1000000000.0)::bigint AS rank_nano
-  FROM r3
+  FROM {final}
 ),
 pages AS (
   SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id

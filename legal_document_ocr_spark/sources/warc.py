@@ -66,10 +66,9 @@ def parse_warc_records(records: DataFrame, record_col: str = "record") -> DataFr
     first blank line; headers are read ONLY from the text before it."""
     rec = F.col(record_col)
     head = F.substring_index(rec, _CRLF + _CRLF, 1)
-    payload = F.expr(
-        f"substring({record_col}, length(substring_index({record_col}, "
-        f"'\\r\\n\\r\\n', 1)) + 5)"
-    )
+    # pure Column form (no SQL interpolation of the column name): payload
+    # starts right after head + the 4-byte separator; length clamps
+    payload = rec.substr(F.length(head) + F.lit(5), F.length(rec))
     return records.select(
         F.regexp_extract(head, _URI_RE, 1).alias("url"),
         F.to_timestamp(

@@ -906,3 +906,41 @@ def test_kmv_estimate_ignores_duplicates_and_is_exact_when_k_covers(spark):
     d = spark.createDataFrame(rows, "doc_id long, text string")
     r = dedup.kmv_distinct(d, k=64).collect()[0]
     assert r["k_used"] == 10 and r["exact_distinct"] == 10
+
+
+def test_snapshot_diff_null_hash_is_not_presence(spark):
+    """A NULL hash on one side of a present-in-both key means changed (or
+    unchanged when both NULL) — never added/removed."""
+    old = spark.createDataFrame(
+        [(1, "h1"), (2, None), (3, None)], "doc_id long, content_hash string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "h2"), (3, None)], "doc_id long, content_hash string"
+    )
+    out = {r["doc_id"]: r["status"]
+           for r in relational.snapshot_diff(old, new, key_col="doc_id").collect()}
+    assert out == {1: "changed", 2: "changed", 3: "unchanged"}
+
+
+def test_kmv_small_cardinality_is_exact_and_empty_is_safe(spark):
+    rows = [(i, f"text number {i % 10}") for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    r = dedup.kmv_distinct(d, k=64).collect()[0]
+    assert r["k_used"] == 10 and r["est_distinct"] == 10 == r["exact_distinct"]
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    r0 = dedup.kmv_distinct(empty, k=64).collect()[0]
+    assert r0["k_used"] == 0 and r0["est_distinct"] == 0
+    assert r0["kth_min"] is None and r0["exact_distinct"] == 0
+
+
+def test_mixture_weights_integer_group_keys(spark):
+    from legal_document_ocr_spark.operators import sampling
+
+    d = spark.createDataFrame(
+        [(i, i % 2) for i in range(40)], "doc_id long, grp int"
+    )
+    out = sampling.mixture_weights(
+        d, {0: 0.5, 1: 0.25}, key_col="doc_id", group_col="grp"
+    ).collect()
+    assert {r["grp"] for r in out} == {0, 1}
+    assert all(r["keep_threshold"] in (10000, 5000) for r in out)
