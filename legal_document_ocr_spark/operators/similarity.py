@@ -45,12 +45,17 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / (F.sqrt(na) * F.sqrt(nb))
 
 
-def sign_bucket_expr(vec: Column, bucket_dims: int = 4) -> Column:
-    """Sign pattern of the first ``bucket_dims`` components, e.g. '+-+-'."""
+def sign_bucket_expr(vec: Column, bucket_dims: int = 4, offset: int = 0) -> Column:
+    """Sign pattern of components [offset, offset+bucket_dims), e.g. '+-+-'.
+
+    ``offset`` lets banded sign-LSH key each band on a disjoint coordinate
+    range (band b -> offset b*bucket_dims), so one sign flip in a near-dup
+    only kills that band's bucket match, not the pair.
+    """
     parts = [
-        F.when(F.element_at(vec, i + 1).cast("double") >= 0, F.lit("+")).otherwise(
-            F.lit("-")
-        )
+        F.when(
+            F.element_at(vec, offset + i + 1).cast("double") >= 0, F.lit("+")
+        ).otherwise(F.lit("-"))
         for i in range(bucket_dims)
     ]
     return F.concat(*parts)
