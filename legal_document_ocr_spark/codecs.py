@@ -24,6 +24,13 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel (8-bit depth only)
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
 
+# Decompression-bomb bound: a crafted IHDR can declare 2^32-1 x 2^32-1 and
+# the decoder would allocate height*stride bytes before reading one scanline.
+# 64M pixels (~256 MB RGBA) is far above any legitimate thumbnail/page scan
+# in a crawl corpus; everything larger is rejected as malformed input, the
+# same contract PIL enforces via Image.MAX_IMAGE_PIXELS.
+MAX_IMAGE_PIXELS = 1 << 26
+
 
 def encode_png(width: int, height: int, pixels: bytes, color_type: int = 0) -> bytes:
     """Minimal PNG encoder (filter 0 rows, one IDAT). ``pixels`` is
@@ -90,29 +97,60 @@ def _unfilter(raw: bytes, width: int, height: int, ch: int) -> bytes:
 
 
 def decode_png(payload: bytes) -> dict:
-    """Decode a non-interlaced 8-bit PNG: {width, height, mode, pixels}."""
+    """Decode a non-interlaced 8-bit PNG: {width, height, mode, pixels}.
+
+    Hardened against attacker-controlled input (a crawl corpus is exactly
+    that): truncated chunk framing, missing/short IHDR, dimensioned
+    decompression bombs (> MAX_IMAGE_PIXELS) and short IDAT streams all
+    raise ValueError BEFORE any large allocation — never KeyError /
+    IndexError / MemoryError.
+    """
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, width, height, ctype, idat = 8, None, None, None, b""
     while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
+        if pos + 8 + length > len(payload):
+            raise ValueError("truncated PNG chunk data")
         data = payload[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
+            if length < 13:
+                raise ValueError("short IHDR")
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
+                ">IIBBBBB", data[:13]
             )
             if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
                 raise NotImplementedError(
                     "only 8-bit non-interlaced gray/RGB/RGBA PNG supported"
                 )
+            if width <= 0 or height <= 0:
+                raise ValueError("invalid PNG dimensions")
+            if width * height > MAX_IMAGE_PIXELS:
+                raise ValueError(
+                    f"PNG dimensions {width}x{height} exceed "
+                    f"MAX_IMAGE_PIXELS={MAX_IMAGE_PIXELS}"
+                )
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
             break
+    if ctype is None:
+        raise ValueError("PNG missing IHDR")
     ch = _PNG_CHANNELS[ctype]
-    pixels = _unfilter(zlib.decompress(idat), width, height, ch)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    if len(raw) != height * (1 + width * ch):
+        raise ValueError(
+            f"PNG pixel data length {len(raw)} does not match "
+            f"{height}x{width}x{ch} scanlines"
+        )
+    pixels = _unfilter(raw, width, height, ch)
     mode = {1: "L", 3: "RGB", 4: "RGBA"}[ch]
     return {"width": width, "height": height, "mode": mode, "pixels": pixels}
 
@@ -122,6 +160,8 @@ def decode_bmp(payload: bytes) -> dict:
     (pixels top-down RGB, padding stripped)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP")
+    if len(payload) < 34:
+        raise ValueError("truncated BMP header")
     (data_off,) = struct.unpack("<I", payload[10:14])
     width, height = struct.unpack("<ii", payload[18:26])
     bpp, comp = struct.unpack("<HI", payload[28:34])
@@ -130,6 +170,15 @@ def decode_bmp(payload: bytes) -> dict:
     row_sz = (width * 3 + 3) & ~3
     flip = height > 0
     height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError("invalid BMP dimensions")
+    if width * height > MAX_IMAGE_PIXELS:
+        raise ValueError(
+            f"BMP dimensions {width}x{height} exceed "
+            f"MAX_IMAGE_PIXELS={MAX_IMAGE_PIXELS}"
+        )
+    if data_off + height * row_sz > len(payload):
+        raise ValueError("truncated BMP pixel data")
     out = bytearray()
     for y in range(height):
         src_y = (height - 1 - y) if flip else y

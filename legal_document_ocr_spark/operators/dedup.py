@@ -207,6 +207,13 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text", *, k: int =
     it every signature is computed twice. At production scale the band table
     is written to its own table/stage anyway (the candidates feed a verify
     pass), so the persist models exactly that materialization boundary.
+
+    Cache lifetime contract (shared by every reuse-boundary persist in this
+    module): the returned frame is LAZY and references the cache, so the
+    operator cannot unpersist it; the entry lives in the SQL CacheManager
+    until ``spark.catalog.clearCache()`` or session end. Long-lived sessions
+    calling these operators over many DISTINCT inputs should clearCache()
+    between corpora (repeat calls on the SAME input reuse one entry).
     """
     bb = minhash_bands(
         docs, text_col, k=k, num_hashes=num_hashes, bands=bands
@@ -636,7 +643,9 @@ def connected_components(
     payload never enters the loop. ``localCheckpoint`` after each round
     truncates the lineage so the plan doesn't grow with iterations (on a
     cluster checkpoint to durable storage instead — same call site). The
-    convergence test is sum(label): labels only ever decrease, so an
+    convergence test is sum(label) in DECIMAL(38,0): per-node labels only
+    ever decrease, and the decimal sum is exact (a bigint sum wraps 2^64
+    non-ANSI, so two different label states could alias — ADVICE r2), so an
     unchanged sum IS the fixpoint — one scalar action per round, no
     old-vs-new join. Reference analogue: transitive merge grouping in
     document_merger_service.py:43-76 (adjacent-page merge chains), here
@@ -653,7 +662,7 @@ def connected_components(
         F.col(id_col).cast("long").alias("node"),
         F.col(id_col).cast("long").alias("label"),
     ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iters):
         # neighbor step: a node sees every neighbor's current label. Both the
         # label table and the edge list are corpus-sized — shuffle_hash keeps
@@ -677,7 +686,7 @@ def connected_components(
             .select("node", F.col("l_label").alias("label"))
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -37,10 +37,14 @@ def pagerank(
     fix add a sink edge per dangling node — the demo graph has none).
     Output: (node, rank_nano) with rank_nano = floor(rank·1e9).
     """
-    # persisted for the life of the returned (lazy) plan — every iteration
-    # references e/nodes, and the caller materializes after we return, so
-    # eager unpersist here would defeat the cache; both are released by
-    # ContextCleaner when the result DataFrame is dropped
+    # persisted only for the duration of this call: the loop below references
+    # e/nodes once per iteration, and the final ranks are localCheckpoint'ed
+    # (materialized, lineage truncated) so both caches can be RELEASED before
+    # returning. DataFrame.persist registers in the SQL CacheManager keyed by
+    # logical plan and is only freed by explicit unpersist/session end —
+    # without the unpersist, repeated pagerank calls would accumulate cached
+    # edge-sized tables for the session lifetime (ADVICE r2). The checkpoint
+    # RDD itself IS cleaned by ContextCleaner once the result is dropped.
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct().persist()
@@ -74,7 +78,10 @@ def pagerank(
                 * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
             ).alias("rank"),
         )
-    return ranks.select(
+    out = ranks.select(
         "node",
         F.floor(F.col("rank") * 1000000000.0).cast("long").alias("rank_nano"),
-    )
+    ).localCheckpoint()  # host-sized, distributed across executors
+    e.unpersist()
+    nodes.unpersist()
+    return out

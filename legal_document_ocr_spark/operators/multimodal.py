@@ -65,24 +65,53 @@ IMAGE_DECODE_SCHEMA = StructType(
         StructField("height", IntegerType()),
         StructField("mode", StringType()),
         StructField("px_sum", LongType()),
+        StructField("error", StringType()),
     ]
 )
+
+
+def _decode_error_label(e: Exception) -> str:
+    """Stable per-record error flag: exception class + first line of message.
+
+    One malformed payload in a crawl-scale batch must flag its OWN row, not
+    fail the whole Spark task (a single bad record would otherwise kill the
+    job after 4 task retries) — the mapInPandas analogue of the reference
+    letting callers skip bad records around its PIL decode."""
+    msg = str(e).splitlines()[0] if str(e) else ""
+    return f"{type(e).__name__}: {msg}"[:200]
 
 
 def _image_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from ..codecs import decode_image as _decode
 
     for pdf in batches:
-        out = {"doc_id": [], "width": [], "height": [], "mode": [], "px_sum": []}
+        out = {
+            "doc_id": [],
+            "width": [],
+            "height": [],
+            "mode": [],
+            "px_sum": [],
+            "error": [],
+        }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             if payload is None:
                 continue
-            img = _decode(bytes(payload))
+            try:
+                img = _decode(bytes(payload))
+            except Exception as e:  # noqa: BLE001 — per-record isolation
+                out["doc_id"].append(doc_id)
+                out["width"].append(None)
+                out["height"].append(None)
+                out["mode"].append(None)
+                out["px_sum"].append(None)
+                out["error"].append(_decode_error_label(e))
+                continue
             out["doc_id"].append(doc_id)
             out["width"].append(img["width"])
             out["height"].append(img["height"])
             out["mode"].append(img["mode"])
             out["px_sum"].append(sum(img["pixels"]))
+            out["error"].append(None)
         yield pd.DataFrame(out)
 
 
@@ -93,6 +122,7 @@ AUDIO_DECODE_SCHEMA = StructType(
         StructField("sample_rate", IntegerType()),
         StructField("n_frames", LongType()),
         StructField("sample_sum", LongType()),
+        StructField("error", StringType()),
     ]
 )
 
@@ -109,23 +139,34 @@ def _audio_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "sample_rate": [],
             "n_frames": [],
             "sample_sum": [],
+            "error": [],
         }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             if payload is None:
                 continue
-            wav = decode_wav(bytes(payload))
-            if wav["sample_width"] != 2:
-                raise NotImplementedError(
-                    f"only 16-bit PCM supported (got sample_width="
-                    f"{wav['sample_width']})"
-                )
-            n = len(wav["pcm"]) // 2
-            samples = _struct.unpack(f"<{n}h", wav["pcm"])
+            try:
+                wav = decode_wav(bytes(payload))
+                if wav["sample_width"] != 2:
+                    raise NotImplementedError(
+                        f"only 16-bit PCM supported (got sample_width="
+                        f"{wav['sample_width']})"
+                    )
+                n = len(wav["pcm"]) // 2
+                samples = _struct.unpack(f"<{n}h", wav["pcm"])
+            except Exception as e:  # noqa: BLE001 — per-record isolation
+                out["doc_id"].append(doc_id)
+                out["channels"].append(None)
+                out["sample_rate"].append(None)
+                out["n_frames"].append(None)
+                out["sample_sum"].append(None)
+                out["error"].append(_decode_error_label(e))
+                continue
             out["doc_id"].append(doc_id)
             out["channels"].append(wav["channels"])
             out["sample_rate"].append(wav["sample_rate"])
             out["n_frames"].append(wav["n_frames"])
             out["sample_sum"].append(sum(samples))
+            out["error"].append(None)
         yield pd.DataFrame(out)
 
 

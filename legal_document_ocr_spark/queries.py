@@ -986,6 +986,44 @@ FROM documents
 """
 
 
+def q_warc_binary_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-framed WARC parse (sources/warc.py parse_warc_records_binary):
+    records whose payload is NOT valid UTF-8 (leading 0x00 0xFF octets), so
+    only a genuine octet-offset parse recovers it — a UTF-8 string
+    round-trip corrupts the payload and fails the md5. Payload integrity is
+    checked via md5 over the lowercase hex of the bytes (DuckDB has no
+    md5(BLOB); hex is portable)."""
+    from .sources.warc import parse_warc_records_binary, synthesize_warc_binary_df
+
+    _utc(spark)
+    parsed = parse_warc_records_binary(synthesize_warc_binary_df(spark, sf_dir))
+    return parsed.select(
+        "url",
+        F.col("warc_ts").cast("long").alias("ts_epoch"),
+        "content_length",
+        F.md5(F.lower(F.hex("payload"))).alias("payload_md5"),
+        (F.col("content_length") == F.octet_length("payload"))
+        .cast("int")
+        .alias("length_ok"),
+    )
+
+
+def _sql_warc_binary_parse() -> str:
+    from .sources.pages import _TEMPLATE_HEAD, _TEMPLATE_TAIL
+
+    html = f"'{_TEMPLATE_HEAD}' || text || '{_TEMPLATE_TAIL}'"
+    blob = rf"'\x00\xFF'::blob || encode({html})"
+    return f"""
+SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id
+         AS url,
+  (1704067200 + doc_id)::bigint AS ts_epoch,
+  octet_length({blob})::bigint AS content_length,
+  md5(lower(to_hex({blob}))) AS payload_md5,
+  1::int AS length_ok
+FROM documents
+"""
+
+
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier prioritization — the composition the webtext operators
     exist for: out-links (urls.extract_links) -> canonicalize -> anti-join
@@ -1889,7 +1927,8 @@ SELECT doc_id,
   'L' AS mode,
   list_sum(flatten(list_transform(range((doc_id % 8 + 1)::int), y ->
     list_transform(range((doc_id % 16 + 1)::int), x ->
-      (doc_id + x + y) % 256))))::bigint AS px_sum
+      (doc_id + x + y) % 256))))::bigint AS px_sum,
+  NULL::varchar AS error
 FROM documents
 """
 
@@ -1944,7 +1983,8 @@ SELECT doc_id,
   8000::int AS sample_rate,
   (doc_id % 32 + 4)::bigint AS n_frames,
   list_sum(list_transform(range((doc_id % 32 + 4)::int),
-    i -> (doc_id * 31 + i * 17) % 65536 - 32768))::bigint AS sample_sum
+    i -> (doc_id * 31 + i * 17) % 65536 - 32768))::bigint AS sample_sum,
+  NULL::varchar AS error
 FROM documents
 """
 
@@ -2615,6 +2655,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_pagerank": q_host_pagerank,
     "crawl_frontier": q_crawl_frontier,
     "warc_parse": q_warc_parse,
+    "warc_binary_parse": q_warc_binary_parse,
     "crawl_diff": q_crawl_diff,
     "kmv_distinct": q_kmv_distinct,
     # dedup family
@@ -2688,6 +2729,7 @@ ORACLE: dict[str, str] = {
     "host_pagerank": _sql_host_pagerank(),
     "crawl_frontier": _sql_crawl_frontier(),
     "warc_parse": _sql_warc_parse(),
+    "warc_binary_parse": _sql_warc_binary_parse(),
     "crawl_diff": _SQL_CRAWL_DIFF,
     "kmv_distinct": _SQL_KMV_DISTINCT,
     "dedup_exact": _SQL_DEDUP_EXACT,

@@ -17,6 +17,15 @@ payload containing ``WARC-Target-URI:`` text cannot spoof a header — the
 payload begins after the FIRST blank line, and headers are only read from
 the text before it.
 
+SCOPE — text payloads only: ``parse_warc_records`` operates on a STRING
+record column and recovers the payload by character offsets, so it handles
+the text-payload records this pipeline extracts from (HTML pages). Real
+Common-Crawl WARC files are byte-framed — Content-Length counts OCTETS and
+payloads may be binary (images, gzip members) that do not survive a UTF-8
+string round-trip. Binary records must go through
+``parse_warc_records_binary`` (octet-offset parse over a ``binary``
+column), which shares the header grammar but never decodes the payload.
+
 Reference analogue: the upload path's multipart parsing + content-type
 dispatch (app/api/v1/endpoints/documents.py:16-26 → ocr_service.py:66-103)
 — same job, crawl-archive framing instead of HTTP multipart.
@@ -76,4 +85,64 @@ def parse_warc_records(records: DataFrame, record_col: str = "record") -> DataFr
         ).alias("warc_ts"),
         F.regexp_extract(head, _LEN_RE, 1).cast("long").alias("content_length"),
         payload.alias("payload"),
+    )
+
+
+def synthesize_warc_binary_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One byte-framed WARC response record per document, as BINARY.
+
+    Same header grammar as ``synthesize_warc_df`` but Content-Length counts
+    OCTETS of a payload that is deliberately NOT valid UTF-8: two raw bytes
+    0x00 0xFF are prepended to the UTF-8 html. Any parser that routes the
+    payload through a UTF-8 string round-trip corrupts it — which is exactly
+    the honesty check ``parse_warc_records_binary`` must pass.
+    """
+    from .pages import synthesize_pages_df
+
+    pages = synthesize_pages_df(spark, sf_dir)
+    payload = F.concat(F.lit(bytes([0x00, 0xFF])), F.col("html"))
+    head = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: response" + _CRLF),
+        F.lit("WARC-Target-URI: "), F.col("url"), F.lit(_CRLF),
+        F.lit("WARC-Date: "),
+        F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit(_CRLF),
+        F.lit("Content-Length: "),
+        F.length(payload).cast("string"),  # octets: F.length on binary
+        F.lit(_CRLF + _CRLF),
+    )
+    return pages.select(
+        F.xxhash64("url").alias("record_id"),
+        F.concat(F.encode(head, "UTF-8"), payload).alias("record_bytes"),
+    )
+
+
+def parse_warc_records_binary(
+    records: DataFrame, record_col: str = "record_bytes"
+) -> DataFrame:
+    """Byte-framed WARC parse over a BINARY record column — octet offsets,
+    payload returned as binary, never decoded.
+
+    Spark has no substring/locate over binary, so the record is viewed
+    through ISO-8859-1 — the one charset whose byte<->char mapping is a
+    BIJECTION over all 256 values. Character offsets in the latin-1 view ARE
+    octet offsets, Content-Length (octets) slices exactly, and
+    ``encode(·, 'ISO-8859-1')`` restores the original bytes losslessly.
+    Headers are ASCII by the WARC spec, so the same multiline-anchored
+    regexes apply; everything stays whole-stage-codegen expressions — no
+    Python, no shuffle, scan speed.
+    """
+    rec = F.decode(F.col(record_col), "ISO-8859-1")
+    head = F.substring_index(rec, _CRLF + _CRLF, 1)
+    clen = F.regexp_extract(head, _LEN_RE, 1).cast("long")
+    # byte-framed: slice exactly Content-Length octets after the separator
+    payload = rec.substr(F.length(head) + F.lit(5), clen)
+    return records.select(
+        F.regexp_extract(head, _URI_RE, 1).alias("url"),
+        F.to_timestamp(
+            F.regexp_extract(head, _DATE_RE, 1), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        ).alias("warc_ts"),
+        clen.alias("content_length"),
+        F.encode(payload, "ISO-8859-1").alias("payload"),
     )

@@ -105,3 +105,76 @@ def test_wav_roundtrip():
 def test_dispatch_jpeg_still_needs_a_library():
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0jpegdata")
+
+
+# ---------------------------------------------------------------------------
+# hardening: attacker-controlled input (ADVICE r2 medium)
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib as _zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", _zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def test_png_decompression_bomb_rejected_before_allocation():
+    """A crafted IHDR declaring huge dims must raise ValueError, not
+    attempt a multi-GB bytearray."""
+    from legal_document_ocr_spark.codecs import _PNG_SIG
+
+    ihdr = struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 0, 0, 0, 0)
+    bomb = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
+        decode_png(bomb)
+
+
+def test_png_missing_ihdr_is_valueerror():
+    from legal_document_ocr_spark.codecs import _PNG_SIG
+
+    with pytest.raises(ValueError, match="missing IHDR"):
+        decode_png(_PNG_SIG + _png_chunk(b"IEND", b""))
+
+
+def test_png_truncated_chunk_and_short_idat_are_valueerror():
+    import zlib as _zlib
+
+    from legal_document_ocr_spark.codecs import _PNG_SIG, encode_png
+
+    good = encode_png(4, 4, bytes(range(16)), 0)
+    with pytest.raises(ValueError):
+        decode_png(good[:-10])  # truncated mid-chunk
+    # valid framing, IDAT shorter than height*(1+stride)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    short = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(b"\x00" * 7))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="does not match"):
+        decode_png(short)
+    # corrupt deflate stream
+    bad = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", b"\x99\x99\x99")
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IDAT"):
+        decode_png(bad)
+
+
+def test_bmp_truncated_and_bomb_are_valueerror():
+    hdr = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 1 << 16, 1 << 16, 1, 24, 0, 0, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
+        decode_bmp(hdr + dib)
+    dib2 = struct.pack("<IiiHHIIiiII", 40, 8, 8, 1, 24, 0, 0, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="truncated BMP pixel"):
+        decode_bmp(hdr + dib2 + b"\x00" * 10)

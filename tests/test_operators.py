@@ -247,6 +247,44 @@ def test_media_features_deterministic(spark):
     assert row["fake_height"] == int(h[4:8], 16) % 1000
 
 
+def test_image_decode_isolates_malformed_records(spark):
+    """ADVICE r2 medium: one malformed payload in a batch must flag its own
+    row (error column), not fail the Spark task — valid neighbours decode."""
+    from legal_document_ocr_spark.codecs import encode_png
+
+    good = encode_png(2, 2, bytes([1, 2, 3, 4]), 0)
+    rows = [
+        (1, good),
+        (2, good[:20]),              # truncated PNG
+        (3, b"\xff\xd8\xff\xe0jpg"),  # library-bound format
+        (4, None),                    # null payload -> skipped entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in multimodal.image_decode(df).collect()}
+    assert out[1]["px_sum"] == 10 and out[1]["error"] is None
+    assert out[2]["width"] is None and out[2]["error"].startswith("ValueError")
+    assert out[3]["error"].startswith("NotImplementedError")
+    assert 4 not in out
+
+
+def test_audio_decode_isolates_malformed_records(spark):
+    import io
+    import struct as _struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(_struct.pack("<4h", 1, 2, 3, -4))
+    rows = [(1, buf.getvalue()), (2, b"RIFFgarbage")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in multimodal.audio_decode(df).collect()}
+    assert out[1]["sample_sum"] == 2 and out[1]["error"] is None
+    assert out[2]["n_frames"] is None and out[2]["error"]
+
+
 def test_decode_image_real_for_png_stub_for_jpeg():
     """decode_image is REAL for PNG/BMP (pure-stdlib codec, round 2);
     formats needing an external library still raise NotImplementedError."""
@@ -932,6 +970,29 @@ def test_canonicalize_passes_through_unparseable(spark):
         spark.createDataFrame(rows, "url string")).collect()}
     for (u,) in rows:
         assert out[u]["canonical_url"] == u and out[u]["changed"] == 0
+
+
+def test_warc_binary_parse_recovers_non_utf8_payload_byte_exact(spark):
+    """Byte-framed parse: Content-Length counts octets, payload bytes are
+    recovered EXACTLY even when they are not valid UTF-8, and trailing
+    record garbage past Content-Length is excluded."""
+    from legal_document_ocr_spark.sources.warc import parse_warc_records_binary
+
+    payload = bytes([0x00, 0xFF, 0xC3]) + "héllo".encode() + bytes([0x80])
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: https://real.example.com/a\r\n"
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode()
+    rec = head + payload + b"\r\n\r\ntrailing-garbage"
+    df = spark.createDataFrame([(rec,)], "record_bytes binary")
+    row = parse_warc_records_binary(df).collect()[0]
+    assert row["url"] == "https://real.example.com/a"
+    assert row["content_length"] == len(payload)
+    assert bytes(row["payload"]) == payload
 
 
 def test_warc_parse_is_header_spoof_resistant(spark):
