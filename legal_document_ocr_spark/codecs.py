@@ -3,8 +3,10 @@
 Round-1 shipped ``decode_image`` as a declared NotImplementedError stub
 because "the image libs aren't in this container". That's true of
 PIL/cv2/ffmpeg — but PNG, BMP and WAV are decodable with nothing beyond
-zlib + struct + wave, so the decode step is REAL for those formats and the
-stub now covers only genuinely-library-bound codecs (JPEG/video).
+zlib + struct + wave, so the decode step is REAL for those formats; round 3
+added a real baseline JPEG decoder too (jpeg.py — Huffman + IDCT,
+grayscale/YCbCr, 4:2:0, restart markers), so the stub now covers only
+genuinely-library-bound codecs (GIF/WebP/video).
 
 Scope: non-interlaced 8-bit-depth PNG in grayscale (color type 0), RGB (2)
 and RGBA (6) with all five scanline filters; uncompressed 24-bit BMP;
@@ -206,13 +208,18 @@ def decode_wav(payload: bytes) -> dict:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Dispatch by magic bytes. PNG/BMP decode for real; JPEG and other
-    formats still need an external codec."""
+    """Dispatch by magic bytes. PNG/BMP/baseline-JPEG decode for real
+    (jpeg.py: Huffman + IDCT, grayscale/YCbCr, 4:2:0, restart markers);
+    remaining formats (GIF/WebP/video frames) still need an external codec."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG and BMP decode without an external codec library "
-        "(JPEG et al. need PIL/cv2)"
+        "only PNG, BMP and baseline JPEG decode without an external codec "
+        "library (GIF/WebP/video need PIL/cv2/ffmpeg)"
     )

@@ -1933,6 +1933,62 @@ FROM documents
 """
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode roundtrip (jpeg.py via multimodal.
+    image_decode): synthesize a block-constant grayscale JPEG per document
+    (quant=1 — constant 8x8 blocks survive the lossy codec EXACTLY, see
+    jpeg.py module docstring), decode through the full Huffman+IDCT path,
+    emit recovered dims + pixel sum. The oracle states the synthesis
+    closed form, so the decoder must actually recover the encoded pixels."""
+    import pandas as _pd
+
+    from .jpeg import encode_jpeg_baseline
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = d % 10 + 3
+                h = d % 6 + 3
+                px = bytes(
+                    (d + 37 * (x // 8) + 59 * (y // 8)) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(encode_jpeg_baseline(w, h, px))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pages = _docs(spark, sf_dir).select("doc_id")
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.image_decode(payloads)
+
+
+_SQL_JPEG_DECODE = """
+SELECT doc_id,
+  (doc_id % 10 + 3)::int AS width,
+  (doc_id % 6 + 3)::int AS height,
+  'L' AS mode,
+  list_sum(flatten(list_transform(range((doc_id % 6 + 3)::int), y ->
+    list_transform(range((doc_id % 10 + 3)::int), x ->
+      (doc_id + 37 * (x // 8) + 59 * (y // 8)) % 256))))::bigint AS px_sum,
+  NULL::varchar AS error
+FROM documents
+"""
+
+
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM WAV decode roundtrip (multimodal.audio_decode): synthesize a
     deterministic mono 16-bit clip per document with the stdlib writer,
@@ -2607,6 +2663,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_scores": q_lm_scores,
     "ivf_refined_assign": q_ivf_refined_assign,
     "image_decode": q_image_decode,
+    "jpeg_decode": q_jpeg_decode,
     "audio_decode": q_audio_decode,
     "stream_dedup": q_stream_dedup,
     "stream_incremental_dedup": q_stream_incremental_dedup,
@@ -2763,6 +2820,7 @@ ORACLE: dict[str, str] = {
     "multimodal_features": _SQL_MULTIMODAL,
     "multimodal_frames": _SQL_MULTIMODAL_FRAMES,
     "image_decode": _SQL_IMAGE_DECODE,
+    "jpeg_decode": _SQL_JPEG_DECODE,
     "audio_decode": _SQL_AUDIO_DECODE,
     # streaming results equal their batch formulations
     "stream_dedup": _SQL_STREAM_DEDUP,

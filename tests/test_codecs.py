@@ -102,9 +102,14 @@ def test_wav_roundtrip():
     assert len(wav["pcm"]) == 16
 
 
-def test_dispatch_jpeg_still_needs_a_library():
-    with pytest.raises(NotImplementedError):
+def test_dispatch_jpeg_is_real_and_garbage_jpeg_is_valueerror():
+    """JPEG now decodes for real (jpeg.py); a JPEG magic with garbage body
+    is malformed input -> ValueError, and truly library-bound formats still
+    raise NotImplementedError."""
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0jpegdata")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a...")
 
 
 # ---------------------------------------------------------------------------
@@ -178,3 +183,224 @@ def test_bmp_truncated_and_bomb_are_valueerror():
     dib2 = struct.pack("<IiiHHIIiiII", 40, 8, 8, 1, 24, 0, 0, 0, 0, 0, 0)
     with pytest.raises(ValueError, match="truncated BMP pixel"):
         decode_bmp(hdr + dib2 + b"\x00" * 10)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (round 3: jpeg.py — real Huffman + IDCT decoder)
+# ---------------------------------------------------------------------------
+
+
+def _block_constant_gray(w, h, f):
+    """Image whose every 8x8 block is the constant f(bx, by) — the
+    shape that roundtrips EXACTLY through quant=1 baseline JPEG."""
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px.append(f(x // 8, y // 8) % 256)
+    return bytes(px)
+
+
+def test_jpeg_block_constant_roundtrip_is_exact():
+    from legal_document_ocr_spark.jpeg import decode_jpeg, encode_jpeg_baseline
+
+    for w, h in [(8, 8), (16, 8), (24, 17), (1, 1), (9, 3)]:
+        px = _block_constant_gray(w, h, lambda bx, by: 10 + 40 * bx + 100 * by)
+        img = decode_jpeg(encode_jpeg_baseline(w, h, px))
+        assert (img["width"], img["height"], img["mode"]) == (w, h, "L")
+        assert img["pixels"] == px, (w, h)
+
+
+def test_jpeg_random_gray_roundtrip_within_rounding():
+    """quant=1: the only loss is FDCT coefficient rounding — decoded pixels
+    stay within ±2 of the source for arbitrary images."""
+    import random
+
+    from legal_document_ocr_spark.jpeg import decode_jpeg, encode_jpeg_baseline
+
+    rng = random.Random(7)
+    w, h = 24, 17
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    img = decode_jpeg(encode_jpeg_baseline(w, h, px))
+    assert max(abs(a - b) for a, b in zip(img["pixels"], px)) <= 2
+
+
+def test_jpeg_color_roundtrip():
+    import random
+
+    from legal_document_ocr_spark.jpeg import decode_jpeg, encode_jpeg_baseline
+
+    # R=G=B -> YCbCr transform exact (Cb=Cr=128), block-constant -> exact
+    rgb = bytes(v for v in [77] * 64 for _ in range(3))
+    img = decode_jpeg(encode_jpeg_baseline(8, 8, rgb, color=True))
+    assert img["mode"] == "RGB" and img["pixels"] == rgb
+    # arbitrary color: YCbCr+DCT rounding, small bounded error
+    rng = random.Random(9)
+    w, h = 16, 16
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    img = decode_jpeg(encode_jpeg_baseline(w, h, rgb, color=True))
+    assert max(abs(a - b) for a, b in zip(img["pixels"], rgb)) <= 4
+
+
+def _encode_jpeg_420_with_dri(y_vals, mcux, mcuy, ri):
+    """Hand-rolled 4:2:0 encoder (Y sampling 2x2, chroma 1x1, chroma blocks
+    all-128, Y blocks constant per 8x8 from y_vals[mcu][b]), with restart
+    interval ri — exercises the decoder paths the oracle encoder does not."""
+    from legal_document_ocr_spark.jpeg import (
+        _AC_LUM_BITS,
+        _AC_LUM_VALS,
+        _BitWriter,
+        _DC_LUM_BITS,
+        _DC_LUM_VALS,
+        _build_codes,
+        _magnitude,
+    )
+
+    dc = _build_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac = _build_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    w, h = mcux * 16, mcuy * 16
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, b"\x00" + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS))
+    out += seg(0xC4, b"\x10" + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS))
+    if ri:
+        out += seg(0xDD, struct.pack(">H", ri))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00")
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    n_mcu = 0
+    rst = 0
+    for m in range(mcux * mcuy):
+        if ri and n_mcu and n_mcu % ri == 0:
+            bw.flush()
+            out += bw.out
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            bw = _BitWriter()
+            preds = [0, 0, 0]
+        n_mcu += 1
+
+        def put_block(ci, dc_coeff):
+            diff = dc_coeff - preds[ci]
+            preds[ci] = dc_coeff
+            cat, bits = _magnitude(diff)
+            code, ln = dc[cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(bits, cat)
+            code, ln = ac[0x00]  # EOB: constant block, no AC
+            bw.write(code, ln)
+
+        for b in range(4):  # 4 Y blocks (2x2 sampling)
+            put_block(0, 8 * (y_vals[m][b] - 128))
+        put_block(1, 0)  # Cb = 128 constant
+        put_block(2, 0)  # Cr = 128 constant
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out), w, h
+
+
+def test_jpeg_420_subsampling_and_restart_markers():
+    """2x2 MCUs of 4:2:0 with DRI=1: Y recovered per-block exactly (chroma
+    constant 128 -> RGB == Y replicated), restart markers resync predictors."""
+    from legal_document_ocr_spark.jpeg import decode_jpeg
+
+    y_vals = [
+        (10, 60, 110, 160),
+        (200, 150, 100, 50),
+        (30, 30, 220, 220),
+        (128, 0, 255, 64),
+    ]
+    payload, w, h = _encode_jpeg_420_with_dri(y_vals, 2, 2, ri=1)
+    img = decode_jpeg(payload)
+    assert (img["width"], img["height"], img["mode"]) == (w, h, "RGB")
+    px = img["pixels"]
+    for my in range(2):
+        for mx in range(2):
+            m = my * 2 + mx
+            for b, (oy, ox) in enumerate([(0, 0), (0, 8), (8, 0), (8, 8)]):
+                for y in range(8):
+                    for x in range(8):
+                        o = ((my * 16 + oy + y) * w + mx * 16 + ox + x) * 3
+                        assert px[o] == px[o + 1] == px[o + 2] == y_vals[m][b], (
+                            m, b, y, x, px[o : o + 3], y_vals[m][b],
+                        )
+
+
+def test_jpeg_hardening():
+    from legal_document_ocr_spark.jpeg import decode_jpeg, encode_jpeg_baseline
+
+    good = encode_jpeg_baseline(8, 8, bytes(range(64)))
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:30])  # truncated mid-segment
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # no scan
+    # dimension bomb in SOF0
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(
+        ">BHHB", 8, 60000, 60000, 1
+    ) + bytes([1, 0x11, 0])
+    with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
+        decode_jpeg(b"\xff\xd8" + sof + b"\xff\xd9")
+    # progressive declared, not silently wrong
+    sof2 = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(sof2)
+
+
+def test_jpeg_fast_paths_match_generic_loops():
+    """The constant-block FDCT and DC-only IDCT shortcuts must round to the
+    same integers as the generic O(64^2) loops."""
+    import math
+
+    from legal_document_ocr_spark.jpeg import _fdct_block, _idct_block
+
+    C = [1 / math.sqrt(2)] + [1.0] * 7
+    COS = [
+        [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+        for x in range(8)
+    ]
+
+    def idct_ref(coeffs):
+        out = []
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        s += (
+                            C[u] * C[v] * coeffs[u * 8 + v]
+                            * COS[y][u] * COS[x][v]
+                        )
+                out.append(0.25 * s)
+        return out
+
+    for dc in (-1024.0, -8.0, 0.0, 8.0, 504.0):
+        coeffs = [0.0] * 64
+        coeffs[0] = dc
+        fast = _idct_block(coeffs)
+        ref = idct_ref(coeffs)
+        assert all(round(a) == round(b) for a, b in zip(fast, ref)), dc
+
+    def fdct_ref(samples):
+        out = []
+        for u in range(8):
+            for v in range(8):
+                s = 0.0
+                for y in range(8):
+                    for x in range(8):
+                        s += samples[y * 8 + x] * COS[y][u] * COS[x][v]
+                out.append(0.25 * C[u] * C[v] * s)
+        return out
+
+    for val in (-128, -1, 0, 64, 127):
+        fast = _fdct_block([val] * 64)
+        ref = fdct_ref([val] * 64)
+        assert all(round(a) == round(b) for a, b in zip(fast, ref)), val

@@ -256,8 +256,9 @@ def test_image_decode_isolates_malformed_records(spark):
     rows = [
         (1, good),
         (2, good[:20]),              # truncated PNG
-        (3, b"\xff\xd8\xff\xe0jpg"),  # library-bound format
+        (3, b"GIF89a..."),            # library-bound format
         (4, None),                    # null payload -> skipped entirely
+        (5, b"\xff\xd8\xff\xe0jpg"),  # garbage JPEG body
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r["doc_id"]: r for r in multimodal.image_decode(df).collect()}
@@ -265,6 +266,7 @@ def test_image_decode_isolates_malformed_records(spark):
     assert out[2]["width"] is None and out[2]["error"].startswith("ValueError")
     assert out[3]["error"].startswith("NotImplementedError")
     assert 4 not in out
+    assert out[5]["error"].startswith("ValueError")
 
 
 def test_audio_decode_isolates_malformed_records(spark):
@@ -285,17 +287,17 @@ def test_audio_decode_isolates_malformed_records(spark):
     assert out[2]["n_frames"] is None and out[2]["error"]
 
 
-def test_decode_image_real_for_png_stub_for_jpeg():
-    """decode_image is REAL for PNG/BMP (pure-stdlib codec, round 2);
-    formats needing an external library still raise NotImplementedError."""
+def test_decode_image_real_for_png_and_jpeg_stub_for_rest():
+    """decode_image is REAL for PNG/BMP (round 2) and baseline JPEG
+    (round 3); formats needing an external library still raise
+    NotImplementedError."""
     from legal_document_ocr_spark.codecs import encode_png
+    from legal_document_ocr_spark.jpeg import encode_jpeg_baseline
 
     img = multimodal.decode_image(encode_png(2, 2, bytes([1, 2, 3, 4]), 0))
     assert (img["width"], img["height"], img["pixels"]) == (2, 2, bytes([1, 2, 3, 4]))
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg")
-    # separate raises block: a second call inside the block above would be
-    # unreachable (pytest.raises exits at the first raise)
+    jimg = multimodal.decode_image(encode_jpeg_baseline(8, 8, bytes([42] * 64)))
+    assert (jimg["width"], jimg["height"], jimg["pixels"]) == (8, 8, bytes([42] * 64))
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"bytes")  # unrecognized magic
 
