@@ -54,7 +54,23 @@ HEADLINE = [
     "dedup_clusters",         # pairs -> connected components -> reps
     "line_dedup",             # corpus-level boilerplate line removal
     "lm_scores",              # self-trained char-bigram LM perplexity
+    # round-3 additions
+    "jpeg_decode",            # real baseline-JPEG decode (mapInPandas)
+    "warc_binary_parse",      # byte-framed WARC parse at scan speed
 ]
+
+
+def _canary(spark) -> float:
+    """Co-tenancy canary: a fixed pure-JVM probe (no Python, no IO beyond
+    range) whose runtime calibrates ambient load. Identical code across
+    rounds — if the canary moves 3x between BENCH_r{N} files, per-query
+    deltas of that size are sandbox noise, not regressions."""
+    t0 = time.time()
+    # decimal sum: a bigint sum of full-range hashes overflows under ANSI
+    spark.range(100_000_000).selectExpr(
+        "sum(cast(xxhash64(id) as decimal(38,0))) as s"
+    ).collect()
+    return round(time.time() - t0, 3)
 
 
 def _force(df) -> int:
@@ -71,25 +87,33 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
-def run_headline(spark, sf_dir: str) -> dict[str, float]:
+def run_headline(
+    spark, sf_dir: str, *, runs: int = 3
+) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """min-of-``runs`` per query, plus every individual run time.
+
+    This sandbox has bursty co-tenant load (observed ±5x on identical code
+    across rounds 1-2, min-of-2 did not tame it): the minimum is the stable
+    signal, and the recorded spread makes driver-vs-builder number disputes
+    mechanically adjudicable (VERDICT r2 ask #8)."""
     from legal_document_ocr_spark import queries as registry
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = registry.SPARK[name]
-        best = float("inf")
-        # min of 2: this sandbox has bursty co-tenant load (observed ±5x on
-        # identical code); the minimum is the stable signal
-        for _ in range(2):
+        times: list[float] = []
+        for _ in range(runs):
             # isolate queries: operators persist intermediates at self-join
             # boundaries; letting them accumulate across queries squeezes
             # execution memory and skews later measurements
             spark.catalog.clearCache()
             t0 = time.time()
             _force(fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-    return timings
+            times.append(round(time.time() - t0, 3))
+        timings[name] = min(times)
+        spread[name] = times
+    return timings, spread
 
 
 def run_pipeline_throughput(spark, sf_dir: str) -> tuple[float, int]:
@@ -108,17 +132,21 @@ def run_pipeline_throughput(spark, sf_dir: str) -> tuple[float, int]:
 def main_bench() -> None:
     spark = build_session(app_name="ldos-bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
+    canary_start = _canary(spark)
     # one warmup pass so JVM/Arrow init doesn't dominate small-SF numbers,
     # then min of 2 measured passes (bursty co-tenant load on this sandbox)
     dt_warm, n_docs = run_pipeline_throughput(spark, SF_DIR)
     dt_pipe = min(run_pipeline_throughput(spark, SF_DIR)[0] for _ in range(2))
-    timings = run_headline(spark, SF_DIR)
+    timings, spread = run_headline(spark, SF_DIR)
+    canary_end = _canary(spark)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "canary_sec": [canary_start, canary_end],
         "sf": _sf_of(SF_DIR),
         "pipeline_docs": n_docs,
         "pipeline_sec": round(dt_pipe, 3),

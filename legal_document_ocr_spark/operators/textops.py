@@ -446,24 +446,37 @@ def holdout_split(
     return docs.select(key_col, split.alias("split"))
 
 
-def lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def lm_scores(
+    docs: DataFrame, text_col: str = "text", *, map_literal_max: int = 4096
+) -> DataFrame:
     """CCNet-style LM quality scoring with a SELF-TRAINED character-bigram
     model: P(c2|c1) from corpus counts, per-document score = average negative
     log-likelihood of its bigrams (lower = more "normal" text — the
     perplexity filter of web-corpus curation, with the n-gram model trained
     on the corpus itself so no external artifact is needed).
 
-    Scale shape: the corpus explodes to (doc_id, bigram) once and feeds BOTH
-    the model (two map-side-combined groupBys onto the bounded
-    alphabet²-sized vocabulary) and the scoring join — where the MODEL side
-    broadcasts (bounded by construction; the corpus side never shuffles on
-    the bigram key). Determinism across engines: each bigram's ln P is
-    rounded to 6 dp and summed as DECIMAL — coarse on purpose: libm ln
-    differs across engines by 1 ulp, and the tie probability of decimal
-    rounding scales with ulp/granularity, so 6 dp is ~1000x safer than 9 — parallel double summation is
-    order-dependent, decimal addition is exact — then one double division
-    and a floor(·1e6) at the end (floor of the identical binary double is
-    engine-exact; decimal HALF_UP is not).
+    Scale shape (fused in round 3 per VERDICT r2 ask #9): TRAINING explodes
+    the corpus to bigrams once — two map-side-combined groupBys onto the
+    bounded alphabet²-sized vocabulary, so the shuffle carries only vocab
+    rows. SCORING depends on the vocab size the training pass measured:
+
+    - vocab <= ``map_literal_max`` (alphabetic scripts: ~100s of bigrams):
+      the model collects to the driver — it IS a scalar-sized artifact —
+      and scoring is a pure map-literal projection: sum(element_at(model,
+      bg)) folded over each document's bigram array in ONE scan. No
+      persist, no scoring explode, no broadcast join, no groupBy(doc_id)
+      shuffle, no join-back (measured 5.5 s -> one scan at sf0.1).
+    - vocab > ``map_literal_max`` (CJK corpora blow up char-bigram vocab):
+      fall back to the explode + broadcast-model join + groupBy(doc_id)
+      shape — the join is then the right tool, and a multi-MB map literal
+      would bloat the plan past codegen limits.
+
+    Determinism across engines: each bigram's ln P is rounded to 6 dp and
+    summed as DECIMAL (exact, order-independent — 6 dp because libm ln
+    differs across engines by 1 ulp and decimal-rounding tie probability
+    scales with ulp/granularity), then one double division and floor(·1e6)
+    at the end. Both scoring paths sum the identical decimals, so they are
+    bit-equal by exactness of decimal addition.
 
     Output: (doc_id, n_bigrams, nll_micro) for every document; NULL score
     for documents shorter than 2 characters.
@@ -474,7 +487,13 @@ def lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.sequence(F.lit(1), F.length("lt") - 1),
         lambda i: F.col("lt").substr(i, F.lit(2)),
     )
-    ex = src.select("doc_id", F.explode(bigrams).alias("bg")).persist()
+    ex = src.select("doc_id", F.explode(bigrams).alias("bg"))
+    # same bigram expression, applied directly to the source text column
+    # (the map-literal path scans docs itself — there is no "lt" column)
+    bigrams_src = F.transform(
+        F.sequence(F.lit(1), F.length(lt) - 1),
+        lambda i: lt.substr(i, F.lit(2)),
+    )
     mc = ex.groupBy("bg").agg(F.count("*").alias("cnt"))
     pc = mc.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
         F.sum("cnt").alias("pcnt")
@@ -488,6 +507,43 @@ def lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .alias("lnp"),
         )
     )
+    model_rows = model.collect()  # bounded: alphabet² vocabulary
+    if len(model_rows) <= map_literal_max:
+        entries = []
+        for r in model_rows:
+            entries.append(F.lit(r["bg"]))
+            entries.append(F.lit(r["lnp"]).cast("decimal(28,12)"))
+        lnp_map = F.create_map(*entries) if entries else None
+        zero = F.lit(0).cast("decimal(28,12)")
+        # ONE reference to the bigram array (inside the fold) — a second
+        # reference would let CollapseProject inline the whole
+        # sequence+substr subtree per use (the repo's measured 9x trap);
+        # n_bigrams is length-1, computable without the array.
+        # try_element_at: ANSI element_at throws on a missing map key (the
+        # empty bigrams a <2-char doc produces before the when() masks them).
+        s = (
+            F.aggregate(
+                bigrams_src,
+                zero,
+                lambda acc, bg: (acc + F.try_element_at(lnp_map, bg)).cast(
+                    "decimal(28,12)"
+                ),
+            )
+            if lnp_map is not None
+            else zero
+        )
+        m = (F.length(lt) - 1).cast("long")
+        long_enough = F.length(lt) >= 2
+        return docs.select(
+            "doc_id",
+            F.when(long_enough, m).otherwise(F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.when(
+                long_enough,
+                F.floor((-(s.cast("double")) / m) * 1000000.0).cast("long"),
+            ).alias("nll_micro"),
+        )
     sc = (
         ex.join(F.broadcast(model), "bg")
         .groupBy("doc_id")

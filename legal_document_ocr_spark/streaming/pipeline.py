@@ -315,6 +315,7 @@ def stream_extraction(
     checkpoint_store,
     *,
     max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> "object":
     """Run the batch extraction pipeline over a pages file-stream.
 
@@ -322,6 +323,15 @@ def stream_extraction(
     micro-batch is one manifest commit, so a crash between batches loses
     nothing and re-processing is prevented by the store's anti-join. Returns
     the StreamingQuery (caller awaits/stops).
+
+    ``checkpoint_dir`` enables RESTART: Spark's offset log marks a batch
+    done only after process_batch returns, so a query killed mid-batch
+    replays exactly that batch on the next ``stream_extraction`` call over
+    the same dir — and the store's url anti-join makes the replay
+    exactly-once even if the crash landed after the manifest commit.
+    Two layers, two failure windows covered (crash before commit: offset
+    log replays; crash after commit: anti-join no-ops). Exercised by
+    tests/test_streaming.py::test_stream_extraction_restart_after_midrun_crash.
     """
     reader = spark.readStream.schema(PAGES_SCHEMA)
     if max_files_per_trigger:
@@ -343,8 +353,9 @@ def stream_extraction(
             result, run_id=f"stream-{batch_id:04d}-{uuid.uuid4().hex[:8]}"
         )
 
-    return (
-        stream.writeStream.foreachBatch(process_batch)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(process_batch).trigger(
+        availableNow=True
     )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

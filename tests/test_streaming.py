@@ -212,3 +212,64 @@ def test_watermark_drops_late_events(spark, tmp_path):
         for p in q.recentProgress
     ]
     assert sum(dropped_by_batch) == 1
+
+
+def test_stream_extraction_restart_after_midrun_crash(spark, tmp_path):
+    """VERDICT r2 ask #7: two query lifetimes over one source. The first
+    query is killed mid-run (commit raises on the 3rd micro-batch); the
+    restart resumes from the SAME Spark checkpoint dir and the same store,
+    and the final committed output equals the batch pipeline exactly-once —
+    no url lost (offset log replays the crashed batch) and no url doubled
+    (the store's anti-join skips already-committed urls on replay)."""
+    import pytest as _pytest
+
+    pages_dir = str(tmp_path / "pages")
+    # several small files -> several micro-batches with maxFilesPerTrigger=1
+    fixture_pages_df(spark).repartition(6).write.parquet(pages_dir)
+    ckpt_dir = str(tmp_path / "stream_ckpt")
+    store = CheckpointStore(str(tmp_path / "store"))
+
+    class CrashingStore:
+        """Delegates to the real store; raises on the 3rd commit."""
+
+        def __init__(self, inner):
+            self.inner = inner
+            self.commits = 0
+
+        def filter_pending(self, pages):
+            return self.inner.filter_pending(pages)
+
+        def commit(self, result, run_id=None):
+            self.commits += 1
+            if self.commits == 3:
+                raise RuntimeError("injected crash: executor lost mid-run")
+            return self.inner.commit(result, run_id=run_id)
+
+    q1 = stream_extraction(
+        spark,
+        pages_dir,
+        CrashingStore(store),
+        max_files_per_trigger=1,
+        checkpoint_dir=ckpt_dir,
+    )
+    with _pytest.raises(Exception, match="injected crash"):
+        q1.awaitTermination()
+    n_after_crash = len(store.committed_run_ids())
+    assert n_after_crash >= 1  # some batches landed before the kill
+
+    # second lifetime: same checkpoint dir, same store, healthy commits
+    q2 = stream_extraction(
+        spark, pages_dir, store, max_files_per_trigger=1, checkpoint_dir=ckpt_dir
+    )
+    q2.awaitTermination()
+    assert len(store.committed_run_ids()) > n_after_crash
+
+    streamed = store.read_results(spark).select("url", "extracted_text")
+    batch = run_extraction(spark.read.parquet(pages_dir)).select(
+        "url", "extracted_text"
+    )
+    s_rows = {(r["url"], r["extracted_text"]) for r in streamed.collect()}
+    b_rows = {(r["url"], r["extracted_text"]) for r in batch.collect()}
+    assert s_rows == b_rows
+    # exactly-once: committed row count == distinct urls (no replay dups)
+    assert streamed.count() == len(b_rows)
