@@ -14,7 +14,8 @@ BMP, PCM WAV); PIL/cv2/ffmpeg remain absent, so:
   fake decode (dimensions derived from the content hash) so the stage works
   on payloads of ANY format, decodable or not;
 - ``decode_image`` — raises ``NotImplementedError`` only for library-bound
-  formats (GIF/WebP, video); baseline JPEG is real since round 3 (jpeg.py).
+  formats (WebP, video); baseline JPEG (jpeg.py) and GIF (LZW) are real
+  since round 3.
 
 This mirrors how the reference isolates its media deps (pdf2image/PIL inside
 image_preprocessing_service.py:57-122, subprocess tesseract inside
@@ -49,8 +50,9 @@ MEDIA_FEATURE_SCHEMA = StructType(
 
 def decode_image(payload: bytes) -> dict:
     """REAL image decode for PNG, BMP (codecs.py: zlib/struct, all five PNG
-    scanline filters, 24-bit BMP) and baseline JPEG (jpeg.py — round 3).
-    Formats that genuinely need an external library (GIF/WebP, video) still
+    scanline filters, 24-bit BMP), baseline JPEG (jpeg.py) and GIF
+    (codecs.decode_gif: LZW + interlace + palette) — the last two round 3.
+    Formats that genuinely need an external library (WebP, video) still
     raise NotImplementedError — the stub now covers only those.
     """
     from ..codecs import decode_image as _decode

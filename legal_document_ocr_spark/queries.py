@@ -1989,6 +1989,64 @@ FROM documents
 """
 
 
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode roundtrip (codecs.decode_gif via multimodal.
+    image_decode): synthesize one palettized GIF per document (indices and
+    palette both closed-form in doc_id), decode through the LZW + palette
+    path, emit dims + RGB pixel sum. The oracle restates the synthesis:
+    pixel (x,y) has index v=(doc_id+x+3y)%256 and palette color
+    (v, (v*3)%256, 255-v)."""
+    import pandas as _pd
+
+    from .codecs import encode_gif
+
+    _PALETTE = bytes(b for i in range(256) for b in (i, (i * 3) % 256, 255 - i))
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = d % 7 + 2
+                h = d % 5 + 2
+                idx = bytes(
+                    (d + x + 3 * y) % 256 for y in range(h) for x in range(w)
+                )
+                payloads.append(encode_gif(w, h, idx, _PALETTE))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pages = _docs(spark, sf_dir).select("doc_id")
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.image_decode(payloads)
+
+
+_SQL_GIF_DECODE = """
+SELECT doc_id,
+  (doc_id % 7 + 2)::int AS width,
+  (doc_id % 5 + 2)::int AS height,
+  'RGB' AS mode,
+  list_sum(flatten(list_transform(range((doc_id % 5 + 2)::int), y ->
+    list_transform(range((doc_id % 7 + 2)::int), x ->
+      ((doc_id + x + 3*y) % 256)
+      + (((doc_id + x + 3*y) % 256) * 3) % 256
+      + 255 - ((doc_id + x + 3*y) % 256)))))::bigint AS px_sum,
+  NULL::varchar AS error
+FROM documents
+"""
+
+
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM WAV decode roundtrip (multimodal.audio_decode): synthesize a
     deterministic mono 16-bit clip per document with the stdlib writer,
@@ -2664,6 +2722,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_refined_assign": q_ivf_refined_assign,
     "image_decode": q_image_decode,
     "jpeg_decode": q_jpeg_decode,
+    "gif_decode": q_gif_decode,
     "audio_decode": q_audio_decode,
     "stream_dedup": q_stream_dedup,
     "stream_incremental_dedup": q_stream_incremental_dedup,
@@ -2821,6 +2880,7 @@ ORACLE: dict[str, str] = {
     "multimodal_frames": _SQL_MULTIMODAL_FRAMES,
     "image_decode": _SQL_IMAGE_DECODE,
     "jpeg_decode": _SQL_JPEG_DECODE,
+    "gif_decode": _SQL_GIF_DECODE,
     "audio_decode": _SQL_AUDIO_DECODE,
     # streaming results equal their batch formulations
     "stream_dedup": _SQL_STREAM_DEDUP,

@@ -109,7 +109,7 @@ def test_dispatch_jpeg_is_real_and_garbage_jpeg_is_valueerror():
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0jpegdata")
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a...")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 # ---------------------------------------------------------------------------
@@ -404,3 +404,101 @@ def test_jpeg_fast_paths_match_generic_loops():
         fast = _fdct_block([val] * 64)
         ref = fdct_ref([val] * 64)
         assert all(round(a) == round(b) for a, b in zip(fast, ref)), val
+
+
+# ---------------------------------------------------------------------------
+# GIF (round 3: pure-stdlib LZW decoder)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_random_indices():
+    from legal_document_ocr_spark.codecs import decode_gif, encode_gif
+
+    import random
+
+    palette = bytes(b for i in range(256) for b in (i, (i * 3) % 256, 255 - i))
+    rng = random.Random(5)
+    for w, h in [(8, 8), (13, 7), (1, 1), (40, 30)]:
+        idx = bytes(rng.randrange(256) for _ in range(w * h))
+        img = decode_gif(encode_gif(w, h, idx, palette))
+        exp = b"".join(palette[i * 3 : i * 3 + 3] for i in idx)
+        assert (img["width"], img["height"], img["mode"]) == (w, h, "RGB")
+        assert img["pixels"] == exp, (w, h)
+
+
+def test_gif_real_lzw_compression_and_interlace():
+    """Decode a GIF with REAL LZW strings (dict growth past literals) and
+    interlaced row order — hand-built so the decoder's dictionary and
+    4-pass deinterlace paths are both exercised, not just the encoder's
+    literal-only stream."""
+    from legal_document_ocr_spark.codecs import _gif_lzw_decode, decode_gif
+
+    # LZW with mcs=2: encode [0,0,0,0,1,1,1,1] using growing dictionary.
+    # codes: clear(4), 0, then 0 again -> emits dict entries as we go
+    # Build the code stream manually: 4,0,6(=00),1,8(=11),5(end)
+    # dict after: 6:[0,0] (from prev=0+0), 7:[0,0,1]? walk:
+    #   clear -> reset; read 0 -> out 0; read 6: == len(table)? table has
+    #   0..3,clear,end = 6 entries -> code 6 == len -> prev+prev[0] = [0,0]
+    #   -> out 00, add 6:[0,0]; read 1 -> out 1, add 7:[0,0,1]? no:
+    #   prev=[0,0], entry=[1] -> add [0,0,1] as 7; read 8 == len(table)
+    #   -> prev+prev[0] = [1,1] -> out 11, add 8:[1,1]; so out=0,0,0,1,1,1
+    def pack(codes, widths):
+        acc = nbits = 0
+        data = bytearray()
+        for c, wdt in zip(codes, widths):
+            acc |= c << nbits
+            nbits += wdt
+            while nbits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            data.append(acc & 0xFF)
+        return bytes(data)
+
+    stream = pack([4, 0, 6, 1, 8, 5], [3, 3, 3, 3, 4, 4])
+    out = _gif_lzw_decode(2, stream, 6)
+    assert bytes(out) == bytes([0, 0, 0, 1, 1, 1])
+
+    # interlace: 4x8 image whose row y is filled with index y; rows are
+    # STORED in pass order (0,8.. then 4.. then 2,6.. then odd)
+    import struct as _s
+
+    w, h = 4, 8
+    pass_rows = [0] + [4] + [2, 6] + [1, 3, 5, 7]
+    idx_stored = b"".join(bytes([y] * w) for y in pass_rows)
+    palette = bytes(b for i in range(256) for b in (i, i, i))
+    gif = bytearray(b"GIF89a")
+    gif += _s.pack("<HH", w, h) + bytes([0xF7, 0, 0]) + palette
+    gif += b"\x2c" + _s.pack("<HHHH", 0, 0, w, h) + bytes([0x40])  # interlaced
+    # literal-only LZW stream for the stored indices
+    mcs = 8
+    codes = [1 << mcs] + list(idx_stored) + [(1 << mcs) + 1]
+    stream = pack(codes, [mcs + 1] * len(codes))
+    gif += bytes([mcs])
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        gif += bytes([len(chunk)]) + chunk
+    gif += b"\x00\x3b"
+    img = decode_gif(bytes(gif))
+    for y in range(h):
+        row = img["pixels"][y * w * 3 : (y + 1) * w * 3]
+        assert row == bytes([y, y, y] * w), y
+
+
+def test_gif_hardening():
+    from legal_document_ocr_spark.codecs import decode_gif, encode_gif
+
+    palette = bytes(768)
+    good = encode_gif(4, 4, bytes(16), palette)
+    with pytest.raises(ValueError):
+        decode_gif(good[:40])  # truncated
+    with pytest.raises(ValueError, match="no image frame"):
+        decode_gif(b"GIF89a" + good[6:13] + palette + b"\x3b")
+    bomb = bytearray(good)
+    bomb[6:10] = struct.pack("<HH", 60000, 60000)
+    # frame descriptor dims are the binding ones — patch those too
+    off = 6 + 7 + 768
+    bomb[off + 5 : off + 9] = struct.pack("<HH", 60000, 60000)
+    with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
+        decode_gif(bytes(bomb))

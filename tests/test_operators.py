@@ -256,7 +256,7 @@ def test_image_decode_isolates_malformed_records(spark):
     rows = [
         (1, good),
         (2, good[:20]),              # truncated PNG
-        (3, b"GIF89a..."),            # library-bound format
+        (3, b"RIFF\x00\x00\x00\x00WEBP"),  # library-bound format
         (4, None),                    # null payload -> skipped entirely
         (5, b"\xff\xd8\xff\xe0jpg"),  # garbage JPEG body
     ]
