@@ -270,3 +270,92 @@ def media_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """
     selected = df.selectExpr(f"doc_id", f"{payload_col} as payload")
     return selected.mapInPandas(_media_features, MEDIA_FEATURE_SCHEMA)
+
+
+IMAGE_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mode", StringType()),
+        StructField("px_sum", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+_MODE_CHANNELS = {"L": 1, "RGB": 3, "RGBA": 4}
+
+
+def resize_nearest(img: dict, target_w: int, target_h: int) -> dict:
+    """Nearest-neighbor resize of a decoded image dict (any mode).
+
+    src pixel for output (x, y) is (x*w // target_w, y*h // target_h) —
+    integer floor mapping, exactly SQL-expressible so resize stages stay
+    oracle-checkable (the convention PIL calls NEAREST up to rounding).
+    """
+    w, h = img["width"], img["height"]
+    ch = _MODE_CHANNELS[img["mode"]]
+    src = img["pixels"]
+    out = bytearray(target_w * target_h * ch)
+    for y in range(target_h):
+        sy = y * h // target_h
+        for x in range(target_w):
+            sx = x * w // target_w
+            o = (y * target_w + x) * ch
+            s = (sy * w + sx) * ch
+            out[o : o + ch] = src[s : s + ch]
+    return {
+        "width": target_w,
+        "height": target_h,
+        "mode": img["mode"],
+        "pixels": bytes(out),
+    }
+
+
+def image_resize(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode + nearest-neighbor resize stage (mapInPandas): emits resized
+    dims + pixel sum with the same per-record error isolation as
+    image_decode — the thumbnail/normalize step of a multimodal training
+    pipeline (every vision encoder wants fixed input dims)."""
+    from ..codecs import decode_image as _decode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "mode": [],
+                "px_sum": [],
+                "error": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    img = resize_nearest(
+                        _decode(bytes(payload)), target_w, target_h
+                    )
+                except Exception as e:  # noqa: BLE001 — per-record isolation
+                    out["doc_id"].append(doc_id)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["mode"].append(None)
+                    out["px_sum"].append(None)
+                    out["error"].append(_decode_error_label(e))
+                    continue
+                out["doc_id"].append(doc_id)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["mode"].append(img["mode"])
+                out["px_sum"].append(sum(img["pixels"]))
+                out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    selected = df.selectExpr("doc_id", f"{payload_col} as payload")
+    return selected.mapInPandas(kernel, IMAGE_RESIZE_SCHEMA)

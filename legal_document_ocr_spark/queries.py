@@ -1989,6 +1989,58 @@ FROM documents
 """
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + nearest-neighbor resize to 8x8 (multimodal.image_resize) on
+    the same gradient-PNG corpus as image_decode. Oracle: output pixel
+    (x,y) samples source (x*w//8, y*h//8) of the closed-form gradient."""
+    import pandas as _pd
+
+    from .codecs import encode_png
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = int(doc_id) % 16 + 1
+                h = int(doc_id) % 8 + 1
+                px = bytes(
+                    (int(doc_id) + x + y) % 256 for y in range(h) for x in range(w)
+                )
+                payloads.append(encode_png(w, h, px, color_type=0))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pages = _docs(spark, sf_dir).select("doc_id")
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.image_resize(payloads, 8, 8)
+
+
+_SQL_IMAGE_RESIZE = """
+SELECT doc_id,
+  8::int AS width,
+  8::int AS height,
+  'L' AS mode,
+  list_sum(flatten(list_transform(range(8), y ->
+    list_transform(range(8), x ->
+      (doc_id
+       + (x * (doc_id % 16 + 1)) // 8
+       + (y * (doc_id % 8 + 1)) // 8) % 256))))::bigint AS px_sum,
+  NULL::varchar AS error
+FROM documents
+"""
+
+
 def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF decode roundtrip (codecs.decode_gif via multimodal.
     image_decode): synthesize one palettized GIF per document (indices and
@@ -2723,6 +2775,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_decode": q_image_decode,
     "jpeg_decode": q_jpeg_decode,
     "gif_decode": q_gif_decode,
+    "image_resize": q_image_resize,
     "audio_decode": q_audio_decode,
     "stream_dedup": q_stream_dedup,
     "stream_incremental_dedup": q_stream_incremental_dedup,
@@ -2881,6 +2934,7 @@ ORACLE: dict[str, str] = {
     "image_decode": _SQL_IMAGE_DECODE,
     "jpeg_decode": _SQL_JPEG_DECODE,
     "gif_decode": _SQL_GIF_DECODE,
+    "image_resize": _SQL_IMAGE_RESIZE,
     "audio_decode": _SQL_AUDIO_DECODE,
     # streaming results equal their batch formulations
     "stream_dedup": _SQL_STREAM_DEDUP,

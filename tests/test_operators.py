@@ -1095,3 +1095,31 @@ def test_lm_scores_scoring_plan_is_exchange_free(spark, docs):
     )
     for op in ("Exchange", "Join", "ArrowEvalPython"):
         assert op not in plan, f"{op} in scoring plan:\n{plan}"
+
+
+def test_image_resize_nearest_up_and_down(spark):
+    """Nearest-neighbor resize: downscale picks floor-mapped sources,
+    upscale replicates pixels; malformed payloads flag, not fail."""
+    from legal_document_ocr_spark.codecs import encode_png
+    from legal_document_ocr_spark.operators.multimodal import resize_nearest
+
+    # 4x2 gradient -> 2x1: picks (0,0) and (2,0)
+    img = {"width": 4, "height": 2, "mode": "L",
+           "pixels": bytes([0, 1, 2, 3, 10, 11, 12, 13])}
+    small = resize_nearest(img, 2, 1)
+    assert small["pixels"] == bytes([0, 2])
+    # 1x1 -> 3x3 replicates
+    up = resize_nearest({"width": 1, "height": 1, "mode": "L",
+                         "pixels": bytes([7])}, 3, 3)
+    assert up["pixels"] == bytes([7] * 9)
+    # RGB channels stay interleaved
+    rgb = resize_nearest(
+        {"width": 2, "height": 1, "mode": "RGB",
+         "pixels": bytes([1, 2, 3, 4, 5, 6])}, 1, 1)
+    assert rgb["pixels"] == bytes([1, 2, 3])
+
+    rows = [(1, encode_png(4, 2, bytes(range(8)), 0)), (2, b"\x89PNGbad")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in multimodal.image_resize(df, 2, 2).collect()}
+    assert out[1]["px_sum"] == 0 + 2 + 4 + 6 and out[1]["error"] is None
+    assert out[2]["error"] is not None
