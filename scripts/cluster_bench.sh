@@ -52,13 +52,19 @@ run_at() {
 }
 
 for dup in 0.0 0.5; do
+  # ambient co-tenant load contaminates the WIDE config first (it needs all
+  # the cores); sample loadavg around each run so efficiency numbers carry
+  # their own adjudication context (same idea as bench.py's canary)
+  L0="$(cut -d' ' -f1 /proc/loadavg)"
   echo "== dup_rate=${dup} N=${N} executors (2 cores each) =="
   J1="$(run_at "$N" "$dup")"
   echo "$J1"
+  L1="$(cut -d' ' -f1 /proc/loadavg)"
   echo "== dup_rate=${dup} 4N=${N4} executors (2 cores each) =="
   J2="$(run_at "$N4" "$dup")"
   echo "$J2"
-  python - "$J1" "$J2" "$dup" <<'EOF'
+  L2="$(cut -d' ' -f1 /proc/loadavg)"
+  python - "$J1" "$J2" "$dup" "$L0" "$L1" "$L2" <<'EOF'
 import json, sys
 a, b = json.loads(sys.argv[1]), json.loads(sys.argv[2])
 eff = a["elapsed_sec"] / b["elapsed_sec"] / 4.0
@@ -70,6 +76,7 @@ print(json.dumps({
     "throughput_n": a["docs_per_sec"], "throughput_4n": b["docs_per_sec"],
     "executors_n": a["executors"], "executors_4n": b["executors"],
     "efficiency": round(eff, 3),
+    "loadavg_1m": [float(sys.argv[4]), float(sys.argv[5]), float(sys.argv[6])],
 }))
 EOF
 done

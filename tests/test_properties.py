@@ -97,3 +97,63 @@ def test_merge_pages_total_and_renumbered(pages_spec):
 @settings(max_examples=200, deadline=None)
 def test_is_same_document_total(a, b):
     assert is_same_document(_page(0, a), _page(0, b)) in (True, False)
+
+
+# ---------------------------------------------------------------------------
+# round-3 codecs: decoders must be TOTAL over arbitrary bytes (raise only
+# ValueError/NotImplementedError — never IndexError/KeyError/MemoryError)
+# and invert their encoders within documented error bounds
+# ---------------------------------------------------------------------------
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=300, deadline=None)
+def test_image_decoders_total_over_garbage(raw):
+    from legal_document_ocr_spark.codecs import decode_image
+
+    try:
+        img = decode_image(raw)
+    except (ValueError, NotImplementedError):
+        return
+    assert set(img) == {"width", "height", "mode", "pixels"}
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=16),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_roundtrip_error_bound_property(w, h, rng):
+    from legal_document_ocr_spark.jpeg import decode_jpeg, encode_jpeg_baseline
+
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    img = decode_jpeg(encode_jpeg_baseline(w, h, px))
+    assert (img["width"], img["height"]) == (w, h)
+    assert max(abs(a - b) for a, b in zip(img["pixels"], px)) <= 2
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=16),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=30, deadline=None)
+def test_gif_roundtrip_exact_property(w, h, rng):
+    from legal_document_ocr_spark.codecs import decode_gif, encode_gif
+
+    palette = bytes(rng.randrange(256) for _ in range(768))
+    idx = bytes(rng.randrange(256) for _ in range(w * h))
+    img = decode_gif(encode_gif(w, h, idx, palette))
+    assert img["pixels"] == b"".join(palette[i * 3 : i * 3 + 3] for i in idx)
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=200, deadline=None)
+def test_gif_lzw_total_over_garbage(data):
+    from legal_document_ocr_spark.codecs import _gif_lzw_decode
+
+    try:
+        _gif_lzw_decode(8, data, 64)
+    except ValueError:
+        pass
