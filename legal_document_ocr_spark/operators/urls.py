@@ -124,3 +124,96 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         F.lower(F.regexp_extract(canon, _AUTH_RE, 1)).alias("host"),
         (canon != F.col(url_col)).cast("int").alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt + crawl politeness (round 3)
+# ---------------------------------------------------------------------------
+
+
+def parse_robots_rules(
+    robots: DataFrame, host_col: str = "host", robots_col: str = "robots_txt"
+) -> DataFrame:
+    """Per-host Disallow prefixes for ``User-agent: *`` -> (host, prefix).
+
+    The section logic ("a Disallow line belongs to the most recent
+    User-agent group above it") is genuinely RELATIONAL: posexplode the
+    lines, carry the last seen user-agent value down with
+    ``last(ua, ignorenulls) OVER (PARTITION BY host ORDER BY line_no)``,
+    keep Disallow lines whose section is ``*``. One window per host —
+    robots files are KB-sized, so the per-host partition is tiny; the
+    whole parse is expressions + one bounded window, no UDF.
+
+    Simplifications vs RFC 9309 (documented scope): only the ``*`` agent
+    group is honored, ``Allow`` precedence is not implemented, and empty
+    ``Disallow:`` (allow-all) lines are dropped.
+    """
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), r"\r?\n")).alias("line_no", "line"),
+    ).select(
+        "host",
+        "line_no",
+        F.lower(F.trim(F.regexp_extract("line", r"(?i)^\s*user-agent\s*:\s*(\S+)", 1))).alias("ua_raw"),
+        F.trim(F.regexp_extract("line", r"(?i)^\s*disallow\s*:\s*(\S+)", 1)).alias("dis_raw"),
+    )
+    w = Window.partitionBy("host").orderBy("line_no")
+    sectioned = lines.withColumn(
+        "section",
+        F.last(F.when(F.col("ua_raw") != "", F.col("ua_raw")), ignorenulls=True).over(w),
+    )
+    return (
+        sectioned.where((F.col("section") == "*") & (F.col("dis_raw") != ""))
+        .select("host", F.col("dis_raw").alias("prefix"))
+        .distinct()
+    )
+
+
+def filter_disallowed(
+    frontier: DataFrame,
+    rules: DataFrame,
+    *,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Drop frontier urls whose PATH starts with a disallowed prefix for
+    their host — LEFT ANTI join on (host equality AND prefix match).
+
+    Scale shape: the join key is the host, so both sides shuffle on host
+    (rules are per-host-bounded; never broadcast the frontier). The
+    startswith is a post-probe filter inside the join — no fan-out."""
+    path = F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    f = frontier.withColumn("_path", F.when(path == "", F.lit("/")).otherwise(path))
+    r = rules.select(F.col("host").alias("_rhost"), "prefix")
+    out = f.join(
+        r.hint("shuffle_hash"),
+        (F.col(host_col) == F.col("_rhost"))
+        & F.col("_path").startswith(F.col("prefix")),
+        "left_anti",
+    )
+    return out.drop("_path")
+
+
+def politeness_topk(
+    frontier: DataFrame,
+    k: int,
+    *,
+    host_col: str = "host",
+    order_col: str = "rank_nano",
+) -> DataFrame:
+    """Per-host fetch budget: keep the top-``k`` urls per host by
+    (order desc, url asc) — the politeness cap every crawler applies so one
+    megasite cannot monopolize the fetch fleet. One window per host
+    partition, bounded by the per-host frontier size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(order_col).desc(), F.col("url")
+    )
+    return (
+        frontier.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -986,6 +986,113 @@ FROM documents
 """
 
 
+def _synth_robots_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One robots.txt per corpus host, deterministic: a decoy non-* section
+    first (its Disallow must NOT leak into * rules — pins the section
+    logic), then a ``User-agent: *`` group disallowing each lang prefix
+    whose md5(host|lang) starts 0-7 (portable 50% coin)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hosts = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host")
+    ).distinct()
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    dis_lines = [
+        F.when(
+            F.substring(F.md5(F.concat(F.col("host"), F.lit("|" + lang))), 1, 1)
+            < F.lit("8"),
+            F.lit(f"Disallow: /{lang}"),
+        )
+        for lang in sorted(langs)
+    ]
+    body = F.concat_ws(
+        "\n",
+        F.lit("User-agent: evilbot"),
+        F.lit("Disallow: /never"),
+        F.lit("User-agent: *"),
+        *dis_lines,
+    )
+    return hosts.select("host", body.alias("robots_txt"))
+
+
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parse (urls.parse_robots_rules): per-host Disallow
+    prefixes for the * agent group, with a decoy section proving the
+    window-based section assignment. Oracle restates the synthesis coin."""
+    from .operators import urls
+
+    return urls.parse_robots_rules(_synth_robots_df(spark, sf_dir))
+
+
+_SQL_ROBOTS_RULES = """
+WITH hosts AS (SELECT DISTINCT source || '.example.com' AS host FROM documents),
+langs AS (SELECT DISTINCT lang FROM documents)
+SELECT host, '/' || lang AS prefix
+FROM hosts, langs
+WHERE substr(md5(host || '|' || lang), 1, 1) < '8'
+"""
+
+
+def q_frontier_polite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polite crawl frontier: corpus urls ranked by a portable md5 hash ->
+    robots Disallow filter (urls.filter_disallowed, LEFT ANTI on host +
+    prefix match) -> per-host top-3 fetch budget (urls.politeness_topk).
+    The composition every fetch scheduler runs between 'frontier' and
+    'fetch'."""
+    from .operators import urls
+
+    pages = synthesize_pages_df(spark, sf_dir).select("url")
+    frontier = pages.select(
+        "url",
+        F.regexp_extract(
+            F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)", 1
+        ).alias("host"),
+        F.conv(F.substring(F.md5(F.col("url")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("rank_nano"),
+    )
+    rules = urls.parse_robots_rules(_synth_robots_df(spark, sf_dir))
+    polite = urls.politeness_topk(
+        urls.filter_disallowed(frontier, rules), 3
+    )
+    return polite.orderBy(F.col("host"), F.col("rank_nano").desc(), F.col("url"))
+
+
+_SQL_FRONTIER_POLITE = f"""
+WITH pages AS (
+  SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+         source || '.example.com' AS host,
+         '/' || lang || '/' || doc_id AS path
+  FROM documents
+),
+frontier AS (
+  SELECT url, host,
+         ('0x' || substr(md5(url), 1, 15))::bigint AS rank_nano, path
+  FROM pages
+),
+langs AS (SELECT DISTINCT lang FROM documents),
+rules AS (
+  SELECT DISTINCT host, '/' || lang AS prefix
+  FROM (SELECT DISTINCT source || '.example.com' AS host FROM documents), langs
+  WHERE substr(md5(host || '|' || lang), 1, 1) < '8'
+),
+allowed AS (
+  SELECT f.url, f.host, f.rank_nano
+  FROM frontier f
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rules r
+    WHERE r.host = f.host AND starts_with(f.path, r.prefix)
+  )
+),
+ranked AS (
+  SELECT url, host, rank_nano,
+         row_number() OVER (PARTITION BY host ORDER BY rank_nano DESC, url) AS rn
+  FROM allowed
+)
+SELECT url, host, rank_nano FROM ranked WHERE rn <= 3
+ORDER BY host, rank_nano DESC, url
+"""
+
+
 def q_warc_binary_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-framed WARC parse (sources/warc.py parse_warc_records_binary):
     records whose payload is NOT valid UTF-8 (leading 0x00 0xFF octets), so
@@ -2825,6 +2932,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_frontier": q_crawl_frontier,
     "warc_parse": q_warc_parse,
     "warc_binary_parse": q_warc_binary_parse,
+    "robots_rules": q_robots_rules,
+    "frontier_polite": q_frontier_polite,
     "crawl_diff": q_crawl_diff,
     "kmv_distinct": q_kmv_distinct,
     # dedup family
@@ -2899,6 +3008,8 @@ ORACLE: dict[str, str] = {
     "crawl_frontier": _sql_crawl_frontier(),
     "warc_parse": _sql_warc_parse(),
     "warc_binary_parse": _sql_warc_binary_parse(),
+    "robots_rules": _SQL_ROBOTS_RULES,
+    "frontier_polite": _SQL_FRONTIER_POLITE,
     "crawl_diff": _SQL_CRAWL_DIFF,
     "kmv_distinct": _SQL_KMV_DISTINCT,
     "dedup_exact": _SQL_DEDUP_EXACT,

@@ -1123,3 +1123,60 @@ def test_image_resize_nearest_up_and_down(spark):
     out = {r["doc_id"]: r for r in multimodal.image_resize(df, 2, 2).collect()}
     assert out[1]["px_sum"] == 0 + 2 + 4 + 6 and out[1]["error"] is None
     assert out[2]["error"] is not None
+
+
+def test_parse_robots_rules_section_logic(spark):
+    """Disallow lines bind to the most recent User-agent group: non-*
+    groups are ignored, empty Disallow (allow-all) is dropped, CRLF and
+    case survive."""
+    from legal_document_ocr_spark.operators import urls
+
+    robots = (
+        "User-agent: evilbot\r\n"
+        "Disallow: /secret\r\n"
+        "user-agent: *\r\n"
+        "disallow: /private\r\n"
+        "Disallow:\r\n"          # allow-all: dropped
+        "Disallow: /tmp\r\n"
+        "User-agent: otherbot\r\n"
+        "Disallow: /other\r\n"
+    )
+    df = spark.createDataFrame([("h.com", robots)], "host string, robots_txt string")
+    rules = {(r["host"], r["prefix"])
+             for r in urls.parse_robots_rules(df).collect()}
+    assert rules == {("h.com", "/private"), ("h.com", "/tmp")}
+
+
+def test_filter_disallowed_and_politeness_topk(spark):
+    from legal_document_ocr_spark.operators import urls
+
+    frontier = spark.createDataFrame(
+        [
+            ("https://h.com/private/x", "h.com", 9),
+            ("https://h.com/pub/a", "h.com", 8),
+            ("https://h.com/pub/b", "h.com", 7),
+            ("https://h.com/pub/c", "h.com", 6),
+            ("https://other.com/private/y", "other.com", 5),
+        ],
+        "url string, host string, rank_nano long",
+    )
+    rules = spark.createDataFrame(
+        [("h.com", "/private")], "host string, prefix string"
+    )
+    allowed = urls.filter_disallowed(frontier, rules)
+    urls_left = {r["url"] for r in allowed.collect()}
+    # other.com has no rules -> its /private url survives
+    assert urls_left == {
+        "https://h.com/pub/a",
+        "https://h.com/pub/b",
+        "https://h.com/pub/c",
+        "https://other.com/private/y",
+    }
+    top = urls.politeness_topk(allowed, 2)
+    by_host = {}
+    for r in top.collect():
+        by_host.setdefault(r["host"], []).append(r["url"])
+    assert sorted(by_host["h.com"]) == [
+        "https://h.com/pub/a", "https://h.com/pub/b"
+    ]
+    assert by_host["other.com"] == ["https://other.com/private/y"]
