@@ -217,3 +217,22 @@ def politeness_topk(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def parse_sitemap_urls(
+    sitemaps: DataFrame, host_col: str = "host", xml_col: str = "sitemap_xml"
+) -> DataFrame:
+    """Extract <loc> urls from sitemap XML -> (host, url), one row per loc.
+
+    regexp_extract_all + posexplode at scan speed: sitemap XML is a fixed
+    grammar (urlset/url/loc), so a full XML parser buys nothing here —
+    the same judgement call as the WARC header regexes. CDATA-wrapped and
+    whitespace-padded locs are normalized; nested <sitemap> index entries
+    are returned too (the caller fetches and recurses).
+    """
+    locs = F.expr(
+        f"regexp_extract_all({xml_col}, '<loc>\\\\s*(?:<!\\\\[CDATA\\\\[)?([^<\\\\]]*?)(?:\\\\]\\\\]>)?\\\\s*</loc>', 1)"
+    )
+    return sitemaps.select(
+        F.col(host_col).alias("host"), F.explode(locs).alias("loc")
+    ).select("host", F.trim(F.col("loc")).alias("url"))

@@ -1093,6 +1093,54 @@ ORDER BY host, rank_nano DESC, url
 """
 
 
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap <loc> extraction (urls.parse_sitemap_urls): one synthesized
+    sitemap per corpus host carrying plain, whitespace-padded and
+    CDATA-wrapped loc variants per lang — the parser must normalize all
+    three to match the clean closed-form oracle."""
+    from .operators import urls
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hl = (
+        docs.select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+            "lang",
+        )
+        .distinct()
+        .select(
+            "host",
+            F.concat(
+                F.lit("<url><loc>https://"), F.col("host"), F.lit("/"),
+                F.col("lang"), F.lit("/sm0</loc></url>"),
+                F.lit("<url><loc>  https://"), F.col("host"), F.lit("/"),
+                F.col("lang"), F.lit("/sm1  </loc></url>"),
+                F.lit("<url><loc><![CDATA[https://"), F.col("host"), F.lit("/"),
+                F.col("lang"), F.lit("/sm2]]></loc></url>"),
+            ).alias("entry"),
+        )
+    )
+    sitemaps = hl.groupBy("host").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.array_join(F.array_sort(F.collect_list("entry")), ""),
+            F.lit("</urlset>"),
+        ).alias("sitemap_xml")
+    )
+    out = urls.parse_sitemap_urls(sitemaps)
+    return out.orderBy("host", "url")
+
+
+_SQL_SITEMAP_URLS = """
+WITH hl AS (
+  SELECT DISTINCT source || '.example.com' AS host, lang FROM documents
+),
+v AS (SELECT unnest(['sm0', 'sm1', 'sm2']) AS leaf)
+SELECT host, 'https://' || host || '/' || lang || '/' || leaf AS url
+FROM hl, v
+ORDER BY host, url
+"""
+
+
 def q_warc_binary_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-framed WARC parse (sources/warc.py parse_warc_records_binary):
     records whose payload is NOT valid UTF-8 (leading 0x00 0xFF octets), so
@@ -2933,6 +2981,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_parse": q_warc_parse,
     "warc_binary_parse": q_warc_binary_parse,
     "robots_rules": q_robots_rules,
+    "sitemap_urls": q_sitemap_urls,
     "frontier_polite": q_frontier_polite,
     "crawl_diff": q_crawl_diff,
     "kmv_distinct": q_kmv_distinct,
@@ -3009,6 +3058,7 @@ ORACLE: dict[str, str] = {
     "warc_parse": _sql_warc_parse(),
     "warc_binary_parse": _sql_warc_binary_parse(),
     "robots_rules": _SQL_ROBOTS_RULES,
+    "sitemap_urls": _SQL_SITEMAP_URLS,
     "frontier_polite": _SQL_FRONTIER_POLITE,
     "crawl_diff": _SQL_CRAWL_DIFF,
     "kmv_distinct": _SQL_KMV_DISTINCT,
