@@ -202,18 +202,38 @@ def politeness_topk(
     *,
     host_col: str = "host",
     order_col: str = "rank_nano",
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Per-host fetch budget: keep the top-``k`` urls per host by
     (order desc, url asc) — the politeness cap every crawler applies so one
-    megasite cannot monopolize the fetch fleet. One window per host
-    partition, bounded by the per-host frontier size."""
+    megasite cannot monopolize the fetch fleet.
+
+    Two-phase top-k: a naive ``row_number() OVER (PARTITION BY host)`` puts
+    a megahost's entire frontier (10^9 urls for a large site) in ONE task —
+    the single-partition-window failure mode. Phase 1 takes top-k within
+    (host, salt) — each salt partition holds ~1/salt_buckets of the host —
+    then phase 2 takes top-k per host over the pruned ≤ salt_buckets·k
+    survivors. The global top-k is always contained in the union of
+    per-salt top-ks, so the result is identical; the second window's
+    partitions are bounded by construction. ``salt_buckets=1`` degenerates
+    to the single-window plan."""
     from pyspark.sql import Window
 
+    pruned = frontier
+    if salt_buckets > 1:
+        w1 = Window.partitionBy(
+            host_col, F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
+        ).orderBy(F.col(order_col).desc(), F.col("url"))
+        pruned = (
+            frontier.withColumn("_rn1", F.row_number().over(w1))
+            .where(F.col("_rn1") <= k)
+            .drop("_rn1")
+        )
     w = Window.partitionBy(host_col).orderBy(
         F.col(order_col).desc(), F.col("url")
     )
     return (
-        frontier.withColumn("_rn", F.row_number().over(w))
+        pruned.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
