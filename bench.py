@@ -57,6 +57,7 @@ HEADLINE = [
     # round-3 additions
     "jpeg_decode",            # real baseline-JPEG decode (mapInPandas)
     "warc_binary_parse",      # byte-framed WARC parse at scan speed
+    "frontier_polite",        # robots filter + two-phase per-host budget
 ]
 
 
