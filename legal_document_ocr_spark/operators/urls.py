@@ -256,3 +256,145 @@ def parse_sitemap_urls(
     return sitemaps.select(
         F.col(host_col).alias("host"), F.explode(locs).alias("loc")
     ).select("host", F.trim(F.col("loc")).alias("url"))
+
+
+# ---------------------------------------------------------------------------
+# anchor text: extraction + inverted anchor index (round 3)
+# ---------------------------------------------------------------------------
+
+_ANCHOR_RE = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def extract_anchor_texts(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, link_pos, href, anchor_text, resolved) — out-links WITH their
+    anchor text, the signal an anchor-text index / link-spam classifier
+    consumes. Reference analogue: the reference's DOM walk reads anchor
+    inner text for its link-density heuristic
+    (region_segmentation_service.py, SURVEY.md K2/P3); here the text itself
+    is the product.
+
+    Spark's ``regexp_extract_all`` returns ONE capture group per call; a
+    naive two-pass (one per group) would run the heavy page-sized regex
+    TWICE per row. Instead group 0 (the whole ``<a …>…</a>`` match) is
+    extracted once at scan speed, and href/text come from per-element
+    ``regexp_extract`` over the short matched fragments — the page-sized
+    scan happens once, everything stays in whole-stage codegen, one
+    posexplode, no UDF, no shuffle. Root-relative and protocol-relative
+    hrefs resolve against the page's own scheme://host exactly as in
+    ``extract_links``.
+    """
+    url = F.col(url_col)
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
+    ex = df.select(
+        url.alias("url"),
+        scheme.alias("_scheme"),
+        host.alias("_host"),
+        F.posexplode(F.regexp_extract_all(html_txt, F.lit(_ANCHOR_RE), 0)).alias(
+            "link_pos", "frag"
+        ),
+    )
+    href = F.regexp_extract(F.col("frag"), _ANCHOR_RE, 1)
+    text = F.regexp_extract(F.col("frag"), _ANCHOR_RE, 2)
+    resolved = (
+        F.when(href.startswith("//"), F.concat(F.col("_scheme"), F.lit(":"), href))
+        .when(
+            href.startswith("/"),
+            F.concat(F.col("_scheme"), F.lit("://"), F.col("_host"), href),
+        )
+        .otherwise(href)
+    )
+    anchor = F.trim(F.regexp_replace(text, r"\s+", " "))
+    return ex.select(
+        "url",
+        F.col("link_pos").cast("long").alias("link_pos"),
+        href.alias("href"),
+        anchor.alias("anchor_text"),
+        resolved.alias("resolved"),
+    )
+
+
+def anchor_text_index(
+    links: DataFrame, target_col: str = "resolved", text_col: str = "anchor_text"
+) -> DataFrame:
+    """Inverted anchor index: per target url, total in-links, distinct anchor
+    phrases, and the dominant phrase — the classic web-corpus ranking /
+    query-expansion signal (anchor text describes the TARGET page).
+
+    Two map-side-combined shuffles and nothing else: (target, phrase) counts
+    partial-aggregate before the first exchange (anchor phrases repeat
+    heavily — "home", "click here"), then one groupBy(target) where
+    ``max(struct(cnt, phrase))`` picks the dominant phrase without a window
+    or a second scan. No window over a global ordering, no broadcast of a
+    corpus-sized side; both exchanges are keyed by target url, which is the
+    partitioning a downstream join-to-pages stage reuses.
+    """
+    phrase = F.lower(F.col(text_col))
+    per_phrase = (
+        links.select(F.col(target_col).alias("target"), phrase.alias("phrase"))
+        .where(F.col("phrase") != "")
+        .groupBy("target", "phrase")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = F.max(F.struct(F.col("cnt"), F.col("phrase"))).alias("_top")
+    return (
+        per_phrase.groupBy("target")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_links"),
+            F.count(F.lit(1)).cast("long").alias("n_phrases"),
+            top,
+        )
+        .select(
+            "target",
+            "n_links",
+            "n_phrases",
+            F.col("_top.phrase").alias("top_phrase"),
+            F.col("_top.cnt").cast("long").alias("top_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML head metadata (round 3)
+# ---------------------------------------------------------------------------
+
+_TITLE_RE = r"<title>([^<]*)</title>"
+_META_DESC_RE = r'<meta name="description" content="([^"]*)"'
+_CANONICAL_RE = r'<link rel="canonical" href="([^"]*)"'
+_CHARSET_RE = r'<meta charset="([^"]*)"'
+
+
+def extract_html_metadata(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, title, meta_description, canonical_url, charset) — the head
+    fields every crawl pipeline indexes before looking at the body: title
+    for display/ranking, meta description as a summary fallback, canonical
+    link for URL-level dedup (it overrides ``canonical_url_expr`` when
+    present), charset for decode dispatch. Reference analogue: the
+    reference's per-document metadata dict (document_merger_service.py
+    `metadata`/`document_info`), lifted to the web-page domain.
+
+    Four regexp_extract calls over one decode — all whole-stage codegen,
+    no UDF, no shuffle: metadata lands at scan speed and the scan reads
+    only (url, html), so column pruning keeps every other column out of
+    the plan. Missing fields are NULL (``nullif('')``), not '', so
+    downstream COALESCE chains behave.
+    """
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+
+    def _grab(pattern: str) -> Column:
+        return F.nullif(F.regexp_extract(html_txt, pattern, 1), F.lit(""))
+
+    return df.select(
+        F.col(url_col).alias("url"),
+        F.nullif(
+            F.trim(F.regexp_replace(_grab(_TITLE_RE), r"\s+", " ")), F.lit("")
+        ).alias("title"),
+        _grab(_META_DESC_RE).alias("meta_description"),
+        _grab(_CANONICAL_RE).alias("canonical_url"),
+        F.lower(_grab(_CHARSET_RE)).alias("charset"),
+    )

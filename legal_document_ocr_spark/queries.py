@@ -1179,6 +1179,210 @@ FROM documents
 """
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text extraction (urls.extract_anchor_texts): out-links WITH
+    inner text from the template corpus — two codegen regexp_extract_all
+    passes zipped positionally, one posexplode, no UDF."""
+    from .operators import urls
+
+    return urls.extract_anchor_texts(synthesize_pages_df(spark, sf_dir))
+
+
+_ANCHOR_SQL_PAT = '<a href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def _sql_anchor_texts() -> str:
+    from .sources.pages import _TEMPLATE_HEAD, _TEMPLATE_TAIL
+
+    return f"""
+WITH pages AS (
+  SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id
+           AS url,
+         '{_TEMPLATE_HEAD}' || text || '{_TEMPLATE_TAIL}' AS html
+  FROM documents
+),
+e AS (
+  SELECT url,
+    lower(coalesce(regexp_extract(url,
+      '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1), '')) AS scheme,
+    lower(coalesce(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]+)', 1), '')) AS host,
+    regexp_extract_all(html, '{_ANCHOR_SQL_PAT}', 1) AS hrefs,
+    regexp_extract_all(html, '{_ANCHOR_SQL_PAT}', 2) AS texts
+  FROM pages
+),
+l AS (
+  SELECT url, scheme, host,
+    unnest(range(len(hrefs))) AS link_pos,
+    unnest(hrefs) AS href, unnest(texts) AS txt
+  FROM e
+)
+SELECT url, link_pos::bigint AS link_pos, href,
+  trim(regexp_replace(txt, '\\s+', ' ', 'g')) AS anchor_text,
+  CASE WHEN href LIKE '//%' THEN scheme || ':' || href
+       WHEN href LIKE '/%' THEN scheme || '://' || host || href
+       ELSE href END AS resolved
+FROM l
+"""
+
+
+def q_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted anchor index (urls.anchor_text_index): per target url,
+    in-link count, distinct anchor phrases, dominant phrase — two map-side-
+    combined shuffles keyed on target, max(struct) top-1, no window."""
+    from .operators import urls
+
+    links = urls.extract_anchor_texts(synthesize_pages_df(spark, sf_dir))
+    return urls.anchor_text_index(links)
+
+
+def _sql_anchor_index() -> str:
+    base = _sql_anchor_texts()
+    return f"""
+WITH links AS ({base}),
+pp AS (
+  SELECT resolved AS target, lower(anchor_text) AS phrase,
+         count(*)::bigint AS cnt
+  FROM links WHERE lower(anchor_text) <> ''
+  GROUP BY target, phrase
+),
+ranked AS (
+  SELECT target, phrase, cnt,
+    sum(cnt) OVER (PARTITION BY target)::bigint AS n_links,
+    count(*) OVER (PARTITION BY target)::bigint AS n_phrases,
+    row_number() OVER (PARTITION BY target ORDER BY cnt DESC, phrase DESC)
+      AS rn
+  FROM pp
+)
+SELECT target, n_links, n_phrases, phrase AS top_phrase, cnt AS top_count
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML head metadata (urls.extract_html_metadata): title / description /
+    canonical / charset from a synthesized head-rich corpus in which each
+    field is present for only a doc_id-derived subset — the NULL paths are
+    exercised, not just the happy path. Pure codegen regexp, no UDF."""
+    from .operators import urls
+
+    doc_id = F.col("doc_id")
+    did = doc_id.cast("string")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/"), did,
+    )
+    charset_part = F.when(
+        doc_id % 5 != 0, F.lit('<meta charset="UTF-8">')
+    ).otherwise(F.lit(""))
+    desc_part = F.when(
+        doc_id % 3 != 0,
+        F.concat(
+            F.lit('<meta name="description" content="'),
+            F.substring("text", 1, 32), F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    canon_part = F.when(
+        doc_id % 2 == 0,
+        F.concat(
+            F.lit('<link rel="canonical" href="https://'), F.col("source"),
+            F.lit(".example.com/"), did, F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head>"), charset_part,
+            F.lit("<title>  Doc "), did, F.lit("  of  "),
+            F.col("source"), F.lit(" </title>"),
+            desc_part, canon_part,
+            F.lit("</head><body><p>"), F.col("text"),
+            F.lit("</p></body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = _docs(spark, sf_dir).select(url.alias("url"), html.alias("html"))
+    return urls.extract_html_metadata(pages)
+
+
+_SQL_HTML_METADATA = """
+WITH pages AS (
+  SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id
+           AS url,
+    '<html><head>'
+    || CASE WHEN doc_id % 5 <> 0 THEN '<meta charset="UTF-8">' ELSE '' END
+    || '<title>  Doc ' || doc_id || '  of  ' || source || ' </title>'
+    || CASE WHEN doc_id % 3 <> 0 THEN '<meta name="description" content="'
+         || substring(text, 1, 32) || '">' ELSE '' END
+    || CASE WHEN doc_id % 2 = 0 THEN '<link rel="canonical" href="https://'
+         || source || '.example.com/' || doc_id || '">' ELSE '' END
+    || '</head><body><p>' || text || '</p></body></html>' AS html
+  FROM documents
+)
+SELECT url,
+  nullif(trim(regexp_replace(coalesce(
+    regexp_extract(html, '<title>([^<]*)</title>', 1), ''),
+    '\\s+', ' ', 'g')), '') AS title,
+  nullif(coalesce(regexp_extract(html,
+    '<meta name="description" content="([^"]*)"', 1), ''), '')
+    AS meta_description,
+  nullif(coalesce(regexp_extract(html,
+    '<link rel="canonical" href="([^"]*)"', 1), ''), '') AS canonical_url,
+  lower(nullif(coalesce(regexp_extract(html,
+    '<meta charset="([^"]*)"', 1), ''), '')) AS charset
+FROM pages
+"""
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index (sources/warc.cdx_index): octet offset + length +
+    payload digest per record, offsets a per-file running sum — the window
+    partitions by warc_file so files parallelize and no global order
+    exists anywhere in the plan."""
+    from .sources.warc import cdx_index, synthesize_warc_files_df
+
+    _utc(spark)
+    return cdx_index(synthesize_warc_files_df(spark, sf_dir))
+
+
+def _sql_cdx_index() -> str:
+    from .sources.pages import _TEMPLATE_HEAD, _TEMPLATE_TAIL
+
+    html = f"'{_TEMPLATE_HEAD}' || text || '{_TEMPLATE_TAIL}'"
+    crlf = "chr(13) || chr(10)"
+    return f"""
+WITH r1 AS (
+  SELECT source || '.example.com.warc' AS warc_file,
+    doc_id AS record_idx,
+    'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+    (1704067200 + doc_id)::bigint AS ts_epoch,
+    '\\x00\\xFF'::blob || encode({html}) AS payload
+  FROM documents
+),
+r2 AS (
+  SELECT *, octet_length(payload)::bigint AS clen FROM r1
+),
+r3 AS (
+  SELECT *,
+    'WARC/1.0' || {crlf} || 'WARC-Type: response' || {crlf}
+    || 'WARC-Target-URI: ' || url || {crlf}
+    || 'WARC-Date: '
+    || strftime(epoch_ms(ts_epoch * 1000), '%Y-%m-%dT%H:%M:%SZ') || {crlf}
+    || 'Content-Length: ' || clen || {crlf} || {crlf} AS head
+  FROM r2
+),
+r4 AS (
+  SELECT *, (octet_length(encode(head)) + clen)::bigint AS reclen FROM r3
+)
+SELECT warc_file, url, ts_epoch,
+  coalesce(sum(reclen) OVER (PARTITION BY warc_file ORDER BY record_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+    AS rec_offset,
+  reclen AS length,
+  sha256(lower(to_hex(payload))) AS digest
+FROM r4
+"""
+
+
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier prioritization — the composition the webtext operators
     exist for: out-links (urls.extract_links) -> canonicalize -> anti-join
@@ -2934,6 +3138,15 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_decode": q_audio_decode,
     "stream_dedup": q_stream_dedup,
     "stream_incremental_dedup": q_stream_incremental_dedup,
+    # round-3 additions — also never driver-checked yet
+    "warc_binary_parse": q_warc_binary_parse,
+    "robots_rules": q_robots_rules,
+    "sitemap_urls": q_sitemap_urls,
+    "frontier_polite": q_frontier_polite,
+    "anchor_texts": q_anchor_texts,
+    "anchor_index": q_anchor_index,
+    "html_metadata": q_html_metadata,
+    "cdx_index": q_cdx_index,
     # extraction pipeline
     "extract_main_text": q_extract_main_text,
     "extract_sql_surface": q_extract_sql_surface,
@@ -2979,10 +3192,6 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_pagerank": q_host_pagerank,
     "crawl_frontier": q_crawl_frontier,
     "warc_parse": q_warc_parse,
-    "warc_binary_parse": q_warc_binary_parse,
-    "robots_rules": q_robots_rules,
-    "sitemap_urls": q_sitemap_urls,
-    "frontier_polite": q_frontier_polite,
     "crawl_diff": q_crawl_diff,
     "kmv_distinct": q_kmv_distinct,
     # dedup family
@@ -3060,6 +3269,10 @@ ORACLE: dict[str, str] = {
     "robots_rules": _SQL_ROBOTS_RULES,
     "sitemap_urls": _SQL_SITEMAP_URLS,
     "frontier_polite": _SQL_FRONTIER_POLITE,
+    "anchor_texts": _sql_anchor_texts(),
+    "anchor_index": _sql_anchor_index(),
+    "html_metadata": _SQL_HTML_METADATA,
+    "cdx_index": _sql_cdx_index(),
     "crawl_diff": _SQL_CRAWL_DIFF,
     "kmv_distinct": _SQL_KMV_DISTINCT,
     "dedup_exact": _SQL_DEDUP_EXACT,

@@ -146,3 +146,84 @@ def parse_warc_records_binary(
         clen.alias("content_length"),
         F.encode(payload, "ISO-8859-1").alias("payload"),
     )
+
+
+def synthesize_warc_files_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-framed records WITH file assignment — (warc_file, record_idx,
+    record_bytes), the shape a CDX build consumes. One WARC file per corpus
+    host (a few hundred records each at test scale — the same records-per-
+    file ratio as a real ~1 GB crawl segment), record order within a file =
+    doc_id, recovered deterministically from the url tail so the DuckDB
+    oracle can state the identical grouping.
+    """
+    from .pages import synthesize_pages_df
+
+    pages = synthesize_pages_df(spark, sf_dir)
+    payload = F.concat(F.lit(bytes([0x00, 0xFF])), F.col("html"))
+    head = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: response" + _CRLF),
+        F.lit("WARC-Target-URI: "), F.col("url"), F.lit(_CRLF),
+        F.lit("WARC-Date: "),
+        F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit(_CRLF),
+        F.lit("Content-Length: "),
+        F.length(payload).cast("string"),
+        F.lit(_CRLF + _CRLF),
+    )
+    host = F.regexp_extract("url", r"^https://([^/]*)/", 1)
+    doc_id = F.element_at(F.split("url", "/"), -1).cast("long")
+    return pages.select(
+        F.concat(host, F.lit(".warc")).alias("warc_file"),
+        doc_id.alias("record_idx"),
+        F.concat(F.encode(head, "UTF-8"), payload).alias("record_bytes"),
+    )
+
+
+def cdx_index(
+    records: DataFrame,
+    file_col: str = "warc_file",
+    order_col: str = "record_idx",
+    record_col: str = "record_bytes",
+) -> DataFrame:
+    """CDX(J)-style capture index over byte-framed WARC records:
+    (warc_file, url, ts_epoch, offset, length, digest) — offset/length are
+    the OCTET range of the record inside its file, digest is sha256 over
+    the payload octets. This is the random-access index Common Crawl ships
+    next to every crawl (cc-index): given a url, seek straight to its
+    record without scanning the archive.
+
+    Offsets are a running sum of record lengths WITHIN each file: one
+    window partitioned by ``file_col`` — files process in parallel across
+    the cluster and the per-file sequential walk is bounded by records-per-
+    file (~50-100k for a 1 GB WARC), never by corpus size, so the shape
+    holds at 10^12 records spread over ~10^7 files. No global ordering, no
+    driver-side state; header fields come from the same latin-1
+    octet-bijection view as ``parse_warc_records_binary`` (pure codegen).
+    The digest hashes the lowercase hex of the payload (DuckDB's sha256
+    takes VARCHAR, not BLOB — hex is the portable spelling).
+    """
+    from pyspark.sql.window import Window
+
+    length = F.octet_length(F.col(record_col))
+    w = (
+        Window.partitionBy(file_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rec = F.decode(F.col(record_col), "ISO-8859-1")
+    head = F.substring_index(rec, _CRLF + _CRLF, 1)
+    clen = F.regexp_extract(head, _LEN_RE, 1).cast("long")
+    payload = rec.substr(F.length(head) + F.lit(5), clen)
+    return records.select(
+        F.col(file_col).alias("warc_file"),
+        F.regexp_extract(head, _URI_RE, 1).alias("url"),
+        F.unix_timestamp(
+            F.to_timestamp(
+                F.regexp_extract(head, _DATE_RE, 1), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+            )
+        ).alias("ts_epoch"),
+        F.coalesce(F.sum(length).over(w), F.lit(0)).cast("long").alias("rec_offset"),
+        length.cast("long").alias("length"),
+        F.sha2(F.lower(F.hex(F.encode(payload, "ISO-8859-1"))), 256).alias("digest"),
+    )

@@ -1180,3 +1180,117 @@ def test_filter_disallowed_and_politeness_topk(spark):
         "https://h.com/pub/a", "https://h.com/pub/b"
     ]
     assert by_host["other.com"] == ["https://other.com/private/y"]
+
+
+def test_extract_anchor_texts_attrs_protocol_relative_and_whitespace(spark):
+    """Anchors with extra attributes still match; protocol-relative hrefs
+    resolve against the page scheme; inner whitespace collapses; an
+    image-only anchor ([^<]* fails on the nested tag) is skipped."""
+    from legal_document_ocr_spark.operators import urls
+
+    html = (
+        b'<a href="/a" class="nav" id="x1">  Go\n  home </a>'
+        b'<a href="//cdn.other.com/lib.js">cdn</a>'
+        b'<a href="https://abs.com/p">abs</a>'
+        b'<a href="/img"><img src="i.png"></a>'
+        b'<a href="/empty"></a>'
+    )
+    df = spark.createDataFrame(
+        [("https://h.example.com/p", html)], "url string, html binary"
+    )
+    rows = sorted(
+        urls.extract_anchor_texts(df).collect(), key=lambda r: r["link_pos"]
+    )
+    assert [(r["resolved"], r["anchor_text"]) for r in rows] == [
+        ("https://h.example.com/a", "Go home"),
+        ("https://cdn.other.com/lib.js", "cdn"),
+        ("https://abs.com/p", "abs"),
+        ("https://h.example.com/empty", ""),
+    ]
+
+
+def test_anchor_text_index_top_phrase_and_counts(spark):
+    """Dominant phrase wins by (count, phrase) struct order; empty anchors
+    are excluded from the index; n_links counts rows, n_phrases distinct."""
+    from legal_document_ocr_spark.operators import urls
+
+    links = spark.createDataFrame(
+        [
+            ("u1", "https://t.com/x", "Home"),
+            ("u2", "https://t.com/x", "home"),
+            ("u3", "https://t.com/x", "start"),
+            ("u4", "https://t.com/x", ""),
+            ("u5", "https://t.com/y", "b"),
+            ("u6", "https://t.com/y", "a"),
+        ],
+        "url string, resolved string, anchor_text string",
+    )
+    out = {r["target"]: r for r in urls.anchor_text_index(links).collect()}
+    x = out["https://t.com/x"]
+    assert (x["n_links"], x["n_phrases"]) == (3, 2)
+    assert (x["top_phrase"], x["top_count"]) == ("home", 2)
+    # tie on count=1 -> lexicographically larger phrase wins (struct max)
+    y = out["https://t.com/y"]
+    assert (y["top_phrase"], y["top_count"]) == ("b", 1)
+
+
+def test_extract_html_metadata_missing_fields_are_null(spark):
+    """Absent head fields yield NULL (not ''); title is whitespace-collapsed
+    and trimmed; charset lowercased."""
+    from legal_document_ocr_spark.operators import urls
+
+    rich = (
+        b'<html><head><meta charset="UTF-8"><title> A  B </title>'
+        b'<meta name="description" content="desc here">'
+        b'<link rel="canonical" href="https://c.com/1"></head><body></body></html>'
+    )
+    bare = b"<html><head></head><body>no head fields</body></html>"
+    df = spark.createDataFrame(
+        [("u1", rich), ("u2", bare)], "url string, html binary"
+    )
+    out = {r["url"]: r for r in urls.extract_html_metadata(df).collect()}
+    r1 = out["u1"]
+    assert r1["title"] == "A B"
+    assert r1["meta_description"] == "desc here"
+    assert r1["canonical_url"] == "https://c.com/1"
+    assert r1["charset"] == "utf-8"
+    r2 = out["u2"]
+    assert (
+        r2["title"] is None
+        and r2["meta_description"] is None
+        and r2["canonical_url"] is None
+        and r2["charset"] is None
+    )
+
+
+def test_cdx_index_offsets_are_contiguous_per_file(spark):
+    """Within each warc_file, offsets start at 0 and each record begins
+    exactly where the previous one ended; urls/digests parse per record."""
+    from legal_document_ocr_spark.sources.warc import (
+        cdx_index,
+        synthesize_warc_files_df,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    recs = synthesize_warc_files_df(spark, "/root/testdata/sf0.001")
+    lengths = {
+        (r["warc_file"], r["record_idx"]): len(r["record_bytes"])
+        for r in recs.collect()
+    }
+    rows = cdx_index(recs).collect()
+    assert len(rows) == len(lengths)
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["warc_file"], []).append(r)
+    for f, rs in by_file.items():
+        rs.sort(key=lambda r: r["rec_offset"])
+        pos = 0
+        for r in rs:
+            assert r["rec_offset"] == pos
+            pos += r["length"]
+            assert r["url"].startswith("https://")
+            assert len(r["digest"]) == 64
+        # file size == sum of record lengths assigned to it
+        assert pos == sum(
+            v for (wf, _), v in lengths.items() if wf == f
+        )
