@@ -359,3 +359,63 @@ def image_resize(
 
     selected = df.selectExpr("doc_id", f"{payload_col} as payload")
     return selected.mapInPandas(kernel, IMAGE_RESIZE_SCHEMA)
+
+
+PDF_EXTRACT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_runs", IntegerType()),
+        StructField("n_blocks", IntegerType()),
+        StructField("extracted_text", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def pdf_extract(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """PDF text-layer extraction with layout-block segmentation (pdf.py):
+    content-stream text runs reading-order sorted (top-down, left-right),
+    vertically-adjacent lines merged into blocks — the north rule's "PDF
+    layout-block segmentation" clause, Spark-first. Reference analogue:
+    pdf2image rasterization + region segmentation
+    (image_preprocessing_service.py:57-122,
+    region_segmentation_service.py:20-31); here the text layer is parsed
+    directly, no rasterization.
+
+    One Arrow-batched mapInPandas, per-record error isolation (a malformed
+    PDF flags its own row), no shuffle — the per-record cost is bounded by
+    document size, so the stage scales linearly with the corpus exactly
+    like image_decode."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..pdf import extract_pdf_text
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_runs": [],
+                "n_blocks": [],
+                "extracted_text": [],
+                "error": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    r = extract_pdf_text(bytes(payload))
+                except Exception as e:  # noqa: BLE001 — per-record isolation
+                    out["doc_id"].append(doc_id)
+                    out["n_runs"].append(None)
+                    out["n_blocks"].append(None)
+                    out["extracted_text"].append(None)
+                    out["error"].append(_decode_error_label(e))
+                    continue
+                out["doc_id"].append(doc_id)
+                out["n_runs"].append(r["n_runs"])
+                out["n_blocks"].append(r["n_blocks"])
+                out["extracted_text"].append(r["text"])
+                out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    selected = df.selectExpr("doc_id", f"{payload_col} as payload")
+    return selected.mapInPandas(kernel, PDF_EXTRACT_SCHEMA)

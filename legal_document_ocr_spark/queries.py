@@ -1383,6 +1383,94 @@ FROM r4
 """
 
 
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF roundtrip (pdf.py + multimodal.pdf_extract): each document's
+    words are chunked into layout blocks of up to two lines, written into a
+    one-page PDF in REVERSED stream order, and the parser must reorder by
+    coordinates (top-down, left-right) and re-merge lines into blocks to
+    reproduce the original text — stream order alone fails the oracle."""
+    import math as _math
+
+    import pandas as _pd
+
+    from .operators import multimodal
+    from .pdf import encode_simple_pdf
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                words = (text or "").split()
+                n = len(words)
+                runs = []
+                if n:
+                    chunk_len = (n + 7) // 8
+                    m = (n + chunk_len - 1) // chunk_len
+                    for k in range(m):
+                        chunk = words[k * chunk_len : (k + 1) * chunk_len]
+                        y_top = 720.0 - 40.0 * k
+                        if len(chunk) >= 2:
+                            half = _math.ceil(len(chunk) / 2)
+                            runs.append((72.0, y_top, " ".join(chunk[:half])))
+                            runs.append(
+                                (72.0, y_top - 14.0, " ".join(chunk[half:]))
+                            )
+                        else:
+                            runs.append((72.0, y_top, chunk[0]))
+                payloads.append(encode_simple_pdf(list(reversed(runs))))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    payloads = docs.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.pdf_extract(payloads)
+
+
+_SQL_PDF_EXTRACT = """
+WITH w AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n,
+    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n, norm,
+    CASE WHEN n = 0 THEN 0 ELSE (n + 7) // 8 END AS chunk_len
+  FROM w
+),
+m AS (
+  SELECT doc_id, n, norm, chunk_len,
+    CASE WHEN n = 0 THEN 0
+         ELSE (n + chunk_len - 1) // chunk_len END AS n_blocks,
+    CASE WHEN n = 0 THEN 0
+         ELSE n - ((n + chunk_len - 1) // chunk_len - 1) * chunk_len
+    END AS last_size
+  FROM c
+)
+SELECT doc_id,
+  CASE WHEN n = 0 THEN 0
+       WHEN chunk_len = 1 THEN n
+       ELSE 2 * (n_blocks - 1) + (CASE WHEN last_size >= 2 THEN 2 ELSE 1 END)
+  END::int AS n_runs,
+  n_blocks::int AS n_blocks,
+  norm AS extracted_text,
+  NULL::varchar AS error
+FROM m
+"""
+
+
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier prioritization — the composition the webtext operators
     exist for: out-links (urls.extract_links) -> canonicalize -> anti-join
@@ -3147,6 +3235,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_index": q_anchor_index,
     "html_metadata": q_html_metadata,
     "cdx_index": q_cdx_index,
+    "pdf_extract": q_pdf_extract,
     # extraction pipeline
     "extract_main_text": q_extract_main_text,
     "extract_sql_surface": q_extract_sql_surface,
@@ -3273,6 +3362,7 @@ ORACLE: dict[str, str] = {
     "anchor_index": _sql_anchor_index(),
     "html_metadata": _SQL_HTML_METADATA,
     "cdx_index": _sql_cdx_index(),
+    "pdf_extract": _SQL_PDF_EXTRACT,
     "crawl_diff": _SQL_CRAWL_DIFF,
     "kmv_distinct": _SQL_KMV_DISTINCT,
     "dedup_exact": _SQL_DEDUP_EXACT,

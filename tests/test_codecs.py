@@ -502,3 +502,70 @@ def test_gif_hardening():
     bomb[off + 5 : off + 9] = struct.pack("<HH", 60000, 60000)
     with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
         decode_gif(bytes(bomb))
+
+
+# ---------------------------------------------------------------------------
+# pdf.py — minimal PDF text layer
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_roundtrip_reorders_by_coordinates():
+    from legal_document_ocr_spark.pdf import encode_simple_pdf, extract_pdf_text
+
+    runs = [
+        (72, 720, "Alpha (one)"),
+        (72, 706, "beta \\ two"),
+        (72, 660, "Gamma"),
+        (72, 646, "delta"),
+    ]
+    out = extract_pdf_text(encode_simple_pdf(list(reversed(runs))))
+    assert out["text"] == "Alpha (one) beta \\ two Gamma delta"
+    assert out["n_runs"] == 4 and out["n_blocks"] == 2
+
+
+def test_pdf_flate_stream_and_left_right_order():
+    import zlib
+
+    from legal_document_ocr_spark.pdf import parse_pdf_runs, layout_blocks
+
+    content = (
+        b"BT /F1 12 Tf 300 700 Td (right) Tj ET\n"
+        b"BT /F1 12 Tf 72 700 Td (left) Tj ET\n"
+    )
+    comp = zlib.compress(content)
+    doc = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + comp
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    runs = parse_pdf_runs(doc)
+    blocks = layout_blocks(runs)
+    assert len(blocks) == 1 and blocks[0]["text"] == "left right"
+
+
+def test_pdf_parser_rejects_non_pdf_and_truncated():
+    import pytest
+
+    from legal_document_ocr_spark.pdf import parse_pdf_runs
+
+    with pytest.raises(ValueError):
+        parse_pdf_runs(b"GIF89a not a pdf")
+    with pytest.raises(ValueError):
+        parse_pdf_runs(b"%PDF-1.4\nno eof marker")
+
+
+def test_pdf_extract_operator_isolates_bad_records(spark):
+    from legal_document_ocr_spark.operators.multimodal import pdf_extract
+    from legal_document_ocr_spark.pdf import encode_simple_pdf
+
+    good = encode_simple_pdf([(72, 720, "hello world")])
+    df = spark.createDataFrame(
+        [(1, good), (2, b"%PDF-1.4\ntruncated"), (3, b"garbage")],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in pdf_extract(df).collect()}
+    assert out[1]["extracted_text"] == "hello world" and out[1]["error"] is None
+    assert out[2]["error"] is not None and out[2]["extracted_text"] is None
+    assert out[3]["error"] is not None
