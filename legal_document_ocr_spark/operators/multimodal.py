@@ -29,6 +29,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -419,3 +420,111 @@ def pdf_extract(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     selected = df.selectExpr("doc_id", f"{payload_col} as payload")
     return selected.mapInPandas(kernel, PDF_EXTRACT_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ahash_hex", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def ahash64(img: dict) -> str:
+    """64-bit average hash of a decoded image as 16 lowercase hex chars:
+    nearest-resize to 8x8 (luma for RGB), bit i (row-major pixel i, MSB
+    first) = 1 iff 64*p_i > sum(p) — strictly-greater against the mean
+    keeps the comparison integer-exact, no float mean."""
+    if (img["width"], img["height"]) != (8, 8):
+        img = resize_nearest(img, 8, 8)
+    px = img["pixels"]
+    if img["mode"] in ("RGB", "RGBA"):
+        step = len(px) // 64
+        # integer luma (ITU-R 601-ish): (299R + 587G + 114B) / 1000
+        px = [
+            (299 * px[i * step] + 587 * px[i * step + 1] + 114 * px[i * step + 2])
+            // 1000
+            for i in range(64)
+        ]
+    total = sum(px)
+    h = 0
+    for i, p in enumerate(px):
+        if 64 * p > total:
+            h |= 1 << (63 - i)
+    return f"{h:016x}"
+
+
+def image_ahash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Perceptual hash per image — the image-side analogue of SimHash:
+    byte-identical AND visually-near-identical images (recompression,
+    resize) collapse to nearby hashes. Decode + hash in one Arrow batch,
+    per-record error isolation, no shuffle; output is 24 bytes/row, so
+    the corpus-sized image payloads never move past this stage."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..codecs import decode_image as _decode
+
+        for pdf in batches:
+            out = {"doc_id": [], "ahash_hex": [], "error": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    hx = ahash64(_decode(bytes(payload)))
+                except Exception as e:  # noqa: BLE001 — per-record isolation
+                    out["doc_id"].append(doc_id)
+                    out["ahash_hex"].append(None)
+                    out["error"].append(_decode_error_label(e))
+                    continue
+                out["doc_id"].append(doc_id)
+                out["ahash_hex"].append(hx)
+                out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    selected = df.selectExpr("doc_id", f"{payload_col} as payload")
+    return selected.mapInPandas(kernel, AHASH_SCHEMA)
+
+
+def image_near_pairs(sigs: DataFrame, *, max_hamming: int = 3) -> DataFrame:
+    """Image near-dup pairs by hamming distance on the 64-bit aHash —
+    same pigeonhole as simhash_near_pairs: split into max_hamming+1 hex
+    chunks; a pair within distance k must agree exactly on >=1 chunk, so
+    the candidate join is equi-join per chunk (complete, no recall loss).
+    Hamming verified via bit_count(xor) over JVM-side chunk ints; both
+    self-join sides are corpus-sized computed frames, so shuffle_hash is
+    pinned (broadcast hygiene, see PLANS.md)."""
+    chunks = max_hamming + 1
+    width_hex = 16 // chunks  # 4 hex chars = 16 bits per chunk at k=3
+    chunk_cols = [
+        F.conv(F.substring("ahash_hex", c * width_hex + 1, width_hex), 16, 10)
+        .cast("long")
+        .alias(f"chunk_{c}")
+        for c in range(chunks)
+    ]
+    keyed = (
+        sigs.where(F.col("error").isNull())
+        .select("doc_id", *chunk_cols)
+        .repartition("doc_id")
+        .persist()
+    )
+    hamming = None
+    for c in range(chunks):
+        d = F.bit_count(
+            F.col(f"l.chunk_{c}").bitwiseXOR(F.col(f"r.chunk_{c}"))
+        )
+        hamming = d if hamming is None else hamming + d
+    pairs = None
+    for c in range(chunks):
+        l, r = keyed.alias("l"), keyed.alias("r").hint("shuffle_hash")
+        p = l.join(
+            r,
+            (F.col(f"l.chunk_{c}") == F.col(f"r.chunk_{c}"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        ).select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.where(F.col("hamming") <= max_hamming).distinct()

@@ -1471,6 +1471,109 @@ FROM m
 """
 
 
+def _synth_ahash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8x8 grayscale PNGs with planted near-dups: image
+    depends only on (doc_id % 50, (doc_id // 50) % 2) — 5-way exact copies
+    within each (group, variant), one strongly-flipped corner pixel between
+    variants, pseudo-random across groups (expected hamming ~32)."""
+    import pandas as _pd
+
+    from .codecs import encode_png
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                g = int(doc_id) % 50
+                q = (int(doc_id) // 50) % 2
+                px = bytearray(
+                    ((i + 1) * 37 * (2 * g + 1)) % 256 for i in range(64)
+                )
+                if q:
+                    px[0] = 255
+                payloads.append(encode_png(8, 8, bytes(px), color_type=0))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    return _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash per image (multimodal.image_ahash): REAL PNG
+    decode then 64-bit mean-threshold hash; the oracle recomputes the hash
+    closed-form from the synthesis formula, so decode + hash must both be
+    exact."""
+    from .operators import multimodal
+
+    return multimodal.image_ahash(_synth_ahash_images(spark, sf_dir))
+
+
+_SQL_AHASH_BITS = """
+px AS (
+  SELECT doc_id,
+    list_transform(range(64), i ->
+      CASE WHEN i = 0 AND ((doc_id // 50) % 2) = 1 THEN 255
+           ELSE ((i + 1) * 37 * (2 * (doc_id % 50) + 1)) % 256 END) AS p
+  FROM documents
+),
+bits AS (
+  SELECT doc_id,
+    list_transform(range(64), i ->
+      CASE WHEN 64 * p[i + 1] > list_sum(p) THEN 1 ELSE 0 END) AS b
+  FROM px
+)
+"""
+
+
+_SQL_IMAGE_AHASH = (
+    "WITH "
+    + _SQL_AHASH_BITS
+    + """
+SELECT doc_id,
+  array_to_string(list_transform(range(16), k ->
+    substring('0123456789abcdef',
+      8 * b[4 * k + 1] + 4 * b[4 * k + 2] + 2 * b[4 * k + 3] + b[4 * k + 4]
+        + 1, 1)), '') AS ahash_hex,
+  NULL::varchar AS error
+FROM bits
+"""
+)
+
+
+def q_image_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs (multimodal.image_near_pairs): pigeonhole
+    chunk-join over the aHash, hamming <= 3 verified by bit_count(xor) —
+    the oracle recomputes every hash closed-form and does the exact
+    all-pairs hamming filter, so the chunk candidates must be complete."""
+    from .operators import multimodal
+
+    sigs = multimodal.image_ahash(_synth_ahash_images(spark, sf_dir))
+    return multimodal.image_near_pairs(sigs, max_hamming=3)
+
+
+_SQL_IMAGE_NEAR_PAIRS = (
+    "WITH "
+    + _SQL_AHASH_BITS
+    + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  len(list_filter(range(64), i -> a.b[i + 1] <> b.b[i + 1]))::int AS hamming
+FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+WHERE len(list_filter(range(64), i -> a.b[i + 1] <> b.b[i + 1])) <= 3
+"""
+)
+
+
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier prioritization — the composition the webtext operators
     exist for: out-links (urls.extract_links) -> canonicalize -> anti-join
@@ -3236,6 +3339,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_metadata": q_html_metadata,
     "cdx_index": q_cdx_index,
     "pdf_extract": q_pdf_extract,
+    "image_ahash": q_image_ahash,
+    "image_near_pairs": q_image_near_pairs,
     # extraction pipeline
     "extract_main_text": q_extract_main_text,
     "extract_sql_surface": q_extract_sql_surface,
@@ -3363,6 +3468,8 @@ ORACLE: dict[str, str] = {
     "html_metadata": _SQL_HTML_METADATA,
     "cdx_index": _sql_cdx_index(),
     "pdf_extract": _SQL_PDF_EXTRACT,
+    "image_ahash": _SQL_IMAGE_AHASH,
+    "image_near_pairs": _SQL_IMAGE_NEAR_PAIRS,
     "crawl_diff": _SQL_CRAWL_DIFF,
     "kmv_distinct": _SQL_KMV_DISTINCT,
     "dedup_exact": _SQL_DEDUP_EXACT,

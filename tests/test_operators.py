@@ -685,6 +685,7 @@ def test_dedup_family_plans_have_no_corpus_broadcasts(spark):
     zero_broadcast = [
         "minhash_pairs", "simhash_pairs", "neardup_verified",
         "dedup_clusters", "line_dedup", "embedding_near_dups",
+        "image_near_pairs",
     ]
     for name in zero_broadcast:
         plan = _plan(Q.SPARK[name](spark, SF))
@@ -1294,3 +1295,51 @@ def test_cdx_index_offsets_are_contiguous_per_file(spark):
         assert pos == sum(
             v for (wf, _), v in lengths.items() if wf == f
         )
+
+
+def test_ahash64_rgb_luma_and_resize_paths():
+    """RGB images hash via integer luma; non-8x8 inputs nearest-resize
+    first; the hash is 16 lowercase hex chars."""
+    from legal_document_ocr_spark.operators.multimodal import ahash64
+
+    gray = {
+        "width": 8, "height": 8, "mode": "L",
+        "pixels": list(range(64)),
+    }
+    h = ahash64(gray)
+    assert len(h) == 16 and h == h.lower()
+    # pixels 0..63, total=2016, bit set iff 64*p > 2016 iff p > 31.5 -> last 32
+    assert h == "00000000ffffffff"
+    big = {
+        "width": 16, "height": 16, "mode": "L",
+        "pixels": [(x // 2) + 8 * (y // 2) for y in range(16) for x in range(16)],
+    }
+    # nearest-resize of the doubled image reproduces the 8x8 gradient
+    assert ahash64(big) == h
+    rgb = {
+        "width": 8, "height": 8, "mode": "RGB",
+        "pixels": [c for p in range(64) for c in (p, p, p)],
+    }
+    # gray-equal RGB (luma of (p,p,p) == p) hashes identically
+    assert ahash64(rgb) == h
+
+
+def test_image_near_pairs_pigeonhole_is_complete_at_three_flips(spark):
+    """A pair at hamming exactly 3 must be found (pigeonhole completeness);
+    a pair at hamming 4 must not."""
+    from legal_document_ocr_spark.operators.multimodal import image_near_pairs
+
+    base = int("a" * 16, 16)
+    h3 = base ^ 0b111            # 3 bit flips, all inside the last chunk
+    h4 = base ^ ((1 << 63) | (1 << 47) | (1 << 31) | 1)  # one flip per chunk
+    sigs = spark.createDataFrame(
+        [
+            (1, f"{base:016x}", None),
+            (2, f"{h3:016x}", None),
+            (3, f"{h4:016x}", None),
+        ],
+        "doc_id long, ahash_hex string, error string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_near_pairs(sigs, max_hamming=3).collect()}
+    assert pairs == {(1, 2): 3}
