@@ -849,3 +849,63 @@ def sql_extract_fields(df: DataFrame, text_col: str = "extracted_text") -> DataF
     for field, patterns in SQL_FIELD_PATTERNS.items():
         out = out.withColumn(field, _first_match(c, patterns))
     return out
+
+
+def extraction_eval(
+    df: DataFrame,
+    pred_col: str = "extracted_text",
+    gold_col: str = "gold_text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-multiset precision/recall/F1 of an extraction against gold —
+    the scorer behind the north rule's "byte-identical extracted text"
+    gate, relaxed to token overlap so partial extractors are measurable
+    (boilerplate kept -> precision drops; content dropped -> recall drops).
+    Reference analogue: the golden-file comparisons in the reference's
+    test suite (SURVEY.md §5), promoted to a corpus-scale operator.
+
+    Shape: explode both sides to (id, token) counts (map-side combined),
+    ONE co-partitioned full-outer join on (id, token) — both sides arrive
+    hash-partitioned on the same key, so no broadcast and no re-exchange —
+    then one groupBy(id). Multiset intersection = sum of min(count_pred,
+    count_gold) per token. Metrics are emitted as floor(metric * 1e6)
+    bigints via integer division (micro-F1 = 2i/(na+nb) exactly), so no
+    float rounding can diverge across engines. Docs where BOTH sides
+    tokenize empty are omitted (no tokens -> no rows survive the join).
+    """
+    idc = F.col(id_col)
+    a = (
+        df.select(idc.alias("id"), F.explode(ws_tokens(F.col(pred_col))).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        df.select(idc.alias("id"), F.explode(ws_tokens(F.col(gold_col))).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    j = a.join(b, ["id", "tok"], "full_outer").select(
+        "id",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    per = j.groupBy("id").agg(
+        F.sum(F.least("ca", "cb")).alias("inter"),
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+    )
+    def micro(num: str, den: str) -> Column:
+        return (
+            F.when(F.expr(den) > 0, F.expr(f"({num}) div ({den})"))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+    return per.select(
+        F.col("id").alias(id_col),
+        F.col("na").cast("long").alias("pred_tokens"),
+        F.col("nb").cast("long").alias("gold_tokens"),
+        F.col("inter").cast("long").alias("overlap_tokens"),
+        micro("inter * 1000000", "na").alias("precision_ppm"),
+        micro("inter * 1000000", "nb").alias("recall_ppm"),
+        micro("2 * inter * 1000000", "na + nb").alias("f1_ppm"),
+    )

@@ -1574,6 +1574,70 @@ WHERE len(list_filter(range(64), i -> a.b[i + 1] <> b.b[i + 1])) <= 3
 )
 
 
+def q_extraction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction-quality scorer (textops.extraction_eval): the prediction
+    keeps the template boilerplate (nav/footer anchor words) around the
+    gold body, so precision < 1 and recall = 1 — the metrics must measure
+    the planted token differences exactly (floor-ppm integer math)."""
+    from .operators import textops
+
+    docs = _docs(spark, sf_dir)
+    pred = F.concat(
+        F.lit("Home About Contact Big promo sale click here now "),
+        F.col("text"),
+        F.lit(" Privacy Terms"),
+    )
+    return textops.extraction_eval(
+        docs.select(
+            "doc_id",
+            pred.alias("extracted_text"),
+            F.col("text").alias("gold_text"),
+        )
+    )
+
+
+_SQL_EXTRACTION_EVAL = """
+WITH base AS (
+  SELECT doc_id,
+    'Home About Contact Big promo sale click here now ' || text
+      || ' Privacy Terms' AS pred,
+    text AS gold
+  FROM documents
+),
+ac AS (
+  SELECT doc_id, tok, count(*)::bigint AS ca FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(pred), '\\s+')) AS tok
+    FROM base WHERE trim(pred) <> ''
+  ) GROUP BY doc_id, tok
+),
+bc AS (
+  SELECT doc_id, tok, count(*)::bigint AS cb FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(gold), '\\s+')) AS tok
+    FROM base WHERE trim(gold) <> ''
+  ) GROUP BY doc_id, tok
+),
+j AS (
+  SELECT coalesce(ac.doc_id, bc.doc_id) AS doc_id,
+    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM ac FULL OUTER JOIN bc
+    ON ac.doc_id = bc.doc_id AND ac.tok = bc.tok
+),
+p AS (
+  SELECT doc_id, sum(least(ca, cb))::bigint AS inter,
+    sum(ca)::bigint AS na, sum(cb)::bigint AS nb
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, na AS pred_tokens, nb AS gold_tokens, inter AS overlap_tokens,
+  (CASE WHEN na > 0 THEN inter * 1000000 // na ELSE 0 END)::bigint
+    AS precision_ppm,
+  (CASE WHEN nb > 0 THEN inter * 1000000 // nb ELSE 0 END)::bigint
+    AS recall_ppm,
+  (CASE WHEN na + nb > 0 THEN 2 * inter * 1000000 // (na + nb) ELSE 0 END)
+    ::bigint AS f1_ppm
+FROM p
+"""
+
+
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier prioritization — the composition the webtext operators
     exist for: out-links (urls.extract_links) -> canonicalize -> anti-join
@@ -3341,6 +3405,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_extract": q_pdf_extract,
     "image_ahash": q_image_ahash,
     "image_near_pairs": q_image_near_pairs,
+    "extraction_eval": q_extraction_eval,
     # extraction pipeline
     "extract_main_text": q_extract_main_text,
     "extract_sql_surface": q_extract_sql_surface,
@@ -3470,6 +3535,7 @@ ORACLE: dict[str, str] = {
     "pdf_extract": _SQL_PDF_EXTRACT,
     "image_ahash": _SQL_IMAGE_AHASH,
     "image_near_pairs": _SQL_IMAGE_NEAR_PAIRS,
+    "extraction_eval": _SQL_EXTRACTION_EVAL,
     "crawl_diff": _SQL_CRAWL_DIFF,
     "kmv_distinct": _SQL_KMV_DISTINCT,
     "dedup_exact": _SQL_DEDUP_EXACT,

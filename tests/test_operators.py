@@ -1343,3 +1343,29 @@ def test_image_near_pairs_pigeonhole_is_complete_at_three_flips(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in image_near_pairs(sigs, max_hamming=3).collect()}
     assert pairs == {(1, 2): 3}
+
+
+def test_extraction_eval_exact_ppm_metrics(spark):
+    """P/R/F1 ppm values on a hand-computed multiset example; both-empty
+    docs are omitted; one-sided-empty docs score 0."""
+    from legal_document_ocr_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [
+            # pred: a a b c (4), gold: a b b d (4); inter = min-counts: a:1,b:1 = 2
+            (1, "a a b c", "a b b d"),
+            (2, "", ""),            # omitted entirely
+            (3, "x y", ""),         # gold empty: recall/f1 0, precision 0 (inter 0)
+        ],
+        "doc_id long, extracted_text string, gold_text string",
+    )
+    out = {r["doc_id"]: r for r in textops.extraction_eval(df).collect()}
+    assert set(out) == {1, 3}
+    r1 = out[1]
+    assert (r1["pred_tokens"], r1["gold_tokens"], r1["overlap_tokens"]) == (4, 4, 2)
+    assert r1["precision_ppm"] == 500000
+    assert r1["recall_ppm"] == 500000
+    assert r1["f1_ppm"] == 500000
+    r3 = out[3]
+    assert (r3["pred_tokens"], r3["gold_tokens"]) == (2, 0)
+    assert (r3["precision_ppm"], r3["recall_ppm"], r3["f1_ppm"]) == (0, 0, 0)
