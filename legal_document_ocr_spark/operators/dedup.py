@@ -444,6 +444,73 @@ def verified_near_dups(
 
 
 # ---------------------------------------------------------------------------
+# exact duplicated-substring runs (suffix-array dedup re-expressed)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_substring_runs(
+    docs: DataFrame, text_col: str = "text", *, k: int = 8
+) -> DataFrame:
+    """Exact duplicated-substring detection (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499): every
+    k-token window whose content occurs >= 2 times anywhere in the corpus —
+    across documents or repeated within one — is duplicated, and adjacent
+    duplicated window starts per document merge into maximal runs (the spans
+    ExactSubstr would cut).
+
+    Output: one row per maximal run — (doc_id, run_start, run_end,
+    run_tokens): 0-based token indexes of the first and last duplicated
+    window START plus the covered token count (run_end - run_start + k).
+
+    Scale shape — the paper's suffix array re-expressed as three bounded
+    shuffles (no reference analogue; the reference dedups nothing):
+    1. window hashes are computed in the scan stage (one md5 over k
+       space-joined tokens per position); only (doc_id, pos, hash) rows
+       reach the first exchange — the text column never shuffles;
+    2. duplicated hashes come from a map-side-combined count per hash
+       (occurrences >= 2), a short-key aggregation;
+    3. the mark-back join is hash-partitioned on the window hash
+       (shuffle_hash hint — the duplicated-hash table is corpus-sized for a
+       boilerplate-heavy crawl, never broadcast);
+    4. run merge is one exchange on doc_id + a gaps-and-islands window
+       (pos - row_number() is constant exactly within a run).
+    """
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    win = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))))
+    pos = ensure_parallelism(docs).select(
+        "doc_id", F.posexplode(win).alias("pos", "sh")
+    )
+    dup = (
+        pos.groupBy("sh")
+        .agg(F.count("*").alias("occ"))
+        .where(F.col("occ") >= 2)
+        .select("sh")
+    )
+    marked = pos.join(dup.hint("shuffle_hash"), "sh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = marked.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("run_start"),
+            F.max("pos").cast("long").alias("run_end"),
+        )
+        .select(
+            "doc_id",
+            "run_start",
+            "run_end",
+            (F.col("run_end") - F.col("run_start") + k).cast("long").alias(
+                "run_tokens"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # KMV distinct-count sketch
 # ---------------------------------------------------------------------------
 

@@ -2302,6 +2302,43 @@ WHERE round(len(list_intersect(a.sh, b.sh))
 )
 
 
+def q_dup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring runs (Lee et al. ExactSubstr shape) over
+    the near-dup corpus: copies share every window with their original, so
+    each doc carries at least one maximal run."""
+    return dedup.duplicated_substring_runs(_neardup_docs(spark, sf_dir))
+
+
+# mirrors dedup.duplicated_substring_runs k=8: window hash = md5 of 8
+# space-joined tokens; duplicated = total occurrences >= 2; runs =
+# gaps-and-islands over duplicated window starts per doc
+_SQL_DUP_SUBSTRING_RUNS = f"""
+WITH src AS ({_NEARDUP_SQL}),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM src),
+g AS (
+  SELECT doc_id, toks,
+    unnest(CASE WHEN len(toks) >= 8 THEN generate_series(1, len(toks) - 7)
+                ELSE CAST([] AS BIGINT[]) END) AS i
+  FROM t
+),
+p AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(toks[i : i + 7], ' ')) AS sh
+  FROM g
+),
+dup AS (SELECT sh FROM p GROUP BY sh HAVING count(*) >= 2),
+m AS (SELECT doc_id, pos FROM p JOIN dup USING (sh)),
+r AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM m
+)
+SELECT doc_id, min(pos)::bigint AS run_start, max(pos)::bigint AS run_end,
+       (max(pos) - min(pos) + 8)::bigint AS run_tokens
+FROM r GROUP BY doc_id, grp
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> connected components -> representative election:
     the decision table a curation pass consumes (dedup.dedup_clusters)."""
@@ -3462,6 +3499,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "dup_substring_runs": q_dup_substring_runs,
     "neardup_verified": q_neardup_verified,
     # text analysis (advanced)
     "repetition_stats": q_repetition_stats,
@@ -3546,6 +3584,7 @@ ORACLE: dict[str, str] = {
     "simhash": _SQL_SIMHASH,
     "simhash_pairs": _SQL_SIMHASH_PAIRS,
     "ngram_jaccard": _SQL_NGRAM_JACCARD,
+    "dup_substring_runs": _SQL_DUP_SUBSTRING_RUNS,
     "neardup_verified": _SQL_NEARDUP_VERIFIED,
     "dedup_clusters": _SQL_DEDUP_CLUSTERS,
     "line_dedup": _SQL_LINE_DEDUP,

@@ -95,6 +95,48 @@ def test_ngram_jaccard_identical_is_one(spark, docs):
         assert exact.get((r["doc_id"], r["doc_id"] + 10_000)) == 1.0
 
 
+def test_dup_substring_runs_boundaries(spark):
+    # 12 tokens: a1..a4 SHARED(8 tokens) — the shared window occurs in both
+    # docs, the unique prefixes in only one each
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    df = spark.createDataFrame(
+        [(1, f"a1 a2 a3 a4 {shared}"), (2, f"b1 b2 b3 b4 {shared}")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.duplicated_substring_runs(df, k=8).collect()
+    }
+    # only the window starting at token 4 (0-based) is fully shared
+    assert out[1]["run_start"] == 4 and out[1]["run_end"] == 4
+    assert out[1]["run_tokens"] == 8
+    assert out[2]["run_start"] == 4
+
+
+def test_dup_substring_runs_merges_adjacent_windows(spark):
+    # two docs sharing a 10-token block -> 3 consecutive duplicated window
+    # starts (k=8) merging into ONE maximal run of 10 tokens
+    block = " ".join(f"c{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, f"x1 x2 {block}"), (2, f"y1 y2 y3 {block}")],
+        "doc_id long, text string",
+    )
+    rows = dedup.duplicated_substring_runs(df, k=8).collect()
+    assert len(rows) == 2  # one maximal run per doc, adjacent starts merged
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["run_start"] == 2 and by_id[1]["run_end"] == 4
+    assert by_id[1]["run_tokens"] == 10
+    assert by_id[2]["run_start"] == 3 and by_id[2]["run_tokens"] == 10
+
+
+def test_dup_substring_runs_short_docs_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "only three tokens")],
+        "doc_id long, text string",
+    )
+    assert dedup.duplicated_substring_runs(df, k=8).count() == 0
+
+
 def test_embedding_near_dups_finds_copies(spark, embeddings):
     e = embeddings.select("vec_id", "embedding").limit(100)
     doubled = e.unionByName(e.withColumn("vec_id", F.col("vec_id") + 10_000))
@@ -685,7 +727,7 @@ def test_dedup_family_plans_have_no_corpus_broadcasts(spark):
     zero_broadcast = [
         "minhash_pairs", "simhash_pairs", "neardup_verified",
         "dedup_clusters", "line_dedup", "embedding_near_dups",
-        "image_near_pairs",
+        "image_near_pairs", "dup_substring_runs",
     ]
     for name in zero_broadcast:
         plan = _plan(Q.SPARK[name](spark, SF))
