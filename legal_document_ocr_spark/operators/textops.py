@@ -245,6 +245,58 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-level Shannon entropy (bits/char) — the randomness quality
+    signal of web-corpus curation: near-zero flags repeated-char spam,
+    ~4 bits is normal prose, high values flag base64/minified/encrypted
+    blobs (the C4/Gopher heuristic family alongside quality_scores).
+
+    Scale shape: explode to (doc_id, char) -> two stacked map-side-combined
+    aggregations (per-char-class counts, then the per-doc entropy sum) —
+    the repetition_stats shape; the join-back to the full corpus is
+    shuffle_hash, nothing corpus-sized is broadcast.
+
+    Determinism across engines: entropy = -(1/n) * sum(cnt * log2(cnt/n));
+    each class contributes cnt * round(log2(cnt/n), 6) summed as DECIMAL
+    (exact, order-independent — libm log2 differs across engines by 1 ulp),
+    then ONE double division and floor(micro) at the end (lm_scores
+    discipline). Output: (doc_id, n_chars, n_distinct_chars, entropy_micro)
+    with NULL entropy for empty documents.
+    """
+    c = F.col(text_col)
+    n = F.length(c)
+    chars = F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(1)))
+    ex = docs.where(n > 0).select(
+        "doc_id", n.alias("n"), F.explode(chars).alias("ch")
+    )
+    pt = ex.groupBy("doc_id", "n", "ch").agg(F.count("*").alias("cnt"))
+    term = F.col("cnt").cast("decimal(18,0)") * F.round(
+        F.log2(F.col("cnt") / F.col("n").cast("double")), 6
+    ).cast("decimal(18,6)")
+    ent = pt.groupBy("doc_id", "n").agg(
+        F.sum(term).alias("s"), F.count("*").alias("n_distinct")
+    )
+    return (
+        docs.select("doc_id", n.cast("long").alias("n_chars"))
+        .join(ent.select("doc_id", "s", "n_distinct").hint("shuffle_hash"),
+              "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("n_distinct", F.lit(0)).cast("long").alias(
+                "n_distinct_chars"
+            ),
+            F.when(
+                F.col("s").isNotNull(),
+                F.floor(
+                    (-(F.col("s").cast("double")) / F.col("n_chars"))
+                    * 1000000.0
+                ).cast("long"),
+            ).alias("entropy_micro"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # normalization / redaction / corpus vocabulary
 # ---------------------------------------------------------------------------

@@ -3027,6 +3027,33 @@ FROM pt GROUP BY doc_id
 """
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.char_entropy(_docs(spark, sf_dir))
+
+
+# mirrors textops.char_entropy: per-char-class cnt * round(log2(cnt/n), 6)
+# summed as DECIMAL, one double division + floor(micro) at the end
+_SQL_CHAR_ENTROPY = """
+WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+ex AS (
+  SELECT doc_id, n,
+    unnest(list_transform(generate_series(1, n), i -> substr(text, i, 1))) AS ch
+  FROM t WHERE n > 0
+),
+pt AS (SELECT doc_id, n, ch, count(*) AS cnt FROM ex GROUP BY doc_id, n, ch),
+e AS (
+  SELECT doc_id, n, count(*) AS n_distinct,
+    sum(cnt::decimal(18,0) * round(log2(cnt / n::double), 6)::decimal(18,6)) AS s
+  FROM pt GROUP BY doc_id, n
+)
+SELECT t.doc_id, t.n::bigint AS n_chars,
+  coalesce(e.n_distinct, 0)::bigint AS n_distinct_chars,
+  CASE WHEN e.s IS NOT NULL
+       THEN floor((-(e.s::double) / t.n) * 1000000.0)::bigint END AS entropy_micro
+FROM t LEFT JOIN e ON t.doc_id = e.doc_id
+"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.winnow_fingerprints(_docs(spark, sf_dir))
 
@@ -3503,6 +3530,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_verified": q_neardup_verified,
     # text analysis (advanced)
     "repetition_stats": q_repetition_stats,
+    "char_entropy": q_char_entropy,
     "winnow_fingerprints": q_winnow_fingerprints,
     # similarity search
     "embedding_knn": q_embedding_knn,
@@ -3598,6 +3626,7 @@ ORACLE: dict[str, str] = {
     "holdout_split": _SQL_HOLDOUT_SPLIT,
     "lm_scores": _SQL_LM_SCORES,
     "repetition_stats": _SQL_REPETITION,
+    "char_entropy": _SQL_CHAR_ENTROPY,
     "winnow_fingerprints": _SQL_WINNOW,
     "embedding_knn": _sql_embedding_knn(),
     "embedding_batch_knn": _sql_embedding_batch_knn(),

@@ -262,6 +262,19 @@ def test_token_counts_simple(spark):
     assert rows[2]["ws_tokens"] == 0
 
 
+def test_char_entropy_closed_forms(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.char_entropy(df).collect()}
+    assert out[1]["entropy_micro"] == 0  # one class: -1*log2(1) = 0
+    assert out[2]["entropy_micro"] == 1_000_000  # two equiprobable: 1 bit
+    assert out[3]["entropy_micro"] == 2_000_000  # four equiprobable: 2 bits
+    assert out[4]["entropy_micro"] is None and out[4]["n_distinct_chars"] == 0
+    assert out[3]["n_chars"] == 4 and out[3]["n_distinct_chars"] == 4
+
+
 def test_fingerprint_ws_invariance(spark):
     df = spark.createDataFrame(
         [(1, "Hello  World"), (2, "hello world")], "doc_id long, text string"
