@@ -583,6 +583,69 @@ def kmv_distinct(
 
 
 # ---------------------------------------------------------------------------
+# count-min sketch term frequencies
+# ---------------------------------------------------------------------------
+
+
+def cms_term_counts(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch term-frequency estimation (Cormode & Muthukrishnan
+    2005): ``depth`` hash rows of ``width`` counters; a term's estimate is
+    the MINIMUM of its counters — exact counts plus collision noise, never
+    an undercount.
+
+    Scale shape — the reason to sketch instead of counting exactly: the
+    sketch build is one explode + one map-side-combined groupBy on
+    (row, slot), so every map task emits at most depth*width rows REGARDLESS
+    of corpus size (contrast top_terms, whose shuffle is vocabulary-sized —
+    unbounded on a web corpus). Estimation probes the bounded sketch
+    (depth*width rows — safely broadcast) with a driver-side candidate list;
+    missing slots count 0 via the left join.
+
+    Hashes are the repo-standard md5-prefix (base_hash28 of "d|term"), so
+    the DuckDB oracle states the identical sketch. Output:
+    (term, est_count) for every candidate term.
+    """
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    ex = ensure_parallelism(docs).select(F.explode(toks).alias("tok"))
+
+    def _slots(col: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    (base_hash28(F.concat(F.lit(f"{d}|"), col)) % width).alias(
+                        "slot"
+                    ),
+                )
+                for d in range(depth)
+            ]
+        )
+
+    cells = ex.select(F.explode(_slots(F.col("tok"))).alias("c")).select(
+        "c.d", "c.slot"
+    )
+    sketch = cells.groupBy("d", "slot").agg(F.count("*").alias("cnt"))
+    cand = docs.sparkSession.createDataFrame(
+        [(t,) for t in terms], "term string"
+    )
+    cslots = cand.select(
+        "term", F.explode(_slots(F.col("term"))).alias("c")
+    ).select("term", "c.d", "c.slot")
+    return (
+        cslots.join(F.broadcast(sketch), ["d", "slot"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # incremental dedup (arriving batch vs existing corpus)
 # ---------------------------------------------------------------------------
 

@@ -3054,6 +3054,35 @@ FROM t LEFT JOIN e ON t.doc_id = e.doc_id
 """
 
 
+_CMS_TERMS = sorted(set(STOPWORDS))
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.cms_term_counts(_docs(spark, sf_dir), _CMS_TERMS)
+
+
+# mirrors dedup.cms_term_counts depth=4 width=1024: slot_d(t) = 28-bit
+# md5 prefix of 'd|t' mod width; estimate = min counter, empty slot = 0
+def _sql_cms_counts() -> str:
+    cand = ", ".join(f"'{t}'" for t in _CMS_TERMS)
+    slot = "('0x' || substr(md5(d::varchar || '|' || {v}), 1, 7))::bigint % 1024"
+    return f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+cells AS (
+  SELECT u.d, {slot.format(v='tok')} AS slot
+  FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) u
+),
+sk AS (SELECT d, slot, count(*) AS cnt FROM cells GROUP BY d, slot),
+cand AS (SELECT unnest([{cand}]) AS term),
+cs AS (
+  SELECT term, u.d, {slot.format(v='term')} AS slot
+  FROM cand CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) u
+)
+SELECT term, min(coalesce(cnt, 0))::bigint AS est_count
+FROM cs LEFT JOIN sk USING (d, slot) GROUP BY term
+"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.winnow_fingerprints(_docs(spark, sf_dir))
 
@@ -3531,6 +3560,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # text analysis (advanced)
     "repetition_stats": q_repetition_stats,
     "char_entropy": q_char_entropy,
+    "cms_counts": q_cms_counts,
     "winnow_fingerprints": q_winnow_fingerprints,
     # similarity search
     "embedding_knn": q_embedding_knn,
@@ -3627,6 +3657,7 @@ ORACLE: dict[str, str] = {
     "lm_scores": _SQL_LM_SCORES,
     "repetition_stats": _SQL_REPETITION,
     "char_entropy": _SQL_CHAR_ENTROPY,
+    "cms_counts": _sql_cms_counts(),
     "winnow_fingerprints": _SQL_WINNOW,
     "embedding_knn": _sql_embedding_knn(),
     "embedding_batch_knn": _sql_embedding_batch_knn(),

@@ -262,6 +262,20 @@ def test_token_counts_simple(spark):
     assert rows[2]["ws_tokens"] == 0
 
 
+def test_cms_term_counts_small_corpus_exact(spark):
+    # 6 distinct tokens vs 1024 slots: no collisions, estimates are exact;
+    # absent term probes empty slots -> 0 (never an undercount by design)
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, "the end")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["term"]: r["est_count"]
+        for r in dedup.cms_term_counts(df, ["the", "and", "cat", "zebra"]).collect()
+    }
+    assert out == {"the": 3, "and": 1, "cat": 1, "zebra": 0}
+
+
 def test_char_entropy_closed_forms(spark):
     df = spark.createDataFrame(
         [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, "")],
