@@ -145,6 +145,45 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Soft-error markers: substrings whose presence on a SHORT page flags a
+# served-200-but-really-an-error response (soft 404) — the crawl-cleaning
+# filter that runs before any content-quality scoring.
+ERROR_MARKERS: tuple[str, ...] = (
+    "404",
+    "page not found",
+    "not found",
+    "forbidden",
+    "access denied",
+    "internal server error",
+    "does not exist",
+)
+
+
+def error_page_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Soft-404 / error-page detection: count error-marker substrings in the
+    lowercased text; a page is an error page when it carries at least one
+    marker AND is short (< 50 whitespace tokens) — long pages that merely
+    mention "404" are editorial content, not errors.
+
+    Pure codegen expressions at scan speed (bounded marker literals, no
+    UDF, no shuffle) — the verdict column is computed where the filter
+    would be pushed. Output: (doc_id, n_tokens, marker_hits, is_error).
+    """
+    c = F.col(text_col)
+    lc = F.lower(c)
+    n_tokens = F.size(ws_tokens(c))
+    hits = sum(
+        (F.when(F.contains(lc, F.lit(m)), 1).otherwise(0) for m in ERROR_MARKERS),
+        F.lit(0),
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        hits.cast("long").alias("marker_hits"),
+        ((hits >= 1) & (n_tokens < 50)).alias("is_error"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # document fingerprinting
 # ---------------------------------------------------------------------------

@@ -3083,6 +3083,41 @@ FROM cs LEFT JOIN sk USING (d, slot) GROUP BY term
 """
 
 
+def q_error_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection over documents ∪ synthetic error pages (every
+    fourth doc contributes a short served-200 error stub)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    errs = d.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.lit("Error 404: Page Not Found - the requested resource does not exist").alias(
+            "text"
+        ),
+    )
+    return textops.error_page_filter(d.unionByName(errs))
+
+
+def _sql_error_pages() -> str:
+    from .operators.textops import ERROR_MARKERS
+
+    hits = " + ".join(
+        f"CASE WHEN contains(lower(text), '{m}') THEN 1 ELSE 0 END"
+        for m in ERROR_MARKERS
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000,
+         'Error 404: Page Not Found - the requested resource does not exist'
+  FROM documents WHERE doc_id % 4 = 0
+)
+SELECT doc_id, len({_TOKS})::bigint AS n_tokens,
+  ({hits})::bigint AS marker_hits,
+  (({hits}) >= 1 AND len({_TOKS}) < 50) AS is_error
+FROM src
+"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.winnow_fingerprints(_docs(spark, sf_dir))
 
@@ -3561,6 +3596,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "char_entropy": q_char_entropy,
     "cms_counts": q_cms_counts,
+    "error_pages": q_error_pages,
     "winnow_fingerprints": q_winnow_fingerprints,
     # similarity search
     "embedding_knn": q_embedding_knn,
@@ -3658,6 +3694,7 @@ ORACLE: dict[str, str] = {
     "repetition_stats": _SQL_REPETITION,
     "char_entropy": _SQL_CHAR_ENTROPY,
     "cms_counts": _sql_cms_counts(),
+    "error_pages": _sql_error_pages(),
     "winnow_fingerprints": _SQL_WINNOW,
     "embedding_knn": _sql_embedding_knn(),
     "embedding_batch_knn": _sql_embedding_batch_knn(),

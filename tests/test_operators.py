@@ -262,6 +262,24 @@ def test_token_counts_simple(spark):
     assert rows[2]["ws_tokens"] == 0
 
 
+def test_error_page_filter_verdicts(spark):
+    long_mention = "the 404 error code is discussed at length here " + (
+        "filler word " * 30
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "Error 404: Page Not Found"),  # short + markers -> error
+            (2, long_mention),  # markers but long -> editorial, not error
+            (3, "perfectly normal content page"),  # no markers
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.error_page_filter(df).collect()}
+    assert out[1]["is_error"] and out[1]["marker_hits"] >= 2
+    assert not out[2]["is_error"] and out[2]["marker_hits"] >= 1
+    assert not out[3]["is_error"] and out[3]["marker_hits"] == 0
+
+
 def test_cms_term_counts_small_corpus_exact(spark):
     # 6 distinct tokens vs 1024 slots: no collisions, estimates are exact;
     # absent term probes empty slots -> 0 (never an undercount by design)
