@@ -277,6 +277,88 @@ def batch_topk(
     )
 
 
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    *,
+    m: int = 4,
+    codes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, PQ + asymmetric distance
+    computation): vectors are split into ``m`` subspaces, each sub-vector
+    quantized to its nearest of ``codes`` codewords; a query scores the
+    corpus from its per-(subspace, codeword) distance TABLE — m lookups +
+    one sum per vector instead of a full d-dim distance.
+
+    This is the third ANN scale path next to sign-LSH bucketing and IVF:
+    the encoded corpus is m small ints per vector (~64x compression at
+    d=64), so at 100 TB the scored table is code columns only — the float
+    payload never rescans. Codewords are deterministically seeded from the
+    vectors with ids 0..codes-1 (the ivf_assign convention).
+
+    Plan shape: the ONLY broadcasts are the codebook (m*codes rows) and the
+    query's distance table (m*codes rows) — both bounded by construction;
+    encoding is corpus x broadcast(codebook) -> min(struct(dist, code)) per
+    (id, subspace) (the argmin-without-join-back shape); ADC scoring sums
+    6-dp-rounded DECIMAL table entries per id (exact, order-independent),
+    one double cast at the end. Deterministic tiebreak: (adist asc, id asc).
+
+    Output: (vec_id, adist) — the approximate squared-L2 top-k.
+    """
+    corpus = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    )
+    sd = (F.size("v") / m).cast("int")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.struct(
+            s.alias("sub"), F.slice(F.col("v"), s * sd + 1, sd).alias("sv")
+        ),
+    )
+    subrows = ensure_parallelism(corpus).select(
+        id_col, F.explode(subs).alias("x")
+    ).select(id_col, "x.sub", "x.sv")
+    cb = subrows.where(F.col(id_col) < codes).select(
+        F.col("sub").alias("csub"),
+        F.col(id_col).alias("code"),
+        F.col("sv").alias("cv"),
+    )
+    enc = (
+        subrows.join(F.broadcast(cb), F.col("sub") == F.col("csub"))
+        .select(
+            id_col,
+            "sub",
+            "code",
+            sq_dist_expr(F.col("sv"), F.col("cv")).alias("dist"),
+        )
+        .groupBy(id_col, "sub")
+        .agg(F.min(F.struct("dist", "code")).alias("mn"))
+        .select(id_col, "sub", F.col("mn.code").alias("code"))
+    )
+    qsub = subrows.where(F.col(id_col) == query_vec_id).select(
+        F.col("sub").alias("qs"), F.col("sv").alias("qv")
+    )
+    dtable = qsub.join(F.broadcast(cb), F.col("qs") == F.col("csub")).select(
+        F.col("qs").alias("sub"),
+        "code",
+        F.round(sq_dist_expr(F.col("qv"), F.col("cv")), 6)
+        .cast("decimal(28,12)")
+        .alias("qd"),
+    )
+    return (
+        enc.where(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(dtable), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("qd").alias("s"))
+        .select(id_col, F.col("s").cast("double").alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def bucketed_topk(
     embeddings: DataFrame,
     query_vec_id: int,

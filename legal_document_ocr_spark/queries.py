@@ -3181,6 +3181,54 @@ ORDER BY cosine DESC, t.vec_id LIMIT 10
 """
 
 
+def q_embedding_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_topk(_tbl(spark, sf_dir, "embeddings"), 9, k=10)
+
+
+# mirrors similarity.pq_topk m=4 codes=8: codewords seeded from vec_id<8
+# sub-vectors, argmin tiebreak = min code at min dist, ADC sum over
+# 6-dp-rounded decimal table entries
+def _sql_embedding_pq_knn() -> str:
+    sqd = (
+        "list_reduce(list_transform(generate_series(1, len({a})),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+sub AS (
+  SELECT vec_id, u.s AS sub,
+         v[u.s * (len(v) // 4) + 1 : (u.s + 1) * (len(v) // 4)] AS sv
+  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) u
+),
+cb AS (SELECT sub, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 8),
+d AS (
+  SELECT sub.vec_id, sub.sub, cb.code, {sqd.format(a='sub.sv', b='cb.cv')} AS dist
+  FROM sub JOIN cb USING (sub)
+),
+mind AS (SELECT vec_id, sub, min(dist) AS md FROM d GROUP BY vec_id, sub),
+enc AS (
+  SELECT d.vec_id, d.sub, min(d.code) AS code
+  FROM d JOIN mind ON d.vec_id = mind.vec_id AND d.sub = mind.sub
+                  AND d.dist = mind.md
+  GROUP BY d.vec_id, d.sub
+),
+q AS (SELECT sub, sv AS qv FROM sub WHERE vec_id = 9),
+dt AS (
+  SELECT q.sub, cb.code,
+         round({sqd.format(a='q.qv', b='cb.cv')}, 6)::decimal(28,12) AS qd
+  FROM q JOIN cb USING (sub)
+),
+s AS (
+  SELECT enc.vec_id, sum(dt.qd) AS s
+  FROM enc JOIN dt ON enc.sub = dt.sub AND enc.code = dt.code
+  WHERE enc.vec_id <> 9 GROUP BY enc.vec_id
+)
+SELECT vec_id, s::double AS adist FROM s ORDER BY adist, vec_id LIMIT 10
+"""
+
+
 def q_ivf_refined_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with ONE k-means refinement iteration (assign -> decimal-exact
     component means -> re-assign); output = per-cell population stats. The
@@ -3603,6 +3651,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_batch_knn": q_embedding_batch_knn,
     "embedding_ivf_knn": q_embedding_ivf_knn,
     "embedding_knn_bucketed": q_embedding_knn_bucketed,
+    "embedding_pq_knn": q_embedding_pq_knn,
     "embedding_near_dups": q_embedding_near_dups,
     # multimodal + streaming
     "multimodal_features": q_multimodal_features,
@@ -3701,6 +3750,7 @@ ORACLE: dict[str, str] = {
     "embedding_ivf_knn": _sql_embedding_ivf_knn(),
     "ivf_refined_assign": _sql_ivf_refined_assign(),
     "embedding_knn_bucketed": _sql_embedding_knn_bucketed(),
+    "embedding_pq_knn": _sql_embedding_pq_knn(),
     "embedding_near_dups": _sql_embedding_near_dups(),
     "multimodal_features": _SQL_MULTIMODAL,
     "multimodal_frames": _SQL_MULTIMODAL_FRAMES,

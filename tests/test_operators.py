@@ -210,6 +210,21 @@ def test_embedding_near_dups_banded_recall_and_dedup(spark, embeddings):
 # ---------------------------------------------------------------------------
 
 
+def test_pq_topk_copy_achieves_minimal_adc_distance(spark, embeddings):
+    # a vector with the query's exact codes scores sum of the per-subspace
+    # MINIMUM table entries — no vector can score lower, so the planted
+    # copy of the query must sit at the minimal adist
+    e = embeddings.select("vec_id", "embedding").limit(100)
+    copy = e.where(F.col("vec_id") == 9).select(
+        F.lit(10_000).cast("long").alias("vec_id"), "embedding"
+    )
+    rows = similarity.pq_topk(e.unionByName(copy), 9, k=10).collect()
+    adists = [r["adist"] for r in rows]
+    assert adists == sorted(adists)
+    by_id = {r["vec_id"]: r["adist"] for r in rows}
+    assert 10_000 in by_id and by_id[10_000] == min(adists)
+
+
 def test_bucketed_topk_is_subset_of_brute_force(spark, embeddings):
     brute = similarity.cosine_topk(embeddings, 0, k=500).collect()
     brute_rank = {r["vec_id"]: i for i, r in enumerate(brute)}
