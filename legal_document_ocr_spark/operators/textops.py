@@ -850,6 +850,56 @@ def line_dedup(
     )
 
 
+def inverted_index(
+    docs: DataFrame, text_col: str = "text", *, seg_buckets: int = 8
+) -> DataFrame:
+    """Positional inverted-index build: term -> posting-list SEGMENTS, the
+    classic IR index construction as two map-side-combined shuffles.
+
+    The web-scale skew trap this shape dodges: assembling a stopword's
+    postings with one collect per term routes the corpus's most frequent
+    term through ONE reducer. Segmenting by doc_id bucket bounds every
+    reducer at ~1/seg_buckets of the worst term's postings (seg_buckets
+    scales with corpus size; at rest (term, seg) is the index table's sort
+    key, so a term lookup reads seg_buckets co-located ranges).
+
+    Output: (term, seg, n_docs, n_postings, postings) — postings is the
+    segment's posting list serialized "doc:p1|p2;doc:p1" ordered by doc_id,
+    positions 0-based ascending (string-serialized: engine-portable and
+    splittable back at read time).
+    """
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(ws_tokens(F.lower(F.col(text_col)))).alias("pos", "term"),
+    )
+    perdoc = tok.groupBy(
+        "term", (F.col("doc_id") % seg_buckets).cast("long").alias("seg"), "doc_id"
+    ).agg(
+        F.sort_array(F.collect_list("pos")).alias("pos_list"),
+        F.count("*").alias("tf"),
+    )
+    entry = F.concat(
+        F.col("doc_id").cast("string"),
+        F.lit(":"),
+        F.concat_ws("|", F.transform("pos_list", lambda p: p.cast("string"))),
+    )
+    return (
+        perdoc.select("term", "seg", "doc_id", "tf", entry.alias("entry"))
+        .groupBy("term", "seg")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tf").cast("long").alias("n_postings"),
+            F.concat_ws(
+                ";",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "entry"))),
+                    lambda s: s["entry"],
+                ),
+            ).alias("postings"),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame, k: int = 3, text_col: str = "text"
 ) -> DataFrame:

@@ -3118,6 +3118,33 @@ FROM src
 """
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.inverted_index(_docs(spark, sf_dir))
+
+
+# mirrors textops.inverted_index seg_buckets=8; parallel unnest zips toks
+# with their 1-based subscripts (DuckDB positional-zip semantics)
+_SQL_INVERTED_INDEX = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS pos,
+         unnest(toks) AS term
+  FROM t
+),
+perdoc AS (
+  SELECT term, doc_id % 8 AS seg, doc_id,
+         doc_id::varchar || ':' ||
+           array_to_string(list(pos ORDER BY pos), '|') AS entry,
+         count(*) AS tf
+  FROM tok GROUP BY term, doc_id % 8, doc_id
+)
+SELECT term, seg::bigint AS seg, count(*)::bigint AS n_docs,
+       sum(tf)::bigint AS n_postings,
+       string_agg(entry, ';' ORDER BY doc_id) AS postings
+FROM perdoc GROUP BY term, seg
+"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.winnow_fingerprints(_docs(spark, sf_dir))
 
@@ -3645,6 +3672,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy": q_char_entropy,
     "cms_counts": q_cms_counts,
     "error_pages": q_error_pages,
+    "inverted_index": q_inverted_index,
     "winnow_fingerprints": q_winnow_fingerprints,
     # similarity search
     "embedding_knn": q_embedding_knn,
@@ -3744,6 +3772,7 @@ ORACLE: dict[str, str] = {
     "char_entropy": _SQL_CHAR_ENTROPY,
     "cms_counts": _sql_cms_counts(),
     "error_pages": _sql_error_pages(),
+    "inverted_index": _SQL_INVERTED_INDEX,
     "winnow_fingerprints": _SQL_WINNOW,
     "embedding_knn": _sql_embedding_knn(),
     "embedding_batch_knn": _sql_embedding_batch_knn(),

@@ -277,6 +277,36 @@ def test_token_counts_simple(spark):
     assert rows[2]["ws_tokens"] == 0
 
 
+def test_inverted_index_postings(spark):
+    df = spark.createDataFrame(
+        [(8, "alpha beta alpha"), (9, "beta gamma")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["term"], r["seg"]): r
+        for r in textops.inverted_index(df, seg_buckets=8).collect()
+    }
+    # doc 8 -> seg 0, doc 9 -> seg 1; alpha at positions 0 and 2
+    assert out[("alpha", 0)]["postings"] == "8:0|2"
+    assert out[("alpha", 0)]["n_postings"] == 2
+    assert out[("beta", 0)]["postings"] == "8:1"
+    assert out[("beta", 1)]["postings"] == "9:0"
+    assert out[("gamma", 1)]["n_docs"] == 1
+
+
+def test_inverted_index_segments_split_heavy_terms(spark):
+    # the same term lands in every segment its docs hash to — the reducer
+    # for a stopword is bounded by its segment, not the whole corpus
+    rows = [(i, "stop word") for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    segs = (
+        textops.inverted_index(df, seg_buckets=8)
+        .where(F.col("term") == "stop")
+        .collect()
+    )
+    assert len(segs) == 8 and all(r["n_docs"] == 2 for r in segs)
+
+
 def test_error_page_filter_verdicts(spark):
     long_mention = "the 404 error code is discussed at length here " + (
         "filler word " * 30
