@@ -436,3 +436,73 @@ def adjacent_word_overlap(
         .where(F.col("common_words") >= min_common)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction
+# ---------------------------------------------------------------------------
+
+
+def bloom_semijoin(
+    probe: DataFrame,
+    build: DataFrame,
+    key_col: str,
+    id_col: str,
+    *,
+    bits: int = 8192,
+    hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter semi-join reduction: build a Bloom filter over the build
+    side's keys, pre-filter the (huge) probe side to bloom CANDIDATES, and
+    run the exact membership join on candidates only — the runtime-filter
+    pattern (Spark's own DPP/runtime bloom applies it to equi-joins; here it
+    is an explicit, oracle-checkable operator).
+
+    The filter is the DISTINCT-position set of ``hashes`` md5-derived slots
+    per key — bounded at ``bits`` rows no matter how large the build side,
+    hence always broadcastable (the at-rest format would pack it to
+    bits/64 words; the position-set relation keeps the identical
+    false-positive semantics engine-portably). No false negatives: every
+    listed key is a candidate, so non-candidates skip the exact join
+    entirely — that skipped shuffle volume is the reduction.
+
+    Output: one row per probe row — (id, key, bloom_candidate, is_listed);
+    bloom_candidate may be true with is_listed false (a measured, 
+    deterministic false positive).
+    """
+    from .dedup import base_hash28
+
+    def _positions(col: F.Column) -> F.Column:
+        return F.array(
+            *[
+                base_hash28(F.concat(F.lit(f"{h}|"), col)) % bits
+                for h in range(hashes)
+            ]
+        )
+
+    bloom = (
+        build.select(F.explode(_positions(F.col(key_col))).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ex = probe.select(id_col, key_col, F.explode(_positions(F.col(key_col))).alias("pos"))
+    flags = (
+        ex.join(F.broadcast(bloom), "pos", "left")
+        .groupBy(id_col, key_col)
+        .agg((F.count("hit") == hashes).alias("bloom_candidate"))
+    )
+    listed = build.select(F.col(key_col)).distinct().withColumn("listed", F.lit(1))
+    verified = (
+        flags.where(F.col("bloom_candidate"))
+        .join(listed.hint("shuffle_hash"), key_col, "left")
+        .select(
+            id_col,
+            key_col,
+            "bloom_candidate",
+            F.col("listed").isNotNull().alias("is_listed"),
+        )
+    )
+    passed = flags.where(~F.col("bloom_candidate")).select(
+        id_col, key_col, "bloom_candidate", F.lit(False).alias("is_listed")
+    )
+    return verified.unionByName(passed)

@@ -3145,6 +3145,40 @@ FROM perdoc GROUP BY term, seg
 """
 
 
+def q_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: screen the corpus's content
+    fingerprints against a blocklist (every 10th doc's fingerprint)."""
+    d = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("fp"))
+    block = d.where(F.col("doc_id") % 10 == 0).select("fp")
+    return relational.bloom_semijoin(d, block, "fp", "doc_id")
+
+
+# mirrors relational.bloom_semijoin bits=8192 hashes=3: slot_h(k) = 28-bit
+# md5 prefix of 'h|k' mod bits; candidate = all three slots present
+_SQL_BLOOM_BLOCKLIST = """
+WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+b AS (SELECT fp FROM d WHERE doc_id % 10 = 0),
+bp AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(h.h || '|' || fp), 1, 7))::bigint % 8192 AS pos
+  FROM b CROSS JOIN (SELECT unnest(['0', '1', '2']) AS h) h
+),
+pe AS (
+  SELECT doc_id, fp,
+    ('0x' || substr(md5(h.h || '|' || fp), 1, 7))::bigint % 8192 AS pos
+  FROM d CROSS JOIN (SELECT unnest(['0', '1', '2']) AS h) h
+),
+fl AS (
+  SELECT doc_id, fp, (count(bp.pos) = 3) AS bloom_candidate
+  FROM pe LEFT JOIN bp ON pe.pos = bp.pos
+  GROUP BY doc_id, fp
+)
+SELECT doc_id, fp, bloom_candidate,
+       (bloom_candidate AND fp IN (SELECT fp FROM b)) AS is_listed
+FROM fl
+"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.winnow_fingerprints(_docs(spark, sf_dir))
 
@@ -3673,6 +3707,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_counts": q_cms_counts,
     "error_pages": q_error_pages,
     "inverted_index": q_inverted_index,
+    "bloom_blocklist": q_bloom_blocklist,
     "winnow_fingerprints": q_winnow_fingerprints,
     # similarity search
     "embedding_knn": q_embedding_knn,
@@ -3773,6 +3808,7 @@ ORACLE: dict[str, str] = {
     "cms_counts": _sql_cms_counts(),
     "error_pages": _sql_error_pages(),
     "inverted_index": _SQL_INVERTED_INDEX,
+    "bloom_blocklist": _SQL_BLOOM_BLOCKLIST,
     "winnow_fingerprints": _SQL_WINNOW,
     "embedding_knn": _sql_embedding_knn(),
     "embedding_batch_knn": _sql_embedding_batch_knn(),

@@ -307,6 +307,32 @@ def test_inverted_index_segments_split_heavy_terms(spark):
     assert len(segs) == 8 and all(r["n_docs"] == 2 for r in segs)
 
 
+def test_bloom_semijoin_no_false_negatives(spark):
+    probe = spark.createDataFrame(
+        [(i, f"key{i}") for i in range(50)], "doc_id long, fp string"
+    )
+    build = probe.where(F.col("doc_id") % 5 == 0).select("fp")
+    out = {r["doc_id"]: r for r in relational.bloom_semijoin(
+        probe, build, "fp", "doc_id").collect()}
+    assert len(out) == 50
+    for i in range(0, 50, 5):  # every listed key must survive the bloom
+        assert out[i]["bloom_candidate"] and out[i]["is_listed"]
+    assert not any(r["is_listed"] for i, r in out.items() if i % 5 != 0)
+
+
+def test_bloom_semijoin_false_positives_are_caught(spark):
+    # bits=1 degenerates every slot to position 0: all probes become bloom
+    # candidates, and the exact verify must still reject the unlisted ones
+    probe = spark.createDataFrame(
+        [(1, "listed"), (2, "unlisted")], "doc_id long, fp string"
+    )
+    build = probe.where(F.col("doc_id") == 1).select("fp")
+    out = {r["doc_id"]: r for r in relational.bloom_semijoin(
+        probe, build, "fp", "doc_id", bits=1).collect()}
+    assert out[1]["bloom_candidate"] and out[1]["is_listed"]
+    assert out[2]["bloom_candidate"] and not out[2]["is_listed"]
+
+
 def test_error_page_filter_verdicts(spark):
     long_mention = "the 404 error code is discussed at length here " + (
         "filler word " * 30
