@@ -58,6 +58,8 @@ HEADLINE = [
     "jpeg_decode",            # real baseline-JPEG decode (mapInPandas)
     "warc_binary_parse",      # byte-framed WARC parse at scan speed
     "frontier_polite",        # robots filter + two-phase per-host budget
+    "dup_substring_runs",     # ExactSubstr dedup (window-hash islands)
+    "inverted_index",         # segmented posting-list index build
 ]
 
 
