@@ -1050,3 +1050,78 @@ def extraction_eval(
         micro("inter * 1000000", "nb").alias("recall_ppm"),
         micro("2 * inter * 1000000", "na + nb").alias("f1_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-host template-line detection (round 3)
+# ---------------------------------------------------------------------------
+
+
+def host_template_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    host_col: str = "host",
+    *,
+    line_tokens: int = 10,
+    min_frac_micro: int = 500000,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-HOST boilerplate template detection — the site-template miner:
+    a line that appears on >= 50% of a single host's pages is that site's
+    nav/footer/cookie-banner, even if it appears nowhere else in the
+    corpus. The host-scoped complement of corpus-global ``line_dedup``
+    (same CCNet/RefinedWeb family): global df-caps catch cross-site
+    boilerplate, but a 100-page site's template repeats only 100 times in
+    a 10^10-page corpus — invisible globally, dominant within the host.
+    Reference analogue: the per-document repeated-block heuristic
+    (kernels.py K2/P3 density filter), lifted from page-internal to
+    host-internal evidence.
+
+    Lines are the same deterministic ``line_tokens``-token segments as
+    ``line_dedup`` so the two operators compose on one segmentation.
+
+    Scale shape: distinct (host, doc, line-hash) via a map-side-combined
+    groupBy -> per-(host, line) distinct-doc counts -> join per-host page
+    counts ON host with shuffle_hash (one row per host is still ~10^8
+    rows at crawl scale — never broadcast). The hot keys are the template
+    lines themselves, which is exactly the bounded output; payload text
+    rides as min(line) so the exchange carries one line per hash, not one
+    per occurrence.
+
+    Output: (host, line, n_docs, host_docs, frac_micro) for lines at
+    >= ``min_frac_micro`` of the host's pages (floor micro-units) and
+    >= ``min_docs`` distinct pages.
+    """
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    lt = F.lit(line_tokens)
+    idx = F.when(n > 0, F.sequence(F.lit(0), F.ceil(n / lt).cast("int") - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    lines = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i * lt + 1, line_tokens), " ")
+    )
+    exploded = docs.select(
+        F.col(host_col).alias("host"),
+        F.col("doc_id"),
+        F.explode(lines).alias("line"),
+    ).withColumn("h", F.md5("line"))
+    per_line = exploded.groupBy("host", "h").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.min("line").alias("line"),
+    )
+    host_docs = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count_distinct("doc_id").alias("host_docs")
+    )
+    frac = F.floor(F.col("n_docs") * 1000000 / F.col("host_docs"))
+    return (
+        per_line.join(host_docs.hint("shuffle_hash"), "host")
+        .where((frac >= min_frac_micro) & (F.col("n_docs") >= min_docs))
+        .select(
+            "host",
+            "line",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("host_docs").cast("long").alias("host_docs"),
+            frac.cast("long").alias("frac_micro"),
+        )
+    )

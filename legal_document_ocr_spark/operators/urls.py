@@ -17,7 +17,9 @@ no UDF, no shuffle; the DuckDB oracle states the identical steps.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://"
@@ -397,4 +399,133 @@ def extract_html_metadata(
         _grab(_META_DESC_RE).alias("meta_description"),
         _grab(_CANONICAL_RE).alias("canonical_url"),
         F.lower(_grab(_CHARSET_RE)).alias("charset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL spam scoring + recrawl prioritization (round 3)
+# ---------------------------------------------------------------------------
+
+SPAM_KEYWORDS: tuple[str, ...] = (
+    "casino",
+    "viagra",
+    "porn",
+    "xxx",
+    "pills",
+    "loan",
+    "betting",
+    "pharma",
+    "replica",
+    "escort",
+)
+
+
+def url_spam_scores(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-only spam scoring — the pre-fetch filter of a crawl pipeline:
+    spammy hosts are rejected from the frontier BEFORE any bytes are
+    fetched, so the features must come from the URL string alone (the
+    WEBSPAM-UK / Gopher URL-heuristic family). Reference analogue: the
+    reference's input-validation predicate (SURVEY.md P1,
+    app/api/routes.py content-type gate) — reject-before-work, lifted to
+    the URL domain.
+
+    Integer-weighted features, all JVM-side codegen (no UDF, no shuffle —
+    scoring lands at scan speed, and at 100 TB this runs on the frontier
+    table, not the payloads):
+
+    - ``kw_hits`` x40 — spam keywords anywhere in the lowered URL
+    - ``host_hyphens`` x5 / ``host_digits`` x4 — 'best-casino-777' shapes
+    - ``n_params`` x3 — affiliate/tracking-id stuffing
+    - ``path_depth`` x2 — auto-generated directory farms
+    - long host (>30 chars) +10
+
+    ``is_spam`` at score >= 40: one keyword hit alone is enough, host
+    shape alone needs to be extreme. Weights are integers so the score is
+    deterministic and engine-portable (no float summation order).
+    """
+    url = F.col(url_col)
+    low = F.lower(url)
+    host = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    raw_q = F.regexp_extract(url, _QUERY_RE, 1)
+    host_digits = F.length(host) - F.length(F.regexp_replace(host, r"[0-9]", ""))
+    host_hyphens = F.length(host) - F.length(F.regexp_replace(host, r"-", ""))
+    path_depth = F.size(F.filter(F.split(path, "/"), lambda p: F.length(p) > 0))
+    n_params = F.size(F.filter(F.split(raw_q, "&"), lambda p: F.length(p) > 0))
+    kw_hits = reduce(
+        lambda a, b: a + b,
+        [F.when(low.contains(k), 1).otherwise(0) for k in SPAM_KEYWORDS],
+    )
+    score = (
+        kw_hits * 40
+        + host_hyphens * 5
+        + host_digits * 4
+        + n_params * 3
+        + path_depth * 2
+        + F.when(F.length(host) > 30, 10).otherwise(0)
+    )
+    return df.select(
+        url.alias("url"),
+        host.alias("host"),
+        host_digits.cast("long").alias("host_digits"),
+        host_hyphens.cast("long").alias("host_hyphens"),
+        path_depth.cast("long").alias("path_depth"),
+        n_params.cast("long").alias("n_params"),
+        kw_hits.cast("long").alias("kw_hits"),
+        score.cast("long").alias("spam_score"),
+        (score >= 40).alias("is_spam"),
+    )
+
+
+def recrawl_priority(obs: DataFrame) -> DataFrame:
+    """Recrawl scheduling from revisit history — the incremental-crawl
+    planner: given per-URL fetch observations ``(url, epoch,
+    content_hash)``, estimate each URL's change rate and rank what to
+    fetch next. Reference analogue: the content-hash revisit detection of
+    app/utils/cache_manager.py:24-31 (same-hash means skip-recompute),
+    extended over TIME: the history of hash flips is the change-rate
+    signal.
+
+    Model: a URL that changed in ``c`` of its ``n-1`` revisit intervals
+    has estimated change rate c/(n-1) (the Cho/Garcia-Molina frequency
+    estimator); priority = rate x epochs-since-last-observed-change — the
+    expected number of unseen changes under a Poisson refresh model, in
+    integer micro-units.
+
+    Scale shape: one lag window partitioned by url (per-URL history is a
+    handful of epochs — thousands of tiny partitions hash-spread across
+    executors, never a global sort), then one map-side-combined groupBy
+    on the same key, so the window's exchange is reused by the aggregate.
+    Output: one row per url — (url, host, n_obs, n_changes,
+    change_rate_micro, stale_epochs, priority_micro).
+    """
+    w = Window.partitionBy("url").orderBy("epoch")
+    flagged = obs.select(
+        "url",
+        "epoch",
+        (
+            F.lag("content_hash").over(w).isNotNull()
+            & (F.col("content_hash") != F.lag("content_hash").over(w))
+        ).cast("int").alias("changed"),
+    )
+    per_url = flagged.groupBy("url").agg(
+        F.count("*").alias("n_obs"),
+        F.sum("changed").cast("long").alias("n_changes"),
+        F.max(F.when(F.col("changed") == 1, F.col("epoch"))).alias("_last_change"),
+        F.min("epoch").alias("_first"),
+        F.max("epoch").alias("_last"),
+    )
+    rate = F.when(
+        F.col("n_obs") > 1,
+        F.floor(F.col("n_changes") * 1000000 / (F.col("n_obs") - 1)),
+    ).otherwise(F.lit(0))
+    stale = F.col("_last") - F.coalesce(F.col("_last_change"), F.col("_first"))
+    return per_url.select(
+        "url",
+        F.lower(F.regexp_extract(F.col("url"), _AUTH_RE, 1)).alias("host"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        "n_changes",
+        rate.cast("long").alias("change_rate_micro"),
+        stale.cast("long").alias("stale_epochs"),
+        (rate * stale).cast("long").alias("priority_micro"),
     )

@@ -3602,6 +3602,257 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_url_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-only spam scoring (urls.url_spam_scores) over a deterministic
+    mix of clean and spam-shaped URLs synthesized from documents."""
+    from .operators import urls
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("http://best-casino-777-"),
+                F.col("source"),
+                F.lit(".example.biz/win/big/now?aff=1&id="),
+                did,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.org/articles/"),
+                F.col("lang"),
+                F.lit("/"),
+                did,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit("https://cheap-pills-365."),
+                F.col("source"),
+                F.lit(".info/buy?ref=aa&sid="),
+                did,
+                F.lit("&track=1"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("https://www."), F.col("source"), F.lit(".example.org/")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"),
+                F.col("source"),
+                F.lit(".example.com/blog/2024/01/post-"),
+                did,
+            )
+        )
+    )
+    return urls.url_spam_scores(d.select(url.alias("url")))
+
+
+def _sql_url_spam() -> str:
+    from .operators.urls import SPAM_KEYWORDS
+
+    kw = " + ".join(
+        f"CASE WHEN contains(lower(url), '{k}') THEN 1 ELSE 0 END"
+        for k in SPAM_KEYWORDS
+    )
+    return rf"""
+WITH m AS (
+  SELECT CASE doc_id % 5
+    WHEN 0 THEN 'http://best-casino-777-' || source
+                || '.example.biz/win/big/now?aff=1&id=' || doc_id
+    WHEN 1 THEN 'https://' || source || '.example.org/articles/' || lang
+                || '/' || doc_id
+    WHEN 2 THEN 'https://cheap-pills-365.' || source || '.info/buy?ref=aa&sid='
+                || doc_id || '&track=1'
+    WHEN 3 THEN 'https://www.' || source || '.example.org/'
+    ELSE 'http://' || source || '.example.com/blog/2024/01/post-' || doc_id
+  END AS url
+  FROM documents
+),
+p AS (
+  SELECT url,
+    lower(coalesce(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)', 1), '')) AS host,
+    coalesce(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)', 1), '') AS path,
+    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS raw_q
+  FROM m
+),
+f AS (
+  SELECT url, host,
+    length(host) - length(regexp_replace(host, '[0-9]', '', 'g'))
+      AS host_digits,
+    length(host) - length(regexp_replace(host, '-', '', 'g'))
+      AS host_hyphens,
+    len(list_filter(string_split(path, '/'), x -> length(x) > 0))
+      AS path_depth,
+    len(list_filter(string_split(raw_q, '&'), x -> length(x) > 0))
+      AS n_params,
+    ({kw}) AS kw_hits
+  FROM p
+),
+s AS (
+  SELECT *,
+    kw_hits * 40 + host_hyphens * 5 + host_digits * 4 + n_params * 3
+      + path_depth * 2
+      + CASE WHEN length(host) > 30 THEN 10 ELSE 0 END AS spam_score
+  FROM f
+)
+SELECT url, host, host_digits::bigint AS host_digits,
+  host_hyphens::bigint AS host_hyphens, path_depth::bigint AS path_depth,
+  n_params::bigint AS n_params, kw_hits::bigint AS kw_hits,
+  spam_score::bigint AS spam_score, spam_score >= 40 AS is_spam
+FROM s
+"""
+
+
+# nav prefix is 9 tokens + the source name = one exact 10-token segment;
+# footer is 10 tokens on its own
+_NAV_PREFIX = "site nav home about contact subscribe newsletter terms privacy "
+_FOOTER_LINE = "footer links sitemap rss feed archive tags search help contact"
+
+
+def q_host_template_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host template-line detection (textops.host_template_lines):
+    source plays the host role; a 10-token nav segment is prepended to 3/4
+    of each host's pages and a 10-token footer segment to 1/2, so both
+    align exactly on the operator's 10-token line grid."""
+    d = _docs(spark, sf_dir)
+    nav = F.when(
+        F.col("doc_id") % 4 != 0,
+        F.concat(F.lit(_NAV_PREFIX), F.col("source"), F.lit(" ")),
+    ).otherwise(F.lit(""))
+    footer = F.when(F.col("doc_id") % 2 == 0, F.lit(_FOOTER_LINE + " ")).otherwise(
+        F.lit("")
+    )
+    aug = d.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(nav, footer, F.col("text")).alias("text"),
+    )
+    return textops.host_template_lines(aug, host_col="host")
+
+
+_SQL_HOST_TEMPLATE_LINES = f"""
+WITH aug AS (
+  SELECT doc_id, source AS host,
+    CASE WHEN doc_id % 4 <> 0
+         THEN '{_NAV_PREFIX}' || source || ' ' ELSE '' END
+    || CASE WHEN doc_id % 2 = 0 THEN '{_FOOTER_LINE} ' ELSE '' END
+    || text AS text
+  FROM documents
+),
+t AS (SELECT doc_id, host, {_TOKS} AS toks FROM aug),
+c AS (
+  SELECT doc_id, host,
+    CASE WHEN len(toks) > 0 THEN
+      list_transform(generate_series(0, ((len(toks) + 9) // 10) - 1),
+        i -> array_to_string(toks[i*10+1 : i*10+10], ' '))
+    ELSE []::varchar[] END AS lines
+  FROM t
+),
+l AS (SELECT host, doc_id, unnest(lines) AS line FROM c),
+pl AS (
+  SELECT host, md5(line) AS h, count(DISTINCT doc_id) AS n_docs,
+         min(line) AS line
+  FROM l GROUP BY 1, 2
+),
+hd AS (SELECT host, count(DISTINCT doc_id) AS host_docs FROM aug GROUP BY 1)
+SELECT pl.host, pl.line, n_docs::bigint AS n_docs,
+  host_docs::bigint AS host_docs,
+  floor(n_docs * 1000000 / host_docs)::bigint AS frac_micro
+FROM pl JOIN hd USING (host)
+WHERE floor(n_docs * 1000000 / host_docs) >= 500000 AND n_docs >= 2
+"""
+
+
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl prioritization (urls.recrawl_priority) over 4 synthetic
+    fetch epochs: a third of the URLs change every epoch, a third change
+    once at epoch 2, a third never change."""
+    from .operators import urls
+
+    d = _docs(spark, sf_dir)
+    version = (
+        F.when(F.col("doc_id") % 3 == 0, F.col("epoch"))
+        .when(F.col("doc_id") % 3 == 1, (F.col("epoch") >= 2).cast("int"))
+        .otherwise(F.lit(0))
+    )
+    obs = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("epoch"),
+    ).select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/page/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("epoch").cast("long").alias("epoch"),
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                version.cast("string"),
+            )
+        ).alias("content_hash"),
+    )
+    return urls.recrawl_priority(obs)
+
+
+_SQL_RECRAWL_PRIORITY = r"""
+WITH e AS (SELECT unnest([0, 1, 2, 3]) AS epoch),
+obs AS (
+  SELECT 'https://' || source || '.example.org/page/' || doc_id AS url,
+    epoch,
+    md5(doc_id::varchar || ':' ||
+        (CASE doc_id % 3 WHEN 0 THEN epoch
+              WHEN 1 THEN CASE WHEN epoch >= 2 THEN 1 ELSE 0 END
+              ELSE 0 END)::varchar) AS content_hash
+  FROM documents CROSS JOIN e
+),
+fl AS (
+  SELECT url, epoch,
+    CASE WHEN lag(content_hash)
+             OVER (PARTITION BY url ORDER BY epoch) IS NOT NULL
+          AND content_hash <> lag(content_hash)
+             OVER (PARTITION BY url ORDER BY epoch)
+         THEN 1 ELSE 0 END AS changed
+  FROM obs
+),
+pu AS (
+  SELECT url, count(*) AS n_obs, sum(changed) AS n_changes,
+         max(CASE WHEN changed = 1 THEN epoch END) AS last_change,
+         min(epoch) AS first_e, max(epoch) AS last_e
+  FROM fl GROUP BY url
+),
+sc AS (
+  SELECT url,
+    CASE WHEN n_obs > 1
+         THEN floor(n_changes * 1000000 / (n_obs - 1)) ELSE 0 END AS rate,
+    last_e - coalesce(last_change, first_e) AS stale,
+    n_obs, n_changes
+  FROM pu
+)
+SELECT url,
+  lower(coalesce(regexp_extract(url,
+    '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)', 1), '')) AS host,
+  n_obs::bigint AS n_obs, n_changes::bigint AS n_changes,
+  rate::bigint AS change_rate_micro, stale::bigint AS stale_epochs,
+  (rate * stale)::bigint AS priority_micro
+FROM sc
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3652,6 +3903,9 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_index": q_inverted_index,
     "bloom_blocklist": q_bloom_blocklist,
     "embedding_pq_knn": q_embedding_pq_knn,
+    "url_spam": q_url_spam,
+    "host_template_lines": q_host_template_lines,
+    "recrawl_priority": q_recrawl_priority,
     # extraction pipeline
     "extract_main_text": q_extract_main_text,
     "extract_sql_surface": q_extract_sql_surface,
@@ -3811,6 +4065,9 @@ ORACLE: dict[str, str] = {
     "error_pages": _sql_error_pages(),
     "inverted_index": _SQL_INVERTED_INDEX,
     "bloom_blocklist": _SQL_BLOOM_BLOCKLIST,
+    "url_spam": _sql_url_spam(),
+    "host_template_lines": _SQL_HOST_TEMPLATE_LINES,
+    "recrawl_priority": _SQL_RECRAWL_PRIORITY,
     "winnow_fingerprints": _SQL_WINNOW,
     "embedding_knn": _sql_embedding_knn(),
     "embedding_batch_knn": _sql_embedding_batch_knn(),

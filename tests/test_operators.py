@@ -1527,3 +1527,84 @@ def test_extraction_eval_exact_ppm_metrics(spark):
     r3 = out[3]
     assert (r3["pred_tokens"], r3["gold_tokens"]) == (2, 0)
     assert (r3["precision_ppm"], r3["recall_ppm"], r3["f1_ppm"]) == (0, 0, 0)
+
+
+def test_url_spam_scores_semantics_and_scan_speed(spark):
+    from legal_document_ocr_spark.operators import urls
+
+    df = spark.createDataFrame(
+        [
+            ("http://best-casino-777-win.example.biz/a/b?aff=1&id=2",),
+            ("https://docs.example.org/guide",),
+            ("https://no-keywords-here.org/",),
+        ],
+        "url string",
+    )
+    out = {r["url"]: r for r in urls.url_spam_scores(df).collect()}
+    spam = out["http://best-casino-777-win.example.biz/a/b?aff=1&id=2"]
+    # kw casino(40) + 3 hyphens(15) + 3 digits(12) + 2 params(6)
+    # + depth 2(4) + 31-char host(10)
+    assert spam["kw_hits"] == 1
+    assert spam["spam_score"] == 40 + 15 + 12 + 6 + 4 + 10
+    assert spam["is_spam"]
+    clean = out["https://docs.example.org/guide"]
+    assert clean["spam_score"] == 2 and not clean["is_spam"]
+    # hyphens alone must not condemn a host
+    assert not out["https://no-keywords-here.org/"]["is_spam"]
+    # scoring is pure codegen: zero shuffles, zero Python
+    plan = _plan(urls.url_spam_scores(df))
+    assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+def test_host_template_lines_host_scoped_detection(spark):
+    from legal_document_ocr_spark.operators import textops as T
+
+    nav = "site nav home about contact subscribe newsletter terms privacy a"
+    body = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten",
+        "red orange yellow green blue indigo violet gray black white",
+        "north south east west up down left right in out",
+    ]
+    rows = [(i, "hosta", f"{nav} {body[i]}") for i in range(3)]
+    rows.append((3, "hosta", body[3]))
+    # hostb shares the SAME nav text but only on 1 of 3 pages — below frac
+    rows += [(10, "hostb", f"{nav} {body[0]}"), (11, "hostb", body[1]),
+             (12, "hostb", body[2])]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = T.host_template_lines(df)
+    got = {(r["host"], r["line"]): r for r in out.collect()}
+    assert ("hosta", nav) in got
+    r = got[("hosta", nav)]
+    assert (r["n_docs"], r["host_docs"], r["frac_micro"]) == (3, 4, 750000)
+    # same line under hostb is 1/3 of pages — host-scoped, so NOT a template
+    assert ("hostb", nav) not in got
+    # unique body lines never reach min_docs
+    assert all(line == nav for (_, line) in got)
+    # per-host doc counts are corpus-sized (one row per host): never broadcast
+    plan = _plan(out)
+    assert plan.count("BroadcastExchange") == 0, plan
+
+
+def test_recrawl_priority_change_rate_model(spark):
+    from legal_document_ocr_spark.operators import urls
+
+    rows = []
+    for e in range(4):
+        rows.append(("https://a.org/p", e, f"h{e}"))          # changes every epoch
+        rows.append(("https://b.org/p", e, "h2" if e >= 2 else "h0"))  # once, at 2
+        rows.append(("https://c.org/p", e, "h0"))             # never
+    rows.append(("https://d.org/p", 0, "h0"))                 # single observation
+    df = spark.createDataFrame(rows, "url string, epoch long, content_hash string")
+    out = {r["url"]: r for r in urls.recrawl_priority(df).collect()}
+    a, b, c, d = (out[f"https://{h}.org/p"] for h in "abcd")
+    assert (a["n_changes"], a["change_rate_micro"], a["stale_epochs"]) == (3, 1000000, 0)
+    assert (b["n_changes"], b["change_rate_micro"], b["stale_epochs"]) == (1, 333333, 1)
+    assert b["priority_micro"] == 333333
+    assert (c["n_changes"], c["change_rate_micro"], c["stale_epochs"]) == (0, 0, 3)
+    assert c["priority_micro"] == 0
+    assert (d["n_obs"], d["change_rate_micro"], d["priority_micro"]) == (1, 0, 0)
+    assert a["host"] == "a.org"
+    # the lag window and the per-url aggregate share ONE url-hash exchange
+    plan = _plan(urls.recrawl_priority(df))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
