@@ -506,3 +506,60 @@ def bloom_semijoin(
         id_col, key_col, "bloom_candidate", F.lit(False).alias("is_listed")
     )
     return verified.unionByName(passed)
+
+
+# ---------------------------------------------------------------------------
+# exact grouped quantiles via bounded distribution sketch (round 3)
+# ---------------------------------------------------------------------------
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs_ppm: tuple[int, ...] = (500000, 900000, 990000),
+) -> DataFrame:
+    """EXACT discrete quantiles per group over a bounded-domain integer
+    column (doc length, token count, fetch latency ms, ...) — the
+    distribution dashboard of corpus curation (what does p99 doc length
+    look like per source?).
+
+    The scale trick: a naive exact quantile sorts every group's values
+    (sort-per-group over the corpus); approx_percentile is mergeable but
+    NOT oracle-matchable. For a bounded-domain column the full
+    DISTRIBUTION is itself small: groupBy(group, value) -> counts is a
+    map-side-combined mergeable sketch bounded by |distinct values| per
+    group, independent of row count — at 100 TB the sketch for a
+    0..10^6-bounded length column is at most 10^6 rows per group
+    regardless of page count. Quantiles then come from a cumulative sum
+    over each group's (small) distribution.
+
+    Quantile definition (stated, engine-portable, all-integer): q-quantile
+    = smallest value whose cumulative count >= ceil(q_ppm * n / 10^6),
+    computed as (q_ppm*n + 999999) div 10^6 — no float rank arithmetic,
+    so Spark and the oracle cannot disagree by an ulp.
+
+    Output: (group, n_rows, q_<ppm> per requested quantile) — one row per
+    group.
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    dist = df.groupBy(g.alias("grp"), v.alias("val")).agg(
+        F.count("*").alias("cnt")
+    )
+    w_cum = Window.partitionBy("grp").orderBy("val")
+    w_all = Window.partitionBy("grp")
+    cum = dist.select(
+        "grp",
+        "val",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n_rows"),
+    )
+    aggs = [F.max("n_rows").cast("long").alias("n_rows")]
+    for q in qs_ppm:
+        need = F.expr(f"({q} * n_rows + 999999) div 1000000")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= need, F.col("val")))
+            .cast("long")
+            .alias(f"q_{q}")
+        )
+    return cum.groupBy(F.col("grp").alias(group_col)).agg(*aggs)

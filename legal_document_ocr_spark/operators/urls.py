@@ -529,3 +529,111 @@ def recrawl_priority(obs: DataFrame) -> DataFrame:
         stale.cast("long").alias("stale_epochs"),
         (rate * stale).cast("long").alias("priority_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# registrable domain (eTLD+1) + per-host page cap (round 3)
+# ---------------------------------------------------------------------------
+
+# Built-in representative subset of the public-suffix list, multi-label
+# suffixes first so longest-match wins by coalesce order. The full PSL is
+# external data by the project rules — production swaps this tuple for the
+# published list; every downstream expression is generated from the tuple,
+# so the swap is one constant.
+PUBLIC_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "co.in",
+    "github.io", "blogspot.com",
+    "com", "org", "net", "edu", "gov", "io", "info", "biz", "dev",
+)
+
+
+def registrable_domain_expr(host: Column) -> Column:
+    """eTLD+1 of ``host`` — the grouping key of per-site statistics (a
+    crawler that groups by raw host treats blog.example.co.uk and
+    www.example.co.uk as different sites; one that groups by bare TLD
+    merges every .co.uk site into one). Longest public suffix + one label,
+    PSL semantics over the built-in suffix subset.
+
+    A coalesce chain of anchored regexp_extracts — one per suffix, all
+    whole-stage codegen. Unknown TLDs fall back to the last two labels;
+    a dotless host is returned unchanged.
+    """
+    candidates = [
+        F.nullif(
+            F.regexp_extract(host, r"([^.]+\." + s.replace(".", r"\.") + r")$", 1),
+            F.lit(""),
+        )
+        for s in PUBLIC_SUFFIXES
+    ]
+    fallback = F.nullif(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1), F.lit(""))
+    return F.coalesce(*candidates, fallback, host)
+
+
+def registrable_domains(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, host, registrable_domain) per row — scan-speed, no shuffle."""
+    host = F.lower(F.regexp_extract(F.col(url_col), _AUTH_RE, 1))
+    return df.select(
+        F.col(url_col).alias("url"),
+        host.alias("host"),
+        registrable_domain_expr(host).alias("registrable_domain"),
+    )
+
+
+def domain_rollup(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-registrable-domain crawl census: (registrable_domain, n_pages,
+    n_hosts) — the site-level fan-in every curation dashboard starts from.
+    One map-side-combined groupBy on the short domain key; count_distinct
+    of hosts partial-aggregates because hosts of one domain co-shuffle.
+    """
+    d = registrable_domains(df, url_col)
+    return (
+        d.groupBy("registrable_domain")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.count_distinct("host").cast("long").alias("n_hosts"),
+        )
+    )
+
+
+def host_page_cap(
+    pages: DataFrame,
+    k: int,
+    *,
+    host_col: str = "host",
+    url_col: str = "url",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Per-host page cap — keep at most ``k`` pages per host, chosen
+    DETERMINISTICALLY by md5(url) rank (not arrival order), so reruns and
+    incremental crawls keep the SAME pages. The anti-monopolization step
+    of corpus curation: without it one megasite contributes 10^9 of the
+    10^10 training pages. Reference analogue: the per-request page cap of
+    the reference's batch endpoint (app/api/routes.py limit gate), lifted
+    to per-host corpus scope.
+
+    Same two-phase top-k shape as ``politeness_topk`` (a megahost's pages
+    must never meet a single row_number window): phase 1 ranks within
+    (host, salt) — ~1/salt_buckets of the host per task — phase 2 ranks
+    the <= salt_buckets*k survivors per host. Identical result by the
+    containment argument; bounded partitions by construction.
+    """
+    from pyspark.sql import Window
+
+    ranked = pages.withColumn("_cap_rank", F.md5(F.col(url_col)))
+    pruned = ranked
+    if salt_buckets > 1:
+        w1 = Window.partitionBy(
+            host_col, F.pmod(F.xxhash64(url_col), F.lit(salt_buckets))
+        ).orderBy(F.col("_cap_rank"), F.col(url_col))
+        pruned = (
+            ranked.withColumn("_rn1", F.row_number().over(w1))
+            .where(F.col("_rn1") <= k)
+            .drop("_rn1")
+        )
+    w = Window.partitionBy(host_col).orderBy(F.col("_cap_rank"), F.col(url_col))
+    return (
+        pruned.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_cap_rank")
+    )

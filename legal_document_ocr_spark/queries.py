@@ -3853,6 +3853,171 @@ FROM sc
 """
 
 
+_DOMAIN_URL_SPARK = None  # built lazily below
+
+
+def _domain_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic url mix exercising subdomains x suffix classes
+    (multi-label PSL, single-label, built-in exception, unknown TLD)."""
+    d = _docs(spark, sf_dir)
+    sub = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("www."))
+        .when(F.col("doc_id") % 4 == 1, F.lit("blog."))
+        .when(F.col("doc_id") % 4 == 2, F.lit(""))
+        .otherwise(F.lit("a.b."))
+    )
+    suf = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(".co.uk"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(".com"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(".github.io"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(".unknowntld"))
+        .otherwise(F.lit(".org.au"))
+    )
+    return d.select(
+        F.concat(
+            F.lit("https://"),
+            sub,
+            F.col("source"),
+            suf,
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+
+
+_SQL_DOMAIN_URLS = """
+SELECT 'https://'
+  || CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.'
+                     WHEN 2 THEN '' ELSE 'a.b.' END
+  || source
+  || CASE doc_id % 5 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+                     WHEN 2 THEN '.github.io' WHEN 3 THEN '.unknowntld'
+                     ELSE '.org.au' END
+  || '/p/' || doc_id AS url
+FROM documents
+"""
+
+
+def _sql_registrable_domain_expr(host: str) -> str:
+    """DuckDB mirror of urls.registrable_domain_expr, generated from the
+    SAME suffix tuple (single source of truth)."""
+    from .operators.urls import PUBLIC_SUFFIXES
+
+    arms = [
+        f"nullif(regexp_extract({host}, '([^.]+\\.{s.replace('.', chr(92) + '.')})$', 1), '')"
+        for s in PUBLIC_SUFFIXES
+    ]
+    arms.append(f"nullif(regexp_extract({host}, '([^.]+\\.[^.]+)$', 1), '')")
+    arms.append(host)
+    return "coalesce(" + ", ".join(arms) + ")"
+
+
+def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 extraction (urls.registrable_domains) — scan-speed coalesce
+    chain over the built-in public-suffix subset."""
+    from .operators import urls
+
+    return urls.registrable_domains(_domain_urls(spark, sf_dir))
+
+
+def _sql_registrable_domains() -> str:
+    host = (
+        "lower(coalesce(regexp_extract(url,"
+        " '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]+)', 1), ''))"
+    )
+    return f"""
+WITH m AS ({_SQL_DOMAIN_URLS}),
+h AS (SELECT url, {host} AS host FROM m)
+SELECT url, host, {_sql_registrable_domain_expr('host')} AS registrable_domain
+FROM h
+"""
+
+
+def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain census (urls.domain_rollup): pages + distinct
+    hosts per site."""
+    from .operators import urls
+
+    return urls.domain_rollup(_domain_urls(spark, sf_dir))
+
+
+def _sql_domain_rollup() -> str:
+    host = (
+        "lower(coalesce(regexp_extract(url,"
+        " '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]+)', 1), ''))"
+    )
+    return f"""
+WITH m AS ({_SQL_DOMAIN_URLS}),
+h AS (SELECT url, {host} AS host FROM m),
+r AS (SELECT url, host, {_sql_registrable_domain_expr('host')} AS registrable_domain
+      FROM h)
+SELECT registrable_domain, count(*)::bigint AS n_pages,
+  count(DISTINCT host)::bigint AS n_hosts
+FROM r GROUP BY 1
+"""
+
+
+def q_host_page_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host page cap (urls.host_page_cap): keep <= 10 pages per host by
+    deterministic md5(url) rank — two-phase, megahost-safe."""
+    from .operators import urls
+
+    d = _docs(spark, sf_dir)
+    pages = d.select(
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return urls.host_page_cap(pages, 10)
+
+
+_SQL_HOST_PAGE_CAP = """
+WITH m AS (
+  SELECT source AS host,
+    'https://' || source || '.example.org/p/' || doc_id AS url
+  FROM documents
+),
+r AS (
+  SELECT host, url,
+    row_number() OVER (PARTITION BY host ORDER BY md5(url), url) AS rn
+  FROM m
+)
+SELECT host, url FROM r WHERE rn <= 10
+"""
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source length quantiles (relational.grouped_quantiles)
+    via the bounded distribution sketch — p50/p90/p99 of n_chars."""
+    return relational.grouped_quantiles(_docs(spark, sf_dir), "source", "n_chars")
+
+
+_SQL_LENGTH_QUANTILES = """
+WITH dist AS (
+  SELECT source AS grp, n_chars AS val, count(*) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, val,
+    sum(cnt) OVER (PARTITION BY grp ORDER BY val) AS cum,
+    sum(cnt) OVER (PARTITION BY grp) AS n_rows
+  FROM dist
+)
+SELECT grp AS source, max(n_rows)::bigint AS n_rows,
+  min(CASE WHEN cum >= (500000 * n_rows + 999999) // 1000000 THEN val END)::bigint
+    AS q_500000,
+  min(CASE WHEN cum >= (900000 * n_rows + 999999) // 1000000 THEN val END)::bigint
+    AS q_900000,
+  min(CASE WHEN cum >= (990000 * n_rows + 999999) // 1000000 THEN val END)::bigint
+    AS q_990000
+FROM cum GROUP BY grp
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3906,6 +4071,10 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_spam": q_url_spam,
     "host_template_lines": q_host_template_lines,
     "recrawl_priority": q_recrawl_priority,
+    "registrable_domains": q_registrable_domains,
+    "domain_rollup": q_domain_rollup,
+    "host_page_cap": q_host_page_cap,
+    "length_quantiles": q_length_quantiles,
     # extraction pipeline
     "extract_main_text": q_extract_main_text,
     "extract_sql_surface": q_extract_sql_surface,
@@ -4068,6 +4237,10 @@ ORACLE: dict[str, str] = {
     "url_spam": _sql_url_spam(),
     "host_template_lines": _SQL_HOST_TEMPLATE_LINES,
     "recrawl_priority": _SQL_RECRAWL_PRIORITY,
+    "registrable_domains": _sql_registrable_domains(),
+    "domain_rollup": _sql_domain_rollup(),
+    "host_page_cap": _SQL_HOST_PAGE_CAP,
+    "length_quantiles": _SQL_LENGTH_QUANTILES,
     "winnow_fingerprints": _SQL_WINNOW,
     "embedding_knn": _sql_embedding_knn(),
     "embedding_batch_knn": _sql_embedding_batch_knn(),

@@ -1608,3 +1608,70 @@ def test_recrawl_priority_change_rate_model(spark):
     # the lag window and the per-url aggregate share ONE url-hash exchange
     plan = _plan(urls.recrawl_priority(df))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_registrable_domain_psl_semantics(spark):
+    from legal_document_ocr_spark.operators import urls
+
+    hosts = [
+        ("www.example.co.uk", "example.co.uk"),
+        ("a.b.example.co.uk", "example.co.uk"),
+        ("blog.site.com", "site.com"),
+        ("foo.blogspot.com", "foo.blogspot.com"),  # built-in PSL exception
+        ("blogspot.com", "blogspot.com"),          # bare suffix -> .com rule
+        ("user.github.io", "user.github.io"),
+        ("deep.sub.site.weird", "site.weird"),     # unknown TLD: last 2 labels
+        ("localhost", "localhost"),                # dotless passthrough
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
+    out = df.select(
+        "host",
+        urls.registrable_domain_expr(F.col("host")).alias("rd"),
+    )
+    got = {r["host"]: r["rd"] for r in out.collect()}
+    for h, want in hosts:
+        assert got[h] == want, (h, got[h], want)
+    assert "Exchange" not in _plan(out)
+
+
+def test_host_page_cap_matches_single_window_and_bounds(spark):
+    from legal_document_ocr_spark.operators import urls
+
+    # skewed input: megahost with 200 pages, small host with 3
+    rows = [("big.org", f"https://big.org/p/{i}") for i in range(200)]
+    rows += [("small.org", f"https://small.org/p/{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, "host string, url string")
+    capped = urls.host_page_cap(df, 5).collect()
+    single = urls.host_page_cap(df, 5, salt_buckets=1).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, single))
+    per_host = {}
+    for r in capped:
+        per_host.setdefault(r["host"], []).append(r["url"])
+    assert len(per_host["big.org"]) == 5
+    assert sorted(per_host["small.org"]) == [f"https://small.org/p/{i}" for i in range(3)]
+    # deterministic: the kept set is the md5-rank prefix, not arrival order
+    import hashlib
+    want = sorted(
+        (u for h, u in rows if h == "big.org"),
+        key=lambda u: hashlib.md5(u.encode()).hexdigest(),
+    )[:5]
+    assert sorted(per_host["big.org"]) == sorted(want)
+
+
+def test_grouped_quantiles_exact_small_distribution(spark):
+    df = spark.createDataFrame(
+        [("a", v) for v in [1, 2, 2, 3, 10]] + [("b", v) for v in [7, 7]],
+        "src string, val long",
+    )
+    out = {
+        r["src"]: r
+        for r in relational.grouped_quantiles(df, "src", "val").collect()
+    }
+    a = out["a"]
+    # n=5: p50 needs cum>=3 -> 2; p90 needs cum>=5 -> 10; p99 needs cum>=5 -> 10
+    assert (a["n_rows"], a["q_500000"], a["q_900000"], a["q_990000"]) == (5, 2, 10, 10)
+    b = out["b"]
+    assert (b["n_rows"], b["q_500000"], b["q_990000"]) == (2, 7, 7)
+    # sketch groupBy + grp-window + final agg: exactly two hash exchanges
+    plan = _plan(relational.grouped_quantiles(df, "src", "val"))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
