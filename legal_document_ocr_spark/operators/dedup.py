@@ -957,3 +957,86 @@ def embedding_near_dups(
         # multi-band hits without a second join back to the vectors
         cand = cand.distinct()
     return cand.where(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (register-based; complements KMV)
+# ---------------------------------------------------------------------------
+
+
+def hll_distinct(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    p: int = 8,
+) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) with
+    ``m = 2**p`` registers — the register-based counterpart to
+    ``kmv_distinct``: where KMV keeps the k smallest hashes (one sorted
+    array, good for set-intersection estimates), HLL keeps one max-rank
+    byte per register, merges under ``max`` and is the shape every
+    production engine ships (Spark's own approx_count_distinct is HLL++).
+    This is the from-scratch portable formulation whose DuckDB oracle can
+    state the IDENTICAL computation (Spark's built-in uses JVM-internal
+    hashing the oracle cannot reproduce; same reason kmv_distinct rolls its
+    own hash).
+
+    Portable hash: first 15 md5 hex chars -> 60-bit integer (identical in
+    both engines). Register index = h mod m; remaining value
+    w = floor(h / m) has ``60 - p`` bits; rank = leading zeros of w within
+    that width + 1 = (60 - p + 1) - bitlength(w), with w = 0 -> the full
+    width + 1. bitlength via length(bin(w)) — exact integer arithmetic in
+    both engines (no float log2 whose rounding could differ).
+
+    Determinism of the estimate: the harmonic denominator
+    sum(2**-M_j) is computed EXACTLY in integers as
+    S = sum(2**(width+1 - M_j)) + (m - n_present) * 2**(width+1)
+    (each term <= 2**53, fits bigint), then divided by 2**(width+1) in ONE
+    double operation — no order-dependent float summation anywhere. The
+    small-range linear-counting branch (E <= 2.5m with empty registers)
+    uses ln(m/V) — one libm call on identical inputs.
+
+    Scale shape: one scan -> groupBy(register) max(rank) — map tasks emit
+    at most m rows regardless of corpus size (map-side combine), the final
+    reduce is m rows on one partition. The sketch never sees the corpus
+    twice and nothing corpus-sized shuffles on a wide key (contrast
+    count_distinct's exact shuffle — the thing the sketch exists to avoid).
+
+    Output: one row (m, n_registers_set, est_distinct).
+    """
+    m = 1 << p
+    width = 60 - p  # bits in w
+    rank_cap = width + 1
+    h = F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast(
+        "decimal(20,0)"
+    ).cast("long")
+    w = F.floor(h / m).cast("long")
+    rank = F.when(w > 0, F.lit(rank_cap) - F.length(F.bin(w))).otherwise(
+        F.lit(rank_cap)
+    )
+    regs = (
+        docs.select((h % m).alias("reg"), rank.alias("rank"))
+        .groupBy("reg")
+        .agg(F.max("rank").alias("mx"))
+    )
+    # exact integer harmonic denominator: per-register term 2^(rank_cap-mx),
+    # absent registers contribute 2^rank_cap each
+    sketch = regs.agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.expr(f"shiftleft(1L, {rank_cap} - mx)")).alias("s_present"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    n_present = F.col("n_present")
+    zeros = F.lit(m) - n_present
+    s_int = F.col("s_present") + zeros * F.lit(1 << rank_cap).cast("long")
+    z = s_int.cast("double") / F.lit(float(1 << rank_cap))
+    e_raw = F.lit(alpha * m * m) / z
+    est = F.when(
+        (e_raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return sketch.select(
+        F.lit(m).cast("long").alias("m"),
+        n_present.cast("long").alias("n_registers_set"),
+        F.floor(est).cast("long").alias("est_distinct"),
+    )

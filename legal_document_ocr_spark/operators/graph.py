@@ -85,3 +85,99 @@ def pagerank(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999): hub and authority scores over
+    a distinct directed edge list — the complementary ranking to
+    ``pagerank`` for crawl prioritization (authorities = pages worth
+    fetching, hubs = directories/link farms worth mining for the frontier,
+    or demoting as spam when hub score decouples from authority).
+
+    Power method WITHOUT per-iteration normalization (values stay exact
+    under the 12-dp/DECIMAL contract; with 3 iterations magnitudes are
+    bounded by max-degree^3 — callers unrolling many more iterations should
+    rescale per round to stay in double range), normalized ONCE at emit by
+    the L1 total so scores are comparable across graphs.
+
+    Determinism contract (same as ``pagerank``): contributions rounded to
+    12 dp and summed as DECIMAL(28,12) — exact and order-independent where
+    parallel double summation is not; the L1 totals are DECIMAL sums of the
+    same rounded values, divided and floored to nano units at emit. The
+    DuckDB oracle unrolls the identical iterations.
+
+    Scale shape: per iteration exactly two shuffle_hash joins (edges ⋈
+    scores — both corpus-sized at web scale, never a planner broadcast) and
+    two partial-aggregated groupBys; the emit-time totals are 1-row
+    aggregates crossJoin-broadcast back, so nothing corpus-sized ever
+    funnels through the driver.
+
+    Output: (node, hub_nano, auth_nano).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("score"))
+    auth = None
+    for _ in range(iters):
+        a_sums = (
+            e.join(hub.hint("shuffle_hash"), e.src == hub.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.round("score", 12).cast("decimal(28,12)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        auth = nodes.join(a_sums.hint("shuffle_hash"), "node", "left").select(
+            "node", F.coalesce(F.col("s").cast("double"), F.lit(0.0)).alias("score")
+        )
+        h_sums = (
+            e.join(auth.hint("shuffle_hash"), e.dst == auth.node)
+            .select(
+                F.col("src").alias("node"),
+                F.round("score", 12).cast("decimal(28,12)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        hub = nodes.join(h_sums.hint("shuffle_hash"), "node", "left").select(
+            "node", F.coalesce(F.col("s").cast("double"), F.lit(0.0)).alias("score")
+        )
+    h_tot = hub.agg(
+        F.sum(F.round("score", 12).cast("decimal(28,12)")).alias("t")
+    )
+    a_tot = auth.agg(
+        F.sum(F.round("score", 12).cast("decimal(28,12)")).alias("t")
+    )
+    out = (
+        hub.withColumnRenamed("score", "h")
+        .join(auth.withColumnRenamed("score", "a").hint("shuffle_hash"), "node")
+        .crossJoin(F.broadcast(h_tot.withColumnRenamed("t", "ht")))
+        .crossJoin(F.broadcast(a_tot.withColumnRenamed("t", "at")))
+        .select(
+            "node",
+            F.floor(
+                F.col("h") / F.col("ht").cast("double") * 1000000000.0
+            ).cast("long").alias("hub_nano"),
+            F.floor(
+                F.col("a") / F.col("at").cast("double") * 1000000000.0
+            ).cast("long").alias("auth_nano"),
+        )
+        .localCheckpoint()
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out

@@ -1125,3 +1125,330 @@ def host_template_lines(
             frac.cast("long").alias("frac_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, appendix A)
+# ---------------------------------------------------------------------------
+
+# The published Gopher rule stopword set (distinct from the lang-ID
+# STOPWORDS above): a document must contain at least two of these.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    docs: DataFrame, text_col: str = "text", *, line_tokens: int = 10
+) -> DataFrame:
+    """Gopher document-quality rule battery (Rae et al. 2021 appendix A —
+    the published web-corpus filter the reference's per-page keep/drop
+    heuristics correspond to at document granularity):
+
+    - word count in [50, 100_000]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio ('#' / '...' / U+2026) <= 0.1
+    - fraction of bullet-starting lines <= 0.9
+    - fraction of ellipsis-ending lines <= 0.3
+    - fraction of words with at least one alphabetic character >= 0.8
+    - at least 2 hits from the published 8-word stopword set
+
+    "Lines" are the same deterministic ``line_tokens``-token segments used
+    by ``line_dedup`` (the corpus-structure-agnostic stand-in; a real crawl
+    corpus would split on newlines) — bullet = segment starts with '-', '*'
+    or U+2022; ellipsis = segment ends with '...' or U+2026.
+
+    Everything is per-row whole-stage-codegen arithmetic over one token
+    array — no shuffle, no UDF; at 100 TB this runs at scan speed with
+    column pruning down to (doc_id, text). Ratios round to 6 dp for
+    engine-portable hashing.
+
+    Output: (doc_id, n_words, mean_word_len, symbol_ratio, frac_alpha_words,
+    n_stop_hits, frac_bullet_lines, frac_ellipsis_lines, gopher_pass).
+    """
+    c = F.col(text_col)
+    toks = ws_tokens(F.lower(c))
+    n = F.size(toks)
+    nd = n.cast("double")
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t).cast("double"))
+        / nd,
+    ).otherwise(F.lit(0.0))
+    n_sym = F.size(F.regexp_extract_all(c, F.lit("#|\\.\\.\\.|…"), 0))
+    symbol_ratio = F.when(n > 0, n_sym / nd).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    frac_alpha = F.when(n > 0, n_alpha / nd).otherwise(F.lit(0.0))
+    stop_lits = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_lits, t)))
+    # deterministic line segments (same construction as line_dedup)
+    lt = F.lit(line_tokens)
+    idx = F.when(
+        n > 0, F.sequence(F.lit(0), F.ceil(n / lt).cast("int") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    lines = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i * lt + 1, line_tokens), " ")
+    )
+    n_lines = F.size(lines)
+    nld = n_lines.cast("double")
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike("^[\\-\\*•]")))
+    n_ellip = F.size(F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|…)$")))
+    frac_bullet = F.when(n_lines > 0, n_bullet / nld).otherwise(F.lit(0.0))
+    frac_ellip = F.when(n_lines > 0, n_ellip / nld).otherwise(F.lit(0.0))
+    gopher_pass = (
+        (n >= 50) & (n <= 100_000)
+        & (mean_len >= 3.0) & (mean_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (frac_bullet <= 0.9)
+        & (frac_ellip <= 0.3)
+        & (frac_alpha >= 0.8)
+        & (n_stop >= 2)
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(frac_alpha, 6).alias("frac_alpha_words"),
+        n_stop.cast("long").alias("n_stop_hits"),
+        F.round(frac_bullet, 6).alias("frac_bullet_lines"),
+        F.round(frac_ellip, 6).alias("frac_ellipsis_lines"),
+        gopher_pass.alias("gopher_pass"),
+    )
+
+
+def gopher_repetition(
+    docs: DataFrame, text_col: str = "text", *, line_tokens: int = 10
+) -> DataFrame:
+    """Gopher repetition-removal metrics (Rae et al. 2021 appendix A): the
+    within-document duplication signals that catch templated/spun pages the
+    token-level ``repetition_stats`` misses.
+
+    - dup_line_frac: fraction of line segments whose text occurs more than
+      once within the document (ALL members of a duplicated group count);
+    - dup_line_char_frac: fraction of line characters inside such segments;
+    - top_bigram_char_frac: characters covered by the most frequent token
+      bigram (count x bigram length / total text chars), ties broken toward
+      the lexicographically LARGEST bigram via a sortable zero-padded
+      "count:bigram" string-encoded argmax — deterministic in both engines
+      (DuckDB max_by leaves ties unspecified, so neither side uses it).
+
+    Lines are the deterministic ``line_tokens``-token segments shared with
+    ``line_dedup`` / ``gopher_rules``; bigrams are adjacent lowercase
+    whitespace-token pairs.
+
+    Scale shape: two independent explode -> groupBy(doc_id, unit) ->
+    groupBy(doc_id) cascades (lines, bigrams), each map-side combinable on
+    a (doc_id, md5) key, then one shuffle_hash join on doc_id — no
+    corpus-sized broadcast, no window, no UDF. Per-doc group cardinality is
+    bounded by document length, so no skew beyond document size itself
+    (handled upstream by size-bucket salting in the extraction stage).
+
+    Output: (doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_bigram_char_frac) for every input document; fractions are 0.0 for
+    docs too short to form the unit. Rounded to 6 dp.
+    """
+    c = F.col(text_col)
+    toks = ws_tokens(F.lower(c))
+    n = F.size(toks)
+    lt = F.lit(line_tokens)
+    idx = F.when(
+        n > 0, F.sequence(F.lit(0), F.ceil(n / lt).cast("int") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    lines = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i * lt + 1, line_tokens), " ")
+    )
+    base = docs.select(
+        "doc_id",
+        F.length(c).cast("long").alias("n_chars"),
+        lines.alias("lines"),
+        toks.alias("toks"),
+    )
+    # --- duplicate line segments -----------------------------------------
+    line_rows = base.select("doc_id", F.explode("lines").alias("line"))
+    per_line = line_rows.groupBy("doc_id", F.md5("line").alias("h")).agg(
+        F.count("*").alias("cnt"), F.min(F.length("line")).alias("llen")
+    )
+    line_agg = per_line.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_lines"),
+        F.sum(F.col("cnt") * F.col("llen")).alias("line_chars"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.col("llen")).otherwise(0)
+        ).alias("dup_line_chars"),
+    )
+    # --- top bigram ------------------------------------------------------
+    bi_idx = F.when(
+        F.size("toks") >= 2, F.sequence(F.lit(1), F.size("toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(
+        bi_idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+        ),
+    )
+    bi_rows = base.select("doc_id", F.explode(bigrams).alias("bg"))
+    per_bg = bi_rows.groupBy("doc_id", "bg").agg(F.count("*").alias("cnt"))
+    # string-encoded argmax: lpad count to 12 digits so lexicographic order
+    # equals (count, bigram) order; recover count and bigram length after
+    bg_top = per_bg.groupBy("doc_id").agg(
+        F.max(
+            F.concat(F.lpad(F.col("cnt").cast("string"), 12, "0"), F.lit(":"), "bg")
+        ).alias("enc")
+    ).select(
+        "doc_id",
+        F.substring("enc", 1, 12).cast("long").alias("top_cnt"),
+        (F.length("enc") - 13).cast("long").alias("top_len"),
+    )
+    out = (
+        base.select("doc_id", "n_chars")
+        .join(line_agg.hint("shuffle_hash"), "doc_id", "left")
+        .join(bg_top.hint("shuffle_hash"), "doc_id", "left")
+    )
+    nl = F.coalesce(F.col("n_lines"), F.lit(0))
+    return out.select(
+        "doc_id",
+        nl.cast("long").alias("n_lines"),
+        F.round(
+            F.when(nl > 0, F.coalesce("dup_lines", F.lit(0)) / nl.cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(
+                F.coalesce("line_chars", F.lit(0)) > 0,
+                F.coalesce("dup_line_chars", F.lit(0))
+                / F.col("line_chars").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_char_frac"),
+        F.round(
+            F.when(
+                (F.col("n_chars") > 0) & F.col("top_cnt").isNotNull(),
+                (F.col("top_cnt") * F.col("top_len")) / F.col("n_chars").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_bigram_char_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mojibake / encoding-damage detection
+# ---------------------------------------------------------------------------
+
+# UTF-8 bytes re-decoded as latin-1/cp1252 leave these signatures: a stray
+# 'A-tilde' (U+00C3) or 'A-circumflex' (U+00C2) followed by a character in
+# the re-decoded continuation range (2-byte sequences, e.g. e-acute ->
+# 'Ã©'), and 'â€&#x2039;x' triples (3-byte punctuation, e.g.
+# RIGHT SINGLE QUOTE -> 'â€™'). The ftfy-style detector
+# counts signature hits — repair is a byte-level re-decode left to ingest;
+# at curation time the COUNT is the routing signal (re-decode queue vs
+# clean path). The continuation range is written with explicit escapes:
+# U+0080-U+00BF contains C1 control characters that must never appear raw.
+MOJIBAKE_PATTERN = (
+    "\\u00c3[\\u0080-\\u00bf]"      # 2-byte seq lead (e.g. e-acute -> C3 A9)
+    "|\\u00e2[\\u0080-\\u00bf][\\u0080-\\u00ff]"  # 3-byte punctuation triple
+    "|\\u00c2[\\u00a0-\\u00bf]"     # stray C2 before NBSP/symbol range
+)
+
+
+def mojibake_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-damage (mojibake) detection: count UTF-8-as-latin-1
+    double-encoding signatures per document and flag documents needing a
+    re-decode pass — the charset-triage analogue of the reference's decode
+    fallback chain (SURVEY §2 S4: utf-8 -> cp1258 -> latin-1), lifted from
+    per-file exception handling to a corpus-wide scan-speed signal.
+
+    Pure codegen: one regexp_extract_all over the text, no shuffle/UDF.
+    Output: (doc_id, n_chars, mojibake_hits, mojibake_per_kchar, is_mojibake)
+    with is_mojibake = at least 2 hits AND more than 0.5 hits per 1000 chars
+    (a single stray signature in clean prose is not damage).
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    hits = F.size(F.regexp_extract_all(c, F.lit(MOJIBAKE_PATTERN), 0))
+    per_kchar = F.when(
+        n_chars > 0, F.round(hits * 1000.0 / n_chars.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        hits.cast("long").alias("mojibake_hits"),
+        per_kchar.alias("mojibake_per_kchar"),
+        ((hits >= 2) & (per_kchar > 0.5)).alias("is_mojibake"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-balanced shard assignment
+# ---------------------------------------------------------------------------
+
+
+def shard_assign(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    tokens_per_shard: int = 2000,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Token-balanced output sharding: lay documents end-to-end in a
+    deterministic hash order (portable md5 rank — decorrelates shard fill
+    from crawl order so every shard is an unbiased corpus sample) and cut
+    shards of ``tokens_per_shard`` tokens — the writer-side layout step of
+    a training-data pipeline (each shard becomes one output file of roughly
+    equal token count, regardless of document-length skew).
+
+    A document lands in the shard where its span STARTS (documents are not
+    split across shards here — that's ``pack_sequences``' job at sequence
+    granularity).
+
+    Scale shape: the global running offset uses the same bucketed two-phase
+    cumsum as ``pack_sequences`` — cumsum inside hash-range buckets (the
+    rank hash is uniform, so buckets are balanced by construction), then
+    per-bucket offsets from the bounded bucket-total table (the only
+    single-partition window, 2^60/bucket-width rows). The oracle states the
+    plain global window — identical result, scalable plan.
+
+    Output: (doc_id, n_tokens, rank_hash, start_offset, shard).
+    """
+    rank_hash = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+    )
+    n_buckets = 1024  # bounded: the bucket-total table is <= n_buckets rows
+    base = (
+        docs.select(
+            "doc_id",
+            F.size(ws_tokens(F.lower(F.col(text_col)))).cast("long").alias("n_tokens"),
+            rank_hash.alias("rank_hash"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .withColumn(
+            "_bucket", F.floor(F.col("rank_hash") / F.lit((1 << 60) // n_buckets))
+        )
+        .persist()  # consumed by the in-bucket cumsum AND the bucket totals
+    )
+    in_bucket = Window.partitionBy("_bucket").orderBy(
+        "rank_hash", "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    local = base.withColumn(
+        "_local_off", F.coalesce(F.sum("n_tokens").over(in_bucket), F.lit(0))
+    )
+    totals = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_tot"))
+    over_buckets = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = totals.withColumn(
+        "_bucket_off", F.coalesce(F.sum("_tot").over(over_buckets), F.lit(0))
+    ).select("_bucket", "_bucket_off")
+    return (
+        local.join(F.broadcast(offs), "_bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "rank_hash",
+            (F.col("_local_off") + F.col("_bucket_off")).alias("start_offset"),
+        )
+        .withColumn("shard", F.floor(F.col("start_offset") / tokens_per_shard))
+    )

@@ -4019,10 +4019,343 @@ FROM cum GROUP BY grp
 
 
 # ---------------------------------------------------------------------------
+# round-3 late additions: published-filter batteries, sketches, HITS, shards
+# ---------------------------------------------------------------------------
+
+# deterministic decoration shared by the gopher-rule query pair: bullet-start
+# for doc_id % 5 == 0, ellipsis-end for doc_id % 7 == 0 — exercises the line
+# rules the plain corpus (no bullets, no ellipses) would leave degenerate.
+def _decorated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    t = F.col("text")
+    t = F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("- "), t)).otherwise(t)
+    t = F.when(F.col("doc_id") % 7 == 0, F.concat(t, F.lit(" ..."))).otherwise(t)
+    return d.select("doc_id", t.alias("text"))
+
+
+_SQL_DECORATED = """
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN
+      (CASE WHEN doc_id % 5 = 0 THEN '- ' || text ELSE text END) || ' ...'
+    ELSE
+      (CASE WHEN doc_id % 5 = 0 THEN '- ' || text ELSE text END)
+    END AS text
+  FROM documents
+"""
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery (textops.gopher_rules) over the
+    bullet/ellipsis-decorated corpus — pure codegen, scan speed."""
+    return textops.gopher_rules(_decorated_docs(spark, sf_dir))
+
+
+_GOPHER_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_GOPHER_LINES = (
+    "CASE WHEN len(toks) > 0 THEN "
+    "list_transform(generate_series(0, ((len(toks) + 9) // 10) - 1), "
+    "i -> array_to_string(toks[i*10+1 : i*10+10], ' ')) "
+    "ELSE []::varchar[] END"
+)
+
+_SQL_GOPHER_RULES = f"""
+WITH d AS ({_SQL_DECORATED}),
+t AS (
+  SELECT doc_id, text, {_GOPHER_TOKS} AS toks,
+    len(regexp_extract_all(text, '#|\\.\\.\\.|\\x{{2026}}')) AS n_sym
+  FROM d
+),
+s AS (
+  SELECT doc_id, text, toks, n_sym, {_GOPHER_LINES} AS lines,
+    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+    len(list_filter(toks,
+        x -> x IN ('the','be','to','of','and','that','have','with'))) AS n_stop,
+    CASE WHEN len(toks) > 0 THEN
+      list_reduce(list_transform(toks, x -> length(x)::double), (a, b) -> a + b)
+        / len(toks)::double ELSE 0.0::double END AS mean_len
+  FROM t
+),
+u AS (
+  SELECT doc_id, toks, n_sym, n_alpha, n_stop, mean_len, lines,
+    len(list_filter(lines, l -> regexp_matches(l, '^[\\-\\*\\x{{2022}}]'))) AS n_bullet,
+    len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|\\x{{2026}})$'))) AS n_ellip
+  FROM s
+)
+SELECT doc_id,
+  len(toks) AS n_words,
+  round(mean_len, 6) AS mean_word_len,
+  round(CASE WHEN len(toks) > 0 THEN n_sym / len(toks)::double
+             ELSE 0.0::double END, 6) AS symbol_ratio,
+  round(CASE WHEN len(toks) > 0 THEN n_alpha / len(toks)::double
+             ELSE 0.0::double END, 6) AS frac_alpha_words,
+  n_stop::bigint AS n_stop_hits,
+  round(CASE WHEN len(lines) > 0 THEN n_bullet / len(lines)::double
+             ELSE 0.0::double END, 6) AS frac_bullet_lines,
+  round(CASE WHEN len(lines) > 0 THEN n_ellip / len(lines)::double
+             ELSE 0.0::double END, 6) AS frac_ellipsis_lines,
+  (len(toks) >= 50 AND len(toks) <= 100000
+   AND mean_len >= 3.0::double AND mean_len <= 10.0::double
+   AND (CASE WHEN len(toks) > 0 THEN n_sym / len(toks)::double
+             ELSE 0.0::double END) <= 0.1::double
+   AND (CASE WHEN len(lines) > 0 THEN n_bullet / len(lines)::double
+             ELSE 0.0::double END) <= 0.9::double
+   AND (CASE WHEN len(lines) > 0 THEN n_ellip / len(lines)::double
+             ELSE 0.0::double END) <= 0.3::double
+   AND (CASE WHEN len(toks) > 0 THEN n_alpha / len(toks)::double
+             ELSE 0.0::double END) >= 0.8::double
+   AND n_stop >= 2) AS gopher_pass
+FROM u
+"""
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition metrics (textops.gopher_repetition) over a corpus
+    where every third document is self-concatenated (nonzero duplicate-line
+    and top-bigram signals in a deterministic construction)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    t = F.when(
+        F.col("doc_id") % 3 == 0, F.concat_ws(" ", "text", "text")
+    ).otherwise(F.col("text"))
+    return textops.gopher_repetition(d.select("doc_id", t.alias("text")))
+
+
+_SQL_GOPHER_REPETITION = f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN text || ' ' || text ELSE text END AS text
+  FROM documents
+),
+t AS (SELECT doc_id, length(text)::bigint AS n_chars, {_GOPHER_TOKS} AS toks FROM d),
+b AS (SELECT doc_id, n_chars, toks, {_GOPHER_LINES} AS lines FROM t),
+l AS (SELECT doc_id, unnest(lines) AS line FROM b),
+pl AS (
+  SELECT doc_id, md5(line) AS h, count(*) AS cnt, min(length(line)) AS llen
+  FROM l GROUP BY 1, 2
+),
+la AS (
+  SELECT doc_id, sum(cnt) AS n_lines,
+    sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_lines,
+    sum(cnt * llen) AS line_chars,
+    sum(CASE WHEN cnt > 1 THEN cnt * llen ELSE 0 END) AS dup_line_chars
+  FROM pl GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(toks) >= 2 THEN
+      list_transform(generate_series(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1])
+    ELSE []::varchar[] END) AS bg
+  FROM b
+),
+pb AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+tb AS (
+  SELECT doc_id, max(lpad(cnt::varchar, 12, '0') || ':' || bg) AS enc
+  FROM pb GROUP BY doc_id
+),
+tb2 AS (
+  SELECT doc_id, substr(enc, 1, 12)::bigint AS top_cnt,
+    (length(enc) - 13)::bigint AS top_len
+  FROM tb
+)
+SELECT b.doc_id,
+  coalesce(la.n_lines, 0)::bigint AS n_lines,
+  round(CASE WHEN coalesce(la.n_lines, 0) > 0
+             THEN coalesce(la.dup_lines, 0) / la.n_lines::double
+             ELSE 0.0::double END, 6) AS dup_line_frac,
+  round(CASE WHEN coalesce(la.line_chars, 0) > 0
+             THEN coalesce(la.dup_line_chars, 0) / la.line_chars::double
+             ELSE 0.0::double END, 6) AS dup_line_char_frac,
+  round(CASE WHEN b.n_chars > 0 AND tb2.top_cnt IS NOT NULL
+             THEN (tb2.top_cnt * tb2.top_len) / b.n_chars::double
+             ELSE 0.0::double END, 6) AS top_bigram_char_frac
+FROM b LEFT JOIN la USING (doc_id) LEFT JOIN tb2 USING (doc_id)
+"""
+
+
+def q_mojibake_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage detection (textops.mojibake_stats) over a corpus
+    where every third document has its 'data' tokens double-encoded
+    (U+00C3 U+00A1 signature) — the deterministic mojibake injection both
+    engines state identically."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    damaged = F.replace(
+        F.col("text"), F.lit("data"), F.concat(F.lit("d"), F.lit("Ã¡"), F.lit("ta"))
+    )
+    t = F.when(F.col("doc_id") % 3 == 0, damaged).otherwise(F.col("text"))
+    return textops.mojibake_stats(d.select("doc_id", t.alias("text")))
+
+
+_SQL_MOJIBAKE = """
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+         THEN replace(text, 'data', 'd' || chr(195) || chr(161) || 'ta')
+         ELSE text END AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id, length(text)::bigint AS n_chars,
+    len(regexp_extract_all(text,
+      '\\x{00C3}[\\x{0080}-\\x{00BF}]|\\x{00E2}[\\x{0080}-\\x{00BF}][\\x{0080}-\\x{00FF}]|\\x{00C2}[\\x{00A0}-\\x{00BF}]'
+    ))::bigint AS hits
+  FROM d
+)
+SELECT doc_id, n_chars, hits AS mojibake_hits,
+  CASE WHEN n_chars > 0
+       THEN round(hits * 1000.0::double / n_chars::double, 6)
+       ELSE 0.0::double END AS mojibake_per_kchar,
+  (hits >= 2 AND (CASE WHEN n_chars > 0
+                       THEN round(hits * 1000.0::double / n_chars::double, 6)
+                       ELSE 0.0::double END) > 0.5::double) AS is_mojibake
+FROM t
+"""
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment (textops.shard_assign): hash-ordered
+    layout via bucketed two-phase cumsum; the oracle states the plain
+    global-window cumsum — identical result, scalable plan."""
+    return textops.shard_assign(_docs(spark, sf_dir))
+
+
+_SQL_SHARD_ASSIGN = f"""
+WITH t AS (
+  SELECT doc_id, len({_GOPHER_TOKS})::bigint AS n_tokens,
+    ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint AS rank_hash
+  FROM documents
+),
+nz AS (SELECT * FROM t WHERE n_tokens > 0),
+o AS (
+  SELECT doc_id, n_tokens, rank_hash,
+    coalesce(sum(n_tokens) OVER (
+      ORDER BY rank_hash, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+      AS start_offset
+  FROM nz
+)
+SELECT doc_id, n_tokens, rank_hash, start_offset,
+  (start_offset // 2000)::bigint AS shard
+FROM o
+"""
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct sketch (dedup.hll_distinct) on the doubled
+    corpus — the register-based counterpart to kmv_distinct, estimate
+    unaffected by the exact duplicates."""
+    return dedup.hll_distinct(_doubled_docs(spark, sf_dir))
+
+
+_SQL_HLL_DISTINCT = """
+WITH d2 AS (
+  SELECT text FROM documents
+  UNION ALL SELECT text FROM documents
+),
+h AS (SELECT ('0x' || substr(md5(text), 1, 15))::bigint AS h FROM d2),
+r AS (
+  SELECT h % 256 AS reg,
+    CASE WHEN h // 256 > 0 THEN 53 - length(bin(h // 256)) ELSE 53 END AS rank
+  FROM h
+),
+regs AS (SELECT reg, max(rank) AS mx FROM r GROUP BY reg),
+s AS (
+  SELECT count(*)::bigint AS n_present,
+    sum((1::bigint << (53 - mx)))::bigint AS s_present
+  FROM regs
+),
+e AS (
+  SELECT n_present, (256 - n_present)::bigint AS zeros,
+    (s_present + (256 - n_present) * (1::bigint << 53))::double
+      / 9007199254740992.0::double AS z
+  FROM s
+),
+f AS (
+  SELECT n_present, zeros,
+    (0.7213::double / (1.0::double + 1.079::double / 256.0::double)
+     * 256.0::double * 256.0::double) / z AS e_raw
+  FROM e
+)
+SELECT 256::bigint AS m, n_present AS n_registers_set,
+  floor(CASE WHEN e_raw <= 640.0::double AND zeros > 0
+             THEN 256.0::double * ln(256.0::double / zeros::double)
+             ELSE e_raw END)::bigint AS est_distinct
+FROM f
+"""
+
+
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS hub/authority scores (graph.hits) over the same
+    deterministic host graph as q_host_pagerank."""
+    from .operators import graph
+
+    return graph.hits(_host_graph_edges(spark, sf_dir))
+
+
+def _sql_host_hits(iters: int = 3) -> str:
+    """Unrolled HITS oracle sharing the host-graph CTEs with the pagerank
+    oracle's construction (same edge formula, same 12-dp/DECIMAL contract)."""
+    parts = [
+        """
+WITH hosts AS (SELECT DISTINCT source FROM documents),
+e AS (
+  SELECT source AS src,
+    'src' || ((regexp_replace(source, '^src', '')::int * regexp_replace(source, '^src', '')::int + 1) % 20) AS dst
+  FROM hosts
+  UNION
+  SELECT source,
+    'src' || ((regexp_replace(source, '^src', '')::int * 3 + 1) % 20)
+  FROM hosts
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, 1.0::double AS score FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+ac{i} AS (
+  SELECT e.dst AS node, round(h.score, 12)::decimal(28,12) AS c
+  FROM e JOIN h{i-1} h ON e.src = h.node
+),
+asum{i} AS (SELECT node, sum(c) AS s FROM ac{i} GROUP BY node),
+a{i} AS (
+  SELECT nodes.node, coalesce(s::double, 0.0::double) AS score
+  FROM nodes LEFT JOIN asum{i} USING (node)
+),
+hc{i} AS (
+  SELECT e.src AS node, round(a.score, 12)::decimal(28,12) AS c
+  FROM e JOIN a{i} a ON e.dst = a.node
+),
+hsum{i} AS (SELECT node, sum(c) AS s FROM hc{i} GROUP BY node),
+h{i} AS (
+  SELECT nodes.node, coalesce(s::double, 0.0::double) AS score
+  FROM nodes LEFT JOIN hsum{i} USING (node)
+)"""
+        )
+    parts.append(
+        f""",
+ht AS (SELECT sum(round(score, 12)::decimal(28,12)) AS t FROM h{iters}),
+at AS (SELECT sum(round(score, 12)::decimal(28,12)) AS t FROM a{iters})
+SELECT h{iters}.node,
+  floor(h{iters}.score / ht.t::double * 1000000000.0::double)::bigint AS hub_nano,
+  floor(a{iters}.score / at.t::double * 1000000000.0::double)::bigint AS auth_nano
+FROM h{iters} JOIN a{iters} USING (node) CROSS JOIN ht CROSS JOIN at
+"""
+    )
+    return "".join(parts).lstrip()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- round-3 late additions (never driver-checked: lead the registry)
+    "gopher_rules": q_gopher_rules,
+    "gopher_repetition": q_gopher_repetition,
+    "mojibake_stats": q_mojibake_stats,
+    "shard_assign": q_shard_assign,
+    "hll_distinct": q_hll_distinct,
+    "host_hits": q_host_hits,
     # --- driver-visibility first (VERDICT r2 ask #1): these 16 entries were
     # never reached by the driver's 50-query sweep in rounds 1-2 (it walks
     # registry-dict order), so they lead the registry; combined with
@@ -4151,6 +4484,12 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "gopher_rules": _SQL_GOPHER_RULES,
+    "gopher_repetition": _SQL_GOPHER_REPETITION,
+    "mojibake_stats": _SQL_MOJIBAKE,
+    "shard_assign": _SQL_SHARD_ASSIGN,
+    "hll_distinct": _SQL_HLL_DISTINCT,
+    "host_hits": _sql_host_hits(),
     "extract_main_text": _SQL_EXTRACT_MAIN,
     "extract_sql_surface": _SQL_EXTRACT_MAIN,
     "extract_stats": _SQL_EXTRACT_STATS,

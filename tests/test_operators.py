@@ -1675,3 +1675,152 @@ def test_grouped_quantiles_exact_small_distribution(spark):
     # sketch groupBy + grp-window + final agg: exactly two hash exchanges
     plan = _plan(relational.grouped_quantiles(df, "src", "val"))
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+# ---------------------------------------------------------------------------
+# round-3 late additions: gopher rules / repetition, mojibake, shards, HLL,
+# HITS
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_thresholds(spark):
+    """A clean 60-word prose doc passes; short, bullet-heavy and
+    symbol-heavy docs each fail the specific rule that targets them."""
+    clean = " ".join(
+        ["the quick brown fox jumps over that lazy dog with glee be"] * 6
+    )
+    short = "the of and"
+    # exactly 10 tokens per repeat -> every 10-token line starts with '-'
+    bullets = " ".join(["- item one of the list to have with that"] * 6)
+    symbols = " ".join(["the count ### of ### and ### that ### have ###"] * 6)
+    df = spark.createDataFrame(
+        [(1, clean), (2, short), (3, bullets), (4, symbols)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textops.gopher_rules(df).collect()}
+    assert rows[1].gopher_pass
+    assert not rows[2].gopher_pass          # word count < 50
+    assert rows[2].n_words == 3
+    assert not rows[3].gopher_pass          # every line starts with '-'
+    assert rows[3].frac_bullet_lines == 1.0
+    assert not rows[4].gopher_pass          # symbol ratio way over 0.1
+    assert rows[4].symbol_ratio > 0.1
+    assert rows[1].n_stop_hits >= 2
+
+
+def test_gopher_repetition_detects_self_concat(spark):
+    """A doc made of one 10-token line repeated 4x: every line segment is a
+    duplicate (frac 1.0) and the top bigram covers a large char share; a
+    all-distinct-token doc has zero duplicate lines."""
+    line = "a b c d e f g h i j"
+    rep = " ".join([line] * 4)
+    uniq = " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, rep), (2, uniq)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in textops.gopher_repetition(df).collect()}
+    assert rows[1].n_lines == 4
+    assert rows[1].dup_line_frac == 1.0
+    assert rows[1].dup_line_char_frac == 1.0
+    assert rows[1].top_bigram_char_frac > 0.1
+    assert rows[2].dup_line_frac == 0.0
+    assert rows[2].top_bigram_char_frac == pytest.approx(
+        2 * len("tok0 tok1") / len(uniq), abs=1e-4
+    ) or rows[2].top_bigram_char_frac > 0.0  # every bigram occurs once
+
+
+def test_gopher_repetition_empty_and_single_token(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "solo")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in textops.gopher_repetition(df).collect()}
+    assert rows[1].n_lines == 0 and rows[1].dup_line_frac == 0.0
+    assert rows[2].n_lines == 1 and rows[2].top_bigram_char_frac == 0.0
+
+
+def test_mojibake_flags_damaged_not_clean(spark):
+    damaged = ("caf" + chr(0xC3) + chr(0xA9) + " cr" + chr(0xC3) + chr(0xA8)
+               + "me br" + chr(0xC3) + chr(0xBB) + "l" + chr(0xC3) + chr(0xA9) + "e")
+    clean = "plain ascii prose with no damage at all " * 3
+    one_hit = "mostly clean text but " + chr(0xC3) + chr(0xA9) + " once " * 20
+    df = spark.createDataFrame(
+        [(1, damaged), (2, clean), (3, one_hit)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in textops.mojibake_stats(df).collect()}
+    assert rows[1].mojibake_hits == 4 and rows[1].is_mojibake
+    assert rows[2].mojibake_hits == 0 and not rows[2].is_mojibake
+    assert rows[3].mojibake_hits == 1 and not rows[3].is_mojibake  # single hit
+
+
+def test_shard_assign_balances_and_covers(spark, docs):
+    """Offsets are a permutation layout: start offsets are distinct, every
+    shard below the last holds within one max-doc of the target, and the
+    union of (start, start+n) spans exactly sum(n_tokens)."""
+    out = textops.shard_assign(docs, tokens_per_shard=500).collect()
+    total = sum(r.n_tokens for r in out)
+    ends = {r.start_offset + r.n_tokens for r in out}
+    starts = {r.start_offset for r in out}
+    assert len(starts) == len(out)
+    assert max(ends) == total
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    max_doc = max(r.n_tokens for r in out)
+    last = max(by_shard)
+    for s, rows in by_shard.items():
+        if s == last:
+            continue
+        fill = sum(r.n_tokens for r in rows)
+        # a shard stops growing only once its 500-token budget is crossed
+        assert fill + max_doc >= 500, (s, fill)
+
+
+def test_hll_estimate_within_error_and_dup_insensitive(spark, docs):
+    """Register sketch lands within ~3 standard errors (1.04/sqrt(256) ~
+    6.5%) of the true cardinality and is untouched by exact duplicates."""
+    d = docs.select("doc_id", "text")
+    est1 = dedup.hll_distinct(d).collect()[0]
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 50_000))
+    est2 = dedup.hll_distinct(doubled).collect()[0]
+    true_n = d.select("text").distinct().count()
+    assert est1.est_distinct == est2.est_distinct  # dup-insensitive
+    assert abs(est1.est_distinct - true_n) / true_n < 0.2
+    assert est1.m == 256 and 0 < est1.n_registers_set <= 256
+
+
+def test_hits_star_graph_semantics(spark):
+    """On a star a->hub_target (all sources point at one sink plus a chain),
+    the sink dominates authority and the pointers dominate hubs."""
+    edges = spark.createDataFrame(
+        [("a", "z"), ("b", "z"), ("c", "z"), ("z", "a")],
+        "src string, dst string",
+    )
+    from legal_document_ocr_spark.operators import graph
+
+    rows = {r.node: r for r in graph.hits(edges).collect()}
+    assert rows["z"].auth_nano > rows["a"].auth_nano
+    assert rows["a"].hub_nano > rows["z"].hub_nano
+    assert rows["a"].hub_nano == rows["b"].hub_nano == rows["c"].hub_nano
+    # L1-normalized emit: totals are ~1e9 (floor rounding loses < n units)
+    assert abs(sum(r.hub_nano for r in rows.values()) - 1_000_000_000) < 10
+    assert abs(sum(r.auth_nano for r in rows.values()) - 1_000_000_000) < 10
+
+
+def test_round3_late_plans_have_no_corpus_broadcasts(spark):
+    """gopher_repetition joins two corpus-sized per-doc aggregates back on
+    doc_id; host_hits iterates edges x scores joins — all shuffle_hash,
+    never BroadcastExchange (the 100 TB driver-funnel trap). shard_assign
+    keeps exactly ONE broadcast: the bounded bucket-offset table."""
+    import legal_document_ocr_spark.queries as Q
+
+    for name in ["gopher_repetition", "host_hits"]:
+        plan = _plan(Q.SPARK[name](spark, SF))
+        assert plan.count("BroadcastExchange") == 0, f"{name}:\n{plan}"
+    plan = _plan(Q.SPARK["shard_assign"](spark, SF))
+    assert plan.count("BroadcastExchange") == 1, plan
+    # gopher_rules / mojibake_stats are single-scan codegen: no exchange of
+    # any kind before the collect
+    for name in ["gopher_rules", "mojibake_stats"]:
+        plan = _plan(Q.SPARK[name](spark, SF))
+        assert "Exchange" not in plan.replace("BroadcastExchange", "XX"), plan
+        assert plan.count("BroadcastExchange") == 0, plan
