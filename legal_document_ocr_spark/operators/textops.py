@@ -1452,3 +1452,255 @@ def shard_assign(
         )
         .withColumn("shard", F.floor(F.col("start_offset") / tokens_per_shard))
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval over the corpus
+# ---------------------------------------------------------------------------
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 scoring of every matching document against a bounded query
+    term set — the ranked-retrieval counterpart to ``inverted_index`` (which
+    builds the at-rest index; this is the score a search over that index
+    computes). Lucene-shape idf: ln((N - df + 0.5)/(df + 0.5) + 1), always
+    positive, so stopword-heavy queries cannot flip signs between engines.
+
+    Determinism contract: idf and the per-(doc, term) partial score are
+    per-row double expressions with a pinned operation order; the per-doc
+    SUM over matched terms goes through round(., 12)::decimal(28,12) —
+    exact, order-independent where a parallel double sum is not — and the
+    emitted score is floor(score * 1e6) (same nano/micro-unit convention as
+    pagerank: cross-engine ulp drift cannot flip a rounded decimal).
+
+    Scale shape: tokens are filtered to the BOUNDED query vocabulary before
+    anything shuffles (array_contains against a literal array — predicate at
+    scan speed, so the exploded stream is |hits| rows, not corpus tokens);
+    (doc, term) counts and per-doc length are map-side-combined groupBys;
+    df/idf is a |terms|-row aggregate joined back by BROADCAST (bounded —
+    the one legitimate broadcast here); avgdl is a 1-row decimal aggregate
+    crossJoined. One corpus-sized exchange total (doc_id).
+
+    Output: (doc_id, n_terms_matched, dl, score_micro) for documents
+    matching at least one query term.
+    """
+    terms = sorted(set(t.lower() for t in query_terms))
+    term_lits = F.array(*[F.lit(t) for t in terms])
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        F.filter(toks, lambda t: F.array_contains(term_lits, t)).alias("hits"),
+    ).persist()  # consumed by totals AND the match stream
+    totals = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("dl").cast("decimal(28,0)")).alias("sum_dl"),
+    )
+    matches = (
+        base.where(F.size("hits") > 0)
+        .select("doc_id", "dl", F.explode("hits").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = matches.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        matches.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "dl",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        1.0
+                        - b
+                        + b
+                        * F.col("dl")
+                        / (
+                            F.col("sum_dl").cast("double")
+                            / F.col("n_docs").cast("double")
+                        )
+                    )
+                )
+            ).alias("part"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "dl")
+        .agg(
+            F.count("*").alias("n_terms_matched"),
+            F.sum(F.round("part", 12).cast("decimal(28,12)")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_terms_matched").cast("long").alias("n_terms_matched"),
+            "dl",
+            F.floor(F.col("s").cast("double") * 1000000.0).cast("long").alias(
+                "score_micro"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining
+# ---------------------------------------------------------------------------
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Pointwise-mutual-information collocation mining over adjacent token
+    pairs (Church & Hanks 1990) — the phrase-detection pass a tokenizer/
+    embedding pipeline runs to promote "new york"-style units, and a spam
+    signal when a site's top collocations are navigation boilerplate.
+
+    pmi = ln(c_ab * T / (c_a * c_b)) over adjacent-pair count c_ab, unigram
+    counts c_a/c_b and total pair count T — all exact integers inside one
+    ln call, so both engines evaluate the identical double. Emitted as
+    floor(pmi * 1e6); ranking key is (pmi_micro DESC, bigram ASC) — fully
+    deterministic, no float comparison.
+
+    Scale shape: two map-side-combined explode->groupBy passes (pairs,
+    unigrams); pairs join unigrams TWICE on the term key — both sides are
+    vocabulary-sized (unbounded on a web corpus), so both joins are pinned
+    shuffle_hash, never a planner broadcast; T is a 1-row decimal aggregate
+    crossJoined. Top-k is a global TakeOrdered over the min_count-filtered
+    pair table — the limit composes with the deterministic key.
+
+    Output: top_k rows (bigram, c_ab, c_a, c_b, pmi_micro).
+    """
+    toks_df = docs.select(ws_tokens(F.lower(F.col(text_col))).alias("toks")).persist()
+    uni = (
+        toks_df.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    bi_idx = F.when(
+        F.size("toks") >= 2, F.sequence(F.lit(1), F.size("toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = (
+        toks_df.select(
+            F.explode(
+                F.transform(
+                    bi_idx,
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("a"),
+                        F.element_at("toks", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    t_total = (
+        toks_df.select(
+            F.greatest(F.size("toks") - 1, F.lit(0)).cast("long").alias("n")
+        ).agg(F.sum(F.col("n").cast("decimal(28,0)")).alias("t"))
+    )
+    ua = uni.select(F.col("t").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("t").alias("b"), F.col("c").alias("c_b"))
+    scored = (
+        pairs.join(ua.hint("shuffle_hash"), "a")
+        .join(ub.hint("shuffle_hash"), "b")
+        .crossJoin(F.broadcast(t_total))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            # c_a * c_b as DOUBLES: at 1e12 tokens the bigint product of two
+            # frequent-term counts overflows int64 (silently, non-ANSI)
+            F.floor(
+                F.log(
+                    (F.col("c_ab") * F.col("t").cast("double"))
+                    / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+                )
+                * 1000000.0
+            ).cast("long").alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_micro").desc(), F.col("bigram").asc()).limit(
+        top_k
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 document filter battery
+# ---------------------------------------------------------------------------
+
+
+def c4_filters(
+    docs: DataFrame, text_col: str = "text", *, line_tokens: int = 10
+) -> DataFrame:
+    """C4 cleaning-rule battery (Raffel et al. 2020 section 2.2) at document
+    granularity — the companion to ``gopher_rules`` from the other published
+    web-corpus lineage:
+
+    - terminal-punctuation rule: fraction of lines ending in . ! ? or "
+      (C4 keeps only such lines; emitted as a fraction so the caller picks
+      the drop-vs-keep granularity)
+    - at least 3 sentences (terminal-punctuation runs over the text)
+    - no '{' (code/markup leak), no 'lorem ipsum', no 'javascript' token
+      (the enable-JS boilerplate marker)
+
+    Lines are the deterministic ``line_tokens``-token segments shared with
+    the gopher battery. Pure single-scan codegen — no shuffle, no UDF.
+
+    Output: (doc_id, n_lines, frac_terminal_lines, n_sentences, has_brace,
+    has_lorem, has_javascript, c4_keep).
+    """
+    c = F.col(text_col)
+    lc = F.lower(c)
+    toks = ws_tokens(lc)
+    n = F.size(toks)
+    lt = F.lit(line_tokens)
+    idx = F.when(
+        n > 0, F.sequence(F.lit(0), F.ceil(n / lt).cast("int") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    lines = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i * lt + 1, line_tokens), " ")
+    )
+    n_lines = F.size(lines)
+    n_term = F.size(F.filter(lines, lambda l: l.rlike("[.!?\"]$")))
+    frac_term = F.when(
+        n_lines > 0, n_term / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_sent = F.size(F.regexp_extract_all(c, F.lit("[.!?]"), 0))
+    has_brace = F.contains(c, F.lit("{"))
+    has_lorem = F.contains(lc, F.lit("lorem ipsum"))
+    has_js = F.array_contains(toks, "javascript")
+    keep = (
+        (n_sent >= 3) & ~has_brace & ~has_lorem & ~has_js
+    )
+    return docs.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        F.round(frac_term, 6).alias("frac_terminal_lines"),
+        n_sent.cast("long").alias("n_sentences"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        has_js.alias("has_javascript"),
+        keep.alias("c4_keep"),
+    )

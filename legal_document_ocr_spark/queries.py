@@ -4344,12 +4344,155 @@ FROM h{iters} JOIN a{iters} USING (node) CROSS JOIN ht CROSS JOIN at
     return "".join(parts).lstrip()
 
 
+_BM25_TERMS = ["data", "merge", "spark", "window"]
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (textops.bm25_scores) for a bounded
+    4-term query over the corpus."""
+    return textops.bm25_scores(_docs(spark, sf_dir), _BM25_TERMS)
+
+
+_SQL_BM25 = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (
+  SELECT doc_id, len(toks)::bigint AS dl,
+    list_filter(toks, x -> x IN ('data','merge','spark','window')) AS hits
+  FROM t
+),
+tot AS (
+  SELECT count(*)::bigint AS n_docs, sum(dl::decimal(28,0)) AS sum_dl FROM b
+),
+m AS (SELECT doc_id, dl, unnest(hits) AS term FROM b WHERE len(hits) > 0),
+tf AS (SELECT doc_id, dl, term, count(*)::bigint AS tf FROM m GROUP BY 1, 2, 3),
+dfq AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT doc_id, dl,
+    ln((n_docs - df + 0.5::double) / (df + 0.5::double) + 1.0::double)
+      * (tf * 2.2::double)
+      / (tf + 1.2::double
+           * (0.25::double + 0.75::double * dl
+              / (sum_dl::double / n_docs::double))) AS part
+  FROM tf JOIN dfq USING (term) CROSS JOIN tot
+)
+SELECT doc_id, count(*)::bigint AS n_terms_matched, dl,
+  floor(sum(round(part, 12)::decimal(28,12))::double * 1000000.0::double)::bigint
+    AS score_micro
+FROM sc GROUP BY doc_id, dl
+"""
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (textops.pmi_collocations): top-50 adjacent
+    token pairs by pointwise mutual information, min pair count 5."""
+    return textops.pmi_collocations(_docs(spark, sf_dir))
+
+
+_SQL_PMI = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+uni AS (
+  SELECT x AS term, count(*)::bigint AS c
+  FROM (SELECT unnest(toks) AS x FROM t) GROUP BY x
+),
+bi AS (
+  SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+      list_transform(generate_series(1, len(toks) - 1),
+        i -> toks[i] || chr(9) || toks[i+1])
+    ELSE []::varchar[] END) AS p
+  FROM t
+),
+pairs AS (
+  SELECT split_part(p, chr(9), 1) AS a, split_part(p, chr(9), 2) AS b,
+    count(*)::bigint AS c_ab
+  FROM bi GROUP BY 1, 2 HAVING count(*) >= 5
+),
+tt AS (
+  SELECT sum(greatest(len(toks) - 1, 0)::decimal(28,0)) AS t FROM t
+)
+SELECT pairs.a || ' ' || pairs.b AS bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
+  floor(ln((c_ab * tt.t::double) / (ua.c::double * ub.c::double))
+        * 1000000.0::double)::bigint AS pmi_micro
+FROM pairs
+JOIN uni ua ON pairs.a = ua.term
+JOIN uni ub ON pairs.b = ub.term
+CROSS JOIN tt
+ORDER BY pmi_micro DESC, bigram ASC
+LIMIT 50
+"""
+
+
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning-rule battery (textops.c4_filters) over a deterministically
+    decorated corpus: periods injected before 'merge' tokens (sentences),
+    brace / lorem-ipsum / javascript markers appended by doc_id residue —
+    every rule exercised, both engines state the same construction."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    t = F.replace(F.col("text"), F.lit(" merge"), F.lit(". merge"))
+    t = F.when(F.col("doc_id") % 17 == 0, F.concat(t, F.lit(" {x}"))).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 31 == 0, F.concat(t, F.lit(" lorem ipsum"))
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(t, F.lit(" javascript"))
+    ).otherwise(t)
+    return textops.c4_filters(d.select("doc_id", t.alias("text")))
+
+
+_SQL_C4 = f"""
+WITH d0 AS (
+  SELECT doc_id, replace(text, ' merge', '. merge') AS text FROM documents
+),
+d1 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 17 = 0 THEN text || ' {{x}}' ELSE text END AS text
+  FROM d0
+),
+d2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 31 = 0 THEN text || ' lorem ipsum' ELSE text END AS text
+  FROM d1
+),
+d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 0 THEN text || ' javascript' ELSE text END AS text
+  FROM d2
+),
+t AS (
+  SELECT doc_id, text, lower(text) AS lc, {_TOKS} AS toks,
+    len(regexp_extract_all(text, '[.!?]')) AS n_sent
+  FROM d
+),
+s AS (SELECT doc_id, text, lc, toks, n_sent, {_GOPHER_LINES} AS lines FROM t),
+u AS (
+  SELECT doc_id, n_sent, lines, toks,
+    len(list_filter(lines, l -> regexp_matches(l, '[.!?"]$'))) AS n_term,
+    contains(text, '{{') AS has_brace,
+    contains(lc, 'lorem ipsum') AS has_lorem,
+    list_contains(toks, 'javascript') AS has_js
+  FROM s
+)
+SELECT doc_id,
+  len(lines) AS n_lines,
+  round(CASE WHEN len(lines) > 0 THEN n_term / len(lines)::double
+             ELSE 0.0::double END, 6) AS frac_terminal_lines,
+  n_sent::bigint AS n_sentences,
+  has_brace,
+  has_lorem AS has_lorem,
+  has_js AS has_javascript,
+  (n_sent >= 3 AND NOT has_brace AND NOT has_lorem AND NOT has_js) AS c4_keep
+FROM u
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-3 late additions (never driver-checked: lead the registry)
+    "bm25_scores": q_bm25_scores,
+    "pmi_collocations": q_pmi_collocations,
+    "c4_filters": q_c4_filters,
     "gopher_rules": q_gopher_rules,
     "gopher_repetition": q_gopher_repetition,
     "mojibake_stats": q_mojibake_stats,
@@ -4484,6 +4627,9 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "bm25_scores": _SQL_BM25,
+    "pmi_collocations": _SQL_PMI,
+    "c4_filters": _SQL_C4,
     "gopher_rules": _SQL_GOPHER_RULES,
     "gopher_repetition": _SQL_GOPHER_REPETITION,
     "mojibake_stats": _SQL_MOJIBAKE,

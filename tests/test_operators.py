@@ -1824,3 +1824,71 @@ def test_round3_late_plans_have_no_corpus_broadcasts(spark):
         plan = _plan(Q.SPARK[name](spark, SF))
         assert "Exchange" not in plan.replace("BroadcastExchange", "XX"), plan
         assert plan.count("BroadcastExchange") == 0, plan
+
+
+def test_bm25_ranks_tf_and_rarity(spark):
+    """A doc repeating a query term outscores a single mention; a doc
+    matching a RARE term outscores one matching a common term with the
+    same tf; non-matching docs are absent."""
+    df = spark.createDataFrame(
+        [
+            (1, "data data data filler filler filler"),
+            (2, "data filler filler filler filler filler"),
+            (3, "rareword filler filler filler filler filler"),
+            (4, "filler filler filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textops.bm25_scores(df, ["data", "rareword"]).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].score_micro > rows[2].score_micro      # tf saturating gain
+    assert rows[3].score_micro > rows[2].score_micro      # idf: rare > common
+    assert rows[1].n_terms_matched == 1 and rows[1].dl == 6
+
+
+def test_pmi_promotes_exclusive_pairs(spark):
+    """Tokens that ONLY occur together get the top PMI; a pair of
+    high-frequency independent tokens scores lower."""
+    glue = " ".join(["alpha beta"] * 6)          # alpha/beta always adjacent
+    noise = " ".join(["the of the of the of"] * 6)
+    mixed = " ".join(["the alpha of beta the of"] * 3)
+    df = spark.createDataFrame(
+        [(1, glue), (2, noise), (3, mixed)], "doc_id long, text string"
+    )
+    out = textops.pmi_collocations(df, min_count=5, top_k=10).collect()
+    ranks = {r.bigram: i for i, r in enumerate(out)}
+    assert "alpha beta" in ranks
+    assert ranks["alpha beta"] < ranks.get("the of", 99)
+    top = out[0]
+    assert top.pmi_micro >= out[-1].pmi_micro    # ordered
+
+
+def test_c4_rules(spark):
+    sentences = "one. two! three? and some more text here now"
+    brace = "clean text with a { brace inside it somewhere here"
+    lorem = "this page is lorem ipsum placeholder content entirely here"
+    js = "please enable javascript to view this site content here"
+    df = spark.createDataFrame(
+        [(1, sentences), (2, brace), (3, lorem), (4, js)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textops.c4_filters(df).collect()}
+    assert rows[1].c4_keep and rows[1].n_sentences == 3
+    assert rows[2].has_brace and not rows[2].c4_keep
+    assert rows[3].has_lorem and not rows[3].c4_keep
+    assert rows[4].has_javascript and not rows[4].c4_keep
+    assert rows[1].frac_terminal_lines == 0.0  # 10-token line ends in "now"
+
+
+def test_bm25_pmi_plan_hygiene(spark):
+    """bm25 broadcasts ONLY the bounded df/totals tables (2 broadcasts);
+    PMI joins vocabulary-sized unigram counts twice — shuffle_hash, plus one
+    1-row total broadcast."""
+    import legal_document_ocr_spark.queries as Q
+
+    plan = _plan(Q.SPARK["bm25_scores"](spark, SF))
+    assert plan.count("BroadcastExchange") == 2, plan
+    plan = _plan(Q.SPARK["pmi_collocations"](spark, SF))
+    assert plan.count("BroadcastExchange") == 1, plan
+    plan = _plan(Q.SPARK["c4_filters"](spark, SF))
+    assert plan.count("Exchange") == 0, plan
