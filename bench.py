@@ -60,6 +60,8 @@ HEADLINE = [
     "frontier_polite",        # robots filter + two-phase per-host budget
     "dup_substring_runs",     # ExactSubstr dedup (window-hash islands)
     "inverted_index",         # segmented posting-list index build
+    "gopher_repetition",      # published repetition filters (2 agg cascades)
+    "bm25_scores",            # ranked retrieval (scan-speed vocab filter)
 ]
 
 

@@ -1040,3 +1040,61 @@ def hll_distinct(
         n_present.cast("long").alias("n_registers_set"),
         F.floor(est).cast("long").alias("est_distinct"),
     )
+
+
+def hll_distinct_by(
+    docs: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate — ``hll_distinct`` as a
+    MERGEABLE grouped aggregate (distinct pages per host, distinct hosts per
+    domain, distinct users per day): the query every crawl dashboard runs,
+    and the exact place ``count_distinct`` stops scaling — an exact distinct
+    per group shuffles every (group, value) pair; the sketch shuffles at
+    most m register rows per group regardless of group size.
+
+    Same portable hash/register/estimator construction as ``hll_distinct``
+    (md5-60-bit hash, length(bin()) rank, exact-integer harmonic
+    denominator, linear-counting small-range branch) — see that docstring
+    for the determinism argument. Both groupBys partial-aggregate: map
+    tasks emit at most m rows PER GROUP SEEN, and register merge is max().
+
+    Output: (group_col, n_registers_set, est_distinct) per group.
+    """
+    m = 1 << p
+    width = 60 - p
+    rank_cap = width + 1
+    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast(
+        "decimal(20,0)"
+    ).cast("long")
+    w = F.floor(h / m).cast("long")
+    rank = F.when(w > 0, F.lit(rank_cap) - F.length(F.bin(w))).otherwise(
+        F.lit(rank_cap)
+    )
+    regs = (
+        docs.select(F.col(group_col), (h % m).alias("reg"), rank.alias("rank"))
+        .groupBy(group_col, "reg")
+        .agg(F.max("rank").alias("mx"))
+    )
+    sketch = regs.groupBy(group_col).agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.expr(f"shiftleft(1L, {rank_cap} - mx)")).alias("s_present"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    n_present = F.col("n_present")
+    zeros = F.lit(m) - n_present
+    s_int = F.col("s_present") + zeros * F.lit(1 << rank_cap).cast("long")
+    z = s_int.cast("double") / F.lit(float(1 << rank_cap))
+    e_raw = F.lit(alpha * m * m) / z
+    est = F.when(
+        (e_raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return sketch.select(
+        F.col(group_col),
+        n_present.cast("long").alias("n_registers_set"),
+        F.floor(est).cast("long").alias("est_distinct"),
+    )

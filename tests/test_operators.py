@@ -1892,3 +1892,16 @@ def test_bm25_pmi_plan_hygiene(spark):
     assert plan.count("BroadcastExchange") == 1, plan
     plan = _plan(Q.SPARK["c4_filters"](spark, SF))
     assert plan.count("Exchange") == 0, plan
+
+
+def test_hll_by_source_matches_per_group_truth(spark, docs):
+    """Per-group estimates track each group's true distinct count (small
+    groups hit the linear-counting branch -> near-exact), and a group's
+    estimate is independent of other groups' contents."""
+    out = {r.source: r.est_distinct for r in
+           dedup.hll_distinct_by(docs.select("source", "text"), "source", "text").collect()}
+    truth = {r.source: r.c for r in
+             docs.groupBy("source").agg(F.count_distinct("text").alias("c")).collect()}
+    assert set(out) == set(truth)
+    for src, est in out.items():
+        assert abs(est - truth[src]) <= max(2, 0.15 * truth[src]), (src, est, truth[src])
