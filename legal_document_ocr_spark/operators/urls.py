@@ -637,3 +637,91 @@ def host_page_cap(
         .where(F.col("_rn") <= k)
         .drop("_rn", "_cap_rank")
     )
+
+
+def parse_crawl_delay(
+    robots: DataFrame, host_col: str = "host", robots_col: str = "robots_txt"
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` (seconds) for the ``User-agent: *`` group ->
+    (host, delay_sec) — only hosts that declare one emit a row.
+
+    Same section-assignment relational shape as ``parse_robots_rules`` (a
+    directive belongs to the most recent User-agent line above it, carried
+    by last(..., ignorenulls) over the per-host line window); a decoy
+    delay in a non-* section must not leak. Duplicate declarations in the
+    * section resolve to the MINIMUM (the conservative fetch rate).
+    """
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), r"\r?\n")).alias("line_no", "line"),
+    ).select(
+        "host",
+        "line_no",
+        F.lower(
+            F.trim(F.regexp_extract("line", r"(?i)^\s*user-agent\s*:\s*(\S+)", 1))
+        ).alias("ua_raw"),
+        F.regexp_extract("line", r"(?i)^\s*crawl-delay\s*:\s*([0-9]+)", 1).alias(
+            "delay_raw"
+        ),
+    )
+    w = Window.partitionBy("host").orderBy("line_no")
+    sectioned = lines.withColumn(
+        "section",
+        F.last(
+            F.when(F.col("ua_raw") != "", F.col("ua_raw")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        sectioned.where((F.col("section") == "*") & (F.col("delay_raw") != ""))
+        .groupBy("host")
+        .agg(F.min(F.col("delay_raw").cast("long")).alias("delay_sec"))
+    )
+
+
+def crawl_schedule(
+    frontier: DataFrame,
+    delays: DataFrame,
+    *,
+    host_col: str = "host",
+    order_col: str = "rank_nano",
+    default_delay: int = 1,
+) -> DataFrame:
+    """Assign each budgeted frontier url a per-host fetch slot and start
+    offset honoring Crawl-delay: slot i of a host fetches at
+    (i - 1) * delay_sec seconds — the last planning step between "frontier"
+    and "fetch fleet".
+
+    CONTRACT: ``frontier`` is the BUDGETED set (the output of
+    ``politeness_topk``), so the per-host row_number window partitions are
+    bounded at k rows by construction — this is what makes the single
+    window safe where the raw frontier would need the two-phase salt. The
+    delay join is per-host-bounded on the rules side and keyed on host (the
+    frontier's existing partitioning), pinned shuffle_hash — at 1e8 hosts
+    the delay table must never broadcast.
+
+    Output: (host, url, rank, slot, fetch_offset_sec).
+    """
+    from pyspark.sql import Window
+
+    d = delays.select(
+        F.col("host").alias("_dhost"), F.col("delay_sec").alias("_delay")
+    )
+    joined = frontier.join(
+        d.hint("shuffle_hash"), F.col(host_col) == F.col("_dhost"), "left"
+    )
+    w = Window.partitionBy(host_col).orderBy(F.col(order_col).desc(), F.col("url"))
+    return (
+        joined.withColumn("slot", F.row_number().over(w))
+        .select(
+            F.col(host_col).alias("host"),
+            "url",
+            F.col(order_col).alias("rank"),
+            F.col("slot").cast("long").alias("slot"),
+            (
+                (F.col("slot") - 1)
+                * F.coalesce(F.col("_delay"), F.lit(default_delay))
+            ).cast("long").alias("fetch_offset_sec"),
+        )
+    )

@@ -1004,11 +1004,19 @@ def _synth_robots_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for lang in sorted(langs)
     ]
+    # per-host Crawl-delay 1-4 s (portable md5 coin); the evilbot section's
+    # delay is a decoy that must never apply to the * group
+    delay = (
+        F.conv(F.substring(F.md5(F.col("host")), 1, 7), 16, 10).cast("bigint") % 4
+        + 1
+    )
     body = F.concat_ws(
         "\n",
         F.lit("User-agent: evilbot"),
         F.lit("Disallow: /never"),
+        F.lit("Crawl-delay: 99"),
         F.lit("User-agent: *"),
+        F.concat(F.lit("Crawl-delay: "), delay.cast("string")),
         *dis_lines,
     )
     return hosts.select("host", body.alias("robots_txt"))
@@ -1090,6 +1098,78 @@ ranked AS (
 )
 SELECT url, host, rank_nano FROM ranked WHERE rn <= 3
 ORDER BY host, rank_nano DESC, url
+"""
+
+
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch scheduling (urls.crawl_schedule): the polite frontier (robots
+    filter + per-host budget) assigned per-host slots and start offsets
+    honoring each host's parsed Crawl-delay."""
+    from .operators import urls
+
+    pages = synthesize_pages_df(spark, sf_dir).select("url")
+    frontier = pages.select(
+        "url",
+        F.regexp_extract(
+            F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)", 1
+        ).alias("host"),
+        F.conv(F.substring(F.md5(F.col("url")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("rank_nano"),
+    )
+    robots = _synth_robots_df(spark, sf_dir)
+    polite = urls.politeness_topk(
+        urls.filter_disallowed(frontier, urls.parse_robots_rules(robots)), 3
+    )
+    return urls.crawl_schedule(polite, urls.parse_crawl_delay(robots))
+
+
+_SQL_CRAWL_SCHEDULE = f"""
+WITH pages AS (
+  SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+         source || '.example.com' AS host,
+         '/' || lang || '/' || doc_id AS path
+  FROM documents
+),
+frontier AS (
+  SELECT url, host,
+         ('0x' || substr(md5(url), 1, 15))::bigint AS rank_nano, path
+  FROM pages
+),
+langs AS (SELECT DISTINCT lang FROM documents),
+rules AS (
+  SELECT DISTINCT host, '/' || lang AS prefix
+  FROM (SELECT DISTINCT source || '.example.com' AS host FROM documents), langs
+  WHERE substr(md5(host || '|' || lang), 1, 1) < '8'
+),
+delays AS (
+  SELECT DISTINCT source || '.example.com' AS host,
+    (('0x' || substr(md5(source || '.example.com'), 1, 7))::bigint % 4 + 1)::bigint
+      AS delay_sec
+  FROM documents
+),
+allowed AS (
+  SELECT f.url, f.host, f.rank_nano
+  FROM frontier f
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rules r
+    WHERE r.host = f.host AND starts_with(f.path, r.prefix)
+  )
+),
+budgeted AS (
+  SELECT url, host, rank_nano,
+         row_number() OVER (PARTITION BY host ORDER BY rank_nano DESC, url) AS rn
+  FROM allowed
+),
+sched AS (
+  SELECT host, url, rank_nano AS rank,
+         row_number() OVER (PARTITION BY host ORDER BY rank_nano DESC, url)::bigint
+           AS slot
+  FROM budgeted WHERE rn <= 3
+)
+SELECT s.host, s.url, s.rank, s.slot,
+  ((s.slot - 1) * coalesce(d.delay_sec, 1))::bigint AS fetch_offset_sec
+FROM sched s LEFT JOIN delays d ON s.host = d.host
 """
 
 
@@ -4541,6 +4621,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_assign": q_shard_assign,
     "hll_distinct": q_hll_distinct,
     "hll_by_source": q_hll_by_source,
+    "crawl_schedule": q_crawl_schedule,
     "host_hits": q_host_hits,
     # --- driver-visibility first (VERDICT r2 ask #1): these 16 entries were
     # never reached by the driver's 50-query sweep in rounds 1-2 (it walks
@@ -4679,6 +4760,7 @@ ORACLE: dict[str, str] = {
     "shard_assign": _SQL_SHARD_ASSIGN,
     "hll_distinct": _SQL_HLL_DISTINCT,
     "hll_by_source": _SQL_HLL_BY_SOURCE,
+    "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "host_hits": _sql_host_hits(),
     "extract_main_text": _SQL_EXTRACT_MAIN,
     "extract_sql_surface": _SQL_EXTRACT_MAIN,

@@ -1905,3 +1905,47 @@ def test_hll_by_source_matches_per_group_truth(spark, docs):
     assert set(out) == set(truth)
     for src, est in out.items():
         assert abs(est - truth[src]) <= max(2, 0.15 * truth[src]), (src, est, truth[src])
+
+
+def test_parse_crawl_delay_sections_and_min(spark):
+    """The * section's delay applies; a decoy section's delay does not;
+    duplicate declarations resolve to the minimum; hosts without a * delay
+    emit no row."""
+    from legal_document_ocr_spark.operators import urls
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: evilbot\nCrawl-delay: 99\nUser-agent: *\nCrawl-delay: 5\nCrawl-delay: 2"),
+            ("b.com", "User-agent: *\nDisallow: /x"),
+            ("c.com", "User-agent: *\ncrawl-DELAY:   7"),
+        ],
+        "host string, robots_txt string",
+    )
+    rows = {r.host: r.delay_sec for r in urls.parse_crawl_delay(robots).collect()}
+    assert rows == {"a.com": 2, "c.com": 7}
+
+
+def test_crawl_schedule_slots_and_offsets(spark):
+    from legal_document_ocr_spark.operators import urls
+
+    frontier = spark.createDataFrame(
+        [
+            ("a.com", "https://a.com/1", 30),
+            ("a.com", "https://a.com/2", 20),
+            ("a.com", "https://a.com/3", 10),
+            ("b.com", "https://b.com/1", 5),
+        ],
+        "host string, url string, rank_nano long",
+    )
+    delays = spark.createDataFrame(
+        [("a.com", 4)], "host string, delay_sec long"
+    )
+    rows = {r.url: r for r in urls.crawl_schedule(frontier, delays).collect()}
+    assert rows["https://a.com/1"].slot == 1
+    assert rows["https://a.com/1"].fetch_offset_sec == 0
+    assert rows["https://a.com/3"].slot == 3
+    assert rows["https://a.com/3"].fetch_offset_sec == 8     # (3-1)*4
+    assert rows["https://b.com/1"].fetch_offset_sec == 0     # default delay
+    # delay table rides as ShuffledHashJoin, never a broadcast
+    plan = _plan(urls.crawl_schedule(frontier, delays))
+    assert plan.count("BroadcastExchange") == 0, plan
