@@ -1173,6 +1173,69 @@ FROM sched s LEFT JOIN delays d ON s.host = d.host
 """
 
 
+def q_dom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM structure statistics (urls.dom_stats) over the synthesized pages
+    corpus — the scan-speed pre-filter signals (tag census, nesting depth,
+    text density) main-content extraction consults before the Arrow stage."""
+    from .operators import urls
+
+    return urls.dom_stats(synthesize_pages_df(spark, sf_dir))
+
+
+# the oracle RE-RUNS the identical tag census + encoded depth fold over the
+# reconstructed html string (template || text || tail) — not a closed form
+_SQL_DOM_STATS = """
+WITH pages AS (
+  SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+    '<html><head><meta charset="utf-8"><title>Synthetic page</title>'
+    || '<script>var t=1;</script></head><body>'
+    || '<nav><a href="/">Home</a> <a href="/about">About</a> '
+    || '<a href="/contact">Contact</a></nav>'
+    || '<div><a href="/promo">Big promo sale click here now</a></div>'
+    || '<main><p>' || text || '</p></main>'
+    || '<footer><a href="/privacy">Privacy</a> <a href="/terms">Terms</a></footer>'
+    || '</body></html>' AS h
+  FROM documents
+),
+t AS (
+  SELECT url, h, regexp_extract_all(h, '<[^>]+>') AS tags,
+    length(regexp_replace(h, '<[^>]+>', '', 'g'))::bigint AS text_chars,
+    length(h)::bigint AS n_chars
+  FROM pages
+),
+f AS (
+  SELECT url, tags, text_chars, n_chars,
+    list_reduce(
+      list_prepend('0', tags),
+      (acc, tag) -> (CASE
+        WHEN starts_with(tag, '</')
+          THEN greatest(acc::bigint // 1048576 - 1, 0) * 1048576
+               + acc::bigint % 1048576
+        WHEN lower(regexp_extract(tag, '^</?([a-zA-Z0-9]+)', 1)) IN
+          ('meta','br','img','hr','input','link','area','base','col',
+           'embed','source','track','wbr') THEN acc::bigint
+        ELSE (acc::bigint // 1048576 + 1) * 1048576
+             + greatest(acc::bigint % 1048576, acc::bigint // 1048576 + 1)
+      END)::varchar)::bigint AS enc
+  FROM t
+)
+SELECT url,
+  len(tags) AS n_tags,
+  len(list_filter(tags, x -> starts_with(x, '</'))) AS n_close,
+  len(list_filter(tags, x -> lower(regexp_extract(x, '^</?([a-zA-Z0-9]+)', 1)) IN
+    ('meta','br','img','hr','input','link','area','base','col',
+     'embed','source','track','wbr'))) AS n_void,
+  (enc % 1048576)::bigint AS max_depth,
+  len(list_filter(tags, x -> NOT starts_with(x, '</') AND
+    lower(regexp_extract(x, '^</?([a-zA-Z0-9]+)', 1)) = 'a')) AS n_links,
+  len(list_filter(tags, x -> NOT starts_with(x, '</') AND
+    lower(regexp_extract(x, '^</?([a-zA-Z0-9]+)', 1)) = 'script')) AS n_scripts,
+  round(CASE WHEN n_chars > 0 THEN text_chars / n_chars::double
+             ELSE 0.0::double END, 6) AS text_markup_ratio
+FROM f
+"""
+
+
 def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap <loc> extraction (urls.parse_sitemap_urls): one synthesized
     sitemap per corpus host carrying plain, whitespace-padded and
@@ -4622,6 +4685,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": q_hll_distinct,
     "hll_by_source": q_hll_by_source,
     "crawl_schedule": q_crawl_schedule,
+    "dom_stats": q_dom_stats,
     "host_hits": q_host_hits,
     # --- driver-visibility first (VERDICT r2 ask #1): these 16 entries were
     # never reached by the driver's 50-query sweep in rounds 1-2 (it walks
@@ -4761,6 +4825,7 @@ ORACLE: dict[str, str] = {
     "hll_distinct": _SQL_HLL_DISTINCT,
     "hll_by_source": _SQL_HLL_BY_SOURCE,
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
+    "dom_stats": _SQL_DOM_STATS,
     "host_hits": _sql_host_hits(),
     "extract_main_text": _SQL_EXTRACT_MAIN,
     "extract_sql_surface": _SQL_EXTRACT_MAIN,

@@ -1949,3 +1949,31 @@ def test_crawl_schedule_slots_and_offsets(spark):
     # delay table rides as ShuffledHashJoin, never a broadcast
     plan = _plan(urls.crawl_schedule(frontier, delays))
     assert plan.count("BroadcastExchange") == 0, plan
+
+
+def test_dom_stats_depth_and_density(spark):
+    """Nesting depth counts element nesting only (void tags and unmatched
+    closes don't corrupt it); link/script censuses count OPENING tags; the
+    text ratio is chars-outside-tags over total."""
+    from legal_document_ocr_spark.operators import urls
+
+    html = (
+        "<html><head><meta charset=x><script>var t;</script></head>"
+        "<body><div><div><p>deep text</p></div></div>"
+        "<a href=1>x</a><a href=2>y</a></body></html>"
+    )
+    df = spark.createDataFrame(
+        [("u1", bytearray(html.encode())), ("u2", bytearray(b"no tags at all"))],
+        "url string, html binary",
+    )
+    rows = {r.url: r for r in urls.dom_stats(df).collect()}
+    r = rows["u1"]
+    assert r.max_depth == 5          # html > body > div > div > p
+    assert r.n_links == 2 and r.n_scripts == 1
+    assert r.n_void == 1
+    assert 0.0 < r.text_markup_ratio < 1.0
+    r2 = rows["u2"]
+    assert r2.n_tags == 0 and r2.max_depth == 0
+    assert r2.text_markup_ratio == 1.0
+    plan = _plan(urls.dom_stats(df))
+    assert "Exchange" not in plan, plan
