@@ -227,3 +227,61 @@ def cdx_index(
         length.cast("long").alias("length"),
         F.sha2(F.lower(F.hex(F.encode(payload, "ISO-8859-1"))), 256).alias("digest"),
     )
+
+
+def revisit_dedup(captures: DataFrame) -> DataFrame:
+    """Revisit-record elimination over a capture index — the storage dedup
+    Common Crawl applies across snapshots: the FIRST capture of each payload
+    digest stays a full ``response`` record; every later capture of the same
+    digest becomes a ``revisit`` record pointing at the original's
+    (warc_file, offset), so the archive stores each distinct payload once.
+
+    Input: (url, ts_epoch, warc_file, rec_offset, digest) rows
+    (``cdx_index`` output, typically unioned across snapshots).
+
+    Determinism: "first" = minimum of the string encoding
+    lpad(ts,12) TAB url TAB warc_file TAB lpad(offset,12) — lexicographic
+    order equals (ts, url, file, offset) order because the padded numeric
+    fields are fixed-width and urls cannot contain TAB; both engines state
+    the identical min(varchar) (a struct min would pit Spark struct
+    comparison against an engine-specific SQL row comparison).
+
+    Scale shape: one map-side-combined groupBy(digest) argmin — NO window
+    (a boilerplate-identical payload can have millions of captures; a
+    per-digest window would put them in one task, the argmin partial-
+    aggregates) — then one shuffle_hash join back on the digest key both
+    sides already exchanged on. Nothing broadcasts: the firsts table is
+    distinct-payload-sized (corpus-scale).
+
+    Output: input columns + (kind, orig_file, orig_offset); orig_* are NULL
+    on response rows.
+    """
+    tab = F.lit("\t")
+    enc = F.concat(
+        F.lpad(F.col("ts_epoch").cast("string"), 12, "0"), tab,
+        F.col("url"), tab,
+        F.col("warc_file"), tab,
+        F.lpad(F.col("rec_offset").cast("string"), 12, "0"),
+    )
+    rows = captures.select(
+        "url", "ts_epoch", "warc_file", "rec_offset", "digest", enc.alias("_enc")
+    )
+    firsts = rows.groupBy("digest").agg(F.min("_enc").alias("_first"))
+    out = rows.join(firsts.hint("shuffle_hash"), "digest")
+    is_first = F.col("_enc") == F.col("_first")
+    return out.select(
+        "url",
+        "ts_epoch",
+        "warc_file",
+        "rec_offset",
+        "digest",
+        F.when(is_first, F.lit("response")).otherwise(F.lit("revisit")).alias(
+            "kind"
+        ),
+        F.when(~is_first, F.split(F.col("_first"), "\t").getItem(2)).alias(
+            "orig_file"
+        ),
+        F.when(
+            ~is_first, F.split(F.col("_first"), "\t").getItem(3).cast("long")
+        ).alias("orig_offset"),
+    )

@@ -1977,3 +1977,31 @@ def test_dom_stats_depth_and_density(spark):
     assert r2.text_markup_ratio == 1.0
     plan = _plan(urls.dom_stats(df))
     assert "Exchange" not in plan, plan
+
+
+def test_revisit_dedup_first_capture_wins(spark):
+    """Earliest (ts, url, file, offset) capture of a digest is the response;
+    later captures become revisits pointing at it; distinct digests never
+    cross-link."""
+    from legal_document_ocr_spark.sources.warc import revisit_dedup
+
+    caps = spark.createDataFrame(
+        [
+            ("u1", 100, "f1", 0, "d_a"),
+            ("u1", 200, "f2", 50, "d_a"),   # recrawl, same payload
+            ("u2", 150, "f1", 900, "d_a"),  # mirror url, same payload
+            ("u3", 100, "f1", 300, "d_b"),  # different payload
+        ],
+        "url string, ts_epoch long, warc_file string, rec_offset long, digest string",
+    )
+    rows = {(r.url, r.ts_epoch): r for r in revisit_dedup(caps).collect()}
+    assert rows[("u1", 100)].kind == "response"
+    assert rows[("u1", 100)].orig_file is None
+    assert rows[("u1", 200)].kind == "revisit"
+    assert rows[("u1", 200)].orig_file == "f1"
+    assert rows[("u1", 200)].orig_offset == 0
+    assert rows[("u2", 150)].kind == "revisit"
+    assert rows[("u3", 100)].kind == "response"
+    plan = _plan(revisit_dedup(caps))
+    assert plan.count("BroadcastExchange") == 0, plan  # firsts is corpus-sized
+    assert "Window" not in plan, plan                  # argmin, never a window
