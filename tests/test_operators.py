@@ -2005,3 +2005,32 @@ def test_revisit_dedup_first_capture_wins(spark):
     plan = _plan(revisit_dedup(caps))
     assert plan.count("BroadcastExchange") == 0, plan  # firsts is corpus-sized
     assert "Window" not in plan, plan                  # argmin, never a window
+
+
+def test_shard_assign_order_invariant(spark, docs):
+    """Input partitioning/row order cannot change the layout: the md5 rank
+    fully determines offsets."""
+    a = textops.shard_assign(docs, tokens_per_shard=500)
+    b = textops.shard_assign(
+        docs.orderBy(F.col("doc_id").desc()).repartition(7), tokens_per_shard=500
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_hll_order_invariant(spark, docs):
+    """Register merge is commutative: reversed/differently-partitioned input
+    gives the identical sketch."""
+    d = docs.select("text")
+    e1 = dedup.hll_distinct(d).collect()[0]
+    e2 = dedup.hll_distinct(
+        d.orderBy(F.col("text").desc()).repartition(11)
+    ).collect()[0]
+    assert tuple(e1) == tuple(e2)
+
+
+def test_bm25_scores_positive(spark, docs):
+    from legal_document_ocr_spark import queries as Q
+
+    rows = Q.SPARK["bm25_scores"](spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r.score_micro > 0 for r in rows)
+    assert all(1 <= r.n_terms_matched <= 4 for r in rows)

@@ -157,3 +157,25 @@ def test_gif_lzw_total_over_garbage(data):
         _gif_lzw_decode(8, data, 64)
     except ValueError:
         pass
+
+
+# --- round-3 late operators: pure-Python surface -------------------------
+
+from legal_document_ocr_spark.operators.textops import MOJIBAKE_PATTERN  # noqa: E402
+import re  # noqa: E402
+
+_MOJI = re.compile(MOJIBAKE_PATTERN)
+
+
+@given(st.text(alphabet=st.characters(max_codepoint=0x7F), max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_mojibake_pattern_never_fires_on_ascii(t):
+    assert _MOJI.search(t) is None
+
+
+@given(st.text(alphabet="abcdefghij ", min_size=1, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_mojibake_pattern_detects_injected_damage(t):
+    # a double-encoded e-acute anywhere in otherwise-clean text is found
+    damaged = t + "cafÃ©"
+    assert _MOJI.search(damaged) is not None
