@@ -4721,6 +4721,103 @@ FROM u
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 capstone composition — the full curation path a training
+    corpus ships through, each stage a registry operator in its own right:
+
+      doubled corpus (dup-heavy crawl stand-in)
+        -> Gopher rule gate (word count / stopwords / alpha fraction)
+           + language allowlist
+        -> exact-dedup representatives (sha2 min-id)
+        -> benchmark decontamination gate (3-gram overlap <= 0.05)
+        -> token-balanced shard assignment (the writer layout)
+
+    Scale shape: every join is a shuffle_hash semi/equi join on doc_id or a
+    map-side-combined groupBy; the only broadcasts are the bounded benchmark
+    shingle set (inside benchmark_contamination) and shard_assign's
+    <=1024-row bucket-offset table.
+    """
+    from .operators import dedup as _dd
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    d2 = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    g = textops.gopher_rules(d2).select(
+        "doc_id", "n_words", "n_stop_hits", "frac_alpha_words"
+    )
+    kept = d2.join(g.hint("shuffle_hash"), "doc_id").where(
+        (F.col("n_words") >= 50)
+        & (F.col("n_stop_hits") >= 2)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & F.col("lang").isin("en", "zh", "de")
+    )
+    reps = _dd.exact_dups(kept).select(F.col("representative").alias("doc_id"))
+    kept2 = kept.join(reps.hint("shuffle_hash"), "doc_id", "semi")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    clean_ids = (
+        _dd.benchmark_contamination(kept2.select("doc_id", "text"), bench)
+        .where(F.col("contamination") <= 0.05)
+        .select("doc_id")
+    )
+    survivors = kept2.join(clean_ids.hint("shuffle_hash"), "doc_id", "semi")
+    return textops.shard_assign(survivors, tokens_per_shard=2000)
+
+
+_SQL_CURATION_PIPELINE = f"""
+WITH d0 AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL SELECT doc_id + 100000, text, lang FROM documents
+),
+t AS (SELECT doc_id, text, lang, {_GOPHER_TOKS} AS toks FROM d0),
+g AS (
+  SELECT doc_id, text, lang, toks, len(toks) AS n_words,
+    len(list_filter(toks,
+        x -> x IN ('the','be','to','of','and','that','have','with'))) AS n_stop,
+    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha
+  FROM t
+),
+kept AS (
+  SELECT * FROM g
+  WHERE n_words >= 50 AND n_stop >= 2
+    AND round(CASE WHEN n_words > 0 THEN n_alpha / n_words::double
+                   ELSE 0.0::double END, 6) >= 0.8::double
+    AND lang IN ('en', 'zh', 'de')
+),
+reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)),
+kept2 AS (SELECT k.* FROM kept k JOIN reps USING (doc_id)),
+bt AS (SELECT doc_id, {_GOPHER_TOKS} AS toks FROM documents WHERE doc_id % 97 = 0),
+bsh AS (
+  SELECT DISTINCT unnest({_SHINGLES_SQL}) AS s FROM bt
+),
+csh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM kept2),
+agg AS (
+  SELECT doc_id, count(*) AS n_shingles,
+    sum(CASE WHEN s IN (SELECT s FROM bsh) THEN 1 ELSE 0 END) AS n_matched
+  FROM csh GROUP BY doc_id
+),
+clean AS (
+  SELECT doc_id FROM agg
+  WHERE round(n_matched / n_shingles::double, 6) <= 0.05::double
+),
+nz AS (
+  SELECT k.doc_id, len(k.toks)::bigint AS n_tokens,
+    ('0x' || substr(md5(k.doc_id::varchar), 1, 15))::bigint AS rank_hash
+  FROM kept2 k JOIN clean USING (doc_id)
+  WHERE len(k.toks) > 0
+),
+o AS (
+  SELECT doc_id, n_tokens, rank_hash,
+    coalesce(sum(n_tokens) OVER (
+      ORDER BY rank_hash, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+      AS start_offset
+  FROM nz
+)
+SELECT doc_id, n_tokens, rank_hash, start_offset,
+  (start_offset // 2000)::bigint AS shard
+FROM o
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4739,6 +4836,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_schedule": q_crawl_schedule,
     "dom_stats": q_dom_stats,
     "cdx_revisits": q_cdx_revisits,
+    "curation_pipeline": q_curation_pipeline,
     "host_hits": q_host_hits,
     # --- driver-visibility first (VERDICT r2 ask #1): these 16 entries were
     # never reached by the driver's 50-query sweep in rounds 1-2 (it walks
@@ -4880,6 +4978,7 @@ ORACLE: dict[str, str] = {
     "crawl_schedule": _SQL_CRAWL_SCHEDULE,
     "dom_stats": _SQL_DOM_STATS,
     "cdx_revisits": _sql_cdx_revisits(),
+    "curation_pipeline": _SQL_CURATION_PIPELINE,
     "host_hits": _sql_host_hits(),
     "extract_main_text": _SQL_EXTRACT_MAIN,
     "extract_sql_surface": _SQL_EXTRACT_MAIN,

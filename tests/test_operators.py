@@ -2034,3 +2034,29 @@ def test_bm25_scores_positive(spark, docs):
     rows = Q.SPARK["bm25_scores"](spark, "/root/testdata/sf0.001").collect()
     assert rows and all(r.score_micro > 0 for r in rows)
     assert all(1 <= r.n_terms_matched <= 4 for r in rows)
+
+
+def test_curation_pipeline_stages_compose(spark):
+    """Capstone composition invariants on the doubled corpus: exact dedup
+    halves the rule-gated set, decontamination only removes, output shard
+    offsets tile the surviving token mass exactly, and the plan's only
+    broadcasts are the bounded benchmark-shingle set and the bucket-offset
+    table."""
+    import legal_document_ocr_spark.queries as Q
+
+    out = Q.SPARK["curation_pipeline"](spark, SF).collect()
+    assert out
+    # doubled corpus: every survivor doc_id is an original (min-id rep)
+    assert all(r.doc_id < 100000 for r in out)
+    total = sum(r.n_tokens for r in out)
+    assert max(r.start_offset + r.n_tokens for r in out) == total
+    assert len({r.start_offset for r in out}) == len(out)
+    # the plan text repeats persisted subtrees (InMemoryRelation lineage), so
+    # assert the PROPERTY, not a node count: no broadcast ever builds on the
+    # corpus doc_id key — every doc_id join is ShuffledHashJoin; the only
+    # BroadcastHashJoin keys are the bounded benchmark-shingle string and
+    # shard_assign's bucket id
+    plan = _plan(Q.SPARK["curation_pipeline"](spark, SF))
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "doc_id" not in line.split("BroadcastHashJoin")[1][:40], line
