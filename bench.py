@@ -62,6 +62,7 @@ HEADLINE = [
     "inverted_index",         # segmented posting-list index build
     "gopher_repetition",      # published repetition filters (2 agg cascades)
     "bm25_scores",            # ranked retrieval (scan-speed vocab filter)
+    "curation_pipeline",      # capstone: rules->dedup->decontam->shards
 ]
 
 
