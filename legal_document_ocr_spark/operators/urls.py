@@ -147,8 +147,11 @@ def parse_robots_rules(
     whole parse is expressions + one bounded window, no UDF.
 
     Simplifications vs RFC 9309 (documented scope): only the ``*`` agent
-    group is honored, ``Allow`` precedence is not implemented, and empty
-    ``Disallow:`` (allow-all) lines are dropped.
+    group is honored, and empty ``Disallow:`` (allow-all) lines are
+    dropped. Full longest-match Allow/Disallow precedence lives in
+    ``parse_robots_directives`` + ``robots_precedence_filter``; this
+    Disallow-only view remains the cheap input to the LEFT-ANTI
+    ``filter_disallowed`` fast path.
     """
     from pyspark.sql import Window
 
@@ -796,4 +799,105 @@ def dom_stats(
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("text_markup_ratio"),
+    )
+
+
+def parse_robots_directives(
+    robots: DataFrame, host_col: str = "host", robots_col: str = "robots_txt"
+) -> DataFrame:
+    """Both Allow and Disallow prefixes for the ``User-agent: *`` group ->
+    (host, rule, prefix) with rule in {'allow','disallow'} — the full-
+    precedence input ``robots_precedence_filter`` consumes (closes the
+    documented Allow-precedence scope limit of ``parse_robots_rules``).
+    Section assignment is the same last(ua) window."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), r"\r?\n")).alias("line_no", "line"),
+    ).select(
+        "host",
+        "line_no",
+        F.lower(
+            F.trim(F.regexp_extract("line", r"(?i)^\s*user-agent\s*:\s*(\S+)", 1))
+        ).alias("ua_raw"),
+        F.trim(F.regexp_extract("line", r"(?i)^\s*disallow\s*:\s*(\S+)", 1)).alias(
+            "dis_raw"
+        ),
+        F.trim(F.regexp_extract("line", r"(?i)^\s*allow\s*:\s*(\S+)", 1)).alias(
+            "alw_raw"
+        ),
+    )
+    w = Window.partitionBy("host").orderBy("line_no")
+    sectioned = lines.withColumn(
+        "section",
+        F.last(
+            F.when(F.col("ua_raw") != "", F.col("ua_raw")), ignorenulls=True
+        ).over(w),
+    ).where(F.col("section") == "*")
+    dis = sectioned.where(F.col("dis_raw") != "").select(
+        "host", F.lit("disallow").alias("rule"), F.col("dis_raw").alias("prefix")
+    )
+    alw = sectioned.where(F.col("alw_raw") != "").select(
+        "host", F.lit("allow").alias("rule"), F.col("alw_raw").alias("prefix")
+    )
+    return dis.unionByName(alw).distinct()
+
+
+def robots_precedence_filter(
+    frontier: DataFrame,
+    directives: DataFrame,
+    *,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """RFC 9309 rule precedence: among the group's rules whose prefix
+    matches the url path, the LONGEST prefix wins; on equal length Allow
+    wins over Disallow; no matching rule means allowed. Output: every
+    frontier row + (verdict, rule_prefix) — verdict in
+    {'allow','disallow','none'}, rule_prefix NULL for 'none'.
+
+    Determinism + scale shape: matches are found by ONE host-keyed join
+    (per-host rule sets are KB-sized, but 1e8 hosts make the table
+    corpus-scale — shuffle_hash, never broadcast) with the startswith as
+    the post-probe predicate; the winner is a map-side-combined
+    groupBy(url) argmax over the string encoding lpad(len,4) || rule-tag
+    || prefix ('b' tags allow, 'a' disallow, so lexicographic max = longer
+    prefix first, allow on ties — and the trailing prefix disambiguates
+    equal-length same-type rules deterministically). LEFT join keeps
+    unmatched urls as 'none'.
+    """
+    path = F.regexp_extract(
+        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+    )
+    f = frontier.withColumn("_path", F.when(path == "", F.lit("/")).otherwise(path))
+    d = directives.select(
+        F.col("host").alias("_rhost"), "rule", "prefix"
+    )
+    matched = f.join(
+        d.hint("shuffle_hash"),
+        (F.col(host_col) == F.col("_rhost"))
+        & F.col("_path").startswith(F.col("prefix")),
+        "left",
+    )
+    enc = F.when(
+        F.col("prefix").isNotNull(),
+        F.concat(
+            F.lpad(F.length("prefix").cast("string"), 4, "0"),
+            F.when(F.col("rule") == "allow", F.lit("b")).otherwise(F.lit("a")),
+            F.col("prefix"),
+        ),
+    )
+    base_cols = [c for c in frontier.columns]
+    win = (
+        matched.groupBy(*[F.col(c) for c in base_cols])
+        .agg(F.max(enc).alias("_win"))
+    )
+    return win.select(
+        *base_cols,
+        F.when(F.col("_win").isNull(), F.lit("none"))
+        .when(F.substring("_win", 5, 1) == "b", F.lit("allow"))
+        .otherwise(F.lit("disallow"))
+        .alias("verdict"),
+        F.expr("substring(_win, 6)").alias("rule_prefix"),
     )

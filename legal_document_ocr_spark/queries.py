@@ -1022,6 +1022,103 @@ def _synth_robots_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hosts.select("host", body.alias("robots_txt"))
 
 
+def _synth_robots_precedence_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The precedence-exercise robots corpus (separate from
+    ``_synth_robots_df`` so the Disallow-only queries keep their pinned
+    outputs): on top of the coin-Disallowed lang prefixes, a LONGER Allow
+    under each disallowed lang (re-allows /{lang}/4* paths) and an
+    equal-length Allow+Disallow TIE on a second md5 coin — RFC 9309 says
+    longest prefix wins, and Allow wins equal-length ties."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hosts = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host")
+    ).distinct()
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    lines = []
+    for lang in sorted(langs):
+        coin = F.md5(F.concat(F.col("host"), F.lit("|" + lang)))
+        dis = F.substring(coin, 1, 1) < F.lit("8")
+        tie = (F.substring(coin, 1, 1) >= F.lit("8")) & (
+            F.substring(coin, 2, 1) < F.lit("4")
+        )
+        lines.append(F.when(dis, F.lit(f"Disallow: /{lang}")))
+        lines.append(F.when(dis, F.lit(f"Allow: /{lang}/4")))
+        lines.append(F.when(tie, F.lit(f"Disallow: /{lang}")))
+        lines.append(F.when(tie, F.lit(f"Allow: /{lang}")))
+    body = F.concat_ws(
+        "\n",
+        F.lit("User-agent: evilbot"),
+        F.lit("Disallow: /never"),
+        F.lit("Allow: /"),
+        F.lit("User-agent: *"),
+        *lines,
+    )
+    return hosts.select("host", body.alias("robots_txt"))
+
+
+def q_robots_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 rule precedence (urls.parse_robots_directives +
+    robots_precedence_filter): longest matching prefix wins, Allow wins
+    equal-length ties, unmatched urls are 'none' — over a robots corpus
+    carrying a longer re-Allow under each Disallowed lang plus an
+    equal-length tie pair."""
+    from .operators import urls
+
+    pages = synthesize_pages_df(spark, sf_dir).select("url")
+    frontier = pages.select(
+        "url",
+        F.regexp_extract(
+            F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)", 1
+        ).alias("host"),
+    )
+    directives = urls.parse_robots_directives(
+        _synth_robots_precedence_df(spark, sf_dir)
+    )
+    return urls.robots_precedence_filter(frontier, directives)
+
+
+_SQL_ROBOTS_PRECEDENCE = """
+WITH pages AS (
+  SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+         source || '.example.com' AS host,
+         '/' || lang || '/' || doc_id AS path
+  FROM documents
+),
+hl AS (
+  SELECT h.host, l.lang,
+    substr(md5(h.host || '|' || l.lang), 1, 1) AS c1,
+    substr(md5(h.host || '|' || l.lang), 2, 1) AS c2
+  FROM (SELECT DISTINCT source || '.example.com' AS host FROM documents) h,
+       (SELECT DISTINCT lang FROM documents) l
+),
+directives AS (
+  SELECT host, 'disallow' AS rule, '/' || lang AS prefix FROM hl WHERE c1 < '8'
+  UNION
+  SELECT host, 'allow', '/' || lang || '/4' FROM hl WHERE c1 < '8'
+  UNION
+  SELECT host, 'disallow', '/' || lang FROM hl WHERE c1 >= '8' AND c2 < '4'
+  UNION
+  SELECT host, 'allow', '/' || lang FROM hl WHERE c1 >= '8' AND c2 < '4'
+),
+matched AS (
+  SELECT p.url, p.host,
+    lpad(length(d.prefix)::varchar, 4, '0')
+      || CASE WHEN d.rule = 'allow' THEN 'b' ELSE 'a' END
+      || d.prefix AS enc
+  FROM pages p
+  LEFT JOIN directives d
+    ON p.host = d.host AND starts_with(p.path, d.prefix)
+),
+win AS (SELECT url, host, max(enc) AS w FROM matched GROUP BY url, host)
+SELECT url, host,
+  CASE WHEN w IS NULL THEN 'none'
+       WHEN substr(w, 5, 1) = 'b' THEN 'allow'
+       ELSE 'disallow' END AS verdict,
+  CASE WHEN w IS NOT NULL THEN substr(w, 6) END AS rule_prefix
+FROM win
+"""
+
+
 def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt parse (urls.parse_robots_rules): per-host Disallow
     prefixes for the * agent group, with a decoy section proving the
@@ -4837,6 +4934,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dom_stats": q_dom_stats,
     "cdx_revisits": q_cdx_revisits,
     "curation_pipeline": q_curation_pipeline,
+    "robots_precedence": q_robots_precedence,
     "host_hits": q_host_hits,
     # --- driver-visibility first (VERDICT r2 ask #1): these 16 entries were
     # never reached by the driver's 50-query sweep in rounds 1-2 (it walks
@@ -4979,6 +5077,7 @@ ORACLE: dict[str, str] = {
     "dom_stats": _SQL_DOM_STATS,
     "cdx_revisits": _sql_cdx_revisits(),
     "curation_pipeline": _SQL_CURATION_PIPELINE,
+    "robots_precedence": _SQL_ROBOTS_PRECEDENCE,
     "host_hits": _sql_host_hits(),
     "extract_main_text": _SQL_EXTRACT_MAIN,
     "extract_sql_surface": _SQL_EXTRACT_MAIN,

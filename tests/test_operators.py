@@ -2060,3 +2060,38 @@ def test_curation_pipeline_stages_compose(spark):
     for line in plan.splitlines():
         if "BroadcastHashJoin" in line:
             assert "doc_id" not in line.split("BroadcastHashJoin")[1][:40], line
+
+
+def test_robots_precedence_rfc9309(spark):
+    """Longest matching prefix wins; Allow wins equal-length ties; no match
+    -> 'none'; decoy sections never contribute directives."""
+    from legal_document_ocr_spark.operators import urls
+
+    robots = spark.createDataFrame(
+        [(
+            "a.com",
+            "User-agent: evilbot\nAllow: /\n"
+            "User-agent: *\nDisallow: /docs\nAllow: /docs/pub\n"
+            "Disallow: /tie\nAllow: /tie",
+        )],
+        "host string, robots_txt string",
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("https://a.com/docs/private/x", "a.com"),   # /docs wins -> disallow
+            ("https://a.com/docs/pub/y", "a.com"),       # longer allow wins
+            ("https://a.com/tie/z", "a.com"),            # equal length -> allow
+            ("https://a.com/open", "a.com"),             # no rule -> none
+        ],
+        "url string, host string",
+    )
+    d = urls.parse_robots_directives(robots)
+    rows = {r.url: r for r in urls.robots_precedence_filter(frontier, d).collect()}
+    assert rows["https://a.com/docs/private/x"].verdict == "disallow"
+    assert rows["https://a.com/docs/pub/y"].verdict == "allow"
+    assert rows["https://a.com/docs/pub/y"].rule_prefix == "/docs/pub"
+    assert rows["https://a.com/tie/z"].verdict == "allow"
+    assert rows["https://a.com/open"].verdict == "none"
+    assert rows["https://a.com/open"].rule_prefix is None
+    plan = _plan(urls.robots_precedence_filter(frontier, d))
+    assert plan.count("BroadcastExchange") == 0, plan  # host-keyed rules shuffle
