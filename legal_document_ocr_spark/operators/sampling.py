@@ -17,6 +17,8 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .textops import ws_tokens
+
 # 28-bit md5 prefix -> uniform int in [0, 10000): membership at 4-decimal
 # fraction granularity. Small enough for exact bigint math everywhere.
 _BUCKETS = 10_000
@@ -121,3 +123,98 @@ def stratified_sample(
             F.col(strata_col) == stratum, F.lit(int(frac * _BUCKETS))
         ).otherwise(threshold)
     return df.where(hash_bucket(F.col(key_col)) < threshold)
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    *,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document by
+    how much more likely its hashed-token profile is under a small TARGET
+    domain corpus than under the raw corpus itself; downstream selection
+    resamples raw docs proportional to exp(weight).
+
+    100 TB shape: both distributions are one explode -> map-side-combined
+    groupBy onto a BOUNDED ``n_buckets`` vocabulary (the hashing trick — no
+    corpus-sized vocabulary ever materializes); the per-bucket log-ratio
+    table is ``n_buckets`` rows and broadcasts; the only corpus-sized
+    exchange is the (doc_id, bucket) count groupBy, pre-combined on the map
+    side. Nothing iterates, nothing collects beyond two scalar totals.
+
+    Determinism across engines (char_entropy discipline): each bucket's two
+    log-probabilities are rounded to 12 dp and differenced as
+    DECIMAL(20,12); per-doc terms ``cnt * ratio`` are summed as DECIMAL
+    (exact, order-independent), then ONE double conversion + floor(micro) at
+    the end. Add-1 smoothing over ``n_buckets`` keeps unseen buckets finite.
+
+    Output: (doc_id, n_tokens, log_weight_micro) — NULL weight for docs with
+    no tokens. Reference analogue: confidence-gated acceptance of extracted
+    fields (/root/reference/app/services/extraction_service.py) generalized
+    to corpus-level distribution matching.
+    """
+    toks = ws_tokens(F.lower(F.col(text_col)))
+
+    def _bucket(c: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("bigint")
+            % n_buckets
+        )
+
+    def _dist(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(toks).alias("tok"))
+            .select(_bucket(F.col("tok")).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    raw = _dist(docs)
+    tgt = _dist(target)
+    # two scalar actions (bounded-row inputs) — the repo-wide collect budget
+    n_raw = raw.agg(F.sum("cnt")).collect()[0][0] or 0
+    n_tgt = tgt.agg(F.sum("cnt")).collect()[0][0] or 0
+
+    def _logp(cnt: Column, total: int) -> Column:
+        return F.round(
+            F.log((cnt + F.lit(1)).cast("double") / F.lit(float(total + n_buckets))),
+            12,
+        ).cast("decimal(20,12)")
+
+    ratio = (
+        raw.join(tgt.withColumnRenamed("cnt", "tcnt"), "bucket", "left")
+        .select(
+            "bucket",
+            (
+                _logp(F.coalesce(F.col("tcnt"), F.lit(0)), n_tgt)
+                - _logp(F.col("cnt"), n_raw)
+            ).alias("ratio"),
+        )
+    )
+    per_doc = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .select("doc_id", _bucket(F.col("tok")).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt").cast("decimal(18,0)") * F.col("ratio")).alias("s"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.when(
+                F.col("s").isNotNull(),
+                F.floor(F.col("s").cast("double") * 1000000.0).cast("long"),
+            ).alias("log_weight_micro"),
+        )
+    )

@@ -901,3 +901,91 @@ def robots_precedence_filter(
         .alias("verdict"),
         F.expr("substring(_win, 6)").alias("rule_prefix"),
     )
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 32,
+) -> DataFrame:
+    """Resolve every URL through its redirect chain to the final landing
+    URL: (url, final_url, hops, resolved). ``edges`` is one row per
+    redirecting URL (src -> dst; src unique — a URL has ONE redirect
+    target); ``nodes`` optionally supplies the full URL universe (isolated
+    URLs resolve to themselves), else the universe is src ∪ dst.
+
+    Spark-first iterative shape: POINTER DOUBLING — each round every URL
+    jumps through the current pointer table (cur := cur-of-cur,
+    hops := hops + hops-of-cur), so a chain of length L resolves in
+    O(log L) rounds, not O(L). Web redirect chains are short (browsers cap
+    ~20) but the corpus is huge: each round is ONE shuffle_hash self-join
+    on (string,string,long) rows, nothing broadcast, ``localCheckpoint``
+    truncates lineage per round (durable checkpoint on a cluster).
+    Convergence = count of states whose cur is still a redirecting URL —
+    a count, not a sum, so no overflow aliasing (ADVICE r2). Cycles
+    (redirect loops) never resolve: after ``max_iters`` their rows come
+    back with resolved=0 rather than looping forever.
+
+    Reference analogue: document_merger_service.py's follow-the-chain page
+    merging, recast as a web-graph fixpoint.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    # edge endpoints ALWAYS join the universe: a redirect may land on a URL
+    # outside the caller's node set, and that landing URL must exist as a
+    # terminal state or its chain would silently drop in the inner join below
+    universe = e.select(F.col("src").alias("node")).unionByName(
+        e.select(F.col("dst").alias("node"))
+    )
+    if nodes is not None:
+        universe = universe.unionByName(
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+        )
+    universe = universe.distinct()
+    state = (
+        universe.join(e.hint("shuffle_hash"), universe.node == e.src, "left")
+        .select(
+            "node",
+            F.coalesce("dst", F.col("node")).alias("cur"),
+            F.when(F.col("dst").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("hops"),
+        )
+        .localCheckpoint()
+    )
+    # terminal URLs = no outgoing redirect; cheap filter over the checkpoint
+    terminals = state.where(F.col("hops") == 0).select(F.col("node").alias("t"))
+    for _ in range(max_iters):
+        unresolved = state.join(
+            terminals, state.cur == terminals.t, "left_anti"
+        ).count()
+        if unresolved == 0:
+            break
+        lut = state.select(
+            F.col("node").alias("j_node"),
+            F.col("cur").alias("j_cur"),
+            F.col("hops").alias("j_hops"),
+        )
+        state = (
+            state.join(lut.hint("shuffle_hash"), state.cur == F.col("j_node"))
+            .select(
+                "node",
+                F.col("j_cur").alias("cur"),
+                (F.col("hops") + F.col("j_hops")).alias("hops"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return state.join(
+        terminals.hint("shuffle_hash"), state.cur == terminals.t, "left"
+    ).select(
+        F.col("node").alias("url"),
+        F.col("cur").alias("final_url"),
+        "hops",
+        F.col("t").isNotNull().cast("int").alias("resolved"),
+    )

@@ -4915,11 +4915,104 @@ FROM o
 """
 
 
+def q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (urls.resolve_redirects): synthesized
+    redirect graph — every url whose doc_id % 8 != 0 redirects one step
+    down (chains up to 7 hops, terminals at doc_id % 8 == 0) — resolved to
+    the final landing URL by pointer doubling in O(log L) rounds."""
+    from .operators import urls as urlops
+
+    d = _docs(spark, sf_dir)
+    mk = lambda c: F.concat(F.lit("https://ex.org/u/"), c.cast("string"))  # noqa: E731
+    nodes = d.select(mk(F.col("doc_id")).alias("url"))
+    edges = d.where(F.col("doc_id") % 8 != 0).select(
+        mk(F.col("doc_id")).alias("src"),
+        mk(F.col("doc_id") - 1).alias("dst"),
+    )
+    return urlops.resolve_redirects(edges, nodes)
+
+
+# closed-form walk of the same synthesized graph: recursive CTE from every
+# url, keeping the row whose cursor has no outgoing edge (the terminal)
+_SQL_REDIRECT_CHAINS = """
+WITH RECURSIVE e AS (
+  SELECT 'https://ex.org/u/' || doc_id AS src,
+         'https://ex.org/u/' || (doc_id - 1) AS dst
+  FROM documents WHERE doc_id % 8 != 0
+),
+n AS (
+  -- top level must be a plain SELECT: a UNION-topped CTE inside WITH
+  -- RECURSIVE is parsed as base/step and silently double-counts
+  SELECT DISTINCT url FROM (
+    SELECT 'https://ex.org/u/' || doc_id AS url FROM documents
+    UNION ALL SELECT src FROM e UNION ALL SELECT dst FROM e
+  ) u
+),
+walk AS (
+  SELECT url, url AS cur, 0::bigint AS hops FROM n
+  UNION ALL
+  SELECT w.url, e.dst, w.hops + 1 FROM walk w JOIN e ON w.cur = e.src
+)
+SELECT url, cur AS final_url, hops, 1 AS resolved
+FROM walk w
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.cur)
+"""
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (sampling.dsir_log_weights): hashed-unigram
+    log-likelihood ratio of every document against the English subset as the
+    target domain — the data-selection scoring pass of a training-mix
+    curation pipeline."""
+    from .operators import sampling
+
+    d = _docs(spark, sf_dir)
+    return sampling.dsir_log_weights(d, d.where(F.col("lang") == "en"))
+
+
+# mirrors sampling.dsir_log_weights: 28-bit md5 prefix % 1024 bucket, add-1
+# smoothing over 1024 buckets, per-bucket round(ln,12) decimal difference,
+# per-doc decimal sum, ONE double conversion + floor(micro) at the end
+_SQL_DSIR_WEIGHTS = """
+WITH b AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5(unnest(regexp_split_to_array(trim(lower(text)),
+      '\\s+'))), 1, 7))::bigint % 1024 AS bucket
+  FROM documents
+),
+raw AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+tgt AS (SELECT bucket, count(*) AS tcnt FROM b WHERE lang = 'en' GROUP BY 1),
+tot AS (
+  SELECT (SELECT sum(cnt) FROM raw) AS nr,
+         (SELECT coalesce(sum(tcnt), 0) FROM tgt) AS nt
+),
+ratio AS (
+  SELECT raw.bucket,
+    round(ln((coalesce(tcnt, 0) + 1) / (nt + 1024)::double), 12)::decimal(20,12)
+    - round(ln((cnt + 1) / (nr + 1024)::double), 12)::decimal(20,12) AS ratio
+  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+),
+pd AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+s AS (
+  SELECT doc_id, sum(cnt) AS n_tokens,
+    sum(cnt::decimal(18,0) * ratio) AS s
+  FROM pd JOIN ratio USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(s.n_tokens, 0)::bigint AS n_tokens,
+  CASE WHEN s.s IS NOT NULL
+       THEN floor(s.s::double * 1000000.0)::bigint END AS log_weight_micro
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- round-3 session-4 additions (newest first: driver-visibility)
+    "dsir_weights": q_dsir_weights,
+    "redirect_chains": q_redirect_chains,
     # --- round-3 late additions (never driver-checked: lead the registry)
     "bm25_scores": q_bm25_scores,
     "pmi_collocations": q_pmi_collocations,
@@ -5064,6 +5157,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "dsir_weights": _SQL_DSIR_WEIGHTS,
+    "redirect_chains": _SQL_REDIRECT_CHAINS,
     "bm25_scores": _SQL_BM25,
     "pmi_collocations": _SQL_PMI,
     "c4_filters": _SQL_C4,

@@ -2095,3 +2095,57 @@ def test_robots_precedence_rfc9309(spark):
     assert rows["https://a.com/open"].rule_prefix is None
     plan = _plan(urls.robots_precedence_filter(frontier, d))
     assert plan.count("BroadcastExchange") == 0, plan  # host-keyed rules shuffle
+
+
+def test_resolve_redirects_chains_cycles_and_gaps(spark):
+    from legal_document_ocr_spark.operators import urls
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),   # 3-hop chain to terminal d
+            ("x", "y"), ("y", "x"),               # 2-cycle: never resolves
+            ("g", "offsite"),                     # dst outside node list
+        ],
+        "src string, dst string",
+    )
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("x",), ("y",), ("g",), ("lone",)],
+        "url string",
+    )
+    rows = {
+        r.url: r
+        for r in urls.resolve_redirects(edges, nodes, max_iters=6).collect()
+    }
+    assert rows["a"].final_url == "d" and rows["a"].hops == 3
+    assert rows["b"].final_url == "d" and rows["b"].hops == 2
+    assert rows["d"].hops == 0 and rows["d"].resolved == 1
+    assert rows["lone"].final_url == "lone" and rows["lone"].resolved == 1
+    # a redirect landing outside the caller's node set is still a terminal
+    assert rows["g"].final_url == "offsite" and rows["g"].resolved == 1
+    assert rows["offsite"].hops == 0
+    # cycles come back unresolved instead of looping forever
+    assert rows["x"].resolved == 0 and rows["y"].resolved == 0
+
+
+def test_dsir_weights_direction_and_empty_doc(spark):
+    from legal_document_ocr_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha beta"),
+            (2, "gamma delta gamma"),
+            (3, "alpha beta alpha"),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    target = docs.where("doc_id in (1, 3)")  # alpha/beta is the target domain
+    rows = {
+        r.doc_id: r for r in sampling.dsir_log_weights(docs, target).collect()
+    }
+    # docs matching the target profile score strictly above off-domain docs
+    assert rows[1].log_weight_micro > rows[2].log_weight_micro
+    assert rows[3].log_weight_micro > rows[2].log_weight_micro
+    assert rows[4].n_tokens == 0 and rows[4].log_weight_micro is None
+    # content-addressed: same text -> same weight regardless of doc_id
+    assert rows[1].log_weight_micro == rows[3].log_weight_micro
