@@ -563,3 +563,70 @@ def grouped_quantiles(
             .alias(f"q_{q}")
         )
     return cum.groupBy(F.col("grp").alias(group_col)).agg(*aggs)
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Median/MAD outlier flags per group over a bounded-domain integer
+    column — the robust per-host anomaly pass of corpus curation (a host
+    whose page lengths are normally ~2k chars suddenly serving 400k-char
+    pages is template breakage or spam, and mean/stddev is exactly the
+    statistic such outliers destroy).
+
+    Same distribution-sketch shape as grouped_quantiles: two map-side-
+    combined groupBys onto the bounded (group, value) domain — one for the
+    group's LOWER MEDIAN, one for the median absolute deviation — then one
+    shuffle_hash join of the tiny per-group stats back to the rows. Never
+    a sort-per-group, never a broadcast of the per-group table (hosts are
+    ~10^8 at crawl scale — the crawl_frontier r2 lesson). All-integer
+    ranks: median = smallest v with cum >= (n+1) div 2.
+
+    Flag: |value - med| > k * mad (both sides bigint — no float). When
+    mad = 0 (a majority-constant group) ANY deviation flags, which is the
+    conservative choice for template hosts.
+
+    Output: df's columns + (med, mad, is_outlier).
+    """
+    g, v = F.col(group_col), F.col(value_col)
+
+    def _lower_median(vals: DataFrame, out: str) -> DataFrame:
+        dist = vals.groupBy("_ro_grp", "val").agg(F.count("*").alias("cnt"))
+        w_cum = Window.partitionBy("_ro_grp").orderBy("val")
+        w_all = Window.partitionBy("_ro_grp")
+        cum = dist.select(
+            "_ro_grp",
+            "val",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_all).alias("n"),
+        )
+        return cum.groupBy("_ro_grp").agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("val"))
+            )
+            .cast("long")
+            .alias(out)
+        )
+
+    vals = df.select(g.alias("_ro_grp"), v.cast("long").alias("val"))
+    med = _lower_median(vals, "med")
+    dev = vals.join(med.hint("shuffle_hash"), "_ro_grp").select(
+        "_ro_grp", F.abs(F.col("val") - F.col("med")).alias("val")
+    )
+    mad = _lower_median(dev, "mad")
+    stats = med.join(mad.hint("shuffle_hash"), "_ro_grp")
+    return (
+        df.join(
+            stats.hint("shuffle_hash"), g == F.col("_ro_grp")
+        )
+        .drop("_ro_grp")
+        .withColumn(
+            "is_outlier",
+            (F.abs(v.cast("long") - F.col("med")) > F.lit(k) * F.col("mad"))
+            .cast("int"),
+        )
+    )

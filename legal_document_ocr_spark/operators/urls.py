@@ -989,3 +989,98 @@ def resolve_redirects(
         "hops",
         F.col("t").isNotNull().cast("int").alias("resolved"),
     )
+
+
+def text_density_blocks(
+    pages: DataFrame,
+    html_col: str = "html",
+    *,
+    density_threshold_micro: int = 20_000_000,
+    link_density_threshold_micro: int = 333_333,
+) -> DataFrame:
+    """Boilerpipe-style main-content block classification (Kohlschütter et
+    al., WSDM 2010): segment each page into block-level chunks, score every
+    block by TEXT DENSITY (text chars per tag) and LINK DENSITY (anchor
+    chars per text char), smooth the density over the two neighbor blocks,
+    and flag content blocks — the heuristic core of boilerplate stripping.
+
+    100 TB shape: the ENTIRE computation — segmentation, per-block counts,
+    neighbor smoothing, classification — runs inside array higher-order
+    functions on each page row (transform/zip_with over the blocks array),
+    so there is NO shuffle anywhere: one scan, whole-stage codegen, then a
+    single posexplode to emit block rows. The usual window-over-
+    (url, block_idx) formulation would shuffle the whole corpus on url for
+    a neighborhood that never leaves the row.
+
+    All-integer scoring (float-portability): density_micro =
+    floor(text_chars * 1e6 / (1 + tags)); smoothing = floor(sum/count) over
+    the present neighbors. Block boundaries: nav|div|main|footer|p opening
+    tags (the reference's layout-block segmentation,
+    image_preprocessing_service.py row-band split, recast for HTML).
+
+    Output: (url, block_idx, n_text_chars, n_tags, n_anchor_chars,
+    density_micro, smoothed_micro, link_density_micro, is_content).
+    """
+    h = F.col(html_col)
+    marked = F.regexp_replace(h, r"<(nav|div|main|footer|p)\b", "\x01<$1")
+    blocks = F.filter(F.split(marked, "\x01"), lambda b: F.length(b) > 0)
+    texts = F.transform(blocks, lambda b: F.regexp_replace(b, "<[^>]+>", ""))
+    ntext = F.transform(texts, F.length)
+    ntags = F.transform(blocks, lambda b: F.regexp_count(b, F.lit("<[^>]+>")))
+    nanch = F.transform(
+        blocks,
+        lambda b: F.aggregate(
+            F.regexp_extract_all(b, F.lit("<a[^>]*>([^<]*)</a>"), F.lit(1)),
+            F.lit(0),
+            lambda acc, x: acc + F.length(x),
+        ),
+    )
+    dens = F.zip_with(
+        ntext,
+        ntags,
+        lambda t, g: F.floor(t.cast("long") * 1000000 / (g + F.lit(1))),
+    )
+    n = F.size(dens)
+    idx = F.sequence(F.lit(1), n)  # 1-based positions
+    smoothed = F.transform(
+        idx,
+        lambda i: F.floor(
+            (
+                F.when(i > 1, F.element_at(dens, i - 1)).otherwise(F.lit(0))
+                + F.element_at(dens, i)
+                + F.when(i < n, F.element_at(dens, i + 1)).otherwise(F.lit(0))
+            )
+            / (
+                (i > 1).cast("int") + F.lit(1) + (i < n).cast("int")
+            )
+        ),
+    )
+    zipped = F.arrays_zip(
+        ntext.alias("n_text_chars"),
+        ntags.alias("n_tags"),
+        nanch.alias("n_anchor_chars"),
+        dens.alias("density_micro"),
+        smoothed.alias("smoothed_micro"),
+    )
+    ex = pages.select("url", F.posexplode(zipped).alias("block_idx", "b"))
+    link_density = F.floor(
+        F.col("b.n_anchor_chars").cast("long")
+        * 1000000
+        / (F.col("b.n_text_chars") + F.lit(1))
+    )
+    return ex.select(
+        "url",
+        F.col("block_idx").cast("long").alias("block_idx"),
+        F.col("b.n_text_chars").cast("long").alias("n_text_chars"),
+        F.col("b.n_tags").cast("long").alias("n_tags"),
+        F.col("b.n_anchor_chars").cast("long").alias("n_anchor_chars"),
+        F.col("b.density_micro").cast("long").alias("density_micro"),
+        F.col("b.smoothed_micro").cast("long").alias("smoothed_micro"),
+        link_density.cast("long").alias("link_density_micro"),
+        (
+            (F.col("b.smoothed_micro") > density_threshold_micro)
+            & (link_density < link_density_threshold_micro)
+        )
+        .cast("int")
+        .alias("is_content"),
+    )

@@ -4915,6 +4915,208 @@ FROM o
 """
 
 
+# script tails appended deterministically so the all-ASCII synthetic corpus
+# exercises every script class; ONE source of truth for Spark and the oracle
+_SCRIPT_TAILS: tuple[tuple[str, str], ...] = (
+    ("zh_lang", " 数据处理系统"),  # Han
+    ("mod11", " Привет"),  # Cyrillic
+    ("mod13", " αβγ"),  # Greek
+    ("mod17", " مرحبا"),  # Arabic
+)
+
+
+def _script_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    tails = dict(_SCRIPT_TAILS)
+    t = F.col("text")
+    t = F.when(
+        F.col("lang") == "zh", F.concat(t, F.lit(tails["zh_lang"]))
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(t, F.lit(tails["mod11"]))
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(t, F.lit(tails["mod13"]))
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 17 == 0, F.concat(t, F.lit(tails["mod17"]))
+    ).otherwise(t)
+    return d.select("doc_id", t.alias("text"))
+
+
+def _sql_script_docs() -> str:
+    tails = dict(_SCRIPT_TAILS)
+    return f"""
+  SELECT doc_id,
+    (CASE WHEN lang = 'zh' THEN text || '{tails["zh_lang"]}' ELSE text END)
+    || (CASE WHEN doc_id % 11 = 0 THEN '{tails["mod11"]}' ELSE '' END)
+    || (CASE WHEN doc_id % 13 = 0 THEN '{tails["mod13"]}' ELSE '' END)
+    || (CASE WHEN doc_id % 17 = 0 THEN '{tails["mod17"]}' ELSE '' END) AS text
+  FROM documents
+"""
+
+
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script histogram (textops.script_mix) over the script-
+    decorated corpus: per-doc Latin/Han/Cyrillic/Greek/Arabic counts,
+    dominant script, Latin ratio — scan-speed codegen, no shuffle."""
+    return textops.script_mix(_script_docs(spark, sf_dir))
+
+
+def _sql_script_mix() -> str:
+    from .operators.textops import SCRIPT_CLASSES
+
+    counts = ",\n    ".join(
+        f"len(regexp_extract_all(text, '{re2}'))::bigint AS n_{name}"
+        for name, _, re2 in SCRIPT_CLASSES
+    )
+    names = [name for name, _, _ in SCRIPT_CLASSES]
+    dom = "'none'"
+    for i in range(len(names) - 1, -1, -1):
+        conds = [f"n_{names[i]} > 0"] + [
+            f"n_{names[i]} >= n_{other}" for other in names[i + 1 :]
+        ]
+        dom = f"CASE WHEN {' AND '.join(conds)} THEN '{names[i]}' ELSE {dom} END"
+    return f"""
+WITH d AS ({_sql_script_docs()}),
+c AS (
+  SELECT doc_id, length(text)::bigint AS n_chars,
+    {counts}
+  FROM d
+)
+SELECT doc_id, n_chars, n_latin, n_han, n_cyrillic, n_greek, n_arabic,
+  {dom} AS dominant_script,
+  CASE WHEN n_chars > 0
+       THEN floor(n_latin * 1000000 / n_chars)::bigint END AS latin_ratio_micro
+FROM c
+"""
+
+
+def q_text_density_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerpipe-style block classification (urls.text_density_blocks)
+    over the synthesized pages corpus — zero-shuffle array-HOF scoring,
+    one posexplode; nav/promo/footer blocks flag boilerplate, the main
+    text block flags content."""
+    from .operators import urls as urlops
+
+    return urlops.text_density_blocks(synthesize_pages_df(spark, sf_dir))
+
+
+# mirrors urls.text_density_blocks over the reconstructed template page:
+# chr(1)-sentinel block split, per-block text/tag/anchor counts, floor-div
+# density, 3-neighbor floor-div smoothing, threshold classification
+_SQL_TEXT_DENSITY_BLOCKS = r"""
+WITH pages AS (
+  SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+    '<html><head><meta charset="utf-8"><title>Synthetic page</title>'
+    || '<script>var t=1;</script></head><body>'
+    || '<nav><a href="/">Home</a> <a href="/about">About</a> '
+    || '<a href="/contact">Contact</a></nav>'
+    || '<div><a href="/promo">Big promo sale click here now</a></div>'
+    || '<main><p>' || text || '</p></main>'
+    || '<footer><a href="/privacy">Privacy</a> <a href="/terms">Terms</a></footer>'
+    || '</body></html>' AS h
+  FROM documents
+),
+b AS (
+  SELECT url,
+    list_filter(
+      string_split(
+        regexp_replace(h, '<(nav|div|main|footer|p)\b', chr(1) || '<\1', 'g'),
+        chr(1)),
+      x -> length(x) > 0) AS blocks
+  FROM pages
+),
+arr AS (
+  SELECT url,
+    list_transform(blocks,
+      x -> length(regexp_replace(x, '<[^>]+>', '', 'g'))::bigint) AS ntext,
+    list_transform(blocks,
+      x -> len(regexp_extract_all(x, '<[^>]+>'))::bigint) AS ntags,
+    list_transform(blocks,
+      x -> coalesce(list_sum(list_transform(
+             regexp_extract_all(x, '<a[^>]*>([^<]*)</a>', 1),
+             y -> length(y))), 0)::bigint) AS nanch
+  FROM b
+),
+d AS (
+  SELECT url, ntext, ntags, nanch,
+    list_transform(generate_series(1, len(ntext)),
+      i -> (ntext[i] * 1000000) // (ntags[i] + 1)) AS dens
+  FROM arr
+),
+s AS (
+  SELECT url, ntext, ntags, nanch, dens,
+    list_transform(generate_series(1, len(dens)), i ->
+      ((CASE WHEN i > 1 THEN dens[i-1] ELSE 0 END) + dens[i]
+       + (CASE WHEN i < len(dens) THEN dens[i+1] ELSE 0 END))
+      // ((CASE WHEN i > 1 THEN 1 ELSE 0 END) + 1
+          + (CASE WHEN i < len(dens) THEN 1 ELSE 0 END))) AS sm
+  FROM d
+),
+ex AS (
+  SELECT url, unnest(generate_series(1, len(ntext))) AS pos1,
+    unnest(ntext) AS n_text_chars, unnest(ntags) AS n_tags,
+    unnest(nanch) AS n_anchor_chars, unnest(dens) AS density_micro,
+    unnest(sm) AS smoothed_micro
+  FROM s
+)
+SELECT url, (pos1 - 1)::bigint AS block_idx, n_text_chars, n_tags,
+  n_anchor_chars, density_micro, smoothed_micro,
+  ((n_anchor_chars * 1000000) // (n_text_chars + 1))::bigint
+    AS link_density_micro,
+  (smoothed_micro > 20000000
+   AND (n_anchor_chars * 1000000) // (n_text_chars + 1) < 333333)::int
+    AS is_content
+FROM ex
+"""
+
+
+def q_host_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-host length anomalies (relational.robust_outliers):
+    lower-median + MAD of n_chars per source, all-integer distribution
+    sketch, |x - med| > 3*mad flags."""
+    return relational.robust_outliers(
+        _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+        "source",
+        "n_chars",
+    )
+
+
+# mirrors relational.robust_outliers: lower median = smallest v with
+# cum >= (n+1) div 2, over the (group, value) distribution, twice
+_SQL_HOST_LENGTH_OUTLIERS = """
+WITH v AS (SELECT doc_id, source AS grp, n_chars::bigint AS val FROM documents),
+d1 AS (SELECT grp, val, count(*) AS cnt FROM v GROUP BY 1, 2),
+c1 AS (
+  SELECT grp, val, sum(cnt) OVER (PARTITION BY grp ORDER BY val) AS cum,
+    sum(cnt) OVER (PARTITION BY grp) AS n
+  FROM d1
+),
+med AS (
+  SELECT grp, min(CASE WHEN cum >= (n + 1) // 2 THEN val END)::bigint AS med
+  FROM c1 GROUP BY 1
+),
+dev AS (
+  SELECT v.grp, abs(v.val - med.med) AS val
+  FROM v JOIN med USING (grp)
+),
+d2 AS (SELECT grp, val, count(*) AS cnt FROM dev GROUP BY 1, 2),
+c2 AS (
+  SELECT grp, val, sum(cnt) OVER (PARTITION BY grp ORDER BY val) AS cum,
+    sum(cnt) OVER (PARTITION BY grp) AS n
+  FROM d2
+),
+mad AS (
+  SELECT grp, min(CASE WHEN cum >= (n + 1) // 2 THEN val END)::bigint AS mad
+  FROM c2 GROUP BY 1
+)
+SELECT v.doc_id, v.grp AS source, v.val AS n_chars, med.med, mad.mad,
+  (abs(v.val - med.med) > 3 * mad.mad)::int AS is_outlier
+FROM v JOIN med USING (grp) JOIN mad USING (grp)
+"""
+
+
 def q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution (urls.resolve_redirects): synthesized
     redirect graph — every url whose doc_id % 8 != 0 redirects one step
@@ -5013,6 +5215,9 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-3 session-4 additions (newest first: driver-visibility)
     "dsir_weights": q_dsir_weights,
     "redirect_chains": q_redirect_chains,
+    "script_mix": q_script_mix,
+    "text_density_blocks": q_text_density_blocks,
+    "host_length_outliers": q_host_length_outliers,
     # --- round-3 late additions (never driver-checked: lead the registry)
     "bm25_scores": q_bm25_scores,
     "pmi_collocations": q_pmi_collocations,
@@ -5159,6 +5364,9 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE: dict[str, str] = {
     "dsir_weights": _SQL_DSIR_WEIGHTS,
     "redirect_chains": _SQL_REDIRECT_CHAINS,
+    "script_mix": _sql_script_mix(),
+    "text_density_blocks": _SQL_TEXT_DENSITY_BLOCKS,
+    "host_length_outliers": _SQL_HOST_LENGTH_OUTLIERS,
     "bm25_scores": _SQL_BM25,
     "pmi_collocations": _SQL_PMI,
     "c4_filters": _SQL_C4,

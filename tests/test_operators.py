@@ -2149,3 +2149,66 @@ def test_dsir_weights_direction_and_empty_doc(spark):
     assert rows[4].n_tokens == 0 and rows[4].log_weight_micro is None
     # content-addressed: same text -> same weight regardless of doc_id
     assert rows[1].log_weight_micro == rows[3].log_weight_micro
+
+
+def test_script_mix_dominance_and_ratios(spark):
+    from legal_document_ocr_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "数据处理"),            # Han only
+            (3, "ab Привет"),  # 2 latin, 6 cyr
+            (4, "abc 中文字"),              # 3 latin, 3 han: tie
+            (5, "1234 ..."),                            # no scripted chars
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textops.script_mix(docs).collect()}
+    assert rows[1].dominant_script == "latin"
+    assert rows[2].dominant_script == "han" and rows[2].n_han == 4
+    assert rows[3].dominant_script == "cyrillic" and rows[3].n_latin == 2
+    assert rows[4].dominant_script == "latin"  # tie -> SCRIPT_CLASSES order
+    assert rows[5].dominant_script == "none"
+    assert rows[1].latin_ratio_micro == 10 * 1000000 // 11
+
+
+def test_robust_outliers_median_mad(spark):
+    from legal_document_ocr_spark.operators import relational
+
+    # group a: values 10,10,10,100 -> med 10, mad 0, any deviation flags
+    # group b: 1..7 -> med 4, mad 2 (devs 3,2,1,0,1,2,3), |7-4|=3 <= 6
+    rows_in = [("a", v) for v in (10, 10, 10, 100)] + [
+        ("b", v) for v in range(1, 8)
+    ]
+    df = spark.createDataFrame(rows_in, "grp string, val long")
+    out = relational.robust_outliers(df, "grp", "val").collect()
+    a = [r for r in out if r.grp == "a"]
+    b = [r for r in out if r.grp == "b"]
+    assert all(r.med == 10 and r.mad == 0 for r in a)
+    assert sorted(r.is_outlier for r in a) == [0, 0, 0, 1]
+    assert all(r.med == 4 and r.mad == 2 for r in b)
+    assert all(r.is_outlier == 0 for r in b)
+
+
+def test_text_density_blocks_classification_and_plan(spark):
+    from legal_document_ocr_spark.operators import urls
+
+    html = (
+        '<html><body><nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+        "<main><p>"
+        + "real content text here. " * 20
+        + '</p></main><footer><a href="/p">Privacy</a></footer></body></html>'
+    ).encode("utf-8")
+    pages = spark.createDataFrame([("u1", bytearray(html))], "url string, html binary")
+    df = urls.text_density_blocks(pages.withColumn("html", F.col("html")))
+    rows = sorted(df.collect(), key=lambda r: r.block_idx)
+    flags = [r.is_content for r in rows]
+    # nav and footer are boilerplate; the long <p> block is content
+    assert flags[1] == 0 and flags[-1] == 0
+    assert any(f == 1 for f in flags)
+    content = [r for r in rows if r.is_content == 1]
+    assert all(r.link_density_micro < 333333 for r in content)
+    # the whole scoring pipeline is array HOFs on the row: NO shuffle
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
