@@ -1098,3 +1098,97 @@ def hll_distinct_by(
         n_present.cast("long").alias("n_registers_set"),
         F.floor(est).cast("long").alias("est_distinct"),
     )
+
+
+def incremental_near_dups(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold_micro: int = 500_000,
+) -> DataFrame:
+    """NEAR-dup admission control for a NEW batch against the existing
+    corpus — the production shape of continuous ingestion: ``incremental_
+    dedup`` answers "byte-identical to something we have?", this answers
+    "90%-similar to something we have?" without ever pairing the corpus
+    with itself.
+
+    Shape at 100 TB: band keys for both sides (the corpus side is exactly
+    the signature table a production pipeline PERSISTS between batches —
+    recomputed here only because the sandbox has no warehouse), then ONE
+    co-located equi-join batch-bands x corpus-bands on (band, bucket) —
+    never a corpus self-join, never a broadcast; exact Jaccard runs on the
+    candidate pairs only (verified_near_dups discipline), and the batch-
+    sized verdict joins back shuffle_hash. Scoring is all-integer:
+    jaccard_micro = floor(|∩| * 1e6 / |∪|).
+
+    Best match per batch doc = max (jaccard_micro, corpus_id) struct —
+    deterministic tie-break on corpus_id, stated identically in the oracle.
+
+    Output: one row per batch doc — (doc_id, n_candidates, best_match_id,
+    best_jaccard_micro, is_neardup); docs with no LSH candidate come back
+    (0, NULL, NULL, 0).
+    """
+    bb_b = minhash_bands(batch, text_col, k=k, num_hashes=num_hashes, bands=bands)
+    bb_c = minhash_bands(corpus, text_col, k=k, num_hashes=num_hashes, bands=bands)
+    cand = (
+        bb_b.select(F.col("doc_id").alias("batch_id"), "band", "bucket")
+        .join(
+            bb_c.select(F.col("doc_id").alias("corpus_id"), "band", "bucket")
+            .hint("shuffle_hash"),
+            ["band", "bucket"],
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    sh_b = ensure_parallelism(batch).select(
+        F.col("doc_id").alias("batch_id"),
+        shingles(F.col(text_col), k).alias("sh_b"),
+    )
+    sh_c = ensure_parallelism(corpus).select(
+        F.col("doc_id").alias("corpus_id"),
+        shingles(F.col(text_col), k).alias("sh_c"),
+    )
+    inter = F.size(F.array_intersect("sh_b", "sh_c"))
+    union = F.size("sh_b") + F.size("sh_c") - inter
+    scored = (
+        cand.join(sh_b.hint("shuffle_hash"), "batch_id")
+        .join(sh_c.hint("shuffle_hash"), "corpus_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            F.floor(inter.cast("long") * 1000000 / union).cast("long").alias(
+                "jaccard_micro"
+            ),
+        )
+    )
+    best = scored.groupBy("batch_id").agg(
+        F.count("*").alias("n_candidates"),
+        F.max(F.struct("jaccard_micro", "corpus_id")).alias("b"),
+    )
+    return (
+        batch.select(F.col("doc_id"))
+        .join(
+            best.select(
+                F.col("batch_id").alias("doc_id"),
+                "n_candidates",
+                F.col("b.corpus_id").alias("best_match_id"),
+                F.col("b.jaccard_micro").alias("best_jaccard_micro"),
+            ).hint("shuffle_hash"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            "best_match_id",
+            "best_jaccard_micro",
+            F.coalesce(
+                (F.col("best_jaccard_micro") >= threshold_micro).cast("int"),
+                F.lit(0),
+            ).alias("is_neardup"),
+        )
+    )

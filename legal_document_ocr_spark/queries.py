@@ -4992,6 +4992,96 @@ FROM c
 """
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus near-dup admission (dedup.incremental_near_dups):
+    batch = every 10th doc, with every 20th doc's text replaced by its
+    corpus neighbor's text + ' extra' (a planted near-dup); corpus = the
+    rest. Planted docs must flag, untouched batch docs must not."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    b0 = d.where(F.col("doc_id") % 10 == 0)
+    nxt = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("next_text")
+    )
+    batch = b0.join(nxt, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 20 == 0) & F.col("next_text").isNotNull(),
+            F.concat(F.col("next_text"), F.lit(" extra")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    return dedup.incremental_near_dups(batch, corpus)
+
+
+def _sql_incremental_neardup(num_hashes: int = 8, bands: int = 4) -> str:
+    # mirrors dedup.incremental_near_dups: side-tagged minhash signatures,
+    # batch-band x corpus-band equi-join, exact jaccard floor-micro on the
+    # candidates, best match = max (jaccard, corpus_id) struct
+    p = dedup.MINHASH_P
+    rows = num_hashes // bands
+    mins = ",\n    ".join(
+        f"list_aggregate(list_transform(hs, h -> ({a}::bigint * h + {b}::bigint)"
+        f" % {p}::bigint), 'min') AS mh_{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_COEFFS[:num_hashes])
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT side, doc_id, {b} AS band, md5("
+        + " || '|' || ".join(f"mh_{b * rows + r}::varchar" for r in range(rows))
+        + ") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH batch0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+nxt AS (SELECT doc_id - 1 AS doc_id, text AS next_text FROM documents),
+batch AS (
+  SELECT b.doc_id,
+    CASE WHEN b.doc_id % 20 = 0 AND n.next_text IS NOT NULL
+         THEN n.next_text || ' extra' ELSE b.text END AS text
+  FROM batch0 b LEFT JOIN nxt n USING (doc_id)
+),
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
+src AS (
+  SELECT 'b' AS side, doc_id, text FROM batch
+  UNION ALL SELECT 'c', doc_id, text FROM corpus
+),
+t AS (SELECT side, doc_id, {_TOKS} AS toks FROM src),
+sh AS (SELECT side, doc_id, {_SHINGLES_SQL} AS shingles FROM t),
+hx AS (
+  SELECT side, doc_id,
+    list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 7))::bigint) AS hs
+  FROM sh WHERE len(shingles) > 0
+),
+sig AS (SELECT side, doc_id, {mins} FROM hx),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+  FROM bands b JOIN bands c ON b.band = c.band AND b.bucket = c.bucket
+  WHERE b.side = 'b' AND c.side = 'c'
+),
+scored AS (
+  SELECT cand.batch_id, cand.corpus_id,
+    (len(list_intersect(sb.shingles, sc.shingles))::bigint * 1000000)
+      // (len(sb.shingles) + len(sc.shingles)
+          - len(list_intersect(sb.shingles, sc.shingles)))::bigint
+      AS jaccard_micro
+  FROM cand
+  JOIN sh sb ON sb.side = 'b' AND sb.doc_id = cand.batch_id
+  JOIN sh sc ON sc.side = 'c' AND sc.doc_id = cand.corpus_id
+),
+best AS (
+  SELECT batch_id, count(*) AS n_candidates,
+    max(struct_pack(j := jaccard_micro, c := corpus_id)) AS b
+  FROM scored GROUP BY 1
+)
+SELECT batch.doc_id, coalesce(best.n_candidates, 0)::bigint AS n_candidates,
+  (best.b).c AS best_match_id, (best.b).j AS best_jaccard_micro,
+  coalesce(((best.b).j >= 500000)::int, 0) AS is_neardup
+FROM batch LEFT JOIN best ON batch.doc_id = best.batch_id
+"""
+
+
 def q_text_density_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerpipe-style block classification (urls.text_density_blocks)
     over the synthesized pages corpus — zero-shuffle array-HOF scoring,
@@ -5215,6 +5305,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-3 session-4 additions (newest first: driver-visibility)
     "dsir_weights": q_dsir_weights,
     "redirect_chains": q_redirect_chains,
+    "incremental_neardup": q_incremental_neardup,
     "script_mix": q_script_mix,
     "text_density_blocks": q_text_density_blocks,
     "host_length_outliers": q_host_length_outliers,
@@ -5364,6 +5455,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE: dict[str, str] = {
     "dsir_weights": _SQL_DSIR_WEIGHTS,
     "redirect_chains": _SQL_REDIRECT_CHAINS,
+    "incremental_neardup": _sql_incremental_neardup(),
     "script_mix": _sql_script_mix(),
     "text_density_blocks": _SQL_TEXT_DENSITY_BLOCKS,
     "host_length_outliers": _SQL_HOST_LENGTH_OUTLIERS,

@@ -2212,3 +2212,29 @@ def test_text_density_blocks_classification_and_plan(spark):
     # the whole scoring pipeline is array HOFs on the row: NO shuffle
     plan = _plan(df)
     assert "Exchange" not in plan, plan
+
+
+def test_incremental_near_dups_planted_and_plan(spark):
+    from legal_document_ocr_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "completely different words live here today now")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, base + " extra"),                      # near-dup of 100
+            (2, "unrelated fresh content nobody wrote before in corpus x"),
+            (3, "ab"),                                 # < k tokens: no bands
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_near_dups(batch, corpus)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].is_neardup == 1 and rows[1].best_match_id == 100
+    assert rows[1].best_jaccard_micro >= 500000
+    assert rows[2].is_neardup == 0
+    assert rows[3].n_candidates == 0 and rows[3].best_match_id is None
+    plan = _plan(out)
+    assert "BroadcastExchange" not in plan, plan  # corpus side never broadcast
