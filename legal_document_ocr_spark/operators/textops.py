@@ -1764,3 +1764,91 @@ def script_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).cast("long"),
         )
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame, text_col: str = "text", *, n_merges: int = 3
+) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016): learn the first
+    ``n_merges`` merge rules from the corpus — the iterative loop
+    ``bpe_pair_counts`` is one round of. Output is the trained artifact:
+    (merge_rank, left_sym, right_sym, merged, pair_count).
+
+    The 100 TB shape is the one real BPE trainers use: ONE corpus-sized
+    pass builds the word-frequency VOCAB (groupBy token — map-side
+    combined, bounded by distinct words, independent of corpus row count);
+    every training round then runs on the vocab alone — pair counts are a
+    groupBy over vocab-sized rows, the argmax is a 1-row collect, and the
+    merge applies as an array fold per vocab word. The corpus is never
+    touched again after pass one.
+
+    Merge application is the greedy LEFT-TO-RIGHT non-overlapping fold of
+    the BPE definition ('l l l' + (l,l) -> 'll l', 'a b a b' + (a,b) ->
+    'ab ab'), implemented as an aggregate over the symbol array — string
+    replace() misses back-to-back occurrences because the shared boundary
+    is consumed. Tie-break: (count DESC, left ASC, right ASC), stated
+    identically in the oracle. No end-of-word marker (documented
+    simplification). ``localCheckpoint`` per round truncates lineage.
+    """
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    word = F.col("word")
+    vocab = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "word",
+            "n",
+            F.transform(
+                F.sequence(F.lit(1), F.length(word)),
+                lambda i: word.substr(i, F.lit(1)),
+            ).alias("syms"),
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pair_idx = F.sequence(F.lit(1), F.size("syms") - 1)
+        top = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.transform(
+                        pair_idx,
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("a"),
+                            F.element_at("syms", i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
+        merged = a + b
+        merges.append((rank, a, b, merged, cnt))
+        la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
+        fold = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (x == lb),
+                F.when(F.size(acc) == 1, F.array(lm)).otherwise(
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lm))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select("word", "n", fold.alias("syms")).localCheckpoint()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )

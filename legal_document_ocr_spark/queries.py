@@ -4992,6 +4992,60 @@ FROM c
 """
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (textops.bpe_train_merges): the first 3 learned
+    merge rules over the corpus vocabulary — iterative pair-count/argmax/
+    fold rounds on the bounded word-frequency table."""
+    return textops.bpe_train_merges(_docs(spark, sf_dir), n_merges=3)
+
+
+def _sql_bpe_train(n_merges: int = 3) -> str:
+    # mirrors textops.bpe_train_merges round by round: vocab pair counts,
+    # top-1 by (cnt DESC, a, b), greedy left-to-right fold via recursive CTE
+    parts = [
+        f"""
+WITH RECURSIVE v0 AS (
+  SELECT word, count(*) AS n
+  FROM (SELECT unnest({_TOKS}) AS word FROM documents) GROUP BY 1
+),
+vocab0 AS (
+  SELECT word, n,
+    list_transform(generate_series(1, length(word)),
+                   i -> substr(word, i, 1)) AS syms
+  FROM v0
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"vocab{r - 1}"
+        parts.append(
+            f""",
+pc{r} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, sum(n) AS cnt
+  FROM {prev}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  WHERE len(syms) >= 2 GROUP BY 1, 2
+),
+top{r} AS (SELECT a, b, cnt FROM pc{r} ORDER BY cnt DESC, a, b LIMIT 1),
+fold{r} AS (
+  SELECT word, n, 1 AS pos, [syms[1]] AS acc, syms FROM {prev}
+  UNION ALL
+  SELECT f.word, f.n, f.pos + 1,
+    CASE WHEN f.acc[len(f.acc)] = t.a AND f.syms[f.pos + 1] = t.b
+         THEN list_append(f.acc[1:len(f.acc) - 1], t.a || t.b)
+         ELSE list_append(f.acc, f.syms[f.pos + 1]) END,
+    f.syms
+  FROM fold{r} f CROSS JOIN top{r} t WHERE f.pos < len(f.syms)
+),
+vocab{r} AS (SELECT word, n, acc AS syms FROM fold{r} WHERE pos = len(syms))"""
+        )
+    finals = "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, cnt::bigint AS pair_count FROM top{r}"
+        for r in range(1, n_merges + 1)
+    )
+    parts.append("\n" + finals)
+    return "".join(parts)
+
+
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-corpus near-dup admission (dedup.incremental_near_dups):
     batch = every 10th doc, with every 20th doc's text replaced by its
@@ -5306,6 +5360,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "redirect_chains": q_redirect_chains,
     "incremental_neardup": q_incremental_neardup,
+    "bpe_train": q_bpe_train,
     "script_mix": q_script_mix,
     "text_density_blocks": q_text_density_blocks,
     "host_length_outliers": q_host_length_outliers,
@@ -5456,6 +5511,7 @@ ORACLE: dict[str, str] = {
     "dsir_weights": _SQL_DSIR_WEIGHTS,
     "redirect_chains": _SQL_REDIRECT_CHAINS,
     "incremental_neardup": _sql_incremental_neardup(),
+    "bpe_train": _sql_bpe_train(),
     "script_mix": _sql_script_mix(),
     "text_density_blocks": _SQL_TEXT_DENSITY_BLOCKS,
     "host_length_outliers": _SQL_HOST_LENGTH_OUTLIERS,

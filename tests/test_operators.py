@@ -2238,3 +2238,19 @@ def test_incremental_near_dups_planted_and_plan(spark):
     assert rows[3].n_candidates == 0 and rows[3].best_match_id is None
     plan = _plan(out)
     assert "BroadcastExchange" not in plan, plan  # corpus side never broadcast
+
+
+def test_bpe_train_merges_greedy_fold(spark):
+    from legal_document_ocr_spark.operators import textops
+
+    # 'aaab' x3 + 'ab' x2: round 1 pairs — (a,a): 2*3=6, (a,b): 3+2=5
+    # -> merge (a,a). Round 2 vocab: aaab=[aa,a,b], ab=[a,b]:
+    # pairs (aa,a)=3, (a,b)=5 -> merge (a,b). Round 3: aaab=[aa,ab],
+    # ab=[ab]: (aa,ab)=3 -> merge (aa,ab).
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "aaab ab")],
+        "doc_id long, text string",
+    )
+    rows = textops.bpe_train_merges(docs, n_merges=3).collect()
+    got = [(r.merge_rank, r.left_sym, r.right_sym, r.pair_count) for r in rows]
+    assert got == [(1, "a", "a", 6), (2, "a", "b", 5), (3, "aa", "ab", 3)]
