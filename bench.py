@@ -63,6 +63,10 @@ HEADLINE = [
     "gopher_repetition",      # published repetition filters (2 agg cascades)
     "bm25_scores",            # ranked retrieval (scan-speed vocab filter)
     "curation_pipeline",      # capstone: rules->dedup->decontam->shards
+    # round-3 session-4 additions
+    "text_density_blocks",    # boilerpipe block scoring (zero-shuffle HOFs)
+    "dsir_weights",           # hashed-bucket importance resampling weights
+    "incremental_neardup",    # batch-vs-corpus MinHash admission
 ]
 
 
