@@ -2254,3 +2254,83 @@ def test_bpe_train_merges_greedy_fold(spark):
     rows = textops.bpe_train_merges(docs, n_merges=3).collect()
     got = [(r.merge_rank, r.left_sym, r.right_sym, r.pair_count) for r in rows]
     assert got == [(1, "a", "a", 6), (2, "a", "b", 5), (3, "aa", "ab", 3)]
+
+
+def test_bpe_fold_matches_python_reference(spark):
+    """The Spark array-fold merge application == the greedy left-to-right
+    Python reference over adversarial overlap cases (a==b runs, abab
+    chains, merged-symbol re-pairing)."""
+    from legal_document_ocr_spark.operators import textops
+
+    words = [
+        "aaaa", "aaab", "abab", "ababa", "ba", "bbb", "abba",
+        "aabb", "baaab", "a", "b", "ab",
+    ]
+    # one doc per word, each word once: pair counts == vocab pair counts
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+
+    def py_fold(syms, a, b):
+        acc = []
+        for x in syms:
+            if acc and acc[-1] == a and x == b:
+                acc[-1] = a + b
+            else:
+                acc.append(x)
+        return acc
+
+    def py_train(words, n_merges):
+        vocab = {w: list(w) for w in words}
+        merges = []
+        for rank in range(1, n_merges + 1):
+            counts: dict = {}
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] = (
+                        counts.get((syms[i], syms[i + 1]), 0) + 1
+                    )
+            if not counts:
+                break
+            (a, b), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, a, b, a + b, cnt))
+            vocab = {w: py_fold(s, a, b) for w, s in vocab.items()}
+        return merges
+
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in textops.bpe_train_merges(docs, n_merges=4).collect()
+    ]
+    assert got == py_train(words, 4)
+
+
+def test_resolve_redirects_matches_python_walk(spark):
+    """Pointer doubling == the naive per-node chain walk on a seeded
+    acyclic functional graph with gaps and long chains."""
+    import random
+
+    from legal_document_ocr_spark.operators import urls
+
+    rng = random.Random(42)
+    n = 120
+    succ = {}
+    for i in range(1, n):
+        if rng.random() < 0.8:  # 20% terminals; edges only point downward
+            succ[i] = rng.randrange(0, i)
+    edges = spark.createDataFrame(
+        [(f"u{s}", f"u{d}") for s, d in succ.items()], "src string, dst string"
+    )
+    nodes = spark.createDataFrame(
+        [(f"u{i}",) for i in range(n)], "url string"
+    )
+    got = {
+        r.url: (r.final_url, r.hops, r.resolved)
+        for r in urls.resolve_redirects(edges, nodes).collect()
+    }
+    for i in range(n):
+        cur, hops = i, 0
+        while cur in succ:
+            cur, hops = succ[cur], hops + 1
+        assert got[f"u{i}"] == (f"u{cur}", hops, 1), i
