@@ -4992,6 +4992,57 @@ FROM c
 """
 
 
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity gate (composition): lm_scores NLL per doc,
+    EXACT per-language p90 threshold via the bounded distribution sketch
+    (grouped_quantiles machinery), keep docs at or below their language's
+    p90. Unscorable docs (< 2 chars) are excluded by contract. The
+    threshold table is language-sized — one of the few legitimately
+    broadcast-able frames in the repo."""
+    d = _docs(spark, sf_dir)
+    scored = (
+        textops.lm_scores(d)
+        .where(F.col("nll_micro").isNotNull())
+        .join(d.select("doc_id", "lang").hint("shuffle_hash"), "doc_id")
+    )
+    thr = relational.grouped_quantiles(
+        scored, "lang", "nll_micro", qs_ppm=(900000,)
+    ).select(F.col("lang"), F.col("q_900000").alias("p90_nll_micro"))
+    return scored.join(F.broadcast(thr), "lang").select(
+        "doc_id",
+        "lang",
+        "nll_micro",
+        "p90_nll_micro",
+        (F.col("nll_micro") <= F.col("p90_nll_micro")).cast("int").alias("keep"),
+    )
+
+
+_SQL_PERPLEXITY_FILTER = f"""
+WITH lm AS ({_SQL_LM_SCORES}),
+j AS (
+  SELECT lm.doc_id, d.lang, lm.nll_micro
+  FROM lm JOIN documents d USING (doc_id)
+  WHERE lm.nll_micro IS NOT NULL
+),
+dist AS (SELECT lang, nll_micro AS val, count(*) AS cnt FROM j GROUP BY 1, 2),
+cum AS (
+  SELECT lang, val,
+    sum(cnt) OVER (PARTITION BY lang ORDER BY val) AS cum,
+    sum(cnt) OVER (PARTITION BY lang) AS n
+  FROM dist
+),
+thr AS (
+  SELECT lang,
+    min(CASE WHEN cum >= (900000 * n + 999999) // 1000000 THEN val END)::bigint
+      AS p90_nll_micro
+  FROM cum GROUP BY lang
+)
+SELECT j.doc_id, j.lang, j.nll_micro, thr.p90_nll_micro,
+  (j.nll_micro <= thr.p90_nll_micro)::int AS keep
+FROM j JOIN thr USING (lang)
+"""
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge training (textops.bpe_train_merges): the first 3 learned
     merge rules over the corpus vocabulary — iterative pair-count/argmax/
@@ -5361,6 +5412,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redirect_chains": q_redirect_chains,
     "incremental_neardup": q_incremental_neardup,
     "bpe_train": q_bpe_train,
+    "perplexity_filter": q_perplexity_filter,
     "script_mix": q_script_mix,
     "text_density_blocks": q_text_density_blocks,
     "host_length_outliers": q_host_length_outliers,
@@ -5512,6 +5564,7 @@ ORACLE: dict[str, str] = {
     "redirect_chains": _SQL_REDIRECT_CHAINS,
     "incremental_neardup": _sql_incremental_neardup(),
     "bpe_train": _sql_bpe_train(),
+    "perplexity_filter": _SQL_PERPLEXITY_FILTER,
     "script_mix": _sql_script_mix(),
     "text_density_blocks": _SQL_TEXT_DENSITY_BLOCKS,
     "host_length_outliers": _SQL_HOST_LENGTH_OUTLIERS,
