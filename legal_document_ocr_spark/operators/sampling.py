@@ -218,3 +218,82 @@ def dsir_log_weights(
             ).alias("log_weight_micro"),
         )
     )
+
+
+def source_kl_divergence(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    group_col: str = "source",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-source distribution drift vs the whole corpus: the plug-in KL
+    estimate over hashed-token buckets — observed-frequency outer weights,
+    add-1-smoothed inner probabilities (zero-count buckets contribute 0 by
+    construction). The mixture-monitoring dual of [[dsir_log_weights]]:
+    DSIR scores documents against a target; this scores SOURCES against
+    the corpus, the drift alarm of a multi-source ingestion pipeline (a
+    feed whose KL jumps changed its content mix or got spam-injected).
+
+    100 TB shape: one corpus explode feeds BOTH distributions as map-side-
+    combined groupBys onto bounded keys ((group, bucket) and (bucket)); the
+    corpus log-prob table is n_buckets rows and broadcasts; per-group sums
+    are decimal (order-independent), ONE double division + floor(micro) at
+    the end per group. Nothing corpus-sized shuffles except the token
+    explode itself.
+
+    Output: (source, n_tokens, kl_micro).
+    """
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    g = F.col(group_col)
+
+    def _bucket(c: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("bigint")
+            % n_buckets
+        )
+
+    ex = docs.select(g.alias("_grp"), F.explode(toks).alias("tok")).select(
+        "_grp", _bucket(F.col("tok")).alias("bucket")
+    )
+    gb = ex.groupBy("_grp", "bucket").agg(F.count("*").alias("s_gb"))
+    corpus = ex.groupBy("bucket").agg(F.count("*").alias("c_b"))
+    n_corpus = corpus.agg(F.sum("c_b")).collect()[0][0] or 0
+    c_logp = corpus.select(
+        "bucket",
+        F.round(
+            F.log(
+                (F.col("c_b") + F.lit(1)).cast("double")
+                / F.lit(float(n_corpus + n_buckets))
+            ),
+            12,
+        )
+        .cast("decimal(20,12)")
+        .alias("lnc"),
+    )
+    totals = gb.groupBy("_grp").agg(F.sum("s_gb").alias("n_g"))
+    term = F.col("s_gb").cast("decimal(18,0)") * (
+        F.round(
+            F.log(
+                (F.col("s_gb") + F.lit(1)).cast("double")
+                / (F.col("n_g") + F.lit(n_buckets)).cast("double")
+            ),
+            12,
+        ).cast("decimal(20,12)")
+        - F.col("lnc")
+    )
+    return (
+        gb.join(totals.hint("shuffle_hash"), "_grp")
+        .join(F.broadcast(c_logp), "bucket")
+        .groupBy("_grp")
+        .agg(F.max("n_g").alias("n_tokens"), F.sum(term).alias("s"))
+        .select(
+            F.col("_grp").alias(group_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.floor(
+                F.col("s").cast("double") / F.col("n_tokens") * 1000000.0
+            )
+            .cast("long")
+            .alias("kl_micro"),
+        )
+    )

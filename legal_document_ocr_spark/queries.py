@@ -4992,6 +4992,80 @@ FROM c
 """
 
 
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL drift vs the corpus (sampling.source_kl_divergence):
+    plug-in estimate over 1024 hashed-token buckets — the mixture-
+    monitoring dual of dsir_weights."""
+    from .operators import sampling
+
+    return sampling.source_kl_divergence(_docs(spark, sf_dir))
+
+
+# mirrors sampling.source_kl_divergence: md5-bucket dists, add-1 smoothing,
+# round(ln,12) decimal terms weighted by observed counts, floor-micro emit
+_SQL_SOURCE_DIVERGENCE = """
+WITH ex AS (
+  SELECT source AS grp,
+    ('0x' || substr(md5(unnest(regexp_split_to_array(trim(lower(text)),
+      '\\s+'))), 1, 7))::bigint % 1024 AS bucket
+  FROM documents
+),
+gb AS (SELECT grp, bucket, count(*) AS s_gb FROM ex GROUP BY 1, 2),
+corpus AS (SELECT bucket, count(*) AS c_b FROM ex GROUP BY 1),
+tot AS (SELECT sum(c_b) AS n_c FROM corpus),
+clog AS (
+  SELECT bucket,
+    round(ln((c_b + 1) / (n_c + 1024)::double), 12)::decimal(20,12) AS lnc
+  FROM corpus CROSS JOIN tot
+),
+totals AS (SELECT grp, sum(s_gb) AS n_g FROM gb GROUP BY 1),
+agg AS (
+  SELECT gb.grp, max(totals.n_g) AS n_tokens,
+    sum(gb.s_gb::decimal(18,0) * (
+      round(ln((gb.s_gb + 1) / (totals.n_g + 1024)::double), 12)::decimal(20,12)
+      - clog.lnc)) AS s
+  FROM gb JOIN totals USING (grp) JOIN clog USING (bucket)
+  GROUP BY gb.grp
+)
+SELECT grp AS source, n_tokens::bigint AS n_tokens,
+  floor(s::double / n_tokens * 1000000.0)::bigint AS kl_micro
+FROM agg
+"""
+
+
+def q_wet_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET serialization of the FLAGSHIP pipeline output (warc.wet_records):
+    run the full extraction over the synthesized pages, then emit Common-
+    Crawl conversion records. The oracle reconstructs the byte-exact record
+    from the golden text contract (whitespace-collapsed trim), so this one
+    query gates extraction text, sha256 digest, octet length and date
+    formatting end to end."""
+    from .sources.warc import wet_records
+
+    out = run_extraction(synthesize_pages_df(_utc(spark), sf_dir))
+    return wet_records(out)  # extraction output carries warc_ts lineage
+
+
+_SQL_WET_RECORDS = r"""
+WITH x AS (
+  SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+    make_timestamp((1704067200 + doc_id) * 1000000) AS ts,
+    trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+  FROM documents
+)
+SELECT url,
+  'WARC/1.0' || chr(13) || chr(10)
+  || 'WARC-Type: conversion' || chr(13) || chr(10)
+  || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+  || 'WARC-Date: ' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ') || chr(13) || chr(10)
+  || 'WARC-Block-Digest: sha256:' || sha256(t) || chr(13) || chr(10)
+  || 'Content-Type: text/plain' || chr(13) || chr(10)
+  || 'Content-Length: ' || octet_length(encode(t))
+  || chr(13) || chr(10) || chr(13) || chr(10) || t AS record
+FROM x
+"""
+
+
 def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity gate (composition): lm_scores NLL per doc,
     EXACT per-language p90 threshold via the bounded distribution sketch
@@ -5413,6 +5487,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_neardup": q_incremental_neardup,
     "bpe_train": q_bpe_train,
     "perplexity_filter": q_perplexity_filter,
+    "wet_records": q_wet_records,
+    "source_divergence": q_source_divergence,
     "script_mix": q_script_mix,
     "text_density_blocks": q_text_density_blocks,
     "host_length_outliers": q_host_length_outliers,
@@ -5565,6 +5641,8 @@ ORACLE: dict[str, str] = {
     "incremental_neardup": _sql_incremental_neardup(),
     "bpe_train": _sql_bpe_train(),
     "perplexity_filter": _SQL_PERPLEXITY_FILTER,
+    "wet_records": _SQL_WET_RECORDS,
+    "source_divergence": _SQL_SOURCE_DIVERGENCE,
     "script_mix": _sql_script_mix(),
     "text_density_blocks": _SQL_TEXT_DENSITY_BLOCKS,
     "host_length_outliers": _SQL_HOST_LENGTH_OUTLIERS,

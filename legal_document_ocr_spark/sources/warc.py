@@ -285,3 +285,44 @@ def revisit_dedup(captures: DataFrame) -> DataFrame:
             ~is_first, F.split(F.col("_first"), "\t").getItem(3).cast("long")
         ).alias("orig_offset"),
     )
+
+
+def wet_records(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "extracted_text",
+) -> DataFrame:
+    """Serialize extraction output as WARC *conversion* ("WET") records —
+    the Common-Crawl ecosystem's extracted-text interchange format and the
+    natural SINK of the flagship pipeline (parse_warc_records is its
+    source-side mirror). One codegen concat per row at scan speed: headers
+    (Target-URI, Date, sha256 Block-Digest, Content-Type text/plain,
+    Content-Length in OCTETS of the UTF-8 payload) + blank line + text.
+
+    Content-Length counts bytes, not characters — multibyte text diverges,
+    and downstream octet-offset readers (cdx_index) depend on it.
+
+    Output: (url, record). Reference analogue: the per-document result
+    serialization in document_service.py:48-50, recast as the CC archive
+    format.
+    """
+    url, ts = F.col(url_col), F.col(ts_col)
+    text = F.col(text_col)
+    payload_bytes = F.encode(text, "UTF-8")
+    record = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: conversion" + _CRLF),
+        F.lit("WARC-Target-URI: "), url, F.lit(_CRLF),
+        F.lit("WARC-Date: "),
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit(_CRLF),
+        F.lit("WARC-Block-Digest: sha256:"), F.sha2(payload_bytes, 256),
+        F.lit(_CRLF),
+        F.lit("Content-Type: text/plain" + _CRLF),
+        F.lit("Content-Length: "),
+        F.length(payload_bytes).cast("string"),
+        F.lit(_CRLF + _CRLF),
+        text,
+    )
+    return df.select(url.alias("url"), record.alias("record"))
