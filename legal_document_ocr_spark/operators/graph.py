@@ -181,3 +181,63 @@ def hits(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def reciprocal_links(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    min_out: int = 1,
+    farm_ratio_micro: int = 500_000,
+) -> DataFrame:
+    """Link-farm signal over the host graph: hosts whose out-links are
+    mostly RECIPROCATED (A->B and B->A) are exchanging links rather than
+    citing — the classic link-spam tell PageRank alone rewards instead of
+    punishing (TrustRank-family heuristic).
+
+    Shape at crawl scale: dedupe the edge list, then ONE co-located
+    left-semi self-join of the edge list against its own reversal on the
+    full (src, dst) key — both sides corpus-sized, shuffle_hash pinned,
+    nothing broadcast, payloads are (string, string). Per-host counts are
+    map-side-combined; the per-host flag is pure arithmetic. Self-loops
+    are excluded up front (a self-link is trivially "reciprocal").
+
+    Output: (host, n_out, n_mutual, mutual_ratio_micro, is_link_farm).
+
+    Cache lifetime: the deduped edge list is persisted (it feeds three
+    consumers) and the returned frame is lazy, so the entry lives in the
+    SQL CacheManager until ``spark.catalog.clearCache()`` or session end —
+    same contract as the dedup-module reuse-boundary persists.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = e.join(rev.hint("shuffle_hash"), ["src", "dst"], "left_semi")
+    out_counts = e.groupBy("src").agg(F.count("*").alias("n_out"))
+    mut_counts = mutual.groupBy("src").agg(F.count("*").alias("n_mutual"))
+    ratio = F.floor(
+        F.col("n_mutual").cast("long") * 1000000 / F.col("n_out")
+    ).cast("long")
+    return (
+        out_counts.join(mut_counts.hint("shuffle_hash"), "src", "left")
+        .select(
+            F.col("src").alias("host"),
+            F.col("n_out").cast("long").alias("n_out"),
+            F.coalesce("n_mutual", F.lit(0)).cast("long").alias("n_mutual"),
+            F.coalesce(ratio, F.lit(0)).alias("mutual_ratio_micro"),
+            (
+                (F.col("n_out") >= min_out)
+                & (
+                    F.coalesce(ratio, F.lit(0))
+                    >= farm_ratio_micro
+                )
+            )
+            .cast("int")
+            .alias("is_link_farm"),
+        )
+    )

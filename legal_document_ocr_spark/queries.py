@@ -4992,6 +4992,44 @@ FROM c
 """
 
 
+def q_link_farms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-link farm detection (graph.reciprocal_links) over the
+    deterministic host graph shared with host_pagerank."""
+    from .operators import graph
+
+    return graph.reciprocal_links(_host_graph_edges(spark, sf_dir))
+
+
+_SQL_LINK_FARMS = """
+WITH hosts AS (SELECT DISTINCT source FROM documents),
+e0 AS (
+  SELECT source AS src,
+    'src' || ((regexp_replace(source, '^src', '')::int
+               * regexp_replace(source, '^src', '')::int + 1) % 20) AS dst
+  FROM hosts
+  UNION
+  SELECT source,
+    'src' || ((regexp_replace(source, '^src', '')::int * 3 + 1) % 20)
+  FROM hosts
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),
+mutual AS (
+  SELECT e.src, e.dst FROM e
+  WHERE EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)
+),
+oc AS (SELECT src, count(*) AS n_out FROM e GROUP BY 1),
+mc AS (SELECT src, count(*) AS n_mutual FROM mutual GROUP BY 1)
+SELECT oc.src AS host, oc.n_out::bigint AS n_out,
+  coalesce(mc.n_mutual, 0)::bigint AS n_mutual,
+  coalesce((mc.n_mutual * 1000000) // oc.n_out, 0)::bigint
+    AS mutual_ratio_micro,
+  (oc.n_out >= 1 AND
+   coalesce((mc.n_mutual * 1000000) // oc.n_out, 0) >= 500000)::int
+    AS is_link_farm
+FROM oc LEFT JOIN mc USING (src)
+"""
+
+
 def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KL drift vs the corpus (sampling.source_kl_divergence):
     plug-in estimate over 1024 hashed-token buckets — the mixture-
@@ -5489,6 +5527,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_filter": q_perplexity_filter,
     "wet_records": q_wet_records,
     "source_divergence": q_source_divergence,
+    "link_farms": q_link_farms,
     "script_mix": q_script_mix,
     "text_density_blocks": q_text_density_blocks,
     "host_length_outliers": q_host_length_outliers,
@@ -5643,6 +5682,7 @@ ORACLE: dict[str, str] = {
     "perplexity_filter": _SQL_PERPLEXITY_FILTER,
     "wet_records": _SQL_WET_RECORDS,
     "source_divergence": _SQL_SOURCE_DIVERGENCE,
+    "link_farms": _SQL_LINK_FARMS,
     "script_mix": _sql_script_mix(),
     "text_density_blocks": _SQL_TEXT_DENSITY_BLOCKS,
     "host_length_outliers": _SQL_HOST_LENGTH_OUTLIERS,

@@ -2334,3 +2334,26 @@ def test_resolve_redirects_matches_python_walk(spark):
         while cur in succ:
             cur, hops = succ[cur], hops + 1
         assert got[f"u{i}"] == (f"u{cur}", hops, 1), i
+
+
+def test_reciprocal_links_flags_and_plan(spark):
+    from legal_document_ocr_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),            # farm pair
+            ("a", "b"),                        # duplicate edge collapses
+            ("c", "a"),                        # one-way
+            ("d", "d"),                        # self-loop excluded
+            ("c", "e"), ("e", "c"),            # c: 1 of 2 reciprocated
+        ],
+        "src string, dst string",
+    )
+    rows = {r.host: r for r in graph.reciprocal_links(edges).collect()}
+    assert rows["a"].n_out == 1 and rows["a"].is_link_farm == 1
+    assert rows["b"].is_link_farm == 1
+    assert rows["c"].n_out == 2 and rows["c"].n_mutual == 1
+    assert rows["c"].mutual_ratio_micro == 500000 and rows["c"].is_link_farm == 1
+    assert "d" not in rows  # self-loop-only host has no real out-links
+    plan = _plan(graph.reciprocal_links(edges))
+    assert "BroadcastExchange" not in plan, plan
