@@ -1852,3 +1852,77 @@ def bpe_train_merges(
         "merge_rank int, left_sym string, right_sym string, "
         "merged string, pair_count bigint",
     )
+
+
+def bpe_tokenize_counts(
+    docs: DataFrame, text_col: str = "text", *, n_merges: int = 3
+) -> DataFrame:
+    """The APPLY half of BPE: train ``n_merges`` rules (bpe_train_merges),
+    tokenize the corpus with them, and report per-document token counts —
+    the fertility statistic (BPE tokens per word) that sizes a training
+    run's token budget.
+
+    Scale shape: training already left a (word -> merged symbols) VOCAB
+    table; applying it to the corpus is ONE explode + ONE shuffle_hash
+    join on word + ONE groupBy(doc_id) — the corpus-sized path never
+    re-runs the fold, it just looks up each word's symbol count. The vocab
+    is bounded by distinct words, not corpus rows (shuffle-joined, never
+    broadcast — web-scale vocabularies are multi-GB).
+
+    Output: (doc_id, n_words, n_bpe_tokens) — empty docs (0, 0).
+    """
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    word = F.col("word")
+    vocab = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "word",
+            "n",
+            F.transform(
+                F.sequence(F.lit(1), F.length(word)),
+                lambda i: word.substr(i, F.lit(1)),
+            ).alias("syms"),
+        )
+        .localCheckpoint()
+    )
+    def _merge_fold(a: str, b: str) -> Column:
+        la, lb, lm = F.lit(a), F.lit(b), F.lit(a + b)
+        return F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (x == lb),
+                F.when(F.size(acc) == 1, F.array(lm)).otherwise(
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lm))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    merges = bpe_train_merges(docs, text_col, n_merges=n_merges).collect()
+    for m in merges:
+        vocab = vocab.select(
+            "word", "n", _merge_fold(m.left_sym, m.right_sym).alias("syms")
+        ).localCheckpoint()
+    counts = vocab.select("word", F.size("syms").alias("n_syms"))
+    per_doc = (
+        docs.select("doc_id", F.explode(toks).alias("word"))
+        .join(counts.hint("shuffle_hash"), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )

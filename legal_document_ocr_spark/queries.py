@@ -4992,6 +4992,51 @@ FROM c
 """
 
 
+def q_warc_http_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-layer Common-Crawl record parse (warc.parse_http_response):
+    WARC envelope -> HTTP/1.1 message -> (status, content-type, charset,
+    body) — 404s and charset-less responses planted deterministically."""
+    from .sources.warc import parse_http_response, parse_warc_records
+    from .sources.warc import synthesize_warc_http_df
+
+    recs = synthesize_warc_http_df(spark, sf_dir)
+    parsed = parse_http_response(parse_warc_records(recs))
+    return parsed.select(
+        "url",
+        "status_code",
+        "content_type",
+        "charset",
+        F.length("body").cast("long").alias("body_chars"),
+        F.conv(F.substring(F.md5("body"), 1, 7), 16, 10)
+        .cast("bigint")
+        .alias("body_h"),
+    )
+
+
+_SQL_WARC_HTTP_PARSE = """
+WITH pages AS (
+  SELECT doc_id,
+    'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+    '<html><head><meta charset="utf-8"><title>Synthetic page</title>'
+    || '<script>var t=1;</script></head><body>'
+    || '<nav><a href="/">Home</a> <a href="/about">About</a> '
+    || '<a href="/contact">Contact</a></nav>'
+    || '<div><a href="/promo">Big promo sale click here now</a></div>'
+    || '<main><p>' || text || '</p></main>'
+    || '<footer><a href="/privacy">Privacy</a> <a href="/terms">Terms</a></footer>'
+    || '</body></html>' AS h
+  FROM documents
+)
+SELECT url,
+  CASE WHEN doc_id % 19 = 0 THEN 404 ELSE 200 END AS status_code,
+  'text/html' AS content_type,
+  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 'utf-8' END AS charset,
+  length(h)::bigint AS body_chars,
+  ('0x' || substr(md5(h), 1, 7))::bigint AS body_h
+FROM pages
+"""
+
+
 def q_link_farms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-link farm detection (graph.reciprocal_links) over the
     deterministic host graph shared with host_pagerank."""
@@ -5162,7 +5207,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bpe_train_merges(_docs(spark, sf_dir), n_merges=3)
 
 
-def _sql_bpe_train(n_merges: int = 3) -> str:
+def _sql_bpe_ctes(n_merges: int = 3) -> str:
     # mirrors textops.bpe_train_merges round by round: vocab pair counts,
     # top-1 by (cnt DESC, a, b), greedy left-to-right fold via recursive CTE
     parts = [
@@ -5200,13 +5245,41 @@ fold{r} AS (
 ),
 vocab{r} AS (SELECT word, n, acc AS syms FROM fold{r} WHERE pos = len(syms))"""
         )
+    return "".join(parts)
+
+
+def _sql_bpe_train(n_merges: int = 3) -> str:
     finals = "\nUNION ALL ".join(
         f"SELECT {r} AS merge_rank, a AS left_sym, b AS right_sym,"
         f" a || b AS merged, cnt::bigint AS pair_count FROM top{r}"
         for r in range(1, n_merges + 1)
     )
-    parts.append("\n" + finals)
-    return "".join(parts)
+    return _sql_bpe_ctes(n_merges) + "\n" + finals
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE apply / fertility (textops.bpe_tokenize_counts): tokenize the
+    corpus with the 3 learned merges; per-doc word and BPE-token counts."""
+    return textops.bpe_tokenize_counts(_docs(spark, sf_dir), n_merges=3)
+
+
+def _sql_bpe_fertility(n_merges: int = 3) -> str:
+    # train CTEs shared verbatim with the bpe_train oracle, then ONE word
+    # explode joined to the final vocab symbol counts
+    return (
+        _sql_bpe_ctes(n_merges)
+        + f""",
+wc AS (SELECT word, len(syms)::bigint AS n_syms FROM vocab{n_merges}),
+e AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+pd AS (
+  SELECT e.doc_id, count(*) AS n_words, sum(wc.n_syms) AS n_bpe_tokens
+  FROM e JOIN wc USING (word) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(pd.n_words, 0)::bigint AS n_words,
+  coalesce(pd.n_bpe_tokens, 0)::bigint AS n_bpe_tokens
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+    )
 
 
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5524,10 +5597,12 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redirect_chains": q_redirect_chains,
     "incremental_neardup": q_incremental_neardup,
     "bpe_train": q_bpe_train,
+    "bpe_fertility": q_bpe_fertility,
     "perplexity_filter": q_perplexity_filter,
     "wet_records": q_wet_records,
     "source_divergence": q_source_divergence,
     "link_farms": q_link_farms,
+    "warc_http_parse": q_warc_http_parse,
     "script_mix": q_script_mix,
     "text_density_blocks": q_text_density_blocks,
     "host_length_outliers": q_host_length_outliers,
@@ -5679,10 +5754,12 @@ ORACLE: dict[str, str] = {
     "redirect_chains": _SQL_REDIRECT_CHAINS,
     "incremental_neardup": _sql_incremental_neardup(),
     "bpe_train": _sql_bpe_train(),
+    "bpe_fertility": _sql_bpe_fertility(),
     "perplexity_filter": _SQL_PERPLEXITY_FILTER,
     "wet_records": _SQL_WET_RECORDS,
     "source_divergence": _SQL_SOURCE_DIVERGENCE,
     "link_farms": _SQL_LINK_FARMS,
+    "warc_http_parse": _SQL_WARC_HTTP_PARSE,
     "script_mix": _sql_script_mix(),
     "text_density_blocks": _SQL_TEXT_DENSITY_BLOCKS,
     "host_length_outliers": _SQL_HOST_LENGTH_OUTLIERS,

@@ -326,3 +326,75 @@ def wet_records(
         text,
     )
     return df.select(url.alias("url"), record.alias("record"))
+
+
+def synthesize_warc_http_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC response records whose payload is a FULL HTTP/1.1 response
+    (status line + headers + body) — the real Common-Crawl layering, which
+    synthesize_warc_df simplifies away. Deterministic variation: every
+    19th doc is a 404, every 5th omits the charset parameter."""
+    from .pages import synthesize_pages_df
+
+    pages = synthesize_pages_df(spark, sf_dir)
+    doc_id = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+    status = F.when(doc_id % 19 == 0, F.lit("404 Not Found")).otherwise(
+        F.lit("200 OK")
+    )
+    ctype = F.when(doc_id % 5 == 0, F.lit("text/html")).otherwise(
+        F.lit("text/html; charset=utf-8")
+    )
+    html_txt = F.decode(F.col("html"), "UTF-8")
+    http = F.concat(
+        F.lit("HTTP/1.1 "), status, F.lit(_CRLF),
+        F.lit("Content-Type: "), ctype, F.lit(_CRLF),
+        F.lit("Content-Length: "),
+        F.length(F.col("html")).cast("string"),
+        F.lit(_CRLF + _CRLF),
+        html_txt,
+    )
+    record = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: response" + _CRLF),
+        F.lit("WARC-Target-URI: "), F.col("url"), F.lit(_CRLF),
+        F.lit("Content-Length: "),
+        F.length(F.encode(http, "UTF-8")).cast("string"),
+        F.lit(_CRLF + _CRLF),
+        http,
+    )
+    return pages.select(
+        F.xxhash64("url").alias("record_id"), record.alias("record")
+    )
+
+
+_HTTP_STATUS_RE = r"^HTTP/1\.[01] (\d{3})"
+_HTTP_CTYPE_RE = r"(?mi)^Content-Type:\s*([^\r\n;]+)"
+_HTTP_CHARSET_RE = r"(?mi)^Content-Type:[^\r\n]*;\s*charset=([^\r\n;\s]+)"
+
+
+def parse_http_response(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Split an HTTP/1.1 response payload into (status_code, content_type,
+    charset, body) — the second parse layer of a real Common-Crawl
+    response record (parse_warc_records handles the WARC envelope; this
+    handles the HTTP message inside it). Pure codegen expressions: status
+    from the anchored first line, headers from line-anchored
+    case-insensitive regexps over the head only (a body cannot spoof
+    headers), body = everything after the first blank line. Absent
+    charset comes back NULL — the caller's decode-fallback chain
+    (kernels.decode_html) owns that policy.
+    """
+    p = F.col(payload_col)
+    head = F.substring_index(p, _CRLF + _CRLF, 1)
+    body = p.substr(F.length(head) + F.lit(5), F.length(p))
+    charset = F.regexp_extract(head, _HTTP_CHARSET_RE, 1)
+    return df.withColumns(
+        {
+            "status_code": F.regexp_extract(head, _HTTP_STATUS_RE, 1).cast(
+                "int"
+            ),
+            "content_type": F.regexp_extract(head, _HTTP_CTYPE_RE, 1),
+            "charset": F.when(charset != "", F.lower(charset)),
+            "body": body,
+        }
+    ).drop(payload_col)

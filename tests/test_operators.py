@@ -2357,3 +2357,29 @@ def test_reciprocal_links_flags_and_plan(spark):
     assert "d" not in rows  # self-loop-only host has no real out-links
     plan = _plan(graph.reciprocal_links(edges))
     assert "BroadcastExchange" not in plan, plan
+
+
+def test_parse_http_response_header_spoof_and_missing(spark):
+    from legal_document_ocr_spark.sources.warc import parse_http_response
+
+    crlf = "\r\n"
+    good = (
+        "HTTP/1.1 200 OK" + crlf
+        + "Content-Type: text/html; charset=UTF-8" + crlf + crlf
+        + "body here" + crlf
+        + "Content-Type: text/plain"  # body must NOT spoof headers
+    )
+    no_charset = (
+        "HTTP/1.0 404 Not Found" + crlf
+        + "Content-Type: application/pdf" + crlf + crlf
+        + "x"
+    )
+    df = spark.createDataFrame(
+        [(1, good), (2, no_charset)], "id long, payload string"
+    )
+    rows = {r.id: r for r in parse_http_response(df).collect()}
+    assert rows[1].status_code == 200 and rows[1].charset == "utf-8"
+    assert rows[1].content_type == "text/html"
+    assert rows[1].body.startswith("body here")
+    assert rows[2].status_code == 404 and rows[2].charset is None
+    assert rows[2].content_type == "application/pdf"
