@@ -11,12 +11,29 @@
 - ``relational`` — the reference's query surface (listing / filter /
   pagination / point lookup, document_service.py:83-229) plus the
   aggregation/window/join operator battery from SURVEY.md §2.2-2.8.
-- ``multimodal`` — opaque binary columns with typed metadata; decode /
-  feature-extract plumbing over mapInPandas (decode kernels stubbed —
-  image/audio libs absent in this environment).
+- ``multimodal`` — opaque binary columns with typed metadata; REAL
+  pure-stdlib decode (PNG/BMP/WAV/baseline-JPEG/GIF) + feature extraction
+  over mapInPandas with per-record error isolation (only WebP/video remain
+  declared stubs).
+- ``urls``       — URL canonicalization, link/anchor/metadata extraction,
+  robots.txt + politeness, sitemaps, DOM stats, boilerpipe block
+  classification, redirect resolution.
+- ``graph``      — host PageRank, HITS, reciprocal-link farm detection.
+- ``sampling``   — content-addressed deterministic/stratified/mixture
+  sampling, DSIR importance weights, per-source KL drift.
 
-Every function takes DataFrames in, DataFrame out — no collect, no
-driver-side loops; oracle parity notes live next to each operator.
+Every function takes DataFrames in, DataFrame out — no row-at-a-time
+Python, no driver-side loops beyond scalar aggregates; oracle parity notes
+live next to each operator.
 """
 
-from . import dedup, relational, similarity, textops  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    graph,
+    multimodal,
+    relational,
+    sampling,
+    similarity,
+    textops,
+    urls,
+)

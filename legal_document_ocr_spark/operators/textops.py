@@ -1862,12 +1862,14 @@ def bpe_tokenize_counts(
     the fertility statistic (BPE tokens per word) that sizes a training
     run's token budget.
 
-    Scale shape: training already left a (word -> merged symbols) VOCAB
-    table; applying it to the corpus is ONE explode + ONE shuffle_hash
-    join on word + ONE groupBy(doc_id) — the corpus-sized path never
-    re-runs the fold, it just looks up each word's symbol count. The vocab
-    is bounded by distinct words, not corpus rows (shuffle-joined, never
-    broadcast — web-scale vocabularies are multi-GB).
+    Scale shape: the APPLY path is ONE explode + ONE shuffle_hash join on
+    word against the (word -> merged symbols) vocab + ONE groupBy(doc_id)
+    — the corpus-sized path never runs the fold, it looks up each word's
+    symbol count. The vocab is bounded by distinct words, not corpus rows
+    (shuffle-joined, never broadcast — web-scale vocabularies are
+    multi-GB). This function trains in place for self-containment; a
+    production pipeline persists the trained vocab between runs and skips
+    straight to the lookup join.
 
     Output: (doc_id, n_words, n_bpe_tokens) — empty docs (0, 0).
     """
