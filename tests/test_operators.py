@@ -2383,3 +2383,40 @@ def test_parse_http_response_header_spoof_and_missing(spark):
     assert rows[1].body.startswith("body here")
     assert rows[2].status_code == 404 and rows[2].charset is None
     assert rows[2].content_type == "application/pdf"
+
+
+def test_session4_plans_have_no_corpus_broadcasts(spark):
+    """Session-4 operators that join corpus-sized computed frames: the
+    per-host stats table (hosts ~1e8 at crawl scale), the redirect pointer
+    table, the batch-vs-corpus band tables, the link-farm edge reversal
+    and the BPE vocab (multi-GB at web scale) must all travel as shuffle
+    exchanges. dsir_weights / source_divergence keep exactly ONE broadcast
+    each: the bounded 1024-bucket log-ratio table."""
+    import legal_document_ocr_spark.queries as Q
+
+    from legal_document_ocr_spark.operators import dedup
+
+    for name in [
+        "host_length_outliers",
+        "redirect_chains",
+        "link_farms",
+        "bpe_fertility",
+    ]:
+        plan = _plan(Q.SPARK[name](spark, SF))
+        assert plan.count("BroadcastExchange") == 0, f"{name}:\n{plan}"
+    # incremental_neardup: assert the OPERATOR plan (the registry query's
+    # planted-batch synthesis joins two raw-table scans, which may broadcast
+    # legitimately); batch/corpus here are plain scans
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    op = dedup.incremental_near_dups(
+        d.where("doc_id % 10 = 0"), d.where("doc_id % 10 != 0")
+    )
+    plan = _plan(op)
+    assert plan.count("BroadcastExchange") == 0, f"incremental_near_dups:\n{plan}"
+    # dsir: TWO bounded broadcasts (the 1024-row ratio table + the planner's
+    # auto-broadcast of the 1024-row raw<->target dist join inside it);
+    # source_divergence: ONE (the 1024-row corpus log-prob table) — the
+    # per-group totals join is pinned shuffle_hash (groups are hosts at scale)
+    for name, n in [("dsir_weights", 2), ("source_divergence", 1)]:
+        plan = _plan(Q.SPARK[name](spark, SF))
+        assert plan.count("BroadcastExchange") == n, f"{name}:\n{plan}"
