@@ -1192,3 +1192,110 @@ def incremental_near_dups(
             ).alias("is_neardup"),
         )
     )
+
+
+def host_mirror_pairs(
+    pages: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold_micro: int = 500_000,
+) -> DataFrame:
+    """MIRROR detection between hosts: two hosts serving near-identical
+    CONTENT SETS (site mirrors, CDN clones, scraper re-hosts) should count
+    once in a training corpus. Per-document dedup catches the pages; this
+    catches the HOSTS, which is what a crawl scheduler can actually act on.
+
+    The scale trick is MinHash as a GROUPED AGGREGATE: a host's signature
+    over its content-hash set is ``min((A_i*h + B_i) mod P)`` per component
+    — eight map-side-combinable ``min`` columns straight off groupBy(host),
+    no collect_set (a megahost's content set does NOT fit in one row), no
+    arrays, no second pass. Candidates come from the usual band-bucket
+    self-join (shuffle_hash, never broadcast); exact set-Jaccard verifies
+    candidates only, via one co-located (host, content-hash) equi-join
+    chain. All-integer scoring: jaccard_micro = floor(|∩|*1e6/|∪|).
+
+    Output: (host_a, host_b, n_a, n_b, n_common, jaccard_micro, is_mirror)
+    for candidate pairs, host_a < host_b.
+    """
+    rows = num_hashes // bands
+    hs = (
+        pages.select(
+            F.col(host_col).alias("host"),
+            base_hash28(F.col(text_col)).alias("h"),
+        )
+        .distinct()
+        .persist()
+    )
+    p = F.lit(MINHASH_P).cast("long")
+    aggs = [
+        F.min(
+            (F.lit(a).cast("long") * F.col("h") + F.lit(b).cast("long")) % p
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    ]
+    sig = hs.groupBy("host").agg(*aggs, F.count("*").alias("n_docs"))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh_{b * rows + r}").cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    bb = sig.select(
+        "host", "n_docs", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("host", "n_docs", "bb.band", "bb.bucket")
+    left = bb.select(
+        F.col("host").alias("host_a"), F.col("n_docs").alias("n_a"),
+        "band", "bucket",
+    )
+    right = bb.select(
+        F.col("host").alias("host_b"), F.col("n_docs").alias("n_b"),
+        "band", "bucket",
+    )
+    cand = (
+        left.join(
+            right.hint("shuffle_hash"),
+            ["band", "bucket"],
+        )
+        .where(F.col("host_a") < F.col("host_b"))
+        .select("host_a", "host_b", "n_a", "n_b")
+        .distinct()
+    )
+    a_side = hs.select(F.col("host").alias("host_a"), F.col("h").alias("h"))
+    b_side = hs.select(F.col("host").alias("host_b"), F.col("h").alias("h"))
+    inter = (
+        cand.join(a_side.hint("shuffle_hash"), "host_a")
+        .join(b_side.hint("shuffle_hash"), ["host_b", "h"])
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.floor(
+        F.col("n_common").cast("long")
+        * 1000000
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    ).cast("long")
+    return (
+        cand.join(inter.hint("shuffle_hash"), ["host_a", "host_b"], "left")
+        .select(
+            "host_a",
+            "host_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.coalesce(jac, F.lit(0)).alias("jaccard_micro"),
+            (F.coalesce(jac, F.lit(0)) >= threshold_micro)
+            .cast("int")
+            .alias("is_mirror"),
+        )
+    )

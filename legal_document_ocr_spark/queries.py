@@ -4992,6 +4992,87 @@ FROM c
 """
 
 
+def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-mirror detection (dedup.host_mirror_pairs): sources src0-src4
+    get FULL planted mirrors (jaccard 1.0, must flag), src5-src9 get
+    half mirrors (jaccard ~0.5 — may or may not band-collide; the oracle
+    replays the identical deterministic computation either way)."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    k = F.regexp_replace(F.col("source"), "^src", "").cast("int")
+    base = d.select(F.col("source").alias("host"), "text")
+    full_m = d.where(k < 5).select(
+        F.concat(F.lit("mirror"), k.cast("string")).alias("host"), "text"
+    )
+    # doc_id parity is CONSTANT within a source (round-robin ids), so the
+    # half plant cuts on doc_id % 40 < 20 instead — true alternating halves
+    half_m = d.where((k >= 5) & (k < 10) & (F.col("doc_id") % 40 < 20)).select(
+        F.concat(F.lit("pmirror"), k.cast("string")).alias("host"), "text"
+    )
+    pages = base.unionByName(full_m).unionByName(half_m)
+    return dedup.host_mirror_pairs(pages)
+
+
+def _sql_host_mirrors(num_hashes: int = 8, bands: int = 4) -> str:
+    # mirrors dedup.host_mirror_pairs: grouped min-aggregate signatures over
+    # distinct (host, content-hash), band-bucket pair join, exact set-jaccard
+    p = dedup.MINHASH_P
+    rows = num_hashes // bands
+    mins = ",\n    ".join(
+        f"min(({a}::bigint * h + {b}::bigint) % {p}::bigint) AS mh_{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_COEFFS[:num_hashes])
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT host, n_docs, {b} AS band, md5("
+        + " || '|' || ".join(f"mh_{b * rows + r}::varchar" for r in range(rows))
+        + ") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH k AS (
+  SELECT doc_id, regexp_replace(source, '^src', '')::int AS kk, source, text
+  FROM documents
+),
+pages AS (
+  SELECT source AS host, text FROM k
+  UNION ALL
+  SELECT 'mirror' || kk, text FROM k WHERE kk < 5
+  UNION ALL
+  SELECT 'pmirror' || kk, text FROM k
+  WHERE kk >= 5 AND kk < 10 AND doc_id % 40 < 20
+),
+hs AS (
+  SELECT DISTINCT host, ('0x' || substr(md5(text), 1, 7))::bigint AS h
+  FROM pages
+),
+sig AS (
+  SELECT host, count(*) AS n_docs,
+    {mins}
+  FROM hs GROUP BY host
+),
+bb AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT l.host AS host_a, l.n_docs AS n_a,
+    r.host AS host_b, r.n_docs AS n_b
+  FROM bb l JOIN bb r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.host < r.host
+),
+inter AS (
+  SELECT c.host_a, c.host_b, count(*) AS n_common
+  FROM cand c
+  JOIN hs a ON a.host = c.host_a
+  JOIN hs b ON b.host = c.host_b AND b.h = a.h
+  GROUP BY 1, 2
+)
+SELECT c.host_a, c.host_b, c.n_a::bigint AS n_a, c.n_b::bigint AS n_b,
+  coalesce(i.n_common, 0)::bigint AS n_common,
+  coalesce((i.n_common * 1000000) // (c.n_a + c.n_b - i.n_common), 0)::bigint
+    AS jaccard_micro,
+  (coalesce((i.n_common * 1000000) // (c.n_a + c.n_b - i.n_common), 0)
+   >= 500000)::int AS is_mirror
+FROM cand c LEFT JOIN inter i USING (host_a, host_b)
+"""
+
+
 def q_warc_http_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-layer Common-Crawl record parse (warc.parse_http_response):
     WARC envelope -> HTTP/1.1 message -> (status, content-type, charset,
@@ -5603,6 +5684,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_divergence": q_source_divergence,
     "link_farms": q_link_farms,
     "warc_http_parse": q_warc_http_parse,
+    "host_mirrors": q_host_mirrors,
     "script_mix": q_script_mix,
     "text_density_blocks": q_text_density_blocks,
     "host_length_outliers": q_host_length_outliers,
@@ -5760,6 +5842,7 @@ ORACLE: dict[str, str] = {
     "source_divergence": _SQL_SOURCE_DIVERGENCE,
     "link_farms": _SQL_LINK_FARMS,
     "warc_http_parse": _SQL_WARC_HTTP_PARSE,
+    "host_mirrors": _sql_host_mirrors(),
     "script_mix": _sql_script_mix(),
     "text_density_blocks": _SQL_TEXT_DENSITY_BLOCKS,
     "host_length_outliers": _SQL_HOST_LENGTH_OUTLIERS,

@@ -2420,3 +2420,25 @@ def test_session4_plans_have_no_corpus_broadcasts(spark):
     for name, n in [("dsir_weights", 2), ("source_divergence", 1)]:
         plan = _plan(Q.SPARK[name](spark, SF))
         assert plan.count("BroadcastExchange") == n, f"{name}:\n{plan}"
+
+
+def test_host_mirror_pairs_full_and_partial(spark):
+    from legal_document_ocr_spark.operators import dedup
+
+    texts = [f"unique page content number {i} with enough words" for i in range(8)]
+    rows_in = (
+        [("siteA", t) for t in texts]
+        + [("cloneA", t) for t in texts]             # full mirror
+        + [("halfA", t) for t in texts[:4]]          # jaccard 0.5
+        + [("other", "totally different content here")]
+    )
+    pages = spark.createDataFrame(rows_in, "host string, text string")
+    out = dedup.host_mirror_pairs(pages)
+    rows = {(r.host_a, r.host_b): r for r in out.collect()}
+    full = rows[("cloneA", "siteA")]
+    assert full.is_mirror == 1 and full.jaccard_micro == 1000000
+    assert full.n_common == 8
+    # nothing pairs with the unrelated host
+    assert not any("other" in k for k in rows)
+    plan = _plan(out)
+    assert "BroadcastExchange" not in plan, plan
