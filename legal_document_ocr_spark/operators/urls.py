@@ -1084,3 +1084,25 @@ def text_density_blocks(
         .cast("int")
         .alias("is_content"),
     )
+
+
+def parse_robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", robots_col: str = "robots_txt"
+) -> DataFrame:
+    """``Sitemap:`` directive extraction from robots.txt -> (host,
+    sitemap_url). Per RFC 9309 §2.3 the directive is GROUP-INDEPENDENT —
+    it applies regardless of which User-agent section it appears inside,
+    so this is one case-insensitive line-anchored regexp_extract_all +
+    posexplode, no section window at all (contrast parse_robots_rules,
+    where section assignment is the whole problem). Distinct per host:
+    crawlers treat repeated declarations as one sitemap.
+    """
+    urls_arr = F.regexp_extract_all(
+        F.col(robots_col), F.lit(r"(?im)^\s*sitemap\s*:\s*(\S+)"), 1
+    )
+    return (
+        robots.select(
+            F.col(host_col).alias("host"), F.explode(urls_arr).alias("sitemap_url")
+        )
+        .distinct()
+    )

@@ -4992,6 +4992,82 @@ FROM c
 """
 
 
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap: directive extraction (urls.parse_robots_sitemaps) — group-
+    independent per RFC 9309 §2.3: one lowercase indented declaration
+    BEFORE any section, one canonical declaration appended after (written
+    twice — distinct collapses repeats)."""
+    from .operators import urls as urlops
+
+    robots = _synth_robots_df(spark, sf_dir)
+    body = F.concat(
+        F.lit("  sitemap: https://"), F.col("host"), F.lit("/news.xml\n"),
+        F.col("robots_txt"),
+        F.lit("\nSitemap: https://"), F.col("host"), F.lit("/sitemap.xml"),
+        F.lit("\nSitemap: https://"), F.col("host"), F.lit("/sitemap.xml"),
+    )
+    return urlops.parse_robots_sitemaps(
+        robots.select("host", body.alias("robots_txt"))
+    )
+
+
+_SQL_ROBOTS_SITEMAPS = """
+WITH hosts AS (SELECT DISTINCT source || '.example.com' AS host FROM documents)
+SELECT host, 'https://' || host || '/news.xml' AS sitemap_url FROM hosts
+UNION ALL
+SELECT host, 'https://' || host || '/sitemap.xml' FROM hosts
+"""
+
+
+def q_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-majority language consistency: per-source majority lang via the
+    string-encoded argmax (count desc, lang asc tiebreak — no window), docs
+    deviating from their host's majority flagged — the hreflang-mismatch
+    curation signal."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "lang")
+    counts = d.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
+    # string-encoded argmin: min over (inverted zero-padded count)||lang
+    # gives count DESC with lang ASC tiebreak in one mergeable aggregate
+    inv = F.concat(
+        F.lpad((F.lit(9_999_999_999) - F.col("cnt")).cast("string"), 10, "0"),
+        F.lit("|"),
+        F.col("lang"),
+    )
+    maj = counts.groupBy("source").agg(
+        F.substring_index(F.min(inv), "|", -1).alias("majority_lang")
+    )
+    return (
+        d.join(maj.hint("shuffle_hash"), "source")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "majority_lang",
+            (F.col("lang") != F.col("majority_lang")).cast("int").alias(
+                "is_minority"
+            ),
+        )
+    )
+
+
+_SQL_LANG_CONSISTENCY = """
+WITH c AS (SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2),
+inv AS (
+  SELECT source,
+    lpad((9999999999 - cnt)::varchar, 10, '0') || '|' || lang AS k
+  FROM c
+),
+maj AS (
+  SELECT source,
+    string_split(min(k), '|')[-1] AS majority_lang
+  FROM inv GROUP BY 1
+)
+SELECT d.doc_id, d.source, d.lang, maj.majority_lang,
+  (d.lang != maj.majority_lang)::int AS is_minority
+FROM documents d JOIN maj USING (source)
+"""
+
+
 def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-mirror detection (dedup.host_mirror_pairs): sources src0-src4
     get FULL planted mirrors (jaccard 1.0, must flag), src5-src9 get
@@ -5685,6 +5761,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_farms": q_link_farms,
     "warc_http_parse": q_warc_http_parse,
     "host_mirrors": q_host_mirrors,
+    "robots_sitemaps": q_robots_sitemaps,
+    "lang_consistency": q_lang_consistency,
     "script_mix": q_script_mix,
     "text_density_blocks": q_text_density_blocks,
     "host_length_outliers": q_host_length_outliers,
@@ -5843,6 +5921,8 @@ ORACLE: dict[str, str] = {
     "link_farms": _SQL_LINK_FARMS,
     "warc_http_parse": _SQL_WARC_HTTP_PARSE,
     "host_mirrors": _sql_host_mirrors(),
+    "robots_sitemaps": _SQL_ROBOTS_SITEMAPS,
+    "lang_consistency": _SQL_LANG_CONSISTENCY,
     "script_mix": _sql_script_mix(),
     "text_density_blocks": _SQL_TEXT_DENSITY_BLOCKS,
     "host_length_outliers": _SQL_HOST_LENGTH_OUTLIERS,
