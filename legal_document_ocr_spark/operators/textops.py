@@ -1928,3 +1928,95 @@ def bpe_tokenize_counts(
             ),
         )
     )
+
+
+# the named entities that dominate real web text; numeric (&#NNN;) forms are
+# out of scope for the expression path (documented — they need per-match
+# codepoint synthesis, which regexp_replace cannot express)
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST: '&amp;lt;' must yield '&lt;', not '<'
+)
+
+
+def decode_html_entities_expr(col: Column) -> Column:
+    """Named-entity decoding as a chained replace expression — the
+    post-strip cleanup every HTML extractor needs ('Tom &amp; Jerry'
+    reads 'Tom & Jerry' in training data). ``&amp;`` decodes LAST so
+    double-escaped entities resolve one level per pass, exactly like
+    browsers: '&amp;lt;' -> '&lt;' (not '<').
+    """
+    out = col
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def decode_html_entities(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text, decoded, n_entities) — scan-speed, zero shuffle."""
+    c = F.col(text_col)
+    decoded = decode_html_entities_expr(c)
+    return docs.select(
+        "doc_id",
+        c.alias("text"),
+        decoded.alias("decoded"),
+        (F.length(c) - F.length(decoded)).cast("long").alias("n_chars_saved"),
+    )
+
+
+def oov_rate(
+    docs: DataFrame, text_col: str = "text", *, vocab_size: int = 100
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-K vocab —
+    the coverage statistic that sizes a tokenizer's word-level vocabulary
+    and flags gibberish (a doc whose tokens are mostly outside the corpus
+    head is noise, another script, or spam).
+
+    Shape: the vocab is ONE map-side-combined groupBy + TakeOrdered top-K
+    (deterministic count-desc/term-asc tiebreak, no full sort) and is
+    K rows — legitimately broadcast; per-doc scoring is one explode + one
+    broadcast left join + one groupBy(doc_id). All-integer emit.
+
+    Output: (doc_id, n_tokens, n_oov, oov_ratio_micro); empty docs
+    (0, 0, NULL).
+    """
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    vocab = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("_in_vocab"))
+    )
+    per_doc = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.when(
+                F.col("n_tokens").isNotNull(),
+                F.floor(F.col("n_oov") * 1000000 / F.col("n_tokens")),
+            )
+            .cast("long")
+            .alias("oov_ratio_micro"),
+        )
+    )

@@ -4992,6 +4992,73 @@ FROM c
 """
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc out-of-vocabulary rate vs the corpus top-100 vocabulary
+    (textops.oov_rate): deterministic top-K, broadcast-legit vocab."""
+    return textops.oov_rate(_docs(spark, sf_dir))
+
+
+_SQL_OOV_RATE = f"""
+WITH e AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS cnt FROM e GROUP BY 1
+    ORDER BY cnt DESC, term LIMIT 100
+  )
+),
+pd AS (
+  SELECT e.doc_id, count(*) AS n_tokens,
+    sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM e LEFT JOIN vocab v USING (term) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(pd.n_tokens, 0)::bigint AS n_tokens,
+  coalesce(pd.n_oov, 0)::bigint AS n_oov,
+  CASE WHEN pd.n_tokens IS NOT NULL
+       THEN floor(pd.n_oov * 1000000 / pd.n_tokens)::bigint
+  END AS oov_ratio_micro
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
+def q_html_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-entity decode (textops.decode_html_entities) over the entity-
+    decorated corpus — the '&amp;lt;' double-escape must resolve ONE level
+    (to '&lt;'), which pins the replace order."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("Tom &amp; Jerry &lt;3 "), t),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(t, F.lit(" &amp;lt; &quot;q&quot; x&nbsp;y")),
+    ).otherwise(t)
+    return textops.decode_html_entities(d.select("doc_id", t.alias("text")))
+
+
+def _sql_html_entities() -> str:
+    from .operators.textops import HTML_ENTITIES
+
+    decoded = "text"
+    for ent, ch in HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        decoded = f"replace({decoded}, '{ent}', '{ch_sql}')"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'Tom &amp; Jerry &lt;3 ' || text
+          ELSE text END)
+    || (CASE WHEN doc_id % 7 = 0 THEN ' &amp;lt; &quot;q&quot; x&nbsp;y'
+             ELSE '' END) AS text
+  FROM documents
+)
+SELECT doc_id, text, {decoded} AS decoded,
+  (length(text) - length({decoded}))::bigint AS n_chars_saved
+FROM d
+"""
+
+
 def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap: directive extraction (urls.parse_robots_sitemaps) — group-
     independent per RFC 9309 §2.3: one lowercase indented declaration
@@ -5762,6 +5829,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_http_parse": q_warc_http_parse,
     "host_mirrors": q_host_mirrors,
     "robots_sitemaps": q_robots_sitemaps,
+    "html_entities": q_html_entities,
+    "oov_rate": q_oov_rate,
     "lang_consistency": q_lang_consistency,
     "script_mix": q_script_mix,
     "text_density_blocks": q_text_density_blocks,
@@ -5922,6 +5991,8 @@ ORACLE: dict[str, str] = {
     "warc_http_parse": _SQL_WARC_HTTP_PARSE,
     "host_mirrors": _sql_host_mirrors(),
     "robots_sitemaps": _SQL_ROBOTS_SITEMAPS,
+    "html_entities": _sql_html_entities(),
+    "oov_rate": _SQL_OOV_RATE,
     "lang_consistency": _SQL_LANG_CONSISTENCY,
     "script_mix": _sql_script_mix(),
     "text_density_blocks": _SQL_TEXT_DENSITY_BLOCKS,
