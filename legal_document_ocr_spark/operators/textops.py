@@ -2020,3 +2020,35 @@ def oov_rate(
             .alias("oov_ratio_micro"),
         )
     )
+
+
+def collapse_repeated_lines(
+    docs: DataFrame, text_col: str = "text", *, sep: str = "\n"
+) -> DataFrame:
+    """Collapse CONSECUTIVE duplicate lines within each document — scraped
+    pages repeat nav/header lines back to back after boilerplate stripping,
+    and corpus-level line_dedup (frequency-based) deliberately keeps lines
+    that are rare corpus-wide but stuttered locally.
+
+    Runs entirely in array expressions on the row (split -> positional
+    filter keeping line i iff i == 1 or line[i] != line[i-1] -> rejoin):
+    zero shuffle, zero UDF — a purely positional rule needs no fold.
+
+    Output: (doc_id, text, cleaned, n_lines, n_removed).
+    """
+    c = F.col(text_col)
+    lines = F.split(c, sep)
+    n = F.size(lines)
+    keep_idx = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == 1)
+        | (F.element_at(lines, i) != F.element_at(lines, i - 1)),
+    )
+    kept = F.transform(keep_idx, lambda i: F.element_at(lines, i))
+    return docs.select(
+        "doc_id",
+        c.alias("text"),
+        F.array_join(kept, sep).alias("cleaned"),
+        n.cast("long").alias("n_lines"),
+        (n - F.size(kept)).cast("long").alias("n_removed"),
+    )

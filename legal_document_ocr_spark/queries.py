@@ -4992,6 +4992,48 @@ FROM c
 """
 
 
+def q_collapse_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate line collapse (textops.collapse_repeated_lines)
+    over a stutter-decorated corpus: every 4th doc gets its first sentence
+    tripled on consecutive lines."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    first_sent = F.substring_index(F.col("text"), " ", 5)
+    t = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat_ws(
+            "\n", first_sent, first_sent, first_sent, F.col("text")
+        ),
+    ).otherwise(F.col("text"))
+    return textops.collapse_repeated_lines(d.select("doc_id", t.alias("text")))
+
+
+_SQL_COLLAPSE_LINES = r"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN
+      array_to_string([f, f, f, text], chr(10))
+    ELSE text END AS text
+  FROM (
+    SELECT doc_id, text,
+      array_to_string(string_split(text, ' ')[1:5], ' ') AS f
+    FROM documents
+  )
+),
+a AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM d),
+k AS (
+  SELECT doc_id, text, lines, len(lines) AS n,
+    list_filter(generate_series(1, len(lines)),
+      i -> i = 1 OR lines[i] != lines[i - 1]) AS keep_idx
+  FROM a
+)
+SELECT doc_id, text,
+  array_to_string(list_transform(keep_idx, i -> lines[i]), chr(10)) AS cleaned,
+  n::bigint AS n_lines,
+  (n - len(keep_idx))::bigint AS n_removed
+FROM k
+"""
+
+
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc out-of-vocabulary rate vs the corpus top-100 vocabulary
     (textops.oov_rate): deterministic top-K, broadcast-legit vocab."""
@@ -5831,6 +5873,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_sitemaps": q_robots_sitemaps,
     "html_entities": q_html_entities,
     "oov_rate": q_oov_rate,
+    "collapse_lines": q_collapse_lines,
     "lang_consistency": q_lang_consistency,
     "script_mix": q_script_mix,
     "text_density_blocks": q_text_density_blocks,
@@ -5993,6 +6036,7 @@ ORACLE: dict[str, str] = {
     "robots_sitemaps": _SQL_ROBOTS_SITEMAPS,
     "html_entities": _sql_html_entities(),
     "oov_rate": _SQL_OOV_RATE,
+    "collapse_lines": _SQL_COLLAPSE_LINES,
     "lang_consistency": _SQL_LANG_CONSISTENCY,
     "script_mix": _sql_script_mix(),
     "text_density_blocks": _SQL_TEXT_DENSITY_BLOCKS,
