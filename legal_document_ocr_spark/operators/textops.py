@@ -2052,3 +2052,56 @@ def collapse_repeated_lines(
         n.cast("long").alias("n_lines"),
         (n - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame, text_col: str = "text", *, top_n: int = 64
+) -> DataFrame:
+    """Least-squares fit of log(frequency) vs log(rank) over the corpus
+    head vocabulary — natural text follows Zipf's law with slope near -1;
+    a corpus whose slope collapses toward 0 is template spam or gibberish
+    (machine-generated token soup), making this a one-row corpus health
+    gauge.
+
+    Shape: one map-side-combined term count + TakeOrdered top-N; ranks
+    come from a window over the N retained rows (bounded — the single
+    partition holds ``top_n`` rows by construction, never corpus data).
+    Determinism: x=round(ln rank,6), y=round(ln cnt,6) as DECIMAL(12,6);
+    all regression sums are exact decimals (products stay at scale 12,
+    far inside 38 digits); the slope/intercept doubles are computed by the
+    identical expression sequence the oracle states. Output: one row
+    (n_terms, slope_micro, intercept_micro).
+    """
+    from pyspark.sql import Window
+
+    top = (
+        docs.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term"))
+    ranked = top.select(
+        F.row_number().over(w).alias("rank"), F.col("cnt")
+    )
+    x = F.round(F.log(F.col("rank").cast("double")), 6).cast("decimal(12,6)")
+    y = F.round(F.log(F.col("cnt").cast("double")), 6).cast("decimal(12,6)")
+    sums = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n")
+    return sums.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.floor(slope * 1000000.0).cast("long").alias("slope_micro"),
+        F.floor(intercept * 1000000.0).cast("long").alias("intercept_micro"),
+    )

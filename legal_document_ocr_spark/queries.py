@@ -4992,6 +4992,41 @@ FROM c
 """
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency regression (textops.zipf_fit) over the corpus
+    top-64 vocabulary — one-row corpus health gauge."""
+    return textops.zipf_fit(_docs(spark, sf_dir))
+
+
+_SQL_ZIPF_FIT = f"""
+WITH e AS (SELECT unnest({_TOKS}) AS term FROM documents),
+top AS (
+  SELECT term, count(*) AS cnt FROM e GROUP BY 1
+  ORDER BY cnt DESC, term LIMIT 64
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY cnt DESC, term) AS rank, cnt FROM top
+),
+xy AS (
+  SELECT round(ln(rank::double), 6)::decimal(12,6) AS x,
+         round(ln(cnt::double), 6)::decimal(12,6) AS y
+  FROM ranked
+),
+s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM xy
+)
+SELECT n::bigint AS n_terms,
+  floor(((n * sxy - sx * sy)::double / (n * sxx - sx * sx)::double)
+        * 1000000.0)::bigint AS slope_micro,
+  floor(((sy::double - ((n * sxy - sx * sy)::double
+                        / (n * sxx - sx * sx)::double) * sx::double) / n)
+        * 1000000.0)::bigint AS intercept_micro
+FROM s
+"""
+
+
 def q_collapse_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consecutive-duplicate line collapse (textops.collapse_repeated_lines)
     over a stutter-decorated corpus: every 4th doc gets its first sentence
@@ -5874,6 +5909,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_entities": q_html_entities,
     "oov_rate": q_oov_rate,
     "collapse_lines": q_collapse_lines,
+    "zipf_fit": q_zipf_fit,
     "lang_consistency": q_lang_consistency,
     "script_mix": q_script_mix,
     "text_density_blocks": q_text_density_blocks,
@@ -6037,6 +6073,7 @@ ORACLE: dict[str, str] = {
     "html_entities": _sql_html_entities(),
     "oov_rate": _SQL_OOV_RATE,
     "collapse_lines": _SQL_COLLAPSE_LINES,
+    "zipf_fit": _SQL_ZIPF_FIT,
     "lang_consistency": _SQL_LANG_CONSISTENCY,
     "script_mix": _sql_script_mix(),
     "text_density_blocks": _SQL_TEXT_DENSITY_BLOCKS,
