@@ -7,13 +7,15 @@ rows.  `tests/test_oracle_parity.py` does the same at sf0.001 inside the
 pytest suite; this script is the pre-flight for the driver's sf0.01 run.
 
 Usage:
-    python scripts/parity_sweep.py [sf_dir] [--only name1,name2]
+    python scripts/parity_sweep.py [sf_dir] [--only name1,name2] [--json out]
 Prints one line per query (PASS/FAIL + row count + seconds) and a summary;
-exits non-zero on any mismatch.
+exits non-zero on any mismatch. ``--json`` additionally writes a
+machine-readable artifact (the committed PARITY_SELF_r{N}.json files).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -59,11 +61,14 @@ def _norm_rows(columns, rows):
 def main() -> int:
     sf_dir = "/root/testdata/sf0.01"
     only = None
+    json_out = None
     args = sys.argv[1:]
     while args:
         a = args.pop(0)
         if a == "--only":
             only = set(args.pop(0).split(","))
+        elif a == "--json":
+            json_out = args.pop(0)
         else:
             sf_dir = a
 
@@ -84,6 +89,7 @@ def main() -> int:
 
     names = [n for n in qs if only is None or n in only]
     failures = []
+    results = {}
     t_all = time.time()
     for name in names:
         t0 = time.time()
@@ -101,6 +107,12 @@ def main() -> int:
             sn, on = _norm_rows(s_cols, s_rows), _norm_rows(o_cols, o_rows)
             ok = ok_cols and sn == on
             dt = time.time() - t0
+            results[name] = {
+                "pass": bool(ok),
+                "rows_spark": len(s_rows),
+                "rows_oracle": len(o_rows),
+                "sec": round(dt, 2),
+            }
             print(
                 f"  {name:40s} {'PASS' if ok else 'FAIL'} "
                 f"rows={len(s_rows)}/{len(o_rows)} {dt:5.1f}s"
@@ -116,6 +128,7 @@ def main() -> int:
                     print(f"    oracle-only={diff_o}")
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"pass": False, "error": f"{type(exc).__name__}: {exc}"}
             print(f"  {name:40s} ERROR {type(exc).__name__}: {exc}")
     print(
         f"== {len(names) - len(failures)}/{len(names)} pass at {sf_dir} "
@@ -123,6 +136,18 @@ def main() -> int:
     )
     if failures:
         print("FAILURES:", ",".join(failures))
+    if json_out:
+        artifact = {
+            "sf_dir": sf_dir,
+            "n_queries": len(names),
+            "n_pass": len(names) - len(failures),
+            "harness": "driver-shaped: columns sorted by name, "
+            "order-insensitive stringified rows",
+            "results": results,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(artifact, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
