@@ -1299,3 +1299,49 @@ def host_mirror_pairs(
             .alias("is_mirror"),
         )
     )
+
+
+def cluster_reps_by_score(
+    clusters: DataFrame,
+    scores: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware representative election: given near-dup cluster
+    assignments and a per-document score, keep the HIGHEST-scoring member
+    of each cluster (ties -> larger id, stated identically in the oracle).
+    min-id reps (dedup_clusters) are the right default for determinism, but
+    a curation funnel that already computed quality wants to keep the BEST
+    copy of each near-dup set, not the numerically-first one — mirrors vary
+    in truncation and mojibake.
+
+    Shape: one shuffle_hash join of (id, cluster) x (id, score), one
+    map-side-combined groupBy(cluster) max(struct(score, id)), one
+    join-back on cluster — all (long, long)-ish rows, nothing broadcast.
+
+    Output: (doc_id, cluster_id, score, is_representative).
+    """
+    joined = clusters.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("_cl")
+    ).join(
+        scores.select(
+            F.col(id_col).alias("_id"), F.col(score_col).alias("_sc")
+        ).hint("shuffle_hash"),
+        "_id",
+    )
+    best = joined.groupBy("_cl").agg(
+        F.max(F.struct(F.col("_sc"), F.col("_id"))).alias("b")
+    )
+    return (
+        joined.join(best.hint("shuffle_hash"), "_cl")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cl").alias(cluster_col),
+            F.col("_sc").alias(score_col),
+            (F.col("_id") == F.col("b._id")).cast("int").alias(
+                "is_representative"
+            ),
+        )
+    )

@@ -2677,6 +2677,37 @@ FROM cc
 )
 
 
+def q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware representative election (dedup.cluster_reps_by_score):
+    same near-dup clusters as dedup_clusters, but the keep-decision goes to
+    the LONGEST member (ties -> larger id) instead of the min id — the
+    perturbed +100000 copies are longer, so they win their clusters."""
+    d = _neardup_docs(spark, sf_dir)
+    clusters = dedup.dedup_clusters(d).select("doc_id", "cluster_id")
+    scores = d.select(
+        "doc_id", F.length("text").cast("long").alias("score")
+    )
+    return dedup.cluster_reps_by_score(clusters, scores)
+
+
+# same CC walk as _SQL_DEDUP_CLUSTERS, then best-by-(score, id) election
+_SQL_CLUSTER_REPS = _SQL_DEDUP_CLUSTERS.replace(
+    """SELECT doc_id, cluster_id,
+  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+  (doc_id = cluster_id)::int AS is_representative
+FROM cc""",
+    """, sc AS (SELECT doc_id, length(text)::bigint AS score FROM src),
+j AS (SELECT cc.doc_id, cc.cluster_id, sc.score FROM cc JOIN sc USING (doc_id)),
+best AS (
+  SELECT cluster_id, max(struct_pack(s := score, i := doc_id)) AS b
+  FROM j GROUP BY 1
+)
+SELECT j.doc_id, j.cluster_id, j.score,
+  (j.doc_id = (best.b).i)::int AS is_representative
+FROM j JOIN best USING (cluster_id)""",
+)
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate line removal (textops.line_dedup): lines
     repeating across > max_df distinct documents are dropped, text reassembled."""
@@ -5911,6 +5942,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collapse_lines": q_collapse_lines,
     "zipf_fit": q_zipf_fit,
     "lang_consistency": q_lang_consistency,
+    "cluster_reps": q_cluster_reps,
     "script_mix": q_script_mix,
     "text_density_blocks": q_text_density_blocks,
     "host_length_outliers": q_host_length_outliers,
@@ -6075,6 +6107,7 @@ ORACLE: dict[str, str] = {
     "collapse_lines": _SQL_COLLAPSE_LINES,
     "zipf_fit": _SQL_ZIPF_FIT,
     "lang_consistency": _SQL_LANG_CONSISTENCY,
+    "cluster_reps": _SQL_CLUSTER_REPS,
     "script_mix": _sql_script_mix(),
     "text_density_blocks": _SQL_TEXT_DENSITY_BLOCKS,
     "host_length_outliers": _SQL_HOST_LENGTH_OUTLIERS,
