@@ -1106,3 +1106,22 @@ def parse_robots_sitemaps(
         )
         .distinct()
     )
+
+
+def url_depth_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host URL path-depth histogram -> (host, depth, n_pages): the
+    crawl-budget signal (deep paths are calendars, faceted search and
+    session-id traps; schedulers cap depth per host). Depth = number of
+    non-empty path segments. One codegen expression + one map-side-combined
+    groupBy onto the bounded (host, depth) key — scan-speed at any scale.
+    """
+    url = F.col(url_col)
+    host = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    depth = F.size(F.filter(F.split(path, "/"), lambda x: F.length(x) > 0))
+    return (
+        df.select(host.alias("host"), depth.alias("depth"))
+        .groupBy("host", "depth")
+        .agg(F.count("*").alias("n_pages"))
+        .select("host", F.col("depth").cast("long").alias("depth"), "n_pages")
+    )

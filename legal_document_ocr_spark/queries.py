@@ -2677,6 +2677,39 @@ FROM cc
 )
 
 
+def q_url_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host path-depth histogram (urls.url_depth_stats) over urls with
+    (doc_id div 20)%4-graded nesting (varies within each host)."""
+    from .operators import urls as urlops
+
+    d = _docs(spark, sf_dir)
+    # doc_id % 4 is CONSTANT per source (round-robin ids, 20 % 4 == 0);
+    # the row counter doc_id // 20 varies within every host
+    seg = F.expr("repeat('/sec', cast((doc_id div 20) % 4 as int))")
+    urls_df = d.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org"),
+            seg,
+            F.lit("/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return urlops.url_depth_stats(urls_df)
+
+
+_SQL_URL_DEPTHS = """
+WITH u AS (
+  SELECT source || '.example.org' AS host,
+    ((doc_id // 20) % 4 + 1)::bigint AS depth
+  FROM documents
+)
+SELECT host, depth, count(*)::bigint AS n_pages
+FROM u GROUP BY 1, 2
+"""
+
+
 def q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware representative election (dedup.cluster_reps_by_score):
     same near-dup clusters as dedup_clusters, but the keep-decision goes to
@@ -5943,6 +5976,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_fit": q_zipf_fit,
     "lang_consistency": q_lang_consistency,
     "cluster_reps": q_cluster_reps,
+    "url_depths": q_url_depths,
     "script_mix": q_script_mix,
     "text_density_blocks": q_text_density_blocks,
     "host_length_outliers": q_host_length_outliers,
@@ -6108,6 +6142,7 @@ ORACLE: dict[str, str] = {
     "zipf_fit": _SQL_ZIPF_FIT,
     "lang_consistency": _SQL_LANG_CONSISTENCY,
     "cluster_reps": _SQL_CLUSTER_REPS,
+    "url_depths": _SQL_URL_DEPTHS,
     "script_mix": _sql_script_mix(),
     "text_density_blocks": _SQL_TEXT_DENSITY_BLOCKS,
     "host_length_outliers": _SQL_HOST_LENGTH_OUTLIERS,
