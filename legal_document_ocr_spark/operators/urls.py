@@ -1125,3 +1125,82 @@ def url_depth_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
         .agg(F.count("*").alias("n_pages"))
         .select("host", F.col("depth").cast("long").alias("depth"), "n_pages")
     )
+
+
+def extract_headings(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Heading outline extraction -> (url, pos, level, heading): the
+    document STRUCTURE signal structure-aware chunking wants (split on h2
+    boundaries, prepend the h1 to every chunk) and a cheap title-quality
+    check. Same two-stage shape as extract_anchor_texts: the group-0 match
+    list is extracted ONCE at scan speed, level and inner text come from
+    per-fragment extracts inside the posexplode — zero UDF, zero shuffle.
+    Inner markup is stripped; whitespace collapsed.
+    """
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    frags = F.regexp_extract_all(
+        html_txt, F.lit(r"(?is)<h([1-6])[^>]*>.*?</h[1-6]>"), F.lit(0)
+    )
+    ex = df.select(
+        F.col(url_col).alias("url"), F.posexplode(frags).alias("pos", "frag")
+    )
+    inner = F.regexp_extract(
+        F.col("frag"), r"(?is)<h[1-6][^>]*>(.*?)</h[1-6]>", 1
+    )
+    text = F.trim(
+        F.regexp_replace(F.regexp_replace(inner, "<[^>]+>", ""), r"\s+", " ")
+    )
+    return ex.select(
+        "url",
+        F.col("pos").cast("long").alias("pos"),
+        F.regexp_extract(F.col("frag"), r"(?i)<h([1-6])", 1)
+        .cast("int")
+        .alias("level"),
+        text.alias("heading"),
+    )
+
+
+def extract_html_tables(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """HTML table extraction -> (url, table_idx, row_idx, is_header,
+    n_cells, cells): the web-native counterpart of the reference's OCR
+    table-grid reconstruction (information_extraction_service.py row/cell
+    clustering) — here the grid is declared by markup, so the whole parse
+    is three nested regexp_extract_all levels (table -> tr -> td/th) with
+    two posexplodes, all codegen, zero UDF/shuffle. Cell text is
+    tag-stripped and whitespace-collapsed; ``cells`` joins with '|' (the
+    oracle-stable scalar form of the row).
+    """
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    tables = F.regexp_extract_all(
+        html_txt, F.lit(r"(?is)<table[^>]*>.*?</table>"), F.lit(0)
+    )
+    t = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(tables).alias("table_idx", "tbl"),
+    )
+    trs = F.regexp_extract_all(
+        F.col("tbl"), F.lit(r"(?is)<tr[^>]*>.*?</tr>"), F.lit(0)
+    )
+    r = t.select(
+        "url", "table_idx", F.posexplode(trs).alias("row_idx", "tr")
+    )
+    raw_cells = F.regexp_extract_all(
+        F.col("tr"), F.lit(r"(?is)<t[dh][^>]*>(.*?)</t[dh]>"), F.lit(1)
+    )
+    clean = F.transform(
+        raw_cells,
+        lambda c: F.trim(
+            F.regexp_replace(F.regexp_replace(c, "<[^>]+>", ""), r"\s+", " ")
+        ),
+    )
+    return r.select(
+        "url",
+        F.col("table_idx").cast("long").alias("table_idx"),
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.col("tr").rlike("(?is)<th[^>]*>").cast("int").alias("is_header"),
+        F.size(clean).cast("long").alias("n_cells"),
+        F.array_join(clean, "|").alias("cells"),
+    )

@@ -2677,6 +2677,107 @@ FROM cc
 )
 
 
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction (urls.extract_html_tables): a header+data
+    table on every page, a second single-row table on every 7th doc;
+    uppercase TD and inner markup pinned."""
+    from .operators import urls as urlops
+
+    d = _docs(spark, sf_dir)
+    t2 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.lit("<table><tr><TD>x  1</TD><td><i>y</i></td></tr></table>"),
+    ).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><body><table class=\"t\">"),
+            F.lit("<tr><th>Name</th><th>Lang</th></tr>"),
+            F.lit("<tr><td>doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</td><td>"),
+            F.col("lang"),
+            F.lit("</td></tr></table>"),
+            t2,
+            F.lit("</body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = d.select(
+        F.concat(F.lit("https://t.example.org/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        html.alias("html"),
+    )
+    return urlops.extract_html_tables(pages)
+
+
+_SQL_HTML_TABLES = """
+WITH d AS (
+  SELECT doc_id, lang, 'https://t.example.org/' || doc_id AS url,
+    doc_id % 7 = 0 AS has2
+  FROM documents
+)
+SELECT url, 0::bigint AS table_idx, 0::bigint AS row_idx, 1 AS is_header,
+  2::bigint AS n_cells, 'Name|Lang' AS cells FROM d
+UNION ALL
+SELECT url, 0::bigint, 1::bigint, 0, 2::bigint, 'doc ' || doc_id || '|' || lang
+FROM d
+UNION ALL
+SELECT url, 1::bigint, 0::bigint, 0, 2::bigint, 'x 1|y' FROM d WHERE has2
+"""
+
+
+def q_extract_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading outline (urls.extract_headings) over heading-decorated
+    pages: uppercase tags, inner markup and doubled whitespace all pinned."""
+    from .operators import urls as urlops
+
+    d = _docs(spark, sf_dir)
+    h2 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit('<h2 class="x">Section  '), F.col("lang"), F.lit("</h2><p>tail</p>")
+        ),
+    ).otherwise(F.lit(""))
+    h3 = F.when(
+        F.col("doc_id") % 5 == 0, F.lit("<H3><b>Sub</b> part</H3>")
+    ).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><body><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.substring("text", 1, 40),
+            F.lit("</p>"),
+            h2,
+            h3,
+            F.lit("</body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = d.select(
+        F.concat(F.lit("https://h.example.org/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        html.alias("html"),
+    )
+    return urlops.extract_headings(pages)
+
+
+_SQL_EXTRACT_HEADINGS = """
+WITH d AS (
+  SELECT doc_id, lang,
+    'https://h.example.org/' || doc_id AS url,
+    doc_id % 3 = 0 AS has2, doc_id % 5 = 0 AS has3
+  FROM documents
+)
+SELECT url, 0::bigint AS pos, 1 AS level, 'Doc ' || doc_id AS heading FROM d
+UNION ALL
+SELECT url, 1::bigint, 2, 'Section ' || lang FROM d WHERE has2
+UNION ALL
+SELECT url, (CASE WHEN has2 THEN 2 ELSE 1 END)::bigint, 3, 'Sub part'
+FROM d WHERE has3
+"""
+
+
 def q_url_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host path-depth histogram (urls.url_depth_stats) over urls with
     (doc_id div 20)%4-graded nesting (varies within each host)."""
@@ -5977,6 +6078,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_consistency": q_lang_consistency,
     "cluster_reps": q_cluster_reps,
     "url_depths": q_url_depths,
+    "extract_headings": q_extract_headings,
+    "html_tables": q_html_tables,
     "script_mix": q_script_mix,
     "text_density_blocks": q_text_density_blocks,
     "host_length_outliers": q_host_length_outliers,
@@ -6143,6 +6246,8 @@ ORACLE: dict[str, str] = {
     "lang_consistency": _SQL_LANG_CONSISTENCY,
     "cluster_reps": _SQL_CLUSTER_REPS,
     "url_depths": _SQL_URL_DEPTHS,
+    "extract_headings": _SQL_EXTRACT_HEADINGS,
+    "html_tables": _SQL_HTML_TABLES,
     "script_mix": _sql_script_mix(),
     "text_density_blocks": _SQL_TEXT_DENSITY_BLOCKS,
     "host_length_outliers": _SQL_HOST_LENGTH_OUTLIERS,
