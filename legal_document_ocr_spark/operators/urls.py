@@ -1204,3 +1204,59 @@ def extract_html_tables(
         F.size(clean).cast("long").alias("n_cells"),
         F.array_join(clean, "|").alias("cells"),
     )
+
+
+def link_relations(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """``<link rel=... href=...>`` relation discovery -> (url, rel, href):
+    rel=next/prev drives pagination-trap handling in the scheduler,
+    rel=alternate surfaces RSS/Atom feeds worth seeding, rel=amphtml and
+    rel=canonical mark duplicate variants. Two-stage fragment extract
+    (group-0 once, attributes per fragment), rel lowercased; fragments
+    missing either attribute are dropped. Zero UDF, zero shuffle.
+    """
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    frags = F.regexp_extract_all(
+        html_txt, F.lit(r"(?is)<link\b[^>]*>"), F.lit(0)
+    )
+    ex = df.select(
+        F.col(url_col).alias("url"), F.posexplode(frags).alias("pos", "frag")
+    )
+    rel = F.lower(F.regexp_extract(F.col("frag"), r'(?i)rel="([^"]*)"', 1))
+    href = F.regexp_extract(F.col("frag"), r'(?i)href="([^"]*)"', 1)
+    return (
+        ex.select(
+            "url",
+            F.col("pos").cast("long").alias("pos"),
+            rel.alias("rel"),
+            href.alias("href"),
+        )
+        .where((F.col("rel") != "") & (F.col("href") != ""))
+    )
+
+
+def meta_robots(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """``<meta name=robots>`` compliance flags -> (url, noindex, nofollow):
+    a curation pipeline that honors publisher opt-outs must drop noindex
+    pages from the corpus and nofollow pages from link-graph construction —
+    the in-markup counterpart of robots.txt. Absent directive = (0, 0).
+    One codegen extract per page, token-anchored so 'nonoindexing' cannot
+    false-positive.
+    """
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    content = F.lower(
+        F.regexp_extract(
+            html_txt,
+            r'(?is)<meta\s+name="robots"\s+content="([^"]*)"',
+            1,
+        )
+    )
+    tok = lambda d: content.rlike(rf"(^|[,\s]){d}($|[,\s])")  # noqa: E731
+    return df.select(
+        F.col(url_col).alias("url"),
+        (tok("noindex") | tok("none")).cast("int").alias("noindex"),
+        (tok("nofollow") | tok("none")).cast("int").alias("nofollow"),
+    )

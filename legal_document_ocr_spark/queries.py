@@ -2677,6 +2677,97 @@ FROM cc
 )
 
 
+def q_link_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<link rel> discovery (urls.link_relations): every doc declares a
+    canonical; every (doc_id div 20) % 2 == 0 doc paginates (next), every
+    3rd declares an RSS alternate; a relless <link> must drop."""
+    from .operators import urls as urlops
+
+    d = _docs(spark, sf_dir)
+    nxt = F.when(
+        F.expr("(doc_id div 20) % 2") == 0,
+        F.concat(
+            F.lit('<link rel="NEXT" href="/p/'),
+            (F.col("doc_id") + 1).cast("string"),
+            F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    rss = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit('<link rel="alternate" type="application/rss+xml" href="/feed.xml">'),
+    ).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(
+            F.lit('<html><head><link rel="canonical" href="https://c.org/'),
+            F.col("doc_id").cast("string"),
+            F.lit('">'),
+            nxt,
+            rss,
+            F.lit('<link charset="x"></head><body>ok</body></html>'),
+        ),
+        "UTF-8",
+    )
+    pages = d.select(
+        F.concat(F.lit("https://l.example.org/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        html.alias("html"),
+    )
+    return urlops.link_relations(pages)
+
+
+_SQL_LINK_RELATIONS = """
+WITH d AS (
+  SELECT doc_id, 'https://l.example.org/' || doc_id AS url,
+    (doc_id // 20) % 2 = 0 AS hasnext, doc_id % 3 = 0 AS hasrss
+  FROM documents
+)
+SELECT url, 0::bigint AS pos, 'canonical' AS rel,
+  'https://c.org/' || doc_id AS href FROM d
+UNION ALL
+SELECT url, 1::bigint, 'next', '/p/' || (doc_id + 1) FROM d WHERE hasnext
+UNION ALL
+SELECT url, (CASE WHEN hasnext THEN 2 ELSE 1 END)::bigint, 'alternate',
+  '/feed.xml' FROM d WHERE hasrss
+"""
+
+
+def q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """meta-robots compliance (urls.meta_robots): noindex for every 4th
+    row-counter doc, 'none' (both) for every 9th doc, plus a decoy
+    'nonoindexing' token that must NOT match."""
+    from .operators import urls as urlops
+
+    d = _docs(spark, sf_dir)
+    content = (
+        F.when(F.col("doc_id") % 9 == 0, F.lit("none"))
+        .when(F.expr("(doc_id div 20) % 4") == 0, F.lit("noindex, follow"))
+        .otherwise(F.lit("nonoindexing,index"))
+    )
+    html = F.encode(
+        F.concat(
+            F.lit('<html><head><meta name="robots" content="'),
+            content,
+            F.lit('"></head><body>x</body></html>'),
+        ),
+        "UTF-8",
+    )
+    pages = d.select(
+        F.concat(F.lit("https://m.example.org/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        html.alias("html"),
+    )
+    return urlops.meta_robots(pages)
+
+
+_SQL_META_ROBOTS = """
+SELECT 'https://m.example.org/' || doc_id AS url,
+  (doc_id % 9 = 0 OR (doc_id % 9 != 0 AND (doc_id // 20) % 4 = 0))::int
+    AS noindex,
+  (doc_id % 9 = 0)::int AS nofollow
+FROM documents
+"""
+
+
 def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML table extraction (urls.extract_html_tables): a header+data
     table on every page, a second single-row table on every 7th doc;
@@ -6080,6 +6171,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_depths": q_url_depths,
     "extract_headings": q_extract_headings,
     "html_tables": q_html_tables,
+    "link_relations": q_link_relations,
+    "meta_robots": q_meta_robots,
     "script_mix": q_script_mix,
     "text_density_blocks": q_text_density_blocks,
     "host_length_outliers": q_host_length_outliers,
@@ -6248,6 +6341,8 @@ ORACLE: dict[str, str] = {
     "url_depths": _SQL_URL_DEPTHS,
     "extract_headings": _SQL_EXTRACT_HEADINGS,
     "html_tables": _SQL_HTML_TABLES,
+    "link_relations": _SQL_LINK_RELATIONS,
+    "meta_robots": _SQL_META_ROBOTS,
     "script_mix": _sql_script_mix(),
     "text_density_blocks": _SQL_TEXT_DENSITY_BLOCKS,
     "host_length_outliers": _SQL_HOST_LENGTH_OUTLIERS,
