@@ -630,3 +630,75 @@ def robust_outliers(
             .cast("int"),
         )
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users reached step k of
+    ``steps`` IN ORDER (each step strictly after the previous one's first
+    qualifying occurrence — the standard product-analytics funnel, and the
+    crawl-ops one: fetched -> parsed -> extracted -> shipped).
+
+    Shape: one filtered scan per funnel (only rows whose type is a step
+    survive the pushable IN filter), then ONE map-side-combined
+    groupBy(user) computing each step's earliest qualifying timestamp as a
+    CHAINED conditional min — min(ts of step k where ts > reach[k-1]) is
+    not directly expressible as one aggregate, so reach is built
+    iteratively: k aggregates over the SAME grouped pass per level, each
+    level a second groupBy over the bounded (user, level-reach) rows.
+    Users are unbounded; everything stays (user, k x ts) narrow rows and
+    nothing broadcasts. Output: (step_idx, step, n_users) — one row per
+    step with the count of users whose ordered journey got that far.
+    """
+    sel = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+    ).where(F.col(type_col).isin(list(steps)))
+    per_user = sel.groupBy("u").agg(
+        F.collect_list(F.struct("ts", "t")).alias("evs")
+    )
+    # per-user fold over the (small: one user's funnel events) sorted list —
+    # array expressions, not a Python UDF; state = reached-step timestamps
+    evs = F.array_sort("evs")
+
+    def _first_after(step, prev):
+        def fn(acc, e):
+            qualifies = acc.isNull() & (e["t"] == F.lit(step))
+            if prev is not None:
+                qualifies = qualifies & (e["ts"] > prev)
+            return F.when(qualifies, e["ts"]).otherwise(acc)
+
+        return F.aggregate(evs, F.lit(None).cast("timestamp"), fn)
+
+    reach = None  # python None marks "no previous step" for step 0
+    reaches = []
+    for step in steps:
+        reach = _first_after(step, reach)
+        reaches.append(reach)
+    flags = per_user.select(
+        *[
+            (r.isNotNull()).cast("int").alias(f"s{i}")
+            for i, r in enumerate(reaches)
+        ]
+    )
+    totals = flags.agg(
+        *[F.sum(f"s{i}").alias(f"n{i}") for i in range(len(steps))]
+    )
+    rows = [
+        F.struct(
+            F.lit(i).alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.col(f"n{i}").cast("long").alias("n_users"),
+        )
+        for i, step in enumerate(steps)
+    ]
+    return totals.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.step_idx", "r.step", "r.n_users"
+    )

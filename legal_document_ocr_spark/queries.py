@@ -2677,6 +2677,36 @@ FROM cc
 )
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (relational.funnel_counts): signup -> view ->
+    purchase, each step strictly after the previous step's first
+    qualifying event."""
+    return relational.funnel_counts(
+        _tbl(spark, sf_dir, "events"), ["signup", "view", "purchase"]
+    )
+
+
+_SQL_EVENT_FUNNEL = """
+WITH e AS (
+  SELECT user_id AS u, event_type AS t, ts
+  FROM events WHERE event_type IN ('signup', 'view', 'purchase')
+),
+r0 AS (SELECT u, min(ts) AS t0 FROM e WHERE t = 'signup' GROUP BY u),
+r1 AS (
+  SELECT e.u, min(e.ts) AS t1 FROM e JOIN r0 ON e.u = r0.u
+  WHERE e.t = 'view' AND e.ts > r0.t0 GROUP BY e.u
+),
+r2 AS (
+  SELECT e.u, min(e.ts) AS t2 FROM e JOIN r1 ON e.u = r1.u
+  WHERE e.t = 'purchase' AND e.ts > r1.t1 GROUP BY e.u
+)
+SELECT 0 AS step_idx, 'signup' AS step,
+  (SELECT count(*) FROM r0)::bigint AS n_users
+UNION ALL SELECT 1, 'view', (SELECT count(*) FROM r1)::bigint
+UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM r2)::bigint
+"""
+
+
 def q_link_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """<link rel> discovery (urls.link_relations): every doc declares a
     canonical; every (doc_id div 20) % 2 == 0 doc paginates (next), every
@@ -6172,6 +6202,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_headings": q_extract_headings,
     "html_tables": q_html_tables,
     "link_relations": q_link_relations,
+    "event_funnel": q_event_funnel,
     "meta_robots": q_meta_robots,
     "script_mix": q_script_mix,
     "text_density_blocks": q_text_density_blocks,
@@ -6342,6 +6373,7 @@ ORACLE: dict[str, str] = {
     "extract_headings": _SQL_EXTRACT_HEADINGS,
     "html_tables": _SQL_HTML_TABLES,
     "link_relations": _SQL_LINK_RELATIONS,
+    "event_funnel": _SQL_EVENT_FUNNEL,
     "meta_robots": _SQL_META_ROBOTS,
     "script_mix": _sql_script_mix(),
     "text_density_blocks": _SQL_TEXT_DENSITY_BLOCKS,

@@ -2442,3 +2442,33 @@ def test_host_mirror_pairs_full_and_partial(spark):
     assert not any("other" in k for k in rows)
     plan = _plan(out)
     assert "BroadcastExchange" not in plan, plan
+
+
+def test_funnel_counts_order_semantics(spark):
+    from datetime import datetime
+
+    from legal_document_ocr_spark.operators import relational
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    rows_in = [
+        # u1: full ordered funnel
+        (1, "signup", t(1)), (1, "view", t(2)), (1, "purchase", t(3)),
+        # u2: purchase BEFORE view -> reaches view, not purchase
+        (2, "signup", t(1)), (2, "purchase", t(2)), (2, "view", t(3)),
+        # u3: no signup -> reaches nothing
+        (3, "view", t(1)), (3, "purchase", t(2)),
+        # u4: signup only
+        (4, "signup", t(5)),
+        # u5: simultaneous signup+view -> strict 'after' excludes the view
+        (5, "signup", t(1)), (5, "view", t(1)),
+    ]
+    ev = spark.createDataFrame(
+        rows_in, "user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        r.step: r.n_users
+        for r in relational.funnel_counts(
+            ev, ["signup", "view", "purchase"]
+        ).collect()
+    }
+    assert out == {"signup": 4, "view": 2, "purchase": 1}
