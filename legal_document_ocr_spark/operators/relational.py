@@ -702,3 +702,40 @@ def funnel_counts(
     return totals.select(F.explode(F.array(*rows)).alias("r")).select(
         "r.step_idx", "r.step", "r.n_users"
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_seconds: int = 604_800,
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by their FIRST-activity
+    period (epoch-week by default), counted once per (cohort, offset)
+    they return in — product analytics' standard retention triangle, and
+    the crawl-ops one (hosts first seen in week w still serving new pages
+    k weeks later).
+
+    Shape: one map-side-combined groupBy(user) min for the cohort
+    assignment, one shuffle_hash join back (users are unbounded — never
+    broadcast), one distinct + count onto the bounded (cohort, offset)
+    key. All-integer epoch-bucket arithmetic (UTC-pinned by the caller;
+    the bucket is epoch-based so session timezone cannot shift it).
+
+    Output: (cohort_bucket, offset, n_users).
+    """
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.floor(F.col(ts_col).cast("timestamp").cast("long") / bucket_seconds)
+        .cast("long")
+        .alias("b"),
+    )
+    first = ev.groupBy("u").agg(F.min("b").alias("b0"))
+    return (
+        ev.join(first.hint("shuffle_hash"), "u")
+        .select("u", F.col("b0").alias("cohort_bucket"), (F.col("b") - F.col("b0")).alias("offset"))
+        .distinct()
+        .groupBy("cohort_bucket", "offset")
+        .agg(F.count("*").alias("n_users"))
+    )

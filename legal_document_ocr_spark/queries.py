@@ -2677,6 +2677,26 @@ FROM cc
 )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (relational.cohort_retention) over events —
+    epoch-week buckets, session-timezone-proof."""
+    return relational.cohort_retention(_tbl(_utc(spark), sf_dir, "events"))
+
+
+_SQL_COHORT_RETENTION = """
+WITH ev AS (
+  SELECT user_id AS u, floor(epoch(ts))::bigint // 604800 AS b FROM events
+),
+fst AS (SELECT u, min(b) AS b0 FROM ev GROUP BY u),
+d AS (
+  SELECT DISTINCT ev.u, fst.b0 AS cohort_bucket, ev.b - fst.b0 AS "offset"
+  FROM ev JOIN fst USING (u)
+)
+SELECT cohort_bucket, "offset", count(*)::bigint AS n_users
+FROM d GROUP BY 1, 2
+"""
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (relational.funnel_counts): signup -> view ->
     purchase, each step strictly after the previous step's first
@@ -6203,6 +6223,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_tables": q_html_tables,
     "link_relations": q_link_relations,
     "event_funnel": q_event_funnel,
+    "cohort_retention": q_cohort_retention,
     "meta_robots": q_meta_robots,
     "script_mix": q_script_mix,
     "text_density_blocks": q_text_density_blocks,
@@ -6374,6 +6395,7 @@ ORACLE: dict[str, str] = {
     "html_tables": _SQL_HTML_TABLES,
     "link_relations": _SQL_LINK_RELATIONS,
     "event_funnel": _SQL_EVENT_FUNNEL,
+    "cohort_retention": _SQL_COHORT_RETENTION,
     "meta_robots": _SQL_META_ROBOTS,
     "script_mix": _sql_script_mix(),
     "text_density_blocks": _SQL_TEXT_DENSITY_BLOCKS,
