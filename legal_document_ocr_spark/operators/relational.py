@@ -739,3 +739,73 @@ def cohort_retention(
         .groupBy("cohort_bucket", "offset")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: revenue of not-yet-shipped orders for one market
+    segment — dimension-filter pushdown + broadcast(customer) into the
+    orders⋈lineitem fact join, decimal revenue sum, deterministic top-k.
+    Both date predicates prune at the scan (PushedFilters); the only
+    exchanges are the fact-fact join on orderkey and the final groupBy.
+    """
+    c = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.where(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    l = lineitem.where(F.col("l_shipdate") > cutoff)  # noqa: E741
+    rev = (
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l.hint("shuffle_hash"), o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    min_quantity: int = 250,
+) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single orders aggregate to huge
+    quantities — the grouped-HAVING semi-join: lineitem groupBy(orderkey)
+    sum > threshold (map-side-combined, the ONLY pass over the fact
+    table), then the qualifying-order set (tiny by construction) joins
+    orders and broadcast(customer). Output one row per qualifying order.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > min_quantity)
+    )
+    return (
+        orders.join(
+            big.hint("shuffle_hash"), orders.o_orderkey == big.l_orderkey
+        )
+        .join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )

@@ -2697,6 +2697,53 @@ FROM d GROUP BY 1, 2
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (relational.shipping_priority)."""
+    return relational.shipping_priority(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+_SQL_SHIPPING_PRIORITY = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  sum((l_extendedprice::decimal(18,2)
+       * (1::decimal(18,2) - l_discount::decimal(18,2)))::decimal(18,4)
+  )::double AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (relational.large_volume_customers)."""
+    return relational.large_volume_customers(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+_SQL_LARGE_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity::decimal(18,2)) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(l_quantity::decimal(18,2)) > 250
+)
+SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+  total_qty::double AS total_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (relational.funnel_counts): signup -> view ->
     purchase, each step strictly after the previous step's first
@@ -6223,6 +6270,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_tables": q_html_tables,
     "link_relations": q_link_relations,
     "event_funnel": q_event_funnel,
+    "shipping_priority": q_shipping_priority,
+    "large_orders": q_large_orders,
     "cohort_retention": q_cohort_retention,
     "meta_robots": q_meta_robots,
     "script_mix": q_script_mix,
@@ -6395,6 +6444,8 @@ ORACLE: dict[str, str] = {
     "html_tables": _SQL_HTML_TABLES,
     "link_relations": _SQL_LINK_RELATIONS,
     "event_funnel": _SQL_EVENT_FUNNEL,
+    "shipping_priority": _SQL_SHIPPING_PRIORITY,
+    "large_orders": _SQL_LARGE_ORDERS,
     "cohort_retention": _SQL_COHORT_RETENTION,
     "meta_robots": _SQL_META_ROBOTS,
     "script_mix": _sql_script_mix(),
