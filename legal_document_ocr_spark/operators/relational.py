@@ -809,3 +809,56 @@ def large_volume_customers(
             F.col("total_qty").cast("double").alias("total_qty"),
         )
     )
+
+
+def small_quantity_revenue(lineitem: DataFrame, *, frac_fifth: int = 5) -> DataFrame:
+    """TPC-H Q17 shape (decorrelated): revenue locked in orders whose line
+    quantity is below 1/``frac_fifth`` of the part's average — the classic
+    correlated-subquery-to-aggregate-join rewrite. The per-part stats table
+    is part-keyed (bounded by |parts| but corpus-scale at high SF) and
+    joins back shuffle_hash, never broadcast. The threshold predicate is
+    ALL-DECIMAL (qty * 5 * cnt < sum_qty) — no division, no float boundary
+    to disagree on. Output: one row (avg_yearly-style revenue sum / 7).
+    """
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    stats = lineitem.groupBy("l_partkey").agg(
+        F.sum(q).alias("sum_qty"), F.count("*").alias("cnt")
+    )
+    li = lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+    joined = li.join(stats.hint("shuffle_hash"), "l_partkey")
+    below = joined.where(
+        F.col("l_quantity").cast("decimal(18,2)") * frac_fifth * F.col("cnt")
+        < F.col("sum_qty")
+    )
+    total = below.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+        F.count("*").alias("n_lines"),
+    )
+    return total.select(
+        (F.col("s").cast("double") / 7.0).alias("avg_yearly"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+    )
+
+
+def late_shipment_priority_counts(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one line shipped late
+    (l_shipdate > o_orderdate + 60 days), counted per order priority —
+    the EXISTS -> LEFT SEMI join rewrite; the semi join carries only the
+    keys, map-side-combined count after. Both fact sides shuffle on
+    orderkey, nothing broadcast.
+    """
+    o = orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    sem = o.join(
+        late.hint("shuffle_hash"),
+        # INTERVAL keeps the timestamp (date_add would truncate to DATE
+        # and silently diverge from the oracle on orders with a time part)
+        (o.o_orderkey == late.l_orderkey)
+        & (late.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )

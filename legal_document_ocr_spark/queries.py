@@ -2697,6 +2697,49 @@ FROM d GROUP BY 1, 2
 """
 
 
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (relational.small_quantity_revenue): all-decimal
+    threshold, no float boundary."""
+    return relational.small_quantity_revenue(_tbl(spark, sf_dir, "lineitem"))
+
+
+_SQL_SMALL_QTY_REVENUE = """
+WITH stats AS (
+  SELECT l_partkey, sum(l_quantity::decimal(18,2)) AS sum_qty,
+    count(*) AS cnt
+  FROM lineitem GROUP BY 1
+),
+below AS (
+  SELECT l.l_extendedprice
+  FROM lineitem l JOIN stats s USING (l_partkey)
+  WHERE l.l_quantity::decimal(18,2) * 5 * s.cnt < s.sum_qty
+)
+SELECT (sum(l_extendedprice::decimal(18,2))::double / 7.0) AS avg_yearly,
+  count(*)::bigint AS n_lines
+FROM below
+"""
+
+
+def q_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (relational.late_shipment_priority_counts):
+    EXISTS -> LEFT SEMI rewrite."""
+    return relational.late_shipment_priority_counts(
+        _tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "lineitem")
+    )
+
+
+_SQL_LATE_PRIORITY = """
+SELECT o_orderpriority, count(*)::bigint AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY 1
+"""
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (relational.shipping_priority)."""
     return relational.shipping_priority(
@@ -6271,6 +6314,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_relations": q_link_relations,
     "event_funnel": q_event_funnel,
     "shipping_priority": q_shipping_priority,
+    "small_qty_revenue": q_small_qty_revenue,
+    "late_priority": q_late_priority,
     "large_orders": q_large_orders,
     "cohort_retention": q_cohort_retention,
     "meta_robots": q_meta_robots,
@@ -6445,6 +6490,8 @@ ORACLE: dict[str, str] = {
     "link_relations": _SQL_LINK_RELATIONS,
     "event_funnel": _SQL_EVENT_FUNNEL,
     "shipping_priority": _SQL_SHIPPING_PRIORITY,
+    "small_qty_revenue": _SQL_SMALL_QTY_REVENUE,
+    "late_priority": _SQL_LATE_PRIORITY,
     "large_orders": _SQL_LARGE_ORDERS,
     "cohort_retention": _SQL_COHORT_RETENTION,
     "meta_robots": _SQL_META_ROBOTS,
