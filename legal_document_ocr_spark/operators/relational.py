@@ -862,3 +862,47 @@ def late_shipment_priority_counts(
     return sem.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders")
     )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer including
+    zero-order customers — LEFT join + per-customer count, then a second
+    map-side-combined groupBy onto the bounded count domain (a histogram
+    of a histogram). Output: (n_orders, n_customers).
+    """
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.select("o_custkey").hint("shuffle_hash"),
+            customer.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+def brand_supplier_counts(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers serving each brand —
+    count(DISTINCT) over a broadcast-dimension join; the distinct runs as
+    the usual two-phase partial-dedup aggregate on the bounded
+    (brand, suppkey) key, never a corpus-wide shuffle of payloads.
+    Output: (p_brand, n_suppliers, n_lines).
+    """
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+            F.count("*").alias("n_lines"),
+        )
+    )

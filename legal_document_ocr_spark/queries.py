@@ -2697,6 +2697,39 @@ FROM d GROUP BY 1, 2
 """
 
 
+def q_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (relational.customer_order_distribution)."""
+    return relational.customer_order_distribution(
+        _tbl(spark, sf_dir, "customer"), _tbl(spark, sf_dir, "orders")
+    )
+
+
+_SQL_ORDER_DISTRIBUTION = """
+WITH pc AS (
+  SELECT c_custkey, count(o_custkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1
+)
+SELECT n_orders::bigint AS n_orders, count(*)::bigint AS n_customers
+FROM pc GROUP BY 1
+"""
+
+
+def q_brand_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (relational.brand_supplier_counts)."""
+    return relational.brand_supplier_counts(
+        _tbl(spark, sf_dir, "part"), _tbl(spark, sf_dir, "lineitem")
+    )
+
+
+_SQL_BRAND_SUPPLIERS = """
+SELECT p_brand, count(DISTINCT l_suppkey)::bigint AS n_suppliers,
+  count(*)::bigint AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
 def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape (relational.small_quantity_revenue): all-decimal
     threshold, no float boundary."""
@@ -6315,6 +6348,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_funnel": q_event_funnel,
     "shipping_priority": q_shipping_priority,
     "small_qty_revenue": q_small_qty_revenue,
+    "order_distribution": q_order_distribution,
+    "brand_suppliers": q_brand_suppliers,
     "late_priority": q_late_priority,
     "large_orders": q_large_orders,
     "cohort_retention": q_cohort_retention,
@@ -6491,6 +6526,8 @@ ORACLE: dict[str, str] = {
     "event_funnel": _SQL_EVENT_FUNNEL,
     "shipping_priority": _SQL_SHIPPING_PRIORITY,
     "small_qty_revenue": _SQL_SMALL_QTY_REVENUE,
+    "order_distribution": _SQL_ORDER_DISTRIBUTION,
+    "brand_suppliers": _SQL_BRAND_SUPPLIERS,
     "late_priority": _SQL_LATE_PRIORITY,
     "large_orders": _SQL_LARGE_ORDERS,
     "cohort_retention": _SQL_COHORT_RETENTION,
