@@ -906,3 +906,24 @@ def brand_supplier_counts(part: DataFrame, lineitem: DataFrame) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+def top_supplier_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue — the
+    argmax-WITH-TIES pattern (a LIMIT 1 silently drops co-winners; Q15's
+    contract returns every supplier at the max). Revenue per supplier is
+    one map-side-combined decimal groupBy; the max is a 1-row aggregate
+    crossJoined back (broadcast by construction) and matched by exact
+    decimal equality — no float compare. Output: (l_suppkey, revenue).
+    """
+    rev = (
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("decimal(18,4)")
+    per_supp = lineitem.groupBy("l_suppkey").agg(F.sum(rev).alias("r"))
+    mx = per_supp.agg(F.max("r").alias("rmax"))
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .where(F.col("r") == F.col("rmax"))
+        .select("l_suppkey", F.col("r").cast("double").alias("revenue"))
+    )

@@ -2697,6 +2697,25 @@ FROM d GROUP BY 1, 2
 """
 
 
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (relational.top_supplier_revenue): argmax WITH ties
+    by exact decimal equality."""
+    return relational.top_supplier_revenue(_tbl(spark, sf_dir, "lineitem"))
+
+
+_SQL_TOP_SUPPLIER = """
+WITH ps AS (
+  SELECT l_suppkey,
+    sum((l_extendedprice::decimal(18,2)
+         * (1::decimal(18,2) - l_discount::decimal(18,2)))::decimal(18,4))
+      AS r
+  FROM lineitem GROUP BY 1
+)
+SELECT l_suppkey, r::double AS revenue
+FROM ps WHERE r = (SELECT max(r) FROM ps)
+"""
+
+
 def q_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape (relational.customer_order_distribution)."""
     return relational.customer_order_distribution(
@@ -6349,6 +6368,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "small_qty_revenue": q_small_qty_revenue,
     "order_distribution": q_order_distribution,
+    "top_supplier": q_top_supplier,
     "brand_suppliers": q_brand_suppliers,
     "late_priority": q_late_priority,
     "large_orders": q_large_orders,
@@ -6527,6 +6547,7 @@ ORACLE: dict[str, str] = {
     "shipping_priority": _SQL_SHIPPING_PRIORITY,
     "small_qty_revenue": _SQL_SMALL_QTY_REVENUE,
     "order_distribution": _SQL_ORDER_DISTRIBUTION,
+    "top_supplier": _SQL_TOP_SUPPLIER,
     "brand_suppliers": _SQL_BRAND_SUPPLIERS,
     "late_priority": _SQL_LATE_PRIORITY,
     "large_orders": _SQL_LARGE_ORDERS,
