@@ -927,3 +927,47 @@ def top_supplier_revenue(lineitem: DataFrame) -> DataFrame:
         .where(F.col("r") == F.col("rmax"))
         .select("l_suppkey", F.col("r").cast("double").alias("revenue"))
     )
+
+
+def regional_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 shape: order revenue rolled up region <- nation <- customer,
+    plus the region's supplier census — the full dimension-chain snowflake.
+    Every dimension broadcasts (region/nation are tiny at any SF, customer
+    is the usual dim side); the fact table shuffles exactly once for the
+    final groupBy. Output: (r_name, revenue, n_orders, n_suppliers).
+    """
+    dim = (
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        ).select("n_nationkey", "r_name")
+    )
+    cust = customer.join(
+        F.broadcast(dim), customer.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey", "r_name")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    supp = (
+        supplier.join(
+            F.broadcast(dim), supplier.s_nationkey == F.col("n_nationkey")
+        )
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return rev.join(F.broadcast(supp), "r_name", "left").select(
+        "r_name",
+        "revenue",
+        "n_orders",
+        F.coalesce("n_suppliers", F.lit(0)).cast("long").alias("n_suppliers"),
+    )

@@ -2697,6 +2697,40 @@ FROM d GROUP BY 1, 2
 """
 
 
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (relational.regional_revenue): the full snowflake —
+    reads region and supplier, the last two untouched driver tables."""
+    return relational.regional_revenue(
+        _tbl(spark, sf_dir, "region"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "supplier"),
+    )
+
+
+_SQL_REGIONAL_REVENUE = """
+WITH dim AS (
+  SELECT n_nationkey, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+rev AS (
+  SELECT r_name, sum(o_totalprice::decimal(18,2))::double AS revenue,
+    count(*)::bigint AS n_orders
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN dim ON c_nationkey = n_nationkey
+  GROUP BY 1
+),
+supp AS (
+  SELECT r_name, count(*)::bigint AS n_suppliers
+  FROM supplier JOIN dim ON s_nationkey = n_nationkey GROUP BY 1
+)
+SELECT rev.r_name, rev.revenue, rev.n_orders,
+  coalesce(supp.n_suppliers, 0)::bigint AS n_suppliers
+FROM rev LEFT JOIN supp USING (r_name)
+"""
+
+
 def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape (relational.top_supplier_revenue): argmax WITH ties
     by exact decimal equality."""
@@ -6369,6 +6403,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "small_qty_revenue": q_small_qty_revenue,
     "order_distribution": q_order_distribution,
     "top_supplier": q_top_supplier,
+    "regional_revenue": q_regional_revenue,
     "brand_suppliers": q_brand_suppliers,
     "late_priority": q_late_priority,
     "large_orders": q_large_orders,
@@ -6548,6 +6583,7 @@ ORACLE: dict[str, str] = {
     "small_qty_revenue": _SQL_SMALL_QTY_REVENUE,
     "order_distribution": _SQL_ORDER_DISTRIBUTION,
     "top_supplier": _SQL_TOP_SUPPLIER,
+    "regional_revenue": _SQL_REGIONAL_REVENUE,
     "brand_suppliers": _SQL_BRAND_SUPPLIERS,
     "late_priority": _SQL_LATE_PRIORITY,
     "large_orders": _SQL_LARGE_ORDERS,
