@@ -971,3 +971,92 @@ def regional_revenue(
         "n_orders",
         F.coalesce("n_suppliers", F.lit(0)).cast("long").alias("n_suppliers"),
     )
+
+
+def lang_source_pivot(docs: DataFrame, langs: list[str]) -> DataFrame:
+    """Crosstab census: one row per source, one column per language —
+    ``pivot`` with an EXPLICIT value list (an unlisted-values pivot runs a
+    distinct-collect pre-pass over the corpus; pinning the list keeps it
+    one map-side-combined aggregate). Output: (source, n_<lang>...).
+    """
+    return (
+        docs.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "source",
+            *[
+                F.coalesce(F.col(lang), F.lit(0)).cast("long").alias(f"n_{lang}")
+                for lang in langs
+            ],
+        )
+    )
+
+
+def corpus_rollup_census(docs: DataFrame) -> DataFrame:
+    """ROLLUP census over (source, lang): per-cell counts, per-source
+    subtotals and the grand total in ONE aggregation pass — Spark plans a
+    single expand+aggregate, not three scans. NULL group keys are coalesced
+    to 'ALL' (matching the oracle's textual rollup markers) and the
+    grouping level is emitted explicitly. Output: (source, lang, grouping_level,
+    n_docs, sum_chars).
+    """
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(18,0)"))
+            .cast("long")
+            .alias("sum_chars"),
+            # grouping_id must be computed IN the aggregate (a later select
+            # is a plain projection where it cannot resolve)
+            F.grouping_id("source", "lang").cast("int").alias("grouping_level"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "grouping_level",
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
+def rolling_value_stats(events: DataFrame, *, frame: int = 2) -> DataFrame:
+    """Per-user rolling aggregate over the last ``frame``+1 events (ROWS
+    BETWEEN frame PRECEDING AND CURRENT ROW) — the bounded-frame window
+    flavor (sessionize covers gaps, asof covers point lookups; this is the
+    moving average). One shuffle on user_id serves the frame; decimal sums
+    with a floor-micro mean emit. Output: (user_id, event_id, n_in_frame,
+    mean_value_micro).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-frame, 0)
+    )
+    s = F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+    n = F.count("*").over(w)
+    return events.select(
+        "user_id",
+        "event_id",
+        n.cast("long").alias("n_in_frame"),
+        F.floor(s.cast("double") / n * 1000000.0).cast("long").alias(
+            "mean_value_micro"
+        ),
+    )
+
+
+def length_quartiles(docs: DataFrame) -> DataFrame:
+    """ntile(4) quartile assignment of documents by length within each
+    source — the W-family bucketing used to stratify by length. Tiebreak
+    pinned by doc_id so the tile is deterministic. Output: (doc_id,
+    source, n_chars, quartile).
+    """
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )

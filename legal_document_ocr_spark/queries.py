@@ -2697,6 +2697,71 @@ FROM d GROUP BY 1, 2
 """
 
 
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab pivot (relational.lang_source_pivot) with a pinned value
+    list — no distinct-collect pre-pass."""
+    return relational.lang_source_pivot(_docs(spark, sf_dir), _PIVOT_LANGS)
+
+
+def _sql_lang_pivot() -> str:
+    cols = ",\n  ".join(
+        f"sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END)::bigint AS n_{lg}"
+        for lg in _PIVOT_LANGS
+    )
+    return f"""
+SELECT source,
+  {cols}
+FROM documents GROUP BY source
+"""
+
+
+def q_rollup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP census (relational.corpus_rollup_census): cells, per-source
+    subtotals and grand total in one expand+aggregate pass."""
+    return relational.corpus_rollup_census(_docs(spark, sf_dir))
+
+
+_SQL_ROLLUP_CENSUS = """
+SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+  grouping(source, lang)::int AS grouping_level,
+  count(*)::bigint AS n_docs,
+  sum(n_chars::decimal(18,0))::bigint AS sum_chars
+FROM documents GROUP BY ROLLUP (source, lang)
+"""
+
+
+def q_rolling_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame rolling mean (relational.rolling_value_stats)."""
+    return relational.rolling_value_stats(_tbl(spark, sf_dir, "events"))
+
+
+_SQL_ROLLING_VALUES = """
+SELECT user_id, event_id,
+  count(*) OVER w::bigint AS n_in_frame,
+  floor(sum(value::decimal(18,6)) OVER w::double
+        / count(*) OVER w * 1000000.0)::bigint AS mean_value_micro
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) length quartiles per source (relational.length_quartiles)."""
+    return relational.length_quartiles(_docs(spark, sf_dir))
+
+
+_SQL_LENGTH_QUARTILES_NTILE = """
+SELECT doc_id, source, n_chars,
+  ntile(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id)::int
+    AS quartile
+FROM documents
+"""
+
+
 def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape (relational.regional_revenue): the full snowflake —
     reads region and supplier, the last two untouched driver tables."""
@@ -6404,6 +6469,10 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_distribution": q_order_distribution,
     "top_supplier": q_top_supplier,
     "regional_revenue": q_regional_revenue,
+    "lang_pivot": q_lang_pivot,
+    "rollup_census": q_rollup_census,
+    "rolling_values": q_rolling_values,
+    "length_ntiles": q_length_quartiles,
     "brand_suppliers": q_brand_suppliers,
     "late_priority": q_late_priority,
     "large_orders": q_large_orders,
@@ -6584,6 +6653,10 @@ ORACLE: dict[str, str] = {
     "order_distribution": _SQL_ORDER_DISTRIBUTION,
     "top_supplier": _SQL_TOP_SUPPLIER,
     "regional_revenue": _SQL_REGIONAL_REVENUE,
+    "lang_pivot": _sql_lang_pivot(),
+    "rollup_census": _SQL_ROLLUP_CENSUS,
+    "rolling_values": _SQL_ROLLING_VALUES,
+    "length_ntiles": _SQL_LENGTH_QUARTILES_NTILE,
     "brand_suppliers": _SQL_BRAND_SUPPLIERS,
     "late_priority": _SQL_LATE_PRIORITY,
     "large_orders": _SQL_LARGE_ORDERS,
