@@ -2700,6 +2700,47 @@ FROM d GROUP BY 1, 2
 _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
+def q_json_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured key census: top-level JSON key counts + null-value
+    counts over a decorated props column (every 3rd event gains an extra
+    key, every 7th a null) — the schema-discovery pass over a raw JSON
+    ingest column. json_object_keys + posexplode, one bounded groupBy."""
+    ev = _tbl(spark, sf_dir, "events").select("event_id", "props")
+    decorated = F.concat(
+        F.expr("rtrim('}', props)"),
+        F.when(
+            F.col("event_id") % 3 == 0, F.lit(', "extra": true')
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("event_id") % 7 == 0, F.lit(', "note": null')
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    # from_json to a map preserves JSON nulls as NULL values and keeps the
+    # key list; get_json_object would need a foldable path per key
+    kv = F.explode(F.from_json(decorated, "map<string,string>"))
+    ex = ev.select(kv.alias("key", "val"))
+    return ex.groupBy("key").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("val").isNull().cast("int")).cast("long").alias("n_null"),
+    )
+
+
+_SQL_JSON_KEY_CENSUS = """
+WITH d AS (
+  SELECT rtrim(props, '}')
+    || (CASE WHEN event_id % 3 = 0 THEN ', "extra": true' ELSE '' END)
+    || (CASE WHEN event_id % 7 = 0 THEN ', "note": null' ELSE '' END)
+    || '}' AS j
+  FROM events
+),
+ex AS (SELECT j, unnest(json_keys(j)) AS key FROM d)
+SELECT key, count(*)::bigint AS n_events,
+  sum((json_extract_string(j, '$.' || key) IS NULL)::int)::bigint AS n_null
+FROM ex GROUP BY 1
+"""
+
+
 def q_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crosstab pivot (relational.lang_source_pivot) with a pinned value
     list — no distinct-collect pre-pass."""
@@ -6470,6 +6511,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_supplier": q_top_supplier,
     "regional_revenue": q_regional_revenue,
     "lang_pivot": q_lang_pivot,
+    "json_key_census": q_json_key_census,
     "rollup_census": q_rollup_census,
     "rolling_values": q_rolling_values,
     "length_ntiles": q_length_quartiles,
@@ -6654,6 +6696,7 @@ ORACLE: dict[str, str] = {
     "top_supplier": _SQL_TOP_SUPPLIER,
     "regional_revenue": _SQL_REGIONAL_REVENUE,
     "lang_pivot": _sql_lang_pivot(),
+    "json_key_census": _SQL_JSON_KEY_CENSUS,
     "rollup_census": _SQL_ROLLUP_CENSUS,
     "rolling_values": _SQL_ROLLING_VALUES,
     "length_ntiles": _SQL_LENGTH_QUARTILES_NTILE,
