@@ -2472,3 +2472,14 @@ def test_funnel_counts_order_semantics(spark):
         ).collect()
     }
     assert out == {"signup": 4, "view": 2, "purchase": 1}
+
+
+def test_q17_stats_side_not_broadcast(spark):
+    """small_quantity_revenue joins lineitem against its own per-part
+    aggregate — a COMPUTED corpus-sized frame (|parts| rows) that must
+    shuffle, not broadcast (the planner would broadcast it at test scale)."""
+    from legal_document_ocr_spark.operators import relational
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = _plan(relational.small_quantity_revenue(li))
+    assert "BroadcastExchange" not in plan, plan
