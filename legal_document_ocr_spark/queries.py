@@ -2700,6 +2700,88 @@ FROM d GROUP BY 1, 2
 _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
+def q_order_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled daily order counts (date-spine pattern): a generated
+    day dimension LEFT-joined to the fact aggregate so empty days emit 0
+    instead of vanishing — the dashboard-correctness idiom. The spine is
+    sequence(min, max) exploded from ONE aggregate row; bounded by the
+    date range, not the fact size. Weekly grain keeps the oracle small:
+    days collapsed to epoch-week buckets."""
+    o = _tbl(_utc(spark), sf_dir, "orders")
+    wk = F.floor(
+        F.col("o_orderdate").cast("timestamp").cast("long") / 604800
+    ).alias("week")
+    per_week = o.select(wk).groupBy("week").agg(F.count("*").alias("n_orders"))
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("timestamp").cast("long")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("timestamp").cast("long")).alias("hi"),
+    ).select(
+        F.floor(F.col("lo") / 604800).cast("long").alias("wlo"),
+        F.floor(F.col("hi") / 604800).cast("long").alias("whi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("wlo"), F.col("whi"))).alias("week")
+    )
+    return spine.join(per_week, "week", "left").select(
+        "week",
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+_SQL_ORDER_DATE_SPINE = """
+WITH w AS (
+  SELECT floor(epoch(o_orderdate))::bigint // 604800 AS week FROM orders
+),
+pw AS (SELECT week, count(*) AS n_orders FROM w GROUP BY 1),
+b AS (SELECT min(week) AS wlo, max(week) AS whi FROM w),
+spine AS (SELECT unnest(generate_series(wlo, whi)) AS week FROM b)
+SELECT spine.week, coalesce(pw.n_orders, 0)::bigint AS n_orders
+FROM spine LEFT JOIN pw USING (week)
+"""
+
+
+def q_snapshot_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface: INTERSECT / EXCEPT between two synthesized
+    snapshot url sets (snapshot B drops every 5th doc and adds shifted
+    ids) — the membership audit behind crawl_diff, as set ops."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    a = d.select(F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("u"))
+    b = d.where(F.col("doc_id") % 5 != 0).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("u")
+    ).unionByName(
+        d.select(
+            F.concat(F.lit("u"), (F.col("doc_id") + 500000).cast("string")).alias("u")
+        )
+    )
+    stable = a.intersect(b).agg(F.count("*").alias("n")).select(
+        F.lit("stable").alias("kind"), F.col("n").cast("long").alias("n")
+    )
+    removed = a.exceptAll(b).agg(F.count("*").alias("n")).select(
+        F.lit("removed").alias("kind"), F.col("n").cast("long").alias("n")
+    )
+    added = b.exceptAll(a).agg(F.count("*").alias("n")).select(
+        F.lit("added").alias("kind"), F.col("n").cast("long").alias("n")
+    )
+    return stable.unionByName(removed).unionByName(added)
+
+
+_SQL_SNAPSHOT_MEMBERSHIP = """
+WITH a AS (SELECT 'u' || doc_id AS u FROM documents),
+b AS (
+  SELECT 'u' || doc_id AS u FROM documents WHERE doc_id % 5 != 0
+  UNION ALL SELECT 'u' || (doc_id + 500000) FROM documents
+)
+SELECT 'stable' AS kind,
+  (SELECT count(*) FROM (SELECT u FROM a INTERSECT SELECT u FROM b))::bigint AS n
+UNION ALL
+SELECT 'removed',
+  (SELECT count(*) FROM (SELECT u FROM a EXCEPT ALL SELECT u FROM b))::bigint
+UNION ALL
+SELECT 'added',
+  (SELECT count(*) FROM (SELECT u FROM b EXCEPT ALL SELECT u FROM a))::bigint
+"""
+
+
 def q_json_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured key census: top-level JSON key counts + null-value
     counts over a decorated props column (every 3rd event gains an extra
@@ -6512,6 +6594,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regional_revenue": q_regional_revenue,
     "lang_pivot": q_lang_pivot,
     "json_key_census": q_json_key_census,
+    "order_date_spine": q_order_date_spine,
+    "snapshot_membership": q_snapshot_membership,
     "rollup_census": q_rollup_census,
     "rolling_values": q_rolling_values,
     "length_ntiles": q_length_quartiles,
@@ -6697,6 +6781,8 @@ ORACLE: dict[str, str] = {
     "regional_revenue": _SQL_REGIONAL_REVENUE,
     "lang_pivot": _sql_lang_pivot(),
     "json_key_census": _SQL_JSON_KEY_CENSUS,
+    "order_date_spine": _SQL_ORDER_DATE_SPINE,
+    "snapshot_membership": _SQL_SNAPSHOT_MEMBERSHIP,
     "rollup_census": _SQL_ROLLUP_CENSUS,
     "rolling_values": _SQL_ROLLING_VALUES,
     "length_ntiles": _SQL_LENGTH_QUARTILES_NTILE,
