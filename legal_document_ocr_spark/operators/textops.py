@@ -2105,3 +2105,90 @@ def zipf_fit(
         F.floor(slope * 1000000.0).cast("long").alias("slope_micro"),
         F.floor(intercept * 1000000.0).cast("long").alias("intercept_micro"),
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    rare_df_max: int = 16,
+    threshold_micro: int = 300_000,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity JOIN: document pairs scoring above
+    the threshold, candidates generated only through RARE terms (df <=
+    ``rare_df_max``) — the classic sparse-vector similarity join: common
+    terms generate quadratic candidate fan-out but contribute little
+    discrimination, so only rare terms key the pair search, while the
+    cosine itself is exact over the FULL shared vocabulary of each
+    candidate pair.
+
+    Determinism: tf and idf-weighted products are decimal-exact
+    (idf = round(ln(N/df), 6) as DECIMAL(12,6)); dot products and norms
+    sum as decimals; the final cosine does ONE double sqrt/divide sequence
+    stated identically in the oracle (IEEE sqrt is correctly rounded).
+    Output: (id_a, id_b, cosine_micro), id_a < id_b.
+
+    Scale: the rare-term candidate join is bounded by df_max * df(term)
+    per term; tf tables join back shuffle_hash (corpus-sized, never
+    broadcast); norms are one map-side-combined groupBy.
+    """
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("decimal(10,0)").alias("tf"))
+        .persist()
+    )
+    n_docs = docs.count()
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.round(
+        F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 6
+    ).cast("decimal(12,6)")
+    # tf(10,0) * idf(12,6) is exact at scale 6; the re-cast to (15,6)
+    # keeps w*w inside 38 digits so BOTH engines multiply exactly at scale
+    # 12 — without it Spark reduces the product's scale (precision cap) and
+    # truncates digits DuckDB keeps
+    w = tf.join(df_t.hint("shuffle_hash"), "term").select(
+        "doc_id", "term",
+        (F.col("tf") * idf).cast("decimal(15,6)").alias("w"),
+        F.col("df"),
+    ).persist()
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nrm"))
+    rare = w.where(F.col("df") <= rare_df_max).select("doc_id", "term")
+    cand = (
+        rare.select(F.col("doc_id").alias("id_a"), "term")
+        .join(
+            rare.select(F.col("doc_id").alias("id_b"), "term")
+            .hint("shuffle_hash"),
+            "term",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    wa = w.select(F.col("doc_id").alias("id_a"), "term", F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("id_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        cand.join(wa.hint("shuffle_hash"), "id_a")
+        .join(wb.hint("shuffle_hash"), ["id_b", "term"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    cos = (
+        dots.join(na.hint("shuffle_hash"), "id_a")
+        .join(nb.hint("shuffle_hash"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("cosine_micro"),
+        )
+    )
+    return cos.where(F.col("cosine_micro") >= threshold_micro)

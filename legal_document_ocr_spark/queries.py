@@ -2700,6 +2700,90 @@ FROM d GROUP BY 1, 2
 _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine join (textops.tfidf_cosine_pairs) over a
+    paired corpus: docs 2k/2k+1 share one text, groups of 4 share one
+    planted rare term — each even/odd pair must score near 1.0."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    base = d.select(F.col("doc_id").alias("bid"), F.col("text").alias("btext"))
+    paired = (
+        d.select("doc_id", (F.floor(F.col("doc_id") / 2) * 2).alias("bid"))
+        .join(base.hint("shuffle_hash"), "bid")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("btext"),
+                F.lit(" uq"),
+                F.floor(F.col("doc_id") / 4).cast("string"),
+            ).alias("text"),
+        )
+    )
+    return textops.tfidf_cosine_pairs(paired)
+
+
+_SQL_TFIDF_PAIRS = f"""
+WITH src AS (
+  SELECT d.doc_id, b.text || ' uq' || (d.doc_id // 4) AS text
+  FROM documents d JOIN documents b ON b.doc_id = (d.doc_id // 2) * 2
+),
+tf AS (
+  SELECT doc_id, term, count(*)::decimal(10,0) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM src) GROUP BY 1, 2
+),
+nn AS (SELECT count(*) AS n FROM src),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.doc_id, tf.term, dft.df,
+    (tf.tf * round(ln(nn.n::double / dft.df::double), 6)::decimal(12,6)
+    )::decimal(15,6) AS w
+  FROM tf JOIN dft USING (term) CROSS JOIN nn
+),
+norms AS (SELECT doc_id, sum(w * w) AS nrm FROM w GROUP BY 1),
+rare AS (SELECT doc_id, term FROM w WHERE df <= 16),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare a JOIN rare b ON a.term = b.term AND a.doc_id < b.doc_id
+),
+dots AS (
+  SELECT c.id_a, c.id_b, sum(wa.w * wb.w) AS dot
+  FROM cand c
+  JOIN w wa ON wa.doc_id = c.id_a
+  JOIN w wb ON wb.doc_id = c.id_b AND wb.term = wa.term
+  GROUP BY 1, 2
+)
+SELECT d.id_a, d.id_b,
+  floor(d.dot::double / sqrt(na.nrm::double * nb.nrm::double)
+        * 1000000.0)::bigint AS cosine_micro
+FROM dots d
+JOIN norms na ON na.doc_id = d.id_a
+JOIN norms nb ON nb.doc_id = d.id_b
+WHERE floor(d.dot::double / sqrt(na.nrm::double * nb.nrm::double)
+            * 1000000.0) >= 300000
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values per event_type (bin = floor
+    of value/10, decimal-exact binning so boundary values cannot straddle
+    engines) — the profiling pass before choosing filter thresholds."""
+    ev = _tbl(spark, sf_dir, "events")
+    bin_ = F.floor(
+        F.col("value").cast("decimal(18,6)") / F.lit(10).cast("decimal(4,0)")
+    ).cast("long")
+    return (
+        ev.select("event_type", bin_.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_SQL_VALUE_HISTOGRAM = """
+SELECT event_type, floor(value::decimal(18,6) / 10)::bigint AS bin,
+  count(*)::bigint AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_order_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-filled daily order counts (date-spine pattern): a generated
     day dimension LEFT-joined to the fact aggregate so empty days emit 0
@@ -6595,6 +6679,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_pivot": q_lang_pivot,
     "json_key_census": q_json_key_census,
     "order_date_spine": q_order_date_spine,
+    "value_histogram": q_value_histogram,
+    "tfidf_pairs": q_tfidf_pairs,
     "snapshot_membership": q_snapshot_membership,
     "rollup_census": q_rollup_census,
     "rolling_values": q_rolling_values,
@@ -6782,6 +6868,8 @@ ORACLE: dict[str, str] = {
     "lang_pivot": _sql_lang_pivot(),
     "json_key_census": _SQL_JSON_KEY_CENSUS,
     "order_date_spine": _SQL_ORDER_DATE_SPINE,
+    "value_histogram": _SQL_VALUE_HISTOGRAM,
+    "tfidf_pairs": _SQL_TFIDF_PAIRS,
     "snapshot_membership": _SQL_SNAPSHOT_MEMBERSHIP,
     "rollup_census": _SQL_ROLLUP_CENSUS,
     "rolling_values": _SQL_ROLLING_VALUES,
