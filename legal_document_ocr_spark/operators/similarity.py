@@ -392,3 +392,45 @@ def bucketed_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_inertia(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-cell k-means INERTIA (sum of squared distances to the assigned
+    centroid) — the clustering-quality gauge that decides whether an IVF
+    index needs more cells or another refinement round. Same corpus x
+    broadcast(n_cells) argmin as ivf_assign, but the min distance is KEPT
+    and summed per cell as round(·,12) decimals (double sums are
+    order-dependent; the fixed-fold dist itself is engine-identical).
+    Output: (cell, n_vecs, inertia_micro).
+    """
+    corpus = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = embeddings.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    dists = corpus.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "cell_id",
+        sq_dist_expr(F.col("v"), F.col("cv")).alias("dist"),
+    )
+    per_vec = (
+        dists.groupBy(id_col)
+        .agg(F.min(F.struct("dist", "cell_id")).alias("m"))
+        .select(
+            F.col("m.cell_id").alias("cell"),
+            F.round(F.col("m.dist"), 12).cast("decimal(28,12)").alias("d"),
+        )
+    )
+    return per_vec.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.floor(F.sum("d").cast("double") * 1000000.0)
+        .cast("long")
+        .alias("inertia_micro"),
+    )

@@ -2700,6 +2700,38 @@ FROM d GROUP BY 1, 2
 _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
+def q_ivf_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF clustering-quality gauge (similarity.ivf_inertia): per-cell
+    population + decimal-summed inertia."""
+    return _as_long(
+        similarity.ivf_inertia(_tbl(spark, sf_dir, "embeddings"), 8), "cell"
+    )
+
+
+_SQL_IVF_INERTIA = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 8),
+d0 AS (
+  SELECT e.vec_id, c.cell_id,
+    list_reduce(list_transform(generate_series(1, len(e.v)),
+      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), (x, y) -> x + y) AS dist
+  FROM e, c0 c
+),
+m0 AS (SELECT vec_id, min(dist) AS md FROM d0 GROUP BY vec_id),
+a0 AS (
+  SELECT d.vec_id, min(d.cell_id) AS cell, min(m0.md) AS md
+  FROM d0 d JOIN m0 ON d.vec_id = m0.vec_id AND d.dist = m0.md
+  GROUP BY d.vec_id
+)
+SELECT cell::bigint AS cell, count(*)::bigint AS n_vecs,
+  floor(sum(round(md, 12)::decimal(28,12))::double * 1000000.0)::bigint
+    AS inertia_micro
+FROM a0 GROUP BY cell
+"""
+
+
 def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine join (textops.tfidf_cosine_pairs) over a
     paired corpus: docs 2k/2k+1 share one text, groups of 4 share one
@@ -6681,6 +6713,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_date_spine": q_order_date_spine,
     "value_histogram": q_value_histogram,
     "tfidf_pairs": q_tfidf_pairs,
+    "ivf_inertia": q_ivf_inertia,
     "snapshot_membership": q_snapshot_membership,
     "rollup_census": q_rollup_census,
     "rolling_values": q_rolling_values,
@@ -6870,6 +6903,7 @@ ORACLE: dict[str, str] = {
     "order_date_spine": _SQL_ORDER_DATE_SPINE,
     "value_histogram": _SQL_VALUE_HISTOGRAM,
     "tfidf_pairs": _SQL_TFIDF_PAIRS,
+    "ivf_inertia": _SQL_IVF_INERTIA,
     "snapshot_membership": _SQL_SNAPSHOT_MEMBERSHIP,
     "rollup_census": _SQL_ROLLUP_CENSUS,
     "rolling_values": _SQL_ROLLING_VALUES,
