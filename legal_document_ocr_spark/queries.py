@@ -2700,6 +2700,34 @@ FROM d GROUP BY 1, 2
 _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
+def q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateless quality annotation (streaming.stream_quality_
+    flags) drained availableNow; oracle = identical batch SQL."""
+    from .streaming.pipeline import run_stream_to_table, stream_quality_flags
+
+    name = "stream_quality_result"
+    sdf = stream_quality_flags(spark, f"{sf_dir}/documents.parquet")
+    run_stream_to_table(spark, sdf, name, output_mode="append")
+    return spark.table(name)
+
+
+_SQL_STREAM_QUALITY = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, len(toks)::bigint AS n_tokens,
+    CASE WHEN len(toks) > 0 THEN
+      floor(list_reduce(list_transform(toks, x -> length(x)::bigint),
+                        (a, b) -> a + b) * 1000000 / len(toks))::bigint
+    ELSE 0 END AS mean_tok_len_micro
+  FROM t
+)
+SELECT doc_id, n_tokens, mean_tok_len_micro,
+  (n_tokens >= 5 AND mean_tok_len_micro >= 2000000
+   AND mean_tok_len_micro <= 12000000)::int AS keep
+FROM m
+"""
+
+
 def q_ivf_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF clustering-quality gauge (similarity.ivf_inertia): per-cell
     population + decimal-summed inertia."""
@@ -6714,6 +6742,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_histogram": q_value_histogram,
     "tfidf_pairs": q_tfidf_pairs,
     "ivf_inertia": q_ivf_inertia,
+    "stream_quality": q_stream_quality,
     "snapshot_membership": q_snapshot_membership,
     "rollup_census": q_rollup_census,
     "rolling_values": q_rolling_values,
@@ -6904,6 +6933,7 @@ ORACLE: dict[str, str] = {
     "value_histogram": _SQL_VALUE_HISTOGRAM,
     "tfidf_pairs": _SQL_TFIDF_PAIRS,
     "ivf_inertia": _SQL_IVF_INERTIA,
+    "stream_quality": _SQL_STREAM_QUALITY,
     "snapshot_membership": _SQL_SNAPSHOT_MEMBERSHIP,
     "rollup_census": _SQL_ROLLUP_CENSUS,
     "rolling_values": _SQL_ROLLING_VALUES,

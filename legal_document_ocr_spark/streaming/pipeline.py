@@ -100,14 +100,19 @@ def stream_windowed_counts(
 
 
 def run_stream_to_table(
-    spark: SparkSession, streaming_df: DataFrame, table_name: str
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    table_name: str,
+    *,
+    output_mode: str = "complete",
 ) -> None:
     """Drain a streaming DF into an in-memory table with availableNow
-    (exactly the rows present at start — the batch-equivalence harness)."""
+    (exactly the rows present at start — the batch-equivalence harness).
+    ``complete`` fits aggregations; stateless projections need ``append``."""
     q = (
         streaming_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -359,3 +364,38 @@ def stream_extraction(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_quality_flags(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """Streaming quality ANNOTATION: arriving documents gain keep/drop
+    flags (Gopher-lite word-count + mean-word-length gates and a symbol-
+    ratio gate) computed by pure codegen expressions per micro-batch —
+    stateless, so the streaming plan is exactly the batch plan behind a
+    file source; the oracle is the identical batch SQL. The live face of
+    the rule-gate stage in curation_pipeline.
+    Output: (doc_id, n_tokens, mean_tok_len_micro, keep).
+    """
+    from ..operators.textops import ws_tokens
+
+    stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(
+        _as_stream_dir(spark, docs_dir)
+    )
+    toks = ws_tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_micro = F.when(
+        n > 0, F.floor(total_len * 1000000 / n)
+    ).otherwise(F.lit(0)).cast("long")
+    keep = (
+        (n >= 5)
+        & (mean_micro >= 2_000_000)
+        & (mean_micro <= 12_000_000)
+    ).cast("int")
+    return stream.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        mean_micro.alias("mean_tok_len_micro"),
+        keep.alias("keep"),
+    )
