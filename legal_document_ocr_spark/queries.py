@@ -2700,6 +2700,61 @@ FROM d GROUP BY 1, 2
 _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
+def q_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per event_type between the value column and the
+    JSON props k field — the zipf_fit regression discipline applied to
+    corr: all five sums accumulate as exact decimals (x rounded to 6 dp
+    first), ONE double formula at emit. A NULL corr (zero variance) stays
+    NULL."""
+    ev = _tbl(spark, sf_dir, "events")
+    x = F.round(F.col("value").cast("double"), 6).cast("decimal(18,6)")
+    y = F.get_json_object("props", "$.k").cast("long").cast("decimal(18,0)")
+    sums = ev.where(y.isNotNull()).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum((x * x).cast("decimal(30,12)")).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - (F.col("sx") * F.col("sx")).cast("decimal(38,12)")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    corr = num / F.sqrt(denx * deny)
+    return sums.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            (denx > 0) & (deny > 0), F.floor(corr * 1000000.0)
+        ).cast("long").alias("corr_micro"),
+    )
+
+
+_SQL_VALUE_CORRELATION = """
+WITH e AS (
+  SELECT event_type,
+    round(value::double, 6)::decimal(18,6) AS x,
+    json_extract_string(props, '$.k')::bigint::decimal(18,0) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+    sum(x * y) AS sxy, sum((x * x)::decimal(30,12)) AS sxx,
+    sum(y * y) AS syy
+  FROM e WHERE y IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n::bigint AS n,
+  CASE WHEN (n * sxx - (sx * sx)::decimal(38,12))::double > 0
+        AND (n * syy - sy * sy)::double > 0
+       THEN floor((n * sxy - sx * sy)::double
+                  / sqrt((n * sxx - (sx * sx)::decimal(38,12))::double
+                         * (n * syy - sy * sy)::double)
+                  * 1000000.0)::bigint
+  END AS corr_micro
+FROM s
+"""
+
+
 def q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming stateless quality annotation (streaming.stream_quality_
     flags) drained availableNow; oracle = identical batch SQL."""
@@ -6743,6 +6798,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_pairs": q_tfidf_pairs,
     "ivf_inertia": q_ivf_inertia,
     "stream_quality": q_stream_quality,
+    "value_correlation": q_value_correlation,
     "snapshot_membership": q_snapshot_membership,
     "rollup_census": q_rollup_census,
     "rolling_values": q_rolling_values,
@@ -6934,6 +6990,7 @@ ORACLE: dict[str, str] = {
     "tfidf_pairs": _SQL_TFIDF_PAIRS,
     "ivf_inertia": _SQL_IVF_INERTIA,
     "stream_quality": _SQL_STREAM_QUALITY,
+    "value_correlation": _SQL_VALUE_CORRELATION,
     "snapshot_membership": _SQL_SNAPSHOT_MEMBERSHIP,
     "rollup_census": _SQL_ROLLUP_CENSUS,
     "rolling_values": _SQL_ROLLING_VALUES,
