@@ -2700,6 +2700,59 @@ FROM d GROUP BY 1, 2
 _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test lang x source: per-cell terms are
+    exact-integer ((O*N - r*c)^2 / (N*r*c)) evaluated as ONE double
+    division each, summed as round(·,6) decimals (order-independent).
+    Output: one row (n_cells, dof, chi2_micro)."""
+    d = _docs(spark, sf_dir)
+    obs = d.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    rows_t = d.groupBy("source").agg(F.count("*").alias("r"))
+    cols_t = d.groupBy("lang").agg(F.count("*").alias("c"))
+    n_total = d.count()
+    j = obs.join(F.broadcast(rows_t), "source").join(
+        F.broadcast(cols_t), "lang"
+    )
+    dev = F.col("o") * F.lit(n_total) - F.col("r") * F.col("c")
+    term = F.round(
+        (dev * dev).cast("double")
+        / (F.lit(n_total) * F.col("r") * F.col("c")).cast("double"),
+        6,
+    ).cast("decimal(28,6)")
+    agg = j.agg(
+        F.count("*").alias("n_cells"),
+        F.sum(term).alias("chi2"),
+        F.count_distinct("source").alias("nr"),
+        F.count_distinct("lang").alias("nc"),
+    )
+    return agg.select(
+        F.col("n_cells").cast("long").alias("n_cells"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.floor(F.col("chi2").cast("double") * 1000000.0)
+        .cast("long")
+        .alias("chi2_micro"),
+    )
+
+
+_SQL_CHI_SQUARE = """
+WITH obs AS (SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+r AS (SELECT source, count(*) AS r FROM documents GROUP BY 1),
+c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM documents),
+t AS (
+  SELECT obs.source, obs.lang,
+    round(((obs.o * nn.n - r.r * c.c) * (obs.o * nn.n - r.r * c.c))::double
+          / (nn.n * r.r * c.c)::double, 6)::decimal(28,6) AS term
+  FROM obs JOIN r USING (source) JOIN c USING (lang) CROSS JOIN nn
+)
+SELECT count(*)::bigint AS n_cells,
+  ((SELECT count(DISTINCT source) FROM documents) - 1)::bigint
+    * ((SELECT count(DISTINCT lang) FROM documents) - 1)::bigint AS dof,
+  floor(sum(term)::double * 1000000.0)::bigint AS chi2_micro
+FROM t
+"""
+
+
 def q_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation per event_type between the value column and the
     JSON props k field — the zipf_fit regression discipline applied to
@@ -6799,6 +6852,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_inertia": q_ivf_inertia,
     "stream_quality": q_stream_quality,
     "value_correlation": q_value_correlation,
+    "chi_square": q_chi_square,
     "snapshot_membership": q_snapshot_membership,
     "rollup_census": q_rollup_census,
     "rolling_values": q_rolling_values,
@@ -6991,6 +7045,7 @@ ORACLE: dict[str, str] = {
     "ivf_inertia": _SQL_IVF_INERTIA,
     "stream_quality": _SQL_STREAM_QUALITY,
     "value_correlation": _SQL_VALUE_CORRELATION,
+    "chi_square": _SQL_CHI_SQUARE,
     "snapshot_membership": _SQL_SNAPSHOT_MEMBERSHIP,
     "rollup_census": _SQL_ROLLUP_CENSUS,
     "rolling_values": _SQL_ROLLING_VALUES,
