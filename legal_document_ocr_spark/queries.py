@@ -2700,6 +2700,95 @@ FROM d GROUP BY 1, 2
 _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
+def q_host_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph degree census: out/in degree per host plus the degree
+    histogram fan-in — two map-side-combined groupBys over the edge list
+    (the sanity view before pagerank/HITS iteration counts are chosen)."""
+    # distinct edges: the formula graph duplicates an edge when both
+    # derivations agree (k*k+1 == 3k+1 mod 20) and the oracle's UNION dedupes
+    e = _host_graph_edges(spark, sf_dir).distinct()
+    out_d = e.groupBy(F.col("src").alias("host")).agg(
+        F.count("*").alias("out_deg")
+    )
+    in_d = e.groupBy(F.col("dst").alias("host")).agg(
+        F.count("*").alias("in_deg")
+    )
+    return (
+        out_d.join(in_d.hint("shuffle_hash"), "host", "full")
+        .select(
+            "host",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+_SQL_HOST_DEGREES = """
+WITH hosts AS (SELECT DISTINCT source FROM documents),
+e AS (
+  SELECT source AS src,
+    'src' || ((regexp_replace(source, '^src', '')::int
+               * regexp_replace(source, '^src', '')::int + 1) % 20) AS dst
+  FROM hosts
+  UNION
+  SELECT source,
+    'src' || ((regexp_replace(source, '^src', '')::int * 3 + 1) % 20)
+  FROM hosts
+),
+o AS (SELECT src AS host, count(*) AS out_deg FROM e GROUP BY 1),
+i AS (SELECT dst AS host, count(*) AS in_deg FROM e GROUP BY 1)
+SELECT coalesce(o.host, i.host) AS host,
+  coalesce(o.out_deg, 0)::bigint AS out_deg,
+  coalesce(i.in_deg, 0)::bigint AS in_deg
+FROM o FULL OUTER JOIN i ON o.host = i.host
+"""
+
+
+def q_host_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of documents across hosts — the single-number
+    skew gauge crawl budgeting consults (G near 0 = even spread, near 1 =
+    megahost-dominated). Exact integer rank formula over the BOUNDED
+    per-host count table: G_micro = floor((2*Σ(i*x_i) - (n+1)*Σx) * 1e6
+    / (n*Σx)), x ascending with host tiebreak."""
+    from pyspark.sql import Window
+
+    counts = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").alias("x"))
+    )
+    w = Window.orderBy(F.col("x"), F.col("source"))
+    ranked = counts.select(F.col("x"), F.row_number().over(w).alias("i"))
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i").cast("long") * F.col("x")).alias("six"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_hosts"),
+        F.col("sx").cast("long").alias("n_docs"),
+        F.floor(
+            (2 * F.col("six") - (F.col("n") + 1) * F.col("sx"))
+            * 1000000
+            / (F.col("n") * F.col("sx"))
+        )
+        .cast("long")
+        .alias("gini_micro"),
+    )
+
+
+_SQL_HOST_GINI = """
+WITH c AS (SELECT source, count(*) AS x FROM documents GROUP BY 1),
+r AS (
+  SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM c
+),
+a AS (SELECT count(*) AS n, sum(x) AS sx, sum(i * x) AS six FROM r)
+SELECT n::bigint AS n_hosts, sx::bigint AS n_docs,
+  floor((2 * six - (n + 1) * sx) * 1000000 / (n * sx))::bigint AS gini_micro
+FROM a
+"""
+
+
 def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence test lang x source: per-cell terms are
     exact-integer ((O*N - r*c)^2 / (N*r*c)) evaluated as ONE double
@@ -6853,6 +6942,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_quality": q_stream_quality,
     "value_correlation": q_value_correlation,
     "chi_square": q_chi_square,
+    "host_degrees": q_host_degrees,
+    "host_gini": q_host_gini,
     "snapshot_membership": q_snapshot_membership,
     "rollup_census": q_rollup_census,
     "rolling_values": q_rolling_values,
@@ -7046,6 +7137,8 @@ ORACLE: dict[str, str] = {
     "stream_quality": _SQL_STREAM_QUALITY,
     "value_correlation": _SQL_VALUE_CORRELATION,
     "chi_square": _SQL_CHI_SQUARE,
+    "host_degrees": _SQL_HOST_DEGREES,
+    "host_gini": _SQL_HOST_GINI,
     "snapshot_membership": _SQL_SNAPSHOT_MEMBERSHIP,
     "rollup_census": _SQL_ROLLUP_CENSUS,
     "rolling_values": _SQL_ROLLING_VALUES,
