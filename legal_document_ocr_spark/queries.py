@@ -2700,6 +2700,75 @@ FROM d GROUP BY 1, 2
 _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
+def q_edit_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance between consecutive docs' 24-char prefixes —
+    the title-variant detector (near-identical titles differing by a
+    counter or date are pagination families). Built-in JVM levenshtein;
+    bounded operand length keeps the DP cell count constant per row."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    nxt = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("next_text")
+    )
+    return (
+        d.join(nxt.hint("shuffle_hash"), "doc_id")
+        .select(
+            "doc_id",
+            F.levenshtein(
+                F.substring("text", 1, 24), F.substring("next_text", 1, 24)
+            )
+            .cast("long")
+            .alias("edit_distance"),
+        )
+    )
+
+
+_SQL_EDIT_DISTANCES = """
+SELECT d.doc_id,
+  levenshtein(substr(d.text, 1, 24), substr(n.text, 1, 24))::bigint
+    AS edit_distance
+FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1
+"""
+
+
+def q_json_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON ARRAY handling: a synthesized per-event int array parsed with
+    from_json and reduced to sum/max/size — the list-typed face of the
+    semi-structured surface (json_key_census covers objects)."""
+    ev = _tbl(spark, sf_dir, "events").select("event_id")
+    arr_json = F.concat(
+        F.lit("["),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit(", "),
+        (F.col("event_id") % 11).cast("string"),
+        F.lit(", "),
+        (F.col("event_id") % 13).cast("string"),
+        F.lit("]"),
+    )
+    arr = F.from_json(arr_json, "array<bigint>")
+    return ev.select(
+        "event_id",
+        F.size(arr).cast("long").alias("n_items"),
+        F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "sum_items"
+        ),
+        F.array_max(arr).cast("long").alias("max_item"),
+    )
+
+
+_SQL_JSON_ARRAY_STATS = """
+WITH d AS (
+  SELECT event_id,
+    from_json('[' || (event_id % 7) || ', ' || (event_id % 11) || ', '
+              || (event_id % 13) || ']', '["BIGINT"]') AS arr
+  FROM events
+)
+SELECT event_id, len(arr)::bigint AS n_items,
+  list_reduce(arr, (a, x) -> a + x)::bigint AS sum_items,
+  list_max(arr)::bigint AS max_item
+FROM d
+"""
+
+
 def q_host_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-graph degree census: out/in degree per host plus the degree
     histogram fan-in — two map-side-combined groupBys over the edge list
@@ -6943,6 +7012,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_correlation": q_value_correlation,
     "chi_square": q_chi_square,
     "host_degrees": q_host_degrees,
+    "edit_distances": q_edit_distances,
+    "json_array_stats": q_json_array_stats,
     "host_gini": q_host_gini,
     "snapshot_membership": q_snapshot_membership,
     "rollup_census": q_rollup_census,
@@ -7138,6 +7209,8 @@ ORACLE: dict[str, str] = {
     "value_correlation": _SQL_VALUE_CORRELATION,
     "chi_square": _SQL_CHI_SQUARE,
     "host_degrees": _SQL_HOST_DEGREES,
+    "edit_distances": _SQL_EDIT_DISTANCES,
+    "json_array_stats": _SQL_JSON_ARRAY_STATS,
     "host_gini": _SQL_HOST_GINI,
     "snapshot_membership": _SQL_SNAPSHOT_MEMBERSHIP,
     "rollup_census": _SQL_ROLLUP_CENSUS,
