@@ -2700,6 +2700,37 @@ FROM d GROUP BY 1, 2
 _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
+def q_lang_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT surface: the wide lang crosstab melted back to long form
+    (source, lang, n) — wide-table ingestion normalization; zero-count
+    cells dropped to keep the melt inverse of the pivot."""
+    wide = relational.lang_source_pivot(_docs(spark, sf_dir), _PIVOT_LANGS)
+    long = wide.unpivot(
+        "source",
+        [f"n_{lg}" for lg in _PIVOT_LANGS],
+        "lang",
+        "n",
+    )
+    return long.select(
+        "source",
+        F.expr("substring(lang, 3)").alias("lang"),
+        F.col("n").cast("long").alias("n"),
+    ).where(F.col("n") > 0)
+
+
+def _sql_lang_unpivot() -> str:
+    parts = "\nUNION ALL ".join(
+        f"SELECT source, '{lg}' AS lang, count(*) FILTER (lang = '{lg}')::bigint"
+        f" AS n FROM documents GROUP BY source"
+        for lg in _PIVOT_LANGS
+    )
+    return f"""
+SELECT source, lang, n FROM (
+{parts}
+) u WHERE n > 0
+"""
+
+
 def q_edit_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein distance between consecutive docs' 24-char prefixes —
     the title-variant detector (near-identical titles differing by a
@@ -7013,6 +7044,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chi_square": q_chi_square,
     "host_degrees": q_host_degrees,
     "edit_distances": q_edit_distances,
+    "lang_unpivot": q_lang_unpivot,
     "json_array_stats": q_json_array_stats,
     "host_gini": q_host_gini,
     "snapshot_membership": q_snapshot_membership,
@@ -7210,6 +7242,7 @@ ORACLE: dict[str, str] = {
     "chi_square": _SQL_CHI_SQUARE,
     "host_degrees": _SQL_HOST_DEGREES,
     "edit_distances": _SQL_EDIT_DISTANCES,
+    "lang_unpivot": _sql_lang_unpivot(),
     "json_array_stats": _SQL_JSON_ARRAY_STATS,
     "host_gini": _SQL_HOST_GINI,
     "snapshot_membership": _SQL_SNAPSHOT_MEMBERSHIP,
