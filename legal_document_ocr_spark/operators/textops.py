@@ -2033,6 +2033,8 @@ def collapse_repeated_lines(
     Runs entirely in array expressions on the row (split -> positional
     filter keeping line i iff i == 1 or line[i] != line[i-1] -> rejoin):
     zero shuffle, zero UDF — a purely positional rule needs no fold.
+    ``sep`` is a REGEX (F.split semantics) — escape metacharacters if the
+    separator is not a literal like the default newline.
 
     Output: (doc_id, text, cleaned, n_lines, n_removed).
     """

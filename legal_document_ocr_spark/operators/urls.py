@@ -1244,7 +1244,9 @@ def meta_robots(
     pages from the corpus and nofollow pages from link-graph construction —
     the in-markup counterpart of robots.txt. Absent directive = (0, 0).
     One codegen extract per page, token-anchored so 'nonoindexing' cannot
-    false-positive.
+    false-positive. Supported shape: name= before content= (the dominant
+    order in the wild); attribute-order-reversed tags read as absent —
+    extend the regex pair if a corpus needs them.
     """
     html_txt = F.decode(F.col(html_col), "UTF-8")
     content = F.lower(
