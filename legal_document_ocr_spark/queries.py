@@ -2731,6 +2731,60 @@ SELECT source, lang, n FROM (
 """
 
 
+def q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-version compaction (SCD-1 / upsert semantics): two synthesized
+    crawl snapshots of the same urls, keep each url's newest capture —
+    ONE map-side-combined groupBy(url) max(struct(ts, snapshot, digest)):
+    no window over the corpus, deterministic tiebreak by snapshot id.
+    The complement of cdx_revisits (which keeps the FIRST per digest)."""
+    d = _docs(spark, sf_dir)
+
+    def mk(src: DataFrame, snap: int, off: int) -> DataFrame:
+        return src.select(
+            F.concat(
+                F.lit("https://s.org/"), F.col("doc_id").cast("string")
+            ).alias("url"),
+            (F.lit(1704067200) + F.col("doc_id") + F.lit(off)).alias("ts_epoch"),
+            F.lit(snap).alias("snapshot"),
+            F.md5(F.concat(F.col("text"), F.lit(str(snap)))).alias("digest"),
+        )
+
+    # snapshot 2 recaptures only every 3rd doc (partial recrawl)
+    caps = mk(d, 1, 0).unionByName(
+        mk(d.where(F.col("doc_id") % 3 == 0), 2, 86400)
+    )
+    best = caps.groupBy("url").agg(
+        F.max(F.struct("ts_epoch", "snapshot", "digest")).alias("b")
+    )
+    return best.select(
+        "url",
+        F.col("b.ts_epoch").cast("long").alias("ts_epoch"),
+        F.col("b.snapshot").cast("int").alias("snapshot"),
+        F.col("b.digest").alias("digest"),
+    )
+
+
+_SQL_LATEST_CAPTURE = """
+WITH caps AS (
+  SELECT 'https://s.org/' || doc_id AS url,
+    (1704067200 + doc_id)::bigint AS ts_epoch, 1 AS snapshot,
+    md5(text || '1') AS digest
+  FROM documents
+  UNION ALL
+  SELECT 'https://s.org/' || doc_id,
+    (1704067200 + doc_id + 86400)::bigint, 2, md5(text || '2')
+  FROM documents WHERE doc_id % 3 = 0
+),
+b AS (
+  SELECT url,
+    max(struct_pack(t := ts_epoch, s := snapshot, d := digest)) AS b
+  FROM caps GROUP BY 1
+)
+SELECT url, (b.b).t AS ts_epoch, (b.b).s::int AS snapshot, (b.b).d AS digest
+FROM b
+"""
+
+
 def q_edit_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein distance between consecutive docs' 24-char prefixes —
     the title-variant detector (near-identical titles differing by a
@@ -7045,6 +7099,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_degrees": q_host_degrees,
     "edit_distances": q_edit_distances,
     "lang_unpivot": q_lang_unpivot,
+    "latest_capture": q_latest_capture,
     "json_array_stats": q_json_array_stats,
     "host_gini": q_host_gini,
     "snapshot_membership": q_snapshot_membership,
@@ -7243,6 +7298,7 @@ ORACLE: dict[str, str] = {
     "host_degrees": _SQL_HOST_DEGREES,
     "edit_distances": _SQL_EDIT_DISTANCES,
     "lang_unpivot": _sql_lang_unpivot(),
+    "latest_capture": _SQL_LATEST_CAPTURE,
     "json_array_stats": _SQL_JSON_ARRAY_STATS,
     "host_gini": _SQL_HOST_GINI,
     "snapshot_membership": _SQL_SNAPSHOT_MEMBERSHIP,
