@@ -2700,6 +2700,118 @@ FROM d GROUP BY 1, 2
 _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
+def q_pricing_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full TPC-H Q1 charge expression (price * (1-disc) * (1+tax)) —
+    covers the tax column; decimal products bounded to stay exact in both
+    engines (the tfidf_pairs precision lesson)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    charge = (
+        (dec2("l_extendedprice")
+         * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))).cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,2)") + dec2("l_tax"))
+    ).cast("decimal(24,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+_SQL_PRICING_CHARGE = """
+SELECT l_returnflag, l_linestatus,
+  sum(((l_extendedprice::decimal(18,2)
+        * (1::decimal(18,2) - l_discount::decimal(18,2)))::decimal(18,4)
+       * (1::decimal(18,2) + l_tax::decimal(18,2)))::decimal(24,6)
+  )::double AS sum_charge,
+  count(*)::bigint AS n
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_sized_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shape predicate battery: revenue from mid-size BRAND#1*
+    parts in a quantity band — compound pushable predicates on both join
+    sides; covers p_size/p_type/quantity bands."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    pt = _tbl(spark, sf_dir, "part")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)")
+           - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(18,4)")
+    sel_p = pt.where(
+        (F.col("p_size").between(5, 25)) & F.col("p_brand").startswith("Brand#1")
+    )
+    sel_l = li.where(F.col("l_quantity").between(5, 30))
+    return (
+        sel_l.join(F.broadcast(sel_p), sel_l.l_partkey == sel_p.p_partkey)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_SQL_SIZED_PART_REVENUE = """
+SELECT
+  sum((l_extendedprice::decimal(18,2)
+       * (1::decimal(18,2) - l_discount::decimal(18,2)))::decimal(18,4)
+  )::double AS revenue,
+  count(*)::bigint AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size BETWEEN 5 AND 25 AND p_brand LIKE 'Brand#1%'
+  AND l_quantity BETWEEN 5 AND 30
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with ABOVE-AVERAGE account balance and
+    NO orders — scalar-average threshold (exact decimal sum / count, one
+    double compare both engines state identically) + LEFT ANTI join."""
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    stats = c.agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    rich = c.crossJoin(F.broadcast(stats)).where(
+        F.col("c_acctbal").cast("decimal(18,2)").cast("double")
+        > F.col("s").cast("double") / F.col("n")
+    )
+    idle = rich.join(
+        o.select(F.col("o_custkey").alias("c_custkey")).hint("shuffle_hash"),
+        "c_custkey",
+        "left_anti",
+    )
+    return idle.agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_balance"),
+    )
+
+
+_SQL_IDLE_RICH_CUSTOMERS = """
+WITH st AS (
+  SELECT sum(c_acctbal::decimal(18,2)) AS s, count(*) AS n FROM customer
+),
+rich AS (
+  SELECT c_custkey, c_acctbal FROM customer CROSS JOIN st
+  WHERE c_acctbal::decimal(18,2)::double > s::double / n
+),
+idle AS (
+  SELECT r.* FROM rich r
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey)
+)
+SELECT count(*)::bigint AS n_customers,
+  sum(c_acctbal::decimal(18,2))::double AS total_balance
+FROM idle
+"""
+
+
 def q_lang_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT surface: the wide lang crosstab melted back to long form
     (source, lang, n) — wide-table ingestion normalization; zero-count
@@ -7100,6 +7212,9 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_distances": q_edit_distances,
     "lang_unpivot": q_lang_unpivot,
     "latest_capture": q_latest_capture,
+    "pricing_charge": q_pricing_charge,
+    "sized_part_revenue": q_sized_part_revenue,
+    "idle_rich_customers": q_idle_rich_customers,
     "json_array_stats": q_json_array_stats,
     "host_gini": q_host_gini,
     "snapshot_membership": q_snapshot_membership,
@@ -7299,6 +7414,9 @@ ORACLE: dict[str, str] = {
     "edit_distances": _SQL_EDIT_DISTANCES,
     "lang_unpivot": _sql_lang_unpivot(),
     "latest_capture": _SQL_LATEST_CAPTURE,
+    "pricing_charge": _SQL_PRICING_CHARGE,
+    "sized_part_revenue": _SQL_SIZED_PART_REVENUE,
+    "idle_rich_customers": _SQL_IDLE_RICH_CUSTOMERS,
     "json_array_stats": _SQL_JSON_ARRAY_STATS,
     "host_gini": _SQL_HOST_GINI,
     "snapshot_membership": _SQL_SNAPSHOT_MEMBERSHIP,
