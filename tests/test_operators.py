@@ -2483,3 +2483,23 @@ def test_q17_stats_side_not_broadcast(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     plan = _plan(relational.small_quantity_revenue(li))
     assert "BroadcastExchange" not in plan, plan
+
+
+def test_wet_records_content_length_counts_octets(spark):
+    """Content-Length must count UTF-8 BYTES, not characters — the ASCII
+    corpus can't catch a length()-for-octet_length() slip, so pin it with
+    multibyte text (2- and 3-byte sequences)."""
+    from datetime import datetime
+
+    from legal_document_ocr_spark.sources.warc import wet_records
+
+    text = "héllo 中文"  # 6 chars ascii+2-byte, 2 chars 3-byte
+    df = spark.createDataFrame(
+        [("https://x.org/1", datetime(2024, 1, 1), text)],
+        "url string, warc_ts timestamp, extracted_text string",
+    )
+    rec = wet_records(df).collect()[0].record
+    n_bytes = len(text.encode("utf-8"))
+    assert n_bytes != len(text)  # the test is vacuous if these match
+    assert f"Content-Length: {n_bytes}\r\n" in rec
+    assert rec.endswith("\r\n\r\n" + text)
