@@ -2104,6 +2104,7 @@ def test_resolve_redirects_chains_cycles_and_gaps(spark):
         [
             ("a", "b"), ("b", "c"), ("c", "d"),   # 3-hop chain to terminal d
             ("x", "y"), ("y", "x"),               # 2-cycle: never resolves
+            ("s", "s"),                           # self-redirect: a 1-cycle
             ("g", "offsite"),                     # dst outside node list
         ],
         "src string, dst string",
@@ -2125,6 +2126,7 @@ def test_resolve_redirects_chains_cycles_and_gaps(spark):
     assert rows["offsite"].hops == 0
     # cycles come back unresolved instead of looping forever
     assert rows["x"].resolved == 0 and rows["y"].resolved == 0
+    assert rows["s"].resolved == 0  # a self-redirect is a 1-cycle
 
 
 def test_dsir_weights_direction_and_empty_doc(spark):
