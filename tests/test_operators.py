@@ -2505,3 +2505,18 @@ def test_wet_records_content_length_counts_octets(spark):
     assert n_bytes != len(text)  # the test is vacuous if these match
     assert f"Content-Length: {n_bytes}\r\n" in rec
     assert rec.endswith("\r\n\r\n" + text)
+
+
+def test_bpe_train_no_pairs_returns_empty(spark):
+    """A corpus of single-character words has no adjacent pairs: training
+    must return an EMPTY merge table with the right schema, not error."""
+    from legal_document_ocr_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e")], "doc_id long, text string"
+    )
+    out = textops.bpe_train_merges(docs, n_merges=3)
+    assert out.columns == [
+        "merge_rank", "left_sym", "right_sym", "merged", "pair_count"
+    ]
+    assert out.count() == 0
