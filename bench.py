@@ -67,6 +67,9 @@ HEADLINE = [
     "text_density_blocks",    # boilerpipe block scoring (zero-shuffle HOFs)
     "dsir_weights",           # hashed-bucket importance resampling weights
     "incremental_neardup",    # batch-vs-corpus MinHash admission
+    "host_mirrors",           # grouped-aggregate MinHash mirror detection
+    "tfidf_pairs",            # sparse TF-IDF cosine similarity join
+    "shipping_priority",      # TPC-H Q3 fact-fact join + top-k
 ]
 
 
