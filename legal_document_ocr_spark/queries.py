@@ -2700,6 +2700,52 @@ FROM d GROUP BY 1, 2
 _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
+def q_param_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-parameter KEY census per host — faceted-navigation trap
+    detection (hosts whose urls carry many distinct sort/filter/page
+    params explode combinatorially; schedulers cap or canonicalize them).
+    Synthesized urls carry page/sort/ref params by deterministic mods;
+    one split + posexplode + bounded groupBy."""
+    d = _docs(spark, sf_dir)
+    q1 = F.when(
+        F.expr("(doc_id div 20) % 2") == 0,
+        F.concat(F.lit("page="), (F.col("doc_id") % 9).cast("string")),
+    )
+    q2 = F.when(F.col("doc_id") % 3 == 0, F.lit("sort=price"))
+    q3 = F.when(F.col("doc_id") % 7 == 0, F.lit("ref=home"))
+    qs = F.concat_ws("&", q1, q2, q3)
+    urls_df = d.select(
+        F.col("source").alias("host"),
+        F.when(qs == "", F.lit(None)).otherwise(qs).alias("q"),
+    )
+    keys = F.transform(
+        F.split(F.col("q"), "&"), lambda p: F.substring_index(p, "=", 1)
+    )
+    ex = urls_df.where(F.col("q").isNotNull()).select(
+        "host", F.explode(keys).alias("param")
+    )
+    return ex.groupBy("host", "param").agg(F.count("*").alias("n_urls"))
+
+
+_SQL_PARAM_CENSUS = """
+WITH u AS (
+  SELECT source AS host,
+    array_to_string(list_filter([
+      CASE WHEN (doc_id // 20) % 2 = 0 THEN 'page=' || (doc_id % 9) END,
+      CASE WHEN doc_id % 3 = 0 THEN 'sort=price' END,
+      CASE WHEN doc_id % 7 = 0 THEN 'ref=home' END
+    ], x -> x IS NOT NULL), '&') AS q
+  FROM documents
+),
+ex AS (
+  SELECT host, string_split(unnest(string_split(q, '&')), '=')[1] AS param
+  FROM u WHERE q != ''
+)
+SELECT host, param, count(*)::bigint AS n_urls
+FROM ex GROUP BY 1, 2
+"""
+
+
 def q_pricing_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full TPC-H Q1 charge expression (price * (1-disc) * (1+tax)) —
     covers the tax column; decimal products bounded to stay exact in both
@@ -7213,6 +7259,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_unpivot": q_lang_unpivot,
     "latest_capture": q_latest_capture,
     "pricing_charge": q_pricing_charge,
+    "param_census": q_param_census,
     "sized_part_revenue": q_sized_part_revenue,
     "idle_rich_customers": q_idle_rich_customers,
     "json_array_stats": q_json_array_stats,
@@ -7415,6 +7462,7 @@ ORACLE: dict[str, str] = {
     "lang_unpivot": _sql_lang_unpivot(),
     "latest_capture": _SQL_LATEST_CAPTURE,
     "pricing_charge": _SQL_PRICING_CHARGE,
+    "param_census": _SQL_PARAM_CENSUS,
     "sized_part_revenue": _SQL_SIZED_PART_REVENUE,
     "idle_rich_customers": _SQL_IDLE_RICH_CUSTOMERS,
     "json_array_stats": _SQL_JSON_ARRAY_STATS,
