@@ -1333,13 +1333,10 @@ FROM f
 """
 
 
-def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sitemap <loc> extraction (urls.parse_sitemap_urls): one synthesized
-    sitemap per corpus host carrying plain, whitespace-padded and
-    CDATA-wrapped loc variants per lang — the parser must normalize all
-    three to match the clean closed-form oracle."""
-    from .operators import urls
-
+def _synth_sitemaps_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synthesized sitemap per corpus host: plain, whitespace-padded and
+    CDATA-wrapped <loc> variants per lang (shared by q_sitemap_urls and
+    q_sitemap_coverage)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     hl = (
         docs.select(
@@ -1359,14 +1356,21 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entry"),
         )
     )
-    sitemaps = hl.groupBy("host").agg(
+    return hl.groupBy("host").agg(
         F.concat(
             F.lit('<?xml version="1.0"?><urlset>'),
             F.array_join(F.array_sort(F.collect_list("entry")), ""),
             F.lit("</urlset>"),
         ).alias("sitemap_xml")
     )
-    out = urls.parse_sitemap_urls(sitemaps)
+
+
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap <loc> extraction (urls.parse_sitemap_urls): the parser must
+    normalize plain/padded/CDATA loc variants to match the clean oracle."""
+    from .operators import urls
+
+    out = urls.parse_sitemap_urls(_synth_sitemaps_df(spark, sf_dir))
     return out.orderBy("host", "url")
 
 
@@ -2698,6 +2702,91 @@ FROM d GROUP BY 1, 2
 
 
 _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap coverage gap: declared urls (through the REAL sitemap
+    parser over the synthesized XML) vs a crawled set that misses some
+    declared urls (md5-coin sm1) and adds undeclared ones (extra0) —
+    per-host to-crawl and orphan counts via two LEFT ANTI joins."""
+    from .operators import urls as urlops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    declared = urlops.parse_sitemap_urls(_synth_sitemaps_df(spark, sf_dir))
+    hl = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"), "lang"
+    ).distinct()
+    coin = F.substring(
+        F.md5(F.concat(F.col("host"), F.lit("|"), F.col("lang"))), 1, 1
+    ) < F.lit("8")
+    mk = lambda leaf: F.concat(  # noqa: E731
+        F.lit("https://"), F.col("host"), F.lit("/"), F.col("lang"),
+        F.lit("/" + leaf),
+    )
+    crawled = (
+        hl.select("host", mk("sm0").alias("url"))
+        .unionByName(hl.where(coin).select("host", mk("sm1").alias("url")))
+        .unionByName(hl.select("host", mk("extra0").alias("url")))
+    )
+    to_crawl = declared.join(
+        crawled.hint("shuffle_hash"), ["host", "url"], "left_anti"
+    ).groupBy("host").agg(F.count("*").alias("n_to_crawl"))
+    orphans = crawled.join(
+        declared.hint("shuffle_hash"), ["host", "url"], "left_anti"
+    ).groupBy("host").agg(F.count("*").alias("n_orphans"))
+    nd = declared.groupBy("host").agg(F.count("*").alias("n_declared"))
+    nc = crawled.groupBy("host").agg(F.count("*").alias("n_crawled"))
+    return (
+        nd.join(nc.hint("shuffle_hash"), "host", "full")
+        .join(to_crawl.hint("shuffle_hash"), "host", "left")
+        .join(orphans.hint("shuffle_hash"), "host", "left")
+        .select(
+            "host",
+            F.coalesce("n_declared", F.lit(0)).cast("long").alias("n_declared"),
+            F.coalesce("n_crawled", F.lit(0)).cast("long").alias("n_crawled"),
+            F.coalesce("n_to_crawl", F.lit(0)).cast("long").alias("n_to_crawl"),
+            F.coalesce("n_orphans", F.lit(0)).cast("long").alias("n_orphans"),
+        )
+    )
+
+
+_SQL_SITEMAP_COVERAGE = """
+WITH hl AS (
+  SELECT DISTINCT source || '.example.com' AS host, lang FROM documents
+),
+declared AS (
+  SELECT host, 'https://' || host || '/' || lang || '/' || leaf AS url
+  FROM hl, (SELECT unnest(['sm0', 'sm1', 'sm2']) AS leaf) v
+),
+crawled AS (
+  SELECT host, 'https://' || host || '/' || lang || '/sm0' AS url FROM hl
+  UNION ALL
+  SELECT host, 'https://' || host || '/' || lang || '/sm1' FROM hl
+  WHERE substr(md5(host || '|' || lang), 1, 1) < '8'
+  UNION ALL
+  SELECT host, 'https://' || host || '/' || lang || '/extra0' FROM hl
+),
+tc AS (
+  SELECT d.host, count(*) AS n_to_crawl FROM declared d
+  WHERE NOT EXISTS (SELECT 1 FROM crawled c
+                    WHERE c.host = d.host AND c.url = d.url)
+  GROUP BY 1
+),
+orp AS (
+  SELECT c.host, count(*) AS n_orphans FROM crawled c
+  WHERE NOT EXISTS (SELECT 1 FROM declared d
+                    WHERE d.host = c.host AND d.url = c.url)
+  GROUP BY 1
+),
+nd AS (SELECT host, count(*) AS n_declared FROM declared GROUP BY 1),
+nc AS (SELECT host, count(*) AS n_crawled FROM crawled GROUP BY 1)
+SELECT nd.host, nd.n_declared::bigint AS n_declared,
+  coalesce(nc.n_crawled, 0)::bigint AS n_crawled,
+  coalesce(tc.n_to_crawl, 0)::bigint AS n_to_crawl,
+  coalesce(orp.n_orphans, 0)::bigint AS n_orphans
+FROM nd
+LEFT JOIN nc USING (host) LEFT JOIN tc USING (host) LEFT JOIN orp USING (host)
+"""
 
 
 def q_param_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7260,6 +7349,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_capture": q_latest_capture,
     "pricing_charge": q_pricing_charge,
     "param_census": q_param_census,
+    "sitemap_coverage": q_sitemap_coverage,
     "sized_part_revenue": q_sized_part_revenue,
     "idle_rich_customers": q_idle_rich_customers,
     "json_array_stats": q_json_array_stats,
@@ -7463,6 +7553,7 @@ ORACLE: dict[str, str] = {
     "latest_capture": _SQL_LATEST_CAPTURE,
     "pricing_charge": _SQL_PRICING_CHARGE,
     "param_census": _SQL_PARAM_CENSUS,
+    "sitemap_coverage": _SQL_SITEMAP_COVERAGE,
     "sized_part_revenue": _SQL_SIZED_PART_REVENUE,
     "idle_rich_customers": _SQL_IDLE_RICH_CUSTOMERS,
     "json_array_stats": _SQL_JSON_ARRAY_STATS,
