@@ -2520,3 +2520,26 @@ def test_bpe_train_no_pairs_returns_empty(spark):
         "merge_rank", "left_sym", "right_sym", "merged", "pair_count"
     ]
     assert out.count() == 0
+
+
+def test_robots_sitemaps_group_independent(spark):
+    """RFC 9309 §2.3: a Sitemap directive INSIDE another agent's section
+    still applies — the section window must not gate it (the registry
+    query only exercises declarations outside sections)."""
+    from legal_document_ocr_spark.operators import urls
+
+    robots = spark.createDataFrame(
+        [(
+            "a.com",
+            "User-agent: evilbot\nDisallow: /x\n"
+            "Sitemap: https://a.com/inside.xml\n"
+            "User-agent: *\nDisallow: /y\n"
+            "  SITEMAP:   https://a.com/spaced.xml\n"
+            "NoSitemap: https://a.com/decoy.xml",
+        )],
+        "host string, robots_txt string",
+    )
+    got = {
+        r.sitemap_url for r in urls.parse_robots_sitemaps(robots).collect()
+    }
+    assert got == {"https://a.com/inside.xml", "https://a.com/spaced.xml"}
