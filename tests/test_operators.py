@@ -2543,3 +2543,41 @@ def test_robots_sitemaps_group_independent(spark):
         r.sitemap_url for r in urls.parse_robots_sitemaps(robots).collect()
     }
     assert got == {"https://a.com/inside.xml", "https://a.com/spaced.xml"}
+
+
+def test_session4_empty_and_singleton_edges(spark):
+    from legal_document_ocr_spark.operators import relational, textops
+
+    # script_mix: empty + whitespace-only docs
+    sm = {
+        r.doc_id: r
+        for r in textops.script_mix(
+            spark.createDataFrame(
+                [(1, ""), (2, "   ")], "doc_id long, text string"
+            )
+        ).collect()
+    }
+    assert sm[1].dominant_script == "none" and sm[1].latin_ratio_micro is None
+    assert sm[2].dominant_script == "none" and sm[2].latin_ratio_micro == 0
+
+    # oov_rate: empty doc -> (0, 0, NULL)
+    ov = {
+        r.doc_id: r
+        for r in textops.oov_rate(
+            spark.createDataFrame(
+                [(1, "common common rare"), (2, "")],
+                "doc_id long, text string",
+            ),
+            vocab_size=1,
+        ).collect()
+    }
+    assert ov[2].n_tokens == 0 and ov[2].oov_ratio_micro is None
+    assert ov[1].n_oov == 1  # 'rare' is outside the top-1 vocab
+
+    # robust_outliers: singleton group -> med = value, mad = 0, not outlier
+    ro = relational.robust_outliers(
+        spark.createDataFrame([("g", 42)], "grp string, val long"),
+        "grp",
+        "val",
+    ).collect()[0]
+    assert (ro.med, ro.mad, ro.is_outlier) == (42, 0, 0)
