@@ -2704,6 +2704,17 @@ FROM d GROUP BY 1, 2
 _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
+def q_robots_blockrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host robots verdict census (composition over robots_precedence):
+    the ops dashboard of crawl compliance — how much of each host's
+    frontier is disallowed vs unmatched."""
+    base = q_robots_precedence(spark, sf_dir)
+    return base.groupBy("host", "verdict").agg(F.count("*").alias("n_urls"))
+
+
+_SQL_ROBOTS_BLOCKRATE: str  # defined after _SQL_ROBOTS_PRECEDENCE below
+
+
 def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap coverage gap: declared urls (through the REAL sitemap
     parser over the synthesized XML) vs a crawled set that misses some
@@ -7300,6 +7311,13 @@ FROM documents d LEFT JOIN s USING (doc_id)
 """
 
 
+_SQL_ROBOTS_BLOCKRATE = (
+    "SELECT host, verdict, count(*)::bigint AS n_urls FROM ("
+    + _SQL_ROBOTS_PRECEDENCE
+    + ") b GROUP BY 1, 2"
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7350,6 +7368,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_charge": q_pricing_charge,
     "param_census": q_param_census,
     "sitemap_coverage": q_sitemap_coverage,
+    "robots_blockrate": q_robots_blockrate,
     "sized_part_revenue": q_sized_part_revenue,
     "idle_rich_customers": q_idle_rich_customers,
     "json_array_stats": q_json_array_stats,
@@ -7554,6 +7573,7 @@ ORACLE: dict[str, str] = {
     "pricing_charge": _SQL_PRICING_CHARGE,
     "param_census": _SQL_PARAM_CENSUS,
     "sitemap_coverage": _SQL_SITEMAP_COVERAGE,
+    "robots_blockrate": _SQL_ROBOTS_BLOCKRATE,
     "sized_part_revenue": _SQL_SIZED_PART_REVENUE,
     "idle_rich_customers": _SQL_IDLE_RICH_CUSTOMERS,
     "json_array_stats": _SQL_JSON_ARRAY_STATS,
