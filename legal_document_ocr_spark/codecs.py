@@ -6,12 +6,15 @@ PIL/cv2/ffmpeg — but PNG, BMP and WAV are decodable with nothing beyond
 zlib + struct + wave, so the decode step is REAL for those formats; round 3
 added a real baseline JPEG decoder too (jpeg.py — Huffman + IDCT,
 grayscale/YCbCr, 4:2:0, restart markers) and a GIF decoder (LZW +
-interlace + palette below), so the stub now covers only genuinely-
-library-bound codecs (WebP/video).
+interlace + palette below); round 4 added baseline TIFF (the reference
+whitelist's last unhandled image format), so the stub now covers only
+genuinely-library-bound codecs (WebP/video).
 
 Scope: non-interlaced 8-bit-depth PNG in grayscale (color type 0), RGB (2)
 and RGBA (6) with all five scanline filters; uncompressed 24-bit BMP;
-PCM WAV; baseline JPEG (jpeg.py); GIF87a/89a first frame. Reference analogue: the reference leans on PIL inside
+PCM WAV; baseline JPEG (jpeg.py); GIF87a/89a first frame; chunky 8-bit
+gray/RGB TIFF (uncompressed/PackBits strips, II and MM byte orders,
+WhiteIsZero inverted). Reference analogue: the reference leans on PIL inside
 image_preprocessing_service.py:57-122 — same contract, stdlib engine.
 These kernels run inside Arrow-batched mapInPandas stages
 (operators/multimodal.py); per-image Python is the accepted cost of a real
@@ -209,9 +212,10 @@ def decode_wav(payload: bytes) -> dict:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Dispatch by magic bytes. PNG/BMP/baseline-JPEG/GIF decode for real
-    (jpeg.py: Huffman + IDCT, grayscale/YCbCr, 4:2:0, restart markers;
-    decode_gif below: LZW + interlace + palette); remaining formats
+    """Dispatch by magic bytes. PNG/BMP/baseline-JPEG/GIF/TIFF decode for
+    real (jpeg.py: Huffman + IDCT, grayscale/YCbCr, 4:2:0, restart markers;
+    decode_gif below: LZW + interlace + palette; decode_tiff below:
+    uncompressed/PackBits strips, both byte orders); remaining formats
     (WebP/video frames) still need an external codec."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
@@ -223,9 +227,11 @@ def decode_image(payload: bytes) -> dict:
         return decode_jpeg(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(payload)
     raise NotImplementedError(
-        "only PNG, BMP, baseline JPEG and GIF decode without an external "
-        "codec library (WebP/video need PIL/cv2/ffmpeg)"
+        "only PNG, BMP, baseline JPEG, GIF and TIFF decode without an "
+        "external codec library (WebP/video need PIL/cv2/ffmpeg)"
     )
 
 
@@ -421,3 +427,225 @@ def decode_gif(payload: bytes) -> dict:
             out[i * 3 : i * 3 + 3] = table[ix * 3 : ix * 3 + 3]
         return {"width": w, "height": h, "mode": "RGB", "pixels": bytes(out)}
     raise ValueError("GIF has no image frame")
+
+
+# ---------------------------------------------------------------------------
+# TIFF (round 4: the reference whitelist's last unhandled image format —
+# /root/reference/app/utils/validation.py:10 accepts .tiff; uncompressed
+# and PackBits baseline TIFF are pure struct/integer work)
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits: runs of >=3 equal bytes become (257-n, byte);
+    literals are chunked at 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes(((257 - run) & 0xFF, data[i]))
+            i += run
+            continue
+        lit = i
+        while (
+            i < n
+            and i - lit < 128
+            and not (i + 2 < n and data[i] == data[i + 1] == data[i + 2])
+        ):
+            i += 1
+        out += bytes((i - lit - 1,)) + data[lit:i]
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        b0 = data[i]
+        i += 1
+        if b0 == 128:  # noop
+            continue
+        if b0 < 128:  # literal run of b0+1
+            if i + b0 + 1 > n:
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + b0 + 1]
+            i += b0 + 1
+        else:  # repeat next byte 257-b0 times
+            if i >= n:
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes((data[i],)) * (257 - b0)
+            i += 1
+    if len(out) < expected:
+        raise ValueError("PackBits output shorter than strip")
+    return bytes(out[:expected])
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    pixels: bytes,
+    mode: str = "L",
+    *,
+    packbits: bool = False,
+    rows_per_strip: int | None = None,
+    big_endian: bool = False,
+) -> bytes:
+    """Minimal baseline TIFF encoder (chunky, 8-bit, gray or RGB, one or
+    more strips, compression none/PackBits). For roundtrip tests."""
+    spp = {"L": 1, "RGB": 3}[mode]
+    if len(pixels) != width * height * spp:
+        raise ValueError("pixel buffer does not match dimensions")
+    e = ">" if big_endian else "<"
+    rps = rows_per_strip or height
+    stride = width * spp
+    strips = []
+    for y0 in range(0, height, rps):
+        raw = pixels[y0 * stride : min(y0 + rps, height) * stride]
+        strips.append(_packbits_encode(raw) if packbits else raw)
+
+    # strip data starts right after the 8-byte header; IFD follows the data
+    offsets, counts, pos = [], [], 8
+    for s in strips:
+        offsets.append(pos)
+        counts.append(len(s))
+        pos += len(s)
+    ifd_off = pos
+    header = struct.pack(
+        e + "2sHI", b"MM" if big_endian else b"II", 42, ifd_off
+    )
+    n_strips = len(strips)
+    extra = bytearray()  # out-of-line arrays appended after the IFD
+
+    def entry(tag: int, typ: int, values: list[int]) -> bytes:
+        size = _TIFF_TYPE_SIZE[typ] * len(values)
+        fmt = {3: "H", 4: "I"}[typ]
+        if size <= 4:
+            payload = struct.pack(e + fmt * len(values), *values)
+            payload += b"\x00" * (4 - size)
+            return struct.pack(e + "HHI", tag, typ, len(values)) + payload
+        off = ifd_off + 2 + 12 * n_entries + 4 + len(extra)
+        extra.extend(struct.pack(e + fmt * len(values), *values))
+        return struct.pack(e + "HHII", tag, typ, len(values), off)
+
+    tags = [
+        (256, 4, [width]),
+        (257, 4, [height]),
+        (258, 3, [8] * spp),
+        (259, 3, [32773 if packbits else 1]),
+        (262, 3, [2 if mode == "RGB" else 1]),
+        (273, 4, offsets),
+        (277, 3, [spp]),
+        (278, 4, [rps]),
+        (279, 4, counts),
+        (284, 3, [1]),
+    ]
+    n_entries = len(tags)
+    ifd = struct.pack(e + "H", n_entries)
+    for tag, typ, vals in tags:
+        ifd += entry(tag, typ, vals)
+    ifd += struct.pack(e + "I", 0)  # no next IFD
+    return header + b"".join(strips) + ifd + bytes(extra)
+
+
+def decode_tiff(payload: bytes) -> dict:
+    """Decode a baseline chunky 8-bit gray/RGB TIFF (compression none or
+    PackBits, either byte order, multi-strip): {width, height, mode,
+    pixels}. WhiteIsZero grayscale is inverted to the BlackIsZero
+    convention the other decoders emit. Same hardening contract as
+    decode_png: truncated IFDs/strips, dimension bombs and unsupported
+    layouts raise ValueError/NotImplementedError before large allocation.
+    Tiled TIFF, LZW/JPEG-in-TIFF and planar layouts stay library-bound
+    (documented, not silent)."""
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF")
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
+    (ifd_off,) = struct.unpack(e + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    (n_entries,) = struct.unpack(e + "H", payload[ifd_off : ifd_off + 2])
+    if ifd_off + 2 + 12 * n_entries > len(payload):
+        raise ValueError("truncated TIFF IFD entries")
+
+    def read_values(typ: int, count: int, raw: bytes) -> list[int]:
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:
+            raise NotImplementedError(f"unsupported TIFF field type {typ}")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        total = size * count
+        if total <= 4:
+            return list(struct.unpack(e + fmt * count, raw[:total]))
+        (off,) = struct.unpack(e + "I", raw)
+        if off + total > len(payload):
+            raise ValueError("TIFF value offset out of bounds")
+        return list(struct.unpack(e + fmt * count, payload[off : off + total]))
+
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack(e + "HHI", payload[base : base + 8])
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284):
+            tags[tag] = read_values(typ, count, payload[base + 8 : base + 12])
+
+    for required in (256, 257, 273, 279):
+        if required not in tags:
+            raise ValueError(f"TIFF missing required tag {required}")
+    width, height = tags[256][0], tags[257][0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8] * spp)
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    planar = tags.get(284, [1])[0]
+    if spp not in (1, 3) or any(b != 8 for b in bits) or planar != 1:
+        raise NotImplementedError(
+            "only chunky 8-bit grayscale/RGB TIFF supported"
+        )
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            "only uncompressed and PackBits TIFF supported (LZW/JPEG-in-"
+            "TIFF need an external codec)"
+        )
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(f"unsupported TIFF photometric {photo}")
+    if width <= 0 or height <= 0:
+        raise ValueError("invalid TIFF dimensions")
+    if width * height > MAX_IMAGE_PIXELS:
+        raise ValueError(
+            f"TIFF dimensions {width}x{height} exceed "
+            f"MAX_IMAGE_PIXELS={MAX_IMAGE_PIXELS}"
+        )
+    offsets, counts = tags[273], tags[279]
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF StripOffsets/StripByteCounts mismatch")
+    rps = tags.get(278, [height])[0] or height
+    stride = width * spp
+    out = bytearray()
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(payload):
+            raise ValueError("truncated TIFF strip data")
+        rows = min(rps, height - i * rps)
+        if rows <= 0:
+            raise ValueError("TIFF has more strips than rows")
+        expected = rows * stride
+        raw = payload[off : off + cnt]
+        if comp == 32773:
+            out += _packbits_decode(raw, expected)
+        else:
+            if cnt < expected:
+                raise ValueError("TIFF strip shorter than its rows")
+            out += raw[:expected]
+    if len(out) != height * stride:
+        raise ValueError("TIFF pixel data does not cover the image")
+    if photo == 0:  # WhiteIsZero -> invert to BlackIsZero
+        out = bytearray(255 - b for b in out)
+    mode = "L" if spp == 1 else "RGB"
+    return {"width": width, "height": height, "mode": mode, "pixels": bytes(out)}

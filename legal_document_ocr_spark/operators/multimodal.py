@@ -51,10 +51,13 @@ MEDIA_FEATURE_SCHEMA = StructType(
 
 def decode_image(payload: bytes) -> dict:
     """REAL image decode for PNG, BMP (codecs.py: zlib/struct, all five PNG
-    scanline filters, 24-bit BMP), baseline JPEG (jpeg.py) and GIF
-    (codecs.decode_gif: LZW + interlace + palette) — the last two round 3.
-    Formats that genuinely need an external library (WebP, video) still
-    raise NotImplementedError — the stub now covers only those.
+    scanline filters, 24-bit BMP), baseline JPEG (jpeg.py), GIF
+    (codecs.decode_gif: LZW + interlace + palette) and TIFF
+    (codecs.decode_tiff: uncompressed/PackBits strips, both byte orders —
+    round 4, closing the reference whitelist's last image format:
+    /root/reference/app/utils/validation.py:10). Formats that genuinely
+    need an external library (WebP, video) still raise
+    NotImplementedError — the stub now covers only those.
     """
     from ..codecs import decode_image as _decode
 

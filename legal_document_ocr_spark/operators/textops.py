@@ -1789,7 +1789,24 @@ def bpe_train_merges(
     is consumed. Tie-break: (count DESC, left ASC, right ASC), stated
     identically in the oracle. No end-of-word marker (documented
     simplification). ``localCheckpoint`` per round truncates lineage.
+
+    Intended regime (test-pinned): ``n_merges`` is a SMALL-VOCAB bound —
+    each round is a driver-scheduled pair-count + argmax + fold over the
+    vocab table (~2 Spark jobs/round), so a 32k-merge production
+    tokenizer would schedule ~64k jobs; that workload belongs in a
+    single-node trainer over the ALREADY-AGGREGATED word-frequency vocab
+    (the one corpus-sized pass here produces exactly that artifact —
+    at most |distinct words| rows, collectable at any corpus size), not
+    in per-round Spark jobs. Calls with n_merges > 256 raise ValueError
+    rather than silently scheduling tens of thousands of jobs.
     """
+    if n_merges > 256:
+        raise ValueError(
+            "bpe_train_merges is bounded to n_merges <= 256 (each round "
+            "is a driver-scheduled Spark job pair over the vocab table; "
+            "train large vocabularies single-node from the word-frequency "
+            "vocab this operator's first pass aggregates)"
+        )
     toks = ws_tokens(F.lower(F.col(text_col)))
     word = F.col("word")
     vocab = (

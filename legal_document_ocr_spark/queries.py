@@ -4484,6 +4484,77 @@ FROM documents
 """
 
 
+def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode roundtrip (codecs.decode_tiff via multimodal.
+    image_decode — round 4, the reference whitelist's last image format:
+    /root/reference/app/utils/validation.py:10): synthesize one baseline
+    TIFF per document with mode (gray/RGB), compression (none/PackBits),
+    byte order (II/MM) and strip layout all varying by doc_id so every
+    decoder path is exercised across the corpus, decode, emit dims +
+    pixel sum. The oracle restates the synthesis closed form: pixel
+    (x,y,c) = (doc_id + 13x + 29y + 7c) % 256."""
+    import pandas as _pd
+
+    from .codecs import encode_tiff
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = d % 12 + 2
+                h = d % 5 + 2
+                ch = 3 if d % 2 == 1 else 1
+                px = bytes(
+                    (d + 13 * x + 29 * y + 7 * c) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(ch)
+                )
+                payloads.append(
+                    encode_tiff(
+                        w,
+                        h,
+                        px,
+                        "RGB" if ch == 3 else "L",
+                        packbits=d % 3 == 0,
+                        big_endian=d % 5 == 0,
+                        rows_per_strip=2 if d % 7 == 0 else None,
+                    )
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pages = _docs(spark, sf_dir).select("doc_id")
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.image_decode(payloads)
+
+
+_SQL_TIFF_DECODE = """
+SELECT doc_id,
+  (doc_id % 12 + 2)::int AS width,
+  (doc_id % 5 + 2)::int AS height,
+  CASE WHEN doc_id % 2 = 1 THEN 'RGB' ELSE 'L' END AS mode,
+  list_sum(flatten(list_transform(range((doc_id % 5 + 2)::int), y ->
+    flatten(list_transform(range((doc_id % 12 + 2)::int), x ->
+      list_transform(range(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END), c ->
+        (doc_id + 13*x + 29*y + 7*c) % 256))))))::bigint AS px_sum,
+  NULL::varchar AS error
+FROM documents
+"""
+
+
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM WAV decode roundtrip (multimodal.audio_decode): synthesize a
     deterministic mono 16-bit clip per document with the stdlib writer,
@@ -7545,6 +7616,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # custom stateful streaming — fully oracle-checked since round 2
     # (event-time timeout emits the open tails)
     "stream_sessionize": q_stream_sessionize,
+    # --- round-4 additions (stay BEHIND the never-checked rotation head)
+    "tiff_decode": q_tiff_decode,
 }
 
 ORACLE: dict[str, str] = {
@@ -7734,6 +7807,7 @@ ORACLE: dict[str, str] = {
     "stream_incremental_dedup": _SQL_STREAM_INCR_DEDUP,
     "stream_windowed_counts": _SQL_WINDOWED_COUNTS,
     "stream_sessionize": _SQL_SESSIONIZE,
+    "tiff_decode": _SQL_TIFF_DECODE,
 }
 
 

@@ -569,3 +569,87 @@ def test_pdf_extract_operator_isolates_bad_records(spark):
     assert out[1]["extracted_text"] == "hello world" and out[1]["error"] is None
     assert out[2]["error"] is not None and out[2]["extracted_text"] is None
     assert out[3]["error"] is not None
+
+
+# ---------------------------------------------------------------------------
+# TIFF (round 4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode,ch", [("L", 1), ("RGB", 3)])
+@pytest.mark.parametrize("packbits", [False, True])
+@pytest.mark.parametrize("big_endian", [False, True])
+@pytest.mark.parametrize("rows_per_strip", [None, 3])
+def test_tiff_roundtrip_every_layout(mode, ch, packbits, big_endian, rows_per_strip):
+    from legal_document_ocr_spark.codecs import decode_tiff, encode_tiff
+
+    w, h = 7, 9
+    px = bytes((i * 17 + 3) % 256 for i in range(w * h * ch))
+    dec = decode_tiff(
+        encode_tiff(
+            w, h, px, mode,
+            packbits=packbits,
+            big_endian=big_endian,
+            rows_per_strip=rows_per_strip,
+        )
+    )
+    assert dec == {"width": w, "height": h, "mode": mode, "pixels": px}
+
+
+def test_tiff_packbits_compresses_runs_and_roundtrips():
+    from legal_document_ocr_spark.codecs import (
+        _packbits_encode,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    px = bytes([7] * 50 + [1, 2, 3] + [9] * 47)
+    assert len(_packbits_encode(px)) < len(px)  # runs actually compress
+    assert decode_tiff(encode_tiff(10, 10, px, "L", packbits=True))["pixels"] == px
+
+
+def test_tiff_white_is_zero_inverts_gray():
+    from legal_document_ocr_spark.codecs import decode_tiff, encode_tiff
+
+    enc = encode_tiff(4, 2, bytes(range(8)), "L")
+    i = enc.find(struct.pack("<HHI", 262, 3, 1))
+    enc = enc[: i + 8] + struct.pack("<H", 0) + enc[i + 10 :]
+    assert decode_tiff(enc)["pixels"] == bytes(255 - b for b in range(8))
+
+
+def test_tiff_dispatch_via_decode_image():
+    from legal_document_ocr_spark.codecs import decode_image, encode_tiff
+
+    px = bytes(range(12))
+    for be in (False, True):
+        dec = decode_image(encode_tiff(4, 3, px, "L", big_endian=be))
+        assert (dec["width"], dec["height"], dec["pixels"]) == (4, 3, px)
+
+
+def test_tiff_hardening():
+    from legal_document_ocr_spark.codecs import decode_tiff, encode_tiff
+
+    with pytest.raises(ValueError):
+        decode_tiff(b"nope")
+    with pytest.raises(ValueError):  # IFD offset past EOF
+        decode_tiff(b"MM\x00*\xff\xff\xff\xffx")
+    with pytest.raises(ValueError):  # truncated header
+        decode_tiff(b"II*\x00\x00")
+    good = encode_tiff(2, 2, bytes(4), "L")
+    # dimension bomb: patch width/height to 65536 each
+    bomb = good
+    for tag in (256, 257):
+        j = bomb.find(struct.pack("<HHI", tag, 4, 1))
+        bomb = bomb[: j + 8] + struct.pack("<I", 1 << 16) + bomb[j + 12 :]
+    with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
+        decode_tiff(bomb)
+    # LZW compression is declared out of scope, not mis-decoded
+    j = good.find(struct.pack("<HHI", 259, 3, 1))
+    lzw = good[: j + 8] + struct.pack("<H", 5) + good[j + 10 :]
+    with pytest.raises(NotImplementedError):
+        decode_tiff(lzw)
+    # strip shorter than its rows
+    j = good.find(struct.pack("<HHI", 279, 4, 1))
+    short = good[: j + 8] + struct.pack("<I", 1) + good[j + 12 :]
+    with pytest.raises(ValueError):
+        decode_tiff(short)

@@ -2621,3 +2621,16 @@ def test_length_quartiles_plan_has_no_per_source_sort(spark):
     for exprs, partition in specs:
         if "row_number" in exprs:
             assert "source" in partition and "n_chars" in partition, plan
+
+
+def test_bpe_train_merges_rejects_unbounded_vocab_training(spark):
+    """Each BPE round schedules ~2 driver-side Spark jobs over the vocab
+    table; a 32k-merge production run would be ~64k jobs. The documented
+    regime (n_merges <= 256) is enforced, not advisory."""
+    import pytest as _pytest
+
+    from legal_document_ocr_spark.operators import textops
+
+    docs = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="n_merges <= 256"):
+        textops.bpe_train_merges(docs, n_merges=257)
