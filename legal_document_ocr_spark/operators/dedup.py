@@ -70,19 +70,25 @@ def shingles(col: Column, k: int = 3, *, distinct: bool = True) -> Column:
     ``distinct=True`` gives set semantics (needed for Jaccard counting);
     MinHash passes ``distinct=False`` — min over a multiset equals min over
     its set, and ``array_distinct`` is O(n²) string comparisons per document.
+
+    Built as a k-fold zip_with over k shifted slices of the token array
+    (round 4): a computed expression referenced inside a HOF lambda is
+    re-inlined PER ELEMENT (the CollapseProject trap), so the previous
+    ``transform(idx, i -> element_at(tokens, i+j))`` re-tokenized the
+    document once per shingle per position — O(tokens²) splits. Slices
+    evaluate ``tokens`` k times per ROW; the zip_with lambdas touch only
+    their bound args. Measured 9.2 s -> 0.6 s at sf0.1, identical output.
     """
     tokens = ws_tokens(F.lower(col))
-    n = F.size(tokens)
-    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    out = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens, i + j) for j in range(k)]
-        ),
-    )
+    m = F.size(tokens) - (k - 1)  # shingle count; <= 0 when too short
+    out = None
+    for j in range(k):
+        part = F.slice(tokens, 1 + j, F.greatest(m, F.lit(0)))
+        out = (
+            part
+            if out is None
+            else F.zip_with(out, part, lambda a, b: F.concat_ws(" ", a, b))
+        )
     return F.array_distinct(out) if distinct else out
 
 
@@ -475,12 +481,10 @@ def duplicated_substring_runs(
     4. run merge is one exchange on doc_id + a gaps-and-islands window
        (pos - row_number() is constant exactly within a run).
     """
-    toks = ws_tokens(F.lower(F.col(text_col)))
-    n = F.size(toks)
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    win = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))))
+    # md5 over positional (non-distinct) k-gram shingles — shares the
+    # slice+zip_with shingle builder (the transform-with-slice-per-index
+    # formulation re-tokenized the doc per window position, round 4)
+    win = F.transform(shingles(F.col(text_col), k, distinct=False), F.md5)
     pos = ensure_parallelism(docs).select(
         "doc_id", F.posexplode(win).alias("pos", "sh")
     )

@@ -227,11 +227,21 @@ def winnow_fingerprints(
     from ..operators.dedup import base_hash28
 
     c = F.col(text_col)
-    n = F.length(c)
-    gram_idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    hashes = F.transform(gram_idx, lambda i: base_hash28(F.substring(c, i, k)))
+    # char k-grams via split + k shifted slices zipped with concat:
+    # substring(c, i, k) per position re-scans the UTF-8 prefix per call
+    # (O(chars²) per doc — round-4 lm_scores lesson); split materializes
+    # the char array once and the zip_with lambdas touch only bound args.
+    chars = F.split(c, "")
+    mg = F.length(c) - (k - 1)
+    gram = None
+    for j in range(k):
+        part = F.slice(chars, 1 + j, F.greatest(mg, F.lit(0)))
+        gram = (
+            part
+            if gram is None
+            else F.zip_with(gram, part, lambda a, b: F.concat(a, b))
+        )
+    hashes = F.transform(gram, base_hash28)
     hashed = docs.select("doc_id", hashes.alias("hs")).repartition("doc_id")
     m = F.size("hs")
     win_idx = F.when(m >= w, F.sequence(F.lit(1), m - (w - 1))).otherwise(
@@ -304,9 +314,11 @@ def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     c = F.col(text_col)
     n = F.length(c)
-    chars = F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(1)))
+    # split('') materializes the char array in one O(chars) pass —
+    # substr(i, 1) inside a position transform re-scans the UTF-8 prefix
+    # per call, O(chars²) per doc (round-4 lm_scores lesson)
     ex = docs.where(n > 0).select(
-        "doc_id", n.alias("n"), F.explode(chars).alias("ch")
+        "doc_id", n.alias("n"), F.explode(F.split(c, "")).alias("ch")
     )
     pt = ex.groupBy("doc_id", "n", "ch").agg(F.count("*").alias("cnt"))
     term = F.col("cnt").cast("decimal(18,0)") * F.round(
@@ -553,10 +565,22 @@ def lm_scores(
 
     - vocab <= ``map_literal_max`` (alphabetic scripts: ~100s of bigrams):
       the model collects to the driver — it IS a scalar-sized artifact —
-      and scoring is a pure map-literal projection: sum(element_at(model,
-      bg)) folded over each document's bigram array in ONE scan. No
-      persist, no scoring explode, no broadcast join, no groupBy(doc_id)
-      shuffle, no join-back (measured 5.5 s -> one scan at sf0.1).
+      and scoring is a pure projection folded over each document in ONE
+      scan. No persist, no scoring explode, no broadcast join, no
+      groupBy(doc_id) shuffle, no join-back (measured 5.5 s -> one scan
+      at sf0.1 in round 3). Round 4 made the scan itself O(chars) instead
+      of O(chars * vocab + chars²): documents are split into a char array
+      ONCE (``substr(i, ·)`` inside a position transform re-scans the
+      UTF-8 prefix per call — O(n²) per doc — and any computed expression
+      referenced inside a HOF lambda is re-inlined PER ELEMENT, the
+      CollapseProject trap, measured 10x backwards on a translate()
+      variant); bigram pairs come from zip_with over two slices (lambda
+      args are bound values — never re-inlined), and when the alphabet
+      fits 7-bit (K <= 127) each lookup is an O(1) element_at into a
+      K*K array literal indexed by translate()-encoded char codes
+      (measured 3.7 s -> 0.8 s at sf0.1, bit-identical). Larger
+      alphabets keep the map-literal lookup (O(vocab) per bigram) on the
+      zip_with shape; both paths sum the identical 6-dp decimals.
     - vocab > ``map_literal_max`` (CJK corpora blow up char-bigram vocab):
       fall back to the explode + broadcast-model join + groupBy(doc_id)
       shape — the join is then the right tool, and a multi-MB map literal
@@ -573,17 +597,23 @@ def lm_scores(
     for documents shorter than 2 characters.
     """
     lt = F.lower(F.col(text_col))
+
+    def _bigram_pairs(col):
+        """(A, B) char-array slices such that zip(A, B) enumerates the
+        column's adjacent char pairs — split once per row, O(chars)."""
+        chars = F.split(col, "")
+        return (
+            F.slice(chars, 1, F.length(col) - 1),
+            F.slice(chars, 2, F.length(col) - 1),
+        )
+
     src = docs.select("doc_id", lt.alias("lt")).where(F.length("lt") >= 2)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.length("lt") - 1),
-        lambda i: F.col("lt").substr(i, F.lit(2)),
-    )
-    ex = src.select("doc_id", F.explode(bigrams).alias("bg"))
-    # same bigram expression, applied directly to the source text column
-    # (the map-literal path scans docs itself — there is no "lt" column)
-    bigrams_src = F.transform(
-        F.sequence(F.lit(1), F.length(lt) - 1),
-        lambda i: lt.substr(i, F.lit(2)),
+    a_t, b_t = _bigram_pairs(F.col("lt"))
+    ex = src.select(
+        "doc_id",
+        F.explode(F.zip_with(a_t, b_t, lambda a, b: F.concat(a, b))).alias(
+            "bg"
+        ),
     )
     mc = ex.groupBy("bg").agg(F.count("*").alias("cnt"))
     pc = mc.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
@@ -600,27 +630,57 @@ def lm_scores(
     )
     model_rows = model.collect()  # bounded: alphabet² vocabulary
     if len(model_rows) <= map_literal_max:
-        entries = []
-        for r in model_rows:
-            entries.append(F.lit(r["bg"]))
-            entries.append(F.lit(r["lnp"]).cast("decimal(28,12)"))
-        lnp_map = F.create_map(*entries) if entries else None
         zero = F.lit(0).cast("decimal(28,12)")
-        # ONE reference to the bigram array (inside the fold) — a second
-        # reference would let CollapseProject inline the whole
-        # sequence+substr subtree per use (the repo's measured 9x trap);
-        # n_bigrams is length-1, computable without the array.
-        # try_element_at: ANSI element_at throws on a missing map key (the
-        # empty bigrams a <2-char doc produces before the when() masks them).
-        s = (
-            F.aggregate(
-                bigrams_src,
-                zero,
-                lambda acc, bg: (acc + F.try_element_at(lnp_map, bg)).cast(
-                    "decimal(28,12)"
+        alphabet = sorted({c for r in model_rows for c in r["bg"]})
+        k = len(alphabet)
+        if model_rows and k <= 127:
+            # O(1) lookup: translate() encodes each char to 1..k once per
+            # row, then (a,b) indexes a k*k array literal (absent pairs
+            # are NULL, same as the map path's try_element_at — and every
+            # bigram of a scored doc exists in the self-trained model).
+            pos = {c: i for i, c in enumerate(alphabet)}
+            flat: list = [None] * (k * k)
+            for r in model_rows:
+                flat[pos[r["bg"][0]] * k + pos[r["bg"][1]]] = r["lnp"]
+            arr = F.array(
+                *[F.lit(v).cast("decimal(28,12)") for v in flat]
+            )
+            enc = F.translate(
+                lt,
+                "".join(alphabet),
+                "".join(chr(i + 1) for i in range(k)),
+            )
+            a_s, b_s = _bigram_pairs(enc)
+            vals = F.zip_with(
+                a_s,
+                b_s,
+                lambda a, b: F.element_at(
+                    arr, (F.ascii(a) - 1) * k + F.ascii(b)
                 ),
             )
-            if lnp_map is not None
+        elif model_rows:
+            # alphabet too wide for 7-bit translate codes: keep the map
+            # literal (O(vocab) per lookup) on the same zip_with shape.
+            entries = []
+            for r in model_rows:
+                entries.append(F.lit(r["bg"]))
+                entries.append(F.lit(r["lnp"]).cast("decimal(28,12)"))
+            lnp_map = F.create_map(*entries)
+            a_s, b_s = _bigram_pairs(lt)
+            vals = F.zip_with(
+                a_s,
+                b_s,
+                lambda a, b: F.try_element_at(lnp_map, F.concat(a, b)),
+            )
+        else:
+            vals = None
+        s = (
+            F.aggregate(
+                vals,
+                zero,
+                lambda acc, x: (acc + x).cast("decimal(28,12)"),
+            )
+            if vals is not None
             else zero
         )
         m = (F.length(lt) - 1).cast("long")

@@ -1,0 +1,696 @@
+"""Registry segment: curation, LM scoring, ANN/embedding families (split from queries.py, bodies unchanged)."""
+
+from __future__ import annotations
+
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..merge import merge_documents
+from ..operators import dedup, multimodal, relational, similarity, textops
+from ..operators.textops import LANG_MARKERS, STOPWORDS, WORD_PATTERN
+from ..sources.pages import (
+    synthesize_pages_df,
+    synthesize_table_pages_df,
+    synthesize_vn_pages_df,
+    synthesize_vn_split_pages_df,
+)
+from ..stages import run_extraction
+
+from .common import (
+    _TOKS,
+    _as_long,
+    _docs,
+    _tbl,
+)
+from .textana import (
+    _SQL_QUALITY,
+    _in_list,
+)
+from .dedup_olap import (
+    _SHINGLES_SQL,
+    _sql_minhash_bands,
+)
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 BPE merge candidates (textops.bpe_pair_counts)."""
+    return textops.bpe_pair_counts(_docs(spark, sf_dir))
+
+
+_SQL_BPE_PAIRS = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+p AS (
+  SELECT unnest(flatten(list_transform(toks, t ->
+    CASE WHEN length(t) >= 2 THEN
+      list_transform(generate_series(1, length(t) - 1), i -> substr(t, i, 2))
+    ELSE []::varchar[] END))) AS pair
+  FROM t
+)
+SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT 50
+"""
+
+
+def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (textops.holdout_split)."""
+    return textops.holdout_split(_docs(spark, sf_dir))
+
+
+_SQL_HOLDOUT_SPLIT = """
+SELECT doc_id,
+  CASE WHEN ('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 10000 < 500
+         THEN 'val'
+       WHEN ('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 10000 < 1000
+         THEN 'test'
+       ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained char-bigram LM perplexity scoring (textops.lm_scores)."""
+    return textops.lm_scores(_docs(spark, sf_dir))
+
+
+_SQL_LM_SCORES = """
+WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+e AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, length(lt) - 1),
+                          i -> substr(lt, i, 2))) AS bg
+  FROM t WHERE length(lt) >= 2
+),
+mc AS (SELECT bg, count(*) AS cnt FROM e GROUP BY bg),
+pc AS (SELECT substr(bg, 1, 1) AS c1, sum(cnt) AS pcnt FROM mc GROUP BY 1),
+model AS (
+  SELECT bg, round(ln(cnt / pcnt::double), 6)::decimal(28,12) AS lnp
+  FROM mc JOIN pc ON substr(mc.bg, 1, 1) = pc.c1
+),
+sc AS (
+  SELECT doc_id, sum(lnp) AS s, count(*) AS m
+  FROM e JOIN model USING (bg) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(sc.m, 0)::bigint AS n_bigrams,
+  CASE WHEN sc.m IS NOT NULL
+       THEN floor((-(s::double) / m) * 1000000.0)::bigint END AS nll_micro
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 3-gram overlap of every corpus document
+    against a bounded eval set (doc_id % 97 == 0 stands in for the benchmark);
+    broadcast of the SMALL side only (dedup.benchmark_contamination)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    return dedup.benchmark_contamination(d, bench)
+
+
+_SQL_CONTAMINATION = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t),
+e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+bs AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0),
+hit AS (SELECT s, 1 AS _hit FROM bs),
+agg AS (
+  SELECT doc_id, count(*) AS n_shingles,
+         sum(coalesce(_hit, 0)) AS n_matched
+  FROM e LEFT JOIN hit USING (s) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(a.n_shingles, 0)::bigint AS n_shingles,
+  coalesce(a.n_matched, 0)::bigint AS n_matched,
+  CASE WHEN a.n_shingles IS NOT NULL
+       THEN round(a.n_matched / a.n_shingles::double, 6) END AS contamination
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference (textops.quality_classifier):
+    logit + keep decision, pure codegen arithmetic."""
+    return textops.quality_classifier(_docs(spark, sf_dir))
+
+
+_SQL_QUALITY_CLF = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+  FROM documents
+), s AS (
+  SELECT doc_id, text, toks, n_punct,
+    len(list_filter(toks, t -> t IN ({_in_list(STOPWORDS)}))) AS n_stop
+  FROM t
+), f AS (
+  SELECT doc_id,
+    least(length(text)::double / 500.0::double, 1.0::double) AS length_component,
+    CASE WHEN len(toks) > 0 THEN n_stop / len(toks)::double
+         ELSE 0.0::double END AS stop_ratio,
+    CASE WHEN length(text) > 0 THEN n_punct / length(text)::double
+         ELSE 0.0::double END AS punct_ratio,
+    least((CASE WHEN len(toks) > 0
+               THEN list_reduce(list_transform(toks, t -> length(t)::double),
+                                (a, b) -> a + b) / len(toks)::double
+               ELSE 0.0::double END) / 10.0::double, 1.0::double)
+      AS mean_tok_len_capped,
+    CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) / len(toks)::double
+         ELSE 0.0::double END AS distinct_ratio
+  FROM s
+)
+SELECT doc_id,
+  floor((length_component * 1.2::double + stop_ratio * 2.0::double
+        + punct_ratio * (-3.0::double) + mean_tok_len_capped * 0.8::double
+        + distinct_ratio * 1.5::double + (-1.78::double))
+        * 1000000.0::double)::bigint AS clf_logit_micro,
+  (length_component * 1.2::double + stop_ratio * 2.0::double
+   + punct_ratio * (-3.0::double) + mean_tok_len_capped * 0.8::double
+   + distinct_ratio * 1.5::double + (-1.78::double) >= 0.0::double)::int
+    AS clf_keep
+FROM f
+"""
+
+
+def q_curation_funnel_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel upgraded with NEAR-dup clustering: quality + language
+    filter -> connected-component representatives (dedup.dedup_clusters) ->
+    deterministic downsample. The production composition: exact dedup alone
+    leaves trivially-perturbed copies in the mix."""
+    from ..operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    q = textops.quality_scores(docs).select("doc_id", "quality_score")
+    kept = docs.join(q, "doc_id").where(
+        (F.col("quality_score") >= 0.45) & F.col("lang").isin("en", "zh")
+    )
+    reps = (
+        dedup.dedup_clusters(kept.select("doc_id", "text"))
+        .where(F.col("is_representative") == 1)
+        .select("doc_id")
+    )
+    sampled = sampling.deterministic_sample(
+        kept.join(reps, "doc_id", "semi"), 0.5, key_col="doc_id"
+    )
+    return sampled.select("doc_id", "lang", "quality_score")
+
+
+_SQL_CURATION_FUNNEL_NEARDUP = (
+    f"""
+WITH RECURSIVE qq AS ({_SQL_QUALITY}),
+filtered AS (
+  SELECT d.doc_id, d.text, d.lang, qq.quality_score
+  FROM documents d JOIN qq USING (doc_id)
+  WHERE qq.quality_score >= 0.45::double AND d.lang IN ('en', 'zh')
+),
+"""
+    + _sql_minhash_bands("SELECT doc_id, text FROM filtered").replace(
+        "\nWITH src AS", "\nsrc AS", 1
+    ).lstrip()
+    + f""",
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+shd AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM src) tt
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN shd a ON a.doc_id = id_a JOIN shd b ON b.doc_id = id_b
+  WHERE round(len(list_intersect(a.sh, b.sh))
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::double,
+          6) >= 0.5::double
+),
+sym AS (
+  SELECT id_a AS src_n, id_b AS dst_n FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+walk(node, lbl) AS (
+  SELECT doc_id, doc_id FROM src
+  UNION
+  SELECT s.dst_n, w.lbl FROM walk w JOIN sym s ON s.src_n = w.node
+),
+cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY node)
+SELECT f.doc_id, f.lang, f.quality_score
+FROM filtered f JOIN cc ON cc.doc_id = f.doc_id AND cc.doc_id = cc.cluster_id
+WHERE ('0x' || substr(md5(f.doc_id::varchar), 1, 7))::bigint % 10000 < 5000
+"""
+)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.repetition_stats(_docs(spark, sf_dir))
+
+
+_SQL_REPETITION = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+pt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok)
+SELECT doc_id, sum(c)::bigint AS n_tokens, count(*) AS n_distinct,
+  round(count(*) / sum(c)::double, 6) AS distinct_ratio,
+  round(max(c) / sum(c)::double, 6) AS top_token_share
+FROM pt GROUP BY doc_id
+"""
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.char_entropy(_docs(spark, sf_dir))
+
+
+# mirrors textops.char_entropy: per-char-class cnt * round(log2(cnt/n), 6)
+# summed as DECIMAL, one double division + floor(micro) at the end
+_SQL_CHAR_ENTROPY = """
+WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+ex AS (
+  SELECT doc_id, n,
+    unnest(list_transform(generate_series(1, n), i -> substr(text, i, 1))) AS ch
+  FROM t WHERE n > 0
+),
+pt AS (SELECT doc_id, n, ch, count(*) AS cnt FROM ex GROUP BY doc_id, n, ch),
+e AS (
+  SELECT doc_id, n, count(*) AS n_distinct,
+    sum(cnt::decimal(18,0) * round(log2(cnt / n::double), 6)::decimal(18,6)) AS s
+  FROM pt GROUP BY doc_id, n
+)
+SELECT t.doc_id, t.n::bigint AS n_chars,
+  coalesce(e.n_distinct, 0)::bigint AS n_distinct_chars,
+  CASE WHEN e.s IS NOT NULL
+       THEN floor((-(e.s::double) / t.n) * 1000000.0)::bigint END AS entropy_micro
+FROM t LEFT JOIN e ON t.doc_id = e.doc_id
+"""
+
+
+_CMS_TERMS = sorted(set(STOPWORDS))
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.cms_term_counts(_docs(spark, sf_dir), _CMS_TERMS)
+
+
+# mirrors dedup.cms_term_counts depth=4 width=1024: slot_d(t) = 28-bit
+# md5 prefix of 'd|t' mod width; estimate = min counter, empty slot = 0
+def _sql_cms_counts() -> str:
+    cand = ", ".join(f"'{t}'" for t in _CMS_TERMS)
+    slot = "('0x' || substr(md5(d::varchar || '|' || {v}), 1, 7))::bigint % 1024"
+    return f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+cells AS (
+  SELECT u.d, {slot.format(v='tok')} AS slot
+  FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) u
+),
+sk AS (SELECT d, slot, count(*) AS cnt FROM cells GROUP BY d, slot),
+cand AS (SELECT unnest([{cand}]) AS term),
+cs AS (
+  SELECT term, u.d, {slot.format(v='term')} AS slot
+  FROM cand CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) u
+)
+SELECT term, min(coalesce(cnt, 0))::bigint AS est_count
+FROM cs LEFT JOIN sk USING (d, slot) GROUP BY term
+"""
+
+
+def q_error_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection over documents ∪ synthetic error pages (every
+    fourth doc contributes a short served-200 error stub)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    errs = d.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.lit("Error 404: Page Not Found - the requested resource does not exist").alias(
+            "text"
+        ),
+    )
+    return textops.error_page_filter(d.unionByName(errs))
+
+
+def _sql_error_pages() -> str:
+    from ..operators.textops import ERROR_MARKERS
+
+    hits = " + ".join(
+        f"CASE WHEN contains(lower(text), '{m}') THEN 1 ELSE 0 END"
+        for m in ERROR_MARKERS
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000,
+         'Error 404: Page Not Found - the requested resource does not exist'
+  FROM documents WHERE doc_id % 4 = 0
+)
+SELECT doc_id, len({_TOKS})::bigint AS n_tokens,
+  ({hits})::bigint AS marker_hits,
+  (({hits}) >= 1 AND len({_TOKS}) < 50) AS is_error
+FROM src
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.inverted_index(_docs(spark, sf_dir))
+
+
+# mirrors textops.inverted_index seg_buckets=8; parallel unnest zips toks
+# with their 1-based subscripts (DuckDB positional-zip semantics)
+_SQL_INVERTED_INDEX = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS pos,
+         unnest(toks) AS term
+  FROM t
+),
+perdoc AS (
+  SELECT term, doc_id % 8 AS seg, doc_id,
+         doc_id::varchar || ':' ||
+           array_to_string(list(pos ORDER BY pos), '|') AS entry,
+         count(*) AS tf
+  FROM tok GROUP BY term, doc_id % 8, doc_id
+)
+SELECT term, seg::bigint AS seg, count(*)::bigint AS n_docs,
+       sum(tf)::bigint AS n_postings,
+       string_agg(entry, ';' ORDER BY doc_id) AS postings
+FROM perdoc GROUP BY term, seg
+"""
+
+
+def q_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: screen the corpus's content
+    fingerprints against a blocklist (every 10th doc's fingerprint)."""
+    d = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("fp"))
+    block = d.where(F.col("doc_id") % 10 == 0).select("fp")
+    return relational.bloom_semijoin(d, block, "fp", "doc_id")
+
+
+# mirrors relational.bloom_semijoin bits=8192 hashes=3: slot_h(k) = 28-bit
+# md5 prefix of 'h|k' mod bits; candidate = all three slots present
+_SQL_BLOOM_BLOCKLIST = """
+WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+b AS (SELECT fp FROM d WHERE doc_id % 10 = 0),
+bp AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(h.h || '|' || fp), 1, 7))::bigint % 8192 AS pos
+  FROM b CROSS JOIN (SELECT unnest(['0', '1', '2']) AS h) h
+),
+pe AS (
+  SELECT doc_id, fp,
+    ('0x' || substr(md5(h.h || '|' || fp), 1, 7))::bigint % 8192 AS pos
+  FROM d CROSS JOIN (SELECT unnest(['0', '1', '2']) AS h) h
+),
+fl AS (
+  SELECT doc_id, fp, (count(bp.pos) = 3) AS bloom_candidate
+  FROM pe LEFT JOIN bp ON pe.pos = bp.pos
+  GROUP BY doc_id, fp
+)
+SELECT doc_id, fp, bloom_candidate,
+       (bloom_candidate AND fp IN (SELECT fp FROM b)) AS is_listed
+FROM fl
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+_SQL_WINNOW = """
+WITH h AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= 8 THEN
+      list_transform(generate_series(1, length(text) - 7),
+                     i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 7))::bigint)
+    ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM documents
+), wnd AS (
+  SELECT doc_id, hs, len(hs) AS m,
+    CASE WHEN len(hs) >= 4 THEN generate_series(1, len(hs) - 3)
+         WHEN len(hs) > 0 THEN [1]
+         ELSE CAST([] AS BIGINT[]) END AS widx
+  FROM h
+), sel AS (
+  SELECT doc_id, m,
+    list_sort(list_distinct(list_transform(
+      widx, j -> list_aggregate(hs[j : j + least(4, m) - 1], 'min')))) AS s
+  FROM wnd
+)
+SELECT doc_id, m::bigint AS n_grams, len(s) AS n_selected,
+       md5(array_to_string(s, ',')) AS winnow_fp
+FROM sel
+"""
+
+
+def q_embedding_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(_tbl(spark, sf_dir, "embeddings"), 9, k=10)
+
+
+def _sql_embedding_ivf_knn() -> str:
+    dist = (
+        "list_reduce(list_transform(generate_series(1, len(e.v)),"
+        " i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), (x, y) -> x + y)"
+    )
+    cos = _COS_SQL.format(a="t.v", b="q.qv")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+cents AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 8),
+dists AS (
+  SELECT e.vec_id, c.cell_id, {dist} AS dist
+  FROM e, cents c
+),
+mind AS (SELECT vec_id, min(dist) AS md FROM dists GROUP BY vec_id),
+cells AS (
+  SELECT d.vec_id, min(d.cell_id) AS cell
+  FROM dists d JOIN mind m ON d.vec_id = m.vec_id AND d.dist = m.md
+  GROUP BY d.vec_id
+),
+t AS (SELECT e.vec_id, e.v, cells.cell FROM e JOIN cells ON e.vec_id = cells.vec_id),
+q AS (SELECT v AS qv, cell AS qcell FROM t WHERE vec_id = 9)
+SELECT t.vec_id, round({cos}, 6) AS cosine
+FROM t, q WHERE t.vec_id <> 9 AND t.cell = q.qcell
+ORDER BY cosine DESC, t.vec_id LIMIT 10
+"""
+
+
+def q_embedding_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_topk(_tbl(spark, sf_dir, "embeddings"), 9, k=10)
+
+
+# mirrors similarity.pq_topk m=4 codes=8: codewords seeded from vec_id<8
+# sub-vectors, argmin tiebreak = min code at min dist, ADC sum over
+# 6-dp-rounded decimal table entries
+def _sql_embedding_pq_knn() -> str:
+    sqd = (
+        "list_reduce(list_transform(generate_series(1, len({a})),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+sub AS (
+  SELECT vec_id, u.s AS sub,
+         v[u.s * (len(v) // 4) + 1 : (u.s + 1) * (len(v) // 4)] AS sv
+  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) u
+),
+cb AS (SELECT sub, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 8),
+d AS (
+  SELECT sub.vec_id, sub.sub, cb.code, {sqd.format(a='sub.sv', b='cb.cv')} AS dist
+  FROM sub JOIN cb USING (sub)
+),
+mind AS (SELECT vec_id, sub, min(dist) AS md FROM d GROUP BY vec_id, sub),
+enc AS (
+  SELECT d.vec_id, d.sub, min(d.code) AS code
+  FROM d JOIN mind ON d.vec_id = mind.vec_id AND d.sub = mind.sub
+                  AND d.dist = mind.md
+  GROUP BY d.vec_id, d.sub
+),
+q AS (SELECT sub, sv AS qv FROM sub WHERE vec_id = 9),
+dt AS (
+  SELECT q.sub, cb.code,
+         round({sqd.format(a='q.qv', b='cb.cv')}, 6)::decimal(28,12) AS qd
+  FROM q JOIN cb USING (sub)
+),
+s AS (
+  SELECT enc.vec_id, sum(dt.qd) AS s
+  FROM enc JOIN dt ON enc.sub = dt.sub AND enc.code = dt.code
+  WHERE enc.vec_id <> 9 GROUP BY enc.vec_id
+)
+SELECT vec_id, s::double AS adist FROM s ORDER BY adist, vec_id LIMIT 10
+"""
+
+
+def q_ivf_refined_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with ONE k-means refinement iteration (assign -> decimal-exact
+    component means -> re-assign); output = per-cell population stats. The
+    whole loop is corpus x broadcast(n_cells) — nothing corpus-sized is
+    broadcast (the round-1 ivf_assign defect)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    assigned = similarity.ivf_assign(emb, 8, refine_iters=1)
+    return _as_long(
+        assigned.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+        )
+        .orderBy("cell"),
+        "cell",
+        "n_vecs",
+        "min_vec",
+        "max_vec",
+    )
+
+
+def _sql_ivf_refined_assign() -> str:
+    dist = (
+        "list_reduce(list_transform(generate_series(1, len(e.v)),"
+        " i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), (x, y) -> x + y)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 8),
+d0 AS (SELECT e.vec_id, c.cell_id, {dist} AS dist FROM e, c0 c),
+m0 AS (SELECT vec_id, min(dist) AS md FROM d0 GROUP BY vec_id),
+a0 AS (
+  SELECT d.vec_id, min(d.cell_id) AS cell
+  FROM d0 d JOIN m0 ON d.vec_id = m0.vec_id AND d.dist = m0.md
+  GROUP BY d.vec_id
+),
+u AS (
+  SELECT a0.cell, e.v, unnest(generate_series(1, len(e.v))) AS i
+  FROM e JOIN a0 USING (vec_id)
+),
+comp AS (SELECT cell, i, round(v[i], 12)::decimal(28,12) AS cmp FROM u),
+cm AS (
+  SELECT cell AS cell_id, i, sum(cmp)::double / count(*) AS cv_i
+  FROM comp GROUP BY cell, i
+),
+c1 AS (SELECT cell_id, list(cv_i ORDER BY i) AS cv FROM cm GROUP BY cell_id),
+d1 AS (SELECT e.vec_id, c.cell_id, {dist} AS dist FROM e, c1 c),
+m1 AS (SELECT vec_id, min(dist) AS md FROM d1 GROUP BY vec_id),
+a1 AS (
+  SELECT d.vec_id, min(d.cell_id) AS cell
+  FROM d1 d JOIN m1 ON d.vec_id = m1.vec_id AND d.dist = m1.md
+  GROUP BY d.vec_id
+)
+SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_vec, max(vec_id) AS max_vec
+FROM a1 GROUP BY cell ORDER BY cell
+"""
+
+
+def q_embedding_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_long(
+        similarity.batch_topk(
+            _tbl(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=3
+        ),
+        "rank",
+    )
+
+
+def _sql_embedding_batch_knn() -> str:
+    cos = _COS_SQL.format(a="c.v", b="q.qv")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)),
+scored AS (
+  SELECT q.query_id, c.vec_id, round({cos}, 6) AS cosine
+  FROM e c, q WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
+      AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
+# shared cosine SQL (pinned evaluation order — mirrors similarity.cosine_expr)
+_COS_SQL = (
+    "list_reduce(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+    " / (sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+    " * sqrt(list_reduce(list_transform({b}, x -> x * x), (x, y) -> x + y)))"
+)
+
+
+def _sign_bucket_sql(vec: str, dims: int) -> str:
+    return " || ".join(
+        f"(CASE WHEN {vec}[{i + 1}]::double >= 0 THEN '+' ELSE '-' END)"
+        for i in range(dims)
+    )
+
+
+def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(_tbl(spark, sf_dir, "embeddings"), 0, k=10)
+
+
+def _sql_embedding_knn() -> str:
+    cos = _COS_SQL.format(a="e.v", b="q.qv")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id, round({cos}, 6) AS cosine
+FROM e, q WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id LIMIT 10
+"""
+
+
+def q_embedding_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.bucketed_topk(
+        _tbl(spark, sf_dir, "embeddings"), 0, k=10, bucket_dims=2
+    )
+
+
+def _sql_embedding_knn_bucketed() -> str:
+    cos = _COS_SQL.format(a="e.v", b="q.qv")
+    bucket = _sign_bucket_sql("embedding", 2)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v,
+         {bucket} AS bucket
+  FROM embeddings
+),
+q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
+SELECT e.vec_id, round({cos}, 6) AS cosine
+FROM e, q WHERE e.vec_id <> 0 AND e.bucket = q.qbucket
+ORDER BY cosine DESC, e.vec_id LIMIT 10
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 sign dims: a >=0.99-cosine near-dup flips a coordinate sign with
+    vanishing probability (exact copies never do), so widening the bucket
+    key costs no recall here while cutting in-bucket candidate pairs ~16x
+    vs 4 dims (measured 6.0s -> sub-second at sf0.1)."""
+    emb = _tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb2 = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 100000))
+    return dedup.embedding_near_dups(emb2, threshold=0.99, bucket_dims=8)
+
+
+def _sql_embedding_near_dups() -> str:
+    cos = _COS_SQL.format(a="l.v", b="r.v")
+    bucket = _sign_bucket_sql("embedding", 8)
+    return f"""
+WITH e2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings
+),
+b AS (
+  SELECT vec_id AS vid, list_transform(embedding, x -> x::double) AS v,
+         {bucket} AS bucket
+  FROM e2
+)
+SELECT l.vid AS id_a, r.vid AS id_b, round({cos}, 6) AS cosine
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vid < r.vid
+WHERE round({cos}, 6) >= 0.99::double
+"""
+
+

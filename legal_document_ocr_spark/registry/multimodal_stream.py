@@ -1,0 +1,579 @@
+"""Registry segment: multimodal stages, streaming, URL/host hygiene (split from queries.py, bodies unchanged)."""
+
+from __future__ import annotations
+
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..merge import merge_documents
+from ..operators import dedup, multimodal, relational, similarity, textops
+from ..operators.textops import LANG_MARKERS, STOPWORDS, WORD_PATTERN
+from ..sources.pages import (
+    synthesize_pages_df,
+    synthesize_table_pages_df,
+    synthesize_vn_pages_df,
+    synthesize_vn_split_pages_df,
+)
+from ..stages import run_extraction
+
+from .common import (
+    _TOKS,
+    _docs,
+    _utc,
+)
+
+# ---------------------------------------------------------------------------
+# multimodal + streaming
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return multimodal.media_features(payloads)
+
+
+_SQL_MULTIMODAL = """
+SELECT doc_id,
+  octet_length(encode(text))::bigint AS n_bytes,
+  md5(text) AS content_hash,
+  (('0x' || substr(md5(text), 1, 4))::integer % 1000)::integer AS fake_width,
+  (('0x' || substr(md5(text), 5, 4))::integer % 1000)::integer AS fake_height
+FROM documents
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1->N frame sampling over binary payloads (mapInPandas fan-out); on
+    ascii payloads each frame hash is a closed-form md5 of a text slice."""
+    payloads = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return multimodal.frame_sample(payloads, n_frames=4)
+
+
+_SQL_MULTIMODAL_FRAMES = """
+WITH f AS (
+  SELECT doc_id, length(text) AS n, text,
+         unnest([0, 1, 2, 3]) AS frame_idx
+  FROM documents
+)
+SELECT doc_id, frame_idx::int AS frame_idx,
+  (n // 4 + CASE WHEN frame_idx < (n % 4) THEN 1 ELSE 0 END)::bigint
+    AS frame_bytes,
+  md5(substr(text,
+             (frame_idx * (n // 4) + least(frame_idx, n % 4) + 1)::int,
+             (n // 4 + CASE WHEN frame_idx < (n % 4) THEN 1 ELSE 0 END)::int))
+    AS frame_hash
+FROM f
+"""
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState + EventTimeTimeout):
+    closed sessions emit on gap breaks; each user's final open session emits
+    through a real event-time timeout once the sentinel-driven watermark
+    passes its deadline (streaming/pipeline.py). Streamed output == batch
+    sessionization exactly, so the full _SQL_SESSIONIZE oracle applies."""
+    from ..streaming.pipeline import stream_sessionize
+
+    name = "stream_sessions_result"
+    sdf = stream_sessionize(spark, f"{sf_dir}/events.parquet", emit_final=True)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (stateful dropDuplicates): the emitted hash SET
+    equals the batch distinct — first-seen semantics, deterministic set."""
+    from ..streaming.pipeline import run_stream_to_table, stream_dedup_hashes
+
+    name = "stream_dedup_result"
+    sdf = stream_dedup_hashes(spark, f"{sf_dir}/documents.parquet")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_SQL_STREAM_DEDUP = (
+    "SELECT DISTINCT sha256(text) AS content_hash FROM documents"
+)
+
+
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous-ingest dedup: stream-side first-seen dedup +
+    anti-join against the static corpus hash set (streaming face of
+    incremental_dedup; emitted set equals the batch formulation)."""
+    from ..streaming.pipeline import stream_incremental_dedup
+
+    name = "stream_incr_dedup_result"
+    corpus = _docs(spark, sf_dir).where(F.col("doc_id") < 400)
+    sdf = stream_incremental_dedup(
+        spark, f"{sf_dir}/documents.parquet", corpus
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_SQL_STREAM_INCR_DEDUP = """
+WITH seen AS (
+  SELECT DISTINCT sha256(text) AS content_hash FROM documents
+  WHERE doc_id < 400
+)
+SELECT DISTINCT sha256(text) AS content_hash FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM seen s WHERE s.content_hash = sha256(d.text)
+)
+"""
+
+
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import run_stream_to_table, stream_windowed_counts
+
+    _utc(spark)
+    name = "stream_counts_result"
+    sdf = stream_windowed_counts(spark, f"{sf_dir}/events.parquet")
+    run_stream_to_table(spark, sdf, name)
+    return spark.table(name)
+
+
+def q_url_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-only spam scoring (urls.url_spam_scores) over a deterministic
+    mix of clean and spam-shaped URLs synthesized from documents."""
+    from ..operators import urls
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("http://best-casino-777-"),
+                F.col("source"),
+                F.lit(".example.biz/win/big/now?aff=1&id="),
+                did,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.org/articles/"),
+                F.col("lang"),
+                F.lit("/"),
+                did,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit("https://cheap-pills-365."),
+                F.col("source"),
+                F.lit(".info/buy?ref=aa&sid="),
+                did,
+                F.lit("&track=1"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("https://www."), F.col("source"), F.lit(".example.org/")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"),
+                F.col("source"),
+                F.lit(".example.com/blog/2024/01/post-"),
+                did,
+            )
+        )
+    )
+    return urls.url_spam_scores(d.select(url.alias("url")))
+
+
+def _sql_url_spam() -> str:
+    from ..operators.urls import SPAM_KEYWORDS
+
+    kw = " + ".join(
+        f"CASE WHEN contains(lower(url), '{k}') THEN 1 ELSE 0 END"
+        for k in SPAM_KEYWORDS
+    )
+    return rf"""
+WITH m AS (
+  SELECT CASE doc_id % 5
+    WHEN 0 THEN 'http://best-casino-777-' || source
+                || '.example.biz/win/big/now?aff=1&id=' || doc_id
+    WHEN 1 THEN 'https://' || source || '.example.org/articles/' || lang
+                || '/' || doc_id
+    WHEN 2 THEN 'https://cheap-pills-365.' || source || '.info/buy?ref=aa&sid='
+                || doc_id || '&track=1'
+    WHEN 3 THEN 'https://www.' || source || '.example.org/'
+    ELSE 'http://' || source || '.example.com/blog/2024/01/post-' || doc_id
+  END AS url
+  FROM documents
+),
+p AS (
+  SELECT url,
+    lower(coalesce(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)', 1), '')) AS host,
+    coalesce(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)', 1), '') AS path,
+    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS raw_q
+  FROM m
+),
+f AS (
+  SELECT url, host,
+    length(host) - length(regexp_replace(host, '[0-9]', '', 'g'))
+      AS host_digits,
+    length(host) - length(regexp_replace(host, '-', '', 'g'))
+      AS host_hyphens,
+    len(list_filter(string_split(path, '/'), x -> length(x) > 0))
+      AS path_depth,
+    len(list_filter(string_split(raw_q, '&'), x -> length(x) > 0))
+      AS n_params,
+    ({kw}) AS kw_hits
+  FROM p
+),
+s AS (
+  SELECT *,
+    kw_hits * 40 + host_hyphens * 5 + host_digits * 4 + n_params * 3
+      + path_depth * 2
+      + CASE WHEN length(host) > 30 THEN 10 ELSE 0 END AS spam_score
+  FROM f
+)
+SELECT url, host, host_digits::bigint AS host_digits,
+  host_hyphens::bigint AS host_hyphens, path_depth::bigint AS path_depth,
+  n_params::bigint AS n_params, kw_hits::bigint AS kw_hits,
+  spam_score::bigint AS spam_score, spam_score >= 40 AS is_spam
+FROM s
+"""
+
+
+# nav prefix is 9 tokens + the source name = one exact 10-token segment;
+# footer is 10 tokens on its own
+_NAV_PREFIX = "site nav home about contact subscribe newsletter terms privacy "
+_FOOTER_LINE = "footer links sitemap rss feed archive tags search help contact"
+
+
+def q_host_template_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host template-line detection (textops.host_template_lines):
+    source plays the host role; a 10-token nav segment is prepended to 3/4
+    of each host's pages and a 10-token footer segment to 1/2, so both
+    align exactly on the operator's 10-token line grid."""
+    d = _docs(spark, sf_dir)
+    nav = F.when(
+        F.col("doc_id") % 4 != 0,
+        F.concat(F.lit(_NAV_PREFIX), F.col("source"), F.lit(" ")),
+    ).otherwise(F.lit(""))
+    footer = F.when(F.col("doc_id") % 2 == 0, F.lit(_FOOTER_LINE + " ")).otherwise(
+        F.lit("")
+    )
+    aug = d.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(nav, footer, F.col("text")).alias("text"),
+    )
+    return textops.host_template_lines(aug, host_col="host")
+
+
+_SQL_HOST_TEMPLATE_LINES = f"""
+WITH aug AS (
+  SELECT doc_id, source AS host,
+    CASE WHEN doc_id % 4 <> 0
+         THEN '{_NAV_PREFIX}' || source || ' ' ELSE '' END
+    || CASE WHEN doc_id % 2 = 0 THEN '{_FOOTER_LINE} ' ELSE '' END
+    || text AS text
+  FROM documents
+),
+t AS (SELECT doc_id, host, {_TOKS} AS toks FROM aug),
+c AS (
+  SELECT doc_id, host,
+    CASE WHEN len(toks) > 0 THEN
+      list_transform(generate_series(0, ((len(toks) + 9) // 10) - 1),
+        i -> array_to_string(toks[i*10+1 : i*10+10], ' '))
+    ELSE []::varchar[] END AS lines
+  FROM t
+),
+l AS (SELECT host, doc_id, unnest(lines) AS line FROM c),
+pl AS (
+  SELECT host, md5(line) AS h, count(DISTINCT doc_id) AS n_docs,
+         min(line) AS line
+  FROM l GROUP BY 1, 2
+),
+hd AS (SELECT host, count(DISTINCT doc_id) AS host_docs FROM aug GROUP BY 1)
+SELECT pl.host, pl.line, n_docs::bigint AS n_docs,
+  host_docs::bigint AS host_docs,
+  floor(n_docs * 1000000 / host_docs)::bigint AS frac_micro
+FROM pl JOIN hd USING (host)
+WHERE floor(n_docs * 1000000 / host_docs) >= 500000 AND n_docs >= 2
+"""
+
+
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl prioritization (urls.recrawl_priority) over 4 synthetic
+    fetch epochs: a third of the URLs change every epoch, a third change
+    once at epoch 2, a third never change."""
+    from ..operators import urls
+
+    d = _docs(spark, sf_dir)
+    version = (
+        F.when(F.col("doc_id") % 3 == 0, F.col("epoch"))
+        .when(F.col("doc_id") % 3 == 1, (F.col("epoch") >= 2).cast("int"))
+        .otherwise(F.lit(0))
+    )
+    obs = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("epoch"),
+    ).select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/page/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("epoch").cast("long").alias("epoch"),
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                version.cast("string"),
+            )
+        ).alias("content_hash"),
+    )
+    return urls.recrawl_priority(obs)
+
+
+_SQL_RECRAWL_PRIORITY = r"""
+WITH e AS (SELECT unnest([0, 1, 2, 3]) AS epoch),
+obs AS (
+  SELECT 'https://' || source || '.example.org/page/' || doc_id AS url,
+    epoch,
+    md5(doc_id::varchar || ':' ||
+        (CASE doc_id % 3 WHEN 0 THEN epoch
+              WHEN 1 THEN CASE WHEN epoch >= 2 THEN 1 ELSE 0 END
+              ELSE 0 END)::varchar) AS content_hash
+  FROM documents CROSS JOIN e
+),
+fl AS (
+  SELECT url, epoch,
+    CASE WHEN lag(content_hash)
+             OVER (PARTITION BY url ORDER BY epoch) IS NOT NULL
+          AND content_hash <> lag(content_hash)
+             OVER (PARTITION BY url ORDER BY epoch)
+         THEN 1 ELSE 0 END AS changed
+  FROM obs
+),
+pu AS (
+  SELECT url, count(*) AS n_obs, sum(changed) AS n_changes,
+         max(CASE WHEN changed = 1 THEN epoch END) AS last_change,
+         min(epoch) AS first_e, max(epoch) AS last_e
+  FROM fl GROUP BY url
+),
+sc AS (
+  SELECT url,
+    CASE WHEN n_obs > 1
+         THEN floor(n_changes * 1000000 / (n_obs - 1)) ELSE 0 END AS rate,
+    last_e - coalesce(last_change, first_e) AS stale,
+    n_obs, n_changes
+  FROM pu
+)
+SELECT url,
+  lower(coalesce(regexp_extract(url,
+    '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)', 1), '')) AS host,
+  n_obs::bigint AS n_obs, n_changes::bigint AS n_changes,
+  rate::bigint AS change_rate_micro, stale::bigint AS stale_epochs,
+  (rate * stale)::bigint AS priority_micro
+FROM sc
+"""
+
+
+_DOMAIN_URL_SPARK = None  # built lazily below
+
+
+def _domain_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic url mix exercising subdomains x suffix classes
+    (multi-label PSL, single-label, built-in exception, unknown TLD)."""
+    d = _docs(spark, sf_dir)
+    sub = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("www."))
+        .when(F.col("doc_id") % 4 == 1, F.lit("blog."))
+        .when(F.col("doc_id") % 4 == 2, F.lit(""))
+        .otherwise(F.lit("a.b."))
+    )
+    suf = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(".co.uk"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(".com"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(".github.io"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(".unknowntld"))
+        .otherwise(F.lit(".org.au"))
+    )
+    return d.select(
+        F.concat(
+            F.lit("https://"),
+            sub,
+            F.col("source"),
+            suf,
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+
+
+_SQL_DOMAIN_URLS = """
+SELECT 'https://'
+  || CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.'
+                     WHEN 2 THEN '' ELSE 'a.b.' END
+  || source
+  || CASE doc_id % 5 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+                     WHEN 2 THEN '.github.io' WHEN 3 THEN '.unknowntld'
+                     ELSE '.org.au' END
+  || '/p/' || doc_id AS url
+FROM documents
+"""
+
+
+def _sql_registrable_domain_expr(host: str) -> str:
+    """DuckDB mirror of urls.registrable_domain_expr, generated from the
+    SAME suffix tuple (single source of truth)."""
+    from ..operators.urls import PUBLIC_SUFFIXES
+
+    arms = [
+        f"nullif(regexp_extract({host}, '([^.]+\\.{s.replace('.', chr(92) + '.')})$', 1), '')"
+        for s in PUBLIC_SUFFIXES
+    ]
+    arms.append(f"nullif(regexp_extract({host}, '([^.]+\\.[^.]+)$', 1), '')")
+    arms.append(host)
+    return "coalesce(" + ", ".join(arms) + ")"
+
+
+def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 extraction (urls.registrable_domains) — scan-speed coalesce
+    chain over the built-in public-suffix subset."""
+    from ..operators import urls
+
+    return urls.registrable_domains(_domain_urls(spark, sf_dir))
+
+
+def _sql_registrable_domains() -> str:
+    host = (
+        "lower(coalesce(regexp_extract(url,"
+        " '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]+)', 1), ''))"
+    )
+    return f"""
+WITH m AS ({_SQL_DOMAIN_URLS}),
+h AS (SELECT url, {host} AS host FROM m)
+SELECT url, host, {_sql_registrable_domain_expr('host')} AS registrable_domain
+FROM h
+"""
+
+
+def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain census (urls.domain_rollup): pages + distinct
+    hosts per site."""
+    from ..operators import urls
+
+    return urls.domain_rollup(_domain_urls(spark, sf_dir))
+
+
+def _sql_domain_rollup() -> str:
+    host = (
+        "lower(coalesce(regexp_extract(url,"
+        " '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]+)', 1), ''))"
+    )
+    return f"""
+WITH m AS ({_SQL_DOMAIN_URLS}),
+h AS (SELECT url, {host} AS host FROM m),
+r AS (SELECT url, host, {_sql_registrable_domain_expr('host')} AS registrable_domain
+      FROM h)
+SELECT registrable_domain, count(*)::bigint AS n_pages,
+  count(DISTINCT host)::bigint AS n_hosts
+FROM r GROUP BY 1
+"""
+
+
+def q_host_page_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host page cap (urls.host_page_cap): keep <= 10 pages per host by
+    deterministic md5(url) rank — two-phase, megahost-safe."""
+    from ..operators import urls
+
+    d = _docs(spark, sf_dir)
+    pages = d.select(
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return urls.host_page_cap(pages, 10)
+
+
+_SQL_HOST_PAGE_CAP = """
+WITH m AS (
+  SELECT source AS host,
+    'https://' || source || '.example.org/p/' || doc_id AS url
+  FROM documents
+),
+r AS (
+  SELECT host, url,
+    row_number() OVER (PARTITION BY host ORDER BY md5(url), url) AS rn
+  FROM m
+)
+SELECT host, url FROM r WHERE rn <= 10
+"""
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source length quantiles (relational.grouped_quantiles)
+    via the bounded distribution sketch — p50/p90/p99 of n_chars."""
+    return relational.grouped_quantiles(_docs(spark, sf_dir), "source", "n_chars")
+
+
+_SQL_LENGTH_QUANTILES = """
+WITH dist AS (
+  SELECT source AS grp, n_chars AS val, count(*) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, val,
+    sum(cnt) OVER (PARTITION BY grp ORDER BY val) AS cum,
+    sum(cnt) OVER (PARTITION BY grp) AS n_rows
+  FROM dist
+)
+SELECT grp AS source, max(n_rows)::bigint AS n_rows,
+  min(CASE WHEN cum >= (500000 * n_rows + 999999) // 1000000 THEN val END)::bigint
+    AS q_500000,
+  min(CASE WHEN cum >= (900000 * n_rows + 999999) // 1000000 THEN val END)::bigint
+    AS q_900000,
+  min(CASE WHEN cum >= (990000 * n_rows + 999999) // 1000000 THEN val END)::bigint
+    AS q_990000
+FROM cum GROUP BY grp
+"""
+
+

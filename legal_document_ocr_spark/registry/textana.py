@@ -1,0 +1,409 @@
+"""Registry segment: text analysis (split from queries.py, bodies unchanged)."""
+
+from __future__ import annotations
+
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..merge import merge_documents
+from ..operators import dedup, multimodal, relational, similarity, textops
+from ..operators.textops import LANG_MARKERS, STOPWORDS, WORD_PATTERN
+from ..sources.pages import (
+    synthesize_pages_df,
+    synthesize_table_pages_df,
+    synthesize_vn_pages_df,
+    synthesize_vn_split_pages_df,
+)
+from ..stages import run_extraction
+
+from .common import (
+    _TOKS,
+    _as_long,
+    _docs,
+)
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_long(
+        textops.token_counts(_docs(spark, sf_dir)), "ws_tokens", "bpe_tokens"
+    )
+
+
+_SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) > 0
+       THEN len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0 END
+    AS ws_tokens,
+  len(regexp_extract_all(text, '{WORD_PATTERN}')) AS bpe_tokens,
+  length(text) AS n_chars
+FROM documents
+"""
+
+
+def _in_list(sql_items: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in sql_items)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = textops.lang_id(_docs(spark, sf_dir))
+    return _as_long(df, *[f"score_{lang}" for lang in sorted(LANG_MARKERS)])
+
+
+def _sql_lang_id() -> str:
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n  ".join(
+        f"len(list_filter(toks, t -> t IN ({_in_list(LANG_MARKERS[lang])})))"
+        f" AS score_{lang}"
+        for lang in langs
+    )
+    # left-to-right strict-> fold, mirroring textops.lang_id exactly
+    pred = "'und'"
+    best = "0"
+    for lang in langs:
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN score_{lang} > {best} THEN score_{lang} ELSE {best} END"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {scores} FROM t)
+SELECT doc_id, {', '.join(f'score_{lang}' for lang in langs)},
+  {pred} AS pred_lang
+FROM s
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_long(textops.quality_scores(_docs(spark, sf_dir)), "n_tokens")
+
+
+_SQL_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+  FROM documents
+), s AS (
+  SELECT doc_id, text, toks, n_punct,
+    len(list_filter(toks, t -> t IN ({_in_list(STOPWORDS)}))) AS n_stop
+  FROM t
+)
+SELECT doc_id,
+  length(text)::bigint AS n_chars,
+  len(toks) AS n_tokens,
+  round(CASE WHEN length(text) > 0
+             THEN n_punct / length(text)::double ELSE 0.0::double END, 6)
+    AS punct_ratio,
+  round(CASE WHEN len(toks) > 0
+             THEN n_stop / len(toks)::double ELSE 0.0::double END, 6)
+    AS stop_ratio,
+  round(CASE WHEN len(toks) > 0
+             THEN list_reduce(list_transform(toks, t -> length(t)::double),
+                              (a, b) -> a + b) / len(toks)::double
+             ELSE 0.0::double END, 6) AS mean_tok_len,
+  round(least(length(text)::double / 500.0::double, 1.0::double)
+          * 0.4::double
+        + (CASE WHEN len(toks) > 0
+                THEN n_stop / len(toks)::double ELSE 0.0::double END)
+          * 0.4::double
+        + (1.0::double - CASE WHEN length(text) > 0
+                              THEN n_punct / length(text)::double
+                              ELSE 0.0::double END)
+          * 0.2::double, 6) AS quality_score
+FROM s
+"""
+
+
+def q_corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile: count + mean/median/p90 of document
+    length — the summary a training-data pipeline computes before filtering.
+    Exact percentiles (Spark `percentile` == DuckDB `quantile_cont`, both
+    linear interpolation); mean from the exact integer sum."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count("*"), 6
+            ).alias("mean_chars"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("median_chars"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_CORPUS_STATS = """
+SELECT lang, count(*) AS n_docs,
+  round(sum(n_chars)::double / count(*), 6) AS mean_chars,
+  round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_nfc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization before hashing — composed vs decomposed
+    diacritics must dedup together. Oracle: DuckDB nfc_normalize implements
+    the same UAX #15 (decomposed-input canonicalization is pinned separately
+    in tests/test_operators.py with explicit NFD strings)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    normalized = textops.nfc_normalized(d)
+    return _as_long(
+        normalized.select(
+            "doc_id",
+            F.md5("text_nfc").alias("nfc_fp"),
+            (F.col("text_nfc") == F.col("text")).cast("long").alias("unchanged"),
+        ),
+        "unchanged",
+    )
+
+
+_SQL_NFC_FP = """
+SELECT doc_id, md5(nfc_normalize(text)) AS nfc_fp,
+       (nfc_normalize(text) = text)::bigint AS unchanged
+FROM documents
+"""
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over text with injected contact lines (emails + phone
+    runs appended deterministically so the redaction pass provably fires)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +84 9"),
+            F.col("doc_id").cast("string"),
+            F.lit("1234567"),
+        ).alias("text"),
+    )
+    out = textops.redact_pii(d)
+    return out.select(
+        "doc_id", "n_emails", "n_phones", F.md5("redacted").alias("redacted_fp")
+    )
+
+
+_SQL_REDACT_PII = f"""
+WITH d AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id || '@example.com or +84 9'
+         || doc_id || '1234567' AS text
+  FROM documents
+),
+e AS (
+  SELECT doc_id, text,
+    len(regexp_extract_all(text, '{textops.EMAIL_PATTERN}')) AS n_emails,
+    regexp_replace(text, '{textops.EMAIL_PATTERN}', '[EMAIL]', 'g') AS no_email
+  FROM d
+)
+SELECT doc_id, n_emails,
+  len(regexp_extract_all(no_email, '{textops.PHONE_PATTERN}')) AS n_phones,
+  md5(regexp_replace(no_email, '{textops.PHONE_PATTERN}', '[PHONE]', 'g'))
+    AS redacted_fp
+FROM e
+"""
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.top_terms(_docs(spark, sf_dir), k=20)
+
+
+_SQL_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS token FROM documents
+)
+SELECT token, count(*) AS n FROM toks
+WHERE token NOT IN ({{stop}})
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+""".format(stop=", ".join(f"'{w}'" for w in STOPWORDS))
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_long(
+        textops.tfidf_top_terms(_docs(spark, sf_dir), k=3), "rank"
+    )
+
+
+_SQL_TFIDF_TERMS = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY doc_id, token),
+nt AS (SELECT doc_id, sum(c) AS n_tokens FROM tf GROUP BY doc_id),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+tot AS (SELECT count(*) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.token,
+    round((c / nt.n_tokens::double) * ln(tot.n_docs / dfq.df::double), 6)
+      AS tfidf
+  FROM tf JOIN nt USING (doc_id) JOIN dfq USING (token) CROSS JOIN tot
+),
+r AS (
+  SELECT doc_id, token, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token)
+      AS rank
+  FROM s
+)
+SELECT doc_id, token, tfidf, rank::bigint AS rank FROM r WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass a training-data pipeline actually runs:
+    quality threshold -> language allowlist -> exact-dedup representatives ->
+    deterministic downsample. Exercises operator COMPOSITION (quality_scores
+    ⨝ docs, exact_dups semi-join, md5-bucket sample) end to end."""
+    from ..operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    q = textops.quality_scores(docs).select("doc_id", "quality_score")
+    kept = (
+        docs.join(q, "doc_id")
+        .where((F.col("quality_score") >= 0.45) & F.col("lang").isin("en", "zh"))
+    )
+    reps = dedup.exact_dups(kept).select(
+        F.col("representative").alias("doc_id")
+    )
+    kept = kept.join(reps, "doc_id", "semi")
+    sampled = sampling.deterministic_sample(kept, 0.5, key_col="doc_id")
+    return sampled.select("doc_id", "lang", "quality_score")
+
+
+_SQL_CURATION_FUNNEL = f"""
+WITH q AS ({_SQL_QUALITY}),
+k AS (
+  SELECT d.doc_id, d.lang, d.text, q.quality_score
+  FROM documents d JOIN q USING (doc_id)
+  WHERE q.quality_score >= 0.45::double AND d.lang IN ('en', 'zh')
+),
+reps AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY sha256(text))
+SELECT k.doc_id, k.lang, k.quality_score
+FROM k JOIN reps USING (doc_id)
+WHERE ('0x' || substr(md5(k.doc_id::varchar), 1, 7))::bigint % 10000 < 5000
+"""
+
+
+def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/urls.py) over deterministically
+    dirtied urls: mixed case, default port, tracking params, fragments,
+    trailing slashes — one codegen'd expression, no shuffle."""
+    from ..operators import urls
+
+    d = _docs(spark, sf_dir)
+    messy = F.concat(
+        F.lit("HTTP://"),
+        F.upper(F.col("source")),
+        F.lit(".Example.COM:80/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/?utm_source=x&b=2&a=1#frag"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+        .otherwise(F.lit("?a=1&utm_campaign=y")),
+    )
+    return urls.canonicalize_urls(d.select(messy.alias("url")))
+
+
+_SQL_CANONICAL_URLS = r"""
+WITH m AS (
+  SELECT 'HTTP://' || upper(source) || '.Example.COM:80/' || lang || '/'
+    || doc_id
+    || CASE doc_id % 3 WHEN 0 THEN '/?utm_source=x&b=2&a=1#frag'
+                       WHEN 1 THEN '/' ELSE '?a=1&utm_campaign=y' END AS url
+  FROM documents
+),
+p0 AS (SELECT url, regexp_replace(url, '#.*$', '') AS nf FROM m),
+p AS (
+  SELECT url,
+    lower(coalesce(regexp_extract(nf,
+      '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1), '')) AS scheme,
+    lower(coalesce(regexp_extract(nf,
+      '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)', 1), '')) AS auth,
+    coalesce(regexp_extract(nf,
+      '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)', 1), '') AS raw_path,
+    coalesce(regexp_extract(nf, '\?([^#]*)', 1), '') AS raw_q
+  FROM p0
+),
+n AS (
+  SELECT url, scheme,
+    CASE WHEN scheme = 'http' AND auth LIKE '%:80'
+           THEN substr(auth, 1, length(auth) - 3)
+         WHEN scheme = 'https' AND auth LIKE '%:443'
+           THEN substr(auth, 1, length(auth) - 4)
+         ELSE auth END AS host,
+    CASE WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(raw_path, '/+$', '') END AS path,
+    coalesce(array_to_string(list_sort(list_filter(string_split(raw_q, '&'),
+      q -> length(q) > 0
+           AND NOT regexp_matches(q, '^(utm_[^=]*|fbclid|gclid|ref)='))),
+      '&'), '') AS q
+  FROM p
+),
+r AS (
+  SELECT url, host,
+    CASE WHEN scheme = '' THEN url
+         ELSE scheme || '://' || host || path
+              || CASE WHEN q = '' THEN '' ELSE '?' || q END
+    END AS canonical_url
+  FROM n
+)
+SELECT url, canonical_url, host,
+  (canonical_url <> url)::int AS changed
+FROM r
+"""
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing rebalance (sampling.mixture_weights): per-source keep
+    rates toward a target mixture, content-addressed keep decisions."""
+    from ..operators import sampling
+
+    targets = {"src0": 0.2, "src1": 0.04, "src2": 0.01, "src3": 0.05}
+    out = sampling.mixture_weights(
+        _docs(spark, sf_dir), targets, key_col="doc_id", group_col="source"
+    )
+    return out.select("doc_id", "source", "keep_threshold", "keep")
+
+
+_SQL_MIXTURE_WEIGHTS = """
+WITH c AS (SELECT source, count(*) AS cg FROM documents GROUP BY source),
+tt AS (SELECT count(*) AS total FROM documents),
+j AS (
+  SELECT d.doc_id, d.source, c.cg, tt.total
+  FROM documents d JOIN c USING (source) CROSS JOIN tt
+),
+thr AS (
+  SELECT doc_id, source,
+    CASE source
+      WHEN 'src0' THEN floor(least(1.0::double, 0.2::double * total / cg::double) * 10000)::bigint
+      WHEN 'src1' THEN floor(least(1.0::double, 0.04::double * total / cg::double) * 10000)::bigint
+      WHEN 'src2' THEN floor(least(1.0::double, 0.01::double * total / cg::double) * 10000)::bigint
+      WHEN 'src3' THEN floor(least(1.0::double, 0.05::double * total / cg::double) * 10000)::bigint
+      ELSE 0::bigint END AS keep_threshold
+  FROM j
+)
+SELECT doc_id, source, keep_threshold,
+  (('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 10000
+   < keep_threshold)::int AS keep
+FROM thr
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprints(_docs(spark, sf_dir))
+
+
+_SQL_FINGERPRINTS = """
+SELECT doc_id, sha256(text) AS exact_fp,
+  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_fp
+FROM documents
+"""
+
+

@@ -1,0 +1,985 @@
+"""Registry segment: TPC-H shapes, HTML extraction, packing, media decode (split from queries.py, bodies unchanged)."""
+
+from __future__ import annotations
+
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..merge import merge_documents
+from ..operators import dedup, multimodal, relational, similarity, textops
+from ..operators.textops import LANG_MARKERS, STOPWORDS, WORD_PATTERN
+from ..sources.pages import (
+    synthesize_pages_df,
+    synthesize_table_pages_df,
+    synthesize_vn_pages_df,
+    synthesize_vn_split_pages_df,
+)
+from ..stages import run_extraction
+
+from .common import (
+    _TOKS,
+    _docs,
+    _neardup_docs,
+    _tbl,
+)
+from .dedup_olap import (
+    _SQL_DEDUP_CLUSTERS,
+)
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (relational.regional_revenue): the full snowflake —
+    reads region and supplier, the last two untouched driver tables."""
+    return relational.regional_revenue(
+        _tbl(spark, sf_dir, "region"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "supplier"),
+    )
+
+
+_SQL_REGIONAL_REVENUE = """
+WITH dim AS (
+  SELECT n_nationkey, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+rev AS (
+  SELECT r_name, sum(o_totalprice::decimal(18,2))::double AS revenue,
+    count(*)::bigint AS n_orders
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN dim ON c_nationkey = n_nationkey
+  GROUP BY 1
+),
+supp AS (
+  SELECT r_name, count(*)::bigint AS n_suppliers
+  FROM supplier JOIN dim ON s_nationkey = n_nationkey GROUP BY 1
+)
+SELECT rev.r_name, rev.revenue, rev.n_orders,
+  coalesce(supp.n_suppliers, 0)::bigint AS n_suppliers
+FROM rev LEFT JOIN supp USING (r_name)
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (relational.top_supplier_revenue): argmax WITH ties
+    by exact decimal equality."""
+    return relational.top_supplier_revenue(_tbl(spark, sf_dir, "lineitem"))
+
+
+_SQL_TOP_SUPPLIER = """
+WITH ps AS (
+  SELECT l_suppkey,
+    sum((l_extendedprice::decimal(18,2)
+         * (1::decimal(18,2) - l_discount::decimal(18,2)))::decimal(18,4))
+      AS r
+  FROM lineitem GROUP BY 1
+)
+SELECT l_suppkey, r::double AS revenue
+FROM ps WHERE r = (SELECT max(r) FROM ps)
+"""
+
+
+def q_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (relational.customer_order_distribution)."""
+    return relational.customer_order_distribution(
+        _tbl(spark, sf_dir, "customer"), _tbl(spark, sf_dir, "orders")
+    )
+
+
+_SQL_ORDER_DISTRIBUTION = """
+WITH pc AS (
+  SELECT c_custkey, count(o_custkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1
+)
+SELECT n_orders::bigint AS n_orders, count(*)::bigint AS n_customers
+FROM pc GROUP BY 1
+"""
+
+
+def q_brand_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (relational.brand_supplier_counts)."""
+    return relational.brand_supplier_counts(
+        _tbl(spark, sf_dir, "part"), _tbl(spark, sf_dir, "lineitem")
+    )
+
+
+_SQL_BRAND_SUPPLIERS = """
+SELECT p_brand, count(DISTINCT l_suppkey)::bigint AS n_suppliers,
+  count(*)::bigint AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (relational.small_quantity_revenue): all-decimal
+    threshold, no float boundary."""
+    return relational.small_quantity_revenue(_tbl(spark, sf_dir, "lineitem"))
+
+
+_SQL_SMALL_QTY_REVENUE = """
+WITH stats AS (
+  SELECT l_partkey, sum(l_quantity::decimal(18,2)) AS sum_qty,
+    count(*) AS cnt
+  FROM lineitem GROUP BY 1
+),
+below AS (
+  SELECT l.l_extendedprice
+  FROM lineitem l JOIN stats s USING (l_partkey)
+  WHERE l.l_quantity::decimal(18,2) * 5 * s.cnt < s.sum_qty
+)
+SELECT (sum(l_extendedprice::decimal(18,2))::double / 7.0) AS avg_yearly,
+  count(*)::bigint AS n_lines
+FROM below
+"""
+
+
+def q_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (relational.late_shipment_priority_counts):
+    EXISTS -> LEFT SEMI rewrite."""
+    return relational.late_shipment_priority_counts(
+        _tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "lineitem")
+    )
+
+
+_SQL_LATE_PRIORITY = """
+SELECT o_orderpriority, count(*)::bigint AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY 1
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (relational.shipping_priority)."""
+    return relational.shipping_priority(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+_SQL_SHIPPING_PRIORITY = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  sum((l_extendedprice::decimal(18,2)
+       * (1::decimal(18,2) - l_discount::decimal(18,2)))::decimal(18,4)
+  )::double AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (relational.large_volume_customers)."""
+    return relational.large_volume_customers(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+_SQL_LARGE_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity::decimal(18,2)) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(l_quantity::decimal(18,2)) > 250
+)
+SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+  total_qty::double AS total_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (relational.funnel_counts): signup -> view ->
+    purchase, each step strictly after the previous step's first
+    qualifying event."""
+    return relational.funnel_counts(
+        _tbl(spark, sf_dir, "events"), ["signup", "view", "purchase"]
+    )
+
+
+_SQL_EVENT_FUNNEL = """
+WITH e AS (
+  SELECT user_id AS u, event_type AS t, ts
+  FROM events WHERE event_type IN ('signup', 'view', 'purchase')
+),
+r0 AS (SELECT u, min(ts) AS t0 FROM e WHERE t = 'signup' GROUP BY u),
+r1 AS (
+  SELECT e.u, min(e.ts) AS t1 FROM e JOIN r0 ON e.u = r0.u
+  WHERE e.t = 'view' AND e.ts > r0.t0 GROUP BY e.u
+),
+r2 AS (
+  SELECT e.u, min(e.ts) AS t2 FROM e JOIN r1 ON e.u = r1.u
+  WHERE e.t = 'purchase' AND e.ts > r1.t1 GROUP BY e.u
+)
+SELECT 0 AS step_idx, 'signup' AS step,
+  (SELECT count(*) FROM r0)::bigint AS n_users
+UNION ALL SELECT 1, 'view', (SELECT count(*) FROM r1)::bigint
+UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM r2)::bigint
+"""
+
+
+def q_link_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<link rel> discovery (urls.link_relations): every doc declares a
+    canonical; every (doc_id div 20) % 2 == 0 doc paginates (next), every
+    3rd declares an RSS alternate; a relless <link> must drop."""
+    from ..operators import urls as urlops
+
+    d = _docs(spark, sf_dir)
+    nxt = F.when(
+        F.expr("(doc_id div 20) % 2") == 0,
+        F.concat(
+            F.lit('<link rel="NEXT" href="/p/'),
+            (F.col("doc_id") + 1).cast("string"),
+            F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    rss = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit('<link rel="alternate" type="application/rss+xml" href="/feed.xml">'),
+    ).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(
+            F.lit('<html><head><link rel="canonical" href="https://c.org/'),
+            F.col("doc_id").cast("string"),
+            F.lit('">'),
+            nxt,
+            rss,
+            F.lit('<link charset="x"></head><body>ok</body></html>'),
+        ),
+        "UTF-8",
+    )
+    pages = d.select(
+        F.concat(F.lit("https://l.example.org/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        html.alias("html"),
+    )
+    return urlops.link_relations(pages)
+
+
+_SQL_LINK_RELATIONS = """
+WITH d AS (
+  SELECT doc_id, 'https://l.example.org/' || doc_id AS url,
+    (doc_id // 20) % 2 = 0 AS hasnext, doc_id % 3 = 0 AS hasrss
+  FROM documents
+)
+SELECT url, 0::bigint AS pos, 'canonical' AS rel,
+  'https://c.org/' || doc_id AS href FROM d
+UNION ALL
+SELECT url, 1::bigint, 'next', '/p/' || (doc_id + 1) FROM d WHERE hasnext
+UNION ALL
+SELECT url, (CASE WHEN hasnext THEN 2 ELSE 1 END)::bigint, 'alternate',
+  '/feed.xml' FROM d WHERE hasrss
+"""
+
+
+def q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """meta-robots compliance (urls.meta_robots): noindex for every 4th
+    row-counter doc, 'none' (both) for every 9th doc, plus a decoy
+    'nonoindexing' token that must NOT match."""
+    from ..operators import urls as urlops
+
+    d = _docs(spark, sf_dir)
+    content = (
+        F.when(F.col("doc_id") % 9 == 0, F.lit("none"))
+        .when(F.expr("(doc_id div 20) % 4") == 0, F.lit("noindex, follow"))
+        .otherwise(F.lit("nonoindexing,index"))
+    )
+    html = F.encode(
+        F.concat(
+            F.lit('<html><head><meta name="robots" content="'),
+            content,
+            F.lit('"></head><body>x</body></html>'),
+        ),
+        "UTF-8",
+    )
+    pages = d.select(
+        F.concat(F.lit("https://m.example.org/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        html.alias("html"),
+    )
+    return urlops.meta_robots(pages)
+
+
+_SQL_META_ROBOTS = """
+SELECT 'https://m.example.org/' || doc_id AS url,
+  (doc_id % 9 = 0 OR (doc_id % 9 != 0 AND (doc_id // 20) % 4 = 0))::int
+    AS noindex,
+  (doc_id % 9 = 0)::int AS nofollow
+FROM documents
+"""
+
+
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction (urls.extract_html_tables): a header+data
+    table on every page, a second single-row table on every 7th doc;
+    uppercase TD and inner markup pinned."""
+    from ..operators import urls as urlops
+
+    d = _docs(spark, sf_dir)
+    t2 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.lit("<table><tr><TD>x  1</TD><td><i>y</i></td></tr></table>"),
+    ).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><body><table class=\"t\">"),
+            F.lit("<tr><th>Name</th><th>Lang</th></tr>"),
+            F.lit("<tr><td>doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</td><td>"),
+            F.col("lang"),
+            F.lit("</td></tr></table>"),
+            t2,
+            F.lit("</body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = d.select(
+        F.concat(F.lit("https://t.example.org/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        html.alias("html"),
+    )
+    return urlops.extract_html_tables(pages)
+
+
+_SQL_HTML_TABLES = """
+WITH d AS (
+  SELECT doc_id, lang, 'https://t.example.org/' || doc_id AS url,
+    doc_id % 7 = 0 AS has2
+  FROM documents
+)
+SELECT url, 0::bigint AS table_idx, 0::bigint AS row_idx, 1 AS is_header,
+  2::bigint AS n_cells, 'Name|Lang' AS cells FROM d
+UNION ALL
+SELECT url, 0::bigint, 1::bigint, 0, 2::bigint, 'doc ' || doc_id || '|' || lang
+FROM d
+UNION ALL
+SELECT url, 1::bigint, 0::bigint, 0, 2::bigint, 'x 1|y' FROM d WHERE has2
+"""
+
+
+def q_extract_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading outline (urls.extract_headings) over heading-decorated
+    pages: uppercase tags, inner markup and doubled whitespace all pinned."""
+    from ..operators import urls as urlops
+
+    d = _docs(spark, sf_dir)
+    h2 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit('<h2 class="x">Section  '), F.col("lang"), F.lit("</h2><p>tail</p>")
+        ),
+    ).otherwise(F.lit(""))
+    h3 = F.when(
+        F.col("doc_id") % 5 == 0, F.lit("<H3><b>Sub</b> part</H3>")
+    ).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><body><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.substring("text", 1, 40),
+            F.lit("</p>"),
+            h2,
+            h3,
+            F.lit("</body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = d.select(
+        F.concat(F.lit("https://h.example.org/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        html.alias("html"),
+    )
+    return urlops.extract_headings(pages)
+
+
+_SQL_EXTRACT_HEADINGS = """
+WITH d AS (
+  SELECT doc_id, lang,
+    'https://h.example.org/' || doc_id AS url,
+    doc_id % 3 = 0 AS has2, doc_id % 5 = 0 AS has3
+  FROM documents
+)
+SELECT url, 0::bigint AS pos, 1 AS level, 'Doc ' || doc_id AS heading FROM d
+UNION ALL
+SELECT url, 1::bigint, 2, 'Section ' || lang FROM d WHERE has2
+UNION ALL
+SELECT url, (CASE WHEN has2 THEN 2 ELSE 1 END)::bigint, 3, 'Sub part'
+FROM d WHERE has3
+"""
+
+
+def q_url_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host path-depth histogram (urls.url_depth_stats) over urls with
+    (doc_id div 20)%4-graded nesting (varies within each host)."""
+    from ..operators import urls as urlops
+
+    d = _docs(spark, sf_dir)
+    # doc_id % 4 is CONSTANT per source (round-robin ids, 20 % 4 == 0);
+    # the row counter doc_id // 20 varies within every host
+    seg = F.expr("repeat('/sec', cast((doc_id div 20) % 4 as int))")
+    urls_df = d.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org"),
+            seg,
+            F.lit("/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return urlops.url_depth_stats(urls_df)
+
+
+_SQL_URL_DEPTHS = """
+WITH u AS (
+  SELECT source || '.example.org' AS host,
+    ((doc_id // 20) % 4 + 1)::bigint AS depth
+  FROM documents
+)
+SELECT host, depth, count(*)::bigint AS n_pages
+FROM u GROUP BY 1, 2
+"""
+
+
+def q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware representative election (dedup.cluster_reps_by_score):
+    same near-dup clusters as dedup_clusters, but the keep-decision goes to
+    the LONGEST member (ties -> larger id) instead of the min id — the
+    perturbed +100000 copies are longer, so they win their clusters."""
+    d = _neardup_docs(spark, sf_dir)
+    clusters = dedup.dedup_clusters(d).select("doc_id", "cluster_id")
+    scores = d.select(
+        "doc_id", F.length("text").cast("long").alias("score")
+    )
+    return dedup.cluster_reps_by_score(clusters, scores)
+
+
+# same CC walk as _SQL_DEDUP_CLUSTERS, then best-by-(score, id) election
+_SQL_CLUSTER_REPS = _SQL_DEDUP_CLUSTERS.replace(
+    """SELECT doc_id, cluster_id,
+  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+  (doc_id = cluster_id)::int AS is_representative
+FROM cc""",
+    """, sc AS (SELECT doc_id, length(text)::bigint AS score FROM src),
+j AS (SELECT cc.doc_id, cc.cluster_id, sc.score FROM cc JOIN sc USING (doc_id)),
+best AS (
+  SELECT cluster_id, max(struct_pack(s := score, i := doc_id)) AS b
+  FROM j GROUP BY 1
+)
+SELECT j.doc_id, j.cluster_id, j.score,
+  (j.doc_id = (best.b).i)::int AS is_representative
+FROM j JOIN best USING (cluster_id)""",
+)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate line removal (textops.line_dedup): lines
+    repeating across > max_df distinct documents are dropped, text reassembled."""
+    return textops.line_dedup(_docs(spark, sf_dir))
+
+
+_SQL_LINE_DEDUP = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) > 0 THEN
+      list_transform(generate_series(0, ((len(toks) + 9) // 10) - 1),
+        i -> array_to_string(toks[i*10+1 : i*10+10], ' '))
+    ELSE []::varchar[] END AS lines
+  FROM t
+),
+b AS (SELECT doc_id, lines, len(lines) AS n_lines FROM c),
+l AS (
+  SELECT doc_id, unnest(lines) AS line, unnest(range(len(lines))) AS pos
+  FROM b
+),
+dfreq AS (SELECT md5(line) AS h, count(DISTINCT doc_id) AS line_df
+          FROM l GROUP BY 1),
+kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, ' ' ORDER BY pos) AS kept_text
+  FROM l JOIN dfreq ON md5(l.line) = dfreq.h
+  WHERE line_df <= 5
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_lines::bigint AS n_lines,
+       coalesce(k.n_kept, 0)::bigint AS n_kept, k.kept_text
+FROM b LEFT JOIN kept k USING (doc_id)
+"""
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest exact dedup (dedup.incremental_dedup): an arriving
+    batch (tail of the corpus + exact copies of the head) is admitted only
+    where its content hash is new; intra-batch dups collapse first."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.where(F.col("doc_id") < 400)
+    arriving = d.where(F.col("doc_id") >= 400).unionByName(
+        d.where(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + 200000
+        )
+    )
+    return dedup.incremental_dedup(corpus, arriving)
+
+
+_SQL_INCREMENTAL_DEDUP = """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+arriving AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id < 50
+),
+arr AS (SELECT doc_id, sha256(text) AS content_hash FROM arriving),
+reps AS (SELECT min(doc_id) AS doc_id, content_hash FROM arr
+         GROUP BY content_hash),
+seen AS (SELECT DISTINCT sha256(text) AS content_hash FROM corpus)
+SELECT doc_id, content_hash FROM reps r
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.content_hash = r.content_hash)
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (textops.chunk_documents): 50-token
+    windows advancing by 40 — shuffle-free posexplode fan-out."""
+    return textops.chunk_documents(_docs(spark, sf_dir))
+
+
+_SQL_CHUNK_DOCS = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) > 0 THEN
+      list_transform(
+        generate_series(0, ((greatest(len(toks) - 50, 0) + 39) // 40)::int),
+        i -> toks[i*40+1 : i*40+50])
+    ELSE []::varchar[][] END AS chunks
+  FROM t
+),
+l AS (
+  SELECT doc_id, unnest(range(len(chunks))) AS chunk_id, unnest(chunks) AS c
+  FROM c
+)
+SELECT doc_id, chunk_id::bigint AS chunk_id, len(c)::bigint AS n_tokens,
+       array_to_string(c, ' ') AS chunk_text
+FROM l
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing metadata (textops.pack_sequences):
+    global token offsets in doc_id order via bucketed two-phase cumsum; the
+    oracle states the plain single-window formulation."""
+    return textops.pack_sequences(_docs(spark, sf_dir))
+
+
+_SQL_PACK_SEQUENCES = f"""
+WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+nz AS (SELECT doc_id, n_tokens FROM t WHERE n_tokens > 0),
+s AS (
+  SELECT doc_id, n_tokens::bigint AS n_tokens,
+    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+      AS start_offset
+  FROM nz
+)
+SELECT doc_id, n_tokens, start_offset,
+  (start_offset // 64)::bigint AS first_seq,
+  ((start_offset + n_tokens - 1) // 64)::bigint AS last_seq
+FROM s
+"""
+
+
+def q_pack_sequence_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed sequences (textops.packed_sequence_rows): the
+    loader-ready seq_id -> text rows cut from the concatenated token stream."""
+    return textops.packed_sequence_rows(_docs(spark, sf_dir))
+
+
+_SQL_PACK_SEQUENCE_ROWS = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+s AS (
+  SELECT doc_id,
+    coalesce(sum(n) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+      AS start_offset
+  FROM nz
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS pos
+  FROM nz
+),
+j AS (
+  SELECT s.start_offset + tok.pos AS gidx, tok.tok
+  FROM tok JOIN s USING (doc_id)
+)
+SELECT (gidx // 64)::bigint AS seq_id, count(*) AS n_tokens,
+       string_agg(tok, ' ' ORDER BY gidx) AS seq_text
+FROM j GROUP BY 1
+"""
+
+
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode roundtrip: synthesize a gradient grayscale PNG per
+    document (pure-stdlib encoder), decode it with the pure-stdlib decoder
+    (multimodal.image_decode), and emit recovered dims + pixel sum. The
+    oracle computes the same quantities from the synthesis closed form —
+    so the decoder must actually recover the encoded pixels to pass."""
+    import pandas as _pd
+
+    from ..codecs import encode_png
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = int(doc_id) % 16 + 1
+                h = int(doc_id) % 8 + 1
+                px = bytes(
+                    (int(doc_id) + x + y) % 256 for y in range(h) for x in range(w)
+                )
+                payloads.append(encode_png(w, h, px, color_type=0))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pages = _docs(spark, sf_dir).select("doc_id")
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.image_decode(payloads)
+
+
+_SQL_IMAGE_DECODE = """
+SELECT doc_id,
+  (doc_id % 16 + 1)::int AS width,
+  (doc_id % 8 + 1)::int AS height,
+  'L' AS mode,
+  list_sum(flatten(list_transform(range((doc_id % 8 + 1)::int), y ->
+    list_transform(range((doc_id % 16 + 1)::int), x ->
+      (doc_id + x + y) % 256))))::bigint AS px_sum,
+  NULL::varchar AS error
+FROM documents
+"""
+
+
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode roundtrip (jpeg.py via multimodal.
+    image_decode): synthesize a block-constant grayscale JPEG per document
+    (quant=1 — constant 8x8 blocks survive the lossy codec EXACTLY, see
+    jpeg.py module docstring), decode through the full Huffman+IDCT path,
+    emit recovered dims + pixel sum. The oracle states the synthesis
+    closed form, so the decoder must actually recover the encoded pixels."""
+    import pandas as _pd
+
+    from ..jpeg import encode_jpeg_baseline
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = d % 10 + 3
+                h = d % 6 + 3
+                px = bytes(
+                    (d + 37 * (x // 8) + 59 * (y // 8)) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(encode_jpeg_baseline(w, h, px))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pages = _docs(spark, sf_dir).select("doc_id")
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.image_decode(payloads)
+
+
+_SQL_JPEG_DECODE = """
+SELECT doc_id,
+  (doc_id % 10 + 3)::int AS width,
+  (doc_id % 6 + 3)::int AS height,
+  'L' AS mode,
+  list_sum(flatten(list_transform(range((doc_id % 6 + 3)::int), y ->
+    list_transform(range((doc_id % 10 + 3)::int), x ->
+      (doc_id + 37 * (x // 8) + 59 * (y // 8)) % 256))))::bigint AS px_sum,
+  NULL::varchar AS error
+FROM documents
+"""
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + nearest-neighbor resize to 8x8 (multimodal.image_resize) on
+    the same gradient-PNG corpus as image_decode. Oracle: output pixel
+    (x,y) samples source (x*w//8, y*h//8) of the closed-form gradient."""
+    import pandas as _pd
+
+    from ..codecs import encode_png
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = int(doc_id) % 16 + 1
+                h = int(doc_id) % 8 + 1
+                px = bytes(
+                    (int(doc_id) + x + y) % 256 for y in range(h) for x in range(w)
+                )
+                payloads.append(encode_png(w, h, px, color_type=0))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pages = _docs(spark, sf_dir).select("doc_id")
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.image_resize(payloads, 8, 8)
+
+
+_SQL_IMAGE_RESIZE = """
+SELECT doc_id,
+  8::int AS width,
+  8::int AS height,
+  'L' AS mode,
+  list_sum(flatten(list_transform(range(8), y ->
+    list_transform(range(8), x ->
+      (doc_id
+       + (x * (doc_id % 16 + 1)) // 8
+       + (y * (doc_id % 8 + 1)) // 8) % 256))))::bigint AS px_sum,
+  NULL::varchar AS error
+FROM documents
+"""
+
+
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode roundtrip (codecs.decode_gif via multimodal.
+    image_decode): synthesize one palettized GIF per document (indices and
+    palette both closed-form in doc_id), decode through the LZW + palette
+    path, emit dims + RGB pixel sum. The oracle restates the synthesis:
+    pixel (x,y) has index v=(doc_id+x+3y)%256 and palette color
+    (v, (v*3)%256, 255-v)."""
+    import pandas as _pd
+
+    from ..codecs import encode_gif
+
+    _PALETTE = bytes(b for i in range(256) for b in (i, (i * 3) % 256, 255 - i))
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = d % 7 + 2
+                h = d % 5 + 2
+                idx = bytes(
+                    (d + x + 3 * y) % 256 for y in range(h) for x in range(w)
+                )
+                payloads.append(encode_gif(w, h, idx, _PALETTE))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pages = _docs(spark, sf_dir).select("doc_id")
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.image_decode(payloads)
+
+
+_SQL_GIF_DECODE = """
+SELECT doc_id,
+  (doc_id % 7 + 2)::int AS width,
+  (doc_id % 5 + 2)::int AS height,
+  'RGB' AS mode,
+  list_sum(flatten(list_transform(range((doc_id % 5 + 2)::int), y ->
+    list_transform(range((doc_id % 7 + 2)::int), x ->
+      ((doc_id + x + 3*y) % 256)
+      + (((doc_id + x + 3*y) % 256) * 3) % 256
+      + 255 - ((doc_id + x + 3*y) % 256)))))::bigint AS px_sum,
+  NULL::varchar AS error
+FROM documents
+"""
+
+
+def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode roundtrip (codecs.decode_tiff via multimodal.
+    image_decode — round 4, the reference whitelist's last image format:
+    /root/reference/app/utils/validation.py:10): synthesize one baseline
+    TIFF per document with mode (gray/RGB), compression (none/PackBits),
+    byte order (II/MM) and strip layout all varying by doc_id so every
+    decoder path is exercised across the corpus, decode, emit dims +
+    pixel sum. The oracle restates the synthesis closed form: pixel
+    (x,y,c) = (doc_id + 13x + 29y + 7c) % 256."""
+    import pandas as _pd
+
+    from ..codecs import encode_tiff
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = d % 12 + 2
+                h = d % 5 + 2
+                ch = 3 if d % 2 == 1 else 1
+                px = bytes(
+                    (d + 13 * x + 29 * y + 7 * c) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(ch)
+                )
+                payloads.append(
+                    encode_tiff(
+                        w,
+                        h,
+                        px,
+                        "RGB" if ch == 3 else "L",
+                        packbits=d % 3 == 0,
+                        big_endian=d % 5 == 0,
+                        rows_per_strip=2 if d % 7 == 0 else None,
+                    )
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pages = _docs(spark, sf_dir).select("doc_id")
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.image_decode(payloads)
+
+
+_SQL_TIFF_DECODE = """
+SELECT doc_id,
+  (doc_id % 12 + 2)::int AS width,
+  (doc_id % 5 + 2)::int AS height,
+  CASE WHEN doc_id % 2 = 1 THEN 'RGB' ELSE 'L' END AS mode,
+  list_sum(flatten(list_transform(range((doc_id % 5 + 2)::int), y ->
+    flatten(list_transform(range((doc_id % 12 + 2)::int), x ->
+      list_transform(range(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END), c ->
+        (doc_id + 13*x + 29*y + 7*c) % 256))))))::bigint AS px_sum,
+  NULL::varchar AS error
+FROM documents
+"""
+
+
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM WAV decode roundtrip (multimodal.audio_decode): synthesize a
+    deterministic mono 16-bit clip per document with the stdlib writer,
+    decode it, emit header fields + the exact sample sum; the oracle states
+    the synthesis closed form."""
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    import pandas as _pd
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 32 + 4
+                samples = [((d * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+                buf = _io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(_struct.pack(f"<{n}h", *samples))
+                payloads.append(buf.getvalue())
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    base = _docs(spark, sf_dir).select("doc_id")
+    payloads = base.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.audio_decode(payloads)
+
+
+_SQL_AUDIO_DECODE = """
+SELECT doc_id,
+  1::int AS channels,
+  8000::int AS sample_rate,
+  (doc_id % 32 + 4)::bigint AS n_frames,
+  list_sum(list_transform(range((doc_id % 32 + 4)::int),
+    i -> (doc_id * 31 + i * 17) % 65536 - 32768))::bigint AS sample_sum,
+  NULL::varchar AS error
+FROM documents
+"""
+
+
