@@ -7,8 +7,10 @@ zlib + struct + wave, so the decode step is REAL for those formats; round 3
 added a real baseline JPEG decoder too (jpeg.py — Huffman + IDCT,
 grayscale/YCbCr, 4:2:0, restart markers) and a GIF decoder (LZW +
 interlace + palette below); round 4 added baseline TIFF (the reference
-whitelist's last unhandled image format), so the stub now covers only
-genuinely-library-bound codecs (WebP/video).
+whitelist's last unhandled image format) and lossless WebP (vp8l.py —
+canonical prefix codes, LZ77, color cache, all four inverse transforms),
+so the stub now covers only genuinely-library-bound codecs (lossy-VP8
+WebP and video).
 
 Scope: non-interlaced 8-bit-depth PNG in grayscale (color type 0), RGB (2)
 and RGBA (6) with all five scanline filters; uncompressed 24-bit BMP;
@@ -229,9 +231,14 @@ def decode_image(payload: bytes) -> dict:
         return decode_gif(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .vp8l import decode_webp
+
+        return decode_webp(payload)
     raise NotImplementedError(
-        "only PNG, BMP, baseline JPEG, GIF and TIFF decode without an "
-        "external codec library (WebP/video need PIL/cv2/ffmpeg)"
+        "only PNG, BMP, baseline JPEG, GIF, TIFF and lossless WebP (VP8L) "
+        "decode without an external codec library (lossy-VP8 WebP and "
+        "video need PIL/cv2/ffmpeg)"
     )
 
 

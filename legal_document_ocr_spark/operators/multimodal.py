@@ -55,8 +55,10 @@ def decode_image(payload: bytes) -> dict:
     (codecs.decode_gif: LZW + interlace + palette) and TIFF
     (codecs.decode_tiff: uncompressed/PackBits strips, both byte orders —
     round 4, closing the reference whitelist's last image format:
-    /root/reference/app/utils/validation.py:10). Formats that genuinely
-    need an external library (WebP, video) still raise
+    /root/reference/app/utils/validation.py:10) and lossless WebP
+    (vp8l.py: canonical prefix codes, LZ77 + color cache, all four
+    inverse transforms — also round 4). Formats that genuinely need an
+    external library (lossy-VP8 WebP, video) still raise
     NotImplementedError — the stub now covers only those.
     """
     from ..codecs import decode_image as _decode

@@ -927,6 +927,84 @@ FROM documents
 """
 
 
+def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP (VP8L) decode roundtrip (vp8l.py via
+    multimodal.image_decode — round 4, retiring the WebP half of the last
+    codec stub): synthesize one RGBA VP8L file per document with the
+    pure-stdlib encoder, varying SUBTRACT_GREEN, color-cache and LZ77 use
+    by doc_id so the Huffman/copy/cache decode paths are all exercised
+    across the corpus; decode through the full canonical-prefix-code
+    path; emit dims + RGBA pixel sum. The oracle restates the synthesis
+    closed form — pixel (x,y) = (r,g,b,a) = ((d+11x+23y)%256,
+    (3d+7x+5y)%256, (7d+2x+13y)%256, (200+d+x+y)%256)."""
+    import pandas as _pd
+
+    from ..vp8l import encode_webp_lossless
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = d % 9 + 2
+                h = d % 5 + 2
+                px = bytes(
+                    v
+                    for y in range(h)
+                    for x in range(w)
+                    for v in (
+                        (d + 11 * x + 23 * y) % 256,
+                        (3 * d + 7 * x + 5 * y) % 256,
+                        (7 * d + 2 * x + 13 * y) % 256,
+                        (200 + d + x + y) % 256,
+                    )
+                )
+                payloads.append(
+                    encode_webp_lossless(
+                        w,
+                        h,
+                        px,
+                        "RGBA",
+                        subtract_green=d % 2 == 0,
+                        cache_bits=4 if d % 3 == 0 else 0,
+                        use_lz77=d % 5 == 0,
+                    )
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pages = _docs(spark, sf_dir).select("doc_id")
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.image_decode(payloads)
+
+
+_SQL_WEBP_DECODE = """
+SELECT doc_id,
+  (doc_id % 9 + 2)::int AS width,
+  (doc_id % 5 + 2)::int AS height,
+  'RGBA' AS mode,
+  list_sum(flatten(list_transform(range((doc_id % 5 + 2)::int), y ->
+    list_transform(range((doc_id % 9 + 2)::int), x ->
+      (doc_id + 11*x + 23*y) % 256
+      + (3*doc_id + 7*x + 5*y) % 256
+      + (7*doc_id + 2*x + 13*y) % 256
+      + (200 + doc_id + x + y) % 256))))::bigint AS px_sum,
+  NULL::varchar AS error
+FROM documents
+"""
+
+
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM WAV decode roundtrip (multimodal.audio_decode): synthesize a
     deterministic mono 16-bit clip per document with the stdlib writer,

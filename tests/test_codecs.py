@@ -108,7 +108,16 @@ def test_dispatch_jpeg_is_real_and_garbage_jpeg_is_valueerror():
     raise NotImplementedError."""
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0jpegdata")
+    # lossless WebP decodes for real since round 4; a well-formed LOSSY
+    # (VP8) chunk is the declared library-bound descope
+    lossy = (
+        b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
+        + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4
+    )
     with pytest.raises(NotImplementedError):
+        decode_image(lossy)
+    # a bare fourcc with no chunk header is malformed, not "unsupported"
+    with pytest.raises(ValueError):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
