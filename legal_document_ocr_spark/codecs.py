@@ -14,7 +14,7 @@ WebP and video).
 
 Scope: non-interlaced 8-bit-depth PNG in grayscale (color type 0), RGB (2)
 and RGBA (6) with all five scanline filters; uncompressed 24-bit BMP;
-PCM WAV; baseline JPEG (jpeg.py); GIF87a/89a first frame; chunky 8-bit
+PCM WAV; baseline + progressive JPEG (jpeg.py); GIF87a/89a first frame; chunky 8-bit
 gray/RGB TIFF (uncompressed/PackBits strips, II and MM byte orders,
 WhiteIsZero inverted). Reference analogue: the reference leans on PIL inside
 image_preprocessing_service.py:57-122 — same contract, stdlib engine.

@@ -13,7 +13,11 @@ This module closes that with a REAL baseline (SOF0) decoder:
   YCbCr→RGB
 - hardening mirrors decode_png: truncated segments, missing tables and
   decompression-bomb dimensions raise ValueError before large allocation;
-  progressive (SOF2) / arithmetic / 12-bit raise NotImplementedError.
+  arithmetic coding / 12-bit / hierarchical raise NotImplementedError
+- progressive (SOF2) since round 4: multi-scan coefficient accumulation
+  with spectral selection AND successive approximation (DC/AC first +
+  refinement passes, EOB runs), then one dequant+IDCT pass at the end —
+  see _ProgressiveStore.
 
 The encoder exists for the roundtrip oracle: baseline, quantization all
 ones, standard Annex-K Huffman tables, grayscale or 4:4:4 YCbCr. With
@@ -381,8 +385,11 @@ def decode_jpeg(payload: bytes) -> dict:
     """Decode a baseline (SOF0) JPEG: {width, height, mode, pixels}.
 
     mode 'L' for 1 component, 'RGB' for 3 (JFIF YCbCr, box-upsampled
-    chroma). Raises ValueError on malformed/truncated input and
-    NotImplementedError for progressive/arithmetic/12-bit/4-component.
+    chroma). Baseline (SOF0/SOF1) decodes in one scan; progressive (SOF2)
+    accumulates coefficients across scans (spectral selection +
+    successive approximation) and finishes with one IDCT pass. Raises
+    ValueError on malformed/truncated input and NotImplementedError for
+    arithmetic/12-bit/4-component/hierarchical.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
@@ -392,6 +399,7 @@ def decode_jpeg(payload: bytes) -> dict:
     huff_ac = {}
     frame = None
     restart_interval = 0
+    prog_store = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -436,7 +444,7 @@ def decode_jpeg(payload: bytes) -> dict:
                 tbl = _build_decode_table(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 d += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             prec, h, w, nc = struct.unpack(">BHHB", data[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -457,10 +465,12 @@ def decode_jpeg(payload: bytes) -> dict:
                 )
                 if not (1 <= comps[-1]["h"] <= 2 and 1 <= comps[-1]["v"] <= 2):
                     raise NotImplementedError("sampling factors beyond 2 unsupported")
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+            frame = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
-            raise NotImplementedError("only baseline (SOF0) JPEG supported")
+            raise NotImplementedError(
+                "only baseline (SOF0) and progressive (SOF2) JPEG supported"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", data[:2])
         elif marker == 0xDA:  # SOS
@@ -476,9 +486,22 @@ def decode_jpeg(payload: bytes) -> dict:
                 if comp is None:
                     raise ValueError("JPEG scan references unknown component")
                 scan.append({"comp": comp, "td": tda >> 4, "ta": tda & 0xF})
-            return _decode_scan(
-                payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
+            if not frame.get("progressive"):
+                return _decode_scan(
+                    payload, pos, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            if len(data) < 1 + ns * 2 + 3:
+                raise ValueError("truncated JPEG SOS header")
+            ss, se, ahl = data[1 + ns * 2 : 4 + ns * 2]
+            if prog_store is None:
+                prog_store = _ProgressiveStore(frame)
+            pos = prog_store.decode_scan(
+                payload, pos, scan, huff_dc, huff_ac, restart_interval,
+                ss, se, ahl >> 4, ahl & 0xF,
             )
+    if prog_store is not None:
+        return prog_store.finish(qt)
     raise ValueError("JPEG has no scan data")
 
 
@@ -547,6 +570,13 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, ri):
                                 plane[row + x] = 0 if v < 0 else (
                                     255 if v > 255 else v
                                 )
+    return _assemble_image(w, h, comps, planes, mcux, hmax, vmax)
+
+
+def _assemble_image(w, h, comps, planes, mcux, hmax, vmax):
+    """Crop/upsample decoded component planes into the output image
+    (shared by the baseline single-scan path and the progressive
+    finalizer)."""
     if len(comps) == 1:
         c = comps[0]
         pw = mcux * c["h"] * 8
@@ -573,3 +603,335 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, ri):
             out[o + 1] = 0 if g < 0 else (255 if g > 255 else int(round(g)))
             out[o + 2] = 0 if b < 0 else (255 if b > 255 else int(round(b)))
     return {"width": w, "height": h, "mode": "RGB", "pixels": bytes(out)}
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decoding — round 4
+# ---------------------------------------------------------------------------
+
+
+class _ProgressiveStore:
+    """Coefficient accumulator for progressive JPEG: each scan deposits
+    DC/AC bits into per-block zigzag-order coefficient arrays; ``finish``
+    dequantizes and runs the shared IDCT/assembly path once. Implements
+    spectral selection and successive approximation per ITU-T T.81 G.2
+    (the decode side mirrors libjpeg's decode_mcu_{DC,AC}_{first,refine}
+    control flow, re-derived from the published spec)."""
+
+    def __init__(self, frame):
+        self.frame = frame
+        comps = frame["comps"]
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        self.mcux = (frame["w"] + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcuy = (frame["h"] + 8 * self.vmax - 1) // (8 * self.vmax)
+        # per component: padded (MCU-aligned) block grid, zigzag coeffs
+        self.blocks = {}
+        self.bw_pad = {}
+        self.bw_ni = {}
+        self.bh_ni = {}
+        for c in comps:
+            bw_pad = self.mcux * c["h"]
+            bh_pad = self.mcuy * c["v"]
+            self.bw_pad[c["id"]] = bw_pad
+            cw = (frame["w"] * c["h"] + self.hmax - 1) // self.hmax
+            chh = (frame["h"] * c["v"] + self.vmax - 1) // self.vmax
+            self.bw_ni[c["id"]] = (cw + 7) // 8
+            self.bh_ni[c["id"]] = (chh + 7) // 8
+            self.blocks[c["id"]] = [
+                [0] * 64 for _ in range(bw_pad * bh_pad)
+            ]
+        self.eobrun = 0
+
+    def decode_scan(
+        self, payload, pos, scan, huff_dc, huff_ac, ri, ss, se, ah, al
+    ):
+        """Consume one scan's entropy data; return the byte offset of the
+        next marker's 0xFF."""
+        if ss == 0 and se != 0:
+            raise ValueError("JPEG progressive scan mixes DC and AC")
+        if ss > se or se > 63:
+            raise ValueError("invalid JPEG spectral selection")
+        if ss > 0 and len(scan) != 1:
+            raise ValueError("JPEG progressive AC scan must be single-component")
+        for s in scan:
+            if ss == 0 and ah == 0 and s["td"] not in huff_dc:
+                raise ValueError("JPEG scan references missing DC table")
+            if ss > 0 and s["ta"] not in huff_ac:
+                raise ValueError("JPEG scan references missing AC table")
+        br = _BitReader(payload, pos)
+        self.eobrun = 0
+        preds = [0] * len(scan)
+        if len(scan) > 1:  # interleaved: DC scans only
+            units = self.mcux * self.mcuy
+            unit_blocks = None
+        else:
+            c = scan[0]["comp"]
+            if ss == 0:
+                # non-interleaved DC scan covers the component's own grid
+                units = self.bw_ni[c["id"]] * self.bh_ni[c["id"]]
+            else:
+                units = self.bw_ni[c["id"]] * self.bh_ni[c["id"]]
+        count = 0
+        for unit in range(units):
+            if ri and count and count % ri == 0:
+                br.sync_restart(count // ri - 1)
+                preds = [0] * len(scan)
+                self.eobrun = 0
+            count += 1
+            if len(scan) > 1:
+                my, mx = divmod(unit, self.mcux)
+                for ci, s in enumerate(scan):
+                    c = s["comp"]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = self.blocks[c["id"]][
+                                (my * c["v"] + by) * self.bw_pad[c["id"]]
+                                + mx * c["h"] + bx
+                            ]
+                            preds[ci] = self._dc_unit(
+                                br, blk, huff_dc.get(s["td"]),
+                                preds[ci], ah, al,
+                            )
+            else:
+                s = scan[0]
+                c = s["comp"]
+                by, bx = divmod(unit, self.bw_ni[c["id"]])
+                blk = self.blocks[c["id"]][by * self.bw_pad[c["id"]] + bx]
+                if ss == 0:
+                    preds[0] = self._dc_unit(
+                        br, blk, huff_dc.get(s["td"]), preds[0], ah, al
+                    )
+                elif ah == 0:
+                    self._ac_first(br, blk, huff_ac[s["ta"]], ss, se, al)
+                else:
+                    self._ac_refine(br, blk, huff_ac[s["ta"]], ss, se, al)
+        # locate the next marker (skip any trailing entropy bytes/RSTs)
+        p = br.pos
+        while p + 1 < len(payload):
+            if payload[p] == 0xFF and payload[p + 1] not in (0x00,):
+                if 0xD0 <= payload[p + 1] <= 0xD7:
+                    p += 2
+                    continue
+                return p
+            p += 1
+        return len(payload)
+
+    def _dc_unit(self, br, blk, dctab, pred, ah, al):
+        if ah == 0:
+            if dctab is None:
+                raise ValueError("JPEG scan references missing DC table")
+            cat = br.decode_huffman(dctab)
+            pred += _extend(br.receive(cat), cat)
+            blk[0] = pred << al
+        else:
+            if br.read_bit():
+                blk[0] |= 1 << al
+        return pred
+
+    def _ac_first(self, br, blk, actab, ss, se, al):
+        if self.eobrun > 0:
+            self.eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = br.decode_huffman(actab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    self.eobrun = (1 << r) - 1
+                    if r:
+                        self.eobrun += br.receive(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC index overflow")
+            blk[k] = _extend(br.receive(s), s) << al
+            k += 1
+
+    def _ac_refine(self, br, blk, actab, ss, se, al):
+        p1 = 1 << al
+        m1 = -1 << al
+        k = ss
+        if self.eobrun == 0:
+            while k <= se:
+                rs = br.decode_huffman(actab)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        # NB: unlike the first-pass EOB, the refinement
+                        # EOB run INCLUDES the current block — its
+                        # remaining nonzero-history coefficients still
+                        # receive correction bits in the tail loop below
+                        # (spec G. the eobrun is decremented there)
+                        self.eobrun = 1 << r
+                        if r:
+                            self.eobrun += br.receive(r)
+                        break
+                    # r == 15: pass over 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("invalid JPEG AC refinement size")
+                    val = p1 if br.read_bit() else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        if br.read_bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            if val:
+                                blk[k] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if self.eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                k += 1
+            self.eobrun -= 1
+
+    def finish(self, qt):
+        frame = self.frame
+        comps = frame["comps"]
+        planes = []
+        for c in comps:
+            if c["tq"] not in qt:
+                raise ValueError("JPEG component references missing quant table")
+            q = qt[c["tq"]]
+            bw_pad = self.bw_pad[c["id"]]
+            pw = bw_pad * 8
+            plane = bytearray(pw * self.mcuy * c["v"] * 8)
+            for bi, zz in enumerate(self.blocks[c["id"]]):
+                coeffs = [0] * 64
+                for k in range(64):
+                    if zz[k]:
+                        coeffs[ZIGZAG[k]] = zz[k] * q[k]
+                samples = _idct_block(coeffs)
+                by, bx = divmod(bi, bw_pad)
+                oy, ox = by * 8, bx * 8
+                for y in range(8):
+                    row = (oy + y) * pw + ox
+                    for x in range(8):
+                        v = int(round(samples[y * 8 + x])) + 128
+                        plane[row + x] = 0 if v < 0 else (255 if v > 255 else v)
+            planes.append(plane)
+        return _assemble_image(
+            frame["w"], frame["h"], comps, planes, self.mcux,
+            self.hmax, self.vmax,
+        )
+
+
+def encode_jpeg_progressive(
+    width: int, height: int, pixels: bytes, color: bool = False
+) -> bytes:
+    """Progressive (SOF2) counterpart of ``encode_jpeg_baseline`` for the
+    roundtrip oracle: identical quant=1 coefficients, emitted as a
+    spectral-selection scan script — one interleaved DC scan (Ss=Se=0)
+    followed by one full AC scan per component (Ss=1, Se=63, Ah=Al=0).
+    With Ah=Al=0 the first-pass AC entropy coding coincides with baseline
+    AC coding, so the same block-constant-image exactness argument holds;
+    successive-approximation DECODE paths are covered by crafted scans in
+    tests (the encoder does not emit them)."""
+    ncomp = 3 if color else 1
+    if len(pixels) != width * height * ncomp:
+        raise ValueError("pixel buffer does not match dimensions")
+    if color:
+        ys, cbs, crs = [], [], []
+        for i in range(0, len(pixels), 3):
+            r, g, b = pixels[i], pixels[i + 1], pixels[i + 2]
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+            cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+            ys.append(min(255, max(0, round(y))))
+            cbs.append(min(255, max(0, round(cb))))
+            crs.append(min(255, max(0, round(cr))))
+        planes = [ys, cbs, crs]
+    else:
+        planes = [list(pixels)]
+
+    bw_x = (width + 7) // 8
+    bw_y = (height + 7) // 8
+    # per component, per block (raster order): zigzag-order coefficients
+    zz_blocks: list[list[list[int]]] = [[] for _ in range(ncomp)]
+    for by in range(bw_y):
+        for bx in range(bw_x):
+            for c in range(ncomp):
+                plane = planes[c]
+                block = []
+                for y in range(8):
+                    sy = min(by * 8 + y, height - 1)
+                    for x in range(8):
+                        sx = min(bx * 8 + x, width - 1)
+                        block.append(plane[sy * width + sx] - 128)
+                coeffs = _fdct_block(block)
+                q = [int(round(v)) for v in coeffs]
+                zz_blocks[c].append([q[ZIGZAG[i]] for i in range(64)])
+
+    dc_codes = _build_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _build_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    out += seg(0xC4, b"\x00" + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS))
+    out += seg(0xC4, b"\x10" + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS))
+
+    # scan 1: interleaved DC, Ss=Se=0, Ah=Al=0
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([0, 0, 0])
+    out += seg(0xDA, sos)
+    w1 = _BitWriter()
+    preds = [0] * ncomp
+    for bi in range(bw_x * bw_y):
+        for c in range(ncomp):
+            dc = zz_blocks[c][bi][0]
+            diff = dc - preds[c]
+            preds[c] = dc
+            cat, bits = _magnitude(diff)
+            code, ln = dc_codes[cat]
+            w1.write(code, ln)
+            if cat:
+                w1.write(bits, cat)
+    w1.flush()
+    out += w1.out
+
+    # scans 2..: one full AC scan per component (Ss=1, Se=63)
+    for c in range(ncomp):
+        out += seg(0xDA, bytes([1, c + 1, 0x00, 1, 63, 0]))
+        wc = _BitWriter()
+        for zz in zz_blocks[c]:
+            run = 0
+            for i in range(1, 64):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    wc.write(code, ln)
+                    run -= 16
+                cat, bits = _magnitude(zz[i])
+                code, ln = ac_codes[(run << 4) | cat]
+                wc.write(code, ln)
+                wc.write(bits, cat)
+                run = 0
+            if run:
+                code, ln = ac_codes[0x00]  # EOB (eobrun = 1)
+                wc.write(code, ln)
+        wc.flush()
+        out += wc.out
+    out += b"\xff\xd9"
+    return bytes(out)

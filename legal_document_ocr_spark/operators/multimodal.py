@@ -14,8 +14,10 @@ BMP, PCM WAV); PIL/cv2/ffmpeg remain absent, so:
   fake decode (dimensions derived from the content hash) so the stage works
   on payloads of ANY format, decodable or not;
 - ``decode_image`` — raises ``NotImplementedError`` only for library-bound
-  formats (WebP, video); baseline JPEG (jpeg.py) and GIF (LZW) are real
-  since round 3.
+  formats (lossy-VP8 WebP, video); baseline JPEG (jpeg.py) and GIF (LZW)
+  are real since round 3, TIFF and lossless WebP (vp8l.py) since round 4;
+- ``audio_features`` — integer-exact energy/peak/zero-crossing gauges over
+  decoded PCM (round 4).
 
 This mirrors how the reference isolates its media deps (pdf2image/PIL inside
 image_preprocessing_service.py:57-122, subprocess tesseract inside
@@ -533,3 +535,71 @@ def image_near_pairs(sigs: DataFrame, *, max_hamming: int = 3) -> DataFrame:
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     return pairs.where(F.col("hamming") <= max_hamming).distinct()
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("energy", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("zero_crossings", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def _audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import struct as _struct
+
+    from ..codecs import decode_wav
+
+    for pdf in batches:
+        out = {
+            "doc_id": [],
+            "n_samples": [],
+            "energy": [],
+            "peak": [],
+            "zero_crossings": [],
+            "error": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                continue
+            out["doc_id"].append(doc_id)
+            try:
+                wav = decode_wav(bytes(payload))
+                if wav["sample_width"] != 2:
+                    raise ValueError("audio_features expects 16-bit PCM")
+                n = len(wav["pcm"]) // 2
+                samples = _struct.unpack(f"<{n}h", wav["pcm"][: n * 2])
+            except Exception as e:  # noqa: BLE001 — per-record isolation
+                out["n_samples"].append(None)
+                out["energy"].append(None)
+                out["peak"].append(None)
+                out["zero_crossings"].append(None)
+                out["error"].append(_decode_error_label(e))
+                continue
+            zc = sum(
+                1
+                for i in range(1, n)
+                if (samples[i] < 0) != (samples[i - 1] < 0)
+            )
+            out["n_samples"].append(n)
+            out["energy"].append(sum(s * s for s in samples))
+            out["peak"].append(max((abs(s) for s in samples), default=0))
+            out["zero_crossings"].append(zc)
+            out["error"].append(None)
+        yield pd.DataFrame(out)
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Audio feature extraction over a PCM WAV binary column (mapInPandas):
+    integer-exact RMS energy (sum of squares), peak amplitude and
+    zero-crossing count — the cheap quality/speech-activity gauges an
+    audio-corpus curation pass runs before any model-based scoring (the
+    audio analogue of quality_scores; all-integer so both engines agree
+    exactly). Same batch shape and per-record error isolation as
+    audio_decode."""
+    selected = df.selectExpr("doc_id", f"{payload_col} as payload")
+    return selected.mapInPandas(_audio_features, AUDIO_FEATURES_SCHEMA)

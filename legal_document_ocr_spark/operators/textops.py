@@ -2271,3 +2271,96 @@ def tfidf_cosine_pairs(
         )
     )
     return cos.where(F.col("cosine_micro") >= threshold_micro)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (round 4)
+# ---------------------------------------------------------------------------
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    w: int = 8,
+    mask_bits: int = 5,
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC/Rabin family, gram-hash
+    gate): cut each document after every position whose trailing
+    ``w``-gram hashes to 0 mod 2^``mask_bits`` — boundaries depend only
+    on local CONTENT, so shared passages land in identical chunks no
+    matter where they sit in the document. This is the byte/char-level
+    dedup primitive under storage dedup and long-document near-dup
+    (chunk-hash overlap finds moved/duplicated passages that line- and
+    shingle-level passes miss). Mean chunk length ~2^mask_bits chars.
+
+    Scale shape: one shuffle-free codegen stage per doc — the char array
+    materializes ONCE via split(); w-grams are w shifted slices folded
+    with zip_with; the hash gate and bound pairing are zip_with lambdas
+    over bound args (the HOF-inlining discipline, PLANS.md #70); chunk
+    texts are cut BEFORE the explode so only chunk bytes (total = doc
+    bytes) fan out, never (text × n_chunks). The per-chunk substr walks
+    the UTF-8 prefix, so per-doc cost is O(len · n_chunks / 2) — bounded
+    for page-sized crawl documents; MB-scale blobs would take the
+    mapInPandas escape hatch.
+
+    Output: (doc_id, chunk_id, start, n_chars, chunk_hash) — chunk_id
+    0-based over non-empty chunks, start 0-based char offset, chunk_hash
+    = md5 hex of the chunk text.
+    """
+    from ..operators.dedup import base_hash28
+
+    c = F.col(text_col)
+    n = F.length(c)
+    chars = F.split(c, "")
+    m = n - (w - 1)
+    gram = None
+    for j in range(w):
+        part = F.slice(chars, 1 + j, F.greatest(m, F.lit(0)))
+        gram = (
+            part
+            if gram is None
+            else F.zip_with(gram, part, lambda a, b: F.concat(a, b))
+        )
+    ends = F.when(n >= w, F.sequence(F.lit(w), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    cuts = F.filter(
+        F.zip_with(
+            gram,
+            ends,
+            lambda g, p: F.when(
+                base_hash28(g) % (1 << mask_bits) == 0, p
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    bounds = F.concat(
+        F.array(F.lit(0)), cuts, F.array(n.cast("int"))
+    )
+    nb = F.size(bounds)
+    pairs = F.filter(
+        F.zip_with(
+            F.slice(bounds, 1, nb - 1),
+            F.slice(bounds, 2, nb - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+        lambda s: s["b"] > s["a"],
+    )
+    chunks = F.transform(
+        pairs,
+        lambda s: F.struct(
+            s["a"].alias("start"),
+            c.substr(s["a"] + 1, s["b"] - s["a"]).alias("txt"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_id", "ch"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("ch.start").cast("long").alias("start"),
+            F.length("ch.txt").cast("long").alias("n_chars"),
+            F.md5("ch.txt").alias("chunk_hash"),
+        )
+    )

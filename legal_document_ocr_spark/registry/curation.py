@@ -694,3 +694,46 @@ WHERE round({cos}, 6) >= 0.99::double
 """
 
 
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (textops.cdc_chunks — round 4): gram-hash
+    gated chunk boundaries, the byte-level dedup primitive. The oracle
+    restates the same construction with DuckDB list functions."""
+    return textops.cdc_chunks(_docs(spark, sf_dir))
+
+
+_SQL_CDC_CHUNKS = """
+WITH g AS (
+  SELECT doc_id, text, length(text)::int AS n,
+    CASE WHEN length(text) >= 8 THEN
+      list_filter(
+        list_transform(range((length(text) - 7)::int),
+          i -> CASE WHEN ('0x' || substr(md5(substr(text, (i + 1)::int, 8)), 1, 7))::bigint
+                         % 32 = 0
+               THEN (i + 8)::int END),
+        x -> x IS NOT NULL)
+    ELSE []::int[] END AS cuts
+  FROM documents
+),
+b AS (SELECT doc_id, text, [0] || cuts || [n] AS bounds FROM g),
+p AS (
+  SELECT doc_id, text,
+    list_filter(
+      list_transform(range(len(bounds) - 1),
+        j -> {'a': bounds[(j + 1)::int], 'e': bounds[(j + 2)::int]}),
+      s -> s.e > s.a) AS pairs
+  FROM b
+),
+u AS (
+  SELECT doc_id, text,
+    unnest(range(len(pairs)))::bigint AS chunk_id,
+    unnest(pairs) AS s
+  FROM p
+)
+SELECT doc_id, chunk_id,
+  s.a::bigint AS start,
+  (s.e - s.a)::bigint AS n_chars,
+  md5(substr(text, (s.a + 1)::int, (s.e - s.a)::int)) AS chunk_hash
+FROM u
+"""

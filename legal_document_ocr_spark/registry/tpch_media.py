@@ -746,6 +746,64 @@ FROM documents
 """
 
 
+def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG decode roundtrip (round 4: jpeg.py SOF2 —
+    multi-scan coefficient accumulation, spectral selection + successive
+    approximation): the same block-constant corpus as jpeg_decode, but
+    sized doc-dependently larger so multi-block scans exercise the
+    interleaved-DC / per-component-AC scan script, encoded with
+    encode_jpeg_progressive. Same closed-form oracle (constant 8x8 blocks
+    survive quant=1 exactly — including through the progressive path,
+    which accumulates the identical coefficients before one IDCT)."""
+    import pandas as _pd
+
+    from ..jpeg import encode_jpeg_progressive
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = d % 13 + 4
+                h = d % 9 + 4
+                px = bytes(
+                    (d + 41 * (x // 8) + 67 * (y // 8)) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(encode_jpeg_progressive(w, h, px))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pages = _docs(spark, sf_dir).select("doc_id")
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.image_decode(payloads)
+
+
+_SQL_JPEG_PROGRESSIVE = """
+SELECT doc_id,
+  (doc_id % 13 + 4)::int AS width,
+  (doc_id % 9 + 4)::int AS height,
+  'L' AS mode,
+  list_sum(flatten(list_transform(range((doc_id % 9 + 4)::int), y ->
+    list_transform(range((doc_id % 13 + 4)::int), x ->
+      (doc_id + 41 * (x // 8) + 67 * (y // 8)) % 256))))::bigint AS px_sum,
+  NULL::varchar AS error
+FROM documents
+"""
+
+
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + nearest-neighbor resize to 8x8 (multimodal.image_resize) on
     the same gradient-PNG corpus as image_decode. Oracle: output pixel
@@ -1058,6 +1116,71 @@ SELECT doc_id,
     i -> (doc_id * 31 + i * 17) % 65536 - 32768))::bigint AS sample_sum,
   NULL::varchar AS error
 FROM documents
+"""
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact audio quality gauges (multimodal.audio_features —
+    round 4): RMS energy (sum of squares), peak amplitude and
+    zero-crossing count over the same closed-form synthesized PCM clips
+    as audio_decode — the cheap speech-activity/clipping screens an
+    audio-corpus curation pass runs before any model scoring. All
+    integer, so the oracle restates the synthesis exactly."""
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    import pandas as _pd
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 32 + 4
+                samples = [((d * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+                buf = _io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(_struct.pack(f"<{n}h", *samples))
+                payloads.append(buf.getvalue())
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    base = _docs(spark, sf_dir).select("doc_id")
+    payloads = base.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.audio_features(payloads)
+
+
+_SQL_AUDIO_FEATURES = """
+WITH s AS (
+  SELECT doc_id, (doc_id % 32 + 4)::int AS n,
+    list_transform(range((doc_id % 32 + 4)::int),
+      i -> (doc_id * 31 + i * 17) % 65536 - 32768) AS samples
+  FROM documents
+)
+SELECT doc_id,
+  n::bigint AS n_samples,
+  list_sum(list_transform(samples, x -> x * x))::bigint AS energy,
+  list_max(list_transform(samples, x -> abs(x)))::int AS peak,
+  coalesce(list_sum(list_transform(range(n - 1),
+    i -> CASE WHEN (samples[i + 2] < 0) <> (samples[i + 1] < 0)
+         THEN 1 ELSE 0 END)), 0)::bigint AS zero_crossings,
+  NULL::varchar AS error
+FROM s
 """
 
 

@@ -35,7 +35,13 @@ ZIP="$(mktemp -d)/ldos_pkg.zip"
 (cd "$REPO" && zip -qr "$ZIP" legal_document_ocr_spark -x "*__pycache__*")
 
 # N executors of 2 cores each (fat-enough executors — 1-core executors pay
-# disproportionate shuffle fan-out; see BASELINE.md)
+# disproportionate shuffle fan-out; see BASELINE.md).
+# shuffle.partitions = TOTAL CORES (n_exec*2), not 2x: the dedup pipeline
+# concentrates ~60% of its work in the distinct-payload UDF stage behind
+# one exchange, and 2x-cores partitions AQE-coalesce to ~1.5 waves (25%
+# idle cores in the dominant stage — measured eff 0.65-0.73). Exactly one
+# full wave + AQE's defaultParallelism floor measured 0.92 (BASELINE.md
+# round-4 root-cause).
 run_at() {
   local n_exec="$1" dup="$2"
   "$SPARK_HOME/bin/spark-submit" \
@@ -45,7 +51,7 @@ run_at() {
     --conf spark.cores.max="$((n_exec * 2))" \
     --conf spark.executor.cores=2 \
     --conf spark.executor.memory=4g \
-    --conf spark.sql.shuffle.partitions="$((n_exec * 4))" \
+    --conf spark.sql.shuffle.partitions="$((n_exec * 2))" \
     "$REPO/scripts/submit_extract.py" \
     --sf-dir "${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
     --replicas "$REPLICAS" --dup-rate "$dup" 2>/dev/null | grep '^{'

@@ -358,9 +358,11 @@ def test_jpeg_hardening():
     ) + bytes([1, 0x11, 0])
     with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
         decode_jpeg(b"\xff\xd8" + sof + b"\xff\xd9")
-    # progressive declared, not silently wrong
+    # SOF2 with a baseline full-spectrum scan script is malformed for
+    # the progressive path (T.81 G.1.1.1.1: a progressive scan is either
+    # DC-only or single-component AC) — rejected, not silently wrong
     sof2 = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="mixes DC and AC"):
         decode_jpeg(sof2)
 
 
@@ -662,3 +664,229 @@ def test_tiff_hardening():
     short = good[: j + 8] + struct.pack("<I", 1) + good[j + 12 :]
     with pytest.raises(ValueError):
         decode_tiff(short)
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (round 4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("color", [False, True])
+def test_jpeg_progressive_block_constant_roundtrip_is_exact(color):
+    from legal_document_ocr_spark.jpeg import decode_jpeg, encode_jpeg_progressive
+
+    w, h, ch = 19, 13, 3 if color else 1
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = (37 * (x // 8) + 59 * (y // 8) + 11) % 256
+            px += bytes([v] * ch)
+    dec = decode_jpeg(encode_jpeg_progressive(w, h, bytes(px), color))
+    assert (dec["width"], dec["height"]) == (w, h)
+    assert dec["pixels"] == bytes(px)
+
+
+@pytest.mark.parametrize("color", [False, True])
+def test_jpeg_progressive_decode_matches_baseline(color):
+    """Same quant=1 coefficients through both scan scripts must decode to
+    identical pixels — the multi-scan accumulation adds nothing lossy."""
+    import random as _random
+
+    from legal_document_ocr_spark.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rnd = _random.Random(3)
+    w, h, ch = 17, 11, 3 if color else 1
+    px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+    d1 = decode_jpeg(encode_jpeg_baseline(w, h, px, color))
+    d2 = decode_jpeg(encode_jpeg_progressive(w, h, px, color))
+    assert d1["pixels"] == d2["pixels"]
+
+
+def _craft_progressive_sa(zz):
+    """Build a 4-scan successive-approximation 8x8 grayscale stream for
+    the given zigzag coefficients: DC first (Al=1), AC first (Al=1),
+    DC refine, AC refine — the scan shapes real encoders emit that the
+    roundtrip encoder (spectral selection only) does not."""
+    from legal_document_ocr_spark.jpeg import (
+        _AC_LUM_BITS,
+        _AC_LUM_VALS,
+        _BitWriter,
+        _DC_LUM_BITS,
+        _DC_LUM_VALS,
+        _build_codes,
+        _magnitude,
+    )
+
+    dcc = _build_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    acc = _build_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+
+    def seg(m, p):
+        return bytes([0xFF, m]) + struct.pack(">H", len(p) + 2) + p
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + bytes([1] * 64))
+    out += seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, b"\x00" + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS))
+    out += seg(0xC4, b"\x10" + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS))
+
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))  # DC first, Al=1
+    w = _BitWriter()
+    cat, bits = _magnitude(zz[0] >> 1)
+    c, l = dcc[cat]
+    w.write(c, l)
+    if cat:
+        w.write(bits, cat)
+    w.flush()
+    out += w.out
+
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))  # AC first, Al=1
+    w = _BitWriter()
+    run = 0
+    for k in range(1, 64):
+        hv = (abs(zz[k]) >> 1) * (1 if zz[k] > 0 else -1)
+        if hv == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, l = acc[0xF0]
+            w.write(c, l)
+            run -= 16
+        cat, bits = _magnitude(hv)
+        c, l = acc[(run << 4) | cat]
+        w.write(c, l)
+        w.write(bits, cat)
+        run = 0
+    if run:
+        c, l = acc[0x00]
+        w.write(c, l)
+    w.flush()
+    out += w.out
+
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))  # DC refine
+    w = _BitWriter()
+    w.write(zz[0] & 1, 1)
+    w.flush()
+    out += w.out
+
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))  # AC refine
+    w = _BitWriter()
+    pending = []
+    run = 0
+    for k in range(1, 64):
+        a = abs(zz[k])
+        if a == 0:
+            run += 1
+            continue
+        if a > 1:  # nonzero history: correction bit rides the run
+            pending.append(a & 1)
+            continue
+        while run > 15:
+            c, l = acc[0xF0]
+            w.write(c, l)
+            run -= 16
+            for b in pending:
+                w.write(b, 1)
+            pending = []
+        c, l = acc[(run << 4) | 1]
+        w.write(c, l)
+        w.write(1 if zz[k] > 0 else 0, 1)
+        for b in pending:
+            w.write(b, 1)
+        pending = []
+        run = 0
+    c, l = acc[0x00]  # EOB covers this block's tail (incl. pending bits)
+    w.write(c, l)
+    for b in pending:
+        w.write(b, 1)
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_successive_approximation_craft():
+    """DC/AC refinement passes reconstruct the exact coefficients —
+    including a correction bit delivered through the refinement EOB run
+    (the tail-scan path: the EOB run covers the CURRENT block)."""
+    from legal_document_ocr_spark.jpeg import ZIGZAG, _idct_block, decode_jpeg
+
+    zz = [0] * 64
+    zz[0] = 5
+    for k, v in {1: 3, 2: -3, 4: 1, 5: -1, 10: 3}.items():
+        zz[k] = v
+    dec = decode_jpeg(_craft_progressive_sa(zz))
+    coeffs = [0] * 64
+    for k in range(64):
+        coeffs[ZIGZAG[k]] = zz[k]
+    exp = bytes(
+        min(255, max(0, int(round(s)) + 128)) for s in _idct_block(coeffs)
+    )
+    assert dec["pixels"] == exp
+
+
+def test_jpeg_progressive_eobrun_spans_blocks():
+    """An AC-first EOB with r=1 covers the current block AND the next —
+    the second block's ACs must stay zero without consuming any bits."""
+    from legal_document_ocr_spark.jpeg import (
+        _AC_LUM_BITS,
+        _AC_LUM_VALS,
+        _BitWriter,
+        _DC_LUM_BITS,
+        _DC_LUM_VALS,
+        _build_codes,
+        _magnitude,
+        decode_jpeg,
+    )
+
+    dcc = _build_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    # Annex-K has no (r=1, s=0) EOBRUN symbol — real progressive encoders
+    # ship custom DHTs; craft one with exactly the two symbols we emit
+    ac_bits = [0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x03, 0x10]
+    acc = _build_codes(ac_bits, ac_vals)
+
+    def seg(m, p):
+        return bytes([0xFF, m]) + struct.pack(">H", len(p) + 2) + p
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + bytes([1] * 64))
+    out += seg(0xC2, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, b"\x00" + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS))
+    out += seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))  # DC, Al=0
+    w = _BitWriter()
+    for dc in (16, 16):  # two blocks, diff then 0
+        cat, bits = _magnitude(dc if dc == 16 else 0)
+        # first block diff=16, second diff=0
+        pass
+    # block 1: diff 16; block 2: diff 0
+    for diff in (16, 0):
+        cat, bits = _magnitude(diff)
+        c, l = dcc[cat]
+        w.write(c, l)
+        if cat:
+            w.write(bits, cat)
+    w.flush()
+    out += w.out
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))  # AC, Al=0
+    w = _BitWriter()
+    # block 1: one AC then EOB with r=1 -> eobrun covers blocks 1 and 2
+    cat, bits = _magnitude(7)
+    c, l = acc[(0 << 4) | cat]
+    w.write(c, l)
+    w.write(bits, cat)
+    c, l = acc[0x10]  # s=0, r=1 -> EOBRUN = 2
+    w.write(c, l)
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"
+
+    dec = decode_jpeg(bytes(out))
+    assert dec["width"] == 16 and dec["height"] == 8
+    # block 2 must be flat DC (no ACs) == 16/8 + 128 = 130 everywhere
+    right = [dec["pixels"][y * 16 + x] for y in range(8) for x in range(8, 16)]
+    assert set(right) == {130}
