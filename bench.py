@@ -70,6 +70,10 @@ HEADLINE = [
     "host_mirrors",           # grouped-aggregate MinHash mirror detection
     "tfidf_pairs",            # sparse TF-IDF cosine similarity join
     "shipping_priority",      # TPC-H Q3 fact-fact join + top-k
+    # round-4 additions
+    "cdc_chunks",             # content-defined chunking (zero-shuffle HOFs)
+    "webp_decode",            # real lossless-WebP/VP8L decode (mapInPandas)
+    "audio_features",         # integer-exact PCM quality gauges
 ]
 
 

@@ -30,7 +30,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
@@ -603,3 +603,91 @@ def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     audio_decode."""
     selected = df.selectExpr("doc_id", f"{payload_col} as payload")
     return selected.mapInPandas(_audio_features, AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_id", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def _audio_frames(frame_len: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        from ..codecs import decode_wav
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_id": [], "energy": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    wav = decode_wav(bytes(payload))
+                    if wav["sample_width"] != 2:
+                        continue
+                    n = len(wav["pcm"]) // 2
+                    samples = _struct.unpack(f"<{n}h", wav["pcm"][: n * 2])
+                except Exception:  # noqa: BLE001 — per-record isolation
+                    continue
+                for f in range((n + frame_len - 1) // frame_len):
+                    chunk = samples[f * frame_len : (f + 1) * frame_len]
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(f)
+                    out["energy"].append(sum(s * s for s in chunk))
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+def audio_segments(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    frame_len: int = 64,
+    threshold: int = 1 << 22,
+) -> DataFrame:
+    """Energy-threshold voice-activity segmentation (the classic
+    pre-neural VAD): frame the PCM into ``frame_len``-sample windows,
+    mark frames whose integer energy (sum of squares) clears
+    ``threshold`` as active, and merge consecutive active frames into
+    segments with the gaps-and-islands trick (frame_id minus active-rank
+    is constant within a run). The speech-segmentation primitive an
+    audio-corpus pipeline runs to cut long recordings into trainable
+    clips and to drop silence.
+
+    Scale shape: the Python stage emits only (doc_id, frame_id, energy)
+    scalars — payload bytes never cross an exchange; the islands window
+    partitions by doc_id (bounded: frames-per-recording, never
+    corpus-wide); the final per-segment rollup is a map-side-combinable
+    groupBy on (doc_id, island). All-integer, so engines agree exactly.
+
+    Output: (doc_id, seg_id, start_frame, n_frames, energy_sum).
+    """
+    frames = df.selectExpr("doc_id", f"{payload_col} as payload").mapInPandas(
+        _audio_frames(frame_len), AUDIO_FRAMES_SCHEMA
+    )
+    active = frames.where(F.col("energy") >= threshold)
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    islands = active.withColumn(
+        "island", F.col("frame_id") - F.row_number().over(w)
+    )
+    seg_w = Window.partitionBy("doc_id").orderBy("start_frame")
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("frame_id").alias("start_frame"),
+            F.count("*").cast("long").alias("n_frames"),
+            F.sum("energy").cast("long").alias("energy_sum"),
+        )
+        .select(
+            "doc_id",
+            (F.row_number().over(seg_w) - 1).cast("long").alias("seg_id"),
+            "start_frame",
+            "n_frames",
+            "energy_sum",
+        )
+    )

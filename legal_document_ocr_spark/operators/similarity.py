@@ -434,3 +434,86 @@ def ivf_inertia(
         .cast("long")
         .alias("inertia_micro"),
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.99,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding — cluster the corpus into k-means cells,
+    compare pairs only WITHIN a cell, and for every pair whose cosine
+    clears ``threshold`` drop the member CLOSER to its centroid (the
+    published keep-the-outlier rule: the point nearer the cell center is
+    the more redundant one). Exact ties on distance (true byte-copies)
+    drop the larger id. This is the embedding-space complement of
+    MinHash near-dup: it removes paraphrases/translations/re-renders
+    that share no n-grams.
+
+    Scale shape: cell assignment is corpus x broadcast(n_cells) (the only
+    broadcast — bounded); the within-cell pair join is an equi-join on
+    the short (cell) key with both corpus-sized sides pinned
+    ``shuffle_hash``. Within-cell pairing is the algorithm's published
+    cost — at 100 TB, n_cells scales with the corpus (n / target cell
+    size ~1e4) so cells stay bounded and skew-free; nothing corpus-sized
+    is ever broadcast or collected.
+
+    Determinism/portability: distances and cosines are fixed-order
+    left-to-right folds (engine-identical bit patterns); the emitted
+    distance is floor(dist * 1e6). Output: (vec_id, cell, dist_micro,
+    kept) — one row per input vector.
+    """
+    corpus = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = embeddings.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            "cell_id",
+            sq_dist_expr(F.col("v"), F.col("cv")).alias("dist"),
+        )
+        .groupBy(id_col)
+        .agg(F.min(F.struct("dist", "cell_id")).alias("m"))
+        .select(id_col, F.col("m.cell_id").alias("cell"), F.col("m.dist").alias("dist"))
+    )
+    av = assigned.join(corpus.hint("shuffle_hash"), id_col)
+    left = av.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cell").alias("cell_a"),
+        F.col("dist").alias("dist_a"),
+        F.col("v").alias("va"),
+    )
+    right = av.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("dist").alias("dist_b"),
+        F.col("v").alias("vb"),
+    )
+    pairs = left.hint("shuffle_hash").join(
+        right.hint("shuffle_hash"),
+        (F.col("cell_a") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")),
+    ).where(F.round(cosine_expr(F.col("va"), F.col("vb")), 6) >= threshold)
+    losers = pairs.select(
+        F.when(F.col("dist_a") < F.col("dist_b"), F.col("id_a"))
+        .when(F.col("dist_b") < F.col("dist_a"), F.col("id_b"))
+        .otherwise(F.greatest("id_a", "id_b"))
+        .alias(id_col)
+    ).distinct()
+    return (
+        av.join(losers.hint("shuffle_hash").withColumn("dropped", F.lit(True)),
+                id_col, "left")
+        .select(
+            id_col,
+            F.col("cell").cast("long").alias("cell"),
+            F.floor(F.col("dist") * 1000000.0).cast("long").alias("dist_micro"),
+            F.col("dropped").isNull().alias("kept"),
+        )
+    )

@@ -737,3 +737,62 @@ SELECT doc_id, chunk_id,
   md5(substr(text, (s.a + 1)::int, (s.e - s.a)::int)) AS chunk_hash
 FROM u
 """
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (similarity.semantic_dedup —
+    round 4, arXiv:2303.09540): k-means cells, within-cell cosine pairs,
+    drop the pair member nearer its centroid. Same planted-duplicate
+    corpus as embedding_near_dups (union of an id+100000 copy): every
+    copied pair is an exact tie on centroid distance, so exactly the
+    +100000 member must drop."""
+    emb = _tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb2 = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 100000))
+    return similarity.semantic_dedup(emb2, n_cells=8, threshold=0.99)
+
+
+def _sql_semantic_dedup() -> str:
+    sqd = (
+        "list_reduce(list_transform(generate_series(1, len({a})),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+    cos = _COS_SQL.format(a="l.v", b="r.v")
+    return f"""
+WITH e2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM e2
+),
+c AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 8),
+d AS (
+  SELECT e.vec_id, c.cell_id, {sqd.format(a="e.v", b="c.cv")} AS dist
+  FROM e, c
+),
+m AS (SELECT vec_id, min(dist) AS md FROM d GROUP BY 1),
+a AS (
+  SELECT d.vec_id, min(d.cell_id) AS cell, min(m.md) AS dist
+  FROM d JOIN m ON d.vec_id = m.vec_id AND d.dist = m.md
+  GROUP BY 1
+),
+av AS (SELECT a.vec_id, a.cell, a.dist, e.v FROM a JOIN e USING (vec_id)),
+p AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b, l.dist AS da, r.dist AS db
+  FROM av l JOIN av r ON l.cell = r.cell AND l.vec_id < r.vec_id
+  WHERE round({cos}, 6) >= 0.99::double
+),
+losers AS (
+  SELECT DISTINCT CASE WHEN da < db THEN id_a
+                       WHEN db < da THEN id_b
+                       ELSE greatest(id_a, id_b) END AS vec_id
+  FROM p
+)
+SELECT av.vec_id, av.cell::bigint AS cell,
+  floor(av.dist * 1000000.0)::bigint AS dist_micro,
+  (losers.vec_id IS NULL) AS kept
+FROM av LEFT JOIN losers USING (vec_id)
+"""
+
+
+_SQL_SEMANTIC_DEDUP = _sql_semantic_dedup()

@@ -1184,3 +1184,93 @@ FROM s
 """
 
 
+
+
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold VAD segmentation (multimodal.audio_segments —
+    round 4): synthesized clips alternate loud pseudo-random sections
+    with quiet (amplitude <=128) every-3rd frames, so consecutive-loud
+    islands form real segments. All-integer; the oracle restates the
+    synthesis, frame fold and gaps-and-islands arithmetic exactly."""
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    import pandas as _pd
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 200 + 130
+                samples = [
+                    ((d * 31 + i * 17) % 65536 - 32768)
+                    if ((i // 64) + d) % 3 != 0
+                    else ((d * 31 + i * 17) % 256 - 128)
+                    for i in range(n)
+                ]
+                buf = _io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(_struct.pack(f"<{n}h", *samples))
+                payloads.append(buf.getvalue())
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    base = _docs(spark, sf_dir).select("doc_id")
+    payloads = base.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.audio_segments(payloads, frame_len=64, threshold=1 << 22)
+
+
+_SQL_AUDIO_SEGMENTS = """
+WITH s AS (
+  SELECT doc_id, (doc_id % 200 + 130)::int AS n FROM documents
+),
+f AS (
+  SELECT doc_id, n, unnest(range(((n + 63) // 64)::int))::bigint AS frame_id
+  FROM s
+),
+e AS (
+  SELECT doc_id, frame_id,
+    list_sum(list_transform(
+      range((frame_id * 64)::int, least(n::bigint, (frame_id + 1) * 64)::int),
+      i -> CASE WHEN ((i // 64) + doc_id) % 3 <> 0
+        THEN ((doc_id * 31 + i * 17) % 65536 - 32768)
+           * ((doc_id * 31 + i * 17) % 65536 - 32768)
+        ELSE ((doc_id * 31 + i * 17) % 256 - 128)
+           * ((doc_id * 31 + i * 17) % 256 - 128) END
+    ))::bigint AS energy
+  FROM f
+),
+a AS (SELECT * FROM e WHERE energy >= 4194304),
+i AS (
+  SELECT doc_id, frame_id, energy,
+    frame_id - row_number() OVER (PARTITION BY doc_id ORDER BY frame_id)
+      AS island
+  FROM a
+),
+g AS (
+  SELECT doc_id, island, min(frame_id)::bigint AS start_frame,
+    count(*)::bigint AS n_frames, sum(energy)::bigint AS energy_sum
+  FROM i GROUP BY 1, 2
+)
+SELECT doc_id,
+  (row_number() OVER (PARTITION BY doc_id ORDER BY start_frame) - 1)::bigint
+    AS seg_id,
+  start_frame, n_frames, energy_sum
+FROM g
+"""

@@ -2634,3 +2634,73 @@ def test_bpe_train_merges_rejects_unbounded_vocab_training(spark):
     docs = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="n_merges <= 256"):
         textops.bpe_train_merges(docs, n_merges=257)
+
+
+def test_semantic_dedup_keeps_outlier_and_plan_broadcasts_only_centroids(spark):
+    """SemDeDup (round 4): an exact-copy pair is a distance tie -> the
+    larger id drops; a near-dup pair drops the member closer to its
+    centroid. Plan: the ONLY BroadcastExchange is the bounded centroid
+    table — the within-cell pair join and the loser anti-side stay
+    shuffle-side."""
+    from legal_document_ocr_spark.operators.similarity import semantic_dedup
+
+    dims = 4
+    rows = []
+    # 4 seed vectors (ids 0..3) spread apart -> 4 distinct cells
+    seeds = [[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0], [0, 0, 0, 10.0]]
+    for i, v in enumerate(seeds):
+        rows.append((i, [float(x) for x in v]))
+    # id 10 = exact copy of seed 0 -> tie, larger id (10) drops
+    rows.append((10, [10.0, 0.0, 0.0, 0.0]))
+    # ids 20/21: same direction (cos=1), off-axis so neither pairs with a
+    # seed (cos to centroid 2 = 0.8 < 0.99); both land in cell 2 and 21
+    # sits closer to the centroid -> 21 drops
+    rows.append((20, [0.0, 30.0, 40.0, 0.0]))
+    rows.append((21, [0.0, 7.5, 10.0, 0.0]))
+    # id 30: alone in its direction, kept
+    rows.append((30, [0.0, 0.0, 9.0, 9.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, n_cells=4, threshold=0.99)
+    got = {r["vec_id"]: r["kept"] for r in out.collect()}
+    assert got[10] is False and got[0] is True          # tie -> larger id
+    assert got[21] is False and got[20] is True         # closer-to-centroid
+    assert got[30] is True
+    assert sum(not k for k in got.values()) == 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every broadcast must be the bounded centroid table (identity-mode
+    # cross join, recomputed per self-join branch) — never a corpus-sized
+    # BroadcastHashJoin side
+    assert plan.count("BroadcastExchange") == plan.count(
+        "BroadcastExchange IdentityBroadcastMode"
+    ), plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_audio_segments_merges_consecutive_active_frames(spark):
+    """VAD gaps-and-islands: loud-quiet-loud-loud-quiet-loud framing must
+    yield segments [0..0], [2..3], [5..5]; a garbage payload contributes
+    nothing (isolation, not task failure)."""
+    import io
+    import struct as _struct
+    import wave
+
+    frame = 8
+    loud = [1000] * frame
+    quiet = [1] * frame
+    pattern = loud + quiet + loud + loud + quiet + loud
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(_struct.pack(f"<{len(pattern)}h", *pattern))
+    df = spark.createDataFrame(
+        [(1, buf.getvalue()), (2, b"RIFFgarbage")], "doc_id long, payload binary"
+    )
+    out = multimodal.audio_segments(
+        df, frame_len=frame, threshold=frame * 1000 * 1000
+    ).collect()
+    segs = [(r["seg_id"], r["start_frame"], r["n_frames"]) for r in out]
+    assert sorted(segs) == [(0, 0, 1), (1, 2, 2), (2, 5, 1)]
+    assert all(r["doc_id"] == 1 for r in out)
+    assert all(r["energy_sum"] == r["n_frames"] * frame * 1000 * 1000 for r in out)
