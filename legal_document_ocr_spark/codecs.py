@@ -656,3 +656,149 @@ def decode_tiff(payload: bytes) -> dict:
         out = bytearray(255 - b for b in out)
     mode = "L" if spp == 1 else "RGB"
     return {"width": width, "height": height, "mode": mode, "pixels": bytes(out)}
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) video container — uncompressed 24-bit DIB frames
+#
+# The reference treats video as an opaque upload it cannot process; this
+# repo's multimodal contract (SURVEY.md §2.13) carries video as a binary
+# column and decodes it executor-side. Uncompressed RIFF/AVI is the video
+# analogue of WAV-in-RIFF and BMP-in-DIB: pure-stdlib byte framing, no
+# entropy coding — so frame EXTRACTION (the operation a training-data
+# pipeline needs: sample frames, hash them, feature them) decodes for
+# real. Lossy codecs (VP8/H.264 essence inside AVI/MP4) remain the one
+# declared external-library boundary.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_raw(
+    width: int, height: int, frames_rgb: list, fps: int = 10
+) -> bytes:
+    """Build a minimal standard AVI: 'hdrl' (avih + one 'vids' stream with
+    a 24-bit BITMAPINFOHEADER, biCompression=0) + 'movi' with one '00db'
+    uncompressed DIB chunk per frame (bottom-up BGR rows padded to 4
+    bytes). Test/synthesis helper — the roundtrip oracle for decode_avi."""
+    import struct
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    dibs = []
+    for rgb in frames_rgb:
+        if len(rgb) != width * height * 3:
+            raise ValueError("frame pixel buffer does not match dimensions")
+        rows = []
+        for y in range(height - 1, -1, -1):  # bottom-up
+            row = bytearray()
+            for x in range(width):
+                r, g, b = rgb[(y * width + x) * 3 : (y * width + x) * 3 + 3]
+                row += bytes((b, g, r))  # BGR
+            rows.append(bytes(row) + b"\x00" * pad)
+        dibs.append(b"".join(rows))
+    frame_sz = (row_bytes + pad) * height
+    n = len(frames_rgb)
+    avih = struct.pack(
+        "<10I4I",
+        1_000_000 // fps, frame_sz * fps, 0, 0x10,  # us/frame, rate, pad, HASINDEX-less flags
+        n, 0, 1, frame_sz, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sI2H8I4h",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps, 0, n, frame_sz, 0xFFFFFFFF, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_sz, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", d) for d in dibs))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi(payload: bytes) -> dict:
+    """Decode an uncompressed-DIB AVI: walk the RIFF tree (hdrl for
+    dimensions + the stream's BITMAPINFOHEADER, movi for '00db'/'00dc'
+    frame chunks), convert each bottom-up padded BGR frame to top-down
+    RGB. Returns {width, height, n_frames, us_per_frame, frames:
+    [rgb_bytes, ...]}. Compressed essence (biCompression != 0) raises
+    NotImplementedError — the declared external-codec boundary."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/'AVI ' header missing)")
+
+    def walk(data: int, end: int):
+        pos = data
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            body_end = min(body_start + size, end)
+            yield fourcc, body_start, body_end
+            pos = body_start + size + (size % 2)
+
+    width = height = None
+    bitcount = compression = None
+    us_per_frame = 0
+    frames: list[bytes] = []
+
+    def scan(start: int, end: int) -> None:
+        nonlocal width, height, bitcount, compression, us_per_frame
+        for fourcc, b0, b1 in walk(start, end):
+            if fourcc == b"LIST":
+                kind = payload[b0 : b0 + 4]
+                if kind in (b"hdrl", b"strl", b"movi", b"rec "):
+                    scan(b0 + 4, b1)
+            elif fourcc == b"avih" and b1 - b0 >= 40:
+                us_per_frame, = struct.unpack_from("<I", payload, b0)
+                width, height = struct.unpack_from("<II", payload, b0 + 32)
+            elif fourcc == b"strf" and b1 - b0 >= 20:
+                _, bw, bh, _, bc, comp = struct.unpack_from(
+                    "<IiiHHI", payload, b0
+                )
+                bitcount, compression = bc, comp
+                if width is None:
+                    width, height = bw, abs(bh)
+            elif fourcc[2:] in (b"db", b"dc") and fourcc[:2].isdigit():
+                frames.append(payload[b0:b1])
+
+    scan(12, len(payload))
+    if width is None or height is None or not frames:
+        raise ValueError("AVI missing header or frame chunks")
+    if compression not in (0, None) or (bitcount not in (24, None)):
+        raise NotImplementedError(
+            "only uncompressed 24-bit DIB AVI decodes without an external "
+            "codec (VP8/H.264 essence needs cv2/ffmpeg)"
+        )
+    row_bytes = width * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    out_frames = []
+    for dib in frames:
+        if len(dib) < stride * height:
+            raise ValueError("truncated AVI frame chunk")
+        rgb = bytearray()
+        for y in range(height - 1, -1, -1):  # bottom-up -> top-down
+            row = dib[y * stride : y * stride + row_bytes]
+            for x in range(width):
+                b, g, r = row[x * 3 : x * 3 + 3]
+                rgb += bytes((r, g, b))
+        out_frames.append(bytes(rgb))
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_frames": len(out_frames),
+        "us_per_frame": int(us_per_frame),
+        "frames": out_frames,
+    }

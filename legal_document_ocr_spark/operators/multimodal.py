@@ -691,3 +691,70 @@ def audio_segments(
             "energy_sum",
         )
     )
+
+
+VIDEO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("px_sum", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def _video_frames(frame_step: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..codecs import decode_avi
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame_idx": [], "width": [],
+                "height": [], "px_sum": [], "error": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    vid = decode_avi(bytes(payload))
+                except Exception as exc:  # noqa: BLE001 — per-record isolation
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(-1)
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["px_sum"].append(0)
+                    out["error"].append(f"{type(exc).__name__}: {exc}"[:200])
+                    continue
+                for i in range(0, vid["n_frames"], frame_step):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["width"].append(vid["width"])
+                    out["height"].append(vid["height"])
+                    out["px_sum"].append(sum(vid["frames"][i]))
+                    out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+def video_frames(
+    df: DataFrame, frame_step: int = 2, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL video frame sampling over an uncompressed-DIB AVI column
+    (codecs.decode_avi): decode the RIFF container executor-side, keep
+    every ``frame_step``-th frame, emit dims + the frame's RGB pixel sum
+    — the 1->N timestamped-frame extraction that frame_sample's byte
+    slicing stood in for. The reference rejects video uploads outright
+    (/root/reference/app/utils/validation.py:10 whitelists images only);
+    here video is a first-class binary column.
+
+    Scale shape: one mapInPandas stage; payload bytes enter Python once
+    and only scalar per-frame rows come out — no frame pixels ever cross
+    an exchange. Malformed payloads emit an error row (per-record
+    isolation), never a task failure. Compressed essence (VP8/H.264)
+    lands on the declared NotImplementedError boundary and shows up in
+    the error column."""
+    selected = df.selectExpr("doc_id", f"{payload_col} as payload")
+    return selected.mapInPandas(_video_frames(frame_step), VIDEO_FRAMES_SCHEMA)

@@ -1124,3 +1124,298 @@ def length_quartiles(docs: DataFrame, *, tiles: int = 4) -> DataFrame:
         )
     )
     return out_interior.unionByName(out_straddle)
+
+
+def revenue_forecast(
+    lineitem: DataFrame,
+    *,
+    year: int = 1997,
+    disc_lo: str = "0.02",
+    disc_hi: str = "0.06",
+    qty_max: int = 24,
+) -> DataFrame:
+    """TPC-H Q6 shape: the would-be revenue increase from dropping a
+    discount band — a pure scan-side filter battery (ship-year window,
+    discount band, quantity cap) with ONE map-side-combined decimal sum.
+    Every predicate pushes to the parquet scan; the plan has zero joins
+    and zero wide exchanges — the query is whole-stage codegen end-to-end
+    and scales linearly with lineitem bytes. Output: one row
+    (revenue, n_lines)."""
+    lo, hi = f"{year}-01-01", f"{year + 1}-01-01"
+    filt = lineitem.where(
+        (F.col("l_shipdate") >= lo)
+        & (F.col("l_shipdate") < hi)
+        & (_dec("l_discount") >= F.lit(disc_lo).cast("decimal(18,2)"))
+        & (_dec("l_discount") <= F.lit(disc_hi).cast("decimal(18,2)"))
+        & (F.col("l_quantity") < qty_max)
+    )
+    rev = (_dec("l_extendedprice") * _dec("l_discount")).cast("decimal(18,4)")
+    return filt.agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def volume_shipping(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    *,
+    nation_a: str = "NATION_11",
+    nation_b: str = "NATION_12",
+    year_lo: int = 1996,
+    year_hi: int = 1997,
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year — lineitem resolves its supplier's nation through a broadcast
+    dim chain, the customer's nation arrives through the orders join, and
+    the cross-nation OR predicate keeps exactly the two directed pairs.
+    The two fact tables (lineitem, orders) meet in ONE shuffle_hash join
+    on orderkey; everything else is broadcast. Output:
+    (supp_nation, cust_nation, l_year, revenue)."""
+    nat = nation.select("n_nationkey", "n_name").where(
+        F.col("n_name").isin(nation_a, nation_b)
+    )
+    supp = supplier.join(
+        F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        F.broadcast(nat), customer.c_nationkey == nat.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    o = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "cust_nation"
+    )
+    li = (
+        lineitem.where(
+            (F.col("l_shipdate") >= f"{year_lo}-01-01")
+            & (F.col("l_shipdate") < f"{year_hi + 1}-01-01")
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "l_orderkey",
+            "supp_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            ).cast("decimal(18,4)").alias("volume"),
+        )
+    )
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast("double").alias("revenue"))
+    )
+
+
+def market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    target_nation: str = "NATION_1",
+    region_name: str = "ASIA",
+    part_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for a part
+    type, by order year — the share is a conditional-sum over the same
+    grouped decimal volume (numerator = target-nation suppliers only).
+    All dimensions broadcast; the single wide exchange is the
+    lineitem ⋈ orders shuffle_hash join on orderkey. The share is emitted
+    as floor(num*1e6/den) over doubles (IEEE-identical across engines —
+    the float-portability discipline). Output:
+    (o_year, share_micro, volume)."""
+    dim = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey")
+    cust = customer.join(
+        F.broadcast(dim), customer.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey")
+    o = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    snat = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    li = (
+        lineitem.join(
+            F.broadcast(
+                part.where(F.col("p_type") == part_type).select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(snat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_orderkey",
+            "supp_nation",
+            (
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            ).cast("decimal(18,4)").alias("volume"),
+        )
+    )
+    grouped = (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == target_nation, F.col("volume"))
+                .otherwise(F.lit(0).cast("decimal(18,4)"))
+            ).alias("num"),
+            F.sum("volume").alias("den"),
+        )
+    )
+    return grouped.select(
+        "o_year",
+        F.floor(
+            F.col("num").cast("double") * 1000000.0 / F.col("den").cast("double")
+        ).cast("long").alias("share_micro"),
+        F.col("den").cast("double").alias("volume"),
+    )
+
+
+def returned_item_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    *,
+    date_lo: str = "1997-10-01",
+    date_hi: str = "1998-01-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned the most revenue in a
+    quarter — returnflag + order-date filters push to the scans, the two
+    fact tables meet in one shuffle_hash join on orderkey, and the
+    grouped decimal revenue rolls up per customer with the nation name
+    arriving via broadcast. Deterministic top-k (revenue desc, unique
+    custkey asc). Output: (c_custkey, c_name, n_name, c_acctbal,
+    revenue)."""
+    o = orders.where(
+        (F.col("o_orderdate") >= date_lo) & (F.col("o_orderdate") < date_hi)
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (
+            _dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+        ).cast("decimal(18,4)").alias("rev"),
+    )
+    per_cust = (
+        o.join(li.hint("shuffle_hash"), o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("revenue"))
+    )
+    cust = customer.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "c_acctbal",
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(k)
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    month_lo: str = "1997-09-01",
+    month_hi: str = "1997-10-01",
+    promo_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q14 shape: promotional parts' share of one month's revenue —
+    the ship-date window pushes to the lineitem scan, part broadcasts
+    with only (p_partkey, is-promo), and the share is one conditional
+    decimal aggregate. Emitted as floor(num*1e6/den) over doubles (the
+    float-portability discipline). Output: one row
+    (promo_share_micro, revenue, n_lines)."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= month_lo) & (F.col("l_shipdate") < month_hi)
+    ).select(
+        "l_partkey",
+        (
+            _dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+        ).cast("decimal(18,4)").alias("rev"),
+    )
+    p = part.select(
+        "p_partkey", (F.col("p_type") == promo_type).alias("is_promo")
+    )
+    agg = li.join(
+        F.broadcast(p), li.l_partkey == p.p_partkey
+    ).agg(
+        F.sum(
+            F.when(F.col("is_promo"), F.col("rev"))
+            .otherwise(F.lit(0).cast("decimal(18,4)"))
+        ).alias("num"),
+        F.sum("rev").alias("den"),
+        F.count("*").alias("n_lines"),
+    )
+    return agg.select(
+        F.floor(
+            F.col("num").cast("double") * 1000000.0 / F.col("den").cast("double")
+        ).cast("long").alias("promo_share_micro"),
+        F.col("den").cast("double").alias("revenue"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+    )
+
+
+def waiting_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+) -> DataFrame:
+    """TPC-H Q21 shape (adapted to this schema's columns): suppliers who
+    were the SOLE returner on a finished multi-supplier order — the
+    classic EXISTS (another supplier on the order) + NOT-EXISTS (another
+    supplier also returned) double-correlated subquery, rewritten as ONE
+    per-order aggregate: count distinct suppliers, count distinct
+    RETURNING suppliers, keep orders with >=2 suppliers but exactly 1
+    returner, then credit that returner. The triple self-join of the
+    textbook formulation never materializes — lineitem shuffles once on
+    orderkey and the qualifying-order set is tiny by construction.
+    (The reference schema lacks l_receiptdate/l_commitdate, so 'kept
+    waiting' is expressed via l_returnflag — the join/anti-join SHAPE is
+    the point.) Output: (s_name, numwait)."""
+    fin = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_returnflag")
+    per_order = (
+        li.join(fin.hint("shuffle_hash"), li.l_orderkey == fin.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("n_ret"),
+            F.max(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("sole_ret"),
+        )
+        .where((F.col("n_supp") >= 2) & (F.col("n_ret") == 1))
+    )
+    return (
+        per_order.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            per_order.sole_ret == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

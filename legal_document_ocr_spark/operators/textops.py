@@ -2364,3 +2364,49 @@ def cdc_chunks(
             F.md5("ch.txt").alias("chunk_hash"),
         )
     )
+
+
+IPV4_PATTERN = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+CARD_PATTERN = r"\b[0-9]{13,16}\b"
+
+
+def pii_luhn(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Structured-PII detection beyond redact_pii's email/phone pass:
+    IPv4 literals and payment-card-shaped digit runs, with each candidate
+    card validated by the REAL Luhn checksum — the check that separates
+    'sixteen digits' from 'leaked card number', which is what a
+    training-data compliance scrub actually has to count. One codegen
+    stage, zero exchanges: regexp_extract_all pulls the candidates and
+    the Luhn sum folds per candidate with bound-value HOF lambdas (the
+    card string is a lambda arg, so nothing re-inlines per element — the
+    repo's HOF-inlining discipline). ASCII-only patterns by design: Java
+    and RE2 agree on every construct used (\\b, explicit classes), so the
+    operator is oracle-portable on controlled text.
+
+    Output: (doc_id, n_ipv4, n_cards, n_luhn_valid)."""
+    c = F.col(text_col)
+
+    def luhn_valid(card: Column) -> Column:
+        n = F.length(card)
+        terms = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when(
+                ((n - i) % 2) == 1,
+                F.when(
+                    (F.ascii(card.substr(i, F.lit(1))) - 48) * 2 > 9,
+                    (F.ascii(card.substr(i, F.lit(1))) - 48) * 2 - 9,
+                ).otherwise((F.ascii(card.substr(i, F.lit(1))) - 48) * 2),
+            ).otherwise(F.ascii(card.substr(i, F.lit(1))) - 48),
+        )
+        total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
+        return (total % 10) == 0
+
+    cards = F.regexp_extract_all(c, F.lit(CARD_PATTERN), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(c, F.lit(IPV4_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_ipv4"),
+        F.size(cards).cast("long").alias("n_cards"),
+        F.size(F.filter(cards, luhn_valid)).cast("long").alias("n_luhn_valid"),
+    )

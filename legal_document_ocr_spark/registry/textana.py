@@ -407,3 +407,78 @@ FROM documents
 """
 
 
+
+
+def q_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated PII detection (textops.pii_luhn — round 4): text
+    synthesized per doc carries one IPv4 literal, one 16-digit card whose
+    check digit is doc_id%10 (so REAL Luhn validation decides validity),
+    and for doc_id%4==0 a second 14-digit card — the oracle restates the
+    synthesis and the Luhn fold digit by digit."""
+    d = F.col("doc_id")
+    txt = F.concat(
+        F.lit("from "),
+        (d % 256).cast("string"), F.lit("."),
+        ((d * 3) % 256).cast("string"), F.lit("."),
+        ((d * 5) % 256).cast("string"), F.lit("."),
+        ((d * 7) % 256).cast("string"),
+        F.lit(" card 4"),
+        F.lpad(
+            ((d * 2654435761) % F.lit(100000000000000).cast("long"))
+            .cast("string"),
+            14, "0",
+        ),
+        (d % 10).cast("string"),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit(" backup card 5"),
+                F.lpad(((d * 97 + 13) % F.lit(1000000000000).cast("long"))
+                       .cast("string"), 12, "0"),
+                F.lit("7"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" end"),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", txt.alias("text"))
+    return textops.pii_luhn(docs)
+
+
+_SQL_PII_LUHN = r"""
+WITH d AS (
+  SELECT doc_id,
+    'from ' || (doc_id % 256)::varchar
+      || '.' || ((doc_id * 3) % 256)::varchar
+      || '.' || ((doc_id * 5) % 256)::varchar
+      || '.' || ((doc_id * 7) % 256)::varchar
+      || ' card 4'
+      || lpad(((doc_id * 2654435761) % 100000000000000)::varchar, 14, '0')
+      || (doc_id % 10)::varchar
+      || CASE WHEN doc_id % 4 = 0
+           THEN ' backup card 5'
+             || lpad(((doc_id * 97 + 13) % 1000000000000)::varchar, 12, '0')
+             || '7'
+           ELSE '' END
+      || ' end' AS text
+  FROM documents
+),
+x AS (
+  SELECT doc_id,
+    regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')
+      AS ips,
+    regexp_extract_all(text, '\b[0-9]{13,16}\b') AS cards
+  FROM d
+)
+SELECT doc_id,
+  len(ips)::bigint AS n_ipv4,
+  len(cards)::bigint AS n_cards,
+  len(list_filter(cards, c ->
+    list_sum(list_transform(range(1, len(c) + 1), i ->
+      CASE WHEN (len(c) - i) % 2 = 1 THEN
+        CASE WHEN 2 * (ascii(substring(c, i, 1)) - 48) > 9
+          THEN 2 * (ascii(substring(c, i, 1)) - 48) - 9
+          ELSE 2 * (ascii(substring(c, i, 1)) - 48) END
+      ELSE ascii(substring(c, i, 1)) - 48 END)) % 10 = 0
+  ))::bigint AS n_luhn_valid
+FROM x
+"""

@@ -1274,3 +1274,288 @@ SELECT doc_id,
   start_frame, n_frames, energy_sum
 FROM g
 """
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction roundtrip (codecs.decode_avi via
+    multimodal.video_frames — round 4, retiring the video half of the
+    declared codec stub for uncompressed essence): synthesize one
+    raw-DIB AVI per document (dims and frame count vary by doc_id; frame
+    f's decoded top-down RGB byte j = ((7*doc_id + 13*f) % 256 + j) %
+    256 — the encoder lays down the bottom-up padded BGR DIB that decodes
+    to exactly that), sample every 2nd frame, emit dims + pixel sum. The
+    oracle restates the per-frame closed form."""
+    import pandas as _pd
+
+    from ..codecs import encode_avi_raw
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = d % 8 + 2
+                h = d % 4 + 2
+                nf = d % 5 + 2
+                frames = [
+                    bytes(((7 * d + 13 * f) % 256 + j) % 256 for j in range(3 * w * h))
+                    for f in range(nf)
+                ]
+                payloads.append(encode_avi_raw(w, h, frames, fps=d % 24 + 1))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pages = _docs(spark, sf_dir).select("doc_id")
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.video_frames(payloads, frame_step=2)
+
+
+_SQL_VIDEO_FRAMES = """
+WITH s AS (
+  SELECT doc_id, (doc_id % 8 + 2)::int AS w, (doc_id % 4 + 2)::int AS h,
+         (doc_id % 5 + 2)::int AS nf
+  FROM documents
+),
+f AS (
+  SELECT doc_id, w, h, unnest(range(0, nf, 2))::int AS frame_idx FROM s
+)
+SELECT doc_id, frame_idx, w AS width, h AS height,
+  list_sum(list_transform(range(3*w*h),
+    j -> ((doc_id*7 + frame_idx*13) % 256 + j) % 256))::bigint AS px_sum,
+  NULL::varchar AS error
+FROM f
+"""
+
+
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (relational.revenue_forecast — round 4): pure
+    scan-side filter battery + one decimal sum, zero joins."""
+    return relational.revenue_forecast(_tbl(spark, sf_dir, "lineitem"))
+
+
+_SQL_REVENUE_FORECAST = """
+SELECT
+  sum((l_extendedprice::decimal(18,2) * l_discount::decimal(18,2)
+      )::decimal(18,4))::double AS revenue,
+  count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount::decimal(18,2) >= 0.02::decimal(18,2)
+  AND l_discount::decimal(18,2) <= 0.06::decimal(18,2)
+  AND l_quantity < 24
+"""
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (relational.volume_shipping — round 4): bilateral
+    nation-pair trade volume by ship year."""
+    return relational.volume_shipping(
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
+_SQL_VOLUME_SHIPPING = """
+WITH nat AS (
+  SELECT n_nationkey, n_name FROM nation
+  WHERE n_name IN ('NATION_11', 'NATION_12')
+),
+s AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nat ON s_nationkey = n_nationkey
+),
+c AS (
+  SELECT c_custkey, n_name AS cust_nation
+  FROM customer JOIN nat ON c_nationkey = n_nationkey
+),
+o AS (
+  SELECT o_orderkey, cust_nation FROM orders JOIN c ON o_custkey = c_custkey
+),
+l AS (
+  SELECT l_orderkey, supp_nation, year(l_shipdate)::int AS l_year,
+    (l_extendedprice::decimal(18,2)
+     * (1::decimal(18,2) - l_discount::decimal(18,2)))::decimal(18,4)
+      AS volume
+  FROM lineitem JOIN s ON l_suppkey = s_suppkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+SELECT supp_nation, cust_nation, l_year, sum(volume)::double AS revenue
+FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+WHERE supp_nation <> cust_nation
+GROUP BY 1, 2, 3
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (relational.market_share — round 4): one nation's
+    share of a region's PROMO-part market by order year; share emitted as
+    floor(num*1e6/den) over doubles."""
+    return relational.market_share(
+        _tbl(spark, sf_dir, "part"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "region"),
+    )
+
+
+_SQL_MARKET_SHARE = """
+WITH dim AS (
+  SELECT n_nationkey FROM nation
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+c AS (
+  SELECT c_custkey FROM customer JOIN dim ON c_nationkey = n_nationkey
+),
+o AS (
+  SELECT o_orderkey, year(o_orderdate)::int AS o_year
+  FROM orders JOIN c ON o_custkey = c_custkey
+),
+sn AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+l AS (
+  SELECT l_orderkey, supp_nation,
+    (l_extendedprice::decimal(18,2)
+     * (1::decimal(18,2) - l_discount::decimal(18,2)))::decimal(18,4)
+      AS volume
+  FROM lineitem
+  JOIN (SELECT p_partkey FROM part WHERE p_type = 'PROMO') p
+    ON l_partkey = p_partkey
+  JOIN sn ON l_suppkey = s_suppkey
+),
+g AS (
+  SELECT o_year,
+    sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+             ELSE 0::decimal(18,4) END) AS num,
+    sum(volume) AS den
+  FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+)
+SELECT o_year,
+  floor(num::double * 1000000.0 / den::double)::bigint AS share_micro,
+  den::double AS volume
+FROM g
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (relational.returned_item_revenue — round 4):
+    customers who returned the most revenue in 1997Q4, deterministic
+    top-20."""
+    return relational.returned_item_revenue(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
+_SQL_RETURNED_ITEMS = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+),
+l AS (
+  SELECT l_orderkey,
+    (l_extendedprice::decimal(18,2)
+     * (1::decimal(18,2) - l_discount::decimal(18,2)))::decimal(18,4)
+      AS rev
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+pc AS (
+  SELECT o_custkey, sum(rev) AS revenue
+  FROM o JOIN l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1
+)
+SELECT c_custkey, c_name, n_name, c_acctbal, revenue::double AS revenue
+FROM pc
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue::double DESC, c_custkey LIMIT 20
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (relational.promo_revenue_share — round 4):
+    promotional parts' share of one month's revenue; share emitted as
+    floor(num*1e6/den) over doubles."""
+    return relational.promo_revenue_share(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part")
+    )
+
+
+_SQL_PROMO_REVENUE = """
+WITH l AS (
+  SELECT l_partkey,
+    (l_extendedprice::decimal(18,2)
+     * (1::decimal(18,2) - l_discount::decimal(18,2)))::decimal(18,4)
+      AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l_shipdate < TIMESTAMP '1997-10-01'
+),
+a AS (
+  SELECT
+    sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0::decimal(18,4) END)
+      AS num,
+    sum(rev) AS den,
+    count(*) AS n_lines
+  FROM l JOIN part ON l_partkey = p_partkey
+)
+SELECT floor(num::double * 1000000.0 / den::double)::bigint
+    AS promo_share_micro,
+  den::double AS revenue, n_lines
+FROM a
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (relational.waiting_suppliers — round 4): sole
+    returner on finished multi-supplier orders — the EXISTS/NOT-EXISTS
+    double-correlation as ONE per-order aggregate."""
+    return relational.waiting_suppliers(
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "orders"),
+    )
+
+
+_SQL_WAITING_SUPPLIERS = """
+WITH fin AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+po AS (
+  SELECT l_orderkey,
+    count(DISTINCT l_suppkey) AS n_supp,
+    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+      AS n_ret,
+    max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS sole_ret
+  FROM lineitem JOIN fin ON l_orderkey = o_orderkey
+  GROUP BY 1
+  HAVING count(DISTINCT l_suppkey) >= 2
+     AND count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) = 1
+)
+SELECT s_name, count(*) AS numwait
+FROM po JOIN supplier ON sole_ret = s_suppkey
+GROUP BY 1
+"""

@@ -2704,3 +2704,31 @@ def test_audio_segments_merges_consecutive_active_frames(spark):
     assert sorted(segs) == [(0, 0, 1), (1, 2, 2), (2, 5, 1)]
     assert all(r["doc_id"] == 1 for r in out)
     assert all(r["energy_sum"] == r["n_frames"] * frame * 1000 * 1000 for r in out)
+
+
+def test_video_frames_decodes_avi_and_isolates_garbage(spark):
+    """AVI frame sampling: a 3-frame raw-DIB AVI at step 2 yields frames
+    0 and 2 with exact RGB pixel sums; compressed/garbage payloads emit
+    an error row instead of failing the task."""
+    from legal_document_ocr_spark.codecs import encode_avi_raw
+
+    w, h = 4, 3
+    frames = [bytes((f * 50 + j) % 256 for j in range(3 * w * h)) for f in range(3)]
+    good = encode_avi_raw(w, h, frames, fps=12)
+    df = spark.createDataFrame(
+        [(1, good), (2, b"RIFF\x10\x00\x00\x00AVI garbage")],
+        "doc_id long, payload binary",
+    )
+    rows = multimodal.video_frames(df, frame_step=2).collect()
+    ok = sorted(
+        (r["frame_idx"], r["width"], r["height"], r["px_sum"])
+        for r in rows
+        if r["doc_id"] == 1
+    )
+    assert ok == [
+        (0, w, h, sum(frames[0])),
+        (2, w, h, sum(frames[2])),
+    ]
+    assert all(r["error"] is None for r in rows if r["doc_id"] == 1)
+    bad = [r for r in rows if r["doc_id"] == 2]
+    assert len(bad) == 1 and bad[0]["error"] and bad[0]["frame_idx"] == -1
