@@ -74,6 +74,9 @@ HEADLINE = [
     "cdc_chunks",             # content-defined chunking (zero-shuffle HOFs)
     "webp_decode",            # real lossless-WebP/VP8L decode (mapInPandas)
     "audio_features",         # integer-exact PCM quality gauges
+    "video_frames",           # real AVI/RIFF frame extraction (mapInPandas)
+    "volume_shipping",        # TPC-H Q7 fact-fact shuffle_hash + dim broadcasts
+    "pii_luhn",               # Luhn-validated PII battery (zero-exchange HOFs)
 ]
 
 

@@ -36,6 +36,13 @@ ZIP="$(mktemp -d)/ldos_pkg.zip"
 
 # N executors of 2 cores each (fat-enough executors — 1-core executors pay
 # disproportionate shuffle fan-out; see BASELINE.md).
+# io.compression.codec zstd: the dedup path's payload exchange is the
+# shared-disk bottleneck on a one-box "cluster" — zstd shrinks shuffle
+# bytes ~2x over lz4 on HTML payloads, measured dup_rate=0.5 1->4-exec
+# efficiency 0.78 (lz4) -> 0.898 (zstd) and +19% absolute 4N throughput
+# (BASELINE.md round-4). On a real cluster zstd stays right: shuffle
+# bytes cost network there, and the CPU overhead is amortized by the
+# pipeline being UDF-bound.
 # shuffle.partitions = TOTAL CORES (n_exec*2), not 2x: the dedup pipeline
 # concentrates ~60% of its work in the distinct-payload UDF stage behind
 # one exchange, and 2x-cores partitions AQE-coalesce to ~1.5 waves (25%
@@ -52,12 +59,13 @@ run_at() {
     --conf spark.executor.cores=2 \
     --conf spark.executor.memory=4g \
     --conf spark.sql.shuffle.partitions="$((n_exec * 2))" \
+    --conf spark.io.compression.codec="${SPARK_GRAFT_SHUFFLE_CODEC:-zstd}" \
     "$REPO/scripts/submit_extract.py" \
     --sf-dir "${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
     --replicas "$REPLICAS" --dup-rate "$dup" 2>/dev/null | grep '^{'
 }
 
-for dup in 0.0 0.5; do
+for dup in ${SPARK_GRAFT_DUP_RATES:-0.0 0.5}; do
   # ambient co-tenant load contaminates the WIDE config first (it needs all
   # the cores); sample loadavg around each run so efficiency numbers carry
   # their own adjudication context (same idea as bench.py's canary)

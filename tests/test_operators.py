@@ -2732,3 +2732,54 @@ def test_video_frames_decodes_avi_and_isolates_garbage(spark):
     assert all(r["error"] is None for r in rows if r["doc_id"] == 1)
     bad = [r for r in rows if r["doc_id"] == 2]
     assert len(bad) == 1 and bad[0]["error"] and bad[0]["frame_idx"] == -1
+
+
+def test_tpch_round4_fact_joins_stay_shuffle_side(spark):
+    """Round-4 TPC-H battery: the lineitem ⋈ orders fact-fact join must
+    be a ShuffledHashJoin (never a broadcast of either fact side); Q6
+    must plan with no join and no broadcast at all; Q21's rewrite keeps
+    exactly one bounded broadcast (the supplier name dim)."""
+    import legal_document_ocr_spark.queries as Q
+
+    for name in ["volume_shipping", "market_share", "returned_items"]:
+        plan = _plan(Q.SPARK[name](spark, SF))
+        assert "ShuffledHashJoin" in plan, f"{name}:\n{plan}"
+        # broadcasts present are dims only — never carrying l_ or o_ fact
+        # payload columns wider than the key sets used here; assert the
+        # fact join itself is not broadcast by checking no
+        # BroadcastHashJoin mentions l_orderkey
+        for frag in plan.split("BroadcastHashJoin")[1:]:
+            cond = frag.split("\n", 1)[0]
+            assert "l_orderkey" not in cond, f"{name}: fact broadcast\n{plan}"
+    q6 = _plan(Q.SPARK["revenue_forecast"](spark, SF))
+    assert "Join" not in q6 and "BroadcastExchange" not in q6, q6
+    q21 = _plan(Q.SPARK["waiting_suppliers"](spark, SF))
+    assert q21.count("BroadcastExchange") == 1, q21
+    assert "ShuffledHashJoin" in q21, q21
+
+
+def test_pii_luhn_validates_real_checksums_and_counts(spark):
+    """Luhn PII battery against known vectors: 4532015112830366 and
+    4111111111111111 pass the checksum, 1234567890123456 fails; IPv4 and
+    card counts come from the real regex pass; a 12-digit run is too
+    short to be a card candidate. Plan must be a single projection —
+    zero exchanges."""
+    docs = spark.createDataFrame(
+        [
+            (1, "pay 4532015112830366 or 4111111111111111 from 10.0.0.1"),
+            (2, "invalid 1234567890123456 ip 192.168.1.254 and 8.8.8.8"),
+            (3, "short 123456789012 digits only"),
+            (4, "no pii at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_ipv4"], r["n_cards"], r["n_luhn_valid"])
+        for r in textops.pii_luhn(docs).collect()
+    }
+    assert got[1] == (1, 2, 2)
+    assert got[2] == (2, 1, 0)
+    assert got[3] == (0, 0, 0)
+    assert got[4] == (0, 0, 0)
+    plan = _plan(textops.pii_luhn(docs))
+    assert "Exchange" not in plan, plan
