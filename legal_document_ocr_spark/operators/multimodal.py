@@ -32,6 +32,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..scale.salt import ensure_parallelism
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -183,7 +184,7 @@ def _audio_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def audio_decode(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Real PCM WAV decode stage (mapInPandas): header fields + the exact
     16-bit sample sum — the audio analogue of image_decode."""
-    selected = df.selectExpr("doc_id", f"{payload_col} as payload")
+    selected = ensure_parallelism(df).selectExpr("doc_id", f"{payload_col} as payload")
     return selected.mapInPandas(_audio_decode, AUDIO_DECODE_SCHEMA)
 
 
@@ -191,7 +192,7 @@ def image_decode(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Real decode stage over an image binary column (mapInPandas): emits
     decoded (width, height, mode) and the pixel-sum — the per-image Python
     cost of an actual codec, batch shape identical to media_features."""
-    selected = df.selectExpr("doc_id", f"{payload_col} as payload")
+    selected = ensure_parallelism(df).selectExpr("doc_id", f"{payload_col} as payload")
     return selected.mapInPandas(_image_decode, IMAGE_DECODE_SCHEMA)
 
 
@@ -266,7 +267,7 @@ def frame_sample(
     """1 -> N multimodal fan-out: sample ``n_frames`` frames per payload
     (mapInPandas; the reference's PDF->page-images explode, SURVEY.md S3,
     re-expressed for opaque media bytes)."""
-    selected = df.selectExpr("doc_id", f"{payload_col} as payload")
+    selected = ensure_parallelism(df).selectExpr("doc_id", f"{payload_col} as payload")
     return selected.mapInPandas(_frame_sample(n_frames), FRAME_SCHEMA)
 
 
@@ -276,7 +277,7 @@ def media_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     Input needs (doc_id, ``payload_col``); Arrow batch size is bounded by the
     session's maxRecordsPerBatch (set for multi-MB payloads in session.py).
     """
-    selected = df.selectExpr(f"doc_id", f"{payload_col} as payload")
+    selected = ensure_parallelism(df).selectExpr(f"doc_id", f"{payload_col} as payload")
     return selected.mapInPandas(_media_features, MEDIA_FEATURE_SCHEMA)
 
 
@@ -365,7 +366,7 @@ def image_resize(
                 out["error"].append(None)
             yield pd.DataFrame(out)
 
-    selected = df.selectExpr("doc_id", f"{payload_col} as payload")
+    selected = ensure_parallelism(df).selectExpr("doc_id", f"{payload_col} as payload")
     return selected.mapInPandas(kernel, IMAGE_RESIZE_SCHEMA)
 
 
@@ -425,7 +426,7 @@ def pdf_extract(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 out["error"].append(None)
             yield pd.DataFrame(out)
 
-    selected = df.selectExpr("doc_id", f"{payload_col} as payload")
+    selected = ensure_parallelism(df).selectExpr("doc_id", f"{payload_col} as payload")
     return selected.mapInPandas(kernel, PDF_EXTRACT_SCHEMA)
 
 
@@ -489,7 +490,7 @@ def image_ahash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 out["error"].append(None)
             yield pd.DataFrame(out)
 
-    selected = df.selectExpr("doc_id", f"{payload_col} as payload")
+    selected = ensure_parallelism(df).selectExpr("doc_id", f"{payload_col} as payload")
     return selected.mapInPandas(kernel, AHASH_SCHEMA)
 
 
@@ -601,7 +602,7 @@ def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     audio analogue of quality_scores; all-integer so both engines agree
     exactly). Same batch shape and per-record error isolation as
     audio_decode."""
-    selected = df.selectExpr("doc_id", f"{payload_col} as payload")
+    selected = ensure_parallelism(df).selectExpr("doc_id", f"{payload_col} as payload")
     return selected.mapInPandas(_audio_features, AUDIO_FEATURES_SCHEMA)
 
 
@@ -667,7 +668,9 @@ def audio_segments(
 
     Output: (doc_id, seg_id, start_frame, n_frames, energy_sum).
     """
-    frames = df.selectExpr("doc_id", f"{payload_col} as payload").mapInPandas(
+    frames = ensure_parallelism(df).selectExpr(
+        "doc_id", f"{payload_col} as payload"
+    ).mapInPandas(
         _audio_frames(frame_len), AUDIO_FRAMES_SCHEMA
     )
     active = frames.where(F.col("energy") >= threshold)
@@ -756,5 +759,5 @@ def video_frames(
     isolation), never a task failure. Compressed essence (VP8/H.264)
     lands on the declared NotImplementedError boundary and shows up in
     the error column."""
-    selected = df.selectExpr("doc_id", f"{payload_col} as payload")
+    selected = ensure_parallelism(df).selectExpr("doc_id", f"{payload_col} as payload")
     return selected.mapInPandas(_video_frames(frame_step), VIDEO_FRAMES_SCHEMA)

@@ -2309,7 +2309,9 @@ def cdc_chunks(
     = md5 hex of the chunk text.
     """
     from ..operators.dedup import base_hash28
+    from ..scale.salt import ensure_parallelism
 
+    docs = ensure_parallelism(docs)  # the per-char fold is the hot loop
     c = F.col(text_col)
     n = F.length(c)
     chars = F.split(c, "")

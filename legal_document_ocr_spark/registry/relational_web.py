@@ -19,6 +19,7 @@ from ..sources.pages import (
 )
 from ..stages import run_extraction
 
+from ..scale.salt import ensure_parallelism as _spread
 from .common import (
     _DOUBLED_SQL,
     _TOKS,
@@ -1356,7 +1357,7 @@ def _synth_ahash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    return _docs(spark, sf_dir).select("doc_id").mapInPandas(
+    return _spread(_docs(spark, sf_dir).select("doc_id")).mapInPandas(
         _synth,
         StructType(
             [StructField("doc_id", LongType()), StructField("payload", BinaryType())]

@@ -19,6 +19,7 @@ from ..sources.pages import (
 )
 from ..stages import run_extraction
 
+from ..scale.salt import ensure_parallelism as _spread
 from .common import (
     _TOKS,
     _docs,
@@ -667,7 +668,7 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    pages = _docs(spark, sf_dir).select("doc_id")
+    pages = _spread(_docs(spark, sf_dir).select("doc_id"))
     payloads = pages.mapInPandas(
         _synth,
         StructType(
@@ -723,7 +724,7 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    pages = _docs(spark, sf_dir).select("doc_id")
+    pages = _spread(_docs(spark, sf_dir).select("doc_id"))
     payloads = pages.mapInPandas(
         _synth,
         StructType(
@@ -781,7 +782,7 @@ def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    pages = _docs(spark, sf_dir).select("doc_id")
+    pages = _spread(_docs(spark, sf_dir).select("doc_id"))
     payloads = pages.mapInPandas(
         _synth,
         StructType(
@@ -831,7 +832,7 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    pages = _docs(spark, sf_dir).select("doc_id")
+    pages = _spread(_docs(spark, sf_dir).select("doc_id"))
     payloads = pages.mapInPandas(
         _synth,
         StructType(
@@ -889,7 +890,7 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    pages = _docs(spark, sf_dir).select("doc_id")
+    pages = _spread(_docs(spark, sf_dir).select("doc_id"))
     payloads = pages.mapInPandas(
         _synth,
         StructType(
@@ -961,7 +962,7 @@ def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    pages = _docs(spark, sf_dir).select("doc_id")
+    pages = _spread(_docs(spark, sf_dir).select("doc_id"))
     payloads = pages.mapInPandas(
         _synth,
         StructType(
@@ -1037,7 +1038,7 @@ def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    pages = _docs(spark, sf_dir).select("doc_id")
+    pages = _spread(_docs(spark, sf_dir).select("doc_id"))
     payloads = pages.mapInPandas(
         _synth,
         StructType(
@@ -1097,7 +1098,7 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    base = _docs(spark, sf_dir).select("doc_id")
+    base = _spread(_docs(spark, sf_dir).select("doc_id"))
     payloads = base.mapInPandas(
         _synth,
         StructType(
@@ -1155,7 +1156,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    base = _docs(spark, sf_dir).select("doc_id")
+    base = _spread(_docs(spark, sf_dir).select("doc_id"))
     payloads = base.mapInPandas(
         _synth,
         StructType(
@@ -1226,7 +1227,7 @@ def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    base = _docs(spark, sf_dir).select("doc_id")
+    base = _spread(_docs(spark, sf_dir).select("doc_id"))
     payloads = base.mapInPandas(
         _synth,
         StructType(
@@ -1311,7 +1312,7 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    pages = _docs(spark, sf_dir).select("doc_id")
+    pages = _spread(_docs(spark, sf_dir).select("doc_id"))
     payloads = pages.mapInPandas(
         _synth,
         StructType(

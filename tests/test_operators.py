@@ -414,9 +414,12 @@ def test_image_decode_isolates_malformed_records(spark):
     rows = [
         (1, good),
         (2, good[:20]),              # truncated PNG
-        (3, b"RIFF\x00\x00\x00\x00WEBP"),  # library-bound format
+        # lossy VP8 chunk: the declared library-bound boundary (VP8L
+        # decodes for real since round 4)
+        (3, b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd"),
         (4, None),                    # null payload -> skipped entirely
         (5, b"\xff\xd8\xff\xe0jpg"),  # garbage JPEG body
+        (6, b"RIFF\x00\x00\x00\x00WEBP"),  # chunkless container -> malformed
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r["doc_id"]: r for r in multimodal.image_decode(df).collect()}
@@ -425,6 +428,7 @@ def test_image_decode_isolates_malformed_records(spark):
     assert out[3]["error"].startswith("NotImplementedError")
     assert 4 not in out
     assert out[5]["error"].startswith("ValueError")
+    assert out[6]["error"].startswith("ValueError")
 
 
 def test_audio_decode_isolates_malformed_records(spark):
