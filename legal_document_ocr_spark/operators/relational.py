@@ -1419,3 +1419,153 @@ def waiting_suppliers(
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+def _ps_cost(p: Column, s: Column) -> Column:
+    """Deterministic supply cost for a (partkey, suppkey) pair — the
+    partsupp surrogate this schema lacks: cost = ((p*31 + s*17) % 1000)
+    / 100 + 1, emitted as decimal(18,2) so both engines fold it
+    exactly."""
+    return (
+        (((p * 31 + s * 17) % 1000) / F.lit(100.0) + 1)
+        .cast("decimal(18,2)")
+    )
+
+
+def _ps_availqty(p: Column, s: Column) -> Column:
+    """Deterministic available quantity for a (partkey, suppkey) pair
+    (the Q20 partsupp surrogate): (p*13 + s*7) % 500."""
+    return ((p * 13 + s * 7) % 500).cast("long")
+
+
+def product_profit(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year — revenue
+    minus supply cost x quantity, rolled up (n_name, o_year). The supply
+    cost comes from the deterministic partsupp surrogate (this schema
+    carries the (partkey, suppkey) relation implicitly on lineitem), so
+    the aggregation shape is Q9's exactly: fact ⋈ fact on orderkey
+    (shuffle_hash), supplier-nation dim chain broadcast, one grouped
+    decimal sum. Output: (n_name, o_year, profit)."""
+    snat = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    li = lineitem.join(
+        F.broadcast(snat), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select(
+        "l_orderkey",
+        "n_name",
+        (
+            (
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            ).cast("decimal(18,4)")
+            - (
+                _ps_cost(F.col("l_partkey"), F.col("l_suppkey"))
+                * _dec("l_quantity")
+            ).cast("decimal(18,4)")
+        ).alias("amount"),
+    )
+    o = orders.select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", "o_year")
+        .agg(F.sum("amount").cast("double").alias("profit"))
+    )
+
+
+def important_stock(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    *,
+    nation_name: str = "NATION_3",
+    fraction: str = "0.001",
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stock value at one nation's suppliers
+    exceeds a FRACTION OF THE GLOBAL TOTAL (Q11's fraction shrinks with part count — a fixed percent excludes everything at scale) — the scalar-subquery-
+    threshold pattern: the per-part value is one map-side-combined
+    decimal groupBy over the distinct (partkey, suppkey) relation, the
+    global total is a 1-row aggregate crossJoined back (broadcast by
+    construction), and the HAVING compares decimals exactly. Stock value
+    uses the deterministic partsupp surrogate (cost x availqty).
+    Output: (p_partkey, stock_value)."""
+    snat = supplier.join(
+        F.broadcast(
+            nation.where(F.col("n_name") == nation_name).select("n_nationkey")
+        ),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    ps = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .distinct()
+        .withColumn(
+            "value",
+            (
+                _ps_cost(F.col("l_partkey"), F.col("l_suppkey"))
+                * _ps_availqty(F.col("l_partkey"), F.col("l_suppkey"))
+            ).cast("decimal(18,2)"),
+        )
+    )
+    nat_value = (
+        ps.join(F.broadcast(snat), ps.l_suppkey == snat.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("value").alias("stock_value"))
+    )
+    total = nat_value.agg(F.sum("stock_value").alias("grand"))
+    return (
+        nat_value.crossJoin(F.broadcast(total))
+        .where(
+            F.col("stock_value")
+            > F.col("grand") * F.lit(fraction).cast("decimal(8,4)")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("stock_value").cast("double").alias("stock_value"),
+        )
+    )
+
+
+def promotion_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    *,
+    part_type: str = "PROMO",
+    year: int = 1997,
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding excess stock of promotional
+    parts — the double-nested EXISTS decorrelated into aggregate joins:
+    per-(part, supplier) shipped quantity for the year (one
+    map-side-combined groupBy over the date-pruned scan), the availqty
+    surrogate compared row-wise (availqty > shipped/2, kept all-decimal
+    as 2*availqty > shipped), then DISTINCT qualifying suppliers join
+    the name dim. Output: (s_suppkey, s_name, n_parts)."""
+    promo = part.where(F.col("p_type") == part_type).select("p_partkey")
+    shipped = (
+        lineitem.where(
+            (F.col("l_shipdate") >= f"{year}-01-01")
+            & (F.col("l_shipdate") < f"{year + 1}-01-01")
+        )
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("shipped"))
+    )
+    qual = shipped.where(
+        (2 * _ps_availqty(F.col("l_partkey"), F.col("l_suppkey")))
+        > F.col("shipped")
+    )
+    return (
+        qual.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_parts"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", F.col("n_parts").cast("long"))
+    )

@@ -1560,3 +1560,106 @@ SELECT s_name, count(*) AS numwait
 FROM po JOIN supplier ON sole_ret = s_suppkey
 GROUP BY 1
 """
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (relational.product_profit — round 4): profit by
+    supplier nation and order year, supply cost from the deterministic
+    partsupp surrogate cost(p,s) = ((p*31+s*17)%1000)/100 + 1."""
+    return relational.product_profit(
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "orders"),
+    )
+
+
+_SQL_PRODUCT_PROFIT = """
+WITH sn AS (
+  SELECT s_suppkey, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+l AS (
+  SELECT l_orderkey, n_name,
+    ((l_extendedprice::decimal(18,2)
+      * (1::decimal(18,2) - l_discount::decimal(18,2)))::decimal(18,4)
+     -
+     ((((l_partkey * 31 + l_suppkey * 17) % 1000) / 100.0 + 1
+      )::decimal(18,2)
+      * l_quantity::decimal(18,2))::decimal(18,4)) AS amount
+  FROM lineitem JOIN sn ON l_suppkey = s_suppkey
+)
+SELECT n_name, year(o_orderdate)::int AS o_year,
+  sum(amount)::double AS profit
+FROM l JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (relational.important_stock — round 4): parts
+    whose stock value at NATION_3's suppliers exceeds 0.1% of that
+    nation's total; value = cost(p,s) * availqty(p,s) over the distinct
+    (partkey, suppkey) relation."""
+    return relational.important_stock(
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
+_SQL_IMPORTANT_STOCK = """
+WITH sn AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+),
+ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+v AS (
+  SELECT l_partkey,
+    ((((l_partkey * 31 + l_suppkey * 17) % 1000) / 100.0 + 1
+     )::decimal(18,2)
+     * ((l_partkey * 13 + l_suppkey * 7) % 500))::decimal(18,2) AS value
+  FROM ps JOIN sn ON l_suppkey = s_suppkey
+),
+nv AS (
+  SELECT l_partkey, sum(value) AS stock_value FROM v GROUP BY 1
+),
+t AS (SELECT sum(stock_value) AS grand FROM nv)
+SELECT l_partkey AS p_partkey, stock_value::double AS stock_value
+FROM nv, t
+WHERE stock_value > grand * 0.001::decimal(8,4)
+"""
+
+
+def q_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (relational.promotion_suppliers — round 4):
+    suppliers holding excess PROMO-part stock vs 1997 shipments
+    (2*availqty > shipped, all-decimal)."""
+    return relational.promotion_suppliers(
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "part"),
+    )
+
+
+_SQL_PROMOTION_SUPPLIERS = """
+WITH promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+sh AS (
+  SELECT l_partkey, l_suppkey,
+    sum(l_quantity::decimal(18,2)) AS shipped
+  FROM lineitem JOIN promo ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+),
+q AS (
+  SELECT l_suppkey, count(*) AS n_parts FROM sh
+  WHERE 2 * ((l_partkey * 13 + l_suppkey * 7) % 500) > shipped
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, n_parts
+FROM q JOIN supplier ON l_suppkey = s_suppkey
+"""
