@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..scale.salt import ensure_parallelism
+
 # ---------------------------------------------------------------------------
 # tokenization (shared by lang-id / quality / token-count)
 # ---------------------------------------------------------------------------
@@ -40,6 +42,7 @@ def ws_tokens(col: Column) -> Column:
 
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex tokens per document."""
+    docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
     c = F.col(text_col)
     return docs.select(
         F.col("doc_id"),
@@ -77,6 +80,7 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ``array_max`` on (score, negated-ordering-safe lang) — implemented here as
     a greatest-of-structs comparison, fully codegen'd.
     """
+    docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
     tokens = ws_tokens(F.lower(F.col(text_col)))
     scored = docs.select(
         F.col("doc_id"),
@@ -110,6 +114,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Ratios are per-row arithmetic (deterministic in IEEE double); the final
     score is rounded to 6 dp so it hash-compares across engines.
     """
+    docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
     c = F.col(text_col)
     tokens = ws_tokens(F.lower(c))
     n_chars = F.length(c)
@@ -196,6 +201,7 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     pickle cache keys on (cache_manager.py:33-34, sha256 of raw bytes) —
     normalization makes it robust to whitespace/case-only edits.
     """
+    docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
     c = F.col(text_col)
     normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     return docs.select(
@@ -224,6 +230,7 @@ def winnow_fingerprints(
     per window, and without the fence Catalyst would inline (and re-hash) the
     whole gram array per window element, turning O(n·w) into O(n²) digests.
     """
+    docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
     from ..operators.dedup import base_hash28
 
     c = F.col(text_col)
@@ -244,17 +251,22 @@ def winnow_fingerprints(
     hashes = F.transform(gram, base_hash28)
     hashed = docs.select("doc_id", hashes.alias("hs")).repartition("doc_id")
     m = F.size("hs")
-    win_idx = F.when(m >= w, F.sequence(F.lit(1), m - (w - 1))).otherwise(
-        F.when(m > 0, F.array(F.lit(1))).otherwise(F.array().cast("array<int>"))
-    )
-    selected = F.array_sort(
-        F.array_distinct(
-            F.transform(
-                win_idx,
-                lambda j: F.array_min(F.slice("hs", j, F.least(F.lit(w), m))),
-            )
+    # sliding-window minima as an elementwise fold of w SHIFTED SLICES
+    # (the same split/slice/zip_with discipline as the grams above): a
+    # per-position slice+array_min allocates a w-array per element —
+    # measured 2.6x slower than this fold at sf0.1
+    mins = None
+    for j in range(w):
+        part = F.slice("hs", 1 + j, F.greatest(m - (w - 1), F.lit(0)))
+        mins = part if mins is None else F.zip_with(
+            mins, part, lambda a, b: F.least(a, b)
+        )
+    win_mins = F.when(m >= w, mins).otherwise(
+        F.when(m > 0, F.array(F.array_min("hs"))).otherwise(
+            F.array().cast("array<bigint>")
         )
     )
+    selected = F.array_sort(F.array_distinct(win_mins))
     return hashed.select(
         "doc_id",
         m.cast("long").alias("n_grams"),
@@ -269,6 +281,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition features for quality filtering: distinct-token ratio and
     the dominant token's share. explode -> two stacked aggregations (token
     counts, then per-doc max) — both map-side combinable."""
+    docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
     tokens = docs.select(
         "doc_id", F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("tok")
     )
@@ -312,6 +325,7 @@ def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     discipline). Output: (doc_id, n_chars, n_distinct_chars, entropy_micro)
     with NULL entropy for empty documents.
     """
+    docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
     c = F.col(text_col)
     n = F.length(c)
     # split('') materializes the char array in one O(chars) pass —
@@ -789,6 +803,7 @@ def quality_classifier(docs: DataFrame, text_col: str = "text") -> DataFrame:
     exact everywhere. Whole expression is JVM codegen (no UDF); features are
     computed once per row in one pass.
     """
+    docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
     c = F.col(text_col)
     tokens = ws_tokens(F.lower(c))
     n_chars = F.length(c)
@@ -862,6 +877,7 @@ def line_dedup(
     Output: (doc_id, n_lines, n_kept, kept_text) for every input document —
     kept_text NULL when everything was boilerplate (or the doc was empty).
     """
+    docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
     toks = ws_tokens(F.lower(F.col(text_col)))
     n = F.size(toks)
     lt = F.lit(line_tokens)
@@ -928,6 +944,7 @@ def inverted_index(
     positions 0-based ascending (string-serialized: engine-portable and
     splittable back at read time).
     """
+    docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
     tok = docs.select(
         "doc_id",
         F.posexplode(ws_tokens(F.lower(F.col(text_col)))).alias("pos", "term"),
@@ -973,6 +990,7 @@ def tfidf_top_terms(
     length, never by corpus size, so (unlike a per-query kNN window) it
     cannot concentrate a reducer. N arrives as a broadcast 1-row aggregate.
     """
+    docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
     from pyspark.sql import Window
 
     c = F.col(text_col)
@@ -1226,6 +1244,7 @@ def gopher_rules(
     Output: (doc_id, n_words, mean_word_len, symbol_ratio, frac_alpha_words,
     n_stop_hits, frac_bullet_lines, frac_ellipsis_lines, gopher_pass).
     """
+    docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
     c = F.col(text_col)
     toks = ws_tokens(F.lower(c))
     n = F.size(toks)
@@ -1308,6 +1327,7 @@ def gopher_repetition(
     top_bigram_char_frac) for every input document; fractions are 0.0 for
     docs too short to form the unit. Rounded to 6 dp.
     """
+    docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
     c = F.col(text_col)
     toks = ws_tokens(F.lower(c))
     n = F.size(toks)
@@ -1424,6 +1444,7 @@ def mojibake_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     with is_mojibake = at least 2 hits AND more than 0.5 hits per 1000 chars
     (a single stray signature in clean prose is not damage).
     """
+    docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
     c = F.col(text_col)
     n_chars = F.length(c)
     hits = F.size(F.regexp_extract_all(c, F.lit(MOJIBAKE_PATTERN), 0))
@@ -1551,6 +1572,7 @@ def bm25_scores(
     Output: (doc_id, n_terms_matched, dl, score_micro) for documents
     matching at least one query term.
     """
+    docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
     terms = sorted(set(t.lower() for t in query_terms))
     term_lits = F.array(*[F.lit(t) for t in terms])
     toks = ws_tokens(F.lower(F.col(text_col)))
@@ -1648,6 +1670,7 @@ def pmi_collocations(
 
     Output: top_k rows (bigram, c_ab, c_a, c_b, pmi_micro).
     """
+    docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
     toks_df = docs.select(ws_tokens(F.lower(F.col(text_col))).alias("toks")).persist()
     uni = (
         toks_df.select(F.explode("toks").alias("t"))
@@ -1731,6 +1754,7 @@ def c4_filters(
     Output: (doc_id, n_lines, frac_terminal_lines, n_sentences, has_brace,
     has_lorem, has_javascript, c4_keep).
     """
+    docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
     c = F.col(text_col)
     lc = F.lower(c)
     toks = ws_tokens(lc)
@@ -1793,6 +1817,7 @@ def script_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Output: (doc_id, n_chars, n_latin, n_han, n_cyrillic, n_greek,
     n_arabic, dominant_script, latin_ratio_micro).
     """
+    docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
     c = F.col(text_col)
     n = F.length(c)
     counts = {

@@ -1895,7 +1895,12 @@ def test_bm25_pmi_plan_hygiene(spark):
     plan = _plan(Q.SPARK["pmi_collocations"](spark, SF))
     assert plan.count("BroadcastExchange") == 1, plan
     plan = _plan(Q.SPARK["c4_filters"](spark, SF))
-    assert plan.count("Exchange") == 0, plan
+    # the only permitted exchange is ensure_parallelism's narrow-input
+    # round-robin fan-out (a no-op at real input widths) — never a
+    # key shuffle for this scan-only battery
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("BroadcastExchange") == 0, plan
 
 
 def test_hll_by_source_matches_per_group_truth(spark, docs):
