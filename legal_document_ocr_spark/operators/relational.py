@@ -1569,3 +1569,181 @@ def promotion_suppliers(
         )
         .select("s_suppkey", "s_name", F.col("n_parts").cast("long"))
     )
+
+
+SHIP_MODES = ("MAIL", "SHIP", "AIR", "TRUCK", "RAIL", "FOB", "REG AIR")
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+    *,
+    region_name: str = "EUROPE",
+    max_size: int = 15,
+    part_type: str = "STANDARD",
+) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the minimum-cost supplier
+    within one region — the correlated MIN subquery decorrelated into a
+    grouped argmin + tie-keeping join-back. The (partkey, suppkey)
+    relation is implicit on lineitem (DISTINCT pairs) with the
+    deterministic cost surrogate; the region's supplier set is a
+    dim-chain broadcast (region -> nation -> supplier), and the filtered
+    part table broadcasts too, so the only corpus-scale exchange is the
+    DISTINCT pair extraction itself (map-side combinable). Ties on
+    minimum cost are KEPT, as in Q2. Output: (s_acctbal, s_name, n_name,
+    p_partkey, p_name, supplycost)."""
+    rnat = nation.join(
+        F.broadcast(
+            region.where(F.col("r_name") == region_name).select("r_regionkey")
+        ),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    rsupp = supplier.join(
+        F.broadcast(rnat), supplier.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    parts = part.where(
+        (F.col("p_size") <= max_size) & (F.col("p_type") == part_type)
+    ).select("p_partkey", "p_name")
+    ps = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(rsupp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn(
+            "supplycost", _ps_cost(F.col("l_partkey"), F.col("l_suppkey"))
+        )
+    )
+    min_cost = ps.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("supplycost").alias("mc")
+    )
+    return (
+        ps.join(
+            min_cost.hint("shuffle_hash"),
+            (ps.l_partkey == F.col("mk")) & (ps.supplycost == F.col("mc")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            "p_name",
+            F.col("supplycost").cast("double").alias("supplycost"),
+        )
+    )
+
+
+def shipmode_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    *,
+    year: int = 1997,
+    modes: tuple[str, str] = ("MAIL", "SHIP"),
+) -> DataFrame:
+    """TPC-H Q12 shape: order-priority counts by ship mode — the schema
+    carries no l_shipmode, so the mode is a deterministic surrogate
+    element_at(SHIP_MODES, (l_orderkey*7 + l_linenumber) % 7 + 1),
+    computed identically in the DuckDB oracle. The CASE-split counts
+    (urgent/high vs other) are one map-side-combined aggregate after the
+    fact-fact orderkey join, pinned shuffle_hash: at 10^12 lineitems both
+    sides are corpus-scale and a planner broadcast of either would be the
+    scale-killer. Output: (shipmode, high_line_count, low_line_count)."""
+    mode = F.element_at(
+        F.array(*[F.lit(m) for m in SHIP_MODES]),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 7 + 1).cast("int"),
+    )
+    li = lineitem.where(
+        (F.col("l_shipdate") >= f"{year}-01-01")
+        & (F.col("l_shipdate") < f"{year + 1}-01-01")
+    ).select("l_orderkey", mode.alias("shipmode")).where(
+        F.col("shipmode").isin(*modes)
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_orderpriority").hint("shuffle_hash"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def bracket_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: discounted revenue over a DISJUNCTION of three
+    (brand, size-bracket, quantity-bracket) conjunctions. The part side
+    is pre-filtered to the union of the three brand/size envelopes before
+    the broadcast join (so the broadcast is the qualifying slice, never
+    the full part table), and the residual OR-of-ANDs predicate — the
+    part of Q19 Catalyst cannot push into either scan alone because it
+    spans both tables — evaluates post-join in codegen. One decimal sum.
+    Output: one row (revenue, n_lines)."""
+    brackets = [
+        ("Brand#12", 5, 1, 11),
+        ("Brand#23", 10, 10, 20),
+        ("Brand#4", 15, 20, 30),
+    ]
+    part_pred = None
+    joint_pred = None
+    for brand, size_max, q_lo, q_hi in brackets:
+        pp = (F.col("p_brand") == brand) & (F.col("p_size") <= size_max) & (
+            F.col("p_size") >= 1
+        )
+        jp = pp & (F.col("l_quantity") >= q_lo) & (F.col("l_quantity") <= q_hi)
+        part_pred = pp if part_pred is None else (part_pred | pp)
+        joint_pred = jp if joint_pred is None else (joint_pred | jp)
+    parts = part.where(part_pred).select("p_partkey", "p_brand", "p_size")
+    rev = (
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .where(joint_pred)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def idle_customers(
+    customer: DataFrame, orders: DataFrame, *, since: str = "2000-01-01"
+) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no RECENT orders,
+    rolled up by nation (the schema's stand-in for Q22's phone country
+    code; this corpus has no order-less customers at all, so the NOT
+    EXISTS is date-pruned — same decorrelation, non-degenerate output).
+    The scalar AVG subquery over positive balances becomes a 1-row
+    aggregate crossJoined back (broadcast by construction); the
+    positive-balance average is summed in decimal then divided in DOUBLE
+    on both engines so the threshold is IEEE-identical. NOT EXISTS is a
+    LEFT ANTI join on custkey, pinned shuffle_hash — at scale both
+    customer and orders are corpus-sized, and the planner must never
+    broadcast the distinct-custkey side. Output: (cntrycode, numcust,
+    totacctbal)."""
+    bal = _dec("c_acctbal")
+    thresh = customer.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(bal).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    rich = customer.crossJoin(F.broadcast(thresh)).where(
+        F.col("c_acctbal").cast("double") > F.col("avg_bal")
+    )
+    never = rich.join(
+        orders.where(F.col("o_orderdate") >= since)
+        .select("o_custkey")
+        .hint("shuffle_hash"),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return never.groupBy(
+        F.col("c_nationkey").cast("int").alias("cntrycode")
+    ).agg(
+        F.count("*").alias("numcust"),
+        F.sum(bal).cast("double").alias("totacctbal"),
+    )

@@ -1663,3 +1663,140 @@ q AS (
 SELECT s_suppkey, s_name, n_parts
 FROM q JOIN supplier ON l_suppkey = s_suppkey
 """
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (relational.min_cost_supplier — round 4): per-part
+    minimum-cost EUROPE supplier with ties kept; the correlated MIN
+    decorrelated into a grouped argmin + join-back over the implicit
+    (partkey, suppkey) relation with the deterministic cost surrogate."""
+    return relational.min_cost_supplier(
+        _tbl(spark, sf_dir, "part"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "region"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+_SQL_MIN_COST_SUPPLIER = """
+WITH rs AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+pp AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_size <= 15 AND p_type = 'STANDARD'
+),
+ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+c AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_name, l_partkey,
+    ((((l_partkey * 31 + l_suppkey * 17) % 1000) / 100.0 + 1
+     ))::decimal(18,2) AS supplycost
+  FROM ps
+  JOIN pp ON l_partkey = p_partkey
+  JOIN rs ON l_suppkey = s_suppkey
+),
+m AS (SELECT l_partkey AS mk, min(supplycost) AS mc FROM c GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey::bigint AS p_partkey, p_name,
+  supplycost::double AS supplycost
+FROM c JOIN m ON l_partkey = mk AND supplycost = mc
+"""
+
+
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (relational.shipmode_priority — round 4):
+    urgent/high vs other order counts by the deterministic shipmode
+    surrogate; fact-fact orderkey join pinned shuffle_hash."""
+    return relational.shipmode_priority(
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "orders"),
+    )
+
+
+_SQL_SHIPMODE_PRIORITY = """
+WITH li AS (
+  SELECT l_orderkey,
+    list_extract(['MAIL','SHIP','AIR','TRUCK','RAIL','FOB','REG AIR'],
+      ((l_orderkey * 7 + l_linenumber) % 7 + 1)::int) AS shipmode
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+SELECT shipmode,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      THEN 1 ELSE 0 END)::bigint AS high_line_count,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      THEN 0 ELSE 1 END)::bigint AS low_line_count
+FROM li JOIN orders ON l_orderkey = o_orderkey
+WHERE shipmode IN ('MAIL', 'SHIP')
+GROUP BY 1
+"""
+
+
+def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (relational.bracket_revenue — round 4): revenue
+    over an OR of three (brand, size, quantity) conjunctions; part side
+    pre-filtered to the brand/size envelope before the broadcast."""
+    return relational.bracket_revenue(
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "part"),
+    )
+
+
+_SQL_BRACKET_REVENUE = """
+WITH p AS (
+  SELECT p_partkey, p_brand, p_size FROM part
+  WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5)
+     OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10)
+     OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15)
+)
+SELECT
+  sum((l_extendedprice::decimal(18,2)
+       * (1::decimal(18,2) - l_discount::decimal(18,2))
+      )::decimal(18,4))::double AS revenue,
+  count(*) AS n_lines
+FROM lineitem JOIN p ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (relational.idle_customers — round 4): customers
+    above the positive-balance average with no orders since 2000-01-01,
+    by nation; scalar subquery as 1-row crossJoin, NOT EXISTS as
+    shuffle_hash anti join over the date-pruned orders scan."""
+    return relational.idle_customers(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+    )
+
+
+_SQL_IDLE_CUSTOMERS = """
+WITH t AS (
+  SELECT sum(c_acctbal::decimal(18,2))::double / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+),
+rich AS (
+  SELECT c_custkey, c_nationkey, c_acctbal FROM customer, t
+  WHERE c_acctbal > avg_bal
+),
+never AS (
+  SELECT * FROM rich
+  WHERE NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01')
+)
+SELECT c_nationkey::int AS cntrycode, count(*) AS numcust,
+  sum(c_acctbal::decimal(18,2))::double AS totacctbal
+FROM never GROUP BY 1
+"""

@@ -1822,11 +1822,13 @@ def test_round3_late_plans_have_no_corpus_broadcasts(spark):
         assert plan.count("BroadcastExchange") == 0, f"{name}:\n{plan}"
     plan = _plan(Q.SPARK["shard_assign"](spark, SF))
     assert plan.count("BroadcastExchange") == 1, plan
-    # gopher_rules / mojibake_stats are single-scan codegen: no exchange of
-    # any kind before the collect
+    # gopher_rules / mojibake_stats are single-scan codegen: no KEY shuffle
+    # of any kind before the collect (the only permitted exchange is
+    # ensure_parallelism's round-robin fan-out, a no-op at real widths)
     for name in ["gopher_rules", "mojibake_stats"]:
         plan = _plan(Q.SPARK[name](spark, SF))
-        assert "Exchange" not in plan.replace("BroadcastExchange", "XX"), plan
+        assert "hashpartitioning" not in plan, plan
+        assert "rangepartitioning" not in plan, plan
         assert plan.count("BroadcastExchange") == 0, plan
 
 
@@ -2792,3 +2794,60 @@ def test_pii_luhn_validates_real_checksums_and_counts(spark):
     assert got[4] == (0, 0, 0)
     plan = _plan(textops.pii_luhn(docs))
     assert "Exchange" not in plan, plan
+
+
+def test_tpch_q2_q12_q19_q22_plans_and_semantics(spark):
+    """Completion of the 22-query TPC-H battery. Plans: Q12's fact-fact
+    orderkey join and Q22's NOT-EXISTS anti join are ShuffledHashJoin
+    (never a fact broadcast); Q2's argmin join-back is shuffle-side with
+    dims broadcast; Q19 broadcasts only the brand/size-filtered part
+    slice. Semantics: Q2 keeps ties on minimum cost; Q22's threshold is
+    the positive-balance average."""
+    import legal_document_ocr_spark.queries as Q
+    from legal_document_ocr_spark.operators import relational
+
+    q12 = _plan(Q.SPARK["shipmode_priority"](spark, SF))
+    assert "ShuffledHashJoin" in q12, q12
+    assert "BroadcastHashJoin" not in q12, q12
+    q22 = _plan(Q.SPARK["idle_customers"](spark, SF))
+    assert "ShuffledHashJoin" in q22 and "LeftAnti" in q22, q22
+    assert q22.count("BroadcastExchange") == 1, q22  # the 1-row threshold
+    q2 = _plan(Q.SPARK["min_cost_supplier"](spark, SF))
+    assert "ShuffledHashJoin" in q2, q2  # the argmin join-back
+    q19 = _plan(Q.SPARK["bracket_revenue"](spark, SF))
+    assert q19.count("BroadcastHashJoin") == 1, q19
+    assert "PushedFilters: [" in q19, q19
+
+    # Q2 ties kept: two suppliers, same surrogate cost for one part
+    # cost(p,s) = ((31p + 17s) % 1000)/100 + 1 -> equal when 17*(s1-s2) % 1000 == 0
+    # s=125 and s=1125 differ by 1000 -> 17000 % 1000 == 0: tie
+    li = spark.createDataFrame(
+        [(1, 7, 125), (2, 7, 1125)],
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    )
+    part = spark.createDataFrame([(7, "part7", 1, "STANDARD")],
+                                 "p_partkey long, p_name string, p_size int, p_type string")
+    supp = spark.createDataFrame(
+        [(125, "s125", 1.0, 0), (1125, "s1125", 2.0, 0)],
+        "s_suppkey long, s_name string, s_acctbal double, s_nationkey int",
+    )
+    nat = spark.createDataFrame([(0, "N0", 0)],
+                                "n_nationkey int, n_name string, n_regionkey int")
+    reg = spark.createDataFrame([(0, "EUROPE")], "r_regionkey int, r_name string")
+    out = relational.min_cost_supplier(part, supp, nat, reg, li).collect()
+    assert {r.s_name for r in out} == {"s125", "s1125"}  # tie kept
+    assert len({r.supplycost for r in out}) == 1
+
+    # Q22 threshold: avg positive balance excludes negatives from the mean
+    cust = spark.createDataFrame(
+        [(1, 0, 100.0), (2, 0, 300.0), (3, 0, -50.0), (4, 1, 250.0)],
+        "c_custkey long, c_nationkey int, c_acctbal double",
+    )
+    orders = spark.createDataFrame(
+        [(10, 2, "2001-06-01")],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    # avg positive = (100+300+250)/3 = 216.67; rich = {2, 4}; 2 ordered recently
+    rows = {r.cntrycode: (r.numcust, r.totacctbal)
+            for r in relational.idle_customers(cust, orders).collect()}
+    assert rows == {1: (1, 250.0)}
