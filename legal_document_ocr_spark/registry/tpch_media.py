@@ -1773,7 +1773,10 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (relational.idle_customers — round 4): customers
     above the positive-balance average with no orders since 2000-01-01,
     by nation; scalar subquery as 1-row crossJoin, NOT EXISTS as
-    shuffle_hash anti join over the date-pruned orders scan."""
+    shuffle_hash anti join over the date-pruned orders scan. Completes
+    the earlier `idle_rich_customers` whole-corpus gauge (which pins the
+    degenerate no-order-less-customers edge) with Q22's actual grouped
+    output and the positive-balance-only average."""
     return relational.idle_customers(
         _tbl(spark, sf_dir, "customer"),
         _tbl(spark, sf_dir, "orders"),
