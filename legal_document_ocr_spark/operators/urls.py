@@ -1262,3 +1262,48 @@ def meta_robots(
         (tok("noindex") | tok("none")).cast("int").alias("noindex"),
         (tok("nofollow") | tok("none")).cast("int").alias("nofollow"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD structured data (round 4)
+# ---------------------------------------------------------------------------
+
+_JSONLD_RE = r'<script type="application/ld\+json">([^<]*)</script>'
+
+
+def extract_jsonld(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """schema.org JSON-LD blocks embedded in page HTML — the structured
+    metadata channel news/product/article pipelines index (NewsPlease/
+    CCNet-style enrichment; the reference's per-document metadata dict
+    lifted to the web-embedded-JSON domain). One regexp_extract_all pulls
+    every ``<script type="application/ld+json">`` payload, posexplode
+    fans blocks out (a page can carry several), and ``from_json`` into
+    ``map<string,string>`` parses each block JVM-side — malformed JSON
+    becomes a NULL map, surfaced as ``parse_ok = 0`` instead of a task
+    failure, per the codec-family error-isolation discipline. No UDF, no
+    shuffle: blocks land at scan speed and only (url, html) are read.
+
+    Output: (url, block_idx, parse_ok, jtype, name, n_keys) — one row per
+    block; pages without JSON-LD produce no rows (join back to the page
+    table for coverage censuses).
+    """
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    blocks = F.regexp_extract_all(html_txt, F.lit(_JSONLD_RE), 1)
+    exploded = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(blocks).alias("block_idx", "raw"),
+    )
+    j = F.from_json(F.col("raw"), "map<string,string>")
+    return exploded.select(
+        "url",
+        F.col("block_idx").cast("int").alias("block_idx"),
+        j.isNotNull().cast("int").alias("parse_ok"),
+        j.getItem("@type").alias("jtype"),
+        j.getItem("name").alias("name"),
+        F.when(j.isNotNull(), F.size(F.map_keys(j)))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("n_keys"),
+    )

@@ -1586,3 +1586,92 @@ ORDER BY rank_nano DESC, url LIMIT 100
     )
 
 
+
+def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD blocks (urls.extract_jsonld) over a synthesized
+    corpus where Article/Product blocks are present for doc_id-derived
+    subsets and every doc_id%7==0 page carries a MALFORMED block — the
+    parse_ok=0 error-isolation path is exercised, not just the happy
+    path. regexp_extract_all + posexplode + from_json, all JVM-side."""
+    from ..operators import urls
+
+    doc_id = F.col("doc_id")
+    did = doc_id.cast("string")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/"), did,
+    )
+    day = F.lpad(((doc_id % 28) + 1).cast("string"), 2, "0")
+    article = F.when(
+        doc_id % 2 == 0,
+        F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@context":"https://schema.org","@type":"Article",'
+                  '"name":"Doc '),
+            did,
+            F.lit('","datePublished":"2024-01-'), day,
+            F.lit('"}</script>'),
+        ),
+    ).otherwise(F.lit(""))
+    product = F.when(
+        doc_id % 3 == 0,
+        F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"Product","name":"Item '),
+            did, F.lit('","sku":"SKU-'), did, F.lit('"}</script>'),
+        ),
+    ).otherwise(F.lit(""))
+    broken = F.when(
+        doc_id % 7 == 0,
+        F.lit('<script type="application/ld+json">'
+              '{"@type":"Broken","name":</script>'),
+    ).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head>"), article, product, broken,
+            F.lit("</head><body></body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = _docs(spark, sf_dir).select(url.alias("url"), html.alias("html"))
+    return urls.extract_jsonld(pages)
+
+
+_SQL_JSONLD_EXTRACT = r"""
+WITH pages AS (
+  SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id
+           AS url,
+    '<html><head>'
+    || CASE WHEN doc_id % 2 = 0 THEN
+         '<script type="application/ld+json">{"@context":"https://schema.org","@type":"Article","name":"Doc '
+         || doc_id || '","datePublished":"2024-01-'
+         || lpad(((doc_id % 28) + 1)::varchar, 2, '0') || '"}</script>'
+       ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN
+         '<script type="application/ld+json">{"@type":"Product","name":"Item '
+         || doc_id || '","sku":"SKU-' || doc_id || '"}</script>'
+       ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN
+         '<script type="application/ld+json">{"@type":"Broken","name":</script>'
+       ELSE '' END
+    || '</head><body></body></html>' AS html
+  FROM documents
+),
+b AS (
+  SELECT url,
+    unnest(regexp_extract_all(html,
+      '<script type="application/ld\+json">([^<]*)</script>', 1)) AS raw,
+    unnest(range(len(regexp_extract_all(html,
+      '<script type="application/ld\+json">([^<]*)</script>', 1)))) AS i
+  FROM pages
+)
+SELECT url, i::int AS block_idx,
+  json_valid(raw)::int AS parse_ok,
+  CASE WHEN json_valid(raw)
+       THEN json_extract_string(raw, '$."@type"') END AS jtype,
+  CASE WHEN json_valid(raw)
+       THEN json_extract_string(raw, '$.name') END AS name,
+  (CASE WHEN json_valid(raw) THEN len(json_keys(raw)) ELSE 0 END)::int
+    AS n_keys
+FROM b
+"""

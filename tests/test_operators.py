@@ -2851,3 +2851,34 @@ def test_tpch_q2_q12_q19_q22_plans_and_semantics(spark):
     rows = {r.cntrycode: (r.numcust, r.totacctbal)
             for r in relational.idle_customers(cust, orders).collect()}
     assert rows == {1: (1, 250.0)}
+
+
+def test_jsonld_extract_blocks_and_error_isolation(spark):
+    """Multiple JSON-LD blocks per page explode in order; a malformed
+    block yields parse_ok=0 with NULL fields (never a task failure);
+    pages without blocks produce no rows. Plan: no shuffle, no UDF."""
+    from legal_document_ocr_spark.operators import urls
+
+    mk = lambda s: s.encode()  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            ("u1", mk('<head><script type="application/ld+json">'
+                      '{"@type":"Article","name":"A","x":"1"}</script>'
+                      '<script type="application/ld+json">'
+                      '{"@type":"Product","name":"P"}</script></head>')),
+            ("u2", mk('<script type="application/ld+json">'
+                      '{"@type":"Broken","name":</script>')),
+            ("u3", mk("<html>no structured data</html>")),
+        ],
+        "url string, html binary",
+    )
+    rows = urls.extract_jsonld(df).collect()
+    by = {(r.url, r.block_idx): r for r in rows}
+    assert set(by) == {("u1", 0), ("u1", 1), ("u2", 0)}
+    assert by[("u1", 0)].jtype == "Article" and by[("u1", 0)].n_keys == 3
+    assert by[("u1", 1)].jtype == "Product" and by[("u1", 1)].name == "P"
+    assert by[("u2", 0)].parse_ok == 0 and by[("u2", 0)].jtype is None
+    assert by[("u2", 0)].n_keys == 0
+    plan = urls.extract_jsonld(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
