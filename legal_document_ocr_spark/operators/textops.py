@@ -432,7 +432,13 @@ def chunk_documents(
     whole-stage codegen, fan-out is a single posexplode; no shuffle at all,
     so the operator scales exactly as the scan does.
     """
-    toks = ws_tokens(F.lower(F.col(text_col)))
+    # bind the token array in its own projection so the slice lambda
+    # references a bound column — referencing the raw split() expression
+    # inside the HOF re-tokenizes per chunk (PLANS #70/#80 discipline)
+    bound = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     s, w = F.lit(stride), F.lit(window)
     n_chunks = F.floor((F.greatest(n - w, F.lit(0)) + s - 1) / s).cast("int") + 1
@@ -441,7 +447,7 @@ def chunk_documents(
     )
     chunks = F.transform(starts, lambda i: F.slice(toks, i * s + 1, window))
     return (
-        docs.select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
+        bound.select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
         .select(
             "doc_id",
             F.col("chunk_id").cast("long").alias("chunk_id"),
@@ -878,7 +884,14 @@ def line_dedup(
     kept_text NULL when everything was boilerplate (or the doc was empty).
     """
     docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
-    toks = ws_tokens(F.lower(F.col(text_col)))
+    # bind toks, then lines, each in its own projection: referencing the
+    # raw split() inside the slice lambda re-tokenizes per line, and
+    # size(lines) next to lines.alias() evaluates the transform twice
+    # (PLANS #70/#80 discipline)
+    bound = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     lt = F.lit(line_tokens)
     # ceil(n/lt) line slices; sequence(0,-1) is DESCENDING, hence the guard
@@ -888,7 +901,9 @@ def line_dedup(
     lines = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i * lt + 1, line_tokens), " ")
     )
-    base = docs.select("doc_id", lines.alias("lines"), F.size(lines).alias("n_lines"))
+    base = bound.select("doc_id", lines.alias("lines")).select(
+        "doc_id", "lines", F.size("lines").alias("n_lines")
+    )
     exploded = base.select(
         "doc_id", "n_lines", F.posexplode("lines").alias("pos", "line")
     ).withColumn("h", F.md5("line"))
@@ -1170,7 +1185,14 @@ def host_template_lines(
     >= ``min_frac_micro`` of the host's pages (floor micro-units) and
     >= ``min_docs`` distinct pages.
     """
-    toks = ws_tokens(F.lower(F.col(text_col)))
+    # bind toks in its own projection — the slice lambda must reference a
+    # bound column, not the raw split() (PLANS #70/#80 discipline)
+    bound = docs.select(
+        F.col(host_col).alias("host"),
+        F.col("doc_id"),
+        ws_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     lt = F.lit(line_tokens)
     idx = F.when(n > 0, F.sequence(F.lit(0), F.ceil(n / lt).cast("int") - 1)).otherwise(
@@ -1179,9 +1201,9 @@ def host_template_lines(
     lines = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i * lt + 1, line_tokens), " ")
     )
-    exploded = docs.select(
-        F.col(host_col).alias("host"),
-        F.col("doc_id"),
+    exploded = bound.select(
+        "host",
+        "doc_id",
         F.explode(lines).alias("line"),
     ).withColumn("h", F.md5("line"))
     per_line = exploded.groupBy("host", "h").agg(
@@ -1246,7 +1268,11 @@ def gopher_rules(
     """
     docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
     c = F.col(text_col)
-    toks = ws_tokens(F.lower(c))
+    # bind the token array in its own projection: the line-slice lambda
+    # and the aggregate/filter HOFs must reference a bound column, not
+    # the raw split() expression (PLANS #70/#80 discipline)
+    docs = docs.select("doc_id", c.alias(text_col), ws_tokens(F.lower(c)).alias("__toks"))
+    toks = F.col("__toks")
     n = F.size(toks)
     nd = n.cast("double")
     mean_len = F.when(
@@ -1265,9 +1291,12 @@ def gopher_rules(
     idx = F.when(
         n > 0, F.sequence(F.lit(0), F.ceil(n / lt).cast("int") - 1)
     ).otherwise(F.array().cast("array<int>"))
-    lines = F.transform(
+    lines_expr = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i * lt + 1, line_tokens), " ")
     )
+    # lines feeds three HOFs below — bind it once too
+    docs = docs.select("doc_id", "__toks", lines_expr.alias("__lines"), c.alias(text_col))
+    lines = F.col("__lines")
     n_lines = F.size(lines)
     nld = n_lines.cast("double")
     n_bullet = F.size(F.filter(lines, lambda l: l.rlike("^[\\-\\*•]")))
@@ -1329,7 +1358,14 @@ def gopher_repetition(
     """
     docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
     c = F.col(text_col)
-    toks = ws_tokens(F.lower(c))
+    # bind toks before slicing lines from it — the slice lambda must
+    # reference a bound column (PLANS #70/#80 discipline)
+    bound = docs.select(
+        "doc_id",
+        F.length(c).cast("long").alias("n_chars"),
+        ws_tokens(F.lower(c)).alias("toks"),
+    )
+    toks = F.col("toks")
     n = F.size(toks)
     lt = F.lit(line_tokens)
     idx = F.when(
@@ -1338,11 +1374,11 @@ def gopher_repetition(
     lines = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i * lt + 1, line_tokens), " ")
     )
-    base = docs.select(
+    base = bound.select(
         "doc_id",
-        F.length(c).cast("long").alias("n_chars"),
+        "n_chars",
         lines.alias("lines"),
-        toks.alias("toks"),
+        "toks",
     )
     # --- duplicate line segments -----------------------------------------
     line_rows = base.select("doc_id", F.explode("lines").alias("line"))
@@ -1756,8 +1792,15 @@ def c4_filters(
     """
     docs = ensure_parallelism(docs)  # fan out narrow scans before the per-char/token hot loop
     c = F.col(text_col)
-    lc = F.lower(c)
-    toks = ws_tokens(lc)
+    # bind lowered text + toks before the line-slice HOF (PLANS #70/#80)
+    docs = docs.select(
+        "doc_id",
+        c.alias(text_col),
+        F.lower(c).alias("__lc"),
+        ws_tokens(F.lower(c)).alias("__toks"),
+    )
+    lc = F.col("__lc")
+    toks = F.col("__toks")
     n = F.size(toks)
     lt = F.lit(line_tokens)
     idx = F.when(
