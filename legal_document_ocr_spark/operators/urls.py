@@ -1307,3 +1307,159 @@ def extract_jsonld(
         .cast("int")
         .alias("n_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hreflang alternate clusters (round 4)
+# ---------------------------------------------------------------------------
+
+_HREFLANG_RE = (
+    r'(?i)<link rel="alternate" hreflang="([^"]*)" href="([^"]*)"[^>]*>'
+)
+
+
+def extract_hreflang(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """``<link rel=alternate hreflang=..>`` annotations -> (url, hreflang,
+    target): the multilingual-variant channel a web-text curation pipeline
+    uses to group translations of one page into a language cluster (keep
+    one per cluster for dedup, or keep all with a cluster id for parallel-
+    corpus mining). The reference's per-document language tag
+    (SURVEY.md K9) lifted to the cross-document declaration domain.
+
+    Same one-heavy-scan discipline as ``extract_anchor_texts``: group 0 of
+    the tag regex is pulled once per page via ``regexp_extract_all``, the
+    two attributes come from per-fragment ``regexp_extract`` over the short
+    matches. Whole-stage codegen, one posexplode, no UDF, no shuffle.
+    """
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    ex = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(html_txt, F.lit(_HREFLANG_RE), 0)
+        ).alias("pos", "frag"),
+    )
+    return ex.select(
+        "url",
+        F.lower(F.regexp_extract(F.col("frag"), _HREFLANG_RE, 1)).alias(
+            "hreflang"
+        ),
+        F.regexp_extract(F.col("frag"), _HREFLANG_RE, 2).alias("target"),
+    ).where(F.col("target") != "")
+
+
+def hreflang_reciprocity(alts: DataFrame) -> DataFrame:
+    """Per declared hreflang edge, whether the target page declares an
+    alternate BACK to the source -> (url, hreflang, target, reciprocal).
+    Google treats non-reciprocal hreflang annotations as invalid; a
+    curation pipeline uses the confirmed subset to build translation
+    clusters and the broken subset as a spam/misconfiguration signal.
+
+    Shape at 100 TB: both sides of the confirmation join are the corpus-
+    scale edge table itself, so neither may broadcast — the back-edge side
+    is deduped to (url, target) with a map-side-combined aggregate, then
+    equi-joined on the REVERSED key pair under a shuffle_hash hint
+    (sort-merge acceptable, broadcast never). Self-referential alternates
+    (url == target, the recommended practice) confirm themselves through
+    the same join, no special case.
+    """
+    edges = alts.select("url", "hreflang", "target")
+    back = (
+        edges.select(F.col("url").alias("b_url"), F.col("target").alias("b_target"))
+        .distinct()
+        .hint("shuffle_hash")
+    )
+    joined = edges.join(
+        back,
+        (edges["target"] == back["b_url"]) & (edges["url"] == back["b_target"]),
+        "left",
+    )
+    return joined.select(
+        "url",
+        "hreflang",
+        "target",
+        F.col("b_url").isNotNull().cast("int").alias("reciprocal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RSS / Atom feed parsing (round 4)
+# ---------------------------------------------------------------------------
+
+_RSS_ITEM_RE = r"(?is)<item>(.*?)</item>"
+_ATOM_ENTRY_RE = r"(?is)<entry>(.*?)</entry>"
+_RFC822_STRIP_RE = r"(?i)^\s*[a-z]{3},\s*|\s*(GMT|UT|[+-]\d{4})\s*$"
+
+
+def parse_feed_entries(
+    df: DataFrame, url_col: str = "url", xml_col: str = "xml"
+) -> DataFrame:
+    """RSS 2.0 ``<item>`` / Atom ``<entry>`` parsing -> one row per feed
+    entry: (feed_url, kind, entry_idx, title, link, guid, pub_epoch).
+    Feeds are the freshness channel of a crawl scheduler — parsed entry
+    timestamps drive recrawl priority (see ``recrawl_priority``) and entry
+    links seed the frontier. Reference analogue: the reference ingests
+    documents one POST at a time (app/api/routes.py); a web-scale pipeline
+    discovers them from feeds.
+
+    Both entry kinds are extracted with one page-sized scan each
+    (``regexp_extract_all`` group 1), fanned out with posexplode, and the
+    per-entry fields come from short-fragment ``regexp_extract`` — all
+    whole-stage codegen, no UDF, no shuffle. RSS ``pubDate`` (RFC 822) is
+    normalized by stripping the weekday prefix and zone suffix, then
+    parsed with ``try_to_timestamp(..., 'dd MMM yyyy HH:mm:ss')`` (NULL on
+    failure even under ANSI mode); Atom
+    ``<updated>`` parses as ISO-8601 Zulu. Unparseable dates become NULL
+    ``pub_epoch`` (error-column isolation, never a task failure).
+    Timezone note: zone suffixes are stripped, not applied — a production
+    corpus wanting zone-exact epochs would map the suffix to an offset
+    column first; entries here are synthesized GMT.
+    """
+    xml_txt = F.decode(F.col(xml_col), "UTF-8")
+    base = df.select(F.col(url_col).alias("feed_url"), xml_txt.alias("_xml"))
+
+    def _fan(pattern: str, kind: str) -> DataFrame:
+        return base.select(
+            "feed_url",
+            F.lit(kind).alias("kind"),
+            F.posexplode(
+                F.regexp_extract_all(F.col("_xml"), F.lit(pattern), 1)
+            ).alias("entry_idx", "body"),
+        )
+
+    rss = _fan(_RSS_ITEM_RE, "rss")
+    body = F.col("body")
+    rss_date = F.regexp_replace(
+        F.regexp_extract(body, r"(?is)<pubDate>([^<]*)</pubDate>", 1),
+        _RFC822_STRIP_RE,
+        "",
+    )
+    rss_out = rss.select(
+        "feed_url",
+        "kind",
+        F.col("entry_idx").cast("int").alias("entry_idx"),
+        F.regexp_extract(body, r"(?is)<title>([^<]*)</title>", 1).alias("title"),
+        F.regexp_extract(body, r"(?is)<link>([^<]*)</link>", 1).alias("link"),
+        F.regexp_extract(body, r"(?is)<guid>([^<]*)</guid>", 1).alias("guid"),
+        F.try_to_timestamp(rss_date, F.lit("dd MMM yyyy HH:mm:ss"))
+        .cast("long")
+        .alias("pub_epoch"),
+    )
+
+    atom = _fan(_ATOM_ENTRY_RE, "atom")
+    atom_out = atom.select(
+        "feed_url",
+        "kind",
+        F.col("entry_idx").cast("int").alias("entry_idx"),
+        F.regexp_extract(body, r"(?is)<title>([^<]*)</title>", 1).alias("title"),
+        F.regexp_extract(body, r'(?is)<link href="([^"]*)"', 1).alias("link"),
+        F.regexp_extract(body, r"(?is)<id>([^<]*)</id>", 1).alias("guid"),
+        F.try_to_timestamp(
+            F.regexp_extract(body, r"(?is)<updated>([^<]*)</updated>", 1),
+            F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        )
+        .cast("long")
+        .alias("pub_epoch"),
+    )
+    return rss_out.unionByName(atom_out)

@@ -1675,3 +1675,160 @@ SELECT url, i::int AS block_idx,
     AS n_keys
 FROM b
 """
+
+
+def q_hreflang_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang cluster confirmation (urls.extract_hreflang +
+    urls.hreflang_reciprocity): docs form 3-language clusters (doc_id div
+    3); each member declares alternates to all three cluster URLs
+    (including itself, per Google guidance) EXCEPT every 5th doc, which
+    declares nothing — so edges INTO it are non-reciprocal, and edges to
+    cluster slots with no backing doc (the ragged final cluster) are
+    dangling. The confirmation self-join is shuffle_hash, never broadcast
+    (both sides are the corpus-scale edge table)."""
+    from ..operators import urls
+
+    d = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    cluster = F.expr("doc_id div 3").cast("string")
+    langs = ("en", "de", "fr")
+    own_lang = F.element_at(
+        F.array(*[F.lit(x) for x in langs]), (doc_id % 3 + 1).cast("int")
+    )
+    url = F.concat(
+        F.lit("https://h.example.com/"), own_lang, F.lit("/"), cluster
+    )
+
+    def tag(lg: str):
+        return F.concat(
+            F.lit(
+                f'<link rel="alternate" hreflang="{lg}" '
+                f'href="https://h.example.com/{lg}/'
+            ),
+            cluster,
+            F.lit('">'),
+        )
+
+    tags = F.when(
+        doc_id % 5 != 0, F.concat(*[tag(lg) for lg in langs])
+    ).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(F.lit("<html><head>"), tags, F.lit("</head></html>")),
+        "UTF-8",
+    )
+    pages = d.select(url.alias("url"), html.alias("html"))
+    return urls.hreflang_reciprocity(urls.extract_hreflang(pages))
+
+
+_SQL_HREFLANG_RECIPROCITY = """
+WITH d AS (
+  SELECT doc_id, doc_id // 3 AS c,
+         ['en','de','fr'][(doc_id % 3)::int + 1] AS lang
+  FROM documents
+),
+edges AS (
+  SELECT 'https://h.example.com/' || d.lang || '/' || d.c AS url,
+         l.lang AS hreflang,
+         'https://h.example.com/' || l.lang || '/' || d.c AS target
+  FROM d, (SELECT unnest(['en','de','fr']) AS lang) l
+  WHERE d.doc_id % 5 <> 0
+),
+back AS (SELECT DISTINCT url, target FROM edges)
+SELECT e.url, e.hreflang, e.target,
+  (b.url IS NOT NULL)::int AS reciprocal
+FROM edges e LEFT JOIN back b ON b.url = e.target AND b.target = e.url
+"""
+
+
+_FEED_MONTHS = (
+    "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
+)
+
+
+def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing (urls.parse_feed_entries): even docs become
+    RSS feeds with two <item>s (RFC-822 pubDate with weekday prefix and
+    GMT suffix; every 14th doc's first item carries a MALFORMED date so
+    the NULL pub_epoch path is exercised), odd docs become Atom feeds
+    with one <entry> (ISO-8601 Zulu <updated>). Pure codegen regexp +
+    try_to_timestamp — no UDF, no shuffle."""
+    from ..operators import urls
+
+    _utc(spark)
+    d = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    did = doc_id.cast("string")
+    months = F.array(*[F.lit(m) for m in _FEED_MONTHS])
+
+    def p2(col):
+        return F.lpad(col.cast("string"), 2, "0")
+
+    def rss_item(i: int):
+        k = doc_id + i
+        date = F.concat(
+            F.lit("Mon, "), p2(k % 28 + 1), F.lit(" "),
+            F.element_at(months, (k % 12 + 1).cast("int")),
+            F.lit(" 2024 "), p2(k % 24), F.lit(":00:00 GMT"),
+        )
+        if i == 0:
+            date = F.when(doc_id % 14 == 0, F.lit("not a date")).otherwise(date)
+        return F.concat(
+            F.lit(f"<item><title>Item "), did, F.lit(f"-{i}</title>"),
+            F.lit("<link>https://feeds.example.com/"), did, F.lit(f"/{i}</link>"),
+            F.lit("<guid>g-"), did, F.lit(f"-{i}</guid>"),
+            F.lit("<pubDate>"), date, F.lit("</pubDate></item>"),
+        )
+
+    rss_xml = F.concat(
+        F.lit("<rss><channel>"), rss_item(0), rss_item(1),
+        F.lit("</channel></rss>"),
+    )
+    atom_updated = F.concat(
+        F.lit("2024-"), p2(doc_id % 12 + 1), F.lit("-"), p2(doc_id % 28 + 1),
+        F.lit("T"), p2(doc_id % 24), F.lit(":00:00Z"),
+    )
+    atom_xml = F.concat(
+        F.lit("<feed><entry><title>Entry "), did, F.lit("</title>"),
+        F.lit('<link href="https://feeds.example.com/a/'), did, F.lit('"/>'),
+        F.lit("<id>tag:"), did, F.lit("</id>"),
+        F.lit("<updated>"), atom_updated, F.lit("</updated></entry></feed>"),
+    )
+    xml = F.encode(
+        F.when(doc_id % 2 == 0, rss_xml).otherwise(atom_xml), "UTF-8"
+    )
+    feeds = d.select(
+        F.concat(F.lit("https://feeds.example.com/f/"), did).alias("url"),
+        xml.alias("xml"),
+    )
+    return urls.parse_feed_entries(feeds)
+
+
+_SQL_FEED_ENTRIES = """
+WITH d AS (SELECT doc_id FROM documents),
+rss AS (
+  SELECT 'https://feeds.example.com/f/' || doc_id AS feed_url,
+    'rss' AS kind, i::int AS entry_idx,
+    'Item ' || doc_id || '-' || i AS title,
+    'https://feeds.example.com/' || doc_id || '/' || i AS link,
+    'g-' || doc_id || '-' || i AS guid,
+    CASE WHEN i = 0 AND doc_id % 14 = 0 THEN NULL
+         ELSE epoch(make_timestamp(2024,
+            ((doc_id + i) % 12)::int + 1, ((doc_id + i) % 28)::int + 1,
+            ((doc_id + i) % 24)::int, 0, 0))::bigint
+    END AS pub_epoch
+  FROM d, (SELECT unnest([0, 1]) AS i)
+  WHERE doc_id % 2 = 0
+),
+atom AS (
+  SELECT 'https://feeds.example.com/f/' || doc_id AS feed_url,
+    'atom' AS kind, 0::int AS entry_idx,
+    'Entry ' || doc_id AS title,
+    'https://feeds.example.com/a/' || doc_id AS link,
+    'tag:' || doc_id AS guid,
+    epoch(make_timestamp(2024, (doc_id % 12)::int + 1,
+      (doc_id % 28)::int + 1, (doc_id % 24)::int, 0, 0))::bigint AS pub_epoch
+  FROM d WHERE doc_id % 2 = 1
+)
+SELECT * FROM rss UNION ALL SELECT * FROM atom
+"""

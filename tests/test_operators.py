@@ -2882,3 +2882,98 @@ def test_jsonld_extract_blocks_and_error_isolation(spark):
     plan = urls.extract_jsonld(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_hreflang_reciprocity_confirmed_broken_dangling(spark):
+    """Self-referential and mutual alternates confirm; an alternate into a
+    page that declares nothing back is non-reciprocal; a dangling target
+    (no such page) is non-reciprocal. Plan: the confirmation join must
+    never broadcast (both sides are corpus-scale)."""
+    from legal_document_ocr_spark.operators import urls
+
+    tag = (
+        lambda lg, u: f'<link rel="alternate" hreflang="{lg}" href="{u}">'
+    )  # noqa: E731
+    a, b, c = "https://x.com/en/1", "https://x.com/de/1", "https://x.com/fr/1"
+    df = spark.createDataFrame(
+        [
+            # a: self + b + dangling c (c declares nothing back)
+            (a, (tag("en", a) + tag("de", b) + tag("fr", c)).encode()),
+            # b: back to a only
+            (b, tag("en", a).encode()),
+            # c: declares nothing
+            (c, b"<html><head></head></html>"),
+        ],
+        "url string, html binary",
+    )
+    alts = urls.extract_hreflang(df)
+    out = urls.hreflang_reciprocity(alts)
+    got = {(r.url, r.target): r.reciprocal for r in out.collect()}
+    assert got == {
+        (a, a): 1,  # self-edge confirms itself
+        (a, b): 1,  # mutual
+        (a, c): 0,  # c never declares back
+        (b, a): 1,
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_hreflang_extract_lowercases_and_drops_empty_target(spark):
+    from legal_document_ocr_spark.operators import urls
+
+    html = (
+        '<link rel="alternate" hreflang="EN-us" href="https://x.com/a">'
+        '<link rel="alternate" hreflang="de" href="">'
+    ).encode()
+    rows = urls.extract_hreflang(
+        spark.createDataFrame([("u", html)], "url string, html binary")
+    ).collect()
+    assert [(r.hreflang, r.target) for r in rows] == [
+        ("en-us", "https://x.com/a")
+    ]
+
+
+def test_parse_feed_entries_rss_atom_and_bad_date(spark):
+    """RSS items parse RFC-822 dates (weekday prefix and zone suffix
+    stripped); Atom entries parse ISO-8601 Zulu; a malformed pubDate
+    becomes NULL pub_epoch, never a task failure (ANSI-safe via
+    try_to_timestamp); a feed with no entries emits no rows. Plan: no
+    shuffle below the kind-union, no UDF."""
+    import datetime
+
+    from legal_document_ocr_spark.operators import urls
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rss = (
+        b"<rss><channel>"
+        b"<item><title>A</title><link>https://f.com/a</link><guid>g1</guid>"
+        b"<pubDate>Tue, 05 Feb 2024 10:30:00 +0000</pubDate></item>"
+        b"<item><title>B</title><link>https://f.com/b</link><guid>g2</guid>"
+        b"<pubDate>whenever</pubDate></item>"
+        b"</channel></rss>"
+    )
+    atom = (
+        b'<feed><entry><title>C</title><link href="https://f.com/c"/>'
+        b"<id>tag:c</id><updated>2024-02-05T10:30:00Z</updated></entry></feed>"
+    )
+    df = spark.createDataFrame(
+        [("r", rss), ("a", atom), ("empty", b"<rss><channel></channel></rss>")],
+        "url string, xml binary",
+    )
+    out = urls.parse_feed_entries(df)
+    rows = {(r.feed_url, r.kind, r.entry_idx): r for r in out.collect()}
+    want = int(
+        datetime.datetime(
+            2024, 2, 5, 10, 30, tzinfo=datetime.timezone.utc
+        ).timestamp()
+    )
+    assert set(rows) == {("r", "rss", 0), ("r", "rss", 1), ("a", "atom", 0)}
+    assert rows[("r", "rss", 0)].pub_epoch == want
+    assert rows[("r", "rss", 0)].link == "https://f.com/a"
+    assert rows[("r", "rss", 1)].pub_epoch is None
+    assert rows[("a", "atom", 0)].pub_epoch == want
+    assert rows[("a", "atom", 0)].guid == "tag:c"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
