@@ -1622,3 +1622,64 @@ _SQL_ROBOTS_BLOCKRATE = (
 )
 
 
+
+
+_MONTHS3 = (
+    "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
+)
+
+
+def q_x_robots_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-Robots-Tag header compliance (warc.parse_x_robots): every 3rd doc
+    sends noindex, every 4th a SECOND header line with nofollow (multi-
+    line union), every 9th 'none' (implies both), every 7th an
+    unavailable_after RFC-822 date, every 11th a UA-prefixed form that
+    must read as a plain directive — and every body carries a DECOY
+    'X-Robots-Tag: noindex' line that must NOT match (head-only scan)."""
+    from ..sources.warc import parse_x_robots
+
+    _utc(spark)
+    d = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    did = doc_id.cast("string")
+    months = F.array(*[F.lit(m) for m in _MONTHS3])
+    p2 = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    crlf = "\r\n"
+    line = lambda cond, body: F.when(  # noqa: E731
+        cond, F.concat(F.lit("X-Robots-Tag: "), body, F.lit(crlf))
+    ).otherwise(F.lit(""))
+    date = F.concat(
+        p2(doc_id % 28 + 1), F.lit(" "),
+        F.element_at(months, (doc_id % 12 + 1).cast("int")),
+        F.lit(" 2024 "), p2(doc_id % 24), F.lit(":00:00 GMT"),
+    )
+    payload = F.concat(
+        F.lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" + crlf),
+        line(doc_id % 3 == 0, F.lit("noindex")),
+        line(doc_id % 4 == 0, F.lit("nofollow")),
+        line(doc_id % 9 == 0, F.lit("none")),
+        line(doc_id % 7 == 0, F.concat(F.lit("unavailable_after: "), date)),
+        line(doc_id % 11 == 0, F.lit("googlebot: noindex")),
+        F.lit(crlf + "<html><body>X-Robots-Tag: noindex" + crlf),
+        F.lit("X-Robots-Tag: nofollow</body></html>"),
+    )
+    recs = d.select(
+        F.concat(F.lit("https://x.example.com/"), did).alias("url"),
+        payload.alias("payload"),
+    )
+    return parse_x_robots(recs).select(
+        "url", "noindex", "nofollow", "unavailable_after"
+    )
+
+
+_SQL_X_ROBOTS_HEADERS = """
+SELECT 'https://x.example.com/' || doc_id AS url,
+  (doc_id % 3 = 0 OR doc_id % 9 = 0 OR doc_id % 11 = 0)::int AS noindex,
+  (doc_id % 4 = 0 OR doc_id % 9 = 0)::int AS nofollow,
+  CASE WHEN doc_id % 7 = 0 THEN
+    epoch(make_timestamp(2024, (doc_id % 12)::int + 1,
+      (doc_id % 28)::int + 1, (doc_id % 24)::int, 0, 0))::bigint
+  END AS unavailable_after
+FROM documents
+"""

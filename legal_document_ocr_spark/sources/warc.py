@@ -398,3 +398,56 @@ def parse_http_response(
             "body": body,
         }
     ).drop(payload_col)
+
+
+_XROBOTS_RE = r"(?mi)^X-Robots-Tag:\s*([^\r\n]+)"
+_UNAVAIL_RE = r"(?i)unavailable_after:\s*(?:[a-z]{3},\s*)?([^,\r\n]+)"
+
+
+def parse_x_robots(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """``X-Robots-Tag`` response-header compliance -> adds (noindex,
+    nofollow, unavailable_after) to each HTTP record: the header-side
+    counterpart of ``urls.meta_robots`` (markup) and the robots.txt
+    battery (crawl side) — together the full publisher-opt-out surface a
+    curation pipeline must honor. A noindex header drops the page from
+    the corpus even when the markup is silent; ``unavailable_after``
+    gives the drop an expiry epoch for recrawl scheduling.
+
+    Only the HTTP head is scanned (``substring_index`` to the first blank
+    line) so a body echoing the header text cannot spoof it. Multiple
+    ``X-Robots-Tag`` lines combine (union of directives, per Google's
+    documented semantics); matching is token-anchored so 'nonoindexing'
+    cannot false-positive; ``none`` implies both flags. The
+    ``unavailable_after`` value parses through the RFC-822 weekday/zone
+    strip + ``try_to_timestamp`` (NULL on malformed, never a task
+    failure). Dates parse with or without the RFC-822 weekday/zone;
+    UA-scoped headers read as plain directives. All whole-stage codegen,
+    no UDF, no shuffle.
+    """
+    head = F.substring_index(F.col(payload_col), _CRLF + _CRLF, 1)
+    combined_raw = F.array_join(
+        F.regexp_extract_all(head, F.lit(_XROBOTS_RE), 1), ","
+    )
+    combined = F.lower(combined_raw)
+    tok = lambda d: combined.rlike(  # noqa: E731
+        rf"(^|[,:\s]){d}($|[,\s])"
+    )
+    # date from the UNlowercased text: Java's MMM month parse is
+    # case-sensitive ('feb' would NULL out). The optional weekday is
+    # consumed inside _UNAVAIL_RE (its comma would otherwise end the
+    # capture, since directive lists split on commas too).
+    raw_date = F.regexp_extract(combined_raw, _UNAVAIL_RE, 1)
+    date = F.regexp_replace(
+        F.trim(raw_date), r"(?i)\s*(gmt|ut|[+-]\d{4})\s*$", ""
+    )
+    return df.withColumns(
+        {
+            "noindex": (tok("noindex") | tok("none")).cast("int"),
+            "nofollow": (tok("nofollow") | tok("none")).cast("int"),
+            "unavailable_after": F.try_to_timestamp(
+                F.when(date != "", date), F.lit("dd MMM yyyy HH:mm:ss")
+            ).cast("long"),
+        }
+    )

@@ -2398,6 +2398,39 @@ def test_parse_http_response_header_spoof_and_missing(spark):
     assert rows[2].content_type == "application/pdf"
 
 
+def test_parse_x_robots_directives_and_expiry(spark):
+    from legal_document_ocr_spark.sources.warc import parse_x_robots
+
+    crlf = "\r\n"
+    head = "HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" + crlf
+    decoy_body = crlf + "X-Robots-Tag: noindex, nofollow" + crlf  # body decoy
+    cases = [
+        (1, head + "X-Robots-Tag: noindex" + crlf + decoy_body),
+        # multi-line union + UA prefix reads as plain directive
+        (2, head + "X-Robots-Tag: googlebot: noindex" + crlf
+            + "X-Robots-Tag: NOFOLLOW" + crlf + crlf + "x"),
+        (3, head + "X-Robots-Tag: none" + crlf + crlf),  # implies both
+        # token anchoring: 'nonoindexing' must not match
+        (4, head + "X-Robots-Tag: nonoindexing" + crlf + crlf),
+        (5, head + "X-Robots-Tag: unavailable_after: Tue, 03 Feb 2024"
+            " 12:00:00 GMT" + crlf + crlf),
+        (6, head + "X-Robots-Tag: unavailable_after: not a date"
+            + crlf + crlf),
+        (7, head + crlf + decoy_body),  # header absent entirely
+    ]
+    df = spark.createDataFrame(cases, "id long, payload string")
+    rows = {r.id: r for r in parse_x_robots(df).collect()}
+    assert (rows[1].noindex, rows[1].nofollow) == (1, 0)
+    assert (rows[2].noindex, rows[2].nofollow) == (1, 1)
+    assert (rows[3].noindex, rows[3].nofollow) == (1, 1)
+    assert (rows[4].noindex, rows[4].nofollow) == (0, 0)
+    assert rows[5].unavailable_after == 1706961600  # 2024-02-03T12:00Z
+    assert rows[6].unavailable_after is None  # malformed -> NULL, no fail
+    assert (rows[7].noindex, rows[7].nofollow) == (0, 0)
+    plan = parse_x_robots(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # scan-local, no shuffle
+
+
 def test_session4_plans_have_no_corpus_broadcasts(spark):
     """Session-4 operators that join corpus-sized computed frames: the
     per-host stats table (hosts ~1e8 at crawl scale), the redirect pointer
