@@ -1463,3 +1463,73 @@ def parse_feed_entries(
         .alias("pub_epoch"),
     )
     return rss_out.unionByName(atom_out)
+
+
+# ---------------------------------------------------------------------------
+# soft-404 detection (round 4)
+# ---------------------------------------------------------------------------
+
+_TITLE_RE = r"(?is)<title[^>]*>([^<]*)</title>"
+_NOTFOUND_RE = (
+    r"(404|not found|no longer (exists|available)|"
+    r"page (does not exist|unavailable|has been removed)|"
+    r"nothing (was )?found)"
+)
+
+
+def soft404(
+    pages: DataFrame,
+    html_col: str = "html",
+    status_col: str = "status_code",
+    thin_tokens: int = 30,
+) -> DataFrame:
+    """Soft-404 detection — pages served with HTTP 200 whose CONTENT says
+    "not found". Servers that return error pages under a success status
+    are endemic on the open web; an archive that trusts the status code
+    ingests millions of identical "Page Not Found" boilerplate documents
+    (which then dominate near-dup clusters and poison LM training data),
+    so curation flags them content-side. Reference analogue: the
+    validation layer that rejects non-document uploads before OCR
+    (/root/reference/app/utils/validation.py:19-31) — same gate, crawl
+    side.
+
+    Heuristic (precision-first, the production shape used by crawl QA):
+      - ``title_404``: the <title> matches a not-found phrase battery —
+        the strongest signal, flags regardless of body length;
+      - ``body_404`` AND ``thin``: the not-found phrase appears in the
+        first 200 chars of tag-stripped text AND the page has fewer than
+        ``thin_tokens`` tokens. A long article that merely *mentions*
+        "not found" deep in its body is NOT flagged.
+    ``soft404`` fires only when the HTTP status is 200 — a true 404 is
+    correctly labeled and needs no rescue.
+
+    Output: (*, title, n_tokens, title_404, body_404, thin, soft404).
+    One codegen projection over the scan — no UDF, no shuffle; at crawl
+    scale this annotates at read speed and the flag joins the curation
+    funnel as a plain filter column.
+    """
+    h = F.col(html_col)
+    title = F.trim(F.regexp_extract(h, _TITLE_RE, 1))
+    stripped = F.trim(
+        F.regexp_replace(F.regexp_replace(h, r"(?s)<[^>]*>", " "), r"\s+", " ")
+    )
+    n_tokens = F.when(stripped == "", F.lit(0)).otherwise(
+        F.size(F.split(stripped, " "))
+    )
+    title_404 = F.lower(title).rlike(_NOTFOUND_RE)
+    body_404 = F.lower(stripped.substr(F.lit(1), F.lit(200))).rlike(
+        _NOTFOUND_RE
+    )
+    thin = n_tokens < F.lit(thin_tokens)
+    return pages.withColumns(
+        {
+            "title": title,
+            "n_tokens": n_tokens.cast("long"),
+            "title_404": title_404.cast("int"),
+            "body_404": body_404.cast("int"),
+            "thin": thin.cast("int"),
+            "soft404": (
+                (F.col(status_col) == 200) & (title_404 | (body_404 & thin))
+            ).cast("int"),
+        }
+    )

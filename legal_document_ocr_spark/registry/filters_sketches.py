@@ -1683,3 +1683,231 @@ SELECT 'https://x.example.com/' || doc_id AS url,
   END AS unavailable_after
 FROM documents
 """
+
+
+def _fmt_http_date(epoch):
+    """epoch (Column, seconds) -> weekday-free RFC-822 date string + GMT.
+    from_unixtime renders in the session timezone — callers pin UTC."""
+    return F.concat(
+        F.from_unixtime(epoch, "dd MMM yyyy HH:mm:ss"), F.lit(" GMT")
+    )
+
+
+def q_cache_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP cache-policy parse (warc.parse_cache_policy): every 3rd doc
+    declares max-age, every 4th no-cache+private, every 5th no-store,
+    every 2nd an Expires date, every 7th an ETag, every 11th
+    Last-Modified; EVERY head carries an s-maxage=777 decoy that the
+    token-anchored max-age extract must reject, and every body a decoy
+    Cache-Control line that the head-only scan must ignore. TTL
+    precedence (no-store/no-cache > max-age > Expires-Date) is exercised
+    by the modulus interplay (e.g. doc_id%12==0 has max-age AND no-cache
+    -> ttl 0)."""
+    from ..sources.warc import parse_cache_policy
+
+    _utc(spark)
+    d = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    crlf = "\r\n"
+    base = (F.lit(1700000000).cast("long") + doc_id * 37)
+    line = lambda cond, body: F.when(  # noqa: E731
+        cond, F.concat(body, F.lit(crlf))
+    ).otherwise(F.lit(""))
+    payload = F.concat(
+        F.lit("HTTP/1.1 200 OK" + crlf),
+        F.lit("Date: "), _fmt_http_date(base), F.lit(crlf),
+        F.lit("Cache-Control: s-maxage=777" + crlf),
+        line(doc_id % 3 == 0, F.concat(
+            F.lit("Cache-Control: max-age="),
+            (doc_id % 86400).cast("string"))),
+        line(doc_id % 4 == 0, F.lit("Cache-Control: no-cache, private")),
+        line(doc_id % 5 == 0, F.lit("Cache-Control: no-store")),
+        line(doc_id % 2 == 0, F.concat(
+            F.lit("Expires: "),
+            _fmt_http_date(base + (doc_id % 1000) * 60))),
+        line(doc_id % 7 == 0, F.concat(
+            F.lit('ETag: "v'), doc_id.cast("string"), F.lit('"'))),
+        line(doc_id % 11 == 0, F.concat(
+            F.lit("Last-Modified: "), _fmt_http_date(base - 3600))),
+        F.lit(crlf + "<html>Cache-Control: max-age=99999</html>"),
+    )
+    recs = d.select(
+        F.concat(F.lit("https://c.example.com/"), doc_id.cast("string"))
+        .alias("url"),
+        payload.alias("payload"),
+    )
+    return parse_cache_policy(recs).select(
+        "url", "max_age", "no_cache", "no_store", "is_private",
+        "has_etag", "has_last_modified", "expires_epoch", "ttl_sec",
+        "fresh_until",
+    )
+
+
+_SQL_CACHE_POLICY = """
+WITH d AS (
+  SELECT doc_id, 1700000000 + doc_id * 37 AS base FROM documents
+)
+SELECT 'https://c.example.com/' || doc_id AS url,
+  CASE WHEN doc_id % 3 = 0 THEN (doc_id % 86400)::bigint END AS max_age,
+  (doc_id % 4 = 0)::int AS no_cache,
+  (doc_id % 5 = 0)::int AS no_store,
+  (doc_id % 4 = 0)::int AS is_private,
+  (doc_id % 7 = 0)::int AS has_etag,
+  (doc_id % 11 = 0)::int AS has_last_modified,
+  CASE WHEN doc_id % 2 = 0
+    THEN (base + (doc_id % 1000) * 60)::bigint END AS expires_epoch,
+  CASE
+    WHEN doc_id % 4 = 0 OR doc_id % 5 = 0 THEN 0::bigint
+    WHEN doc_id % 3 = 0 THEN (doc_id % 86400)::bigint
+    WHEN doc_id % 2 = 0 THEN ((doc_id % 1000) * 60)::bigint
+  END AS ttl_sec,
+  base + CASE
+    WHEN doc_id % 4 = 0 OR doc_id % 5 = 0 THEN 0::bigint
+    WHEN doc_id % 3 = 0 THEN (doc_id % 86400)::bigint
+    WHEN doc_id % 2 = 0 THEN ((doc_id % 1000) * 60)::bigint
+  END AS fresh_until
+FROM d
+"""
+
+
+def q_truncated_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-delivered audit (warc.detect_truncation): bodies of
+    known octet length; every 3rd capture declares MORE than delivered
+    (truncated), every 13th fewer (over-delivery, negative delta), every
+    11th omits Content-Length entirely (unknown -> NULLs). Precedence:
+    11 > 13 > 3."""
+    from ..sources.warc import detect_truncation
+
+    d = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    crlf = "\r\n"
+    blen = doc_id % 50 + 10
+    cl = (
+        F.when(doc_id % 13 == 0, blen - 3)
+        .when(doc_id % 3 == 0, blen + doc_id % 7 + 1)
+        .otherwise(blen)
+    )
+    payload = F.concat(
+        F.lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" + crlf),
+        F.when(
+            doc_id % 11 != 0,
+            F.concat(F.lit("Content-Length: "), cl.cast("string"),
+                     F.lit(crlf)),
+        ).otherwise(F.lit("")),
+        F.lit(crlf),
+        F.repeat(F.lit("x"), blen.cast("int")),
+    )
+    recs = d.select(
+        F.concat(F.lit("https://t.example.com/"), doc_id.cast("string"))
+        .alias("url"),
+        payload.alias("payload"),
+    )
+    return detect_truncation(recs).select(
+        "url", "content_length", "body_bytes", "delta_bytes", "truncated"
+    )
+
+
+_SQL_TRUNCATED_CAPTURES = """
+WITH d AS (
+  SELECT doc_id, doc_id % 50 + 10 AS blen,
+    CASE WHEN doc_id % 13 = 0 THEN doc_id % 50 + 7
+         WHEN doc_id % 3 = 0 THEN doc_id % 50 + 11 + doc_id % 7
+         ELSE doc_id % 50 + 10 END AS cl
+  FROM documents
+)
+SELECT 'https://t.example.com/' || doc_id AS url,
+  CASE WHEN doc_id % 11 != 0 THEN cl::bigint END AS content_length,
+  blen::bigint AS body_bytes,
+  CASE WHEN doc_id % 11 != 0 THEN (cl - blen)::bigint END AS delta_bytes,
+  CASE WHEN doc_id % 11 != 0 THEN (cl > blen)::int END AS truncated
+FROM d
+"""
+
+
+def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (urls.soft404): every 5th doc is a 'Page Not
+    Found' page served as 200 (title signal); every 11th (not 5th) a
+    THIN apology page with the phrase only in the body; every 7th a LONG
+    article that merely mentions 'not found' past the 200-char window
+    (must NOT flag — precision pin); every 9th gets a true 404 status
+    (correctly-labeled errors never flag). Branch precedence 5 > 7 > 11."""
+    from ..operators.urls import soft404
+
+    d = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    did = doc_id.cast("string")
+    html = (
+        F.when(doc_id % 5 == 0, F.lit(
+            "<html><head><title>404 Not Found</title></head>"
+            "<body>The page you requested was not found.</body></html>"))
+        .when(doc_id % 7 == 0, F.concat(
+            F.lit("<html><head><title>Archive "), did,
+            F.lit("</title></head><body>"),
+            F.repeat(F.lit("lorem ipsum dolor "), 20),
+            F.lit("the term not found appears here</body></html>")))
+        .when(doc_id % 11 == 0, F.lit(
+            "<html><head><title>Oops</title></head>"
+            "<body>Sorry, nothing was found here.</body></html>"))
+        .otherwise(F.concat(
+            F.lit("<html><head><title>Doc "), did,
+            F.lit("</title></head><body>regular content for document "),
+            did, F.lit(" with several more words</body></html>")))
+    )
+    status = F.when(doc_id % 9 == 0, F.lit(404)).otherwise(F.lit(200))
+    pages = d.select(
+        F.concat(F.lit("https://s.example.com/"), did).alias("url"),
+        html.alias("html"),
+        status.alias("status_code"),
+    )
+    return soft404(pages).select(
+        "url", "status_code", "title", "n_tokens",
+        "title_404", "body_404", "thin", "soft404",
+    )
+
+
+_SQL_SOFT404 = """
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN
+      '<html><head><title>404 Not Found</title></head>'
+      || '<body>The page you requested was not found.</body></html>'
+    WHEN doc_id % 7 = 0 THEN
+      '<html><head><title>Archive ' || doc_id || '</title></head><body>'
+      || repeat('lorem ipsum dolor ', 20)
+      || 'the term not found appears here</body></html>'
+    WHEN doc_id % 11 = 0 THEN
+      '<html><head><title>Oops</title></head>'
+      || '<body>Sorry, nothing was found here.</body></html>'
+    ELSE
+      '<html><head><title>Doc ' || doc_id
+      || '</title></head><body>regular content for document ' || doc_id
+      || ' with several more words</body></html>' END AS html,
+    CASE WHEN doc_id % 9 = 0 THEN 404 ELSE 200 END AS status_code
+  FROM documents
+), p AS (
+  SELECT doc_id, html, status_code,
+    trim(regexp_extract(html, '(?is)<title[^>]*>([^<]*)</title>', 1))
+      AS title,
+    trim(regexp_replace(regexp_replace(html, '(?s)<[^>]*>', ' ', 'g'),
+         '\\s+', ' ', 'g')) AS stripped
+  FROM d
+), f AS (
+  SELECT doc_id, status_code, title,
+    CASE WHEN stripped = '' THEN 0
+         ELSE len(string_split(stripped, ' ')) END AS n_tokens,
+    regexp_matches(lower(title),
+      '(404|not found|no longer (exists|available)|page (does not exist|unavailable|has been removed)|nothing (was )?found)')
+      AS t404,
+    regexp_matches(lower(substring(stripped, 1, 200)),
+      '(404|not found|no longer (exists|available)|page (does not exist|unavailable|has been removed)|nothing (was )?found)')
+      AS b404
+  FROM p
+)
+SELECT 'https://s.example.com/' || doc_id AS url, status_code, title,
+  n_tokens::bigint AS n_tokens,
+  t404::int AS title_404, b404::int AS body_404,
+  (n_tokens < 30)::int AS thin,
+  (status_code = 200 AND (t404 OR (b404 AND n_tokens < 30)))::int
+    AS soft404
+FROM f
+"""

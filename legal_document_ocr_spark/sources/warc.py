@@ -33,7 +33,7 @@ dispatch (app/api/v1/endpoints/documents.py:16-26 → ocr_service.py:66-103)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _CRLF = "\r\n"
@@ -404,6 +404,22 @@ _XROBOTS_RE = r"(?mi)^X-Robots-Tag:\s*([^\r\n]+)"
 _UNAVAIL_RE = r"(?i)unavailable_after:\s*(?:[a-z]{3},\s*)?([^,\r\n]+)"
 
 
+def _http_date_epoch(raw: Column) -> Column:
+    """RFC-822-ish HTTP date string -> epoch seconds (long), NULL on
+    malformed. Strips the optional weekday prefix and the zone suffix
+    (GMT/UT/offset) then ``try_to_timestamp`` — never a task failure.
+    Month names parse case-sensitively (Java MMM), so callers pass the
+    UNlowercased text."""
+    date = F.regexp_replace(
+        F.trim(raw),
+        r"(?i)^[a-z]{3},\s*|\s*(gmt|ut|[+-]\d{4})\s*$",
+        "",
+    )
+    return F.try_to_timestamp(
+        F.when(date != "", date), F.lit("dd MMM yyyy HH:mm:ss")
+    ).cast("long")
+
+
 def parse_x_robots(
     df: DataFrame, payload_col: str = "payload"
 ) -> DataFrame:
@@ -434,20 +450,121 @@ def parse_x_robots(
     tok = lambda d: combined.rlike(  # noqa: E731
         rf"(^|[,:\s]){d}($|[,\s])"
     )
-    # date from the UNlowercased text: Java's MMM month parse is
-    # case-sensitive ('feb' would NULL out). The optional weekday is
-    # consumed inside _UNAVAIL_RE (its comma would otherwise end the
-    # capture, since directive lists split on commas too).
+    # date from the UNlowercased text (Java MMM parse is case-sensitive);
+    # the optional weekday is consumed inside _UNAVAIL_RE (its comma
+    # would otherwise end the capture — directive lists split on commas).
     raw_date = F.regexp_extract(combined_raw, _UNAVAIL_RE, 1)
-    date = F.regexp_replace(
-        F.trim(raw_date), r"(?i)\s*(gmt|ut|[+-]\d{4})\s*$", ""
-    )
     return df.withColumns(
         {
             "noindex": (tok("noindex") | tok("none")).cast("int"),
             "nofollow": (tok("nofollow") | tok("none")).cast("int"),
-            "unavailable_after": F.try_to_timestamp(
-                F.when(date != "", date), F.lit("dd MMM yyyy HH:mm:ss")
-            ).cast("long"),
+            "unavailable_after": _http_date_epoch(raw_date),
+        }
+    )
+
+
+_CC_LINE_RE = r"(?mi)^Cache-Control:\s*([^\r\n]+)"
+_MAXAGE_RE = r"(?i)(^|[,\s])max-age\s*=\s*(\d+)"
+_EXPIRES_RE = r"(?mi)^Expires:\s*([^\r\n]+)"
+_DATE_RE = r"(?mi)^Date:\s*([^\r\n]+)"
+_ETAG_RE = r"(?mi)^ETag:"
+_LASTMOD_RE = r"(?mi)^Last-Modified:"
+_CLEN_RE = r"(?mi)^Content-Length:\s*(\d+)"
+
+
+def parse_cache_policy(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """HTTP caching headers -> a recrawl-freshness policy per capture:
+    adds (max_age, no_cache, no_store, is_private, has_etag,
+    has_last_modified, date_epoch, expires_epoch, ttl_sec, fresh_until).
+    The crawl-scheduling counterpart of ``urls.recrawl_priority`` —
+    that operator estimates change rate from observed hash flips; this
+    one reads what the PUBLISHER declares (RFC 9111 semantics), and a
+    scheduler takes the min of the two signals.
+
+    TTL precedence per RFC 9111 §4.2: ``no-store``/``no-cache`` force 0;
+    else ``max-age`` (seconds) wins over ``Expires``; else
+    ``Expires - Date`` when both parse (clamped at 0, per stale-on-
+    arrival); else NULL (heuristic freshness is the caller's policy).
+    ``fresh_until`` = Date + ttl when both are known. Multiple
+    Cache-Control lines combine (union, like X-Robots-Tag); directive
+    matching is token-anchored so ``s-maxage=`` can never feed
+    ``max_age`` and ``no-cache-xyz`` never flags. Only the HTTP head is
+    scanned — a body echoing header text cannot spoof policy. All
+    whole-stage codegen, no UDF, no shuffle.
+    """
+    head = F.substring_index(F.col(payload_col), _CRLF + _CRLF, 1)
+    cc = F.lower(
+        F.array_join(F.regexp_extract_all(head, F.lit(_CC_LINE_RE), 1), ",")
+    )
+    tok = lambda d: cc.rlike(rf"(^|[,\s]){d}($|[,\s])")  # noqa: E731
+    max_age_s = F.regexp_extract(cc, _MAXAGE_RE, 2)
+    max_age = F.when(max_age_s != "", max_age_s.cast("long"))
+    date_epoch = _http_date_epoch(F.regexp_extract(head, _DATE_RE, 1))
+    expires_epoch = _http_date_epoch(F.regexp_extract(head, _EXPIRES_RE, 1))
+    no_cache = tok("no-cache") | tok("no-store")
+    # NOTE: greatest() ignores NULLs in Spark, so the Expires branch is
+    # gated on both dates parsing — absent freshness info stays NULL.
+    ttl = (
+        F.when(no_cache, F.lit(0).cast("long"))
+        .when(max_age.isNotNull(), max_age)
+        .when(
+            expires_epoch.isNotNull() & date_epoch.isNotNull(),
+            F.greatest(expires_epoch - date_epoch, F.lit(0).cast("long")),
+        )
+    )
+    return df.withColumns(
+        {
+            "max_age": max_age,
+            "no_cache": tok("no-cache").cast("int"),
+            "no_store": tok("no-store").cast("int"),
+            "is_private": tok("private").cast("int"),
+            "has_etag": head.rlike(_ETAG_RE).cast("int"),
+            "has_last_modified": head.rlike(_LASTMOD_RE).cast("int"),
+            "date_epoch": date_epoch,
+            "expires_epoch": expires_epoch,
+            "ttl_sec": ttl,
+            "fresh_until": date_epoch + ttl,
+        }
+    )
+
+
+def detect_truncation(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Declared-vs-delivered length audit per HTTP capture: adds
+    (content_length, body_bytes, delta_bytes, truncated). A crawler that
+    hits its per-response byte cap, a dropped connection, or a server
+    lying about Content-Length all yield bodies whose octet count
+    disagrees with the declared length — truncated captures poison
+    extraction (mid-tag cuts) and dedup (prefix collisions), so a
+    curation pipeline flags them BEFORE the parse stage.
+
+    ``body_bytes`` counts octets, not codepoints: on the binary path the
+    payload string is the latin-1 bijection of the raw bytes (see
+    parse_warc_records_binary), where char count == octet count by
+    construction. ``delta_bytes`` = declared - delivered, so a positive
+    delta is truncation and a negative one is over-delivery (keep-alive
+    bleed — a framing bug worth surfacing too). No Content-Length header
+    -> NULLs (unknown is not truncated). Head-only header scan, all
+    codegen, no shuffle.
+    """
+    p = F.col(payload_col)
+    head = F.substring_index(p, _CRLF + _CRLF, 1)
+    cl_s = F.regexp_extract(head, _CLEN_RE, 1)
+    cl = F.when(cl_s != "", cl_s.cast("long"))
+    # body = everything after the first CRLFCRLF (absent -> empty body)
+    body_bytes = F.when(
+        F.length(p) > F.length(head),
+        F.length(p) - F.length(head) - F.lit(4),
+    ).otherwise(F.lit(0)).cast("long")
+    delta = cl - body_bytes
+    return df.withColumns(
+        {
+            "content_length": cl,
+            "body_bytes": body_bytes,
+            "delta_bytes": delta,
+            "truncated": (delta > 0).cast("int"),
         }
     )

@@ -2431,6 +2431,79 @@ def test_parse_x_robots_directives_and_expiry(spark):
     assert "Exchange" not in plan  # scan-local, no shuffle
 
 
+def test_parse_cache_policy_precedence_and_nulls(spark):
+    from legal_document_ocr_spark.sources.warc import parse_cache_policy
+
+    crlf = "\r\n"
+    head = "HTTP/1.1 200 OK" + crlf + "Date: 01 Jan 2024 00:00:00 GMT" + crlf
+    cases = [
+        # no-cache beats max-age; s-maxage decoy never feeds max_age
+        (1, head + "Cache-Control: max-age=600, no-cache" + crlf
+            + "Cache-Control: s-maxage=777" + crlf + crlf),
+        # Expires - Date fallback (1h)
+        (2, head + "Expires: 01 Jan 2024 01:00:00 GMT" + crlf + crlf),
+        # stale-on-arrival clamps at 0
+        (3, head + "Expires: 31 Dec 2023 00:00:00 GMT" + crlf + crlf),
+        # no freshness info at all -> ttl NULL (greatest(NULL,0) trap)
+        (4, head + crlf + "body"),
+        # malformed Expires -> NULL, never a task failure
+        (5, head + "Expires: soon" + crlf + crlf),
+        # body decoy must not leak past the head-only scan
+        (6, head + crlf + "Cache-Control: max-age=99999"),
+    ]
+    df = spark.createDataFrame(cases, "id long, payload string")
+    rows = {r.id: r for r in parse_cache_policy(df).collect()}
+    assert rows[1].ttl_sec == 0 and rows[1].max_age == 600
+    assert rows[2].ttl_sec == 3600
+    assert rows[3].ttl_sec == 0
+    assert rows[4].ttl_sec is None and rows[4].fresh_until is None
+    assert rows[5].ttl_sec is None and rows[5].expires_epoch is None
+    assert rows[6].max_age is None and rows[6].ttl_sec is None
+
+
+def test_detect_truncation_framing_edges(spark):
+    from legal_document_ocr_spark.sources.warc import detect_truncation
+
+    crlf = "\r\n"
+    cases = [
+        (1, "HTTP/1.1 200 OK" + crlf + "Content-Length: 10"
+            + crlf + crlf + "xxxxx"),           # 5 < 10 -> truncated
+        (2, "HTTP/1.1 200 OK" + crlf + "Content-Length: 3"
+            + crlf + crlf + "xxxxx"),           # over-delivery, delta -2
+        (3, "HTTP/1.1 200 OK" + crlf + "Content-Length: 10" + crlf),
+        # ^ no blank-line separator at all -> body_bytes 0, truncated
+        (4, "HTTP/1.1 200 OK" + crlf + "Content-Length: 0"
+            + crlf + crlf),                     # empty body, exact
+    ]
+    df = spark.createDataFrame(cases, "id long, payload string")
+    rows = {r.id: r for r in detect_truncation(df).collect()}
+    assert (rows[1].truncated, rows[1].delta_bytes) == (1, 5)
+    assert (rows[2].truncated, rows[2].delta_bytes) == (0, -2)
+    assert (rows[3].body_bytes, rows[3].truncated) == (0, 1)
+    assert (rows[4].body_bytes, rows[4].truncated) == (0, 0)
+
+
+def test_soft404_precision_pins(spark):
+    from legal_document_ocr_spark.operators.urls import soft404
+
+    long_body = "lorem ipsum dolor " * 20 + "this page was not found once"
+    cases = [
+        (1, "<html><title>404 Not Found</title><body>"
+            + "word " * 100 + "</body></html>", 200),  # title wins even long
+        (2, "<html><title>News</title><body>" + long_body
+            + "</body></html>", 200),  # mention past 200 chars: clean
+        (3, "<html><title>Oops</title><body>Sorry, nothing was found."
+            + "</body></html>", 200),  # thin + early body phrase
+        (4, "<html><title>404 Not Found</title><body>gone</body></html>",
+            404),  # true 404 never flags
+        (5, "<html><body></body></html>", 200),  # empty: no crash, clean
+    ]
+    df = spark.createDataFrame(cases, "id long, html string, status_code int")
+    rows = {r.id: r for r in soft404(df).collect()}
+    assert [rows[i].soft404 for i in (1, 2, 3, 4, 5)] == [1, 0, 1, 0, 0]
+    assert rows[5].n_tokens == 0 and rows[5].title == ""
+
+
 def test_session4_plans_have_no_corpus_broadcasts(spark):
     """Session-4 operators that join corpus-sized computed frames: the
     per-host stats table (hosts ~1e8 at crawl scale), the redirect pointer
