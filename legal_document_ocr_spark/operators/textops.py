@@ -2480,3 +2480,58 @@ def pii_luhn(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(cards).cast("long").alias("n_cards"),
         F.size(F.filter(cards, luhn_valid)).cast("long").alias("n_luhn_valid"),
     )
+
+
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease per document — the classic readability gauge a
+    quality-filter stack runs next to stopword/length ratios
+    (quality_scores) and the published batteries (gopher_rules,
+    c4_filters): machine-generated keyword stuffing scores near 100+,
+    legalese near 0, normal prose 60-70, so the score separates both
+    tails the other rules miss.
+
+    Counting rules (exactly restatable in the oracle): words are ASCII
+    alpha runs of the lowercased text; sentences are terminal-punctuation
+    runs ``[.!?]+`` (min 1 so a fragment still scores); syllables are
+    vowel GROUPS ``[aeiouy]+`` per word — the standard cheap estimator.
+    The score is emitted as ``flesch_micro`` = floor(score * 1e6)
+    computed over DOUBLES with a pinned left-to-right evaluation order
+    (the repo's cross-engine float discipline: IEEE double ops are
+    bit-identical across engines; decimal division scale is not). NULL
+    when there are no words.
+
+    One codegen projection over the scan — the word array binds once and
+    feeds the syllable fold as a bound lambda value (no per-element
+    re-inlining), no UDF, no shuffle, annotates at read speed.
+    """
+    c = F.col(text_col)
+    words = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+"), F.lit(0))
+    n_words = F.size(words)
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    )
+    n_syll = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.size(
+                F.regexp_extract_all(w, F.lit(r"[aeiouy]+"), F.lit(0))
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * n_words.cast("double") / n_sent.cast("double")
+        - F.lit(84.6) * n_syll.cast("double") / n_words.cast("double")
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.when(n_words > 0, F.floor(score * F.lit(1000000.0)))
+        .cast("long")
+        .alias("flesch_micro"),
+    )

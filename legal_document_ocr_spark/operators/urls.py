@@ -1533,3 +1533,60 @@ def soft404(
             ).cast("int"),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# paywall / login-wall detection (round 4)
+# ---------------------------------------------------------------------------
+
+_PASSWORD_INPUT_RE = r'(?is)<input[^>]*type\s*=\s*["\x27]?password'
+_PAYWALL_PHRASE_RE = (
+    r"(subscribe (now )?to (continue|read)|sign in to (read|continue)|"
+    r"create a free account|subscribers? only|"
+    r"register to (read|continue)|this (article|content) is for "
+    r"(members|subscribers))"
+)
+_JSONLD_GATED_RE = r'(?i)"isAccessibleForFree"\s*:\s*(false|"false")'
+
+
+def paywall_detect(
+    pages: DataFrame, html_col: str = "html", text_col: str | None = None
+) -> DataFrame:
+    """Paywall / login-wall detection — gated pages carry only teaser
+    text plus subscription boilerplate, so ingesting them pollutes a
+    training corpus with millions of near-identical CTA fragments while
+    the "document" the URL promises is absent. The curation funnel drops
+    (or down-weights) gated captures the same way it drops soft-404s.
+
+    Three independent signals, strongest first:
+      - ``jsonld_gated``: schema.org's explicit machine-readable marker
+        ``isAccessibleForFree: false`` (the standard publishers actually
+        emit for Google's paywall policy);
+      - ``has_password_input``: a ``<input type=password>`` form — the
+        page is a login wall;
+      - ``paywall_phrase``: a CTA phrase battery over the tag-stripped
+        text ("subscribe to continue", "sign in to read", ...).
+    ``gated`` = any of the three. Phrase matching runs on stripped text
+    so markup can't split a phrase, and attribute matching runs on raw
+    markup so text can't spoof a form. One codegen projection, no UDF,
+    no shuffle.
+    """
+    h = F.col(html_col)
+    stripped = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(h, r"(?s)<[^>]*>", " "), r"\s+", " "
+            )
+        )
+    )
+    has_pw = h.rlike(_PASSWORD_INPUT_RE)
+    phrase = stripped.rlike(_PAYWALL_PHRASE_RE)
+    jsonld = h.rlike(_JSONLD_GATED_RE)
+    return pages.withColumns(
+        {
+            "has_password_input": has_pw.cast("int"),
+            "paywall_phrase": phrase.cast("int"),
+            "jsonld_gated": jsonld.cast("int"),
+            "gated": (has_pw | phrase | jsonld).cast("int"),
+        }
+    )

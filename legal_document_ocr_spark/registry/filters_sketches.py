@@ -1911,3 +1911,61 @@ SELECT 'https://s.example.com/' || doc_id AS url, status_code, title,
     AS soft404
 FROM f
 """
+
+
+def q_paywall_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paywall/login-wall detection (urls.paywall_detect): every 5th doc
+    carries the schema.org isAccessibleForFree:false JSON-LD marker,
+    every 7th a password login form, every 11th a subscribe-CTA phrase,
+    every 13th a DECOY mentioning 'password' and 'free account' in prose
+    that must NOT trip the battery. Branch precedence 5 > 7 > 11 > 13."""
+    from ..operators.urls import paywall_detect
+
+    d = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    did = doc_id.cast("string")
+    html = (
+        F.when(doc_id % 5 == 0, F.concat(
+            F.lit('<html><head><script type="application/ld+json">'
+                  '{"@type":"NewsArticle","isAccessibleForFree":false}'
+                  "</script></head><body>Teaser paragraph for story "),
+            did, F.lit(".</body></html>")))
+        .when(doc_id % 7 == 0, F.concat(
+            F.lit("<html><body><form action=\"/login\">"
+                  "<input type=\"password\" name=\"pw\">"
+                  "</form>Account area "), did, F.lit("</body></html>")))
+        .when(doc_id % 11 == 0, F.concat(
+            F.lit("<html><body>Subscribe to continue reading story "),
+            did, F.lit(".</body></html>")))
+        .when(doc_id % 13 == 0, F.concat(
+            F.lit("<html><body>The password manager guide "), did,
+            F.lit(" explains a free account of historical events."
+                  "</body></html>")))
+        .otherwise(F.concat(
+            F.lit("<html><body>Open article "), did,
+            F.lit(" with full text.</body></html>")))
+    )
+    pages = d.select(
+        F.concat(F.lit("https://p.example.com/"), did).alias("url"),
+        html.alias("html"),
+    )
+    return paywall_detect(pages).select(
+        "url", "has_password_input", "paywall_phrase", "jsonld_gated",
+        "gated",
+    )
+
+
+_SQL_PAYWALL_DETECT = """
+WITH f AS (
+  SELECT doc_id,
+    (doc_id % 5 = 0)::int AS jsonld_gated,
+    (doc_id % 5 != 0 AND doc_id % 7 = 0)::int AS has_password_input,
+    (doc_id % 5 != 0 AND doc_id % 7 != 0 AND doc_id % 11 = 0)::int
+      AS paywall_phrase
+  FROM documents
+)
+SELECT 'https://p.example.com/' || doc_id AS url,
+  has_password_input, paywall_phrase, jsonld_gated,
+  greatest(has_password_input, paywall_phrase, jsonld_gated) AS gated
+FROM f
+"""

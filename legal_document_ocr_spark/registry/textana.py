@@ -482,3 +482,32 @@ SELECT doc_id,
   ))::bigint AS n_luhn_valid
 FROM x
 """
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease over the REAL corpus text (textops.readability
+    — round 4): the oracle restates the word / sentence-run / vowel-group
+    counting and the pinned-order double expression, floor-micro-units."""
+    return textops.readability(_docs(spark, sf_dir))
+
+
+_SQL_READABILITY = """
+WITH w AS (
+  SELECT doc_id,
+    regexp_extract_all(lower(text), '[a-z]+') AS words,
+    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent
+  FROM documents
+), s AS (
+  SELECT doc_id, len(words)::bigint AS n_words, n_sent::bigint AS n_sentences,
+    coalesce(list_sum(list_transform(words,
+      x -> len(regexp_extract_all(x, '[aeiouy]+')))), 0)::bigint
+      AS n_syllables
+  FROM w
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  CASE WHEN n_words > 0 THEN
+    floor((206.835::double - 1.015::double * n_words / n_sentences
+      - 84.6::double * n_syllables / n_words) * 1000000.0::double)::bigint
+  END AS flesch_micro
+FROM s
+"""

@@ -2504,6 +2504,49 @@ def test_soft404_precision_pins(spark):
     assert rows[5].n_tokens == 0 and rows[5].title == ""
 
 
+def test_readability_edges_and_known_value(spark):
+    from legal_document_ocr_spark.operators.textops import readability
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat."),      # 3 words, 1 sentence, 3 syllables
+            (2, ""),                  # no words -> NULL score
+            (3, "!!! ??"),            # punctuation only
+            (4, "word"),              # fragment: sentence floor of 1
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in readability(df).collect()}
+    # 206.835 - 1.015*3/1 - 84.6*3/3 = 119.19
+    assert rows[1].flesch_micro == 119190000
+    assert (rows[1].n_words, rows[1].n_sentences, rows[1].n_syllables) == (
+        3, 1, 3)
+    assert rows[2].flesch_micro is None and rows[2].n_syllables == 0
+    assert rows[3].flesch_micro is None and rows[3].n_sentences == 2
+    assert rows[4].n_sentences == 1 and rows[4].flesch_micro is not None
+
+
+def test_paywall_detect_signals_and_decoys(spark):
+    from legal_document_ocr_spark.operators.urls import paywall_detect
+
+    cases = [
+        (1, '<html><input type="password"></html>'),
+        (2, "<html><body>Subscribe to <b>continue</b> reading.</body>"),
+        # ^ markup splitting the phrase must not hide it (stripped match)
+        (3, '<html>{"isAccessibleForFree": false}</html>'),
+        (4, "<html>The password manager and a free account of events."
+            "</html>"),  # prose decoy: no form, no CTA phrase
+        (5, '<html><input type="text" placeholder="password hint">'),
+        # ^ not a password INPUT TYPE
+    ]
+    df = spark.createDataFrame(cases, "id long, html string")
+    rows = {r.id: r for r in paywall_detect(df).collect()}
+    assert [rows[i].gated for i in (1, 2, 3, 4, 5)] == [1, 1, 1, 0, 0]
+    assert rows[1].has_password_input == 1
+    assert rows[2].paywall_phrase == 1
+    assert rows[3].jsonld_gated == 1
+
+
 def test_session4_plans_have_no_corpus_broadcasts(spark):
     """Session-4 operators that join corpus-sized computed frames: the
     per-host stats table (hosts ~1e8 at crawl scale), the redirect pointer
