@@ -1832,3 +1832,70 @@ atom AS (
 )
 SELECT * FROM rss UNION ALL SELECT * FROM atom
 """
+
+
+def q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (graph.trust_rank) over the shared deterministic host
+    graph with seeds {src1, src3, src7} — hosts link-far from the seeds
+    must score (1-d)/|S|-scale trust or below while pagerank still ranks
+    them, which is exactly the spam-demotion contrast the operator
+    exists for. Oracle: the same 3 iterations unrolled with the
+    identical decimal-contribution expressions."""
+    from ..operators import graph
+
+    seeds = spark.createDataFrame(
+        [("src1",), ("src3",), ("src7",)], "node string"
+    )
+    return graph.trust_rank(_host_graph_edges(spark, sf_dir), seeds)
+
+
+def _sql_trust_rank(iters: int = 3) -> str:
+    seeds = "('src1', 'src3', 'src7')"
+    parts = [
+        f"""
+WITH hosts AS (SELECT DISTINCT source FROM documents),
+e AS (
+  SELECT source AS src,
+    'src' || ((regexp_replace(source, '^src', '')::int * regexp_replace(source, '^src', '')::int + 1) % 20) AS dst
+  FROM hosts
+  UNION
+  SELECT source,
+    'src' || ((regexp_replace(source, '^src', '')::int * 3 + 1) % 20)
+  FROM hosts
+),
+nodes AS (
+  SELECT node, (node IN {seeds})::int AS is_seed
+  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
+),
+ss AS (SELECT count(*)::double AS s FROM nodes WHERE is_seed = 1),
+outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+r0 AS (
+  SELECT node,
+    CASE WHEN is_seed = 1 THEN 1.0::double / ss.s ELSE 0.0::double END
+      AS rank
+  FROM nodes, ss
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT e.dst AS node, round(r.rank / o.deg, 12)::decimal(28,12) AS c
+  FROM e JOIN r{i-1} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+),
+s{i} AS (SELECT node, sum(c) AS s FROM c{i} GROUP BY node),
+r{i} AS (
+  SELECT nodes.node,
+    CASE WHEN nodes.is_seed = 1
+      THEN (1.0::double - 0.85::double) / ss.s ELSE 0.0::double END
+    + 0.85::double * coalesce(s{i}.s::double, 0.0::double) AS rank
+  FROM nodes CROSS JOIN ss LEFT JOIN s{i} USING (node)
+)"""
+        )
+    return (
+        "".join(parts).lstrip()
+        + f"""
+SELECT node, floor(rank * 1000000000.0)::bigint AS trust_nano
+FROM r{iters}
+"""
+    )

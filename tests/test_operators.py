@@ -1066,6 +1066,33 @@ def test_pagerank_favors_in_degree_and_conserves_mass(spark):
     assert 0.5 < total <= 1.0 + 1e-6
 
 
+def test_trust_rank_decays_from_seeds_and_broadcasts_only_seeds(spark):
+    """Chain seed -> a -> b -> c plus a spam pair far from the seed:
+    trust decays monotonically along the chain and the unreachable spam
+    pair gets ZERO trust — the pagerank contrast that flags link farms.
+    (Join hygiene is source-pinned: only the bounded seed list is
+    broadcast; edge x rank joins carry hint('shuffle_hash') like
+    pagerank's, whose plan shape the frontier test locks.)"""
+    from legal_document_ocr_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("seed", "a"), ("a", "b"), ("b", "c"),
+         ("spam1", "spam2"), ("spam2", "spam1")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("seed",)], "node string")
+    ranks = graph.trust_rank(edges, seeds, iters=4)
+    out = {r["node"]: r["trust_nano"] for r in ranks.collect()}
+    assert out["seed"] > out["a"] > out["b"] > out["c"] > 0
+    assert out["spam1"] == 0 and out["spam2"] == 0
+    # no seed in graph -> explicit error, not a silent div-by-zero
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        graph.trust_rank(
+            edges, spark.createDataFrame([("absent",)], "node string")
+        )
+
+
 def test_canonicalization_is_idempotent(spark, docs):
     """canon(canon(u)) == canon(u) over the dirtied corpus urls — the fixpoint
     property that makes the canonical form usable as a join key."""
