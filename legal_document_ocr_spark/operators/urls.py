@@ -1590,3 +1590,73 @@ def paywall_detect(
             "gated": (has_pw | phrase | jsonld).cast("int"),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML -> Markdown conversion (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _md_chain(col: Column) -> Column:
+    """The shared replacement chain: every pattern is RE2-compatible (no
+    backreferences — script/style/b/strong/em/i each get their own pass)
+    so the DuckDB oracle can restate it verbatim, differing only in group
+    syntax ($N Java / \\N RE2). Tag names are delimited by ``(\\s[^>]*)?>``
+    so <pre> never matches the p-pass nor <br> the b-pass — content is
+    therefore capture group 2."""
+    x = col
+    # drop non-content subtrees first so their text never leaks
+    for tag in ("script", "style", "head"):
+        x = F.regexp_replace(x, rf"(?is)<{tag}(\s[^>]*)?>.*?</{tag}>", " ")
+    # headings -> atx
+    for n in range(1, 7):
+        x = F.regexp_replace(
+            x,
+            rf"(?is)<h{n}(\s[^>]*)?>(.*?)</h{n}>",
+            "\n\n" + "#" * n + " $2\n\n",
+        )
+    # links BEFORE inline styling so anchor text keeps its later passes
+    x = F.regexp_replace(
+        x, r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', "[$2]($1)"
+    )
+    # <br> BEFORE <b> so a stray un-closed bold can never swallow breaks
+    x = F.regexp_replace(x, r"(?i)<br(\s[^>]*)?/?>", "\n")
+    for tag in ("b", "strong"):
+        x = F.regexp_replace(
+            x, rf"(?is)<{tag}(\s[^>]*)?>(.*?)</{tag}>", "**$2**"
+        )
+    for tag in ("i", "em"):
+        x = F.regexp_replace(
+            x, rf"(?is)<{tag}(\s[^>]*)?>(.*?)</{tag}>", "*$2*"
+        )
+    x = F.regexp_replace(x, r"(?is)<li(\s[^>]*)?>(.*?)</li>", "\n- $2")
+    x = F.regexp_replace(x, r"(?i)</?(p|div)(\s[^>]*)?>", "\n\n")
+    # strip everything else, then normalize whitespace
+    x = F.regexp_replace(x, r"(?s)<[^>]*>", " ")
+    x = F.regexp_replace(x, r"[ \t]+", " ")
+    x = F.regexp_replace(x, r" ?\n ?", "\n")
+    x = F.regexp_replace(x, r"\n{3,}", "\n\n")
+    return F.regexp_replace(x, r"^\s+|\s+$", "")
+
+
+def html_to_markdown(
+    pages: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """HTML -> Markdown conversion — the structure-preserving export an
+    LLM training pipeline runs INSTEAD of flat text extraction when
+    headings/lists/emphasis carry signal (instruction data, docs
+    corpora). Reference analogue: the text-assembly stage
+    (/root/reference/app/services/ocr_service.py:112-141) emits reading-
+    order plain text; this emits the same content with document
+    structure kept as markdown syntax.
+
+    Deliberately grammar-light: a fixed chain of RE2-portable tag
+    rewrites (headings -> atx #, <a href> -> [text](url), b/strong ->
+    **, i/em -> *, li -> '- ', p/div/br -> paragraph breaks), then a
+    strip-and-normalize pass. Nested same-tag structures degrade
+    gracefully rather than parse (non-greedy match to the FIRST closer)
+    — the documented trade for staying whole-stage codegen: one
+    projection at scan speed, no UDF, no shuffle, vs the DOM walk a
+    Pandas-UDF converter would need. Adds ``markdown``.
+    """
+    return pages.withColumn("markdown", _md_chain(F.col(html_col)))

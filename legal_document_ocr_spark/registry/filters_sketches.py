@@ -1969,3 +1969,93 @@ SELECT 'https://p.example.com/' || doc_id AS url,
   greatest(has_password_input, paywall_phrase, jsonld_gated) AS gated
 FROM f
 """
+
+
+def q_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> Markdown conversion (urls.html_to_markdown): structured
+    synthetic pages (head with script/style to drop, h1/h2, bold/italic,
+    a list, a link, <br>, and a <pre> that the delimited p-pass must NOT
+    swallow). The oracle restates the identical RE2-portable replacement
+    chain step by step ($N vs \\N group syntax is the only delta)."""
+    from ..operators.urls import html_to_markdown
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    m5 = (F.col("doc_id") % 5).cast("string")
+    html = F.concat(
+        F.lit('<html><head><title>Doc '), did,
+        F.lit('</title><script type="text/javascript">var x='),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit(';</script><style>.c{color:red}</style></head>'
+              '<body><h1>Doc '), did,
+        F.lit('</h1><p>Intro for item '), did,
+        F.lit(' with <b>bold</b> and <i>italic</i> runs.</p>'
+              '<h2>Details</h2><ul><li>alpha '), m7,
+        F.lit('</li><li>beta <strong>'), m5,
+        F.lit('</strong></li></ul><p>See <a href="https://x.example.com/'),
+        did, F.lit('">link '), did,
+        F.lit('</a> for more.<br>End of '), did,
+        F.lit('.</p><pre>raw '), m7, F.lit('</pre></body></html>'),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://m.example.com/"), did).alias("url"),
+        html.alias("html"),
+    )
+    return html_to_markdown(pages).select("url", "markdown")
+
+
+def _sql_html_markdown() -> str:
+    """CTE-chain oracle mirroring _md_chain: (pattern, replacement-SQL)
+    pairs in the IDENTICAL order; chr(10) builds real newlines."""
+    nl = "chr(10)"
+    steps: list[tuple[str, str]] = []
+    for tag in ("script", "style", "head"):
+        steps.append((rf"(?is)<{tag}(\s[^>]*)?>.*?</{tag}>", "' '"))
+    for n in range(1, 7):
+        steps.append((
+            rf"(?is)<h{n}(\s[^>]*)?>(.*?)</h{n}>",
+            f"{nl} || {nl} || '{'#' * n} \\2' || {nl} || {nl}",
+        ))
+    steps.append((
+        r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', r"'[\2](\1)'"
+    ))
+    steps.append((r"(?i)<br(\s[^>]*)?/?>", nl))
+    for tag in ("b", "strong"):
+        steps.append((rf"(?is)<{tag}(\s[^>]*)?>(.*?)</{tag}>", r"'**\2**'"))
+    for tag in ("i", "em"):
+        steps.append((rf"(?is)<{tag}(\s[^>]*)?>(.*?)</{tag}>", r"'*\2*'"))
+    steps.append((r"(?is)<li(\s[^>]*)?>(.*?)</li>", f"{nl} || '- \\2'"))
+    steps.append((r"(?i)</?(p|div)(\s[^>]*)?>", f"{nl} || {nl}"))
+    steps.append((r"(?s)<[^>]*>", "' '"))
+    steps.append((r"[ \t]+", "' '"))
+    steps.append((r" ?\n ?", nl))
+    steps.append((r"\n{3,}", f"{nl} || {nl}"))
+    steps.append((r"^\s+|\s+$", "''"))
+    synth = (
+        "'<html><head><title>Doc ' || doc_id"
+        " || '</title><script type=\"text/javascript\">var x='"
+        " || (doc_id % 9)"
+        " || ';</script><style>.c{color:red}</style></head>"
+        "<body><h1>Doc ' || doc_id"
+        " || '</h1><p>Intro for item ' || doc_id"
+        " || ' with <b>bold</b> and <i>italic</i> runs.</p>"
+        "<h2>Details</h2><ul><li>alpha ' || (doc_id % 7)"
+        " || '</li><li>beta <strong>' || (doc_id % 5)"
+        " || '</strong></li></ul>"
+        "<p>See <a href=\"https://x.example.com/' || doc_id"
+        " || '\">link ' || doc_id"
+        " || '</a> for more.<br>End of ' || doc_id"
+        " || '.</p><pre>raw ' || (doc_id % 7) || '</pre></body></html>'"
+    )
+    ctes = [f"h0 AS (SELECT doc_id, {synth} AS x FROM documents)"]
+    for i, (pat, repl) in enumerate(steps, 1):
+        ctes.append(
+            f"h{i} AS (SELECT doc_id, "
+            f"regexp_replace(x, '{pat}', {repl}, 'g') AS x FROM h{i - 1})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT 'https://m.example.com/' || doc_id AS url,"
+        f" x AS markdown FROM h{len(steps)}"
+    )

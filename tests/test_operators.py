@@ -1093,6 +1093,27 @@ def test_trust_rank_decays_from_seeds_and_broadcasts_only_seeds(spark):
         )
 
 
+def test_html_to_markdown_structure_and_tag_delimiting(spark):
+    from legal_document_ocr_spark.operators.urls import html_to_markdown
+
+    html = (
+        "<html><head><title>T</title><script>var x=1;</script></head>"
+        "<body><h1>Top</h1><p>A <b>big</b> <i>word</i>.</p>"
+        '<ul><li>one</li><li><a href="https://x.com/1">two</a></li></ul>'
+        "<pre>keep me</pre>line one<br/>line two</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    md = html_to_markdown(df).collect()[0].markdown
+    assert md.startswith("# Top\n\n")
+    assert "**big** *word*." in md
+    assert "- one\n- [two](https://x.com/1)" in md
+    assert "keep me" in md          # <pre> must not match the p-pass
+    assert "line one\nline two" in md  # <br/> must not match the b-pass
+    assert "var x=1" not in md and "T" != md[0]  # head dropped entirely
+    plan = html_to_markdown(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # scan-local projection
+
+
 def test_canonicalization_is_idempotent(spark, docs):
     """canon(canon(u)) == canon(u) over the dirtied corpus urls — the fixpoint
     property that makes the canonical form usable as a join key."""
