@@ -1660,3 +1660,57 @@ def html_to_markdown(
     Pandas-UDF converter would need. Adds ``markdown``.
     """
     return pages.withColumn("markdown", _md_chain(F.col(html_col)))
+
+
+# ---------------------------------------------------------------------------
+# IP range lookup via bucketed range join (round 4)
+# ---------------------------------------------------------------------------
+
+
+def ip_range_lookup(
+    ips: DataFrame,
+    ranges: DataFrame,
+    *,
+    ip_col: str = "ip",
+    start_col: str = "start_ip",
+    end_col: str = "end_ip",
+    bucket_bits: int = 16,
+) -> DataFrame:
+    """Range join without the range-join trap: annotate each row's IPv4
+    (as uint32-in-long) with the covering range's columns (GeoIP /
+    ASN / datacenter-blocklist lookup — the standard enrichment a crawl
+    pipeline runs per capture). A naive ``ip BETWEEN start AND end``
+    join has no equi-key, so Spark plans BroadcastNestedLoopJoin —
+    O(rows x ranges) and a scale killer when the range table outgrows a
+    broadcast (full GeoIP is millions of rows).
+
+    The scale shape: each range EXPLODES to the ``2^bucket_bits``-wide
+    buckets it covers (real-world ranges are narrow — a few buckets
+    each, so the expansion is ~O(|ranges|)), each ip keys by its bucket,
+    and the join is a plain shuffled EQUI-join on the bucket followed by
+    the residual between-filter. Both sides hash-distribute; nothing
+    broadcasts; skew is bounded by bucket width. LEFT join: unmatched
+    ips keep NULL range columns (the "no match" signal is data, not
+    absence).
+    """
+    b = 32 - bucket_bits
+    r = ranges.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.shiftright(F.col(start_col), b),
+                F.shiftright(F.col(end_col), b),
+            )
+        ),
+    )
+    keyed = ips.withColumn("_bucket", F.shiftright(F.col(ip_col), b))
+    out = keyed.join(
+        r.hint("shuffle_hash"),
+        on=(
+            (keyed["_bucket"] == r["_bucket"])
+            & (F.col(ip_col) >= F.col(start_col))
+            & (F.col(ip_col) <= F.col(end_col))
+        ),
+        how="left",
+    )
+    return out.drop("_bucket")

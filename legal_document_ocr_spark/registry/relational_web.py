@@ -1899,3 +1899,43 @@ SELECT node, floor(rank * 1000000000.0)::bigint AS trust_nano
 FROM r{iters}
 """
     )
+
+
+def q_ip_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (urls.ip_range_lookup): 25 nation-derived
+    /8-half ranges (each nation owns the LOWER half of its /8, so ~half
+    the synthesized ips fall in gaps and must come back with NULL label
+    — the left-join contract), ips hashed from doc_id. The oracle is the
+    plain non-equi BETWEEN join the bucketed plan must be semantically
+    identical to."""
+    from ..operators.urls import ip_range_lookup
+
+    d = _docs(spark, sf_dir)
+    ips = d.select(
+        "doc_id",
+        ((F.col("doc_id") * F.lit(2654435761).cast("long"))
+         % F.lit(4294967296).cast("long")).alias("ip"),
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ranges = nation.select(
+        (F.col("n_nationkey").cast("long") * F.lit(16777216).cast("long"))
+        .alias("start_ip"),
+        (F.col("n_nationkey").cast("long") * F.lit(16777216).cast("long")
+         + F.lit(8388607).cast("long")).alias("end_ip"),
+        F.col("n_name").alias("label"),
+    )
+    return ip_range_lookup(ips, ranges).select("doc_id", "ip", "label")
+
+
+_SQL_IP_RANGES = """
+WITH d AS (
+  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS ip FROM documents
+), r AS (
+  SELECT n_nationkey::bigint * 16777216 AS s,
+         n_nationkey::bigint * 16777216 + 8388607 AS e,
+         n_name AS label
+  FROM nation
+)
+SELECT d.doc_id, d.ip, r.label
+FROM d LEFT JOIN r ON d.ip BETWEEN r.s AND r.e
+"""

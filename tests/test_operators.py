@@ -1114,6 +1114,30 @@ def test_html_to_markdown_structure_and_tag_delimiting(spark):
     assert "Exchange" not in plan  # scan-local projection
 
 
+def test_ip_range_lookup_boundaries_and_plan(spark):
+    """Inclusive boundaries, multi-bucket ranges, NULL on no-match — and
+    the plan must be a shuffled EQUI join on the bucket key, never the
+    BroadcastNestedLoopJoin a bare BETWEEN join degenerates to."""
+    from legal_document_ocr_spark.operators.urls import ip_range_lookup
+
+    ranges = spark.createDataFrame(
+        [(100, 200, "a"),                     # within one /16 bucket
+         (3 * 65536, 5 * 65536 + 10, "b")],   # spans three buckets
+        "start_ip long, end_ip long, label string",
+    )
+    ips = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 201), (4, 4 * 65536), (5, 5 * 65536 + 10),
+         (6, 5 * 65536 + 11)],
+        "id long, ip long",
+    )
+    out = ip_range_lookup(ips, ranges)
+    got = {r.id: r.label for r in out.collect()}
+    assert got == {1: "a", 2: "a", 3: None, 4: "b", 5: "b", 6: None}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+
+
 def test_canonicalization_is_idempotent(spark, docs):
     """canon(canon(u)) == canon(u) over the dirtied corpus urls — the fixpoint
     property that makes the canonical form usable as a join key."""
