@@ -1939,3 +1939,38 @@ WITH d AS (
 SELECT d.doc_id, d.ip, r.label
 FROM d LEFT JOIN r ON d.ip BETWEEN r.s AND r.e
 """
+
+
+def q_zorder_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering keys (scale.layout.zorder_keys) over
+    (doc_id, char length) at 8 bits — the oracle restates the exact
+    integer rank normalization and the unrolled bit interleave."""
+    from ..scale.layout import zorder_keys
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    return zorder_keys(d, "doc_id", "n_chars", bits=8)
+
+
+def _sql_zorder_docs(bits: int = 8) -> str:
+    m = (1 << bits) - 1
+    terms = " + ".join(
+        f"(((zx >> {i}) & 1) << {2 * i}) + (((zy >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, length(text)::bigint AS n_chars FROM documents
+), s AS (
+  SELECT min(doc_id) AS minx, max(doc_id) AS maxx,
+         min(n_chars) AS miny, max(n_chars) AS maxy
+  FROM d
+), r AS (
+  SELECT doc_id, n_chars,
+    ((doc_id - minx) * {m}) // greatest(maxx - minx, 1) AS zx,
+    ((n_chars - miny) * {m}) // greatest(maxy - miny, 1) AS zy
+  FROM d, s
+)
+SELECT doc_id, n_chars, ({terms})::bigint AS z_key FROM r
+"""

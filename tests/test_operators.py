@@ -1138,6 +1138,27 @@ def test_ip_range_lookup_boundaries_and_plan(spark):
     assert "ShuffledHashJoin" in plan, plan
 
 
+def test_zorder_keys_interleave_and_edges(spark):
+    """Values spanning exactly [0, 2^bits) rank to themselves, so the key
+    equals the textbook Morton interleave; constant columns rank to 0
+    instead of dividing by zero; bits is validated."""
+    import pytest as _pytest
+    from legal_document_ocr_spark.scale.layout import zorder_keys
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x long, y long"
+    )
+    out = {(r.x, r.y): r.z_key for r in zorder_keys(df, "x", "y", bits=3).collect()}
+    assert out[(5, 3)] == 0b011011  # x=101 even bits, y=011 odd bits
+    assert out[(0, 0)] == 0 and out[(7, 7)] == 63
+    assert sorted(out.values()) == list(range(64))  # bijection on the grid
+    const = spark.createDataFrame([(1, 9), (2, 9)], "x long, y long")
+    vals = {r.x: r.z_key for r in zorder_keys(const, "x", "y", bits=3).collect()}
+    assert vals[1] == 0  # y constant -> rank 0; x=1 ranks 0 (min)
+    with _pytest.raises(ValueError):
+        zorder_keys(df, "x", "y", bits=0)
+
+
 def test_canonicalization_is_idempotent(spark, docs):
     """canon(canon(u)) == canon(u) over the dirtied corpus urls — the fixpoint
     property that makes the canonical form usable as a join key."""
