@@ -466,7 +466,7 @@ def parse_x_robots(
 _CC_LINE_RE = r"(?mi)^Cache-Control:\s*([^\r\n]+)"
 _MAXAGE_RE = r"(?i)(^|[,\s])max-age\s*=\s*(\d+)"
 _EXPIRES_RE = r"(?mi)^Expires:\s*([^\r\n]+)"
-_DATE_RE = r"(?mi)^Date:\s*([^\r\n]+)"
+_HTTP_DATE_HDR_RE = r"(?mi)^Date:\s*([^\r\n]+)"  # HTTP Date:, NOT WARC-Date
 _ETAG_RE = r"(?mi)^ETag:"
 _LASTMOD_RE = r"(?mi)^Last-Modified:"
 _CLEN_RE = r"(?mi)^Content-Length:\s*(\d+)"
@@ -501,7 +501,9 @@ def parse_cache_policy(
     tok = lambda d: cc.rlike(rf"(^|[,\s]){d}($|[,\s])")  # noqa: E731
     max_age_s = F.regexp_extract(cc, _MAXAGE_RE, 2)
     max_age = F.when(max_age_s != "", max_age_s.cast("long"))
-    date_epoch = _http_date_epoch(F.regexp_extract(head, _DATE_RE, 1))
+    date_epoch = _http_date_epoch(
+        F.regexp_extract(head, _HTTP_DATE_HDR_RE, 1)
+    )
     expires_epoch = _http_date_epoch(F.regexp_extract(head, _EXPIRES_RE, 1))
     no_cache = tok("no-cache") | tok("no-store")
     # NOTE: greatest() ignores NULLs in Spark, so the Expires branch is
