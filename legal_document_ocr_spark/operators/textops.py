@@ -2535,3 +2535,42 @@ def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("long")
         .alias("flesch_micro"),
     )
+
+
+# Vietnamese legal structure citation: "Điều N [Khoản M [Điểm x]]".
+# Literal-only regex (no classes beyond \d and [a-d]) — Java and RE2 agree
+# byte-for-byte on UTF-8 literals, so the pattern is oracle-portable.
+CITATION_PATTERN = r"Điều \d+(?: Khoản \d+)?(?: Điểm [a-d])?"
+
+
+def legal_citations(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Inline legal-citation extraction: every ``Điều N [Khoản M [Điểm x]]``
+    reference in a Vietnamese legal text becomes one output row with the
+    article/clause/point parsed out — the cross-reference index a legal
+    corpus needs for citation graphs and retrieval, and the same
+    pattern-battery style as the reference's field extraction
+    (information_extraction_service.py:90-98) applied to the body text
+    instead of the header block.
+
+    Output: (doc_id, ord, citation, dieu, khoan, diem) — one row per
+    occurrence in document order; ``khoan``/``diem`` are NULL when the
+    citation stops at the article level. Documents with no citations emit
+    no rows (plain explode semantics, matched by the oracle's unnest).
+
+    Scale: regexp_extract_all + posexplode is a narrow codegen stage — no
+    exchange anywhere; output size is bounded by total text length, so the
+    fan-out is linear in corpus bytes and partition-local at 100 TB.
+    """
+    docs = ensure_parallelism(docs)  # fan out narrow scans before the regex hot loop
+    cites = F.regexp_extract_all(F.col(text_col), F.lit(CITATION_PATTERN), F.lit(0))
+    pos = docs.select("doc_id", F.posexplode(cites).alias("idx", "citation"))
+    khoan = F.regexp_extract("citation", r"Khoản (\d+)", 1)
+    diem = F.regexp_extract("citation", r"Điểm ([a-d])", 1)
+    return pos.select(
+        "doc_id",
+        (F.col("idx") + 1).cast("int").alias("ord"),
+        "citation",
+        F.regexp_extract("citation", r"Điều (\d+)", 1).cast("int").alias("dieu"),
+        F.when(khoan != "", khoan).cast("int").alias("khoan"),
+        F.when(diem != "", diem).alias("diem"),
+    )

@@ -1714,3 +1714,59 @@ def ip_range_lookup(
         how="left",
     )
     return out.drop("_bucket")
+
+
+_URL_DATE_RE = r"/(\d{4})/(\d{2})/(\d{2})/"
+_META_DATE_RE = (
+    r'<meta property="article:published_time" content="(\d{4}-\d{2}-\d{2})'
+)
+
+
+def publish_dates(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Publish-date extraction — the freshness signal a web corpus needs for
+    recency sampling, dedup tie-breaking (keep the newest capture), and
+    time-sliced training mixes. Two extractors with the crawler-standard
+    precedence: the page's own ``article:published_time`` meta tag wins
+    over the ``/YYYY/MM/DD/`` URL-path convention (the meta tag is
+    author-set; the path date is a publishing-platform artifact).
+
+    Output per page: ``url_date`` / ``meta_date`` (yyyy-MM-dd strings, NULL
+    when absent), ``publish_date`` (the precedence winner), ``date_source``
+    ('meta' | 'url' | NULL), and ``epoch_day`` (days since 1970-01-01 of
+    the winner — the integer a downstream range-partition or freshness
+    decay keys on).
+
+    Scale: two regexp_extracts and a date parse per row — one codegen
+    projection over the scan, no exchange; at 100 TB this annotates at
+    read speed and the regex never touches the (dropped) payload again.
+    """
+    u = F.col(url_col)
+    h = F.col(html_col)
+    url_date = F.when(
+        F.regexp_extract(u, _URL_DATE_RE, 1) != "",
+        F.concat_ws(
+            "-",
+            F.regexp_extract(u, _URL_DATE_RE, 1),
+            F.regexp_extract(u, _URL_DATE_RE, 2),
+            F.regexp_extract(u, _URL_DATE_RE, 3),
+        ),
+    )
+    meta_date = F.when(
+        F.regexp_extract(h, _META_DATE_RE, 1) != "",
+        F.regexp_extract(h, _META_DATE_RE, 1),
+    )
+    publish = F.coalesce(meta_date, url_date)
+    return pages.select(
+        u.alias("url"),
+        url_date.alias("url_date"),
+        meta_date.alias("meta_date"),
+        publish.alias("publish_date"),
+        F.when(meta_date.isNotNull(), F.lit("meta"))
+        .when(url_date.isNotNull(), F.lit("url"))
+        .alias("date_source"),
+        F.datediff(F.to_date(publish), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("epoch_day"),
+    )

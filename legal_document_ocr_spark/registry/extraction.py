@@ -371,3 +371,73 @@ FROM p
 """
 
 
+
+
+def q_legal_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline citation extraction (textops.legal_citations) over a
+    deterministically synthesized Vietnamese legal corpus: doc_id%3==0
+    carries a full Điều/Khoản/Điểm citation plus a Khoản-only second one,
+    %3==1 an Điểm-without-Khoản citation next to the 'Điều khoản' decoy
+    (no digit — must NOT match), %3==2 no citation at all (emits no
+    rows). The oracle builds the identical corpus and unnests the same
+    RE2-compatible pattern."""
+    d = _tbl(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    diem = F.element_at(
+        F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("d")),
+        (F.pmod(did, 4) + 1).cast("int"),
+    )
+    full = F.concat(
+        F.lit("Căn cứ Điều "), s(F.pmod(did, 90) + 1),
+        F.lit(" Khoản "), s(F.pmod(did, 5) + 1),
+        F.lit(" Điểm "), diem,
+        F.lit(" và Điều "), s(F.pmod(did, 30) + 2),
+        F.lit(" Khoản "), s(F.pmod(did, 3) + 1),
+        F.lit(", Luật số "), s(did), F.lit("/2020/QH14."),
+    )
+    partial = F.concat(
+        F.lit("Theo Điều "), s(F.pmod(did, 120) + 1),
+        F.lit(" Điểm "), diem,
+        F.lit(" của Nghị định trên, không theo Điều khoản nào khác."),
+    )
+    corpus = d.select(
+        "doc_id",
+        F.when(F.pmod(did, 3) == 0, full)
+        .when(F.pmod(did, 3) == 1, partial)
+        .otherwise(F.lit("Văn bản này không trích dẫn điều khoản nào."))
+        .alias("text"),
+    )
+    return textops.legal_citations(corpus)
+
+
+_SQL_LEGAL_CITATIONS = r"""
+WITH t AS (
+  SELECT doc_id,
+    CASE doc_id % 3
+      WHEN 0 THEN 'Căn cứ Điều ' || (doc_id % 90 + 1)
+        || ' Khoản ' || (doc_id % 5 + 1)
+        || ' Điểm ' || chr((97 + doc_id % 4)::int)
+        || ' và Điều ' || (doc_id % 30 + 2)
+        || ' Khoản ' || (doc_id % 3 + 1)
+        || ', Luật số ' || doc_id || '/2020/QH14.'
+      WHEN 1 THEN 'Theo Điều ' || (doc_id % 120 + 1)
+        || ' Điểm ' || chr((97 + doc_id % 4)::int)
+        || ' của Nghị định trên, không theo Điều khoản nào khác.'
+      ELSE 'Văn bản này không trích dẫn điều khoản nào.'
+    END AS text
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(
+      text, 'Điều \d+(?: Khoản \d+)?(?: Điểm [a-d])?')) AS citation,
+    unnest(range(len(regexp_extract_all(
+      text, 'Điều \d+(?: Khoản \d+)?(?: Điểm [a-d])?')))) AS idx
+  FROM t
+)
+SELECT doc_id, (idx + 1)::int AS ord, citation,
+  regexp_extract(citation, 'Điều (\d+)', 1)::int AS dieu,
+  nullif(regexp_extract(citation, 'Khoản (\d+)', 1), '')::int AS khoan,
+  nullif(regexp_extract(citation, 'Điểm ([a-d])', 1), '') AS diem
+FROM m
+"""

@@ -1974,3 +1974,89 @@ WITH d AS (
 )
 SELECT doc_id, n_chars, ({terms})::bigint AS z_key FROM r
 """
+
+
+def q_publish_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish-date extraction (urls.publish_dates) over a synthesized
+    capture set exercising all four cells of the precedence matrix:
+    doc_id%2==0 has a /YYYY/MM/DD/ URL date, doc_id%3==0 a meta
+    article:published_time SEVEN DAYS LATER (so the 'meta beats url'
+    precedence is value-observable, not just source-labeled), and
+    doc_id%6∈{1,5} has neither (NULL row). The oracle restates both
+    regexes and the precedence."""
+    from ..operators.urls import publish_dates
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    pub = F.date_add(
+        F.lit("2020-01-01").cast("date"), F.pmod(did, 1500).cast("int")
+    )
+    meta = F.date_add(pub, 7)
+    pages = d.select(
+        F.when(
+            F.pmod(did, 2) == 0,
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+                F.date_format(pub, "yyyy/MM/dd"),
+                F.lit("/post-"), did.cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/page-"), did.cast("string"),
+            )
+        )
+        .alias("url"),
+        F.when(
+            F.pmod(did, 3) == 0,
+            F.concat(
+                F.lit('<html><head><meta property="article:published_time"'
+                      ' content="'),
+                F.date_format(meta, "yyyy-MM-dd"),
+                F.lit('T08:00:00Z"></head></html>'),
+            ),
+        )
+        .otherwise(F.lit("<html><body>no date here</body></html>"))
+        .alias("html"),
+    )
+    return publish_dates(pages)
+
+
+_SQL_PUBLISH_DATES = r"""
+WITH p AS (
+  SELECT doc_id,
+    DATE '2020-01-01' + (doc_id % 1500)::int AS pub,
+    DATE '2020-01-08' + (doc_id % 1500)::int AS meta,
+    CASE WHEN doc_id % 2 = 0
+      THEN 'https://' || source || '.example.com/'
+           || strftime(DATE '2020-01-01' + (doc_id % 1500)::int, '%Y/%m/%d')
+           || '/post-' || doc_id
+      ELSE 'https://' || source || '.example.com/page-' || doc_id
+    END AS url,
+    CASE WHEN doc_id % 3 = 0
+      THEN '<html><head><meta property="article:published_time" content="'
+           || strftime(DATE '2020-01-08' + (doc_id % 1500)::int, '%Y-%m-%d')
+           || 'T08:00:00Z"></head></html>'
+      ELSE '<html><body>no date here</body></html>'
+    END AS html
+  FROM documents
+), x AS (
+  SELECT url,
+    nullif(regexp_extract(url, '/(\d{4})/(\d{2})/(\d{2})/', 1) || '-'
+           || regexp_extract(url, '/(\d{4})/(\d{2})/(\d{2})/', 2) || '-'
+           || regexp_extract(url, '/(\d{4})/(\d{2})/(\d{2})/', 3), '--')
+      AS url_date,
+    nullif(regexp_extract(html,
+      '<meta property="article:published_time" content="(\d{4}-\d{2}-\d{2})',
+      1), '') AS meta_date
+  FROM p
+)
+SELECT url, url_date, meta_date,
+  coalesce(meta_date, url_date) AS publish_date,
+  CASE WHEN meta_date IS NOT NULL THEN 'meta'
+       WHEN url_date IS NOT NULL THEN 'url' END AS date_source,
+  (coalesce(meta_date, url_date)::date - DATE '1970-01-01')::bigint
+    AS epoch_day
+FROM x
+"""
