@@ -1285,3 +1285,112 @@ FROM documents
 """
 
 
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage (dedup.record_linkage) between customer and
+    a deterministically perturbed copy of itself: names are distinctive
+    md5-prefixed strings (so in-block decoy pairs score LOW), the copy
+    perturbs each name by custkey%4 (identical / ' JR' suffix / C->K
+    typo / trailing '.') and renumbers 2/3 of the phones. Blocking is
+    nation x custkey%50 (~1 record per block per side at sf0.01, never
+    all-pairs); exact-attribute agreements are nation (always, in-block)
+    and phone (custkey%3==0 only). The oracle restates the same blocked
+    join and integer scoring."""
+    from ..operators.dedup import record_linkage
+
+    c = _tbl(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("long")
+    name = F.concat(
+        F.lit("C-"),
+        F.substring(F.md5(key.cast("string")), 1, 8),
+        F.lit("-"),
+        key.cast("string"),
+    )
+    block = F.concat(
+        F.col("c_nationkey").cast("string"),
+        F.lit(":"),
+        F.pmod(key, 50).cast("string"),
+    )
+    nb = c.withColumn("name_base", name)
+    base = nb.select(
+        key.alias("rec_id"),
+        F.col("name_base").alias("name"),
+        block.alias("block_key"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.concat(F.lit("P-"), F.pmod(key * 7, 10000).cast("string"))
+        .alias("phone"),
+    )
+    name_base = F.col("name_base")
+    pert_name = (
+        F.when(F.pmod(key, 4) == 0, name_base)
+        .when(F.pmod(key, 4) == 1, F.concat(name_base, F.lit(" JR")))
+        .when(
+            F.pmod(key, 4) == 2,
+            F.concat(F.lit("K"), F.substring(name_base, 2, 1 << 20)),
+        )
+        .otherwise(F.concat(name_base, F.lit(".")))
+    )
+    dirty = nb.select(
+        (key + 1000000).alias("rec_id"),
+        pert_name.alias("name"),
+        block.alias("block_key"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.when(
+            F.pmod(key, 3) == 0,
+            F.concat(F.lit("P-"), F.pmod(key * 7, 10000).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("P-9"), F.pmod(key * 7, 10000).cast("string"))
+        )
+        .alias("phone"),
+    )
+    out = record_linkage(
+        base, dirty, exact_cols=("nation", "phone"), threshold=1300
+    )
+    return out.withColumn("matched", F.col("matched").cast("int"))
+
+
+_SQL_RECORD_LINKAGE = """
+WITH base AS (
+  SELECT c_custkey::bigint AS rec_id,
+    'C-' || substr(md5(c_custkey::bigint::varchar), 1, 8) || '-' || c_custkey::bigint
+      AS name,
+    c_nationkey::varchar || ':' || (c_custkey::bigint % 50) AS block_key,
+    c_nationkey::bigint AS nation,
+    'P-' || (c_custkey::bigint * 7 % 10000) AS phone
+  FROM customer
+), dirty AS (
+  SELECT c_custkey::bigint + 1000000 AS rec_id,
+    CASE c_custkey::bigint % 4
+      WHEN 0 THEN name_base
+      WHEN 1 THEN name_base || ' JR'
+      WHEN 2 THEN 'K' || substr(name_base, 2)
+      ELSE name_base || '.'
+    END AS name,
+    c_nationkey::varchar || ':' || (c_custkey::bigint % 50) AS block_key,
+    c_nationkey::bigint AS nation,
+    CASE WHEN c_custkey::bigint % 3 = 0
+         THEN 'P-' || (c_custkey::bigint * 7 % 10000)
+         ELSE 'P-9' || (c_custkey::bigint * 7 % 10000) END AS phone
+  FROM (
+    SELECT *,
+      'C-' || substr(md5(c_custkey::bigint::varchar), 1, 8) || '-'
+        || c_custkey::bigint AS name_base
+    FROM customer
+  )
+), pairs AS (
+  SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+    levenshtein(a.name, b.name)::bigint AS name_lev,
+    (1000 * (greatest(length(a.name), length(b.name))
+             - levenshtein(a.name, b.name)))
+      // greatest(length(a.name), length(b.name)) AS name_sim_milli,
+    (a.nation = b.nation)::bigint + (a.phone = b.phone)::bigint AS n_exact
+  FROM base a JOIN dirty b USING (block_key)
+)
+SELECT id_a, id_b, name_lev, name_sim_milli::bigint AS name_sim_milli,
+  n_exact,
+  (name_sim_milli + 500 * n_exact)::bigint AS score_pts,
+  (name_sim_milli + 500 * n_exact >= 1300)::int AS matched
+FROM pairs
+"""
