@@ -1747,3 +1747,113 @@ def idle_customers(
         F.count("*").alias("numcust"),
         F.sum(bal).cast("double").alias("totacctbal"),
     )
+
+
+def outline_numbering(
+    headings: DataFrame,
+    doc_col: str = "doc_id",
+    pos_col: str = "pos",
+    level_col: str = "level",
+) -> DataFrame:
+    """Hierarchical outline reconstruction: turn a flat heading stream
+    (doc, position, level 1..3) into the dotted section numbers a
+    structured legal document renders ("2", "2.1", "2.1.3") — the
+    document-outline analogue of the reference's reading-order sort
+    (text_processing_service.py top-to-bottom block ordering) applied to
+    section nesting instead of page geometry.
+
+    Mechanics: the running count of level-1 headings is both the major
+    number and the GROUP id that scopes level-2 numbering (a level-2
+    counter restarts where a new level-1 opens); likewise levels 1+2
+    scope level-3. Three cumulative-sum windows, all PARTITIONED BY
+    DOCUMENT — each window sorts only one document's headings (bounded by
+    document size, never corpus-scale), so unlike a global rank this
+    shape survives 100x: the shuffle is a hash exchange on doc_id and
+    every sort is a few dozen rows.
+
+    Output: (doc, pos, level, n1, n2, n3, outline).
+    """
+    d, p, lv = F.col(doc_col), F.col(pos_col), F.col(level_col)
+    w = Window.partitionBy(doc_col).orderBy(pos_col)
+    n1 = F.sum(F.when(lv == 1, 1).otherwise(0)).over(w)
+    grp1 = n1  # level-1 group the heading belongs to
+    w2 = Window.partitionBy(doc_col, grp1).orderBy(pos_col)
+    n2 = F.sum(F.when(lv == 2, 1).otherwise(0)).over(w2)
+    grp2 = F.sum(F.when(lv <= 2, 1).otherwise(0)).over(w)
+    w3 = Window.partitionBy(doc_col, grp2).orderBy(pos_col)
+    n3 = F.sum(F.when(lv == 3, 1).otherwise(0)).over(w3)
+    return (
+        headings.select(
+            d.alias(doc_col),
+            p.alias(pos_col),
+            lv.cast("int").alias(level_col),
+            n1.cast("int").alias("n1"),
+            n2.cast("int").alias("n2"),
+            n3.cast("int").alias("n3"),
+        )
+        .withColumn(
+            "outline",
+            F.when(lv == 1, F.col("n1").cast("string"))
+            .when(
+                lv == 2,
+                F.concat_ws(".", F.col("n1").cast("string"),
+                            F.col("n2").cast("string")),
+            )
+            .otherwise(
+                F.concat_ws(".", F.col("n1").cast("string"),
+                            F.col("n2").cast("string"),
+                            F.col("n3").cast("string"))
+            ),
+        )
+    )
+
+
+def capture_intervals(
+    captures: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """SCD2 interval construction over a capture history: collapse each
+    URL's consecutive same-content captures into one validity interval
+    (a recrawl that found no change EXTENDS the open interval; a content
+    change CLOSES it) and emit (valid_from, valid_to, version,
+    is_current) — the slowly-changing-dimension the crawl-store side of
+    the pipeline (cdx_revisits, latest_capture) queries by AS-OF date.
+
+    Mechanics: lag(hash) flags change points, a cumulative sum of flags
+    numbers the versions, min(ts) per version opens the interval and
+    lead() closes it against the next version's open. All three windows
+    are PARTITIONED BY URL — bounded by captures-per-URL, never
+    corpus-wide, so the only exchange at 100 TB is one hash shuffle on
+    the key and each sort is a handful of rows.
+
+    Output: (url, version, content_hash, valid_from, valid_to,
+    n_captures, is_current); valid_to is NULL on the open interval.
+    """
+    k, t, h = F.col(key_col), F.col(ts_col), F.col(hash_col)
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    changed = F.when(
+        F.lag(h).over(w).isNull() | (F.lag(h).over(w) != h), 1
+    ).otherwise(0)
+    runs = captures.select(
+        k.alias(key_col),
+        t.alias(ts_col),
+        h.alias(hash_col),
+        F.sum(changed).over(w).alias("version"),
+    )
+    grouped = runs.groupBy(key_col, "version").agg(
+        F.first(hash_col).alias(hash_col),
+        F.min(ts_col).alias("valid_from"),
+        F.count("*").alias("n_captures"),
+    )
+    wv = Window.partitionBy(key_col).orderBy("version")
+    return grouped.select(
+        key_col,
+        F.col("version").cast("int").alias("version"),
+        hash_col,
+        F.col("valid_from").cast("long").alias("valid_from"),
+        F.lead(F.col("valid_from").cast("long")).over(wv).alias("valid_to"),
+        F.col("n_captures").cast("long").alias("n_captures"),
+        F.lead("version").over(wv).isNull().cast("int").alias("is_current"),
+    )

@@ -2060,3 +2060,125 @@ SELECT url, url_date, meta_date,
     AS epoch_day
 FROM x
 """
+
+
+def q_outline_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outline reconstruction (relational.outline_numbering) over a
+    synthesized heading stream: doc_id%5+3 headings per document, the
+    first always level 1, the rest cycling levels by a doc-dependent
+    hash — so restarts of the level-2 and level-3 counters at every
+    level-1 (and level-2) boundary are exercised in every document. The
+    oracle restates the three scoped cumulative-sum windows."""
+    from ..operators.relational import outline_numbering
+
+    d = _docs(spark, sf_dir)
+    h = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), (F.pmod(F.col("doc_id"), 5) + 3).cast("int"))
+        ).alias("pos"),
+    )
+    level = F.when(F.col("pos") == 1, F.lit(1)).otherwise(
+        (F.pmod(F.col("doc_id") * 31 + F.col("pos") * 7, 3) + 1).cast("int")
+    )
+    return outline_numbering(h.withColumn("level", level.cast("int")))
+
+
+_SQL_OUTLINE_NUMBERING = """
+WITH h AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos = 1 THEN 1
+         ELSE ((doc_id * 31 + pos * 7) % 3 + 1) END::int AS level
+  FROM documents,
+    unnest(generate_series(1, (doc_id % 5 + 3)::int)) AS g(pos)
+), n AS (
+  SELECT doc_id, pos, level,
+    sum(CASE WHEN level = 1 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS n1,
+    sum(CASE WHEN level <= 2 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS g2
+  FROM h
+), m AS (
+  SELECT doc_id, pos, level, n1,
+    sum(CASE WHEN level = 2 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id, n1 ORDER BY pos) AS n2,
+    sum(CASE WHEN level = 3 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id, g2 ORDER BY pos) AS n3
+  FROM n
+)
+SELECT doc_id, pos::int AS pos, level, n1::int AS n1, n2::int AS n2,
+  n3::int AS n3,
+  CASE level WHEN 1 THEN n1::varchar
+             WHEN 2 THEN n1 || '.' || n2
+             ELSE n1 || '.' || n2 || '.' || n3 END AS outline
+FROM m
+"""
+
+
+def q_capture_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 intervals (relational.capture_intervals) over a synthesized
+    capture history: doc_id%4+2 captures per url at 10s spacing, with the
+    content hash advancing every (doc_id%3+1) captures — so every period
+    mixes no-change extensions (n_captures>1) with change points, and the
+    final interval must come back open (valid_to NULL, is_current 1). The
+    oracle restates lag-change-flag + cumsum + lead-close."""
+    from ..operators.relational import capture_intervals
+
+    d = _docs(spark, sf_dir)
+    caps = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("doc_id"),
+        F.explode(
+            F.sequence(F.lit(1), (F.pmod(F.col("doc_id"), 4) + 2).cast("int"))
+        ).alias("pos"),
+    ).select(
+        "url",
+        (F.lit(1700000000).cast("long") + F.col("doc_id") * 1000
+         + F.col("pos") * 10).alias("ts"),
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.expr("(pos - 1) div (doc_id % 3 + 1)").cast("string"),
+            )
+        ).alias("content_hash"),
+    )
+    return capture_intervals(caps)
+
+
+_SQL_CAPTURE_INTERVALS = """
+WITH caps AS (
+  SELECT
+    'https://' || source || '.example.com/doc' || doc_id AS url,
+    1700000000 + doc_id * 1000 + pos * 10 AS ts,
+    md5(doc_id || ':' || ((pos - 1)::bigint // (doc_id % 3 + 1)))
+      AS content_hash
+  FROM documents,
+    unnest(generate_series(1, (doc_id % 4 + 2)::int)) AS g(pos)
+), flagged AS (
+  SELECT url, ts, content_hash,
+    CASE WHEN lag(content_hash) OVER w IS NULL
+           OR lag(content_hash) OVER w <> content_hash THEN 1 ELSE 0 END
+      AS chg
+  FROM caps
+  WINDOW w AS (PARTITION BY url ORDER BY ts)
+), runs AS (
+  SELECT url, ts, content_hash,
+    sum(chg) OVER (PARTITION BY url ORDER BY ts) AS version
+  FROM flagged
+), grouped AS (
+  SELECT url, version, min(content_hash) AS content_hash,
+    min(ts) AS valid_from, count(*) AS n_captures
+  FROM runs GROUP BY url, version
+)
+SELECT url, version::int AS version, content_hash,
+  valid_from::bigint AS valid_from,
+  lead(valid_from::bigint) OVER wv AS valid_to,
+  n_captures::bigint AS n_captures,
+  (lead(version) OVER wv IS NULL)::int AS is_current
+FROM grouped
+WINDOW wv AS (PARTITION BY url ORDER BY version)
+"""
