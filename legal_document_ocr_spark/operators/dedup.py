@@ -1384,8 +1384,12 @@ def record_linkage(
     keep = [id_col, block_col, name_col, *exact_cols]
     left = a.select(*keep).toDF(*(f"{c}_a" for c in keep))
     right = b.select(*keep).toDF(*(f"{c}_b" for c in keep))
+    # both sides are corpus-sized: pin the co-located hash join so the
+    # planner never routes a billion-record side through the driver as a
+    # broadcast (same hygiene as the dedup pair joins)
     pairs = left.join(
-        right, F.col(f"{block_col}_a") == F.col(f"{block_col}_b")
+        right.hint("shuffle_hash"),
+        F.col(f"{block_col}_a") == F.col(f"{block_col}_b"),
     )
     na, nb = F.col(f"{name_col}_a"), F.col(f"{name_col}_b")
     lev = F.levenshtein(na, nb).cast("long")

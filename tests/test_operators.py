@@ -3219,3 +3219,106 @@ def test_parse_feed_entries_rss_atom_and_bad_date(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-8 additions: linkage / outline / SCD2 / citations / dates
+# ---------------------------------------------------------------------------
+
+
+def test_record_linkage_plan_and_semantics(spark):
+    """The blocked join must stay a shuffle join (both sides corpus-sized)
+    and the scoring must separate true pairs from in-block decoys on
+    distinctive names."""
+    import legal_document_ocr_spark.queries as Q
+
+    df = Q.SPARK["record_linkage"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    rows = df.collect()
+    true_pairs = [r for r in rows if r.id_b - r.id_a == 1000000]
+    decoys = [r for r in rows if r.id_b - r.id_a != 1000000]
+    assert true_pairs and all(r.matched == 1 for r in true_pairs)
+    # md5-prefixed names make in-block decoys dissimilar
+    assert decoys and all(r.matched == 0 for r in decoys)
+
+
+def test_record_linkage_no_exact_cols(spark):
+    a = spark.createDataFrame(
+        [(1, "b", "alpha corp"), (2, "b", "zzzzzzzzzz")],
+        "rec_id long, block_key string, name string",
+    )
+    b = spark.createDataFrame(
+        [(10, "b", "alpha corp.")], "rec_id long, block_key string, name string"
+    )
+    out = dedup.record_linkage(a, b, threshold=900).collect()
+    assert {(r.id_a, r.matched) for r in out} == {(1, True), (2, False)}
+    assert all(r.n_exact == 0 for r in out)
+
+
+def test_outline_numbering_restarts_and_orphan_level3(spark):
+    h = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 3), (1, 3, 2), (1, 4, 3), (1, 5, 1), (1, 6, 2)],
+        "doc_id long, pos int, level int",
+    )
+    out = {r.pos: r.outline for r in relational.outline_numbering(h).collect()}
+    # pos 2: level-3 before any level-2 -> n2 stays 0 (orphan, deterministic)
+    assert out == {1: "1", 2: "1.0.1", 3: "1.1", 4: "1.1.1", 5: "2", 6: "2.1"}
+
+
+def test_capture_intervals_extend_close_open(spark):
+    caps = spark.createDataFrame(
+        [("u", 10, "h1"), ("u", 20, "h1"), ("u", 30, "h2"), ("v", 5, "x")],
+        "url string, ts long, content_hash string",
+    )
+    rows = {
+        (r.url, r.version): r
+        for r in relational.capture_intervals(caps).collect()
+    }
+    r1 = rows[("u", 1)]
+    assert (r1.valid_from, r1.valid_to, r1.n_captures, r1.is_current) == (
+        10, 30, 2, 0,
+    )
+    r2 = rows[("u", 2)]
+    assert (r2.valid_from, r2.valid_to, r2.is_current) == (30, None, 1)
+    assert rows[("v", 1)].is_current == 1
+
+
+def test_legal_citations_decoys_and_optional_parts(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "Căn cứ Điều 5 Khoản 2 Điểm b và Điều 9."),
+            (2, "Theo Điều 12 Điểm c, không theo Điều khoản nào."),
+            (3, "Không trích dẫn."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = textops.legal_citations(d).collect()
+    got = {(r.doc_id, r.ord): (r.dieu, r.khoan, r.diem) for r in rows}
+    assert got == {
+        (1, 1): (5, 2, "b"),
+        (1, 2): (9, None, None),
+        (2, 1): (12, None, "c"),
+    }
+
+
+def test_publish_dates_precedence_and_nulls(spark):
+    from legal_document_ocr_spark.operators.urls import publish_dates
+
+    pages = spark.createDataFrame(
+        [
+            ("http://h/2021/03/04/a", '<meta property="article:published_time" content="2022-05-06T00:00:00Z">'),
+            ("http://h/2021/03/04/b", "<html>"),
+            ("http://h/plain", "<html>"),
+        ],
+        "url string, html string",
+    )
+    rows = {r.url: r for r in publish_dates(pages).collect()}
+    a = rows["http://h/2021/03/04/a"]
+    assert (a.publish_date, a.date_source) == ("2022-05-06", "meta")
+    b = rows["http://h/2021/03/04/b"]
+    assert (b.publish_date, b.date_source, b.epoch_day) == (
+        "2021-03-04", "url", 18690,
+    )
+    c = rows["http://h/plain"]
+    assert c.publish_date is None and c.date_source is None
