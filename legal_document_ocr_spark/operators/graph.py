@@ -328,3 +328,65 @@ def trust_rank(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over an
+    undirected host graph — the clustering companion to pagerank/hits:
+    where connected_components answers "reachable at all" (min-label
+    fixpoint), LPA answers "densely linked together": each round every
+    node adopts its neighbors' MOST FREQUENT current label, so labels
+    pool inside link-dense groups and mirror farms / template networks
+    surface as one community (host_mirrors finds content twins; this
+    finds link cliques).
+
+    Determinism contract: synchronous rounds (all updates read the
+    previous round's labels), initial label = the node id itself, ties
+    broken by MINIMUM label — no randomness anywhere, so a fixed
+    iteration count is exactly restatable as chained SQL CTEs.
+
+    Scale: per round one shuffle_hash join (labels onto the edge list,
+    never broadcast — hosts are ~1e8 rows at web scale) and one
+    (node,label) count; the argmax window partitions by node and sorts
+    only that node's distinct neighbor labels (bounded by degree). The
+    driver loop is ``iters`` bounded rounds over the HOST table, corpus
+    untouched — same envelope as pagerank.
+
+    Output: (node, community) — community is a node id.
+    """
+    fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = fwd.unionByName(
+        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    ).distinct()
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("community")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(iters):
+        nb = und.join(
+            labels.withColumnRenamed("node", "b").hint("shuffle_hash"), "b"
+        ).select(F.col("a").alias("node"), "community")
+        counts = nb.groupBy("node", "community").agg(
+            F.count("*").alias("votes")
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("votes").desc(), F.col("community").asc()
+        )
+        winner = counts.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") == 1
+        ).select("node", "community")
+        # isolated nodes (none in an edge-derived node set, but keep the
+        # operator total for callers passing their own node universe)
+        labels = labels.select("node").join(
+            winner.hint("shuffle_hash"), "node", "left"
+        ).select(
+            "node",
+            F.coalesce("community", F.col("node")).alias("community"),
+        )
+    return labels

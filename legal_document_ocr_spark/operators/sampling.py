@@ -297,3 +297,51 @@ def source_kl_divergence(
             .alias("kl_micro"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted top-k sampling: keep the k records with the
+    smallest ``priority = hash56(key) div weight`` per stratum — the
+    integer-exact analogue of priority/exponential-race sampling (bigger
+    weight divides the uniform hash further down, so selection odds grow
+    with weight), with zero randomness: same input, same sample, any
+    cluster size. This is the quality-weighted corpus subsetting step a
+    training mix runs after scoring (weight = quality points, token
+    count, DSIR weight, ...); weights must be positive integers.
+
+    Scale: the rank filter compiles to a WindowGroupLimit — Spark keeps
+    only k rows per stratum BEFORE the exchange (partial limit map-side),
+    so a per-source stratum never materializes a corpus-sized sort the
+    way a bare ntile/rank window would (the length_ntiles lesson:
+    plan-asserted in tests).
+
+    Output: (strata, key, weight, priority, rn) — rn 1..k by priority.
+    """
+    from pyspark.sql import Window
+
+    key = F.col(key_col)
+    w = F.col(weight_col).cast("long")
+    # integer arithmetic end-to-end (div, not /): cross-engine exact
+    pri = F.expr(
+        f"cast(conv(substring(md5(cast({key_col} as string)), 1, 14),"
+        f" 16, 10) as bigint) div cast({weight_col} as bigint)"
+    ).cast("long")
+    strata = F.col(strata_col) if strata_col else F.lit("all")
+    # partition by the POST-select alias — the input strata column is
+    # renamed away before the window applies
+    win = Window.partitionBy(F.col("strata")).orderBy(
+        F.col("priority").asc(), F.col(key_col).asc()
+    )
+    ranked = df.select(
+        strata.alias("strata"),
+        key.alias(key_col),
+        w.alias(weight_col),
+        pri.alias("priority"),
+    ).withColumn("rn", F.row_number().over(win))
+    return ranked.where(F.col("rn") <= k)

@@ -2059,3 +2059,32 @@ def _sql_html_markdown() -> str:
         + f"\nSELECT 'https://m.example.com/' || doc_id AS url,"
         f" x AS markdown FROM h{len(steps)}"
     )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted top-k sampling (sampling.weighted_sample):
+    k=10 per source, weight = text length in chars (longer docs more
+    likely) — the quality-weighted subsetting step after scoring. The
+    oracle restates the integer priority and the per-stratum row_number;
+    a plan test asserts the rank filter compiles to WindowGroupLimit."""
+    from ..operators.sampling import weighted_sample
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.length("text").cast("long").alias("wt")
+    )
+    return weighted_sample(d, "doc_id", "wt", k=10, strata_col="source")
+
+
+_SQL_WEIGHTED_SAMPLE = """
+WITH d AS (
+  SELECT doc_id, source AS strata, length(text)::bigint AS wt,
+    ('0x' || substr(md5(doc_id::varchar), 1, 14))::bigint
+      // length(text)::bigint AS priority
+  FROM documents
+), r AS (
+  SELECT strata, doc_id, wt, priority,
+    row_number() OVER (PARTITION BY strata ORDER BY priority, doc_id) AS rn
+  FROM d
+)
+SELECT strata, doc_id, wt, priority, rn::int AS rn FROM r WHERE rn <= 10
+"""

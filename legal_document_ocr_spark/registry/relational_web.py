@@ -2182,3 +2182,57 @@ SELECT url, version::int AS version, content_hash,
 FROM grouped
 WINDOW wv AS (PARTITION BY url ORDER BY version)
 """
+
+
+def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (graph.label_propagation, 2
+    synchronous rounds, min-label tie-break) over the deterministic demo
+    host graph shared with q_host_pagerank. The oracle unrolls the same
+    two rounds as chained CTEs."""
+    from ..operators.graph import label_propagation
+
+    return label_propagation(_host_graph_edges(spark, sf_dir), iters=2)
+
+
+def _sql_host_communities(iters: int = 2) -> str:
+    parts = [
+        """
+WITH hosts AS (SELECT DISTINCT source FROM documents),
+e AS (
+  SELECT source AS src,
+    'src' || ((regexp_replace(source, '^src', '')::int
+               * regexp_replace(source, '^src', '')::int + 1) % 20) AS dst
+  FROM hosts
+  UNION
+  SELECT source,
+    'src' || ((regexp_replace(source, '^src', '')::int * 3 + 1) % 20)
+  FROM hosts
+),
+ue AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e
+    UNION ALL SELECT dst, src FROM e
+  )
+),
+l0 AS (SELECT DISTINCT a AS node, a AS community FROM ue)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT ue.a AS node, l.community, count(*) AS votes
+  FROM ue JOIN l{i-1} l ON ue.b = l.node
+  GROUP BY ue.a, l.community
+),
+w{i} AS (
+  SELECT node, community,
+    row_number() OVER (PARTITION BY node ORDER BY votes DESC, community)
+      AS rn
+  FROM c{i}
+),
+l{i} AS (
+  SELECT l0.node, coalesce(w{i}.community, l0.node) AS community
+  FROM l0 LEFT JOIN w{i} ON w{i}.node = l0.node AND w{i}.rn = 1
+)"""
+        )
+    return "".join(parts).lstrip() + f"\nSELECT node, community FROM l{iters}"

@@ -3322,3 +3322,71 @@ def test_publish_dates_precedence_and_nulls(spark):
     )
     c = rows["http://h/plain"]
     assert c.publish_date is None and c.date_source is None
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-9 additions: label propagation / weighted sampling
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_pools_triangles_no_broadcast(spark):
+    """Two triangles joined by nothing: after 2 synchronous rounds each
+    triangle converges to its minimum member label, and the label join
+    stays a shuffle join (host tables are ~1e8 rows at web scale)."""
+    from legal_document_ocr_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("x", "y"), ("y", "z"), ("z", "x")],
+        "src string, dst string",
+    )
+    out = graph.label_propagation(edges, iters=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    comm = {r["node"]: r["community"] for r in out.collect()}
+    assert comm == {"a": "a", "b": "a", "c": "a",
+                    "x": "x", "y": "x", "z": "x"}
+
+
+def test_weighted_sample_semantics_and_group_limit_plan(spark, docs):
+    """k rows per stratum, rank filter pushed to a WindowGroupLimit
+    (partial per-stratum limit BEFORE the exchange — the length_ntiles
+    lesson), and the priority is the restatable hash-div-weight."""
+    from legal_document_ocr_spark.operators import sampling
+
+    d = docs.select(
+        "doc_id", "source", F.length("text").cast("long").alias("wt")
+    )
+    out = sampling.weighted_sample(d, "doc_id", "wt", k=5,
+                                   strata_col="source")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["strata"], []).append(r)
+    n_strata = d.select("source").distinct().count()
+    assert len(per) == n_strata
+    for grp in per.values():
+        assert len(grp) <= 5
+        assert sorted(r["rn"] for r in grp) == list(range(1, len(grp) + 1))
+        # rn order follows ascending priority
+        by_rn = sorted(grp, key=lambda r: r["rn"])
+        pris = [r["priority"] for r in by_rn]
+        assert pris == sorted(pris)
+
+
+def test_weighted_sample_weight_monotonicity(spark):
+    """Same key hash, 100x the weight -> 100x smaller priority: heavier
+    records win the per-stratum race deterministically."""
+    from legal_document_ocr_spark.operators import sampling
+
+    d = spark.createDataFrame(
+        [("k1", 1), ("k1x", 1)], "id string, w long"
+    )
+    heavy = spark.createDataFrame([("k1", 100)], "id string, w long")
+    lo = {r["id"]: r["priority"]
+          for r in sampling.weighted_sample(d, "id", "w", k=10).collect()}
+    hi = {r["id"]: r["priority"]
+          for r in sampling.weighted_sample(heavy, "id", "w", k=10).collect()}
+    assert hi["k1"] == lo["k1"] // 100
