@@ -1413,3 +1413,142 @@ def record_linkage(
         score.alias("score_pts"),
         (score >= threshold).alias("matched"),
     )
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    denom: int = 200,
+    summary_size: int | None = None,
+) -> DataFrame:
+    """Exact corpus heavy hitters (tokens with count >= N/denom) via the
+    two-phase candidate-then-verify pattern: per-partition MISRA-GRIES
+    summaries (one Arrow-batched pass, bounded memory) nominate a small
+    candidate set; an exact recount over candidates only — filtered with
+    a broadcast LEFT SEMI before the shuffle — confirms. The vocabulary
+    profiling step a tokenizer/mix pipeline runs before choosing special
+    tokens and boilerplate stop-lists; cms_term_counts estimates KNOWN
+    terms, this DISCOVERS the frequent ones exactly.
+
+    Correctness does not depend on the sketch: by pigeonhole a token with
+    global count >= N/denom has count >= N_p/denom in some partition, and
+    a Misra-Gries summary with ``summary_size`` (default 2*denom)
+    counters keeps every token whose partition count exceeds
+    N_p/(summary_size+1) < N_p/denom — so candidates are a guaranteed
+    superset of the true heavy hitters and the exact recount emits
+    precisely those with ``denom * count >= N`` (all-integer threshold,
+    no float ceil). Same input, same output, any partitioning.
+
+    Scale: the token stream is scanned twice (sketch pass, recount pass)
+    but SHUFFLED never — the MG pass emits <= summary_size rows per
+    partition, and the recount aggregates only candidate-matching tokens
+    (bounded set, always broadcastable) with map-side combine on a
+    short string key. Contrast top_terms, whose global count shuffles
+    the full vocabulary. Output: (token, n).
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    k = summary_size or 2 * denom
+    toks = ensure_parallelism(docs).select(
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    total = toks.count()
+
+    def _mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            # batch pre-count, then MG-merge: decrement by the (k+1)-th
+            # largest value when over capacity (mergeable-summaries form;
+            # O(batch) + O(k log k) per batch, not O(k) per token)
+            batch = pdf["token"].value_counts()
+            for tok, c in batch.items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    t: c - cut for t, c in counters.items() if c > cut
+                }
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    cands = toks.mapInPandas(_mg, "token string").distinct()
+    return (
+        toks.join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") * denom >= F.lit(total))
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    threshold_micro: int = 600_000,
+    df_cap: int | None = 64,
+) -> DataFrame:
+    """Directed shingle CONTAINMENT |S(src) ∩ S(dst)| / |S(src)| — the
+    quote/subset detector Jaccard misses: a paragraph lifted verbatim
+    into a much larger page has near-zero Jaccard (union is dominated by
+    the big page) but containment ~1.0 from the excerpt's side. This is
+    the partial-duplication signal used for quote attribution and
+    boilerplate-expansion audits, complementing ngram_jaccard_pairs
+    (symmetric) and verified_near_dups (LSH-scaled).
+
+    Same exchange discipline as ngram_jaccard_pairs: md5'd shingle keys,
+    df-capped stop-shingles dropped BEFORE the self-join (both sets and
+    sizes — self-consistent estimator), corpus-sized size table joined by
+    shuffle on the id key, and the score in exact integer micro-units
+    ((common * 1e6) div n_src — no float division to diverge across
+    engines). Emits BOTH directions of each undirected candidate pair;
+    at web scale prefer LSH candidates upstream (compose with
+    minhash_candidate_pairs) — the exact join here is the df-capped
+    baseline, like ngram_jaccard.
+
+    Output: (id_src, id_dst, containment_micro) where containment_micro
+    >= threshold_micro.
+    """
+    sh = ensure_parallelism(docs).select(
+        "doc_id",
+        F.explode(
+            F.transform(shingles(F.col(text_col), k), F.md5)
+        ).alias("shingle"),
+    )
+    if df_cap is not None:
+        wdf = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count("*").over(wdf))
+            .where(F.col("_df") <= df_cap)
+            .drop("_df")
+        )
+    sh = sh.persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    l, r = sh.alias("l"), sh.alias("r")
+    common = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    both = common.join(sa, "id_a").join(sb, "id_b")
+    fwd = both.select(
+        F.col("id_a").alias("id_src"),
+        F.col("id_b").alias("id_dst"),
+        F.expr("(common * 1000000) div na").alias("containment_micro"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("id_src"),
+        F.col("id_a").alias("id_dst"),
+        F.expr("(common * 1000000) div nb").alias("containment_micro"),
+    )
+    return fwd.unionByName(rev).where(
+        F.col("containment_micro") >= threshold_micro
+    )

@@ -390,3 +390,51 @@ def label_propagation(
             F.coalesce("community", F.col("node")).alias("community"),
         )
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-core peeling over the undirected host graph: each
+    round drops every node whose degree IN THE SURVIVING SUBGRAPH is
+    < k, then recomputes degrees. The link-graph density filter that
+    separates organically embedded hosts from spray-and-pray spam: a
+    link farm's satellites die in round one (their only neighbors are
+    each other's casualties), while genuinely interlinked hubs survive —
+    the coreness companion to pagerank (volume), hits (roles) and
+    label_propagation (communities).
+
+    Determinism: peeling is order-independent within a round (all
+    removals read the previous round's alive set), rounds are a fixed
+    count — so the result is exactly restatable as chained SQL CTEs.
+    Nodes keep their LAST computed in-subgraph degree.
+
+    Scale: per round two shuffle_hash semi-joins (alive set onto the
+    edge list — host tables are ~1e8 rows, never broadcast) and one
+    short-key count; the edge list is filtered monotonically smaller
+    each round. ``iters`` bounded rounds over HOST-level tables only.
+
+    Output: (node, degree) for nodes alive after ``iters`` rounds,
+    degree measured in the final surviving subgraph.
+    """
+    fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = fwd.unionByName(
+        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    ).where(F.col("a") != F.col("b")).distinct()
+    alive = und.select(F.col("a").alias("node")).distinct()
+    deg = None
+    for _ in range(iters):
+        e = und.join(
+            alive.withColumnRenamed("node", "a").hint("shuffle_hash"), "a"
+        ).join(
+            alive.withColumnRenamed("node", "b").hint("shuffle_hash"), "b"
+        )
+        deg = e.groupBy(F.col("a").alias("node")).agg(
+            F.count("*").alias("degree")
+        )
+        alive = deg.where(F.col("degree") >= k).select("node")
+    return deg.where(F.col("degree") >= k)

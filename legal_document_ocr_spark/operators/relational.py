@@ -1022,6 +1022,34 @@ def corpus_rollup_census(docs: DataFrame) -> DataFrame:
     )
 
 
+def corpus_cube_census(docs: DataFrame) -> DataFrame:
+    """CUBE census over (source, lang): every cell, BOTH marginals and
+    the grand total in one expand+aggregate pass — the full grouping-sets
+    lattice where corpus_rollup_census emits only the source-led
+    hierarchy (a rollup has no per-lang subtotal; dataset-mix dashboards
+    want both axes). Spark plans a single Expand (4 projections per row)
+    feeding one hash aggregate — one shuffle on the expanded keys, not
+    four scans. Output matches corpus_rollup_census's shape:
+    (source, lang, grouping_level, n_docs, sum_chars)."""
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(18,0)"))
+            .cast("long")
+            .alias("sum_chars"),
+            F.grouping_id("source", "lang").cast("int").alias("grouping_level"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "grouping_level",
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
 def rolling_value_stats(events: DataFrame, *, frame: int = 2) -> DataFrame:
     """Per-user rolling aggregate over the last ``frame``+1 events (ROWS
     BETWEEN frame PRECEDING AND CURRENT ROW) — the bounded-frame window

@@ -796,3 +796,20 @@ FROM av LEFT JOIN losers USING (vec_id)
 
 
 _SQL_SEMANTIC_DEDUP = _sql_semantic_dedup()
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (dedup.heavy_hitters): tokens with
+    count >= N/200, discovered by per-partition Misra-Gries candidate
+    summaries and confirmed by an exact candidates-only recount — the
+    sketch affects only pruning, never the answer, so the oracle is the
+    plain exact HAVING over the same token stream."""
+    return dedup.heavy_hitters(_docs(spark, sf_dir), denom=200)
+
+
+_SQL_HEAVY_HITTERS = f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT token, count(*)::bigint AS n FROM toks GROUP BY token
+HAVING count(*) * 200 >= (SELECT n FROM tot)
+"""

@@ -1394,3 +1394,75 @@ SELECT id_a, id_b, name_lev, name_sim_milli::bigint AS name_sim_milli,
   (name_sim_milli + 500 * n_exact >= 1300)::int AS matched
 FROM pairs
 """
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment (dedup.containment_pairs) over
+    documents ∪ planted excerpts: every fifth doc contributes a 12-token
+    prefix quote under doc_id+400000 — high containment from the
+    excerpt's side, low Jaccard (the case the symmetric score misses).
+    The oracle restates the df-capped shingle join and the integer
+    micro-score in both directions."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = textops.ws_tokens(F.lower(F.col("text")))
+    quotes = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, 12), " ").alias("text"),
+    )
+    return dedup.containment_pairs(
+        d.unionByName(quotes), threshold_micro=600_000
+    )
+
+
+_SQL_CONTAINMENT_PAIRS = f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 400000, array_to_string(({_TOKS})[1:12], ' ')
+  FROM documents WHERE doc_id % 5 = 0
+),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM src),
+sh AS (SELECT doc_id, list_transform({_SHINGLES_SQL}, s -> md5(s)) AS shingles
+       FROM t),
+e0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+dfreq AS (SELECT shingle, count(*) AS c FROM e0 GROUP BY shingle),
+e AS (SELECT e0.doc_id, e0.shingle FROM e0 JOIN dfreq USING (shingle)
+      WHERE c <= 64),
+sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+common AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
+  FROM e l JOIN e r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+),
+pairs2 AS (
+  SELECT id_a, id_b, common, sa.n AS na, sb.n AS nb
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+),
+dirs AS (
+  SELECT id_a AS id_src, id_b AS id_dst,
+    (common * 1000000) // na AS containment_micro FROM pairs2
+  UNION ALL
+  SELECT id_b, id_a, (common * 1000000) // nb FROM pairs2
+)
+SELECT id_src, id_dst, containment_micro FROM dirs
+WHERE containment_micro >= 600000
+"""
+
+
+def q_cube_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE census (relational.corpus_cube_census): the full grouping-
+    sets lattice — cells, both marginals, grand total — in one
+    expand+aggregate pass (rollup_census emits only the source-led
+    hierarchy)."""
+    return relational.corpus_cube_census(_docs(spark, sf_dir))
+
+
+_SQL_CUBE_CENSUS = """
+SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+  grouping(source, lang)::int AS grouping_level,
+  count(*)::bigint AS n_docs,
+  sum(n_chars::decimal(18,0))::bigint AS sum_chars
+FROM documents GROUP BY CUBE (source, lang)
+"""

@@ -2236,3 +2236,47 @@ l{i} AS (
 )"""
         )
     return "".join(parts).lstrip() + f"\nSELECT node, community FROM l{iters}"
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peeling (graph.k_core, k=2, 2 rounds) over
+    the deterministic demo host graph — the density filter separating
+    interlinked hubs from spray-and-pray satellites. The oracle unrolls
+    the same peel rounds as chained CTEs."""
+    from ..operators.graph import k_core
+
+    return k_core(_host_graph_edges(spark, sf_dir), k=2, iters=2)
+
+
+_SQL_K_CORE = """
+WITH hosts AS (SELECT DISTINCT source FROM documents),
+e AS (
+  SELECT source AS src,
+    'src' || ((regexp_replace(source, '^src', '')::int
+               * regexp_replace(source, '^src', '')::int + 1) % 20) AS dst
+  FROM hosts
+  UNION
+  SELECT source,
+    'src' || ((regexp_replace(source, '^src', '')::int * 3 + 1) % 20)
+  FROM hosts
+),
+ue AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e
+    UNION ALL SELECT dst, src FROM e
+  ) WHERE a <> b
+),
+a0 AS (SELECT DISTINCT a AS node FROM ue),
+d1 AS (
+  SELECT ue.a AS node, count(*) AS degree
+  FROM ue JOIN a0 x ON ue.a = x.node JOIN a0 y ON ue.b = y.node
+  GROUP BY ue.a
+),
+a1 AS (SELECT node FROM d1 WHERE degree >= 2),
+d2 AS (
+  SELECT ue.a AS node, count(*) AS degree
+  FROM ue JOIN a1 x ON ue.a = x.node JOIN a1 y ON ue.b = y.node
+  GROUP BY ue.a
+)
+SELECT node, degree FROM d2 WHERE degree >= 2
+"""

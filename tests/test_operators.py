@@ -3390,3 +3390,81 @@ def test_weighted_sample_weight_monotonicity(spark):
     hi = {r["id"]: r["priority"]
           for r in sampling.weighted_sample(heavy, "id", "w", k=10).collect()}
     assert hi["k1"] == lo["k1"] // 100
+
+
+def test_heavy_hitters_exact_regardless_of_summary_size(spark):
+    """The MG sketch only PRUNES; output = exact tokens with
+    count*denom >= N even with the smallest legal summary, and the plan
+    shows the bounded-memory MapInPandas pass + broadcast semi recount."""
+    from legal_document_ocr_spark.operators import dedup
+
+    # 40 'hot', 6 'warm', 54 singletons -> N=100; denom=10 -> cnt >= 10
+    rows = (["hot hot"] * 20) + (["warm"] * 6) + [f"u{i}" for i in range(54)]
+    d = spark.createDataFrame([(i, t) for i, t in enumerate(rows)],
+                              "doc_id long, text string")
+    out = dedup.heavy_hitters(d, denom=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    got = {(r["token"], r["n"]) for r in out.collect()}
+    assert got == {("hot", 40)}
+    # tighter summary still exact (superset guarantee + exact verify)
+    tight = dedup.heavy_hitters(d, denom=10, summary_size=3)
+    assert {(r["token"], r["n"]) for r in tight.collect()} == {("hot", 40)}
+
+
+def test_containment_pairs_quote_high_jaccard_low(spark):
+    """A 5-token excerpt of a 40-token doc: containment from the excerpt
+    side is 1.0 (1e6 micro) while symmetric Jaccard is far below the
+    same 0.6 bar — the partial-duplication case Jaccard misses."""
+    from legal_document_ocr_spark.operators import dedup
+
+    big = " ".join(f"w{i}" for i in range(40))
+    quote = " ".join(f"w{i}" for i in range(5))
+    d = spark.createDataFrame([(1, big), (2, quote)],
+                              "doc_id long, text string")
+    out = {(r["id_src"], r["id_dst"]): r["containment_micro"]
+           for r in dedup.containment_pairs(d, threshold_micro=600000).collect()}
+    assert out == {(2, 1): 1000000}  # 3 of 3 quote shingles contained
+    jac = dedup.ngram_jaccard_pairs(d, threshold=0.0).collect()
+    assert jac and all(r["jaccard"] < 0.6 for r in jac)
+
+
+def test_k_core_peels_pendants_keeps_triangle(spark):
+    """Triangle + pendant chain: pendants die in round one (degree 1),
+    the triangle survives as the 2-core with in-subgraph degree 2; the
+    alive-set joins stay shuffle joins."""
+    from legal_document_ocr_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    out = graph.k_core(edges, k=2, iters=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    got = {r["node"]: r["degree"] for r in out.collect()}
+    # round 1: e dies (deg 1); round 2 degrees are measured BEFORE that
+    # round's filter drops d, so c still counts the c-d edge (the exact
+    # semantics the unrolled-CTE oracle restates)
+    assert got == {"a": 2, "b": 2, "c": 3}
+    # one more round converges: d gone, triangle at uniform degree 2
+    done = {r["node"]: r["degree"]
+            for r in graph.k_core(edges, k=2, iters=3).collect()}
+    assert done == {"a": 2, "b": 2, "c": 2}
+
+
+def test_cube_census_full_lattice(spark, docs):
+    """CUBE emits all four grouping levels (rollup lacks the lang
+    marginal, level 2) and every level's doc total re-adds to the corpus
+    count, in ONE Expand+aggregate pass (no union of scans)."""
+    from legal_document_ocr_spark.operators import relational
+
+    out = relational.corpus_cube_census(docs).collect()
+    n = docs.count()
+    levels = {}
+    for r in out:
+        levels.setdefault(r["grouping_level"], []).append(r)
+    assert set(levels) == {0, 1, 2, 3}
+    for lvl in (0, 1, 2):
+        assert sum(r["n_docs"] for r in levels[lvl]) == n
+    assert levels[3][0]["n_docs"] == n
