@@ -345,3 +345,46 @@ def weighted_sample(
         pri.alias("priority"),
     ).withColumn("rn", F.row_number().over(win))
     return ranked.where(F.col("rn") <= k)
+
+
+def domain_quality_ci(
+    docs: DataFrame,
+    pass_col: str,
+    group_col: str = "source",
+    z: float = 1.96,
+) -> DataFrame:
+    """Wilson score LOWER BOUND on each domain's quality pass-rate — the
+    ranking statistic that does not reward tiny samples: a host with 2/2
+    passing docs ranks below one with 900/1000, because the bound prices
+    in the sample size (the sort-by-average trap). This is how a crawl
+    decides which domains earn deeper budgets from early quality
+    signals; any boolean (gopher pass, classifier verdict, dedup
+    survival) plugs in as ``pass_col``.
+
+    One map-side-combined aggregate per group (count + sum of a 0/1) —
+    bounded by |domains|, no second pass. The bound itself is pure
+    double IEEE arithmetic stated operation-for-operation in the oracle
+    (z entered as the literal, z² as z*z — never a rounded constant),
+    emitted as floor(lb*1e6) micro-units. Output: (group, n_docs,
+    n_pass, wilson_lb_micro).
+    """
+    g = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(pass_col).cast("long")).alias("n_pass"),
+    )
+    n = F.col("n_docs")
+    zc = F.lit(float(z))
+    z2 = zc * zc
+    p = F.col("n_pass") / n
+    num = p + z2 / (F.lit(2) * n) - zc * F.sqrt(
+        (p * (F.lit(1.0) - p) + z2 / (F.lit(4) * n)) / n
+    )
+    den = F.lit(1.0) + z2 / n
+    return g.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_pass",
+        F.floor(num / den * F.lit(1000000.0)).cast("long").alias(
+            "wilson_lb_micro"
+        ),
+    )

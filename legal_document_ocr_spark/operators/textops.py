@@ -2574,3 +2574,62 @@ def legal_citations(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(khoan != "", khoan).cast("int").alias("khoan"),
         F.when(diem != "", diem).alias("diem"),
     )
+
+
+def bitext_candidates(
+    docs: DataFrame,
+    *,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    min_shared: int = 2,
+    df_cap: int = 16,
+) -> DataFrame:
+    """Cross-lingual parallel-document candidates by shared NUMERIC
+    fingerprints: digit tokens (years, figures, section numbers, IDs)
+    survive translation verbatim, so two pages in different languages
+    sharing several rare numbers are likely translations of each other —
+    the cheap pre-filter a WikiMatrix-style bitext miner runs before any
+    embedding alignment touches a pair.
+
+    Scale shape: per-doc DISTINCT digit tokens explode to a (number,
+    doc) exchange; numbers with document frequency > ``df_cap`` are
+    dropped BEFORE the self-join (copyright years appear on every page —
+    the stop-shingle discipline), so a number contributes at most
+    df_cap² join rows. Pairs are kept only across DIFFERENT languages
+    with >= ``min_shared`` shared numbers. Output: (id_a, id_b, lang_a,
+    lang_b, shared) with id_a < id_b.
+    """
+    from ..scale.salt import ensure_parallelism
+
+    nums = ensure_parallelism(docs).select(
+        "doc_id",
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.array_distinct(
+                F.expr(f"regexp_extract_all({text_col}, '[0-9]+', 0)")
+            )
+        ).alias("num"),
+    )
+    wdf = Window.partitionBy("num")
+    nums = (
+        nums.withColumn("_df", F.count("*").over(wdf))
+        .where(F.col("_df") <= df_cap)
+        .drop("_df")
+    )
+    l, r = nums.alias("l"), nums.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.num") == F.col("r.num"))
+            & (F.col("l.doc_id") < F.col("r.doc_id"))
+            & (F.col("l.lang") != F.col("r.lang")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.col("l.lang").alias("lang_a"),
+            F.col("r.lang").alias("lang_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

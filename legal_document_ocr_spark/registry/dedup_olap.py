@@ -1466,3 +1466,39 @@ SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
   sum(n_chars::decimal(18,0))::bigint AS sum_chars
 FROM documents GROUP BY CUBE (source, lang)
 """
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass all-columns data profile (relational.profile_columns)
+    of lineitem: nulls, exact NDV, type-encoded min/max (ints/epochs as
+    bigint, doubles as floor-micro, strings raw). The oracle restates
+    the per-column stats as a UNION ALL battery over the same
+    encodings."""
+    return relational.profile_columns(_tbl(_utc(spark), sf_dir, "lineitem"))
+
+
+_PROFILE_COLS: list[tuple[str, str]] = [
+    ("l_orderkey", "int"), ("l_partkey", "int"), ("l_suppkey", "int"),
+    ("l_linenumber", "int"), ("l_quantity", "dbl"),
+    ("l_extendedprice", "dbl"), ("l_discount", "dbl"), ("l_tax", "dbl"),
+    ("l_returnflag", "str"), ("l_linestatus", "str"), ("l_shipdate", "ts"),
+]
+
+
+def _sql_column_profile() -> str:
+    blocks = []
+    for name, kind in _PROFILE_COLS:
+        if kind == "dbl":
+            enc = f"floor({name} * 1000000.0::double)::bigint"
+        elif kind == "ts":
+            enc = f"floor(epoch({name}))::bigint"
+        else:
+            enc = name
+        blocks.append(
+            f"SELECT '{name}' AS col_name, count(*)::bigint AS n_rows,\n"
+            f"  (count(*) - count({name}))::bigint AS n_nulls,\n"
+            f"  count(DISTINCT {name})::bigint AS n_distinct,\n"
+            f"  min({enc})::varchar AS min_repr,\n"
+            f"  max({enc})::varchar AS max_repr\nFROM lineitem"
+        )
+    return "\nUNION ALL\n".join(blocks)

@@ -2088,3 +2088,35 @@ WITH d AS (
 )
 SELECT strata, doc_id, wt, priority, rn::int AS rn FROM r WHERE rn <= 10
 """
+
+
+def q_domain_quality_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson lower-bound quality ranking per source
+    (sampling.domain_quality_ci): pass = n_chars >= 300. The oracle
+    restates the bound operation-for-operation in doubles (z as the
+    1.96 literal, z² as z*z) with one floor(1e6) emit."""
+    from ..operators import sampling
+
+    d = _docs(spark, sf_dir).withColumn(
+        "passed", (F.col("n_chars") >= 300).cast("int")
+    )
+    return sampling.domain_quality_ci(d, "passed")
+
+
+_SQL_DOMAIN_QUALITY_CI = """
+WITH g AS (
+  SELECT source, count(*)::bigint AS n_docs,
+    sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)::bigint AS n_pass
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_pass,
+  floor((
+      (n_pass / n_docs)
+      + (1.96::double * 1.96::double) / (2 * n_docs)
+      - 1.96::double * sqrt(
+          ((n_pass / n_docs) * (1.0::double - (n_pass / n_docs))
+           + (1.96::double * 1.96::double) / (4 * n_docs)) / n_docs)
+    ) / (1.0::double + (1.96::double * 1.96::double) / n_docs)
+    * 1000000.0::double)::bigint AS wilson_lb_micro
+FROM g
+"""

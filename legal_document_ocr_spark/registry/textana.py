@@ -511,3 +511,66 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
   END AS flesch_micro
 FROM s
 """
+
+
+def q_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual bitext candidate mining (textops.bitext_candidates)
+    over documents with planted translations: every sixth doc gains two
+    doc_id-derived figure numbers, and a 'translation' copy
+    (doc_id+500000, lang 'xx') carries the same numbers — the shared-
+    rare-number pre-filter finds exactly those pairs (shared=2; cross-
+    doc number collisions stay below min_shared)."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    n1 = (F.col("doc_id") * 7 + 13).cast("string")
+    n2 = (F.col("doc_id") * 11 + 5).cast("string")
+    marked = d.where(F.col("doc_id") % 6 == 0).select(
+        "doc_id",
+        "lang",
+        F.concat("text", F.lit(" fig "), n1, F.lit(" ref "), n2).alias("text"),
+    )
+    trans = d.where(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.lit("xx").alias("lang"),
+        F.concat(F.lit("fig "), n1, F.lit(" ref "), n2).alias("text"),
+    )
+    corpus = (
+        d.where(F.col("doc_id") % 6 != 0)
+        .unionByName(marked)
+        .unionByName(trans)
+    )
+    return textops.bitext_candidates(corpus)
+
+
+_SQL_BITEXT_CANDIDATES = """
+WITH base AS (SELECT doc_id, lang, text FROM documents),
+corpus AS (
+  SELECT doc_id, lang, text FROM base WHERE doc_id % 6 <> 0
+  UNION ALL
+  SELECT doc_id, lang,
+    text || ' fig ' || (doc_id * 7 + 13)::varchar
+         || ' ref ' || (doc_id * 11 + 5)::varchar
+  FROM base WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id + 500000, 'xx',
+    'fig ' || (doc_id * 7 + 13)::varchar
+     || ' ref ' || (doc_id * 11 + 5)::varchar
+  FROM base WHERE doc_id % 6 = 0
+),
+nums AS (
+  SELECT doc_id, lang,
+    unnest(list_distinct(regexp_extract_all(text, '[0-9]+'))) AS num
+  FROM corpus
+),
+capped AS (
+  SELECT doc_id, lang, num FROM (
+    SELECT doc_id, lang, num, count(*) OVER (PARTITION BY num) AS c
+    FROM nums
+  ) WHERE c <= 16
+)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+  l.lang AS lang_a, r.lang AS lang_b, count(*) AS shared
+FROM capped l JOIN capped r
+  ON l.num = r.num AND l.doc_id < r.doc_id AND l.lang <> r.lang
+GROUP BY l.doc_id, r.doc_id, l.lang, r.lang
+HAVING count(*) >= 2
+"""

@@ -3468,3 +3468,65 @@ def test_cube_census_full_lattice(spark, docs):
     for lvl in (0, 1, 2):
         assert sum(r["n_docs"] for r in levels[lvl]) == n
     assert levels[3][0]["n_docs"] == n
+
+
+def test_profile_columns_encodings_and_expand_tradeoff(spark):
+    """Numeric min/max order numerically after string rendering (9 < 10),
+    doubles encode as floor-micro, nulls counted; exact NDV plans the
+    Expand, the approx path keeps the single pass Expand-free."""
+    d = spark.createDataFrame(
+        [(9, 1.5, "b"), (10, None, "a"), (2000000, 0.25, None)],
+        "k long, v double, s string",
+    )
+    out = {r["col_name"]: r for r in relational.profile_columns(d).collect()}
+    assert out["k"]["min_repr"] == "9" and out["k"]["max_repr"] == "2000000"
+    assert out["v"]["n_nulls"] == 1 and out["v"]["min_repr"] == "250000"
+    assert out["v"]["max_repr"] == "1500000"
+    assert out["s"]["n_distinct"] == 2 and out["s"]["min_repr"] == "a"
+    assert all(r["n_rows"] == 3 for r in out.values())
+    exact_plan = relational.profile_columns(d)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Expand" in exact_plan
+    approx_plan = relational.profile_columns(d, exact_distinct=False) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in approx_plan, approx_plan
+
+
+def test_domain_quality_ci_prices_in_sample_size(spark):
+    """2/2 passing must rank BELOW 900/1000 — the sort-by-average trap
+    the Wilson lower bound exists to avoid."""
+    from legal_document_ocr_spark.operators import sampling
+
+    rows = [("tiny", 1) for _ in range(2)]
+    rows += [("big", 1)] * 900 + [("big", 0)] * 100
+    d = spark.createDataFrame(rows, "source string, passed int")
+    out = {r["source"]: r for r in
+           sampling.domain_quality_ci(d, "passed").collect()}
+    assert out["tiny"]["n_pass"] == 2 and out["big"]["n_pass"] == 900
+    assert out["tiny"]["wilson_lb_micro"] < out["big"]["wilson_lb_micro"]
+    # bound is a lower bound: below the raw rate
+    assert out["big"]["wilson_lb_micro"] < 900000
+
+
+def test_bitext_candidates_cross_lang_only_and_df_cap(spark):
+    """A translated pair sharing two rare numbers matches; the same-lang
+    copy does not; a number on every page (df > cap) cannot create
+    pairs by itself."""
+    from legal_document_ocr_spark.operators import textops
+
+    common = " 2024"  # appears in every doc -> df-capped out
+    d = spark.createDataFrame(
+        [
+            (1, "en", "revenue rose 4711 units this quarter fig 9313" + common),
+            (2, "de", "umsatz stieg 4711 im quartal abb 9313" + common),
+            (3, "en", "revenue rose 4711 units fig 9313" + common),  # same lang as 1
+            (4, "fr", "sans chiffres communs 555" + common),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): (r["lang_a"], r["lang_b"], r["shared"])
+           for r in textops.bitext_candidates(d, df_cap=3).collect()}
+    assert (1, 2) in out and out[(1, 2)][2] == 2
+    assert (2, 3) in out  # de<->en also shares both numbers
+    assert (1, 3) not in out  # same language
+    assert not any(4 in pair for pair in out)  # only the capped number
