@@ -77,6 +77,10 @@ HEADLINE = [
     "video_frames",           # real AVI/RIFF frame extraction (mapInPandas)
     "volume_shipping",        # TPC-H Q7 fact-fact shuffle_hash + dim broadcasts
     "pii_luhn",               # Luhn-validated PII battery (zero-exchange HOFs)
+    # round-4 late-session additions
+    "heavy_hitters",          # Misra-Gries candidates + exact broadcast-semi recount
+    "containment_pairs",      # directed containment over the df-capped shingle join
+    "column_profile",         # single-pass all-columns profile (Expand NDV)
 ]
 
 

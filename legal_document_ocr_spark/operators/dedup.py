@@ -1552,3 +1552,95 @@ def containment_pairs(
     return fwd.unionByName(rev).where(
         F.col("containment_micro") >= threshold_micro
     )
+
+
+def prefix_jaccard_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    threshold_micro: int = 800_000,
+) -> DataFrame:
+    """EXACT Jaccard-threshold set-similarity self-join via PREFIX
+    FILTERING (the PPJoin family) — the third point in the near-dup
+    design space: ngram_jaccard_pairs is exact but df-cap-approximate,
+    verified_near_dups is LSH-probabilistic (false negatives possible);
+    this is exact with NO false negatives and no all-pairs blowup.
+
+    The filter: order every document's distinct tokens by one GLOBAL
+    rarity order (document frequency asc, token asc — rarest first).
+    Two sets with Jaccard >= t MUST share a token within each one's
+    first ``n - ceil(t*n) + 1`` tokens of that order (if they disagreed
+    on all prefix tokens, the overlap is confined to too small a
+    suffix to reach t) — so candidates = pairs sharing a PREFIX token,
+    a provably complete superset generated by an equi-join keyed on the
+    rarest tokens, where df is smallest. Verify computes exact Jaccard
+    on candidates only, in integer micro-units.
+
+    Scale: vocabulary df table joins back by shuffle_hash (corpus-sized,
+    never broadcast); the candidate join's fan-out is bounded by the
+    rarity keying (a df-f token contributes f^2 pairs and prefixes
+    prefer the smallest f); per-doc arrays ride the verify join keyed on
+    doc_id. ceil(t*n) is all-integer: (t_micro*n + 999999) div 1e6.
+
+    Output: (id_a, id_b, jaccard_micro) with jaccard_micro >= threshold.
+    """
+    toks = ensure_parallelism(docs).select(
+        "doc_id",
+        F.explode(F.array_distinct(ws_tokens(F.lower(F.col(text_col))))).alias(
+            "token"
+        ),
+    )
+    dftab = toks.groupBy("token").agg(F.count("*").alias("df"))
+    # rarity-sortable key: zero-padded df then token (one global order,
+    # restatable verbatim in SQL)
+    keyed = toks.join(dftab.hint("shuffle_hash"), "token").select(
+        "doc_id", F.concat(F.lpad(F.col("df").cast("string"), 10, "0"), F.col("token")).alias("k")
+    )
+    arrs = keyed.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("k")).alias("ks")
+    ).select(
+        "doc_id",
+        F.transform(F.col("ks"), lambda s: F.substring(s, 11, 1_000_000)).alias(
+            "toks"
+        ),
+        F.size("ks").cast("long").alias("n"),
+    )
+    plen = F.expr(
+        f"n - (({threshold_micro} * n + 999999) div 1000000) + 1"
+    ).cast("int")
+    pref = arrs.select(
+        "doc_id", F.explode(F.slice("toks", F.lit(1), plen)).alias("token")
+    )
+    cand = (
+        pref.alias("l")
+        .join(
+            pref.alias("r").hint("shuffle_hash"),
+            (F.col("l.token") == F.col("r.token"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    a = arrs.select(
+        F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"),
+        F.col("n").alias("na"),
+    )
+    b = arrs.select(
+        F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        cand.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
+        .withColumn("common", F.size(F.array_intersect("ta", "tb")).cast("long"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("(common * 1000000) div (na + nb - common)").alias(
+                "jaccard_micro"
+            ),
+        )
+        .where(F.col("jaccard_micro") >= threshold_micro)
+    )

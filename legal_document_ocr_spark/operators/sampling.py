@@ -388,3 +388,90 @@ def domain_quality_ci(
             "wilson_lb_micro"
         ),
     )
+
+
+def budget_select(
+    docs: DataFrame,
+    *,
+    tier_col: str,
+    weight_col: str,
+    budget: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Tiered token-budget selection: per group (source/host/language),
+    admit documents best-quality-tier first — hash-ordered inside a tier
+    so the marginal tier contributes an unbiased sample — until the
+    group's ``budget`` (in ``weight_col`` units, e.g. tokens) is filled.
+    A document is admitted iff the budget hasn't been exhausted when its
+    span STARTS (shard_assign's convention). This is the "take the best
+    N tokens per source" step of assembling a training mix from scored
+    corpora; ``tier_col`` must be a small ordered int (quality bucket),
+    higher = better.
+
+    Scale shape — the length_ntiles lesson applied to cumsums: a naive
+    ``sum() OVER (PARTITION BY group ORDER BY ...)`` sorts each group in
+    ONE window task (a big host = a straggler by construction). Instead
+    the running offset is the bucketed two-phase cumsum shared with
+    shard_assign/pack_sequences: cumsum inside (group, tier, hash-range
+    bucket) — every window partition is ~1/n_buckets of a tier, and the
+    hash is uniform — then per-bucket offsets from the (group, tier,
+    bucket) totals table, whose window partitions by group over at most
+    |tiers|*n_buckets rows. The oracle states the plain per-group window
+    — identical result, scalable plan.
+
+    Output: (group, doc_id, tier, weight, rank_hash, start_offset,
+    keep) for every input row.
+    """
+    from pyspark.sql import Window
+
+    rank_hash = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+    )
+    base = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.col(key_col).alias("doc_id"),
+            F.col(tier_col).cast("int").alias("tier"),
+            F.col(weight_col).cast("long").alias("weight"),
+            rank_hash.alias("rank_hash"),
+        )
+        .withColumn(
+            "_bucket", F.floor(F.col("rank_hash") / F.lit((1 << 60) // n_buckets))
+        )
+        .persist()
+    )
+    in_bucket = Window.partitionBy("grp", "tier", "_bucket").orderBy(
+        "rank_hash", "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    local = base.withColumn(
+        "_local_off", F.coalesce(F.sum("weight").over(in_bucket), F.lit(0))
+    )
+    totals = base.groupBy("grp", "tier", "_bucket").agg(
+        F.sum("weight").alias("_tot")
+    )
+    # bounded window: <= |tiers| * n_buckets rows per group — tiers fill
+    # best-first (tier DESC), buckets in hash order within a tier
+    over = Window.partitionBy("grp").orderBy(
+        F.col("tier").desc(), F.col("_bucket").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.withColumn(
+        "_boff", F.coalesce(F.sum("_tot").over(over), F.lit(0))
+    ).select("grp", "tier", "_bucket", "_boff")
+    return (
+        local.join(offs.hint("shuffle_hash"), ["grp", "tier", "_bucket"])
+        .select(
+            F.col("grp").alias(group_col),
+            "doc_id",
+            "tier",
+            "weight",
+            "rank_hash",
+            (F.col("_local_off") + F.col("_boff")).alias("start_offset"),
+            (F.col("_local_off") + F.col("_boff") < F.lit(budget))
+            .cast("int")
+            .alias("keep"),
+        )
+    )

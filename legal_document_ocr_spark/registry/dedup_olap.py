@@ -1502,3 +1502,51 @@ def _sql_column_profile() -> str:
             f"  max({enc})::varchar AS max_repr\nFROM lineitem"
         )
     return "\nUNION ALL\n".join(blocks)
+
+
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact prefix-filtered Jaccard join (dedup.prefix_jaccard_join,
+    PPJoin family) at 0.99 over the near-dup corpus: provably complete
+    candidates from the rarest-token prefix equi-join, exact integer
+    verify — no df-cap approximation, no LSH false negatives. The
+    oracle restates the same global rarity order, prefix cut, and
+    verify."""
+    return dedup.prefix_jaccard_join(
+        _neardup_docs(spark, sf_dir), threshold_micro=990_000
+    )
+
+
+_SQL_PREFIX_JACCARD = f"""
+WITH src AS ({_NEARDUP_SQL}),
+toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM src
+),
+dftab AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
+keyed AS (
+  SELECT doc_id, lpad(df::varchar, 10, '0') || token AS k
+  FROM toks JOIN dftab USING (token)
+),
+arrs AS (
+  SELECT doc_id, list_transform(list_sort(list(k)), s -> substr(s, 11)) AS tk,
+    len(list(k))::bigint AS n
+  FROM keyed GROUP BY doc_id
+),
+pref AS (
+  SELECT doc_id,
+    unnest(list_slice(tk, 1,
+      (n - ((990000 * n + 999999) // 1000000) + 1)::int)) AS token
+  FROM arrs
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM pref l JOIN pref r ON l.token = r.token AND l.doc_id < r.doc_id
+),
+v AS (
+  SELECT id_a, id_b,
+    len(list_intersect(a.tk, b.tk))::bigint AS common, a.n AS na, b.n AS nb
+  FROM cand JOIN arrs a ON a.doc_id = id_a JOIN arrs b ON b.doc_id = id_b
+)
+SELECT id_a, id_b,
+  (common * 1000000) // (na + nb - common) AS jaccard_micro
+FROM v WHERE (common * 1000000) // (na + nb - common) >= 990000
+"""

@@ -2120,3 +2120,45 @@ SELECT source, n_docs, n_pass,
     * 1000000.0::double)::bigint AS wilson_lb_micro
 FROM g
 """
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered token-budget selection (sampling.budget_select): per
+    source, admit best-quality-tier docs first (tier = n_chars/100
+    capped at 5, weight = chars, budget 30000) — hash-ordered within
+    the marginal tier. The oracle states the plain per-group window;
+    the operator's bucketed two-phase cumsum (the shard_assign
+    machinery) produces the identical offsets with no per-group sort
+    task."""
+    from ..operators import sampling
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.expr("least(n_chars div 100, 5)").cast("int").alias("tier"),
+        F.col("n_chars").cast("long").alias("w"),
+    )
+    return sampling.budget_select(
+        d, tier_col="tier", weight_col="w", budget=30_000
+    )
+
+
+_SQL_BUDGET_SELECT = """
+WITH d AS (
+  SELECT source, doc_id, least(n_chars // 100, 5)::int AS tier,
+    n_chars::bigint AS weight,
+    ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint AS rank_hash
+  FROM documents
+),
+o AS (
+  SELECT source, doc_id, tier, weight, rank_hash,
+    coalesce(sum(weight) OVER (
+      PARTITION BY source ORDER BY tier DESC, rank_hash, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+      AS start_offset
+  FROM d
+)
+SELECT source, doc_id, tier, weight, rank_hash, start_offset,
+  CASE WHEN start_offset < 30000 THEN 1 ELSE 0 END AS keep
+FROM o
+"""

@@ -3530,3 +3530,56 @@ def test_bitext_candidates_cross_lang_only_and_df_cap(spark):
     assert (2, 3) in out  # de<->en also shares both numbers
     assert (1, 3) not in out  # same language
     assert not any(4 in pair for pair in out)  # only the capped number
+
+
+def test_prefix_jaccard_join_complete_vs_brute_force(spark):
+    """Prefix filtering must be a complete candidate generator: results
+    equal the all-pairs brute force on a corpus with planted edits and
+    decoys (the no-false-negatives contract LSH can't make)."""
+    import itertools
+
+    words = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(12):
+        base = [words[(d * 7 + j) % 30] for j in range(12)]
+        rows.append((d, " ".join(base)))
+        if d % 3 == 0:  # planted near-identical copy (one token changed)
+            edited = list(base)
+            edited[-1] = "zz%d" % d
+            rows.append((d + 100, " ".join(edited)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard_micro"]
+           for r in dedup.prefix_jaccard_join(df, threshold_micro=700000).collect()}
+    # brute force on the same distinct-token sets
+    sets = {i: set(t.lower().split()) for i, t in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        jm = inter * 1000000 // uni
+        if jm >= 700000:
+            want[(a, b)] = jm
+    assert got == want and want  # non-trivial: planted pairs present
+
+
+def test_budget_select_tier_order_and_two_phase_offsets(spark):
+    """Offsets from the bucketed two-phase cumsum equal the naive
+    per-group running sum in (tier DESC, hash) order; keep flips exactly
+    where the budget is exhausted; high tiers admitted first."""
+    from legal_document_ocr_spark.operators import sampling
+
+    rows = [(i, "g", i % 3, 100) for i in range(30)]  # tiers 0,1,2
+    d = spark.createDataFrame(rows, "doc_id long, source string, tier int, w long")
+    out = sampling.budget_select(
+        d, tier_col="tier", weight_col="w", budget=1000
+    ).collect()
+    ordered = sorted(out, key=lambda r: (-r["tier"], r["rank_hash"], r["doc_id"]))
+    run = 0
+    for r in ordered:
+        assert r["start_offset"] == run, (r, run)
+        assert r["keep"] == (1 if run < 1000 else 0)
+        run += r["weight"]
+    kept = [r for r in out if r["keep"]]
+    assert len(kept) == 10  # 1000 budget / 100 each
+    # the 10 tier-2 docs fill first, then budget is gone
+    assert all(r["tier"] == 2 for r in kept)
