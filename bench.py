@@ -77,10 +77,12 @@ HEADLINE = [
     "video_frames",           # real AVI/RIFF frame extraction (mapInPandas)
     "volume_shipping",        # TPC-H Q7 fact-fact shuffle_hash + dim broadcasts
     "pii_luhn",               # Luhn-validated PII battery (zero-exchange HOFs)
-    # round-4 late-session additions
+    # round-4 late-session additions (column_profile stays registry-only:
+    # its exact-NDV contract is the deliberate Expand plan — 21 s at
+    # sf0.1 — while the 100 TB path is exact_distinct=False; benching
+    # the exact variant would just measure the documented trade)
     "heavy_hitters",          # Misra-Gries candidates + exact broadcast-semi recount
     "containment_pairs",      # directed containment over the df-capped shingle join
-    "column_profile",         # single-pass all-columns profile (Expand NDV)
 ]
 
 

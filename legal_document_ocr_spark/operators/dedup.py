@@ -1525,9 +1525,12 @@ def containment_pairs(
     sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     l, r = sh.alias("l"), sh.alias("r")
+    # every frame here is corpus-sized: pin the self-join and both size
+    # join-backs to shuffle (the planner broadcasts them at test scale;
+    # at corpus scale that funnels the table through the driver)
     common = (
         l.join(
-            r,
+            r.hint("shuffle_hash"),
             (F.col("l.shingle") == F.col("r.shingle"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
@@ -1538,7 +1541,9 @@ def containment_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("nb"))
-    both = common.join(sa, "id_a").join(sb, "id_b")
+    both = common.join(sa.hint("shuffle_hash"), "id_a").join(
+        sb.hint("shuffle_hash"), "id_b"
+    )
     fwd = both.select(
         F.col("id_a").alias("id_src"),
         F.col("id_b").alias("id_dst"),

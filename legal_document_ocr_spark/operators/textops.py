@@ -2617,9 +2617,11 @@ def bitext_candidates(
         .drop("_df")
     )
     l, r = nums.alias("l"), nums.alias("r")
+    # both sides are the corpus-sized number exchange: shuffle, never
+    # broadcast (plan-locked with the dedup family)
     return (
         l.join(
-            r,
+            r.hint("shuffle_hash"),
             (F.col("l.num") == F.col("r.num"))
             & (F.col("l.doc_id") < F.col("r.doc_id"))
             & (F.col("l.lang") != F.col("r.lang")),

@@ -848,6 +848,8 @@ def test_dedup_family_plans_have_no_corpus_broadcasts(spark):
         "minhash_pairs", "simhash_pairs", "neardup_verified",
         "dedup_clusters", "line_dedup", "embedding_near_dups",
         "image_near_pairs", "dup_substring_runs",
+        # round-4 late additions: same corpus-pair-join discipline
+        "containment_pairs", "prefix_jaccard", "bitext_candidates",
     ]
     for name in zero_broadcast:
         plan = _plan(Q.SPARK[name](spark, SF))
