@@ -1649,3 +1649,143 @@ def prefix_jaccard_join(
         )
         .where(F.col("jaccard_micro") >= threshold_micro)
     )
+
+
+def kmv_source_overlap(
+    docs: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise vocabulary overlap between sources via per-source KMV
+    sketches — "how much does CC-2024-10 overlap CC-2024-18" answered
+    WITHOUT the corpus x corpus token join (Beyer et al., SIGMOD 2007:
+    K-min-values synopses are mergeable and support set operations).
+    The companion to kmv_distinct: that one sizes ONE set, this one
+    compares ALL pairs.
+
+    Estimator (deterministic, engine-portable — same md5-hash contract as
+    kmv_distinct): per source keep the k smallest distinct token hashes;
+    for a pair, take the k' = min(k, |union|) smallest of the sketch
+    union T and count members of T present in BOTH sketches; Jaccard ~
+    common / k'. All integer arithmetic.
+
+    Scale shape: tokens dedupe per source through ONE map-side-combined
+    groupBy on the (source, hash) short key; the per-source k-smallest is
+    a rank filter that compiles to WindowGroupLimit, so each upstream
+    partition forwards at most k rows per source — a source's full
+    vocabulary never sorts in one task (the weighted_sample lesson). From
+    there everything is sketch-sized: n_sources x k rows aggregated to one
+    bounded array per source, pair-joined all-pairs (quadratic in
+    N_SOURCES, not corpus — thousands of snapshots at most).
+
+    Output: (src_a, src_b, k_used, n_common, jaccard_micro), src_a < src_b.
+    """
+    from pyspark.sql import Window
+
+    tok = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("_t"),
+        )
+        .select("source", _portable_hash60(F.col("_t")).alias("h"))
+        .groupBy("source", "h")
+        .agg(F.lit(1).alias("_one"))
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        tok.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("mins"))
+    )
+    a = sk.select(F.col("source").alias("src_a"), F.col("mins").alias("mins_a"))
+    b = sk.select(F.col("source").alias("src_b"), F.col("mins").alias("mins_b"))
+    pairs = a.join(b, F.col("src_a") < F.col("src_b"))
+    u = F.array_sort(F.array_distinct(F.concat("mins_a", "mins_b")))
+    kk = F.least(F.lit(k), F.size(u))
+    t = F.slice(u, 1, kk)
+    common = F.size(
+        F.filter(
+            t,
+            lambda x: F.array_contains(F.col("mins_a"), x)
+            & F.array_contains(F.col("mins_b"), x),
+        )
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        kk.cast("long").alias("k_used"),
+        common.cast("long").alias("n_common"),
+        F.floor(common.cast("long") * 1000000 / kk)
+        .cast("long")
+        .alias("jaccard_micro"),
+    )
+
+
+def ngram_novelty(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Cross-snapshot n-gram novelty: for each document in snapshot B, the
+    fraction of its distinct k-word shingles that appear NOWHERE in
+    snapshot A — the content-level complement of crawl_diff's URL-level
+    diff ("the page is new" vs "the page SAYS something new"), and the
+    budget gauge for incremental training ("this crawl adds 3% new text,
+    skip it").
+
+    Scale shape: both gram relations are md5-keyed exchanges; the novelty
+    test is a LEFT ANTI join of B's per-doc grams against A's distinct
+    gram set, pinned shuffle_hash — snapshot A is corpus-sized and must
+    NEVER be broadcast (the contamination operator broadcasts its
+    benchmark side precisely because that side is bounded; a crawl
+    snapshot is not). Per-doc totals and novel counts are map-side-
+    combined groupBys on doc_id; payload text never moves past the
+    shingle projection.
+
+    novelty_micro = floor(1e6 * n_novel / n_grams); docs too short for a
+    single shingle report (0, 0, 0).
+
+    Output: (doc_id, n_grams, n_novel, novelty_micro).
+    """
+    a_grams = (
+        corpus_a.select(
+            F.explode(shingles(F.col(text_col), k)).alias("gram")
+        )
+        .select(F.md5("gram").alias("gh"))
+        .distinct()
+    )
+    b_grams = corpus_b.select(
+        "doc_id", F.explode(shingles(F.col(text_col), k)).alias("gram")
+    ).select("doc_id", F.md5("gram").alias("gh"))
+    totals = b_grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    novel = (
+        b_grams.join(a_grams.hint("shuffle_hash"), "gh", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return (
+        corpus_b.select("doc_id")
+        .join(totals.hint("shuffle_hash"), "doc_id", "left")
+        .join(novel.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.floor(
+                    F.coalesce("n_novel", F.lit(0)).cast("long")
+                    * 1000000
+                    / F.col("n_grams")
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("novelty_micro"),
+        )
+    )

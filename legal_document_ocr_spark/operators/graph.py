@@ -438,3 +438,197 @@ def k_core(
         )
         alive = deg.where(F.col("degree") >= k).select("node")
     return deg.where(F.col("degree") >= k)
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact triangle counting + local clustering coefficient over the
+    undirected host graph — the density gauge behind ``k_core``'s binary
+    cut: a host embedded in genuinely interlinked neighborhoods closes
+    many triangles, while a link farm's star satellites close none (their
+    neighbors don't know each other). Schank & Wagner 2005 / Suri &
+    Vassilvitskii 2011 (the MapReduce formulation this restates in
+    DataFrame algebra).
+
+    Scale shape — the part that matters at 1e9 edges: wedges are only ever
+    generated at each edge's LOWER endpoint under the total order
+    (degree, node), which bounds per-node wedge fan-out by O(sqrt(|E|))
+    regardless of raw degree — a 1e7-in-degree hub generates ZERO wedges
+    because every incident edge orients INTO it. The wedge join and the
+    closing-edge LEFT SEMI are both corpus-sized-by-corpus-sized and
+    pinned shuffle_hash; nothing is ever broadcast. Counts per node come
+    from a 3-way unpivot of each triangle (each triangle closes once,
+    at its lowest corner) and a map-side-combined groupBy.
+
+    clustering_micro = floor(2e6 * triangles / (deg * (deg - 1))) — the
+    local clustering coefficient in micro units, integer arithmetic only
+    (portable); nodes of degree < 2 report 0.
+
+    Output: (node, degree, triangles, clustering_micro).
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+        .persist()
+    )
+    # orient each edge low -> high under (degree, node)
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
+    oriented = (
+        canon.join(da.hint("shuffle_hash"), "a")
+        .join(db.hint("shuffle_hash"), "b")
+        .select(
+            F.when(
+                F.struct(F.col("dega"), F.col("a"))
+                < F.struct(F.col("degb"), F.col("b")),
+                F.struct(
+                    F.col("a").alias("u"),
+                    F.col("b").alias("v"),
+                    F.col("degb").alias("degv"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("u"),
+                    F.col("a").alias("v"),
+                    F.col("dega").alias("degv"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.u", "e.v", "e.degv")
+        .persist()
+    )
+    e1 = oriented.select("u", F.col("v").alias("x"), F.col("degv").alias("degx"))
+    e2 = oriented.select("u", F.col("v").alias("y"), F.col("degv").alias("degy"))
+    wedges = e1.join(e2.hint("shuffle_hash"), "u").where(
+        F.struct(F.col("degx"), F.col("x")) < F.struct(F.col("degy"), F.col("y"))
+    )
+    closing = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    )
+    tris = wedges.join(
+        closing.hint("shuffle_hash"), ["x", "y"], "left_semi"
+    ).select("u", "x", "y")
+    corners = (
+        tris.select(F.col("u").alias("node"))
+        .unionByName(tris.select(F.col("x").alias("node")))
+        .unionByName(tris.select(F.col("y").alias("node")))
+    )
+    tcounts = corners.groupBy("node").agg(F.count("*").alias("triangles"))
+    out = (
+        deg.join(tcounts.hint("shuffle_hash"), "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.floor(
+                    F.coalesce("triangles", F.lit(0)).cast("long")
+                    * 2000000
+                    / (F.col("degree").cast("long") * (F.col("degree") - 1))
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("clustering_micro"),
+        )
+        .localCheckpoint()
+    )
+    canon.unpersist()
+    deg.unpersist()
+    oriented.unpersist()
+    return out
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    hub_cap: int = 1000,
+    min_common: int = 1,
+) -> DataFrame:
+    """Co-citation similarity over the directed host graph: hosts that
+    link to many of the SAME targets are topically related (Small 1973's
+    co-citation, applied src-side = bibliographic coupling) — the
+    link-structure analogue of ``host_mirrors``' content twins, and the
+    candidate generator for "these two hosts syndicate the same network".
+
+    Scale shape: the pair generator is a self-join of the deduped edge
+    list on dst — quadratic in per-target IN-degree, so targets with
+    in-degree > ``hub_cap`` are excluded FIRST (everyone links to
+    google.com; sharing it carries no signal and generates 1e7² pairs).
+    With the cap, per-target fan-out is bounded by construction —
+    the same df-cap discipline as ``ngram_jaccard_pairs``. The dst
+    in-degree join and the self-join are pinned shuffle_hash (both sides
+    corpus-sized); the src out-degree join-backs for the cosine
+    denominator are host-table-sized, also shuffle_hash. Nothing is
+    broadcast.
+
+    cosine_micro = floor(1e6 * common / sqrt(out_a * out_b)) — computed
+    over doubles (IEEE-identical in Spark and DuckDB), floored to micro.
+
+    Output: (host_a, host_b, common, cosine_micro), host_a < host_b.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    indeg = e.groupBy("dst").agg(F.count("*").alias("in_deg"))
+    capped = e.join(
+        indeg.where(F.col("in_deg") <= hub_cap).select("dst").hint(
+            "shuffle_hash"
+        ),
+        "dst",
+        "left_semi",
+    )
+    left = capped.select(F.col("src").alias("host_a"), "dst")
+    right = capped.select(F.col("src").alias("host_b"), "dst")
+    pairs = (
+        left.join(right.hint("shuffle_hash"), "dst")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("n_out"))
+    oa = outdeg.select(F.col("src").alias("host_a"), F.col("n_out").alias("out_a"))
+    ob = outdeg.select(F.col("src").alias("host_b"), F.col("n_out").alias("out_b"))
+    out = (
+        pairs.join(oa.hint("shuffle_hash"), "host_a")
+        .join(ob.hint("shuffle_hash"), "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            F.col("common").cast("long").alias("common"),
+            F.floor(
+                F.col("common").cast("double")
+                * 1000000.0
+                / F.sqrt(F.col("out_a").cast("double") * F.col("out_b"))
+            )
+            .cast("long")
+            .alias("cosine_micro"),
+        )
+        .localCheckpoint()
+    )
+    e.unpersist()
+    return out

@@ -1959,3 +1959,51 @@ def profile_columns(df: DataFrame, *, exact_distinct: bool = True) -> DataFrame:
         for f in df.schema.fields
     ]
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def pareto_frontier(
+    df: DataFrame,
+    id_col: str,
+    q_col: str,
+    l_col: str,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline) under maximize-both dominance: keep a
+    row iff no other row is >= on both integer dimensions and > on at
+    least one — the curation shape for "best documents per cost": nothing
+    on the frontier is beaten on quality without giving up length (Börzsönyi
+    et al., ICDE 2001's SKYLINE operator, restated in DataFrame algebra).
+
+    Scale shape — the skyline collapses to a BOUNDED problem before any
+    sort: (1) per-q maxima via ONE map-side-combined groupBy on the
+    integer q key (ties on q are resolved here — only the longest row at
+    each quality level can survive); (2) the strictly-higher-q running max
+    is a window over the per-q MAXIMA table, whose row count is bounded by
+    the q DOMAIN (an integer score: thousands of values, not corpus rows)
+    — the documented bounded-domain exception to the no-unpartitioned-
+    window rule, same contract as grouped_quantiles' threshold table;
+    (3) survivors [(q, lmax) with lmax > every higher-q lmax] join back by
+    broadcast LEFT SEMI — bounded by the q domain, the legitimate
+    small-dim broadcast. The corpus is scanned once and shuffled once (on
+    the short q key). Ties on (q, l) all survive (they dominate nothing
+    and nothing dominates them).
+
+    Output: (id_col, q_col, l_col) rows on the frontier.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(q_col).cast("long").alias(q_col),
+        F.col(l_col).cast("long").alias(l_col),
+    )
+    qmax = base.groupBy(q_col).agg(F.max(l_col).alias("_lmax"))
+    w = (
+        Window.orderBy(F.col(q_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    front = (
+        qmax.withColumn("_hi", F.max("_lmax").over(w))
+        .where(F.col("_hi").isNull() | (F.col("_lmax") > F.col("_hi")))
+        .select(q_col, F.col("_lmax").alias(l_col))
+    )
+    return base.join(F.broadcast(front), [q_col, l_col], "left_semi").select(
+        id_col, q_col, l_col
+    )

@@ -1,0 +1,165 @@
+"""Event-sequence mining over the events stream: Markov transitions,
+navigation paths, and temporal burst detection.
+
+The reference processes documents one request at a time and has no event
+analytics; this is §2.13 engine surface for the telemetry side of a crawl /
+training-data pipeline (which event follows which, what the common
+ingest paths are, which event types spike). Built on bounded windows only:
+every window here partitions by user or by event type — never an
+unpartitioned corpus-wide sort (the host_gini lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for each consecutive pair within a user's timeline, count
+    (prev_type -> next_type) and normalize by the prev_type row total.
+
+    Scale shape: ONE lag window partitioned by user (bounded by events
+    per user — the sessionize bound) feeding a map-side-combined groupBy
+    on the (prev, next) short key; the row-total join-back is over the
+    BOUNDED event-type x event-type table, so the broadcast there is
+    legitimate small-dim. Ordering inside a user is (ts, event_id) — the
+    id tiebreak makes simultaneous events deterministic.
+
+    prob_micro = floor(1e6 * n / row_total) — integer arithmetic only.
+
+    Output: (prev_type, next_type, n, prob_micro).
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(id_col),
+            F.col(type_col).alias("next_type"),
+        )
+        .withColumn("prev_type", F.lag("next_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return pairs.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("n") * 1000000 / F.col("row_total"))
+        .cast("long")
+        .alias("prob_micro"),
+    )
+
+
+def session_paths(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    max_steps: int = 5,
+) -> DataFrame:
+    """Top navigation paths: the first ``max_steps`` event types of each
+    user's timeline joined with '>', counted across users — the classic
+    funnel-discovery aggregate ("which entry sequences are common").
+
+    Scale shape: the ``rn <= max_steps`` rank filter compiles to a
+    WindowGroupLimit, so Spark keeps only ``max_steps`` rows per user
+    BEFORE the window exchange — a user with 1e6 events never sorts
+    them all in one task (the weighted_sample lesson). The per-user
+    collect_list then holds at most ``max_steps`` structs (bounded by
+    construction), and the path counts are a map-side-combined groupBy
+    on the short path string.
+
+    Output: (path, n_users, n_steps).
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    first_k = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.col(type_col).alias("event_type"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= max_steps)
+    )
+    per_user = first_k.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+                ),
+                lambda s: s.event_type,
+            ),
+        ).alias("path"),
+        F.count("*").alias("n_steps"),
+    )
+    return per_user.groupBy("path", "n_steps").agg(
+        F.count("*").cast("long").alias("n_users")
+    ).select("path", "n_users", F.col("n_steps").cast("long").alias("n_steps"))
+
+
+def event_bursts(
+    events: DataFrame,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    trailing: int = 3,
+) -> DataFrame:
+    """Temporal burst detection per event type: compare each day's count
+    against the trailing ``trailing``-observed-day baseline (a bounded
+    rows-window, so gap days don't zero the baseline) — the Kleinberg-style
+    spike gauge reduced to integer arithmetic. A crawl pipeline reads this
+    as "error events tripled today" / "a host's fetch volume spiked".
+
+    Scale shape: daily counts are a map-side-combined groupBy on the
+    (type, day) short key — the corpus is touched exactly once; the
+    trailing window partitions by event type over the BOUNDED
+    (types x days) counts table, so no window task ever sees raw events.
+    Only days with a full trailing baseline are emitted.
+
+    burst_micro = floor(1e6 * trailing * n / baseline_sum) — 1e6 means
+    "exactly at baseline", integer arithmetic only.
+
+    Output: (event_type, day, n, baseline_sum, burst_micro).
+    """
+    daily = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.to_date(F.col(ts_col)).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-trailing, -1)
+    )
+    wn = Window.partitionBy("event_type").orderBy("day")
+    return (
+        daily.withColumn("baseline_sum", F.sum("n").over(w))
+        .withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") > trailing)
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("long").alias("n"),
+            F.col("baseline_sum").cast("long").alias("baseline_sum"),
+            F.floor(F.col("n") * trailing * 1000000 / F.col("baseline_sum"))
+            .cast("long")
+            .alias("burst_micro"),
+        )
+    )

@@ -1,0 +1,389 @@
+"""Registry segment: graph mining, sequence mining, sketch overlap,
+skyline, and cross-snapshot novelty (round-4 session-10 additions).
+
+Each entry pairs the Spark operator with a DuckDB oracle that restates the
+same deterministic computation (integer/micro arithmetic, md5 hashing,
+fixed tuple orderings — the portability contract from queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import _docs, _neardup_docs, _tbl, _utc, _NEARDUP_SQL
+from .relational_web import _host_graph_edges
+
+# the deterministic demo host graph (shared verbatim with the pagerank /
+# communities / k_core oracles so they can never desynchronize)
+_DEMO_EDGES_SQL = """
+hosts AS (SELECT DISTINCT source FROM documents),
+e AS (
+  SELECT source AS src,
+    'src' || ((regexp_replace(source, '^src', '')::int
+               * regexp_replace(source, '^src', '')::int + 1) % 20) AS dst
+  FROM hosts
+  UNION
+  SELECT source,
+    'src' || ((regexp_replace(source, '^src', '')::int * 3 + 1) % 20)
+  FROM hosts
+)"""
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangles + local clustering coefficient
+    (graph.triangle_count: degree-ordered wedge join, shuffle_hash
+    throughout) over the deterministic demo host graph. The oracle
+    restates the same orientation and wedge-close join."""
+    from ..operators.graph import triangle_count
+
+    return triangle_count(_host_graph_edges(spark, sf_dir))
+
+
+_SQL_TRIANGLE_COUNT = f"""
+WITH {_DEMO_EDGES_SQL},
+canon AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM canon UNION ALL SELECT b FROM canon
+  ) GROUP BY node
+),
+o AS (
+  SELECT
+    CASE WHEN (da.degree, canon.a) < (db.degree, canon.b)
+         THEN canon.a ELSE canon.b END AS u,
+    CASE WHEN (da.degree, canon.a) < (db.degree, canon.b)
+         THEN canon.b ELSE canon.a END AS v,
+    CASE WHEN (da.degree, canon.a) < (db.degree, canon.b)
+         THEN db.degree ELSE da.degree END AS degv
+  FROM canon
+  JOIN deg da ON canon.a = da.node
+  JOIN deg db ON canon.b = db.node
+),
+w AS (
+  SELECT e1.u, e1.v AS x, e2.v AS y
+  FROM o e1 JOIN o e2
+    ON e1.u = e2.u AND (e1.degv, e1.v) < (e2.degv, e2.v)
+),
+tri AS (
+  SELECT w.u, w.x, w.y FROM w
+  WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.x AND o.v = w.y)
+),
+corners AS (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT x FROM tri
+  UNION ALL SELECT y FROM tri
+),
+tc AS (SELECT node, count(*) AS t FROM corners GROUP BY node)
+SELECT deg.node, deg.degree::bigint AS degree,
+  coalesce(tc.t, 0)::bigint AS triangles,
+  CASE WHEN deg.degree >= 2
+       THEN floor(coalesce(tc.t, 0) * 2000000
+                  / (deg.degree * (deg.degree - 1)))::bigint
+       ELSE 0 END AS clustering_micro
+FROM deg LEFT JOIN tc USING (node)
+"""
+
+
+# ---------------------------------------------------------------------------
+# cocitation_pairs
+# ---------------------------------------------------------------------------
+
+
+def q_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation similarity (graph.cocitation_pairs: hub-capped
+    dst self-join, shuffle_hash, double-IEEE cosine floored to micro)
+    over the demo host graph."""
+    from ..operators.graph import cocitation_pairs
+
+    return cocitation_pairs(_host_graph_edges(spark, sf_dir))
+
+
+_SQL_COCITATION_PAIRS = f"""
+WITH {_DEMO_EDGES_SQL},
+de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+indeg AS (SELECT dst, count(*) AS in_deg FROM de GROUP BY dst),
+capped AS (
+  SELECT de.src, de.dst FROM de
+  JOIN indeg ON de.dst = indeg.dst AND indeg.in_deg <= 1000
+),
+pairs AS (
+  SELECT l.src AS host_a, r.src AS host_b, count(*) AS common
+  FROM capped l JOIN capped r ON l.dst = r.dst AND l.src < r.src
+  GROUP BY l.src, r.src
+),
+outdeg AS (SELECT src, count(*) AS n_out FROM de GROUP BY src)
+SELECT host_a, host_b, common::bigint AS common,
+  floor(common::double * 1000000.0
+        / sqrt(oa.n_out::double * ob.n_out))::bigint AS cosine_micro
+FROM pairs
+JOIN outdeg oa ON pairs.host_a = oa.src
+JOIN outdeg ob ON pairs.host_b = ob.src
+"""
+
+
+# ---------------------------------------------------------------------------
+# pareto_frontier
+# ---------------------------------------------------------------------------
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline over (distinct-token count, n_chars), maximize both
+    (relational.pareto_frontier: one short-key shuffle + a window over
+    the bounded q-domain maxima table)."""
+    from ..operators.relational import pareto_frontier
+
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(
+            F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+        ).alias("n_types"),
+        "n_chars",
+    )
+    return pareto_frontier(scored, "doc_id", "n_types", "n_chars")
+
+
+_SQL_PARETO_FRONTIER = """
+WITH base AS (
+  SELECT doc_id,
+    len(list_distinct(
+      regexp_split_to_array(trim(lower(text)), '\\s+')))::bigint AS n_types,
+    n_chars::bigint AS n_chars
+  FROM documents
+),
+qm AS (SELECT n_types, max(n_chars) AS lmax FROM base GROUP BY n_types),
+lv AS (
+  SELECT n_types, lmax,
+    max(lmax) OVER (ORDER BY n_types DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
+  FROM qm
+),
+fr AS (SELECT n_types, lmax FROM lv WHERE hi IS NULL OR lmax > hi)
+SELECT b.doc_id, b.n_types, b.n_chars
+FROM base b JOIN fr ON b.n_types = fr.n_types AND b.n_chars = fr.lmax
+"""
+
+
+# ---------------------------------------------------------------------------
+# kmv_overlap
+# ---------------------------------------------------------------------------
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard via per-source KMV sketches
+    (dedup.kmv_source_overlap: WindowGroupLimit k-smallest per source,
+    then sketch-sized all-pairs). Each source is salted with a
+    source-indexed family of extra tokens so overlap varies by pair —
+    the demo corpus otherwise shares one vocabulary."""
+    from ..operators.dedup import kmv_source_overlap
+
+    idx = F.regexp_replace("source", "^src", "").cast("int")
+    docs = _docs(spark, sf_dir).select(
+        "source",
+        F.concat(
+            F.lower(F.trim("text")),
+            F.lit(" xm"),
+            F.col("source"),
+            F.lit("_"),
+            (F.col("doc_id") % ((idx % 6) + 1)).cast("string"),
+        ).alias("text"),
+    )
+    return kmv_source_overlap(docs)
+
+
+_SQL_KMV_OVERLAP = """
+WITH docs2 AS (
+  SELECT source,
+    lower(trim(text)) || ' xm' || source || '_' ||
+      (doc_id % ((regexp_replace(source, '^src', '')::int % 6) + 1)) AS text
+  FROM documents
+),
+tok AS (
+  SELECT DISTINCT source,
+    unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM docs2
+),
+hh AS (
+  SELECT DISTINCT source, ('0x' || substr(md5(t), 1, 15))::bigint AS h
+  FROM tok
+),
+rk AS (
+  SELECT source, h,
+    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hh
+),
+sk AS (
+  SELECT source, list(h ORDER BY h) AS mins
+  FROM rk WHERE rn <= 64 GROUP BY source
+),
+p AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+    a.mins AS ma, b.mins AS mb
+  FROM sk a JOIN sk b ON a.source < b.source
+),
+c AS (
+  SELECT src_a, src_b, ma, mb,
+    list_sort(list_distinct(list_concat(ma, mb))) AS u
+  FROM p
+),
+d AS (
+  SELECT src_a, src_b, ma, mb, least(64, len(u)) AS kk,
+    list_slice(u, 1, least(64, len(u))) AS t
+  FROM c
+),
+f AS (
+  SELECT src_a, src_b, kk,
+    len(list_filter(t,
+        x -> list_contains(ma, x) AND list_contains(mb, x))) AS common
+  FROM d
+)
+SELECT src_a, src_b, kk::bigint AS k_used, common::bigint AS n_common,
+  floor(common * 1000000 / kk)::bigint AS jaccard_micro
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# event_transitions / session_paths / event_bursts
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions between consecutive per-user events
+    (sequences.event_transitions: bounded per-user lag window +
+    short-key counts)."""
+    from ..operators.sequences import event_transitions
+
+    return event_transitions(_tbl(_utc(spark), sf_dir, "events"))
+
+
+_SQL_EVENT_TRANSITIONS = """
+WITH r AS (
+  SELECT event_type AS next_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events
+),
+p AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM r WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
+),
+t AS (SELECT prev_type, sum(n) AS row_total FROM p GROUP BY prev_type)
+SELECT p.prev_type, p.next_type, n::bigint AS n,
+  floor(n * 1000000 / row_total)::bigint AS prob_micro
+FROM p JOIN t USING (prev_type)
+"""
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top entry paths: first-5 event types per user joined with '>'
+    (sequences.session_paths: WindowGroupLimit keeps 5 rows per user
+    pre-exchange)."""
+    from ..operators.sequences import session_paths
+
+    return session_paths(_tbl(_utc(spark), sf_dir, "events"))
+
+
+_SQL_SESSION_PATHS = """
+WITH r AS (
+  SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+    count(*) AS n_steps
+  FROM r WHERE rn <= 5 GROUP BY user_id
+)
+SELECT path, count(*)::bigint AS n_users, n_steps::bigint AS n_steps
+FROM p GROUP BY path, n_steps
+"""
+
+
+def q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily burst ratios against the trailing-3-observed-day
+    baseline (sequences.event_bursts: corpus touched once, windows over
+    the bounded type x day counts table)."""
+    from ..operators.sequences import event_bursts
+
+    return event_bursts(_tbl(_utc(spark), sf_dir, "events"))
+
+
+_SQL_EVENT_BURSTS = """
+WITH d AS (
+  SELECT event_type, ts::date AS day, count(*) AS n
+  FROM events GROUP BY event_type, ts::date
+),
+w AS (
+  SELECT event_type, day, n,
+    sum(n) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS baseline_sum,
+    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM d
+)
+SELECT event_type, day, n::bigint AS n, baseline_sum::bigint AS baseline_sum,
+  floor(n * 3 * 1000000 / baseline_sum)::bigint AS burst_micro
+FROM w WHERE rn > 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot 3-gram novelty (dedup.ngram_novelty: B's per-doc
+    grams LEFT ANTI the corpus-sized A gram set, pinned shuffle_hash —
+    never broadcast) over the shared neardup corpus: originals are
+    snapshot A, the suffix-perturbed copies are snapshot B."""
+    from ..operators.dedup import ngram_novelty
+
+    nd = _neardup_docs(spark, sf_dir)
+    return ngram_novelty(
+        nd.where(F.col("doc_id") < 100000),
+        nd.where(F.col("doc_id") >= 100000),
+    )
+
+
+_SQL_NGRAM_NOVELTY = f"""
+WITH nd AS ({_NEARDUP_SQL}),
+toks AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM nd
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(toks) - 2, 0)),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+  FROM toks
+),
+bg AS (SELECT doc_id, unnest(grams) AS gram FROM sh WHERE doc_id >= 100000),
+ag AS (SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id < 100000),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM bg GROUP BY doc_id),
+nov AS (
+  SELECT doc_id, count(*) AS n_novel FROM bg
+  WHERE NOT EXISTS (SELECT 1 FROM ag WHERE ag.gram = bg.gram)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+  coalesce(tot.n_grams, 0)::bigint AS n_grams,
+  coalesce(nov.n_novel, 0)::bigint AS n_novel,
+  CASE WHEN coalesce(tot.n_grams, 0) > 0
+       THEN floor(coalesce(nov.n_novel, 0) * 1000000
+                  / tot.n_grams)::bigint
+       ELSE 0 END AS novelty_micro
+FROM (SELECT doc_id FROM nd WHERE doc_id >= 100000) b
+LEFT JOIN tot USING (doc_id)
+LEFT JOIN nov USING (doc_id)
+"""

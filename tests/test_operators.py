@@ -3585,3 +3585,197 @@ def test_budget_select_tier_order_and_two_phase_offsets(spark):
     assert len(kept) == 10  # 1000 budget / 100 each
     # the 10 tier-2 docs fill first, then budget is gone
     assert all(r["tier"] == 2 for r in kept)
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-10: graph mining / sequences / sketch overlap / skyline /
+# novelty
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_exact_on_known_graph(spark):
+    """One triangle (a,b,c) plus pendant d: per-node counts and the
+    integer clustering coefficient match hand computation; edge
+    direction and duplicates don't matter (canonicalized + distinct)."""
+    from legal_document_ocr_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string",
+    )
+    rows = {r["node"]: r for r in triangle_count(edges).collect()}
+    assert rows["a"]["triangles"] == 1 and rows["a"]["degree"] == 2
+    assert rows["a"]["clustering_micro"] == 1000000
+    assert rows["b"]["clustering_micro"] == 1000000
+    assert rows["c"]["degree"] == 3 and rows["c"]["triangles"] == 1
+    assert rows["c"]["clustering_micro"] == 333333  # 2e6/(3*2)
+    assert rows["d"]["triangles"] == 0 and rows["d"]["clustering_micro"] == 0
+
+
+def test_triangle_and_cocitation_plans_zero_broadcasts(spark):
+    """Both graph miners join corpus-sized edge/degree frames — every join
+    must travel as a shuffle exchange (the planner would happily broadcast
+    the 20-host demo tables; at 1e9 edges that's the driver funnel)."""
+    import legal_document_ocr_spark.queries as Q
+
+    for name in ["triangle_count", "cocitation_pairs"]:
+        plan = _plan(Q.SPARK[name](spark, SF))
+        assert plan.count("BroadcastExchange") == 0, f"{name}:\n{plan}"
+
+
+def test_cocitation_pairs_hub_cap_and_cosine(spark):
+    """Shared targets below the in-degree cap generate pairs; a target
+    over the cap is excluded BEFORE the self-join (the google.com rule).
+    cosine_micro = floor(1e6 * common / sqrt(out_a * out_b))."""
+    from legal_document_ocr_spark.operators.graph import cocitation_pairs
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "x"), ("b", "x"), ("c", "x"),  # x in-degree 3 > cap
+            ("a", "y"), ("b", "y"),              # y shared a,b
+        ],
+        "src string, dst string",
+    )
+    out = {
+        (r["host_a"], r["host_b"]): r
+        for r in cocitation_pairs(edges, hub_cap=2).collect()
+    }
+    assert list(out) == [("a", "b")]
+    r = out[("a", "b")]
+    assert r["common"] == 1
+    assert r["cosine_micro"] == 500000  # 1e6 / sqrt(2*2)
+
+
+def test_pareto_frontier_dominance_and_ties(spark):
+    """Dominated rows die, frontier ties on (q, l) all survive, and the
+    longest row at each surviving quality level is the only one kept."""
+    from legal_document_ocr_spark.operators.relational import pareto_frontier
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 100),  # frontier (best q)
+            (2, 10, 90),   # same q, shorter -> dominated at q-level
+            (3, 9, 120),   # frontier (longer than every higher-q row)
+            (4, 9, 120),   # tie of 3 -> survives
+            (5, 8, 110),   # dominated by 3 (9>8, 120>110)
+            (6, 7, 130),   # frontier
+        ],
+        "doc_id long, q long, l long",
+    )
+    ids = sorted(
+        r["doc_id"] for r in pareto_frontier(df, "doc_id", "q", "l").collect()
+    )
+    assert ids == [1, 3, 4, 6]
+
+
+def test_kmv_overlap_exact_regime_and_group_limit_plan(spark):
+    """Below-k vocabularies put the sketch in its exact regime: the
+    estimate IS floor(1e6*|A∩B|/|A∪B|). The per-source k-smallest rank
+    filter must compile to a WindowGroupLimit (no full vocabulary sort
+    in one task)."""
+    from legal_document_ocr_spark.operators.dedup import kmv_source_overlap
+
+    docs = spark.createDataFrame(
+        [("s1", "alpha beta gamma delta"), ("s2", "gamma delta eps zeta")],
+        "source string, text string",
+    )
+    out = kmv_source_overlap(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["src_a"], r["src_b"]) == ("s1", "s2")
+    assert r["k_used"] == 6 and r["n_common"] == 2
+    assert r["jaccard_micro"] == 333333
+    plan = kmv_source_overlap(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_event_transitions_probabilities(spark):
+    """Per-user lag pairs counted and row-normalized; ties on ts break by
+    event_id so the chain is deterministic."""
+    from legal_document_ocr_spark.operators.sequences import event_transitions
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10, "a"),
+            (2, "2024-01-01 00:00:01", 10, "b"),
+            (3, "2024-01-01 00:00:02", 10, "a"),
+            (4, "2024-01-01 00:00:00", 20, "a"),
+            (5, "2024-01-01 00:00:01", 20, "c"),
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["prev_type"], r["next_type"]): r
+        for r in event_transitions(events).collect()
+    }
+    # from 'a': a->b (u10), a->c (u20) — each 1 of row total 2
+    assert out[("a", "b")]["n"] == 1 and out[("a", "b")]["prob_micro"] == 500000
+    assert out[("a", "c")]["prob_micro"] == 500000
+    assert out[("b", "a")]["n"] == 1 and out[("b", "a")]["prob_micro"] == 1000000
+
+
+def test_session_paths_first_k_and_group_limit_plan(spark):
+    """Only the first max_steps events form the path (ordered ts then
+    event_id); the rank filter compiles to WindowGroupLimit so a hot user
+    never sorts their full history in one task."""
+    from legal_document_ocr_spark.operators.sequences import session_paths
+
+    rows = [(i, f"2024-01-01 00:00:{i:02d}", 1, t)
+            for i, t in enumerate("abcdefg")]
+    rows += [(10, "2024-01-01 00:00:00", 2, "a"),
+             (11, "2024-01-01 00:00:01", 2, "b")]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["path"]: r for r in session_paths(events, max_steps=5).collect()}
+    assert out["a>b>c>d>e"]["n_users"] == 1
+    assert out["a>b>c>d>e"]["n_steps"] == 5
+    assert out["a>b"]["n_users"] == 1 and out["a>b"]["n_steps"] == 2
+    plan = session_paths(events)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_event_bursts_trailing_baseline(spark):
+    """burst_micro = floor(1e6 * trailing * n / trailing-sum); rows
+    without a full trailing window are suppressed."""
+    from legal_document_ocr_spark.operators.sequences import event_bursts
+
+    rows = []
+    eid = 0
+    # type 'e': days 1..5 with counts 1,2,3,12,3
+    for day, n in [(1, 1), (2, 2), (3, 3), (4, 12), (5, 3)]:
+        for _ in range(n):
+            rows.append((eid, f"2024-01-0{day} 12:00:00", 1, "e"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {str(r["day"]): r for r in event_bursts(events).collect()}
+    assert set(out) == {"2024-01-04", "2024-01-05"}
+    assert out["2024-01-04"]["baseline_sum"] == 6  # 1+2+3
+    assert out["2024-01-04"]["burst_micro"] == 6000000  # 12*3e6/6
+    assert out["2024-01-05"]["baseline_sum"] == 17  # 2+3+12
+    assert out["2024-01-05"]["burst_micro"] == 529411  # floor(3*3e6/17)
+
+
+def test_ngram_novelty_counts_and_plan(spark):
+    """Per-B-doc novel-shingle fraction against A's global gram set; docs
+    too short for one shingle report zeros. The anti join against the
+    corpus-sized A side must not be a broadcast."""
+    from legal_document_ocr_spark.operators.dedup import ngram_novelty
+
+    a = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(10, "a b c x y z"), (11, "p q")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(a, b).collect()}
+    # B grams of 10: 'a b c','b c x','c x y','x y z' — only 'a b c' in A
+    assert out[10]["n_grams"] == 4 and out[10]["n_novel"] == 3
+    assert out[10]["novelty_micro"] == 750000
+    assert out[11]["n_grams"] == 0 and out[11]["novelty_micro"] == 0
+    import legal_document_ocr_spark.queries as Q
+
+    plan = _plan(Q.SPARK["ngram_novelty"](spark, SF))
+    assert plan.count("BroadcastExchange") == 0, plan
