@@ -802,3 +802,172 @@ def decode_avi(payload: bytes) -> dict:
         "us_per_frame": int(us_per_frame),
         "frames": out_frames,
     }
+
+
+# ---------------------------------------------------------------------------
+# EXIF (TIFF-structured APP1 inside JPEG) — pure stdlib
+# ---------------------------------------------------------------------------
+# The reference whitelist accepts .jpg/.jpeg (app/utils/validation.py:10);
+# camera metadata lives in the APP1 "Exif\0\0" segment as a little TIFF
+# file (IFD0 + optional Exif sub-IFD). Same encode->parse roundtrip-oracle
+# pattern as encode_tiff/decode_tiff.
+
+_EXIF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def encode_jpeg_exif(
+    fields: dict,
+    *,
+    big_endian: bool = False,
+) -> bytes:
+    """Minimal JPEG container (SOI + APP1 Exif + EOI) carrying IFD0 tags
+    Make/Model/Orientation/DateTime/XResolution and an Exif sub-IFD with
+    ExposureTime. ``fields`` keys: make, model (str), orientation (int),
+    datetime (str 'YYYY:MM:DD HH:MM:SS'), x_resolution ((num, den)),
+    exposure ((num, den))."""
+    e = ">" if big_endian else "<"
+
+    def build_ifd(entries, ifd_off):
+        # entries: list of (tag, typ, values); values ints or bytes
+        out_of_line = bytearray()
+        packed = struct.pack(e + "H", len(entries))
+        data_base = ifd_off + 2 + 12 * len(entries) + 4
+        for tag, typ, vals in entries:
+            if typ == 2:  # ASCII, NUL-terminated
+                raw = vals + b"\x00"
+                count = len(raw)
+            elif typ == 5:  # RATIONAL pairs
+                raw = b"".join(
+                    struct.pack(e + "II", n, d) for (n, d) in vals
+                )
+                count = len(vals)
+            else:
+                fmt = {3: "H", 4: "I"}[typ]
+                raw = struct.pack(e + fmt * len(vals), *vals)
+                count = len(vals)
+            if len(raw) <= 4:
+                field = raw + b"\x00" * (4 - len(raw))
+            else:
+                field = struct.pack(e + "I", data_base + len(out_of_line))
+                out_of_line += raw
+            packed += struct.pack(e + "HHI", tag, typ, count) + field
+        packed += struct.pack(e + "I", 0)  # next-IFD pointer
+        return packed + bytes(out_of_line)
+
+    # layout: header(8) | IFD0 | exif sub-IFD. IFD0 size is fixed by its
+    # entry count, so the sub-IFD offset is computable up front.
+    ifd0_entries = [
+        (0x010F, 2, fields["make"].encode("ascii")),
+        (0x0110, 2, fields["model"].encode("ascii")),
+        (0x0112, 3, [int(fields["orientation"])]),
+        (0x011A, 5, [tuple(fields["x_resolution"])]),
+        (0x0132, 2, fields["datetime"].encode("ascii")),
+    ]
+    probe = build_ifd(ifd0_entries + [(0x8769, 4, [0])], 8)
+    exif_off = 8 + len(probe)
+    ifd0 = build_ifd(ifd0_entries + [(0x8769, 4, [exif_off])], 8)
+    sub = build_ifd([(0x829A, 5, [tuple(fields["exposure"])])], exif_off)
+    tiff = (
+        struct.pack(e + "2sHI", b"MM" if big_endian else b"II", 42, 8)
+        + ifd0
+        + sub
+    )
+    app1 = b"Exif\x00\x00" + tiff
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe1"
+        + struct.pack(">H", len(app1) + 2)
+        + app1
+        + b"\xff\xd9"
+    )
+
+
+def parse_exif(payload: bytes) -> dict:
+    """Walk JPEG segment markers to the APP1 Exif block and parse IFD0 +
+    the Exif sub-IFD: {make, model, orientation, datetime,
+    x_resolution_micro, exposure_micro}. Rationals are emitted as
+    floor(num * 1e6 / den) bigints (integer arithmetic — portable).
+    Hardening contract mirrors decode_tiff: truncated segments, bad
+    offsets and missing APP1 raise ValueError before any large read."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos, tiff = 2, None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        seg = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            tiff = seg[6:]
+            break
+        if marker == 0xDA:  # SOS — no APP1 before scan data
+            break
+        pos += 2 + seg_len
+    if tiff is None:
+        raise ValueError("no Exif APP1 segment")
+    if tiff[:4] == b"II*\x00":
+        e = "<"
+    elif tiff[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("bad Exif TIFF header")
+
+    def read_ifd(off: int) -> dict:
+        if off + 2 > len(tiff):
+            raise ValueError("truncated Exif IFD")
+        (n,) = struct.unpack(e + "H", tiff[off : off + 2])
+        if off + 2 + 12 * n > len(tiff):
+            raise ValueError("truncated Exif IFD entries")
+        tags = {}
+        for i in range(n):
+            base = off + 2 + 12 * i
+            tag, typ, count = struct.unpack(e + "HHI", tiff[base : base + 8])
+            size = _EXIF_TYPE_SIZE.get(typ)
+            if size is None:
+                continue  # skip unknown field types, keep the rest
+            total = size * count
+            raw = tiff[base + 8 : base + 12]
+            if total > 4:
+                (voff,) = struct.unpack(e + "I", raw)
+                if voff + total > len(tiff):
+                    raise ValueError("Exif value offset out of bounds")
+                raw = tiff[voff : voff + total]
+            if typ == 2:
+                tags[tag] = raw[:total].split(b"\x00")[0].decode(
+                    "ascii", "replace"
+                )
+            elif typ == 5:
+                tags[tag] = [
+                    struct.unpack(e + "II", raw[8 * j : 8 * j + 8])
+                    for j in range(count)
+                ]
+            else:
+                fmt = {1: "B", 3: "H", 4: "I"}[typ]
+                tags[tag] = list(
+                    struct.unpack(e + fmt * count, raw[:total])
+                )
+        return tags
+
+    (ifd0_off,) = struct.unpack(e + "I", tiff[4:8])
+    ifd0 = read_ifd(ifd0_off)
+    sub = read_ifd(ifd0[0x8769][0]) if 0x8769 in ifd0 else {}
+
+    def rat_micro(tags, tag):
+        if tag not in tags or not tags[tag]:
+            return None
+        num, den = tags[tag][0]
+        if den == 0:
+            return None
+        return num * 1000000 // den
+
+    return {
+        "make": ifd0.get(0x010F),
+        "model": ifd0.get(0x0110),
+        "orientation": ifd0.get(0x0112, [None])[0],
+        "datetime": ifd0.get(0x0132),
+        "x_resolution_micro": rat_micro(ifd0, 0x011A),
+        "exposure_micro": rat_micro(sub, 0x829A),
+    }

@@ -1789,3 +1789,76 @@ def ngram_novelty(
             .alias("novelty_micro"),
         )
     )
+
+
+def source_dup_matrix(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+    family_cap: int = 64,
+) -> DataFrame:
+    """Cross-source exact-duplication matrix: for every source pair, how
+    many byte-identical document pairs they share — the snapshot-level
+    answer to "which crawls duplicate each other" that drives dedup-order
+    and snapshot-skipping decisions (kmv_source_overlap estimates shared
+    VOCABULARY; this counts shared DOCUMENTS, exactly).
+
+    Scale shape: one map-side-combined groupBy on the (content-hash,
+    source) short key collapses the corpus to per-family-per-source
+    counts; pair expansion is a self-join of that table on the hash key,
+    pinned shuffle_hash both sides (corpus-sized — never broadcast).
+    Quadratic blowup is bounded by construction: families with more than
+    ``family_cap`` total copies are excluded FIRST (empty pages and
+    boilerplate templates live in every source; their pair counts are
+    template artifacts and O(copies²) rows) — the df-cap discipline of
+    ngram_jaccard_pairs applied to dup families. Diagonal entries
+    (source_a == source_b) count within-source pairs n*(n-1)/2; off-
+    diagonal n_a * n_b, each family counted once per ordered-canonical
+    pair.
+
+    Output: (source_a, source_b, n_dup_pairs, n_families),
+    source_a <= source_b.
+    """
+    fam = (
+        docs.select(
+            F.sha2(F.col(text_col), 256).alias("h"),
+            F.col(source_col).alias("source"),
+        )
+        .groupBy("h", "source")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = fam.groupBy("h").agg(F.sum("n").alias("copies"))
+    capped = fam.join(
+        tot.where(
+            (F.col("copies") > 1) & (F.col("copies") <= family_cap)
+        ).select("h").hint("shuffle_hash"),
+        "h",
+        "left_semi",
+    )
+    a = capped.select(
+        "h", F.col("source").alias("source_a"), F.col("n").alias("n_a")
+    )
+    b = capped.select(
+        "h", F.col("source").alias("source_b"), F.col("n").alias("n_b")
+    )
+    joined = a.join(b.hint("shuffle_hash"), "h").where(
+        F.col("source_a") <= F.col("source_b")
+    )
+    pair_count = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.col("n_a") * (F.col("n_a") - 1) / 2,
+    ).otherwise(F.col("n_a") * F.col("n_b"))
+    return (
+        joined.select(
+            "source_a",
+            "source_b",
+            pair_count.cast("long").alias("pairs"),
+        )
+        .where(F.col("pairs") > 0)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum("pairs").cast("long").alias("n_dup_pairs"),
+            F.count("*").cast("long").alias("n_families"),
+        )
+    )

@@ -761,3 +761,61 @@ def video_frames(
     the error column."""
     selected = ensure_parallelism(df).selectExpr("doc_id", f"{payload_col} as payload")
     return selected.mapInPandas(_video_frames(frame_step), VIDEO_FRAMES_SCHEMA)
+
+
+EXIF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("make", StringType()),
+        StructField("model", StringType()),
+        StructField("orientation", IntegerType()),
+        StructField("taken_at", StringType()),
+        StructField("x_resolution_micro", LongType()),
+        StructField("exposure_micro", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def _exif_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..codecs import parse_exif as _parse
+
+    for pdf in batches:
+        out = {k.name: [] for k in EXIF_SCHEMA.fields}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                continue
+            out["doc_id"].append(doc_id)
+            try:
+                ex = _parse(bytes(payload))
+            except Exception as e:  # noqa: BLE001 — per-record isolation
+                for k in ("make", "model", "orientation", "taken_at",
+                          "x_resolution_micro", "exposure_micro"):
+                    out[k].append(None)
+                out["error"].append(_decode_error_label(e))
+                continue
+            out["make"].append(ex["make"])
+            out["model"].append(ex["model"])
+            out["orientation"].append(ex["orientation"])
+            out["taken_at"].append(ex["datetime"])
+            out["x_resolution_micro"].append(ex["x_resolution_micro"])
+            out["exposure_micro"].append(ex["exposure_micro"])
+            out["error"].append(None)
+        yield pd.DataFrame(out).astype(
+            {"orientation": "Int32", "x_resolution_micro": "Int64",
+             "exposure_micro": "Int64"}
+        )
+
+
+def exif_extract(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Camera-metadata extraction over a JPEG binary column (mapInPandas,
+    Arrow-batched): walks the APP1 Exif TIFF (codecs.parse_exif — IFD0 +
+    Exif sub-IFD, both byte orders) and emits typed metadata columns;
+    rationals arrive as floor(num*1e6/den) bigints. Per-record error
+    isolation: a malformed payload flags its own row, never the task —
+    same contract as image_decode. Payload bytes never travel past this
+    stage; downstream joins/filters run on the narrow typed columns."""
+    selected = ensure_parallelism(df).selectExpr(
+        "doc_id", f"{payload_col} as payload"
+    )
+    return selected.mapInPandas(_exif_extract, EXIF_SCHEMA)

@@ -387,3 +387,131 @@ FROM (SELECT doc_id FROM nd WHERE doc_id >= 100000) b
 LEFT JOIN tot USING (doc_id)
 LEFT JOIN nov USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# exif_extract
+# ---------------------------------------------------------------------------
+
+
+def q_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EXIF parse roundtrip (codecs.parse_exif via
+    multimodal.exif_extract): synthesize one JPEG-with-APP1 per document
+    with make/model/orientation/timestamp/rationals and byte order all
+    varying by doc_id, parse the TIFF-structured IFD0 + Exif sub-IFD,
+    emit typed metadata. The oracle restates the synthesis closed form
+    (construction-based, like tiff_decode)."""
+    import pandas as _pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..codecs import encode_jpeg_exif
+    from ..operators.multimodal import exif_extract
+    from ..scale.salt import ensure_parallelism
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(
+                    encode_jpeg_exif(
+                        {
+                            "make": f"Make{d % 5}",
+                            "model": f"M-{d % 7}",
+                            "orientation": d % 8 + 1,
+                            "datetime": f"2024:01:{d % 28 + 1:02d} 12:00:00",
+                            "x_resolution": (72 + d % 4, 1),
+                            "exposure": (1, d % 200 + 50),
+                        },
+                        big_endian=d % 2 == 1,
+                    )
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    pages = ensure_parallelism(_docs(spark, sf_dir).select("doc_id"))
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+    return exif_extract(payloads)
+
+
+_SQL_EXIF_EXTRACT = """
+SELECT doc_id,
+  'Make' || (doc_id % 5) AS make,
+  'M-' || (doc_id % 7) AS model,
+  (doc_id % 8 + 1)::int AS orientation,
+  '2024:01:' || lpad((doc_id % 28 + 1)::varchar, 2, '0')
+    || ' 12:00:00' AS taken_at,
+  ((72 + doc_id % 4) * 1000000)::bigint AS x_resolution_micro,
+  (1000000 // (doc_id % 200 + 50))::bigint AS exposure_micro,
+  NULL::varchar AS error
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# source_dup_matrix
+# ---------------------------------------------------------------------------
+
+
+def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplication matrix (dedup.source_dup_matrix:
+    hash-keyed self-join of per-family-per-source counts, family_cap
+    bounds the quadratic fan-out, shuffle_hash pinned) over documents
+    plus one cross-source copy of each (source shifted +1 mod 20), so
+    every adjacent source pair shares a known dup family population."""
+    from ..operators.dedup import source_dup_matrix
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    idx = F.regexp_replace("source", "^src", "").cast("int")
+    copies = d.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        "text",
+        F.concat(F.lit("src"), ((idx + 1) % 20).cast("string")).alias(
+            "source"
+        ),
+    )
+    return source_dup_matrix(d.unionByName(copies))
+
+
+_SQL_SOURCE_DUP_MATRIX = """
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text,
+    'src' || ((regexp_replace(source, '^src', '')::int + 1) % 20)
+  FROM documents
+),
+fam AS (
+  SELECT sha256(text) AS h, source, count(*) AS n
+  FROM corpus GROUP BY sha256(text), source
+),
+tot AS (SELECT h, sum(n) AS copies FROM fam GROUP BY h),
+capped AS (
+  SELECT fam.* FROM fam
+  JOIN tot ON fam.h = tot.h AND tot.copies > 1 AND tot.copies <= 64
+),
+joined AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+         ELSE a.n * b.n END AS pairs
+  FROM capped a JOIN capped b
+    ON a.h = b.h AND a.source <= b.source
+)
+SELECT source_a, source_b,
+  sum(pairs)::bigint AS n_dup_pairs,
+  count(*)::bigint AS n_families
+FROM joined WHERE pairs > 0
+GROUP BY source_a, source_b
+"""

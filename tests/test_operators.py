@@ -3779,3 +3779,65 @@ def test_ngram_novelty_counts_and_plan(spark):
 
     plan = _plan(Q.SPARK["ngram_novelty"](spark, SF))
     assert plan.count("BroadcastExchange") == 0, plan
+
+
+def test_exif_roundtrip_both_endians_and_error_isolation(spark):
+    """encode_jpeg_exif -> exif_extract recovers every field under both
+    byte orders; a garbage payload flags its own row, never the task."""
+    from legal_document_ocr_spark.codecs import encode_jpeg_exif
+    from legal_document_ocr_spark.operators.multimodal import exif_extract
+
+    good_le = encode_jpeg_exif(
+        {"make": "MakeA", "model": "M-3", "orientation": 6,
+         "datetime": "2024:01:05 12:00:00",
+         "x_resolution": (300, 1), "exposure": (1, 125)},
+        big_endian=False,
+    )
+    good_be = encode_jpeg_exif(
+        {"make": "MakeB", "model": "M-1", "orientation": 1,
+         "datetime": "2024:02:06 08:30:00",
+         "x_resolution": (72, 1), "exposure": (2, 3)},
+        big_endian=True,
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(good_le)), (2, bytearray(good_be)),
+         (3, bytearray(b"\xff\xd8\xff\xd9")), (4, bytearray(b"nonsense"))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in exif_extract(df).collect()}
+    assert out[1]["make"] == "MakeA" and out[1]["orientation"] == 6
+    assert out[1]["x_resolution_micro"] == 300000000
+    assert out[1]["exposure_micro"] == 8000  # 1e6 // 125
+    assert out[2]["make"] == "MakeB" and out[2]["taken_at"].startswith("2024:02")
+    assert out[2]["exposure_micro"] == 666666  # 2e6 // 3
+    assert out[3]["error"] and out[3]["make"] is None
+    assert out[4]["error"] and "not a JPEG" in out[4]["error"]
+
+
+def test_source_dup_matrix_counts_and_cap(spark):
+    """Diagonal counts n*(n-1)/2, off-diagonal n_a*n_b summed per family;
+    families over family_cap are excluded before pairing; the pair join
+    never broadcasts a corpus-sized side."""
+    from legal_document_ocr_spark.operators.dedup import source_dup_matrix
+
+    rows = [
+        (1, "dup one", "s1"), (2, "dup one", "s1"), (3, "dup one", "s2"),
+        (4, "dup two", "s1"), (5, "dup two", "s3"),
+        (6, "unique text", "s1"),
+    ]
+    # a template family bigger than the cap: must vanish
+    rows += [(100 + i, "template", f"s{i % 3 + 1}") for i in range(9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_dup_matrix(docs, family_cap=8).collect()
+    }
+    assert out[("s1", "s1")]["n_dup_pairs"] == 1  # dup-one pair within s1
+    assert out[("s1", "s2")]["n_dup_pairs"] == 2  # 2x1 dup-one
+    assert out[("s1", "s3")]["n_dup_pairs"] == 1  # dup-two
+    assert ("s2", "s3") not in out
+    assert out[("s1", "s2")]["n_families"] == 1
+    import legal_document_ocr_spark.queries as Q
+
+    plan = _plan(Q.SPARK["source_dup_matrix"](spark, SF))
+    assert plan.count("BroadcastExchange") == 0, plan
