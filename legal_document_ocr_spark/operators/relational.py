@@ -2007,3 +2007,52 @@ def pareto_frontier(
     return base.join(F.broadcast(front), [q_col, l_col], "left_semi").select(
         id_col, q_col, l_col
     )
+
+
+def score_calibration(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Per-group percentile calibration of an integer score — the
+    cross-source comparability fix for quality scores: a raw score of
+    1,500 means "top decile" on one host and "median boilerplate" on
+    another, so curation thresholds must cut on the WITHIN-GROUP
+    percentile, not the raw value (the quantile-normalization step of
+    mixed-source corpus assembly).
+
+    Scale shape (the grouped_quantiles sketch, applied row-wise): the
+    full per-group score DISTRIBUTION is bounded by the score domain,
+    not the corpus — groupBy(group, score) counts are a mergeable
+    map-side-combined sketch; the cumulative window runs over that
+    bounded table; the row-level percentile comes from ONE shuffle_hash
+    join back on (group, score) — never a rank/cume_dist window over
+    raw rows (a corpus-scale sort-per-group straggler, the
+    length_ntiles lesson).
+
+    pct_micro = floor(1e6 * cum_count_at_score / group_n) — the integer
+    cume_dist; all arithmetic exact and portable.
+
+    Output: df's columns + pct_micro.
+    """
+    g, s = F.col(group_col), F.col(score_col)
+    dist = df.groupBy(g.alias("_sc_grp"), s.alias("_sc_val")).agg(
+        F.count("*").alias("_sc_cnt")
+    )
+    w_cum = Window.partitionBy("_sc_grp").orderBy("_sc_val")
+    w_all = Window.partitionBy("_sc_grp")
+    cum = dist.select(
+        "_sc_grp",
+        "_sc_val",
+        F.floor(
+            F.sum("_sc_cnt").over(w_cum)
+            * 1000000
+            / F.sum("_sc_cnt").over(w_all)
+        )
+        .cast("long")
+        .alias("pct_micro"),
+    )
+    return df.join(
+        cum.hint("shuffle_hash"),
+        (g == F.col("_sc_grp")) & (s == F.col("_sc_val")),
+    ).drop("_sc_grp", "_sc_val")

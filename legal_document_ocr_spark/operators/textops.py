@@ -2635,3 +2635,71 @@ def bitext_candidates(
         .agg(F.count("*").alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    level: int = 6,
+    repetitive_below_micro: int = 300_000,
+) -> DataFrame:
+    """DEFLATE compressibility as a quality/repetition signal: the
+    compressed-to-raw byte ratio of each document (zlib level 6) — the
+    single-number repetition gauge modern curation stacks cut on
+    (RefinedWeb/DCLM-style): machine-generated spam and template churn
+    compress far below natural prose, and unlike gopher_repetition's
+    fixed n-gram windows it catches repetition at EVERY scale at once.
+
+    Spark shape: one Arrow-batched mapInPandas stage (zlib is C-speed;
+    the per-row Python driver loop is the batch iterator, not per-byte
+    work); text bytes never travel past this stage — downstream filters
+    run on the three integer columns. Genuinely non-SQL-expressible
+    (no DEFLATE in DuckDB), so this entry takes the driver's rows-only
+    check; exactness is pinned instead by the pytest oracle computing
+    the same zlib call per row.
+
+    ratio_micro = floor(1e6 * n_compressed / n_bytes); empty text
+    reports (0, compressed_overhead, 1e6, 0) — never a divide-by-zero.
+
+    Output: (doc_id, n_bytes, n_compressed, ratio_micro, is_repetitive).
+    """
+    import zlib
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("n_compressed", LongType()),
+            StructField("ratio_micro", LongType()),
+            StructField("is_repetitive", IntegerType()),
+        ]
+    )
+
+    def _ratios(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in schema.fields}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                comp = len(zlib.compress(raw, level))
+                ratio = comp * 1000000 // len(raw) if raw else 1000000
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(raw))
+                out["n_compressed"].append(comp)
+                out["ratio_micro"].append(ratio)
+                out["is_repetitive"].append(
+                    int(bool(raw) and ratio < repetitive_below_micro)
+                )
+            yield pd.DataFrame(out)
+
+    selected = ensure_parallelism(docs).selectExpr(
+        "doc_id", f"{text_col} as text"
+    )
+    return selected.mapInPandas(_ratios, schema)

@@ -1770,3 +1770,41 @@ def publish_dates(
         .cast("long")
         .alias("epoch_day"),
     )
+
+
+def extract_microdata(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """schema.org MICRODATA items (``itemscope``/``itemtype``/
+    ``itemprop`` attributes) — the attribute-embedded sibling of
+    ``extract_jsonld``'s script-block channel; older e-commerce and
+    recipe pages carry structured data only this way, so a metadata
+    pipeline needs both.
+
+    Flat-scope lite parse, stated contract: the html splits on
+    ``itemscope`` and each following segment owns the ``itemtype`` and
+    every ``itemprop=`` up to the next ``itemscope`` — NESTED items
+    attribute their props to the inner scope and are not re-attached to
+    ancestors (full DOM scoping needs a tree; the per-item counts and
+    types this emits are what coverage censuses consume). Everything is
+    split + regexp at scan speed — no UDF, no shuffle, html read once.
+
+    Output: (url, item_idx, itemtype, n_props) — one row per itemscope;
+    pages without microdata produce no rows.
+    """
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    segs = F.split(html_txt, "itemscope")
+    exploded = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(segs).alias("seg_idx", "seg"),
+    ).where(F.col("seg_idx") > 0)
+    return exploded.select(
+        "url",
+        (F.col("seg_idx") - 1).cast("int").alias("item_idx"),
+        F.regexp_extract(F.col("seg"), r'^[^>]*itemtype="([^"]*)"', 1).alias(
+            "itemtype"
+        ),
+        F.size(F.regexp_extract_all(F.col("seg"), F.lit("(itemprop=)"), 1))
+        .cast("int")
+        .alias("n_props"),
+    )

@@ -515,3 +515,166 @@ SELECT source_a, source_b,
 FROM joined WHERE pairs > 0
 GROUP BY source_a, source_b
 """
+
+
+# ---------------------------------------------------------------------------
+# score_calibration
+# ---------------------------------------------------------------------------
+
+
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source percentile calibration of n_chars
+    (relational.score_calibration: bounded distribution sketch + one
+    shuffle_hash join back — never a cume_dist window over raw rows)."""
+    from ..operators.relational import score_calibration
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return score_calibration(d, "source", "n_chars")
+
+
+_SQL_SCORE_CALIBRATION = """
+WITH dist AS (
+  SELECT source, n_chars AS v, count(*) AS c
+  FROM documents GROUP BY source, n_chars
+),
+cum AS (
+  SELECT source, v,
+    floor(sum(c) OVER (PARTITION BY source ORDER BY v) * 1000000
+          / sum(c) OVER (PARTITION BY source))::bigint AS pct_micro
+  FROM dist
+)
+SELECT d.doc_id, d.source, d.n_chars, cum.pct_micro
+FROM documents d JOIN cum ON d.source = cum.source AND d.n_chars = cum.v
+"""
+
+
+# ---------------------------------------------------------------------------
+# compression_ratio — genuinely non-SQL (no DEFLATE in DuckDB): rows-only
+# driver check; exactness pinned by the pytest zlib oracle instead.
+# ---------------------------------------------------------------------------
+
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFLATE compressibility quality gauge (textops.compression_ratio:
+    one Arrow-batched mapInPandas stage; text never travels past it)."""
+    from ..operators.textops import compression_ratio
+
+    return compression_ratio(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# microdata_extract
+# ---------------------------------------------------------------------------
+
+
+def q_microdata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org microdata items (urls.extract_microdata, flat-scope
+    lite parse) over a synthesized corpus: every page carries an Article
+    item with 1 + doc_id%3 props; even pages add a Product item."""
+    from ..operators import urls
+
+    doc_id = F.col("doc_id")
+    did = doc_id.cast("string")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/"), did,
+    )
+    article = F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/Article">'
+              '<span itemprop="name">Doc '),
+        did,
+        F.lit("</span>"),
+        F.repeat(
+            F.lit('<span itemprop="p">v</span>'), (doc_id % 3).cast("int")
+        ),
+        F.lit("</div>"),
+    )
+    product = F.when(
+        doc_id % 2 == 0,
+        F.lit('<div itemscope itemtype="https://schema.org/Product">'
+              '<span itemprop="sku">S</span></div>'),
+    ).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(F.lit("<html><body>"), article, product,
+                 F.lit("</body></html>")),
+        "UTF-8",
+    )
+    pages = _docs(spark, sf_dir).select(url.alias("url"), html.alias("html"))
+    return urls.extract_microdata(pages)
+
+
+_SQL_MICRODATA_EXTRACT = """
+WITH u AS (
+  SELECT doc_id,
+    'https://' || source || '.example.com/' || lang || '/' || doc_id AS url
+  FROM documents
+)
+SELECT url, 0 AS item_idx,
+  'https://schema.org/Article' AS itemtype,
+  (1 + doc_id % 3)::int AS n_props
+FROM u
+UNION ALL
+SELECT url, 1 AS item_idx, 'https://schema.org/Product', 1
+FROM u WHERE doc_id % 2 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# wat_records
+# ---------------------------------------------------------------------------
+
+
+def q_wat_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT metadata records (sources.warc.wat_records) over the template
+    pages corpus plus doc_id%4 extra anchors, so the link census varies.
+    The oracle restates the record byte-for-byte from the synthesis
+    closed form (same contract as wet_records)."""
+    from ..sources.pages import synthesize_pages_df
+    from ..sources.warc import wat_records
+
+    pages = synthesize_pages_df(_utc(spark), sf_dir)
+    doc_id = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+    html2 = F.encode(
+        F.concat(
+            F.decode("html", "UTF-8"),
+            F.repeat(F.lit('<a href="/x">x</a>'), (doc_id % 4).cast("int")),
+        ),
+        "UTF-8",
+    )
+    return wat_records(
+        pages.select("url", "warc_ts", html2.alias("html"))
+    )
+
+
+def _sql_wat_records() -> str:
+    from ..sources.pages import _TEMPLATE_HEAD, _TEMPLATE_TAIL
+
+    crlf = "chr(13) || chr(10)"
+    return f"""
+WITH x AS (
+  SELECT
+    'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+    make_timestamp((1704067200 + doc_id) * 1000000) AS ts,
+    '{_TEMPLATE_HEAD}' || text || '{_TEMPLATE_TAIL}'
+      || repeat('<a href="/x">x</a>', (doc_id % 4)::int) AS html,
+    (6 + doc_id % 4)::int AS n_links
+  FROM documents
+),
+p AS (
+  SELECT url, ts,
+    '{{"url":"' || url || '","content_length":'
+      || octet_length(encode(html))
+      || ',"title":"Synthetic page","n_links":' || n_links || '}}'
+      AS payload
+  FROM x
+)
+SELECT url,
+  'WARC/1.0' || {crlf}
+  || 'WARC-Type: metadata' || {crlf}
+  || 'WARC-Target-URI: ' || url || {crlf}
+  || 'WARC-Date: ' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ') || {crlf}
+  || 'Content-Type: application/json' || {crlf}
+  || 'Content-Length: ' || octet_length(encode(payload))
+  || {crlf} || {crlf} || payload AS record
+FROM p
+"""

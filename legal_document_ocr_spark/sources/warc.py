@@ -570,3 +570,52 @@ def detect_truncation(
             "truncated": (delta > 0).cast("int"),
         }
     )
+
+
+def wat_records(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> DataFrame:
+    """Serialize page metadata as WARC *metadata* ("WAT") records — the
+    third leg of the Common-Crawl record-format triple (warc=capture,
+    wet=extracted text via ``wet_records``, wat=metadata): one
+    application/json record per page carrying title, link count and
+    payload octet length, the inputs link-graph and census consumers read
+    WITHOUT touching page bytes.
+
+    The JSON body is built by explicit concat (never a to_json call —
+    key order and spacing must be byte-stable for the Content-Length and
+    any downstream digest, and the closed form makes it restatable in
+    SQL). Title/link extraction is the regexp lite-parse at scan speed;
+    html is read once and dropped — the emitted record is metadata-sized.
+
+    Output: (url, record).
+    """
+    url, ts = F.col(url_col), F.col(ts_col)
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    title = F.regexp_extract(html_txt, r"<title>([^<]*)</title>", 1)
+    n_links = F.size(F.regexp_extract_all(html_txt, F.lit("(<a\\s)"), 1))
+    payload = F.concat(
+        F.lit('{"url":"'), url,
+        F.lit('","content_length":'),
+        F.length(F.col(html_col)).cast("string"),
+        F.lit(',"title":"'), title,
+        F.lit('","n_links":'), n_links.cast("string"),
+        F.lit("}"),
+    )
+    record = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: metadata" + _CRLF),
+        F.lit("WARC-Target-URI: "), url, F.lit(_CRLF),
+        F.lit("WARC-Date: "),
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit(_CRLF),
+        F.lit("Content-Type: application/json" + _CRLF),
+        F.lit("Content-Length: "),
+        F.length(F.encode(payload, "UTF-8")).cast("string"),
+        F.lit(_CRLF + _CRLF),
+        payload,
+    )
+    return df.select(url.alias("url"), record.alias("record"))

@@ -3841,3 +3841,99 @@ def test_source_dup_matrix_counts_and_cap(spark):
 
     plan = _plan(Q.SPARK["source_dup_matrix"](spark, SF))
     assert plan.count("BroadcastExchange") == 0, plan
+
+
+def test_compression_ratio_matches_zlib_and_flags(spark):
+    """Per-row exactness against the same zlib call (the pytest oracle
+    standing in for the non-SQL-expressible DuckDB side), plus the
+    repetition flag: template churn compresses under the cut, prose
+    doesn't, empty text never divides by zero."""
+    import zlib
+
+    from legal_document_ocr_spark.operators.textops import compression_ratio
+
+    texts = {
+        1: "spam spam spam " * 200,
+        2: "the quick brown fox jumps over a lazy dog while reading",
+        3: "",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    for k, t in texts.items():
+        raw = t.encode()
+        comp = len(zlib.compress(raw, 6))
+        assert out[k]["n_compressed"] == comp
+        exp = comp * 1000000 // len(raw) if raw else 1000000
+        assert out[k]["ratio_micro"] == exp
+    assert out[1]["is_repetitive"] == 1
+    assert out[2]["is_repetitive"] == 0
+    assert out[3]["is_repetitive"] == 0 and out[3]["n_bytes"] == 0
+
+
+def test_score_calibration_integer_cume_dist(spark):
+    """pct_micro is the integer cume_dist within group; the row-level
+    join-back is a ShuffledHashJoin (never a rank window over raw rows,
+    never a planner broadcast of the per-group table)."""
+    from legal_document_ocr_spark.operators.relational import score_calibration
+
+    df = spark.createDataFrame(
+        [(1, "g1", 1), (2, "g1", 2), (3, "g1", 2), (4, "g1", 4), (5, "g2", 10)],
+        "doc_id long, grp string, score long",
+    )
+    out = {r["doc_id"]: r["pct_micro"] for r in
+           score_calibration(df, "grp", "score").collect()}
+    assert out[1] == 250000
+    assert out[2] == out[3] == 750000
+    assert out[4] == 1000000
+    assert out[5] == 1000000
+    plan = (score_calibration(df, "grp", "score")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan, plan
+
+
+def test_microdata_flat_scope_parse(spark):
+    """Each itemscope segment owns its itemtype and the itemprops up to
+    the next itemscope; pages without microdata emit nothing."""
+    from legal_document_ocr_spark.operators.urls import extract_microdata
+
+    html = (
+        '<html><body><div itemscope itemtype="https://schema.org/Article">'
+        '<span itemprop="name">N</span><span itemprop="author">A</span></div>'
+        '<div itemscope itemtype="https://schema.org/Product">'
+        '<span itemprop="sku">S</span></div></body></html>'
+    )
+    pages = spark.createDataFrame(
+        [("u1", bytearray(html.encode())), ("u2", bytearray(b"<html/>"))],
+        "url string, html binary",
+    )
+    rows = extract_microdata(pages).collect()
+    got = {(r["url"], r["item_idx"]): r for r in rows}
+    assert got[("u1", 0)]["itemtype"] == "https://schema.org/Article"
+    assert got[("u1", 0)]["n_props"] == 2
+    assert got[("u1", 1)]["itemtype"] == "https://schema.org/Product"
+    assert got[("u1", 1)]["n_props"] == 1
+    assert not any(r["url"] == "u2" for r in rows)
+
+
+def test_wat_records_content_length_and_fields(spark):
+    """The JSON payload's advertised Content-Length matches its octet
+    count, the title/link census reads from the html, and the html
+    column itself never reaches the output."""
+    from legal_document_ocr_spark.sources.warc import wat_records
+
+    html = ('<html><head><title>T1</title></head><body>'
+            '<a href="/a">a</a><a href="/b">b</a></body></html>')
+    df = spark.createDataFrame(
+        [("https://h/1", "2024-01-01 00:00:05", bytearray(html.encode()))],
+        "url string, warc_ts string, html binary",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    rec = wat_records(df).collect()[0]["record"]
+    head, payload = rec.split("\r\n\r\n", 1)
+    assert '"title":"T1"' in payload and '"n_links":2' in payload
+    assert f'"content_length":{len(html.encode())}' in payload
+    clen = [ln for ln in head.split("\r\n") if ln.startswith("Content-Length")]
+    assert clen[0] == f"Content-Length: {len(payload.encode())}"
+    assert "WARC-Type: metadata" in head
+    assert "WARC-Date: 2024-01-01T00:00:05Z" in head
