@@ -83,6 +83,12 @@ HEADLINE = [
     # the exact variant would just measure the documented trade)
     "heavy_hitters",          # Misra-Gries candidates + exact broadcast-semi recount
     "containment_pairs",      # directed containment over the df-capped shingle join
+    # round-4 session-10 additions
+    "triangle_count",         # degree-ordered wedge join triangles
+    "ngram_novelty",          # cross-snapshot anti-join novelty
+    "compression_ratio",      # zlib repetition gauge (mapInPandas)
+    "source_dup_matrix",      # hash-keyed cross-source dup matrix
+    "kmv_overlap",            # per-source KMV sketches -> pairwise Jaccard
 ]
 
 

@@ -678,3 +678,133 @@ SELECT url,
   || {crlf} || {crlf} || payload AS record
 FROM p
 """
+
+
+# ---------------------------------------------------------------------------
+# source/sink format matrix: ORC / JSON-lines / CSV (+ malformed isolation)
+# ---------------------------------------------------------------------------
+
+
+def q_orc_sink_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + partition-pruned, predicate-pushed read-back (S7's
+    contract on the second columnar format): documents written
+    partitionBy(lang) as ORC, the lang='en' slice read back with an
+    n_chars pushdown filter — pruning + pushdown are plan-asserted in
+    tests (same properties as the parquet path; ORC carries its schema
+    and min/max strides)."""
+    import tempfile
+
+    from ..sources.sink import read_table, write_table
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars", "lang")
+    path = tempfile.mkdtemp(prefix="ldos-orc-")
+    write_table(d, path, "orc", partition_cols=("lang",))
+    return (
+        read_table(spark, path, "orc")
+        .where((F.col("lang") == "en") & (F.col("n_chars") > 100))
+        .select("doc_id", "source", "n_chars", "lang")
+    )
+
+
+_SQL_ORC_SINK_READBACK = """
+SELECT doc_id, source, n_chars, lang FROM documents
+WHERE lang = 'en' AND n_chars > 100
+"""
+
+
+def q_jsonl_sink_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema-pinned read-back (the interchange format
+    non-Spark consumers ingest): explicit schema on the read — inference
+    is a second full pass at 100 TB — then a per-lang aggregate proving
+    values survived the round trip."""
+    import tempfile
+
+    from ..sources.sink import read_table, write_table
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="ldos-jsonl-")
+    write_table(d, path, "json")
+    back = read_table(
+        spark, path, "json", schema="doc_id long, lang string, n_chars long"
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+    )
+
+
+_SQL_JSONL_SINK_READBACK = """
+SELECT lang, count(*)::bigint AS n_docs, sum(n_chars)::bigint AS sum_chars,
+  min(doc_id)::bigint AS min_doc
+FROM documents GROUP BY lang
+"""
+
+
+def q_csv_sink_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema-pinned read-back with RFC-4180 quoting (quote
+    doubling, quoteAll) so embedded commas/quotes can never shear a row;
+    header on, schema explicit on the read. Returns the row-level
+    round trip (doc_id, lang, text length recomputed from the read-back
+    text) — a shifted length would expose any quoting corruption."""
+    import tempfile
+
+    from ..sources.sink import read_table, write_table
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    path = tempfile.mkdtemp(prefix="ldos-csv-")
+    write_table(
+        d, path, "csv",
+        options={"header": "true", "quoteAll": "true", "escape": '"'},
+    )
+    back = read_table(
+        spark, path, "csv",
+        schema="doc_id long, text string, lang string",
+        options={"header": "true", "escape": '"'},
+    )
+    return back.select(
+        "doc_id", "lang", F.length("text").cast("long").alias("rt_chars")
+    )
+
+
+_SQL_CSV_SINK_READBACK = """
+SELECT doc_id, lang, length(text)::bigint AS rt_chars FROM documents
+"""
+
+
+def q_csv_parse_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_csv over raw CSV-line strings with PERMISSIVE malformed-row
+    isolation: every doc_id%13==0 line drops its trailing columns (wrong
+    arity), which must surface as NULL fields on that row — not a task
+    failure (the CSV analogue of the codec error-column discipline).
+    All JVM-side: one from_csv projection, no UDF."""
+    d = _docs(spark, sf_dir)
+    line = F.when(
+        F.col("doc_id") % 13 == 0, F.col("doc_id").cast("string")
+    ).otherwise(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(","),
+            F.col("lang"), F.lit(","),
+            F.col("n_chars").cast("string"),
+        )
+    )
+    parsed = F.from_csv(line, "id LONG, lang STRING, n_chars LONG")
+    return d.select(
+        "doc_id", parsed.alias("p")
+    ).select(
+        "doc_id",
+        F.col("p.id").alias("id"),
+        F.col("p.lang").alias("lang"),
+        F.col("p.n_chars").alias("n_chars"),
+        F.col("p.lang").isNotNull().cast("int").alias("parse_ok"),
+    )
+
+
+_SQL_CSV_PARSE_ISOLATION = """
+SELECT doc_id,
+  doc_id AS id,
+  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END AS n_chars,
+  (doc_id % 13 <> 0)::int AS parse_ok
+FROM documents
+"""

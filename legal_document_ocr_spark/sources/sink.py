@@ -44,3 +44,46 @@ def read_partition(
     for col, value in filters.items():
         df = df.where(F.col(col) == value)
     return df
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    *,
+    partition_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+    options: dict | None = None,
+) -> str:
+    """Format-generic sink (parquet/orc/json/csv/text) — the same
+    Hive-partitioned tree contract as ``write_partitioned`` for every
+    columnar/row format Spark ships: ORC keeps the parquet properties
+    (column pruning, predicate pushdown, partition pruning); JSON-lines
+    and CSV are the interchange sinks downstream non-Spark consumers
+    read; text is the WET/WAT record sink. Returns ``path``."""
+    w = df.write.mode(mode).format(fmt)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.save(path)
+    return path
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    *,
+    schema: str | None = None,
+    options: dict | None = None,
+) -> DataFrame:
+    """Format-generic source for ``write_table`` trees. A ``schema``
+    string is REQUIRED for json/csv at scale — schema inference is a
+    full extra pass over 100 TB; columnar formats carry their schema."""
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    for k, v in (options or {}).items():
+        r = r.option(k, v)
+    return r.load(path)

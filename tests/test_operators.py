@@ -3937,3 +3937,60 @@ def test_wat_records_content_length_and_fields(spark):
     assert clen[0] == f"Content-Length: {len(payload.encode())}"
     assert "WARC-Type: metadata" in head
     assert "WARC-Date: 2024-01-01T00:00:05Z" in head
+
+
+def test_orc_sink_readback_prunes_and_pushes(spark):
+    """The ORC read-back plan must show partition pruning on lang AND a
+    pushed n_chars filter — the two scan properties the columnar sink
+    exists for (same contract the parquet path asserts)."""
+    import legal_document_ocr_spark.queries as Q
+    from legal_document_ocr_spark.plans.inspect import (
+        partition_filters,
+        pushed_filters,
+    )
+
+    df = Q.SPARK["orc_sink_readback"](spark, SF)
+    pf = " ".join(partition_filters(df))
+    assert "lang" in pf, pf
+    pushed = " ".join(pushed_filters(df))
+    assert "n_chars" in pushed, pushed
+
+
+def test_csv_roundtrip_survives_adversarial_text(spark):
+    """RFC-4180 quoting (quoteAll + quote-doubling escape) must round-trip
+    embedded commas, quotes and newlines byte-exactly; multiLine is the
+    documented read requirement for newline-bearing fields."""
+    import tempfile
+
+    from legal_document_ocr_spark.sources.sink import read_table, write_table
+
+    rows = [
+        (1, 'comma, inside', "en"),
+        (2, 'quote " inside', "en"),
+        (3, "newline\ninside", "vi"),
+        (4, 'both ",\n" evils', "vi"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    path = tempfile.mkdtemp(prefix="ldos-csvrt-")
+    write_table(df, path, "csv",
+                options={"header": "true", "quoteAll": "true", "escape": '"'})
+    back = read_table(
+        spark, path, "csv",
+        schema="doc_id long, text string, lang string",
+        options={"header": "true", "escape": '"', "multiLine": "true"},
+    )
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == {k: v for k, v, _ in rows}
+
+
+def test_csv_parse_isolation_nulls_not_failures(spark):
+    """A wrong-arity CSV line NULLs its missing fields on its own row —
+    the task never fails (PERMISSIVE from_csv)."""
+    import legal_document_ocr_spark.queries as Q
+
+    rows = Q.SPARK["csv_parse_isolation"](spark, SF).collect()
+    bad = [r for r in rows if r["doc_id"] % 13 == 0]
+    good = [r for r in rows if r["doc_id"] % 13 != 0]
+    assert bad and all(r["parse_ok"] == 0 and r["lang"] is None for r in bad)
+    assert good and all(r["parse_ok"] == 1 and r["lang"] for r in good)
+    assert all(r["id"] == r["doc_id"] for r in rows)  # first col always parses
