@@ -808,3 +808,136 @@ SELECT doc_id,
   (doc_id % 13 <> 0)::int AS parse_ok
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# neardup_eval — LSH tuning harness
+# ---------------------------------------------------------------------------
+
+
+def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate quality against exact ground truth: recall/precision
+    of the banded-MinHash candidate pairs vs the df-capped exact shingle
+    Jaccard at threshold 0.5 — the measurement that TUNES (bands, rows)
+    before committing a 100 TB dedup run (extraction_eval's pattern
+    applied to the dedup family; at scale the truth side runs on a
+    sampled slice, the candidate side is the production config). One
+    summary row; all three counts are scalar aggregates crossJoin-
+    broadcast together."""
+    from ..operators import dedup
+
+    corpus = _neardup_docs(spark, sf_dir)
+    cand = dedup.minhash_candidate_pairs(corpus)
+    truth = dedup.ngram_jaccard_pairs(corpus).select("id_a", "id_b")
+    hit = truth.join(cand.hint("shuffle_hash"), ["id_a", "id_b"], "left_semi")
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    nt = truth.agg(F.count("*").alias("n_true"))
+    nh = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        nc.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.floor(F.col("n_hit") * 1000000 / F.col("n_true"))
+            .cast("long")
+            .alias("recall_micro"),
+            F.floor(F.col("n_hit") * 1000000 / F.col("n_candidates"))
+            .cast("long")
+            .alias("precision_micro"),
+        )
+    )
+
+
+def _sql_neardup_eval() -> str:
+    from .dedup_olap import _sql_minhash_bands
+
+    # extends the shared minhash CTE chain (src/t/sh already defined by it)
+    return (
+        _sql_minhash_bands(_NEARDUP_SQL)
+        + """,
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+e0 AS (
+  SELECT doc_id, unnest(list_transform(shingles, s -> md5(s))) AS shingle
+  FROM sh
+),
+dfreq AS (SELECT shingle, count(*) AS c FROM e0 GROUP BY shingle),
+e AS (SELECT e0.doc_id, e0.shingle FROM e0 JOIN dfreq USING (shingle)
+      WHERE c <= 64),
+sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+common AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
+  FROM e l JOIN e r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+),
+truth AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(common / (sa.n + sb.n - common)::double, 6) >= 0.5::double
+),
+hit AS (SELECT truth.id_a, truth.id_b FROM truth JOIN cand USING (id_a, id_b)),
+agg AS (
+  SELECT (SELECT count(*) FROM cand) AS n_candidates,
+         (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM hit) AS n_hit
+)
+SELECT n_candidates::bigint AS n_candidates, n_true::bigint AS n_true,
+  n_hit::bigint AS n_hit,
+  floor(n_hit * 1000000 / n_true)::bigint AS recall_micro,
+  floor(n_hit * 1000000 / n_candidates)::bigint AS precision_micro
+FROM agg
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# shard_manifest — per-shard data cards
+# ---------------------------------------------------------------------------
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest (data card) over shard_assign's token-balanced
+    layout: doc/token counts, language breadth, and an order-independent
+    membership digest (decimal sum of per-doc hashes — any dropped or
+    duplicated member changes it) — what a training run records per
+    output file for audit/resume. The doc_id join-back is shuffle_hash
+    (both sides corpus-sized); the manifest itself is shard-count-sized."""
+    from ..operators import textops
+
+    shards = textops.shard_assign(_docs(spark, sf_dir))
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    digest = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("decimal(20,0)")
+    return (
+        shards.join(langs.hint("shuffle_hash"), "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.count_distinct("lang").cast("long").alias("n_langs"),
+            F.sum(digest).cast("decimal(38,0)").cast("string").alias(
+                "member_digest"
+            ),
+        )
+    )
+
+
+def _sql_shard_manifest() -> str:
+    from .filters_sketches import _SQL_SHARD_ASSIGN
+
+    return f"""
+SELECT shard, count(*)::bigint AS n_docs,
+  sum(sa.n_tokens)::bigint AS sum_tokens,
+  count(DISTINCT d.lang)::bigint AS n_langs,
+  sum(('0x' || substr(md5(sa.doc_id::varchar), 1, 15))::bigint)::varchar
+    AS member_digest
+FROM ({_SQL_SHARD_ASSIGN}) sa JOIN documents d ON sa.doc_id = d.doc_id
+GROUP BY shard
+"""

@@ -3994,3 +3994,37 @@ def test_csv_parse_isolation_nulls_not_failures(spark):
     assert bad and all(r["parse_ok"] == 0 and r["lang"] is None for r in bad)
     assert good and all(r["parse_ok"] == 1 and r["lang"] for r in good)
     assert all(r["id"] == r["doc_id"] for r in rows)  # first col always parses
+
+
+def test_neardup_eval_planted_neighbors_recalled(spark):
+    """On the planted neardup corpus the banded MinHash must recall a
+    healthy majority of exact-Jaccard>=0.5 pairs, counts must be
+    consistent (hits <= both sides), and the ratios are exact integer
+    micro arithmetic."""
+    import legal_document_ocr_spark.queries as Q
+
+    r = Q.SPARK["neardup_eval"](spark, SF).collect()[0]
+    assert r["n_true"] > 0 and r["n_candidates"] > 0
+    assert r["n_hit"] <= min(r["n_true"], r["n_candidates"])
+    assert r["recall_micro"] == r["n_hit"] * 1000000 // r["n_true"]
+    assert r["precision_micro"] == r["n_hit"] * 1000000 // r["n_candidates"]
+    assert r["recall_micro"] >= 500000  # the planted pairs are near-identical
+
+
+def test_shard_manifest_partitions_the_corpus_exactly(spark):
+    """Manifest rows partition the corpus: doc and token totals equal the
+    per-doc sums, every shard is non-empty, and the membership digest is
+    order-independent (equal-content shards would share it)."""
+    import legal_document_ocr_spark.queries as Q
+    from pyspark.sql import functions as F2
+
+    rows = Q.SPARK["shard_manifest"](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    total_tokens = docs.select(
+        F2.sum(F2.size(F2.split(F2.trim(F2.lower("text")), r"\s+")))
+    ).collect()[0][0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["sum_tokens"] for r in rows) == total_tokens
+    assert all(r["n_docs"] > 0 for r in rows)
+    assert len({r["member_digest"] for r in rows}) == len(rows)
