@@ -632,3 +632,62 @@ def cocitation_pairs(
     )
     e.unpersist()
     return out
+
+
+def seed_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Hop distance from a trusted seed set (bounded-round BFS over the
+    directed host graph): hop 0 = the seeds, hop h = hosts first reached
+    through h links — the crawl-depth / trust-distance primitive behind
+    seed-based frontier policies (fetch within k hops of the whitelist)
+    and the discrete companion to ``trust_rank``'s continuous decay.
+
+    Determinism: synchronous rounds; a node's hop is the FIRST round
+    that reaches it (the LEFT ANTI against already-labeled nodes makes
+    later paths irrelevant), so the result is the true shortest hop
+    count <= max_hops, restatable as unrolled SQL CTEs.
+
+    Scale shape: per round ONE shuffle_hash join (frontier onto the edge
+    list — both corpus-sized at web scale, never broadcast) and one
+    LEFT ANTI against the labeled set (shuffle_hash — the labeled set
+    GROWS toward corpus size, the classic accidental-broadcast trap).
+    The seed table itself is the only bounded frame. ``max_hops``
+    bounded rounds; unreached nodes are absent (callers left-join).
+
+    Output: (node, hop).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().persist()
+    labels = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .persist()
+    )
+    for h in range(1, max_hops + 1):
+        frontier = (
+            e.join(
+                labels.where(F.col("hop") == h - 1)
+                .select(F.col("node").alias("src"))
+                .hint("shuffle_hash"),
+                "src",
+                "left_semi",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(labels.hint("shuffle_hash"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+        )
+        nxt = labels.unionByName(frontier).localCheckpoint()
+        labels.unpersist()
+        labels = nxt
+    e.unpersist()
+    return labels

@@ -11,7 +11,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import _docs, _neardup_docs, _tbl, _utc, _NEARDUP_SQL
+from .common import (
+    _DOUBLED_SQL as _DOUBLED_SQL_REF,
+    _docs,
+    _doubled_docs,
+    _neardup_docs,
+    _tbl,
+    _utc,
+    _NEARDUP_SQL,
+)
 from .relational_web import _host_graph_edges
 
 # the deterministic demo host graph (shared verbatim with the pagerank /
@@ -941,3 +949,146 @@ SELECT shard, count(*)::bigint AS n_docs,
 FROM ({_SQL_SHARD_ASSIGN}) sa JOIN documents d ON sa.doc_id = d.doc_id
 GROUP BY shard
 """
+
+
+# ---------------------------------------------------------------------------
+# seed_reachability
+# ---------------------------------------------------------------------------
+
+
+def q_seed_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from trusted seeds (graph.seed_reachability, 3 BFS
+    rounds, LEFT ANTI first-touch semantics) over the demo host graph;
+    seeds are every 7th host. The oracle unrolls the same rounds."""
+    from ..operators.graph import seed_reachability
+
+    hosts = _docs(spark, sf_dir).select("source").distinct()
+    idx = F.regexp_replace("source", "^src", "").cast("int")
+    seeds = hosts.where(idx % 7 == 0).select(F.col("source").alias("node"))
+    return seed_reachability(_host_graph_edges(spark, sf_dir), seeds)
+
+
+def _sql_seed_reachability(max_hops: int = 3) -> str:
+    parts = [
+        f"""WITH {_DEMO_EDGES_SQL},
+de AS (SELECT DISTINCT src, dst FROM e),
+l0 AS (
+  SELECT DISTINCT source AS node, 0 AS hop FROM documents
+  WHERE regexp_replace(source, '^src', '')::int % 7 = 0
+)"""
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f""",
+f{h} AS (
+  SELECT DISTINCT de.dst AS node, {h} AS hop
+  FROM de JOIN l{h-1} l ON de.src = l.node AND l.hop = {h-1}
+  WHERE NOT EXISTS (SELECT 1 FROM l{h-1} x WHERE x.node = de.dst)
+),
+l{h} AS (SELECT * FROM l{h-1} UNION ALL SELECT * FROM f{h})"""
+        )
+    return "".join(parts) + f"\nSELECT node, hop::int AS hop FROM l{max_hops}"
+
+
+# ---------------------------------------------------------------------------
+# dup_family_histogram / quantile_drift — curation censuses
+# ---------------------------------------------------------------------------
+
+
+def q_dup_family_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-depth census over the doubled corpus: how many
+    content families exist at each copy count, and how many rows the
+    dedup pass will delete from each stratum — the number that prices a
+    dedup run before it launches (a corpus that is 40% 2-copy families
+    dedups very differently from one with a 1e6-copy template). Two
+    map-side-combined groupBys on short keys; nothing else."""
+    from ..operators.dedup import exact_dups
+
+    fams = exact_dups(_doubled_docs(spark, sf_dir))
+    return (
+        fams.groupBy(F.col("copies").cast("long").alias("copies"))
+        .agg(F.count("*").alias("n_families"))
+        .select(
+            "copies",
+            F.col("n_families").cast("long").alias("n_families"),
+            ((F.col("copies") - 1) * F.col("n_families"))
+            .cast("long")
+            .alias("rows_removed"),
+        )
+    )
+
+
+_SQL_DUP_FAMILY_HISTOGRAM = f"""
+WITH corpus AS ({{doubled}}),
+fams AS (SELECT sha256(text) AS h, count(*) AS copies FROM corpus GROUP BY 1)
+SELECT copies::bigint AS copies, count(*)::bigint AS n_families,
+  ((copies - 1) * count(*))::bigint AS rows_removed
+FROM fams GROUP BY copies
+""".replace("{doubled}", _DOUBLED_SQL_REF)
+
+
+def q_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-distribution drift between two snapshots
+    (grouped_quantiles on each side + one join): snapshot B is the
+    corpus with every doc suffixed — so every quantile shifts by a
+    known amount — and the drift gauge is the per-quantile delta. The
+    schema-stable way to answer "did this source's page-length profile
+    move since the last crawl" without comparing raw rows. Everything
+    runs on the bounded distribution sketches."""
+    from ..operators.relational import grouped_quantiles
+
+    a = _docs(spark, sf_dir).select("source", "n_chars")
+    b = _docs(spark, sf_dir).select(
+        "source", (F.col("n_chars") + 18).alias("n_chars")
+    )
+    qa = grouped_quantiles(a, "source", "n_chars").select(
+        "source",
+        F.col("q_500000").alias("p50_a"),
+        F.col("q_990000").alias("p99_a"),
+    )
+    qb = grouped_quantiles(b, "source", "n_chars").select(
+        "source",
+        F.col("q_500000").alias("p50_b"),
+        F.col("q_990000").alias("p99_b"),
+    )
+    return qa.join(qb.hint("shuffle_hash"), "source").select(
+        "source", "p50_a", "p50_b", "p99_a", "p99_b",
+        (F.col("p50_b") - F.col("p50_a")).cast("long").alias("p50_drift"),
+        (F.col("p99_b") - F.col("p99_a")).cast("long").alias("p99_drift"),
+    )
+
+
+def _sql_quantile_drift() -> str:
+    def side(expr: str, suffix: str) -> str:
+        return f"""
+dist_{suffix} AS (
+  SELECT source, {expr} AS v, count(*) AS c
+  FROM documents GROUP BY source, {expr}
+),
+cum_{suffix} AS (
+  SELECT source, v,
+    sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+    sum(c) OVER (PARTITION BY source) AS n
+  FROM dist_{suffix}
+),
+q_{suffix} AS (
+  SELECT source,
+    min(CASE WHEN cum >= (500000 * n + 999999) // 1000000 THEN v END)
+      AS p50_{suffix},
+    min(CASE WHEN cum >= (990000 * n + 999999) // 1000000 THEN v END)
+      AS p99_{suffix}
+  FROM cum_{suffix} GROUP BY source
+)"""
+
+    return (
+        "WITH " + side("n_chars", "a").lstrip()[0:]
+        + "," + side("n_chars + 18", "b")
+        + """
+SELECT q_a.source,
+  p50_a::bigint AS p50_a, p50_b::bigint AS p50_b,
+  p99_a::bigint AS p99_a, p99_b::bigint AS p99_b,
+  (p50_b - p50_a)::bigint AS p50_drift,
+  (p99_b - p99_a)::bigint AS p99_drift
+FROM q_a JOIN q_b ON q_a.source = q_b.source
+"""
+    )

@@ -4028,3 +4028,53 @@ def test_shard_manifest_partitions_the_corpus_exactly(spark):
     assert sum(r["sum_tokens"] for r in rows) == total_tokens
     assert all(r["n_docs"] > 0 for r in rows)
     assert len({r["member_digest"] for r in rows}) == len(rows)
+
+
+def test_seed_reachability_first_touch_semantics(spark):
+    """hop = shortest link distance from the seed set; nodes reachable
+    two ways keep the FIRST hop; unreached nodes are absent; the
+    frontier/labeled joins never broadcast."""
+    from legal_document_ocr_spark.operators.graph import seed_reachability
+
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("s", "b2"), ("b2", "b"), ("b", "c"),
+         ("x", "y")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("s",)], "node string")
+    out = {r["node"]: r["hop"] for r in seed_reachability(edges, seeds).collect()}
+    # b is reachable at hop 2 both via a and via b2 — labeled once, hop 2
+    assert out == {"s": 0, "a": 1, "b2": 1, "b": 2, "c": 3}
+    import legal_document_ocr_spark.queries as Q
+
+    plan = _plan(Q.SPARK["seed_reachability"](spark, SF))
+    assert plan.count("BroadcastExchange") == 0, plan
+
+
+def test_dup_family_histogram_prices_the_dedup(spark):
+    """Histogram strata are exact: rows_removed summed over strata equals
+    total rows minus distinct families."""
+    from legal_document_ocr_spark.operators.dedup import exact_dups
+
+    import legal_document_ocr_spark.queries as Q
+
+    rows = Q.SPARK["dup_family_histogram"](spark, SF).collect()
+    # doubled corpus: every family has exactly 2 copies (original + copy),
+    # unless two docs share a text — then 4/6/...; strata must be even
+    assert all(r["copies"] % 2 == 0 for r in rows)
+    total_rows = sum(r["copies"] * r["n_families"] for r in rows)
+    total_removed = sum(r["rows_removed"] for r in rows)
+    n_families = sum(r["n_families"] for r in rows)
+    assert total_rows - total_removed == n_families
+    assert total_rows == 1000  # 500 docs doubled
+
+
+def test_quantile_drift_shifts_by_construction(spark):
+    """Snapshot B adds 18 chars to every doc, so both quantiles drift by
+    exactly 18 for every source."""
+    import legal_document_ocr_spark.queries as Q
+
+    rows = Q.SPARK["quantile_drift"](spark, SF).collect()
+    assert rows and all(r["p50_drift"] == 18 for r in rows)
+    assert all(r["p99_drift"] == 18 for r in rows)
+    assert all(r["p50_b"] == r["p50_a"] + 18 for r in rows)
