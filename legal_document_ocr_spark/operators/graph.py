@@ -691,3 +691,82 @@ def seed_reachability(
         labels = nxt
     e.unpersist()
     return labels
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity (Newman 2002 r) of the undirected host graph
+    — one scalar that separates web-like topologies (disassortative,
+    hubs link to leaves, r < 0) from social-like ones (assortative,
+    r > 0); a crawl whose r drifts positive over snapshots is usually
+    growing a mesh of mutually-linking spam hosts (the aggregate
+    companion to ``reciprocal_links``).
+
+    r = Pearson correlation of (deg(u), deg(v)) over every edge taken
+    in BOTH orientations (the standard symmetric formulation).
+
+    Scale shape: degrees come from one map-side-combined groupBy over
+    the canonical edge list; the two degree lookups are shuffle_hash
+    equi-joins on the edge endpoints (corpus x corpus, nothing
+    broadcast); the correlation itself collapses to SIX integer sums
+    (n, Sx, Sy, Sxx, Syy, Sxy) in a single scalar aggregate — exact,
+    order-independent, engine-portable. The final r is one IEEE-double
+    expression over those exact integers, floored to micro units, so
+    Spark and the oracle cannot disagree.
+
+    Output: one row (n_edges, n_nodes, r_micro).
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    both = canon.select("a", "b").unionAll(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dx"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("dy"))
+    pairs = (
+        both.join(da.hint("shuffle_hash"), "a")
+        .join(db.hint("shuffle_hash"), "b")
+        .select("dx", "dy")
+    )
+    sums = pairs.agg(
+        F.count("*").alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return (
+        sums.crossJoin(n_nodes)
+        .select(
+            (F.col("m") / 2).cast("long").alias("n_edges"),
+            F.col("n_nodes").cast("long"),
+            F.when(den == 0.0, F.lit(0))
+            .otherwise(F.floor(num.cast("double") / den * 1000000))
+            .cast("long")
+            .alias("r_micro"),
+        )
+    )

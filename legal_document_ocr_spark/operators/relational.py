@@ -2056,3 +2056,206 @@ def score_calibration(
         cum.hint("shuffle_hash"),
         (g == F.col("_sc_grp")) & (s == F.col("_sc_val")),
     ).drop("_sc_grp", "_sc_val")
+
+
+# ---------------------------------------------------------------------------
+# privacy / data-quality census (round 4, session 11)
+# ---------------------------------------------------------------------------
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: list[str],
+    *,
+    k: int = 5,
+    report_col: str = "source",
+) -> DataFrame:
+    """k-anonymity census over a quasi-identifier combination — the
+    release-readiness gauge of a training corpus that carries metadata
+    columns (host, language, length band, capture date): a QI group
+    smaller than ``k`` re-identifies its members, so curation must
+    suppress or generalize those rows before the corpus ships.
+
+    Parity anchor: the reference exposes per-document metadata verbatim
+    (app/services/document_service.py:83-229 list/filter surface); this
+    is the aggregate audit a release pipeline runs over that surface.
+
+    Scale shape: one map-side-combined groupBy on the QI tuple (the
+    group table is bounded by the QI domain, not the corpus), then a
+    second tiny groupBy on ``report_col``. Nothing is broadcast, no
+    window, no per-row join back — at 100 TB both aggregations are
+    partial-aggregated before their single shuffle each.
+
+    Output per ``report_col`` value: n_rows, n_groups, risky_groups
+    (size < k), risky_rows, risk_ppm = floor(1e6 * risky_rows / n_rows).
+    All-integer arithmetic (engine-portable).
+    """
+    groups = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count("*").alias("_ka_n")
+    )
+    risky = F.when(F.col("_ka_n") < k, 1).otherwise(0)
+    return (
+        groups.groupBy(F.col(report_col))
+        .agg(
+            F.sum("_ka_n").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum(risky).cast("long").alias("risky_groups"),
+            F.sum(risky * F.col("_ka_n")).cast("long").alias("risky_rows"),
+        )
+        .select(
+            report_col,
+            "n_rows",
+            "n_groups",
+            "risky_groups",
+            "risky_rows",
+            F.floor(F.col("risky_rows") * 1000000 / F.col("n_rows"))
+            .cast("long")
+            .alias("risk_ppm"),
+        )
+    )
+
+
+def fd_violations(
+    df: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency discovery over a bounded candidate list —
+    the schema-profiling primitive (does determinant -> dependent hold,
+    and how many rows must change to repair it?) used to spot duplicate
+    natural keys and denormalization drift before a corpus join fans
+    out unexpectedly.
+
+    For each (det, dep) pair: a group is VIOLATING when the determinant
+    value maps to >1 distinct dependent value; ``repair_rows`` is the
+    classic G3 measure (rows minus the modal dependent's count, summed
+    over groups) — the minimum row deletions that would make the FD
+    hold exactly.
+
+    Scale shape: per pair, groupBy(det, dep) -> counts is map-side
+    combined and bounded by the pair's active domain; the second
+    groupBy(det) runs on that bounded table; the final per-pair rollup
+    is a scalar aggregate. The Python loop is over the BOUNDED pair
+    list (schema-sized, never data-sized) and unions plan fragments —
+    one Spark job total. No broadcast, no window.
+
+    Output per pair: fd (det->dep), n_groups, violating_groups,
+    repair_rows, holds (0/1). All-integer.
+    """
+    outs = []
+    for det, dep in pairs:
+        pair_counts = df.groupBy(
+            F.col(det).cast("string").alias("_fd_det"),
+            F.col(dep).cast("string").alias("_fd_dep"),
+        ).agg(F.count("*").alias("_fd_n"))
+        per_det = pair_counts.groupBy("_fd_det").agg(
+            F.count("*").alias("_fd_vals"),
+            F.sum("_fd_n").alias("_fd_rows"),
+            F.max("_fd_n").alias("_fd_modal"),
+        )
+        outs.append(
+            per_det.agg(
+                F.lit(f"{det}->{dep}").alias("fd"),
+                F.count("*").cast("long").alias("n_groups"),
+                F.sum(F.when(F.col("_fd_vals") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("violating_groups"),
+                F.sum(F.col("_fd_rows") - F.col("_fd_modal"))
+                .cast("long")
+                .alias("repair_rows"),
+            ).select(
+                "fd",
+                "n_groups",
+                "violating_groups",
+                "repair_rows",
+                F.when(F.col("violating_groups") == 0, 1)
+                .otherwise(0)
+                .cast("long")
+                .alias("holds"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    lo_ppm: int = 50000,
+    hi_ppm: int = 950000,
+) -> DataFrame:
+    """Per-group winsorized mean of a bounded-domain integer column —
+    the outlier-robust length/latency dashboard (a handful of 100 MB
+    pages must not drag a host's mean page size).
+
+    Thresholds come from the grouped_quantiles distribution sketch
+    (EXACT discrete quantiles, bounded by the value domain — see
+    grouped_quantiles for the 100 TB argument); clamping and summing
+    then run on the SAME bounded (group, value, count) table, so the
+    raw rows are scanned exactly once (for the sketch) and never again.
+    No sort-per-group window anywhere.
+
+    winsorized_mean_micro = floor(1e6 * clamped_sum / n) — all-integer.
+
+    Output: (group, n_rows, lo, hi, winsorized_sum,
+    winsorized_mean_micro).
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    dist = df.groupBy(g.alias("_ws_grp"), v.alias("_ws_val")).agg(
+        F.count("*").alias("_ws_cnt")
+    )
+    w_cum = Window.partitionBy("_ws_grp").orderBy("_ws_val")
+    w_all = Window.partitionBy("_ws_grp")
+    cum = dist.select(
+        "_ws_grp",
+        "_ws_val",
+        "_ws_cnt",
+        F.sum("_ws_cnt").over(w_cum).alias("_ws_cum"),
+        F.sum("_ws_cnt").over(w_all).alias("_ws_n"),
+    )
+    lo_need = F.expr(f"({lo_ppm} * _ws_n + 999999) div 1000000")
+    hi_need = F.expr(f"({hi_ppm} * _ws_n + 999999) div 1000000")
+    th = cum.groupBy("_ws_grp").agg(
+        F.max("_ws_n").cast("long").alias("n_rows"),
+        F.min(F.when(F.col("_ws_cum") >= lo_need, F.col("_ws_val")))
+        .cast("long")
+        .alias("lo"),
+        F.min(F.when(F.col("_ws_cum") >= hi_need, F.col("_ws_val")))
+        .cast("long")
+        .alias("hi"),
+    )
+    clamped = (
+        dist.join(th.hint("shuffle_hash"), dist["_ws_grp"] == th["_ws_grp"])
+        .drop(th["_ws_grp"])
+        .select(
+            "_ws_grp",
+            "n_rows",
+            "lo",
+            "hi",
+            (
+                F.greatest(F.least(F.col("_ws_val"), F.col("hi")), F.col("lo"))
+                * F.col("_ws_cnt")
+            ).alias("_ws_contrib"),
+        )
+    )
+    return (
+        clamped.groupBy(F.col("_ws_grp").alias(group_col))
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            F.sum("_ws_contrib").cast("long").alias("winsorized_sum"),
+        )
+        .select(
+            group_col,
+            "n_rows",
+            "lo",
+            "hi",
+            "winsorized_sum",
+            F.floor(F.col("winsorized_sum") * 1000000 / F.col("n_rows"))
+            .cast("long")
+            .alias("winsorized_mean_micro"),
+        )
+    )

@@ -517,3 +517,166 @@ def semantic_dedup(
             F.col("dropped").isNull().alias("kept"),
         )
     )
+
+
+def bucketed_batch_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    bucket_dims: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Many-queries ANN under the sign-LSH bucket index: each query only
+    scores corpus vectors in ITS bucket (the serving shape of
+    ``bucketed_topk``, batched the way ``batch_topk`` batches the exact
+    scan). The bucket equi-join replaces the cross join — at 1e9 vectors
+    with b sign dims the candidate set shrinks ~2^b-fold while the scan
+    stays one pass; the (tiny) query set broadcasts, the corpus never
+    moves.
+
+    Output: (query_id, vec_id, cosine, rank) — deterministic tiebreak
+    (cosine desc, vec_id asc); queries whose bucket holds fewer than k
+    candidates return fewer rows (recall is measured by ``ann_recall``).
+    """
+    bucket = sign_bucket_expr(F.col(vec_col), bucket_dims)
+    queries = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        bucket.alias("qbucket"),
+    )
+    corpus = ensure_parallelism(embeddings).select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("v"),
+        bucket.alias("bucket"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(queries), F.col("bucket") == F.col("qbucket")
+        )
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    item = F.struct((-F.col("cosine")).alias("neg"), F.col(id_col).alias("vid"))
+    partial = scored.groupBy(
+        "query_id", F.spark_partition_id().alias("_pid")
+    ).agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("topk"))
+    final = partial.groupBy("query_id").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("topk"))), 1, k
+        ).alias("topk")
+    )
+    return (
+        final.select("query_id", F.posexplode("topk").alias("pos", "item"))
+        .select(
+            "query_id",
+            F.col("item.vid").alias(id_col),
+            (-F.col("item.neg")).alias("cosine"),
+            (F.col("pos") + 1).alias("rank"),
+        )
+    )
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    bucket_dims: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of the sign-LSH bucketed index against the exact scan —
+    the eval harness every ANN deployment needs before trusting the
+    approximate path (the embedding-retrieval counterpart of
+    ``neardup_eval``'s LSH-tuning sweep): per query, how many of the
+    true top-k does the bucket actually surface?
+
+    Scale shape: both sides are the batched one-pass formulations
+    (``batch_topk`` / ``bucketed_batch_topk`` — query set broadcasts,
+    corpus scanned once each); the comparison joins two k-row-per-query
+    tables (k*|Q| rows total, trivially small) and aggregates. At eval
+    time |Q| is a sample (hundreds), so the whole harness costs two
+    corpus scans regardless of corpus size.
+
+    Output per query: (query_id, n_exact, n_approx, n_overlap,
+    recall_ppm = floor(1e6 * n_overlap / n_exact)). All-integer.
+    """
+    exact = batch_topk(
+        embeddings, query_ids, k, vec_col=vec_col, id_col=id_col
+    ).select("query_id", F.col(id_col).alias("_ar_id"))
+    approx = bucketed_batch_topk(
+        embeddings,
+        query_ids,
+        k,
+        bucket_dims=bucket_dims,
+        vec_col=vec_col,
+        id_col=id_col,
+    ).select(
+        "query_id", F.col(id_col).alias("_ar_id"), F.lit(1).alias("_ar_hit")
+    )
+    joined = exact.join(approx.hint("shuffle_hash"), ["query_id", "_ar_id"], "left")
+    per_q = joined.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.sum(F.coalesce(F.col("_ar_hit"), F.lit(0))).cast("long").alias("n_overlap"),
+    )
+    approx_n = approx.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_approx")
+    )
+    return (
+        per_q.join(approx_n.hint("shuffle_hash"), "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_approx"), F.lit(0)).cast("long").alias("n_approx"),
+            "n_overlap",
+            F.floor(F.col("n_overlap") * 1000000 / F.col("n_exact"))
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
+def rrf_fuse(
+    ranked_lists: DataFrame,
+    *,
+    rrf_k: int = 60,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) over any number of
+    retrieval lists — the standard way to combine a lexical ranking
+    (BM25 / token overlap) with an embedding ranking without score
+    calibration: each list contributes 1/(rrf_k + rank) per item.
+
+    Input: (list_name, id_col, rank). Contributions are computed as
+    floor(1e9 / (rrf_k + rank)) and summed as INTEGERS — exact,
+    order-independent, engine-portable (the float formulation would be
+    summation-order-dependent).
+
+    Scale shape: one map-side-combined groupBy over the union of the
+    (k x |lists|)-row ranked lists; the lists themselves come from
+    one-pass retrieval operators. Deterministic output order key
+    (rrf_nano desc, id asc) via final sort columns.
+
+    Output: (id_col, n_lists, best_rank, rrf_nano).
+    """
+    contrib = F.floor(F.lit(1000000000) / (F.lit(rrf_k) + F.col("rank")))
+    return (
+        ranked_lists.select(
+            F.col(id_col),
+            F.col("list_name"),
+            F.col("rank"),
+            contrib.alias("_rrf_c"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("list_name").cast("long").alias("n_lists"),
+            F.min("rank").cast("long").alias("best_rank"),
+            F.sum("_rrf_c").cast("long").alias("rrf_nano"),
+        )
+    )

