@@ -89,6 +89,10 @@ HEADLINE = [
     "compression_ratio",      # zlib repetition gauge (mapInPandas)
     "source_dup_matrix",      # hash-keyed cross-source dup matrix
     "kmv_overlap",            # per-source KMV sketches -> pairwise Jaccard
+    # round-4 session-11 additions
+    "ann_recall_eval",        # bucketed-vs-exact ANN recall@10 (two one-pass scans)
+    "rank_fusion",            # integer-nano RRF of lexical + embedding top-20s
+    "url_templates",          # codegen template census + trap flags
 ]
 
 
