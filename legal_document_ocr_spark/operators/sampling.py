@@ -475,3 +475,67 @@ def budget_select(
             .alias("keep"),
         )
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    *,
+    sqrt_iters: int = 1,
+    budget: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled source sampling weights (the mT5/mC4 mixing
+    rule): p_g ∝ n_g^alpha with alpha = (1/2)^sqrt_iters — flattens the
+    head of a skewed source distribution so low-resource groups are not
+    drowned (alpha=0.5 is the standard T=2 setting). The companion to
+    ``mixture_weights``: that op hits an EXPLICIT target mixture; this
+    one derives the mixture from the counts themselves.
+
+    Portability: n^alpha is computed by ITERATED sqrt (IEEE-754 requires
+    sqrt correctly rounded, so Spark and the oracle produce the
+    bit-identical double; pow/exp carry no such guarantee and diverge by
+    ulps across libms). Each sqrt result is pinned round(·,12) ->
+    decimal(28,12) so the normalizing sum is EXACT and
+    partial-aggregation-order-independent; the final shares divide as
+    doubles from identical decimals.
+
+    Scale shape: one map-side-combined groupBy(group) -> counts (bounded
+    by the group domain), then scalar normalization crossJoined back —
+    everything after the first aggregate is sketch-sized.
+
+    Output: (group, n_docs, weight_ppm = floor(1e6 * w_g / Σw),
+    expected_docs = floor(budget * w_g / Σw)).
+    """
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_docs")
+    )
+    w = F.col("n_docs").cast("double")
+    for _ in range(sqrt_iters):
+        w = F.sqrt(w)
+    weighted = counts.select(
+        "grp",
+        "n_docs",
+        F.round(w, 12).cast("decimal(28,12)").alias("_tm_w"),
+    )
+    total = weighted.agg(F.sum("_tm_w").alias("_tm_tw"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_docs").cast("long"),
+            F.floor(
+                F.col("_tm_w").cast("double")
+                * 1000000
+                / F.col("_tm_tw").cast("double")
+            )
+            .cast("long")
+            .alias("weight_ppm"),
+            F.floor(
+                F.col("_tm_w").cast("double")
+                * budget
+                / F.col("_tm_tw").cast("double")
+            )
+            .cast("long")
+            .alias("expected_docs"),
+        )
+    )

@@ -680,3 +680,150 @@ def rrf_fuse(
             F.sum("_rrf_c").cast("long").alias("rrf_nano"),
         )
     )
+
+
+def ivf_admission(
+    corpus: DataFrame,
+    batch: DataFrame,
+    n_cells: int = 8,
+    *,
+    cell_cap: int = 1 << 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental IVF index maintenance: assign an ARRIVING batch to the
+    existing coarse cells (centroids frozen — re-training per batch would
+    invalidate the whole index) and flag cells whose combined population
+    exceeds ``cell_cap`` — the split/re-train trigger every streaming ANN
+    index needs (a crawl's embedding inflow is never uniform across
+    cells; hot cells degrade to brute-force scans unless split).
+
+    Scale shape: both assignments are corpus x broadcast(n_cells) argmin
+    scans (the ivf_assign shape — the centroid table is the ONLY
+    broadcast); populations are two short-key groupBys full-outer-merged
+    on the bounded cell domain. The batch never joins the corpus.
+
+    Output: (cell, corpus_n, batch_n, total_n, overfull).
+    """
+    cents = corpus.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    cn = (
+        _assign_to_centroids(
+            corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v")),
+            cents,
+            id_col,
+        )
+        .groupBy("cell")
+        .agg(F.count("*").alias("corpus_n"))
+    )
+    bn = (
+        _assign_to_centroids(
+            batch.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v")),
+            cents,
+            id_col,
+        )
+        .groupBy("cell")
+        .agg(F.count("*").alias("batch_n"))
+    )
+    return (
+        cn.join(bn, "cell", "full_outer")
+        .select(
+            F.col("cell").cast("long"),
+            F.coalesce("corpus_n", F.lit(0)).cast("long").alias("corpus_n"),
+            F.coalesce("batch_n", F.lit(0)).cast("long").alias("batch_n"),
+        )
+        .withColumn(
+            "total_n", (F.col("corpus_n") + F.col("batch_n")).cast("long")
+        )
+        .withColumn(
+            "overfull",
+            (F.col("total_n") > cell_cap).cast("int").cast("long"),
+        )
+    )
+
+
+def centroid_drift(
+    snap_a: DataFrame,
+    snap_b: DataFrame,
+    group_df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group embedding-centroid drift between two snapshots — the
+    embedding-space monitoring gauge (did src7's content shift since the
+    last crawl?) that catches topical/spam drift invisible to length or
+    vocabulary stats. cos(centroid_A, centroid_B) per group, floored to
+    micro units.
+
+    Portability/scale: per-(group, dim) component sums are
+    round(·,12)-pinned decimal(28,12) (exact, order-independent — the
+    grouped-mean discipline of ivf's refine step); means divide as
+    doubles; the cross-snapshot dot/norm sums run over the bounded
+    (group x dim) centroid table and are ALSO decimal-pinned, so no
+    float sum anywhere depends on partial-aggregation order. Raw vectors
+    are scanned once per snapshot; the group join is shuffle_hash
+    (group_df is corpus-sized id->group metadata, never broadcast).
+
+    Output: (group, n_a, n_b, cos_micro, drift_micro = 1e6 - cos_micro).
+    """
+    def comp_means(snap: DataFrame, tag: str) -> DataFrame:
+        labeled = snap.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+        ).join(
+            group_df.select(
+                F.col(id_col), F.col(group_col).alias("grp")
+            ).hint("shuffle_hash"),
+            id_col,
+        )
+        comp = labeled.select(
+            "grp", F.posexplode("v").alias("dim", "x")
+        ).select(
+            "grp",
+            "dim",
+            F.round(F.col("x"), 12).cast("decimal(28,12)").alias("xd"),
+        )
+        return comp.groupBy("grp", "dim").agg(
+            (F.sum("xd").cast("double") / F.count("*")).alias(f"c_{tag}"),
+            F.count("*").alias(f"n_{tag}"),
+        )
+    a = comp_means(snap_a, "a")
+    b = comp_means(snap_b, "b")
+    j = a.join(b.hint("shuffle_hash"), ["grp", "dim"]).select(
+        "grp",
+        "n_a",
+        "n_b",
+        F.round(F.col("c_a") * F.col("c_b"), 12)
+        .cast("decimal(28,12)")
+        .alias("ab"),
+        F.round(F.col("c_a") * F.col("c_a"), 12)
+        .cast("decimal(28,12)")
+        .alias("aa"),
+        F.round(F.col("c_b") * F.col("c_b"), 12)
+        .cast("decimal(28,12)")
+        .alias("bb"),
+    )
+    cos = F.col("sab").cast("double") / (
+        F.sqrt(F.col("saa").cast("double")) * F.sqrt(F.col("sbb").cast("double"))
+    )
+    return (
+        j.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.sum("ab").alias("sab"),
+            F.sum("aa").alias("saa"),
+            F.sum("bb").alias("sbb"),
+        )
+        .select(
+            group_col,
+            "n_a",
+            "n_b",
+            F.floor(cos * 1000000).cast("long").alias("cos_micro"),
+        )
+        .withColumn(
+            "drift_micro", (F.lit(1000000) - F.col("cos_micro")).cast("long")
+        )
+    )

@@ -1879,3 +1879,62 @@ def url_templates(
             .cast("long"),
         )
     )
+
+
+def robots_drift(
+    rules_a: DataFrame,
+    rules_b: DataFrame,
+    *,
+    host_col: str = "host",
+    prefix_col: str = "prefix",
+) -> DataFrame:
+    """Per-host robots-policy drift between two crawl snapshots: which
+    hosts added or dropped Disallow rules since the last fetch — the
+    re-crawl trigger for politeness state (a host that just disallowed
+    a tree must have those URLs retired from the frontier; one that
+    opened up gets re-seeded). Input: two (host, prefix) rule sets from
+    ``parse_robots_rules`` over the A and B robots corpora.
+
+    Scale shape: ONE full-outer shuffle_hash equi-join on (host, prefix)
+    classifies every rule as kept/added/removed, then a map-side-combined
+    per-host rollup — both sides are rule tables (bounded by hosts x
+    rule-list length), nothing is broadcast, no window.
+
+    Output: (host, rules_a, rules_b, added, removed, changed).
+    """
+    a = rules_a.select(
+        F.col(host_col).alias("host"),
+        F.col(prefix_col).alias("prefix"),
+        F.lit(1).alias("_in_a"),
+    )
+    b = rules_b.select(
+        F.col(host_col).alias("host"),
+        F.col(prefix_col).alias("prefix"),
+        F.lit(1).alias("_in_b"),
+    )
+    merged = a.join(b.hint("shuffle_hash"), ["host", "prefix"], "full_outer")
+    return (
+        merged.groupBy("host")
+        .agg(
+            F.sum(F.coalesce("_in_a", F.lit(0))).cast("long").alias("rules_a"),
+            F.sum(F.coalesce("_in_b", F.lit(0))).cast("long").alias("rules_b"),
+            F.sum(
+                F.when(
+                    F.col("_in_a").isNull() & F.col("_in_b").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("added"),
+            F.sum(
+                F.when(
+                    F.col("_in_a").isNotNull() & F.col("_in_b").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("removed"),
+        )
+        .withColumn(
+            "changed",
+            ((F.col("added") + F.col("removed")) > 0).cast("int").cast("long"),
+        )
+    )

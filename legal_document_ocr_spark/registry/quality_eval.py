@@ -396,3 +396,256 @@ SELECT doc_id::bigint AS doc_id,
   sum(floor(1000000000 / (60 + rank)))::bigint AS rrf_nano
 FROM lists GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture
+# ---------------------------------------------------------------------------
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights
+    (sampling.temperature_mixture, alpha=0.5 via IEEE-exact sqrt,
+    decimal-pinned normalization) with a 250k-doc budget."""
+    from ..operators.sampling import temperature_mixture
+
+    return temperature_mixture(
+        _docs(spark, sf_dir), "source", sqrt_iters=1, budget=250000
+    )
+
+
+_SQL_TEMPERATURE_MIXTURE = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+w AS (
+  SELECT source, n,
+    round(sqrt(n::double), 12)::decimal(28,12) AS wv
+  FROM c
+),
+t AS (SELECT sum(wv) AS tw FROM w)
+SELECT source, n::bigint AS n_docs,
+  floor(wv::double * 1000000 / tw::double)::bigint AS weight_ppm,
+  floor(wv::double * 250000 / tw::double)::bigint AS expected_docs
+FROM w, t
+"""
+
+
+# ---------------------------------------------------------------------------
+# robots_drift
+# ---------------------------------------------------------------------------
+
+
+def _synth_robots_b_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-B robots corpus: same shape as _synth_robots_df but the
+    per-(host, lang) Disallow coin both RETIRES some A rules (first coin
+    < '8' AND second coin < '2' -> dropped) and ADDS new ones (first
+    coin >= '8' AND second coin < '4')."""
+    docs = _docs(spark, sf_dir)
+    hosts = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host")
+    ).distinct()
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    dis_lines = []
+    for lang in sorted(langs):
+        coin = F.md5(F.concat(F.col("host"), F.lit("|" + lang)))
+        c1, c2 = F.substring(coin, 1, 1), F.substring(coin, 2, 1)
+        keep = (c1 < F.lit("8")) & (c2 >= F.lit("2"))
+        add = (c1 >= F.lit("8")) & (c2 < F.lit("4"))
+        dis_lines.append(
+            F.when(keep | add, F.lit(f"Disallow: /{lang}"))
+        )
+    body = F.concat_ws(
+        "\n",
+        F.lit("User-agent: evilbot"),
+        F.lit("Disallow: /never"),
+        F.lit("User-agent: *"),
+        *dis_lines,
+    )
+    return hosts.select("host", body.alias("robots_txt"))
+
+
+def q_robots_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host robots-policy drift (urls.robots_drift): rule sets from
+    parse_robots_rules over the A and B snapshots, one full-outer
+    shuffle_hash join, per-host added/removed census."""
+    from ..operators.urls import parse_robots_rules, robots_drift
+    from .relational_web import _synth_robots_df
+
+    a = parse_robots_rules(_synth_robots_df(spark, sf_dir))
+    b = parse_robots_rules(_synth_robots_b_df(spark, sf_dir))
+    return robots_drift(a, b)
+
+
+_SQL_ROBOTS_DRIFT = """
+WITH hl AS (
+  SELECT host, lang,
+    substr(md5(host || '|' || lang), 1, 1) AS c1,
+    substr(md5(host || '|' || lang), 2, 1) AS c2
+  FROM (SELECT DISTINCT source || '.example.com' AS host FROM documents),
+       (SELECT DISTINCT lang FROM documents)
+),
+a AS (SELECT host, '/' || lang AS prefix FROM hl WHERE c1 < '8'),
+b AS (
+  SELECT host, '/' || lang AS prefix FROM hl
+  WHERE (c1 < '8' AND c2 >= '2') OR (c1 >= '8' AND c2 < '4')
+),
+m AS (
+  SELECT coalesce(a.host, b.host) AS host,
+    CASE WHEN a.host IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+    CASE WHEN b.host IS NOT NULL THEN 1 ELSE 0 END AS in_b
+  FROM a FULL OUTER JOIN b ON a.host = b.host AND a.prefix = b.prefix
+)
+SELECT host,
+  sum(in_a)::bigint AS rules_a,
+  sum(in_b)::bigint AS rules_b,
+  sum(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END)::bigint AS added,
+  sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)::bigint AS removed,
+  (CASE WHEN sum(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END)
+           + sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) > 0
+        THEN 1 ELSE 0 END)::bigint AS changed
+FROM m GROUP BY host
+"""
+
+
+# ---------------------------------------------------------------------------
+# ivf_admission
+# ---------------------------------------------------------------------------
+
+
+def q_ivf_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF admission (similarity.ivf_admission): the negated
+    corpus arrives as a batch under shifted ids; frozen 8-cell index,
+    cap 130 flags the hot cells."""
+    from ..operators.similarity import ivf_admission
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    batch = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    return ivf_admission(emb, batch, 8, cell_cap=130)
+
+
+_SQL_IVF_ADMISSION = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 8),
+d0 AS (
+  SELECT e.vec_id, c.cell_id,
+    list_reduce(list_transform(generate_series(1, len(e.v)),
+      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), (x, y) -> x + y) AS dist
+  FROM e, c0 c
+),
+m0 AS (SELECT vec_id, min(dist) AS md FROM d0 GROUP BY vec_id),
+a0 AS (
+  SELECT d.vec_id, min(d.cell_id) AS cell
+  FROM d0 d JOIN m0 ON d.vec_id = m0.vec_id AND d.dist = m0.md
+  GROUP BY d.vec_id
+),
+eb AS (
+  SELECT vec_id + 100000 AS vec_id,
+    list_transform(embedding, x -> -(x::double)) AS v
+  FROM embeddings
+),
+db AS (
+  SELECT eb.vec_id, c.cell_id,
+    list_reduce(list_transform(generate_series(1, len(eb.v)),
+      i -> (eb.v[i] - c.cv[i]) * (eb.v[i] - c.cv[i])), (x, y) -> x + y) AS dist
+  FROM eb, c0 c
+),
+mb AS (SELECT vec_id, min(dist) AS md FROM db GROUP BY vec_id),
+ab AS (
+  SELECT d.vec_id, min(d.cell_id) AS cell
+  FROM db d JOIN mb ON d.vec_id = mb.vec_id AND d.dist = mb.md
+  GROUP BY d.vec_id
+),
+cn AS (SELECT cell, count(*) AS corpus_n FROM a0 GROUP BY cell),
+bn AS (SELECT cell, count(*) AS batch_n FROM ab GROUP BY cell)
+SELECT coalesce(cn.cell, bn.cell)::bigint AS cell,
+  coalesce(corpus_n, 0)::bigint AS corpus_n,
+  coalesce(batch_n, 0)::bigint AS batch_n,
+  (coalesce(corpus_n, 0) + coalesce(batch_n, 0))::bigint AS total_n,
+  (CASE WHEN coalesce(corpus_n, 0) + coalesce(batch_n, 0) > 130
+        THEN 1 ELSE 0 END)::bigint AS overfull
+FROM cn FULL OUTER JOIN bn ON cn.cell = bn.cell
+"""
+
+
+# ---------------------------------------------------------------------------
+# centroid_drift
+# ---------------------------------------------------------------------------
+
+
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding centroid drift (similarity.centroid_drift):
+    snapshot B shifts every 5th vector by +0.5 per component, so every
+    source's centroid moves by a known amount; decimal-pinned sums
+    throughout."""
+    from ..operators.similarity import centroid_drift
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    shifted = F.transform("embedding", lambda x: x.cast("double") + F.lit(0.5))
+    snap_b = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 5 == 0, shifted)
+        .otherwise(as_double)
+        .alias("embedding"),
+    )
+    groups = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    return centroid_drift(emb, snap_b, groups)
+
+
+_SQL_CENTROID_DRIFT = """
+WITH ea AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+  FROM embeddings
+),
+eb AS (
+  SELECT vec_id,
+    CASE WHEN vec_id % 5 = 0
+         THEN list_transform(embedding, x -> x::double + 0.5)
+         ELSE list_transform(embedding, x -> x::double) END AS v
+  FROM embeddings
+),
+g AS (SELECT doc_id AS vec_id, source AS grp FROM documents),
+ca AS (
+  SELECT grp, dim, sum(xd)::double / count(*) AS c, count(*) AS n
+  FROM (
+    SELECT g.grp, unnest(generate_series(1, len(v))) AS dim,
+      round(unnest(v), 12)::decimal(28,12) AS xd
+    FROM ea JOIN g ON ea.vec_id = g.vec_id
+  ) GROUP BY grp, dim
+),
+cb AS (
+  SELECT grp, dim, sum(xd)::double / count(*) AS c, count(*) AS n
+  FROM (
+    SELECT g.grp, unnest(generate_series(1, len(v))) AS dim,
+      round(unnest(v), 12)::decimal(28,12) AS xd
+    FROM eb JOIN g ON eb.vec_id = g.vec_id
+  ) GROUP BY grp, dim
+),
+j AS (
+  SELECT ca.grp, ca.n AS n_a, cb.n AS n_b,
+    round(ca.c * cb.c, 12)::decimal(28,12) AS ab,
+    round(ca.c * ca.c, 12)::decimal(28,12) AS aa,
+    round(cb.c * cb.c, 12)::decimal(28,12) AS bb
+  FROM ca JOIN cb ON ca.grp = cb.grp AND ca.dim = cb.dim
+),
+s AS (
+  SELECT grp, max(n_a) AS n_a, max(n_b) AS n_b,
+    sum(ab) AS sab, sum(aa) AS saa, sum(bb) AS sbb
+  FROM j GROUP BY grp
+)
+SELECT grp AS source, n_a::bigint AS n_a, n_b::bigint AS n_b,
+  floor(sab::double / (sqrt(saa::double) * sqrt(sbb::double))
+        * 1000000)::bigint AS cos_micro,
+  (1000000 - floor(sab::double / (sqrt(saa::double) * sqrt(sbb::double))
+        * 1000000))::bigint AS drift_micro
+FROM s
+"""

@@ -4212,3 +4212,96 @@ def test_rrf_fuse_integer_contributions(spark):
     assert out[9]["rrf_nano"] == 1000000000 // 62 + 1000000000 // 61
     assert out[7]["rrf_nano"] == 1000000000 // 61
     assert out[9]["rrf_nano"] > out[7]["rrf_nano"]
+
+
+def test_temperature_mixture_flattens_head(spark):
+    """alpha=0.5 mixing: a 100:1 source imbalance becomes 10:1 in the
+    weights; ppm shares sum to <= 1e6 (floor) and the head's share drops
+    below its raw share."""
+    from legal_document_ocr_spark.operators.sampling import temperature_mixture
+
+    rows = [("big", i) for i in range(100)] + [("small", i) for i in range(1)]
+    df = spark.createDataFrame(rows, "source string, i int")
+    out = {r["source"]: r for r in
+           temperature_mixture(df, "source", budget=1000).collect()}
+    assert out["big"]["n_docs"] == 100 and out["small"]["n_docs"] == 1
+    # sqrt weights 10 : 1 -> big 909090 ppm, small 90909 ppm
+    assert out["big"]["weight_ppm"] == 909090
+    assert out["small"]["weight_ppm"] == 90909
+    assert out["big"]["expected_docs"] == 909
+    # raw share would be 990099 ppm; temperature flattened it
+    assert out["big"]["weight_ppm"] < 990099
+
+
+def test_robots_drift_census(spark):
+    """Added/removed rules roll up per host; unchanged hosts report
+    changed=0; the rule join is shuffle_hash (nothing broadcast)."""
+    from legal_document_ocr_spark.operators.urls import robots_drift
+
+    a = spark.createDataFrame(
+        [("h1", "/a"), ("h1", "/b"), ("h2", "/x")], "host string, prefix string"
+    )
+    b = spark.createDataFrame(
+        [("h1", "/a"), ("h1", "/c"), ("h2", "/x")], "host string, prefix string"
+    )
+    out = {r["host"]: r for r in robots_drift(a, b).collect()}
+    h1 = out["h1"]
+    assert (h1["rules_a"], h1["rules_b"], h1["added"], h1["removed"],
+            h1["changed"]) == (2, 2, 1, 1, 1)
+    h2 = out["h2"]
+    assert (h2["added"], h2["removed"], h2["changed"]) == (0, 0, 0)
+    plan = _plan(robots_drift(a, b))
+    assert "BroadcastExchange" not in plan, plan
+
+
+def test_ivf_admission_flags_hot_cells(spark):
+    """Batch vectors land in their nearest frozen cell; total_n counts
+    both sides; cells past the cap flag overfull; the ONLY broadcast in
+    the plan is the bounded centroid table."""
+    from legal_document_ocr_spark.operators.similarity import ivf_admission
+
+    # 2 centroids at 0 and 10; corpus hugs cell 0, batch hugs cell 1
+    corpus = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [0.5, 0.1]),
+         (3, [0.2, 0.4]), (4, [9.0, 9.5])],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(100, [9.8, 9.9]), (101, [10.2, 9.7]), (102, [0.1, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["cell"]: r for r in
+           ivf_admission(corpus, batch, 2, cell_cap=4).collect()}
+    assert (out[0]["corpus_n"], out[0]["batch_n"]) == (3, 1)
+    assert (out[1]["corpus_n"], out[1]["batch_n"]) == (2, 2)
+    assert out[0]["total_n"] == 4 and out[0]["overfull"] == 0
+    assert out[1]["total_n"] == 4 and out[1]["overfull"] == 0
+    hot = {r["cell"]: r for r in
+           ivf_admission(corpus, batch, 2, cell_cap=3).collect()}
+    assert hot[0]["overfull"] == 1 and hot[1]["overfull"] == 1
+
+
+def test_centroid_drift_detects_shift(spark):
+    """Identical snapshots -> cos_micro 1e6, drift 0; an orthogonal-ward
+    shift drops cosine below 1e6; counts come from each snapshot."""
+    from legal_document_ocr_spark.operators.similarity import centroid_drift
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    groups = spark.createDataFrame(
+        [(1, "s1"), (2, "s1"), (3, "s2")], "vec_id long, source string"
+    )
+    same = {r["source"]: r for r in centroid_drift(a, a, groups).collect()}
+    assert same["s1"]["cos_micro"] == 1000000
+    assert same["s1"]["drift_micro"] == 0
+    assert (same["s1"]["n_a"], same["s1"]["n_b"]) == (2, 2)
+    b = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    moved = {r["source"]: r for r in centroid_drift(a, b, groups).collect()}
+    # s1 centroid (1,0) -> (0.5,0.5): cos = 0.5/(1*sqrt(0.5)) ~= 0.7071
+    assert moved["s1"]["cos_micro"] == 707106
+    assert moved["s2"]["drift_micro"] == 0
