@@ -770,3 +770,105 @@ def degree_assortativity(
             .alias("r_micro"),
         )
     )
+
+
+def hyperball(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    radius: int = 2,
+    p: int = 6,
+) -> DataFrame:
+    """HyperBall / HyperANF (Boldi, Rosa & Vigna, WWW 2011): per-node
+    approximate ball sizes |B(v, r)| — how many hosts are within r
+    out-links of v — via iterated HyperLogLog register merges. THE
+    web-graph neighborhood-function algorithm (it measured the Facebook
+    graph's four degrees of separation) and the iterative consumer of
+    ``dedup.hll_distinct``'s register construction: an exact BFS ball
+    per node is O(n·|ball|) state, the HLL ball is m bytes per node,
+    and set-union becomes a per-register max that Spark executes as a
+    map-side-combined groupBy.
+
+    b_0(v) = sketch({v}); b_t(v) = merge(b_{t-1}(v), b_{t-1}(w) for
+    every edge (v, w)). After t rounds the sketch estimates |B(v, t)|.
+
+    Portability: the register construction is ``hll_distinct``'s exactly
+    (md5 15-hex-char → 60-bit h; reg = h mod m; rank = leading-zero rank
+    of h div m within 60 - p bits), the per-node estimate uses the same
+    exact-integer harmonic sum (2**(cap - mx) terms — no order-dependent
+    float summation), and the DuckDB oracle unrolls the same rounds.
+
+    Scale shape: per round ONE equi-join of the edge list onto the
+    register table on dst (shuffle_hash both ways — at web scale both
+    are corpus-sized; nothing broadcast) and one groupBy(node, reg)
+    max(rank) whose map-side combine caps emitted rows at m per node.
+    State is <= n·m register rows per round — the entire reason HyperANF
+    beats exact BFS at 1e9 nodes.
+
+    Output: (node, ball1_regs, ball1_est, ball2_regs, ball2_est) for
+    radius=2 — generally (node, ball{t}_regs, ball{t}_est) per t.
+    """
+    m = 1 << p
+    width = 60 - p
+    rank_cap = width + 1
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = F.conv(F.substring(F.md5(F.col("node")), 1, 15), 16, 10).cast(
+        "decimal(20,0)"
+    ).cast("long")
+    w = F.floor(h / m).cast("long")
+    rank = F.when(w > 0, F.lit(rank_cap) - F.length(F.bin(w))).otherwise(
+        F.lit(rank_cap)
+    )
+    ball = nodes.select("node", (h % m).alias("reg"), rank.alias("mx"))
+
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def estimate(regs: DataFrame, tag: str) -> DataFrame:
+        s = regs.groupBy("node").agg(
+            F.count("*").alias("n_present"),
+            F.sum(F.expr(f"shiftleft(1L, {rank_cap} - mx)")).alias(
+                "s_present"
+            ),
+        )
+        zeros = F.lit(m) - F.col("n_present")
+        s_int = F.col("s_present") + zeros * F.lit(1 << rank_cap).cast(
+            "long"
+        )
+        z = s_int.cast("double") / F.lit(float(1 << rank_cap))
+        e_raw = F.lit(alpha * m * m) / z
+        est = F.when(
+            (e_raw <= 2.5 * m) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+        ).otherwise(e_raw)
+        return s.select(
+            "node",
+            F.col("n_present").cast("long").alias(f"ball{tag}_regs"),
+            F.floor(est).cast("long").alias(f"ball{tag}_est"),
+        )
+
+    out = None
+    for t in range(1, radius + 1):
+        grown = (
+            e.join(
+                ball.withColumnRenamed("node", "dst").hint("shuffle_hash"),
+                "dst",
+            )
+            .select(F.col("src").alias("node"), "reg", "mx")
+            .unionByName(ball)
+            .groupBy("node", "reg")
+            .agg(F.max("mx").alias("mx"))
+        )
+        ball = grown.localCheckpoint()
+        est_t = estimate(ball, str(t))
+        out = est_t if out is None else out.join(
+            est_t.hint("shuffle_hash"), "node"
+        )
+    return out

@@ -1092,3 +1092,72 @@ SELECT q_a.source,
 FROM q_a JOIN q_b ON q_a.source = q_b.source
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# hyperball
+# ---------------------------------------------------------------------------
+
+
+def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall ball-size estimation (graph.hyperball, p=6, radius 2)
+    over the deterministic demo host graph — per-host approximate
+    |B(v,1)| and |B(v,2)| via iterated HLL register merges; the oracle
+    unrolls the same two rounds on identical registers."""
+    from ..operators.graph import hyperball
+
+    return hyperball(_host_graph_edges(spark, sf_dir))
+
+
+def _sql_hyperball() -> str:
+    def merge(prev: str, cur: str) -> str:
+        return f"""{cur} AS (
+  SELECT node, reg, max(mx) AS mx FROM (
+    SELECT e.src AS node, b.reg, b.mx FROM e JOIN {prev} b ON e.dst = b.node
+    UNION ALL SELECT node, reg, mx FROM {prev}
+  ) GROUP BY 1, 2
+)"""
+
+    def est(ball: str, t: int) -> str:
+        return f"""s{t} AS (
+  SELECT node, count(*)::bigint AS np,
+    sum((1::bigint << (55 - mx)))::bigint AS sp
+  FROM {ball} GROUP BY node
+),
+e{t} AS (
+  SELECT node, np, (64 - np)::bigint AS zeros,
+    (sp + (64 - np) * (1::bigint << 55))::double
+      / 36028797018963968.0::double AS z
+  FROM s{t}
+),
+f{t} AS (
+  SELECT node, np, zeros,
+    (0.7213::double / (1.0::double + 1.079::double / 64.0::double)
+     * 64.0::double * 64.0::double) / z AS e_raw
+  FROM e{t}
+),
+est{t} AS (
+  SELECT node, np AS ball{t}_regs,
+    floor(CASE WHEN e_raw <= 160.0::double AND zeros > 0
+               THEN 64.0::double * ln(64.0::double / zeros::double)
+               ELSE e_raw END)::bigint AS ball{t}_est
+  FROM f{t}
+)"""
+
+    return f"""
+WITH {_DEMO_EDGES_SQL},
+nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+b0 AS (
+  SELECT node, h % 64 AS reg,
+    CASE WHEN h // 64 > 0 THEN 55 - length(bin(h // 64)) ELSE 55 END AS mx
+  FROM (
+    SELECT node, ('0x' || substr(md5(node), 1, 15))::bigint AS h FROM nodes
+  )
+),
+{merge("b0", "b1")},
+{merge("b1", "b2")},
+{est("b1", 1)},
+{est("b2", 2)}
+SELECT est1.node, ball1_regs, ball1_est, ball2_regs, ball2_est
+FROM est1 JOIN est2 ON est1.node = est2.node
+"""

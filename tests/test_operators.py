@@ -4305,3 +4305,53 @@ def test_centroid_drift_detects_shift(spark):
     # s1 centroid (1,0) -> (0.5,0.5): cos = 0.5/(1*sqrt(0.5)) ~= 0.7071
     assert moved["s1"]["cos_micro"] == 707106
     assert moved["s2"]["drift_micro"] == 0
+
+
+def test_hyperball_path_graph(spark):
+    """On a 4-node path a->b->c->d, ball1/ball2 estimates match a Python
+    replication of the identical HLL register construction (m=64), and
+    the per-round join is shuffle_hash (no corpus broadcast)."""
+    import hashlib
+    import math
+
+    from legal_document_ocr_spark.operators.graph import hyperball
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    out = {r["node"]: r for r in hyperball(edges).collect()}
+
+    def reg(node):
+        h = int(hashlib.md5(node.encode()).hexdigest()[:15], 16)
+        w = h // 64
+        return h % 64, (55 - w.bit_length()) if w > 0 else 55
+
+    def est(members):
+        regs = {}
+        for n in members:
+            r, mx = reg(n)
+            regs[r] = max(regs.get(r, 0), mx)
+        np_ = len(regs)
+        s = sum(1 << (55 - mx) for mx in regs.values())
+        s += (64 - np_) * (1 << 55)
+        z = s / float(1 << 55)
+        alpha = 0.7213 / (1.0 + 1.079 / 64)
+        e_raw = alpha * 64 * 64 / z
+        zeros = 64 - np_
+        if e_raw <= 160.0 and zeros > 0:
+            return np_, math.floor(64.0 * math.log(64.0 / zeros))
+        return np_, math.floor(e_raw)
+
+    balls1 = {"a": {"a", "b"}, "b": {"b", "c"}, "c": {"c", "d"}, "d": {"d"}}
+    balls2 = {"a": {"a", "b", "c"}, "b": {"b", "c", "d"},
+              "c": {"c", "d"}, "d": {"d"}}
+    for n in "abcd":
+        n1, e1 = est(balls1[n])
+        n2, e2 = est(balls2[n])
+        assert (out[n]["ball1_regs"], out[n]["ball1_est"]) == (n1, e1), n
+        assert (out[n]["ball2_regs"], out[n]["ball2_est"]) == (n2, e2), n
+    # monotone: ball2 >= ball1 everywhere
+    for n in "abcd":
+        assert out[n]["ball2_est"] >= out[n]["ball1_est"]
+    plan = _plan(hyperball(edges))
+    assert "BroadcastExchange" not in plan, plan
