@@ -1862,3 +1862,101 @@ def source_dup_matrix(
             F.count("*").cast("long").alias("n_families"),
         )
     )
+
+
+def bloom_membership(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    *,
+    m_bits: int = 1 << 17,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter batch-vs-corpus membership test — the BFF shape
+    (Dolma's Big Friendly Filter, Soldaini et al. 2024): an arriving
+    batch is probed against an m-bit / k-hash filter built from the
+    corpus, and the exact answer rides along to MEASURE the false-
+    positive rate the m/k sizing bought. The probabilistic sibling of
+    ``incremental_dedup``: the anti-join there touches the corpus hash
+    set per batch; the filter here is a bounded m-row structure a
+    thousand executors can hold locally.
+
+    Portable bit positions: pos_i(t) = h_i mod m_bits with
+    h_i = 60-bit md5 of ``str(i) || '|' || t`` — restatable in any
+    engine, no impl-defined hash. A batch text is bloom-positive iff
+    ALL k of its positions are set.
+
+    Scale shape: the corpus is scanned ONCE into <= min(k·n, m_bits)
+    DISTINCT set-position rows (map-side-combined short-key distinct);
+    that position table is broadcast BY CONSTRUCTION <= m_bits rows —
+    the entire point of a Bloom filter is that it fits in executor
+    memory, so this is the one dedup-family broadcast that is CORRECT
+    (contrast the corpus-sized tables the family pins shuffle_hash).
+    The exact ride-along is a LEFT SEMI on the full hash (shuffle_hash,
+    co-located) — drop it in production once the measured FPR is
+    acceptable. Batch rows are never joined to corpus rows.
+
+    Output per group: (group, batch_n, bloom_dups, exact_dups,
+    false_positives) with false_positives = bloom-positive but not
+    exactly present — the sizing gauge.
+    """
+
+    def pos_expr(i: int):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(str(i) + "|"), F.col(text_col))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("decimal(20,0)").cast("long")
+        return (h % m_bits).alias(f"p{i}")
+
+    filt = (
+        corpus.select(*[pos_expr(i) for i in range(k)])
+        .select(F.explode(F.array(*[f"p{i}" for i in range(k)])).alias("pos"))
+        .distinct()
+    )
+    probe = batch.select(
+        F.col(group_col).alias("grp"),
+        F.sha2(F.col(text_col), 256).alias("_bm_hash"),
+        *[pos_expr(i) for i in range(k)],
+    )
+    for i in range(k):
+        hit = (
+            filt.select(F.col("pos").alias(f"p{i}"))
+            .withColumn(f"h{i}", F.lit(1))
+        )
+        probe = probe.join(F.broadcast(hit), f"p{i}", "left")
+    all_hit = None
+    for i in range(k):
+        c = F.col(f"h{i}").isNotNull()
+        all_hit = c if all_hit is None else (all_hit & c)
+    seen = corpus.select(F.sha2(F.col(text_col), 256).alias("_bm_hash"))
+    exact = (
+        batch.select(F.sha2(F.col(text_col), 256).alias("_bm_hash"))
+        .join(seen.hint("shuffle_hash"), "_bm_hash", "left_semi")
+        .distinct()
+        .withColumn("_bm_exact", F.lit(1))
+    )
+    flagged = probe.select(
+        "grp", "_bm_hash", all_hit.cast("int").alias("_bm_bloom")
+    ).join(exact.hint("shuffle_hash"), "_bm_hash", "left")
+    return (
+        flagged.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count("*").cast("long").alias("batch_n"),
+            F.sum("_bm_bloom").cast("long").alias("bloom_dups"),
+            F.sum(F.coalesce("_bm_exact", F.lit(0)))
+            .cast("long")
+            .alias("exact_dups"),
+            F.sum(
+                F.when(
+                    (F.col("_bm_bloom") == 1) & F.col("_bm_exact").isNull(),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("false_positives"),
+        )
+    )

@@ -1161,3 +1161,71 @@ b0 AS (
 SELECT est1.node, ball1_regs, ball1_est, ball2_regs, ball2_est
 FROM est1 JOIN est2 ON est1.node = est2.node
 """
+
+
+# ---------------------------------------------------------------------------
+# bloom_dedup
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter batch membership (dedup.bloom_membership, m=2^14,
+    k=3): the batch is 30% of the corpus with odd doc_ids perturbed, so
+    evens are true duplicates, odds measure the false-positive rate the
+    filter sizing bought."""
+    from ..operators.dedup import bloom_membership
+
+    docs = _docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % 10 < 3).select(
+        "source",
+        F.when(
+            F.col("doc_id") % 2 == 1, F.concat(F.col("text"), F.lit(" NEW"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return bloom_membership(docs, batch, m_bits=1 << 14, k=3)
+
+
+def _sql_bloom_dedup() -> str:
+    pos = "(('0x' || substr(md5('{i}|' || text), 1, 15))::bigint % 16384)"
+    union = "\n    UNION ALL ".join(
+        f"SELECT {pos.format(i=i)} AS pos FROM documents" for i in range(3)
+    )
+    probes = ",\n    ".join(
+        f"{pos.format(i=i)} AS p{i}" for i in range(3)
+    )
+    return f"""
+WITH batch AS (
+  SELECT source,
+    CASE WHEN doc_id % 2 = 1 THEN text || ' NEW' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 < 3
+),
+filt AS (
+  SELECT DISTINCT pos FROM (
+    {union}
+  )
+),
+probe AS (
+  SELECT source, sha256(text) AS h,
+    {probes}
+  FROM batch
+),
+j AS (
+  SELECT p.source, p.h,
+    CASE WHEN f0.pos IS NOT NULL AND f1.pos IS NOT NULL
+          AND f2.pos IS NOT NULL THEN 1 ELSE 0 END AS bloom
+  FROM probe p
+  LEFT JOIN filt f0 ON p.p0 = f0.pos
+  LEFT JOIN filt f1 ON p.p1 = f1.pos
+  LEFT JOIN filt f2 ON p.p2 = f2.pos
+),
+ex AS (SELECT DISTINCT sha256(text) AS h FROM documents)
+SELECT j.source, count(*)::bigint AS batch_n,
+  sum(j.bloom)::bigint AS bloom_dups,
+  sum(CASE WHEN ex.h IS NOT NULL THEN 1 ELSE 0 END)::bigint AS exact_dups,
+  sum(CASE WHEN j.bloom = 1 AND ex.h IS NULL THEN 1 ELSE 0 END)::bigint
+    AS false_positives
+FROM j LEFT JOIN ex ON j.h = ex.h
+GROUP BY j.source
+"""

@@ -4355,3 +4355,32 @@ def test_hyperball_path_graph(spark):
         assert out[n]["ball2_est"] >= out[n]["ball1_est"]
     plan = _plan(hyperball(edges))
     assert "BroadcastExchange" not in plan, plan
+
+
+def test_bloom_membership_counts_and_fpr(spark):
+    """Exact members always bloom-flag (no false negatives); with a
+    tiny 8-bit filter saturated by the corpus, a novel text false-
+    positives; with a roomy filter it does not."""
+    from legal_document_ocr_spark.operators.dedup import bloom_membership
+
+    corpus = spark.createDataFrame(
+        [(f"t{i}",) for i in range(30)], "text string"
+    )
+    batch = spark.createDataFrame(
+        [("s1", "t0"), ("s1", "t1"), ("s1", "totally novel text"),
+         ("s2", "t2")],
+        "source string, text string",
+    )
+    # saturated filter: 30 texts x 3 hashes into 8 bits -> all set
+    sat = {r["source"]: r for r in
+           bloom_membership(corpus, batch, m_bits=8).collect()}
+    assert (sat["s1"]["batch_n"], sat["s1"]["exact_dups"]) == (3, 2)
+    assert sat["s1"]["bloom_dups"] == 3  # novel text false-positives
+    assert sat["s1"]["false_positives"] == 1
+    assert (sat["s2"]["bloom_dups"], sat["s2"]["false_positives"]) == (1, 0)
+    # roomy filter: no false positive for the novel text
+    roomy = {r["source"]: r for r in
+             bloom_membership(corpus, batch, m_bits=1 << 20).collect()}
+    assert roomy["s1"]["bloom_dups"] == 2
+    assert roomy["s1"]["false_positives"] == 0
+    assert roomy["s1"]["exact_dups"] == 2
