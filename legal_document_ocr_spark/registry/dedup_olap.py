@@ -1550,3 +1550,23 @@ SELECT id_a, id_b,
   (common * 1000000) // (na + nb - common) AS jaccard_micro
 FROM v WHERE (common * 1000000) // (na + nb - common) >= 990000
 """
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (streaming.stream_enrich): events
+    stream labeled with the customer dimension's market segment per
+    micro-batch, drained availableNow; oracle = the batch left join."""
+    from ..streaming.pipeline import run_stream_to_table, stream_enrich
+
+    name = "stream_enrich_result"
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sdf = stream_enrich(spark, f"{sf_dir}/events.parquet", dim)
+    run_stream_to_table(spark, sdf, name, output_mode="append")
+    return spark.table(name)
+
+
+_SQL_STREAM_ENRICH = """
+SELECT event_id::bigint AS event_id, user_id::bigint AS user_id,
+  event_type, coalesce(c_mktsegment, 'unknown') AS segment
+FROM events LEFT JOIN customer ON user_id = c_custkey
+"""

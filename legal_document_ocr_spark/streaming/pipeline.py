@@ -399,3 +399,49 @@ def stream_quality_flags(spark: SparkSession, docs_dir: str) -> DataFrame:
         mean_micro.alias("mean_tok_len_micro"),
         keep.alias("keep"),
     )
+
+
+def stream_enrich(
+    spark: SparkSession,
+    events_dir: str,
+    dim: DataFrame,
+    *,
+    key_col: str = "user_id",
+    dim_key: str = "c_custkey",
+    payload_col: str = "c_mktsegment",
+) -> DataFrame:
+    """Stream-static enrichment join (returns a streaming DF): each
+    arriving event is joined to a STATIC dimension table — the canonical
+    slowly-changing-dimension enrichment (label every event with its
+    user's segment / every fetched page with its host's trust tier).
+    Structured Streaming re-evaluates the static side's plan per
+    micro-batch, so a dim refreshed at rest is picked up on the next
+    trigger without restarting the query — the property this op exists
+    to exercise (the 7th streaming surface: stateless stream-static
+    JOIN, vs the map/agg/state ops already covered).
+
+    Stateless — no watermark, no state store; append output mode; the
+    drained table is row-for-row the batch left join (oracle-exact).
+
+    Scale shape: the dim side is explicitly broadcast (dimension tables
+    are bounded BY DEFINITION — this is the legitimate broadcast, unlike
+    the corpus-sized computed frames the dedup family pins
+    shuffle_hash), so the event stream never shuffles: each micro-batch
+    is a map-side hash probe.
+
+    Output: (event_id, user_id, event_type, segment) with unmatched
+    keys labeled 'unknown' (left join).
+    """
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        _as_stream_dir(spark, events_dir)
+    )
+    d = dim.select(
+        F.col(dim_key).cast("long").alias(key_col),
+        F.col(payload_col).alias("segment"),
+    )
+    return stream.join(F.broadcast(d), key_col, "left").select(
+        "event_id",
+        F.col(key_col).cast("long").alias(key_col),
+        "event_type",
+        F.coalesce("segment", F.lit("unknown")).alias("segment"),
+    )

@@ -318,3 +318,33 @@ def test_rate_source_windowed_counts_smoke(spark, tmp_path):
         assert 0 <= got[0] and got[1] <= 6
     finally:
         q.stop()
+
+
+def test_stream_enrich_matches_batch_join_and_labels_unknown(spark, tmp_path):
+    """Stream-static enrichment: drained rows equal the batch left join;
+    users absent from the dim get 'unknown'."""
+    from legal_document_ocr_spark.streaming.pipeline import stream_enrich
+
+    events_dir = str(tmp_path / "events")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10, "click", 1.0, "{}"),
+         (2, "2024-01-01 00:01:00", 11, "view", 2.0, "{}"),
+         (3, "2024-01-01 00:02:00", 99, "click", 3.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "user_id", "event_type",
+        "value", "props"
+    ).write.parquet(events_dir)
+    dim = spark.createDataFrame(
+        [(10, "BUILDING"), (11, "MACHINERY")],
+        "c_custkey long, c_mktsegment string",
+    )
+    sdf = stream_enrich(spark, events_dir, dim)
+    assert sdf.isStreaming
+    run_stream_to_table(spark, sdf, "enrich_t", output_mode="append")
+    out = {r["event_id"]: r for r in spark.table("enrich_t").collect()}
+    assert out[1]["segment"] == "BUILDING"
+    assert out[2]["segment"] == "MACHINERY"
+    assert out[3]["segment"] == "unknown"
+    assert len(out) == 3
