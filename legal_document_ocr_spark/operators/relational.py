@@ -2259,3 +2259,58 @@ def winsorized_stats(
             .alias("winsorized_mean_micro"),
         )
     )
+
+
+def filter_agreement(
+    df: DataFrame,
+    keep_a,
+    keep_b,
+    group_col: str = "source",
+) -> DataFrame:
+    """Cohen's kappa between two keep/drop filters per group — the
+    filter-comparison gauge every curation pipeline needs before
+    swapping heuristics (does the classifier agree with the rule
+    battery beyond chance? where do they diverge?). ``keep_a`` /
+    ``keep_b`` are boolean Columns evaluated per row.
+
+    kappa = (po - pe) / (1 - pe) over the 2x2 contingency: po =
+    agreement rate, pe = chance agreement from the marginals.
+
+    Portability/scale: the contingency is ONE map-side-combined
+    groupBy(group) of four integer conditional counts; kappa is a
+    per-group scalar expression over exact bigints — marginal products
+    multiply as integers (exact), each rate divides in ONE pinned
+    double operation, and the result is floored to micro units.
+    Degenerate groups (pe = 1: both filters constant) emit kappa 0.
+
+    Output: (group, n, both_keep, only_a, only_b, both_drop,
+    kappa_micro).
+    """
+    a = keep_a.cast("int")
+    b = keep_b.cast("int")
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(a * b).cast("long").alias("n11"),
+        F.sum(a * (1 - b)).cast("long").alias("n10"),
+        F.sum((1 - a) * b).cast("long").alias("n01"),
+        F.sum((1 - a) * (1 - b)).cast("long").alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n00") + F.col("n10")) * (F.col("n00") + F.col("n01"))
+    ).cast("double") / (F.col("n") * F.col("n")).cast("double")
+    kappa = F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)).otherwise(
+        F.lit(0.0)
+    )
+    return g.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.col("n11").alias("both_keep"),
+        F.col("n10").alias("only_a"),
+        F.col("n01").alias("only_b"),
+        F.col("n00").alias("both_drop"),
+        F.floor(kappa * 1000000).cast("long").alias("kappa_micro"),
+    )

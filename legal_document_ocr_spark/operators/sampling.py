@@ -539,3 +539,65 @@ def temperature_mixture(
             .alias("expected_docs"),
         )
     )
+
+
+def epoch_plan(
+    df: DataFrame,
+    weights: DataFrame,
+    group_col: str = "source",
+    *,
+    token_col,
+    budget_tokens: int,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """Per-source repetition factors under a mixture — the
+    data-constrained-scaling gauge (Muennighoff et al. 2023: repeating
+    data beyond ~4 epochs stops helping): given per-group unique token
+    counts and a mixture (``weights`` carries ``weight_ppm`` per group,
+    e.g. from ``temperature_mixture``), how many EPOCHS of each group's
+    data does serving ``budget_tokens`` imply, and which groups blow
+    past the repetition cap and need their allocation clipped?
+
+    alloc_g = floor(budget · w_g / 1e6); epochs_ppm_g =
+    floor(1e6 · alloc_g / T_g) — ALL integer arithmetic (bigint-exact
+    in any engine; no float appears anywhere in this op).
+
+    Scale shape: the corpus is touched by exactly one map-side-combined
+    groupBy(group) token sum; everything downstream (the weights join,
+    the plan arithmetic) lives on the bounded group domain.
+
+    Output: (group, unique_tokens, alloc_tokens, epochs_ppm, over_cap).
+    """
+    toks = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(token_col).cast("long").alias("unique_tokens")
+    )
+    w = weights.select(
+        F.col(group_col).alias("grp"), F.col("weight_ppm")
+    )
+    j = toks.join(w, "grp")
+    # bigint `div` keeps the products exact end-to-end (budget * ppm can
+    # exceed double's 53-bit mantissa; floor(double) would drift)
+    return (
+        j.withColumn(
+            "alloc_tokens",
+            F.expr(f"({budget_tokens}L * weight_ppm) div 1000000L").cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "epochs_ppm",
+            F.expr("(alloc_tokens * 1000000L) div unique_tokens").cast(
+                "long"
+            ),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "unique_tokens",
+            "alloc_tokens",
+            "epochs_ppm",
+            (F.col("epochs_ppm") > max_epochs * 1000000)
+            .cast("int")
+            .cast("long")
+            .alias("over_cap"),
+        )
+    )

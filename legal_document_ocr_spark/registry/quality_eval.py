@@ -649,3 +649,102 @@ SELECT grp AS source, n_a::bigint AS n_a, n_b::bigint AS n_b,
         * 1000000))::bigint AS drift_micro
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# filter_agreement
+# ---------------------------------------------------------------------------
+
+
+def q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa per source (relational.filter_agreement) between a
+    length rule (n_chars >= 200) and a content rule (contains ' the ')
+    — exact integer contingency, one pinned float expression."""
+    from ..operators.relational import filter_agreement
+
+    d = _docs(spark, sf_dir)
+    return filter_agreement(
+        d,
+        F.col("n_chars") >= 200,
+        F.col("text").contains(" the "),
+    )
+
+
+_SQL_FILTER_AGREEMENT = """
+WITH c AS (
+  SELECT source,
+    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+    CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+g AS (
+  SELECT source, count(*)::bigint AS n,
+    sum(a * b)::bigint AS n11, sum(a * (1 - b))::bigint AS n10,
+    sum((1 - a) * b)::bigint AS n01, sum((1 - a) * (1 - b))::bigint AS n00
+  FROM c GROUP BY source
+),
+k AS (
+  SELECT source, n, n11, n10, n01, n00,
+    (n11 + n00)::double / n::double AS po,
+    ((n11 + n10) * (n11 + n01) + (n00 + n10) * (n00 + n01))::double
+      / (n * n)::double AS pe
+  FROM g
+)
+SELECT source, n, n11 AS both_keep, n10 AS only_a, n01 AS only_b,
+  n00 AS both_drop,
+  floor(CASE WHEN pe < 1.0 THEN (po - pe) / (1.0::double - pe)
+             ELSE 0.0::double END * 1000000)::bigint AS kappa_micro
+FROM k
+"""
+
+
+# ---------------------------------------------------------------------------
+# epoch_plan
+# ---------------------------------------------------------------------------
+
+
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition factors (sampling.epoch_plan) under the T=2
+    temperature mixture with a 20M-char budget: upweighted small
+    sources cross the 4-epoch cap — all-bigint arithmetic."""
+    from ..operators.sampling import epoch_plan, temperature_mixture
+
+    docs = _docs(spark, sf_dir)
+    w = temperature_mixture(docs, "source", sqrt_iters=1, budget=250000)
+    return epoch_plan(
+        docs,
+        w,
+        "source",
+        token_col=F.col("n_chars").cast("long"),
+        budget_tokens=20_000_000,
+        max_epochs=4,
+    )
+
+
+_SQL_EPOCH_PLAN = """
+WITH cnt AS (
+  SELECT source, count(*) AS n, sum(n_chars)::bigint AS unique_tokens
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT source, unique_tokens,
+    round(sqrt(n::double), 12)::decimal(28,12) AS wv
+  FROM cnt
+),
+t AS (SELECT sum(wv) AS tw FROM w),
+p AS (
+  SELECT source, unique_tokens,
+    floor(wv::double * 1000000 / tw::double)::bigint AS weight_ppm
+  FROM w, t
+),
+a AS (
+  SELECT source, unique_tokens,
+    (20000000 * weight_ppm) // 1000000 AS alloc_tokens
+  FROM p
+)
+SELECT source, unique_tokens, alloc_tokens::bigint AS alloc_tokens,
+  ((alloc_tokens * 1000000) // unique_tokens)::bigint AS epochs_ppm,
+  (CASE WHEN (alloc_tokens * 1000000) // unique_tokens > 4000000
+        THEN 1 ELSE 0 END)::bigint AS over_cap
+FROM a
+"""

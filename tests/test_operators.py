@@ -4384,3 +4384,55 @@ def test_bloom_membership_counts_and_fpr(spark):
     assert roomy["s1"]["bloom_dups"] == 2
     assert roomy["s1"]["false_positives"] == 0
     assert roomy["s1"]["exact_dups"] == 2
+
+
+def test_filter_agreement_kappa(spark):
+    """Hand-checked 2x2 contingency: perfect agreement -> kappa 1e6;
+    a known mixed table matches the closed-form kappa; constant filters
+    (pe = 1) emit the degenerate 0."""
+    from legal_document_ocr_spark.operators.relational import filter_agreement
+
+    rows = [
+        # s1: a/b agree on 8 of 10 (n11=4, n00=4, n10=1, n01=1)
+        *[("s1", 1, 1)] * 4, *[("s1", 0, 0)] * 4,
+        ("s1", 1, 0), ("s1", 0, 1),
+        # s2: perfect agreement
+        *[("s2", 1, 1)] * 3, *[("s2", 0, 0)] * 2,
+        # s3: both constant keep -> pe = 1 -> kappa 0
+        *[("s3", 1, 1)] * 4,
+    ]
+    df = spark.createDataFrame(rows, "source string, a int, b int")
+    out = {r["source"]: r for r in filter_agreement(
+        df, F.col("a") == 1, F.col("b") == 1).collect()}
+    s1 = out["s1"]
+    assert (s1["both_keep"], s1["only_a"], s1["only_b"], s1["both_drop"]) == \
+        (4, 1, 1, 4)
+    # po=0.8, pe=(5*5+5*5)/100=0.5, kappa=0.3/0.5=0.6
+    assert s1["kappa_micro"] == 599999 or s1["kappa_micro"] == 600000
+    assert out["s2"]["kappa_micro"] == 1000000
+    assert out["s3"]["kappa_micro"] == 0
+
+
+def test_epoch_plan_integer_arithmetic(spark):
+    """All-bigint plan: allocation and epochs are exact integer div;
+    the over-cap flag trips past max_epochs."""
+    from legal_document_ocr_spark.operators.sampling import epoch_plan
+
+    docs = spark.createDataFrame(
+        [("big", 1000), ("big", 1000), ("small", 100)],
+        "source string, n_tokens int",
+    )
+    w = spark.createDataFrame(
+        [("big", 500000), ("small", 500000)],
+        "source string, weight_ppm long",
+    )
+    out = {r["source"]: r for r in epoch_plan(
+        docs, w, "source", token_col=F.col("n_tokens").cast("long"),
+        budget_tokens=2000, max_epochs=4).collect()}
+    # big: alloc = 2000*500000//1e6 = 1000; epochs = 1000*1e6//2000 = 500000
+    assert (out["big"]["unique_tokens"], out["big"]["alloc_tokens"]) == \
+        (2000, 1000)
+    assert out["big"]["epochs_ppm"] == 500000 and out["big"]["over_cap"] == 0
+    # small: alloc 1000 over 100 unique -> 10 epochs -> over the 4 cap
+    assert out["small"]["epochs_ppm"] == 10000000
+    assert out["small"]["over_cap"] == 1
