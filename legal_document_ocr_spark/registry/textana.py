@@ -574,3 +574,49 @@ FROM capped l JOIN capped r
 GROUP BY l.doc_id, r.doc_id, l.lang, r.lang
 HAVING count(*) >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# langid_confusion
+# ---------------------------------------------------------------------------
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: declared lang vs the marker-argmax
+    prediction (textops.lang_id) with per-declared-lang shares — the
+    eval every lang filter needs before trusting predictions at scale.
+    Doc-level join is shuffle_hash (both sides corpus-sized); the
+    confusion rollup and shares live on the bounded lang x lang domain;
+    shares are exact integer div."""
+    d = _docs(spark, sf_dir)
+    pred = textops.lang_id(d).select("doc_id", "pred_lang")
+    j = d.select("doc_id", "lang").join(pred.hint("shuffle_hash"), "doc_id")
+    g = j.groupBy("lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    t = g.groupBy("lang").agg(F.sum("n").alias("tot"))
+    return g.join(t.hint("shuffle_hash"), "lang").select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.expr("(n * 1000000L) div tot").cast("long").alias("share_ppm"),
+    )
+
+
+def _sql_langid_confusion() -> str:
+    return f"""
+WITH pred AS (
+  SELECT doc_id, pred_lang FROM ({_sql_lang_id()})
+),
+j AS (
+  SELECT d.lang, p.pred_lang FROM documents d
+  JOIN pred p ON d.doc_id = p.doc_id
+),
+g AS (
+  SELECT lang, pred_lang, count(*)::bigint AS n FROM j GROUP BY 1, 2
+),
+t AS (SELECT lang, sum(n) AS tot FROM g GROUP BY lang)
+SELECT g.lang, g.pred_lang, g.n,
+  ((g.n * 1000000) // t.tot)::bigint AS share_ppm
+FROM g JOIN t ON g.lang = t.lang
+"""
