@@ -93,6 +93,10 @@ HEADLINE = [
     "ann_recall_eval",        # bucketed-vs-exact ANN recall@10 (two one-pass scans)
     "rank_fusion",            # integer-nano RRF of lexical + embedding top-20s
     "url_templates",          # codegen template census + trap flags
+    # round-4 session-12 additions
+    "hyperball",              # iterated HLL-register ball-size merges (r=2)
+    "bloom_dedup",            # bloom filter build + probe + exact FPR ride-along
+    "centroid_drift",         # per-source cross-snapshot centroid cosine
 ]
 
 
