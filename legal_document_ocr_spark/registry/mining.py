@@ -1229,3 +1229,99 @@ SELECT j.source, count(*)::bigint AS batch_n,
 FROM j LEFT JOIN ex ON j.h = ex.h
 GROUP BY j.source
 """
+
+
+# ---------------------------------------------------------------------------
+# warc_segments
+# ---------------------------------------------------------------------------
+
+
+def q_warc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC continuation-record reassembly (warc.reassemble_segments):
+    each document ships as 3 segments (thirds of the text, total length
+    declared on the last); docs with doc_id % 13 == 0 LOSE segment 2,
+    so their reassembly must flag complete=0. The digest ride-along
+    proves byte-exact reassembly against the original text."""
+    from ..sources.warc import reassemble_segments
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = d.withColumn("L", F.length("text").cast("long")).withColumn(
+        "c1", F.expr("length(text) div 3").cast("long")
+    )
+    origin = F.concat(F.lit("rec-"), F.col("doc_id").cast("string"))
+    s1 = d.select(
+        origin.alias("origin_id"),
+        F.lit(1).alias("segment_number"),
+        F.expr("substring(text, 1, c1)").alias("payload"),
+        F.lit(None).cast("long").alias("segment_total_length"),
+    )
+    s2 = d.where(F.col("doc_id") % 13 != 0).select(
+        origin.alias("origin_id"),
+        F.lit(2).alias("segment_number"),
+        F.expr("substring(text, c1 + 1, c1)").alias("payload"),
+        F.lit(None).cast("long").alias("segment_total_length"),
+    )
+    s3 = d.select(
+        origin.alias("origin_id"),
+        F.lit(3).alias("segment_number"),
+        F.expr("substring(text, 2 * c1 + 1)").alias("payload"),
+        F.col("L").alias("segment_total_length"),
+    )
+    out = reassemble_segments(s1.unionByName(s2).unionByName(s3))
+    orig = d.select(
+        origin.alias("origin_id"),
+        F.sha2(F.col("text"), 256).alias("orig_digest"),
+    )
+    return (
+        out.join(orig.hint("shuffle_hash"), "origin_id")
+        .select(
+            "origin_id",
+            "n_segments",
+            "declared_total",
+            "complete",
+            F.sha2(F.col("assembled"), 256).alias("digest"),
+            (F.sha2(F.col("assembled"), 256) == F.col("orig_digest"))
+            .cast("int")
+            .cast("long")
+            .alias("matches"),
+        )
+    )
+
+
+_SQL_WARC_SEGMENTS = """
+WITH d AS (
+  SELECT doc_id, text, length(text)::bigint AS L,
+    (length(text) // 3)::bigint AS c1
+  FROM documents
+),
+segs AS (
+  SELECT 'rec-' || doc_id AS origin_id, 1::bigint AS seg,
+    substr(text, 1, c1) AS p, NULL::bigint AS tot FROM d
+  UNION ALL
+  SELECT 'rec-' || doc_id, 2::bigint, substr(text, (c1 + 1)::int, c1::int),
+    NULL::bigint FROM d WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT 'rec-' || doc_id, 3::bigint, substr(text, (2 * c1 + 1)::int), L
+  FROM d
+),
+g AS (
+  SELECT origin_id, count(*)::bigint AS n_segments,
+    string_agg(p, '' ORDER BY seg) AS assembled,
+    max(tot)::bigint AS declared_total,
+    list_sort(list(seg)) AS seglist
+  FROM segs GROUP BY origin_id
+),
+chk AS (
+  SELECT origin_id, n_segments,
+    coalesce(declared_total, -1)::bigint AS declared_total, assembled,
+    CASE WHEN seglist = generate_series(1::bigint, n_segments)
+          AND length(assembled)::bigint = declared_total
+         THEN 1 ELSE 0 END::bigint AS complete
+  FROM g
+)
+SELECT c.origin_id, c.n_segments, c.declared_total, c.complete,
+  sha256(c.assembled) AS digest,
+  (sha256(c.assembled) = sha256(d.text))::int::bigint AS matches
+FROM chk c JOIN (SELECT 'rec-' || doc_id AS origin_id, text FROM d) d
+  ON c.origin_id = d.origin_id
+"""

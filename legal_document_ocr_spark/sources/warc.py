@@ -619,3 +619,76 @@ def wat_records(
         payload,
     )
     return df.select(url.alias("url"), record.alias("record"))
+
+
+def reassemble_segments(
+    segments: DataFrame,
+    *,
+    origin_col: str = "origin_id",
+    seg_col: str = "segment_number",
+    payload_col: str = "payload",
+    total_col: str = "segment_total_length",
+) -> DataFrame:
+    """Reassemble WARC continuation records (ISO 28500 §6.10-6.12: a
+    response too large for one warcinfo block ships as record 1 +
+    ``continuation`` records sharing WARC-Segment-Origin-ID, ordered by
+    WARC-Segment-Number, with WARC-Segment-Total-Length on the LAST) —
+    the remaining corner of the WARC spec after the plain / binary /
+    HTTP-in-WARC / WET / WAT / CDX surfaces.
+
+    Completeness check rides along: a reassembly is ``complete`` iff the
+    segment numbers are exactly 1..n (no gap, no dup) and the declared
+    total length (max over the group — only one segment carries it)
+    equals the concatenated length. Incomplete groups are EMITTED with
+    complete=0, never dropped — a crawl's tail always has orphans, and
+    silently losing them is how corpora drift.
+
+    Scale shape: ONE groupBy(origin) whose state is the segments of a
+    single logical record (bounded by the segment count, never
+    corpus-wide); ordering happens INSIDE the group via array_sort over
+    (seg, payload) structs — no window, no shuffle beyond the one
+    group exchange. Payload concat is a JVM-side fold.
+
+    Output: (origin_id, n_segments, declared_total, assembled, complete).
+    """
+    g = (
+        segments.select(
+            F.col(origin_col).alias("origin_id"),
+            F.struct(
+                F.col(seg_col).cast("long").alias("seg"),
+                F.col(payload_col).alias("p"),
+            ).alias("sp"),
+            F.col(total_col).cast("long").alias("tot"),
+        )
+        .groupBy("origin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            F.array_sort(F.collect_list("sp")).alias("sps"),
+            F.max("tot").alias("declared_total"),
+        )
+    )
+    assembled = F.aggregate(
+        F.col("sps"), F.lit(""), lambda acc, x: F.concat(acc, x["p"])
+    )
+    segs_ok = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("sps"), lambda x: x["seg"]),
+            F.sequence(F.lit(1).cast("long"), F.col("n_segments")),
+            lambda a, b: (a == b).cast("int"),
+        ),
+        F.lit(1),
+        lambda acc, x: (acc.cast("boolean") & x.cast("boolean")).cast("int"),
+    )
+    return g.select(
+        "origin_id",
+        "n_segments",
+        F.coalesce("declared_total", F.lit(-1)).alias("declared_total"),
+        assembled.alias("assembled"),
+        (
+            segs_ok.cast("boolean")
+            & (F.length(assembled) == F.col("declared_total"))
+        )
+        .cast("int")
+        .cast("long")
+        .alias("complete"),
+    )

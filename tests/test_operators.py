@@ -4436,3 +4436,32 @@ def test_epoch_plan_integer_arithmetic(spark):
     # small: alloc 1000 over 100 unique -> 10 epochs -> over the 4 cap
     assert out["small"]["epochs_ppm"] == 10000000
     assert out["small"]["over_cap"] == 1
+
+
+def test_reassemble_segments_gaps_and_order(spark):
+    """Out-of-order segments reassemble byte-exactly; a missing middle
+    segment or a wrong declared total flags complete=0 but the group is
+    still EMITTED (orphans are reported, not dropped)."""
+    from legal_document_ocr_spark.sources.warc import reassemble_segments
+
+    rows = [
+        # r1: complete, arrives out of order
+        ("r1", 3, "cc", 6), ("r1", 1, "aa", None), ("r1", 2, "bb", None),
+        # r2: segment 2 missing
+        ("r2", 1, "xx", None), ("r2", 3, "zz", 6),
+        # r3: declared total wrong
+        ("r3", 1, "mm", None), ("r3", 2, "nn", 5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "origin_id string, segment_number int, payload string, "
+        "segment_total_length int",
+    )
+    out = {r["origin_id"]: r for r in reassemble_segments(df).collect()}
+    r1 = out["r1"]
+    assert (r1["assembled"], r1["n_segments"], r1["declared_total"],
+            r1["complete"]) == ("aabbcc", 3, 6, 1)
+    assert out["r2"]["assembled"] == "xxzz"
+    assert out["r2"]["complete"] == 0
+    assert out["r3"]["complete"] == 0
+    assert len(out) == 3
