@@ -2314,3 +2314,85 @@ def filter_agreement(
         F.col("n00").alias("both_drop"),
         F.floor(kappa * 1000000).cast("long").alias("kappa_micro"),
     )
+
+
+def partial_rollup(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """One group's mergeable aggregate state: (group, n_docs, sum_v,
+    min_v, max_v) — every column merges algebraically (count/sum add,
+    min/max fold), which is what makes ``merge_rollups`` exact. Means
+    and other ratios are DERIVED at read time, never stored (a stored
+    mean cannot merge)."""
+    return df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col(value_col).cast("long")).cast("long").alias("sum_v"),
+        F.min(F.col(value_col).cast("long")).cast("long").alias("min_v"),
+        F.max(F.col(value_col).cast("long")).cast("long").alias("max_v"),
+    )
+
+
+def merge_rollups(
+    state: DataFrame,
+    batch: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """Incremental rollup maintenance: merge yesterday's aggregate
+    state with a new batch's partial aggregates — the mergeable-
+    aggregate discipline that updates per-group stats over a 100 TB
+    corpus WITHOUT rescanning history (the daily-rollup loop every
+    production pipeline runs; the relational sibling of the mergeable
+    HLL/KMV sketches). Both inputs carry ``partial_rollup`` columns.
+
+    Merge rules are algebraic and engine-portable: counts and sums ADD,
+    min/max FOLD through least/greatest with null-absorbing coalesce;
+    the derived mean is exact integer div over the merged sums.
+
+    Scale shape: ONE full-outer equi-join on the bounded group domain
+    (state and batch aggregates are sketch-sized — the corpus was
+    touched only by each side's one map-side-combined groupBy).
+
+    Output: (group, n_docs, sum_v, min_v, max_v, mean_micro).
+    """
+    s = state.select(
+        "grp",
+        F.col("n_docs").alias("n_a"),
+        F.col("sum_v").alias("s_a"),
+        F.col("min_v").alias("mn_a"),
+        F.col("max_v").alias("mx_a"),
+    )
+    b = batch.select(
+        "grp",
+        F.col("n_docs").alias("n_b"),
+        F.col("sum_v").alias("s_b"),
+        F.col("min_v").alias("mn_b"),
+        F.col("max_v").alias("mx_b"),
+    )
+    m = s.join(b, "grp", "full_outer")
+    n = F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0))
+    sm = F.coalesce("s_a", F.lit(0)) + F.coalesce("s_b", F.lit(0))
+    return m.select(
+        F.col("grp").alias(group_col),
+        n.cast("long").alias("n_docs"),
+        sm.cast("long").alias("sum_v"),
+        F.least(
+            F.coalesce("mn_a", F.col("mn_b")), F.coalesce("mn_b", F.col("mn_a"))
+        )
+        .cast("long")
+        .alias("min_v"),
+        F.greatest(
+            F.coalesce("mx_a", F.col("mx_b")), F.coalesce("mx_b", F.col("mx_a"))
+        )
+        .cast("long")
+        .alias("max_v"),
+        F.expr(
+            "(({s}) * 1000000L) div ({n})".format(
+                s="coalesce(s_a, 0L) + coalesce(s_b, 0L)",
+                n="coalesce(n_a, 0L) + coalesce(n_b, 0L)",
+            )
+        )
+        .cast("long")
+        .alias("mean_micro"),
+    )

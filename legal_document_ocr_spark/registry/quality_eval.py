@@ -748,3 +748,31 @@ SELECT source, unique_tokens, alloc_tokens::bigint AS alloc_tokens,
         THEN 1 ELSE 0 END)::bigint AS over_cap
 FROM a
 """
+
+
+# ---------------------------------------------------------------------------
+# rollup_merge
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (relational.merge_rollups): state
+    = docs with doc_id % 3 != 0, batch = the rest; the merged result
+    must equal the full-corpus rollup — which is exactly what the
+    oracle states, so parity PROVES the merge rules are exact."""
+    from ..operators.relational import merge_rollups, partial_rollup
+
+    d = _docs(spark, sf_dir)
+    state = partial_rollup(d.where(F.col("doc_id") % 3 != 0))
+    batch = partial_rollup(d.where(F.col("doc_id") % 3 == 0))
+    return merge_rollups(state, batch)
+
+
+_SQL_ROLLUP_MERGE = """
+SELECT source, count(*)::bigint AS n_docs,
+  sum(n_chars)::bigint AS sum_v,
+  min(n_chars)::bigint AS min_v,
+  max(n_chars)::bigint AS max_v,
+  ((sum(n_chars)::bigint * 1000000) // count(*))::bigint AS mean_micro
+FROM documents GROUP BY source
+"""

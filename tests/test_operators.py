@@ -4465,3 +4465,33 @@ def test_reassemble_segments_gaps_and_order(spark):
     assert out["r2"]["complete"] == 0
     assert out["r3"]["complete"] == 0
     assert len(out) == 3
+
+
+def test_merge_rollups_algebraic_and_one_sided(spark):
+    """Merged state equals the full recompute; groups present on only
+    one side pass through with the other side's nulls absorbed."""
+    from legal_document_ocr_spark.operators.relational import (
+        merge_rollups,
+        partial_rollup,
+    )
+
+    full = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 30), ("b", 5), ("c", 7)],
+        "source string, n_chars int",
+    )
+    state = partial_rollup(full.where("n_chars <= 10"))   # a:10, b:5, c:7
+    batch = partial_rollup(full.where("n_chars > 10"))    # a:20, a:30
+    out = {r["source"]: r for r in merge_rollups(state, batch).collect()}
+    assert (out["a"]["n_docs"], out["a"]["sum_v"], out["a"]["min_v"],
+            out["a"]["max_v"]) == (3, 60, 10, 30)
+    assert out["a"]["mean_micro"] == 20000000
+    # b and c exist only in state; no batch row to merge
+    assert (out["b"]["n_docs"], out["b"]["min_v"], out["b"]["max_v"]) == \
+        (1, 5, 5)
+    assert out["c"]["sum_v"] == 7
+    expect = {r["grp"]: r for r in partial_rollup(full).collect()}
+    for g in "abc":
+        assert (out[g]["n_docs"], out[g]["sum_v"], out[g]["min_v"],
+                out[g]["max_v"]) == (
+            expect[g]["n_docs"], expect[g]["sum_v"], expect[g]["min_v"],
+            expect[g]["max_v"])
