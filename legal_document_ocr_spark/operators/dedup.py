@@ -1960,3 +1960,53 @@ def bloom_membership(
             .alias("false_positives"),
         )
     )
+
+
+def contrastive_triplets(
+    ids_df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(anchor, positive, negative) triplet mining for embedding-model
+    training: positives are candidate near-dup pairs (from any
+    generator — MinHash bands here), negatives are deterministic
+    half-rotation picks ``(anchor + m div 2) mod m`` over the id
+    universe, SCREENED against the candidate set so no negative is
+    secretly a near-dup (the classic false-negative poison in
+    contrastive training sets).
+
+    Determinism: the rotation rule is pure integer arithmetic — no
+    sampling state, so the same corpus always yields the same triplets
+    (restatable in SQL; re-runs are reproducible across cluster sizes).
+
+    Scale shape: ONE scalar aggregate (max id — bounded collect), then
+    a semi-join of negatives onto the id universe and an anti-join onto
+    the pair set, both shuffle_hash (ids and pairs are corpus-sized —
+    never broadcast, the dedup-family discipline).
+
+    Output: (anchor, positive, negative).
+    """
+    mx = ids_df.agg(F.max(F.col(id_col)).alias("mx")).collect()[0]["mx"]
+    m = int(mx) + 1
+    half = m // 2
+    trip = pairs.select(
+        F.col("id_a").cast("long").alias("anchor"),
+        F.col("id_b").cast("long").alias("positive"),
+        ((F.col("id_a") + half) % m).cast("long").alias("negative"),
+    ).where(
+        (F.col("negative") != F.col("anchor"))
+        & (F.col("negative") != F.col("positive"))
+    )
+    ids = ids_df.select(F.col(id_col).cast("long").alias("negative"))
+    trip = trip.join(ids.hint("shuffle_hash"), "negative", "left_semi")
+    canon = pairs.select(
+        F.least("id_a", "id_b").cast("long").alias("_ct_a"),
+        F.greatest("id_a", "id_b").cast("long").alias("_ct_b"),
+    )
+    return (
+        trip.withColumn("_ct_a", F.least("anchor", "negative"))
+        .withColumn("_ct_b", F.greatest("anchor", "negative"))
+        .join(canon.hint("shuffle_hash"), ["_ct_a", "_ct_b"], "left_anti")
+        .select("anchor", "positive", "negative")
+    )

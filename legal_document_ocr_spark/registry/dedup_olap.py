@@ -1570,3 +1570,55 @@ SELECT event_id::bigint AS event_id, user_id::bigint AS user_id,
   event_type, coalesce(c_mktsegment, 'unknown') AS segment
 FROM events LEFT JOIN customer ON user_id = c_custkey
 """
+
+
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining (dedup.contrastive_triplets):
+    positives from the MinHash candidate pairs over the planted-neardup
+    corpus (anchor mapped to its base id — the planted ids are sparse),
+    negatives by deterministic half-rotation over the dense documents
+    universe, screened against the candidate set."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    pairs = dedup.minhash_candidate_pairs(_neardup_docs(spark, sf_dir))
+    base_pairs = pairs.select(
+        (F.col("id_a") % 100000).alias("id_a"), F.col("id_b")
+    )
+    return dedup.contrastive_triplets(d, base_pairs)
+
+
+_SQL_CONTRASTIVE_TRIPLETS = (
+    _sql_minhash_bands(_NEARDUP_SQL)
+    + """,
+ct_raw AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+ct_bp AS (SELECT id_a % 100000 AS id_a, id_b FROM ct_raw),
+ct_mm AS (
+  SELECT max(doc_id) + 1 AS m, (max(doc_id) + 1) // 2 AS half
+  FROM documents
+),
+ct_t AS (
+  SELECT ct_bp.id_a AS anchor, ct_bp.id_b AS positive,
+    (ct_bp.id_a + ct_mm.half) % ct_mm.m AS negative
+  FROM ct_bp, ct_mm
+),
+ct_t2 AS (
+  SELECT * FROM ct_t
+  WHERE negative <> anchor AND negative <> positive
+    AND negative IN (SELECT doc_id FROM documents)
+),
+ct_canon AS (
+  SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b FROM ct_bp
+)
+SELECT anchor::bigint AS anchor, positive::bigint AS positive,
+  negative::bigint AS negative
+FROM ct_t2
+WHERE NOT EXISTS (
+  SELECT 1 FROM ct_canon c
+  WHERE c.a = least(ct_t2.anchor, ct_t2.negative)
+    AND c.b = greatest(ct_t2.anchor, ct_t2.negative)
+)
+"""
+)

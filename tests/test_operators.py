@@ -4495,3 +4495,24 @@ def test_merge_rollups_algebraic_and_one_sided(spark):
                 out[g]["max_v"]) == (
             expect[g]["n_docs"], expect[g]["sum_v"], expect[g]["min_v"],
             expect[g]["max_v"])
+
+
+def test_contrastive_triplets_rotation_and_screen(spark):
+    """Negatives are the deterministic half-rotation; triplets whose
+    negative is itself a candidate pair of the anchor are screened out;
+    rotations landing on the anchor/positive or outside the universe
+    drop."""
+    from legal_document_ocr_spark.operators.dedup import contrastive_triplets
+
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 9)], "id_a long, id_b long"
+    )
+    out = {(r["anchor"], r["positive"]): r["negative"]
+           for r in contrastive_triplets(ids, pairs).collect()}
+    # m=10, half=5: 0->5, 2->7 survive
+    assert out[(0, 1)] == 5
+    assert out[(2, 3)] == 7
+    # anchor 4 rotates to 9 — but (4,9) IS a candidate pair -> screened
+    assert (4, 9) not in out
+    assert len(out) == 2
