@@ -1325,3 +1325,103 @@ SELECT c.origin_id, c.n_segments, c.declared_total, c.complete,
 FROM chk c JOIN (SELECT 'rec-' || doc_id AS origin_id, text FROM d) d
   ON c.origin_id = d.origin_id
 """
+
+
+# ---------------------------------------------------------------------------
+# schema_evolution
+# ---------------------------------------------------------------------------
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read-back: an early shard written WITHOUT the
+    ``lang`` column and a later shard WITH it, read together under
+    parquet ``mergeSchema`` — the corpus-lifecycle reality (schemas
+    grow; a 100 TB archive is never rewritten to backfill a column).
+    Old rows surface lang=NULL and are counted per source; the oracle
+    states the same union semantics. Read-time schema merge is a
+    FOOTER-only pass — no data is touched until the scan."""
+    import tempfile
+
+    from ..sources.sink import read_table, write_table
+
+    d = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ldos-evo-")
+    write_table(
+        d.where(F.col("doc_id") % 2 == 0).select("doc_id", "source", "n_chars"),
+        f"{path}/batch=0",
+        mode="overwrite",
+    )
+    write_table(
+        d.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "source", "n_chars", "lang"
+        ),
+        f"{path}/batch=1",
+        mode="overwrite",
+    )
+    merged = read_table(
+        spark, path, options={"mergeSchema": "true", "recursiveFileLookup": "true"}
+    )
+    return merged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("lang").isNull().cast("int")).cast("long").alias(
+            "legacy_rows"
+        ),
+        F.sum(F.col("lang").isNotNull().cast("int")).cast("long").alias(
+            "evolved_rows"
+        ),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+_SQL_SCHEMA_EVOLUTION = """
+WITH u AS (
+  SELECT doc_id, source, n_chars, NULL AS lang FROM documents
+  WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, source, n_chars, lang FROM documents WHERE doc_id % 2 = 1
+)
+SELECT source, count(*)::bigint AS n_docs,
+  sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::bigint AS legacy_rows,
+  sum(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END)::bigint AS evolved_rows,
+  sum(n_chars)::bigint AS sum_chars
+FROM u GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# neighborhood_function
+# ---------------------------------------------------------------------------
+
+
+def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HyperANF deliverable proper: the global neighborhood function
+    N(t) = sum over nodes of |B(v,t)| and the pairs-reachable-within-t
+    fraction — the gauge behind 'four degrees of separation' analyses
+    and effective-diameter estimates. One short aggregate over the
+    per-node hyperball estimates (the corpus-scale work happened in the
+    register rounds); all-integer output."""
+    from ..operators.graph import hyperball
+
+    hb = hyperball(_host_graph_edges(spark, sf_dir))
+    return hb.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("ball1_est").cast("long").alias("n1_total"),
+        F.sum("ball2_est").cast("long").alias("n2_total"),
+        F.expr(
+            "(sum(ball2_est) * 1000000L) div (count(*) * count(*))"
+        )
+        .cast("long")
+        .alias("reach2_ppm"),
+    )
+
+
+def _sql_neighborhood_function() -> str:
+    return f"""
+WITH hb AS ({_sql_hyperball()})
+SELECT count(*)::bigint AS n_nodes,
+  sum(ball1_est)::bigint AS n1_total,
+  sum(ball2_est)::bigint AS n2_total,
+  ((sum(ball2_est) * 1000000) // (count(*) * count(*)))::bigint
+    AS reach2_ppm
+FROM hb
+"""
