@@ -1938,3 +1938,95 @@ def robots_drift(
             ((F.col("added") + F.col("removed")) > 0).cast("int").cast("long"),
         )
     )
+
+
+def robots_wildcard_filter(
+    frontier: DataFrame,
+    rules: DataFrame,
+    *,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """RFC 9309 §2.2.3 WILDCARD rule matching — the part of the robots
+    grammar ``robots_precedence_filter``'s prefix rules don't cover:
+    ``*`` spans any octet run, a trailing ``$`` anchors the match to the
+    path end (``/*.json$`` retires every JSON endpoint; mid-pattern
+    ``$`` is literal). Precedence follows the RFC: longest PATTERN wins,
+    Allow beats Disallow on equal length, no match means allowed.
+
+    Pattern→regex translation happens as THREE codegen regexp_replace
+    passes (escape regex metachars, lift ``*`` to ``.*``, re-anchor a
+    trailing ``$``) — never a UDF — and both the translation and the
+    per-row ``regexp_like`` are restatable in RE2 for the oracle (the
+    emitted regexes use only ``^``, escaped literals, ``.*``, ``$`` —
+    the Java/RE2 common subset).
+
+    Scale shape: ONE host-keyed equi-join (shuffle_hash — 1e8 hosts'
+    rule table is corpus-scale, never broadcast) with the regex as the
+    post-probe predicate (candidates per row bounded by the host's
+    rule-list length), then a map-side-combined groupBy(host, path)
+    argmax over the string encoding lpad(len,4) || tag || pattern
+    ('b' allow > 'a' disallow ties, trailing pattern disambiguates).
+
+    Output: every frontier row + (verdict, rule_pattern) — verdict in
+    {'allow','disallow','none'}; rule_pattern NULL for 'none'.
+    """
+    esc = F.regexp_replace(
+        F.col("pattern"), "([.\\+?(){}\\[\\]|^$\\\\])", "\\\\$1"
+    )
+    star = F.regexp_replace(esc, "\\*", ".*")
+    anchored = F.col("pattern").endswith("$")
+    r = (
+        rules.select(
+            F.col(host_col).alias("host"),
+            F.col("rule"),
+            F.col("pattern"),
+            star.alias("_rw_star"),
+        )
+        .withColumn(
+            "_rw_rx",
+            F.concat(
+                F.lit("^"),
+                F.when(
+                    anchored,
+                    F.concat(
+                        F.expr(
+                            "substring(_rw_star, 1, length(_rw_star) - 2)"
+                        ),
+                        F.lit("$"),
+                    ),
+                ).otherwise(F.col("_rw_star")),
+            ),
+        )
+        .withColumn(
+            "_rw_enc",
+            F.concat(
+                F.lpad(F.length("pattern").cast("string"), 4, "0"),
+                F.when(F.col("rule") == "allow", F.lit("b")).otherwise(
+                    F.lit("a")
+                ),
+                F.col("pattern"),
+            ),
+        )
+    )
+    fr = frontier.select(
+        F.col(host_col).alias("host"), F.col(path_col).alias("path")
+    )
+    hits = (
+        fr.join(r.hint("shuffle_hash"), "host")
+        .where(F.expr("regexp_like(path, _rw_rx)"))
+        .groupBy("host", "path")
+        .agg(F.max("_rw_enc").alias("_rw_win"))
+    )
+    return (
+        fr.join(hits.hint("shuffle_hash"), ["host", "path"], "left")
+        .select(
+            "host",
+            "path",
+            F.when(F.col("_rw_win").isNull(), F.lit("none"))
+            .when(F.substring("_rw_win", 5, 1) == "b", F.lit("allow"))
+            .otherwise(F.lit("disallow"))
+            .alias("verdict"),
+            F.expr("substring(_rw_win, 6)").alias("rule_pattern"),
+        )
+    )

@@ -776,3 +776,80 @@ SELECT source, count(*)::bigint AS n_docs,
   ((sum(n_chars)::bigint * 1000000) // count(*))::bigint AS mean_micro
 FROM documents GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# robots_wildcards
+# ---------------------------------------------------------------------------
+
+
+def q_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 wildcard rules (urls.robots_wildcard_filter): every host
+    carries '/*.json$' (end-anchored), '/tmp/*', and the longer allow
+    '/tmp/*5'; frontier paths derive from documents with /tmp and .json
+    variants by doc_id residue, so all three precedence outcomes occur."""
+    from ..operators.urls import robots_wildcard_filter
+
+    d = _docs(spark, sf_dir)
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    path = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/tmp")).otherwise(F.lit("")),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(".json")).otherwise(F.lit("")),
+    )
+    frontier = d.select(host.alias("host"), path.alias("path"))
+    hosts = d.select(host.alias("host")).distinct()
+    pats = spark.createDataFrame(
+        [("disallow", "/*.json$"), ("disallow", "/tmp/*"),
+         ("allow", "/tmp/*5")],
+        "rule string, pattern string",
+    )
+    return robots_wildcard_filter(frontier, hosts.crossJoin(pats))
+
+
+_SQL_ROBOTS_WILDCARDS = r"""
+WITH fr AS (
+  SELECT source || '.example.com' AS host,
+    (CASE WHEN doc_id % 5 = 0 THEN '/tmp' ELSE '' END)
+    || '/' || lang || '/' || doc_id
+    || (CASE WHEN doc_id % 4 = 0 THEN '.json' ELSE '' END) AS path
+  FROM documents
+),
+hosts AS (SELECT DISTINCT source || '.example.com' AS host FROM documents),
+pats AS (
+  SELECT 'disallow' AS rule, '/*.json$' AS pattern
+  UNION ALL SELECT 'disallow', '/tmp/*'
+  UNION ALL SELECT 'allow', '/tmp/*5'
+),
+rx AS (
+  SELECT host, rule, pattern,
+    regexp_replace(
+      regexp_replace(pattern, '([.\+?(){}\[\]|^$\\])', '\\\1', 'g'),
+      '\*', '.*', 'g') AS star
+  FROM hosts, pats
+),
+rx2 AS (
+  SELECT host, rule, pattern,
+    '^' || CASE WHEN pattern LIKE '%$'
+                THEN substr(star, 1, length(star) - 2) || '$'
+                ELSE star END AS rxp,
+    lpad(length(pattern)::varchar, 4, '0')
+      || CASE WHEN rule = 'allow' THEN 'b' ELSE 'a' END || pattern AS enc
+  FROM rx
+),
+hits AS (
+  SELECT f.host, f.path, max(r.enc) AS win
+  FROM fr f JOIN rx2 r ON f.host = r.host AND regexp_matches(f.path, r.rxp)
+  GROUP BY f.host, f.path
+)
+SELECT f.host, f.path,
+  CASE WHEN h.win IS NULL THEN 'none'
+       WHEN substr(h.win, 5, 1) = 'b' THEN 'allow'
+       ELSE 'disallow' END AS verdict,
+  CASE WHEN h.win IS NULL THEN NULL ELSE substr(h.win, 6) END
+    AS rule_pattern
+FROM fr f LEFT JOIN hits h ON f.host = h.host AND f.path = h.path
+"""

@@ -4516,3 +4516,40 @@ def test_contrastive_triplets_rotation_and_screen(spark):
     # anchor 4 rotates to 9 — but (4,9) IS a candidate pair -> screened
     assert (4, 9) not in out
     assert len(out) == 2
+
+
+def test_robots_wildcard_filter_rfc9309(spark):
+    """'*' spans, trailing '$' anchors, mid-'$' is literal, regex
+    metachars in patterns stay literal; longest pattern wins with allow
+    beating disallow on ties; unmatched paths verdict 'none'."""
+    from legal_document_ocr_spark.operators.urls import robots_wildcard_filter
+
+    rules = spark.createDataFrame(
+        [("h", "disallow", "/*.json$"),
+         ("h", "disallow", "/tmp/*"),
+         ("h", "allow", "/tmp/*5"),
+         ("h", "disallow", "/a$b*"),
+         ("h", "disallow", "/same/"), ("h", "allow", "/same/")],
+        "host string, rule string, pattern string",
+    )
+    frontier = spark.createDataFrame(
+        [("h", "/tmp/en/15.json"),   # .json (len 8) beats /tmp/*5 (7)
+         ("h", "/tmp/en/15"),        # allow /tmp/*5 (7) beats /tmp/* (6)
+         ("h", "/tmp/en/12"),        # only /tmp/* -> disallow
+         ("h", "/en/7"),             # nothing matches -> none
+         ("h", "/a$bcd"),            # mid-$ literal
+         ("h", "/en/7.json"),        # $-anchored wildcard
+         ("h", "/en/7.jsonx"),       # NOT anchored-match -> none
+         ("h", "/same/x")],          # equal length -> allow wins
+        "host string, path string",
+    )
+    out = {r["path"]: (r["verdict"], r["rule_pattern"])
+           for r in robots_wildcard_filter(frontier, rules).collect()}
+    assert out["/tmp/en/15.json"] == ("disallow", "/*.json$")
+    assert out["/tmp/en/15"] == ("allow", "/tmp/*5")
+    assert out["/tmp/en/12"] == ("disallow", "/tmp/*")
+    assert out["/en/7"] == ("none", None)
+    assert out["/a$bcd"] == ("disallow", "/a$b*")
+    assert out["/en/7.json"] == ("disallow", "/*.json$")
+    assert out["/en/7.jsonx"] == ("none", None)
+    assert out["/same/x"] == ("allow", "/same/")
