@@ -4553,3 +4553,26 @@ def test_robots_wildcard_filter_rfc9309(spark):
     assert out["/en/7.json"] == ("disallow", "/*.json$")
     assert out["/en/7.jsonx"] == ("none", None)
     assert out["/same/x"] == ("allow", "/same/")
+
+
+def test_session12_corpus_joins_have_no_broadcasts(spark):
+    """Broadcast-hygiene locks for the session-12 corpus-sized joins:
+    contrastive_triplets' semi/anti screens and robots_wildcard_filter's
+    host join must stay ShuffledHashJoin — at web scale neither side is
+    broadcastable (the r2 crawl_frontier lesson)."""
+    from legal_document_ocr_spark.operators.dedup import contrastive_triplets
+    from legal_document_ocr_spark.operators.urls import robots_wildcard_filter
+
+    ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], "id_a long, id_b long")
+    p1 = _plan(contrastive_triplets(ids, pairs))
+    assert "BroadcastExchange" not in p1, p1
+    assert "ShuffledHashJoin" in p1, p1
+
+    rules = spark.createDataFrame(
+        [("h", "disallow", "/tmp/*")], "host string, rule string, pattern string"
+    )
+    fr = spark.createDataFrame([("h", "/tmp/x")], "host string, path string")
+    p2 = _plan(robots_wildcard_filter(fr, rules))
+    assert "BroadcastExchange" not in p2, p2
+    assert "ShuffledHashJoin" in p2, p2
