@@ -2010,3 +2010,79 @@ def contrastive_triplets(
         .join(canon.hint("shuffle_hash"), ["_ct_a", "_ct_b"], "left_anti")
         .select("anchor", "positive", "negative")
     )
+
+
+def bcubed_eval(
+    assign: DataFrame,
+    truth: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    family_col: str = "family_id",
+) -> DataFrame:
+    """B-cubed cluster-quality evaluation (Bagga & Baldwin 1998) of a
+    dedup clustering against planted ground truth — THE standard
+    extrinsic metric for dedup/coreference clusterings (pairwise F is
+    dominated by the largest family; B³ averages per-document):
+    precision = mean over docs of |cluster ∩ family| / |cluster|,
+    recall the same over the family. An over-merged clustering craters
+    precision, an under-merged one recall; F1 balances.
+
+    B³ reduces EXACTLY to contingency counts: Σ n_cf²/n_c over the
+    (cluster, family) table for precision (÷N), Σ n_cf²/n_f for recall
+    — no per-doc iteration. Per-cell terms are round(·,12)-pinned
+    decimal(28,12) sums (order-independent); the final ratios divide
+    as doubles in one pinned expression each.
+
+    Scale shape: one doc-keyed shuffle_hash join (assignment and truth
+    are both corpus-sized), then everything lives on the contingency
+    table (bounded by #clusters × #families cells with support).
+
+    Output: one row (n_docs, precision_micro, recall_micro, f1_micro).
+    """
+    j = assign.select(
+        F.col(id_col).alias("_bc_id"), F.col(cluster_col).alias("c")
+    ).join(
+        truth.select(
+            F.col(id_col).alias("_bc_id"), F.col(family_col).alias("f")
+        ).hint("shuffle_hash"),
+        "_bc_id",
+    )
+    cf = j.groupBy("c", "f").agg(F.count("*").cast("long").alias("n_cf"))
+    nc = cf.groupBy("c").agg(F.sum("n_cf").cast("long").alias("n_c"))
+    nf = cf.groupBy("f").agg(F.sum("n_cf").cast("long").alias("n_f"))
+    terms = (
+        cf.join(nc.hint("shuffle_hash"), "c")
+        .join(nf.hint("shuffle_hash"), "f")
+        .select(
+            "n_cf",
+            F.round(
+                (F.col("n_cf") * F.col("n_cf")).cast("double")
+                / F.col("n_c").cast("double"),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("pt"),
+            F.round(
+                (F.col("n_cf") * F.col("n_cf")).cast("double")
+                / F.col("n_f").cast("double"),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("rt"),
+        )
+    )
+    agg = terms.agg(
+        F.sum("n_cf").cast("long").alias("n_docs"),
+        F.sum("pt").alias("sp"),
+        F.sum("rt").alias("sr"),
+    )
+    p = F.col("sp").cast("double") / F.col("n_docs").cast("double")
+    r = F.col("sr").cast("double") / F.col("n_docs").cast("double")
+    f1 = F.lit(2.0) * p * r / (p + r)
+    return agg.select(
+        "n_docs",
+        F.floor(p * 1000000).cast("long").alias("precision_micro"),
+        F.floor(r * 1000000).cast("long").alias("recall_micro"),
+        F.floor(f1 * 1000000).cast("long").alias("f1_micro"),
+    )

@@ -1622,3 +1622,55 @@ WHERE NOT EXISTS (
 )
 """
 )
+
+
+def q_dedup_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed evaluation (dedup.bcubed_eval) of the end-to-end
+    dedup_clusters output against the planted families (base doc and
+    its +100000 perturbed twin share family doc_id % 100000) — the
+    extrinsic quality number for the whole LSH->verify->CC pipeline."""
+    assign = dedup.dedup_clusters(_neardup_docs(spark, sf_dir)).select(
+        "doc_id", "cluster_id"
+    )
+    truth = _neardup_docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 100000).alias("family_id")
+    )
+    return dedup.bcubed_eval(assign, truth)
+
+
+_SQL_DEDUP_BCUBED = f"""
+WITH asg AS (
+  SELECT doc_id, cluster_id FROM ({_SQL_DEDUP_CLUSTERS})
+),
+tr AS (
+  SELECT doc_id, doc_id % 100000 AS family_id
+  FROM ({_NEARDUP_SQL})
+),
+cf AS (
+  SELECT a.cluster_id AS c, t.family_id AS f, count(*)::bigint AS n_cf
+  FROM asg a JOIN tr t ON a.doc_id = t.doc_id
+  GROUP BY 1, 2
+),
+nc AS (SELECT c, sum(n_cf)::bigint AS n_c FROM cf GROUP BY c),
+nf AS (SELECT f, sum(n_cf)::bigint AS n_f FROM cf GROUP BY f),
+terms AS (
+  SELECT cf.n_cf,
+    round((cf.n_cf * cf.n_cf)::double / nc.n_c::double, 12)
+      ::decimal(28,12) AS pt,
+    round((cf.n_cf * cf.n_cf)::double / nf.n_f::double, 12)
+      ::decimal(28,12) AS rt
+  FROM cf JOIN nc ON cf.c = nc.c JOIN nf ON cf.f = nf.f
+),
+agg AS (
+  SELECT sum(n_cf)::bigint AS n_docs, sum(pt) AS sp, sum(rt) AS sr
+  FROM terms
+)
+SELECT n_docs,
+  floor(sp::double / n_docs::double * 1000000)::bigint AS precision_micro,
+  floor(sr::double / n_docs::double * 1000000)::bigint AS recall_micro,
+  floor(2.0::double * (sp::double / n_docs::double)
+        * (sr::double / n_docs::double)
+        / (sp::double / n_docs::double + sr::double / n_docs::double)
+        * 1000000)::bigint AS f1_micro
+FROM agg
+"""

@@ -4576,3 +4576,30 @@ def test_session12_corpus_joins_have_no_broadcasts(spark):
     p2 = _plan(robots_wildcard_filter(fr, rules))
     assert "BroadcastExchange" not in p2, p2
     assert "ShuffledHashJoin" in p2, p2
+
+
+def test_bcubed_eval_hand_checked(spark):
+    """Perfect clustering -> P=R=F1=1e6; a known over-merge matches the
+    closed-form B-cubed numbers."""
+    from legal_document_ocr_spark.operators.dedup import bcubed_eval
+
+    truth = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 20)],
+        "doc_id long, family_id long",
+    )
+    perfect = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 200), (4, 200)],
+        "doc_id long, cluster_id long",
+    )
+    out = bcubed_eval(perfect, truth).collect()[0]
+    assert (out["n_docs"], out["precision_micro"], out["recall_micro"],
+            out["f1_micro"]) == (4, 1000000, 1000000, 1000000)
+    # everything merged into one cluster: P = mean(2/4) = 0.5, R = 1
+    merged = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1)], "doc_id long, cluster_id long"
+    )
+    out2 = bcubed_eval(merged, truth).collect()[0]
+    assert out2["precision_micro"] == 500000
+    assert out2["recall_micro"] == 1000000
+    # F1 = 2*.5*1/1.5 = 2/3
+    assert out2["f1_micro"] in (666666, 666667)
