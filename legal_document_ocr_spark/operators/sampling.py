@@ -601,3 +601,79 @@ def epoch_plan(
             .alias("over_cap"),
         )
     )
+
+
+# Poisson(1) cumulative pmf in ppm, truncated at k=9 (tail mass 1e-6 —
+# the truncation is part of the spec so both engines state it identically)
+POISSON_CUM_PPM = (
+    367879, 735758, 919698, 980997, 996323, 999405, 999916, 999989, 999998
+)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    value_col: str = "n_chars",
+    *,
+    replicas: int = 16,
+) -> DataFrame:
+    """Deterministic Poisson-bootstrap confidence interval for a corpus
+    mean — the resampling scheme streaming/big-data systems actually use
+    (per-row Poisson(1) weights need NO shared state or second pass,
+    unlike the classic n-out-of-n bootstrap): every replica reweights
+    each row by a hash-derived Poisson draw, and the spread of replica
+    means bounds the sampling error of the point estimate. 'Is the
+    quality-score drift between snapshots real or noise?' needs exactly
+    this.
+
+    Determinism/portability: draw b for a row = the number of Poisson
+    cumulative-ppm thresholds <= md5(id || '|' || b) mod 1e6 — a pure
+    CASE ladder, identical in any engine. The ENTIRE op is bigint
+    arithmetic (sums, counts, integer-div micro means; no float
+    anywhere), so partial-aggregation order cannot move the result.
+
+    Scale shape: ONE scan computing replicas x (weighted sum, weight
+    sum) map-side-combined aggregate columns; the result is a single
+    row. No shuffle beyond the one final-aggregate exchange.
+
+    Output: (n_docs, mean_micro, boot_lo_micro, boot_hi_micro,
+    spread_micro).
+    """
+    v = F.col(value_col).cast("long")
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.sum(v).cast("long").alias("sv"),
+    ]
+    for b in range(replicas):
+        u = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"), F.lit(f"|{b}")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("decimal(20,0)").cast("long") % 1000000
+        w = sum(
+            [(u >= F.lit(t)).cast("int") for t in POISSON_CUM_PPM],
+            F.lit(0),
+        ).cast("long")
+        aggs.append(F.sum(w * v).cast("long").alias(f"wv_{b}"))
+        aggs.append(F.sum(w).cast("long").alias(f"w_{b}"))
+    g = df.agg(*aggs)
+    means = [
+        F.expr(f"(wv_{b} * 1000000L) div w_{b}") for b in range(replicas)
+    ]
+    return g.select(
+        F.col("n").alias("n_docs"),
+        F.expr("(sv * 1000000L) div n").cast("long").alias("mean_micro"),
+        F.least(*means).cast("long").alias("boot_lo_micro"),
+        F.greatest(*means).cast("long").alias("boot_hi_micro"),
+        (F.greatest(*means) - F.least(*means))
+        .cast("long")
+        .alias("spread_micro"),
+    )

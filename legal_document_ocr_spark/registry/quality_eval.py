@@ -853,3 +853,71 @@ SELECT f.host, f.path,
     AS rule_pattern
 FROM fr f LEFT JOIN hits h ON f.host = h.host AND f.path = h.path
 """
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_ci
+# ---------------------------------------------------------------------------
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI (sampling.bootstrap_ci) for
+    the corpus mean n_chars — 16 hash-weighted replicas in one scan,
+    all-bigint arithmetic."""
+    from ..operators.sampling import bootstrap_ci
+
+    return bootstrap_ci(_docs(spark, sf_dir), "doc_id", "n_chars")
+
+
+def _sql_bootstrap_ci(replicas: int = 16) -> str:
+    from ..operators.sampling import POISSON_CUM_PPM
+
+    us = ",\n    ".join(
+        f"('0x' || substr(md5(doc_id::varchar || '|{b}'), 1, 15))::bigint"
+        f" % 1000000 AS u{b}"
+        for b in range(replicas)
+    )
+    ws = ",\n    ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN u{b} >= {t} THEN 1 ELSE 0 END"
+            for t in POISSON_CUM_PPM
+        )
+        + f")::bigint AS w{b}"
+        for b in range(replicas)
+    )
+    gs = ",\n    ".join(
+        f"sum(w{b} * v)::bigint AS wv_{b}, sum(w{b})::bigint AS w_{b}"
+        for b in range(replicas)
+    )
+    ms = ",\n    ".join(
+        f"(wv_{b} * 1000000) // w_{b} AS m{b}" for b in range(replicas)
+    )
+    mlist = ", ".join(f"m{b}" for b in range(replicas))
+    return f"""
+WITH u AS (
+  SELECT n_chars::bigint AS v,
+    {us}
+  FROM documents
+),
+w AS (
+  SELECT v,
+    {ws}
+  FROM u
+),
+g AS (
+  SELECT count(*)::bigint AS n, sum(v)::bigint AS sv,
+    {gs}
+  FROM w
+),
+m AS (
+  SELECT n, sv,
+    {ms}
+  FROM g
+)
+SELECT n AS n_docs, ((sv * 1000000) // n)::bigint AS mean_micro,
+  least({mlist})::bigint AS boot_lo_micro,
+  greatest({mlist})::bigint AS boot_hi_micro,
+  (greatest({mlist}) - least({mlist}))::bigint AS spread_micro
+FROM m
+"""

@@ -4603,3 +4603,20 @@ def test_bcubed_eval_hand_checked(spark):
     assert out2["recall_micro"] == 1000000
     # F1 = 2*.5*1/1.5 = 2/3
     assert out2["f1_micro"] in (666666, 666667)
+
+
+def test_bootstrap_ci_brackets_mean_deterministically(spark):
+    """The CI brackets the point mean, is identical across runs and
+    partitionings (hash-derived weights), and is all-integer."""
+    from legal_document_ocr_spark.operators.sampling import bootstrap_ci
+
+    df = spark.createDataFrame(
+        [(i, 100 + (i % 7)) for i in range(200)], "doc_id long, n_chars int"
+    )
+    a = bootstrap_ci(df, "doc_id", "n_chars").collect()[0]
+    b = bootstrap_ci(df.repartition(7), "doc_id", "n_chars").collect()[0]
+    assert a == b  # partitioning-independent
+    assert a["boot_lo_micro"] <= a["mean_micro"] <= a["boot_hi_micro"]
+    assert a["spread_micro"] == a["boot_hi_micro"] - a["boot_lo_micro"]
+    assert 0 < a["spread_micro"] < 2_000_000  # resamples vary but mildly
+    assert a["n_docs"] == 200
