@@ -1674,3 +1674,30 @@ SELECT n_docs,
         * 1000000)::bigint AS f1_micro
 FROM agg
 """
+
+
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution join (streaming.stream_stream_
+    attribution): purchases attributed to same-user views within 30
+    minutes, drained availableNow; oracle = the batch time-range join."""
+    from ..streaming.pipeline import (
+        run_stream_to_table,
+        stream_stream_attribution,
+    )
+
+    name = "stream_attr_result"
+    sdf = stream_stream_attribution(spark, f"{sf_dir}/events.parquet")
+    run_stream_to_table(spark, sdf, name, output_mode="append")
+    return spark.table(name)
+
+
+_SQL_STREAM_ATTRIBUTION = """
+SELECT i.user_id::bigint AS user_id, i.event_id::bigint AS imp_id,
+  c.event_id::bigint AS conv_id,
+  (epoch_us(c.ts) // 1000000 - epoch_us(i.ts) // 1000000)::bigint
+    AS lag_sec
+FROM events i JOIN events c
+  ON i.user_id = c.user_id
+  AND i.event_type = 'view' AND c.event_type = 'purchase'
+  AND c.ts > i.ts AND c.ts <= i.ts + INTERVAL 30 MINUTE
+"""

@@ -445,3 +445,62 @@ def stream_enrich(
         "event_type",
         F.coalesce("segment", F.lit("unknown")).alias("segment"),
     )
+
+
+def stream_stream_attribution(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    impression_type: str = "view",
+    conversion_type: str = "purchase",
+    attribution_window_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-STREAM inner join (the 8th streaming surface): attribute
+    each conversion to the impressions the same user saw in the
+    preceding attribution window — the canonical two-stream join every
+    event pipeline runs (click/impression, fetch/render, search/click).
+    Unlike the stream-static enrich, BOTH sides arrive continuously, so
+    the join keeps per-side state; the watermarks bound that state (an
+    impression older than window + watermark can never match a future
+    conversion and is evicted) — without them a 100 TB event stream's
+    join state grows forever.
+
+    Determinism: inner join + availableNow drain emits exactly the
+    batch join's rows (watermarks affect only state retention and
+    late-data handling, not the matched set), so the oracle is the
+    batch time-range join verbatim; the lag is an epoch difference
+    (timezone-free).
+
+    Output: (user_id, imp_id, conv_id, lag_sec).
+    """
+    base = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        _as_stream_dir(spark, events_dir)
+    )
+    imp = base.where(F.col("event_type") == impression_type).select(
+        F.col("user_id").alias("imp_user"),
+        F.col("event_id").alias("imp_id"),
+        F.col("ts").alias("imp_ts"),
+    ).withWatermark("imp_ts", watermark)
+    conv = base.where(F.col("event_type") == conversion_type).select(
+        F.col("user_id").alias("conv_user"),
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+    ).withWatermark("conv_ts", watermark)
+    joined = imp.join(
+        conv,
+        F.expr(
+            f"""imp_user = conv_user
+            AND conv_ts > imp_ts
+            AND conv_ts <= imp_ts + interval {attribution_window_minutes}
+            minutes"""
+        ),
+    )
+    return joined.select(
+        F.col("imp_user").cast("long").alias("user_id"),
+        F.col("imp_id").cast("long").alias("imp_id"),
+        F.col("conv_id").cast("long").alias("conv_id"),
+        (F.col("conv_ts").cast("long") - F.col("imp_ts").cast("long"))
+        .cast("long")
+        .alias("lag_sec"),
+    )

@@ -348,3 +348,34 @@ def test_stream_enrich_matches_batch_join_and_labels_unknown(spark, tmp_path):
     assert out[2]["segment"] == "MACHINERY"
     assert out[3]["segment"] == "unknown"
     assert len(out) == 3
+
+
+def test_stream_stream_attribution_window(spark, tmp_path):
+    """Conversions join only same-user impressions within the window;
+    out-of-window and cross-user conversions drop; lag is exact."""
+    from legal_document_ocr_spark.streaming.pipeline import (
+        stream_stream_attribution,
+    )
+
+    events_dir = str(tmp_path / "events")
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "view", 0.0, "{}"),
+        (2, "2024-01-01 10:10:00", 7, "purchase", 1.0, "{}"),   # +600s ok
+        (3, "2024-01-01 11:00:00", 7, "purchase", 1.0, "{}"),   # +3600s out
+        (4, "2024-01-01 10:05:00", 8, "purchase", 1.0, "{}"),   # other user
+        (5, "2024-01-01 10:20:00", 7, "view", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "user_id", "event_type",
+        "value", "props"
+    ).write.parquet(events_dir)
+    sdf = stream_stream_attribution(spark, events_dir)
+    assert sdf.isStreaming
+    run_stream_to_table(spark, sdf, "attr_t", output_mode="append")
+    out = {(r["imp_id"], r["conv_id"]): r["lag_sec"]
+           for r in spark.table("attr_t").collect()}
+    assert out == {(1, 2): 600}
