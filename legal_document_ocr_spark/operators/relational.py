@@ -2396,3 +2396,124 @@ def merge_rollups(
         .cast("long")
         .alias("mean_micro"),
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    x,
+    y,
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit y = slope*x + intercept via
+    sufficient statistics — the closed-form, single-scan way to train a
+    linear model over a 100 TB corpus (the training half of the quality
+    regression story; ``quality_classifier`` is the inference half).
+    No iteration, no driver-side data: every coefficient derives from
+    five mergeable sums.
+
+    Portability/scale: ONE map-side-combined groupBy(group) collects
+    exact bigint sums (n, Sx, Sy, Sxx, Sxy, Syy); slope / intercept /
+    r² are then per-group scalar expressions. The Cramer numerators
+    and denominators multiply as exact bigints; each final ratio is
+    evaluated in DOUBLES with a fixed operation order (cast, *1e6,
+    divide, floor) so both engines IEEE-round identically. Groups with
+    a degenerate x or y variance emit nulls.
+
+    Output: (group, n, slope_micro, intercept_micro, r2_micro).
+    """
+    xl = x.cast("long")
+    yl = y.cast("long")
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(xl).cast("long").alias("sx"),
+        F.sum(yl).cast("long").alias("sy"),
+        F.sum(xl * xl).cast("long").alias("sxx"),
+        F.sum(xl * yl).cast("long").alias("sxy"),
+        F.sum(yl * yl).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # intercept = (Sy - slope*Sx)/n; the n cancels: (Sy*Sxx - Sx*Sxy)/den
+    ibn = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    slope = F.floor(num.cast("double") * 1000000.0 / den.cast("double"))
+    intercept = F.floor(
+        ibn.cast("double") * 1000000.0 / den.cast("double")
+    )
+    r2 = F.floor(
+        num.cast("double")
+        * num.cast("double")
+        * 1000000.0
+        / (den.cast("double") * deny.cast("double"))
+    )
+    ok = (den > 0) & (deny > 0)
+    return g.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.when(ok, slope).cast("long").alias("slope_micro"),
+        F.when(ok, intercept).cast("long").alias("intercept_micro"),
+        F.when(ok, r2).cast("long").alias("r2_micro"),
+    )
+
+
+def capture_hazard(captures: DataFrame) -> DataFrame:
+    """Discrete-time survival (hazard) table over a recrawl capture
+    history: at each capture step k, how many urls were still under
+    observation and unchanged (at risk), and how many changed content
+    for the first time (deaths). This is the Kaplan-Meier life table a
+    recrawl scheduler fits change-rate priors from — urls whose history
+    simply ends are right-censored, not deaths.
+
+    Input: (url, cap_idx, content_hash) with cap_idx 1-based per url.
+
+    Scale shape: ONE url-partitioned window (per-url capture lists are
+    tiny and hash-distributed) finds each url's first-change step, ONE
+    map-side-combined groupBy(url) folds that to (last_alive, died),
+    and the life table itself lives on the BOUNDED step domain (max
+    captures per url), where the suffix-sum window is the documented
+    bounded-domain exception. hazard is exact integer micro-division.
+
+    Output: (step, at_risk, deaths, hazard_micro) for steps >= 2.
+    """
+    w = Window.partitionBy("url").orderBy("cap_idx")
+    marked = captures.select(
+        "url",
+        F.col("cap_idx").cast("long").alias("cap_idx"),
+        F.when(
+            F.lag("content_hash").over(w).isNotNull()
+            & (F.col("content_hash") != F.lag("content_hash").over(w)),
+            F.col("cap_idx").cast("long"),
+        ).alias("chg"),
+    )
+    per_url = marked.groupBy("url").agg(
+        F.max("cap_idx").alias("n_caps"),
+        F.min("chg").alias("death_step"),
+    )
+    per_url = per_url.select(
+        F.coalesce(
+            F.col("death_step"), F.col("n_caps")
+        ).alias("last_alive"),
+        F.col("death_step").isNotNull().cast("long").alias("died"),
+        F.col("death_step"),
+    )
+    by_last = per_url.groupBy("last_alive").agg(
+        F.count("*").cast("long").alias("ending_here"),
+        F.sum("died").cast("long").alias("deaths_here"),
+    )
+    sw = (
+        Window.orderBy(F.col("last_alive").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    life = by_last.select(
+        F.col("last_alive").alias("step"),
+        F.sum("ending_here").over(sw).cast("long").alias("at_risk"),
+        F.col("deaths_here").alias("deaths"),
+    )
+    return life.where(F.col("step") >= 2).select(
+        "step",
+        "at_risk",
+        "deaths",
+        F.expr("(deaths * 1000000L) div at_risk")
+        .cast("long")
+        .alias("hazard_micro"),
+    )

@@ -2703,3 +2703,70 @@ def compression_ratio(
         "doc_id", f"{text_col} as text"
     )
     return selected.mapInPandas(_ratios, schema)
+
+
+def negative_sampling_table(
+    docs: DataFrame,
+    *,
+    vocab_size: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram^0.75 negative-sampling table (the word2vec/NCE noise
+    distribution, Mikolov et al. 2013): the top-``vocab_size`` tokens
+    weighted by count^(3/4), laid out as cumulative ppm ranges
+    [cum_start_ppm, cum_start_ppm + weight_ppm) so a sampler can draw a
+    token with one uniform integer and one range lookup. The 3/4 power
+    is what keeps frequent tokens from dominating the noise draws.
+
+    Portability: count^0.75 = sqrt(c) * sqrt(sqrt(c)) — ITERATED sqrt
+    (IEEE-754 correctly rounded in both engines) and ONE multiply;
+    pow() would diverge by ulps across libms. Each weight is pinned
+    round(·,12) -> decimal(28,12) so the normalizing sum and the
+    cumulative layout are EXACT and aggregation-order-independent.
+
+    Scale shape: explode -> ONE map-side-combined token count (the only
+    corpus-wide exchange) -> TakeOrdered top-V; everything after runs
+    on the BOUNDED vocab table, where the ordered cumsum window is the
+    documented bounded-domain exception.
+
+    Output: (token, n, weight_ppm, cum_start_ppm) with a total order on
+    (n desc, token).
+    """
+    toks = docs.select(
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(vocab_size)
+    )
+    c = F.col("n").cast("double")
+    w = F.sqrt(c) * F.sqrt(F.sqrt(c))
+    weighted = vocab.select(
+        "token", "n", F.round(w, 12).cast("decimal(28,12)").alias("_ns_w")
+    )
+    total = weighted.agg(F.sum("_ns_w").alias("_ns_tw"))
+    ppm = weighted.crossJoin(F.broadcast(total)).select(
+        "token",
+        "n",
+        F.floor(
+            F.col("_ns_w").cast("double")
+            * 1000000
+            / F.col("_ns_tw").cast("double")
+        )
+        .cast("long")
+        .alias("weight_ppm"),
+    )
+    cum = (
+        Window.orderBy(F.col("n").desc(), F.col("token"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ppm.select(
+        "token",
+        "n",
+        "weight_ppm",
+        F.coalesce(F.sum("weight_ppm").over(cum), F.lit(0))
+        .cast("long")
+        .alias("cum_start_ppm"),
+    )

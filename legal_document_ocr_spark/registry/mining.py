@@ -1425,3 +1425,42 @@ SELECT count(*)::bigint AS n_nodes,
     AS reach2_ppm
 FROM hb
 """
+
+
+# ---------------------------------------------------------------------------
+# bucketed_join_readback
+# ---------------------------------------------------------------------------
+
+
+def q_bucketed_join_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (sources.sink.write_bucketed): both sides
+    written bucketBy(8, doc_id) + sortBy, read back through the catalog,
+    sort-merge-joined with ZERO exchange (plan-asserted in tests) — the
+    write-once / join-many layout that kills the dominant repeated
+    shuffle at 100 TB."""
+    import tempfile
+
+    from ..sources.sink import write_bucketed
+
+    d = _docs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="ldos-bkt-")
+    write_bucketed(
+        d.select("doc_id", "source", "n_chars"),
+        "ldos_bkt_left",
+        base + "/left",
+    )
+    write_bucketed(
+        d.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang"),
+        "ldos_bkt_right",
+        base + "/right",
+    )
+    lt = spark.table("ldos_bkt_left")
+    rt = spark.table("ldos_bkt_right")
+    return lt.join(rt.hint("merge"), "doc_id").select(
+        "doc_id", "source", "n_chars", "lang"
+    )
+
+
+_SQL_BUCKETED_JOIN_READBACK = """
+SELECT doc_id, source, n_chars, lang FROM documents WHERE doc_id % 2 = 0
+"""

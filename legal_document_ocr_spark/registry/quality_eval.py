@@ -921,3 +921,56 @@ SELECT n AS n_docs, ((sv * 1000000) // n)::bigint AS mean_micro,
   (greatest({mlist}) - least({mlist}))::bigint AS spread_micro
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# linreg_train
+# ---------------------------------------------------------------------------
+
+
+def q_linreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OLS (relational.grouped_ols) of n_chars on whitespace
+    count — closed-form model training from one scan of sufficient
+    statistics (the training half of the quality-regression story)."""
+    from ..operators.relational import grouped_ols
+
+    d = _docs(spark, sf_dir)
+    x = F.length("text") - F.length(F.expr("replace(text, ' ', '')"))
+    return grouped_ols(d, x, F.col("n_chars"))
+
+
+_SQL_LINREG_TRAIN = """
+WITH f AS (
+  SELECT source,
+    (length(text) - length(replace(text, ' ', '')))::bigint AS x,
+    n_chars::bigint AS y
+  FROM documents
+),
+g AS (
+  SELECT source, count(*)::bigint AS n,
+    sum(x)::bigint AS sx, sum(y)::bigint AS sy,
+    sum(x * x)::bigint AS sxx, sum(x * y)::bigint AS sxy,
+    sum(y * y)::bigint AS syy
+  FROM f GROUP BY source
+),
+d AS (
+  SELECT source, n,
+    (n * sxy - sx * sy)::bigint AS num,
+    (n * sxx - sx * sx)::bigint AS den,
+    (n * syy - sy * sy)::bigint AS deny,
+    (sy * sxx - sx * sxy)::bigint AS ibn
+  FROM g
+)
+SELECT source, n,
+  CASE WHEN den > 0 AND deny > 0
+       THEN floor(num::double * 1000000.0 / den::double)::bigint
+  END AS slope_micro,
+  CASE WHEN den > 0 AND deny > 0
+       THEN floor(ibn::double * 1000000.0 / den::double)::bigint
+  END AS intercept_micro,
+  CASE WHEN den > 0 AND deny > 0
+       THEN floor(num::double * num::double * 1000000.0
+                  / (den::double * deny::double))::bigint
+  END AS r2_micro
+FROM d
+"""

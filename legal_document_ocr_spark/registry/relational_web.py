@@ -2280,3 +2280,75 @@ d2 AS (
 )
 SELECT node, degree FROM d2 WHERE degree >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# url_survival
+# ---------------------------------------------------------------------------
+
+
+def q_url_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete survival table (relational.capture_hazard) over a
+    synthesized capture history: doc_id%4+2 captures per url, content
+    version advancing every doc_id%3+1 captures — so first changes land
+    at steps 2..4 and longer histories right-censor. The oracle restates
+    lag-change + first-death + suffix-sum at-risk."""
+    from ..operators.relational import capture_hazard
+
+    d = _docs(spark, sf_dir)
+    caps = d.select(
+        F.concat(F.lit("u"), F.col("doc_id")).alias("url"),
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), (F.col("doc_id") % 4) + 2)
+        ).alias("cap_idx"),
+        ((F.col("doc_id") % 3) + 1).alias("_p"),
+    ).select(
+        "url",
+        "cap_idx",
+        F.concat(
+            F.lit("v"), F.expr("(cap_idx - 1L) div _p")
+        ).alias("content_hash"),
+    )
+    return capture_hazard(caps)
+
+
+_SQL_URL_SURVIVAL = """
+WITH caps AS (
+  SELECT 'u' || doc_id AS url, j AS cap_idx,
+    'v' || ((j - 1) // ((doc_id % 3) + 1)) AS content_hash
+  FROM documents, unnest(generate_series(1, (doc_id % 4) + 2)) AS t(j)
+),
+m AS (
+  SELECT url, cap_idx,
+    CASE WHEN lag(content_hash) OVER
+           (PARTITION BY url ORDER BY cap_idx) IS NOT NULL
+          AND content_hash <> lag(content_hash) OVER
+           (PARTITION BY url ORDER BY cap_idx)
+         THEN cap_idx END AS chg
+  FROM caps
+),
+pu AS (
+  SELECT url, max(cap_idx)::bigint AS n_caps, min(chg)::bigint AS death_step
+  FROM m GROUP BY url
+),
+lv AS (
+  SELECT coalesce(death_step, n_caps) AS last_alive,
+    CASE WHEN death_step IS NOT NULL THEN 1 ELSE 0 END AS died
+  FROM pu
+),
+bl AS (
+  SELECT last_alive, count(*)::bigint AS ending_here,
+    sum(died)::bigint AS deaths_here
+  FROM lv GROUP BY last_alive
+),
+life AS (
+  SELECT last_alive AS step,
+    sum(ending_here) OVER (ORDER BY last_alive DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS at_risk,
+    deaths_here AS deaths
+  FROM bl
+)
+SELECT step::bigint AS step, at_risk, deaths,
+  ((deaths * 1000000) // at_risk)::bigint AS hazard_micro
+FROM life WHERE step >= 2
+"""

@@ -620,3 +620,44 @@ SELECT g.lang, g.pred_lang, g.n,
   ((g.n * 1000000) // t.tot)::bigint AS share_ppm
 FROM g JOIN t ON g.lang = t.lang
 """
+
+
+# ---------------------------------------------------------------------------
+# negative_sampling_table
+# ---------------------------------------------------------------------------
+
+
+def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec/NCE noise table (textops.negative_sampling_table): top-200
+    unigrams weighted count^0.75 via iterated sqrt, cumulative ppm
+    ranges over the bounded vocab."""
+    from ..operators.textops import negative_sampling_table
+
+    return negative_sampling_table(_docs(spark, sf_dir), vocab_size=200)
+
+
+_SQL_NEGATIVE_SAMPLING_TABLE = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+c AS (SELECT token, count(*)::bigint AS n FROM toks GROUP BY token),
+v AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 200),
+w AS (
+  SELECT token, n,
+    round(sqrt(n::double) * sqrt(sqrt(n::double)), 12)::decimal(28,12) AS wv
+  FROM v
+),
+t AS (SELECT sum(wv) AS tw FROM w),
+p AS (
+  SELECT token, n,
+    floor(wv::double * 1000000 / tw::double)::bigint AS weight_ppm
+  FROM w, t
+)
+SELECT token, n, weight_ppm,
+  coalesce(sum(weight_ppm) OVER (
+    ORDER BY n DESC, token
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+    AS cum_start_ppm
+FROM p
+"""

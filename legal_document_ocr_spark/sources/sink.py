@@ -87,3 +87,40 @@ def read_table(
     for k, v in (options or {}).items():
         r = r.option(k, v)
     return r.load(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    *,
+    bucket_col: str = "doc_id",
+    n_buckets: int = 8,
+    sort: bool = True,
+) -> str:
+    """Bucketed table sink — the shuffle-killing layout for repeated
+    joins: ``bucketBy(n, key)`` hash-partitions rows into a fixed
+    bucket count AT WRITE TIME, so every later equi-join or aggregation
+    on the key between identically-bucketed tables runs with ZERO
+    exchange (Catalyst recognises the matching output partitioning).
+    At 100 TB this converts the dominant per-query cost — re-shuffling
+    the fact table for every join — into a one-time write-side cost;
+    ``sortBy`` additionally pre-sorts each bucket file so sort-merge
+    joins skip their sort.
+
+    Bucketed layouts require the table catalog (bucket metadata lives
+    there, not in the files), hence ``saveAsTable`` with an explicit
+    ``path`` rather than a bare ``parquet(path)``. Returns ``table``.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
+    return table

@@ -4620,3 +4620,108 @@ def test_bootstrap_ci_brackets_mean_deterministically(spark):
     assert a["spread_micro"] == a["boot_hi_micro"] - a["boot_lo_micro"]
     assert 0 < a["spread_micro"] < 2_000_000  # resamples vary but mildly
     assert a["n_docs"] == 200
+
+
+# ---------------------------------------------------------------------------
+# grouped_ols / capture_hazard / negative_sampling_table / bucketed sink
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_ols_recovers_exact_line(spark):
+    """y = 3x + 7 exactly -> slope 3.0, intercept 7.0, r2 = 1.0 in micro
+    units (the Cramer numerators cancel exactly over integer sums);
+    a constant-x group degenerates to nulls."""
+    rows = [("a", x, 3 * x + 7) for x in range(1, 21)]
+    rows += [("b", 5, y) for y in (10, 20, 30)]  # zero x-variance
+    df = spark.createDataFrame(rows, "source string, x long, y long")
+    out = {
+        r["source"]: r
+        for r in relational.grouped_ols(df, F.col("x"), F.col("y"), "source")
+        .collect()
+    }
+    assert out["a"]["slope_micro"] == 3_000_000
+    assert out["a"]["intercept_micro"] == 7_000_000
+    assert out["a"]["r2_micro"] == 1_000_000
+    assert out["b"]["slope_micro"] is None
+    assert out["b"]["r2_micro"] is None
+
+
+def test_grouped_ols_partitioning_independent(spark, docs):
+    """Sufficient statistics are exact bigints -> the fit is identical
+    under any partitioning (aggregation-order independence)."""
+    x = F.length("text")
+    a = sorted(
+        relational.grouped_ols(docs, x, F.col("n_chars")).collect()
+    )
+    b = sorted(
+        relational.grouped_ols(docs.repartition(13), x, F.col("n_chars"))
+        .collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_capture_hazard_life_table(spark):
+    """Hand-built histories: A dies at step 2, B censors at 2, C dies at
+    3 -> at-risk counts are suffix sums over last-alive steps and the
+    censored url is never a death."""
+    rows = []
+    rows += [("A", 1, "h0"), ("A", 2, "h1"), ("A", 3, "h1")]
+    rows += [("B", 1, "h0"), ("B", 2, "h0")]
+    rows += [("C", 1, "h0"), ("C", 2, "h0"), ("C", 3, "h9"), ("C", 4, "h9")]
+    caps = spark.createDataFrame(
+        rows, "url string, cap_idx long, content_hash string"
+    )
+    out = {
+        r["step"]: r for r in relational.capture_hazard(caps).collect()
+    }
+    assert out[2]["at_risk"] == 3 and out[2]["deaths"] == 1
+    assert out[2]["hazard_micro"] == 333_333
+    assert out[3]["at_risk"] == 1 and out[3]["deaths"] == 1
+    assert out[3]["hazard_micro"] == 1_000_000
+    assert set(out) == {2, 3}  # step-1 row never emitted; 4 has no endings
+
+
+def test_negative_sampling_table_damps_head(spark):
+    """count ratio 16 -> weight ratio 8 (16^0.75): the 3/4 power damps
+    the head; ranges are contiguous ppm intervals ordered by count."""
+    docs = spark.createDataFrame(
+        [(0, "alpha " * 160 + "beta " * 10 + "gamma " * 10)],
+        "doc_id long, text string",
+    )
+    out = textops.negative_sampling_table(docs, vocab_size=10).collect()
+    rows = sorted(out, key=lambda r: (-r["n"], r["token"]))
+    assert [r["token"] for r in rows] == ["alpha", "beta", "gamma"]
+    alpha, beta, gamma = rows
+    assert alpha["n"] == 160 and beta["n"] == 10
+    # 160/10 = 16 -> weight ratio 16^0.75 = 8 exactly (micro tolerance)
+    assert abs(alpha["weight_ppm"] - 8 * beta["weight_ppm"]) <= 8
+    # contiguous layout: each range starts where the previous ended
+    assert rows[0]["cum_start_ppm"] == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["cum_start_ppm"] == prev["cum_start_ppm"] + prev["weight_ppm"]
+    total = rows[-1]["cum_start_ppm"] + rows[-1]["weight_ppm"]
+    assert 1_000_000 - len(rows) <= total <= 1_000_000
+
+
+def test_write_bucketed_join_is_exchange_free(spark, docs, tmp_path):
+    """The sink helper's layout carries through the catalog: joining two
+    write_bucketed tables on the bucket key needs NO exchange and no
+    per-stage sort (sortBy + one file per bucket pre-sorts the data)."""
+    from legal_document_ocr_spark.sources.sink import write_bucketed
+
+    write_bucketed(
+        docs.select("doc_id", "source"), "t_bkt_l", str(tmp_path / "l")
+    )
+    write_bucketed(
+        docs.select("doc_id", "n_chars"), "t_bkt_r", str(tmp_path / "r")
+    )
+    try:
+        j = spark.table("t_bkt_l").join(
+            spark.table("t_bkt_r").hint("merge"), "doc_id"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert j.count() == docs.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_l")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_r")
