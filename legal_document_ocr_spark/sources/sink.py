@@ -114,6 +114,12 @@ def write_bucketed(
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # one task per bucket -> one file per bucket: without this, every
+    # write task emits a file into EVERY bucket (tasks x buckets small
+    # files). Joins are Exchange-free either way; eliding the residual
+    # per-partition Sort additionally needs one file per bucket plus
+    # spark.sql.legacy.bucketedTableScan.outputOrdering=true.
+    df = df.repartition(n_buckets, F.col(bucket_col))
     w = (
         df.write.mode("overwrite")
         .format("parquet")
