@@ -677,3 +677,73 @@ def bootstrap_ci(
         .cast("long")
         .alias("spread_micro"),
     )
+
+
+def split_leakage(
+    docs: DataFrame,
+    key_a: Column,
+    key_b: Column,
+    *,
+    names: tuple[str, str] = ("by_doc", "by_domain"),
+    dup_key: Column | None = None,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Measure train/test contamination under two split policies — the
+    eval-hygiene gauge behind "split by domain, not by document": a
+    per-document hash split strands one copy of a duplicated page in
+    train and its twin in test (the classic inflated-eval leak), while
+    a domain-keyed split keeps whole duplicate families on one side.
+
+    Leakage is computed WITHOUT materializing pairs: group rows by
+    content (``dup_key``, default md5(text)); a group of n rows with
+    n_t of them in test contributes C(n,2) duplicate pairs of which
+    n_t*(n-n_t) cross the boundary. Every count is exact bigint.
+
+    Scale shape: ONE projection computes both policies' test flags,
+    ONE map-side-combined groupBy(content-hash) folds (n, n_test_a,
+    n_test_b), and the verdict is a scalar aggregate — the corpus is
+    touched once and nothing bigger than one row leaves the reduction.
+
+    Output: one row per policy — (policy, dup_groups, dup_pairs,
+    cross_pairs, leak_ppm).
+    """
+    dk = F.md5(F.col("text").cast("string")) if dup_key is None else dup_key
+    ta = (hash_bucket(key_a) < test_pct * 100).cast("long")
+    tb = (hash_bucket(key_b) < test_pct * 100).cast("long")
+    g = (
+        docs.select(dk.alias("_dup"), ta.alias("_ta"), tb.alias("_tb"))
+        .groupBy("_dup")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("_ta").cast("long").alias("na"),
+            F.sum("_tb").cast("long").alias("nb"),
+        )
+    )
+    tot = g.agg(
+        F.sum((F.col("n") >= 2).cast("long")).cast("long").alias("dup_groups"),
+        F.sum(F.expr("n * (n - 1L) div 2")).cast("long").alias("dup_pairs"),
+        F.sum(F.col("na") * (F.col("n") - F.col("na")))
+        .cast("long")
+        .alias("cross_a"),
+        F.sum(F.col("nb") * (F.col("n") - F.col("nb")))
+        .cast("long")
+        .alias("cross_b"),
+    )
+    rows = []
+    for name, cross in zip(names, ("cross_a", "cross_b")):
+        rows.append(
+            tot.select(
+                F.lit(name).alias("policy"),
+                "dup_groups",
+                "dup_pairs",
+                F.col(cross).alias("cross_pairs"),
+                F.when(
+                    F.col("dup_pairs") > 0,
+                    F.expr(f"({cross} * 1000000L) div dup_pairs"),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("leak_ppm"),
+            )
+        )
+    return rows[0].unionByName(rows[1])

@@ -2770,3 +2770,112 @@ def negative_sampling_table(
         .cast("long")
         .alias("cum_start_ppm"),
     )
+
+
+def feature_hashing(
+    docs: DataFrame,
+    *,
+    n_buckets: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed bag-of-words features (the "hashing trick", fastText-style):
+    each token hashes into one of ``n_buckets`` buckets and the document's
+    feature vector is the per-bucket count — a fixed-width, vocabulary-free
+    representation a downstream linear classifier consumes directly
+    (pair with ``grouped_ols``/``quality_classifier``). Collisions are
+    the accepted trade: width is constant no matter how the vocabulary
+    grows, which is what makes the featurizer viable at 100 TB.
+
+    Scale shape: explode -> ONE map-side-combined groupBy(doc_id) of
+    ``n_buckets`` conditional sums; no pivot, no vocabulary table, no
+    second scan. Buckets use the repo-standard md5 prefix -> bigint hash
+    so the oracle reproduces them verbatim. Documents with no tokens
+    have no rows (explode of an empty array).
+
+    Output: (doc_id, n_tokens, h0..h{n_buckets-1}).
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 7), 16, 10).cast(
+            "bigint"
+        )
+        % n_buckets
+    )
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token")
+    ).select("doc_id", bucket.alias("b"))
+    aggs = [F.count("*").cast("long").alias("n_tokens")] + [
+        F.sum((F.col("b") == i).cast("int")).cast("long").alias(f"h{i}")
+        for i in range(n_buckets)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def kneser_ney_bigrams(
+    docs: DataFrame,
+    *,
+    top_k: int = 500,
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities with the standard
+    discount D = 0.75 — the n-gram smoothing that backs off to CONTEXT
+    DIVERSITY (how many distinct words precede w2) rather than raw
+    frequency, the pre-neural LM standard and still the curation
+    workhorse for fluency scoring.
+
+    With D = 3/4 the whole estimate is EXACT INTEGER arithmetic — no
+    doubles anywhere:
+
+        P(w2|w1) = max(c12-D,0)/c1 + D*N1+(w1,·)/c1 * N1+(·,w2)/B
+                 = ((4*c12-3)*B + 3*N1(w1)*N1(w2)) / (4*c1*B)
+
+    (c12 >= 1 so the max never binds). Emitted as micro units via `div`.
+
+    Scale shape: the corpus is exploded to bigrams ONCE (token arrays
+    sliced and zipped — no per-position substring rescans); everything
+    after runs on the bigram-vocabulary table: c1 and N1+(w1,·) come
+    from ONE groupBy(w1) of that table, N1+(·,w2) from one groupBy(w2),
+    B from one scalar aggregate (broadcast). The two stat joins are
+    pinned shuffle_hash — vocab tables scale with the corpus and must
+    never be planner-broadcast. TakeOrdered emits the top-k.
+
+    Output: (w1, w2, c12, c1, n1_w1, n1_w2, p_kn_micro), top_k by
+    (c12 desc, w1, w2).
+    """
+    lt = ws_tokens(F.lower(F.col(text_col)))
+    src = docs.select(lt.alias("toks")).where(F.size("toks") >= 2)
+    a = F.slice(F.col("toks"), 1, F.size("toks") - 1)
+    b = F.slice(F.col("toks"), 2, F.size("toks") - 1)
+    pairs = src.select(
+        F.explode(
+            F.zip_with(a, b, lambda x, y: F.struct(x.alias("w1"), y.alias("w2")))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bg = pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    left = bg.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1_w1"),
+    )
+    right = bg.groupBy("w2").agg(F.count("*").cast("long").alias("n1_w2"))
+    btot = bg.agg(F.count("*").cast("long").alias("bt"))
+    out = (
+        bg.join(left.hint("shuffle_hash"), "w1")
+        .join(right.hint("shuffle_hash"), "w2")
+        .crossJoin(F.broadcast(btot))
+    )
+    p = F.expr(
+        "(((4L * c12 - 3L) * bt + 3L * n1_w1 * n1_w2) * 1000000L)"
+        " div (4L * c1 * bt)"
+    )
+    return (
+        out.select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "n1_w1",
+            "n1_w2",
+            p.cast("long").alias("p_kn_micro"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(top_k)
+    )

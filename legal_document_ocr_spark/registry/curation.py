@@ -813,3 +813,72 @@ tot AS (SELECT count(*) AS n FROM toks)
 SELECT token, count(*)::bigint AS n FROM toks GROUP BY token
 HAVING count(*) * 200 >= (SELECT n FROM tot)
 """
+
+
+# ---------------------------------------------------------------------------
+# split_leakage
+# ---------------------------------------------------------------------------
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination under two split policies
+    (sampling.split_leakage): corpus = documents ∪ exact copies whose
+    source stays the same except every 5th copy lands on a 'mirror'
+    domain — so the by-document hash split strands many duplicate pairs
+    across the boundary while the by-domain split leaks only the
+    cross-domain mirrors."""
+    from ..operators.sampling import split_leakage
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    copies = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("mirror"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+    )
+    corpus = d.unionByName(copies)
+    return split_leakage(
+        corpus, F.col("doc_id"), F.col("source"), test_pct=10
+    )
+
+
+_SQL_SPLIT_LEAKAGE = """
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text,
+    CASE WHEN doc_id % 5 = 0 THEN 'mirror' ELSE source END
+  FROM documents
+),
+f AS (
+  SELECT md5(text) AS dup,
+    CASE WHEN ('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint
+              % 10000 < 1000 THEN 1 ELSE 0 END AS ta,
+    CASE WHEN ('0x' || substr(md5(source), 1, 7))::bigint
+              % 10000 < 1000 THEN 1 ELSE 0 END AS tb
+  FROM corpus
+),
+g AS (
+  SELECT dup, count(*)::bigint AS n,
+    sum(ta)::bigint AS na, sum(tb)::bigint AS nb
+  FROM f GROUP BY dup
+),
+t AS (
+  SELECT sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::bigint AS dup_groups,
+    sum(n * (n - 1) // 2)::bigint AS dup_pairs,
+    sum(na * (n - na))::bigint AS cross_a,
+    sum(nb * (n - nb))::bigint AS cross_b
+  FROM g
+)
+SELECT 'by_doc' AS policy, dup_groups, dup_pairs,
+  cross_a AS cross_pairs,
+  (CASE WHEN dup_pairs > 0 THEN (cross_a * 1000000) // dup_pairs
+        ELSE 0 END)::bigint AS leak_ppm
+FROM t
+UNION ALL
+SELECT 'by_domain', dup_groups, dup_pairs, cross_b,
+  (CASE WHEN dup_pairs > 0 THEN (cross_b * 1000000) // dup_pairs
+        ELSE 0 END)::bigint
+FROM t
+"""

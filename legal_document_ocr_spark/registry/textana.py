@@ -661,3 +661,76 @@ SELECT token, n, weight_ppm,
     AS cum_start_ppm
 FROM p
 """
+
+
+# ---------------------------------------------------------------------------
+# feature_hashing
+# ---------------------------------------------------------------------------
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer (textops.feature_hashing): 16 hashed
+    bag-of-words buckets per document in one map-side-combined pass."""
+    from ..operators.textops import feature_hashing
+
+    return feature_hashing(_docs(spark, sf_dir), n_buckets=16)
+
+
+def _sql_feature_hashing(n_buckets: int = 16) -> str:
+    hs = ",\n  ".join(
+        f"sum(CASE WHEN bk = {i} THEN 1 ELSE 0 END)::bigint AS h{i}"
+        for i in range(n_buckets)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(token), 1, 7))::bigint % {n_buckets} AS bk
+  FROM toks
+)
+SELECT doc_id, count(*)::bigint AS n_tokens,
+  {hs}
+FROM b GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# kneser_ney_bigrams
+# ---------------------------------------------------------------------------
+
+
+def q_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (textops.kneser_ney_bigrams)
+    with D=3/4 — the whole estimate is exact integer arithmetic."""
+    from ..operators.textops import kneser_ney_bigrams
+
+    return kneser_ney_bigrams(_docs(spark, sf_dir), top_k=500)
+
+
+_SQL_KNESER_NEY_BIGRAMS = r"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+t2 AS (SELECT toks FROM t WHERE len(toks) >= 2),
+pairs AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t2, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+),
+bg AS (SELECT w1, w2, count(*)::bigint AS c12 FROM pairs GROUP BY w1, w2),
+l AS (
+  SELECT w1, sum(c12)::bigint AS c1, count(*)::bigint AS n1_w1
+  FROM bg GROUP BY w1
+),
+r AS (SELECT w2, count(*)::bigint AS n1_w2 FROM bg GROUP BY w2),
+bt AS (SELECT count(*)::bigint AS b FROM bg)
+SELECT bg.w1, bg.w2, c12, c1, n1_w1, n1_w2,
+  (((4 * c12 - 3) * b + 3 * n1_w1 * n1_w2) * 1000000
+   // (4 * c1 * b))::bigint AS p_kn_micro
+FROM bg JOIN l ON bg.w1 = l.w1 JOIN r ON bg.w2 = r.w2, bt
+ORDER BY c12 DESC, bg.w1, bg.w2 LIMIT 500
+"""

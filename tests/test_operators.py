@@ -4725,3 +4725,83 @@ def test_write_bucketed_join_is_exchange_free(spark, docs, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_l")
         spark.sql("DROP TABLE IF EXISTS t_bkt_r")
+
+
+def test_split_leakage_matches_pair_bruteforce(spark, docs):
+    """Group-count algebra == brute-force pair join: cross-split pairs
+    counted via n_t*(n-n_t) per dup group must equal the number of
+    (i<j) same-text pairs whose hash splits disagree."""
+    from legal_document_ocr_spark.operators.sampling import (
+        hash_bucket,
+        split_leakage,
+    )
+
+    d = docs.select("doc_id", "text", "source")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "source")
+    )
+    out = {
+        r["policy"]: r
+        for r in split_leakage(
+            corpus, F.col("doc_id"), F.col("source"), test_pct=10
+        ).collect()
+    }
+    flagged = corpus.select(
+        "doc_id",
+        F.md5("text").alias("k"),
+        (hash_bucket(F.col("doc_id")) < 1000).alias("t_doc"),
+        (hash_bucket(F.col("source")) < 1000).alias("t_dom"),
+    )
+    a, b = flagged.alias("a"), flagged.alias("b")
+    pairs = a.join(b, F.col("a.k") == F.col("b.k")).where(
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    brute_doc = pairs.where(F.col("a.t_doc") != F.col("b.t_doc")).count()
+    brute_dom = pairs.where(F.col("a.t_dom") != F.col("b.t_dom")).count()
+    assert out["by_doc"]["cross_pairs"] == brute_doc
+    assert out["by_domain"]["cross_pairs"] == brute_dom
+    # same-source copies: the domain split can never separate a pair
+    assert brute_dom == 0
+    assert out["by_doc"]["dup_pairs"] == pairs.count()
+
+
+def test_feature_hashing_buckets_partition_tokens(spark, docs):
+    """Bucket counts partition the token count exactly, and the vector
+    is partitioning-independent."""
+    out = textops.feature_hashing(docs, n_buckets=16)
+    bad = out.where(
+        sum(F.col(f"h{i}") for i in range(16)) != F.col("n_tokens")
+    ).count()
+    assert bad == 0
+    a = sorted(out.collect())
+    b = sorted(textops.feature_hashing(docs.repartition(9), n_buckets=16).collect())
+    assert a == b and len(a) == docs.count()
+
+
+def test_kneser_ney_hand_example(spark):
+    """corpus = 'a b', 'a b', 'a c': P(b|a) = 2/3, P(c|a) = 1/3 exactly
+    under D = 3/4 (continuation mass splits evenly) — and the observed
+    continuations of 'a' absorb the full probability mass."""
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in textops.kneser_ney_bigrams(df).collect()
+    }
+    assert out[("a", "b")]["c12"] == 2 and out[("a", "b")]["c1"] == 3
+    assert out[("a", "b")]["p_kn_micro"] == 666666
+    assert out[("a", "c")]["p_kn_micro"] == 333333
+    assert set(out) == {("a", "b"), ("a", "c")}
+
+
+def test_kneser_ney_plan_has_no_corpus_broadcasts(spark, docs):
+    """The c1/N1 stat joins are vocabulary-sized (corpus-scaling) and
+    must stay shuffle_hash; only the one-row B total broadcasts."""
+    plan = (
+        textops.kneser_ney_bigrams(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
