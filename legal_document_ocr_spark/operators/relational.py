@@ -2517,3 +2517,66 @@ def capture_hazard(captures: DataFrame) -> DataFrame:
         .cast("long")
         .alias("hazard_micro"),
     )
+
+
+def logreg_train_gd(
+    df: DataFrame,
+    x,
+    y,
+    *,
+    iters: int = 2,
+    lr_den: int = 10,
+) -> DataFrame:
+    """Distributed logistic-regression training by batch gradient
+    descent — the ITERATIVE sibling of ``grouped_ols``: each iteration
+    is ONE full scan producing two exact-bigint gradient sums; the
+    model (two weights) lives on the driver as a scalar artifact, like
+    ``lm_scores``' bounded LM. ``iters`` is deliberately small and
+    bounded (classifier fine-tuning on engineered features converges in
+    a few steps; this is not a deep-learning loop — each round costs a
+    corpus scan, so the intended regime is iters <= ~10).
+
+    Portability: the logistic sigmoid needs exp(), which is NOT
+    IEEE-reproducible across engines — so training uses the standard
+    piecewise-linear surrogate sigma(z) ~ clamp(1/2 + z/4, 0, 1)
+    (the first-order Taylor expansion, hard-clamped), making every
+    quantity exact integer micro arithmetic: z_micro = w0 + w1*x,
+    sigma_ppm = clamp(500000 + z div 4, 0, 1e6), err = y*1e6 - sigma,
+    gradients Sum(err) and Sum(err*x) as bigints, updates
+    w += g div (lr_den * n) (trunc-toward-zero div matches both
+    engines for negative gradients too).
+
+    Output: ONE row (n, w0_micro, w1_micro, predicted_pos, correct) —
+    final weights plus training-set confusion summary under the 1/2
+    threshold.
+    """
+    xl = x.cast("long")
+    yl = y.cast("long")
+    feats = df.select(xl.alias("x"), yl.alias("y"))
+    n = feats.count()
+    w0, w1 = 0, 0
+    for _ in range(iters):
+        z = F.lit(w0) + F.lit(w1) * F.col("x")
+        sig = F.least(
+            F.lit(1000000),
+            F.greatest(F.lit(0), F.lit(500000) + F.expr(f"({w0}L + {w1}L * x) div 4")),
+        )
+        err = F.col("y") * 1000000 - sig
+        g = feats.agg(
+            F.sum(err).cast("long").alias("g0"),
+            F.sum(err * F.col("x")).cast("long").alias("g1"),
+        ).collect()[0]
+        w0 += g["g0"] // (lr_den * n) if g["g0"] >= 0 else -((-g["g0"]) // (lr_den * n))
+        w1 += g["g1"] // (lr_den * n) if g["g1"] >= 0 else -((-g["g1"]) // (lr_den * n))
+    sig = F.least(
+        F.lit(1000000),
+        F.greatest(F.lit(0), F.lit(500000) + F.expr(f"({w0}L + {w1}L * x) div 4")),
+    )
+    pred = (sig >= 500000).cast("long")
+    return feats.agg(
+        F.count("*").cast("long").alias("n"),
+        F.lit(w0).cast("long").alias("w0_micro"),
+        F.lit(w1).cast("long").alias("w1_micro"),
+        F.sum(pred).cast("long").alias("predicted_pos"),
+        F.sum((pred == F.col("y")).cast("long")).cast("long").alias("correct"),
+    )

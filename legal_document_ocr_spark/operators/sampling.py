@@ -747,3 +747,64 @@ def split_leakage(
             )
         )
     return rows[0].unionByName(rows[1])
+
+
+def global_shuffle(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    *,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Reproducible global training permutation: assign every document a
+    contiguous position 0..N-1 in deterministic md5-hash order — the
+    "shuffle the corpus once, read it sequentially forever" step every
+    LLM training pipeline needs (hash order decorrelates training order
+    from crawl order, and the SAME corpus always yields the SAME
+    permutation, so runs are comparable and resumable).
+
+    Scale shape: the naive formulation is row_number() over a global
+    sort — one task sorting the corpus. This uses the repo's bucketed
+    two-phase rank (shard_assign/pack_sequences machinery): the rank
+    hash is uniform, so fixed hash ranges are balanced buckets; count
+    within buckets, then add per-bucket offsets from the BOUNDED
+    bucket-total table (the only single-partition window, <= n_buckets
+    rows). The oracle states the plain global window — identical
+    result, scalable plan.
+
+    Output: (key, rank_hash, position).
+    """
+    rank_hash = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+        )
+        .cast("decimal(20,0)")
+        .cast("long")
+    )
+    base = (
+        docs.select(F.col(key_col), rank_hash.alias("rank_hash"))
+        .withColumn(
+            "_bucket",
+            F.floor(F.col("rank_hash") / F.lit((1 << 60) // n_buckets)),
+        )
+        .persist()
+    )
+    from pyspark.sql import Window
+
+    in_bucket = Window.partitionBy("_bucket").orderBy(
+        "rank_hash", key_col
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    local = base.withColumn(
+        "_local", F.coalesce(F.count("*").over(in_bucket), F.lit(0))
+    )
+    totals = base.groupBy("_bucket").agg(F.count("*").alias("_tot"))
+    over_buckets = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(over_buckets), F.lit(0))
+    ).select("_bucket", "_off")
+    return local.join(F.broadcast(offs), "_bucket").select(
+        key_col,
+        "rank_hash",
+        (F.col("_local") + F.col("_off")).cast("long").alias("position"),
+    )

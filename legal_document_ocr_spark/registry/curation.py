@@ -882,3 +882,28 @@ SELECT 'by_domain', dup_groups, dup_pairs, cross_b,
         ELSE 0 END)::bigint
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# global_shuffle
+# ---------------------------------------------------------------------------
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training permutation (sampling.global_shuffle):
+    contiguous positions 0..N-1 in md5-hash order via the bucketed
+    two-phase rank — the oracle states the naive global row_number."""
+    from ..operators.sampling import global_shuffle
+
+    return global_shuffle(_docs(spark, sf_dir))
+
+
+_SQL_GLOBAL_SHUFFLE = """
+SELECT doc_id, rh AS rank_hash,
+  (row_number() OVER (ORDER BY rh, doc_id) - 1)::bigint AS position
+FROM (
+  SELECT doc_id,
+    ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint AS rh
+  FROM documents
+)
+"""

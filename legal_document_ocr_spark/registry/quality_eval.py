@@ -974,3 +974,72 @@ SELECT source, n,
   END AS r2_micro
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# logreg_train_gd
+# ---------------------------------------------------------------------------
+
+
+def q_logreg_train_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative distributed training (relational.logreg_train_gd):
+    2 gradient-descent rounds, one scan each, exact-integer surrogate
+    sigmoid — x = n_chars div 100, y = contains ' the '. The oracle
+    unrolls both iterations verbatim."""
+    from ..operators.relational import logreg_train_gd
+
+    d = _docs(spark, sf_dir)
+    return logreg_train_gd(
+        d,
+        F.expr("n_chars div 100"),
+        F.col("text").contains(" the "),
+        iters=2,
+    )
+
+
+_SQL_LOGREG_TRAIN_GD = """
+WITH f AS (
+  SELECT (n_chars // 100)::bigint AS x,
+    (CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END)::bigint AS y
+  FROM documents
+),
+c AS (SELECT count(*)::bigint AS n FROM f),
+g1 AS (
+  SELECT sum(y * 1000000 - 500000)::bigint AS g0,
+    sum((y * 1000000 - 500000) * x)::bigint AS gx
+  FROM f
+),
+w1s AS (
+  SELECT (g0 // (10 * n))::bigint AS w0, (gx // (10 * n))::bigint AS w1
+  FROM g1, c
+),
+s2 AS (
+  SELECT x, y,
+    least(1000000,
+          greatest(0, 500000 + ((w0 + w1 * x) // 4)))::bigint AS sig
+  FROM f, w1s
+),
+g2 AS (
+  SELECT sum(y * 1000000 - sig)::bigint AS g0,
+    sum((y * 1000000 - sig) * x)::bigint AS gx
+  FROM s2
+),
+w2s AS (
+  SELECT (w1s.w0 + (g2.g0 // (10 * n)))::bigint AS w0,
+    (w1s.w1 + (g2.gx // (10 * n)))::bigint AS w1
+  FROM g2, w1s, c
+),
+fin AS (
+  SELECT f.x, f.y,
+    least(1000000,
+          greatest(0, 500000 + ((w0 + w1 * x) // 4)))::bigint AS sig,
+    w0, w1
+  FROM f, w2s
+)
+SELECT count(*)::bigint AS n,
+  max(w0)::bigint AS w0_micro, max(w1)::bigint AS w1_micro,
+  sum(CASE WHEN sig >= 500000 THEN 1 ELSE 0 END)::bigint AS predicted_pos,
+  sum(CASE WHEN (CASE WHEN sig >= 500000 THEN 1 ELSE 0 END) = y
+           THEN 1 ELSE 0 END)::bigint AS correct
+FROM fin
+"""

@@ -4805,3 +4805,49 @@ def test_kneser_ney_plan_has_no_corpus_broadcasts(spark, docs):
         .toString()
     )
     assert "BroadcastHashJoin" not in plan, plan[:2000]
+
+
+def test_global_shuffle_is_exact_permutation(spark, docs):
+    """Positions are exactly 0..N-1 with no gaps, equal to the naive
+    global row_number, and invariant under repartitioning."""
+    from pyspark.sql import Window
+    from legal_document_ocr_spark.operators.sampling import global_shuffle
+
+    out = global_shuffle(docs).cache()
+    n = docs.count()
+    assert out.count() == n
+    stats = out.agg(
+        F.min("position").alias("lo"),
+        F.max("position").alias("hi"),
+        F.countDistinct("position").alias("d"),
+    ).collect()[0]
+    assert (stats["lo"], stats["hi"], stats["d"]) == (0, n - 1, n)
+    naive = out.select(
+        "doc_id",
+        (
+            F.row_number().over(Window.orderBy("rank_hash", "doc_id")) - 1
+        ).alias("naive_pos"),
+        "position",
+    )
+    assert naive.where(F.col("naive_pos") != F.col("position")).count() == 0
+    again = global_shuffle(docs.repartition(11))
+    assert sorted(again.collect()) == sorted(out.collect())
+
+
+def test_logreg_train_gd_learns_separable_signal(spark):
+    """y = 1 iff x >= 10 on a spread of x: two surrogate-GD rounds push
+    w1 positive and beat the majority-class baseline; the whole run is
+    integer-deterministic under repartitioning."""
+    from legal_document_ocr_spark.operators.relational import logreg_train_gd
+
+    rows = [(x, 1 if x >= 10 else 0) for x in range(21) for _ in range(10)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = logreg_train_gd(df, F.col("x"), F.col("y"), iters=2).collect()[0]
+    out2 = logreg_train_gd(
+        df.repartition(7), F.col("x"), F.col("y"), iters=2
+    ).collect()[0]
+    assert out == out2
+    assert out["n"] == 210
+    assert out["w1_micro"] > 0
+    majority = max(110, 100)
+    assert out["correct"] > majority
