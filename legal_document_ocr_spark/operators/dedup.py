@@ -2086,3 +2086,77 @@ def bcubed_eval(
         F.floor(r * 1000000).cast("long").alias("recall_micro"),
         F.floor(f1 * 1000000).cast("long").alias("f1_micro"),
     )
+
+
+def grouped_minhash_state(
+    pages: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """One batch's mergeable MinHash state: per-group component minima
+    ``min((A_i*h + B_i) mod P)`` over the batch's content hashes, plus a
+    row count — the sketch sibling of ``partial_rollup``. Every column
+    merges algebraically (min folds, counts add over disjoint batches),
+    which is what makes ``merge_minhash_states`` exact: maintaining a
+    100 TB corpus's per-host/per-source similarity signatures needs only
+    each increment's sketch, never a history rescan.
+
+    Output: (group, n_rows, mh_0..mh_{num_hashes-1}).
+    """
+    p = F.lit(MINHASH_P).cast("long")
+    h = base_hash28(F.col(text_col))
+    aggs = [F.count("*").cast("long").alias("n_rows")] + [
+        F.min((F.lit(a).cast("long") * h + F.lit(b).cast("long")) % p)
+        .cast("long")
+        .alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    ]
+    return pages.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+
+
+def merge_minhash_states(
+    state: DataFrame,
+    batch: DataFrame,
+    group_col: str = "source",
+    *,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Merge two ``grouped_minhash_state`` sketches: component-wise
+    ``least`` with null-absorbing coalesce (a group absent from one side
+    keeps the other's minima), counts add. ONE full-outer join on the
+    bounded group domain — the corpus was touched only by each side's
+    map-side-combined aggregate. The merged sketch is EXACTLY the
+    full-corpus sketch (min is order/batching-independent), which is
+    what the oracle states.
+
+    Output: (group, n_rows, mh_0..mh_{num_hashes-1}).
+    """
+    s = state.select(
+        "grp",
+        F.col("n_rows").alias("n_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)],
+    )
+    b = batch.select(
+        "grp",
+        F.col("n_rows").alias("n_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)],
+    )
+    m = s.join(b, "grp", "full_outer")
+    cols = [
+        F.col("grp").alias(group_col),
+        (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0)))
+        .cast("long")
+        .alias("n_rows"),
+    ]
+    for i in range(num_hashes):
+        cols.append(
+            F.least(
+                F.coalesce(f"a_{i}", F.col(f"b_{i}")),
+                F.coalesce(f"b_{i}", F.col(f"a_{i}")),
+            )
+            .cast("long")
+            .alias(f"mh_{i}")
+        )
+    return m.select(*cols)

@@ -808,3 +808,81 @@ def global_shuffle(
         "rank_hash",
         (F.col("_local") + F.col("_off")).cast("long").alias("position"),
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    key_col: str = "doc_id",
+    *,
+    qs_ppm: tuple[int, ...] = (250000, 500000, 750000),
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Curriculum training order: documents bucketed into quality phases
+    by exact corpus quantiles (phase 0 = lowest quartile .. K = top),
+    then given a contiguous, reproducible position WITHIN each phase in
+    md5-hash order — the "easy-to-hard, shuffled within difficulty"
+    schedule curriculum training consumes directly.
+
+    Composition of two existing scale patterns: phase thresholds come
+    from the bounded distribution sketch (``relational.grouped_quantiles``
+    — never a corpus sort), and in-phase positions from the bucketed
+    two-phase rank (``global_shuffle`` machinery, partitioned by phase;
+    the only unpartitioned-per-phase window runs on the bounded
+    phase x bucket total table). The oracle states the naive
+    row_number() per phase.
+
+    Output: (key, phase, position) — positions are 0..n_phase-1 within
+    each phase.
+    """
+    from .textops import ws_tokens  # noqa: F401  (keep import graph stable)
+    from ..operators import relational as _rel
+
+    k, v = F.col(key_col), F.col(value_col).cast("long")
+    th = _rel.grouped_quantiles(
+        docs.select(F.lit("all").alias("_g"), v.alias("_v")),
+        "_g",
+        "_v",
+        qs_ppm,
+    )
+    phase = F.lit(len(qs_ppm))
+    for q in reversed(qs_ppm):
+        phase = F.when(F.col("_v") <= F.col(f"q_{q}"), F.lit(qs_ppm.index(q))).otherwise(phase)
+    rank_hash = (
+        F.conv(F.substring(F.md5(k.cast("string")), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+    )
+    base = (
+        docs.select(k, v.alias("_v"), rank_hash.alias("rank_hash"))
+        .crossJoin(F.broadcast(th.drop("_g", "n_rows")))
+        .select(
+            key_col,
+            phase.cast("long").alias("phase"),
+            "rank_hash",
+            F.floor(
+                F.col("rank_hash") / F.lit((1 << 60) // n_buckets)
+            ).alias("_bucket"),
+        )
+        .persist()
+    )
+    from pyspark.sql import Window
+
+    in_bucket = Window.partitionBy("phase", "_bucket").orderBy(
+        "rank_hash", key_col
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    local = base.withColumn(
+        "_local", F.coalesce(F.count("*").over(in_bucket), F.lit(0))
+    )
+    totals = base.groupBy("phase", "_bucket").agg(F.count("*").alias("_tot"))
+    over_buckets = Window.partitionBy("phase").orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(over_buckets), F.lit(0))
+    ).select("phase", "_bucket", "_off")
+    return local.join(F.broadcast(offs), ["phase", "_bucket"]).select(
+        key_col,
+        "phase",
+        (F.col("_local") + F.col("_off")).cast("long").alias("position"),
+    )

@@ -907,3 +907,47 @@ FROM (
   FROM documents
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# curriculum_order
+# ---------------------------------------------------------------------------
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule (sampling.curriculum_order): quartile phases
+    by exact n_chars quantiles from the bounded distribution sketch,
+    contiguous md5-order positions within each phase via the bucketed
+    two-phase rank. Oracle = naive per-phase row_number."""
+    from ..operators.sampling import curriculum_order
+
+    return curriculum_order(_docs(spark, sf_dir))
+
+
+_SQL_CURRICULUM_ORDER = """
+WITH d AS (SELECT doc_id, n_chars::bigint AS v FROM documents),
+dist AS (SELECT v, count(*) AS cnt FROM d GROUP BY v),
+cum AS (
+  SELECT v, sum(cnt) OVER (ORDER BY v) AS c,
+    (SELECT count(*) FROM d) AS n
+  FROM dist
+),
+th AS (
+  SELECT
+    min(CASE WHEN c >= (250000 * n + 999999) // 1000000 THEN v END) AS q25,
+    min(CASE WHEN c >= (500000 * n + 999999) // 1000000 THEN v END) AS q50,
+    min(CASE WHEN c >= (750000 * n + 999999) // 1000000 THEN v END) AS q75
+  FROM cum
+),
+ph AS (
+  SELECT doc_id,
+    (CASE WHEN v <= q25 THEN 0 WHEN v <= q50 THEN 1
+          WHEN v <= q75 THEN 2 ELSE 3 END)::bigint AS phase,
+    ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint AS rh
+  FROM d, th
+)
+SELECT doc_id, phase,
+  (row_number() OVER (PARTITION BY phase ORDER BY rh, doc_id)
+   - 1)::bigint AS position
+FROM ph
+"""

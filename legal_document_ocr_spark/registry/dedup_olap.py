@@ -1701,3 +1701,38 @@ FROM events i JOIN events c
   AND i.event_type = 'view' AND c.event_type = 'purchase'
   AND c.ts > i.ts AND c.ts <= i.ts + INTERVAL 30 MINUTE
 """
+
+
+# ---------------------------------------------------------------------------
+# minhash_merge
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance (dedup.merge_minhash_states): state
+    = docs with doc_id%3 != 0, batch = the rest; the merged per-source
+    MinHash signatures must equal the full-corpus signatures — exactly
+    what the oracle states, so parity PROVES min-merge is exact."""
+    from ..operators.dedup import grouped_minhash_state, merge_minhash_states
+
+    d = _docs(spark, sf_dir)
+    state = grouped_minhash_state(d.where(F.col("doc_id") % 3 != 0))
+    batch = grouped_minhash_state(d.where(F.col("doc_id") % 3 == 0))
+    return merge_minhash_states(state, batch)
+
+
+def _sql_minhash_merge(num_hashes: int = 8) -> str:
+    p = dedup.MINHASH_P
+    mins = ",\n  ".join(
+        f"min(({a}::bigint * h + {b}::bigint) % {p}::bigint)::bigint AS mh_{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_COEFFS[:num_hashes])
+    )
+    return f"""
+SELECT source, count(*)::bigint AS n_rows,
+  {mins}
+FROM (
+  SELECT source, ('0x' || substr(md5(text), 1, 7))::bigint AS h
+  FROM documents
+)
+GROUP BY source
+"""

@@ -4851,3 +4851,59 @@ def test_logreg_train_gd_learns_separable_signal(spark):
     assert out["w1_micro"] > 0
     majority = max(110, 100)
     assert out["correct"] > majority
+
+
+def test_minhash_merge_equals_full_recompute(spark, docs):
+    """Merging disjoint batch sketches reproduces the full-corpus sketch
+    bit-for-bit (min is batching-independent), including groups present
+    on only one side."""
+    full = sorted(dedup.grouped_minhash_state(docs).collect())
+    a = dedup.grouped_minhash_state(docs.where(F.col("doc_id") % 3 != 0))
+    b = dedup.grouped_minhash_state(docs.where(F.col("doc_id") % 3 == 0))
+    merged = sorted(dedup.merge_minhash_states(a, b).collect())
+    assert merged == full
+    # one-sided group: a source entirely inside the batch
+    one = docs.where(F.col("source") == "src0")
+    empty = dedup.grouped_minhash_state(one.where(F.lit(False)))
+    m2 = dedup.merge_minhash_states(
+        empty, dedup.grouped_minhash_state(one)
+    ).collect()
+    f2 = dedup.grouped_minhash_state(one).collect()
+    assert sorted(m2) == sorted(f2)
+
+
+def test_curriculum_order_phases_and_positions(spark, docs):
+    """Phases are quartile-sized and ordered by value thresholds;
+    positions are an exact 0..n_k-1 permutation within each phase and
+    partitioning-independent."""
+    from legal_document_ocr_spark.operators.sampling import curriculum_order
+
+    out = curriculum_order(docs).cache()
+    n = docs.count()
+    assert out.count() == n
+    per = {
+        r["phase"]: r
+        for r in out.groupBy("phase")
+        .agg(
+            F.count("*").alias("c"),
+            F.min("position").alias("lo"),
+            F.max("position").alias("hi"),
+            F.countDistinct("position").alias("d"),
+        )
+        .collect()
+    }
+    assert set(per) == {0, 1, 2, 3}
+    for r in per.values():
+        assert (r["lo"], r["hi"], r["d"]) == (0, r["c"] - 1, r["c"])
+    # phases respect the value ordering: max(v in phase k) <= min(v in k+1)
+    j = out.join(docs.select("doc_id", "n_chars"), "doc_id")
+    bounds = (
+        j.groupBy("phase")
+        .agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
+        .orderBy("phase")
+        .collect()
+    )
+    for prev, cur in zip(bounds, bounds[1:]):
+        assert prev["hi"] <= cur["lo"]
+    again = sorted(curriculum_order(docs.repartition(17)).collect())
+    assert again == sorted(out.collect())
