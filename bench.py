@@ -97,6 +97,10 @@ HEADLINE = [
     "hyperball",              # iterated HLL-register ball-size merges (r=2)
     "bloom_dedup",            # bloom filter build + probe + exact FPR ride-along
     "centroid_drift",         # per-source cross-snapshot centroid cosine
+    # round-4 session-13 additions
+    "kneser_ney_bigrams",     # exact-integer KN bigram LM over the corpus
+    "global_shuffle",         # bucketed two-phase rank global permutation
+    "split_leakage",          # dup-family group algebra, two split policies
 ]
 
 

@@ -729,24 +729,33 @@ def split_leakage(
         .cast("long")
         .alias("cross_b"),
     )
-    rows = []
-    for name, cross in zip(names, ("cross_a", "cross_b")):
-        rows.append(
-            tot.select(
-                F.lit(name).alias("policy"),
-                "dup_groups",
-                "dup_pairs",
-                F.col(cross).alias("cross_pairs"),
-                F.when(
-                    F.col("dup_pairs") > 0,
-                    F.expr(f"({cross} * 1000000L) div dup_pairs"),
-                )
-                .otherwise(F.lit(0))
-                .cast("long")
-                .alias("leak_ppm"),
-            )
+    # emit both policy rows from the ONE scalar row via explode — a
+    # union of two selects would recompute the corpus aggregation twice
+    pol = F.explode(
+        F.array(
+            F.struct(
+                F.lit(names[0]).alias("policy"),
+                F.col("cross_a").alias("cross_pairs"),
+            ),
+            F.struct(
+                F.lit(names[1]).alias("policy"),
+                F.col("cross_b").alias("cross_pairs"),
+            ),
         )
-    return rows[0].unionByName(rows[1])
+    ).alias("p")
+    return tot.select("dup_groups", "dup_pairs", pol).select(
+        F.col("p.policy").alias("policy"),
+        "dup_groups",
+        "dup_pairs",
+        F.col("p.cross_pairs").alias("cross_pairs"),
+        F.when(
+            F.col("dup_pairs") > 0,
+            F.expr("(p.cross_pairs * 1000000L) div dup_pairs"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("leak_ppm"),
+    )
 
 
 def global_shuffle(

@@ -2850,7 +2850,13 @@ def kneser_ney_bigrams(
             F.zip_with(a, b, lambda x, y: F.struct(x.alias("w1"), y.alias("w2")))
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
-    bg = pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    # the bigram-vocab table feeds FOUR consumers (stats + join spine):
+    # persist it so the corpus explode happens once, not per consumer
+    bg = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+        .persist()
+    )
     left = bg.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
         F.count("*").cast("long").alias("n1_w1"),
