@@ -1736,3 +1736,21 @@ FROM (
 )
 GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# stream_minhash
+# ---------------------------------------------------------------------------
+
+
+def q_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance (streaming.stream_minhash_state):
+    per-source MinHash signatures as a streaming min/count aggregate,
+    drained availableNow in complete mode; oracle = the batch grouped
+    sketch (min is batching-independent, so equality is exact)."""
+    from ..streaming.pipeline import run_stream_to_table, stream_minhash_state
+
+    name = "stream_minhash_result"
+    sdf = stream_minhash_state(spark, f"{sf_dir}/documents.parquet")
+    run_stream_to_table(spark, sdf, name, output_mode="complete")
+    return spark.table(name)

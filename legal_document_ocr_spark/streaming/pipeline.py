@@ -504,3 +504,35 @@ def stream_stream_attribution(
         .cast("long")
         .alias("lag_sec"),
     )
+
+
+def stream_minhash_state(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """Streaming sketch maintenance — the 9th streaming surface: per-source
+    MinHash signatures kept continuously up to date as documents arrive,
+    via a streaming min/count AGGREGATE (min and count are both mergeable,
+    so the state store holds exactly one row per group and every
+    micro-batch folds in map-side-combined partials — the live face of
+    ``dedup.merge_minhash_states``; same algebra, state store instead of a
+    full-outer join).
+
+    Because min is order/batching-independent, the availableNow drain in
+    ``complete`` mode is BIT-FOR-BIT the batch ``grouped_minhash_state``
+    over the same rows — which is what the oracle states, proving the
+    streaming fold exact.
+
+    Output: (source, n_rows, mh_0..mh_7), one row per source.
+    """
+    from ..operators.dedup import MINHASH_COEFFS, MINHASH_P, base_hash28
+
+    stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(
+        _as_stream_dir(spark, docs_dir)
+    )
+    p = F.lit(MINHASH_P).cast("long")
+    h = base_hash28(F.col("text"))
+    aggs = [F.count("*").cast("long").alias("n_rows")] + [
+        F.min((F.lit(a).cast("long") * h + F.lit(b).cast("long")) % p)
+        .cast("long")
+        .alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:8])
+    ]
+    return stream.groupBy("source").agg(*aggs)

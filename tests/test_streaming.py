@@ -379,3 +379,24 @@ def test_stream_stream_attribution_window(spark, tmp_path):
     out = {(r["imp_id"], r["conv_id"]): r["lag_sec"]
            for r in spark.table("attr_t").collect()}
     assert out == {(1, 2): 600}
+
+
+def test_stream_minhash_equals_batch_sketch(spark):
+    """The streaming min/count aggregate drained availableNow is
+    bit-for-bit the batch grouped MinHash sketch (min is
+    batching-independent) — the 9th streaming surface's exactness."""
+    from legal_document_ocr_spark.operators.dedup import grouped_minhash_state
+    from legal_document_ocr_spark.streaming.pipeline import (
+        run_stream_to_table,
+        stream_minhash_state,
+    )
+
+    docs_dir = "/root/testdata/sf0.001/documents.parquet"
+    sdf = stream_minhash_state(spark, docs_dir)
+    assert sdf.isStreaming
+    run_stream_to_table(spark, sdf, "smh_t", output_mode="complete")
+    got = sorted(spark.table("smh_t").collect())
+    want = sorted(
+        grouped_minhash_state(spark.read.parquet(docs_dir)).collect()
+    )
+    assert got == want
