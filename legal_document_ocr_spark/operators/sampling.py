@@ -895,3 +895,45 @@ def curriculum_order(
         "phase",
         (F.col("_local") + F.col("_off")).cast("long").alias("position"),
     )
+
+
+def cluster_sample(
+    docs: DataFrame,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    *,
+    group_pct: int = 50,
+    row_pct: int = 20,
+) -> DataFrame:
+    """Two-stage cluster sampling with exact Horvitz-Thompson weights —
+    the survey-sampling design for crawl-scale estimation: stage 1
+    samples HOSTS (clusters) by hash, stage 2 samples pages within the
+    selected hosts, and every emitted row carries its inverse inclusion
+    probability so downstream estimators stay unbiased (Σ w·x estimates
+    the corpus total from the sample alone). Sampling whole hosts first
+    is what makes the physical read cheap: unselected hosts' partitions
+    are never touched, unlike a row-level Bernoulli sample that scans
+    everything.
+
+    Determinism: both stages are md5-hash decisions (content-addressed
+    — membership never changes under repartitioning or corpus growth),
+    salted with distinct stage tags so the two draws are independent.
+    The weight is the exact integer ppm of the joint inclusion
+    probability's inverse: w_ppm = 1e8 * 1e4 div (group_pct*100 *
+    row_pct*100) scaled to micro units — pure integer arithmetic.
+
+    Output: sampled rows (group, key, weight_micro).
+    """
+    gsel = hash_bucket(F.concat(F.lit("g|"), F.col(group_col))) < group_pct * 100
+    rsel = (
+        hash_bucket(F.concat(F.lit("r|"), F.col(key_col).cast("string")))
+        < row_pct * 100
+    )
+    w_micro = (1_000_000 * 10_000 * 10_000) // (
+        (group_pct * 100) * (row_pct * 100)
+    )
+    return docs.where(gsel & rsel).select(
+        F.col(group_col),
+        F.col(key_col),
+        F.lit(w_micro).cast("long").alias("weight_micro"),
+    )

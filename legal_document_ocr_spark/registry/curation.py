@@ -951,3 +951,26 @@ SELECT doc_id, phase,
    - 1)::bigint AS position
 FROM ph
 """
+
+
+# ---------------------------------------------------------------------------
+# cluster_sample
+# ---------------------------------------------------------------------------
+
+
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage cluster sampling (sampling.cluster_sample): 50% of
+    sources, 20% of pages within them, Horvitz-Thompson weight 10.0
+    (micro) on every emitted row."""
+    from ..operators.sampling import cluster_sample
+
+    return cluster_sample(_docs(spark, sf_dir), group_pct=50, row_pct=20)
+
+
+_SQL_CLUSTER_SAMPLE = """
+SELECT source, doc_id, 10000000::bigint AS weight_micro
+FROM documents
+WHERE ('0x' || substr(md5('g|' || source), 1, 7))::bigint % 10000 < 5000
+  AND ('0x' || substr(md5('r|' || doc_id::varchar), 1, 7))::bigint
+      % 10000 < 2000
+"""

@@ -4907,3 +4907,30 @@ def test_curriculum_order_phases_and_positions(spark, docs):
         assert prev["hi"] <= cur["lo"]
     again = sorted(curriculum_order(docs.repartition(17)).collect())
     assert again == sorted(out.collect())
+
+
+def test_cluster_sample_weights_estimate_total(spark, docs):
+    """Horvitz-Thompson property: the weighted sample total estimates
+    the corpus total (here within a loose band — 500 docs, 10 clusters),
+    whole clusters are in or out, and membership is partitioning-stable."""
+    from legal_document_ocr_spark.operators.sampling import cluster_sample
+
+    out = cluster_sample(docs, group_pct=50, row_pct=20).cache()
+    rows = out.collect()
+    assert all(r["weight_micro"] == 10_000_000 for r in rows)
+    # stage 1 is all-or-nothing per source
+    in_sources = {r["source"] for r in rows}
+    n_sources = docs.select("source").distinct().count()
+    assert 0 < len(in_sources) < n_sources
+    # sampled rows only come from selected sources; unselected sources
+    # contribute zero rows (the physical-pruning property)
+    joined = docs.join(out.select("doc_id").distinct(), "doc_id")
+    assert set(
+        r["source"] for r in joined.select("source").distinct().collect()
+    ) == in_sources
+    # HT estimate of the doc count: sum of weights ~ N (loose band)
+    est = sum(r["weight_micro"] for r in rows) / 1_000_000
+    n = docs.count()
+    assert 0.3 * n < est < 2.5 * n
+    again = sorted(cluster_sample(docs.repartition(7)).collect())
+    assert again == sorted(rows)
