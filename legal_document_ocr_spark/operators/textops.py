@@ -2885,3 +2885,131 @@ def kneser_ney_bigrams(
         .orderBy(F.col("c12").desc(), "w1", "w2")
         .limit(top_k)
     )
+
+
+def langid_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    line_tokens: int = 10,
+) -> DataFrame:
+    """Code-switching span detection: per-segment language ID (the same
+    marker-argmax as ``lang_id``, applied to deterministic
+    ``line_tokens``-token segments) folded into maximal CONTIGUOUS
+    same-language spans via gaps-and-islands — the structure a
+    multilingual curation pass needs (keep the English body, route the
+    embedded French quote to the fr pipeline, flag und-noise runs).
+
+    Scale shape: ONE token-level posexplode (the generator evaluates the
+    split once per row — slicing segments out of the array instead
+    re-inlines the tokenizer per segment, the CollapseProject trap,
+    measured 6x slower), then per-segment scores as ONE map-side-
+    combined groupBy(doc_id, seg_idx) of marker-membership conditional
+    counts; the islands window partitions by doc_id (per-doc segment
+    lists are tiny and hash-spread), and the span fold is ONE further
+    groupBy(doc_id, island).
+
+    Output: (doc_id, span_idx, start_seg, n_segs, lang) — span_idx is
+    the 0-based island ordinal within the doc.
+    """
+    docs = ensure_parallelism(docs)
+    bound = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    toked = bound.select(
+        "doc_id", F.posexplode("__toks").alias("pos", "token")
+    ).select(
+        "doc_id",
+        F.expr(f"pos div {line_tokens}").cast("long").alias("seg_idx"),
+        "token",
+    )
+    langs = sorted(LANG_MARKERS)
+    scored = toked.groupBy("doc_id", "seg_idx").agg(
+        *[
+            F.sum(F.col("token").isin(*LANG_MARKERS[lang]).cast("int")).alias(
+                f"score_{lang}"
+            )
+            for lang in langs
+        ]
+    )
+    pred = F.lit("und")
+    best = F.lit(0)
+    for lang in langs:
+        s = F.col(f"score_{lang}")
+        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+        best = F.when(s > best, s).otherwise(best)
+    labeled = scored.select("doc_id", "seg_idx", pred.alias("lang"))
+    w = Window.partitionBy("doc_id").orderBy("seg_idx")
+    chg = (
+        F.lag("lang").over(w).isNull()
+        | (F.col("lang") != F.lag("lang").over(w))
+    ).cast("long")
+    islands = labeled.withColumn(
+        "island", F.sum(chg).over(w) - 1
+    )
+    return (
+        islands.groupBy("doc_id", F.col("island").alias("span_idx"))
+        .agg(
+            F.min("seg_idx").cast("long").alias("start_seg"),
+            F.count("*").cast("long").alias("n_segs"),
+            F.first("lang").alias("lang"),
+        )
+        .select("doc_id", F.col("span_idx").cast("long"), "start_seg", "n_segs", "lang")
+    )
+
+
+def word_dropout(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    drop_pct: int = 10,
+) -> DataFrame:
+    """Seed-stable word-dropout augmentation: drop each token with
+    probability ``drop_pct``% decided by a content-addressed hash of
+    (doc_id, position) — the text-augmentation step of
+    robustness/denoising training, made REPRODUCIBLE (the same doc
+    always yields the same corruption, across runs, partitionings and
+    engines, so augmented corpora are versionable artifacts rather than
+    RNG accidents).
+
+    Scale shape: one projection — the keep mask is an index-aware array
+    filter (no explode, no shuffle at all); reassembly is array_join in
+    the same projection. The oracle restates it with an ordinality
+    unnest + ordered string_agg.
+
+    Output: (doc_id, n_tokens, n_kept, aug_text) — aug_text '' when
+    every token dropped; n_tokens 0 rows pass through.
+    """
+    thr = drop_pct * 100
+    bound = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+
+    def _keep(t: Column, i: Column) -> Column:
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit("|"),
+                            i.cast("string"),
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 10000
+        )
+        return h >= thr
+
+    kept = F.filter(F.col("__toks"), _keep)
+    return bound.select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, " ").alias("aug_text"),
+    )

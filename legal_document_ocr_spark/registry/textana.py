@@ -734,3 +734,125 @@ SELECT bg.w1, bg.w2, c12, c1, n1_w1, n1_w2,
 FROM bg JOIN l ON bg.w1 = l.w1 JOIN r ON bg.w2 = r.w2, bt
 ORDER BY c12 DESC, bg.w1, bg.w2 LIMIT 500
 """
+
+
+# ---------------------------------------------------------------------------
+# langid_spans
+# ---------------------------------------------------------------------------
+
+_ES_TAIL = "el la de y es en que los una por " * 3
+
+
+def q_langid_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching spans (textops.langid_spans): each document gets a
+    30-token Spanish-marker tail appended, so every doc closes with
+    es-dominant segments and the islands fold must emit >= 2 spans."""
+    from ..operators.textops import langid_spans
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" " + _ES_TAIL.strip())).alias("text"),
+    )
+    return langid_spans(d, line_tokens=10)
+
+
+def _sql_langid_spans(line_tokens: int = 10) -> str:
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n    ".join(
+        f"len(list_filter(seg, t -> t IN ({_in_list(LANG_MARKERS[lang])})))"
+        f" AS score_{lang}"
+        for lang in langs
+    )
+    pred = "'und'"
+    best = "0"
+    for lang in langs:
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = (
+            f"CASE WHEN score_{lang} > {best} THEN score_{lang} ELSE {best} END"
+        )
+    tail = _ES_TAIL.strip()
+    return f"""
+WITH base AS (
+  SELECT doc_id, text || ' {tail}' AS text FROM documents
+),
+t AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM base
+),
+segr AS (
+  SELECT doc_id,
+    unnest(generate_series(1,
+      (len(toks) + {line_tokens} - 1) // {line_tokens})) AS i,
+    toks
+  FROM t WHERE len(toks) > 0
+),
+segs AS (
+  SELECT doc_id, (i - 1)::bigint AS seg_idx,
+    list_slice(toks, (i - 1) * {line_tokens} + 1,
+               least(i * {line_tokens}, len(toks))) AS seg
+  FROM segr
+),
+sc AS (
+  SELECT doc_id, seg_idx,
+    {scores}
+  FROM segs
+),
+lab AS (SELECT doc_id, seg_idx, {pred} AS lang FROM sc),
+isl AS (
+  SELECT doc_id, seg_idx, lang,
+    sum(CASE WHEN prev IS NULL OR lang <> prev THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY seg_idx) - 1 AS island
+  FROM (
+    SELECT doc_id, seg_idx, lang,
+      lag(lang) OVER (PARTITION BY doc_id ORDER BY seg_idx) AS prev
+    FROM lab
+  )
+)
+SELECT doc_id, island::bigint AS span_idx,
+  min(seg_idx)::bigint AS start_seg, count(*)::bigint AS n_segs,
+  min(lang) AS lang
+FROM isl GROUP BY doc_id, island
+"""
+
+
+# ---------------------------------------------------------------------------
+# word_dropout
+# ---------------------------------------------------------------------------
+
+
+def q_word_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-stable augmentation (textops.word_dropout): 10% token
+    dropout decided by md5(doc_id|position) — reproducible corruption."""
+    from ..operators.textops import word_dropout
+
+    return word_dropout(_docs(spark, sf_dir), drop_pct=10)
+
+
+_SQL_WORD_DROPOUT = r"""
+WITH t AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+    unnest(toks) AS tok,
+    unnest(generate_series(1, len(toks))) AS pos
+  FROM t
+),
+k AS (
+  SELECT doc_id, tok, pos FROM e
+  WHERE ('0x' || substr(md5(doc_id::varchar || '|'
+          || (pos - 1)::varchar), 1, 7))::bigint % 10000 >= 1000
+),
+a AS (
+  SELECT doc_id, count(*)::bigint AS n_kept,
+    string_agg(tok, ' ' ORDER BY pos) AS aug_text
+  FROM k GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.toks)::bigint AS n_tokens,
+  coalesce(a.n_kept, 0)::bigint AS n_kept,
+  coalesce(a.aug_text, '') AS aug_text
+FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+"""

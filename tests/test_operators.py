@@ -4934,3 +4934,50 @@ def test_cluster_sample_weights_estimate_total(spark, docs):
     assert 0.3 * n < est < 2.5 * n
     again = sorted(cluster_sample(docs.repartition(7)).collect())
     assert again == sorted(rows)
+
+
+def test_langid_spans_detects_code_switch(spark):
+    """20 en-marker tokens then 20 es-marker tokens -> exactly two
+    10-segment-aligned spans (en then es); marker-free text -> 'und'."""
+    en = "the of and is to that it for in a "
+    es = "el la de y es en que los una por "
+    df = spark.createDataFrame(
+        [(0, en * 2 + es * 2), (1, "zz qq ww " * 4)],
+        "doc_id long, text string",
+    )
+    out = textops.langid_spans(df, line_tokens=10).collect()
+    spans = sorted(
+        [(r["span_idx"], r["start_seg"], r["n_segs"], r["lang"])
+         for r in out if r["doc_id"] == 0]
+    )
+    assert spans == [(0, 0, 2, "en"), (1, 2, 2, "es")]
+    und = [r["lang"] for r in out if r["doc_id"] == 1]
+    assert und == ["und"]
+
+
+def test_word_dropout_is_stable_subsequence(spark, docs):
+    """Kept tokens are an order-preserving subsequence, the corpus-wide
+    drop rate lands near 10%, and the mask is partitioning-stable;
+    drop_pct=0 is the identity."""
+    out = textops.word_dropout(docs, drop_pct=10).cache()
+    tot = out.agg(F.sum("n_tokens"), F.sum("n_kept")).collect()[0]
+    rate = 1 - tot[1] / tot[0]
+    assert 0.06 < rate < 0.14
+    # subsequence: every kept token multiset is contained per doc; check
+    # one doc exactly against a Python reference
+    import hashlib
+
+    row = docs.select("doc_id", "text").orderBy("doc_id").first()
+    toks = row["text"].lower().strip().split()
+    keep = []
+    for i, t in enumerate(toks):
+        h = int(hashlib.md5(f"{row['doc_id']}|{i}".encode()).hexdigest()[:7], 16) % 10000
+        if h >= 1000:
+            keep.append(t)
+    got = out.where(F.col("doc_id") == row["doc_id"]).first()
+    assert got["aug_text"] == " ".join(keep)
+    assert got["n_kept"] == len(keep)
+    again = sorted(textops.word_dropout(docs.repartition(6), drop_pct=10).collect())
+    assert again == sorted(out.collect())
+    ident = textops.word_dropout(docs, drop_pct=0)
+    assert ident.where(F.col("n_kept") != F.col("n_tokens")).count() == 0
