@@ -827,3 +827,60 @@ def centroid_drift(
             "drift_micro", (F.lit(1000000) - F.col("cos_micro")).cast("long")
         )
     )
+
+
+def multiprobe_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_dims: int = 4,
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k: probe the query's sign bucket AND its
+    ``bucket_dims`` Hamming-1 neighbors (one sign flipped) — the
+    standard recall lever for LSH retrieval (Lv et al. 2007): a true
+    neighbor whose vector straddles one hyperplane lands one flip away,
+    so probing adjacent buckets recovers it WITHOUT halving the key
+    width (which would double every bucket's size corpus-wide). Probe
+    cost grows linearly (1 -> dims+1 buckets); bucket size shrinks
+    exponentially in dims — the trade every production ANN layer makes.
+
+    Scale shape: the probe set is dims+1 rows broadcast to an equi-join
+    on the bucket key — with the corpus bucketed/partitioned by sign
+    key at rest this is a partition-pruned scan of dims+1 buckets, not
+    a sweep. Same output contract as ``cosine_topk`` restricted to the
+    probed buckets.
+
+    Output: (id, cosine) top-k by (cosine desc, id).
+    """
+    keyed = embeddings.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("v"),
+        sign_bucket_expr(F.col(vec_col), bucket_dims).alias("bucket"),
+    )
+    q = keyed.where(F.col(id_col) == query_vec_id).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    flip = [F.col("qb")]
+    for i in range(bucket_dims):
+        ch = F.substring("qb", i + 1, 1)
+        flip.append(
+            F.concat(
+                F.substring("qb", 1, i),
+                F.when(ch == "+", F.lit("-")).otherwise(F.lit("+")),
+                F.substring("qb", i + 2, bucket_dims - i - 1),
+            )
+        )
+    probes = q.select("qv", F.explode(F.array(*flip)).alias("bucket"))
+    return (
+        keyed.where(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(probes), "bucket")
+        .select(
+            F.col(id_col),
+            F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -974,3 +974,46 @@ WHERE ('0x' || substr(md5('g|' || source), 1, 7))::bigint % 10000 < 5000
   AND ('0x' || substr(md5('r|' || doc_id::varchar), 1, 7))::bigint
       % 10000 < 2000
 """
+
+
+# ---------------------------------------------------------------------------
+# multiprobe_knn
+# ---------------------------------------------------------------------------
+
+
+def q_multiprobe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH top-k (similarity.multiprobe_topk): the
+    query's 4-dim sign bucket plus its four Hamming-1 neighbors,
+    equi-joined — recall recovered without halving the key width."""
+    return similarity.multiprobe_topk(
+        _tbl(spark, sf_dir, "embeddings"), 0, k=10, bucket_dims=4
+    )
+
+
+def _sql_multiprobe_knn(dims: int = 4) -> str:
+    cos = _COS_SQL.format(a="e.v", b="p.qv")
+    bucket = _sign_bucket_sql("embedding", dims)
+    flips = "\n  UNION ALL ".join(
+        "SELECT qv, substr(qb, 1, {pm1}) || "
+        "(CASE WHEN substr(qb, {p}, 1) = '+' THEN '-' ELSE '+' END)"
+        " || substr(qb, {pp1}) AS bucket FROM q".format(
+            pm1=i, p=i + 1, pp1=i + 2
+        )
+        for i in range(dims)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v,
+         {bucket} AS bucket
+  FROM embeddings
+),
+q AS (SELECT v AS qv, bucket AS qb FROM e WHERE vec_id = 0),
+probes AS (
+  SELECT qv, qb AS bucket FROM q
+  UNION ALL {flips}
+)
+SELECT e.vec_id, round({cos}, 6) AS cosine
+FROM e JOIN probes p ON e.bucket = p.bucket
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id LIMIT 10
+"""

@@ -4981,3 +4981,34 @@ def test_word_dropout_is_stable_subsequence(spark, docs):
     assert again == sorted(out.collect())
     ident = textops.word_dropout(docs, drop_pct=0)
     assert ident.where(F.col("n_kept") != F.col("n_tokens")).count() == 0
+
+
+def test_multiprobe_recall_dominates_single_bucket(spark, embeddings):
+    """Multi-probe results all live within Hamming-1 of the query's sign
+    bucket, contain the single-bucket results, and recall@10 vs exact
+    brute force is >= the single-bucket variant's."""
+    exact = {
+        r["vec_id"]
+        for r in similarity.cosine_topk(embeddings, 0, k=10).collect()
+    }
+    single = {
+        r["vec_id"]
+        for r in similarity.bucketed_topk(
+            embeddings, 0, k=10, bucket_dims=4
+        ).collect()
+    }
+    multi_rows = similarity.multiprobe_topk(
+        embeddings, 0, k=10, bucket_dims=4
+    ).collect()
+    multi = {r["vec_id"] for r in multi_rows}
+    assert len(multi) == 10
+    assert len(multi & exact) >= len(single & exact)
+    keyed = embeddings.select(
+        "vec_id",
+        similarity.sign_bucket_expr(F.col("embedding"), 4).alias("b"),
+    )
+    buckets = {r["vec_id"]: r["b"] for r in keyed.collect()}
+    qb = buckets[0]
+    for vid in multi:
+        ham = sum(1 for a, b in zip(qb, buckets[vid]) if a != b)
+        assert ham <= 1
