@@ -3013,3 +3013,160 @@ def word_dropout(
         F.size(kept).cast("long").alias("n_kept"),
         F.array_join(kept, " ").alias("aug_text"),
     )
+
+
+def conditional_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level order-0 vs order-1 character entropy — the
+    compressibility/structure gauge: H0 is the i.i.d. char entropy, H1 =
+    H(c2|c1) the bigram-conditional entropy, and their gap (redundancy)
+    measures how much structure a first-order model already captures
+    (natural text drops ~1-2 bits; base64 blobs drop ~0).
+
+    Scale shape: ONE char explode feeds the unigram counts; ONE
+    zip_with-sliced bigram explode feeds pair counts (the lm_scores
+    O(chars) discipline — no per-position substr rescans); both
+    aggregates land on the bounded alphabet/alphabet² vocabulary, and
+    everything after is sketch-sized. Context totals derive from the
+    bigram table, never a third scan.
+
+    Determinism: each class term is cnt * round(log2(p), 6) summed as
+    DECIMAL (exact, order-independent; libm log2 differs by ulps), then
+    ONE double division + floor(micro) per entropy (char_entropy
+    discipline). redundancy subtracts the two already-floored micros.
+
+    Output: one row (n_chars, n_bigrams, h0_micro, h1_micro,
+    redundancy_micro).
+    """
+    docs = ensure_parallelism(docs)
+    lt = F.lower(F.col(text_col))
+    src = docs.select(lt.alias("lt")).where(F.length("lt") > 0)
+    uni = (
+        src.select(F.explode(F.split("lt", "")).alias("ch"))
+        .groupBy("ch")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = uni.agg(F.sum("cnt").cast("long").alias("n"))
+    h0 = (
+        uni.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.col("cnt").cast("decimal(18,0)")
+                * F.round(
+                    F.log2(F.col("cnt") / F.col("n").cast("double")), 6
+                ).cast("decimal(18,6)")
+            ).alias("term"),
+            "n",
+        )
+        .groupBy("n")
+        .agg(F.sum("term").alias("s0"))
+    )
+    src2 = docs.select(lt.alias("lt")).where(F.length("lt") >= 2)
+    chars = F.split(F.col("lt"), "")
+    a = F.slice(chars, 1, F.length("lt") - 1)
+    b = F.slice(chars, 2, F.length("lt") - 1)
+    bg = (
+        src2.select(
+            F.explode(
+                F.zip_with(a, b, lambda x, y: F.concat(x, y))
+            ).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count("*").cast("long").alias("c12"))
+        .persist()
+    )
+    ctx = bg.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("c12").cast("long").alias("c1n")
+    )
+    btot = bg.agg(F.sum("c12").cast("long").alias("nb"))
+    h1 = (
+        bg.withColumn("c1", F.substring("bg", 1, 1))
+        .join(ctx.hint("shuffle_hash"), "c1")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            (
+                F.col("c12").cast("decimal(18,0)")
+                * F.round(
+                    F.log2(F.col("c12") / F.col("c1n").cast("double")), 6
+                ).cast("decimal(18,6)")
+            ).alias("term"),
+            "nb",
+        )
+        .groupBy("nb")
+        .agg(F.sum("term").alias("s1"))
+    )
+    out = h0.crossJoin(h1).select(
+        F.col("n").cast("long").alias("n_chars"),
+        F.col("nb").cast("long").alias("n_bigrams"),
+        F.floor(
+            (-F.col("s0").cast("double") / F.col("n").cast("double"))
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("h0_micro"),
+        F.floor(
+            (-F.col("s1").cast("double") / F.col("nb").cast("double"))
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("h1_micro"),
+    )
+    return out.select(
+        "n_chars",
+        "n_bigrams",
+        "h0_micro",
+        "h1_micro",
+        (F.col("h0_micro") - F.col("h1_micro")).alias("redundancy_micro"),
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    max_pow: int = 10,
+) -> DataFrame:
+    """Tokenizer design curve: what fraction of corpus tokens the top
+    2^k vocabulary covers, for k = 1..``max_pow`` — the coverage-vs-
+    vocab-size trade every tokenizer budget decision reads off (where
+    the curve flattens is where added vocab stops paying).
+
+    Scale shape: ONE map-side-combined token count (the only corpus
+    exchange) -> TakeOrdered top-2^max_pow; rank, cumulative counts and
+    the k-grid all live on the bounded vocab table (documented
+    bounded-domain windows). All-integer: covered_ppm is exact div.
+
+    Output: (k, vocab_size, covered_ppm) — vocab_size = min(2^k, |V|).
+    """
+    toks = docs.select(
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("t"))
+    top = counts.orderBy(F.col("n").desc(), "token").limit(1 << max_pow)
+    w = Window.orderBy(F.col("n").desc(), "token")
+    ranked = top.select(
+        "n",
+        F.row_number().over(w).alias("rn"),
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    vmax = ranked.agg(F.max("rn").alias("vmax"))
+    ks = docs.sparkSession.range(1, max_pow + 1).select(
+        F.col("id").cast("long").alias("k"),
+        F.expr("shiftleft(1L, cast(id as int))").cast("long").alias("v"),
+    )
+    grid = ks.crossJoin(F.broadcast(vmax)).select(
+        "k", F.least(F.col("v"), F.col("vmax")).alias("vocab_size")
+    )
+    return (
+        grid.join(
+            F.broadcast(ranked), F.col("vocab_size") == F.col("rn")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "vocab_size",
+            F.expr("(cum * 1000000L) div t").cast("long").alias("covered_ppm"),
+        )
+    )

@@ -856,3 +856,100 @@ SELECT t.doc_id, len(t.toks)::bigint AS n_tokens,
   coalesce(a.aug_text, '') AS aug_text
 FROM t LEFT JOIN a ON t.doc_id = a.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# conditional_entropy
+# ---------------------------------------------------------------------------
+
+
+def q_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-0 vs order-1 corpus char entropy
+    (textops.conditional_entropy): the redundancy gauge — one row."""
+    from ..operators.textops import conditional_entropy
+
+    return conditional_entropy(_docs(spark, sf_dir))
+
+
+_SQL_CONDITIONAL_ENTROPY = """
+WITH src AS (
+  SELECT lower(text) AS lt FROM documents WHERE length(text) > 0
+),
+uch AS (
+  SELECT unnest(list_transform(generate_series(1, length(lt)),
+                               i -> substr(lt, i, 1))) AS ch
+  FROM src
+),
+uni AS (SELECT ch, count(*)::bigint AS cnt FROM uch GROUP BY ch),
+tot AS (SELECT sum(cnt)::bigint AS n FROM uni),
+h0 AS (
+  SELECT max(n) AS n,
+    sum(cnt::decimal(18,0)
+        * round(log2(cnt / n::double), 6)::decimal(18,6)) AS s0
+  FROM uni, tot
+),
+src2 AS (SELECT lt FROM src WHERE length(lt) >= 2),
+ebg AS (
+  SELECT unnest(list_transform(generate_series(1, length(lt) - 1),
+                               i -> substr(lt, i, 2))) AS bg
+  FROM src2
+),
+bgc AS (SELECT bg, count(*)::bigint AS c12 FROM ebg GROUP BY bg),
+ctx AS (
+  SELECT substr(bg, 1, 1) AS c1, sum(c12)::bigint AS c1n
+  FROM bgc GROUP BY 1
+),
+btot AS (SELECT sum(c12)::bigint AS nb FROM bgc),
+h1 AS (
+  SELECT max(nb) AS nb,
+    sum(c12::decimal(18,0)
+        * round(log2(c12 / c1n::double), 6)::decimal(18,6)) AS s1
+  FROM bgc JOIN ctx ON substr(bgc.bg, 1, 1) = ctx.c1, btot
+),
+fin AS (
+  SELECT n::bigint AS n_chars, nb::bigint AS n_bigrams,
+    floor((-(s0::double) / n::double) * 1000000.0)::bigint AS h0_micro,
+    floor((-(s1::double) / nb::double) * 1000000.0)::bigint AS h1_micro
+  FROM h0, h1
+)
+SELECT n_chars, n_bigrams, h0_micro, h1_micro,
+  (h0_micro - h1_micro)::bigint AS redundancy_micro
+FROM fin
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-vs-vocab-size curve (textops.vocab_coverage): corpus
+    token share covered by the top 2^k tokens, k = 1..10."""
+    from ..operators.textops import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir))
+
+
+_SQL_VOCAB_COVERAGE = rf"""
+WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+c AS (SELECT token, count(*)::bigint AS n FROM toks GROUP BY token),
+tot AS (SELECT sum(n)::bigint AS t FROM c),
+top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 1024),
+ranked AS (
+  SELECT n,
+    row_number() OVER (ORDER BY n DESC, token) AS rn,
+    sum(n) OVER (ORDER BY n DESC, token
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM top
+),
+vmax AS (SELECT max(rn) AS vm FROM ranked),
+ks AS (
+  SELECT k, (1::bigint << k) AS v
+  FROM (SELECT unnest(generate_series(1, 10)) AS k)
+),
+grid AS (SELECT k, least(v, vm)::bigint AS vocab_size FROM ks, vmax)
+SELECT k::bigint AS k, vocab_size,
+  ((cum * 1000000) // t)::bigint AS covered_ppm
+FROM grid JOIN ranked ON grid.vocab_size = ranked.rn, tot
+"""

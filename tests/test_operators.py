@@ -5012,3 +5012,31 @@ def test_multiprobe_recall_dominates_single_bucket(spark, embeddings):
     for vid in multi:
         ham = sum(1 for a, b in zip(qb, buckets[vid]) if a != b)
         assert ham <= 1
+
+
+def test_conditional_entropy_alternating_corpus(spark):
+    """'abab...': order-0 entropy is exactly 1 bit, order-1 is 0 (the
+    next char is deterministic given the previous) -> redundancy 1 bit."""
+    df = spark.createDataFrame([(0, "ab" * 100)], "doc_id long, text string")
+    r = textops.conditional_entropy(df).collect()[0]
+    assert r["n_chars"] == 200 and r["n_bigrams"] == 199
+    assert r["h0_micro"] == 1_000_000
+    assert r["h1_micro"] == 0
+    assert r["redundancy_micro"] == 1_000_000
+
+
+def test_vocab_coverage_curve(spark):
+    """Tiny corpus: top-2 tokens cover 12/16, full 3-token vocab covers
+    everything; the curve is nondecreasing and capped at 1e6."""
+    df = spark.createDataFrame(
+        [(0, "a " * 8 + "b " * 4 + "c " * 4)], "doc_id long, text string"
+    )
+    rows = {r["k"]: r for r in textops.vocab_coverage(df).collect()}
+    assert rows[1]["vocab_size"] == 2 and rows[1]["covered_ppm"] == 750_000
+    assert rows[2]["vocab_size"] == 3 and rows[2]["covered_ppm"] == 1_000_000
+    assert rows[10]["vocab_size"] == 3
+    cur = 0
+    for k in sorted(rows):
+        assert rows[k]["covered_ppm"] >= cur
+        cur = rows[k]["covered_ppm"]
+        assert rows[k]["covered_ppm"] <= 1_000_000
