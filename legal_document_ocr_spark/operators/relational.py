@@ -2580,3 +2580,66 @@ def logreg_train_gd(
         F.sum(pred).cast("long").alias("predicted_pos"),
         F.sum((pred == F.col("y")).cast("long")).cast("long").alias("correct"),
     )
+
+
+def filter_ensemble(
+    df: DataFrame,
+    rules,
+) -> DataFrame:
+    """Majority-vote filter ensemble with leave-one-out marginals — the
+    which-rule-actually-matters gauge of a curation battery: for each
+    rule, how often does REMOVING it flip the majority keep/drop
+    verdict? A rule with zero flips is redundant (drop it and save its
+    scan cost); a rule with many flips is load-bearing and deserves its
+    own quality audit. ``rules`` is a list of (name, boolean Column).
+
+    Semantics (stated, integer-exact): keep iff 2*votes > n_rules;
+    leave-one-out keep iff 2*(votes - v_r) > n_rules - 1.
+
+    Scale shape: ONE projection computes all vote bits, ONE scalar
+    aggregate folds every count, and the per-rule rows explode from
+    that single row (the split_leakage shape — a union of per-rule
+    selects would rescan the corpus per rule).
+
+    Output: one row per rule — (rule, n, keep_rate_ppm,
+    majority_keep_ppm, loo_flips, flip_ppm).
+    """
+    n_rules = len(rules)
+    proj = df.select(
+        *[r[1].cast("int").alias(f"v{i}") for i, r in enumerate(rules)]
+    )
+    votes = sum(F.col(f"v{i}") for i in range(n_rules))
+    keep = (votes * 2 > n_rules).cast("int")
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.sum(keep).cast("long").alias("n_keep"),
+    ]
+    for i in range(n_rules):
+        loo = ((votes - F.col(f"v{i}")) * 2 > n_rules - 1).cast("int")
+        aggs.append(F.sum(F.col(f"v{i}")).cast("long").alias(f"k{i}"))
+        aggs.append(
+            F.sum((keep != loo).cast("int")).cast("long").alias(f"f{i}")
+        )
+    tot = proj.agg(*aggs)
+    per = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(rules[i][0]).alias("rule"),
+                    F.col(f"k{i}").alias("rk"),
+                    F.col(f"f{i}").alias("rf"),
+                )
+                for i in range(n_rules)
+            ]
+        )
+    ).alias("p")
+    return tot.select("n", "n_keep", per).select(
+        F.col("p.rule").alias("rule"),
+        "n",
+        F.expr("(p.rk * 1000000L) div n").cast("long").alias("keep_rate_ppm"),
+        F.expr("(n_keep * 1000000L) div n")
+        .cast("long")
+        .alias("majority_keep_ppm"),
+        F.col("p.rf").cast("long").alias("loo_flips"),
+        F.expr("(p.rf * 1000000L) div n").cast("long").alias("flip_ppm"),
+    )

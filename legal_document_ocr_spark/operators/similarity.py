@@ -20,7 +20,7 @@ the operator API leaves room for it (`method=` switch).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..scale.salt import ensure_parallelism
@@ -883,4 +883,72 @@ def multiprobe_topk(
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+# position -> round(1e6 / log2(pos+1)): the NDCG discount table as EXACT
+# integer literals (computed once in Python, shared verbatim by the
+# oracle) — no runtime float log anywhere, so engines cannot disagree.
+NDCG_DISCOUNT_MICRO: tuple[int, ...] = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+
+
+def ndcg_eval(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    *,
+    k: int = 10,
+    bucket_dims: int = 4,
+) -> DataFrame:
+    """NDCG@k of the bucketed ANN layer against exact brute force — the
+    rank-quality eval that recall@k misses (recall says the right items
+    came back; NDCG says they came back in the right ORDER, discounted
+    by position). Gain of a returned item = k+1 minus its exact rank
+    (0 if outside the exact top-k); discounts are the fixed
+    1/log2(pos+1) table as integer-micro LITERALS, so the whole metric
+    is exact integer arithmetic.
+
+    Scale shape: both rankings are bounded k-row tables (the exact side
+    one TakeOrdered sweep, the bucketed side a pruned probe); everything
+    after is arithmetic on <= k rows.
+
+    Output: one row (k, dcg_micro, idcg_micro, ndcg_ppm).
+    """
+    exact = cosine_topk(embeddings, query_vec_id, k=k).select(
+        F.col("vec_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), "vec_id"))
+        .alias("ex_rank"),
+    )
+    approx = bucketed_topk(
+        embeddings, query_vec_id, k=k, bucket_dims=bucket_dims
+    ).select(
+        F.col("vec_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), "vec_id"))
+        .alias("pos"),
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in NDCG_DISCOUNT_MICRO]), F.col("pos")
+    ).cast("long")
+    gain = F.coalesce(
+        F.lit(k + 1) - F.col("ex_rank"), F.lit(0)
+    ).cast("long")
+    dcg = approx.join(exact, "vec_id", "left").select(
+        (gain * disc).alias("term")
+    ).agg(F.sum("term").cast("long").alias("dcg_micro"))
+    idcg_val = sum(
+        (k + 1 - (i + 1)) * NDCG_DISCOUNT_MICRO[i] for i in range(k)
+    )
+    return dcg.select(
+        F.lit(k).cast("long").alias("k"),
+        F.coalesce(F.col("dcg_micro"), F.lit(0)).alias("dcg_micro"),
+        F.lit(idcg_val).cast("long").alias("idcg_micro"),
+        F.expr(
+            f"(coalesce(dcg_micro, 0L) * 1000000L) div {idcg_val}L"
+        )
+        .cast("long")
+        .alias("ndcg_ppm"),
     )

@@ -3170,3 +3170,43 @@ def vocab_coverage(
             F.expr("(cum * 1000000L) div t").cast("long").alias("covered_ppm"),
         )
     )
+
+
+def byte_fertility(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """UTF-8 byte fertility per language — the multilingual budget
+    gauge: how many BYTES one character / one whitespace token costs per
+    language (ASCII languages ~1.0 byte/char; diacritic-heavy and CJK
+    text costs 2-4x, which is exactly the tokenizer-budget and storage
+    skew a mixing plan must price in).
+
+    ONE map-side-combined groupBy of exact bigint sums; ratios are
+    integer micro division. Spark octet_length == DuckDB strlen (both
+    UTF-8 byte counts — probed, not assumed).
+
+    Output: (group, n_docs, n_chars, n_bytes, n_tokens,
+    bytes_per_char_micro, bytes_per_token_micro).
+    """
+    t = F.col(text_col)
+    g = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length(t)).cast("long").alias("n_chars"),
+        F.sum(F.octet_length(t)).cast("long").alias("n_bytes"),
+        F.sum(F.size(ws_tokens(F.lower(t)))).cast("long").alias("n_tokens"),
+    )
+    return g.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_chars",
+        "n_bytes",
+        "n_tokens",
+        F.expr("(n_bytes * 1000000L) div n_chars")
+        .cast("long")
+        .alias("bytes_per_char_micro"),
+        F.expr("(n_bytes * 1000000L) div n_tokens")
+        .cast("long")
+        .alias("bytes_per_token_micro"),
+    )

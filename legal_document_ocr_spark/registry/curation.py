@@ -1017,3 +1017,64 @@ FROM e JOIN probes p ON e.bucket = p.bucket
 WHERE e.vec_id <> 0
 ORDER BY cosine DESC, e.vec_id LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# ndcg_eval
+# ---------------------------------------------------------------------------
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the bucketed ANN layer vs exact brute force
+    (similarity.ndcg_eval) — integer-literal discount table, zero
+    runtime float logs."""
+    return similarity.ndcg_eval(
+        _tbl(spark, sf_dir, "embeddings"), 0, k=10, bucket_dims=4
+    )
+
+
+def _sql_ndcg_eval(k: int = 10, dims: int = 4) -> str:
+    cos = _COS_SQL.format(a="e.v", b="q.qv")
+    bucket = _sign_bucket_sql("embedding", dims)
+    disc = list(similarity.NDCG_DISCOUNT_MICRO[:k])
+    idcg = sum((k + 1 - (i + 1)) * disc[i] for i in range(k))
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v,
+         {bucket} AS bucket
+  FROM embeddings
+),
+q AS (SELECT v AS qv, bucket AS qb FROM e WHERE vec_id = 0),
+ex AS (
+  SELECT vec_id,
+    row_number() OVER (ORDER BY cosine DESC, vec_id) AS ex_rank
+  FROM (
+    SELECT e.vec_id, round({cos}, 6) AS cosine
+    FROM e, q WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id LIMIT {k}
+  )
+),
+ap AS (
+  SELECT vec_id,
+    row_number() OVER (ORDER BY cosine DESC, vec_id) AS pos
+  FROM (
+    SELECT e.vec_id, round({cos}, 6) AS cosine
+    FROM e, q WHERE e.vec_id <> 0 AND e.bucket = q.qb
+    ORDER BY cosine DESC, e.vec_id LIMIT {k}
+  )
+),
+d AS (
+  SELECT unnest({disc}) AS disc,
+    unnest(generate_series(1, {k})) AS pos
+),
+t AS (
+  SELECT sum((CASE WHEN ex.ex_rank IS NOT NULL
+                   THEN {k + 1} - ex.ex_rank ELSE 0 END)
+             * d.disc)::bigint AS dcg
+  FROM ap JOIN d USING (pos) LEFT JOIN ex USING (vec_id)
+)
+SELECT {k}::bigint AS k, coalesce(dcg, 0)::bigint AS dcg_micro,
+  {idcg}::bigint AS idcg_micro,
+  ((coalesce(dcg, 0) * 1000000) // {idcg})::bigint AS ndcg_ppm
+FROM t
+"""

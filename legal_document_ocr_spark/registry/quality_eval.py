@@ -1043,3 +1043,100 @@ SELECT count(*)::bigint AS n,
            THEN 1 ELSE 0 END)::bigint AS correct
 FROM fin
 """
+
+
+# ---------------------------------------------------------------------------
+# byte_fertility
+# ---------------------------------------------------------------------------
+
+
+def q_byte_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8 byte fertility per lang (textops.byte_fertility): bytes per
+    char / per token — Spark octet_length == DuckDB strlen."""
+    from ..operators.textops import byte_fertility
+
+    return byte_fertility(_docs(spark, sf_dir))
+
+
+_SQL_BYTE_FERTILITY = r"""
+WITH g AS (
+  SELECT lang, count(*)::bigint AS n_docs,
+    sum(length(text))::bigint AS n_chars,
+    sum(strlen(text))::bigint AS n_bytes,
+    sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))::bigint
+      AS n_tokens
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, n_chars, n_bytes, n_tokens,
+  ((n_bytes * 1000000) // n_chars)::bigint AS bytes_per_char_micro,
+  ((n_bytes * 1000000) // n_tokens)::bigint AS bytes_per_token_micro
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# filter_ensemble
+# ---------------------------------------------------------------------------
+
+_ENSEMBLE_RULES_SQL = (
+    ("len200", "n_chars >= 200"),
+    ("has_the", "contains(text, ' the ')"),
+    ("has_of", "contains(text, ' of ')"),
+)
+
+
+def q_filter_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote ensemble audit (relational.filter_ensemble) over
+    three curation rules, with leave-one-out flip counts per rule."""
+    from ..operators.relational import filter_ensemble
+
+    d = _docs(spark, sf_dir)
+    return filter_ensemble(
+        d,
+        [
+            ("len200", F.col("n_chars") >= 200),
+            ("has_the", F.col("text").contains(" the ")),
+            ("has_of", F.col("text").contains(" of ")),
+        ],
+    )
+
+
+def _sql_filter_ensemble() -> str:
+    names = [n for n, _ in _ENSEMBLE_RULES_SQL]
+    conds = [c for _, c in _ENSEMBLE_RULES_SQL]
+    vs = ",\n    ".join(
+        f"CASE WHEN {c} THEN 1 ELSE 0 END AS v{i}"
+        for i, c in enumerate(conds)
+    )
+    full = "CASE WHEN (v0 + v1 + v2) * 2 > 3 THEN 1 ELSE 0 END"
+    parts = []
+    for i in range(3):
+        others = " + ".join(f"v{j}" for j in range(3) if j != i)
+        loo = f"CASE WHEN ({others}) * 2 > 2 THEN 1 ELSE 0 END"
+        parts.append(
+            f"sum(v{i})::bigint AS k{i},\n"
+            f"    sum(CASE WHEN ({full}) <> ({loo}) THEN 1 ELSE 0 END)"
+            f"::bigint AS f{i}"
+        )
+    sums = ",\n    ".join(parts)
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{names[i]}' AS rule, n,\n"
+        f"  ((k{i} * 1000000) // n)::bigint AS keep_rate_ppm,\n"
+        f"  ((n_keep * 1000000) // n)::bigint AS majority_keep_ppm,\n"
+        f"  f{i} AS loo_flips,\n"
+        f"  ((f{i} * 1000000) // n)::bigint AS flip_ppm\nFROM t"
+        for i in range(3)
+    )
+    return f"""
+WITH v AS (
+  SELECT {vs}
+  FROM documents
+),
+t AS (
+  SELECT count(*)::bigint AS n,
+    sum({full})::bigint AS n_keep,
+    {sums}
+  FROM v
+)
+{rows}
+"""

@@ -5040,3 +5040,54 @@ def test_vocab_coverage_curve(spark):
         assert rows[k]["covered_ppm"] >= cur
         cur = rows[k]["covered_ppm"]
         assert rows[k]["covered_ppm"] <= 1_000_000
+
+
+def test_byte_fertility_ascii_vs_multibyte(spark):
+    """Pure-ASCII text costs exactly 1.0 byte/char; diacritic text costs
+    more; token ratio reflects bytes, not chars."""
+    df = spark.createDataFrame(
+        [(0, "plain ascii text", "en"), (1, "số và của là", "vi")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["lang"]: r for r in textops.byte_fertility(df).collect()}
+    assert out["en"]["bytes_per_char_micro"] == 1_000_000
+    assert out["vi"]["bytes_per_char_micro"] > 1_000_000
+    assert out["vi"]["n_bytes"] > out["vi"]["n_chars"]
+
+
+def test_filter_ensemble_loo_semantics(spark):
+    """Hand rows where one rule is pivotal: flips counted only where
+    removing the rule changes the majority verdict; keep rates exact."""
+    df = spark.createDataFrame(
+        [(1, 1, 0), (1, 0, 0), (0, 1, 1), (1, 1, 1)],
+        "a int, b int, c int",
+    )
+    out = {
+        r["rule"]: r
+        for r in relational.filter_ensemble(
+            df,
+            [("a", F.col("a") == 1), ("b", F.col("b") == 1),
+             ("c", F.col("c") == 1)],
+        ).collect()
+    }
+    # majority keeps rows 1, 3, 4 -> 750000 ppm
+    assert out["a"]["majority_keep_ppm"] == 750_000
+    # row (1,1,0): majority keep; drop a -> (1,0): 2*1 > 2 false -> flip.
+    # row (1,0,0): majority drop; drop a -> stays drop. row (0,1,1): keep;
+    # drop a -> (1,1) keep. row (1,1,1): keep; drop a -> (1,1) keep.
+    assert out["a"]["loo_flips"] == 1
+    # rule c is pivotal only for row (0,1,1): drop c -> (0,1) drops
+    assert out["c"]["loo_flips"] == 1
+    assert out["b"]["keep_rate_ppm"] == 750_000
+
+
+def test_ndcg_eval_bounds_and_ideal(spark, embeddings):
+    """NDCG is in [0, 1e6]; a 'bucketed' ranking that IS the exact
+    ranking (bucket_dims=0 would be degenerate, so verify bounds and
+    consistency with recall instead)."""
+    r = similarity.ndcg_eval(embeddings, 0, k=10, bucket_dims=4).collect()[0]
+    assert 0 <= r["ndcg_ppm"] <= 1_000_000
+    assert r["idcg_micro"] == sum(
+        (11 - p) * similarity.NDCG_DISCOUNT_MICRO[p - 1] for p in range(1, 11)
+    )
+    assert r["dcg_micro"] <= r["idcg_micro"]
