@@ -2643,3 +2643,103 @@ def filter_ensemble(
         F.col("p.rf").cast("long").alias("loo_flips"),
         F.expr("(p.rf * 1000000L) div n").cast("long").alias("flip_ppm"),
     )
+
+
+def percentile_normalize(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Exact percentile normalization: map every row's value to its
+    corpus percentile in ppm (cume_dist as integer arithmetic) — the
+    score-calibration step that makes heterogeneous quality signals
+    comparable before thresholding or mixing.
+
+    Scale trick (grouped_quantiles discipline): the naive formulation is
+    cume_dist() over a corpus-wide sort. For a bounded-domain integer
+    column the DISTRIBUTION is small: groupBy(value) -> counts, ONE
+    cumulative window over the bounded distinct-value table, then a
+    shuffle_hash join of the tiny (value, pct) map back to the rows —
+    never a corpus sort. pct_ppm = cum_count(<= v) * 1e6 div n: exact.
+
+    Output: df's key + value + pct_ppm.
+    """
+    v = F.col(value_col)
+    dist = df.groupBy(v.alias("val")).agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = dist.agg(F.sum("cnt").cast("long").alias("n"))
+    pct = (
+        dist.select("val", F.sum("cnt").over(w).alias("cum"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "val",
+            F.expr("(cum * 1000000L) div n").cast("long").alias("pct_ppm"),
+        )
+    )
+    return df.select(key_col, v.alias("val")).join(
+        pct.hint("shuffle_hash"), "val"
+    ).select(
+        F.col(key_col),
+        F.col("val").cast("long").alias(value_col),
+        "pct_ppm",
+    )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    *,
+    budget: int = 1000,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: n_g ∝ N_g·σ_g — the
+    survey-design rule that samples variable strata MORE (minimum-
+    variance estimator for a fixed budget), the principled upgrade over
+    proportional allocation for corpus QA sampling.
+
+    The weight reduces to exact integer algebra: N_g·σ_g =
+    sqrt(N_g·Σx² − (Σx)²) — ONE correctly-rounded IEEE sqrt per group
+    over an exact bigint sum-of-squares, pinned round(·,12) ->
+    decimal(28,12) so the normalizing total is order-independent
+    (temperature_mixture discipline).
+
+    Scale shape: one map-side-combined groupBy(group) of three bigint
+    sums; everything after runs on the bounded group table.
+
+    Output: (group, n_rows, ss, alloc_n, alloc_ppm).
+    """
+    x = F.col(value_col).cast("long")
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(x * x).cast("long").alias("sxx"),
+    )
+    ss = (F.col("n_rows") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "long"
+    )
+    weighted = g.select(
+        "grp",
+        "n_rows",
+        ss.alias("ss"),
+        F.round(F.sqrt(ss.cast("double")), 12)
+        .cast("decimal(28,12)")
+        .alias("_w"),
+    )
+    tot = weighted.agg(F.sum("_w").alias("_tw"))
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        F.col("grp").alias(group_col),
+        "n_rows",
+        "ss",
+        F.floor(
+            F.col("_w").cast("double") * budget / F.col("_tw").cast("double")
+        )
+        .cast("long")
+        .alias("alloc_n"),
+        F.floor(
+            F.col("_w").cast("double") * 1000000 / F.col("_tw").cast("double")
+        )
+        .cast("long")
+        .alias("alloc_ppm"),
+    )

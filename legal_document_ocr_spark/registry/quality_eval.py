@@ -1140,3 +1140,61 @@ t AS (
 )
 {rows}
 """
+
+
+# ---------------------------------------------------------------------------
+# percentile_normalize
+# ---------------------------------------------------------------------------
+
+
+def q_percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile map (relational.percentile_normalize) of n_chars
+    — the oracle states the naive corpus-wide cume_dist."""
+    from ..operators.relational import percentile_normalize
+
+    return percentile_normalize(_docs(spark, sf_dir))
+
+
+_SQL_PERCENTILE_NORMALIZE = """
+WITH d AS (SELECT doc_id, n_chars::bigint AS v FROM documents),
+n AS (SELECT count(*)::bigint AS n FROM d)
+SELECT doc_id, v AS n_chars,
+  ((sum(1) OVER (ORDER BY v
+     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    * 1000000) // max(n.n) OVER ())::bigint AS pct_ppm
+FROM d, n
+"""
+
+
+# ---------------------------------------------------------------------------
+# neyman_allocation
+# ---------------------------------------------------------------------------
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation (relational.neyman_allocation) of a
+    1000-row QA budget across sources by N_g*sigma_g."""
+    from ..operators.relational import neyman_allocation
+
+    return neyman_allocation(_docs(spark, sf_dir), budget=1000)
+
+
+_SQL_NEYMAN_ALLOCATION = """
+WITH g AS (
+  SELECT source, count(*)::bigint AS n_rows,
+    sum(n_chars)::bigint AS sx,
+    sum(n_chars::bigint * n_chars::bigint)::bigint AS sxx
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_rows,
+    (n_rows * sxx - sx * sx)::bigint AS ss,
+    round(sqrt((n_rows * sxx - sx * sx)::double), 12)::decimal(28,12) AS wv
+  FROM g
+),
+t AS (SELECT sum(wv) AS tw FROM w)
+SELECT source, n_rows, ss,
+  floor(wv::double * 1000 / tw::double)::bigint AS alloc_n,
+  floor(wv::double * 1000000 / tw::double)::bigint AS alloc_ppm
+FROM w, t
+"""

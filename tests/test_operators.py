@@ -5091,3 +5091,39 @@ def test_ndcg_eval_bounds_and_ideal(spark, embeddings):
         (11 - p) * similarity.NDCG_DISCOUNT_MICRO[p - 1] for p in range(1, 11)
     )
     assert r["dcg_micro"] <= r["idcg_micro"]
+
+
+def test_percentile_normalize_matches_cume_dist(spark, docs):
+    """The sketch-join percentile equals naive cume_dist in ppm; max
+    value maps to exactly 1e6 and ties share a percentile."""
+    from pyspark.sql import Window
+    out = relational.percentile_normalize(docs).cache()
+    n = docs.count()
+    naive = docs.select(
+        "doc_id",
+        (
+            (F.count("*").over(
+                Window.orderBy("n_chars").rangeBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ) * 1000000) / n
+        ).cast("long").alias("naive_ppm"),
+    )
+    j = out.join(naive, "doc_id")
+    assert j.where(F.col("pct_ppm") != F.col("naive_ppm")).count() == 0
+    assert out.agg(F.max("pct_ppm")).collect()[0][0] == 1_000_000
+
+
+def test_neyman_allocation_prefers_variable_strata(spark):
+    """Equal-size strata: the high-variance stratum gets the larger
+    allocation; a zero-variance stratum gets zero; ppm sums to <= 1e6."""
+    rows = [("flat", 100) for _ in range(50)]
+    rows += [("wild", 10 * i) for i in range(50)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = {
+        r["source"]: r
+        for r in relational.neyman_allocation(df, budget=100).collect()
+    }
+    assert out["flat"]["ss"] == 0 and out["flat"]["alloc_n"] == 0
+    assert out["wild"]["alloc_n"] == 100
+    assert out["flat"]["alloc_ppm"] + out["wild"]["alloc_ppm"] <= 1_000_000
