@@ -2743,3 +2743,100 @@ def neyman_allocation(
         .cast("long")
         .alias("alloc_ppm"),
     )
+
+
+def crossval_ols(
+    df: DataFrame,
+    x,
+    y,
+    key_col: str = "doc_id",
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """k-fold cross-validated OLS in TWO corpus scans — the trick is
+    that sufficient statistics SUBTRACT: the leave-one-fold-out model
+    for fold f is the closed form over (totals − fold_f sums), so scan
+    1 collects per-fold sums (ONE map-side-combined groupBy on the
+    hash-fold), every fold's train model derives algebraically on the
+    k-row table, and scan 2 evaluates each row against its own fold's
+    held-out model (broadcast of k rows). No model ever sees its eval
+    rows; no scan runs per fold.
+
+    Folds are content-addressed (md5 bucket of the key), so membership
+    is stable across partitionings and engines. Error is reported as
+    integer MAE in micro units (|y*1e6 − (slope*x + intercept)| sums
+    stay within bigint; an SSE would overflow).
+
+    Output: one row per fold — (fold, n_train, n_test, slope_micro,
+    intercept_micro, mae_micro).
+    """
+    from .sampling import hash_bucket
+
+    xl = x.cast("long")
+    yl = y.cast("long")
+    base = df.select(
+        (hash_bucket(F.col(key_col)) % k).cast("long").alias("fold"),
+        xl.alias("x"),
+        yl.alias("y"),
+    )
+    per = base.groupBy("fold").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    tr = per.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        (F.col("tn") - F.col("n")).cast("long").alias("n_train"),
+        F.col("n").cast("long").alias("n_test"),
+        (F.col("tsx") - F.col("sx")).cast("long").alias("rx"),
+        (F.col("tsy") - F.col("sy")).cast("long").alias("ry"),
+        (F.col("tsxx") - F.col("sxx")).cast("long").alias("rxx"),
+        (F.col("tsxy") - F.col("sxy")).cast("long").alias("rxy"),
+    )
+    num = F.col("n_train") * F.col("rxy") - F.col("rx") * F.col("ry")
+    den = F.col("n_train") * F.col("rxx") - F.col("rx") * F.col("rx")
+    ibn = F.col("ry") * F.col("rxx") - F.col("rx") * F.col("rxy")
+    models = tr.select(
+        "fold",
+        "n_train",
+        "n_test",
+        F.when(
+            den > 0,
+            F.floor(num.cast("double") * 1000000.0 / den.cast("double")),
+        )
+        .cast("long")
+        .alias("slope_micro"),
+        F.when(
+            den > 0,
+            F.floor(ibn.cast("double") * 1000000.0 / den.cast("double")),
+        )
+        .cast("long")
+        .alias("intercept_micro"),
+    )
+    scored = base.join(F.broadcast(models), "fold").select(
+        "fold",
+        F.abs(
+            F.col("y") * 1000000
+            - (F.col("slope_micro") * F.col("x") + F.col("intercept_micro"))
+        ).alias("ae"),
+    )
+    mae = scored.groupBy("fold").agg(
+        F.expr("sum(ae) div count(*)").cast("long").alias("mae_micro")
+    )
+    return models.join(mae, "fold").select(
+        F.col("fold"),
+        "n_train",
+        "n_test",
+        "slope_micro",
+        "intercept_micro",
+        "mae_micro",
+    )

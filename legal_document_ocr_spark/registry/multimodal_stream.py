@@ -577,3 +577,27 @@ FROM cum GROUP BY grp
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup_wm
+# ---------------------------------------------------------------------------
+
+
+def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup
+    (streaming.stream_dedup_watermark): dropDuplicatesWithinWatermark
+    on (user_id, event_type), drained availableNow — within one drain
+    every row is inside the watermark, so the set equals batch
+    DISTINCT (the oracle)."""
+    from ..streaming.pipeline import run_stream_to_table, stream_dedup_watermark
+
+    name = "stream_dedup_wm_result"
+    sdf = stream_dedup_watermark(spark, f"{sf_dir}/events.parquet")
+    run_stream_to_table(spark, sdf, name, output_mode="append")
+    return spark.table(name)
+
+
+_SQL_STREAM_DEDUP_WM = """
+SELECT DISTINCT user_id::bigint AS user_id, event_type FROM events
+"""

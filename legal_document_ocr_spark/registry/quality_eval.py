@@ -1198,3 +1198,76 @@ SELECT source, n_rows, ss,
   floor(wv::double * 1000000 / tw::double)::bigint AS alloc_ppm
 FROM w, t
 """
+
+
+# ---------------------------------------------------------------------------
+# crossval_ols
+# ---------------------------------------------------------------------------
+
+
+def q_crossval_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated OLS (relational.crossval_ols) of n_chars
+    on whitespace count — leave-one-fold-out models by sufficient-
+    statistic subtraction, two corpus scans total."""
+    from ..operators.relational import crossval_ols
+
+    d = _docs(spark, sf_dir)
+    return crossval_ols(
+        d,
+        F.length("text") - F.length(F.expr("replace(text, ' ', '')")),
+        F.col("n_chars"),
+        k=5,
+    )
+
+
+_SQL_CROSSVAL_OLS = """
+WITH f AS (
+  SELECT
+    (('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 10000) % 5
+      AS fold,
+    (length(text) - length(replace(text, ' ', '')))::bigint AS x,
+    n_chars::bigint AS y
+  FROM documents
+),
+per AS (
+  SELECT fold, count(*)::bigint AS n, sum(x)::bigint AS sx,
+    sum(y)::bigint AS sy, sum(x * x)::bigint AS sxx,
+    sum(x * y)::bigint AS sxy
+  FROM f GROUP BY fold
+),
+tot AS (
+  SELECT sum(n) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+    sum(sxx) AS tsxx, sum(sxy) AS tsxy
+  FROM per
+),
+tr AS (
+  SELECT fold, (tn - n)::bigint AS n_train, n::bigint AS n_test,
+    (tsx - sx)::bigint AS rx, (tsy - sy)::bigint AS ry,
+    (tsxx - sxx)::bigint AS rxx, (tsxy - sxy)::bigint AS rxy
+  FROM per, tot
+),
+models AS (
+  SELECT fold, n_train, n_test,
+    CASE WHEN n_train * rxx - rx * rx > 0
+         THEN floor((n_train * rxy - rx * ry)::double * 1000000.0
+                    / (n_train * rxx - rx * rx)::double)::bigint
+    END AS slope_micro,
+    CASE WHEN n_train * rxx - rx * rx > 0
+         THEN floor((ry * rxx - rx * rxy)::double * 1000000.0
+                    / (n_train * rxx - rx * rx)::double)::bigint
+    END AS intercept_micro
+  FROM tr
+),
+scored AS (
+  SELECT f.fold,
+    abs(f.y * 1000000 - (m.slope_micro * f.x + m.intercept_micro)) AS ae
+  FROM f JOIN models m ON f.fold = m.fold
+),
+mae AS (
+  SELECT fold, (sum(ae) // count(*))::bigint AS mae_micro
+  FROM scored GROUP BY fold
+)
+SELECT m.fold::bigint AS fold, n_train, n_test, slope_micro,
+  intercept_micro, mae_micro
+FROM models m JOIN mae ON m.fold = mae.fold
+"""

@@ -536,3 +536,29 @@ def stream_minhash_state(spark: SparkSession, docs_dir: str) -> DataFrame:
         for i, (a, b) in enumerate(MINHASH_COEFFS[:8])
     ]
     return stream.groupBy("source").agg(*aggs)
+
+
+def stream_dedup_watermark(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Watermark-BOUNDED streaming dedup — the production form of
+    ``stream_dedup_hashes``: ``dropDuplicatesWithinWatermark`` keeps a
+    key in the state store only until the watermark passes it, so dedup
+    state is O(keys per watermark window) instead of O(all keys ever) —
+    the property that lets a continuous ingest run for months. Plain
+    ``dropDuplicates`` (the 4th surface) answers exact global dedup;
+    this answers bounded-state dedup with a declared staleness window.
+
+    Projected to the key columns so the emitted SET is deterministic
+    (which duplicate event arrives first is not); with an availableNow
+    drain every row is within the watermark, so the set equals the
+    batch DISTINCT — which is what the oracle states.
+
+    Output: distinct (user_id, event_type) pairs.
+    """
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        _as_stream_dir(spark, events_dir)
+    )
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select(F.col("user_id").cast("long").alias("user_id"), "event_type")
+    )

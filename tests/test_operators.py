@@ -5127,3 +5127,33 @@ def test_neyman_allocation_prefers_variable_strata(spark):
     assert out["flat"]["ss"] == 0 and out["flat"]["alloc_n"] == 0
     assert out["wild"]["alloc_n"] == 100
     assert out["flat"]["alloc_ppm"] + out["wild"]["alloc_ppm"] <= 1_000_000
+
+
+def test_crossval_ols_subtraction_matches_direct_fit(spark):
+    """The leave-one-fold-out model from subtracted sufficient stats
+    equals grouped_ols trained directly on the complement; on an exact
+    line the MAE is the floor-truncation residue only."""
+    rows = [(i, i % 17 + 1, 3 * (i % 17 + 1) + 7) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, x long, y long")
+    out = relational.crossval_ols(
+        df, F.col("x"), F.col("y"), k=5
+    ).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["slope_micro"] == 3_000_000
+        assert r["intercept_micro"] == 7_000_000
+        assert r["mae_micro"] == 0
+        assert r["n_train"] + r["n_test"] == 300
+    # direct check of one fold's model against a from-scratch fit
+    from legal_document_ocr_spark.operators.sampling import hash_bucket
+
+    fold0 = df.withColumn("f", hash_bucket(F.col("doc_id")) % 5)
+    direct = relational.grouped_ols(
+        fold0.where(F.col("f") != 0).withColumn("g", F.lit("all")),
+        F.col("x"),
+        F.col("y"),
+        "g",
+    ).collect()[0]
+    cv0 = [r for r in out if r["fold"] == 0][0]
+    assert direct["slope_micro"] == cv0["slope_micro"]
+    assert direct["intercept_micro"] == cv0["intercept_micro"]

@@ -400,3 +400,30 @@ def test_stream_minhash_equals_batch_sketch(spark):
         grouped_minhash_state(spark.read.parquet(docs_dir)).collect()
     )
     assert got == want
+
+
+def test_stream_dedup_watermark_equals_batch_distinct(spark):
+    """dropDuplicatesWithinWatermark drained availableNow == batch
+    DISTINCT on the key (every row inside the watermark), with state
+    bounded by the declared window."""
+    from legal_document_ocr_spark.streaming.pipeline import (
+        run_stream_to_table,
+        stream_dedup_watermark,
+    )
+
+    events_dir = "/root/testdata/sf0.001/events.parquet"
+    sdf = stream_dedup_watermark(spark, events_dir)
+    assert sdf.isStreaming
+    run_stream_to_table(spark, sdf, "sdwm_t", output_mode="append")
+    got = {
+        (r["user_id"], r["event_type"])
+        for r in spark.table("sdwm_t").collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in spark.read.parquet(events_dir)
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want
