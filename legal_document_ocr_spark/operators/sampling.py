@@ -937,3 +937,37 @@ def cluster_sample(
         F.col(key_col),
         F.lit(w_micro).cast("long").alias("weight_micro"),
     )
+
+
+def fixed_size_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Deterministic fixed-size per-group sample: the k smallest-hash
+    rows of every group — the balanced eval-set builder (exactly k docs
+    per source no matter how skewed the corpus), content-addressed so
+    the sample never churns as the corpus grows past the chosen rows.
+
+    Scale shape: rank-within-group + rn <= k compiles to Spark's
+    WindowGroupLimit (per-partition top-k pushed BELOW the shuffle —
+    each map task forwards at most k rows per group, so the exchange
+    carries O(groups x k), not the corpus). The hash gives a total
+    order; ties are impossible (key is unique).
+
+    Output: (group, key, sample_rank 1..k).
+    """
+    from pyspark.sql import Window
+
+    h = hash_bucket(F.concat(F.lit("fs|"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.select(F.col(group_col), F.col(key_col))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .select(group_col, key_col, F.col("sample_rank").cast("long"))
+    )

@@ -3210,3 +3210,60 @@ def byte_fertility(
         .cast("long")
         .alias("bytes_per_token_micro"),
     )
+
+
+def code_detect(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    symbol_ppm: int = 30_000,
+    keyword_hits: int = 2,
+) -> DataFrame:
+    """Code-vs-prose routing heuristic — the webtext curation gate that
+    keeps source code out of a prose corpus (or routes it to the code
+    pipeline): symbol density ({}();=<> per char), code-keyword hits
+    (def/function/return/import/var/const), and camelCase density.
+    Flag = symbol density over threshold AND >= ``keyword_hits``
+    keyword matches — pure codegen expressions, one projection, all
+    integer (densities in ppm via exact div).
+
+    Output: (doc_id, n_chars, symbol_ppm, keyword_hits, camel_ppm,
+    is_code).
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    symbols = n - F.length(F.regexp_replace(t, r"[{}();=<>\[\]]", ""))
+    kw = F.size(
+        F.regexp_extract_all(
+            F.lower(t),
+            F.lit(r"\b(def|function|return|import|var|const|void|int)\b"),
+            0,
+        )
+    )
+    camel = F.size(
+        F.regexp_extract_all(t, F.lit(r"\b[a-z]+[A-Z][A-Za-z]*\b"), 0)
+    )
+    out = docs.where(n > 0).select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        symbols.cast("long").alias("_sym"),
+        kw.cast("long").alias("keyword_hits"),
+        camel.cast("long").alias("_camel"),
+    )
+    return out.select(
+        "doc_id",
+        "n_chars",
+        F.expr("(_sym * 1000000L) div n_chars")
+        .cast("long")
+        .alias("symbol_ppm"),
+        "keyword_hits",
+        F.expr("(_camel * 1000000L) div n_chars")
+        .cast("long")
+        .alias("camel_ppm"),
+        (
+            (F.expr("(_sym * 1000000L) div n_chars") >= symbol_ppm)
+            & (F.col("keyword_hits") >= keyword_hits)
+        )
+        .cast("long")
+        .alias("is_code"),
+    )

@@ -1078,3 +1078,35 @@ SELECT {k}::bigint AS k, coalesce(dcg, 0)::bigint AS dcg_micro,
   ((coalesce(dcg, 0) * 1000000) // {idcg})::bigint AS ndcg_ppm
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# fixed_size_sample
+# ---------------------------------------------------------------------------
+
+
+def q_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced eval-set builder (sampling.fixed_size_sample): the 5
+    smallest-hash docs per source — WindowGroupLimit pushes the top-k
+    below the shuffle."""
+    from ..operators.sampling import fixed_size_sample
+
+    return fixed_size_sample(_docs(spark, sf_dir), k=5)
+
+
+_SQL_FIXED_SIZE_SAMPLE = """
+WITH h AS (
+  SELECT source, doc_id,
+    ('0x' || substr(md5('fs|' || doc_id::varchar), 1, 7))::bigint
+      % 10000 AS hb
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id,
+    row_number() OVER (PARTITION BY source ORDER BY hb, doc_id)
+      AS sample_rank
+  FROM h
+)
+SELECT source, doc_id, sample_rank::bigint AS sample_rank
+FROM r WHERE sample_rank <= 5
+"""

@@ -953,3 +953,61 @@ SELECT k::bigint AS k, vocab_size,
   ((cum * 1000000) // t)::bigint AS covered_ppm
 FROM grid JOIN ranked ON grid.vocab_size = ranked.rn, tot
 """
+
+
+# ---------------------------------------------------------------------------
+# code_detect
+# ---------------------------------------------------------------------------
+
+
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose gate (textops.code_detect) over documents with a
+    synthesized code tail on every 7th doc, so both verdicts occur."""
+    from ..operators.textops import code_detect
+
+    d = _docs(spark, sf_dir)
+    tail = (
+        " def f(x): return x*x; import os; var y = {a: 1}; "
+        "const z = (1 <= 2); int main() { return 0; } someCamelName"
+    )
+    corpus = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(tail * 3)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return code_detect(corpus)
+
+
+_SQL_CODE_DETECT = r"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN text || repeat(
+      ' def f(x): return x*x; import os; var y = {a: 1}; '
+      || 'const z = (1 <= 2); int main() { return 0; } someCamelName', 3)
+    ELSE text END AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id, length(text)::bigint AS n_chars,
+    (length(text) - length(regexp_replace(text,
+       '[{}();=<>\[\]]', '', 'g')))::bigint AS sym,
+    len(regexp_extract_all(lower(text),
+       '\b(def|function|return|import|var|const|void|int)\b'))::bigint
+      AS keyword_hits,
+    len(regexp_extract_all(text,
+       '\b[a-z]+[A-Z][A-Za-z]*\b'))::bigint AS camel
+  FROM base WHERE length(text) > 0
+)
+SELECT doc_id, n_chars,
+  ((sym * 1000000) // n_chars)::bigint AS symbol_ppm,
+  keyword_hits,
+  ((camel * 1000000) // n_chars)::bigint AS camel_ppm,
+  (CASE WHEN (sym * 1000000) // n_chars >= 30000
+             AND keyword_hits >= 2
+        THEN 1 ELSE 0 END)::bigint AS is_code
+FROM m
+"""

@@ -5157,3 +5157,39 @@ def test_crossval_ols_subtraction_matches_direct_fit(spark):
     cv0 = [r for r in out if r["fold"] == 0][0]
     assert direct["slope_micro"] == cv0["slope_micro"]
     assert direct["intercept_micro"] == cv0["intercept_micro"]
+
+
+def test_fixed_size_sample_plan_and_stability(spark, docs):
+    """Exactly k rows per group, stable under repartitioning, and the
+    rn<=k filter compiles to WindowGroupLimit (top-k below the
+    shuffle)."""
+    from legal_document_ocr_spark.operators.sampling import fixed_size_sample
+
+    out = fixed_size_sample(docs, k=5).cache()
+    per = out.groupBy("source").count().collect()
+    assert all(r["count"] == 5 for r in per)
+    assert len(per) == docs.select("source").distinct().count()
+    plan = (
+        fixed_size_sample(docs, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan[:1500]
+    again = sorted(fixed_size_sample(docs.repartition(9), k=5).collect())
+    assert again == sorted(out.collect())
+
+
+def test_code_detect_flags_code_not_prose(spark):
+    """A code snippet trips both gates; plain prose trips neither; a
+    symbol-heavy but keyword-free doc stays prose (AND semantics)."""
+    rows = [
+        (0, "def f(x): return x*x; import os; const y = {a: 1};"),
+        (1, "this is a plain english sentence about the weather today"),
+        (2, "{}();=<> {}();=<> {}();=<> just punctuation nothing else"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.code_detect(df).collect()}
+    assert out[0]["is_code"] == 1 and out[0]["keyword_hits"] >= 2
+    assert out[1]["is_code"] == 0 and out[1]["symbol_ppm"] == 0
+    assert out[2]["is_code"] == 0 and out[2]["symbol_ppm"] > 30_000
