@@ -2665,7 +2665,8 @@ def percentile_normalize(
     Output: df's key + value + pct_ppm.
     """
     v = F.col(value_col)
-    dist = df.groupBy(v.alias("val")).agg(F.count("*").alias("cnt"))
+    # bounded distinct-value table; feeds BOTH the total and the cum map
+    dist = df.groupBy(v.alias("val")).agg(F.count("*").alias("cnt")).persist()
     w = Window.orderBy("val").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -2726,7 +2727,7 @@ def neyman_allocation(
         F.round(F.sqrt(ss.cast("double")), 12)
         .cast("decimal(28,12)")
         .alias("_w"),
-    )
+    ).persist()  # bounded group table; feeds BOTH the total and the output
     tot = weighted.agg(F.sum("_w").alias("_tw"))
     return weighted.crossJoin(F.broadcast(tot)).select(
         F.col("grp").alias(group_col),
@@ -2785,7 +2786,7 @@ def crossval_ols(
         F.sum("y").cast("long").alias("sy"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-    )
+    ).persist()  # k rows; feeds BOTH the totals and the per-fold models
     tot = per.agg(
         F.sum("n").alias("tn"),
         F.sum("sx").alias("tsx"),

@@ -516,7 +516,7 @@ def temperature_mixture(
         "grp",
         "n_docs",
         F.round(w, 12).cast("decimal(28,12)").alias("_tm_w"),
-    )
+    ).persist()  # bounded group table; feeds BOTH the total and the shares
     total = weighted.agg(F.sum("_tm_w").alias("_tm_tw"))
     return (
         weighted.crossJoin(F.broadcast(total))

@@ -2745,7 +2745,7 @@ def negative_sampling_table(
     w = F.sqrt(c) * F.sqrt(F.sqrt(c))
     weighted = vocab.select(
         "token", "n", F.round(w, 12).cast("decimal(28,12)").alias("_ns_w")
-    )
+    ).persist()  # bounded top-V; feeds BOTH the total and the ppm layout
     total = weighted.agg(F.sum("_ns_w").alias("_ns_tw"))
     ppm = weighted.crossJoin(F.broadcast(total)).select(
         "token",
@@ -3140,7 +3140,12 @@ def vocab_coverage(
     toks = docs.select(
         F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token")
     )
-    counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+    # vocab-sized but corpus-derived; feeds BOTH the total and the top-V
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .persist()
+    )
     tot = counts.agg(F.sum("n").cast("long").alias("t"))
     top = counts.orderBy(F.col("n").desc(), "token").limit(1 << max_pow)
     w = Window.orderBy(F.col("n").desc(), "token")
