@@ -101,6 +101,9 @@ HEADLINE = [
     "kneser_ney_bigrams",     # exact-integer KN bigram LM over the corpus
     "global_shuffle",         # bucketed two-phase rank global permutation
     "split_leakage",          # dup-family group algebra, two split policies
+    "crossval_ols",           # k-fold CV from subtracted sufficient stats
+    "multiprobe_knn",         # Hamming-1 probe set -> bucket equi-join
+    "curriculum_order",       # quantile phases + in-phase two-phase rank
 ]
 
 
