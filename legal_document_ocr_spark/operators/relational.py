@@ -2841,3 +2841,129 @@ def crossval_ols(
         "intercept_micro",
         "mae_micro",
     )
+
+
+def threshold_select(
+    df: DataFrame,
+    score,
+    label,
+    *,
+    tp_gain: int = 1,
+    fp_cost: int = 2,
+) -> DataFrame:
+    """Utility-optimal filter threshold: given an integer quality score
+    and a binary keep-label, pick the threshold t (keep iff score >= t)
+    maximizing TP*tp_gain - FP*fp_cost — how a production pipeline
+    actually sets its quality gate (maximize kept-good minus the cost
+    of kept-bad, rather than eyeballing a histogram).
+
+    Scale shape (grouped_quantiles discipline): a threshold sweep is
+    NOT a per-threshold scan — the (score, label) DISTRIBUTION is
+    bounded, so one groupBy(score) of two counts + a suffix-sum window
+    over the bounded distinct-score table evaluates EVERY candidate
+    threshold at once; argmax with a deterministic tiebreak (utility
+    desc, threshold asc) via one ordered limit.
+
+    Output: one row (threshold, kept, tp, fp, utility) for the best t.
+    """
+    sc = score.cast("long")
+    lb = label.cast("int")
+    dist = df.select(sc.alias("s"), lb.alias("y")).groupBy("s").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = dist.select(
+        F.col("s").alias("threshold"),
+        F.sum("n").over(w).cast("long").alias("kept"),
+        F.sum("pos").over(w).cast("long").alias("tp"),
+        (F.sum("n").over(w) - F.sum("pos").over(w))
+        .cast("long")
+        .alias("fp"),
+    ).select(
+        "threshold",
+        "kept",
+        "tp",
+        "fp",
+        (F.col("tp") * tp_gain - F.col("fp") * fp_cost)
+        .cast("long")
+        .alias("utility"),
+    )
+    return sweep.orderBy(
+        F.col("utility").desc(), F.col("threshold").asc()
+    ).limit(1)
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    group_col: str = "source",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between two groups'
+    value distributions — the distribution-drift test behind "did this
+    source's page lengths change shape?" (quantile_drift compares fixed
+    quantiles; KS is the sup over ALL thresholds, so it catches shape
+    changes quantile grids miss).
+
+    All integer: D = max over distinct values of
+    |cum_a * n_b - cum_b * n_a| scaled by n_a*n_b — cross-multiplied,
+    so no float CDFs; emitted in ppm by exact div at the end.
+
+    Scale shape: one groupBy(value) of two conditional counts (the
+    bounded distribution sketch), one cumulative window over the
+    bounded distinct-value table, one argmax.
+
+    Output: one row (n_a, n_b, d_ppm, at_value).
+    """
+    v = F.col(value_col).cast("long")
+    g = F.col(group_col)
+    dist = (
+        df.where(g.isin(group_a, group_b))
+        .select(
+            v.alias("val"),
+            (g == group_a).cast("long").alias("ia"),
+            (g == group_b).cast("long").alias("ib"),
+        )
+        .groupBy("val")
+        .agg(
+            F.sum("ia").cast("long").alias("ca"),
+            F.sum("ib").cast("long").alias("cb"),
+        )
+        .persist()
+    )
+    tot = dist.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    w = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dist.select(
+        "val",
+        F.sum("ca").over(w).cast("long").alias("cum_a"),
+        F.sum("cb").over(w).cast("long").alias("cum_b"),
+    ).crossJoin(F.broadcast(tot))
+    diff = cum.select(
+        "val",
+        "na",
+        "nb",
+        F.abs(
+            F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+        ).alias("x"),
+    )
+    return (
+        diff.orderBy(F.col("x").desc(), F.col("val").asc())
+        .limit(1)
+        .select(
+            "na",
+            "nb",
+            F.expr("(x * 1000000L) div (na * nb)")
+            .cast("long")
+            .alias("d_ppm"),
+            F.col("val").cast("long").alias("at_value"),
+        )
+    )

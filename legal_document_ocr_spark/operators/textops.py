@@ -3272,3 +3272,78 @@ def code_detect(
         .cast("long")
         .alias("is_code"),
     )
+
+
+def deleted_interpolation(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Jelinek-Mercer deleted-interpolation weights for a bigram LM —
+    the classic EM-free recipe (Brants 2000 TnT): for every bigram
+    TYPE, compare the leave-one-out bigram estimate (c12-1)/(c1-1)
+    against the unigram estimate (c2-1)/(N-1); award the type's COUNT
+    to whichever order predicted better. The normalized award shares
+    are the interpolation lambdas.
+
+    Fully integer: the comparison cross-multiplies —
+    (c12-1)*(N-1) vs (c2-1)*(c1-1) — so no division happens until the
+    final ppm shares (exact div). Degenerate contexts (c1 = 1) award
+    the unigram, per the standard recipe.
+
+    Scale shape: ONE bigram explode (lm_scores O(chars) slicing) ->
+    bigram-vocab table; unigram counts and N derive from IT (groupBy
+    w2 / scalar agg) — the corpus is touched once; the award fold is
+    one scan of the bounded vocab table.
+
+    Output: one row (n_bigram_types, lambda2_ppm, lambda1_ppm,
+    awarded_bigram, awarded_unigram).
+    """
+    lt = ws_tokens(F.lower(F.col(text_col)))
+    src = docs.select(lt.alias("toks")).where(F.size("toks") >= 2)
+    a = F.slice(F.col("toks"), 1, F.size("toks") - 1)
+    b = F.slice(F.col("toks"), 2, F.size("toks") - 1)
+    pairs = src.select(
+        F.explode(
+            F.zip_with(a, b, lambda x, y: F.struct(x.alias("w1"), y.alias("w2")))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bg = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+        .persist()
+    )
+    c1t = bg.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    c2t = bg.groupBy("w2").agg(F.sum("c12").cast("long").alias("c2"))
+    nt = bg.agg(F.sum("c12").cast("long").alias("nn"))
+    j = (
+        bg.join(c1t.hint("shuffle_hash"), "w1")
+        .join(c2t.hint("shuffle_hash"), "w2")
+        .crossJoin(F.broadcast(nt))
+    )
+    bigram_wins = (F.col("c1") > 1) & (
+        (F.col("c12") - 1) * (F.col("nn") - 1)
+        > (F.col("c2") - 1) * (F.col("c1") - 1)
+    )
+    agg = j.agg(
+        F.count("*").cast("long").alias("n_bigram_types"),
+        F.sum(F.when(bigram_wins, F.col("c12")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("awarded_bigram"),
+        F.sum(F.when(~bigram_wins, F.col("c12")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("awarded_unigram"),
+    )
+    return agg.select(
+        "n_bigram_types",
+        F.expr(
+            "(awarded_bigram * 1000000L)"
+            " div (awarded_bigram + awarded_unigram)"
+        )
+        .cast("long")
+        .alias("lambda2_ppm"),
+        F.expr(
+            "(awarded_unigram * 1000000L)"
+            " div (awarded_bigram + awarded_unigram)"
+        )
+        .cast("long")
+        .alias("lambda1_ppm"),
+        "awarded_bigram",
+        "awarded_unigram",
+    )

@@ -1271,3 +1271,92 @@ SELECT m.fold::bigint AS fold, n_train, n_test, slope_micro,
   intercept_micro, mae_micro
 FROM models m JOIN mae ON m.fold = mae.fold
 """
+
+
+# ---------------------------------------------------------------------------
+# threshold_select
+# ---------------------------------------------------------------------------
+
+
+def q_threshold_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Utility-optimal quality gate (relational.threshold_select):
+    score = n_chars div 10, keep-label = contains ' the ', utility =
+    TP - 2*FP — every candidate threshold evaluated in one sweep."""
+    from ..operators.relational import threshold_select
+
+    d = _docs(spark, sf_dir)
+    return threshold_select(
+        d,
+        F.expr("n_chars div 10"),
+        F.col("text").contains(" the "),
+        tp_gain=1,
+        fp_cost=2,
+    )
+
+
+_SQL_THRESHOLD_SELECT = """
+WITH d AS (
+  SELECT (n_chars // 10)::bigint AS s,
+    CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+dist AS (
+  SELECT s, count(*)::bigint AS n, sum(y)::bigint AS pos
+  FROM d GROUP BY s
+),
+sweep AS (
+  SELECT s AS threshold,
+    sum(n) OVER (ORDER BY s DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS kept,
+    sum(pos) OVER (ORDER BY s DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS tp
+  FROM dist
+)
+SELECT threshold, kept, tp, (kept - tp)::bigint AS fp,
+  (tp * 1 - (kept - tp) * 2)::bigint AS utility
+FROM sweep ORDER BY utility DESC, threshold ASC LIMIT 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# ks_statistic
+# ---------------------------------------------------------------------------
+
+
+def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS distance (relational.ks_statistic) between
+    src0's and src1's n_chars distributions — cross-multiplied CDFs."""
+    from ..operators.relational import ks_statistic
+
+    return ks_statistic(_docs(spark, sf_dir), "n_chars", "src0", "src1")
+
+
+_SQL_KS_STATISTIC = """
+WITH d AS (
+  SELECT n_chars::bigint AS val,
+    (CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::bigint AS ia,
+    (CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::bigint AS ib
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+dist AS (
+  SELECT val, sum(ia)::bigint AS ca, sum(ib)::bigint AS cb
+  FROM d GROUP BY val
+),
+tot AS (SELECT sum(ca)::bigint AS na, sum(cb)::bigint AS nb FROM dist),
+cum AS (
+  SELECT val,
+    sum(ca) OVER (ORDER BY val
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum_a,
+    sum(cb) OVER (ORDER BY val
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum_b
+  FROM dist
+),
+x AS (
+  SELECT val, na, nb,
+    abs(cum_a * nb - cum_b * na)::bigint AS x
+  FROM cum, tot
+)
+SELECT na, nb, ((x * 1000000) // (na * nb))::bigint AS d_ppm,
+  val::bigint AS at_value
+FROM x ORDER BY x DESC, val ASC LIMIT 1
+"""

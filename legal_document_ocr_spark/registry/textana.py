@@ -1011,3 +1011,54 @@ SELECT doc_id, n_chars,
         THEN 1 ELSE 0 END)::bigint AS is_code
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# deleted_interpolation
+# ---------------------------------------------------------------------------
+
+
+def q_deleted_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer lambdas by deleted interpolation
+    (textops.deleted_interpolation) — integer cross-multiplied
+    leave-one-out comparison, one bigram explode."""
+    from ..operators.textops import deleted_interpolation
+
+    return deleted_interpolation(_docs(spark, sf_dir))
+
+
+_SQL_DELETED_INTERPOLATION = r"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+t2 AS (SELECT toks FROM t WHERE len(toks) >= 2),
+pairs AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t2, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+),
+bg AS (SELECT w1, w2, count(*)::bigint AS c12 FROM pairs GROUP BY w1, w2),
+c1t AS (SELECT w1, sum(c12)::bigint AS c1 FROM bg GROUP BY w1),
+c2t AS (SELECT w2, sum(c12)::bigint AS c2 FROM bg GROUP BY w2),
+nt AS (SELECT sum(c12)::bigint AS nn FROM bg),
+j AS (
+  SELECT c12, c1, c2, nn
+  FROM bg JOIN c1t USING (w1) JOIN c2t USING (w2), nt
+),
+agg AS (
+  SELECT count(*)::bigint AS n_bigram_types,
+    sum(CASE WHEN c1 > 1 AND (c12 - 1) * (nn - 1) > (c2 - 1) * (c1 - 1)
+             THEN c12 ELSE 0 END)::bigint AS awarded_bigram,
+    sum(CASE WHEN NOT (c1 > 1
+                       AND (c12 - 1) * (nn - 1) > (c2 - 1) * (c1 - 1))
+             THEN c12 ELSE 0 END)::bigint AS awarded_unigram
+  FROM j
+)
+SELECT n_bigram_types,
+  ((awarded_bigram * 1000000)
+    // (awarded_bigram + awarded_unigram))::bigint AS lambda2_ppm,
+  ((awarded_unigram * 1000000)
+    // (awarded_bigram + awarded_unigram))::bigint AS lambda1_ppm,
+  awarded_bigram, awarded_unigram
+FROM agg
+"""

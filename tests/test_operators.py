@@ -5193,3 +5193,61 @@ def test_code_detect_flags_code_not_prose(spark):
     assert out[0]["is_code"] == 1 and out[0]["keyword_hits"] >= 2
     assert out[1]["is_code"] == 0 and out[1]["symbol_ppm"] == 0
     assert out[2]["is_code"] == 0 and out[2]["symbol_ppm"] > 30_000
+
+
+def test_deleted_interpolation_awards_sum_and_favor_bigram(spark):
+    """Awards partition the bigram-token mass; a strongly predictive
+    corpus (deterministic continuations) awards most mass to the
+    bigram order; lambdas sum to ~1e6."""
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 10) for i in range(5)],
+        "doc_id long, text string",
+    )
+    r = textops.deleted_interpolation(df).collect()[0]
+    assert r["awarded_bigram"] + r["awarded_unigram"] > 0
+    assert r["lambda2_ppm"] + r["lambda1_ppm"] in (999999, 1000000)
+    assert r["lambda2_ppm"] > r["lambda1_ppm"]
+
+
+def test_threshold_select_picks_utility_argmax(spark):
+    """Hand data where the best gate is obvious: positives live at high
+    scores, negatives at low; the swept argmax matches brute force."""
+    rows = [(s, 1) for s in (10, 10, 9, 8)] + [(s, 0) for s in (3, 2, 2, 1)]
+    rows += [(6, 0), (6, 1)]
+    df = spark.createDataFrame(rows, "s long, y int")
+    r = relational.threshold_select(
+        df, F.col("s"), F.col("y"), tp_gain=1, fp_cost=2
+    ).collect()[0]
+    # brute force over all distinct thresholds
+    data = rows
+    best = max(
+        sorted({s for s, _ in data}),
+        key=lambda t: (
+            sum(1 for s, y in data if s >= t and y == 1)
+            - 2 * sum(1 for s, y in data if s >= t and y == 0),
+            -t,
+        ),
+    )
+    util = lambda t: sum(1 for s, y in data if s >= t and y == 1) - 2 * sum(
+        1 for s, y in data if s >= t and y == 0
+    )
+    assert r["utility"] == util(best)
+    assert util(r["threshold"]) == r["utility"]
+
+
+def test_ks_statistic_identical_and_disjoint(spark):
+    """Identical distributions -> D = 0; disjoint supports -> D = 1e6;
+    the argmax value sits between the supports."""
+    same = spark.createDataFrame(
+        [(v, g) for v in (1, 2, 3, 4) for g in ("src0", "src1")],
+        "n_chars long, source string",
+    )
+    r0 = relational.ks_statistic(same, "n_chars", "src0", "src1").collect()[0]
+    assert r0["d_ppm"] == 0
+    disj = spark.createDataFrame(
+        [(v, "src0") for v in (1, 2, 3)] + [(v, "src1") for v in (10, 11, 12)],
+        "n_chars long, source string",
+    )
+    r1 = relational.ks_statistic(disj, "n_chars", "src0", "src1").collect()[0]
+    assert r1["d_ppm"] == 1_000_000
+    assert r1["at_value"] == 3
