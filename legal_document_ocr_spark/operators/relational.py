@@ -2967,3 +2967,65 @@ def ks_statistic(
             F.col("val").cast("long").alias("at_value"),
         )
     )
+
+
+def auc_exact(
+    df: DataFrame,
+    score,
+    label,
+) -> DataFrame:
+    """EXACT ROC-AUC of a quality score against a binary label — the
+    classifier-eval headline metric, computed without sampling,
+    sorting the corpus, or materializing pos x neg pairs: AUC is the
+    Mann-Whitney U statistic, and U reduces to counting on the BOUNDED
+    score distribution — for each distinct score, its positives beat
+    every negative strictly below and tie (half-credit) the negatives
+    at the same score:
+
+        2U = Σ_s pos_s · (2·cum_neg(<s) + neg_s)
+        AUC_ppm = 2U · 1e6 div (2 · n_pos · n_neg)
+
+    All integer (the x2 carries the half-credit exactly — no .5
+    anywhere). One groupBy(score) of two counts, one cumulative window
+    over the bounded distinct-score table, one scalar fold.
+
+    Output: one row (n_pos, n_neg, u2, auc_ppm).
+    """
+    sc = score.cast("long")
+    lb = label.cast("int")
+    dist = (
+        df.select(sc.alias("s"), lb.alias("y"))
+        .groupBy("s")
+        .agg(
+            F.sum("y").cast("long").alias("pos"),
+            (F.count("*") - F.sum("y")).cast("long").alias("neg"),
+        )
+        .persist()
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    terms = dist.select(
+        "pos",
+        "neg",
+        (
+            F.col("pos")
+            * (
+                2 * F.coalesce(F.sum("neg").over(w), F.lit(0))
+                + F.col("neg")
+            )
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    agg = terms.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum("t").cast("long").alias("u2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.expr("(u2 * 1000000L) div (2L * n_pos * n_neg)")
+        .cast("long")
+        .alias("auc_ppm"),
+    )

@@ -1360,3 +1360,47 @@ SELECT na, nb, ((x * 1000000) // (na * nb))::bigint AS d_ppm,
   val::bigint AS at_value
 FROM x ORDER BY x DESC, val ASC LIMIT 1
 """
+
+
+# ---------------------------------------------------------------------------
+# auc_exact
+# ---------------------------------------------------------------------------
+
+
+def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (relational.auc_exact) of n_chars as a predictor
+    of contains ' the ' — Mann-Whitney counting on the bounded score
+    distribution, tie-corrected, all integer."""
+    from ..operators.relational import auc_exact
+
+    d = _docs(spark, sf_dir)
+    return auc_exact(d, F.col("n_chars"), F.col("text").contains(" the "))
+
+
+_SQL_AUC_EXACT = """
+WITH d AS (
+  SELECT n_chars::bigint AS s,
+    CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+dist AS (
+  SELECT s, sum(y)::bigint AS pos,
+    (count(*) - sum(y))::bigint AS neg
+  FROM d GROUP BY s
+),
+terms AS (
+  SELECT pos, neg,
+    (pos * (2 * coalesce(sum(neg) OVER (ORDER BY s
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       + neg))::bigint AS t
+  FROM dist
+),
+agg AS (
+  SELECT sum(pos)::bigint AS n_pos, sum(neg)::bigint AS n_neg,
+    sum(t)::bigint AS u2
+  FROM terms
+)
+SELECT n_pos, n_neg, u2,
+  ((u2 * 1000000) // (2 * n_pos * n_neg))::bigint AS auc_ppm
+FROM agg
+"""

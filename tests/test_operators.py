@@ -5251,3 +5251,36 @@ def test_ks_statistic_identical_and_disjoint(spark):
     r1 = relational.ks_statistic(disj, "n_chars", "src0", "src1").collect()[0]
     assert r1["d_ppm"] == 1_000_000
     assert r1["at_value"] == 3
+
+
+def test_auc_exact_known_cases(spark):
+    """Perfect separation -> 1e6; anti-separation -> 0; all-ties ->
+    500000; a mixed case matches the brute-force pair count."""
+    perf = spark.createDataFrame(
+        [(10, 1), (9, 1), (2, 0), (1, 0)], "s long, y int"
+    )
+    assert relational.auc_exact(perf, F.col("s"), F.col("y")).collect()[0][
+        "auc_ppm"
+    ] == 1_000_000
+    anti = spark.createDataFrame(
+        [(1, 1), (2, 1), (9, 0), (10, 0)], "s long, y int"
+    )
+    assert relational.auc_exact(anti, F.col("s"), F.col("y")).collect()[0][
+        "auc_ppm"
+    ] == 0
+    ties = spark.createDataFrame(
+        [(5, 1), (5, 1), (5, 0), (5, 0)], "s long, y int"
+    )
+    assert relational.auc_exact(ties, F.col("s"), F.col("y")).collect()[0][
+        "auc_ppm"
+    ] == 500_000
+    rows = [(3, 1), (2, 0), (3, 0), (1, 0), (4, 1), (2, 1)]
+    df = spark.createDataFrame(rows, "s long, y int")
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    u2 = sum(
+        2 if p > n_ else (1 if p == n_ else 0) for p in pos for n_ in neg
+    )
+    want = u2 * 1_000_000 // (2 * len(pos) * len(neg))
+    got = relational.auc_exact(df, F.col("s"), F.col("y")).collect()[0]
+    assert got["auc_ppm"] == want and got["u2"] == u2
