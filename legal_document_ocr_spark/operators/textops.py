@@ -3347,3 +3347,129 @@ def deleted_interpolation(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "awarded_bigram",
         "awarded_unigram",
     )
+
+
+def span_corruption(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    span_tokens: int = 3,
+    corrupt_ppm: int = 150_000,
+) -> DataFrame:
+    """T5-style span-corruption PLAN: partition each document's tokens
+    into fixed ``span_tokens`` windows and mask whole windows with
+    probability ``corrupt_ppm`` decided by a content-addressed hash of
+    (doc_id, window) — the seq2seq denoising objective's data prep,
+    deterministic so the corrupted corpus is a versionable artifact
+    (word_dropout corrupts i.i.d. tokens; span corruption masks
+    CONTIGUOUS runs, which is what makes the objective hard).
+
+    One projection, zero shuffles: the mask is an index-aware array
+    filter (window id = position div span_tokens), counts are array
+    sizes, and n_spans (= sentinel count) is the number of DISTINCT
+    masked windows, recovered exactly as masked_windows =
+    ceil-partition count minus surviving-window count.
+
+    Output: (doc_id, n_tokens, n_masked, n_spans, kept_text).
+    """
+    thr = corrupt_ppm // 100  # hash_bucket granularity is 1/10000
+    bound = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+
+    def _win_hash(i: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("sc|"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("|"),
+                            (i / span_tokens).cast("int").cast("string"),
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 10000
+        )
+
+    kept = F.filter(F.col("__toks"), lambda t, i: _win_hash(i) >= thr)
+    n = F.size("__toks")
+    n_windows = F.ceil(n / F.lit(span_tokens)).cast("long")
+    surviving = F.size(
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.col("__toks"),
+                    lambda t, i: F.when(
+                        _win_hash(i) >= thr,
+                        (i / span_tokens).cast("int"),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        )
+    ).cast("long")
+    return bound.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        (n - F.size(kept)).cast("long").alias("n_masked"),
+        F.when(n > 0, n_windows - surviving)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_spans"),
+        F.array_join(kept, " ").alias("kept_text"),
+    )
+
+
+def dedup_diversity(
+    docs: DataFrame,
+    dedup_docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """What dedup buys, measured: distinct-bigram counts and type-token
+    ratio for the RAW corpus vs its DEDUPED form — duplicate documents
+    add tokens without adding types, so the deduped TTR must not drop
+    (the curation sanity check that dedup removed redundancy, not
+    diversity).
+
+    Scale shape: per stage, ONE bigram explode -> one combined
+    aggregate of (total, distinct) via count + count_distinct on the
+    bigram hash — the corpus is touched once per stage and nothing
+    bigger than two rows survives.
+
+    Output: one row per stage — (stage, n_docs, n_bigrams,
+    distinct_bigrams, ttr_ppm).
+    """
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        lt = ws_tokens(F.lower(F.col(text_col)))
+        src = df.select(lt.alias("toks")).where(F.size("toks") >= 2)
+        a = F.slice(F.col("toks"), 1, F.size("toks") - 1)
+        b = F.slice(F.col("toks"), 2, F.size("toks") - 1)
+        bg = src.select(
+            F.explode(
+                F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y))
+            ).alias("bg")
+        )
+        n_docs = df.count()
+        agg = bg.agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.count_distinct("bg").cast("long").alias("distinct_bigrams"),
+        )
+        return agg.select(
+            F.lit(name).alias("stage"),
+            F.lit(n_docs).cast("long").alias("n_docs"),
+            "n_bigrams",
+            "distinct_bigrams",
+            F.expr("(distinct_bigrams * 1000000L) div n_bigrams")
+            .cast("long")
+            .alias("ttr_ppm"),
+        )
+
+    return _stage(docs, "raw").unionByName(_stage(dedup_docs, "deduped"))

@@ -20,9 +20,11 @@ from ..sources.pages import (
 from ..stages import run_extraction
 
 from .common import (
+    _DOUBLED_SQL,
     _TOKS,
     _as_long,
     _docs,
+    _doubled_docs,
 )
 
 # ---------------------------------------------------------------------------
@@ -1061,4 +1063,99 @@ SELECT n_bigram_types,
     // (awarded_bigram + awarded_unigram))::bigint AS lambda1_ppm,
   awarded_bigram, awarded_unigram
 FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# span_corruption
+# ---------------------------------------------------------------------------
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption plan (textops.span_corruption): 3-token
+    windows masked at 15% by content-addressed hash."""
+    from ..operators.textops import span_corruption
+
+    return span_corruption(_docs(spark, sf_dir))
+
+
+_SQL_SPAN_CORRUPTION = r"""
+WITH t AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+e AS (
+  SELECT doc_id, unnest(toks) AS tok,
+    unnest(generate_series(1, len(toks))) AS pos
+  FROM t
+),
+w AS (
+  SELECT doc_id, tok, pos, (pos - 1) // 3 AS win,
+    ('0x' || substr(md5('sc|' || doc_id::varchar || '|'
+       || ((pos - 1) // 3)::varchar), 1, 7))::bigint % 10000 AS h
+  FROM e
+),
+k AS (SELECT doc_id, tok, pos, win FROM w WHERE h >= 1500),
+a AS (
+  SELECT doc_id, count(*)::bigint AS n_kept,
+    count(DISTINCT win)::bigint AS surv,
+    string_agg(tok, ' ' ORDER BY pos) AS kept_text
+  FROM k GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.toks)::bigint AS n_tokens,
+  (len(t.toks) - coalesce(a.n_kept, 0))::bigint AS n_masked,
+  (CASE WHEN len(t.toks) > 0
+        THEN (len(t.toks) + 2) // 3 - coalesce(a.surv, 0)
+        ELSE 0 END)::bigint AS n_spans,
+  coalesce(a.kept_text, '') AS kept_text
+FROM t LEFT JOIN a USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_diversity
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity gain from dedup (textops.dedup_diversity): the doubled
+    corpus vs its min-id exact-dedup representatives — deduped TTR must
+    rise (copies add tokens, not types)."""
+    from ..operators.textops import dedup_diversity
+
+    raw = _doubled_docs(spark, sf_dir)
+    ded = (
+        raw.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+    )
+    return dedup_diversity(raw, ded)
+
+
+def _sql_dedup_diversity() -> str:
+    def stage(src: str, name: str) -> str:
+        return f"""
+SELECT '{name}' AS stage,
+  (SELECT count(*) FROM {src})::bigint AS n_docs,
+  count(*)::bigint AS n_bigrams,
+  count(DISTINCT bg)::bigint AS distinct_bigrams,
+  ((count(DISTINCT bg) * 1000000) // count(*))::bigint AS ttr_ppm
+FROM (
+  SELECT toks[i] || ' ' || toks[i + 1] AS bg
+  FROM (
+    SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+    FROM {src}
+  ), unnest(generate_series(1, len(toks) - 1)) AS g(i)
+  WHERE len(toks) >= 2
+)"""
+
+    return f"""
+WITH raw AS ({_DOUBLED_SQL}),
+ded AS (
+  SELECT min(doc_id) AS doc_id, text FROM raw GROUP BY text
+)
+{stage('raw', 'raw')}
+UNION ALL
+{stage('ded', 'deduped')}
 """

@@ -5284,3 +5284,35 @@ def test_auc_exact_known_cases(spark):
     want = u2 * 1_000_000 // (2 * len(pos) * len(neg))
     got = relational.auc_exact(df, F.col("s"), F.col("y")).collect()[0]
     assert got["auc_ppm"] == want and got["u2"] == u2
+
+
+def test_span_corruption_masks_whole_windows(spark, docs):
+    """Masked positions come in whole 3-token windows: n_masked is
+    consistent with n_spans (last window may be short), the mask is
+    partitioning-stable, and ~15% of tokens are masked corpus-wide."""
+    out = textops.span_corruption(docs).cache()
+    bad = out.where(
+        (F.col("n_masked") > F.col("n_spans") * 3)
+        | ((F.col("n_spans") > 0) & (F.col("n_masked") < F.col("n_spans") * 3 - 2))
+    ).count()
+    assert bad == 0
+    tot = out.agg(F.sum("n_tokens"), F.sum("n_masked")).collect()[0]
+    rate = tot[1] / tot[0]
+    assert 0.10 < rate < 0.20
+    again = sorted(textops.span_corruption(docs.repartition(7)).collect())
+    assert again == sorted(out.collect())
+
+
+def test_dedup_diversity_ttr_rises_after_dedup(spark, docs):
+    """Exact copies double tokens without adding types: raw TTR is
+    ~half the deduped TTR and distinct counts are identical."""
+    raw = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    ded = raw.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id", "text"
+    )
+    out = {r["stage"]: r for r in textops.dedup_diversity(raw, ded).collect()}
+    assert out["raw"]["n_bigrams"] == 2 * out["deduped"]["n_bigrams"]
+    assert out["raw"]["distinct_bigrams"] == out["deduped"]["distinct_bigrams"]
+    assert out["deduped"]["ttr_ppm"] >= 2 * out["raw"]["ttr_ppm"] - 1
