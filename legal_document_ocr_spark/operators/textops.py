@@ -3473,3 +3473,156 @@ def dedup_diversity(
         )
 
     return _stage(docs, "raw").unionByName(_stage(dedup_docs, "deduped"))
+
+
+def heldout_perplexity(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Held-out LM evaluation — the eval-hygiene counterpart of
+    ``lm_scores`` (which self-trains on the corpus it scores): train
+    the character-bigram model on the TRAIN split only, score the EVAL
+    split against it. The held-out NLL is the number a data-mixture
+    ablation actually compares; self-scored NLL rewards memorizing the
+    split under test.
+
+    Unseen eval bigrams (no train mass) are EXCLUDED from the average
+    and counted separately — the standard held-out protocol (the
+    alternative, smoothing, is a modeling choice this gauge should not
+    hide); n_unseen going up is itself the domain-shift signal.
+
+    Scale shape: training is lm_scores' two map-side-combined groupBys
+    onto the bounded alphabet² vocab; scoring is ONE eval bigram
+    explode joined to the broadcast model table (bounded by vocab) and
+    ONE groupBy(doc_id). Decimal-pinned ln terms (round 6 -> decimal),
+    one double division + floor(micro) per doc.
+
+    Output: (doc_id, n_bigrams, n_unseen, nll_micro) — NULL nll for
+    docs with no SEEN bigrams.
+    """
+
+    def _bigrams(df: DataFrame, with_id: bool) -> DataFrame:
+        lt = F.lower(F.col(text_col))
+        src = df.select(
+            *(["doc_id"] if with_id else []), lt.alias("lt")
+        ).where(F.length("lt") >= 2)
+        chars = F.split(F.col("lt"), "")
+        a = F.slice(chars, 1, F.length("lt") - 1)
+        b = F.slice(chars, 2, F.length("lt") - 1)
+        return src.select(
+            *(["doc_id"] if with_id else []),
+            F.explode(
+                F.zip_with(a, b, lambda x, y: F.concat(x, y))
+            ).alias("bg"),
+        )
+
+    mc = _bigrams(train_docs, False).groupBy("bg").agg(
+        F.count("*").alias("cnt")
+    )
+    pc = mc.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("cnt").alias("pcnt")
+    )
+    model = mc.withColumn("c1", F.substring("bg", 1, 1)).join(
+        pc.hint("shuffle_hash"), "c1"
+    ).select(
+        "bg",
+        F.round(F.log(F.col("cnt") / F.col("pcnt").cast("double")), 6)
+        .cast("decimal(28,12)")
+        .alias("lnp"),
+    )
+    ev = _bigrams(eval_docs, True)
+    scored = ev.join(F.broadcast(model), "bg", "left")
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum(F.col("lnp").isNull().cast("long")).cast("long").alias(
+            "n_unseen"
+        ),
+        F.sum("lnp").alias("s"),
+        F.sum(F.col("lnp").isNotNull().cast("long")).cast("long").alias(
+            "m"
+        ),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "n_unseen",
+        F.when(
+            F.col("m") > 0,
+            F.floor(
+                (-F.col("s").cast("double") / F.col("m").cast("double"))
+                * 1000000.0
+            ),
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
+
+
+def best_snippet(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    *,
+    window: int = 10,
+) -> DataFrame:
+    """Query-biased snippet selection: the ``window``-token span of each
+    matching document with the most query-term hits — what a search
+    result page shows under the title, and the span a RAG pipeline
+    feeds the model instead of the whole page.
+
+    Scale shape: tokens explode ONCE with a query-membership bit
+    (bounded literal array — the filter bit is codegen, no join);
+    per-position window scores come from the cumsum difference over a
+    doc-partitioned window (per-doc token lists are tiny and
+    hash-spread); the per-doc argmax is rn = 1 over (score desc, start
+    asc) — WindowGroupLimit pushes it below the shuffle. Documents with
+    zero hits emit no row.
+
+    Output: (doc_id, start_pos, hits, snippet).
+    """
+    lits = F.array(*[F.lit(t) for t in query_terms])
+    toked = docs.select(
+        "doc_id", F.posexplode(ws_tokens(F.lower(F.col(text_col)))).alias(
+            "pos", "token"
+        )
+    ).select(
+        "doc_id",
+        "pos",
+        "token",
+        F.array_contains(lits, F.col("token")).cast("long").alias("hit"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cum = toked.withColumn("c", F.sum("hit").over(w))
+    scored = cum.withColumn(
+        "win_hits",
+        F.col("c")
+        - F.coalesce(F.lag("c", window).over(w), F.lit(0)),
+    ).where(F.col("win_hits") > 0)
+    rn = Window.partitionBy("doc_id").orderBy(
+        F.col("win_hits").desc(), F.col("pos").asc()
+    )
+    best = scored.withColumn("rn", F.row_number().over(rn)).where(
+        F.col("rn") == 1
+    )
+    start = F.greatest(F.col("pos") - window + 1, F.lit(0))
+    snip = toked.alias("t").join(
+        best.select(
+            "doc_id", start.alias("start_pos"), F.col("win_hits").alias("hits")
+        ).alias("b"),
+        "doc_id",
+    ).where(
+        (F.col("t.pos") >= F.col("b.start_pos"))
+        & (F.col("t.pos") < F.col("b.start_pos") + window)
+    )
+    return snip.groupBy("doc_id", "start_pos", "hits").agg(
+        F.concat_ws(
+            " ", F.array_sort(F.collect_list(F.struct("pos", "token")))
+            .getField("token")
+        ).alias("snippet")
+    ).select(
+        "doc_id",
+        F.col("start_pos").cast("long"),
+        F.col("hits").cast("long"),
+        "snippet",
+    )

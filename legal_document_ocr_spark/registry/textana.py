@@ -1159,3 +1159,131 @@ ded AS (
 UNION ALL
 {stage('ded', 'deduped')}
 """
+
+
+# ---------------------------------------------------------------------------
+# heldout_perplexity
+# ---------------------------------------------------------------------------
+
+_HOLDOUT_HASH = "('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 10000"
+
+
+def q_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM eval (textops.heldout_perplexity): bigram model
+    trained on the 90% hash-train split, the 10% holdout scored against
+    it; unseen bigrams counted, not smoothed."""
+    from ..operators.sampling import hash_bucket
+    from ..operators.textops import heldout_perplexity
+
+    d = _docs(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"))
+    return heldout_perplexity(d.where(b >= 1000), d.where(b < 1000))
+
+
+_SQL_HELDOUT_PERPLEXITY = f"""
+WITH tr AS (
+  SELECT lower(text) AS lt FROM documents
+  WHERE {_HOLDOUT_HASH} >= 1000 AND length(lower(text)) >= 2
+),
+ev0 AS (
+  SELECT doc_id, lower(text) AS lt FROM documents
+  WHERE {_HOLDOUT_HASH} < 1000 AND length(lower(text)) >= 2
+),
+e_tr AS (
+  SELECT unnest(list_transform(generate_series(1, length(lt) - 1),
+                               i -> substr(lt, i, 2))) AS bg
+  FROM tr
+),
+mc AS (SELECT bg, count(*) AS cnt FROM e_tr GROUP BY bg),
+pc AS (SELECT substr(bg, 1, 1) AS c1, sum(cnt) AS pcnt FROM mc GROUP BY 1),
+model AS (
+  SELECT bg, round(ln(cnt / pcnt::double), 6)::decimal(28,12) AS lnp
+  FROM mc JOIN pc ON substr(mc.bg, 1, 1) = pc.c1
+),
+e_ev AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, length(lt) - 1),
+                          i -> substr(lt, i, 2))) AS bg
+  FROM ev0
+),
+sc AS (
+  SELECT doc_id, count(*)::bigint AS n_bigrams,
+    sum(CASE WHEN lnp IS NULL THEN 1 ELSE 0 END)::bigint AS n_unseen,
+    sum(lnp) AS s,
+    sum(CASE WHEN lnp IS NOT NULL THEN 1 ELSE 0 END)::bigint AS m
+  FROM e_ev LEFT JOIN model USING (bg) GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, n_unseen,
+  CASE WHEN m > 0
+       THEN floor((-(s::double) / m::double) * 1000000.0)::bigint
+  END AS nll_micro
+FROM sc
+"""
+
+
+# ---------------------------------------------------------------------------
+# best_snippet
+# ---------------------------------------------------------------------------
+
+_SNIPPET_TERMS = ("the", "of", "and")
+
+
+def q_best_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-biased snippet (textops.best_snippet): the 10-token window
+    with the most query-term hits per matching doc."""
+    from ..operators.textops import best_snippet
+
+    return best_snippet(
+        _docs(spark, sf_dir), list(_SNIPPET_TERMS), window=10
+    )
+
+
+_SQL_BEST_SNIPPET = rf"""
+WITH t AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+e AS (
+  SELECT doc_id, unnest(toks) AS token,
+    unnest(generate_series(1, len(toks))) AS pos1
+  FROM t
+),
+h AS (
+  SELECT doc_id, pos1 - 1 AS pos, token,
+    CASE WHEN token IN ('the', 'of', 'and') THEN 1 ELSE 0 END AS hit
+  FROM e
+),
+c AS (
+  SELECT doc_id, pos, token,
+    sum(hit) OVER (PARTITION BY doc_id ORDER BY pos) AS c
+  FROM h
+),
+s AS (
+  SELECT doc_id, pos,
+    c - coalesce(lag(c, 10) OVER (PARTITION BY doc_id ORDER BY pos), 0)
+      AS win_hits
+  FROM c
+),
+b AS (
+  SELECT doc_id, pos, win_hits,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY win_hits DESC, pos ASC) AS rn
+  FROM s WHERE win_hits > 0
+),
+bb AS (
+  SELECT doc_id, greatest(pos - 10 + 1, 0) AS start_pos,
+    win_hits AS hits
+  FROM b WHERE rn = 1
+),
+sn AS (
+  SELECT h.doc_id, bb.start_pos, bb.hits,
+    string_agg(h.token, ' ' ORDER BY h.pos) AS snippet
+  FROM h JOIN bb ON h.doc_id = bb.doc_id
+    AND h.pos >= bb.start_pos AND h.pos < bb.start_pos + 10
+  GROUP BY h.doc_id, bb.start_pos, bb.hits
+)
+SELECT doc_id, start_pos::bigint AS start_pos, hits::bigint AS hits,
+  snippet
+FROM sn
+"""

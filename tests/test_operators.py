@@ -5316,3 +5316,39 @@ def test_dedup_diversity_ttr_rises_after_dedup(spark, docs):
     assert out["raw"]["n_bigrams"] == 2 * out["deduped"]["n_bigrams"]
     assert out["raw"]["distinct_bigrams"] == out["deduped"]["distinct_bigrams"]
     assert out["deduped"]["ttr_ppm"] >= 2 * out["raw"]["ttr_ppm"] - 1
+
+
+def test_heldout_perplexity_separates_domains(spark):
+    """A model trained on 'ababab' text scores in-domain eval as seen
+    (0 unseen) and counts foreign bigrams as unseen rather than
+    smoothing them."""
+    train = spark.createDataFrame(
+        [(i, "ab" * 50) for i in range(5)], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(100, "abab"), (101, "xyxy")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textops.heldout_perplexity(train, ev).collect()
+    }
+    assert out[100]["n_unseen"] == 0 and out[100]["nll_micro"] is not None
+    # 'xyxy' shares no bigrams with the train corpus
+    assert out[101]["n_unseen"] == out[101]["n_bigrams"]
+    assert out[101]["nll_micro"] is None
+
+
+def test_best_snippet_finds_dense_window(spark):
+    """The densest 10-token window wins; zero-hit docs emit nothing;
+    the snippet text is the actual window content."""
+    text = ("filler " * 20) + "the of and the of " + ("pad " * 20)
+    df = spark.createDataFrame(
+        [(0, text), (1, "no query terms here at all")],
+        "doc_id long, text string",
+    )
+    out = textops.best_snippet(df, ["the", "of", "and"], window=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["doc_id"] == 0 and r["hits"] == 5
+    assert "the of and the of" in r["snippet"]
+    assert len(r["snippet"].split()) == 10
