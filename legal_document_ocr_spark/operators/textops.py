@@ -3626,3 +3626,100 @@ def best_snippet(
         F.col("hits").cast("long"),
         "snippet",
     )
+
+
+def shared_prefixes(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    prefix_tokens: int = 16,
+) -> DataFrame:
+    """Prefix-sharing census for batched inference: how many documents
+    share their first ``prefix_tokens`` tokens, and how many prefix
+    tokens a KV-prefix cache would avoid recomputing (shared groups pay
+    the prefix ONCE; every further member rides the cache) — the data-
+    side estimate behind prompt-dedup / prefix-caching serving designs.
+
+    ONE projection (prefix = slice + join of the bound token array) and
+    ONE map-side-combined groupBy(prefix hash); savings are exact
+    integer arithmetic on the group table.
+
+    Output: one row — (n_docs, n_groups, docs_in_shared_groups,
+    saved_tokens, saved_ppm) where saved_ppm is saved prefix tokens
+    over ALL prefix tokens.
+    """
+    bound = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col(text_col))).alias("__toks")
+    ).where(F.size("__toks") >= prefix_tokens)
+    pref = bound.select(
+        F.md5(
+            F.array_join(F.slice("__toks", 1, prefix_tokens), " ")
+        ).alias("p")
+    )
+    g = pref.groupBy("p").agg(F.count("*").cast("long").alias("n"))
+    agg = g.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("docs_in_shared_groups"),
+        F.sum((F.col("n") - 1) * prefix_tokens)
+        .cast("long")
+        .alias("saved_tokens"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_groups",
+        "docs_in_shared_groups",
+        "saved_tokens",
+        F.expr(f"(saved_tokens * 1000000L) div (n_docs * {prefix_tokens}L)")
+        .cast("long")
+        .alias("saved_ppm"),
+    )
+
+
+def term_burstiness(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    top_k: int = 50,
+) -> DataFrame:
+    """Term burstiness (Church & Gale): the Fano factor (variance/mean)
+    of a term's per-document counts — function words spread evenly
+    (Fano ~1, Poisson-like); content words BURST (a doc about the topic
+    uses the term many times; most docs use it zero) — the lexical
+    statistic that separates topical vocabulary from glue without any
+    labels.
+
+    Exact integers: over N docs with per-doc counts x (zeros included
+    implicitly), Fano = ((N·Σx² − (Σx)²)) / (N·Σx) — cross-multiplied
+    from the per-term (Σx, Σx²) table plus the scalar N; micro by
+    exact div. One token explode -> ONE map-side-combined
+    groupBy(term, doc) -> ONE groupBy(term); top-k by total count.
+
+    Output: (token, total, df, fano_micro), top_k by (total desc,
+    token).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    per_doc = toks.groupBy("token", "doc_id").agg(
+        F.count("*").cast("long").alias("x")
+    )
+    per_term = per_doc.groupBy("token").agg(
+        F.sum("x").cast("long").alias("total"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.count("*").cast("long").alias("df"),
+    )
+    n_docs = docs.count()
+    fano = F.expr(
+        f"(({n_docs}L * sxx - total * total) * 1000000L)"
+        f" div ({n_docs}L * total)"
+    )
+    return (
+        per_term.select(
+            "token", "total", "df", fano.cast("long").alias("fano_micro")
+        )
+        .orderBy(F.col("total").desc(), "token")
+        .limit(top_k)
+    )

@@ -1287,3 +1287,77 @@ SELECT doc_id, start_pos::bigint AS start_pos, hits::bigint AS hits,
   snippet
 FROM sn
 """
+
+
+# ---------------------------------------------------------------------------
+# shared_prefixes
+# ---------------------------------------------------------------------------
+
+
+def q_shared_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-cache census (textops.shared_prefixes) over documents ∪
+    copies (guaranteed sharing): 16-token prefixes, one row."""
+    from ..operators.textops import shared_prefixes
+
+    return shared_prefixes(_doubled_docs(spark, sf_dir))
+
+
+_SQL_SHARED_PREFIXES = rf"""
+WITH raw AS ({{doubled}}),
+t AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM raw
+),
+p AS (
+  SELECT md5(array_to_string(list_slice(toks, 1, 16), ' ')) AS p
+  FROM t WHERE len(toks) >= 16
+),
+g AS (SELECT p, count(*)::bigint AS n FROM p GROUP BY p),
+agg AS (
+  SELECT sum(n)::bigint AS n_docs, count(*)::bigint AS n_groups,
+    sum(CASE WHEN n >= 2 THEN n ELSE 0 END)::bigint
+      AS docs_in_shared_groups,
+    sum((n - 1) * 16)::bigint AS saved_tokens
+  FROM g
+)
+SELECT n_docs, n_groups, docs_in_shared_groups, saved_tokens,
+  ((saved_tokens * 1000000) // (n_docs * 16))::bigint AS saved_ppm
+FROM agg
+""".format(doubled=_DOUBLED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# term_burstiness
+# ---------------------------------------------------------------------------
+
+
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness (textops.term_burstiness): Fano factor of
+    per-doc counts for the top-50 terms."""
+    from ..operators.textops import term_burstiness
+
+    return term_burstiness(_docs(spark, sf_dir), top_k=50)
+
+
+def _sql_term_burstiness(top_k: int = 50) -> str:
+    return rf"""
+WITH nd AS (SELECT count(*)::bigint AS n FROM documents),
+toks AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+pd AS (
+  SELECT token, doc_id, count(*)::bigint AS x
+  FROM toks GROUP BY token, doc_id
+),
+pt AS (
+  SELECT token, sum(x)::bigint AS total,
+    sum(x * x)::bigint AS sxx, count(*)::bigint AS df
+  FROM pd GROUP BY token
+)
+SELECT token, total, df,
+  (((n * sxx - total * total) * 1000000)
+    // (n * total))::bigint AS fano_micro
+FROM pt, nd ORDER BY total DESC, token LIMIT {top_k}
+"""

@@ -5352,3 +5352,29 @@ def test_best_snippet_finds_dense_window(spark):
     assert r["doc_id"] == 0 and r["hits"] == 5
     assert "the of and the of" in r["snippet"]
     assert len(r["snippet"].split()) == 10
+
+
+def test_shared_prefixes_counts_cache_savings(spark, docs):
+    """documents ∪ exact copies: every prefix group has >= 2 members,
+    so saved tokens = (group size - 1) * 16 summed — exactly half the
+    doubled corpus's prefix mass when all originals were distinct."""
+    d = docs.select("doc_id", "text")
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    r = textops.shared_prefixes(doubled, prefix_tokens=16).collect()[0]
+    assert r["docs_in_shared_groups"] == r["n_docs"]
+    assert r["saved_tokens"] == (r["n_docs"] - r["n_groups"]) * 16
+    assert r["saved_ppm"] >= 500_000
+
+
+def test_term_burstiness_content_vs_glue(spark):
+    """A term appearing once in every doc has Fano 0 (sub-Poisson,
+    perfectly even); a term spending its whole mass in one doc has
+    Fano ~ its count (maximally bursty)."""
+    rows = [(i, "glue " + ("topic " * 10 if i == 0 else "")) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["token"]: r for r in textops.term_burstiness(df, top_k=10).collect()}
+    assert out["glue"]["fano_micro"] == 0
+    # topic: N=10, sum=10, sxx=100 -> (10*100-100)/(10*10) = 9.0
+    assert out["topic"]["fano_micro"] == 9_000_000
