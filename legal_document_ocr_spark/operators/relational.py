@@ -3029,3 +3029,89 @@ def auc_exact(
         .cast("long")
         .alias("auc_ppm"),
     )
+
+
+def quality_residuals(
+    df: DataFrame,
+    x,
+    y,
+    group_col: str = "source",
+    *,
+    flag_k_micro: int = 2_000_000,
+) -> DataFrame:
+    """Model APPLICATION after training: fit the per-group OLS
+    (``grouped_ols``) and score every row's residual against its own
+    group's line — the length-adjusted anomaly signal ("this page has
+    far fewer chars than its token count predicts for this source" =
+    template breakage, truncation, or boilerplate soup that absolute
+    thresholds miss).
+
+    Scale shape: the model is the bounded per-group table from ONE
+    stats scan; application is ONE more scan with the model broadcast —
+    the train->apply loop in exactly two passes. Residuals are integer
+    micro (y*1e6 - (slope*x + intercept)); the flag marks |residual| >
+    k on a y*1e6 scale.
+
+    Output: (key columns of df via group+x+y) — (group, x, y,
+    residual_micro, is_outlier).
+    """
+    xl = x.cast("long")
+    yl = y.cast("long")
+    model = grouped_ols(df, x, y, group_col).select(
+        group_col, "slope_micro", "intercept_micro"
+    )
+    base = df.select(F.col(group_col), xl.alias("x"), yl.alias("y"))
+    j = base.join(F.broadcast(model), group_col)
+    resid = (
+        F.col("y") * 1000000
+        - (
+            F.col("slope_micro") * F.col("x")
+            + F.col("intercept_micro")
+        )
+    ).cast("long")
+    return j.select(
+        group_col,
+        "x",
+        "y",
+        resid.alias("residual_micro"),
+        F.when(F.abs(resid) > flag_k_micro, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_outlier"),
+    )
+
+
+def log2_histogram(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+) -> DataFrame:
+    """Log2-bucketed value histogram per group: bucket = bit length of
+    the value (floor(log2)+1 via the portable length(bin(x)) identity,
+    no float log) — the doubling-buckets view that makes heavy-tailed
+    length distributions readable where linear bins drown the tail.
+
+    ONE map-side-combined groupBy on (group, bucket); bucket count is
+    bounded by the value's bit width (<= 63), so the output is
+    sketch-sized regardless of corpus size.
+
+    Output: (group, bucket, lo, hi, n) with [lo, hi] the bucket's
+    value range.
+    """
+    v = F.col(value_col).cast("long")
+    bucket = F.when(v <= 0, F.lit(0)).otherwise(F.length(F.bin(v)))
+    g = df.select(F.col(group_col).alias("grp"), bucket.alias("bucket"))
+    out = g.groupBy("grp", "bucket").agg(F.count("*").cast("long").alias("n"))
+    return out.select(
+        F.col("grp").alias(group_col),
+        F.col("bucket").cast("long"),
+        F.when(F.col("bucket") == 0, F.lit(0))
+        .otherwise(F.expr("shiftleft(1L, cast(bucket - 1 as int))"))
+        .cast("long")
+        .alias("lo"),
+        F.when(F.col("bucket") == 0, F.lit(0))
+        .otherwise(F.expr("shiftleft(1L, cast(bucket as int)) - 1L"))
+        .cast("long")
+        .alias("hi"),
+        "n",
+    )

@@ -1404,3 +1404,82 @@ SELECT n_pos, n_neg, u2,
   ((u2 * 1000000) // (2 * n_pos * n_neg))::bigint AS auc_ppm
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# quality_residuals
+# ---------------------------------------------------------------------------
+
+
+def q_quality_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train->apply loop (relational.quality_residuals): per-source OLS
+    of n_chars on whitespace count, every row scored against its own
+    source's line."""
+    from ..operators.relational import quality_residuals
+
+    d = _docs(spark, sf_dir)
+    return quality_residuals(
+        d,
+        F.length("text") - F.length(F.expr("replace(text, ' ', '')")),
+        F.col("n_chars"),
+    )
+
+
+_SQL_QUALITY_RESIDUALS = """
+WITH f AS (
+  SELECT source,
+    (length(text) - length(replace(text, ' ', '')))::bigint AS x,
+    n_chars::bigint AS y
+  FROM documents
+),
+g AS (
+  SELECT source, count(*)::bigint AS n,
+    sum(x)::bigint AS sx, sum(y)::bigint AS sy,
+    sum(x * x)::bigint AS sxx, sum(x * y)::bigint AS sxy
+  FROM f GROUP BY source
+),
+m AS (
+  SELECT source,
+    floor((n * sxy - sx * sy)::double * 1000000.0
+          / (n * sxx - sx * sx)::double)::bigint AS slope_micro,
+    floor((sy * sxx - sx * sxy)::double * 1000000.0
+          / (n * sxx - sx * sx)::double)::bigint AS intercept_micro
+  FROM g
+)
+SELECT f.source, x, y,
+  (y * 1000000 - (slope_micro * x + intercept_micro))::bigint
+    AS residual_micro,
+  (CASE WHEN abs(y * 1000000 - (slope_micro * x + intercept_micro))
+             > 2000000 THEN 1 ELSE 0 END)::bigint AS is_outlier
+FROM f JOIN m ON f.source = m.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# log2_histogram
+# ---------------------------------------------------------------------------
+
+
+def q_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubling-bucket length histogram (relational.log2_histogram):
+    bucket = bit length of n_chars via the portable bin() identity."""
+    from ..operators.relational import log2_histogram
+
+    return log2_histogram(_docs(spark, sf_dir))
+
+
+_SQL_LOG2_HISTOGRAM = """
+WITH b AS (
+  SELECT source,
+    CASE WHEN n_chars <= 0 THEN 0
+         ELSE length(bin(n_chars::bigint)) END AS bucket
+  FROM documents
+)
+SELECT source, bucket::bigint AS bucket,
+  (CASE WHEN bucket = 0 THEN 0
+        ELSE (1::bigint << (bucket - 1)) END)::bigint AS lo,
+  (CASE WHEN bucket = 0 THEN 0
+        ELSE (1::bigint << bucket) - 1 END)::bigint AS hi,
+  count(*)::bigint AS n
+FROM b GROUP BY source, bucket
+"""

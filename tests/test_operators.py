@@ -5378,3 +5378,37 @@ def test_term_burstiness_content_vs_glue(spark):
     assert out["glue"]["fano_micro"] == 0
     # topic: N=10, sum=10, sxx=100 -> (10*100-100)/(10*10) = 9.0
     assert out["topic"]["fano_micro"] == 9_000_000
+
+
+def test_quality_residuals_exact_line_zero(spark):
+    """On an exact per-group line the residual is the floor-truncation
+    residue only (< 1 unit of y in micro); a planted outlier flags."""
+    rows = [("a", x, 3 * x + 7) for x in range(1, 30)]
+    rows.append(("a", 15, 1000))  # way off the line
+    df = spark.createDataFrame(rows, "source string, x long, y long")
+    out = relational.quality_residuals(
+        df, F.col("x"), F.col("y"), "source", flag_k_micro=2_000_000
+    ).collect()
+    planted = [r for r in out if r["y"] == 1000]
+    clean = [r for r in out if r["y"] != 1000]
+    assert planted[0]["is_outlier"] == 1
+    # the planted point drags the fit, but the clean points stay far
+    # closer to the line than the outlier does
+    worst_clean = max(abs(r["residual_micro"]) for r in clean)
+    assert abs(planted[0]["residual_micro"]) > 5 * worst_clean
+
+
+def test_log2_histogram_buckets(spark):
+    """Bucket = bit length: value v lands in [2^(b-1), 2^b - 1];
+    totals partition the corpus."""
+    df = spark.createDataFrame(
+        [("s", v) for v in (1, 2, 3, 4, 7, 8, 1023, 1024)],
+        "source string, n_chars long",
+    )
+    out = {r["bucket"]: r for r in relational.log2_histogram(df).collect()}
+    assert out[1]["n"] == 1 and (out[1]["lo"], out[1]["hi"]) == (1, 1)
+    assert out[2]["n"] == 2 and (out[2]["lo"], out[2]["hi"]) == (2, 3)
+    assert out[3]["n"] == 2 and (out[3]["lo"], out[3]["hi"]) == (4, 7)
+    assert out[10]["n"] == 1 and out[10]["lo"] == 512
+    assert out[11]["n"] == 1 and out[11]["lo"] == 1024
+    assert sum(r["n"] for r in out.values()) == 8
