@@ -59,6 +59,36 @@ def exact_dups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def soft_dedup_weights(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Duplicate-aware training weights ("soft dedup"): keep every copy
+    of a duplicated text but down-weight its loss by 1/|duplicate group|
+    so each distinct text contributes one unit of gradient mass — the
+    alternative to hard removal when duplicates carry signal (frequency
+    ~ importance) but must not dominate training. weight_micro =
+    floor(1e6 / n_copies) is exact integer division on both engines.
+
+    Scale shape: one map-side-combined aggregate on the 64-hex content
+    hash (short key — text never enters the exchange), then a co-located
+    shuffle_hash join-back on the same key; nothing is broadcast, so the
+    plan is identical at 1e12 rows.
+
+    Output: (doc_id, n_copies, weight_micro) — one row per input doc.
+    """
+    keyed = docs.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash")
+    )
+    sizes = keyed.groupBy("content_hash").agg(
+        F.count("*").cast("long").alias("n_copies")
+    )
+    return keyed.join(sizes.hint("shuffle_hash"), "content_hash").select(
+        id_col,
+        "n_copies",
+        F.expr("1000000L div n_copies").cast("long").alias("weight_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingling (shared by minhash / jaccard)
 # ---------------------------------------------------------------------------
@@ -2085,6 +2115,82 @@ def bcubed_eval(
         F.floor(p * 1000000).cast("long").alias("precision_micro"),
         F.floor(r * 1000000).cast("long").alias("recall_micro"),
         F.floor(f1 * 1000000).cast("long").alias("f1_micro"),
+    )
+
+
+def ari_eval(
+    assign: DataFrame,
+    truth: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    family_col: str = "family_id",
+) -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985) of a dedup clustering
+    against planted ground truth — the chance-corrected companion to
+    ``bcubed_eval``: a random clustering scores ~0 regardless of cluster
+    count, a perfect one 1.0. B³ rewards trivially-fine clusterings more
+    than ARI does, so reporting both bounds the quality from two sides.
+
+    ARI reduces EXACTLY to pair counts off the same contingency table B³
+    uses: with s_joint = Σ_cells C(n_cf,2), s_cluster = Σ_c C(n_c,2),
+    s_family = Σ_f C(n_f,2) and C(n,2) total pairs,
+
+        ARI = (s_joint − s_cluster·s_family / C(n,2))
+            / ((s_cluster + s_family)/2 − s_cluster·s_family / C(n,2)).
+
+    Every Σ is an exact bigint (n·(n−1) is even, so ``div 2`` is exact);
+    only the final ratio divides as doubles, in one pinned expression.
+
+    Scale shape: identical to ``bcubed_eval`` — one doc-keyed
+    shuffle_hash join, then all arithmetic on the bounded contingency
+    table; the three pair-sums are single-row map-side-combined
+    aggregates.
+
+    Output: one row (n_docs, s_joint, s_cluster, s_family, ari_micro).
+    """
+
+    def _pairs(col: str):
+        return F.expr(f"{col} * ({col} - 1L) div 2L")
+
+    j = assign.select(
+        F.col(id_col).alias("_ar_id"), F.col(cluster_col).alias("c")
+    ).join(
+        truth.select(
+            F.col(id_col).alias("_ar_id"), F.col(family_col).alias("f")
+        ).hint("shuffle_hash"),
+        "_ar_id",
+    )
+    cf = j.groupBy("c", "f").agg(F.count("*").cast("long").alias("n_cf"))
+    base = cf.agg(
+        F.sum("n_cf").cast("long").alias("n_docs"),
+        F.sum(_pairs("n_cf")).cast("long").alias("s_joint"),
+    )
+    sc = (
+        cf.groupBy("c")
+        .agg(F.sum("n_cf").cast("long").alias("n_c"))
+        .agg(F.sum(_pairs("n_c")).cast("long").alias("s_cluster"))
+    )
+    sf = (
+        cf.groupBy("f")
+        .agg(F.sum("n_cf").cast("long").alias("n_f"))
+        .agg(F.sum(_pairs("n_f")).cast("long").alias("s_family"))
+    )
+    one = base.crossJoin(F.broadcast(sc)).crossJoin(F.broadcast(sf))
+    n2 = F.expr("n_docs * (n_docs - 1L) div 2L").cast("double")
+    expected = (
+        F.col("s_cluster").cast("double") * F.col("s_family").cast("double")
+    ) / n2
+    num = F.col("s_joint").cast("double") - expected
+    den = (
+        F.col("s_cluster").cast("double") + F.col("s_family").cast("double")
+    ) / F.lit(2.0) - expected
+    return one.select(
+        "n_docs",
+        "s_joint",
+        "s_cluster",
+        "s_family",
+        F.floor(num / den * 1000000).cast("long").alias("ari_micro"),
     )
 
 

@@ -1676,6 +1676,92 @@ FROM agg
 """
 
 
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware loss weights (dedup.soft_dedup_weights) over a
+    corpus with planted group sizes 2 and 3: every text appears twice
+    (the +100000 mirror) and every third also a +200000 time, so
+    weight_micro lands on 500000/333333 exactly."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    tripled = d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    ).unionByName(
+        d.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+    )
+    return dedup.soft_dedup_weights(tripled)
+
+
+_SQL_SOFT_DEDUP_WEIGHTS = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents
+  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 3 = 0
+),
+sz AS (
+  SELECT sha256(text) AS content_hash, count(*)::bigint AS n_copies
+  FROM u GROUP BY 1
+)
+SELECT u.doc_id::bigint AS doc_id, sz.n_copies,
+  (1000000 // sz.n_copies)::bigint AS weight_micro
+FROM u JOIN sz ON sha256(u.text) = sz.content_hash
+"""
+
+
+def q_dedup_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index (dedup.ari_eval) of the end-to-end
+    dedup_clusters output against the planted families — the
+    chance-corrected companion to dedup_bcubed off the same contingency
+    table; pair sums are exact bigints, only the final ratio divides as
+    a pinned double."""
+    assign = dedup.dedup_clusters(_neardup_docs(spark, sf_dir)).select(
+        "doc_id", "cluster_id"
+    )
+    truth = _neardup_docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 100000).alias("family_id")
+    )
+    return dedup.ari_eval(assign, truth)
+
+
+_SQL_DEDUP_ARI = f"""
+WITH asg AS (
+  SELECT doc_id, cluster_id FROM ({_SQL_DEDUP_CLUSTERS})
+),
+tr AS (
+  SELECT doc_id, doc_id % 100000 AS family_id
+  FROM ({_NEARDUP_SQL})
+),
+cf AS (
+  SELECT a.cluster_id AS c, t.family_id AS f, count(*)::bigint AS n_cf
+  FROM asg a JOIN tr t ON a.doc_id = t.doc_id
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT sum(n_cf)::bigint AS n_docs,
+    sum(n_cf * (n_cf - 1) // 2)::bigint AS s_joint
+  FROM cf
+),
+sc AS (
+  SELECT sum(n_c * (n_c - 1) // 2)::bigint AS s_cluster
+  FROM (SELECT sum(n_cf)::bigint AS n_c FROM cf GROUP BY c)
+),
+sf AS (
+  SELECT sum(n_f * (n_f - 1) // 2)::bigint AS s_family
+  FROM (SELECT sum(n_cf)::bigint AS n_f FROM cf GROUP BY f)
+)
+SELECT n_docs, s_joint, s_cluster, s_family,
+  floor(
+    (s_joint::double
+       - s_cluster::double * s_family::double
+         / (n_docs * (n_docs - 1) // 2)::double)
+    / ((s_cluster::double + s_family::double) / 2.0::double
+       - s_cluster::double * s_family::double
+         / (n_docs * (n_docs - 1) // 2)::double)
+    * 1000000)::bigint AS ari_micro
+FROM base, sc, sf
+"""
+
+
 def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream attribution join (streaming.stream_stream_
     attribution): purchases attributed to same-user views within 30

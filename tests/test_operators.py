@@ -4605,6 +4605,50 @@ def test_bcubed_eval_hand_checked(spark):
     assert out2["f1_micro"] in (666666, 666667)
 
 
+def test_ari_eval_hand_checked(spark):
+    """Perfect clustering -> ARI=1e6; merging everything -> ARI=0 (chance
+    level); a half-right split matches the closed-form 4/7."""
+    from legal_document_ocr_spark.operators.dedup import ari_eval
+
+    truth = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 20)],
+        "doc_id long, family_id long",
+    )
+    perfect = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 200), (4, 200)],
+        "doc_id long, cluster_id long",
+    )
+    out = ari_eval(perfect, truth).collect()[0]
+    assert (out["n_docs"], out["s_joint"], out["s_cluster"],
+            out["s_family"], out["ari_micro"]) == (4, 2, 2, 2, 1000000)
+    merged = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1)], "doc_id long, cluster_id long"
+    )
+    assert ari_eval(merged, truth).collect()[0]["ari_micro"] == 0
+    # {1,2},{3},{4} vs {1,2},{3,4}: ARI = (1-1/3)/(3/2-1/3) = 4/7
+    half = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2), (4, 3)], "doc_id long, cluster_id long"
+    )
+    assert ari_eval(half, truth).collect()[0]["ari_micro"] == 571428
+
+
+def test_soft_dedup_weights_sums_to_unit_mass(spark):
+    """Each duplicate group's weights sum to (just under) 1e6; unique
+    texts keep full weight; output is one row per input doc."""
+    from legal_document_ocr_spark.operators.dedup import soft_dedup_weights
+
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "aaa"), (4, "bbb"), (5, "ccc")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in soft_dedup_weights(df).collect()}
+    assert len(rows) == 5
+    assert rows[1]["n_copies"] == 3 and rows[1]["weight_micro"] == 333333
+    assert rows[2]["weight_micro"] == rows[3]["weight_micro"] == 333333
+    assert rows[4]["n_copies"] == 1 and rows[4]["weight_micro"] == 1000000
+    assert rows[5]["weight_micro"] == 1000000
+
+
 def test_bootstrap_ci_brackets_mean_deterministically(spark):
     """The CI brackets the point mean, is identical across runs and
     partitionings (hash-derived weights), and is all-integer."""
