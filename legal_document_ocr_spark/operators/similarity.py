@@ -952,3 +952,241 @@ def ndcg_eval(
         .cast("long")
         .alias("ndcg_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (round 4)
+# ---------------------------------------------------------------------------
+
+
+def jl_signs(dim: int, k: int = 16) -> list[list[int]]:
+    """Deterministic ±1 JL sign matrix (Achlioptas 2003: ±1 entries
+    satisfy the JL lemma with the same guarantees as Gaussians):
+    sign(i, j) = parity of md5("j_i") — reproducible on any worker or
+    engine with no RNG state, so Spark and the SQL oracle share the
+    matrix verbatim."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:2], 16) % 2 == 0
+            else -1
+            for j in range(k)
+        ]
+        for i in range(dim)
+    ]
+
+
+def _jl_proj_micro(vec_col: str, signs: list[list[int]], j: int):
+    """floor(1e6 · Σ_i round(x_i·s_ij, 12)) as one per-row expression:
+    a zip_with against the j-th literal sign column folded with an exact
+    decimal accumulator — no explode, no join, no shuffle."""
+    dim = len(signs)
+    sj = F.array(*[F.lit(signs[i][j]) for i in range(dim)])
+    terms = F.zip_with(
+        F.col(vec_col),
+        sj,
+        lambda x, s: F.round(x.cast("double") * s.cast("double"), 12).cast(
+            "decimal(28,12)"
+        ),
+    )
+    acc = F.aggregate(
+        terms,
+        F.lit(0).cast("decimal(38,12)"),
+        lambda a, v: (a + v).cast("decimal(38,12)"),
+    )
+    return F.floor(acc * 1000000).cast("long")
+
+
+def random_projection(
+    emb: DataFrame,
+    *,
+    dim: int,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project d-dim embeddings to k dims with a deterministic ±1 JL
+    matrix — the standard cheap dimensionality reduction before
+    clustering / dedup at corpus scale (a 64->16 projection cuts ANN
+    index memory 4x while approximately preserving pairwise distances).
+
+    Plan shape: PER-ROW, zero exchanges — each projection is a
+    ``zip_with`` of the embedding against a literal sign column folded
+    with an exact decimal accumulator (per-element products round(·,12)
+    so fold order can't matter), then floor(·1e6) to a bigint. No
+    explode, no join, no shuffle: at 1e12 rows this runs at scan speed
+    and the sign matrix lives in the plan, not in a broadcast.
+
+    Output: (vec_id, proj_micro_0..proj_micro_{k-1}) — the quantized
+    projection a downstream ANN index would store.
+    """
+    signs = jl_signs(dim, k)
+    return emb.select(
+        F.col(id_col),
+        *[
+            _jl_proj_micro(vec_col, signs, j).alias(f"proj_micro_{j}")
+            for j in range(k)
+        ],
+    )
+
+
+def jl_distortion(
+    emb: DataFrame,
+    *,
+    dim: int,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Empirical JL isometry gauge: per vector, the ratio of projected
+    squared norm to k × original squared norm — the quantity the JL
+    lemma bounds near 1. Everything is exact integers off the
+    micro-quantized projections (Σ proj_micro² and a micro-floored Σx²);
+    only the final ratio divides, in one pinned double expression, so
+    the oracle matches hash-exactly.
+
+    Same zero-exchange per-row plan as ``random_projection`` — orig and
+    projected norms are computed in ONE select (no self-join); repeated
+    subexpressions stay inside whole-stage codegen's CSE.
+
+    Output: (vec_id, orig_sq_micro, proj_sq_scaled, ratio_micro).
+    """
+    signs = jl_signs(dim, k)
+    orig = F.floor(
+        F.aggregate(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(
+                    x.cast("double") * x.cast("double"), 12
+                ).cast("decimal(28,12)"),
+            ),
+            F.lit(0).cast("decimal(38,12)"),
+            lambda a, v: (a + v).cast("decimal(38,12)"),
+        )
+        * 1000000
+    ).cast("long")
+    sq = None
+    for j in range(k):
+        p = _jl_proj_micro(vec_col, signs, j)
+        t = p * p
+        sq = t if sq is None else sq + t
+    base = emb.select(
+        F.col(id_col),
+        orig.alias("orig_sq_micro"),
+        sq.cast("long").alias("proj_sq_scaled"),
+    )
+    ratio = F.when(
+        F.col("orig_sq_micro") > 0,
+        F.floor(
+            F.col("proj_sq_scaled").cast("double")
+            / (F.lit(k).cast("long") * F.col("orig_sq_micro") * F.lit(1000000))
+            .cast("double")
+            * 1000000
+        ).cast("long"),
+    )
+    return base.select(
+        id_col, "orig_sq_micro", "proj_sq_scaled", ratio.alias("ratio_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse selection (round 4)
+# ---------------------------------------------------------------------------
+
+
+def mmr_select(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    n_candidates: int = 20,
+    k: int = 8,
+    lam_rel: int = 7,
+    lam_div: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) diverse
+    top-k: greedily pick the doc maximizing λ·relevance − (1−λ)·max
+    similarity to the already-picked set — the standard de-redundancy
+    step when assembling RAG contexts or few-shot exemplar pools from a
+    near-duplicate-heavy corpus. λ = lam_rel/(lam_rel+lam_div) kept as
+    an integer pair so every score is an exact bigint (micro-Jaccard
+    units; ties break on doc_id).
+
+    Scale shape: relevance (token-Jaccard vs the bounded query set) is
+    a per-row codegen expression over the full corpus; the top
+    n_candidates come via TakeOrdered (no global sort, no
+    single-partition window); the n² pairwise Jaccards are a self-join
+    of the n-row candidate table. Only then does the inherently
+    sequential greedy run on the driver over those n + n² bounded
+    integers — the corpus is never collected, exactly the
+    bounded-table-collect regime of ivf/bpe_train.
+
+    Output: (sel_rank, doc_id, mmr_score), k rows in selection order.
+    """
+    from .textops import ws_tokens
+
+    qs = sorted(set(query_terms))
+    ws = F.array_distinct(ws_tokens(F.lower(F.col(text_col))))
+    qlit = F.array(*[F.lit(w) for w in qs])
+    inter = F.size(F.array_intersect(ws, qlit)).cast("long")
+    uni = (F.size(ws).cast("long") + F.lit(len(qs)) - inter).cast("long")
+    cand = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            ws.alias("ws"),
+            inter.alias("_i"),
+            uni.alias("_u"),
+        )
+        .select(
+            "doc_id", "ws", F.expr("(1000000L * _i) div _u").alias("rel_micro")
+        )
+        .orderBy(F.desc("rel_micro"), "doc_id")
+        .limit(n_candidates)
+        .cache()
+    )
+    a = cand.select(
+        F.col("doc_id").alias("a"), F.col("ws").alias("wa")
+    )
+    b = cand.select(
+        F.col("doc_id").alias("b"), F.col("ws").alias("wb")
+    )
+    pi = F.size(F.array_intersect(F.col("wa"), F.col("wb"))).cast("long")
+    pu = (
+        F.size(F.col("wa")).cast("long")
+        + F.size(F.col("wb")).cast("long")
+        - pi
+    )
+    sims = (
+        a.crossJoin(b)
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b", pi.alias("_i"), pu.alias("_u"))
+        .select("a", "b", F.expr("(1000000L * _i) div _u").alias("sim_micro"))
+    )
+    rels = {
+        r["doc_id"]: r["rel_micro"]
+        for r in cand.select("doc_id", "rel_micro").collect()
+    }
+    sim = {(r["a"], r["b"]): r["sim_micro"] for r in sims.collect()}
+    picked: list[tuple[int, int, int]] = []
+    chosen: list[int] = []
+    for step in range(min(k, len(rels))):
+        best = None
+        for d, rel in rels.items():
+            if d in chosen:
+                continue
+            pen = max((sim.get((d, p), 0) for p in chosen), default=0)
+            score = lam_rel * rel - lam_div * pen
+            cand_key = (-score, d)
+            if best is None or cand_key < best[0]:
+                best = (cand_key, d, score)
+        picked.append((step + 1, best[1], best[2]))
+        chosen.append(best[1])
+    spark = docs.sparkSession
+    out = spark.createDataFrame(
+        picked, "sel_rank long, doc_id long, mmr_score long"
+    )
+    cand.unpersist()
+    return out

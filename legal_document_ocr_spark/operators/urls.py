@@ -363,6 +363,72 @@ def anchor_text_index(
 
 
 # ---------------------------------------------------------------------------
+# image-alt pair mining (round 4)
+# ---------------------------------------------------------------------------
+
+_IMG_TAG_RE = r"(?i)<img\b[^>]*>"
+_IMG_SRC_RE = "(?i)\\bsrc\\s*=\\s*[\"']([^\"']*)[\"']"
+_IMG_ALT_RE = "(?i)\\balt\\s*=\\s*[\"']([^\"']*)[\"']"
+
+
+def extract_image_alt_pairs(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, img_pos, img_url, alt_text, alt_len) — image/alt-text pairs
+    mined from page HTML: the LAION-style candidate generation step for
+    image-text training corpora (CLIP-family models train on exactly
+    these pairs). Reference analogue: the reference pairs each detected
+    image region with its OCR text (SURVEY.md S3/K2); here the page
+    AUTHOR's alt text is the caption.
+
+    Same single-heavy-scan shape as ``extract_anchor_texts``: the
+    page-sized ``<img …>`` regex runs ONCE per row via
+    ``regexp_extract_all`` group 0; src/alt come from per-fragment
+    ``regexp_extract`` over the short matched tags (attribute order and
+    case free, single or double quotes). Everything stays in whole-stage
+    codegen — no UDF, no shuffle. Root-relative and protocol-relative
+    srcs resolve against the page's own scheme://host; tags missing
+    either a src or a non-empty alt are dropped (a pair needs both
+    halves). alt text is whitespace-collapsed, exactly like the
+    extraction pipeline's text cleanup.
+    """
+    url = F.col(url_col)
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
+    ex = df.select(
+        url.alias("url"),
+        scheme.alias("_scheme"),
+        host.alias("_host"),
+        F.posexplode(F.regexp_extract_all(html_txt, F.lit(_IMG_TAG_RE), 0)).alias(
+            "img_pos", "frag"
+        ),
+    )
+    src = F.regexp_extract(F.col("frag"), _IMG_SRC_RE, 1)
+    alt = F.trim(
+        F.regexp_replace(F.regexp_extract(F.col("frag"), _IMG_ALT_RE, 1), r"\s+", " ")
+    )
+    resolved = (
+        F.when(src.startswith("//"), F.concat(F.col("_scheme"), F.lit(":"), src))
+        .when(
+            src.startswith("/"),
+            F.concat(F.col("_scheme"), F.lit("://"), F.col("_host"), src),
+        )
+        .otherwise(src)
+    )
+    return (
+        ex.select(
+            "url",
+            F.col("img_pos").cast("long").alias("img_pos"),
+            resolved.alias("img_url"),
+            alt.alias("alt_text"),
+        )
+        .where((F.col("img_url") != "") & (F.col("alt_text") != ""))
+        .withColumn("alt_len", F.length("alt_text").cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # HTML head metadata (round 3)
 # ---------------------------------------------------------------------------
 

@@ -1110,3 +1110,165 @@ r AS (
 SELECT source, doc_id, sample_rank::bigint AS sample_rank
 FROM r WHERE sample_rank <= 5
 """
+
+
+# ---------------------------------------------------------------------------
+# random_projection / jl_distortion (round 4)
+# ---------------------------------------------------------------------------
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL ±1 random projection (similarity.random_projection) of the
+    64-dim embeddings to 16 micro-quantized dims — per-row decimal
+    folds, zero exchanges; the md5-parity sign matrix is shared verbatim
+    with the oracle's VALUES table."""
+    return similarity.random_projection(
+        _tbl(spark, sf_dir, "embeddings"), dim=64, k=16
+    )
+
+
+def _jl_sql_parts(dim: int = 64, k: int = 16) -> tuple[str, str]:
+    from ..operators.similarity import jl_signs
+
+    signs = jl_signs(dim, k)
+    vals = ",\n  ".join(
+        "(" + ", ".join([str(i)] + [str(signs[i][j]) for j in range(k)]) + ")"
+        for i in range(dim)
+    )
+    scols = ", ".join(f"s_{j}" for j in range(k))
+    return (
+        f"s(i, {scols}) AS (VALUES\n  {vals}\n)",
+        """e AS (
+  SELECT vec_id, unnest(list_transform(embedding, v -> v::double)) AS x,
+         unnest(range(len(embedding))) AS i
+  FROM embeddings
+)""",
+    )
+
+
+def _sql_random_projection(dim: int = 64, k: int = 16) -> str:
+    s_cte, e_cte = _jl_sql_parts(dim, k)
+    projs = ",\n  ".join(
+        f"floor(sum(round(x * s_{j}, 12)::decimal(28,12)) * 1000000)"
+        f"::bigint AS proj_micro_{j}"
+        for j in range(k)
+    )
+    return f"""
+WITH {s_cte},
+{e_cte}
+SELECT vec_id::bigint AS vec_id,
+  {projs}
+FROM e JOIN s USING (i)
+GROUP BY vec_id
+"""
+
+
+def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL isometry gauge (similarity.jl_distortion): per-vector ratio of
+    projected to k x original squared norm, exact integers throughout
+    with one pinned double division — the empirical check that the
+    16-dim sketch preserves distances."""
+    return similarity.jl_distortion(
+        _tbl(spark, sf_dir, "embeddings"), dim=64, k=16
+    )
+
+
+def _sql_jl_distortion(dim: int = 64, k: int = 16) -> str:
+    s_cte, e_cte = _jl_sql_parts(dim, k)
+    projs = ",\n    ".join(
+        f"floor(sum(round(x * s_{j}, 12)::decimal(28,12)) * 1000000)"
+        f"::bigint AS p_{j}"
+        for j in range(k)
+    )
+    sq = " + ".join(f"p_{j} * p_{j}" for j in range(k))
+    return f"""
+WITH {s_cte},
+{e_cte},
+p AS (
+  SELECT vec_id::bigint AS vec_id,
+    floor(sum(round(x * x, 12)::decimal(28,12)) * 1000000)::bigint
+      AS orig_sq_micro,
+    {projs}
+  FROM e JOIN s USING (i)
+  GROUP BY vec_id
+)
+SELECT vec_id, orig_sq_micro,
+  ({sq})::bigint AS proj_sq_scaled,
+  CASE WHEN orig_sq_micro > 0 THEN
+    floor(({sq})::bigint::double
+          / ({k} * orig_sq_micro * 1000000)::double * 1000000)::bigint
+  END AS ratio_micro
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# mmr_select (round 4)
+# ---------------------------------------------------------------------------
+
+
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse top-8 (similarity.mmr_select) for a 5-term query over
+    the corpus: codegen relevance scan -> TakeOrdered top-20 -> n^2
+    candidate Jaccards -> driver greedy on the bounded table; oracle =
+    the same greedy as a recursive CTE."""
+    return similarity.mmr_select(
+        _docs(spark, sf_dir),
+        ["hash", "join", "merge", "sort", "query"],
+        n_candidates=20,
+        k=8,
+    )
+
+
+_SQL_MMR_SELECT = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ws
+  FROM documents
+),
+q(qs) AS (SELECT ['hash', 'join', 'merge', 'sort', 'query']),
+scored AS (
+  SELECT t.doc_id, t.ws,
+    (1000000 * len(list_filter(t.ws, x -> list_contains(q.qs, x))))
+      // (len(t.ws) + 5 - len(list_filter(t.ws, x -> list_contains(q.qs, x))))
+      AS rel_micro
+  FROM toks t, q
+),
+cand AS (
+  SELECT doc_id, ws, rel_micro::bigint AS rel_micro
+  FROM scored ORDER BY rel_micro DESC, doc_id LIMIT 20
+),
+sims AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+    ((1000000 * len(list_filter(a.ws, x -> list_contains(b.ws, x))))
+      // (len(a.ws) + len(b.ws)
+          - len(list_filter(a.ws, x -> list_contains(b.ws, x)))))::bigint
+      AS sim_micro
+  FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+),
+sel AS (
+  SELECT 0 AS step, CAST([] AS BIGINT[]) AS picked
+  UNION ALL
+  SELECT step + 1, list_append(picked, (
+    SELECT c.doc_id FROM cand c
+    WHERE NOT list_contains(s.picked, c.doc_id)
+    ORDER BY 7 * c.rel_micro - 3 * coalesce((
+        SELECT max(p.sim_micro) FROM sims p
+        WHERE p.a = c.doc_id AND list_contains(s.picked, p.b)), 0) DESC,
+      c.doc_id
+    LIMIT 1))
+  FROM sel s WHERE step < 8
+),
+fin AS (SELECT picked FROM sel WHERE step = 8),
+o AS (
+  SELECT unnest(picked) AS doc_id,
+    unnest(range(len(picked))) AS r
+  FROM fin
+)
+SELECT (o.r + 1)::bigint AS sel_rank, o.doc_id::bigint AS doc_id,
+  (7 * c.rel_micro - 3 * coalesce((
+     SELECT max(p.sim_micro) FROM sims p
+     JOIN o prev ON prev.doc_id = p.b AND prev.r < o.r
+     WHERE p.a = o.doc_id), 0))::bigint AS mmr_score
+FROM o JOIN cand c ON c.doc_id = o.doc_id
+"""

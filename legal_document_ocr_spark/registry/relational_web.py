@@ -1030,6 +1030,115 @@ FROM l
 """
 
 
+def q_image_alt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image/alt-text pair mining (urls.extract_image_alt_pairs) over an
+    img-decorated corpus: lowercase double-quoted, uppercase
+    single-quoted attribute-swapped, alt-less (dropped) and src-less
+    (dropped) tags all planted; one page-sized regex scan, no UDF."""
+    from ..operators import urls as urlops
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    img_b = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.lit("<IMG ALT='Logo  "),
+            F.col("lang"),
+            F.lit("' SRC='https://cdn.example.com/l/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".png'/>"),
+        ),
+    ).otherwise(F.lit(""))
+    img_c = F.when(
+        F.col("doc_id") % 5 == 0, F.lit('<img src="//static.example.org/s.gif">')
+    ).otherwise(F.lit(""))
+    img_d = F.when(
+        F.col("doc_id") % 7 == 0, F.lit('<img alt="orphan caption" src="">')
+    ).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><body><p>"),
+            F.substring("text", 1, 50),
+            F.lit('</p><img src="/media/'),
+            did,
+            F.lit('.jpg" alt="'),
+            F.substring("text", 1, 30),
+            F.lit('">'),
+            img_b,
+            img_c,
+            img_d,
+            F.lit("</body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("https://img"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.org/p/"),
+            did,
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return urlops.extract_image_alt_pairs(pages)
+
+
+_SQL_IMAGE_ALT_PAIRS = r"""
+WITH pages AS (
+  SELECT 'https://img' || (doc_id % 5) || '.example.org/p/' || doc_id AS url,
+    '<html><body><p>' || substr(text, 1, 50) || '</p>'
+    || '<img src="/media/' || doc_id || '.jpg" alt="'
+    || substr(text, 1, 30) || '">'
+    || CASE WHEN doc_id % 4 = 0
+         THEN '<IMG ALT=''Logo  ' || lang
+              || ''' SRC=''https://cdn.example.com/l/' || (doc_id % 7)
+              || '.png''/>'
+         ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+         THEN '<img src="//static.example.org/s.gif">' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+         THEN '<img alt="orphan caption" src="">' ELSE '' END
+    || '</body></html>' AS html
+  FROM documents
+),
+e AS (
+  SELECT url,
+    lower(coalesce(regexp_extract(url,
+      '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1), '')) AS scheme,
+    lower(coalesce(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)', 1), '')) AS host,
+    regexp_extract_all(html, '(?i)<img\b[^>]*>', 0) AS tags
+  FROM pages
+),
+l AS (
+  SELECT url, scheme, host,
+    unnest(range(len(tags))) AS img_pos,
+    unnest(tags) AS frag
+  FROM e
+),
+x AS (
+  SELECT url, img_pos::bigint AS img_pos, scheme, host,
+    coalesce(regexp_extract(frag,
+      '(?i)\bsrc\s*=\s*["'']([^"'']*)["'']', 1), '') AS src,
+    trim(regexp_replace(coalesce(regexp_extract(frag,
+      '(?i)\balt\s*=\s*["'']([^"'']*)["'']', 1), ''), '\s+', ' ', 'g'))
+      AS alt_text
+  FROM l
+),
+rr AS (
+  SELECT url, img_pos,
+    CASE WHEN src LIKE '//%' THEN scheme || ':' || src
+         WHEN src LIKE '/%' THEN scheme || '://' || host || src
+         ELSE src END AS img_url,
+    alt_text
+  FROM x
+)
+SELECT url, img_pos, img_url, alt_text, length(alt_text)::bigint AS alt_len
+FROM rr
+WHERE img_url <> '' AND alt_text <> ''
+"""
+
+
 def q_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted anchor index (urls.anchor_text_index): per target url,
     in-link count, distinct anchor phrases, dominant phrase — two map-side-

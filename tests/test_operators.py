@@ -4605,6 +4605,87 @@ def test_bcubed_eval_hand_checked(spark):
     assert out2["f1_micro"] in (666666, 666667)
 
 
+def test_mmr_select_hand_checked_greedy(spark):
+    """4-doc corpus where the greedy is hand-computable: relevance ties
+    break on doc_id, the diversity penalty demotes the near-duplicate of
+    the first pick, and a zero-relevance doc lands last with score 0."""
+    from legal_document_ocr_spark.operators.similarity import mmr_select
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana"),
+            (2, "apple banana cherry"),
+            (3, "apple date"),
+            (4, "zebra yak"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = mmr_select(df, ["apple"], n_candidates=4, k=4).orderBy("sel_rank")
+    got = [(r["sel_rank"], r["doc_id"], r["mmr_score"]) for r in rows.collect()]
+    # rel: d1=d3=500000 (tie -> d1), d2=333333, d4=0
+    # round 2: d3 = 7*500000 - 3*sim(d3,d1)=3*333333 -> 2500001 beats d2
+    # round 3: d2 = 7*333333 - 3*max(sim(d2,d1)=666666, sim(d2,d3)=250000)
+    assert got == [
+        (1, 1, 3500000),
+        (2, 3, 2500001),
+        (3, 2, 333333),
+        (4, 4, 0),
+    ]
+
+
+def test_random_projection_one_hot_and_plan(spark):
+    """A one-hot vector projects to exactly its sign row x 1e6; the zero
+    vector to zeros; ratio_micro for a one-hot is exactly 1e6 (perfect
+    isometry); and BOTH plans have zero exchanges (per-row folds)."""
+    from legal_document_ocr_spark.operators.similarity import (
+        jl_distortion,
+        jl_signs,
+        random_projection,
+    )
+
+    dim, k = 8, 4
+    signs = jl_signs(dim, k)
+    rows = [(0, [0.0] * dim), (3, [1.0 if i == 3 else 0.0 for i in range(dim)])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in random_projection(df, dim=dim, k=k).collect()}
+    assert all(out[0][f"proj_micro_{j}"] == 0 for j in range(k))
+    for j in range(k):
+        assert out[3][f"proj_micro_{j}"] == signs[3][j] * 1000000
+    dist = {r["vec_id"]: r for r in jl_distortion(df, dim=dim, k=k).collect()}
+    assert dist[3]["orig_sq_micro"] == 1000000
+    assert dist[3]["proj_sq_scaled"] == k * 1000000**2
+    assert dist[3]["ratio_micro"] == 1000000
+    for q in (random_projection(df, dim=dim, k=k), jl_distortion(df, dim=dim, k=k)):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+
+def test_extract_image_alt_pairs_hand_checked(spark):
+    """Attribute order/case/quote-style free; root- and protocol-relative
+    srcs resolve against the page host; tags missing src or alt drop;
+    alt whitespace collapses; position indexes ALL img tags."""
+    from legal_document_ocr_spark.operators.urls import extract_image_alt_pairs
+
+    html = (
+        '<p>x</p><img src="/a.jpg" alt="first  cap">'
+        "<IMG ALT='second' SRC='//cdn.ex.org/b.png'/>"
+        '<img src="https://abs.ex.org/c.gif" alt="third">'
+        '<img src="/noalt.jpg">'
+        '<img alt="nosrc">'
+    ).encode()
+    df = spark.createDataFrame(
+        [("https://Host.Example.com/p/1", bytearray(html))],
+        "url string, html binary",
+    )
+    rows = {r["img_pos"]: r for r in extract_image_alt_pairs(df).collect()}
+    assert sorted(rows) == [0, 1, 2]  # tags 3 and 4 dropped, positions kept
+    assert rows[0]["img_url"] == "https://host.example.com/a.jpg"
+    assert rows[0]["alt_text"] == "first cap" and rows[0]["alt_len"] == 9
+    assert rows[1]["img_url"] == "https://cdn.ex.org/b.png"
+    assert rows[1]["alt_text"] == "second"
+    assert rows[2]["img_url"] == "https://abs.ex.org/c.gif"
+
+
 def test_ari_eval_hand_checked(spark):
     """Perfect clustering -> ARI=1e6; merging everything -> ARI=0 (chance
     level); a half-right split matches the closed-form 4/7."""
