@@ -3115,3 +3115,294 @@ def log2_histogram(
         .alias("hi"),
         "n",
     )
+
+
+def kendall_tau(df: DataFrame, x, y) -> DataFrame:
+    """Exact Kendall tau-b rank correlation between two log2-bucketed
+    features — the monotone-association gauge a curation pipeline runs
+    before trusting one cheap signal (length) as a proxy for an
+    expensive one (token count): tau near 1 means filtering on the
+    proxy reorders almost nothing.
+
+    All integer until one final pinned expression: concordant /
+    discordant pair counts come from the joint BUCKET distribution
+    (C = sum n_ij * n_i'j' over cells with i<i', j<j'), tie terms from
+    the marginals, and tau_b = (C-D)/sqrt((T-Tx)(T-Ty)) evaluated as
+    floor(((C-D)*1e6)/sqrt(T-Tx)/sqrt(T-Ty)) — every count is exactly
+    representable in a double (<= n(n-1)/2) and sqrt is IEEE
+    correctly-rounded in both engines, so the oracle hash-matches.
+
+    Scale shape: the corpus is touched by ONE map-side-combined
+    groupBy on (xb, yb); buckets are bit lengths (<= 63 each via the
+    portable length(bin(v)) identity, no float log), so the cell table
+    is <= 63x63 regardless of corpus size and the inequality self-join
+    that forms pair counts is a bounded nested loop over <= ~4k rows —
+    never an all-pairs join over rows.
+
+    Output: one row (n_docs, concordant, discordant, tau_micro).
+    """
+    xv = x.cast("long")
+    yv = y.cast("long")
+    xb = F.when(xv <= 0, F.lit(0)).otherwise(F.length(F.bin(xv)))
+    yb = F.when(yv <= 0, F.lit(0)).otherwise(F.length(F.bin(yv)))
+    cells = (
+        df.select(xb.alias("xb"), yb.alias("yb"))
+        .groupBy("xb", "yb")
+        .agg(F.count("*").cast("long").alias("n"))
+        .persist()
+    )
+    a = cells.select(
+        F.col("xb").alias("ax"), F.col("yb").alias("ay"), F.col("n").alias("an")
+    )
+    b = cells.select(
+        F.col("xb").alias("bx"), F.col("yb").alias("by"), F.col("n").alias("bn")
+    )
+    prod = F.col("an") * F.col("bn")
+    cd = a.join(b, F.col("ax") < F.col("bx")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ay") < F.col("by"), prod).otherwise(F.lit(0))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("concordant"),
+        F.coalesce(
+            F.sum(F.when(F.col("ay") > F.col("by"), prod).otherwise(F.lit(0))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("discordant"),
+    )
+    mx = (
+        cells.groupBy("xb")
+        .agg(F.sum("n").alias("tx"))
+        .agg(
+            F.sum(F.expr("tx * (tx - 1) div 2")).cast("long").alias("tie_x"),
+            F.sum("tx").cast("long").alias("n"),
+        )
+    )
+    my = (
+        cells.groupBy("yb")
+        .agg(F.sum("n").alias("ty"))
+        .agg(F.sum(F.expr("ty * (ty - 1) div 2")).cast("long").alias("tie_y"))
+    )
+    one = cd.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(my))
+    t_pairs = F.expr("n * (n - 1) div 2")
+    tau = F.floor(
+        ((F.col("concordant") - F.col("discordant")) * 1000000).cast("double")
+        / F.sqrt((t_pairs - F.col("tie_x")).cast("double"))
+        / F.sqrt((t_pairs - F.col("tie_y")).cast("double"))
+    )
+    return one.select(
+        F.col("n").alias("n_docs"),
+        "concordant",
+        "discordant",
+        F.when((t_pairs > F.col("tie_x")) & (t_pairs > F.col("tie_y")), tau)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("tau_micro"),
+    )
+
+
+def spearman_rho(
+    df: DataFrame, x, y, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Spearman rank correlation over a deterministic total order:
+    ranks are unique (ties broken by id), so rho = 1 - 6*sum(d^2) /
+    (n(n^2-1)) holds exactly and the whole statistic is integer until
+    one pinned double division.
+
+    Scale shape — NO single-partition global sort (the host_gini /
+    shard_assign discipline): each feature is ranked in two phases —
+    (1) a map-side-combined groupBy(value) builds the bounded
+    distinct-value distribution (doc-length-like features have a
+    domain bounded by the value cap, not the corpus), a cumulative
+    window over THAT bounded table yields per-value rank offsets;
+    (2) the offsets broadcast-join back and a window partitioned BY
+    VALUE (parallel, tie-run-sized partitions) ranks within ties by
+    id. The two rank tables then join on id. Three exchanges total,
+    none a global sort.
+
+    sum(d^2) is decimal(38,0) (it reaches n^3); rho is emitted as
+    floor((1 - 6S/(n(n^2-1))) * 1e6) with the division order pinned.
+
+    Output: one row (n_docs, sum_d2 as string, rho_micro).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        x.cast("long").alias("xv"),
+        y.cast("long").alias("yv"),
+    ).persist()
+
+    def _rank(col: str, out: str) -> DataFrame:
+        dist = base.groupBy(col).agg(F.count("*").alias("c"))
+        below = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        off = dist.select(
+            col,
+            F.coalesce(F.sum("c").over(below), F.lit(0))
+            .cast("long")
+            .alias("off"),
+        )
+        within = Window.partitionBy(col).orderBy("id")
+        return base.join(F.broadcast(off), col).select(
+            "id",
+            (F.col("off") + F.row_number().over(within))
+            .cast("long")
+            .alias(out),
+        )
+
+    ranks = _rank("xv", "rx").join(_rank("yv", "ry"), "id")
+    d = (F.col("rx") - F.col("ry")).cast("decimal(38,0)")
+    agg = ranks.agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(F.sum(d * d), F.lit(0).cast("decimal(38,0)")).alias("s"),
+    )
+    n_dec = F.col("n").cast("decimal(38,0)")
+    den = n_dec * (n_dec * n_dec - 1)
+    rho = F.floor(
+        (
+            F.lit(1.0)
+            - (F.lit(6).cast("decimal(38,0)") * F.col("s")).cast("double")
+            / den.cast("double")
+        )
+        * 1000000
+    )
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.col("s").cast("string").alias("sum_d2"),
+        F.when(F.col("n") > 1, rho).otherwise(F.lit(0))
+        .cast("long")
+        .alias("rho_micro"),
+    )
+
+
+def avg_precision(df: DataFrame, score, label, id_col: str = "doc_id") -> DataFrame:
+    """Exact average precision (the PR-curve summary ROC-AUC misses
+    when positives are rare — the usual case for "is this page
+    high-quality?" labels): rank all rows by (score desc, id), and
+    AP = mean over positives of precision@rank-of-that-positive.
+
+    Determinism + portability: ranks are UNIQUE (id tiebreak), each
+    positive's term is the exact integer (i * 1000000) div k (i = rank
+    among positives, k = global rank), and AP is the exact integer
+    mean of those micro terms — no floats anywhere.
+
+    Scale shape — the spearman_rho two-phase discipline, applied twice:
+    global rank k and positive-only rank i each come from a bounded
+    distinct-score distribution (cumulative window over the bounded
+    table only) plus a window PARTITIONED BY SCORE for the id tiebreak
+    (parallel, tie-run-sized). No corpus-wide single-partition sort.
+
+    Output: one row (n_pos, n_total, ap_micro).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        score.cast("long").alias("s"),
+        label.cast("long").alias("y"),
+    ).persist()
+
+    def _rank2(src: DataFrame, out: str) -> DataFrame:
+        dist = src.groupBy("s").agg(F.count("*").alias("c"))
+        above = Window.orderBy(F.col("s").desc()).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        off = dist.select(
+            "s",
+            F.coalesce(F.sum("c").over(above), F.lit(0))
+            .cast("long")
+            .alias("off"),
+        )
+        within = Window.partitionBy("s").orderBy("id")
+        return src.join(F.broadcast(off), "s").select(
+            "id",
+            "y",
+            (F.col("off") + F.row_number().over(within))
+            .cast("long")
+            .alias(out),
+        )
+
+    ranked = _rank2(base, "k")
+    pos = _rank2(base.where(F.col("y") == 1), "i").select(
+        "id", F.col("i")
+    )
+    terms = ranked.join(pos, "id").select(
+        F.expr("(i * 1000000) div k").cast("long").alias("term")
+    )
+    n_total = base.count()
+    agg = terms.agg(
+        F.count("*").cast("long").alias("n_pos"),
+        F.coalesce(F.sum("term"), F.lit(0)).cast("long").alias("st"),
+    )
+    return agg.select(
+        "n_pos",
+        F.lit(n_total).cast("long").alias("n_total"),
+        F.when(
+            F.col("n_pos") > 0, F.expr("st div n_pos")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ap_micro"),
+    )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    group_col: str = "source",
+    *,
+    k: int = 8,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index over per-group sizes
+    (how heavy is the megahost tail? alpha near 1 = extremely heavy,
+    larger = tamer) — the parametric cousin of host_gini that crawl
+    budgeting uses to extrapolate "how big will the next biggest host
+    be?".
+
+    alpha = k / sum_{i=1..k} ln(x_(i) / x_(k+1)) over the k largest
+    group sizes. Each log term is round(ln(xi/xk1), 6)::decimal — the
+    char_entropy portability discipline — summed order-independently;
+    one pinned division at the end.
+
+    Scale shape: group sizes come from ONE map-side-combined groupBy;
+    the top-(k+1) is TakeOrderedAndProject (per-task heaps); everything
+    after runs on k+1 rows.
+
+    Output: one row (k, x_kplus1, alpha_micro).
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("x"))
+    top = counts.orderBy(F.col("x").desc(), F.col(group_col).asc()).limit(
+        k + 1
+    )
+    pos = Window.orderBy(F.col("x").desc(), F.col(group_col).asc())
+    ranked = top.select(
+        F.col("x").cast("long").alias("x"),
+        F.row_number().over(pos).alias("i"),
+    ).persist()
+    floor_row = ranked.where(F.col("i") == k + 1).select(
+        F.col("x").alias("xk1")
+    )
+    terms = ranked.where(F.col("i") <= k).crossJoin(
+        F.broadcast(floor_row)
+    )
+    s = terms.agg(
+        F.sum(
+            F.round(
+                F.log(F.col("x").cast("double") / F.col("xk1").cast("double")),
+                6,
+            ).cast("decimal(18,6)")
+        ).alias("s"),
+        F.min("xk1").cast("long").alias("x_kplus1"),
+    )
+    return s.select(
+        F.lit(k).cast("long").alias("k"),
+        "x_kplus1",
+        F.when(
+            F.col("s") > 0,
+            F.floor(
+                (F.lit(k) * 1000000).cast("double") / F.col("s").cast("double")
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("alpha_micro"),
+    )

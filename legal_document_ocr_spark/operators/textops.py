@@ -3723,3 +3723,257 @@ def term_burstiness(
         .orderBy(F.col("total").desc(), "token")
         .limit(top_k)
     )
+
+
+def mrr_eval(
+    df: DataFrame,
+    terms: list[str],
+    *,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mean-reciprocal-rank retrieval audit: for each query term, rank
+    the corpus by term frequency (ties by id), keep the top-k, and
+    score the rank of the first RELEVANT hit — relevance is "the term
+    appears word-bounded in the document head", a stricter condition
+    than the tf ranking criterion, so MRR measures how well raw tf
+    surfaces head-salient documents (the same gauge an IR stack runs
+    nightly against a label set).
+
+    All integer: tf is occurrence count via length arithmetic,
+    rr_micro = 1000000 div first_relevant_rank, and the corpus-level
+    MRR is the exact integer mean over query terms.
+
+    Scale shape: the per-term ranking is a window PARTITIONED BY term
+    with a rank<=k filter — Spark plans it as WindowGroupLimit, so
+    each task keeps a k-row heap and only n_terms*k rows survive to
+    the final (broadcast-sized) aggregate; the corpus is scanned once
+    per term batch, never sorted globally.
+
+    Output: one row per query term (query_term, best_rank, rr_micro)
+    plus a corpus row ('*ALL*', n_hits, mrr_micro), ordered by term.
+    """
+    queries = F.explode(
+        F.array(*[F.lit(t) for t in sorted(terms)])
+    ).alias("query_term")
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        queries,
+    ).select(
+        "id",
+        "query_term",
+        F.expr(
+            "(length(txt) - length(replace(txt, query_term, '')))"
+            " div length(query_term)"
+        )
+        .cast("long")
+        .alias("tf"),
+        F.substring("txt", 1, 120)
+        .contains(F.concat(F.lit(" "), F.col("query_term"), F.lit(" ")))
+        .cast("long")
+        .alias("rel"),
+    )
+    w = Window.partitionBy("query_term").orderBy(
+        F.col("tf").desc(), F.col("id").asc()
+    )
+    topk = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    per_term = topk.groupBy("query_term").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rn")))
+        .cast("long")
+        .alias("best_rank")
+    )
+    per_term = per_term.select(
+        "query_term",
+        F.coalesce("best_rank", F.lit(0)).cast("long").alias("best_rank"),
+        F.coalesce(
+            F.expr("1000000 div best_rank"), F.lit(0)
+        )
+        .cast("long")
+        .alias("rr_micro"),
+    ).persist()
+    overall = per_term.agg(
+        F.sum((F.col("best_rank") > 0).cast("long"))
+        .cast("long")
+        .alias("best_rank"),
+        F.expr("sum(rr_micro) div count(*)").cast("long").alias("rr_micro"),
+    ).select(F.lit("*ALL*").alias("query_term"), "best_rank", "rr_micro")
+    return per_term.unionByName(overall).orderBy("query_term")
+
+
+def rbo_weights_nano(k: int, p: float = 0.9) -> list[int]:
+    """Suffix-summed rank-biased-overlap weights W_m = sum_{d=m..k}
+    (1-p) p^(d-1) / d, as nano-scaled integer literals computed once in
+    Python and shared VERBATIM with the SQL oracle (the NDCG-discount
+    discipline: no runtime float pow in either engine)."""
+    w = [(1 - p) * p ** (d - 1) / d for d in range(1, k + 1)]
+    return [round(sum(w[m - 1:]) * 1_000_000_000) for m in range(1, k + 1)]
+
+
+def rbo_overlap(
+    df: DataFrame,
+    rank_a,
+    rank_b,
+    *,
+    k: int = 10,
+    p: float = 0.9,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rank-biased overlap (RBO, Webber et al. 2010) between two top-k
+    rankings of the corpus — the prefix-weighted agreement gauge for
+    "does the cheap ranking surface the same heads as the expensive
+    one?", strictly more informative at the top than whole-list
+    correlation.
+
+    Identity that makes it one join: RBO_min = sum over matched ids of
+    W_max(da,db) where W_m is the SUFFIX sum of the per-depth weights —
+    so instead of k prefix intersections we look each match's weight up
+    in a k-entry literal array. All integer (nano-scaled literal
+    weights), no runtime float pow.
+
+    Scale shape: each top-k is TakeOrderedAndProject (partial per-task
+    heaps, k rows survive); positions come from a window over those k
+    rows only (bounded-table exception); the match join is k x k.
+
+    Output: one row (k, n_common, rbo_nano).
+    """
+    weights = rbo_weights_nano(k, p)
+    wlit = F.array(*[F.lit(w) for w in weights])
+
+    def _top(rank_expr, out: str) -> DataFrame:
+        t = df.select(F.col(id_col).alias("id"), rank_expr.alias("r")).orderBy(
+            F.col("r").desc(), F.col("id").asc()
+        ).limit(k)
+        pos = Window.orderBy(F.col("r").desc(), F.col("id").asc())
+        return t.select("id", F.row_number().over(pos).alias(out))
+    a = _top(rank_a, "da")
+    b = _top(rank_b, "db")
+    m = a.join(b, "id").select(
+        F.greatest("da", "db").alias("m")
+    )
+    agg = m.agg(
+        F.count("*").cast("long").alias("n_common"),
+        F.coalesce(
+            F.sum(F.element_at(wlit, F.col("m").cast("int"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("rbo_nano"),
+    )
+    return agg.select(
+        F.lit(k).cast("long").alias("k"), "n_common", "rbo_nano"
+    )
+
+
+def keyness_terms(
+    docs: DataFrame,
+    *,
+    k: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dunning log-likelihood (G2) keyness: the top-k terms that most
+    distinguish each source from the rest of the corpus — the standard
+    corpus-linguistics signature test ("what is THIS crawl segment
+    about?"), strictly sounder than raw tf ratios for rare terms.
+
+    Per (source, term) contingency cell (a = tf in source, b = tf
+    elsewhere, c/d = remaining token mass): G2 = 2 * sum of
+    x * ln(x / E_x) over the four cells, each term evaluated with a
+    PINNED operation order — the ln argument is (x*N)/((row)*(col)) as
+    three double ops — and rounded to 6 decimals into an exact decimal
+    sum (the char_entropy portability discipline), so the G2 micro
+    value hash-matches the oracle. x = 0 cells contribute 0.
+
+    Scale shape: ONE explode + map-side-combined groupBy(term, group)
+    builds the tf table (vocab x groups, far below corpus size); term
+    margins come from re-aggregating THAT table, never the corpus;
+    group token totals are a bounded broadcast. The margin join is
+    pinned shuffle_hash (vocab-sized tables are never broadcast). The
+    per-group top-k is a rank<=k filter -> WindowGroupLimit.
+
+    Output: (source, term, tf_in, tf_out, g2_micro, overused, rank).
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).where(~F.col("term").isin(*STOPWORDS))
+    tf = (
+        toks.groupBy("grp", "term")
+        .agg(F.count("*").cast("long").alias("a"))
+        .persist()
+    )
+    term_tot = tf.groupBy("term").agg(F.sum("a").cast("long").alias("ab"))
+    grp_tot = tf.groupBy("grp").agg(F.sum("a").cast("long").alias("ac"))
+    n_total = tf.agg(F.sum("a")).collect()[0][0] or 0
+    cells = (
+        tf.hint("shuffle_hash")
+        .join(term_tot.hint("shuffle_hash"), "term")
+        .join(F.broadcast(grp_tot), "grp")
+        .select(
+            "grp",
+            "term",
+            "a",
+            (F.col("ab") - F.col("a")).alias("b"),
+            (F.col("ac") - F.col("a")).alias("c"),
+            (F.lit(n_total) - F.col("ab") - F.col("ac") + F.col("a")).alias(
+                "d"
+            ),
+            F.col("ab"),
+            F.col("ac"),
+        )
+    )
+    n = F.lit(n_total).cast("double")
+
+    def _ll(x, row, col):
+        arg = (x.cast("double") * n) / (
+            row.cast("double") * col.cast("double")
+        )
+        return F.when(
+            x > 0, F.round(x.cast("double") * F.log(arg), 6)
+        ).otherwise(F.lit(0.0)).cast("decimal(28,6)")
+
+    ab, ac = F.col("ab"), F.col("ac")
+    bd = F.lit(n_total) - ac
+    cd = F.lit(n_total) - ab
+    g2 = (
+        F.lit(2)
+        * (
+            _ll(F.col("a"), ab, ac)
+            + _ll(F.col("b"), ab, bd)
+            + _ll(F.col("c"), cd, ac)
+            + _ll(F.col("d"), cd, bd)
+        )
+        * 1000000
+    ).cast("long")
+    scored = cells.select(
+        F.col("grp"),
+        "term",
+        F.col("a").alias("tf_in"),
+        F.col("b").alias("tf_out"),
+        g2.alias("g2_micro"),
+        (
+            F.col("a").cast("decimal(38,0)") * bd.cast("decimal(38,0)")
+            > F.col("b").cast("decimal(38,0)") * ac.cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("overused"),
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("g2_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias("source"),
+            "term",
+            "tf_in",
+            "tf_out",
+            "g2_micro",
+            "overused",
+            "rank",
+        )
+    )

@@ -1483,3 +1483,262 @@ SELECT source, bucket::bigint AS bucket,
   count(*)::bigint AS n
 FROM b GROUP BY source, bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# kendall_tau / spearman_rho (round-4 session-14: exact rank correlation)
+# ---------------------------------------------------------------------------
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall tau-b (relational.kendall_tau) between log2-bucketed
+    doc length and whitespace count — concordant/discordant pairs from
+    the bounded joint-bucket distribution, never an all-pairs join."""
+    from ..operators.relational import kendall_tau
+
+    d = _docs(spark, sf_dir)
+    return kendall_tau(
+        d,
+        F.col("n_chars"),
+        F.length("text") - F.length(F.expr("replace(text, ' ', '')")),
+    )
+
+
+_SQL_KENDALL_TAU = """
+WITH f AS (
+  SELECT n_chars::bigint AS xv,
+    (length(text) - length(replace(text, ' ', '')))::bigint AS yv
+  FROM documents
+),
+d AS (
+  SELECT CASE WHEN xv <= 0 THEN 0 ELSE length(bin(xv)) END AS xb,
+         CASE WHEN yv <= 0 THEN 0 ELSE length(bin(yv)) END AS yb
+  FROM f
+),
+cells AS (SELECT xb, yb, count(*)::bigint AS n FROM d GROUP BY 1, 2),
+cd AS (
+  SELECT
+    coalesce(sum(CASE WHEN a.yb < b.yb THEN a.n * b.n ELSE 0 END),
+             0)::bigint AS concordant,
+    coalesce(sum(CASE WHEN a.yb > b.yb THEN a.n * b.n ELSE 0 END),
+             0)::bigint AS discordant
+  FROM cells a JOIN cells b ON a.xb < b.xb
+),
+mx AS (
+  SELECT sum(tx * (tx - 1) // 2)::bigint AS tie_x, sum(tx)::bigint AS n
+  FROM (SELECT sum(n) AS tx FROM cells GROUP BY xb)
+),
+my AS (
+  SELECT sum(ty * (ty - 1) // 2)::bigint AS tie_y
+  FROM (SELECT sum(n) AS ty FROM cells GROUP BY yb)
+)
+SELECT n AS n_docs, concordant, discordant,
+  CASE WHEN n * (n - 1) // 2 > tie_x AND n * (n - 1) // 2 > tie_y
+    THEN floor(((concordant - discordant) * 1000000)::double
+         / sqrt((n * (n - 1) // 2 - tie_x)::double)
+         / sqrt((n * (n - 1) // 2 - tie_y)::double))::bigint
+    ELSE 0 END AS tau_micro
+FROM cd, mx, my
+"""
+
+
+def q_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rho (relational.spearman_rho) between doc length
+    and whitespace count, ranks unique by doc_id tiebreak — two-phase
+    bucketed ranking, no single-partition global sort."""
+    from ..operators.relational import spearman_rho
+
+    d = _docs(spark, sf_dir)
+    return spearman_rho(
+        d,
+        F.col("n_chars"),
+        F.length("text") - F.length(F.expr("replace(text, ' ', '')")),
+    )
+
+
+_SQL_SPEARMAN_RHO = """
+WITH f AS (
+  SELECT doc_id AS id, n_chars::bigint AS xv,
+    (length(text) - length(replace(text, ' ', '')))::bigint AS yv
+  FROM documents
+),
+rx AS (SELECT id, row_number() OVER (ORDER BY xv, id) AS rx FROM f),
+ry AS (SELECT id, row_number() OVER (ORDER BY yv, id) AS ry FROM f),
+a AS (
+  SELECT count(*)::bigint AS n,
+    coalesce(sum(((rx - ry)::hugeint) * ((rx - ry)::hugeint)),
+             0::hugeint) AS s
+  FROM rx JOIN ry USING (id)
+)
+SELECT n AS n_docs, s::varchar AS sum_d2,
+  CASE WHEN n > 1 THEN
+    floor((1 - (6 * s)::double / (n * (n * n - 1))::double)
+          * 1000000)::bigint
+  ELSE 0 END AS rho_micro
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# mrr_eval
+# ---------------------------------------------------------------------------
+
+_MRR_TERMS = ["customer", "merge", "spark", "window"]
+
+
+def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of tf-ranked retrieval vs head-salience
+    relevance (textops.mrr_eval) — WindowGroupLimit top-k per term."""
+    from ..operators.textops import mrr_eval
+
+    return mrr_eval(_docs(spark, sf_dir), _MRR_TERMS, k=10)
+
+
+def _sql_mrr_eval(k: int = 10) -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(_MRR_TERMS))
+    return f"""
+WITH q AS (SELECT unnest([{terms}]) AS query_term),
+s AS (
+  SELECT d.doc_id AS id, q.query_term,
+    (length(d.text) - length(replace(d.text, q.query_term, '')))
+      // length(q.query_term) AS tf,
+    CASE WHEN contains(substr(d.text, 1, 120),
+                       ' ' || q.query_term || ' ')
+         THEN 1 ELSE 0 END AS rel
+  FROM documents d, q
+),
+r AS (
+  SELECT query_term, rel,
+    row_number() OVER (PARTITION BY query_term ORDER BY tf DESC, id) AS rn
+  FROM s
+),
+p AS (
+  SELECT query_term,
+    coalesce(min(CASE WHEN rel = 1 THEN rn END), 0)::bigint AS best_rank
+  FROM r WHERE rn <= {k} GROUP BY query_term
+),
+pt AS (
+  SELECT query_term, best_rank,
+    (CASE WHEN best_rank > 0 THEN 1000000 // best_rank
+          ELSE 0 END)::bigint AS rr_micro
+  FROM p
+)
+SELECT * FROM (
+  SELECT query_term, best_rank, rr_micro FROM pt
+  UNION ALL
+  SELECT '*ALL*',
+    sum(CASE WHEN best_rank > 0 THEN 1 ELSE 0 END)::bigint,
+    (sum(rr_micro) // count(*))::bigint
+  FROM pt
+) ORDER BY query_term
+"""
+
+
+# ---------------------------------------------------------------------------
+# avg_precision / rbo_overlap / hill_tail_index (round-4 session-14)
+# ---------------------------------------------------------------------------
+
+
+def q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (relational.avg_precision) of n_chars as
+    a ranker for contains ' the ' — all-integer precision@k terms over
+    two-phase unique ranks."""
+    from ..operators.relational import avg_precision
+
+    d = _docs(spark, sf_dir)
+    return avg_precision(
+        d, F.col("n_chars"), F.col("text").contains(" the ")
+    )
+
+
+_SQL_AVG_PRECISION = """
+WITH b AS (
+  SELECT doc_id AS id, n_chars::bigint AS s,
+    CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+r AS (SELECT id, y, row_number() OVER (ORDER BY s DESC, id) AS k FROM b),
+p AS (
+  SELECT id, row_number() OVER (ORDER BY s DESC, id) AS i
+  FROM b WHERE y = 1
+),
+t AS (SELECT (i * 1000000) // k AS term FROM r JOIN p USING (id)),
+a AS (
+  SELECT count(*)::bigint AS n_pos,
+    coalesce(sum(term), 0)::bigint AS st
+  FROM t
+)
+SELECT n_pos, (SELECT count(*) FROM b)::bigint AS n_total,
+  CASE WHEN n_pos > 0 THEN (st // n_pos)::bigint ELSE 0 END AS ap_micro
+FROM a
+"""
+
+
+def q_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (textops.rbo_overlap) between the top-10 by
+    raw length and the top-10 by whitespace count — literal suffix-sum
+    weights, one k x k match join."""
+    from ..operators.textops import rbo_overlap
+
+    d = _docs(spark, sf_dir)
+    return rbo_overlap(
+        d,
+        F.col("n_chars").cast("long"),
+        (F.length("text") - F.length(F.expr("replace(text, ' ', '')")))
+        .cast("long"),
+        k=10,
+    )
+
+
+def _sql_rbo_overlap(k: int = 10, p: float = 0.9) -> str:
+    from ..operators.textops import rbo_weights_nano
+
+    wl = rbo_weights_nano(k, p)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, n_chars::bigint AS ra,
+    (length(text) - length(replace(text, ' ', '')))::bigint AS rb
+  FROM documents
+),
+ta AS (
+  SELECT id, row_number() OVER (ORDER BY ra DESC, id) AS da
+  FROM (SELECT * FROM base ORDER BY ra DESC, id LIMIT {k})
+),
+tb AS (
+  SELECT id, row_number() OVER (ORDER BY rb DESC, id) AS db
+  FROM (SELECT * FROM base ORDER BY rb DESC, id LIMIT {k})
+),
+m AS (SELECT greatest(da, db) AS m FROM ta JOIN tb USING (id)),
+w AS (SELECT {wl} AS wl)
+SELECT {k}::bigint AS k, count(*)::bigint AS n_common,
+  coalesce(sum(wl[m]), 0)::bigint AS rbo_nano
+FROM m, w
+"""
+
+
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator (relational.hill_tail_index) over
+    per-source document counts — the power-law cousin of host_gini."""
+    from ..operators.relational import hill_tail_index
+
+    return hill_tail_index(_docs(spark, sf_dir), "source", k=8)
+
+
+_SQL_HILL_TAIL_INDEX = """
+WITH c AS (SELECT source, count(*)::bigint AS x FROM documents GROUP BY 1),
+t AS (
+  SELECT x, row_number() OVER (ORDER BY x DESC, source) AS i
+  FROM c ORDER BY x DESC, source LIMIT 9
+),
+f AS (SELECT x AS xk1 FROM t WHERE i = 9),
+s AS (
+  SELECT sum(round(ln(t.x::double / f.xk1::double), 6)::decimal(18,6)) AS s,
+    min(f.xk1)::bigint AS x_kplus1
+  FROM t, f WHERE t.i <= 8
+)
+SELECT 8::bigint AS k, x_kplus1,
+  CASE WHEN s > 0
+    THEN floor((8 * 1000000)::double / s::double)::bigint
+    ELSE 0 END AS alpha_micro
+FROM s
+"""

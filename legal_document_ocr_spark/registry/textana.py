@@ -1361,3 +1361,65 @@ SELECT token, total, df,
     // (n * total))::bigint AS fano_micro
 FROM pt, nd ORDER BY total DESC, token LIMIT {top_k}
 """
+
+
+# ---------------------------------------------------------------------------
+# keyness_terms (round-4 session-14)
+# ---------------------------------------------------------------------------
+
+
+def q_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning G2 keyness signatures per source (textops.keyness_terms)
+    — four pinned x*ln(x/E) cells per (source, term), round-6 decimal
+    sums, WindowGroupLimit top-5."""
+    return textops.keyness_terms(_docs(spark, sf_dir), k=5)
+
+
+_SQL_KEYNESS_TERMS = f"""
+WITH toks AS (
+  SELECT source AS grp, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT grp, term, count(*)::bigint AS a FROM toks
+  WHERE term NOT IN ({{stop}}) GROUP BY 1, 2
+),
+tt AS (SELECT term, sum(a)::bigint AS ab FROM tf GROUP BY 1),
+gt AS (SELECT grp, sum(a)::bigint AS ac FROM tf GROUP BY 1),
+nt AS (SELECT sum(a)::bigint AS n FROM tf),
+cells AS (
+  SELECT tf.grp, tf.term, tf.a, (tt.ab - tf.a)::bigint AS b,
+    (gt.ac - tf.a)::bigint AS c,
+    (nt.n - tt.ab - gt.ac + tf.a)::bigint AS d,
+    tt.ab, gt.ac, nt.n
+  FROM tf JOIN tt USING (term) JOIN gt USING (grp), nt
+),
+scored AS (
+  SELECT grp, term, a AS tf_in, b AS tf_out,
+    (2 * (
+      (CASE WHEN a > 0 THEN round(a::double
+        * ln((a::double * n::double) / (ab::double * ac::double)), 6)
+        ELSE 0 END)::decimal(28,6)
+      + (CASE WHEN b > 0 THEN round(b::double
+        * ln((b::double * n::double) / (ab::double * (n - ac)::double)), 6)
+        ELSE 0 END)::decimal(28,6)
+      + (CASE WHEN c > 0 THEN round(c::double
+        * ln((c::double * n::double) / ((n - ab)::double * ac::double)), 6)
+        ELSE 0 END)::decimal(28,6)
+      + (CASE WHEN d > 0 THEN round(d::double
+        * ln((d::double * n::double)
+             / ((n - ab)::double * (n - ac)::double)), 6)
+        ELSE 0 END)::decimal(28,6)
+    ) * 1000000)::bigint AS g2_micro,
+    (CASE WHEN a::hugeint * (n - ac)::hugeint > b::hugeint * ac::hugeint
+          THEN 1 ELSE 0 END)::bigint AS overused
+  FROM cells
+)
+SELECT grp AS source, term, tf_in, tf_out, g2_micro, overused,
+  rank::bigint AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY grp ORDER BY g2_micro DESC, term) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+""".format(stop=", ".join(f"'{w}'" for w in STOPWORDS))

@@ -5537,3 +5537,181 @@ def test_log2_histogram_buckets(spark):
     assert out[10]["n"] == 1 and out[10]["lo"] == 512
     assert out[11]["n"] == 1 and out[11]["lo"] == 1024
     assert sum(r["n"] for r in out.values()) == 8
+
+
+def test_kendall_tau_hand_checked(spark):
+    """9 distinct power-of-two buckets make T-Tx a perfect square (36),
+    so tau is exact: +1e6 for the identity order, -1e6 reversed; the
+    pair counts are the closed-form 36/0."""
+    from legal_document_ocr_spark.operators.relational import kendall_tau
+
+    xs = [2**i for i in range(9)]
+    up = spark.createDataFrame([(x, x) for x in xs], "x long, y long")
+    r = kendall_tau(up, F.col("x"), F.col("y")).collect()[0]
+    assert (r["n_docs"], r["concordant"], r["discordant"]) == (9, 36, 0)
+    assert r["tau_micro"] == 1000000
+    dn = spark.createDataFrame(
+        [(x, y) for x, y in zip(xs, reversed(xs))], "x long, y long"
+    )
+    r2 = kendall_tau(dn, F.col("x"), F.col("y")).collect()[0]
+    assert (r2["concordant"], r2["discordant"]) == (0, 36)
+    assert r2["tau_micro"] == -1000000
+    # all-tied degenerate: guard emits 0 instead of dividing by zero
+    flat = spark.createDataFrame([(1, 1)] * 3, "x long, y long")
+    assert kendall_tau(flat, F.col("x"), F.col("y")).collect()[0][
+        "tau_micro"
+    ] == 0
+
+
+def test_spearman_rho_hand_checked(spark):
+    """Exact rational rho: perfect order -> 1e6, reversed -> -1e6, and a
+    3-row tied case whose closed form is -1/2 (ranks tie-broken by id:
+    d = (-2, 1, 1), S = 6, rho = 1 - 36/24)."""
+    from legal_document_ocr_spark.operators.relational import spearman_rho
+
+    up = spark.createDataFrame(
+        [(i, 10 * i, 10 * i) for i in range(1, 5)],
+        "doc_id long, x long, y long",
+    )
+    r = spearman_rho(up, F.col("x"), F.col("y")).collect()[0]
+    assert (r["n_docs"], r["sum_d2"], r["rho_micro"]) == (4, "0", 1000000)
+    dn = spark.createDataFrame(
+        [(1, 10, 40), (2, 20, 30), (3, 30, 20), (4, 40, 10)],
+        "doc_id long, x long, y long",
+    )
+    r2 = spearman_rho(dn, F.col("x"), F.col("y")).collect()[0]
+    assert (r2["sum_d2"], r2["rho_micro"]) == ("20", -1000000)
+    tied = spark.createDataFrame(
+        [(1, 1, 2), (2, 1, 1), (3, 2, 1)], "doc_id long, x long, y long"
+    )
+    r3 = spearman_rho(tied, F.col("x"), F.col("y")).collect()[0]
+    assert (r3["sum_d2"], r3["rho_micro"]) == ("6", -500000)
+
+
+def test_mrr_eval_hand_checked(spark):
+    """Two query terms, k=2: 'alpha' is word-bounded in the tf-top doc
+    (rank 1), 'beta' only in the runner-up (rank 2 -> rr 500000); the
+    glued-token docs rank high on tf but fail head relevance; the *ALL*
+    row is the exact integer mean."""
+    from legal_document_ocr_spark.operators.textops import mrr_eval
+
+    df = spark.createDataFrame(
+        [
+            (1, " alpha alpha alpha"),
+            (2, "xxalphaalpha zz"),
+            (3, "beta says alpha "),
+            (4, "zz beta beta"),
+            (5, "betabeta betabeta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["query_term"], r["best_rank"], r["rr_micro"])
+        for r in mrr_eval(df, ["beta", "alpha"], k=2).collect()
+    ]
+    assert got == [
+        ("*ALL*", 2, 750000),
+        ("alpha", 1, 1000000),
+        ("beta", 2, 500000),
+    ]
+
+
+def test_avg_precision_hand_checked(spark):
+    """5 docs ranked by score: positives at global ranks 1 and 3 give
+    the closed-form AP (1.0 + 2/3)/2 in exact micro integers; a tied
+    pair breaks on id; zero positives emits 0."""
+    from legal_document_ocr_spark.operators.relational import avg_precision
+
+    df = spark.createDataFrame(
+        [(1, 50, 1), (2, 40, 0), (3, 30, 1), (4, 20, 0), (5, 10, 0)],
+        "doc_id long, s long, y long",
+    )
+    r = avg_precision(df, F.col("s"), F.col("y") == 1).collect()[0]
+    assert (r["n_pos"], r["n_total"], r["ap_micro"]) == (2, 5, 833333)
+    tied = spark.createDataFrame(
+        [(1, 10, 0), (2, 10, 1)], "doc_id long, s long, y long"
+    )
+    r2 = avg_precision(tied, F.col("s"), F.col("y") == 1).collect()[0]
+    assert (r2["n_pos"], r2["ap_micro"]) == (1, 500000)
+    none = spark.createDataFrame([(1, 10, 0)], "doc_id long, s long, y long")
+    assert avg_precision(none, F.col("s"), F.col("y") == 1).collect()[0][
+        "ap_micro"
+    ] == 0
+
+
+def test_rbo_overlap_hand_checked(spark):
+    """k=3: identical rankings sum every suffix weight; a reversal pays
+    W_2 + 2*W_3 (matches at depths 2, 3, 3); disjoint top-k is 0."""
+    from legal_document_ocr_spark.operators.textops import (
+        rbo_overlap,
+        rbo_weights_nano,
+    )
+
+    w = rbo_weights_nano(3)
+    same = spark.createDataFrame(
+        [(i, 10 * (7 - i), 10 * (7 - i)) for i in range(1, 7)],
+        "doc_id long, a long, b long",
+    )
+    r = rbo_overlap(same, F.col("a"), F.col("b"), k=3).collect()[0]
+    assert (r["k"], r["n_common"], r["rbo_nano"]) == (3, 3, sum(w))
+    rev = spark.createDataFrame(
+        [(1, 30, 10), (2, 20, 20), (3, 10, 30)],
+        "doc_id long, a long, b long",
+    )
+    r2 = rbo_overlap(rev, F.col("a"), F.col("b"), k=3).collect()[0]
+    assert (r2["n_common"], r2["rbo_nano"]) == (3, w[1] + 2 * w[2])
+    disj = spark.createDataFrame(
+        [(i, 100 - i, i) for i in range(1, 7)], "doc_id long, a long, b long"
+    )
+    r3 = rbo_overlap(disj, F.col("a"), F.col("b"), k=3).collect()[0]
+    assert (r3["n_common"], r3["rbo_nano"]) == (0, 0)
+
+
+def test_hill_tail_index_hand_checked(spark):
+    """8 groups of 4 docs over a floor group of 2: every log term is
+    round(ln 2, 6), so alpha is the closed form 8e6 / (8 * 0.693147);
+    an all-equal top-9 degenerates to the guarded 0."""
+    import math
+    from decimal import Decimal
+
+    from legal_document_ocr_spark.operators.relational import hill_tail_index
+
+    rows = [(f"g{i:02d}", j) for i in range(8) for j in range(4)]
+    rows += [("g08", 0), ("g08", 1), ("g09", 0)]
+    df = spark.createDataFrame(rows, "source string, j long")
+    r = hill_tail_index(df, "source", k=8).collect()[0]
+    assert r["x_kplus1"] == 2
+    expected = math.floor(8000000 / float(Decimal("5.545176")))
+    assert r["alpha_micro"] == expected
+    flat = spark.createDataFrame(
+        [(f"h{i:02d}", 0) for i in range(10)], "source string, j long"
+    )
+    assert hill_tail_index(flat, "source", k=8).collect()[0][
+        "alpha_micro"
+    ] == 0
+
+
+def test_keyness_terms_hand_checked(spark):
+    """2-source corpus: zebra-heavy vs cat-heavy. Closed form per cell
+    (decimal round-6 terms): 2*(1.386294 - 0.693147 + 1.216395)*1e6
+    = 3819084 exactly for both signature terms; directions flip."""
+    from legal_document_ocr_spark.operators.textops import keyness_terms
+
+    df = spark.createDataFrame(
+        [(1, "s1", "zebra zebra cat"), (2, "s2", "cat cat cat")],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        (r["source"], r["term"]): r
+        for r in keyness_terms(df, k=2).collect()
+    }
+    z = rows[("s1", "zebra")]
+    assert (z["tf_in"], z["tf_out"]) == (2, 0)
+    # g2 ties with s1's 'cat' cell; the term-asc tiebreak ranks cat first
+    assert z["g2_micro"] == 3819084 and z["overused"] == 1 and z["rank"] == 2
+    c2 = rows[("s2", "cat")]
+    assert (c2["tf_in"], c2["tf_out"]) == (3, 1)
+    assert c2["g2_micro"] == 3819084 and c2["overused"] == 1
+    # the mirror cells: cat is UNDER-used in s1, zebra absent from s2
+    c1 = rows[("s1", "cat")]
+    assert c1["overused"] == 0 and c1["g2_micro"] == 3819084
