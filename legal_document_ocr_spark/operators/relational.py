@@ -3406,3 +3406,313 @@ def hill_tail_index(
         .cast("long")
         .alias("alpha_micro"),
     )
+
+
+def simpson_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    cat_col: str = "lang",
+) -> DataFrame:
+    """Simpson diversity per group: the probability two documents drawn
+    without replacement differ in category — the single-number "is this
+    source monolingual?" gauge mixture planning reads before assigning
+    per-language budgets.
+
+    Exact integers until the end: D = 1 - sum n_c (n_c - 1) / (N (N-1))
+    with both operands decimal(38,0) (N^2 reaches 1e24 at corpus scale —
+    past bigint, inside decimal38/hugeint), then ONE pinned
+    floor(num::double / den::double) division (Spark decimal division
+    rounds at result scale, so the floor goes through doubles — both
+    engines convert decimal->double round-to-nearest identically).
+
+    Scale shape: ONE map-side-combined groupBy on the bounded
+    (group, category) domain; everything after runs on that sketch.
+
+    Output: (group, n_docs, n_cats, simpson_micro), ordered by group.
+    """
+    cells = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(cat_col).alias("cat")
+    ).agg(F.count("*").cast("long").alias("c"))
+    per = cells.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_cats"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)")
+            * (F.col("c").cast("decimal(38,0)") - 1)
+        ).alias("num"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    den = nd * (nd - 1)
+    return per.select(
+        F.col("grp").alias(group_col),
+        F.col("n").alias("n_docs"),
+        "n_cats",
+        F.when(
+            F.col("n") > 1,
+            F.floor(
+                ((den - F.col("num")) * 1000000).cast("double")
+                / den.cast("double")
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("simpson_micro"),
+    ).orderBy(group_col)
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    group_col: str = "source",
+) -> DataFrame:
+    """Welch's unequal-variance t between two groups' value
+    distributions — the "did mean page length actually move?" test for
+    snapshot drift, robust to the unequal group sizes crawls always
+    have (Student's pooled variance is wrong there).
+
+    All moments are exact bigint sums from ONE map-side-combined
+    conditional aggregate over a single corpus scan; t and the
+    Welch-Satterthwaite dof are each ONE pinned-order IEEE expression
+    over those integers (the degree_assortativity discipline), floored
+    to micro units.
+
+    Output: one row (n_a, n_b, t_micro, dof_micro).
+    """
+    v = F.col(value_col).cast("long")
+    g = F.col(group_col)
+    agg = df.where(g.isin(group_a, group_b)).agg(
+        F.sum(F.when(g == group_a, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(g == group_a, v).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sa"),
+        F.sum(
+            F.when(g == group_a, v.cast("decimal(38,0)") * v).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("qa"),
+        F.sum(F.when(g == group_b, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("nb"),
+        F.sum(F.when(g == group_b, v).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sb"),
+        F.sum(
+            F.when(g == group_b, v.cast("decimal(38,0)") * v).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("qb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    qa, qb = F.col("qa").cast("double"), F.col("qb").cast("double")
+    # pinned order: variance = (q - s*s/n) / (n-1); se2 = va/na + vb/nb
+    va = (qa - sa * sa / na) / (na - 1)
+    vb = (qb - sb * sb / nb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (sa / na - sb / nb) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1)
+        + (vb / nb) * (vb / nb) / (nb - 1)
+    )
+    ok = (F.col("na") > 1) & (F.col("nb") > 1)
+    return agg.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.when(ok, F.floor(t * 1000000)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("t_micro"),
+        F.when(ok, F.floor(dof * 1000000)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("dof_micro"),
+    )
+
+
+def cvm_statistic(
+    df: DataFrame,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    group_col: str = "source",
+) -> DataFrame:
+    """Two-sample Cramer-von Mises distance — the INTEGRATED squared
+    ECDF gap, which accumulates many small distribution differences KS's
+    single sup-point misses (the complementary drift test: run both).
+
+    T = (na*nb/(na+nb)^2) * sum over combined points of
+    (F_a - F_b)^2. Per distinct value: the cross-multiplied integer gap
+    d = cum_a*nb - cum_b*na enters as count * round((d/(na*nb))^2, 12)
+    into an exact decimal sum (order-independent); ONE pinned double
+    expression scales it at the end.
+
+    Scale shape: identical to ks_statistic — one conditional groupBy
+    builds the bounded distribution sketch, one cumulative window over
+    that bounded table, one scalar aggregate.
+
+    Output: one row (n_a, n_b, t_micro).
+    """
+    v = F.col(value_col).cast("long")
+    g = F.col(group_col)
+    dist = (
+        df.where(g.isin(group_a, group_b))
+        .select(
+            v.alias("val"),
+            (g == group_a).cast("long").alias("ia"),
+            (g == group_b).cast("long").alias("ib"),
+        )
+        .groupBy("val")
+        .agg(
+            F.sum("ia").cast("long").alias("ca"),
+            F.sum("ib").cast("long").alias("cb"),
+        )
+        .persist()
+    )
+    tot = dist.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    w = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dist.select(
+        "val",
+        "ca",
+        "cb",
+        F.sum("ca").over(w).cast("long").alias("cum_a"),
+        F.sum("cb").over(w).cast("long").alias("cum_b"),
+    ).crossJoin(F.broadcast(tot))
+    gap = (
+        F.col("cum_a").cast("double") * F.col("nb").cast("double")
+        - F.col("cum_b").cast("double") * F.col("na").cast("double")
+    ) / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    term = F.round(
+        (F.col("ca") + F.col("cb")).cast("double") * gap * gap, 12
+    ).cast("decimal(28,12)")
+    agg = cum.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(term).alias("s"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    t = (
+        na * nb / ((na + nb) * (na + nb))
+    ) * F.col("s").cast("double")
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.floor(t * 1000000).cast("long").alias("t_micro"),
+    )
+
+
+def reliability_bins(
+    df: DataFrame,
+    predicted_ppm,
+    label,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Calibration (reliability-diagram) table for a ppm-scaled score
+    against a binary outcome: per score decile, how often is the
+    outcome actually true vs what the score claims — the audit run
+    before a quality classifier's scores are used as sampling WEIGHTS
+    (miscalibrated scores silently skew the mixture even when ranking
+    AUC is fine).
+
+    All integer: bins by `div`, observed rate and mean prediction as
+    exact bigint div ppm, gap as their difference.
+
+    Scale shape: ONE map-side-combined groupBy on the bounded bin
+    domain; nothing else touches the corpus.
+
+    Output: (bin, n, positives, mean_pred_ppm, observed_ppm, gap_ppm),
+    ordered by bin.
+    """
+    width = 1000000 // n_bins
+    p = predicted_ppm.cast("long")
+    binned = df.select(
+        F.least(
+            (p / F.lit(width)).cast("long"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        p.alias("pred"),
+        label.cast("long").alias("y"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("positives"),
+        F.sum("pred").cast("long").alias("sp"),
+    )
+    return agg.select(
+        "bin",
+        "n",
+        "positives",
+        F.expr("sp div n").cast("long").alias("mean_pred_ppm"),
+        F.expr("(positives * 1000000) div n").cast("long").alias(
+            "observed_ppm"
+        ),
+        (
+            F.expr("(positives * 1000000) div n") - F.expr("sp div n")
+        )
+        .cast("long")
+        .alias("gap_ppm"),
+    ).orderBy("bin")
+
+
+def otsu_threshold(df: DataFrame, value_col: str) -> DataFrame:
+    """Otsu's method on a score distribution: the UNSUPERVISED quality
+    cut — pick the threshold maximizing between-class variance, i.e.
+    where the score histogram most looks like two populations
+    (threshold_select needs labeled gains/costs; this needs nothing).
+
+    Per candidate threshold t (class0 = values <= t): the normalized
+    between-class variance sigma_B^2 = (s0*w1 - s1*w0)^2 / (w0*w1*N^2)
+    from prefix sums over the bounded distinct-value distribution. The
+    products reach 1e60 at corpus scale — past any exact type — so each
+    candidate is ONE pinned-order IEEE expression over exact bigint
+    prefix sums; argmax by (sigma desc, t asc).
+
+    Scale shape: ks_statistic's — one map-side-combined groupBy(value)
+    builds the bounded sketch; one cumulative window over THAT table;
+    one TakeOrdered(1).
+
+    Output: one row (threshold, n_below, n_above, sigma_b_micro).
+    """
+    v = F.col(value_col).cast("long")
+    dist = (
+        df.select(v.alias("val"))
+        .groupBy("val")
+        .agg(F.count("*").cast("long").alias("c"))
+        .persist()
+    )
+    tot = dist.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("val")).alias("s"),
+    )
+    w = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dist.select(
+        "val",
+        F.sum("c").over(w).cast("long").alias("w0"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("val"))
+        .over(w)
+        .alias("s0"),
+    ).crossJoin(F.broadcast(tot))
+    w0 = F.col("w0").cast("double")
+    w1 = (F.col("n") - F.col("w0")).cast("double")
+    s0 = F.col("s0").cast("double")
+    s1 = (F.col("s") - F.col("s0")).cast("double")
+    nd = F.col("n").cast("double")
+    a = s0 * w1 - s1 * w0
+    sigma = a * a / (w0 * w1) / (nd * nd)
+    cand = cum.where(F.col("w0") < F.col("n")).select(
+        F.col("val").alias("threshold"),
+        F.col("w0").alias("n_below"),
+        (F.col("n") - F.col("w0")).cast("long").alias("n_above"),
+        F.floor(sigma * 1000000).cast("long").alias("sigma_b_micro"),
+    )
+    return cand.orderBy(
+        F.col("sigma_b_micro").desc(), F.col("threshold").asc()
+    ).limit(1)

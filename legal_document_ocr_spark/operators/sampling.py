@@ -971,3 +971,85 @@ def fixed_size_sample(
         .where(F.col("sample_rank") <= k)
         .select(group_col, key_col, F.col("sample_rank").cast("long"))
     )
+
+
+def waterfill_allocation(
+    caps: DataFrame,
+    budget: int,
+    *,
+    group_col: str = "source",
+    cap_col: str = "cap",
+) -> DataFrame:
+    """Water-filling budget allocation: split a corpus-wide sampling
+    budget across sources as evenly as possible, never giving a source
+    more than it has — the max-min fair allocation (epoch_plan's
+    budget-side dual): small sources are taken whole, the rest share
+    the remainder equally at the water level.
+
+    Exact integer solution of sum min(cap_g, level) = B on the SORTED
+    bounded group table: a group is capped iff prefix_i + cap_i*(m-i)
+    <= B (its own cap fits under the level); the remainder divides by
+    `div` with the first (R mod k) uncapped groups in (cap, name)
+    order taking +1 — allocations sum to EXACTLY min(B, sum cap),
+    test-pinned.
+
+    Scale shape: windows run over the bounded per-group table only
+    (the documented bounded-domain exception); the corpus is never
+    touched here — callers pass the (group, cap) aggregate.
+
+    Output: (group, cap, alloc, capped), ordered by group.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cap").asc(), F.col("grp").asc())
+    t = caps.select(
+        F.col(group_col).alias("grp"), F.col(cap_col).cast("long").alias("cap")
+    ).select(
+        "grp",
+        "cap",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("cap")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("prefix"),
+    )
+    b = F.lit(int(budget)).cast("long")
+    tot = t.agg(F.max("i").cast("long").alias("m"))
+    t2 = t.crossJoin(F.broadcast(tot)).withColumn(
+        "is_capped",
+        (
+            F.col("prefix") + F.col("cap") * (F.col("m") - F.col("i")) <= b
+        ).cast("long"),
+    )
+    jstar = t2.agg(
+        F.coalesce(
+            F.max(F.when(F.col("is_capped") == 1, F.col("i"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("jstar"),
+        F.coalesce(
+            F.max(F.when(F.col("is_capped") == 1, F.col("prefix"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("taken"),
+        F.max("m").cast("long").alias("m"),
+    ).select(
+        "jstar",
+        "taken",
+        (F.col("m") - F.col("jstar")).alias("k"),
+        (b - F.col("taken")).alias("r"),
+    )
+    out = t2.crossJoin(F.broadcast(jstar)).select(
+        F.col("grp").alias(group_col),
+        "cap",
+        F.when(F.col("is_capped") == 1, F.col("cap"))
+        .otherwise(
+            F.expr("r div k")
+            + (F.col("i") - F.col("jstar") <= F.expr("r % k")).cast("long")
+        )
+        .cast("long")
+        .alias("alloc"),
+        F.col("is_capped").alias("capped"),
+    )
+    return out.orderBy(group_col)

@@ -3977,3 +3977,125 @@ def keyness_terms(
             "rank",
         )
     )
+
+
+def vocab_churn(
+    docs: DataFrame,
+    snapshot_flag,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary turnover between two crawl snapshots: how many word
+    types were born, died, or survived from snapshot A to snapshot B —
+    the token-level companion to crawl_diff's URL-level churn (a spam
+    flood or a template change shows up as a type-birth spike long
+    before it moves length stats).
+
+    ``snapshot_flag`` is a boolean column expression: true = the row
+    belongs to snapshot B, false = snapshot A.
+
+    Scale shape: ONE explode + ONE map-side-combined groupBy(token) of
+    two conditional maxima (the per-type membership bits), then a
+    scalar aggregate — the corpus is scanned once, the exchange is
+    vocabulary-sized, nothing is broadcast or windowed.
+
+    Output: one row (vocab_a, vocab_b, born, died, shared, churn_ppm)
+    with churn_ppm = born * 1e6 div vocab_b.
+    """
+    toks = docs.select(
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
+        snapshot_flag.cast("long").alias("in_b"),
+    )
+    mem = toks.groupBy("token").agg(
+        F.max(1 - F.col("in_b")).cast("long").alias("a"),
+        F.max("in_b").cast("long").alias("b"),
+    )
+    agg = mem.agg(
+        F.sum("a").cast("long").alias("vocab_a"),
+        F.sum("b").cast("long").alias("vocab_b"),
+        F.sum(F.col("b") * (1 - F.col("a"))).cast("long").alias("born"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("died"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("shared"),
+    )
+    return agg.select(
+        "vocab_a",
+        "vocab_b",
+        "born",
+        "died",
+        "shared",
+        F.when(
+            F.col("vocab_b") > 0, F.expr("(born * 1000000) div vocab_b")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("churn_ppm"),
+    )
+
+
+def lm_greedy_decode(
+    docs: DataFrame,
+    *,
+    steps: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy argmax decoding from the corpus bigram table: start at the
+    most frequent token and repeatedly take the most likely continuation
+    — the cheapest possible "what does this corpus sound like?" probe
+    (degenerate repetition in the decode = heavy template/boilerplate
+    duplication the LM memorized; kneser_ney_bigrams scores, this
+    GENERATES).
+
+    Determinism: every argmax tie breaks lexicographically; a dead end
+    (no continuation) propagates null tokens to the requested length,
+    matching the oracle's chained-CTE null semantics.
+
+    Scale shape: the corpus is exploded to bigrams ONCE and reduced to
+    the persisted bigram-vocab table (kneser_ney's shape); each decode
+    step is a TakeOrdered(1) on THAT bounded table — `steps` tiny jobs,
+    the documented driver-loop-over-vocab-table regime (same as
+    bpe_train), never a corpus rescan.
+
+    Output: (step, token), steps rows.
+    """
+    lt = ws_tokens(F.lower(F.col(text_col)))
+    src = docs.select(lt.alias("toks")).persist()
+    start_rows = (
+        src.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(1)
+        .collect()
+    )
+    a = F.slice(F.col("toks"), 1, F.size("toks") - 1)
+    b = F.slice(F.col("toks"), 2, F.size("toks") - 1)
+    bg = (
+        src.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    a, b, lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg.w1", "bg.w2")
+        .agg(F.count("*").cast("long").alias("c"))
+        .persist()
+    )
+    seq: list = [start_rows[0]["w"] if start_rows else None]
+    while len(seq) < steps:
+        cur = seq[-1]
+        if cur is None:
+            seq.append(None)
+            continue
+        nxt = (
+            bg.where(F.col("w1") == cur)
+            .orderBy(F.col("c").desc(), F.col("w2"))
+            .limit(1)
+            .collect()
+        )
+        seq.append(nxt[0]["w2"] if nxt else None)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(seq)], "step long, token string"
+    )

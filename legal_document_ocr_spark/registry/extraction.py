@@ -441,3 +441,53 @@ SELECT doc_id, (idx + 1)::int AS ord, citation,
   nullif(regexp_extract(citation, 'Điểm ([a-d])', 1), '') AS diem
 FROM m
 """
+
+
+def q_compaction_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip (sources/sink.compact_partitioned):
+    the extraction sink written fragmented (16-way repartition under
+    partitionBy(lang) leaves ~16 files per lang dir), compacted to one
+    file per partition, read back and summarized with an
+    order-independent member digest — the oracle recomputes the same
+    digest from the base table, so ANY dropped/duplicated row fails the
+    hash match. File-count shrinkage is pinned in pytest."""
+    import tempfile
+
+    from ..sources.sink import compact_partitioned
+
+    pages = synthesize_pages_df(spark, sf_dir)
+    out = run_extraction(pages, dedup=False, with_fields=False).select(
+        "url", "lang"
+    )
+    frag = tempfile.mkdtemp(prefix="ldos-frag-")
+    out.repartition(16).write.partitionBy("lang").mode("overwrite").parquet(
+        frag
+    )
+    comp = compact_partitioned(
+        spark, frag, tempfile.mkdtemp(prefix="ldos-comp-"), "lang"
+    )
+    back = spark.read.parquet(comp)
+    digest = F.conv(F.substring(F.md5(F.col("url")), 1, 15), 16, 10).cast(
+        "decimal(20,0)"
+    )
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.sum(digest).cast("decimal(38,0)").cast("string").alias(
+            "member_digest"
+        ),
+    )
+
+
+_SQL_COMPACTION_READBACK = """
+WITH u AS (
+  SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id
+    AS url, lang
+  FROM documents
+)
+SELECT count(*)::bigint AS n_rows,
+  count(DISTINCT lang)::bigint AS n_langs,
+  sum(('0x' || substr(md5(url), 1, 15))::bigint)::hugeint::varchar
+    AS member_digest
+FROM u
+"""

@@ -1742,3 +1742,259 @@ SELECT 8::bigint AS k, x_kplus1,
     ELSE 0 END AS alpha_micro
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# simpson_diversity / welch_ttest / cvm_statistic / reliability_bins /
+# waterfill_allocation (round-4 session-14, second wave)
+# ---------------------------------------------------------------------------
+
+
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson language diversity per source
+    (relational.simpson_diversity) — exact pair-counting on the bounded
+    (source, lang) domain."""
+    from ..operators.relational import simpson_diversity
+
+    return simpson_diversity(_docs(spark, sf_dir), "source", "lang")
+
+
+_SQL_SIMPSON_DIVERSITY = """
+WITH cells AS (
+  SELECT source AS grp, lang AS cat, count(*)::bigint AS c
+  FROM documents GROUP BY 1, 2
+),
+per AS (
+  SELECT grp, sum(c)::bigint AS n, count(*)::bigint AS n_cats,
+    sum(c::hugeint * (c::hugeint - 1)) AS num
+  FROM cells GROUP BY grp
+)
+SELECT grp AS source, n AS n_docs, n_cats,
+  CASE WHEN n > 1 THEN
+    floor(((n::hugeint * (n::hugeint - 1) - num) * 1000000)::double
+          / (n::hugeint * (n::hugeint - 1))::double)::bigint
+  ELSE 0 END AS simpson_micro
+FROM per ORDER BY source
+"""
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t between src0's and src1's length distributions
+    (relational.welch_ttest) — exact bigint moments from one scan, two
+    pinned IEEE expressions."""
+    from ..operators.relational import welch_ttest
+
+    return welch_ttest(_docs(spark, sf_dir), "n_chars", "src0", "src1")
+
+
+_SQL_WELCH_TTEST = """
+WITH d AS (
+  SELECT n_chars::bigint AS v,
+    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia,
+    CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS ib
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+a AS (
+  SELECT sum(ia)::bigint AS na, sum(ia * v)::bigint AS sa,
+    sum(CASE WHEN ia = 1 THEN v::hugeint * v ELSE 0 END) AS qa,
+    sum(ib)::bigint AS nb, sum(ib * v)::bigint AS sb,
+    sum(CASE WHEN ib = 1 THEN v::hugeint * v ELSE 0 END) AS qb
+  FROM d
+),
+b AS (
+  SELECT na, nb, sa, sb,
+    (qa::double - sa::double * sa::double / na::double)
+      / (na::double - 1) AS va,
+    (qb::double - sb::double * sb::double / nb::double)
+      / (nb::double - 1) AS vb
+  FROM a
+),
+c AS (
+  SELECT na, nb, sa, sb, va, vb,
+    va / na::double + vb / nb::double AS se2
+  FROM b
+)
+SELECT na AS n_a, nb AS n_b,
+  CASE WHEN na > 1 AND nb > 1 THEN
+    floor(((sa::double / na::double - sb::double / nb::double)
+           / sqrt(se2)) * 1000000)::bigint
+  ELSE 0 END AS t_micro,
+  CASE WHEN na > 1 AND nb > 1 THEN
+    floor(((se2 * se2)
+           / ((va / na::double) * (va / na::double) / (na::double - 1)
+              + (vb / nb::double) * (vb / nb::double) / (nb::double - 1)))
+          * 1000000)::bigint
+  ELSE 0 END AS dof_micro
+FROM c
+"""
+
+
+def q_cvm_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramer-von Mises distance src0 vs src1
+    (relational.cvm_statistic) — the integrated-squared companion to
+    ks_statistic, same bounded distribution sketch."""
+    from ..operators.relational import cvm_statistic
+
+    return cvm_statistic(_docs(spark, sf_dir), "n_chars", "src0", "src1")
+
+
+_SQL_CVM_STATISTIC = """
+WITH d AS (
+  SELECT n_chars::bigint AS val,
+    (CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::bigint AS ia,
+    (CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::bigint AS ib
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+dist AS (
+  SELECT val, sum(ia)::bigint AS ca, sum(ib)::bigint AS cb
+  FROM d GROUP BY val
+),
+tot AS (SELECT sum(ca)::bigint AS na, sum(cb)::bigint AS nb FROM dist),
+cum AS (
+  SELECT val, ca, cb,
+    sum(ca) OVER (ORDER BY val
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum_a,
+    sum(cb) OVER (ORDER BY val
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum_b
+  FROM dist
+),
+t AS (
+  SELECT sum(ca)::bigint AS n_a, sum(cb)::bigint AS n_b,
+    sum(round((ca + cb)::double
+      * ((cum_a::double * nb::double - cum_b::double * na::double)
+         / (na::double * nb::double))
+      * ((cum_a::double * nb::double - cum_b::double * na::double)
+         / (na::double * nb::double)), 12)::decimal(28,12)) AS s
+  FROM cum, tot
+)
+SELECT n_a, n_b,
+  floor(((n_a::double * n_b::double
+          / ((n_a::double + n_b::double) * (n_a::double + n_b::double)))
+         * s::double) * 1000000)::bigint AS t_micro
+FROM t
+"""
+
+
+def q_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table (relational.reliability_bins) of the capped
+    length score least(n_chars,2000)*500 ppm against contains ' the '
+    — all-integer per-decile observed-vs-predicted gaps."""
+    from ..operators.relational import reliability_bins
+
+    d = _docs(spark, sf_dir)
+    return reliability_bins(
+        d,
+        F.least(F.col("n_chars"), F.lit(2000)) * 500,
+        F.col("text").contains(" the "),
+    )
+
+
+_SQL_RELIABILITY_BINS = """
+WITH b AS (
+  SELECT least(n_chars, 2000) * 500 AS pred,
+    CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+g AS (
+  SELECT least(pred // 100000, 9)::bigint AS bin, count(*)::bigint AS n,
+    sum(y)::bigint AS positives, sum(pred)::bigint AS sp
+  FROM b GROUP BY 1
+)
+SELECT bin, n, positives, (sp // n)::bigint AS mean_pred_ppm,
+  ((positives * 1000000) // n)::bigint AS observed_ppm,
+  ((positives * 1000000) // n - sp // n)::bigint AS gap_ppm
+FROM g ORDER BY bin
+"""
+
+
+def q_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling of a 90%-of-corpus char budget across sources
+    (sampling.waterfill_allocation) — small sources taken whole, big
+    ones waterlined; allocations sum to exactly the budget."""
+    from ..operators.sampling import waterfill_allocation
+
+    d = _docs(spark, sf_dir)
+    caps = d.groupBy("source").agg(F.sum("n_chars").cast("long").alias("cap"))
+    total = d.agg(F.sum("n_chars")).collect()[0][0] or 0
+    return waterfill_allocation(
+        caps, (int(total) * 9) // 10, group_col="source", cap_col="cap"
+    )
+
+
+_SQL_WATERFILL_ALLOCATION = """
+WITH caps AS (
+  SELECT source AS grp, sum(n_chars)::bigint AS cap
+  FROM documents GROUP BY 1
+),
+bdg AS (SELECT ((sum(n_chars) * 9) // 10)::bigint AS b FROM documents),
+t AS (
+  SELECT grp, cap,
+    row_number() OVER (ORDER BY cap, grp)::bigint AS i,
+    sum(cap) OVER (ORDER BY cap, grp
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS prefix
+  FROM caps
+),
+mm AS (SELECT max(i)::bigint AS m FROM t),
+t2 AS (
+  SELECT t.*, m, b,
+    CASE WHEN prefix + cap * (m - i) <= b THEN 1 ELSE 0 END AS is_capped
+  FROM t, mm, bdg
+),
+js AS (
+  SELECT
+    coalesce(max(CASE WHEN is_capped = 1 THEN i END), 0)::bigint AS jstar,
+    coalesce(max(CASE WHEN is_capped = 1 THEN prefix END), 0)::bigint
+      AS taken,
+    max(m)::bigint AS m, max(b)::bigint AS b
+  FROM t2
+),
+x AS (SELECT jstar, m - jstar AS k, b - taken AS r FROM js)
+SELECT grp AS source, cap,
+  (CASE WHEN is_capped = 1 THEN cap
+        ELSE r // k
+             + (CASE WHEN i - jstar <= r % k THEN 1 ELSE 0 END)
+   END)::bigint AS alloc,
+  is_capped::bigint AS capped
+FROM t2, x
+ORDER BY source
+"""
+
+
+def q_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Otsu's unsupervised threshold (relational.otsu_threshold) on the
+    n_chars distribution — the label-free quality cut; argmax of pinned
+    between-class variance over the bounded distribution sketch."""
+    from ..operators.relational import otsu_threshold
+
+    return otsu_threshold(_docs(spark, sf_dir), "n_chars")
+
+
+_SQL_OTSU_THRESHOLD = """
+WITH dist AS (
+  SELECT n_chars::bigint AS val, count(*)::bigint AS c
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT sum(c)::bigint AS n, sum(c::hugeint * val) AS s FROM dist
+),
+cum AS (
+  SELECT val,
+    sum(c) OVER (ORDER BY val
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS w0,
+    sum(c::hugeint * val) OVER (ORDER BY val
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0
+  FROM dist
+),
+cand AS (
+  SELECT val AS threshold, w0 AS n_below, (n - w0)::bigint AS n_above,
+    floor(
+      ((s0::double * (n - w0)::double - (s - s0)::double * w0::double)
+       * (s0::double * (n - w0)::double - (s - s0)::double * w0::double)
+       / (w0::double * (n - w0)::double)
+       / (n::double * n::double)) * 1000000
+    )::bigint AS sigma_b_micro
+  FROM cum, tot WHERE w0 < n
+)
+SELECT threshold, n_below, n_above, sigma_b_micro
+FROM cand ORDER BY sigma_b_micro DESC, threshold ASC LIMIT 1
+"""

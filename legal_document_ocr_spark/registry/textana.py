@@ -1423,3 +1423,79 @@ FROM (
 )
 WHERE rank <= 5
 """.format(stop=", ".join(f"'{w}'" for w in STOPWORDS))
+
+
+# ---------------------------------------------------------------------------
+# vocab_churn / lm_greedy_decode (round-4 session-14)
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary turnover (textops.vocab_churn) between the src0-9 and
+    src10-19 halves of the corpus as snapshot A/B — one explode, one
+    vocabulary-sized groupBy of membership bits."""
+    return textops.vocab_churn(
+        _docs(spark, sf_dir),
+        F.substring("source", 4, 8).cast("long") >= 10,
+    )
+
+
+_SQL_VOCAB_CHURN = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS token,
+    (CASE WHEN substr(source, 4)::bigint >= 10 THEN 1 ELSE 0 END)::bigint
+      AS in_b
+  FROM documents
+),
+mem AS (
+  SELECT token, max(1 - in_b)::bigint AS a, max(in_b)::bigint AS b
+  FROM toks GROUP BY token
+),
+agg AS (
+  SELECT sum(a)::bigint AS vocab_a, sum(b)::bigint AS vocab_b,
+    sum(b * (1 - a))::bigint AS born, sum(a * (1 - b))::bigint AS died,
+    sum(a * b)::bigint AS shared
+  FROM mem
+)
+SELECT vocab_a, vocab_b, born, died, shared,
+  (CASE WHEN vocab_b > 0 THEN (born * 1000000) // vocab_b
+        ELSE 0 END)::bigint AS churn_ppm
+FROM agg
+"""
+
+
+def q_lm_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy bigram argmax decode (textops.lm_greedy_decode), 8 steps
+    from the modal token — ties lexicographic, dead ends null-pad."""
+    return textops.lm_greedy_decode(_docs(spark, sf_dir), steps=8)
+
+
+def _sql_lm_greedy_decode(steps: int = 8) -> str:
+    prev = "s1"
+    chain = []
+    for i in range(2, steps + 1):
+        chain.append(
+            f"s{i} AS (SELECT {i}::bigint AS step, "
+            f"(SELECT w2 FROM bg WHERE w1 = {prev}.token "
+            f"ORDER BY c DESC, w2 LIMIT 1) AS token FROM {prev})"
+        )
+        prev = f"s{i}"
+    union = "\nUNION ALL ".join(
+        f"SELECT step, token FROM s{i}" for i in range(1, steps + 1)
+    )
+    chain_sql = ",\n".join(chain)
+    return f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+uni AS (SELECT unnest(t) AS w FROM toks),
+start AS (SELECT w FROM uni GROUP BY w ORDER BY count(*) DESC, w LIMIT 1),
+bg AS (
+  SELECT w1, w2, count(*)::bigint AS c FROM (
+    SELECT unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+           unnest(list_slice(t, 2, len(t))) AS w2
+    FROM toks WHERE len(t) >= 2
+  ) GROUP BY 1, 2
+),
+s1 AS (SELECT 1::bigint AS step, w AS token FROM start),
+{chain_sql}
+SELECT step, token FROM ({union}) ORDER BY step
+"""

@@ -130,3 +130,52 @@ def write_bucketed(
         w = w.sortBy(bucket_col)
     w.saveAsTable(table)
     return table
+
+
+def count_leaf_files(path: str, suffix: str = ".parquet") -> int:
+    """Count data files under a sink tree (the small-files gauge a
+    compaction pass is judged by)."""
+    import os
+
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(suffix))
+    return n
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    partition_col: str = "lang",
+    *,
+    files_per_partition: int = 1,
+) -> str:
+    """Small-file compaction for a Hive-partitioned parquet tree — the
+    maintenance pass every long-lived 100 TB sink needs: streaming /
+    incremental writers leave hundreds of KB-sized files per partition
+    directory, and scan cost degenerates into file-listing + task
+    overhead (a 1e6-file table is slow even when the bytes are small).
+
+    The rewrite is ONE job: read -> repartition(n_parts *
+    files_per_partition, partition_col) -> write partitionBy. Hashing on
+    the partition column routes each directory's rows onto the same
+    task(s), so each partition directory comes out with at most
+    files_per_partition files (hash collisions can merge two partitions
+    onto one task; the partitionBy writer still splits them into their
+    own directories). Content is untouched — callers verify with an
+    order-independent member digest (the shard_manifest discipline).
+
+    Returns ``out_path``.
+    """
+    df = spark.read.parquet(in_path)
+    n_parts = df.select(partition_col).distinct().count()
+    (
+        df.repartition(
+            max(1, int(n_parts) * files_per_partition), F.col(partition_col)
+        )
+        .write.partitionBy(partition_col)
+        .mode("overwrite")
+        .parquet(out_path)
+    )
+    return out_path

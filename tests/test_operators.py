@@ -5715,3 +5715,217 @@ def test_keyness_terms_hand_checked(spark):
     # the mirror cells: cat is UNDER-used in s1, zebra absent from s2
     c1 = rows[("s1", "cat")]
     assert c1["overused"] == 0 and c1["g2_micro"] == 3819084
+
+
+def test_simpson_diversity_hand_checked(spark):
+    """Closed forms: 2+2 split -> 1 - 4/12 = 666666 micro; monoculture
+    -> 0; single doc guards to 0."""
+    from legal_document_ocr_spark.operators.relational import (
+        simpson_diversity,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", "a"), ("g1", "b"), ("g1", "b"),
+         ("g2", "x"), ("g2", "x"), ("g2", "x"), ("g3", "y")],
+        "source string, lang string",
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["n_cats"], r["simpson_micro"])
+        for r in simpson_diversity(df).collect()
+    }
+    assert got == {"g1": (4, 2, 666666), "g2": (3, 1, 0), "g3": (1, 1, 0)}
+
+
+def test_welch_ttest_hand_checked(spark):
+    """a=[1,2,3] vs b=[5,7]: va=1, vb=2, t=-4/sqrt(4/3), dof=32/19 —
+    expectations replicated with the same pinned float op order."""
+    import math
+
+    from legal_document_ocr_spark.operators.relational import welch_ttest
+
+    rows = [("src0", v) for v in (1, 2, 3)] + [("src1", v) for v in (5, 7)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    r = welch_ttest(df, "n_chars", "src0", "src1").collect()[0]
+    va = (14.0 - 6.0 * 6.0 / 3.0) / 2.0
+    vb = (74.0 - 12.0 * 12.0 / 2.0) / 1.0
+    se2 = va / 3.0 + vb / 2.0
+    t = (6.0 / 3.0 - 12.0 / 2.0) / math.sqrt(se2)
+    dof = (se2 * se2) / (
+        (va / 3.0) * (va / 3.0) / 2.0 + (vb / 2.0) * (vb / 2.0) / 1.0
+    )
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert r["t_micro"] == math.floor(t * 1000000) == -3464102
+    assert r["dof_micro"] == math.floor(dof * 1000000) == 1684210
+
+
+def test_cvm_statistic_hand_checked(spark):
+    """a=[1,2] vs b=[2,3]: gaps 0.5/0.5/0 weighted 1/2/1 -> S=0.75,
+    T = (4/16)*0.75 = 0.1875 -> 187500 micro exactly."""
+    from legal_document_ocr_spark.operators.relational import cvm_statistic
+
+    rows = [("src0", 1), ("src0", 2), ("src1", 2), ("src1", 3)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    r = cvm_statistic(df, "n_chars", "src0", "src1").collect()[0]
+    assert (r["n_a"], r["n_b"], r["t_micro"]) == (2, 2, 187500)
+
+
+def test_reliability_bins_hand_checked(spark):
+    """Bin by pred decile: two rows in bin 1 (one positive -> obs 5e5,
+    gap 35e4), one in bin 4, and a pred of exactly 1e6 clamps to bin 9."""
+    from legal_document_ocr_spark.operators.relational import (
+        reliability_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(150000, 1), (150000, 0), (450000, 1), (1000000, 0)],
+        "pred long, y long",
+    )
+    got = {
+        r["bin"]: (r["n"], r["positives"], r["mean_pred_ppm"],
+                   r["observed_ppm"], r["gap_ppm"])
+        for r in reliability_bins(df, F.col("pred"), F.col("y") == 1).collect()
+    }
+    assert got == {
+        1: (2, 1, 150000, 500000, 350000),
+        4: (1, 1, 450000, 1000000, 550000),
+        9: (1, 0, 1000000, 0, -1000000),
+    }
+
+
+def test_waterfill_allocation_hand_checked(spark):
+    """caps (10, 20, 100): B=50 caps the two small sources and
+    waterlines the big one at 20; B=7 splits 3/2/2 (+1 to the first in
+    (cap, name) order); B >= total hands everyone their cap. Every
+    allocation sums to exactly min(B, total)."""
+    from legal_document_ocr_spark.operators.sampling import (
+        waterfill_allocation,
+    )
+
+    caps = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 100)], "source string, cap long"
+    )
+
+    def run(b):
+        return {
+            r["source"]: (r["alloc"], r["capped"])
+            for r in waterfill_allocation(caps, b).collect()
+        }
+
+    assert run(50) == {"a": (10, 1), "b": (20, 1), "c": (20, 0)}
+    assert run(7) == {"a": (3, 0), "b": (2, 0), "c": (2, 0)}
+    assert run(200) == {"a": (10, 1), "b": (20, 1), "c": (100, 1)}
+
+
+def test_otsu_threshold_hand_checked(spark):
+    """[1,1,2,9,9]: cutting at 2 separates {1,1,2} from {9,9} with
+    sigma_B = 46^2/6/25 = 14.106666 — beats cutting at 1 (7.706666)."""
+    from legal_document_ocr_spark.operators.relational import otsu_threshold
+
+    df = spark.createDataFrame(
+        [(v,) for v in (1, 1, 2, 9, 9)], "n_chars long"
+    )
+    r = otsu_threshold(df, "n_chars").collect()[0]
+    assert (r["threshold"], r["n_below"], r["n_above"]) == (2, 3, 2)
+    assert r["sigma_b_micro"] == 14106666
+
+
+def test_compact_partitioned_shrinks_files_preserves_rows(spark, tmp_path):
+    """A fragmented partitioned tree (8-way repartition under
+    partitionBy) compacts to exactly one file per partition directory
+    with the row multiset untouched."""
+    from legal_document_ocr_spark.sources.sink import (
+        compact_partitioned,
+        count_leaf_files,
+    )
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    frag = str(tmp_path / "frag")
+    df.repartition(8).write.partitionBy("lang").parquet(frag)
+    before = count_leaf_files(frag)
+    comp = compact_partitioned(
+        spark, frag, str(tmp_path / "comp"), "lang"
+    )
+    after = count_leaf_files(comp)
+    assert before > after == 2  # one file per lang dir
+    back = spark.read.parquet(comp)
+    assert back.count() == 200
+    assert (
+        sorted((r["doc_id"], r["lang"]) for r in back.collect())
+        == sorted(rows)
+    )
+
+
+def test_vocab_churn_hand_checked(spark):
+    """A = {cat, dog, emu}, B = {dog, fox}: one type born, two died,
+    one survived; churn = 1/2 of B's vocabulary."""
+    from legal_document_ocr_spark.operators.textops import vocab_churn
+
+    df = spark.createDataFrame(
+        [("cat dog", 0), ("dog emu", 0), ("dog fox", 1)],
+        "text string, snap long",
+    )
+    r = vocab_churn(df, F.col("snap") == 1).collect()[0]
+    assert (
+        r["vocab_a"], r["vocab_b"], r["born"], r["died"], r["shared"],
+        r["churn_ppm"],
+    ) == (3, 2, 1, 2, 1, 500000)
+
+
+def test_lm_greedy_decode_hand_checked(spark):
+    """Start at the modal token 'b', follow its only continuation 'c',
+    then dead-end: nulls pad to the requested length."""
+    from legal_document_ocr_spark.operators.textops import lm_greedy_decode
+
+    df = spark.createDataFrame(
+        [("a b",), ("b c",), ("b c",), ("a b",)], "text string"
+    )
+    rows = lm_greedy_decode(df, steps=4).orderBy("step").collect()
+    assert [(r["step"], r["token"]) for r in rows] == [
+        (1, "b"), (2, "c"), (3, None), (4, None)
+    ]
+
+
+def test_keyness_plan_vocab_tables_not_broadcast(spark):
+    """keyness_terms joins the (term, group) tf table against its term
+    margins — both vocabulary-sized at corpus scale. The only broadcast
+    allowed is the BOUNDED per-group token-total table; the term-margin
+    join must travel as a shuffle exchange."""
+    import legal_document_ocr_spark.queries as Q
+
+    plan = _plan(Q.SPARK["keyness_terms"](spark, SF))
+    assert plan.count("BroadcastExchange") <= 1, plan
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_rank_machinery_windows_are_value_partitioned(spark):
+    """spearman_rho and avg_precision rank the corpus without a global
+    sort: every corpus-sized window must be PARTITIONED (by value) —
+    an unpartitioned running window over raw rows is the single-task
+    scale-killer the two-phase rank exists to avoid. The only
+    unpartitioned windows allowed are over the bounded distinct-value
+    distribution (SinglePartition exchanges feeding tiny tables)."""
+    import legal_document_ocr_spark.queries as Q
+
+    for name in ["spearman_rho", "avg_precision"]:
+        plan = _plan(Q.SPARK[name](spark, SF))
+        # the per-tie row_number windows must be hash-partitioned
+        assert "hashpartitioning" in plan, f"{name}:\n{plan}"
+        # every SinglePartition exchange must feed off an aggregated
+        # (bounded) subtree — i.e. sit above a HashAggregate — never
+        # collect the raw corpus scan into one task. The plan string
+        # nests children below their parents, so a SinglePartition
+        # whose following lines reach a Scan before any HashAggregate
+        # would be a corpus-wide single-task window.
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            seen_agg = False
+            for nxt in lines[i + 1:]:
+                if "HashAggregate" in nxt:
+                    seen_agg = True
+                    break
+                if "Scan parquet" in nxt or "FileScan" in nxt:
+                    break
+            assert seen_agg, f"{name}: SinglePartition over raw scan\n{plan}"
