@@ -3716,3 +3716,113 @@ def otsu_threshold(df: DataFrame, value_col: str) -> DataFrame:
     return cand.orderBy(
         F.col("sigma_b_micro").desc(), F.col("threshold").asc()
     ).limit(1)
+
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9 — sums to exactly 1e6; the
+# literal table is shared verbatim with the SQL oracle (the NDCG-discount
+# discipline: no runtime float logs in either engine).
+BENFORD_MICRO = [
+    301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757
+]
+
+
+def benford_deviation(df: DataFrame, value_col: str) -> DataFrame:
+    """First-digit (Benford) profile of a positive numeric field — the
+    synthetic-content tripwire: organically-grown magnitudes (lengths,
+    counts, prices) lean Benford, while templated/generated filler and
+    fabricated metrics pile onto uniform or single-digit profiles.
+
+    All integer: observed shares in ppm by exact div, expected shares
+    from the literal micro table, deviation = obs - exp per digit.
+
+    Scale shape: the first digit is substring arithmetic at codegen
+    scan speed; ONE map-side-combined groupBy on the 9-value domain.
+
+    Output: (digit, n, obs_ppm, exp_ppm, dev_ppm), 9 rows (absent
+    digits emit 0-count rows so the shape is fixed).
+    """
+    v = F.col(value_col).cast("long")
+    d = F.substring(v.cast("string"), 1, 1).cast("long")
+    counts = (
+        df.where(v > 0)
+        .select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    spark = df.sparkSession
+    digits = spark.createDataFrame(
+        [(i + 1, BENFORD_MICRO[i]) for i in range(9)],
+        "digit long, exp_ppm long",
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    out = (
+        digits.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.expr("(coalesce(n, 0) * 1000000) div total")
+            .cast("long")
+            .alias("obs_ppm"),
+            "exp_ppm",
+        )
+    )
+    return out.select(
+        "digit",
+        "n",
+        "obs_ppm",
+        "exp_ppm",
+        (F.col("obs_ppm") - F.col("exp_ppm")).cast("long").alias("dev_ppm"),
+    ).orderBy("digit")
+
+
+def runs_test(df: DataFrame, flag, id_col: str = "doc_id") -> DataFrame:
+    """Wald-Wolfowitz runs test on a binary attribute over the stored
+    id order — the "is my corpus secretly sorted?" audit: training
+    ingestion assumes rows are well-mixed, and a corpus written
+    lang-by-lang or crawl-by-crawl fails it catastrophically (run count
+    far below expectation -> z strongly negative).
+
+    Runs are counted WITHOUT a sequential window: R = 1 + number of
+    adjacent pairs whose flags differ, and adjacency over contiguous
+    ids is an EQUI-join of the table against itself on id = id+1 — a
+    co-partitioned shuffle join, not a single-task ordered scan. The
+    z-score is one pinned IEEE expression over (n0, n1, boundaries).
+
+    Output: one row (n0, n1, n_runs, z_micro).
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        flag.cast("long").alias("y"),
+    ).persist()
+    a = base.select((F.col("id") + 1).alias("id"), F.col("y").alias("ya"))
+    bounds = a.join(base.hint("shuffle_hash"), "id").agg(
+        F.coalesce(
+            F.sum((F.col("ya") != F.col("y")).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("b")
+    )
+    tot = base.agg(
+        F.sum(1 - F.col("y")).cast("long").alias("n0"),
+        F.sum("y").cast("long").alias("n1"),
+    )
+    one = bounds.crossJoin(F.broadcast(tot))
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    n = n0 + n1
+    r = (F.col("b") + 1).cast("double")
+    mu = 2.0 * n0 * n1 / n + 1
+    var = (
+        (2.0 * n0 * n1) * (2.0 * n0 * n1 - n) / (n * n * (n - 1))
+    )
+    z = (r - mu) / F.sqrt(var)
+    ok = (F.col("n0") > 0) & (F.col("n1") > 0) & (n > 2)
+    return one.select(
+        "n0",
+        "n1",
+        (F.col("b") + 1).cast("long").alias("n_runs"),
+        F.when(ok, F.floor(z * 1000000)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("z_micro"),
+    )

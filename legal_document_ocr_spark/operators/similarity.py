@@ -1190,3 +1190,80 @@ def mmr_select(
     )
     cand.unpersist()
     return out
+
+
+def grid_dbscan(
+    emb: DataFrame,
+    *,
+    bucket_dims: int = 6,
+    min_pts: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Grid-DBSCAN over the sign-LSH lattice: density clustering that
+    never computes a pairwise distance — cells of the 2^dims sign grid
+    with >= min_pts members are "core", adjacent (Hamming-1) core cells
+    merge into clusters, sparse cells are noise. The embedding-space
+    cousin of dedup_clusters: finds topic/spam blobs of ANY shape where
+    k-means/IVF impose spherical cells, at a fraction of the cost.
+
+    Scale shape: the corpus is touched by ONE map-side-combined
+    groupBy(bucket); the bucket lattice is bounded by 2^dims regardless
+    of corpus size, so the Hamming-adjacency edge build (dims flips per
+    core cell, semi-joined back to the core set) and the
+    connected-components run all operate on a sketch-sized table. No
+    pairs, no windows, no broadcasts of anything corpus-derived.
+
+    Output: (cluster_id, n_buckets, n_points) per cluster (cluster_id =
+    min member bucket code) plus one noise row (cluster_id = -1)
+    aggregating all sub-threshold cells; ordered by cluster_id.
+    """
+    from .dedup import connected_components
+
+    code = None
+    for j in range(bucket_dims):
+        bit = F.when(
+            F.element_at(F.col(vec_col), j + 1).cast("double") >= 0,
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        code = bit if code is None else code + bit
+    pts = emb.select(code.cast("long").alias("bucket"))
+    counts = (
+        pts.groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+        .persist()
+    )
+    core = counts.where(F.col("n") >= min_pts).persist()
+    masks = F.explode(
+        F.array(*[F.lit(1 << j) for j in range(bucket_dims)])
+    ).alias("m")
+    nbrs = core.select("bucket", masks).select(
+        "bucket", F.expr("bucket ^ m").cast("long").alias("nb")
+    )
+    edges = (
+        nbrs.join(
+            core.select(F.col("bucket").alias("nb")).hint("shuffle_hash"),
+            "nb",
+        )
+        .where(F.col("nb") > F.col("bucket"))
+        .select(F.col("bucket").alias("id_a"), F.col("nb").alias("id_b"))
+    )
+    cc = connected_components(
+        core.select(F.col("bucket").alias("doc_id")), edges
+    )
+    per = (
+        cc.join(
+            core.select(F.col("bucket").alias("doc_id"), "n"), "doc_id"
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("n").cast("long").alias("n_points"),
+        )
+    )
+    noise = counts.where(F.col("n") < min_pts).agg(
+        F.lit(-1).cast("long").alias("cluster_id"),
+        F.count("*").cast("long").alias("n_buckets"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_points"),
+    )
+    return per.unionByName(noise).orderBy("cluster_id")

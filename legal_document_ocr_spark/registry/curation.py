@@ -1272,3 +1272,62 @@ SELECT (o.r + 1)::bigint AS sel_rank, o.doc_id::bigint AS doc_id,
      WHERE p.a = o.doc_id), 0))::bigint AS mmr_score
 FROM o JOIN cand c ON c.doc_id = o.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# grid_dbscan (round-4 session-14)
+# ---------------------------------------------------------------------------
+
+
+def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN over the sign-LSH lattice (similarity.grid_dbscan):
+    density clusters from Hamming-1-adjacent core cells, noise
+    aggregated under cluster_id = -1; no pairwise distances anywhere."""
+    return similarity.grid_dbscan(
+        _tbl(spark, sf_dir, "embeddings"), bucket_dims=6, min_pts=6
+    )
+
+
+def _sql_grid_dbscan(dims: int = 6, min_pts: int = 6) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN embedding[{j + 1}]::double >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(dims)
+    )
+    masks = [1 << j for j in range(dims)]
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT ({bits})::bigint AS bucket FROM embeddings
+),
+counts AS (SELECT bucket, count(*)::bigint AS n FROM e GROUP BY 1),
+core AS (SELECT bucket, n FROM counts WHERE n >= {min_pts}),
+edges AS (
+  SELECT c.bucket AS a, xor(c.bucket, m.m)::bigint AS b
+  FROM core c, (SELECT unnest({masks})::bigint AS m) m
+  WHERE xor(c.bucket, m.m) IN (SELECT bucket FROM core)
+    AND xor(c.bucket, m.m) > c.bucket
+),
+sym AS (
+  SELECT a AS src_n, b AS dst_n FROM edges
+  UNION ALL SELECT b, a FROM edges
+),
+walk(node, lbl) AS (
+  SELECT bucket, bucket FROM core
+  UNION
+  SELECT s.dst_n, w.lbl FROM walk w JOIN sym s ON s.src_n = w.node
+),
+cc AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+per AS (
+  SELECT cluster_id::bigint AS cluster_id, count(*)::bigint AS n_buckets,
+    sum(core.n)::bigint AS n_points
+  FROM cc JOIN core ON core.bucket = cc.node GROUP BY 1
+),
+noise AS (
+  SELECT -1::bigint AS cluster_id, count(*)::bigint AS n_buckets,
+    coalesce(sum(n), 0)::bigint AS n_points
+  FROM counts WHERE n < {min_pts}
+)
+SELECT cluster_id, n_buckets, n_points
+FROM (SELECT * FROM per UNION ALL SELECT * FROM noise)
+ORDER BY cluster_id
+"""

@@ -1998,3 +1998,72 @@ cand AS (
 SELECT threshold, n_below, n_above, sigma_b_micro
 FROM cand ORDER BY sigma_b_micro DESC, threshold ASC LIMIT 1
 """
+
+
+def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile of n_chars
+    (relational.benford_deviation) — literal expected-share table,
+    all-integer ppm deviations."""
+    from ..operators.relational import benford_deviation
+
+    return benford_deviation(_docs(spark, sf_dir), "n_chars")
+
+
+def _sql_benford_deviation() -> str:
+    from ..operators.relational import BENFORD_MICRO
+
+    digits = list(range(1, 10))
+    return f"""
+WITH c AS (
+  SELECT substr(n_chars::varchar, 1, 1)::bigint AS digit,
+    count(*)::bigint AS n
+  FROM documents WHERE n_chars > 0 GROUP BY 1
+),
+d AS (SELECT unnest({digits}) AS digit,
+             unnest({list(BENFORD_MICRO)}) AS exp_ppm),
+t AS (SELECT sum(n)::bigint AS total FROM c)
+SELECT d.digit::bigint AS digit, coalesce(c.n, 0)::bigint AS n,
+  ((coalesce(c.n, 0) * 1000000) // total)::bigint AS obs_ppm,
+  d.exp_ppm::bigint AS exp_ppm,
+  ((coalesce(c.n, 0) * 1000000) // total - d.exp_ppm)::bigint AS dev_ppm
+FROM d LEFT JOIN c ON d.digit = c.digit, t
+ORDER BY digit
+"""
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (relational.runs_test) of lang='en'
+    over the stored doc_id order — adjacency as an id=id+1 equi-join,
+    never a single-task ordered scan."""
+    from ..operators.relational import runs_test
+
+    return runs_test(_docs(spark, sf_dir), F.col("lang") == "en")
+
+
+_SQL_RUNS_TEST = """
+WITH b0 AS (
+  SELECT doc_id::bigint AS id,
+    (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::bigint AS y
+  FROM documents
+),
+bd AS (
+  SELECT coalesce(sum(CASE WHEN a.y <> b.y THEN 1 ELSE 0 END),
+                  0)::bigint AS b
+  FROM b0 a JOIN b0 b ON a.id + 1 = b.id
+),
+t AS (SELECT sum(1 - y)::bigint AS n0, sum(y)::bigint AS n1 FROM b0)
+SELECT n0, n1, (b + 1)::bigint AS n_runs,
+  CASE WHEN n0 > 0 AND n1 > 0 AND n0 + n1 > 2 THEN
+    floor((((b + 1)::double
+            - (2.0 * n0::double * n1::double
+               / (n0::double + n1::double) + 1))
+           / sqrt((2.0 * n0::double * n1::double)
+                  * (2.0 * n0::double * n1::double
+                     - (n0::double + n1::double))
+                  / ((n0::double + n1::double)
+                     * (n0::double + n1::double)
+                     * ((n0::double + n1::double) - 1))))
+          * 1000000)::bigint
+  ELSE 0 END AS z_micro
+FROM bd, t
+"""

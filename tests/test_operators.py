@@ -5929,3 +5929,80 @@ def test_rank_machinery_windows_are_value_partitioned(spark):
                 if "Scan parquet" in nxt or "FileScan" in nxt:
                     break
             assert seen_agg, f"{name}: SinglePartition over raw scan\n{plan}"
+
+
+def test_benford_deviation_hand_checked(spark):
+    """Digits of [1, 1, 19, 23, 300, 9]: three leading 1s out of six ->
+    obs 500000 vs Benford 301030; absent digits emit fixed 0-count
+    rows with dev = -expected."""
+    from legal_document_ocr_spark.operators.relational import (
+        BENFORD_MICRO,
+        benford_deviation,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in (1, 1, 19, 23, 300, 9)], "n_chars long"
+    )
+    got = {
+        r["digit"]: (r["n"], r["obs_ppm"], r["dev_ppm"])
+        for r in benford_deviation(df, "n_chars").collect()
+    }
+    assert len(got) == 9
+    assert got[1] == (3, 500000, 500000 - 301030)
+    assert got[2] == (1, 166666, 166666 - 176091)
+    assert got[4] == (0, 0, -BENFORD_MICRO[3])
+    assert got[9] == (1, 166666, 166666 - 45757)
+
+
+def test_runs_test_hand_checked(spark):
+    """[1,1,0,0,1,1] over contiguous ids: 3 runs, mu = 16/6 + 1,
+    var = 160/180 — z replicated with the same pinned float order. A
+    perfectly alternating sequence maximizes runs (z > 0)."""
+    import math
+
+    from legal_document_ocr_spark.operators.relational import runs_test
+
+    flags = [1, 1, 0, 0, 1, 1]
+    df = spark.createDataFrame(
+        [(i, y) for i, y in enumerate(flags)], "doc_id long, y long"
+    )
+    r = runs_test(df, F.col("y") == 1).collect()[0]
+    assert (r["n0"], r["n1"], r["n_runs"]) == (2, 4, 3)
+    n0, n1 = 2.0, 4.0
+    n = n0 + n1
+    mu = 2.0 * n0 * n1 / n + 1
+    var = (2.0 * n0 * n1) * (2.0 * n0 * n1 - n) / (n * n * (n - 1))
+    assert r["z_micro"] == math.floor((3.0 - mu) / math.sqrt(var) * 1000000)
+    alt = spark.createDataFrame(
+        [(i, i % 2) for i in range(8)], "doc_id long, y long"
+    )
+    assert runs_test(alt, F.col("y") == 1).collect()[0]["z_micro"] > 0
+
+
+def test_grid_dbscan_hand_checked(spark):
+    """2-bit lattice, min_pts=2: sign cells (-,-) x3 and (+,-) x2 are
+    Hamming-1 adjacent -> ONE cluster of 5 points across 2 cells; the
+    lone (-,+) point is noise. Diagonal cells (Hamming-2) do NOT merge."""
+    from legal_document_ocr_spark.operators.similarity import grid_dbscan
+
+    rows = [
+        (1, [-1.0, -1.0]), (2, [-2.0, -1.0]), (3, [-1.0, -3.0]),
+        (4, [1.0, -1.0]), (5, [2.0, -2.0]),
+        (6, [-1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r["cluster_id"], r["n_buckets"], r["n_points"])
+        for r in grid_dbscan(df, bucket_dims=2, min_pts=2).collect()
+    ]
+    assert got == [(-1, 1, 1), (0, 2, 5)]
+    diag = spark.createDataFrame(
+        [(1, [-1.0, -1.0]), (2, [-1.0, -2.0]), (3, [-2.0, -1.0]),
+         (4, [1.0, 1.0]), (5, [2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got2 = [
+        (r["cluster_id"], r["n_buckets"], r["n_points"])
+        for r in grid_dbscan(diag, bucket_dims=2, min_pts=2).collect()
+    ]
+    assert got2 == [(-1, 0, 0), (0, 1, 3), (3, 1, 2)]
