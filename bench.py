@@ -104,6 +104,12 @@ HEADLINE = [
     "crossval_ols",           # k-fold CV from subtracted sufficient stats
     "multiprobe_knn",         # Hamming-1 probe set -> bucket equi-join
     "curriculum_order",       # quantile phases + in-phase two-phase rank
+    "kendall_tau",            # bounded joint-bucket pair counting
+    "spearman_rho",           # two-phase unique ranks, no global sort
+    "avg_precision",          # exact AP over two-phase ranks
+    "keyness_terms",          # Dunning G2 on the vocab x groups table
+    "grid_dbscan",            # sign-lattice density CC, zero pair dists
+    "vocab_churn",            # vocabulary-sized membership-bit groupBy
 ]
 
 

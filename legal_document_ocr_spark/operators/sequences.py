@@ -163,3 +163,74 @@ def event_bursts(
             .alias("burst_micro"),
         )
     )
+
+
+def event_acf(
+    events: DataFrame,
+    *,
+    max_lag: int = 7,
+    ts_col: str = "ts",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Lag-k autocorrelation of the daily event count series — the
+    seasonality detector behind crawl/traffic scheduling (a strong
+    lag-7 says weekly rhythm; a slowly-decaying ACF says trend, and
+    either breaks the "i.i.d. days" assumption burst detection makes).
+
+    Per lag: Pearson r over the (day, day+lag) matched pairs, from
+    exact bigint moments via an EQUI-join of the bounded day-count
+    table with itself — never a sequential window. r is one
+    pinned-order IEEE expression per lag, floored to micro.
+
+    Scale shape: the corpus is touched by ONE map-side-combined
+    groupBy(day); the per-lag joins, moments, and the final union all
+    run on the bounded day table (days, not events).
+
+    Output: (lag, n_pairs, r_micro) for lag = 1..max_lag.
+    """
+    day = F.floor(
+        F.col(ts_col).cast("timestamp").cast("long") / bucket_seconds
+    ).cast("long")
+    counts = (
+        events.select(day.alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("c"))
+        .persist()
+    )
+    lagged = counts.select(F.col("d").alias("dl"), F.col("c").alias("cl"))
+    spark = events.sparkSession
+    out = None
+    for lag in range(1, max_lag + 1):
+        pairs = counts.join(
+            lagged.hint("shuffle_hash"),
+            F.col("d") + lag == F.col("dl"),
+        )
+        agg = pairs.agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("c").cast("long").alias("sx"),
+            F.sum("cl").cast("long").alias("sy"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sxx"),
+            F.sum(F.col("cl").cast("decimal(38,0)") * F.col("cl")).alias(
+                "syy"
+            ),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("cl")).alias(
+                "sxy"
+            ),
+        ).select(F.lit(lag).cast("long").alias("lag"), "*")
+        out = agg if out is None else out.unionByName(agg)
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    ok = (F.col("n_pairs") > 1) & (den > 0)
+    return out.select(
+        "lag",
+        "n_pairs",
+        F.when(ok, F.floor(num / den * 1000000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r_micro"),
+    ).orderBy("lag")

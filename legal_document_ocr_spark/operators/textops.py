@@ -4099,3 +4099,159 @@ def lm_greedy_decode(
     return spark.createDataFrame(
         [(i + 1, t) for i, t in enumerate(seq)], "step long, token string"
     )
+
+
+def novelty_curve(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Diminishing-returns curve of more data: walking the corpus in id
+    order, how many NEW shingle types does each doubling of position
+    contribute — the saturation measurement behind "will 10x more of
+    this crawl still teach the model anything?" (flat tail = the
+    marginal crawl is repeats).
+
+    A type is "born" in the doc with the minimum id containing it, so
+    per-bucket novelty needs NO sequential scan: one groupBy(shingle)
+    min gives every type's birth doc, and positions fold into log2
+    buckets via the portable bit-length identity.
+
+    Scale shape: the corpus is exploded to (doc, shingle) twice (type
+    births and per-doc type counts need different keys — the exploded
+    stream is corpus-sized, so it is deliberately NOT persisted); both
+    reductions are map-side-combined; everything after runs on the
+    <= 63-bucket table, including the cumulative window.
+
+    Output: (bucket, n_docs, types_seen, types_new, types_cum,
+    novelty_ppm), ordered by bucket.
+    """
+    from .dedup import shingles
+
+    sh = docs.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.explode(shingles(F.col(text_col), k)).alias("s"),
+    )
+    bucket = F.length(F.bin(F.col("doc") + 1))
+    per_doc = sh.groupBy("doc").agg(F.count("*").cast("long").alias("td"))
+    births = (
+        sh.groupBy("s")
+        .agg(F.min("doc").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count("*").cast("long").alias("tn"))
+    )
+    per_bucket = (
+        per_doc.join(births.hint("shuffle_hash"), "doc", "left")
+        .select(
+            bucket.alias("bucket"),
+            "td",
+            F.coalesce("tn", F.lit(0)).alias("tn"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("td").cast("long").alias("types_seen"),
+            F.sum("tn").cast("long").alias("types_new"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        F.col("bucket").cast("long"),
+        "n_docs",
+        "types_seen",
+        "types_new",
+        F.sum("types_new").over(w).cast("long").alias("types_cum"),
+        F.expr("(types_new * 1000000) div types_seen")
+        .cast("long")
+        .alias("novelty_ppm"),
+    ).orderBy("bucket")
+
+
+def heaps_law(
+    docs: DataFrame,
+    *,
+    levels: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve from NESTED hash subsamples:
+    vocabulary size at 1/2^k of the corpus for k = levels..0, all from
+    ONE scan — the "how much new vocabulary will 10x data bring?"
+    design curve for tokenizer budgets, measured instead of assumed.
+
+    Nesting trick: a doc's level K = number of trailing zero bits of
+    its md5 hash (K >= k <=> the doc is in the 2^-k subsample, and the
+    subsamples nest by construction, so the curve is monotone by
+    construction too). A token's subsample visibility is max K over
+    its docs — one groupBy(token) max; vocab/doc/token counts at every
+    level are SUFFIX sums over the <= levels+1-row K distributions.
+
+    Output: (level, denom, n_docs, n_tokens, vocab), level 0 (full
+    corpus) .. levels, ordered by level.
+    """
+    hb = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hl|"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long") % (1 << levels)
+    # build the ladder inside-out so the OUTERMOST test is the largest
+    # power of two — hb = 0 must classify as level `levels`, not 1
+    kd = F.lit(0)
+    for j in range(1, levels + 1):
+        kd = F.when(F.col("hb") % (1 << j) == 0, F.lit(j)).otherwise(kd)
+    base = docs.select(
+        hb.alias("hb"),
+        ws_tokens(F.lower(F.col(text_col))).alias("toks"),
+    ).select(kd.alias("kd"), "toks")
+    toks = base.select("kd", F.explode("toks").alias("t"))
+    tok_dist = (
+        toks.groupBy("t")
+        .agg(F.max("kd").alias("tk"))
+        .groupBy("tk")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    cnt_dist = base.groupBy("kd").agg(
+        F.count("*").cast("long").alias("d"),
+        F.sum(F.size("toks")).cast("long").alias("tok"),
+    )
+    spark = docs.sparkSession
+    lvls = spark.createDataFrame(
+        [(lv, 1 << lv) for lv in range(levels + 1)], "level long, denom long"
+    )
+    joined = (
+        lvls.crossJoin(F.broadcast(tok_dist))
+        .groupBy("level", "denom")
+        .agg(
+            F.sum(F.when(F.col("tk") >= F.col("level"), F.col("v"))).alias(
+                "vocab"
+            )
+        )
+        .join(
+            lvls.crossJoin(F.broadcast(cnt_dist))
+            .groupBy("level")
+            .agg(
+                F.sum(
+                    F.when(F.col("kd") >= F.col("level"), F.col("d"))
+                ).alias("n_docs"),
+                F.sum(
+                    F.when(F.col("kd") >= F.col("level"), F.col("tok"))
+                ).alias("n_tokens"),
+            ),
+            "level",
+        )
+    )
+    return joined.select(
+        "level",
+        "denom",
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("vocab", F.lit(0)).cast("long").alias("vocab"),
+    ).orderBy("level")

@@ -1464,3 +1464,44 @@ def q_bucketed_join_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_BUCKETED_JOIN_READBACK = """
 SELECT doc_id, source, n_chars, lang FROM documents WHERE doc_id % 2 = 0
 """
+
+
+def q_event_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count autocorrelation at lags 1..7 (sequences.event_acf) —
+    per-lag equi-joins of the bounded day table, exact bigint moments,
+    pinned Pearson expression; UTC-pinned epoch-day buckets."""
+    from ..operators.sequences import event_acf
+
+    return event_acf(_tbl(_utc(spark), sf_dir, "events"), max_lag=7)
+
+
+_SQL_EVENT_ACF = """
+WITH counts AS (
+  SELECT floor(epoch(ts))::bigint // 86400 AS d, count(*)::bigint AS c
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT l.lag, a.c AS x, b.c AS y
+  FROM (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag) l
+  JOIN counts a ON true
+  JOIN counts b ON a.d + l.lag = b.d
+),
+m AS (
+  SELECT lag::bigint AS lag, count(*)::bigint AS n_pairs,
+    sum(x)::bigint AS sx, sum(y)::bigint AS sy,
+    sum(x::hugeint * x) AS sxx, sum(y::hugeint * y) AS syy,
+    sum(x::hugeint * y) AS sxy
+  FROM pairs GROUP BY 1
+)
+SELECT lag, n_pairs,
+  CASE WHEN n_pairs > 1
+        AND sqrt(n_pairs::double * sxx::double - sx::double * sx::double)
+            * sqrt(n_pairs::double * syy::double - sy::double * sy::double)
+            > 0
+    THEN floor((n_pairs::double * sxy::double - sx::double * sy::double)
+         / (sqrt(n_pairs::double * sxx::double - sx::double * sx::double)
+            * sqrt(n_pairs::double * syy::double - sy::double * sy::double))
+         * 1000000)::bigint
+  ELSE 0 END AS r_micro
+FROM m ORDER BY lag
+"""

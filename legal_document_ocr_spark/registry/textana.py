@@ -1499,3 +1499,86 @@ s1 AS (SELECT 1::bigint AS step, w AS token FROM start),
 {chain_sql}
 SELECT step, token FROM ({union}) ORDER BY step
 """
+
+
+# ---------------------------------------------------------------------------
+# novelty_curve / heaps_law (round-4 session-14)
+# ---------------------------------------------------------------------------
+
+
+def q_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diminishing-returns novelty curve (textops.novelty_curve):
+    new shingle types per log2 position bucket — type births from one
+    groupBy(shingle) min, never a sequential scan."""
+    return textops.novelty_curve(_docs(spark, sf_dir), k=3)
+
+
+def _sql_novelty_curve() -> str:
+    from .dedup_olap import _SHINGLES_SQL
+
+    return f"""
+WITH t AS (SELECT doc_id::bigint AS doc, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc, unnest({_SHINGLES_SQL}) AS s FROM t),
+per_doc AS (SELECT doc, count(*)::bigint AS td FROM sh GROUP BY doc),
+births AS (
+  SELECT doc, count(*)::bigint AS tn FROM (
+    SELECT s, min(doc) AS doc FROM sh GROUP BY s
+  ) GROUP BY doc
+),
+pb AS (
+  SELECT length(bin(doc + 1)) AS bucket, td, coalesce(tn, 0) AS tn
+  FROM per_doc LEFT JOIN births USING (doc)
+),
+g AS (
+  SELECT bucket::bigint AS bucket, count(*)::bigint AS n_docs,
+    sum(td)::bigint AS types_seen, sum(tn)::bigint AS types_new
+  FROM pb GROUP BY 1
+)
+SELECT bucket, n_docs, types_seen, types_new,
+  sum(types_new) OVER (ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS types_cum,
+  ((types_new * 1000000) // types_seen)::bigint AS novelty_ppm
+FROM g ORDER BY bucket
+"""
+
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth (textops.heaps_law) from nested
+    trailing-zero hash subsamples — the whole curve from one scan."""
+    return textops.heaps_law(_docs(spark, sf_dir), levels=6)
+
+
+def _sql_heaps_law(levels: int = 6) -> str:
+    ladder = " ".join(
+        f"WHEN hb % {1 << j} = 0 THEN {j}"
+        for j in range(levels, 0, -1)
+    )
+    lvls = list(range(levels + 1))
+    denoms = [1 << lv for lv in lvls]
+    return f"""
+WITH d AS (
+  SELECT ('0x' || substr(md5('hl|' || doc_id::varchar), 1, 15))::bigint
+    % {1 << levels} AS hb, {_TOKS} AS toks
+  FROM documents
+),
+base AS (
+  SELECT CASE {ladder} ELSE 0 END AS kd, toks FROM d
+),
+toks2 AS (SELECT kd, unnest(toks) AS t FROM base),
+td AS (
+  SELECT tk, count(*)::bigint AS v
+  FROM (SELECT t, max(kd) AS tk FROM toks2 GROUP BY t) GROUP BY tk
+),
+cd AS (
+  SELECT kd, count(*)::bigint AS dn, sum(len(toks))::bigint AS tok
+  FROM base GROUP BY kd
+),
+lv AS (SELECT unnest({lvls}) AS level, unnest({denoms}) AS denom)
+SELECT level::bigint AS level, denom::bigint AS denom,
+  coalesce((SELECT sum(dn) FROM cd WHERE kd >= level), 0)::bigint
+    AS n_docs,
+  coalesce((SELECT sum(tok) FROM cd WHERE kd >= level), 0)::bigint
+    AS n_tokens,
+  coalesce((SELECT sum(v) FROM td WHERE tk >= level), 0)::bigint AS vocab
+FROM lv ORDER BY level
+"""

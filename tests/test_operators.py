@@ -6006,3 +6006,94 @@ def test_grid_dbscan_hand_checked(spark):
         for r in grid_dbscan(diag, bucket_dims=2, min_pts=2).collect()
     ]
     assert got2 == [(-1, 0, 0), (0, 1, 3), (3, 1, 2)]
+
+
+def test_novelty_curve_hand_checked(spark):
+    """doc0 'a b c d' births both its shingles; doc1 repeats one of
+    them (0 novel); doc2 is fresh. Bucket 1 = {doc0}, bucket 2 =
+    {doc1, doc2} -> novelty 1e6 then 5e5, cum types 2 then 3."""
+    from legal_document_ocr_spark.operators.textops import novelty_curve
+
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c"), (2, "x y z")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["bucket"], r["n_docs"], r["types_seen"], r["types_new"],
+         r["types_cum"], r["novelty_ppm"])
+        for r in novelty_curve(df, k=3).collect()
+    ]
+    assert got == [(1, 1, 2, 2, 2, 1000000), (2, 2, 2, 1, 3, 500000)]
+
+
+def test_heaps_law_matches_python_replication(spark):
+    """Nested trailing-zero subsamples replicated in Python with the
+    same md5 convention: per-level doc counts match exactly, level 0 is
+    the full corpus, and the curve is monotone non-increasing."""
+    import hashlib
+
+    from legal_document_ocr_spark.operators.textops import heaps_law
+
+    docs = [(i, f"w{i % 7} w{i % 3} common") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = heaps_law(df, levels=4).orderBy("level").collect()
+
+    def kd(doc):
+        hb = int(hashlib.md5(f"hl|{doc}".encode()).hexdigest()[:15], 16) % 16
+        return max((j for j in range(5) if hb % (1 << j) == 0), default=0)
+
+    ks = {i: kd(i) for i, _ in docs}
+    for r in rows:
+        lv = r["level"]
+        member = [i for i in ks if ks[i] >= lv]
+        assert r["n_docs"] == len(member)
+        assert r["n_tokens"] == 3 * len(member)
+        vocab = {w for i in member for w in docs[i][1].split()}
+        assert r["vocab"] == len(vocab)
+    assert rows[0]["n_docs"] == 40 and rows[0]["vocab"] == 8
+    vs = [r["vocab"] for r in rows]
+    assert vs == sorted(vs, reverse=True)
+
+
+def test_event_acf_hand_checked(spark):
+    """Period-4 daily counts [1,2,3,4]x3: lag-4 autocorrelation is
+    exactly 1 (identical series), lag-2 is strongly negative —
+    expectations replicated with the same pinned float op order."""
+    import datetime
+    import math
+
+    from legal_document_ocr_spark.operators.sequences import event_acf
+
+    counts = [1, 2, 3, 4] * 3
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1 + d, 12, 0, 0))
+            )
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {
+        r["lag"]: (r["n_pairs"], r["r_micro"])
+        for r in event_acf(df, max_lag=4).collect()
+    }
+
+    def pearson(lag):
+        xs = counts[:-lag]
+        ys = counts[lag:]
+        n = float(len(xs))
+        sx, sy = float(sum(xs)), float(sum(ys))
+        sxx = float(sum(x * x for x in xs))
+        syy = float(sum(y * y for y in ys))
+        sxy = float(sum(x * y for x, y in zip(xs, ys)))
+        num = n * sxy - sx * sy
+        den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        return math.floor(num / den * 1000000)
+
+    for lag in (1, 2, 3, 4):
+        assert got[lag] == (12 - lag, pearson(lag)), lag
+    # FP: floor((num/den)*1e6) of an exact-1 correlation lands on
+    # 999999 or 1000000 depending on the sqrt rounding — both engines
+    # agree (the replication above pins the exact value)
+    assert got[4][1] >= 999999 and got[2][1] < -500000
