@@ -3826,3 +3826,61 @@ def runs_test(df: DataFrame, flag, id_col: str = "doc_id") -> DataFrame:
         .cast("long")
         .alias("z_micro"),
     )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    val_col: str = "n_chars",
+) -> DataFrame:
+    """Apply a CDC changelog (insert/update/delete rows with a sequence
+    number) onto a base snapshot — the MERGE INTO a lakehouse table
+    format runs, restated in pure DataFrame algebra so it works on any
+    parquet snapshot: last-writer-wins per key, deletes drop the row,
+    inserts/updates carry the new value, untouched base rows pass
+    through.
+
+    Scale shape: the changelog collapses to ONE row per touched key
+    with a single map-side-combined max(struct(seq, op, val)) — ordered
+    structs make "latest change" an aggregate, not a window — then ONE
+    full-outer shuffle join against the base on the key. Both sides are
+    corpus-sized: the join is pinned shuffle_hash, nothing broadcasts.
+
+    Output: (key, val, origin) where origin is 'base', 'insert', or
+    'update' — deleted keys are absent.
+    """
+    latest = (
+        changes.select(
+            F.col(key_col).alias("k"),
+            F.struct(
+                F.col(seq_col).cast("long").alias("seq"),
+                F.col(op_col).alias("op"),
+                F.col(val_col).cast("long").alias("val"),
+            ).alias("ch"),
+        )
+        .groupBy("k")
+        .agg(F.max("ch").alias("ch"))
+    )
+    b = base.select(
+        F.col(key_col).alias("k"), F.col(val_col).cast("long").alias("bval")
+    )
+    joined = b.hint("shuffle_hash").join(
+        latest.hint("shuffle_hash"), "k", "full_outer"
+    )
+    alive = joined.where(
+        F.col("ch").isNull() | (F.col("ch.op") != "D")
+    )
+    return alive.select(
+        F.col("k").alias(key_col),
+        F.coalesce(F.col("ch.val"), F.col("bval"))
+        .cast("long")
+        .alias(val_col),
+        F.when(F.col("ch").isNull(), F.lit("base"))
+        .when(F.col("bval").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("origin"),
+    ).orderBy(key_col)

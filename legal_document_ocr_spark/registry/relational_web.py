@@ -2461,3 +2461,88 @@ SELECT step::bigint AS step, at_risk, deaths,
   ((deaths * 1000000) // at_risk)::bigint AS hazard_micro
 FROM life WHERE step >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# cdc_apply (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def _synth_cdc_changes(docs: DataFrame) -> DataFrame:
+    """Deterministic CDC changelog over documents: seq-1 updates for
+    doc_id%5, seq-2 re-updates for %15 (last-writer-wins fodder),
+    seq-3 deletes for %10, and brand-new keys (+10M) for %20."""
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    upd1 = d.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("n_chars") + 1000).alias("n_chars"),
+    )
+    upd2 = d.where(F.col("doc_id") % 15 == 0).select(
+        "doc_id",
+        F.lit(2).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("n_chars") + 2000).alias("n_chars"),
+    )
+    dele = d.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.lit(3).cast("long").alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(0).cast("long").alias("n_chars"),
+    )
+    ins = d.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+        F.col("n_chars"),
+    )
+    return upd1.unionByName(upd2).unionByName(dele).unionByName(ins)
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog merge (relational.cdc_apply): last-writer-wins
+    collapse of a deterministic insert/update/delete log onto the
+    documents snapshot — the MERGE INTO shape as one aggregate + one
+    shuffle_hash full-outer join, nothing broadcast."""
+    from ..operators.relational import cdc_apply
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return cdc_apply(docs, _synth_cdc_changes(docs))
+
+
+_SQL_CDC_APPLY = """
+WITH ch AS (
+  SELECT doc_id::bigint AS k, 1::bigint AS seq, 'U' AS op,
+    (n_chars + 1000)::bigint AS val
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id::bigint, 2, 'U', (n_chars + 2000)::bigint
+  FROM documents WHERE doc_id % 15 = 0
+  UNION ALL
+  SELECT doc_id::bigint, 3, 'D', 0
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT (doc_id + 10000000)::bigint, 1, 'U', n_chars::bigint
+  FROM documents WHERE doc_id % 20 = 0
+),
+latest AS (
+  SELECT k, op, val FROM (
+    SELECT k, op, val,
+      row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM ch
+  ) WHERE rn = 1
+),
+b AS (SELECT doc_id::bigint AS k, n_chars::bigint AS bval FROM documents)
+SELECT coalesce(b.k, latest.k)::bigint AS doc_id,
+  coalesce(latest.val, b.bval)::bigint AS n_chars,
+  CASE WHEN latest.k IS NULL THEN 'base'
+       WHEN b.k IS NULL THEN 'insert'
+       ELSE 'update' END AS origin
+FROM b FULL OUTER JOIN latest ON b.k = latest.k
+WHERE latest.op IS NULL OR latest.op <> 'D'
+ORDER BY doc_id
+"""

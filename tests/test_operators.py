@@ -6097,3 +6097,49 @@ def test_event_acf_hand_checked(spark):
     # 999999 or 1000000 depending on the sqrt rounding — both engines
     # agree (the replication above pins the exact value)
     assert got[4][1] >= 999999 and got[2][1] < -500000
+
+
+def test_cdc_apply_hand_checked(spark):
+    """Base {1:10, 2:20, 3:30}; changelog: k=2 seq1 U->25 then seq2
+    D (last-writer-wins delete), k=3 seq1 U->31 then seq2 U->32,
+    k=9 seq1 insert 90. Result keeps 1 as base, drops 2, updates 3
+    to the LATEST value, inserts 9."""
+    from legal_document_ocr_spark.operators.relational import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "doc_id long, n_chars long"
+    )
+    ch = spark.createDataFrame(
+        [
+            (2, 1, "U", 25),
+            (2, 2, "D", 0),
+            (3, 1, "U", 31),
+            (3, 2, "U", 32),
+            (9, 1, "U", 90),
+        ],
+        "doc_id long, seq long, op string, n_chars long",
+    )
+    got = [
+        (r["doc_id"], r["n_chars"], r["origin"])
+        for r in cdc_apply(base, ch).collect()
+    ]
+    assert got == [(1, 10, "base"), (3, 32, "update"), (9, 90, "insert")]
+
+
+def test_cdc_apply_plan_no_broadcast(spark):
+    """Both CDC join sides are corpus-sized: the merge join must be
+    ShuffledHashJoin, never a broadcast."""
+    from legal_document_ocr_spark.operators.relational import cdc_apply
+
+    base = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("n_chars")
+    )
+    ch = spark.range(0, 100, 7).select(
+        F.col("id").alias("doc_id"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        F.lit(5).cast("long").alias("n_chars"),
+    )
+    plan = cdc_apply(base, ch)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
