@@ -819,3 +819,66 @@ def exif_extract(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         "doc_id", f"{payload_col} as payload"
     )
     return selected.mapInPandas(_exif_extract, EXIF_SCHEMA)
+
+
+# Magic-byte sniff table: (hex prefix of the payload's first bytes, mime).
+# Order matters — longest/most-specific first. Pure JVM (hex + startswith):
+# the sniff itself never leaves whole-stage codegen, and payload bytes are
+# dropped immediately after the 8-byte prefix is hexed.
+SNIFF_MAGIC: tuple[tuple[str, str], ...] = (
+    ("89504E47", "image/png"),
+    ("474946383761", "image/gif"),
+    ("474946383961", "image/gif"),
+    ("FFD8FF", "image/jpeg"),
+    ("255044462D", "application/pdf"),
+    ("52494646", "audio/wav"),  # RIFF container (WAV here)
+    ("3C", "text/html"),  # '<' — markup-leading payload
+)
+
+
+def sniff_content_type(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Append a ``sniffed`` mime column derived from the payload's magic
+    bytes — the server-declared Content-Type on real crawls is wrong
+    often enough (mislabeled images, HTML error pages served as
+    image/*) that every ingest pipeline re-sniffs before routing to a
+    decoder. JVM-only: hex of the first 8 bytes + a startswith CASE
+    ladder; no Python touches the payload."""
+    prefix = F.hex(F.expr(f"substring({payload_col}, 1, 8)"))
+    expr = F.lit("application/octet-stream")
+    for magic, mime in reversed(SNIFF_MAGIC):
+        expr = F.when(prefix.startswith(magic), F.lit(mime)).otherwise(expr)
+    return df.withColumn("sniffed", expr)
+
+
+def content_type_census(
+    df: DataFrame,
+    payload_col: str = "payload",
+    declared_col: str = "declared",
+) -> DataFrame:
+    """Declared-vs-sniffed Content-Type census: group counts over
+    (declared, sniffed) with a mismatch flag — the routing-table audit
+    that sizes how much of a crawl is mislabeled (and would hit the
+    wrong decoder if the declared header were trusted).
+
+    Scale shape: payload bytes reduce to an 8-byte hex prefix inside
+    the scan projection, then ONE map-side-combined groupBy over the
+    bounded (mime × mime) pair domain — payloads never reach the
+    exchange. Output: (declared, sniffed, n, mismatch) ordered."""
+    sniffed = sniff_content_type(df, payload_col)
+    return (
+        sniffed.groupBy(
+            F.col(declared_col).alias("declared"), F.col("sniffed")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "declared",
+            "sniffed",
+            "n",
+            (F.col("declared") != F.col("sniffed"))
+            .cast("long")
+            .alias("mismatch"),
+        )
+        .orderBy("declared", "sniffed")
+    )

@@ -234,3 +234,68 @@ def event_acf(
         .cast("long")
         .alias("r_micro"),
     ).orderBy("lag")
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    bucket_seconds: int = 86400,
+    top_k: int = 5,
+) -> DataFrame:
+    """Offline CUSUM changepoint scan over the daily event-count
+    series — the level-shift detector that tells a crawl scheduler
+    "traffic regime changed HERE" (deploy, outage, seasonality break).
+
+    For split point k of n days with cumulative sum S_k and total T,
+    the scaled CUSUM statistic is |n*S_k - k*T| (the classic
+    |S_k - (k/n)*T| times n, so it stays an EXACT bigint — no floats
+    anywhere). The maximizing day is the changepoint estimate; the
+    top_k candidates are returned for inspection.
+
+    Scale shape: the corpus is touched by ONE map-side-combined
+    groupBy(day); the cumulative sum and ranking run on the bounded
+    day table only (days, not events — the documented bounded-domain
+    window exception, same as shard_assign). |n*S_k| ≤ 3.7e16 even at
+    10^12 events over a century of days — bigint-safe.
+
+    Output: (day, k, cum, stat) for the top_k interior splits,
+    strongest first, day ascending on ties.
+    """
+    from pyspark.sql import Window
+
+    day = F.floor(
+        F.col(ts_col).cast("timestamp").cast("long") / bucket_seconds
+    ).cast("long")
+    counts = (
+        events.select(day.alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.orderBy("day")
+    ranked = counts.select(
+        "day",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum("c").over(w).cast("long").alias("cum"),
+    )
+    tot = counts.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("total"),
+    )
+    scored = ranked.crossJoin(F.broadcast(tot)).where(
+        F.col("k") < F.col("n_days")
+    )
+    return (
+        scored.select(
+            "day",
+            "k",
+            "cum",
+            F.abs(
+                F.col("n_days") * F.col("cum") - F.col("k") * F.col("total")
+            )
+            .cast("long")
+            .alias("stat"),
+        )
+        .orderBy(F.desc("stat"), F.asc("day"))
+        .limit(top_k)
+    )

@@ -4255,3 +4255,66 @@ def heaps_law(
         F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         F.coalesce("vocab", F.lit(0)).cast("long").alias("vocab"),
     ).orderBy("level")
+
+
+def good_turing(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    max_r: int = 10,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Good–Turing frequency smoothing over the unigram vocabulary:
+    the counts-of-counts table N_r (#types seen exactly r times) and
+    the smoothed count r* = (r+1)·N_{r+1}/N_r for the low-frequency
+    head — the classic unseen-mass estimator behind Katz backoff and
+    the "how much vocabulary have we NOT crawled yet" gauge (the
+    unseen probability mass is N_1/T).
+
+    All-integer: r*_micro = ((r+1)·N_{r+1}·1e6) div N_r, exact
+    truncating division in both engines. Bigint bound: N_{r+1} ≤
+    total tokens T, so the numerator ≤ (max_r+1)·T·1e6 — safe for
+    T up to ~8e11 at max_r=10; beyond that widen to decimal(38,0).
+
+    The type domain is k-word SHINGLES (dedup.shingles, multiset
+    semantics), not unigrams — web-corpus unigram vocabularies have no
+    low-frequency tail worth smoothing at small scale, while the
+    shingle space always does; it is also the domain Katz-style LMs
+    actually smooth.
+
+    Scale shape: the corpus is touched by ONE explode + map-side-
+    combined groupBy(shingle); counts-of-counts runs on the type table
+    (map-side combined again), and the r↔r+1 self-join runs on the
+    PROVABLY bounded distribution table (k distinct counts need
+    Σr ≥ k(k+1)/2 tokens, so k ≤ √(2T)) — pinned shuffle_hash,
+    nothing corpus-sized broadcasts.
+
+    Output: (r, n_r, n_r_next, r_star_micro) for r = 1..max_r.
+    """
+    from .dedup import shingles
+
+    toks = docs.select(
+        F.explode(shingles(F.col(text_col), shingle_k, distinct=False)).alias(
+            "token"
+        )
+    )
+    types = toks.groupBy("token").agg(F.count("*").cast("long").alias("r"))
+    dist = types.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
+    nxt = dist.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next")
+    )
+    joined = (
+        dist.where(F.col("r") <= max_r)
+        .hint("shuffle_hash")
+        .join(nxt.hint("shuffle_hash"), "r", "left")
+    )
+    return joined.select(
+        F.col("r").cast("long").alias("r"),
+        F.col("n_r").cast("long").alias("n_r"),
+        F.coalesce("n_r_next", F.lit(0)).cast("long").alias("n_r_next"),
+        F.expr(
+            "((r + 1) * coalesce(n_r_next, 0) * 1000000) div n_r"
+        )
+        .cast("long")
+        .alias("r_star_micro"),
+    ).orderBy("r")

@@ -1505,3 +1505,36 @@ SELECT lag, n_pairs,
   ELSE 0 END AS r_micro
 FROM m ORDER BY lag
 """
+
+
+# ---------------------------------------------------------------------------
+# cusum_changepoint (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM level-shift scan over daily event counts
+    (sequences.cusum_changepoint) — exact bigint |n·S_k − k·T|
+    statistic, ranked on the bounded day table only."""
+    from ..operators.sequences import cusum_changepoint
+
+    return cusum_changepoint(_tbl(_utc(spark), sf_dir, "events"), top_k=5)
+
+
+_SQL_CUSUM_CHANGEPOINT = """
+WITH c AS (
+  SELECT floor(epoch(ts))::bigint // 86400 AS day, count(*)::bigint AS c
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT day, row_number() OVER (ORDER BY day) AS k,
+    sum(c) OVER (ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM c
+),
+t AS (SELECT count(*)::bigint AS n_days, sum(c)::bigint AS total FROM c)
+SELECT day::bigint AS day, k::bigint AS k, cum::bigint AS cum,
+  abs(n_days * cum - k * total)::bigint AS stat
+FROM r, t WHERE k < n_days
+ORDER BY stat DESC, day ASC LIMIT 5
+"""

@@ -601,3 +601,87 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_STREAM_DEDUP_WM = """
 SELECT DISTINCT user_id::bigint AS user_id, event_type FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# content_type_mismatch (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+_CT_MIMES = (
+    "image/png",
+    "image/gif",
+    "image/jpeg",
+    "application/pdf",
+    "text/html",
+    "text/plain",
+)
+# Magic prefixes paired 1:1 with _CT_MIMES ('' = no magic, raw text bytes).
+_CT_MAGIC = (
+    "89504E470D0A1A0A",
+    "474946383961",
+    "FFD8FFE0",
+    "255044462D312E34",
+    "3C68746D6C3E",
+    "",
+)
+
+
+def q_content_type_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-sniffed Content-Type census
+    (multimodal.content_type_census): deterministic payloads built as
+    magic-prefix || utf-8(text) with every third document's declared
+    header rotated one family off — the mislabeled-crawl audit. The
+    sniff is pure JVM (hex prefix CASE ladder); payload bytes never
+    reach the exchange."""
+    from ..operators.multimodal import content_type_census
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    fam = (F.col("doc_id") % 6).cast("int")
+    magic = F.element_at(
+        F.array(*[F.lit(m) for m in _CT_MAGIC]), fam + 1
+    )
+    decl_idx = (
+        fam
+        + F.when(F.col("doc_id") % 3 == 0, F.lit(1)).otherwise(F.lit(0))
+    ) % 6 + 1
+    payloads = d.select(
+        F.concat(F.unhex(magic), F.encode(F.col("text"), "UTF-8")).alias(
+            "payload"
+        ),
+        F.element_at(
+            F.array(*[F.lit(m) for m in _CT_MIMES]), decl_idx
+        ).alias("declared"),
+    )
+    return content_type_census(payloads)
+
+
+_SQL_CONTENT_TYPE_MISMATCH = f"""
+WITH mm AS (
+  SELECT unnest([0, 1, 2, 3, 4, 5]) AS fam,
+         unnest({list(_CT_MIMES)}) AS mime,
+         unnest({list(_CT_MAGIC)}) AS magic
+),
+p AS (
+  SELECT m.magic || upper(hex(encode(d.text))) AS hx, dm.mime AS declared
+  FROM documents d
+  JOIN mm m ON m.fam = d.doc_id % 6
+  JOIN mm dm ON dm.fam =
+    (d.doc_id % 6 + CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 0 END) % 6
+),
+s AS (
+  SELECT declared,
+    CASE
+      WHEN substr(hx, 1, 8) = '89504E47' THEN 'image/png'
+      WHEN substr(hx, 1, 12) IN ('474946383761', '474946383961')
+        THEN 'image/gif'
+      WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+      WHEN substr(hx, 1, 10) = '255044462D' THEN 'application/pdf'
+      WHEN substr(hx, 1, 8) = '52494646' THEN 'audio/wav'
+      WHEN substr(hx, 1, 2) = '3C' THEN 'text/html'
+      ELSE 'application/octet-stream' END AS sniffed
+  FROM p
+)
+SELECT declared, sniffed, count(*)::bigint AS n,
+  (CASE WHEN declared <> sniffed THEN 1 ELSE 0 END)::bigint AS mismatch
+FROM s GROUP BY declared, sniffed ORDER BY declared, sniffed
+"""

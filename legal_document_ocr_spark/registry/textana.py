@@ -1582,3 +1582,34 @@ SELECT level::bigint AS level, denom::bigint AS denom,
   coalesce((SELECT sum(v) FROM td WHERE tk >= level), 0)::bigint AS vocab
 FROM lv ORDER BY level
 """
+
+
+# ---------------------------------------------------------------------------
+# good_turing (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing counts-of-counts + smoothed r* for the unigram head
+    over 3-word shingles (textops.good_turing) — all-integer truncating
+    division, self-join on the bounded distribution table."""
+    return textops.good_turing(_docs(spark, sf_dir), max_r=10, shingle_k=3)
+
+
+_SQL_GOOD_TURING = f"""
+WITH t AS (
+  SELECT {_TOKS} AS toks FROM documents WHERE trim(text) <> ''
+),
+sh AS (
+  SELECT array_to_string(toks[j:j+2], ' ') AS token
+  FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(j)
+),
+types AS (SELECT token, count(*)::bigint AS r FROM sh GROUP BY token),
+dist AS (SELECT r, count(*)::bigint AS n_r FROM types GROUP BY r)
+SELECT d.r::bigint AS r, d.n_r AS n_r,
+  coalesce(nx.n_r, 0)::bigint AS n_r_next,
+  (((d.r + 1) * coalesce(nx.n_r, 0) * 1000000) // d.n_r)::bigint
+    AS r_star_micro
+FROM dist d LEFT JOIN dist nx ON nx.r = d.r + 1
+WHERE d.r <= 10 ORDER BY d.r
+"""

@@ -6143,3 +6143,76 @@ def test_cdc_apply_plan_no_broadcast(spark):
     plan = cdc_apply(base, ch)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan
     assert "ShuffledHashJoin" in plan
+
+
+def test_cusum_changepoint_hand_checked(spark):
+    """Daily counts [1,1,1,5,5]: stat_k = |5*S_k - 13k| = [8,16,24,12]
+    -> the max sits at k=3, the last day BEFORE the level shift."""
+    from datetime import datetime, timezone
+
+    from legal_document_ocr_spark.operators.sequences import (
+        cusum_changepoint,
+    )
+
+    rows = []
+    for day, n in enumerate([1, 1, 1, 5, 5]):
+        for i in range(n):
+            rows.append(
+                (datetime.fromtimestamp(day * 86400 + i, tz=timezone.utc),)
+            )
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = [
+        (r["day"], r["k"], r["cum"], r["stat"])
+        for r in cusum_changepoint(df, top_k=2).collect()
+    ]
+    assert got == [(2, 3, 3, 24), (1, 2, 2, 16)]
+
+
+def test_good_turing_hand_checked(spark):
+    """'a b c a b c a b d': 3-shingles count 2,2,2,1 -> N_1=1, N_2=3;
+    r*=1 smooths to 2*N_2/N_1 = 6.0 (6e6 micro), r=2 has no N_3."""
+    from legal_document_ocr_spark.operators.textops import good_turing
+
+    df = spark.createDataFrame([("a b c a b c a b d",)], "text string")
+    got = [
+        (r["r"], r["n_r"], r["n_r_next"], r["r_star_micro"])
+        for r in good_turing(df, shingle_k=3).collect()
+    ]
+    assert got == [(1, 1, 3, 6000000), (2, 3, 0, 0)]
+
+
+def test_content_type_census_hand_checked(spark):
+    """PNG magic sniffs image/png regardless of header; '<' payloads
+    sniff text/html; unknown leading bytes fall through to
+    octet-stream. Census counts (declared, sniffed) with mismatch."""
+    from legal_document_ocr_spark.operators.multimodal import (
+        content_type_census,
+        sniff_content_type,
+    )
+
+    rows = [
+        (b"\x89PNG\r\n\x1a\njunk", "image/png"),
+        (b"\x89PNG\r\n\x1a\nmore", "text/plain"),
+        (b"<html><body>", "text/html"),
+        (b"hello world", "text/plain"),
+        (b"GIF89a\x00", "image/png"),
+    ]
+    df = spark.createDataFrame(rows, "payload binary, declared string")
+    sniffed = {
+        r["declared"] + "|" + str(r["payload"][:4]): r["sniffed"]
+        for r in sniff_content_type(df).collect()
+    }
+    assert sniffed["image/png|" + str(b"\x89PNG")] == "image/png"
+    assert sniffed["text/html|" + str(b"<htm")] == "text/html"
+    assert sniffed["text/plain|" + str(b"hell")] == "application/octet-stream"
+    got = [
+        (r["declared"], r["sniffed"], r["n"], r["mismatch"])
+        for r in content_type_census(df).collect()
+    ]
+    assert got == [
+        ("image/png", "image/gif", 1, 1),
+        ("image/png", "image/png", 1, 0),
+        ("text/html", "text/html", 1, 0),
+        ("text/plain", "application/octet-stream", 1, 1),
+        ("text/plain", "image/png", 1, 1),
+    ]
