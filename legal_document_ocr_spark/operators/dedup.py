@@ -2194,6 +2194,71 @@ def ari_eval(
     )
 
 
+def purity_eval(
+    assign: DataFrame,
+    truth: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    family_col: str = "family_id",
+) -> DataFrame:
+    """Purity / inverse-purity / their harmonic mean for a dedup
+    clustering vs planted ground truth — the asymmetric companion to
+    ``ari_eval``/``bcubed_eval``: purity punishes merged families
+    (each cluster's majority family share), inverse purity punishes
+    split families, and unlike NMI both are fully RATIONAL — no
+    logarithms, so no cross-engine libm risk.
+
+    With s_p = Σ_c max_f n_cf and s_i = Σ_f max_c n_cf over the
+    contingency table: purity = s_p/n, inverse = s_i/n, and the
+    harmonic F = 2·s_p·s_i / (n·(s_p+s_i)). Micro values divide as
+    ONE pinned double expression each (products reach ~2e24 at
+    corpus scale — past bigint, exactly representable concerns are
+    moot at micro precision).
+
+    Scale shape: identical to ``ari_eval`` — one doc-keyed
+    shuffle_hash join, then per-cluster / per-family maxima as
+    map-side-combined aggregates over the bounded contingency table.
+
+    Output: one row (n_docs, s_purity, s_inverse, purity_micro,
+    inverse_micro, f_micro).
+    """
+    j = assign.select(
+        F.col(id_col).alias("_pu_id"), F.col(cluster_col).alias("c")
+    ).join(
+        truth.select(
+            F.col(id_col).alias("_pu_id"), F.col(family_col).alias("f")
+        ).hint("shuffle_hash"),
+        "_pu_id",
+    )
+    cf = j.groupBy("c", "f").agg(F.count("*").cast("long").alias("n_cf"))
+    n = cf.agg(F.sum("n_cf").cast("long").alias("n_docs"))
+    sp = (
+        cf.groupBy("c")
+        .agg(F.max("n_cf").alias("m"))
+        .agg(F.sum("m").cast("long").alias("s_purity"))
+    )
+    si = (
+        cf.groupBy("f")
+        .agg(F.max("n_cf").alias("m"))
+        .agg(F.sum("m").cast("long").alias("s_inverse"))
+    )
+    one = n.crossJoin(F.broadcast(sp)).crossJoin(F.broadcast(si))
+    nd = F.col("n_docs").cast("double")
+    p = F.col("s_purity").cast("double")
+    i = F.col("s_inverse").cast("double")
+    return one.select(
+        "n_docs",
+        "s_purity",
+        "s_inverse",
+        F.floor(p / nd * 1000000).cast("long").alias("purity_micro"),
+        F.floor(i / nd * 1000000).cast("long").alias("inverse_micro"),
+        F.floor((2.0 * p * i) / (nd * (p + i)) * 1000000)
+        .cast("long")
+        .alias("f_micro"),
+    )
+
+
 def grouped_minhash_state(
     pages: DataFrame,
     group_col: str = "source",

@@ -3884,3 +3884,54 @@ def cdc_apply(
         .otherwise(F.lit("update"))
         .alias("origin"),
     ).orderBy(key_col)
+
+
+def mcnemar_filters(
+    df: DataFrame,
+    filter_a,
+    filter_b,
+) -> DataFrame:
+    """McNemar's paired test for two quality filters scored on the SAME
+    documents — the right significance test when comparing filter
+    versions (the marginal pass rates share the diagonal, so an
+    unpaired chi-square overstates confidence). Only the discordant
+    cells matter: b = A-only passes, c = B-only passes; the
+    continuity-corrected statistic is (|b-c|-1)²/(b+c).
+
+    All-integer: (|b-c|-1)² is an exact bigint, so chi2_micro =
+    ((|b-c|-1)² * 1e6) div (b+c) — truncating division in both
+    engines; 0 when b+c = 0 (no disagreement) or |b-c| <= 1.
+
+    Scale shape: ONE map-side-combined full scan — four conditional
+    sums, no shuffle beyond the single-row final combine.
+
+    Output: one row (n, n_both, a_only, b_only, neither, chi2_micro).
+    """
+    a = filter_a.cast("int")
+    b = filter_b.cast("int")
+    agg = df.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(a * b).cast("long").alias("n_both"),
+        F.sum(a * (1 - b)).cast("long").alias("a_only"),
+        F.sum((1 - a) * b).cast("long").alias("b_only"),
+        F.sum((1 - a) * (1 - b)).cast("long").alias("neither"),
+    )
+    disc = F.col("a_only") + F.col("b_only")
+    dev = F.abs(F.col("a_only") - F.col("b_only")) - 1
+    return agg.select(
+        "n",
+        "n_both",
+        "a_only",
+        "b_only",
+        "neither",
+        F.when(
+            (disc > 0) & (dev > 0),
+            F.expr(
+                "((abs(a_only - b_only) - 1) * (abs(a_only - b_only) - 1)"
+                " * 1000000) div (a_only + b_only)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("chi2_micro"),
+    )

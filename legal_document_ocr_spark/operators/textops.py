@@ -4318,3 +4318,61 @@ def good_turing(
         .cast("long")
         .alias("r_star_micro"),
     ).orderBy("r")
+
+
+def mlm_mask_plan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """BERT-style MLM masking PLAN per document: select ~15% of token
+    positions by a seed-stable hash, then split the selection 80/10/10
+    into [MASK] / keep-as-is / random-replace — the deterministic,
+    resume-safe alternative to RNG state inside executors (same
+    doc_id+position always draws the same fate, so a re-run of a failed
+    shard masks identically).
+
+    Selection: h('mlm|doc|pos') % 20 < 3 (exactly 15%); action:
+    h('act|doc|pos') % 10 → 0-7 mask, 8 keep, 9 random. Hashes are the
+    md5-prefix→bigint bijection shared with the DuckDB oracle.
+
+    Scale shape: only POSITIONS explode (an int per token — token
+    strings never leave the scan); ONE map-side-combined
+    groupBy(doc_id). Docs with zero tokens have no plan rows.
+
+    Output: (doc_id, n_tokens, n_masked, n_mask, n_keep, n_random).
+    """
+    n = F.size(ws_tokens(F.col(text_col)))
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), n.alias("n"))
+    pos = base.where(F.col("n") >= 1).select(
+        "doc_id",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("j"),
+    )
+
+    def _h(prefix: str):
+        key = F.concat(
+            F.lit(prefix),
+            F.col("doc_id").cast("string"),
+            F.lit("|"),
+            F.col("j").cast("string"),
+        )
+        return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+    sel = (_h("mlm|") % 20 < 3).cast("long")
+    act = _h("act|") % 10
+    flagged = pos.select(
+        "doc_id",
+        "n",
+        sel.alias("sel"),
+        (sel * (act < 8).cast("long")).alias("is_mask"),
+        (sel * (act == 8).cast("long")).alias("is_keep"),
+        (sel * (act == 9).cast("long")).alias("is_random"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.sum("sel").cast("long").alias("n_masked"),
+            F.sum("is_mask").cast("long").alias("n_mask"),
+            F.sum("is_keep").cast("long").alias("n_keep"),
+            F.sum("is_random").cast("long").alias("n_random"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1840,3 +1840,56 @@ def q_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = stream_minhash_state(spark, f"{sf_dir}/documents.parquet")
     run_stream_to_table(spark, sdf, name, output_mode="complete")
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# dedup_purity (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purity / inverse-purity / harmonic F (dedup.purity_eval) of the
+    end-to-end dedup_clusters output against the planted families —
+    the fully-RATIONAL cluster-quality gauge (no logs, no libm risk),
+    bounding quality from the merge side and the split side."""
+    assign = dedup.dedup_clusters(_neardup_docs(spark, sf_dir)).select(
+        "doc_id", "cluster_id"
+    )
+    truth = _neardup_docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 100000).alias("family_id")
+    )
+    return dedup.purity_eval(assign, truth)
+
+
+_SQL_DEDUP_PURITY = f"""
+WITH asg AS (
+  SELECT doc_id, cluster_id FROM ({_SQL_DEDUP_CLUSTERS})
+),
+tr AS (
+  SELECT doc_id, doc_id % 100000 AS family_id
+  FROM ({_NEARDUP_SQL})
+),
+cf AS (
+  SELECT a.cluster_id AS c, t.family_id AS f, count(*)::bigint AS n_cf
+  FROM asg a JOIN tr t ON a.doc_id = t.doc_id
+  GROUP BY 1, 2
+),
+nn AS (SELECT sum(n_cf)::bigint AS n_docs FROM cf),
+sp AS (
+  SELECT sum(m)::bigint AS s_purity
+  FROM (SELECT max(n_cf) AS m FROM cf GROUP BY c)
+),
+si AS (
+  SELECT sum(m)::bigint AS s_inverse
+  FROM (SELECT max(n_cf) AS m FROM cf GROUP BY f)
+)
+SELECT n_docs, s_purity, s_inverse,
+  floor(s_purity::double / n_docs::double * 1000000)::bigint
+    AS purity_micro,
+  floor(s_inverse::double / n_docs::double * 1000000)::bigint
+    AS inverse_micro,
+  floor((2.0 * s_purity::double * s_inverse::double)
+        / (n_docs::double * (s_purity::double + s_inverse::double))
+        * 1000000)::bigint AS f_micro
+FROM nn, sp, si
+"""

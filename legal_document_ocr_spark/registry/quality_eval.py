@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import _docs, _tbl
+from .common import _TOKS, _docs, _tbl
 from .curation import _COS_SQL, _sign_bucket_sql
 from .mining import _DEMO_EDGES_SQL
 from .relational_web import _host_graph_edges
@@ -2066,4 +2066,48 @@ SELECT n0, n1, (b + 1)::bigint AS n_runs,
           * 1000000)::bigint
   ELSE 0 END AS z_micro
 FROM bd, t
+"""
+
+
+# ---------------------------------------------------------------------------
+# mcnemar_filters (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def q_mcnemar_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test (relational.mcnemar_filters) of the
+    char-length rule (n_chars >= 300) vs the token-count rule
+    (>= 55 ws tokens) on the same documents — only the discordant
+    cells drive the statistic; all-integer chi2_micro."""
+    from ..operators.relational import mcnemar_filters
+    from ..operators.textops import ws_tokens
+
+    d = _docs(spark, sf_dir)
+    return mcnemar_filters(
+        d,
+        F.col("n_chars") >= 300,
+        F.size(ws_tokens(F.col("text"))) >= 55,
+    )
+
+
+_SQL_MCNEMAR_FILTERS = f"""
+WITH flags AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+    CASE WHEN len({_TOKS}) >= 55 THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+agg AS (
+  SELECT count(*)::bigint AS n,
+    sum(a * b)::bigint AS n_both,
+    sum(a * (1 - b))::bigint AS a_only,
+    sum((1 - a) * b)::bigint AS b_only,
+    sum((1 - a) * (1 - b))::bigint AS neither
+  FROM flags
+)
+SELECT n, n_both, a_only, b_only, neither,
+  CASE WHEN a_only + b_only > 0 AND abs(a_only - b_only) > 1 THEN
+    ((abs(a_only - b_only) - 1) * (abs(a_only - b_only) - 1) * 1000000)
+      // (a_only + b_only)
+  ELSE 0 END::bigint AS chi2_micro
+FROM agg
 """

@@ -1613,3 +1613,43 @@ SELECT d.r::bigint AS r, d.n_r AS n_r,
 FROM dist d LEFT JOIN dist nx ON nx.r = d.r + 1
 WHERE d.r <= 10 ORDER BY d.r
 """
+
+
+# ---------------------------------------------------------------------------
+# mlm_mask_plan (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def q_mlm_mask_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-stable BERT-style 15% / 80-10-10 masking plan per document
+    (textops.mlm_mask_plan) — positions explode as ints, token strings
+    never leave the scan; md5-bijection hashes shared with the oracle."""
+    return textops.mlm_mask_plan(_docs(spark, sf_dir))
+
+
+_SQL_MLM_MASK_PLAN = f"""
+WITH t AS (
+  SELECT doc_id::bigint AS doc_id, len({_TOKS})::bigint AS n
+  FROM documents WHERE trim(text) <> ''
+),
+pos AS (
+  SELECT doc_id, n, unnest(generate_series(1, n)) AS j
+  FROM t WHERE n >= 1
+),
+h AS (
+  SELECT doc_id, n,
+    CASE WHEN ('0x' || substr(
+        md5('mlm|' || doc_id::varchar || '|' || j::varchar), 1, 15)
+      )::bigint % 20 < 3 THEN 1 ELSE 0 END AS sel,
+    ('0x' || substr(
+        md5('act|' || doc_id::varchar || '|' || j::varchar), 1, 15)
+    )::bigint % 10 AS act
+  FROM pos
+)
+SELECT doc_id, max(n)::bigint AS n_tokens,
+  sum(sel)::bigint AS n_masked,
+  sum(CASE WHEN sel = 1 AND act < 8 THEN 1 ELSE 0 END)::bigint AS n_mask,
+  sum(CASE WHEN sel = 1 AND act = 8 THEN 1 ELSE 0 END)::bigint AS n_keep,
+  sum(CASE WHEN sel = 1 AND act = 9 THEN 1 ELSE 0 END)::bigint AS n_random
+FROM h GROUP BY doc_id ORDER BY doc_id
+"""

@@ -6216,3 +6216,66 @@ def test_content_type_census_hand_checked(spark):
         ("text/plain", "application/octet-stream", 1, 1),
         ("text/plain", "image/png", 1, 1),
     ]
+
+
+def test_mcnemar_filters_hand_checked(spark):
+    """A-only=4, B-only=1: chi2 = (|4-1|-1)^2/(4+1) = 4/5 = 0.8."""
+    from legal_document_ocr_spark.operators.relational import (
+        mcnemar_filters,
+    )
+
+    rows = (
+        [(1, 1)] * 3  # both pass
+        + [(1, 0)] * 4  # A only
+        + [(0, 1)] * 1  # B only
+        + [(0, 0)] * 2  # neither
+    )
+    df = spark.createDataFrame(rows, "a long, b long")
+    r = mcnemar_filters(df, F.col("a") == 1, F.col("b") == 1).collect()[0]
+    assert (r["n"], r["n_both"], r["a_only"], r["b_only"], r["neither"]) == (
+        10, 3, 4, 1, 2,
+    )
+    assert r["chi2_micro"] == (3 - 1) ** 2 * 1000000 // 5
+    tie = spark.createDataFrame([(1, 0), (0, 1)], "a long, b long")
+    assert (
+        mcnemar_filters(tie, F.col("a") == 1, F.col("b") == 1)
+        .collect()[0]["chi2_micro"]
+        == 0
+    )
+
+
+def test_mlm_mask_plan_invariants(spark):
+    """Counts are consistent (masked = mask+keep+random <= tokens) and
+    seed-stable: the same doc twice gets the identical plan."""
+    from legal_document_ocr_spark.operators.textops import mlm_mask_plan
+
+    df = spark.createDataFrame(
+        [(7, "the quick brown fox jumps over the lazy dog " * 20)],
+        "doc_id long, text string",
+    )
+    r = mlm_mask_plan(df).collect()[0]
+    assert r["n_tokens"] == 180
+    assert r["n_masked"] == r["n_mask"] + r["n_keep"] + r["n_random"]
+    assert 0 < r["n_masked"] < r["n_tokens"]
+    again = mlm_mask_plan(df).collect()[0]
+    assert r == again
+
+
+def test_purity_eval_hand_checked(spark):
+    """Clusters {a:(f1,f1,f2)}, {b:(f2,f2)}: s_p = 2+2 = 4,
+    s_i = max-per-family 2+2 = 4, purity = inverse = 4/5."""
+    from legal_document_ocr_spark.operators.dedup import purity_eval
+
+    assign = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20)],
+        "doc_id long, cluster_id long",
+    )
+    truth = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 200), (4, 200), (5, 200)],
+        "doc_id long, family_id long",
+    )
+    r = purity_eval(assign, truth).collect()[0]
+    assert (r["n_docs"], r["s_purity"], r["s_inverse"]) == (5, 4, 4)
+    assert r["purity_micro"] == 800000
+    assert r["inverse_micro"] == 800000
+    assert r["f_micro"] == 800000
