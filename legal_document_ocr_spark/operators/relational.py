@@ -3935,3 +3935,53 @@ def mcnemar_filters(
         .cast("long")
         .alias("chi2_micro"),
     )
+
+
+def theil_index(
+    df: DataFrame, group_col: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Theil T inequality index of documents across groups (hosts) —
+    the decomposable companion to the Gini gauge: T = (1/H)·Σ_g
+    (x_g/μ)·ln(x_g/μ), 0 for an even spread, ln(H) for one megahost.
+
+    Scale shape (host_gini discipline): the corpus is touched by ONE
+    map-side-combined groupBy(group); all ln() terms are computed on
+    the PROVABLY bounded distinct-count DISTRIBUTION table (k distinct
+    counts need Σx ≥ k(k+1)/2 docs → k ≤ √(2n)), as
+    count·round(ln(x·H/T), 6) decimals summed exactly — partial-agg
+    order can't move the result, and the ln ulp is absorbed by the
+    round (the char_entropy pattern).
+
+    Output: one row (n_groups, n_docs, theil_micro).
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").cast("long").alias("x"))
+    dist = counts.groupBy("x").agg(F.count("*").cast("long").alias("m"))
+    tot = dist.agg(
+        F.sum("m").cast("long").alias("h"),
+        F.sum(F.col("m") * F.col("x")).cast("long").alias("t"),
+    )
+    term = (
+        (F.col("m") * F.col("x")).cast("decimal(18,0)")
+        * F.round(
+            F.log(
+                F.col("x").cast("double")
+                * F.col("h").cast("double")
+                / F.col("t").cast("double")
+            ),
+            6,
+        ).cast("decimal(18,6)")
+    ).alias("term")
+    s = dist.crossJoin(F.broadcast(tot)).agg(
+        F.max("h").alias("h"),
+        F.max("t").alias("t"),
+        F.sum(term).alias("s"),
+    )
+    return s.select(
+        F.col("h").cast("long").alias("n_groups"),
+        F.col("t").cast("long").alias("n_docs"),
+        F.floor(
+            F.col("s").cast("double") / F.col("t").cast("double") * 1000000
+        )
+        .cast("long")
+        .alias("theil_micro"),
+    )

@@ -4376,3 +4376,103 @@ def mlm_mask_plan(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def symspell_variants(
+    vocab: DataFrame,
+    token_col: str = "token",
+    count_col: str = "n",
+) -> DataFrame:
+    """Edit-distance-1 vocabulary pairs via the SymSpell
+    deletion-neighborhood join — spelling-variant / typo-pair mining
+    over a corpus vocabulary WITHOUT the all-pairs Levenshtein matrix:
+    two tokens are distance ≤ 1 only if they share a 0-or-1-deletion
+    variant, so candidates come from ONE equi-join on the variant
+    string; `levenshtein()` runs only on the surviving candidates.
+
+    Scale shape: the variant table is |vocab|·(avg_len+1) rows of
+    short strings; the self-equi-join keys on the variant (never a
+    cross join), candidates dedup by pair, and the exact-distance
+    verify is a per-row JVM expression. Vocab-sized tables are pinned
+    shuffle_hash — nothing corpus-derived broadcasts.
+
+    Output: (tok_a, tok_b, n_a, n_b) for all distance-1 pairs,
+    tok_a < tok_b, ordered.
+    """
+    v = vocab.select(
+        F.col(token_col).alias("tok"), F.col(count_col).alias("n")
+    )
+    j = F.explode(F.sequence(F.lit(0), F.length("tok"))).alias("j")
+    variants = v.select("tok", "n", j).select(
+        "tok",
+        "n",
+        F.when(F.col("j") == 0, F.col("tok"))
+        .otherwise(
+            F.concat(
+                F.substring(F.col("tok"), 1, F.col("j") - F.lit(1)),
+                F.col("tok").substr(
+                    F.col("j") + F.lit(1), F.length("tok")
+                ),
+            )
+        )
+        .alias("key"),
+    )
+    left = variants.select(
+        F.col("tok").alias("tok_a"), F.col("n").alias("n_a"), "key"
+    )
+    right = variants.select(
+        F.col("tok").alias("tok_b"), F.col("n").alias("n_b"), "key"
+    )
+    cands = (
+        left.hint("shuffle_hash")
+        .join(right.hint("shuffle_hash"), "key")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b", "n_a", "n_b")
+        .distinct()
+    )
+    return cands.where(
+        F.levenshtein("tok_a", "tok_b") == 1
+    ).orderBy("tok_a", "tok_b")
+
+
+def hapax_share(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    *,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Hapax-legomena share per group: within each source, the fraction
+    of shingle TYPES seen exactly once — the per-slice vocabulary-tail
+    gauge (a source whose hapax share collapses is template-heavy or
+    deduplicated; one whose share stays near 1 is still novel), the
+    grouped companion to the corpus-wide Good–Turing table.
+
+    Scale shape: ONE explode + map-side-combined
+    groupBy(group, shingle), then counts-of-counts per group — the
+    second aggregate runs on the type table keyed by the SAME group
+    column, so it reuses the partitioning; output is one row per group.
+
+    Output: (group, n_types, n_hapax, hapax_micro) ordered by group.
+    """
+    from .dedup import shingles
+
+    sh = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(
+            shingles(F.col(text_col), shingle_k, distinct=False)
+        ).alias("s"),
+    )
+    types = sh.groupBy("g", "s").agg(F.count("*").alias("r"))
+    per = types.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum((F.col("r") == 1).cast("long")).cast("long").alias("n_hapax"),
+    )
+    return per.select(
+        F.col("g").alias(group_col),
+        "n_types",
+        "n_hapax",
+        F.expr("(n_hapax * 1000000) div n_types")
+        .cast("long")
+        .alias("hapax_micro"),
+    ).orderBy(group_col)

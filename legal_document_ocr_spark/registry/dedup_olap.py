@@ -1893,3 +1893,36 @@ SELECT n_docs, s_purity, s_inverse,
         * 1000000)::bigint AS f_micro
 FROM nn, sp, si
 """
+
+
+# ---------------------------------------------------------------------------
+# theil_index (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of documents across sources
+    (relational.theil_index) — host_gini's decomposable companion; all
+    ln() terms on the bounded distinct-count distribution table."""
+    from ..operators.relational import theil_index
+
+    return theil_index(_docs(spark, sf_dir), "source")
+
+
+_SQL_THEIL_INDEX = """
+WITH c AS (
+  SELECT source, count(*)::bigint AS x FROM documents GROUP BY source
+),
+d AS (SELECT x, count(*)::bigint AS m FROM c GROUP BY x),
+t AS (SELECT sum(m)::bigint AS h, sum(m * x)::bigint AS tt FROM d),
+s AS (
+  SELECT max(h) AS h, max(tt) AS tt,
+    sum((m * x)::decimal(18,0)
+        * round(ln(x::double * h::double / tt::double), 6)::decimal(18,6))
+      AS s
+  FROM d, t
+)
+SELECT h::bigint AS n_groups, tt::bigint AS n_docs,
+  floor(s::double / tt::double * 1000000)::bigint AS theil_micro
+FROM s
+"""

@@ -1653,3 +1653,95 @@ SELECT doc_id, max(n)::bigint AS n_tokens,
   sum(CASE WHEN sel = 1 AND act = 9 THEN 1 ELSE 0 END)::bigint AS n_random
 FROM h GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# symspell_variants / hapax_share (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def q_symspell_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell deletion-join typo mining (textops.symspell_variants):
+    the corpus vocabulary plus deterministic 3rd-char-deletion typos,
+    paired by shared 0/1-deletion variants and verified with exact
+    levenshtein — never an all-pairs matrix."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            F.explode(
+                textops.ws_tokens(F.lower(F.col("text")))
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    typos = toks.where(F.length("token") >= 5).select(
+        F.concat(
+            F.substring("token", 1, 2), F.expr("substring(token, 4)")
+        ).alias("token"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    vocab = (
+        toks.unionByName(typos)
+        .groupBy("token")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    return textops.symspell_variants(vocab)
+
+
+_SQL_SYMSPELL_VARIANTS = f"""
+WITH tk AS (
+  SELECT unnest({_TOKS}) AS token FROM documents WHERE trim(text) <> ''
+),
+base AS (SELECT token, count(*)::bigint AS n FROM tk GROUP BY token),
+typo AS (
+  SELECT substr(token, 1, 2) || substr(token, 4) AS token, 1::bigint AS n
+  FROM base WHERE length(token) >= 5
+),
+vocab AS (
+  SELECT token, sum(n)::bigint AS n
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM typo) GROUP BY token
+),
+var AS (
+  SELECT token, n,
+    CASE WHEN j = 0 THEN token
+         ELSE substr(token, 1, j - 1) || substr(token, j + 1) END AS key
+  FROM vocab, unnest(generate_series(0, length(token))) AS u(j)
+),
+cand AS (
+  SELECT DISTINCT a.token AS tok_a, b.token AS tok_b,
+    a.n AS n_a, b.n AS n_b
+  FROM var a JOIN var b ON a.key = b.key AND a.token < b.token
+)
+SELECT tok_a, tok_b, n_a, n_b FROM cand
+WHERE levenshtein(tok_a, tok_b) = 1
+ORDER BY tok_a, tok_b
+"""
+
+
+def q_hapax_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax-legomena share over 3-word shingles
+    (textops.hapax_share) — the grouped vocabulary-tail gauge."""
+    return textops.hapax_share(_docs(spark, sf_dir), "source", shingle_k=3)
+
+
+_SQL_HAPAX_SHARE = f"""
+WITH t AS (
+  SELECT source, {_TOKS} AS toks FROM documents WHERE trim(text) <> ''
+),
+sh AS (
+  SELECT source, array_to_string(toks[j:j+2], ' ') AS s
+  FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(j)
+),
+types AS (
+  SELECT source, s, count(*)::bigint AS r FROM sh GROUP BY source, s
+),
+per AS (
+  SELECT source, count(*)::bigint AS n_types,
+    sum(CASE WHEN r = 1 THEN 1 ELSE 0 END)::bigint AS n_hapax
+  FROM types GROUP BY source
+)
+SELECT source, n_types, n_hapax,
+  ((n_hapax * 1000000) // n_types)::bigint AS hapax_micro
+FROM per ORDER BY source
+"""

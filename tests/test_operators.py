@@ -6279,3 +6279,54 @@ def test_purity_eval_hand_checked(spark):
     assert r["purity_micro"] == 800000
     assert r["inverse_micro"] == 800000
     assert r["f_micro"] == 800000
+
+
+def test_theil_index_hand_checked(spark):
+    """Group counts [1,1,2]: H=3, T=4 -> Theil = (1/T)·Σ m·x·ln(x·H/T)
+    with 6-dp-rounded logs, exactly as both engines compute it."""
+    import math
+
+    from legal_document_ocr_spark.operators.relational import theil_index
+
+    df = spark.createDataFrame(
+        [(1, "h1"), (2, "h2"), (3, "h3"), (4, "h3")],
+        "doc_id long, source string",
+    )
+    r = theil_index(df, "source").collect()[0]
+    assert (r["n_groups"], r["n_docs"]) == (3, 4)
+    s = 2 * 1 * round(math.log(1 * 3 / 4), 6) + 1 * 2 * round(
+        math.log(2 * 3 / 4), 6
+    )
+    assert r["theil_micro"] == math.floor(s / 4 * 1000000)
+    even = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, source string"
+    )
+    assert theil_index(even, "source").collect()[0]["theil_micro"] == 0
+
+
+def test_symspell_variants_hand_checked(spark):
+    """cat/cart share the deletion 'cat'; cat/cab share 'ca'
+    (substitution); cab/cart are distance 2 and must NOT pair."""
+    from legal_document_ocr_spark.operators.textops import symspell_variants
+
+    vocab = spark.createDataFrame(
+        [("cat", 5), ("cart", 2), ("cab", 1), ("dog", 3)],
+        "token string, n long",
+    )
+    got = [
+        (r["tok_a"], r["tok_b"], r["n_a"], r["n_b"])
+        for r in symspell_variants(vocab).collect()
+    ]
+    assert got == [("cab", "cat", 1, 5), ("cart", "cat", 2, 5)]
+
+
+def test_hapax_share_hand_checked(spark):
+    """'a b c a b c x y z' -> 7 shingles, 6 types, 5 hapax."""
+    from legal_document_ocr_spark.operators.textops import hapax_share
+
+    df = spark.createDataFrame(
+        [("s1", "a b c a b c x y z")], "source string, text string"
+    )
+    r = hapax_share(df).collect()[0]
+    assert (r["n_types"], r["n_hapax"]) == (6, 5)
+    assert r["hapax_micro"] == 5 * 1000000 // 6
