@@ -299,3 +299,83 @@ def cusum_changepoint(
         .orderBy(F.desc("stat"), F.asc("day"))
         .limit(top_k)
     )
+
+
+def markov_stationary(
+    events: DataFrame,
+    *,
+    iters: int = 8,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Long-run state distribution of the per-user event-type Markov
+    chain: power-iterate x' = x·P from a uniform start over the
+    row-stochastic transition matrix that ``event_transitions``
+    counts — "where does a user's session settle" (the steady-state
+    companion to the one-step transition table).
+
+    Each iteration's mass updates are round(x·c/r, 12) decimals summed
+    exactly (partial-agg order can't move the result — the pagerank
+    discipline); absorbing states keep their inflow, states with no
+    inflow decay to their residual. P is sub-stochastic if a user's
+    last event type never re-transitions; mass is NOT renormalized —
+    the oracle replicates the same fixpoint.
+
+    Scale shape: ONE per-user lag window over the corpus (the
+    sessionize bound), then every iteration joins the S-row state
+    vector with the BOUNDED S×S transition table — legitimately
+    broadcast-sized both sides; the corpus is never touched again.
+
+    Output: (event_type, p_micro) — floor(x·1e6) after ``iters``
+    rounds, ordered by event_type.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(id_col),
+            F.col(type_col).alias("j"),
+        )
+        .withColumn("i", F.lag("j").over(w))
+        .where(F.col("i").isNotNull())
+        .groupBy("i", "j")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    totals = pairs.groupBy("i").agg(F.sum("c").cast("long").alias("r"))
+    trans = pairs.join(F.broadcast(totals), "i").persist()
+    states = (
+        events.select(F.col(type_col).alias("st")).distinct().persist()
+    )
+    n_states = states.count()
+    x = states.select(
+        "st", F.lit(1.0 / n_states).cast("double").alias("x")
+    )
+    for _ in range(iters):
+        inflow = (
+            x.join(trans, x["st"] == trans["i"])
+            .select(
+                F.col("j").alias("st2"),
+                F.round(
+                    F.col("x")
+                    * F.col("c").cast("double")
+                    / F.col("r").cast("double"),
+                    12,
+                )
+                .cast("decimal(28,12)")
+                .alias("term"),
+            )
+            .groupBy("st2")
+            .agg(F.sum("term").cast("double").alias("xin"))
+        )
+        x = states.join(
+            inflow, states["st"] == inflow["st2"], "left"
+        ).select(
+            "st", F.coalesce("xin", F.lit(0.0)).alias("x")
+        )
+    return x.select(
+        F.col("st").alias(type_col),
+        F.floor(F.col("x") * 1000000).cast("long").alias("p_micro"),
+    ).orderBy(type_col)

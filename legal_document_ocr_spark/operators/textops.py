@@ -4476,3 +4476,105 @@ def hapax_share(
         .cast("long")
         .alias("hapax_micro"),
     ).orderBy(group_col)
+
+
+def burrows_delta(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources: z-score
+    each source's relative frequency of the corpus top-k terms, then
+    average |Δz| per source pair — the classic authorship/register
+    distance, here the "which crawl slices write alike" gauge that
+    flags template farms and mirrors the lexical way.
+
+    Determinism: relative frequencies are TRUNCATED integers
+    f = (c·1e9) div n_s (exact in both engines); per-term moments are
+    exact bigint/decimal sums; each z divides as one pinned double;
+    |Δz| terms are 6-dp-rounded decimals so the per-pair sum is
+    order-independent.
+
+    Scale shape: the corpus is touched by ONE explode + map-side-
+    combined groupBy(source, token); everything after runs on the
+    bounded grid (S sources × k terms, S² pairs). The grid side of the
+    left join is the SMALL side; the source×token count table is
+    pinned shuffle_hash and never broadcasts.
+
+    Output: (src_a, src_b, delta_micro), src_a < src_b, ordered.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    cst = toks.groupBy("g", "token").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    ns = cst.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
+    topk = (
+        cst.groupBy("token")
+        .agg(F.sum("c").cast("long").alias("ct"))
+        .orderBy(F.desc("ct"), F.asc("token"))
+        .limit(k)
+        .select("token")
+    )
+    grid = ns.crossJoin(F.broadcast(topk))
+    f = grid.join(cst.hint("shuffle_hash"), ["g", "token"], "left").select(
+        "g",
+        "token",
+        F.expr("(coalesce(c, 0L) * 1000000000L) div n_g").alias("f"),
+    )
+    mom = f.groupBy("token").agg(
+        F.count("*").cast("long").alias("s"),
+        F.sum("f").cast("long").alias("sf"),
+        F.sum(F.col("f").cast("decimal(38,0)") * F.col("f")).alias("sff"),
+    )
+    z = f.join(F.broadcast(mom), "token").select(
+        "g",
+        "token",
+        F.when(
+            F.col("s") * F.col("sff").cast("double")
+            - F.col("sf").cast("double") * F.col("sf").cast("double")
+            > 0,
+            (
+                F.col("s").cast("double") * F.col("f").cast("double")
+                - F.col("sf").cast("double")
+            )
+            / F.sqrt(
+                F.col("s").cast("double") * F.col("sff").cast("double")
+                - F.col("sf").cast("double") * F.col("sf").cast("double")
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )
+    za = z.select(
+        F.col("token").alias("token"),
+        F.col("g").alias("src_a"),
+        F.col("z").alias("z_a"),
+    )
+    zb = z.select(
+        F.col("token").alias("token"),
+        F.col("g").alias("src_b"),
+        F.col("z").alias("z_b"),
+    )
+    pairs = za.join(zb, "token").where(F.col("src_a") < F.col("src_b"))
+    per = pairs.groupBy("src_a", "src_b").agg(
+        F.sum(
+            F.round(F.abs(F.col("z_a") - F.col("z_b")), 6).cast(
+                "decimal(18,6)"
+            )
+        ).alias("sd"),
+        F.count("*").cast("long").alias("kk"),
+    )
+    return per.select(
+        "src_a",
+        "src_b",
+        F.floor(
+            F.col("sd").cast("double") / F.col("kk").cast("double") * 1000000
+        )
+        .cast("long")
+        .alias("delta_micro"),
+    ).orderBy("src_a", "src_b")

@@ -1538,3 +1538,53 @@ SELECT day::bigint AS day, k::bigint AS k, cum::bigint AS cum,
 FROM r, t WHERE k < n_days
 ORDER BY stat DESC, day ASC LIMIT 5
 """
+
+
+
+# ---------------------------------------------------------------------------
+# markov_stationary (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state event-type distribution via 8 power-iteration
+    rounds over the per-user transition matrix
+    (sequences.markov_stationary) — decimal-summed mass updates on the
+    bounded S x S table."""
+    from ..operators.sequences import markov_stationary
+
+    return markov_stationary(_tbl(_utc(spark), sf_dir, "events"), iters=8)
+
+
+def _sql_markov_stationary(iters: int = 8) -> str:
+    ctes = ["""pairs AS (
+  SELECT i, j, count(*)::bigint AS c FROM (
+    SELECT lag(event_type) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id) AS i,
+      event_type AS j
+    FROM events
+  ) WHERE i IS NOT NULL GROUP BY i, j
+)""", """tot AS (SELECT i, sum(c)::bigint AS r FROM pairs GROUP BY i)""",
+    """tr AS (
+  SELECT pairs.i, pairs.j, c, r FROM pairs JOIN tot ON pairs.i = tot.i
+)""", """st AS (SELECT DISTINCT event_type AS st FROM events)""",
+    """nn AS (SELECT count(*)::bigint AS n FROM st)""",
+    """x0 AS (SELECT st, (1.0::double / n::double) AS x FROM st, nn)"""]
+    for it in range(1, iters + 1):
+        ctes.append(f"""x{it} AS (
+  SELECT s.st, coalesce(i.xin, 0.0::double)::double AS x
+  FROM st s LEFT JOIN (
+    SELECT tr.j AS st2,
+      sum(round(x.x * tr.c::double / tr.r::double, 12)
+          ::decimal(28,12))::double AS xin
+    FROM x{it - 1} x JOIN tr ON x.st = tr.i GROUP BY tr.j
+  ) i ON s.st = i.st2
+)""")
+    return (
+        "\nWITH " + ",\n".join(ctes)
+        + f"""\nSELECT st AS event_type, floor(x * 1000000)::bigint AS p_micro
+FROM x{iters} ORDER BY event_type\n"""
+    )
+
+
+_SQL_MARKOV_STATIONARY = _sql_markov_stationary(8)

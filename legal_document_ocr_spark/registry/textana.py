@@ -1745,3 +1745,61 @@ SELECT source, n_types, n_hapax,
   ((n_hapax * 1000000) // n_types)::bigint AS hapax_micro
 FROM per ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# burrows_delta (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources over the
+    corpus top-10 terms (textops.burrows_delta) — truncated-integer
+    relative frequencies, exact moments, pinned-double z-scores,
+    6-dp-rounded |Δz| decimal sums."""
+    return textops.burrows_delta(_docs(spark, sf_dir), "source", k=10)
+
+
+_SQL_BURROWS_DELTA = f"""
+WITH tk AS (
+  SELECT source AS g, unnest({_TOKS}) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+cst AS (SELECT g, token, count(*)::bigint AS c FROM tk GROUP BY g, token),
+ns AS (SELECT g, sum(c)::bigint AS n_g FROM cst GROUP BY g),
+topk AS (
+  SELECT token FROM (
+    SELECT token, sum(c)::bigint AS ct FROM cst GROUP BY token
+  ) ORDER BY ct DESC, token ASC LIMIT 10
+),
+grid AS (SELECT ns.g, ns.n_g, topk.token FROM ns CROSS JOIN topk),
+f AS (
+  SELECT grid.g, grid.token,
+    (coalesce(cst.c, 0) * 1000000000) // grid.n_g AS f
+  FROM grid LEFT JOIN cst
+    ON cst.g = grid.g AND cst.token = grid.token
+),
+mom AS (
+  SELECT token, count(*)::bigint AS s, sum(f)::bigint AS sf,
+    sum(f::hugeint * f) AS sff
+  FROM f GROUP BY token
+),
+z AS (
+  SELECT f.g, f.token,
+    CASE WHEN mom.s * sff::double - sf::double * sf::double > 0
+    THEN (mom.s::double * f::double - sf::double)
+         / sqrt(mom.s::double * sff::double - sf::double * sf::double)
+    ELSE 0.0::double END AS z
+  FROM f JOIN mom ON f.token = mom.token
+),
+pairs AS (
+  SELECT a.g AS src_a, b.g AS src_b,
+    sum(round(abs(a.z - b.z), 6)::decimal(18,6)) AS sd,
+    count(*)::bigint AS kk
+  FROM z a JOIN z b ON a.token = b.token AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+  floor(sd::double / kk::double * 1000000)::bigint AS delta_micro
+FROM pairs ORDER BY src_a, src_b
+"""

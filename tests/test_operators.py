@@ -6330,3 +6330,50 @@ def test_hapax_share_hand_checked(spark):
     r = hapax_share(df).collect()[0]
     assert (r["n_types"], r["n_hapax"]) == (6, 5)
     assert r["hapax_micro"] == 5 * 1000000 // 6
+
+
+def test_burrows_delta_hand_checked(spark):
+    """Identical sources are distance 0; both sit equally far from the
+    inverted source, and that distance is strictly positive."""
+    from legal_document_ocr_spark.operators.textops import burrows_delta
+
+    df = spark.createDataFrame(
+        [("A", "x x y"), ("B", "x x y"), ("C", "y y x")],
+        "source string, text string",
+    )
+    got = {
+        (r["src_a"], r["src_b"]): r["delta_micro"]
+        for r in burrows_delta(df, "source", k=10).collect()
+    }
+    assert got[("A", "B")] == 0
+    assert got[("A", "C")] == got[("B", "C")] > 0
+
+
+def test_markov_stationary_hand_checked(spark):
+    """P = [[1/2, 1/2], [1, 0]]: stationary is (2/3, 1/3); after 8
+    exact power-iteration rounds from uniform, x_A = 0.666015625."""
+    from datetime import datetime, timezone
+
+    from legal_document_ocr_spark.operators.sequences import (
+        markov_stationary,
+    )
+
+    def ts(i):
+        return datetime.fromtimestamp(1000 + i, tz=timezone.utc)
+
+    rows = [
+        (1, 1, ts(0), "A"),
+        (1, 2, ts(1), "A"),
+        (1, 3, ts(2), "B"),
+        (1, 4, ts(3), "A"),
+        (2, 5, ts(0), "B"),
+        (2, 6, ts(1), "A"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["event_type"]: r["p_micro"]
+        for r in markov_stationary(df, iters=8).collect()
+    }
+    assert got == {"A": 666015, "B": 333984}
