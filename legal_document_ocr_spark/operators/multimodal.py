@@ -882,3 +882,46 @@ def content_type_census(
         )
         .orderBy("declared", "sniffed")
     )
+
+
+# Deterministic typed-payload synthesis shared by the batch census query
+# and its streaming face: magic-prefix || utf-8(text), with every third
+# document's declared header rotated one family off.
+SYNTH_CT_MIMES: tuple[str, ...] = (
+    "image/png",
+    "image/gif",
+    "image/jpeg",
+    "application/pdf",
+    "text/html",
+    "text/plain",
+)
+SYNTH_CT_MAGIC: tuple[str, ...] = (
+    "89504E470D0A1A0A",
+    "474946383961",
+    "FFD8FFE0",
+    "255044462D312E34",
+    "3C68746D6C3E",
+    "",
+)
+
+
+def synth_typed_payloads(docs: DataFrame) -> DataFrame:
+    """(payload binary, declared string) rows derived deterministically
+    from (doc_id, text) — the fixture generator for the content-type
+    sniff census and its streaming face; pure codegen expressions, so
+    it works identically on batch and streaming DataFrames."""
+    fam = (F.col("doc_id") % 6).cast("int")
+    magic = F.element_at(
+        F.array(*[F.lit(m) for m in SYNTH_CT_MAGIC]), fam + 1
+    )
+    decl_idx = (
+        fam + F.when(F.col("doc_id") % 3 == 0, F.lit(1)).otherwise(F.lit(0))
+    ) % 6 + 1
+    return docs.select(
+        F.concat(F.unhex(magic), F.encode(F.col("text"), "UTF-8")).alias(
+            "payload"
+        ),
+        F.element_at(
+            F.array(*[F.lit(m) for m in SYNTH_CT_MIMES]), decl_idx
+        ).alias("declared"),
+    )

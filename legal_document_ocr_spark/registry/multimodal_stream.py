@@ -607,23 +607,8 @@ SELECT DISTINCT user_id::bigint AS user_id, event_type FROM events
 # content_type_mismatch (round-4 session-15)
 # ---------------------------------------------------------------------------
 
-_CT_MIMES = (
-    "image/png",
-    "image/gif",
-    "image/jpeg",
-    "application/pdf",
-    "text/html",
-    "text/plain",
-)
-# Magic prefixes paired 1:1 with _CT_MIMES ('' = no magic, raw text bytes).
-_CT_MAGIC = (
-    "89504E470D0A1A0A",
-    "474946383961",
-    "FFD8FFE0",
-    "255044462D312E34",
-    "3C68746D6C3E",
-    "",
-)
+from ..operators.multimodal import SYNTH_CT_MAGIC as _CT_MAGIC
+from ..operators.multimodal import SYNTH_CT_MIMES as _CT_MIMES
 
 
 def q_content_type_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,26 +618,13 @@ def q_content_type_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     header rotated one family off — the mislabeled-crawl audit. The
     sniff is pure JVM (hex prefix CASE ladder); payload bytes never
     reach the exchange."""
-    from ..operators.multimodal import content_type_census
+    from ..operators.multimodal import (
+        content_type_census,
+        synth_typed_payloads,
+    )
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    fam = (F.col("doc_id") % 6).cast("int")
-    magic = F.element_at(
-        F.array(*[F.lit(m) for m in _CT_MAGIC]), fam + 1
-    )
-    decl_idx = (
-        fam
-        + F.when(F.col("doc_id") % 3 == 0, F.lit(1)).otherwise(F.lit(0))
-    ) % 6 + 1
-    payloads = d.select(
-        F.concat(F.unhex(magic), F.encode(F.col("text"), "UTF-8")).alias(
-            "payload"
-        ),
-        F.element_at(
-            F.array(*[F.lit(m) for m in _CT_MIMES]), decl_idx
-        ).alias("declared"),
-    )
-    return content_type_census(payloads)
+    return content_type_census(synth_typed_payloads(d))
 
 
 _SQL_CONTENT_TYPE_MISMATCH = f"""
@@ -685,3 +657,19 @@ SELECT declared, sniffed, count(*)::bigint AS n,
   (CASE WHEN declared <> sniffed THEN 1 ELSE 0 END)::bigint AS mismatch
 FROM s GROUP BY declared, sniffed ORDER BY declared, sniffed
 """
+
+
+def q_stream_sniff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Content-Type census (streaming.stream_sniff_census):
+    the live face of content_type_mismatch — complete-mode running
+    (declared, sniffed) counts over synthesized payloads, drained
+    availableNow; the oracle is the identical batch census."""
+    from ..streaming.pipeline import run_stream_to_table, stream_sniff_census
+
+    name = "stream_sniff_census_result"
+    sdf = stream_sniff_census(spark, f"{sf_dir}/documents.parquet")
+    run_stream_to_table(spark, sdf, name, output_mode="complete")
+    return spark.table(name)
+
+
+_SQL_STREAM_SNIFF_CENSUS = _SQL_CONTENT_TYPE_MISMATCH

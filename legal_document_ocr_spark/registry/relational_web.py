@@ -2546,3 +2546,58 @@ FROM b FULL OUTER JOIN latest ON b.k = latest.k
 WHERE latest.op IS NULL OR latest.op <> 'D'
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# image_dup_clusters (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE clusters: pigeonhole aHash pairs
+    (multimodal.image_near_pairs, hamming <= 3) fed into min-label
+    pointer-jumping connected components (dedup.connected_components) —
+    the image-side mirror of dedup_clusters. The oracle recomputes
+    every hash closed-form, does the exact all-pairs hamming filter,
+    and walks components recursively."""
+    from ..operators import dedup
+
+    sigs = multimodal.image_ahash(_synth_ahash_images(spark, sf_dir))
+    pairs = multimodal.image_near_pairs(sigs, max_hamming=3).select(
+        "id_a", "id_b"
+    )
+    cc = dedup.connected_components(sigs.select("doc_id"), pairs)
+    counts = cc.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        cc.join(counts.hint("shuffle_hash"), "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_IMAGE_DUP_CLUSTERS = (
+    "WITH RECURSIVE "
+    + _SQL_AHASH_BITS
+    + """,
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+  WHERE len(list_filter(range(64), i -> a.b[i + 1] <> b.b[i + 1])) <= 3
+),
+sym AS (
+  SELECT id_a AS src_n, id_b AS dst_n FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+walk(node, lbl) AS (
+  SELECT doc_id, doc_id FROM bits
+  UNION
+  SELECT s.dst_n, w.lbl FROM walk w JOIN sym s ON s.src_n = w.node
+),
+cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY node)
+SELECT doc_id, cluster_id,
+  count(*) OVER (PARTITION BY cluster_id)::bigint AS cluster_size
+FROM cc ORDER BY doc_id
+"""
+)

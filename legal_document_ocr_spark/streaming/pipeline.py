@@ -562,3 +562,22 @@ def stream_dedup_watermark(spark: SparkSession, events_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select(F.col("user_id").cast("long").alias("user_id"), "event_type")
     )
+
+
+def stream_sniff_census(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """Streaming declared-vs-sniffed Content-Type census — the live
+    face of the batch ``content_type_mismatch`` query: arriving
+    payloads reduce to an 8-byte hex prefix per micro-batch (pure
+    codegen, payload bytes never reach the aggregation state) and the
+    running (declared, sniffed) counts maintain themselves in the
+    complete-mode aggregate. Drained availableNow the census equals
+    the batch census bit-for-bit (the oracle)."""
+    from ..operators.multimodal import (
+        content_type_census,
+        synth_typed_payloads,
+    )
+
+    stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(
+        _as_stream_dir(spark, docs_dir)
+    )
+    return content_type_census(synth_typed_payloads(stream))

@@ -427,3 +427,30 @@ def test_stream_dedup_watermark_equals_batch_distinct(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_sniff_census_equals_batch(spark):
+    """The complete-mode (declared, sniffed) running counts drained
+    availableNow equal the batch census bit-for-bit — the 11th
+    streaming surface (counts are batching-independent)."""
+    from legal_document_ocr_spark.operators.multimodal import (
+        content_type_census,
+        synth_typed_payloads,
+    )
+    from legal_document_ocr_spark.streaming.pipeline import (
+        run_stream_to_table,
+        stream_sniff_census,
+    )
+
+    docs_dir = "/root/testdata/sf0.001/documents.parquet"
+    sdf = stream_sniff_census(spark, docs_dir)
+    assert sdf.isStreaming
+    run_stream_to_table(spark, sdf, "ssc_t", output_mode="complete")
+    got = sorted(spark.table("ssc_t").collect())
+    want = sorted(
+        content_type_census(
+            synth_typed_payloads(spark.read.parquet(docs_dir))
+        ).collect()
+    )
+    assert got == want
+    assert len(want) > 0
