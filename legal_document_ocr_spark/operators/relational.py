@@ -3985,3 +3985,89 @@ def theil_index(
         .cast("long")
         .alias("theil_micro"),
     )
+
+
+def emd_drift(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Exact 1-D earth-mover (Wasserstein-1) distance between each
+    group's value distribution and the REST of the corpus, over log2
+    buckets — the drift gauge that, unlike KS (sup of one gap) or a
+    chi-square (per-bin, unordered), charges mass by how FAR it moved
+    across the ordered buckets: EMD = Σ_bins |CDF_g − CDF_rest|.
+
+    Exactness: buckets are integer (bit-length of value+1, never a
+    float log); per-bin terms clear denominators —
+    |cum_g·n_rest − cum_rest·n_g| — as exact decimal(38,0) products
+    summed exactly; only the final normalization divides, as ONE
+    pinned double.
+
+    Scale shape: the corpus is touched by ONE map-side-combined
+    groupBy(group, bucket); the grid, cumulative sums, and pair
+    algebra run on the bounded (groups × ~40 buckets) table — the
+    per-group window is the documented bounded-domain exception.
+
+    Output: (group, n_g, emd_micro) ordered by group.
+    """
+    from pyspark.sql import Window
+
+    b = F.length(F.expr(f"bin({value_col} + 1)")).cast("long")
+    gb = (
+        df.select(F.col(group_col).alias("g"), b.alias("b"))
+        .groupBy("g", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    buckets = gb.select("b").distinct()
+    groups = gb.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
+    tot = gb.groupBy("b").agg(F.sum("c").cast("long").alias("t"))
+    n = gb.agg(F.sum("c").cast("long").alias("n_all"))
+    grid = (
+        groups.crossJoin(F.broadcast(buckets))
+        .join(gb.hint("shuffle_hash"), ["g", "b"], "left")
+        .join(F.broadcast(tot), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "g",
+            "b",
+            "n_g",
+            (F.col("n_all") - F.col("n_g")).alias("n_rest"),
+            F.coalesce("c", F.lit(0)).cast("long").alias("c_g"),
+            (F.col("t") - F.coalesce("c", F.lit(0)))
+            .cast("long")
+            .alias("c_rest"),
+        )
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "g",
+        "n_g",
+        "n_rest",
+        F.sum("c_g").over(w).cast("long").alias("cg"),
+        F.sum("c_rest").over(w).cast("long").alias("cr"),
+    )
+    term = F.abs(
+        F.col("cg").cast("decimal(38,0)") * F.col("n_rest")
+        - F.col("cr").cast("decimal(38,0)") * F.col("n_g")
+    )
+    per = cum.groupBy("g").agg(
+        F.max("n_g").cast("long").alias("n_g"),
+        F.max("n_rest").cast("long").alias("n_rest"),
+        F.sum(term).alias("s"),
+    )
+    return per.select(
+        F.col("g").alias(group_col),
+        "n_g",
+        F.floor(
+            F.col("s").cast("double")
+            / (F.col("n_g").cast("double") * F.col("n_rest").cast("double"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("emd_micro"),
+    ).orderBy(group_col)

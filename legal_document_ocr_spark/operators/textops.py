@@ -4578,3 +4578,54 @@ def burrows_delta(
         .cast("long")
         .alias("delta_micro"),
     ).orderBy("src_a", "src_b")
+
+
+def chao1_richness(
+    docs: DataFrame, text_col: str = "text", *, shingle_k: int = 3
+) -> DataFrame:
+    """Chao1 unseen-species richness estimate over the shingle
+    vocabulary: S_chao1 = S_obs + N1·(N1−1)/(2·(N2+1)) (the
+    bias-corrected form, defined even when no doubletons exist) —
+    "how many shingle types does the WHOLE web have, given what this
+    crawl saw", the coverage planner's companion to Good–Turing's
+    unseen-mass share.
+
+    The correction divides as ONE pinned double (N1² at web scale
+    exceeds bigint; the observed count stays an exact bigint term).
+
+    Scale shape: same as ``good_turing`` — one explode + two map-side-
+    combined aggregates; N1/N2/S_obs are three conditional sums over
+    the bounded counts-of-counts table.
+
+    Output: one row (s_obs, n1, n2, chao1_micro).
+    """
+    from .dedup import shingles
+
+    toks = docs.select(
+        F.explode(shingles(F.col(text_col), shingle_k, distinct=False)).alias(
+            "t"
+        )
+    )
+    types = toks.groupBy("t").agg(F.count("*").alias("r"))
+    dist = types.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
+    agg = dist.agg(
+        F.sum("n_r").cast("long").alias("s_obs"),
+        F.sum(F.when(F.col("r") == 1, F.col("n_r")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("r") == 2, F.col("n_r")).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    corr = F.floor(
+        F.col("n1").cast("double")
+        * (F.col("n1").cast("double") - 1.0)
+        / (2.0 * (F.col("n2").cast("double") + 1.0))
+        * 1000000
+    ).cast("long")
+    return agg.select(
+        "s_obs",
+        "n1",
+        "n2",
+        (F.col("s_obs") * 1000000 + corr).cast("long").alias("chao1_micro"),
+    )

@@ -2111,3 +2111,56 @@ SELECT n, n_both, a_only, b_only, neither,
   ELSE 0 END::bigint AS chi2_micro
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# emd_drift (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D earth-mover distance of each source's n_chars
+    distribution vs the rest of the corpus over integer log2 buckets
+    (relational.emd_drift) — decimal-exact cleared-denominator terms,
+    one pinned final division."""
+    from ..operators.relational import emd_drift
+
+    return emd_drift(_docs(spark, sf_dir), "source", "n_chars")
+
+
+_SQL_EMD_DRIFT = """
+WITH gb AS (
+  SELECT source AS g, length(bin(n_chars + 1))::bigint AS b,
+    count(*)::bigint AS c
+  FROM documents GROUP BY 1, 2
+),
+buckets AS (SELECT DISTINCT b FROM gb),
+grp AS (SELECT g, sum(c)::bigint AS n_g FROM gb GROUP BY g),
+tot AS (SELECT b, sum(c)::bigint AS t FROM gb GROUP BY b),
+nn AS (SELECT sum(c)::bigint AS n_all FROM gb),
+grid AS (
+  SELECT grp.g, buckets.b, grp.n_g, nn.n_all - grp.n_g AS n_rest,
+    coalesce(gb.c, 0)::bigint AS c_g,
+    (tot.t - coalesce(gb.c, 0))::bigint AS c_rest
+  FROM grp CROSS JOIN buckets
+  LEFT JOIN gb ON gb.g = grp.g AND gb.b = buckets.b
+  JOIN tot ON tot.b = buckets.b, nn
+),
+cum AS (
+  SELECT g, n_g, n_rest,
+    sum(c_g) OVER (PARTITION BY g ORDER BY b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cg,
+    sum(c_rest) OVER (PARTITION BY g ORDER BY b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cr
+  FROM grid
+),
+per AS (
+  SELECT g, max(n_g)::bigint AS n_g, max(n_rest)::bigint AS n_rest,
+    sum(abs(cg::hugeint * n_rest - cr::hugeint * n_g)) AS s
+  FROM cum GROUP BY g
+)
+SELECT g AS source, n_g,
+  floor(s::double / (n_g::double * n_rest::double) * 1000000)::bigint
+    AS emd_micro
+FROM per ORDER BY source
+"""

@@ -1803,3 +1803,39 @@ SELECT src_a, src_b,
   floor(sd::double / kk::double * 1000000)::bigint AS delta_micro
 FROM pairs ORDER BY src_a, src_b
 """
+
+
+# ---------------------------------------------------------------------------
+# chao1_richness (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def q_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 unseen-species richness over 3-word shingles
+    (textops.chao1_richness) — bias-corrected N1/N2 form; the observed
+    term stays an exact bigint, the correction divides pinned."""
+    return textops.chao1_richness(_docs(spark, sf_dir), shingle_k=3)
+
+
+_SQL_CHAO1_RICHNESS = f"""
+WITH t AS (
+  SELECT {_TOKS} AS toks FROM documents WHERE trim(text) <> ''
+),
+sh AS (
+  SELECT array_to_string(toks[j:j+2], ' ') AS t
+  FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(j)
+),
+types AS (SELECT t, count(*)::bigint AS r FROM sh GROUP BY t),
+d AS (
+  SELECT count(*)::bigint AS s_obs,
+    sum(CASE WHEN r = 1 THEN 1 ELSE 0 END)::bigint AS n1,
+    sum(CASE WHEN r = 2 THEN 1 ELSE 0 END)::bigint AS n2
+  FROM types
+)
+SELECT s_obs, n1, n2,
+  (s_obs * 1000000
+   + floor(n1::double * (n1::double - 1.0::double)
+           / (2.0::double * (n2::double + 1.0::double))
+           * 1000000)::bigint)::bigint AS chao1_micro
+FROM d
+"""

@@ -6377,3 +6377,45 @@ def test_markov_stationary_hand_checked(spark):
         for r in markov_stationary(df, iters=8).collect()
     }
     assert got == {"A": 666015, "B": 333984}
+
+
+def test_chao1_richness_hand_checked(spark):
+    """'a b c a b c a b d': types (2,2,2,1) -> S=4, N1=1, N2=3;
+    the bias-corrected correction N1(N1-1)/(2(N2+1)) vanishes at N1=1."""
+    from legal_document_ocr_spark.operators.textops import chao1_richness
+
+    df = spark.createDataFrame([("a b c a b c a b d",)], "text string")
+    r = chao1_richness(df, shingle_k=3).collect()[0]
+    assert (r["s_obs"], r["n1"], r["n2"]) == (4, 1, 3)
+    assert r["chao1_micro"] == 4 * 1000000
+    two = spark.createDataFrame(
+        [("a b c x y z",), ("a b c p q r",)], "text string"
+    )
+    r2 = chao1_richness(two, shingle_k=3).collect()[0]
+    # 8 shingles: 'a b c' twice, six singletons -> S=7, N1=6, N2=1
+    assert (r2["s_obs"], r2["n1"], r2["n2"]) == (7, 6, 1)
+    assert r2["chao1_micro"] == 7 * 1000000 + (6 * 5 * 1000000) // 4
+
+
+def test_emd_drift_hand_checked(spark):
+    """Identical distributions -> EMD 0; a group whose mass all sits
+    one bucket above the rest -> EMD = 1 (one full bucket of travel)."""
+    from legal_document_ocr_spark.operators.relational import emd_drift
+
+    same = spark.createDataFrame(
+        [("a", 10), ("a", 100), ("b", 10), ("b", 100)],
+        "source string, n_chars long",
+    )
+    got = {
+        r["source"]: r["emd_micro"] for r in emd_drift(same).collect()
+    }
+    assert got == {"a": 0, "b": 0}
+    # buckets: bin(3+1)=100 -> len 3; bin(5+1)=110 -> len 3; bin(8+1)=1001 -> 4
+    shift = spark.createDataFrame(
+        [("a", 3), ("a", 5), ("b", 8), ("b", 8)],
+        "source string, n_chars long",
+    )
+    got2 = {
+        r["source"]: r["emd_micro"] for r in emd_drift(shift).collect()
+    }
+    assert got2 == {"a": 1000000, "b": 1000000}
