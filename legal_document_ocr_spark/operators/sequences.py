@@ -379,3 +379,64 @@ def markov_stationary(
         F.col("st").alias(type_col),
         F.floor(F.col("x") * 1000000).cast("long").alias("p_micro"),
     ).orderBy(type_col)
+
+
+def interarrival_stats(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Inter-arrival time profile per event type: gaps between a user's
+    consecutive events of the SAME type, aggregated to the exponential
+    MLE rate λ = n/Σgap and the mean gap — the recrawl/traffic model
+    behind schedule tuning (a type whose λ collapses is going dormant).
+
+    All-integer: gaps are epoch-second differences; mean_gap_micro =
+    (Σgap·1e6) div n and lambda_micro = (n·1e6) div Σgap are exact
+    truncating divisions in both engines.
+
+    Scale shape: ONE per-(user, type) lag window over the corpus (the
+    sessionize bound), then a map-side-combined groupBy(type) over the
+    bounded type domain.
+
+    Output: (event_type, n_gaps, sum_gap, mean_gap_micro, lambda_micro).
+    """
+    w = Window.partitionBy(user_col, type_col).orderBy(
+        F.col(ts_col), F.col(id_col)
+    )
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    gaps = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col).alias("event_type"),
+            F.col(ts_col),
+            F.col(id_col),
+            (sec - F.lag(sec).over(w)).alias("gap"),
+        )
+        .where(F.col("gap").isNotNull())
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("sum_gap"),
+    )
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        "sum_gap",
+        F.when(
+            F.col("n_gaps") > 0,
+            F.expr("(sum_gap * 1000000) div n_gaps"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mean_gap_micro"),
+        F.when(
+            F.col("sum_gap") > 0, F.expr("(n_gaps * 1000000) div sum_gap")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("lambda_micro"),
+    ).orderBy("event_type")

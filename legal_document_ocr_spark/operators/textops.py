@@ -4629,3 +4629,100 @@ def chao1_richness(
         "n2",
         (F.col("s_obs") * 1000000 + corr).cast("long").alias("chao1_micro"),
     )
+
+
+def query_likelihood(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    *,
+    mu: float = 2000.0,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval scoring — the
+    language-modeling alternative to ``bm25_scores``: score(d) =
+    Σ_{t∈Q} ln((tf + μ·p_t) / (dl + μ)) with p_t the collection
+    unigram probability. Decomposed so zero-tf terms never explode:
+
+        score = Σ_matched ln((tf + μp_t)/(μp_t))        (sparse part)
+              + Σ_Q ln(μ·p_t)                           (constant K)
+              − |Q|·ln(dl + μ)                          (per-doc)
+
+    Determinism contract (the bm25 discipline): every ln is
+    round(·, 12) before it enters a sum; the sparse part sums as
+    decimal(28,12) (order-independent); K is a decimal sum over the
+    bounded term table; the final floor(·×1e6) subtracts decimals
+    exactly.
+
+    Scale shape: tokens filter to the BOUNDED query vocabulary at scan
+    speed before the explode; (doc, term) tf and per-doc dl are
+    map-side-combined; term stats join back by broadcast (|Q| rows);
+    the dl join is doc-keyed shuffle_hash. One corpus-sized exchange.
+
+    Output: (doc_id, n_terms_matched, dl, score_micro) for documents
+    matching ≥ 1 query term, ordered by doc_id.
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    q_n = len(query_terms)
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    base = docs.select(
+        F.col("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        F.filter(toks, lambda t: F.array_contains(terms, t)).alias("hits"),
+    )
+    tf = (
+        base.select("doc_id", F.explode("hits").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    cf = (
+        tf.groupBy("t")
+        .agg(F.sum("tf").cast("long").alias("cf"))
+    )
+    coll = base.agg(F.sum("dl").cast("long").alias("c_total"))
+    stats = cf.crossJoin(F.broadcast(coll)).select(
+        "t",
+        (
+            F.lit(mu)
+            * (F.col("cf").cast("double") / F.col("c_total").cast("double"))
+        ).alias("mup"),
+    )
+    k_const = stats.agg(
+        F.sum(
+            F.round(F.log(F.col("mup")), 12).cast("decimal(28,12)")
+        ).alias("k")
+    )
+    sparse = (
+        tf.join(F.broadcast(stats), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms_matched"),
+            F.sum(
+                F.round(
+                    F.log(
+                        (F.col("tf").cast("double") + F.col("mup"))
+                        / F.col("mup")
+                    ),
+                    12,
+                ).cast("decimal(28,12)")
+            ).alias("sm"),
+        )
+    )
+    dl = base.select("doc_id", "dl")
+    out = (
+        sparse.join(dl.hint("shuffle_hash"), "doc_id")
+        .crossJoin(F.broadcast(k_const))
+    )
+    per_doc = F.round(
+        F.log(F.col("dl").cast("double") + F.lit(mu)), 12
+    ).cast("decimal(28,12)")
+    score = (
+        F.col("sm") + F.col("k") - F.lit(q_n) * per_doc
+    )
+    return out.select(
+        "doc_id",
+        "n_terms_matched",
+        "dl",
+        F.floor(score.cast("double") * 1000000)
+        .cast("long")
+        .alias("score_micro"),
+    ).orderBy("doc_id")

@@ -2162,3 +2162,50 @@ SELECT source, doc_id, tier, weight, rank_hash, start_offset,
   CASE WHEN start_offset < 30000 THEN 1 ELSE 0 END AS keep
 FROM o
 """
+
+
+# ---------------------------------------------------------------------------
+# query_likelihood (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def q_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval
+    (textops.query_likelihood) for the same bounded 4-term query BM25
+    scores — the LM-based ranking face of the inverted index."""
+    return textops.query_likelihood(_docs(spark, sf_dir), _BM25_TERMS)
+
+
+_SQL_QUERY_LIKELIHOOD = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (
+  SELECT doc_id, len(toks)::bigint AS dl,
+    list_filter(toks, x -> x IN ('data', 'merge', 'spark', 'window'))
+      AS hits
+  FROM t
+),
+tf AS (
+  SELECT doc_id, h AS t, count(*)::bigint AS tf
+  FROM (SELECT doc_id, unnest(hits) AS h FROM b) GROUP BY doc_id, h
+),
+cf AS (SELECT t, sum(tf)::bigint AS cf FROM tf GROUP BY t),
+coll AS (SELECT sum(dl)::bigint AS c_total FROM b),
+stats AS (
+  SELECT t, 2000.0::double * (cf::double / c_total::double) AS mup
+  FROM cf, coll
+),
+kc AS (SELECT sum(round(ln(mup), 12)::decimal(28,12)) AS k FROM stats),
+sparse AS (
+  SELECT doc_id, count(*)::bigint AS n_terms_matched,
+    sum(round(ln((tf.tf::double + stats.mup) / stats.mup), 12)
+        ::decimal(28,12)) AS sm
+  FROM tf JOIN stats ON tf.t = stats.t GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_terms_matched, b.dl,
+  floor((s.sm + kc.k
+         - 4 * round(ln(b.dl::double + 2000.0::double), 12)
+             ::decimal(28,12))::double
+        * 1000000)::bigint AS score_micro
+FROM sparse s JOIN b ON s.doc_id = b.doc_id, kc
+ORDER BY s.doc_id
+"""

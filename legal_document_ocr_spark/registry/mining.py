@@ -1588,3 +1588,36 @@ FROM x{iters} ORDER BY event_type\n"""
 
 
 _SQL_MARKOV_STATIONARY = _sql_markov_stationary(8)
+
+
+# ---------------------------------------------------------------------------
+# interarrival_stats (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival profile with exponential MLE rate
+    (sequences.interarrival_stats) — per-(user, type) lag gaps,
+    all-integer divisions."""
+    from ..operators.sequences import interarrival_stats
+
+    return interarrival_stats(_tbl(_utc(spark), sf_dir, "events"))
+
+
+_SQL_INTERARRIVAL_STATS = """
+WITH g AS (
+  SELECT event_type,
+    epoch_us(ts) // 1000000
+      - lag(epoch_us(ts) // 1000000) OVER (
+          PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_type, count(*)::bigint AS n_gaps, sum(gap)::bigint AS sum_gap,
+  CASE WHEN count(*) > 0
+    THEN (sum(gap) * 1000000) // count(*) ELSE 0 END::bigint
+    AS mean_gap_micro,
+  CASE WHEN sum(gap) > 0
+    THEN (count(*) * 1000000) // sum(gap) ELSE 0 END::bigint
+    AS lambda_micro
+FROM g WHERE gap IS NOT NULL GROUP BY event_type ORDER BY event_type
+"""

@@ -6419,3 +6419,62 @@ def test_emd_drift_hand_checked(spark):
         r["source"]: r["emd_micro"] for r in emd_drift(shift).collect()
     }
     assert got2 == {"a": 1000000, "b": 1000000}
+
+
+def test_query_likelihood_hand_checked(spark):
+    """Two docs, query ['x']: cf=3, C=6, mup = 2000*3/6 = 1000.
+    score(d) = round(ln((tf+1000)/1000),12) + round(ln(1000),12)
+    - round(ln(dl+2000),12); doc with higher tf and equal dl wins."""
+    import math
+
+    from legal_document_ocr_spark.operators.textops import query_likelihood
+
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "x y z")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r for r in query_likelihood(df, ["x"]).collect()
+    }
+    assert got[1]["dl"] == 3 and got[2]["dl"] == 3
+    assert got[1]["score_micro"] > got[2]["score_micro"]
+
+    def score(tf, dl):
+        mup = 2000.0 * (3.0 / 6.0) * 1  # cf=3, C=6 -> mup=1000
+        s = (
+            round(math.log((tf + mup) / mup), 12)
+            + round(math.log(mup), 12)
+            - round(math.log(dl + 2000.0), 12)
+        )
+        return math.floor(s * 1000000)
+
+    assert got[1]["score_micro"] == score(2, 3)
+    assert got[2]["score_micro"] == score(1, 3)
+
+
+def test_interarrival_stats_hand_checked(spark):
+    """User 1 'A' at t=0,10,40 -> gaps 10,30: n=2, sum=40,
+    mean 20e6, lambda = 2e6//40 = 50000."""
+    from datetime import datetime, timezone
+
+    from legal_document_ocr_spark.operators.sequences import (
+        interarrival_stats,
+    )
+
+    def ts(t):
+        return datetime.fromtimestamp(t, tz=timezone.utc)
+
+    rows = [
+        (1, 1, ts(0), "A"),
+        (1, 2, ts(10), "A"),
+        (1, 3, ts(40), "A"),
+        (2, 4, ts(5), "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = [
+        (r["event_type"], r["n_gaps"], r["sum_gap"], r["mean_gap_micro"],
+         r["lambda_micro"])
+        for r in interarrival_stats(df).collect()
+    ]
+    assert got == [("A", 2, 40, 20000000, 50000)]
