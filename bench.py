@@ -110,6 +110,13 @@ HEADLINE = [
     "keyness_terms",          # Dunning G2 on the vocab x groups table
     "grid_dbscan",            # sign-lattice density CC, zero pair dists
     "vocab_churn",            # vocabulary-sized membership-bit groupBy
+    # round-4 session-15 additions
+    "cdc_apply",              # CDC last-writer-wins merge (agg + one SHJ)
+    "good_turing",            # counts-of-counts + bounded-dist self-join
+    "burrows_delta",          # stylometric z-grid over bounded S x k
+    "query_likelihood",       # Dirichlet LM retrieval (decimal log sums)
+    "emd_drift",              # exact 1-D EMD on log2 buckets
+    "image_dup_clusters",     # aHash pigeonhole pairs -> pointer-jump CC
 ]
 
 
