@@ -2331,3 +2331,57 @@ def merge_minhash_states(
             .alias(f"mh_{i}")
         )
     return m.select(*cols)
+
+
+def pair_threshold_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    thresholds_micro: tuple = (500000, 600000, 700000, 800000, 900000),
+) -> DataFrame:
+    """Near-dup pair counts across a Jaccard-threshold sweep — the
+    curve an operator reads before PICKING the dedup threshold (how
+    many pairs does 0.7 keep that 0.8 drops?). ONE LSH candidate pass +
+    ONE exact verification feeds every threshold: the candidates are
+    generated at the LOWEST threshold in the sweep, so higher cutoffs
+    are strict subsets (no per-threshold recomputation, no recall gap).
+
+    jaccard is the 6-dp-rounded exact set ratio; comparisons happen on
+    round(j·1e6) integers, so cutoff semantics are engine-exact.
+
+    Scale shape: identical to ``verified_near_dups`` (band-bucket
+    equi-join + shingle-set join on candidates, everything doc-keyed
+    shuffle_hash), then ONE single-row conditional-sum aggregate.
+
+    Output: (threshold_micro, n_pairs) ordered by threshold.
+    """
+    verified = verified_near_dups(
+        docs,
+        text_col,
+        k=k,
+        threshold=min(thresholds_micro) / 1_000_000,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    j_micro = F.round(F.col("jaccard") * 1000000).cast("long")
+    agg = verified.select(j_micro.alias("jm")).agg(
+        *[
+            F.sum((F.col("jm") >= t).cast("long")).alias(f"n_{t}")
+            for t in thresholds_micro
+        ]
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).cast("long").alias("threshold_micro"),
+                    F.col(f"n_{t}").cast("long").alias("n_pairs"),
+                )
+                for t in thresholds_micro
+            ]
+        )
+    ).alias("r")
+    return agg.select(rows).select("r.*").orderBy("threshold_micro")

@@ -1053,3 +1053,95 @@ def waterfill_allocation(
         F.col("is_capped").alias("capped"),
     )
     return out.orderBy(group_col)
+
+
+def pps_sample(
+    docs: DataFrame,
+    *,
+    n_target: int = 50,
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: lay the
+    documents end-to-end along their size axis in a seed-stable hash
+    order, then take one hit every T/n_target units — big documents are
+    hit with probability ∝ size (a doc larger than the step gets
+    multiplicity m > 1), the classic PPS design for byte-budgeted eval
+    sets.
+
+    All-integer: step = T div n_target; a doc starting at offset s with
+    size z is hit m = (s+z) div step − s div step times — exact in both
+    engines.
+
+    Scale shape (shard_assign discipline): the global offset is a
+    BUCKETED two-phase cumsum — per-bucket window + broadcast bucket
+    offsets — never a corpus-wide single-task sort; everything else is
+    per-row arithmetic.
+
+    Output: (doc_id, size, start_offset, m) for sampled docs (m >= 1),
+    ordered by doc_id.
+    """
+    from pyspark.sql import Window
+
+    rank_hash = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        )
+        .cast("decimal(20,0)")
+        .cast("long")
+    )
+    n_buckets = 1024
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(size_col).cast("long").alias("size"),
+            rank_hash.alias("rank_hash"),
+        )
+        .where(F.col("size") > 0)
+        .withColumn(
+            "_bucket",
+            F.floor(F.col("rank_hash") / F.lit((1 << 60) // n_buckets)),
+        )
+        .persist()
+    )
+    in_bucket = Window.partitionBy("_bucket").orderBy(
+        "rank_hash", "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    local = base.withColumn(
+        "_local_off", F.coalesce(F.sum("size").over(in_bucket), F.lit(0))
+    )
+    totals = base.groupBy("_bucket").agg(F.sum("size").alias("_tot"))
+    over_buckets = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = totals.withColumn(
+        "_bucket_off", F.coalesce(F.sum("_tot").over(over_buckets), F.lit(0))
+    ).select("_bucket", "_bucket_off")
+    tot = base.agg(F.sum("size").cast("long").alias("t"))
+    placed = (
+        local.join(F.broadcast(offs), "_bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "size",
+            (F.col("_local_off") + F.col("_bucket_off")).alias(
+                "start_offset"
+            ),
+            F.greatest(
+                F.expr(f"t div {n_target}"), F.lit(1)
+            ).alias("_step"),
+        )
+    )
+    m = F.expr(
+        "(start_offset + size) div _step - start_offset div _step"
+    )
+    return (
+        placed.select(
+            "doc_id",
+            "size",
+            "start_offset",
+            m.cast("long").alias("m"),
+        )
+        .where(F.col("m") >= 1)
+        .orderBy("doc_id")
+    )

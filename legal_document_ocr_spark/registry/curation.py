@@ -1331,3 +1331,41 @@ SELECT cluster_id, n_buckets, n_points
 FROM (SELECT * FROM per UNION ALL SELECT * FROM noise)
 ORDER BY cluster_id
 """
+
+
+# ---------------------------------------------------------------------------
+# pps_sample (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sample of 50 documents by n_chars
+    (sampling.pps_sample) — seed-stable hash order, bucketed two-phase
+    cumsum, all-integer hit multiplicities."""
+    from ..operators.sampling import pps_sample
+
+    return pps_sample(_docs(spark, sf_dir), n_target=50)
+
+
+_SQL_PPS_SAMPLE = """
+WITH base AS (
+  SELECT doc_id, n_chars::bigint AS size,
+    ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint AS rank_hash
+  FROM documents WHERE n_chars > 0
+),
+placed AS (
+  SELECT doc_id, size,
+    coalesce(sum(size) OVER (ORDER BY rank_hash, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+      AS start_offset
+  FROM base
+),
+tot AS (
+  SELECT greatest(sum(size) // 50, 1)::bigint AS step FROM base
+)
+SELECT doc_id, size, start_offset,
+  ((start_offset + size) // step - start_offset // step)::bigint AS m
+FROM placed, tot
+WHERE (start_offset + size) // step - start_offset // step >= 1
+ORDER BY doc_id
+"""

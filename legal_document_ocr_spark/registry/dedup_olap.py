@@ -1926,3 +1926,45 @@ SELECT h::bigint AS n_groups, tt::bigint AS n_docs,
   floor(s::double / tt::double * 1000000)::bigint AS theil_micro
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# pair_threshold_curve (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def q_pair_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold sweep over ONE LSH-candidate + exact-verify
+    pass (dedup.pair_threshold_curve) — pair counts at 0.5..0.9, the
+    curve read before picking the dedup cutoff."""
+    return dedup.pair_threshold_curve(_neardup_docs(spark, sf_dir))
+
+
+_SQL_PAIR_THRESHOLD_CURVE = (
+    _sql_minhash_bands(_NEARDUP_SQL)
+    + f""",
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+shd AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM src) tt
+),
+jm AS (
+  SELECT round(round(len(list_intersect(a.sh, b.sh))
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::double,
+        6) * 1000000)::bigint AS jm
+  FROM cand JOIN shd a ON a.doc_id = id_a JOIN shd b ON b.doc_id = id_b
+),
+lv AS (
+  SELECT unnest([500000, 600000, 700000, 800000, 900000])
+    AS threshold_micro
+)
+SELECT threshold_micro::bigint AS threshold_micro,
+  (SELECT coalesce(sum(CASE WHEN jm >= threshold_micro THEN 1 ELSE 0 END),
+          0) FROM jm)::bigint AS n_pairs
+FROM lv ORDER BY threshold_micro
+"""
+)

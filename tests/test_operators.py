@@ -6478,3 +6478,67 @@ def test_interarrival_stats_hand_checked(spark):
         for r in interarrival_stats(df).collect()
     ]
     assert got == [("A", 2, 40, 20000000, 50000)]
+
+
+def test_pps_sample_hand_checked(spark):
+    """Total 1300, n_target=13 -> step 100: the 1000-char doc is hit
+    10x its smaller peers; multiplicities replicate the md5-order
+    layout exactly and sum to ~n_target."""
+    import hashlib
+
+    from legal_document_ocr_spark.operators.sampling import pps_sample
+
+    sizes = {1: 100, 2: 1000, 3: 100, 4: 100}
+    df = spark.createDataFrame(
+        list(sizes.items()), "doc_id long, n_chars long"
+    )
+    got = {
+        r["doc_id"]: (r["start_offset"], r["m"])
+        for r in pps_sample(df, n_target=13).collect()
+    }
+    order = sorted(
+        sizes,
+        key=lambda d: (
+            int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16),
+            d,
+        ),
+    )
+    off, step, want = 0, 1300 // 13, {}
+    for d in order:
+        m = (off + sizes[d]) // step - off // step
+        if m >= 1:
+            want[d] = (off, m)
+        off += sizes[d]
+    assert got == want
+    assert got[2][1] == 10
+
+
+def test_pair_threshold_curve_monotone_and_anchored(spark):
+    """Counts are non-increasing in the threshold, and the 0.5 level
+    equals the verified_near_dups pair count at threshold 0.5."""
+    from legal_document_ocr_spark.operators.dedup import (
+        pair_threshold_curve,
+        verified_near_dups,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs before noon today",
+        "sphinx of black quartz judge my vow said the old teacher",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i, t))
+        rows.append((100 + i, t + " tail"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    curve = {
+        r["threshold_micro"]: r["n_pairs"]
+        for r in pair_threshold_curve(df).collect()
+    }
+    levels = sorted(curve)
+    assert all(
+        curve[levels[i]] >= curve[levels[i + 1]]
+        for i in range(len(levels) - 1)
+    )
+    n_05 = verified_near_dups(df, threshold=0.5).count()
+    assert curve[500000] == n_05 > 0
