@@ -2385,3 +2385,51 @@ def pair_threshold_curve(
         )
     ).alias("r")
     return agg.select(rows).select("r.*").orderBy("threshold_micro")
+
+
+def cms_error_audit(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Count–min sketch ACCURACY audit: for each probed term, the CMS
+    estimate next to the exact count and the overestimate (CMS never
+    undercounts) — the calibration pass run before trusting sketch
+    counts for mixture weighting at scale.
+
+    Scale shape: the exact side is one scan-speed vocabulary filter +
+    map-side-combined groupBy (the probe list is bounded); the sketch
+    side is ``cms_term_counts`` (depth×width cells, map-side
+    combined); the final join is bounded-by-|terms| rows.
+
+    Output: (term, exact_count, est_count, overestimate) ordered.
+    """
+    from .textops import ws_tokens
+
+    term_lits = F.array(*[F.lit(t) for t in terms])
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                ws_tokens(F.lower(F.col(text_col))),
+                lambda t: F.array_contains(term_lits, t),
+            )
+        ).alias("term")
+    )
+    exact = toks.groupBy("term").agg(
+        F.count("*").cast("long").alias("exact_count")
+    )
+    est = cms_term_counts(docs, terms)
+    return (
+        est.join(F.broadcast(exact), "term", "left")
+        .select(
+            "term",
+            F.coalesce("exact_count", F.lit(0))
+            .cast("long")
+            .alias("exact_count"),
+            F.col("est_count").cast("long").alias("est_count"),
+            (F.col("est_count") - F.coalesce("exact_count", F.lit(0)))
+            .cast("long")
+            .alias("overestimate"),
+        )
+        .orderBy("term")
+    )

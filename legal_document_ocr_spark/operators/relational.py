@@ -4071,3 +4071,51 @@ def emd_drift(
         .cast("long")
         .alias("emd_micro"),
     ).orderBy(group_col)
+
+
+def bloom_fpr_audit(
+    probe: DataFrame,
+    build: DataFrame,
+    key_col: str,
+    id_col: str,
+    *,
+    bits: int = 8192,
+    hashes: int = 3,
+) -> DataFrame:
+    """Empirical false-positive-rate audit of the Bloom semi-join: how
+    many non-members does this (bits, hashes) configuration wave
+    through as candidates? — measured on real keys, the number that
+    decides whether the skipped-shuffle reduction is worth the filter
+    at a given corpus scale.
+
+    fpr_micro = (false_positives · 1e6) div non_members — exact
+    integer division over a ONE-row map-side-combined aggregate of the
+    ``bloom_semijoin`` flags.
+
+    Output: one row (n_probe, n_listed, n_candidates,
+    n_false_positive, fpr_micro).
+    """
+    flags = bloom_semijoin(
+        probe, build, key_col, id_col, bits=bits, hashes=hashes
+    )
+    cand = F.col("bloom_candidate").cast("long")
+    listed = F.col("is_listed").cast("long")
+    agg = flags.agg(
+        F.count("*").cast("long").alias("n_probe"),
+        F.sum(listed).cast("long").alias("n_listed"),
+        F.sum(cand).cast("long").alias("n_candidates"),
+        F.sum(cand * (1 - listed)).cast("long").alias("n_false_positive"),
+    )
+    return agg.select(
+        "n_probe",
+        "n_listed",
+        "n_candidates",
+        "n_false_positive",
+        F.when(
+            F.col("n_probe") - F.col("n_listed") > 0,
+            F.expr("(n_false_positive * 1000000) div (n_probe - n_listed)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("fpr_micro"),
+    )

@@ -1369,3 +1369,77 @@ FROM placed, tot
 WHERE (start_offset + size) // step - start_offset // step >= 1
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# cms_error_audit / bloom_fpr_audit (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def q_cms_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS estimate vs exact count per probed stopword
+    (dedup.cms_error_audit) — the sketch-calibration pass; CMS never
+    undercounts, so overestimate >= 0 everywhere."""
+    return dedup.cms_error_audit(_docs(spark, sf_dir), _CMS_TERMS)
+
+
+def _sql_cms_error_audit() -> str:
+    cand = ", ".join(f"'{t}'" for t in _CMS_TERMS)
+    slot = (
+        "('0x' || substr(md5(d::varchar || '|' || {v}), 1, 7))::bigint"
+        " % 1024"
+    )
+    return f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+cells AS (
+  SELECT u.d, {slot.format(v='tok')} AS slot
+  FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) u
+),
+sk AS (SELECT d, slot, count(*) AS cnt FROM cells GROUP BY d, slot),
+cand AS (SELECT unnest([{cand}]) AS term),
+cs AS (
+  SELECT term, u.d, {slot.format(v='term')} AS slot
+  FROM cand CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) u
+),
+est AS (
+  SELECT term, min(coalesce(cnt, 0))::bigint AS est_count
+  FROM cs LEFT JOIN sk USING (d, slot) GROUP BY term
+),
+exact AS (
+  SELECT tok AS term, count(*)::bigint AS exact_count
+  FROM tok WHERE tok IN (SELECT term FROM cand) GROUP BY tok
+)
+SELECT est.term, coalesce(exact_count, 0)::bigint AS exact_count,
+  est_count,
+  (est_count - coalesce(exact_count, 0))::bigint AS overestimate
+FROM est LEFT JOIN exact ON est.term = exact.term
+ORDER BY est.term
+"""
+
+
+def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical Bloom FPR (relational.bloom_fpr_audit) over the same
+    fingerprint blocklist bloom_blocklist screens — one-row census of
+    candidates vs true members."""
+    d = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("fp"))
+    block = d.where(F.col("doc_id") % 10 == 0).select("fp")
+    from ..operators.relational import bloom_fpr_audit
+
+    return bloom_fpr_audit(d, block, "fp", "doc_id")
+
+
+_SQL_BLOOM_FPR_AUDIT = f"""
+WITH flags AS ({_SQL_BLOOM_BLOCKLIST})
+SELECT count(*)::bigint AS n_probe,
+  sum(CASE WHEN is_listed THEN 1 ELSE 0 END)::bigint AS n_listed,
+  sum(CASE WHEN bloom_candidate THEN 1 ELSE 0 END)::bigint
+    AS n_candidates,
+  sum(CASE WHEN bloom_candidate AND NOT is_listed THEN 1 ELSE 0 END)
+    ::bigint AS n_false_positive,
+  CASE WHEN count(*) - sum(CASE WHEN is_listed THEN 1 ELSE 0 END) > 0
+    THEN (sum(CASE WHEN bloom_candidate AND NOT is_listed
+                   THEN 1 ELSE 0 END) * 1000000)
+         // (count(*) - sum(CASE WHEN is_listed THEN 1 ELSE 0 END))
+  ELSE 0 END::bigint AS fpr_micro
+FROM flags
+"""

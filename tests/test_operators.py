@@ -6542,3 +6542,40 @@ def test_pair_threshold_curve_monotone_and_anchored(spark):
     )
     n_05 = verified_near_dups(df, threshold=0.5).count()
     assert curve[500000] == n_05 > 0
+
+
+def test_cms_error_audit_never_undercounts(spark):
+    """CMS estimates dominate exact counts: overestimate >= 0 on every
+    probed term, and est == exact when the sketch has no collisions
+    (tiny vocabulary)."""
+    from legal_document_ocr_spark.operators.dedup import cms_error_audit
+
+    df = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the dog sat down",)],
+        "text string",
+    )
+    rows = cms_error_audit(df, ["the", "sat", "zebra"]).collect()
+    got = {r["term"]: (r["exact_count"], r["est_count"], r["overestimate"])
+           for r in rows}
+    assert got["the"][0] == 3 and got["sat"][0] == 2
+    assert got["zebra"][0] == 0
+    assert all(v[2] >= 0 for v in got.values())
+    assert all(v[1] == v[0] + v[2] for v in got.values())
+
+
+def test_bloom_fpr_audit_hand_checked(spark):
+    """Members are always candidates (no false negatives); the census
+    identities hold: candidates = listed + false positives."""
+    from legal_document_ocr_spark.operators.relational import (
+        bloom_fpr_audit,
+    )
+
+    probe = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.md5(F.col("id").cast("string")).alias("fp")
+    )
+    build = probe.where(F.col("doc_id") % 10 == 0).select("fp")
+    r = bloom_fpr_audit(probe, build, "fp", "doc_id").collect()[0]
+    assert r["n_probe"] == 200
+    assert r["n_listed"] == 20
+    assert r["n_candidates"] == r["n_listed"] + r["n_false_positive"]
+    assert r["fpr_micro"] == r["n_false_positive"] * 1000000 // 180
