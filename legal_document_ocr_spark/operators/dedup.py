@@ -2433,3 +2433,89 @@ def cms_error_audit(
         )
         .orderBy("term")
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the
+    AllPairs/PPJoin family, Bayardo et al. WWW'07) — the deterministic
+    complement to MinHash-LSH: two shingle sets with Jaccard ≥ t MUST
+    share at least one element among their first
+    p = n − ⌈t·n⌉ + 1 elements under ANY shared total order, so the
+    candidate join explodes only PREFIXES (rarest-first order makes
+    them low-df), and there are NO false negatives to argue about —
+    the oracle is the exact all-pairs join and must match EXACTLY.
+
+    The threshold is the rational num/den so the prefix length is an
+    exact integer: p = n − (n·num + den − 1) div den + 1. The shared
+    total order is the sortable string lpad(df,12,'0') || '|' ||
+    shingle (rarest first, engine-portable).
+
+    Scale shape: ONE shingle-keyed shuffle_hash join attaches df; the
+    per-doc sort touches only that doc's own set (array_sort inside
+    the row); the candidate equi-join runs on PREFIX tokens only
+    (low-df by construction — the whole point); exact verification
+    joins the two set arrays per candidate, doc-keyed shuffle_hash.
+
+    Output: (id_a, id_b, jaccard) for pairs with jaccard ≥ t, ordered.
+    """
+    sets = ensure_parallelism(docs).select(
+        "doc_id", shingles(F.col(text_col), k, distinct=True).alias("sh")
+    ).persist()
+    e = sets.select("doc_id", F.explode("sh").alias("s"))
+    dfreq = e.groupBy("s").agg(F.count("*").cast("long").alias("df"))
+    keyed = e.hint("shuffle_hash").join(dfreq.hint("shuffle_hash"), "s")
+    key = F.concat(F.lpad(F.col("df").cast("string"), 12, "0"), F.lit("|"), F.col("s"))
+    per_doc = keyed.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(key)).alias("keys")
+    )
+    n = F.size("keys")
+    p = (
+        n
+        - F.expr(
+            f"(size(keys) * {threshold_num} + {threshold_den} - 1)"
+            f" div {threshold_den}"
+        )
+        + 1
+    )
+    prefix = per_doc.select(
+        "doc_id", F.explode(F.slice("keys", 1, p)).alias("key")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("id_a"), "key")
+        .hint("shuffle_hash")
+        .join(
+            prefix.select(F.col("doc_id").alias("id_b"), "key").hint(
+                "shuffle_hash"
+            ),
+            "key",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    thr = threshold_num / threshold_den
+    return (
+        cand.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                inter
+                / (F.size("sh_a") + F.size("sh_b") - inter).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= thr)
+        .orderBy("id_a", "id_b")
+    )

@@ -1968,3 +1968,38 @@ SELECT threshold_micro::bigint AS threshold_micro,
 FROM lv ORDER BY threshold_micro
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# prefix_filter_pairs (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact prefix-filtered set-similarity join
+    (dedup.prefix_filter_pairs, AllPairs/PPJoin family) at Jaccard
+    >= 1/2 — the oracle is the EXACT all-pairs join, so any missing
+    candidate is a hard failure, not a recall statistic."""
+    return dedup.prefix_filter_pairs(_neardup_docs(spark, sf_dir))
+
+
+_SQL_PREFIX_FILTER_PAIRS = f"""
+WITH src AS ({_NEARDUP_SQL}),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM src),
+e AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s FROM t
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+common AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
+  FROM e l JOIN e r ON l.s = r.s AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+)
+SELECT id_a, id_b,
+  round(common / (sa.n + sb.n - common)::double, 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(common / (sa.n + sb.n - common)::double, 6) >= 0.5::double
+ORDER BY id_a, id_b
+"""

@@ -6579,3 +6579,38 @@ def test_bloom_fpr_audit_hand_checked(spark):
     assert r["n_listed"] == 20
     assert r["n_candidates"] == r["n_listed"] + r["n_false_positive"]
     assert r["fpr_micro"] == r["n_false_positive"] * 1000000 // 180
+
+
+def test_prefix_filter_pairs_complete_vs_exact(spark):
+    """Prefix filtering is EXACT: on a corpus with planted near-dups,
+    the pair set equals the brute-force shingle-join pair set."""
+    from legal_document_ocr_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    rows = []
+    for i in range(20):
+        base = f"alpha bravo charlie delta echo foxtrot {i} golf hotel india"
+        rows.append((i, base))
+        if i % 4 == 0:
+            rows.append((100 + i, base + " juliet"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in prefix_filter_pairs(df).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert got == want
+    assert len(got) >= 5
+    identical = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "p q r s t")],
+        "doc_id long, text string",
+    )
+    pairs = prefix_filter_pairs(identical).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs] == [
+        (1, 2, 1.0)
+    ]
