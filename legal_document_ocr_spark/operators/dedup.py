@@ -2519,3 +2519,91 @@ def prefix_filter_pairs(
         .where(F.col("jaccard") >= thr)
         .orderBy("id_a", "id_b")
     )
+
+
+def hll_rolling_distinct(
+    events: DataFrame,
+    *,
+    window_days: int = 7,
+    p: int = 8,
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+) -> DataFrame:
+    """Trailing-window distinct estimate from MERGEABLE per-day HLL
+    sketches: registers are built ONCE per day, then each day's
+    registers contribute to the ``window_days`` output days that cover
+    it and merge under max — the "distinct users last 7 days, every
+    day" query that an exact count_distinct would recompute from raw
+    events per window (7× the scan) and that sketch mergeability
+    answers from day-sized state.
+
+    Same portable HLL math as ``hll_distinct`` (md5-60bit hash,
+    integer harmonic sum, one pinned double division; linear counting
+    below 2.5m).
+
+    Scale shape: ONE corpus scan → groupBy(day, register) max — at
+    most m rows per day survive the map side; the window merge fans
+    each register row out ``window_days`` times and re-aggregates on
+    the bounded (days × m) table; output days are restricted to days
+    present in the data.
+
+    Output: (day, n_registers_set, est_distinct) ordered by day.
+    """
+    m = 1 << p
+    width = 60 - p
+    rank_cap = width + 1
+    day = F.floor(
+        F.col(ts_col).cast("timestamp").cast("long") / 86400
+    ).cast("long")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col(value_col).cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("decimal(20,0)")
+        .cast("long")
+    )
+    w = F.floor(h / m).cast("long")
+    rank = F.when(w > 0, F.lit(rank_cap) - F.length(F.bin(w))).otherwise(
+        F.lit(rank_cap)
+    )
+    per_day = (
+        events.select(day.alias("day"), (h % m).alias("reg"), rank.alias("rank"))
+        .groupBy("day", "reg")
+        .agg(F.max("rank").alias("mx"))
+    )
+    days = per_day.select("day").distinct()
+    fan = per_day.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (window_days - 1))
+        ).alias("out_day"),
+        "reg",
+        "mx",
+    )
+    merged = (
+        fan.join(
+            F.broadcast(days.select(F.col("day").alias("out_day"))),
+            "out_day",
+        )
+        .groupBy("out_day", "reg")
+        .agg(F.max("mx").alias("mx"))
+    )
+    sketch = merged.groupBy("out_day").agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.expr(f"shiftleft(1L, {rank_cap} - mx)")).alias("s_present"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    zeros = F.lit(m) - F.col("n_present")
+    s_int = F.col("s_present") + zeros * F.lit(1 << rank_cap).cast("long")
+    z = s_int.cast("double") / F.lit(float(1 << rank_cap))
+    e_raw = F.lit(alpha * m * m) / z
+    est = F.when(
+        (e_raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return sketch.select(
+        F.col("out_day").alias("day"),
+        F.col("n_present").cast("long").alias("n_registers_set"),
+        F.floor(est).cast("long").alias("est_distinct"),
+    ).orderBy("day")

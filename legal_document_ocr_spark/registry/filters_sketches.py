@@ -23,6 +23,7 @@ from .common import (
     _TOKS,
     _docs,
     _doubled_docs,
+    _tbl,
     _utc,
 )
 from .relational_web import (
@@ -2208,4 +2209,63 @@ SELECT s.doc_id, s.n_terms_matched, b.dl,
         * 1000000)::bigint AS score_micro
 FROM sparse s JOIN b ON s.doc_id = b.doc_id, kc
 ORDER BY s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# hll_rolling_distinct (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def q_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from MERGEABLE per-day HLL
+    register tables (dedup.hll_rolling_distinct) — one corpus scan,
+    max-merge across the window on the bounded (days x m) table."""
+    return dedup.hll_rolling_distinct(_tbl(_utc(spark), sf_dir, "events"))
+
+
+_SQL_HLL_ROLLING_DISTINCT = """
+WITH ev AS (
+  SELECT floor(epoch(ts))::bigint // 86400 AS day,
+    ('0x' || substr(md5(user_id::varchar), 1, 15))::bigint AS h
+  FROM events
+),
+r AS (
+  SELECT day, h % 256 AS reg,
+    CASE WHEN h // 256 > 0 THEN 53 - length(bin(h // 256))
+         ELSE 53 END AS rank
+  FROM ev
+),
+pd AS (SELECT day, reg, max(rank) AS mx FROM r GROUP BY day, reg),
+days AS (SELECT DISTINCT day FROM pd),
+fan AS (
+  SELECT unnest(generate_series(day, day + 6)) AS out_day, reg, mx FROM pd
+),
+mg AS (
+  SELECT out_day, reg, max(mx) AS mx
+  FROM fan JOIN days ON fan.out_day = days.day
+  GROUP BY out_day, reg
+),
+s AS (
+  SELECT out_day, count(*)::bigint AS n_present,
+    sum((1::bigint << (53 - mx)))::bigint AS s_present
+  FROM mg GROUP BY out_day
+),
+e AS (
+  SELECT out_day, n_present, (256 - n_present)::bigint AS zeros,
+    (s_present + (256 - n_present) * (1::bigint << 53))::double
+      / 9007199254740992.0::double AS z
+  FROM s
+),
+f AS (
+  SELECT out_day, n_present, zeros,
+    (0.7213::double / (1.0::double + 1.079::double / 256.0::double)
+     * 256.0::double * 256.0::double) / z AS e_raw
+  FROM e
+)
+SELECT out_day::bigint AS day, n_present AS n_registers_set,
+  floor(CASE WHEN e_raw <= 640.0::double AND zeros > 0
+             THEN 256.0::double * ln(256.0::double / zeros::double)
+             ELSE e_raw END)::bigint AS est_distinct
+FROM f ORDER BY day
 """

@@ -6614,3 +6614,33 @@ def test_prefix_filter_pairs_complete_vs_exact(spark):
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs] == [
         (1, 2, 1.0)
     ]
+
+
+def test_hll_rolling_distinct_merge_property(spark):
+    """The rolling estimate for day d equals hll_distinct_by run on the
+    union of the covering days' raw events — merging register tables
+    IS re-sketching the union (max is associative)."""
+    from datetime import datetime, timezone
+
+    from legal_document_ocr_spark.operators.dedup import (
+        hll_rolling_distinct,
+    )
+
+    def ts(day, i):
+        return datetime.fromtimestamp(day * 86400 + i, tz=timezone.utc)
+
+    rows = []
+    for day in range(3):
+        for u in range(day * 40, day * 40 + 50):  # 10-user overlap/day
+            rows.append((u, ts(day, u % 86400)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r["day"]: r["est_distinct"]
+        for r in hll_rolling_distinct(df, window_days=7).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    # day 2 covers all three days: 130 distinct users; HLL at m=256
+    # should land within ~15% of truth for this cardinality
+    assert abs(got[2] - 130) / 130 < 0.15
+    # monotone coverage: day 2's window is a superset of day 0's
+    assert got[2] >= got[0]
