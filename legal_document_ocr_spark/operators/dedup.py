@@ -2607,3 +2607,73 @@ def hll_rolling_distinct(
         F.col("n_present").cast("long").alias("n_registers_set"),
         F.floor(est).cast("long").alias("est_distinct"),
     ).orderBy("day")
+
+
+def partition_agreement(df: DataFrame, key_cols: list) -> DataFrame:
+    """Rand-index agreement between candidate dedup KEY functions: two
+    keys partition the same corpus; the Rand index over doc pairs
+    (both-same + both-different, over all pairs) says how
+    interchangeable the keys are — the audit run before swapping an
+    exact content hash for a cheaper blocking key.
+
+    Pair counts come off each pair's contingency table exactly as in
+    ``ari_eval`` (Σ C(n,2) — decimal-safe); the final ratio divides as
+    ONE pinned double: rand = (T − s_a − s_b + 2·joint)/T with
+    T = C(n,2).
+
+    Scale shape: per key pair, ONE map-side-combined groupBy over the
+    (key_a, key_b) cells; marginal sums reuse the cell table. The
+    number of key pairs is |keys| choose 2 — a driver-side constant.
+
+    Output: (key_a, key_b, n_docs, rand_micro) per unordered pair.
+    """
+    out = None
+    for i in range(len(key_cols)):
+        for j in range(i + 1, len(key_cols)):
+            ka, kb = key_cols[i], key_cols[j]
+            cells = df.groupBy(
+                F.col(ka).alias("_ka"), F.col(kb).alias("_kb")
+            ).agg(F.count("*").cast("long").alias("n_cf"))
+            pairs_expr = F.expr("n_cf * (n_cf - 1L) div 2L")
+            base = cells.agg(
+                F.sum("n_cf").cast("long").alias("n_docs"),
+                F.sum(pairs_expr.cast("decimal(38,0)")).alias("joint"),
+            )
+            sa = (
+                cells.groupBy("_ka")
+                .agg(F.sum("n_cf").cast("long").alias("n_a"))
+                .agg(
+                    F.sum(
+                        F.expr("n_a * (n_a - 1L) div 2L").cast(
+                            "decimal(38,0)"
+                        )
+                    ).alias("s_a")
+                )
+            )
+            sb = (
+                cells.groupBy("_kb")
+                .agg(F.sum("n_cf").cast("long").alias("n_b"))
+                .agg(
+                    F.sum(
+                        F.expr("n_b * (n_b - 1L) div 2L").cast(
+                            "decimal(38,0)"
+                        )
+                    ).alias("s_b")
+                )
+            )
+            one = base.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+            t = F.expr("n_docs * (n_docs - 1L) div 2L").cast("double")
+            rand = (
+                t
+                - F.col("s_a").cast("double")
+                - F.col("s_b").cast("double")
+                + 2.0 * F.col("joint").cast("double")
+            ) / t
+            row = one.select(
+                F.lit(ka).alias("key_a"),
+                F.lit(kb).alias("key_b"),
+                "n_docs",
+                F.floor(rand * 1000000).cast("long").alias("rand_micro"),
+            )
+            out = row if out is None else out.unionByName(row)
+    return out.orderBy("key_a", "key_b")

@@ -2003,3 +2003,73 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(common / (sa.n + sb.n - common)::double, 6) >= 0.5::double
 ORDER BY id_a, id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup_key_agreement (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_key_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rand-index agreement matrix (dedup.partition_agreement) between
+    three dedup key functions — exact content hash, 16-bit SimHash
+    bucket, and a (source, length-band) blocking key — the audit run
+    before swapping keys in the dedup stage."""
+    d = _docs(spark, sf_dir)
+    sim = dedup.simhash(d.select("doc_id", "text")).select(
+        "doc_id", F.expr("simhash div 256").alias("k_sim")
+    )
+    keyed = d.join(sim.hint("shuffle_hash"), "doc_id").select(
+        F.md5("text").alias("k_exact"),
+        "k_sim",
+        F.concat(
+            F.col("source"),
+            F.lit("|"),
+            F.expr("n_chars div 100").cast("string"),
+        ).alias("k_block"),
+    )
+    return dedup.partition_agreement(keyed, ["k_exact", "k_block", "k_sim"])
+
+
+def _sql_dedup_key_agreement() -> str:
+    head = (
+        _sql_simhash("SELECT doc_id, text FROM documents")
+        + """,
+keys AS (
+  SELECT d.doc_id, md5(d.text) AS k_exact, s.simhash // 256 AS k_sim,
+    d.source || '|' || (d.n_chars // 100)::varchar AS k_block
+  FROM documents d JOIN s ON d.doc_id = s.doc_id
+)"""
+    )
+    parts = []
+    for ka, kb in (
+        ("k_exact", "k_block"),
+        ("k_exact", "k_sim"),
+        ("k_block", "k_sim"),
+    ):
+        parts.append(f"""
+SELECT '{ka}' AS key_a, '{kb}' AS key_b, n_docs,
+  floor((t - s_a - s_b + 2.0::double * joint) / t * 1000000)::bigint
+    AS rand_micro
+FROM (
+  SELECT
+    (SELECT sum(n)::bigint FROM c_{ka}_{kb}) AS n_docs,
+    (SELECT sum((n * (n - 1) // 2)::hugeint)::double FROM c_{ka}_{kb})
+      AS joint,
+    (SELECT sum((sn * (sn - 1) // 2)::hugeint)::double
+     FROM (SELECT sum(n) AS sn FROM c_{ka}_{kb} GROUP BY ka)) AS s_a,
+    (SELECT sum((sn * (sn - 1) // 2)::hugeint)::double
+     FROM (SELECT sum(n) AS sn FROM c_{ka}_{kb} GROUP BY kb)) AS s_b,
+    (SELECT (sum(n) * (sum(n) - 1) // 2)::double FROM c_{ka}_{kb}) AS t
+)""")
+        head += f""",
+c_{ka}_{kb} AS (
+  SELECT {ka} AS ka, {kb} AS kb, count(*)::bigint AS n
+  FROM keys GROUP BY 1, 2
+)"""
+    return (
+        head
+        + "\n"
+        + "\nUNION ALL".join(parts)
+        + "\nORDER BY key_a, key_b\n"
+    )

@@ -6644,3 +6644,31 @@ def test_hll_rolling_distinct_merge_property(spark):
     assert abs(got[2] - 130) / 130 < 0.15
     # monotone coverage: day 2's window is a superset of day 0's
     assert got[2] >= got[0]
+
+
+def test_partition_agreement_hand_checked(spark):
+    """Identical partitions give Rand 1.0; a fully merged vs fully
+    split pair of keys gives Rand = fraction of both-different pairs."""
+    from legal_document_ocr_spark.operators.dedup import (
+        partition_agreement,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "x", 2), ("b", "y", 3), ("b", "z", 4)],
+        "k1 string, k2 string, k3 long",
+    )
+    got = {
+        (r["key_a"], r["key_b"]): r["rand_micro"]
+        for r in partition_agreement(df, ["k1", "k2", "k3"]).collect()
+    }
+    # k1 vs k2: cells (a,x):2 (b,y):1 (b,z):1 -> joint=1, s_a=1+1=2,
+    # s_b=1, T=6 -> rand = (6-2-1+2)/6 = 5/6
+    assert got[("k1", "k2")] == 5 * 1000000 // 6
+    # k3 splits everything: vs k1 -> joint=0, s_a=2, s_b=0
+    # rand = (6-2-0+0)/6 = 2/3
+    assert got[("k1", "k3")] == 666666
+    # identical partition agrees with itself fully
+    same = partition_agreement(
+        df.select("k1", F.col("k1").alias("k1b")), ["k1", "k1b"]
+    ).collect()[0]
+    assert same["rand_micro"] == 1000000
