@@ -673,3 +673,31 @@ def q_stream_sniff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_STREAM_SNIFF_CENSUS = _SQL_CONTENT_TYPE_MISMATCH
+
+
+def q_stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL register table (streaming.stream_hll_registers) —
+    max-per-register drained availableNow equals the batch sketch
+    bit-for-bit; the oracle is the closed-form register table."""
+    from ..streaming.pipeline import run_stream_to_table, stream_hll_registers
+
+    name = "stream_hll_registers_result"
+    sdf = stream_hll_registers(spark, f"{sf_dir}/events.parquet")
+    run_stream_to_table(spark, sdf, name, output_mode="complete")
+    return spark.table(name).orderBy("reg")
+
+
+_SQL_STREAM_HLL_REGISTERS = """
+WITH h AS (
+  SELECT ('0x' || substr(md5(user_id::varchar), 1, 15))::bigint AS h
+  FROM events
+),
+r AS (
+  SELECT h % 256 AS reg,
+    CASE WHEN h // 256 > 0 THEN 53 - length(bin(h // 256))
+         ELSE 53 END AS rank
+  FROM h
+)
+SELECT reg::bigint AS reg, max(rank)::bigint AS mx
+FROM r GROUP BY reg ORDER BY reg
+"""

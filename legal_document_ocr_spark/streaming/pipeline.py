@@ -581,3 +581,40 @@ def stream_sniff_census(spark: SparkSession, docs_dir: str) -> DataFrame:
         _as_stream_dir(spark, docs_dir)
     )
     return content_type_census(synth_typed_payloads(stream))
+
+
+def stream_hll_registers(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming HLL register maintenance — the 12th streaming surface:
+    the per-register max rank of the user-id hash kept continuously up
+    to date as events arrive (max is mergeable and batching-
+    independent, so the state store holds at most m = 256 rows and the
+    availableNow drain in ``complete`` mode is BIT-FOR-BIT the batch
+    register table — what the oracle states). Feed the drained table to
+    the ``hll_distinct`` estimate for a live distinct-users gauge.
+
+    Output: (reg, mx), one row per occupied register.
+    """
+    p = 8
+    m = 1 << p
+    rank_cap = 60 - p + 1
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        _as_stream_dir(spark, events_dir)
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("decimal(20,0)")
+        .cast("long")
+    )
+    w = F.floor(h / m).cast("long")
+    rank = F.when(w > 0, F.lit(rank_cap) - F.length(F.bin(w))).otherwise(
+        F.lit(rank_cap)
+    )
+    return (
+        stream.select((h % m).alias("reg"), rank.alias("rank"))
+        .groupBy("reg")
+        .agg(F.max("rank").cast("long").alias("mx"))
+    )

@@ -454,3 +454,43 @@ def test_stream_sniff_census_equals_batch(spark):
     )
     assert got == want
     assert len(want) > 0
+
+
+def test_stream_hll_registers_equals_batch_sketch(spark):
+    """Streaming max-per-register drained availableNow equals the
+    batch HLL register table bit-for-bit — the 12th streaming
+    surface (max is batching-independent)."""
+    from pyspark.sql import functions as F
+
+    from legal_document_ocr_spark.streaming.pipeline import (
+        run_stream_to_table,
+        stream_hll_registers,
+    )
+
+    events_dir = "/root/testdata/sf0.001/events.parquet"
+    sdf = stream_hll_registers(spark, events_dir)
+    assert sdf.isStreaming
+    run_stream_to_table(spark, sdf, "shr_t", output_mode="complete")
+    got = sorted(
+        (r["reg"], r["mx"]) for r in spark.table("shr_t").collect()
+    )
+    ev = spark.read.parquet(events_dir)
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("decimal(20,0)")
+        .cast("long")
+    )
+    w = F.floor(h / 256).cast("long")
+    rank = F.when(w > 0, F.lit(53) - F.length(F.bin(w))).otherwise(F.lit(53))
+    want = sorted(
+        (r["reg"], r["mx"])
+        for r in ev.select((h % 256).alias("reg"), rank.alias("rank"))
+        .groupBy("reg")
+        .agg(F.max("rank").alias("mx"))
+        .collect()
+    )
+    assert got == want and len(got) > 0
