@@ -1443,3 +1443,29 @@ SELECT count(*)::bigint AS n_probe,
   ELSE 0 END::bigint AS fpr_micro
 FROM flags
 """
+
+
+def q_salted_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-phase aggregation (scale.salt.salted_group_counts)
+    — the salting machinery itself under the correctness gate: the
+    oracle is the direct groupBy plus the closed-form md5 salt spread."""
+    from ..scale.salt import salted_group_counts
+
+    return salted_group_counts(_docs(spark, sf_dir), "source")
+
+
+_SQL_SALTED_GROUP_COUNTS = """
+WITH s AS (
+  SELECT source AS g,
+    ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 16 AS salt,
+    n_chars::bigint AS v
+  FROM documents
+),
+p1 AS (
+  SELECT g, salt, count(*)::bigint AS pn, sum(v)::bigint AS pv
+  FROM s GROUP BY g, salt
+)
+SELECT g AS source, sum(pn)::bigint AS n_docs, sum(pv)::bigint AS sum_value,
+  count(*)::bigint AS n_salt_parts
+FROM p1 GROUP BY g ORDER BY source
+"""

@@ -73,3 +73,60 @@ def salted_repartition(
     if num_partitions:
         return keyed.repartition(num_partitions, *cols)
     return keyed.repartition(*cols)
+
+
+def salted_group_counts(
+    df: DataFrame,
+    group_col: str = "source",
+    *,
+    salt_buckets: int = 16,
+    id_col: str = "doc_id",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Two-phase SALTED aggregation: phase 1 aggregates on
+    (group, salt) — a hot group fans out over ``salt_buckets`` reducers
+    instead of hammering one — and phase 2 merges the per-salt partials
+    on the now-bounded (groups × salts) table. Algebraically identical
+    to a direct groupBy (counts and sums are mergeable); the oracle IS
+    the direct groupBy, putting the skew machinery itself under the
+    correctness gate.
+
+    The salt is a deterministic md5 hash of the row id (never rand() —
+    resume/retry must re-salt identically). n_salt_parts reports how
+    many reducers each group actually spread over.
+
+    Output: (group, n_docs, sum_value, n_salt_parts) ordered by group.
+    """
+    salt = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % salt_buckets
+    )
+    phase1 = (
+        df.select(
+            F.col(group_col).alias("g"),
+            salt.alias("_salt"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("g", "_salt")
+        .agg(
+            F.count("*").cast("long").alias("pn"),
+            F.sum("v").cast("long").alias("pv"),
+        )
+    )
+    return (
+        phase1.groupBy("g")
+        .agg(
+            F.sum("pn").cast("long").alias("n_docs"),
+            F.sum("pv").cast("long").alias("sum_value"),
+            F.count("*").cast("long").alias("n_salt_parts"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            "sum_value",
+            "n_salt_parts",
+        )
+        .orderBy(group_col)
+    )

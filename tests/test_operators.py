@@ -6672,3 +6672,27 @@ def test_partition_agreement_hand_checked(spark):
         df.select("k1", F.col("k1").alias("k1b")), ["k1", "k1b"]
     ).collect()[0]
     assert same["rand_micro"] == 1000000
+
+
+def test_salted_group_counts_equals_direct(spark):
+    """Two-phase salted aggregation is algebraically the direct
+    groupBy; a group with enough rows spreads over multiple salts."""
+    from legal_document_ocr_spark.scale.salt import salted_group_counts
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 90 else "cold", i * 3) for i in range(100)],
+        "doc_id long, source string, n_chars long",
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["sum_value"], r["n_salt_parts"])
+        for r in salted_group_counts(df, "source").collect()
+    }
+    direct = {
+        r["source"]: (r["n"], r["s"])
+        for r in df.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("s"))
+        .collect()
+    }
+    for g, (n, s, parts) in got.items():
+        assert (n, s) == direct[g]
+    assert got["hot"][2] > 1  # the hot group actually fanned out
