@@ -2096,3 +2096,45 @@ def robots_wildcard_filter(
             F.expr("substring(_rw_win, 6)").alias("rule_pattern"),
         )
     )
+
+
+def link_locality(pages: DataFrame) -> DataFrame:
+    """First-party vs third-party outlink ratio per host — the
+    template/navigation-heaviness gauge (a host whose pages link only
+    to themselves is a silo or a template farm; one that is mostly
+    external is a link directory or spam hub), and the input a crawl
+    scheduler uses to predict frontier growth per host.
+
+    A link counts as internal when its resolved target host equals the
+    page host, or when it stayed relative after resolution (same-page
+    by construction). Pure codegen over ``extract_links``'s edge list.
+
+    Scale shape: the corpus is touched once by the link extraction
+    scan; the census is ONE map-side-combined groupBy(host) of
+    conditional sums over short keys (href strings are dropped in the
+    projection before the exchange).
+
+    Output: (host, n_links, n_internal, n_external, locality_micro)
+    ordered by host.
+    """
+    host_re = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)"
+    links = extract_links(pages)
+    src = F.lower(F.regexp_extract("url", host_re, 1))
+    dst = F.lower(F.regexp_extract("resolved", host_re, 1))
+    internal = ((dst == src) | (dst == "")).cast("long")
+    flagged = links.select(src.alias("host"), internal.alias("i"))
+    agg = flagged.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.sum("i").cast("long").alias("n_internal"),
+    )
+    return agg.select(
+        "host",
+        "n_links",
+        "n_internal",
+        (F.col("n_links") - F.col("n_internal"))
+        .cast("long")
+        .alias("n_external"),
+        F.expr("(n_internal * 1000000) div n_links")
+        .cast("long")
+        .alias("locality_micro"),
+    ).orderBy("host")

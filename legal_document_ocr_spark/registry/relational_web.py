@@ -2601,3 +2601,42 @@ SELECT doc_id, cluster_id,
 FROM cc ORDER BY doc_id
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# link_locality (round-4 session-15)
+# ---------------------------------------------------------------------------
+
+
+def q_link_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-party vs third-party outlink ratio per host
+    (urls.link_locality) — conditional sums over the extract_links
+    edge list, href strings dropped before the exchange."""
+    from ..operators import urls
+
+    return urls.link_locality(synthesize_pages_df(spark, sf_dir))
+
+
+def _sql_link_locality() -> str:
+    return f"""
+WITH links AS ({_sql_extract_links()}),
+f AS (
+  SELECT
+    lower(coalesce(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]+)', 1), '')) AS host,
+    CASE WHEN lower(coalesce(regexp_extract(resolved,
+           '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]+)', 1), ''))
+           IN (lower(coalesce(regexp_extract(url,
+                '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]+)', 1), '')), '')
+         THEN 1 ELSE 0 END AS i
+  FROM links
+),
+a AS (
+  SELECT host, count(*)::bigint AS n_links, sum(i)::bigint AS n_internal
+  FROM f GROUP BY host
+)
+SELECT host, n_links, n_internal,
+  (n_links - n_internal)::bigint AS n_external,
+  ((n_internal * 1000000) // n_links)::bigint AS locality_micro
+FROM a ORDER BY host
+"""

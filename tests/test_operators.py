@@ -6696,3 +6696,22 @@ def test_salted_group_counts_equals_direct(spark):
     for g, (n, s, parts) in got.items():
         assert (n, s) == direct[g]
     assert got["hot"][2] > 1  # the hot group actually fanned out
+
+
+def test_link_locality_hand_checked(spark):
+    """One page with 2 internal (same-host + relative) and 1 external
+    link -> locality 2/3."""
+    from legal_document_ocr_spark.operators.urls import link_locality
+
+    html = (
+        '<a href="/about">a</a> '
+        '<a href="page.html">b</a> '
+        '<a href="https://other.example.org/x">c</a>'
+    )
+    df = spark.createDataFrame(
+        [("https://h1.example.com/p", html)], "url string, html string"
+    )
+    r = link_locality(df).collect()[0]
+    assert r["host"] == "h1.example.com"
+    assert (r["n_links"], r["n_internal"], r["n_external"]) == (3, 2, 1)
+    assert r["locality_micro"] == 2 * 1000000 // 3
