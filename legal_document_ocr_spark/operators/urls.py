@@ -2138,3 +2138,39 @@ def link_locality(pages: DataFrame) -> DataFrame:
         .cast("long")
         .alias("locality_micro"),
     ).orderBy("host")
+
+
+def title_dup_census(pages: DataFrame, *, min_hosts: int = 2) -> DataFrame:
+    """Cross-host duplicated <title> census — the template-farm /
+    mirror detector at the title level (the cheapest cross-host
+    near-dup signal there is: one short string per page, no shingles):
+    titles that appear on ≥ min_hosts distinct hosts, with page and
+    host counts.
+
+    Scale shape: title and host are extracted in the scan projection
+    (html is dropped immediately); the census is groupBy(title, host)
+    then groupBy(title) — both map-side-combined on short keys, the
+    exact-distinct-hosts count coming from the first aggregate's
+    output rather than a count(distinct) over raw pages.
+
+    Output: (title, n_pages, n_hosts) for titles on >= min_hosts
+    hosts, ordered by n_pages desc, title.
+    """
+    host_re = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)"
+    title = F.trim(
+        F.regexp_extract(F.col("html"), r"(?is)<title>([^<]*)</title>", 1)
+    )
+    th = pages.select(
+        title.alias("title"),
+        F.lower(F.regexp_extract("url", host_re, 1)).alias("host"),
+    ).where(F.col("title") != "")
+    per_host = th.groupBy("title", "host").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    census = per_host.groupBy("title").agg(
+        F.sum("n").cast("long").alias("n_pages"),
+        F.count("*").cast("long").alias("n_hosts"),
+    )
+    return census.where(F.col("n_hosts") >= min_hosts).orderBy(
+        F.desc("n_pages"), F.asc("title")
+    )

@@ -2640,3 +2640,59 @@ SELECT host, n_links, n_internal,
   ((n_internal * 1000000) // n_links)::bigint AS locality_micro
 FROM a ORDER BY host
 """
+
+
+def q_title_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-host duplicated-title census (urls.title_dup_census) over
+    deterministic per-doc titles (40 md5-assigned title templates,
+    decorrelated from the 20 hosts)
+    — the cheapest cross-host template signal."""
+    from ..operators import urls
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><head><title>Template "),
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7),
+                    16,
+                    10,
+                ).cast("long")
+                % 40
+            ).cast("string"),
+            F.lit("</title></head><body>"),
+            F.col("text"),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return urls.title_dup_census(pages)
+
+
+_SQL_TITLE_DUP_CENSUS = """
+WITH p AS (
+  SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id
+           AS url,
+    'Template '
+      || (('0x' || substr(md5(doc_id::varchar), 1, 7))::bigint % 40)
+           ::varchar AS title,
+    lower(source || '.example.com') AS host
+  FROM documents
+),
+ph AS (
+  SELECT title, host, count(*)::bigint AS n FROM p GROUP BY title, host
+),
+c AS (
+  SELECT title, sum(n)::bigint AS n_pages, count(*)::bigint AS n_hosts
+  FROM ph GROUP BY title
+)
+SELECT title, n_pages, n_hosts FROM c
+WHERE n_hosts >= 2 ORDER BY n_pages DESC, title ASC
+"""

@@ -6715,3 +6715,31 @@ def test_link_locality_hand_checked(spark):
     assert r["host"] == "h1.example.com"
     assert (r["n_links"], r["n_internal"], r["n_external"]) == (3, 2, 1)
     assert r["locality_micro"] == 2 * 1000000 // 3
+
+
+def test_title_dup_census_hand_checked(spark):
+    """'Shared' appears on two hosts (3 pages), 'Solo' on one host only
+    and must be filtered; empty titles are dropped."""
+    from legal_document_ocr_spark.operators.urls import title_dup_census
+
+    def page(host, title):
+        return (
+            f"https://{host}/p",
+            f"<html><head><TITLE>{title}</TITLE></head><body>x</body></html>"
+            if title
+            else "<html><head></head><body>x</body></html>",
+        )
+
+    rows = [
+        page("a.com", "Shared"),
+        page("a.com", "Shared"),
+        page("b.com", "Shared"),
+        page("a.com", "Solo"),
+        page("c.com", ""),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = [
+        (r["title"], r["n_pages"], r["n_hosts"])
+        for r in title_dup_census(df).collect()
+    ]
+    assert got == [("Shared", 3, 2)]
