@@ -4119,3 +4119,112 @@ def bloom_fpr_audit(
         .cast("long")
         .alias("fpr_micro"),
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    *,
+    l_min: int = 2,
+    report_col: str = "source",
+) -> DataFrame:
+    """l-diversity census — the companion audit to ``k_anonymity``: a
+    quasi-identifier group where every member shares ONE sensitive value
+    leaks that value even when the group is large enough to be k-anonymous
+    (the homogeneity attack, Machanavajjhala et al. ICDE'06). Groups whose
+    sensitive-value diversity falls below ``l_min`` must be generalized or
+    suppressed before the corpus ships.
+
+    Parity anchor: same metadata surface as ``k_anonymity`` (the
+    reference's list/filter endpoint exposes per-document attributes,
+    app/services/document_service.py:83-229); this is the release audit
+    over that surface.
+
+    Scale shape: one groupBy on the QI tuple with an EXACT count_distinct
+    of the sensitive column (Spark plans it as a two-phase partial
+    aggregate over (QI, sensitive) — both keyed shuffles are bounded by
+    the QI x sensitive domain, not the corpus), then a tiny groupBy on
+    ``report_col``. No window, no join, nothing collected.
+
+    Output per ``report_col``: n_rows, n_groups, min_l (smallest group
+    diversity), risky_groups (diversity < l_min), risky_rows, risk_ppm.
+    """
+    groups = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count("*").alias("_ld_n"),
+        F.count_distinct(F.col(sensitive_col)).alias("_ld_l"),
+    )
+    risky = F.when(F.col("_ld_l") < l_min, 1).otherwise(0)
+    return (
+        groups.groupBy(F.col(report_col))
+        .agg(
+            F.sum("_ld_n").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_groups"),
+            F.min("_ld_l").cast("long").alias("min_l"),
+            F.sum(risky).cast("long").alias("risky_groups"),
+            F.sum(risky * F.col("_ld_n")).cast("long").alias("risky_rows"),
+        )
+        .select(
+            report_col,
+            "n_rows",
+            "n_groups",
+            "min_l",
+            "risky_groups",
+            "risky_rows",
+            F.floor(F.col("risky_rows") * 1000000 / F.col("n_rows"))
+            .cast("long")
+            .alias("risk_ppm"),
+        )
+    )
+
+
+def copurchase_pairs(
+    lineitem: DataFrame,
+    *,
+    min_support: int = 2,
+) -> DataFrame:
+    """Frequent co-occurrence pairs (market-basket 2-itemsets): pairs of
+    parts that appear in the same order at least ``min_support`` times —
+    the support-counting core of Apriori/FP-growth, and the same shape a
+    web corpus uses for per-page co-occurring entities or per-host
+    co-linked targets.
+
+    Scale shape: ONE shuffle keyed on the basket id builds the distinct
+    per-basket item list (``collect_set`` is safe here because basket size
+    is capped by construction — TPC-H orders carry <= 7 lineitems; a crawl
+    pipeline enforces the cap upstream), then the pair fan-out happens
+    INSIDE the row as an array expression (<= C(cap,2) structs per basket,
+    no self-join, no second scan), and one map-side-combined groupBy
+    counts supports. The naive alternative — a corpus x corpus self-join
+    on basket id — shuffles the items TWICE and rebuilds every pair row
+    through the join; the array formulation moves each item once. The
+    oracle states the self-join; results are identical.
+
+    Output: (part_a, part_b, n_orders) with part_a < part_b and
+    n_orders >= min_support.
+    """
+    baskets = lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("_cp_parts")
+    )
+    p = F.col("_cp_parts")
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    p,
+                    lambda x, i: F.transform(
+                        F.slice(p, i + F.lit(2), F.size(p)),
+                        lambda y: F.struct(
+                            x.alias("part_a"), y.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("_cp_pair")
+    )
+    return (
+        pairs.select("_cp_pair.part_a", "_cp_pair.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= min_support)
+    )

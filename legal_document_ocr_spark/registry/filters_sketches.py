@@ -2269,3 +2269,45 @@ SELECT out_day::bigint AS day, n_present AS n_registers_set,
              ELSE e_raw END)::bigint AS est_distinct
 FROM f ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# consistent_hash_moves
+# ---------------------------------------------------------------------------
+
+
+def q_consistent_hash_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash re-shard audit (scale.layout.rendezvous_moves):
+    grow the shard fleet 8 -> 9 over the documents corpus and census, per
+    destination shard, how many rows land and how many moved. HRW hashing
+    moves only ~1/9 of rows and every move lands on the NEW shard."""
+    from ..scale.layout import rendezvous_moves
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return rendezvous_moves(docs, "doc_id", 8, 9)
+
+
+_SQL_CONSISTENT_HASH_MOVES = """
+WITH h AS (
+  SELECT doc_id,
+    list_transform(range(0, 8),
+      s -> md5(doc_id::varchar || '#' || s::varchar)) AS h8,
+    list_transform(range(0, 9),
+      s -> md5(doc_id::varchar || '#' || s::varchar)) AS h9
+  FROM documents
+),
+a AS (
+  SELECT doc_id,
+    (list_position(h8, list_aggregate(h8, 'max')) - 1)::bigint AS s8,
+    (list_position(h9, list_aggregate(h9, 'max')) - 1)::bigint AS s9
+  FROM h
+),
+c AS (
+  SELECT s9 AS shard_to, count(*)::bigint AS n_docs,
+    sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END)::bigint AS n_moved
+  FROM a GROUP BY s9
+)
+SELECT shard_to, n_docs, n_moved,
+  floor(n_moved * 1000000 / n_docs)::bigint AS moved_ppm
+FROM c
+"""

@@ -2164,3 +2164,39 @@ SELECT g AS source, n_g,
     AS emd_micro
 FROM per ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# l_diversity
+# ---------------------------------------------------------------------------
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity census (relational.l_diversity) over the
+    (source, 100-char length band) quasi-identifier with ``lang`` as the
+    sensitive attribute — the homogeneity-attack audit that complements
+    ``k_anonymity`` on the same metadata surface."""
+    from ..operators.relational import l_diversity
+
+    docs = _docs(spark, sf_dir).select(
+        "source", "lang", (F.col("n_chars") / 100).cast("long").alias("band")
+    )
+    return l_diversity(docs, ["source", "band"], "lang", l_min=2)
+
+
+_SQL_L_DIVERSITY = """
+WITH g AS (
+  SELECT source, n_chars // 100 AS band, count(*) AS n,
+    count(DISTINCT lang) AS ld
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+  sum(n)::bigint AS n_rows,
+  count(*)::bigint AS n_groups,
+  min(ld)::bigint AS min_l,
+  sum(CASE WHEN ld < 2 THEN 1 ELSE 0 END)::bigint AS risky_groups,
+  sum(CASE WHEN ld < 2 THEN n ELSE 0 END)::bigint AS risky_rows,
+  floor(sum(CASE WHEN ld < 2 THEN n ELSE 0 END) * 1000000 / sum(n))::bigint
+    AS risk_ppm
+FROM g GROUP BY source
+"""

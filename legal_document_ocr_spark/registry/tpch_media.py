@@ -1803,3 +1803,28 @@ SELECT c_nationkey::int AS cntrycode, count(*) AS numcust,
   sum(c_acctbal::decimal(18,2))::double AS totacctbal
 FROM never GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# copurchase_pairs
+# ---------------------------------------------------------------------------
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket 2-itemsets (relational.copurchase_pairs): pairs of
+    parts co-ordered in >= 2 orders — support counting via ONE basket-keyed
+    shuffle and an in-row pair fan-out (baskets are <= 7 items), never a
+    corpus x corpus self-join."""
+    from ..operators.relational import copurchase_pairs
+
+    return copurchase_pairs(_tbl(spark, sf_dir, "lineitem"), min_support=2)
+
+
+_SQL_COPURCHASE_PAIRS = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+  count(*)::bigint AS n_orders
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""

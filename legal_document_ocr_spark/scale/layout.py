@@ -63,3 +63,84 @@ def zorder_keys(
     zx = F.expr(f"(({col_x} - {minx}) * {m}) div {spanx}")
     zy = F.expr(f"(({col_y} - {miny}) * {m}) div {spany}")
     return df.withColumn(out_col, _interleave(zx, zy, bits))
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    *,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Highest-random-weight (rendezvous) shard assignment: a row lands on
+    the shard whose ``md5(key || '#' || shard)`` is lexicographically
+    largest. Unlike modulo hashing, growing the fleet from N to N+K shards
+    moves only the rows whose new candidates win — an expected K/(N+K)
+    fraction — and every moved row lands on a NEW shard, never between
+    surviving ones (Thaler & Ravishankar, HRW hashing). That minimal-motion
+    property is what makes shard growth affordable at 10^12 rows: a 100 TB
+    re-shard from 8 to 9 shards rewrites ~11% of the data instead of ~89%.
+
+    Scale shape: pure map-side — an unrolled ``n_shards``-wide md5 battery
+    inside one whole-stage-codegen projection, no shuffle, no driver state.
+    The md5 hex comparison is engine-portable (DuckDB computes the identical
+    argmax), so assignments are reproducible across engines and retries.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_shards - 1)),
+        lambda s: F.md5(
+            F.concat(
+                F.col(key_col).cast("string"), F.lit("#"), s.cast("string")
+            )
+        ),
+    )
+    return df.withColumn(
+        out_col,
+        (F.array_position(hashes, F.array_max(hashes)) - 1).cast("long"),
+    )
+
+
+def rendezvous_moves(
+    df: DataFrame,
+    key_col: str,
+    n_from: int,
+    n_to: int,
+) -> DataFrame:
+    """Re-shard motion audit: assign every row under ``n_from`` and
+    ``n_to`` rendezvous shards and census, per destination shard, how many
+    rows land there and how many of those MOVED (different source shard).
+    With ``n_to > n_from`` the HRW invariant means every moved row lands on
+    a shard id >= ``n_from`` (pinned by ``tests/test_operators.py``), so the
+    audit doubles as a correctness check of the assignment battery.
+
+    Scale shape: the two assignment batteries fuse into the same codegen
+    projection (one corpus scan), then ONE map-side-combined groupBy on the
+    bounded (n_to)-row destination key. Nothing is broadcast or collected.
+
+    Output: (shard_to, n_docs, n_moved, moved_ppm) — one row per
+    destination shard, all-integer except the ppm floor division.
+    """
+    assigned = rendezvous_assign(
+        rendezvous_assign(df, key_col, n_from, out_col="_rv_from"),
+        key_col,
+        n_to,
+        out_col="_rv_to",
+    )
+    moved = F.when(F.col("_rv_from") != F.col("_rv_to"), 1).otherwise(0)
+    return (
+        assigned.groupBy(F.col("_rv_to").alias("shard_to"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(moved).cast("long").alias("n_moved"),
+        )
+        .select(
+            "shard_to",
+            "n_docs",
+            "n_moved",
+            F.floor(F.col("n_moved") * 1000000 / F.col("n_docs"))
+            .cast("long")
+            .alias("moved_ppm"),
+        )
+    )

@@ -6743,3 +6743,79 @@ def test_title_dup_census_hand_checked(spark):
         for r in title_dup_census(df).collect()
     ]
     assert got == [("Shared", 3, 2)]
+
+
+def test_rendezvous_minimal_motion_invariant(spark):
+    """HRW re-shard 4 -> 6: every key gets a valid shard, and every moved
+    key lands on one of the NEW shards (ids >= 4) — the minimal-motion
+    property that makes rendezvous sharding affordable at scale."""
+    from legal_document_ocr_spark.scale.layout import rendezvous_assign
+
+    df = spark.range(0, 400).withColumnRenamed("id", "k")
+    a = rendezvous_assign(
+        rendezvous_assign(df, "k", 4, out_col="s4"), "k", 6, out_col="s6"
+    ).collect()
+    assert all(0 <= r["s4"] < 4 and 0 <= r["s6"] < 6 for r in a)
+    moved = [r for r in a if r["s4"] != r["s6"]]
+    assert moved, "growing the fleet must move some keys"
+    assert all(r["s6"] >= 4 for r in moved)
+    # expected motion ~ 2/6 of keys; allow a generous band
+    assert 0.15 < len(moved) / len(a) < 0.55
+
+
+def test_rendezvous_moves_census_consistent(spark):
+    """The census totals must restate the per-key assignment exactly."""
+    from legal_document_ocr_spark.scale.layout import (
+        rendezvous_assign,
+        rendezvous_moves,
+    )
+
+    df = spark.range(0, 300).withColumnRenamed("id", "k")
+    census = {r["shard_to"]: r for r in rendezvous_moves(df, "k", 8, 9).collect()}
+    rows = rendezvous_assign(
+        rendezvous_assign(df, "k", 8, out_col="s8"), "k", 9, out_col="s9"
+    ).collect()
+    assert sum(r["n_docs"] for r in census.values()) == 300
+    assert sum(r["n_moved"] for r in census.values()) == sum(
+        1 for r in rows if r["s8"] != r["s9"]
+    )
+    # moves concentrate entirely on the new shard (id 8)
+    for shard, r in census.items():
+        assert r["n_moved"] == (r["n_docs"] if shard == 8 else 0)
+
+
+def test_l_diversity_flags_homogeneous_group(spark):
+    """A QI group that is large (k-anonymous) but single-valued in the
+    sensitive column must be flagged; a diverse group must not."""
+    from legal_document_ocr_spark.operators.relational import l_diversity
+
+    rows = [("s1", 1, "en")] * 5 + [
+        ("s2", 1, "en"),
+        ("s2", 1, "de"),
+        ("s2", 1, "fr"),
+    ]
+    df = spark.createDataFrame(rows, "source string, band long, lang string")
+    got = {r["source"]: r for r in
+           l_diversity(df, ["source", "band"], "lang", l_min=2).collect()}
+    assert got["s1"]["min_l"] == 1
+    assert got["s1"]["risky_groups"] == 1 and got["s1"]["risky_rows"] == 5
+    assert got["s1"]["risk_ppm"] == 1000000
+    assert got["s2"]["min_l"] == 3 and got["s2"]["risky_groups"] == 0
+
+
+def test_copurchase_pairs_hand_checked(spark):
+    """Baskets {1,2,3}, {1,2}, {2,3}: pair (1,2) and (2,3) have support 2,
+    (1,3) only 1 and is filtered; duplicate lines in a basket count once."""
+    from legal_document_ocr_spark.operators.relational import copurchase_pairs
+
+    rows = [
+        (10, 1), (10, 2), (10, 3), (10, 2),  # dup (10,2) must not inflate
+        (11, 1), (11, 2),
+        (12, 2), (12, 3),
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {
+        (r["part_a"], r["part_b"]): r["n_orders"]
+        for r in copurchase_pairs(df, min_support=2).collect()
+    }
+    assert got == {(1, 2): 2, (2, 3): 2}
