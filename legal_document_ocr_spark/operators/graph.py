@@ -872,3 +872,48 @@ def hyperball(
             est_t.hint("shuffle_hash"), "node"
         )
     return out
+
+
+def hash_walks(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    steps: int = 3,
+) -> DataFrame:
+    """Deterministic hash-guided random walks — the sampling primitive
+    behind DeepWalk/node2vec embeddings, made reproducible: at step ``s``
+    the walk at node ``v`` moves to the out-neighbor minimizing
+    ``md5(v || '#s#' || neighbor)``. The hash plays the RNG (uniform over
+    neighbors, independent across steps, identical across engines and
+    retries — a retried task regenerates the same walk, which is what
+    makes walk corpora resumable at scale).
+
+    Scale shape: each step is ONE map-side-combined ``min_by`` groupBy on
+    the corpus-sized edge list (the per-step transition table has one row
+    per non-dangling node) followed by ONE shuffle_hash join keyed on the
+    walk's current node — never a per-walk loop, never a collected
+    adjacency. ``steps`` is a small constant (walk length), so the plan is
+    a fixed chain of bounded-width exchanges. Dangling nodes end the walk
+    (NULL tail), matching the restart convention of walk-based samplers.
+
+    Output: (start, h1, .., h{steps}) — one row per distinct start node.
+    """
+    if steps < 1:
+        raise ValueError("steps must be >= 1")
+    walks = edges.select(F.col(src_col).alias("start")).distinct()
+    cur = "start"
+    for s in range(1, steps + 1):
+        pick = F.md5(
+            F.concat_ws("#", F.col(src_col), F.lit(str(s)), F.col(dst_col))
+        )
+        nxt = edges.groupBy(F.col(src_col).alias("_hw_src")).agg(
+            F.min_by(F.col(dst_col), pick).alias(f"h{s}")
+        )
+        walks = walks.join(
+            nxt.hint("shuffle_hash"),
+            walks[cur] == nxt["_hw_src"],
+            "left",
+        ).drop("_hw_src")
+        cur = f"h{s}"
+    return walks

@@ -4726,3 +4726,56 @@ def query_likelihood(
         .cast("long")
         .alias("score_micro"),
     ).orderBy("doc_id")
+
+
+def rocchio_expansion(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    min_hits: int = 2,
+    top_n: int = 15,
+    text_col: str = "text",
+) -> DataFrame:
+    """Rocchio pseudo-relevance feedback (SMART retrieval): treat the
+    documents matching >= ``min_hits`` distinct query terms as the
+    pseudo-relevant set R, then rank candidate expansion terms by their
+    total term frequency inside R (query terms and stopwords excluded) —
+    the positive-centroid half of the classic Rocchio update, kept
+    all-integer so the ranking is engine-portable with no float ties.
+
+    Scale shape: one explode -> the R membership test is a map-side-
+    combined count-distinct over ONLY the rows matching the bounded query
+    vocabulary (the corpus never joins against itself), then one
+    shuffle_hash semi-join of the token stream against R keyed on doc_id
+    (R is corpus-sized at web scale — never broadcast), one term-keyed
+    count, and a TakeOrdered top-``top_n`` (total order: score desc, term
+    asc). The final rank window runs on the ``top_n``-row result only.
+
+    Output: (token, score, rank) — the expansion vocabulary a query
+    rewriter appends, strongest first.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    rel = (
+        toks.where(F.col("token").isin(*query_terms))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("token").alias("_rc_hits"))
+        .where(F.col("_rc_hits") >= min_hits)
+        .select("doc_id")
+    )
+    scores = (
+        toks.join(rel.hint("shuffle_hash"), "doc_id")
+        .where(~F.col("token").isin(*query_terms))
+        .where(~F.col("token").isin(*STOPWORDS))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("score"))
+    )
+    top = scores.orderBy(F.col("score").desc(), "token").limit(top_n)
+    w = Window.orderBy(F.col("score").desc(), "token")
+    return top.select(
+        "token", "score", F.row_number().over(w).cast("long").alias("rank")
+    )

@@ -2174,3 +2174,46 @@ def title_dup_census(pages: DataFrame, *, min_hosts: int = 2) -> DataFrame:
     return census.where(F.col("n_hosts") >= min_hosts).orderBy(
         F.desc("n_pages"), F.asc("title")
     )
+
+
+def revalidation_plan(headers: DataFrame) -> DataFrame:
+    """Recrawl transfer planning from cached HTTP response headers — the
+    bandwidth side of polite recrawl (RFC 9111 semantics): a page whose
+    cached response carried a validator can be refetched with a
+    conditional request (``If-None-Match`` beats ``If-Modified-Since``
+    when both are present), costing ~0 bytes on a 304; ``no-store``
+    responses and validator-less pages need a full fetch. At 10^12 pages
+    the split decides the recrawl's egress budget.
+
+    Input columns: (host, etag, last_modified, cache_control,
+    content_length). Output per (host, plan): n_urls and total_bytes (the
+    payload bytes this plan would re-transfer in the WORST case — full
+    body for full_fetch, full body again for conditionals whose content
+    changed; the census is the planner's upper bound per strategy).
+
+    Scale shape: one whole-stage-codegen projection (three-way CASE) into
+    one map-side-combined groupBy on the bounded (host, plan) key. No
+    join, no window, nothing collected.
+    """
+    plan = (
+        F.when(
+            F.coalesce(F.col("cache_control"), F.lit("")).contains(
+                "no-store"
+            ),
+            F.lit("full_fetch"),
+        )
+        .when(F.col("etag").isNotNull(), F.lit("conditional_etag"))
+        .when(
+            F.col("last_modified").isNotNull(),
+            F.lit("conditional_modified"),
+        )
+        .otherwise(F.lit("full_fetch"))
+    )
+    return (
+        headers.select(F.col("host"), plan.alias("plan"), "content_length")
+        .groupBy("host", "plan")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.sum("content_length").cast("long").alias("total_bytes"),
+        )
+    )

@@ -1621,3 +1621,40 @@ SELECT event_type, count(*)::bigint AS n_gaps, sum(gap)::bigint AS sum_gap,
     AS lambda_micro
 FROM g WHERE gap IS NOT NULL GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# random_walks
+# ---------------------------------------------------------------------------
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-guided 3-step walks (graph.hash_walks) over the
+    demo host graph — the reproducible DeepWalk sampling primitive; each
+    step is one min_by transition table + one shuffle_hash join."""
+    from ..operators.graph import hash_walks
+
+    return hash_walks(_host_graph_edges(spark, sf_dir).distinct(), steps=3)
+
+
+_SQL_RANDOM_WALKS = f"""
+WITH {_DEMO_EDGES_SQL},
+s1 AS (
+  SELECT src, arg_min(dst, md5(src || '#1#' || dst)) AS nxt
+  FROM e GROUP BY src
+),
+s2 AS (
+  SELECT src, arg_min(dst, md5(src || '#2#' || dst)) AS nxt
+  FROM e GROUP BY src
+),
+s3 AS (
+  SELECT src, arg_min(dst, md5(src || '#3#' || dst)) AS nxt
+  FROM e GROUP BY src
+),
+w AS (SELECT DISTINCT src AS start FROM e)
+SELECT w.start, a.nxt AS h1, b.nxt AS h2, c.nxt AS h3
+FROM w
+LEFT JOIN s1 a ON a.src = w.start
+LEFT JOIN s2 b ON b.src = a.nxt
+LEFT JOIN s3 c ON c.src = b.nxt
+"""

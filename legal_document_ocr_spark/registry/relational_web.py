@@ -2696,3 +2696,47 @@ c AS (
 SELECT title, n_pages, n_hosts FROM c
 WHERE n_hosts >= 2 ORDER BY n_pages DESC, title ASC
 """
+
+
+# ---------------------------------------------------------------------------
+# http_cache_plan
+# ---------------------------------------------------------------------------
+
+
+def q_http_cache_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-GET transfer planning (urls.revalidation_plan) over
+    deterministic cached-response headers: etag on doc_id%3==0,
+    last-modified on doc_id%2==0, no-store on doc_id%17==0."""
+    from ..operators.urls import revalidation_plan
+
+    d = _docs(spark, sf_dir)
+    headers = d.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.md5(F.col("doc_id").cast("string"))
+        ).alias("etag"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("Mon, 01 Jan 2024 00:00:00 GMT")
+        ).alias("last_modified"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("no-store"))
+        .otherwise(F.lit("max-age=3600"))
+        .alias("cache_control"),
+        F.col("n_chars").alias("content_length"),
+    )
+    return revalidation_plan(headers)
+
+
+_SQL_HTTP_CACHE_PLAN = """
+WITH h AS (
+  SELECT source || '.example.com' AS host,
+    CASE WHEN doc_id % 17 = 0 THEN 'full_fetch'
+         WHEN doc_id % 3 = 0 THEN 'conditional_etag'
+         WHEN doc_id % 2 = 0 THEN 'conditional_modified'
+         ELSE 'full_fetch' END AS plan,
+    n_chars AS content_length
+  FROM documents
+)
+SELECT host, plan, count(*)::bigint AS n_urls,
+  sum(content_length)::bigint AS total_bytes
+FROM h GROUP BY host, plan
+"""

@@ -1839,3 +1839,44 @@ SELECT s_obs, n1, n2,
            * 1000000)::bigint)::bigint AS chao1_micro
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# rocchio_expansion
+# ---------------------------------------------------------------------------
+
+_ROCCHIO_TERMS = ["data", "merge", "spark", "window"]
+
+
+def q_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback (textops.rocchio_expansion):
+    docs matching >= 2 distinct query terms form the pseudo-relevant set;
+    expansion terms ranked by all-integer total tf inside it."""
+    return textops.rocchio_expansion(
+        _docs(spark, sf_dir), _ROCCHIO_TERMS, min_hits=2, top_n=15
+    )
+
+
+_SQL_ROCCHIO_EXPANSION = """
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS token FROM documents
+),
+rel AS (
+  SELECT doc_id FROM toks WHERE token IN ({q})
+  GROUP BY doc_id HAVING count(DISTINCT token) >= 2
+),
+sc AS (
+  SELECT token, count(*)::bigint AS score
+  FROM toks JOIN rel USING (doc_id)
+  WHERE token NOT IN ({q}) AND token NOT IN ({stop})
+  GROUP BY token
+),
+top AS (SELECT token, score FROM sc ORDER BY score DESC, token LIMIT 15)
+SELECT token, score,
+  row_number() OVER (ORDER BY score DESC, token)::bigint AS rank
+FROM top
+""".format(
+    toks=_TOKS,
+    q=", ".join(f"'{t}'" for t in _ROCCHIO_TERMS),
+    stop=", ".join(f"'{w}'" for w in STOPWORDS),
+)

@@ -6819,3 +6819,72 @@ def test_copurchase_pairs_hand_checked(spark):
         for r in copurchase_pairs(df, min_support=2).collect()
     }
     assert got == {(1, 2): 2, (2, 3): 2}
+
+
+def test_hash_walks_hand_checked(spark):
+    """Two-node cycle a<->b plus dangling c: walks are fully determined
+    (single out-neighbor per node), and c's walk is NULL from step 1."""
+    from legal_document_ocr_spark.operators.graph import hash_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c")], "src string, dst string"
+    )
+    got = {r["start"]: r for r in hash_walks(edges, steps=3).collect()}
+    assert set(got) == {"a", "b"}
+    # a -> b always; b picks argmin md5('b#s#a') vs md5('b#s#c') per step
+    import hashlib
+
+    def pick(v, s, cands):
+        return min(cands, key=lambda d: hashlib.md5(f"{v}#{s}#{d}".encode()).hexdigest())
+
+    b1 = pick("b", 2, ["a", "c"])
+    assert got["a"]["h1"] == "b" and got["a"]["h2"] == b1
+    if b1 == "c":
+        assert got["a"]["h3"] is None  # c is dangling
+    bb = pick("b", 1, ["a", "c"])
+    assert got["b"]["h1"] == bb
+
+
+def test_revalidation_plan_precedence(spark):
+    """no-store forces full_fetch even with a validator; etag beats
+    last-modified; validator-less rows are full fetches."""
+    from legal_document_ocr_spark.operators.urls import revalidation_plan
+
+    rows = [
+        ("h", "e1", "lm", "no-store", 10),
+        ("h", "e2", None, "max-age=60", 20),
+        ("h", None, "lm", None, 40),
+        ("h", None, None, "max-age=60", 80),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "host string, etag string, last_modified string, "
+        "cache_control string, content_length long",
+    )
+    got = {
+        r["plan"]: (r["n_urls"], r["total_bytes"])
+        for r in revalidation_plan(df).collect()
+    }
+    assert got == {
+        "full_fetch": (2, 90),
+        "conditional_etag": (1, 20),
+        "conditional_modified": (1, 40),
+    }
+
+
+def test_rocchio_expansion_hand_checked(spark):
+    """Docs 1,2 match both query terms (pseudo-relevant); doc 3 matches
+    one and is excluded — expansion counts come from docs 1,2 only."""
+    from legal_document_ocr_spark.operators.textops import rocchio_expansion
+
+    rows = [
+        (1, "alpha beta kiwi kiwi mango"),
+        (2, "alpha beta mango"),
+        (3, "alpha kiwi kiwi kiwi kiwi"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["token"], r["score"], r["rank"])
+        for r in rocchio_expansion(df, ["alpha", "beta"], min_hits=2).collect()
+    ]
+    assert got == [("kiwi", 2, 1), ("mango", 2, 2)]
