@@ -4228,3 +4228,33 @@ def copurchase_pairs(
         .agg(F.count("*").cast("long").alias("n_orders"))
         .filter(F.col("n_orders") >= min_support)
     )
+
+
+def dow_seasonality(events: DataFrame, *, ts_col: str = "ts") -> DataFrame:
+    """Day-of-week seasonality profile per event type — the weekly rhythm
+    gauge behind recrawl scheduling and anomaly baselines (a Monday spike
+    is seasonality, not an incident, iff the profile says Mondays run
+    hot). All-integer: per (event_type, dow) counts plus the share of the
+    type's total in ppm.
+
+    ``dow`` is 0=Sunday..6=Saturday (Spark ``dayofweek`` - 1, matching
+    DuckDB ``dayofweek``); callers must pin the session timezone (the
+    registry wrapper sets UTC) so both engines bucket the same instants.
+
+    Scale shape: one map-side-combined groupBy on the bounded
+    (event_type x 7) key; the per-type total attaches via a window over
+    that bounded census table, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    per = events.groupBy(
+        F.col("event_type"),
+        (F.dayofweek(F.col(ts_col)) - 1).cast("long").alias("dow"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    total = F.sum("n").over(Window.partitionBy("event_type"))
+    return per.select(
+        "event_type",
+        "dow",
+        "n",
+        F.floor(F.col("n") * 1000000 / total).cast("long").alias("share_ppm"),
+    )

@@ -4779,3 +4779,82 @@ def rocchio_expansion(
     return top.select(
         "token", "score", F.row_number().over(w).cast("long").alias("rank")
     )
+
+
+def coverage_curve(
+    docs: DataFrame,
+    *,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    order_col: str = "n_chars",
+) -> DataFrame:
+    """Vocabulary coverage curve of a corpus SUBSET policy: order the
+    corpus by an integer column (doc length here — ascending), cut it
+    into ``n_buckets`` exact quantile buckets, and report how many NEW
+    vocabulary terms each bucket contributes — the curve a curation team
+    reads to decide how much of the corpus a budget-capped training run
+    must keep to reach a vocabulary target.
+
+    Scale shape (no corpus-wide sort anywhere): bucket thresholds come
+    from the bounded VALUE DISTRIBUTION (groupBy(order_col) counts —
+    ``grouped_quantiles``' trick; the only window runs over distinct
+    values, not rows), with the all-integer rank ceil(d*n/B) =
+    (d*n + B-1) div B. A term's first bucket is monotone in its MINIMUM
+    order value, so one term-keyed min-aggregate replaces any doc-rank
+    join; buckets attach to the term table via a broadcast of the
+    ``n_buckets``-row threshold table. The final cumulative window runs
+    over <= ``n_buckets`` rows.
+
+    Output: (bucket, n_new_terms, cum_terms, cum_share_ppm), bucket
+    ascending in ``order_col``.
+    """
+    from pyspark.sql import Window
+
+    n_rows = F.sum("cnt").over(Window.partitionBy())
+    dist = (
+        docs.groupBy(F.col(order_col).alias("val"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "val",
+            F.sum("cnt").over(Window.orderBy("val")).alias("c"),
+            n_rows.alias("n"),
+        )
+    )
+    buckets = docs.sparkSession.range(1, n_buckets + 1).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    th = (
+        dist.crossJoin(F.broadcast(buckets))
+        .where(
+            F.col("c")
+            >= F.expr(f"(bucket * n + {n_buckets - 1}) div {n_buckets}")
+        )
+        .groupBy("bucket")
+        .agg(F.min("val").alias("t"))
+    )
+    terms = (
+        docs.select(
+            F.col(order_col).alias("_cc_val"),
+            F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.min("_cc_val").alias("mn"))
+    )
+    term_bucket = (
+        terms.join(F.broadcast(th), F.col("mn") <= F.col("t"))
+        .groupBy("token")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    per = term_bucket.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_new_terms")
+    )
+    w = Window.orderBy("bucket")
+    total = F.sum("n_new_terms").over(Window.partitionBy())
+    return per.select(
+        "bucket",
+        "n_new_terms",
+        F.sum("n_new_terms").over(w).cast("long").alias("cum_terms"),
+        F.floor(F.sum("n_new_terms").over(w) * 1000000 / total)
+        .cast("long")
+        .alias("cum_share_ppm"),
+    )

@@ -701,3 +701,28 @@ r AS (
 SELECT reg::bigint AS reg, max(rank)::bigint AS mx
 FROM r GROUP BY reg ORDER BY reg
 """
+
+
+def q_stream_cms_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CMS register table (streaming.stream_cms_registers) —
+    13th streaming surface: counter sums drained availableNow equal the
+    batch sketch bit-for-bit; the oracle is the closed-form counter
+    table over the same hash layout as cms_counts."""
+    from ..streaming.pipeline import run_stream_to_table, stream_cms_registers
+
+    name = "stream_cms_registers_result"
+    sdf = stream_cms_registers(spark, f"{sf_dir}/events.parquet")
+    run_stream_to_table(spark, sdf, name, output_mode="complete")
+    return spark.table(name).orderBy("d", "slot")
+
+
+_SQL_STREAM_CMS_REGISTERS = """
+WITH cells AS (
+  SELECT u.d,
+    ('0x' || substr(md5(u.d::varchar || '|' || user_id::varchar), 1, 7))
+      ::bigint % 1024 AS slot
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) u
+)
+SELECT d::bigint AS d, slot, count(*)::bigint AS cnt
+FROM cells GROUP BY d, slot ORDER BY d, slot
+"""

@@ -2740,3 +2740,30 @@ SELECT host, plan, count(*)::bigint AS n_urls,
   sum(content_length)::bigint AS total_bytes
 FROM h GROUP BY host, plan
 """
+
+
+# ---------------------------------------------------------------------------
+# dow_seasonality
+# ---------------------------------------------------------------------------
+
+
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile (relational.dow_seasonality): per
+    (event_type, day-of-week) counts with the type-share in ppm; UTC
+    pinned so both engines bucket identical instants."""
+    from ..operators.relational import dow_seasonality
+
+    _utc(spark)
+    return dow_seasonality(_tbl(spark, sf_dir, "events"))
+
+
+_SQL_DOW_SEASONALITY = """
+WITH per AS (
+  SELECT event_type, dayofweek(ts)::bigint AS dow, count(*)::bigint AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, dow, n,
+  floor(n * 1000000 / sum(n) OVER (PARTITION BY event_type))::bigint
+    AS share_ppm
+FROM per
+"""

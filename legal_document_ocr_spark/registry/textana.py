@@ -1880,3 +1880,60 @@ FROM top
     q=", ".join(f"'{t}'" for t in _ROCCHIO_TERMS),
     stop=", ".join(f"'{w}'" for w in STOPWORDS),
 )
+
+
+# ---------------------------------------------------------------------------
+# coverage_curve
+# ---------------------------------------------------------------------------
+
+
+def q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (textops.coverage_curve): exact length
+    deciles from the bounded value distribution; each bucket reports the
+    NEW terms it contributes and the cumulative vocabulary share. A
+    per-doc marker token rides along so the long-tail (hapax) half of a
+    real vocabulary is represented — the shared demo vocab alone
+    saturates in the first decile."""
+    from ..operators.textops import coverage_curve
+
+    docs = _docs(spark, sf_dir).select(
+        "n_chars",
+        F.concat(
+            F.col("text"), F.lit(" uniq"), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    return coverage_curve(docs, n_buckets=10)
+
+
+_SQL_COVERAGE_CURVE = f"""
+WITH nn AS (SELECT count(*)::bigint AS n FROM documents),
+dist AS (SELECT n_chars AS val, count(*)::bigint AS cnt
+         FROM documents GROUP BY 1),
+cum AS (SELECT val, sum(cnt) OVER (ORDER BY val) AS c FROM dist),
+th AS (
+  SELECT d AS bucket, min(val) AS t
+  FROM cum CROSS JOIN (SELECT unnest(range(1, 11)) AS d) u CROSS JOIN nn
+  WHERE c >= (d * nn.n + 9) // 10 GROUP BY d
+),
+tm AS (
+  SELECT token, min(n_chars) AS mn
+  FROM (
+    SELECT n_chars,
+      unnest(regexp_split_to_array(
+        trim(lower(text || ' uniq' || doc_id::varchar)), '\\s+')) AS token
+    FROM documents
+  )
+  GROUP BY token
+),
+td AS (
+  SELECT token, min(bucket) AS bucket
+  FROM tm JOIN th ON tm.mn <= th.t GROUP BY token
+),
+per AS (SELECT bucket, count(*)::bigint AS n_new_terms FROM td GROUP BY bucket),
+tot AS (SELECT count(*)::bigint AS v FROM td)
+SELECT bucket::bigint AS bucket, n_new_terms,
+  sum(n_new_terms) OVER (ORDER BY bucket)::bigint AS cum_terms,
+  floor(sum(n_new_terms) OVER (ORDER BY bucket) * 1000000 / tot.v)::bigint
+    AS cum_share_ppm
+FROM per CROSS JOIN tot
+"""

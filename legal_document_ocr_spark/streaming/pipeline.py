@@ -618,3 +618,54 @@ def stream_hll_registers(spark: SparkSession, events_dir: str) -> DataFrame:
         .groupBy("reg")
         .agg(F.max("rank").cast("long").alias("mx"))
     )
+
+
+def stream_cms_registers(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Streaming Count-Min register maintenance — the 13th streaming
+    surface: the (depth x width) CMS counter table over the user-id
+    stream kept continuously up to date. Counter increments are sums —
+    mergeable and batching-independent — so the state store holds at most
+    depth*width rows no matter the stream length, and the availableNow
+    drain in ``complete`` mode is BIT-FOR-BIT the batch sketch (what the
+    oracle states). Point any term at the drained table with the
+    ``cms_counts`` min-over-rows probe for a live frequency gauge.
+
+    Hash layout is shared verbatim with ``dedup.cms_term_counts``:
+    slot_d(x) = 28-bit md5 prefix of ``'d|x'`` mod width.
+
+    Output: (d, slot, cnt), one row per occupied register.
+    """
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        _as_stream_dir(spark, events_dir)
+    )
+    item = F.col("user_id").cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("d"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{d}|"), item)), 1, 7
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("slot"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        stream.select(F.explode(cells).alias("c"))
+        .select("c.d", "c.slot")
+        .groupBy("d", "slot")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )

@@ -6888,3 +6888,42 @@ def test_rocchio_expansion_hand_checked(spark):
         for r in rocchio_expansion(df, ["alpha", "beta"], min_hits=2).collect()
     ]
     assert got == [("kiwi", 2, 1), ("mango", 2, 2)]
+
+
+def test_coverage_curve_hand_checked(spark):
+    """4 docs, lengths 1..4, 2 buckets: threshold t1=2 t2=4; 'common'
+    first appears in bucket 1; 'rare' only in the length-4 doc ->
+    bucket 2. Cumulative shares: 2/3 then 3/3."""
+    from legal_document_ocr_spark.operators.textops import coverage_curve
+
+    rows = [
+        (1, "common a"),
+        (2, "common a"),
+        (3, "common a"),
+        (4, "common rare"),
+    ]
+    df = spark.createDataFrame(rows, "n_chars long, text string")
+    got = [
+        (r["bucket"], r["n_new_terms"], r["cum_terms"], r["cum_share_ppm"])
+        for r in coverage_curve(df, n_buckets=2).orderBy("bucket").collect()
+    ]
+    assert got == [(1, 2, 2, 666666), (2, 1, 3, 1000000)]
+
+
+def test_dow_seasonality_hand_checked(spark):
+    """Three Mondays and one Sunday of type 'click' -> shares 750000 /
+    250000; dow is 0=Sunday..6=Saturday."""
+    import datetime
+
+    from legal_document_ocr_spark.operators.relational import dow_seasonality
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    mon = datetime.datetime(2026, 8, 17, 12, 0, 0)
+    sun = datetime.datetime(2026, 8, 16, 12, 0, 0)
+    rows = [(mon, "click"), (mon, "click"), (mon, "click"), (sun, "click")]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = {
+        r["dow"]: (r["n"], r["share_ppm"])
+        for r in dow_seasonality(df).collect()
+    }
+    assert got == {1: (3, 750000), 0: (1, 250000)}

@@ -494,3 +494,54 @@ def test_stream_hll_registers_equals_batch_sketch(spark):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_cms_registers_equals_batch_sketch(spark):
+    """Streaming counter sums drained availableNow equal the batch CMS
+    register table bit-for-bit — the 13th streaming surface (sums are
+    batching-independent)."""
+    from pyspark.sql import functions as F
+
+    from legal_document_ocr_spark.streaming.pipeline import (
+        run_stream_to_table,
+        stream_cms_registers,
+    )
+
+    events_dir = "/root/testdata/sf0.001/events.parquet"
+    sdf = stream_cms_registers(spark, events_dir)
+    assert sdf.isStreaming
+    run_stream_to_table(spark, sdf, "scr_t", output_mode="complete")
+    got = sorted(
+        (r["d"], r["slot"], r["cnt"]) for r in spark.table("scr_t").collect()
+    )
+    ev = spark.read.parquet(events_dir)
+    item = F.col("user_id").cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("d"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{d}|"), item)), 1, 7
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 1024
+                ).alias("slot"),
+            )
+            for d in range(4)
+        ]
+    )
+    want = sorted(
+        (r["d"], r["slot"], r["cnt"])
+        for r in ev.select(F.explode(cells).alias("c"))
+        .select("c.d", "c.slot")
+        .groupBy("d", "slot")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .collect()
+    )
+    assert got == want
+    # state is bounded by the sketch dimensions, not the stream
+    assert len(got) <= 4 * 1024
