@@ -917,3 +917,44 @@ def hash_walks(
         ).drop("_hw_src")
         cur = f"h{s}"
     return walks
+
+
+def pagerank_convergence(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power-iteration convergence gauge: the per-node rank delta between
+    the last two PageRank iterations — the stopping-criterion evidence a
+    fixed-iteration ranking job publishes alongside its ranks (is
+    ``iters`` enough, or is the tail still moving?).
+
+    Scale shape: two ``pagerank`` runs (iters-1 and iters; the prefix
+    recompute is the price of leaving the production ``pagerank`` plan
+    untouched) joined on the node table via shuffle_hash — node-bounded,
+    never corpus-sized. Deltas compare the published floor-nano ranks, so
+    the gauge restates exactly what consumers see.
+
+    Output: (node, rank_prev_nano, rank_nano, delta_nano).
+    """
+    if iters < 2:
+        raise ValueError("iters must be >= 2 to compare two iterations")
+    prev = pagerank(
+        edges, src_col=src_col, dst_col=dst_col, iters=iters - 1,
+        damping=damping,
+    ).select(F.col("node"), F.col("rank_nano").alias("rank_prev_nano"))
+    last = pagerank(
+        edges, src_col=src_col, dst_col=dst_col, iters=iters,
+        damping=damping,
+    )
+    return prev.join(last.hint("shuffle_hash"), "node").select(
+        "node",
+        "rank_prev_nano",
+        "rank_nano",
+        F.abs(F.col("rank_nano") - F.col("rank_prev_nano"))
+        .cast("long")
+        .alias("delta_nano"),
+    )

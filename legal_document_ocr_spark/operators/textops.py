@@ -4858,3 +4858,120 @@ def coverage_curve(
         .cast("long")
         .alias("cum_share_ppm"),
     )
+
+
+def index_pruning(
+    docs: DataFrame,
+    *,
+    keep_k: int = 3,
+    min_df: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Static index pruning census (the Carmel et al. SIGIR'01 shape):
+    keep only each document's ``keep_k`` strongest terms (by tf, ties by
+    token) and report, per term, how much of its postings list survives —
+    the size/recall trade a 10^12-page index prunes BEFORE serving, since
+    a posting that is never in its document's top terms rarely wins a
+    top-k query anyway.
+
+    Scale shape: tf is one map-side-combined (doc, term) count; the ONLY
+    window partitions BY DOCUMENT and is therefore bounded by per-doc
+    vocabulary (doc length), never corpus-sized — the one window shape
+    this repo allows. The final per-term rollup is a second bounded-key
+    groupBy. ``min_df`` keeps the output to terms where pruning is a
+    meaningful decision.
+
+    Output: (token, df_full, df_pruned, kept_ppm).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            F.col("doc_id"),
+            F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("_ip_tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_ip_tf").desc(), F.col("token")
+    )
+    flagged = tf.select(
+        "token",
+        F.when(F.row_number().over(w) <= keep_k, 1).otherwise(0).alias(
+            "_ip_keep"
+        ),
+    )
+    return (
+        flagged.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("df_full"),
+            F.sum("_ip_keep").cast("long").alias("df_pruned"),
+        )
+        .where(F.col("df_full") >= min_df)
+        .select(
+            "token",
+            "df_full",
+            "df_pruned",
+            F.floor(F.col("df_pruned") * 1000000 / F.col("df_full"))
+            .cast("long")
+            .alias("kept_ppm"),
+        )
+    )
+
+
+def greedy_cover(
+    docs: DataFrame,
+    *,
+    rounds: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Coverage-greedy subset selection (the classic (1-1/e) greedy for
+    submodular set cover): pick, round by round, the document adding the
+    most not-yet-covered vocabulary terms — how an eval set or a
+    seed-curation batch is chosen to span a corpus with few documents.
+    Ties break on doc_id, so the selection is engine-portable.
+
+    Scale shape: like ``bpe_train_merges``, the DRIVER holds only one
+    scalar pick per round (``rounds`` is a small documented constant —
+    the loop is rounds x 2 jobs, never data-dependent): per round, one
+    map-side-combined gain count + a TakeOrdered(1), then the picked
+    document's token set — bounded by ONE doc's vocabulary — broadcasts
+    into an anti-join that shrinks the uncovered stream. The uncovered
+    frame is localCheckpoint'ed per round so lineage stays flat.
+
+    Output: (round, doc_id, new_terms, cum_terms) — one row per pick;
+    stops early if the vocabulary is exhausted.
+    """
+    toks = (
+        docs.select(
+            F.col("doc_id"),
+            F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = docs.sparkSession
+    uncovered = toks
+    out: list[tuple[int, int, int, int]] = []
+    cum = 0
+    for r in range(1, rounds + 1):
+        pick = (
+            uncovered.groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.col("gain").desc(), "doc_id")
+            .limit(1)
+            .collect()
+        )
+        if not pick:
+            break
+        doc_id, gain = pick[0]["doc_id"], int(pick[0]["gain"])
+        cum += gain
+        out.append((r, int(doc_id), gain, cum))
+        picked = uncovered.where(F.col("doc_id") == doc_id).select("token")
+        uncovered = uncovered.join(
+            F.broadcast(picked), "token", "left_anti"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        out, "round long, doc_id long, new_terms long, cum_terms long"
+    )

@@ -2767,3 +2767,32 @@ SELECT event_type, dow, n,
     AS share_ppm
 FROM per
 """
+
+
+# ---------------------------------------------------------------------------
+# pagerank_convergence
+# ---------------------------------------------------------------------------
+
+
+def q_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-iteration stopping gauge (graph.pagerank_convergence):
+    per-host floor-nano rank delta between iterations 2 and 3 over the
+    demo host graph; the oracle reuses the shared pagerank CTE builder so
+    the two can never desynchronize."""
+    from ..operators.graph import pagerank_convergence
+
+    return pagerank_convergence(_host_graph_edges(spark, sf_dir), iters=3)
+
+
+def _sql_pagerank_convergence() -> str:
+    ctes, final = _sql_host_pagerank_ctes(3)
+    assert final == "r3"
+    return f"""
+WITH {ctes}
+SELECT r2.node,
+  floor(r2.rank * 1000000000.0)::bigint AS rank_prev_nano,
+  floor(r3.rank * 1000000000.0)::bigint AS rank_nano,
+  abs(floor(r3.rank * 1000000000.0)
+      - floor(r2.rank * 1000000000.0))::bigint AS delta_nano
+FROM r2 JOIN r3 USING (node)
+"""

@@ -1937,3 +1937,92 @@ SELECT bucket::bigint AS bucket, n_new_terms,
     AS cum_share_ppm
 FROM per CROSS JOIN tot
 """
+
+
+# ---------------------------------------------------------------------------
+# index_pruning
+# ---------------------------------------------------------------------------
+
+
+def q_index_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static index pruning census (textops.index_pruning): per-term
+    postings survival when each doc keeps only its top-3 tf terms; the
+    lone window partitions by document (bounded by doc vocabulary)."""
+    from ..operators.textops import index_pruning
+
+    return index_pruning(_docs(spark, sf_dir), keep_k=3, min_df=5)
+
+
+_SQL_INDEX_PRUNING = f"""
+WITH tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+  GROUP BY 1, 2
+),
+fl AS (
+  SELECT token,
+    CASE WHEN row_number()
+           OVER (PARTITION BY doc_id ORDER BY tf DESC, token) <= 3
+         THEN 1 ELSE 0 END AS keep
+  FROM tf
+)
+SELECT token, count(*)::bigint AS df_full, sum(keep)::bigint AS df_pruned,
+  floor(sum(keep) * 1000000 / count(*))::bigint AS kept_ppm
+FROM fl GROUP BY token HAVING count(*) >= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# greedy_cover
+# ---------------------------------------------------------------------------
+
+
+def q_greedy_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-greedy subset selection (textops.greedy_cover): 5 rounds
+    of pick-the-doc-adding-most-new-terms, ties by doc_id — the eval-set
+    spanning selection; oracle is the same greedy unrolled in SQL. A
+    per-doc marker token rides along (real vocabularies have hapax
+    tails; the shared demo vocab alone is exhausted by one pick)."""
+    from ..operators.textops import greedy_cover
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" uniq"), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    return greedy_cover(docs, rounds=5)
+
+
+def _sql_greedy_cover(rounds: int = 5) -> str:
+    marked = (
+        "regexp_split_to_array("
+        "trim(lower(text || ' uniq' || doc_id::varchar)), '\\s+')"
+    )
+    parts = [
+        "WITH tok AS (SELECT DISTINCT doc_id, token FROM "
+        f"(SELECT doc_id, unnest({marked}) AS token FROM documents))"
+    ]
+    prev = "tok"
+    picks = []
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+g{r} AS (SELECT doc_id, count(*)::bigint AS gain FROM {prev} GROUP BY doc_id),
+p{r} AS (SELECT doc_id, gain FROM g{r} ORDER BY gain DESC, doc_id LIMIT 1),
+c{r} AS (SELECT token FROM {prev} JOIN p{r} USING (doc_id)),
+u{r} AS (SELECT t.doc_id, t.token FROM {prev} t
+         WHERE t.token NOT IN (SELECT token FROM c{r}))"""
+        )
+        picks.append(f"SELECT {r} AS round, doc_id, gain FROM p{r}")
+        prev = f"u{r}"
+    union = " UNION ALL ".join(picks)
+    return (
+        "".join(parts)
+        + f""",
+picks AS ({union})
+SELECT round::bigint AS round, doc_id, gain AS new_terms,
+  sum(gain) OVER (ORDER BY round)::bigint AS cum_terms
+FROM picks
+"""
+    )

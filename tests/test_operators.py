@@ -6927,3 +6927,52 @@ def test_dow_seasonality_hand_checked(spark):
         for r in dow_seasonality(df).collect()
     }
     assert got == {1: (3, 750000), 0: (1, 250000)}
+
+
+def test_index_pruning_hand_checked(spark):
+    """'hot' is top-1 in both docs (kept twice); 'cold' ranks below
+    keep_k=1 in both (kept never)."""
+    from legal_document_ocr_spark.operators.textops import index_pruning
+
+    rows = [
+        (1, "hot hot cold"),
+        (2, "hot hot hot cold"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["token"]: (r["df_full"], r["df_pruned"], r["kept_ppm"])
+        for r in index_pruning(df, keep_k=1, min_df=2).collect()
+    }
+    assert got == {"hot": (2, 2, 1000000), "cold": (2, 0, 0)}
+
+
+def test_greedy_cover_hand_checked(spark):
+    """Greedy picks doc 2 (3 terms), then doc 1 adds 'a' (1 new;
+    tie with doc 3 on gain broken by doc_id), then doc 3 adds 'e'."""
+    from legal_document_ocr_spark.operators.textops import greedy_cover
+
+    rows = [
+        (1, "a b"),
+        (2, "b c d"),
+        (3, "c e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["round"], r["doc_id"], r["new_terms"], r["cum_terms"])
+        for r in greedy_cover(df, rounds=5).orderBy("round").collect()
+    ]
+    assert got == [(1, 2, 3, 3), (2, 1, 1, 4), (3, 3, 1, 5)]
+
+
+def test_pagerank_convergence_deltas_shrink(spark):
+    """On the 3-cycle the rank is exactly stationary (uniform), so
+    iterations 2 and 3 publish identical floor-nano ranks."""
+    from legal_document_ocr_spark.operators.graph import pagerank_convergence
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    rows = pagerank_convergence(edges, iters=3).collect()
+    assert len(rows) == 3
+    assert all(r["delta_nano"] == 0 for r in rows)
+    assert all(r["rank_nano"] == 333333333 for r in rows)
