@@ -4975,3 +4975,28 @@ def greedy_cover(
     return spark.createDataFrame(
         out, "round long, doc_id long, new_terms long, cum_terms long"
     )
+
+
+def dehyphenate(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Line-break hyphenation repair — the classic print/PDF extraction
+    cleanup (reference parity anchor: the text-postprocessing stage,
+    app/services/text_extraction_service.py, normalizes whitespace but
+    leaves hyphen-broken words to downstream — this kernel closes that
+    gap for justified-text sources): ``exam-\\nple`` rejoins to
+    ``example`` when both fragments are lowercase letters, the
+    conservative rule that never corrupts a real compound followed by a
+    newline (``well-\\nKnown`` keeps its hyphen).
+
+    Scale shape: one regexp_replace projection in whole-stage codegen —
+    no shuffle, no UDF. ``n_joins`` counts repairs via the 2-char length
+    delta (each repair drops exactly '-\\n').
+
+    Output: (doc_id, text_fixed, n_joins).
+    """
+    c = F.col(text_col)
+    fixed = F.regexp_replace(c, "([a-z])-\n([a-z])", "$1$2")
+    return docs.select(
+        "doc_id",
+        fixed.alias("text_fixed"),
+        ((F.length(c) - F.length(fixed)) / 2).cast("long").alias("n_joins"),
+    )

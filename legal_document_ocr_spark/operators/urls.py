@@ -2217,3 +2217,61 @@ def revalidation_plan(headers: DataFrame) -> DataFrame:
             F.sum("content_length").cast("long").alias("total_bytes"),
         )
     )
+
+
+def pagination_extract(
+    pages: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Multi-page article detection: parse the ``Page N of M`` marker a
+    paginated article prints, the primitive behind stitching split
+    documents back together before dedup/training (a 10-part article is
+    ten near-dup boilerplate shells around one logical document).
+    Pages without a marker report NULLs — absence is data, not an error.
+
+    Scale shape: two regexp_extract + a nullif/cast battery in one
+    codegen projection; no shuffle. The stitcher downstream groups on
+    (series key, total_pages) — this operator deliberately stays
+    row-level so that grouping key stays the caller's choice.
+
+    Output: (doc_id, page_no, total_pages, is_last).
+    """
+    c = F.col(text_col)
+    pno = F.nullif(
+        F.regexp_extract(c, r"Page ([0-9]+) of ([0-9]+)", 1), F.lit("")
+    ).cast("long")
+    tot = F.nullif(
+        F.regexp_extract(c, r"Page ([0-9]+) of ([0-9]+)", 2), F.lit("")
+    ).cast("long")
+    return pages.select(
+        "doc_id",
+        pno.alias("page_no"),
+        tot.alias("total_pages"),
+        F.when(pno.isNotNull(), pno == tot).alias("is_last"),
+    )
+
+
+def breadcrumb_census(
+    pages: DataFrame, crumb_col: str = "breadcrumb"
+) -> DataFrame:
+    """Site-taxonomy census from breadcrumb trails (``Home > Section >
+    ... > Leaf``): per (top section, trail depth) page counts — the
+    structural map that tells a crawler which sections are deep archives
+    worth budgeting and which are flat landing shells.
+
+    Scale shape: split + size in one codegen projection, then one
+    map-side-combined groupBy on the bounded (section x depth) key.
+    Trails without the ``Home > `` prefix are skipped (census of
+    well-formed trails only, stated).
+
+    Output: (section, depth, n_pages).
+    """
+    parts = F.split(F.col(crumb_col), " > ")
+    return (
+        pages.where(parts.getItem(0) == "Home")
+        .select(
+            parts.getItem(1).alias("section"),
+            F.size(parts).cast("long").alias("depth"),
+        )
+        .groupBy("section", "depth")
+        .agg(F.count("*").cast("long").alias("n_pages"))
+    )

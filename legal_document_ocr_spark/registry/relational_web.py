@@ -2796,3 +2796,69 @@ SELECT r2.node,
       - floor(r2.rank * 1000000000.0))::bigint AS delta_nano
 FROM r2 JOIN r3 USING (node)
 """
+
+
+# ---------------------------------------------------------------------------
+# pagination_extract / breadcrumb_census
+# ---------------------------------------------------------------------------
+
+
+def q_pagination_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paginated-article marker parse (urls.pagination_extract): docs
+    with doc_id%3 != 0 carry 'Page (doc_id%7+1) of 7'; the rest have no
+    marker and must report NULLs."""
+    from ..operators.urls import pagination_extract
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" Page "),
+                (F.col("doc_id") % 7 + 1).cast("string"),
+                F.lit(" of 7"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pagination_extract(d)
+
+
+_SQL_PAGINATION_EXTRACT = """
+SELECT doc_id,
+  CASE WHEN doc_id % 3 <> 0 THEN doc_id % 7 + 1 END::bigint AS page_no,
+  CASE WHEN doc_id % 3 <> 0 THEN 7 END::bigint AS total_pages,
+  CASE WHEN doc_id % 3 <> 0 THEN (doc_id % 7 + 1) = 7 END AS is_last
+FROM documents
+"""
+
+
+def q_breadcrumb_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-taxonomy census (urls.breadcrumb_census) over deterministic
+    trails 'Home > {source} > {lang} > {doc_id}' (depth 4), with every
+    20th page contributing a malformed trail that must be skipped."""
+    from ..operators.urls import breadcrumb_census
+
+    d = _docs(spark, sf_dir).select(
+        F.when(
+            F.col("doc_id") % 20 != 0,
+            F.concat_ws(
+                " > ",
+                F.lit("Home"),
+                F.col("source"),
+                F.col("lang"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.lit("orphan"))
+        .alias("breadcrumb")
+    )
+    return breadcrumb_census(d)
+
+
+_SQL_BREADCRUMB_CENSUS = """
+SELECT source AS section, 4::bigint AS depth, count(*)::bigint AS n_pages
+FROM documents WHERE doc_id % 20 <> 0 GROUP BY source
+"""

@@ -2026,3 +2026,43 @@ SELECT round::bigint AS round, doc_id, gain AS new_terms,
 FROM picks
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# dehyphenate
+# ---------------------------------------------------------------------------
+
+
+def q_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyphenation repair (textops.dehyphenate) over deterministically
+    line-broken text: every lowercase-letter word boundary becomes a
+    '-\\n' break, and the kernel must rejoin all of them (n_joins equals
+    the breaks planted)."""
+    from ..operators.textops import dehyphenate
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), "([a-z]) ([a-z])", "$1-\n$2"
+        ).alias("text"),
+    )
+    return dehyphenate(d)
+
+
+_SQL_DEHYPHENATE = """
+WITH b AS (
+  SELECT doc_id,
+    regexp_replace(text, '([a-z]) ([a-z])',
+                   '\\1-' || chr(10) || '\\2', 'g') AS broken
+  FROM documents
+),
+f AS (
+  SELECT doc_id, broken,
+    regexp_replace(broken, '([a-z])-' || chr(10) || '([a-z])',
+                   '\\1\\2', 'g') AS text_fixed
+  FROM b
+)
+SELECT doc_id, text_fixed,
+  ((length(broken) - length(text_fixed)) / 2)::bigint AS n_joins
+FROM f
+"""

@@ -6976,3 +6976,51 @@ def test_pagerank_convergence_deltas_shrink(spark):
     assert len(rows) == 3
     assert all(r["delta_nano"] == 0 for r in rows)
     assert all(r["rank_nano"] == 333333333 for r in rows)
+
+
+def test_dehyphenate_hand_checked(spark):
+    """Lowercase line-break hyphens rejoin; capitalized continuations
+    (real compounds) keep the hyphen; n_joins counts repairs."""
+    from legal_document_ocr_spark.operators.textops import dehyphenate
+
+    rows = [
+        (1, "exam-\nple and be-\nlow"),
+        (2, "well-\nKnown stays"),
+        (3, "no breaks here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_fixed"], r["n_joins"])
+           for r in dehyphenate(df).collect()}
+    assert got[1] == ("example and below", 2)
+    assert got[2] == ("well-\nKnown stays", 0)
+    assert got[3] == ("no breaks here", 0)
+
+
+def test_pagination_extract_hand_checked(spark):
+    from legal_document_ocr_spark.operators.urls import pagination_extract
+
+    rows = [
+        (1, "body Page 3 of 7"),
+        (2, "body Page 7 of 7"),
+        (3, "no marker"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["page_no"], r["total_pages"], r["is_last"])
+           for r in pagination_extract(df).collect()}
+    assert got[1] == (3, 7, False)
+    assert got[2] == (7, 7, True)
+    assert got[3] == (None, None, None)
+
+
+def test_breadcrumb_census_hand_checked(spark):
+    from legal_document_ocr_spark.operators.urls import breadcrumb_census
+
+    rows = [
+        ("Home > news > a",),
+        ("Home > news > b > c",),
+        ("orphan trail",),
+    ]
+    df = spark.createDataFrame(rows, "breadcrumb string")
+    got = {(r["section"], r["depth"]): r["n_pages"]
+           for r in breadcrumb_census(df).collect()}
+    assert got == {("news", 3): 1, ("news", 4): 1}
