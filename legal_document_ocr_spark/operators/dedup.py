@@ -2677,3 +2677,82 @@ def partition_agreement(df: DataFrame, key_cols: list) -> DataFrame:
             )
             out = row if out is None else out.unionByName(row)
     return out.orderBy("key_a", "key_b")
+
+
+def source_similarity(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise shingle-set Jaccard BETWEEN corpus groups (sources,
+    hosts, snapshots) — the comparative-corpus gauge behind "are these
+    two feeds scraping each other?" and mixture design (near-identical
+    sources should not both get full weight).
+
+    Scale shape: the group domain is BOUNDED (20 sources here; hosts
+    would first roll up to registrable domains), so each shingle's group
+    list is a bounded ``collect_set`` and pair generation happens IN-ROW
+    (the ``copurchase_pairs`` trick) — the corpus-sized (group, shingle)
+    table is never self-joined; the oracle states that naive self-join.
+    Intersections then aggregate on the bounded group-pair key and set
+    sizes attach via two joins of the |groups|-row size table.
+
+    Output: (source_a, source_b, inter, jaccard_ppm), a < b; pairs with
+    empty intersection are absent (their Jaccard is 0 by construction).
+    """
+    sh = (
+        docs.select(
+            F.col(group_col).alias("_ss_g"),
+            F.explode(shingles(F.col(text_col), k)).alias("_ss_s"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("_ss_g").agg(F.count("*").alias("_ss_n"))
+    baskets = sh.groupBy("_ss_s").agg(
+        F.sort_array(F.collect_set("_ss_g")).alias("_ss_gs")
+    )
+    p = F.col("_ss_gs")
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    p,
+                    lambda x, i: F.transform(
+                        F.slice(p, i + F.lit(2), F.size(p)),
+                        lambda y: F.struct(
+                            x.alias("source_a"), y.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("_ss_pair")
+    )
+    inter = (
+        pairs.select("_ss_pair.source_a", "_ss_pair.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("_ss_g").alias("source_a"), F.col("_ss_n").alias("_ss_na")
+    )
+    sb = sizes.select(
+        F.col("_ss_g").alias("source_b"), F.col("_ss_n").alias("_ss_nb")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "inter",
+            F.floor(
+                F.col("inter")
+                * 1000000
+                / (F.col("_ss_na") + F.col("_ss_nb") - F.col("inter"))
+            )
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )

@@ -2275,3 +2275,73 @@ def breadcrumb_census(
         .groupBy("section", "depth")
         .agg(F.count("*").cast("long").alias("n_pages"))
     )
+
+
+def page_series_gaps(
+    parsed: DataFrame, series_col: str = "series"
+) -> DataFrame:
+    """Completeness audit over paginated-article series: given
+    ``pagination_extract`` rows plus a series key, report per series how
+    many member pages were actually captured vs the declared total — the
+    recrawl worklist for stitching split articles (an incomplete series
+    cannot be reassembled and its fragments pollute dedup as boilerplate
+    shells).
+
+    Scale shape: one map-side-combined groupBy on the series key;
+    count_distinct(page_no) ignores markerless members (NULL page_no) on
+    both engines, and a series with no parsed marker at all reports NULL
+    totals — absence is data.
+
+    Output: (series, total_pages, n_found, n_missing, complete).
+    """
+    g = parsed.groupBy(F.col(series_col).alias("series")).agg(
+        F.max("total_pages").cast("long").alias("total_pages"),
+        F.count_distinct("page_no").cast("long").alias("n_found"),
+    )
+    return g.select(
+        "series",
+        "total_pages",
+        "n_found",
+        (F.col("total_pages") - F.col("n_found"))
+        .cast("long")
+        .alias("n_missing"),
+        (F.col("n_found") == F.col("total_pages")).alias("complete"),
+    )
+
+
+def canonical_pick(
+    candidates: DataFrame,
+    *,
+    group_col: str = "group_key",
+    url_col: str = "url",
+) -> DataFrame:
+    """Representative-URL election per duplicate-content family — the
+    policy half of URL canonicalization (normalization alone leaves one
+    content hash with many distinct URLs; SOMETHING must pick the one to
+    keep): prefer https over http, then the shortest URL, then
+    lexicographic — encoded as ONE sortable string key
+    (scheme-rank char + zero-padded length + url) so the election is a
+    plain ``min`` aggregate, mergeable and map-side-combined, never a
+    window over the corpus.
+
+    Output: (group_key, canonical_url, n_members).
+    """
+    u = F.col(url_col)
+    key = F.concat(
+        F.when(u.startswith("https://"), F.lit("0")).otherwise(F.lit("1")),
+        F.lpad(F.length(u).cast("string"), 6, "0"),
+        u,
+    )
+    return (
+        candidates.select(F.col(group_col), key.alias("_cp_key"))
+        .groupBy(group_col)
+        .agg(
+            F.min("_cp_key").alias("_cp_min"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+        .select(
+            group_col,
+            F.expr("substring(_cp_min, 8)").alias("canonical_url"),
+            "n_members",
+        )
+    )

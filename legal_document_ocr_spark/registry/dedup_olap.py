@@ -2073,3 +2073,37 @@ c_{ka}_{kb} AS (
         + "\nUNION ALL".join(parts)
         + "\nORDER BY key_a, key_b\n"
     )
+
+
+# ---------------------------------------------------------------------------
+# source_similarity
+# ---------------------------------------------------------------------------
+
+
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source Jaccard over 3-gram shingle sets
+    (dedup.source_similarity): bounded group lists pair in-row; the
+    oracle states the naive shingle self-join."""
+    return dedup.source_similarity(_docs(spark, sf_dir))
+
+
+_SQL_SOURCE_SIMILARITY = f"""
+WITH t AS (
+  SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+sh0 AS (SELECT source, unnest({_SHINGLES_SQL}) AS s FROM t),
+sh AS (SELECT DISTINCT source, s FROM sh0),
+sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+i AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    count(*)::bigint AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, inter,
+  floor(inter * 1000000 / (za.n + zb.n - inter))::bigint AS jaccard_ppm
+FROM i
+JOIN sz za ON za.source = i.source_a
+JOIN sz zb ON zb.source = i.source_b
+"""

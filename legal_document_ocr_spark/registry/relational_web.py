@@ -2862,3 +2862,101 @@ _SQL_BREADCRUMB_CENSUS = """
 SELECT source AS section, 4::bigint AS depth, count(*)::bigint AS n_pages
 FROM documents WHERE doc_id % 20 <> 0 GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# page_series_gaps / canonical_pick
+# ---------------------------------------------------------------------------
+
+
+def q_page_series_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series completeness audit (urls.page_series_gaps) over the
+    pagination synth: series = doc_id div 7, members with doc_id%3 == 0
+    lack markers, so most series report gaps."""
+    from ..operators.urls import page_series_gaps, pagination_extract
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" Page "),
+                (F.col("doc_id") % 7 + 1).cast("string"),
+                F.lit(" of 7"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    parsed = pagination_extract(d).withColumn(
+        "series", F.expr("doc_id div 7").cast("long")
+    )
+    return page_series_gaps(parsed)
+
+
+_SQL_PAGE_SERIES_GAPS = """
+WITH p AS (
+  SELECT doc_id // 7 AS series,
+    CASE WHEN doc_id % 3 <> 0 THEN doc_id % 7 + 1 END AS page_no,
+    CASE WHEN doc_id % 3 <> 0 THEN 7 END AS total_pages
+  FROM documents
+)
+SELECT series::bigint AS series,
+  max(total_pages)::bigint AS total_pages,
+  count(DISTINCT page_no)::bigint AS n_found,
+  (max(total_pages) - count(DISTINCT page_no))::bigint AS n_missing,
+  count(DISTINCT page_no) = max(total_pages) AS complete
+FROM p GROUP BY series
+"""
+
+
+def q_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative-URL election (urls.canonical_pick): each document's
+    content appears under an https site URL and an http mirror URL; the
+    https member must win every family."""
+    from ..operators.urls import canonical_pick
+
+    d = _docs(spark, sf_dir)
+    site = d.select(
+        F.md5(F.col("text")).alias("group_key"),
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    mirror = d.select(
+        F.md5(F.col("text")).alias("group_key"),
+        F.concat(
+            F.lit("http://mirror.example.net/p?id="),
+            F.col("doc_id").cast("string"),
+            F.lit("&ref=rss"),
+        ).alias("url"),
+    )
+    return canonical_pick(site.unionByName(mirror))
+
+
+_SQL_CANONICAL_PICK = """
+WITH cand AS (
+  SELECT md5(text) AS group_key,
+    'https://' || source || '.example.com/' || lang || '/' || doc_id AS url
+  FROM documents
+  UNION ALL
+  SELECT md5(text),
+    'http://mirror.example.net/p?id=' || doc_id || '&ref=rss'
+  FROM documents
+),
+k AS (
+  SELECT group_key,
+    (CASE WHEN url LIKE 'https://%' THEN '0' ELSE '1' END)
+      || lpad(length(url)::varchar, 6, '0') || url AS key
+  FROM cand
+)
+SELECT group_key, substr(min(key), 8) AS canonical_url,
+  count(*)::bigint AS n_members
+FROM k GROUP BY group_key
+"""

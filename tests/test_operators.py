@@ -7024,3 +7024,61 @@ def test_breadcrumb_census_hand_checked(spark):
     got = {(r["section"], r["depth"]): r["n_pages"]
            for r in breadcrumb_census(df).collect()}
     assert got == {("news", 3): 1, ("news", 4): 1}
+
+
+def test_page_series_gaps_hand_checked(spark):
+    """Series 1 has pages {1,3} of 3 -> 1 missing; series 2 complete;
+    series 3 has no markers -> NULL totals."""
+    from legal_document_ocr_spark.operators.urls import page_series_gaps
+
+    rows = [
+        (1, 1, 3), (1, 3, 3),
+        (2, 1, 2), (2, 2, 2),
+        (3, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "series long, page_no long, total_pages long"
+    )
+    got = {r["series"]: (r["total_pages"], r["n_found"], r["n_missing"],
+                         r["complete"])
+           for r in page_series_gaps(df).collect()}
+    assert got[1] == (3, 2, 1, False)
+    assert got[2] == (2, 2, 0, True)
+    assert got[3] == (None, 0, None, None)
+
+
+def test_canonical_pick_preference_order(spark):
+    """https beats http regardless of length; among same-scheme the
+    shorter URL wins; ties break lexicographically."""
+    from legal_document_ocr_spark.operators.urls import canonical_pick
+
+    rows = [
+        ("g1", "http://a/x"),
+        ("g1", "https://a-very-long-host.example.com/path"),
+        ("g2", "https://a/longer"),
+        ("g2", "https://a/b"),
+        ("g3", "https://a/b"),
+        ("g3", "https://a/a"),
+    ]
+    df = spark.createDataFrame(rows, "group_key string, url string")
+    got = {r["group_key"]: (r["canonical_url"], r["n_members"])
+           for r in canonical_pick(df).collect()}
+    assert got["g1"] == ("https://a-very-long-host.example.com/path", 2)
+    assert got["g2"] == ("https://a/b", 2)
+    assert got["g3"] == ("https://a/a", 2)
+
+
+def test_source_similarity_hand_checked(spark):
+    """Sources A and B share one of their shingles; C shares none and
+    must be absent from the pair list."""
+    from legal_document_ocr_spark.operators.dedup import source_similarity
+
+    rows = [
+        ("A", 1, "alpha beta gamma delta"),   # shingles: abg, bgd
+        ("B", 2, "alpha beta gamma zeta"),    # shingles: abg, bgz
+        ("C", 3, "one two three four"),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = [(r["source_a"], r["source_b"], r["inter"], r["jaccard_ppm"])
+           for r in source_similarity(df).collect()]
+    assert got == [("A", "B", 1, 333333)]
