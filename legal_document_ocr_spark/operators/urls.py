@@ -2345,3 +2345,42 @@ def canonical_pick(
             "n_members",
         )
     )
+
+
+def stitch_series(
+    pages: DataFrame,
+    *,
+    series_col: str = "series",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reassemble paginated articles — the capstone of the pagination
+    family (``pagination_extract`` parses, ``page_series_gaps`` audits,
+    this stitches): concatenate a COMPLETE series' member texts in page
+    order into the one logical document that should enter dedup/training
+    instead of its N boilerplate-shelled fragments. Incomplete series are
+    dropped (stitching a gapped article corrupts it — they stay on the
+    recrawl worklist).
+
+    Scale shape: ONE series-keyed shuffle; ``collect_list`` is safe
+    because series size is bounded by the declared page count (<= the
+    pagination cap a crawler enforces), and the in-row
+    sort_array/transform/array_join keeps ordering and concatenation out
+    of any window. Completeness = member count equals the declared
+    total.
+
+    Output: (series, stitched_text, n_pages).
+    """
+    rows = pages.where(F.col("page_no").isNotNull())
+    g = rows.groupBy(F.col(series_col).alias("series")).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("page_no"), F.col(text_col)))
+        ).alias("_st_ps"),
+        F.max("total_pages").cast("long").alias("n_pages"),
+        F.count("*").alias("_st_n"),
+    )
+    stitched = F.array_join(
+        F.transform(F.col("_st_ps"), lambda x: x[text_col]), " "
+    )
+    return g.where(F.col("_st_n") == F.col("n_pages")).select(
+        "series", stitched.alias("stitched_text"), "n_pages"
+    )

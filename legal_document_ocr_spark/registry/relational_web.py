@@ -2960,3 +2960,38 @@ SELECT group_key, substr(min(key), 8) AS canonical_url,
   count(*)::bigint AS n_members
 FROM k GROUP BY group_key
 """
+
+
+def q_stitch_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paginated-article reassembly (urls.stitch_series): every doc in a
+    7-page series carries a marker here; full series stitch in page
+    order, the partial tail series is dropped by the completeness
+    gate."""
+    from ..operators.urls import pagination_extract, stitch_series
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Page "),
+            (F.col("doc_id") % 7 + 1).cast("string"),
+            F.lit(" of 7"),
+        ).alias("text"),
+    )
+    pages = pagination_extract(d).withColumn(
+        "series", F.expr("doc_id div 7").cast("long")
+    ).join(d.hint("shuffle_hash"), "doc_id")
+    return stitch_series(pages)
+
+
+_SQL_STITCH_SERIES = """
+WITH p AS (
+  SELECT doc_id // 7 AS series, doc_id % 7 + 1 AS page_no,
+    text || ' Page ' || (doc_id % 7 + 1)::varchar || ' of 7' AS text
+  FROM documents
+)
+SELECT series::bigint AS series,
+  string_agg(text, ' ' ORDER BY page_no) AS stitched_text,
+  7::bigint AS n_pages
+FROM p GROUP BY series HAVING count(*) = 7
+"""

@@ -7082,3 +7082,23 @@ def test_source_similarity_hand_checked(spark):
     got = [(r["source_a"], r["source_b"], r["inter"], r["jaccard_ppm"])
            for r in source_similarity(df).collect()]
     assert got == [("A", "B", 1, 333333)]
+
+
+def test_stitch_series_hand_checked(spark):
+    """Series 1 (2 pages of 2) stitches in page order even though rows
+    arrive reversed; series 2 misses page 2 of 3 and is dropped."""
+    from legal_document_ocr_spark.operators.urls import stitch_series
+
+    rows = [
+        (1, 2, 2, "world"),
+        (1, 1, 2, "hello"),
+        (2, 1, 3, "a"),
+        (2, 3, 3, "c"),
+        (3, None, None, "no marker"),
+    ]
+    df = spark.createDataFrame(
+        rows, "series long, page_no long, total_pages long, text string"
+    )
+    got = {r["series"]: (r["stitched_text"], r["n_pages"])
+           for r in stitch_series(df).collect()}
+    assert got == {1: ("hello world", 2)}
