@@ -117,6 +117,10 @@ HEADLINE = [
     "query_likelihood",       # Dirichlet LM retrieval (decimal log sums)
     "emd_drift",              # exact 1-D EMD on log2 buckets
     "image_dup_clusters",     # aHash pigeonhole pairs -> pointer-jump CC
+    # round-4 session-16 additions
+    "consistent_hash_moves",  # rendezvous re-shard audit (pure codegen battery)
+    "source_similarity",      # inter-source shingle Jaccard, in-row pair fan-out
+    "stitch_series",          # paginated-article reassembly (bounded collect)
 ]
 
 
