@@ -33,8 +33,21 @@ dispatch (app/api/v1/endpoints/documents.py:16-26 → ocr_service.py:66-103)
 
 from __future__ import annotations
 
+import gzip as _gzip
+import zlib as _zlib
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 _CRLF = "\r\n"
 
@@ -139,6 +152,29 @@ def parse_warc_records_binary(
     # byte-framed: slice exactly Content-Length octets after the separator
     payload = rec.substr(F.length(head) + F.lit(5), clen)
     return records.select(
+        F.regexp_extract(head, _URI_RE, 1).alias("url"),
+        F.to_timestamp(
+            F.regexp_extract(head, _DATE_RE, 1), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        ).alias("warc_ts"),
+        clen.alias("content_length"),
+        F.encode(payload, "ISO-8859-1").alias("payload"),
+    )
+
+
+def parse_warc_records_binary_keyed(
+    records: DataFrame,
+    record_col: str = "record_bytes",
+    keep: tuple[str, ...] = ("warc_file", "member_idx"),
+) -> DataFrame:
+    """``parse_warc_records_binary`` with passthrough key columns — the
+    shape the .warc.gz member walk needs (which file, which member, plus
+    the parsed record). Same latin-1 octet-bijection grammar."""
+    rec = F.decode(F.col(record_col), "ISO-8859-1")
+    head = F.substring_index(rec, _CRLF + _CRLF, 1)
+    clen = F.regexp_extract(head, _LEN_RE, 1).cast("long")
+    payload = rec.substr(F.length(head) + F.lit(5), clen)
+    return records.select(
+        *[F.col(c) for c in keep],
         F.regexp_extract(head, _URI_RE, 1).alias("url"),
         F.to_timestamp(
             F.regexp_extract(head, _DATE_RE, 1), "yyyy-MM-dd'T'HH:mm:ss'Z'"
@@ -692,3 +728,426 @@ def reassemble_segments(
         .cast("long")
         .alias("complete"),
     )
+
+
+# ---------------------------------------------------------------------------
+# gzip-member framing (.warc.gz) and HTTP transfer/content codings — the
+# byte-level layers a real Common-Crawl reader crosses BEFORE any of the
+# parsers above: each WARC record is an independent gzip MEMBER and the
+# archive file is their concatenation (ISO 28500 annex; this is what makes
+# CDX offset+length random access work — seek to the member, inflate one
+# record); inside the HTTP payload, Transfer-Encoding: chunked and
+# Content-Encoding: gzip must be removed before the body is the document.
+# Reference analogue: the upload path accepting compressed files and
+# normalizing them before OCR (app/services/ocr_service.py:66-103) — same
+# job, archive/protocol codings instead of upload formats.
+# ---------------------------------------------------------------------------
+
+_GZ_SPLIT_SCHEMA = StructType(
+    [
+        StructField("warc_file", StringType()),
+        StructField("member_idx", LongType()),
+        StructField("gz_offset", LongType()),
+        StructField("gz_length", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("error", StringType()),
+    ]
+)
+
+_GZ_CHUNK = 1 << 20  # feed size for the incremental member walk
+
+
+def _coding_error_label(e: Exception) -> str:
+    """Stable per-record error flag (multimodal._decode_error_label twin):
+    one corrupt member/chunk flags its own row, never fails the task."""
+    msg = str(e).splitlines()[0] if str(e) else ""
+    return f"{type(e).__name__}: {msg}"[:200]
+
+
+def gzip_member_compress(df: DataFrame, payload_col: str = "record_bytes") -> DataFrame:
+    """Compress each record as an independent gzip member (mapInPandas,
+    stdlib zlib — deterministic: fixed level, mtime pinned to 0 so the
+    10-byte header is byte-stable across runs and executors). Adds ``gz``
+    (binary) next to the input columns it keeps (warc_file, record_idx)."""
+    sel = df.select("warc_file", "record_idx", payload_col)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "warc_file": pdf["warc_file"],
+                    "record_idx": pdf["record_idx"],
+                    "gz": [
+                        _gzip.compress(bytes(b), compresslevel=6, mtime=0)
+                        for b in pdf[payload_col]
+                    ],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("warc_file", StringType()),
+            StructField("record_idx", LongType()),
+            StructField("gz", BinaryType()),
+        ]
+    )
+    return sel.mapInPandas(kernel, schema)
+
+
+def synthesize_warc_gz_files_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenated-gzip-member WARC files — the actual ``.warc.gz`` layout:
+    (warc_file, n_members, blob) with blob = member(record 1) || member(
+    record 2) || ... in record_idx order, one file per corpus host.
+
+    The per-file concat happens through the latin-1 octet<->char bijection
+    (array_sort over (idx, member) structs, then ONE array_join — linear,
+    never a quadratic binary fold). Per-file state is bounded by
+    records-per-file exactly like cdx_index; files assemble in parallel.
+    """
+    gz = gzip_member_compress(synthesize_warc_files_df(spark, sf_dir))
+    parts = gz.select(
+        "warc_file",
+        F.struct(
+            F.col("record_idx").alias("i"),
+            F.decode(F.col("gz"), "ISO-8859-1").alias("m"),
+        ).alias("im"),
+    )
+    g = parts.groupBy("warc_file").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.array_sort(F.collect_list("im")).alias("ims"),
+    )
+    blob = F.encode(
+        F.array_join(F.transform(F.col("ims"), lambda x: x["m"]), ""),
+        "ISO-8859-1",
+    )
+    return g.select(
+        F.concat(F.col("warc_file"), F.lit(".gz")).alias("warc_file"),
+        "n_members",
+        blob.alias("blob"),
+    )
+
+
+def split_gz_members(
+    files: DataFrame, file_col: str = "warc_file", blob_col: str = "blob"
+) -> DataFrame:
+    """Split a concatenated-gzip-member archive blob back into records:
+    (warc_file, member_idx, gz_offset, gz_length, payload, error) — the
+    reader half of the ``.warc.gz`` contract and the producer of the
+    offset/length pairs a CDX random-access index stores.
+
+    The walk is INCREMENTAL (1 MiB feeds into zlib.decompressobj(wbits=31)
+    until member EOF) so the per-member cost is linear in member size —
+    ``unused_data`` backtrack is bounded by one feed, never the file tail,
+    and a 1 GB archive never materializes twice. Files split in parallel
+    across the cluster; within a file the walk is inherently sequential
+    (members are self-delimiting only through inflation — exactly why
+    real crawls keep files ~1 GB and ship CDX offsets alongside).
+
+    A corrupt member emits its OWN error row (offset of the failure, NULL
+    payload) and ends that file's walk — without the next member's offset
+    there is nothing to resynchronize on; the emitted rows before it stay
+    good.
+    """
+    sel = files.select(file_col, blob_col)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "warc_file": [],
+                "member_idx": [],
+                "gz_offset": [],
+                "gz_length": [],
+                "payload": [],
+                "error": [],
+            }
+
+            def emit(wf, idx, off, ln, payload, err) -> None:
+                out["warc_file"].append(wf)
+                out["member_idx"].append(idx)
+                out["gz_offset"].append(off)
+                out["gz_length"].append(ln)
+                out["payload"].append(payload)
+                out["error"].append(err)
+
+            for wf, blob in zip(pdf[file_col], pdf[blob_col]):
+                if blob is None:
+                    continue
+                mv = memoryview(bytes(blob))
+                n = len(mv)
+                pos = 0
+                idx = 0
+                while pos < n:
+                    d = _zlib.decompressobj(wbits=31)
+                    body = bytearray()
+                    p = pos
+                    try:
+                        while not d.eof and p < n:
+                            feed = mv[p : p + _GZ_CHUNK]
+                            body += d.decompress(feed)
+                            p += len(feed)
+                        if not d.eof:
+                            raise _zlib.error("truncated gzip member")
+                    except _zlib.error as e:
+                        emit(wf, idx, pos, None, None, _coding_error_label(e))
+                        break
+                    consumed = (p - pos) - len(d.unused_data)
+                    emit(wf, idx, pos, consumed, bytes(body), None)
+                    pos += consumed
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return sel.mapInPandas(kernel, _GZ_SPLIT_SCHEMA)
+
+
+def synthesize_warc_chunked_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP/1.1 responses with ``Transfer-Encoding: chunked`` bodies —
+    (url, http_bytes): status line + headers + chunked html. Pure Catalyst:
+    per-doc chunk size s = 64 + (doc_id % 5)*37 octets, sizes written as
+    lowercase hex, data sliced through the latin-1 octet bijection (chunk
+    sizes count OCTETS — a codepoint slice would misframe multibyte text),
+    last-chunk ``0 CRLF`` followed by a trailer header on every 3rd doc
+    (RFC 9112 §7.1 allows trailers; a decoder that stops at ``0\\r\\n``
+    silently eats them).
+    """
+    from .pages import synthesize_pages_df
+
+    pages = synthesize_pages_df(spark, sf_dir)
+    doc_id = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+    lat = F.decode(F.col("html"), "ISO-8859-1")
+    n = F.length(lat)
+    s = F.lit(64).cast("long") + (doc_id % 5) * F.lit(37).cast("long")
+    n_chunks = F.ceil(n / s).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat(
+            F.lower(F.hex(F.least(s, n - i.cast("long") * s))),
+            F.lit(_CRLF),
+            lat.substr((i.cast("long") * s + 1).cast("int"), s.cast("int")),
+            F.lit(_CRLF),
+        ),
+    )
+    trailer = F.when(
+        doc_id % 3 == 0,
+        F.concat(F.lit("X-Corpus-Doc: "), doc_id.cast("string"), F.lit(_CRLF)),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.array_join(chunks, ""), F.lit("0" + _CRLF), trailer, F.lit(_CRLF)
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK" + _CRLF),
+        F.lit("Content-Type: text/html; charset=utf-8" + _CRLF),
+        F.lit("Transfer-Encoding: chunked" + _CRLF + _CRLF),
+        body,
+    )
+    return pages.select(
+        F.col("url"), F.encode(http, "ISO-8859-1").alias("http_bytes")
+    )
+
+
+_DECHUNK_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("body", BinaryType()),
+        StructField("n_chunks", LongType()),
+        StructField("trailer", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def _dechunk_one(buf: bytes) -> tuple[bytes, int, str | None]:
+    """RFC 9112 §7.1 chunked-body decode: (data, n_chunks, trailer-or-None).
+    Raises ValueError on any framing violation (caller isolates per row).
+    Sizes are self-describing, so data containing CRLF or hex-digit lines
+    can never confuse the walk — the reason a regex/split decoder is wrong.
+    """
+    pos, n_chunks = 0, 0
+    out = bytearray()
+    while True:
+        i = buf.find(b"\r\n", pos)
+        if i < 0:
+            raise ValueError("missing chunk-size line")
+        size_token = buf[pos:i].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            raise ValueError(f"bad chunk size {size_token!r}") from None
+        pos = i + 2
+        if size == 0:
+            trailers = []
+            while True:
+                j = buf.find(b"\r\n", pos)
+                if j < 0:
+                    raise ValueError("unterminated trailer section")
+                line = bytes(buf[pos:j])
+                pos = j + 2
+                if line == b"":
+                    break
+                trailers.append(line)
+            if pos != len(buf):
+                raise ValueError("bytes after last-chunk")
+            trailer = b"\r\n".join(trailers).decode("ISO-8859-1")
+            return bytes(out), n_chunks, trailer or None
+        if pos + size + 2 > len(buf):
+            raise ValueError("truncated chunk data")
+        out += buf[pos : pos + size]
+        pos += size
+        if buf[pos : pos + 2] != b"\r\n":
+            raise ValueError("missing chunk-data CRLF")
+        pos += 2
+        n_chunks += 1
+
+
+def dechunk_http_body(
+    df: DataFrame, url_col: str = "url", payload_col: str = "body_bytes"
+) -> DataFrame:
+    """Remove ``Transfer-Encoding: chunked`` framing from HTTP bodies:
+    (url, body, n_chunks, trailer, error). One Arrow-batched mapInPandas —
+    the framing is self-describing byte-at-a-time state (hex size line ->
+    skip exactly that many octets -> CRLF -> repeat), which no codegen
+    expression can express for unbounded chunk counts; the Python walk is
+    linear per record and batch-amortized. Malformed framing (bad hex,
+    truncated chunk, missing CRLF, garbage after last-chunk) error-flags
+    its own row — a crawl's tail always has torn captures.
+    """
+    sel = df.select(F.col(url_col).alias("url"), F.col(payload_col))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "url": [],
+                "body": [],
+                "n_chunks": [],
+                "trailer": [],
+                "error": [],
+            }
+            for url, payload in zip(pdf["url"], pdf[payload_col]):
+                out["url"].append(url)
+                if payload is None:
+                    out["body"].append(None)
+                    out["n_chunks"].append(None)
+                    out["trailer"].append(None)
+                    out["error"].append("ValueError: null body")
+                    continue
+                try:
+                    body, n_chunks, trailer = _dechunk_one(bytes(payload))
+                except ValueError as e:
+                    out["body"].append(None)
+                    out["n_chunks"].append(None)
+                    out["trailer"].append(None)
+                    out["error"].append(_coding_error_label(e))
+                    continue
+                out["body"].append(body)
+                out["n_chunks"].append(n_chunks)
+                out["trailer"].append(trailer)
+                out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    return sel.mapInPandas(kernel, _DECHUNK_SCHEMA)
+
+
+def synthesize_http_gzip_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP bodies under ``Content-Encoding: gzip`` — (url,
+    content_encoding, body_bytes): every 4th doc ships identity-coded
+    (header absent, body = raw html), the rest gzip members of the html
+    octets (deterministic: level 6, mtime 0). The mixed corpus makes the
+    decoder's dispatch-on-header path load-bearing, not decorative."""
+    from .pages import synthesize_pages_df
+
+    pages = synthesize_pages_df(spark, sf_dir)
+    doc_id = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+    sel = pages.select(
+        "url",
+        F.when(doc_id % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("gzip"))
+        .alias("content_encoding"),
+        F.col("html"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "content_encoding": pdf["content_encoding"],
+                    "body_bytes": [
+                        bytes(h)
+                        if enc is None
+                        else _gzip.compress(bytes(h), compresslevel=6, mtime=0)
+                        for enc, h in zip(pdf["content_encoding"], pdf["html"])
+                    ],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("content_encoding", StringType()),
+            StructField("body_bytes", BinaryType()),
+        ]
+    )
+    return sel.mapInPandas(kernel, schema)
+
+
+_GUNZIP_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("body", BinaryType()),
+        StructField("was_gzipped", IntegerType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def decompress_gzip_bodies(
+    df: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "body_bytes",
+    encoding_col: str = "content_encoding",
+) -> DataFrame:
+    """Remove ``Content-Encoding: gzip`` from HTTP bodies: (url, body,
+    was_gzipped, error). Dispatch is on the declared header (NULL/identity
+    rows pass through untouched — sniffing magic bytes instead would
+    corrupt an html page that legitimately starts with 0x1f 0x8b); a
+    declared-gzip body that does not inflate error-flags its own row.
+    Multi-member bodies inflate fully (gzip.decompress walks members) —
+    some servers emit one member per write()."""
+    sel = df.select(
+        F.col(url_col).alias("url"), F.col(payload_col), F.col(encoding_col)
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "url": [],
+                "body": [],
+                "was_gzipped": [],
+                "error": [],
+            }
+            for url, payload, enc in zip(
+                pdf["url"], pdf[payload_col], pdf[encoding_col]
+            ):
+                out["url"].append(url)
+                if payload is None:
+                    out["body"].append(None)
+                    out["was_gzipped"].append(None)
+                    out["error"].append("ValueError: null body")
+                    continue
+                if enc is None or enc.lower() != "gzip":
+                    out["body"].append(bytes(payload))
+                    out["was_gzipped"].append(0)
+                    out["error"].append(None)
+                    continue
+                try:
+                    body = _gzip.decompress(bytes(payload))
+                except (OSError, EOFError, _zlib.error) as e:
+                    out["body"].append(None)
+                    out["was_gzipped"].append(None)
+                    out["error"].append(_coding_error_label(e))
+                    continue
+                out["body"].append(body)
+                out["was_gzipped"].append(1)
+                out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    return sel.mapInPandas(kernel, _GUNZIP_SCHEMA)

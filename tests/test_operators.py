@@ -7102,3 +7102,133 @@ def test_stitch_series_hand_checked(spark):
     got = {r["series"]: (r["stitched_text"], r["n_pages"])
            for r in stitch_series(df).collect()}
     assert got == {1: ("hello world", 2)}
+
+
+# ---------------------------------------------------------------------------
+# gzip-member framing + HTTP codings (session-18)
+# ---------------------------------------------------------------------------
+
+
+def test_dechunk_is_immune_to_crlf_and_fake_markers_in_chunk_data():
+    """Chunk DATA containing CRLF, hex-digit lines and a fake last-chunk
+    marker must pass through verbatim — the self-describing size walk never
+    looks at content (a split-on-CRLF or regex decoder fails this)."""
+    from legal_document_ocr_spark.sources.warc import _dechunk_one
+
+    data = b"AB\r\n0\r\n\r\nCD" + b"5\r\nxxxxx\r\n"  # 19 bytes of traps
+    enc = (
+        hex(len(data))[2:].encode() + b"\r\n" + data + b"\r\n"
+        b"3\r\nend\r\n"
+        b"0\r\n\r\n"
+    )
+    body, n_chunks, trailer = _dechunk_one(enc)
+    assert body == data + b"end"
+    assert n_chunks == 2
+    assert trailer is None
+
+
+def test_dechunk_reads_trailers_and_rejects_torn_framing():
+    from legal_document_ocr_spark.sources.warc import _dechunk_one
+
+    with_trailer = b"4\r\nabcd\r\n0\r\nX-Sum: 9\r\nY: z\r\n\r\n"
+    body, n, trailer = _dechunk_one(with_trailer)
+    assert (body, n, trailer) == (b"abcd", 1, "X-Sum: 9\r\nY: z")
+
+    import pytest as _pytest
+
+    for bad in (
+        b"zz\r\nab\r\n0\r\n\r\n",  # non-hex size
+        b"9\r\nabcd\r\n0\r\n\r\n",  # truncated chunk data
+        b"4\r\nabcdXX0\r\n\r\n",  # missing chunk-data CRLF
+        b"4\r\nabcd\r\n0\r\n\r\ntrailing",  # bytes after last-chunk
+        b"4\r\nabcd\r\n",  # no last-chunk
+    ):
+        with _pytest.raises(ValueError):
+            _dechunk_one(bad)
+
+
+def test_dechunk_stage_isolates_malformed_rows(spark):
+    """One torn body error-flags its own row; the good row still decodes."""
+    from legal_document_ocr_spark.sources.warc import dechunk_http_body
+
+    df = spark.createDataFrame(
+        [("u1", b"3\r\nabc\r\n0\r\n\r\n"), ("u2", b"ff\r\nshort\r\n0\r\n\r\n")],
+        "url string, body_bytes binary",
+    )
+    rows = {r["url"]: r for r in dechunk_http_body(df).collect()}
+    assert bytes(rows["u1"]["body"]) == b"abc" and rows["u1"]["error"] is None
+    assert rows["u2"]["body"] is None
+    assert "truncated chunk" in rows["u2"]["error"]
+
+
+def test_gz_member_offsets_support_random_access(spark):
+    """CDX contract: blob[gz_offset : gz_offset+gz_length] must inflate to
+    exactly the member's record — seek-and-read without scanning the file."""
+    import gzip
+
+    from legal_document_ocr_spark.sources.warc import (
+        split_gz_members,
+        synthesize_warc_gz_files_df,
+    )
+
+    gz = synthesize_warc_gz_files_df(spark, "/root/testdata/sf0.001")
+    blobs = {r["warc_file"]: bytes(r["blob"]) for r in gz.collect()}
+    members = split_gz_members(gz).collect()
+    assert members and all(r["error"] is None for r in members)
+    for r in members[:50]:
+        blob = blobs[r["warc_file"]]
+        sl = blob[r["gz_offset"] : r["gz_offset"] + r["gz_length"]]
+        assert gzip.decompress(sl) == bytes(r["payload"])
+    # members tile the file exactly: offsets are a running sum of lengths
+    by_file: dict = {}
+    for r in members:
+        by_file.setdefault(r["warc_file"], []).append(r)
+    for wf, rs in by_file.items():
+        rs.sort(key=lambda r: r["member_idx"])
+        pos = 0
+        for r in rs:
+            assert r["gz_offset"] == pos
+            pos += r["gz_length"]
+        assert pos == len(blobs[wf])
+
+
+def test_gz_member_walk_isolates_corruption_and_keeps_prefix(spark):
+    """A corrupt member emits its own error row at its offset and ends that
+    file's walk; every member before it is recovered intact."""
+    import gzip
+
+    from legal_document_ocr_spark.sources.warc import split_gz_members
+
+    m1 = gzip.compress(b"record one", compresslevel=6, mtime=0)
+    m2 = gzip.compress(b"record two", compresslevel=6, mtime=0)
+    corrupt = bytes([0x1F, 0x8B, 0x08, 0x00]) + b"\xde\xad\xbe\xef" * 4
+    blob = m1 + m2 + corrupt
+    df = spark.createDataFrame([("f.warc.gz", blob)], "warc_file string, blob binary")
+    rows = sorted(split_gz_members(df).collect(), key=lambda r: r["member_idx"])
+    assert len(rows) == 3
+    assert bytes(rows[0]["payload"]) == b"record one" and rows[0]["error"] is None
+    assert bytes(rows[1]["payload"]) == b"record two" and rows[1]["error"] is None
+    assert rows[2]["error"] is not None
+    assert rows[2]["gz_offset"] == len(m1) + len(m2)
+
+
+def test_gunzip_dispatches_on_header_not_magic_bytes(spark):
+    """An identity body that happens to START with the gzip magic must pass
+    through untouched — dispatch reads the declared header only."""
+    import gzip
+
+    from legal_document_ocr_spark.sources.warc import decompress_gzip_bodies
+
+    tricky = bytes([0x1F, 0x8B]) + b" not actually gzip"
+    df = spark.createDataFrame(
+        [
+            ("u1", None, tricky),
+            ("u2", "gzip", gzip.compress(b"real", compresslevel=6, mtime=0)),
+            ("u3", "gzip", b"declared but garbage"),
+        ],
+        "url string, content_encoding string, body_bytes binary",
+    )
+    rows = {r["url"]: r for r in decompress_gzip_bodies(df).collect()}
+    assert bytes(rows["u1"]["body"]) == tricky and rows["u1"]["was_gzipped"] == 0
+    assert bytes(rows["u2"]["body"]) == b"real" and rows["u2"]["was_gzipped"] == 1
+    assert rows["u3"]["body"] is None and rows["u3"]["error"] is not None
