@@ -2384,3 +2384,126 @@ def stitch_series(
     return g.where(F.col("_st_n") == F.col("n_pages")).select(
         "series", stitched.alias("stitched_text"), "n_pages"
     )
+
+
+# ---------------------------------------------------------------------------
+# embedded data URIs + meta-refresh + combined opt-out (round 4, session 18)
+# ---------------------------------------------------------------------------
+
+_DATA_URI_RE = r"data:([a-zA-Z0-9/+.\-]+);base64,([A-Za-z0-9+/=]+)"
+
+
+def extract_data_uris(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Inline ``data:<mime>;base64,...`` payload extraction -> (url,
+    uri_pos, mime, payload_octets, payload_md5): pages increasingly inline
+    small images/fonts instead of linking them, and a multimodal curation
+    pipeline must surface those payloads for the SAME decode/dedup path as
+    fetched media (multimodal.image_decode et al. take the decoded bytes
+    directly).
+
+    Stays entirely in codegen: two positionally-zipped regexp_extract_all
+    passes (mime, b64) + one posexplode + JVM-side ``unbase64`` — the
+    base64 decode never leaves whole-stage codegen, so a page with a
+    megabyte of inlined images decodes at scan speed with no Python. The
+    md5 is over the lowercase hex of the decoded octets (the portable
+    spelling shared with the WARC digests).
+    """
+    url = F.col(url_col)
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    mimes = F.regexp_extract_all(html_txt, F.lit(_DATA_URI_RE), 1)
+    b64s = F.regexp_extract_all(html_txt, F.lit(_DATA_URI_RE), 2)
+    ex = df.select(
+        url.alias("url"),
+        F.posexplode(F.arrays_zip(mimes.alias("m"), b64s.alias("b"))).alias(
+            "uri_pos", "mb"
+        ),
+    )
+    decoded = F.unbase64(F.col("mb.b"))
+    return ex.select(
+        "url",
+        F.col("uri_pos").cast("long").alias("uri_pos"),
+        F.col("mb.m").alias("mime"),
+        F.octet_length(decoded).cast("long").alias("payload_octets"),
+        F.md5(F.lower(F.hex(decoded))).alias("payload_md5"),
+    )
+
+
+_META_REFRESH_RE = (
+    r'(?is)<meta\s+http-equiv="refresh"\s+content="(\d+)\s*;\s*url=([^"]*)"'
+)
+
+
+def meta_refresh(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """``<meta http-equiv=refresh>`` redirect extraction -> (url,
+    delay_sec, target, resolved): the in-markup redirect layer that HTTP
+    status codes never see — soft redirects (delay 0) must join the
+    redirect graph (urls.resolve_redirects) or dedup counts the stub page
+    as content, and delayed refreshes are a spam/parked-domain signal
+    (url_spam_scores' cousin). Pages without the tag emit delay_sec NULL.
+    Root- and protocol-relative targets resolve against the page's own
+    scheme://host exactly like extract_links. One codegen extract per
+    page, no UDF, no shuffle.
+    """
+    url = F.col(url_col)
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    delay_s = F.regexp_extract(html_txt, _META_REFRESH_RE, 1)
+    target = F.regexp_extract(html_txt, _META_REFRESH_RE, 2)
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
+    resolved = (
+        F.when(target == "", F.lit(None).cast("string"))
+        .when(target.startswith("//"), F.concat(scheme, F.lit(":"), target))
+        .when(
+            target.startswith("/"),
+            F.concat(scheme, F.lit("://"), host, target),
+        )
+        .otherwise(target)
+    )
+    return df.select(
+        url.alias("url"),
+        F.when(delay_s != "", delay_s.cast("long")).alias("delay_sec"),
+        F.when(target != "", target).alias("target"),
+        resolved.alias("resolved"),
+    )
+
+
+def optout_resolution(flags: DataFrame) -> DataFrame:
+    """Combined publisher-opt-out verdict per capture — the curation
+    capstone over the three opt-out surfaces this repo parses separately:
+    robots.txt (urls.parse_robots_rules / robots_precedence_filter,
+    crawl-side), the X-Robots-Tag response header (warc.parse_x_robots,
+    protocol-side), and ``<meta name=robots>`` (urls.meta_robots,
+    markup-side).
+
+    Input: (url, robots_disallowed, header_noindex, meta_noindex) 0/1
+    flags. Precedence mirrors how the surfaces compose in the wild: a
+    robots.txt disallow means the capture should never have been fetched
+    (strongest — and when it applies, header/meta were never legitimately
+    observed); else a header noindex outranks markup (it arrives before
+    any parse and covers non-HTML); else meta noindex; else kept. Output
+    adds (keep, optout_reason) — reason NULL on kept rows. Pure codegen
+    CASE, no shuffle; at corpus scale this is the final filter before the
+    training-set sink, so it must (and does) run at scan speed.
+    """
+    keep = (
+        (F.col("robots_disallowed") == 0)
+        & (F.col("header_noindex") == 0)
+        & (F.col("meta_noindex") == 0)
+    )
+    reason = (
+        F.when(F.col("robots_disallowed") == 1, F.lit("robots.txt"))
+        .when(F.col("header_noindex") == 1, F.lit("x-robots-tag"))
+        .when(F.col("meta_noindex") == 1, F.lit("meta-robots"))
+    )
+    return flags.select(
+        "url",
+        "robots_disallowed",
+        "header_noindex",
+        "meta_noindex",
+        keep.cast("int").alias("keep"),
+        reason.alias("optout_reason"),
+    )

@@ -141,3 +141,253 @@ SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id
   md5(lower(to_hex(encode({html})))) AS body_md5
 FROM documents
 """
+
+
+def q_data_uri_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline data-URI payload extraction (urls.extract_data_uris) over a
+    corpus where every doc inlines a base64 png payload and every 2nd doc
+    a second text/plain one: two zipped regexp passes + posexplode + JVM
+    unbase64, never leaving codegen. The md5 over the DECODED octets is
+    what proves the base64 round-trip."""
+    from ..operators.urls import extract_data_uris
+    from ..sources.pages import synthesize_pages_df
+
+    pages = synthesize_pages_df(spark, sf_dir)
+    did = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+    png_b64 = F.base64(F.encode(F.concat(F.lit("PIX"), did.cast("string")), "UTF-8"))
+    txt_b64 = F.base64(F.encode(F.substring(F.col("text"), 1, 32), "UTF-8"))
+    deco = F.concat(
+        F.decode("html", "UTF-8"),
+        F.lit('<img src="data:image/png;base64,'), png_b64, F.lit('">'),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<object data="data:text/plain;base64,'),
+                txt_b64,
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return extract_data_uris(
+        pages.select("url", F.encode(deco, "UTF-8").alias("html"))
+    )
+
+
+def _sql_data_uri_images() -> str:
+    return """
+WITH u AS (
+  SELECT doc_id, lang, source,
+    'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+    substr(text, 1, 32) AS t32
+  FROM documents
+)
+SELECT url, 0::bigint AS uri_pos, 'image/png' AS mime,
+  octet_length(encode('PIX' || doc_id))::bigint AS payload_octets,
+  md5(lower(to_hex(encode('PIX' || doc_id)))) AS payload_md5
+FROM u
+UNION ALL
+SELECT url, 1::bigint AS uri_pos, 'text/plain' AS mime,
+  octet_length(encode(t32))::bigint AS payload_octets,
+  md5(lower(to_hex(encode(t32)))) AS payload_md5
+FROM u WHERE doc_id % 2 = 0
+"""
+
+
+def q_meta_refresh_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-refresh extraction (urls.meta_refresh) with all three target
+    shapes planted (root-relative, protocol-relative, absolute) on every
+    4th doc and NULL rows for the rest — soft redirects joining the
+    redirect graph plus the delayed-refresh spam signal."""
+    from ..operators.urls import meta_refresh
+    from ..sources.pages import synthesize_pages_df
+
+    pages = synthesize_pages_df(spark, sf_dir)
+    did = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+    target = (
+        F.when(did % 3 == 0, F.lit("/landing"))
+        .when(did % 3 == 1, F.lit("//cdn.example.org/x"))
+        .otherwise(F.lit("https://dest.example.net/p"))
+    )
+    deco = F.concat(
+        F.decode("html", "UTF-8"),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit('<meta http-equiv="refresh" content="'),
+                (did % 7).cast("string"),
+                F.lit(";url="),
+                target,
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return meta_refresh(pages.select("url", F.encode(deco, "UTF-8").alias("html")))
+
+
+def _sql_meta_refresh_redirects() -> str:
+    return """
+WITH u AS (
+  SELECT doc_id, source,
+    'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+    CASE WHEN doc_id % 3 = 0 THEN '/landing'
+         WHEN doc_id % 3 = 1 THEN '//cdn.example.org/x'
+         ELSE 'https://dest.example.net/p' END AS target
+  FROM documents
+)
+SELECT url,
+  CASE WHEN doc_id % 4 = 0 THEN (doc_id % 7)::bigint END AS delay_sec,
+  CASE WHEN doc_id % 4 = 0 THEN target END AS target,
+  CASE WHEN doc_id % 4 <> 0 THEN NULL
+       WHEN doc_id % 3 = 0 THEN 'https://' || source || '.example.com/landing'
+       WHEN doc_id % 3 = 1 THEN 'https:' || target
+       ELSE target END AS resolved
+FROM u
+"""
+
+
+def q_optout_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined publisher-opt-out capstone (urls.optout_resolution): all
+    three opt-out surfaces planted and parsed by their REAL parsers —
+    robots.txt Disallow (/fr paths; parse_robots_rules + the left-join
+    prefix match), X-Robots-Tag headers (every 5th doc;
+    warc.parse_x_robots), meta robots (every 3rd doc; urls.meta_robots) —
+    then resolved under fetch > protocol > markup precedence. All joins
+    are on url/host, shuffle_hash (nothing corpus-sized broadcasts)."""
+    from ..operators.urls import (
+        meta_robots,
+        optout_resolution,
+        parse_robots_rules,
+    )
+    from ..sources.pages import synthesize_pages_df
+    from ..sources.warc import parse_x_robots
+
+    pages = synthesize_pages_df(spark, sf_dir)
+    did = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+
+    # markup layer: real meta tag planted on every 3rd doc
+    deco = F.concat(
+        F.decode("html", "UTF-8"),
+        F.when(
+            did % 3 == 0,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        ).otherwise(F.lit("")),
+    )
+    meta = meta_robots(
+        pages.select("url", F.encode(deco, "UTF-8").alias("html"))
+    ).select("url", F.col("noindex").alias("meta_noindex"))
+
+    # protocol layer: real header block parsed by parse_x_robots
+    http_head = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\n"),
+        F.when(did % 5 == 0, F.lit("X-Robots-Tag: noindex\r\n")).otherwise(
+            F.lit("")
+        ),
+        F.lit("Content-Type: text/html\r\n\r\nbody"),
+    )
+    hdr = parse_x_robots(pages.select("url", http_head.alias("payload"))).select(
+        "url", F.col("noindex").alias("header_noindex")
+    )
+
+    # crawl layer: per-host robots.txt disallowing /fr, with a decoy
+    # badbot-only section the *-group parser must NOT absorb
+    host = F.regexp_extract("url", r"^https://([^/]*)/", 1)
+    robots = (
+        pages.select(host.alias("host"))
+        .distinct()
+        .withColumn(
+            "robots_txt",
+            F.lit(
+                "User-agent: badbot\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /fr"
+            ),
+        )
+    )
+    rules = parse_robots_rules(robots)
+    path = F.regexp_extract("url", r"^https://[^/]*(/[^?#]*)", 1)
+    pg = pages.select("url", host.alias("host"), path.alias("_path"))
+    dis = (
+        pg.join(
+            rules.hint("shuffle_hash"),
+            (pg["host"] == rules["host"])
+            & F.col("_path").startswith(F.col("prefix")),
+            "left",
+        )
+        .groupBy("url")
+        .agg(
+            F.max(F.col("prefix").isNotNull().cast("int")).alias(
+                "robots_disallowed"
+            )
+        )
+    )
+
+    flags = (
+        dis.join(hdr.hint("shuffle_hash"), "url")
+        .join(meta.hint("shuffle_hash"), "url")
+        .select("url", "robots_disallowed", "header_noindex", "meta_noindex")
+    )
+    return optout_resolution(flags)
+
+
+def _sql_optout_resolution() -> str:
+    return """
+WITH f AS (
+  SELECT
+    'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+    (lang = 'fr')::int AS robots_disallowed,
+    (doc_id % 5 = 0)::int AS header_noindex,
+    (doc_id % 3 = 0)::int AS meta_noindex
+  FROM documents
+)
+SELECT url, robots_disallowed, header_noindex, meta_noindex,
+  (robots_disallowed = 0 AND header_noindex = 0 AND meta_noindex = 0)::int
+    AS keep,
+  CASE WHEN robots_disallowed = 1 THEN 'robots.txt'
+       WHEN header_noindex = 1 THEN 'x-robots-tag'
+       WHEN meta_noindex = 1 THEN 'meta-robots' END AS optout_reason
+FROM f
+"""
+
+
+def q_multipart_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multipart/form-data ingest parse (sources/multipart.py) — the
+    reference's literal upload framing (documents.py:16-26) Spark-first:
+    per-doc-boundary bodies fan out to (file part with filename +
+    content-type + octet-exact html payload, source field part), all in
+    codegen through the latin-1 bijection and a \\Q-quoted per-row split.
+    The payload md5 proves framing removal is byte-exact."""
+    from ..sources.multipart import parse_multipart, synthesize_multipart_df
+
+    parts = parse_multipart(synthesize_multipart_df(spark, sf_dir))
+    return parts.select(
+        "upload_id",
+        "part_pos",
+        "name",
+        "filename",
+        "content_type",
+        F.octet_length("payload").cast("long").alias("payload_octets"),
+        F.md5(F.lower(F.hex("payload"))).alias("payload_md5"),
+    )
+
+
+def _sql_multipart_parse() -> str:
+    from ..sources.pages import _TEMPLATE_HEAD, _TEMPLATE_TAIL
+
+    html = f"'{_TEMPLATE_HEAD}' || text || '{_TEMPLATE_TAIL}'"
+    return f"""
+WITH u AS (
+  SELECT doc_id, source,
+    'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+    encode({html}) AS blob
+  FROM documents
+)
+SELECT url AS upload_id, 0::bigint AS part_pos, 'file' AS name,
+  doc_id || '.html' AS filename, 'text/html' AS content_type,
+  octet_length(blob)::bigint AS payload_octets,
+  md5(lower(to_hex(blob))) AS payload_md5
+FROM u
+UNION ALL
+SELECT url, 1::bigint, 'source', NULL, NULL,
+  octet_length(encode(source))::bigint,
+  md5(lower(to_hex(encode(source))))
+FROM u
+"""

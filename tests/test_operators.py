@@ -7232,3 +7232,74 @@ def test_gunzip_dispatches_on_header_not_magic_bytes(spark):
     assert bytes(rows["u1"]["body"]) == tricky and rows["u1"]["was_gzipped"] == 0
     assert bytes(rows["u2"]["body"]) == b"real" and rows["u2"]["was_gzipped"] == 1
     assert rows["u3"]["body"] is None and rows["u3"]["error"] is not None
+
+
+def test_multipart_parse_is_header_spoof_resistant_and_octet_exact(spark):
+    """A payload echoing Content-Disposition text must not spoof part
+    headers (headers parse from the part head only), and bytes that do not
+    survive a UTF-8 round-trip must come back exact (latin-1 bijection)."""
+    from legal_document_ocr_spark.sources.multipart import parse_multipart
+
+    payload = 'x\r\nContent-Disposition: form-data; name="evil"\r\ny'
+    binary_field = "\x00\xff\x80 raw"
+    body = (
+        "--B\r\n"
+        'Content-Disposition: form-data; name="file"; filename="a.bin"\r\n'
+        "Content-Type: application/octet-stream\r\n\r\n"
+        f"{payload}\r\n"
+        "--B\r\n"
+        'Content-Disposition: form-data; name="note"\r\n\r\n'
+        f"{binary_field}\r\n"
+        "--B--\r\n"
+    ).encode("ISO-8859-1")
+    df = spark.createDataFrame(
+        [("u1", "B", body)], "upload_id string, boundary string, body_bytes binary"
+    )
+    rows = sorted(parse_multipart(df).collect(), key=lambda r: r["part_pos"])
+    assert [r["name"] for r in rows] == ["file", "note"]
+    assert rows[0]["filename"] == "a.bin"
+    assert rows[0]["content_type"] == "application/octet-stream"
+    assert bytes(rows[0]["payload"]) == payload.encode("ISO-8859-1")
+    assert rows[1]["filename"] is None and rows[1]["content_type"] is None
+    assert bytes(rows[1]["payload"]) == binary_field.encode("ISO-8859-1")
+
+
+def test_optout_resolution_precedence_hand_checked(spark):
+    """fetch > protocol > markup: the reason names the STRONGEST surface."""
+    from legal_document_ocr_spark.operators.urls import optout_resolution
+
+    df = spark.createDataFrame(
+        [
+            ("u_all", 1, 1, 1),
+            ("u_hdr_meta", 0, 1, 1),
+            ("u_meta", 0, 0, 1),
+            ("u_keep", 0, 0, 0),
+        ],
+        "url string, robots_disallowed int, header_noindex int, meta_noindex int",
+    )
+    got = {r["url"]: (r["keep"], r["optout_reason"])
+           for r in optout_resolution(df).collect()}
+    assert got == {
+        "u_all": (0, "robots.txt"),
+        "u_hdr_meta": (0, "x-robots-tag"),
+        "u_meta": (0, "meta-robots"),
+        "u_keep": (1, None),
+    }
+
+
+def test_data_uri_extraction_skips_non_base64_and_empty_pages(spark):
+    """Pages without data URIs emit no rows; a non-base64 data URI
+    (charset form) is out of scope and must not match."""
+    from legal_document_ocr_spark.operators.urls import extract_data_uris
+
+    df = spark.createDataFrame(
+        [
+            ("u1", '<img src="data:text/plain,plain%20form">'.encode()),
+            ("u2", b"<p>no uris at all</p>"),
+            ("u3", '<img src="data:image/gif;base64,R0lGOD==">'.encode()),
+        ],
+        "url string, html binary",
+    )
+    rows = extract_data_uris(df).collect()
+    assert [r["url"] for r in rows] == ["u3"]
+    assert rows[0]["mime"] == "image/gif"
