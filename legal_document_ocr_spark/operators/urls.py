@@ -2507,3 +2507,185 @@ def optout_resolution(flags: DataFrame) -> DataFrame:
         keep.cast("int").alias("keep"),
         reason.alias("optout_reason"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IDN hosts + srcset + OpenGraph + charset sniff (round 4, session 18)
+# ---------------------------------------------------------------------------
+
+
+def idn_decode_hosts(df: DataFrame, host_col: str = "host") -> DataFrame:
+    """Internationalized-domain-name decode -> (host, unicode_host,
+    is_idn, ok): hosts whose labels carry the ``xn--`` ACE prefix decode
+    through stdlib punycode (RFC 3492 via the ``idna`` codec) so host-level
+    keys (dedup, politeness, registrable-domain rollups) can unify the
+    ASCII and display forms — ``xn--mnchen-3ya.example`` and
+    ``münchen.example`` are the SAME host and must not split crawl budget.
+
+    Punycode's adaptive-bias integer decode is sequential per label — no
+    codegen expression exists — so this is one Arrow-batched mapInPandas
+    with per-row error isolation (``ok=0``, NULL unicode_host on a
+    malformed ACE label: the wild is full of fake ``xn--`` spam labels).
+    ASCII hosts pass through (is_idn=0, unicode_host = host).
+    """
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+    from pyspark.sql.types import (
+        IntegerType as _I,
+        StringType as _S,
+        StructField as _F,
+        StructType as _T,
+    )
+
+    sel = df.select(F.col(host_col).alias("host"))
+
+    def kernel(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "host": [], "unicode_host": [], "is_idn": [], "ok": []
+            }
+            for host in pdf["host"]:
+                out["host"].append(host)
+                if host is None:
+                    out["unicode_host"].append(None)
+                    out["is_idn"].append(None)
+                    out["ok"].append(0)
+                    continue
+                is_idn = int(
+                    any(lb.startswith("xn--") for lb in host.split("."))
+                )
+                out["is_idn"].append(is_idn)
+                if not is_idn:
+                    out["unicode_host"].append(host)
+                    out["ok"].append(1)
+                    continue
+                try:
+                    uni = host.encode("ascii").decode("idna")
+                except (UnicodeError, UnicodeDecodeError):
+                    out["unicode_host"].append(None)
+                    out["ok"].append(0)
+                    continue
+                out["unicode_host"].append(uni)
+                out["ok"].append(1)
+            yield _pd.DataFrame(out)
+
+    schema = _T(
+        [
+            _F("host", _S()),
+            _F("unicode_host", _S()),
+            _F("is_idn", _I()),
+            _F("ok", _I()),
+        ]
+    )
+    return sel.mapInPandas(kernel, schema)
+
+
+_SRCSET_RE = r'(?i)srcset\s*=\s*"([^"]*)"'
+
+
+def parse_srcset(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Responsive-image candidate extraction -> (url, set_pos,
+    candidate_pos, candidate_url, descriptor): an image-harvesting
+    pipeline that reads only ``src`` misses the high-resolution variants
+    entirely (the 2x/wide candidates are often the only usable training
+    asset). One regexp pass per page + two posexplodes (attribute -> comma
+    candidates); descriptor is NULL when the candidate omits it (the spec
+    default 1x is the CALLER's policy, same contract as absent charset).
+    All codegen, no UDF; empty candidates (trailing commas) are dropped.
+    """
+    url = F.col(url_col)
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    sets = F.regexp_extract_all(html_txt, F.lit(_SRCSET_RE), 1)
+    ex = df.select(
+        url.alias("url"), F.posexplode(sets).alias("set_pos", "val")
+    )
+    cands = F.transform(F.split(F.col("val"), ","), lambda c: F.trim(c))
+    ex2 = ex.select(
+        "url",
+        "set_pos",
+        F.posexplode(cands).alias("candidate_pos", "cand"),
+    ).where(F.col("cand") != "")
+    desc = F.regexp_extract("cand", r"\s+(\S+)$", 1)
+    return ex2.select(
+        "url",
+        F.col("set_pos").cast("long").alias("set_pos"),
+        F.col("candidate_pos").cast("long").alias("candidate_pos"),
+        F.regexp_extract("cand", r"^(\S+)", 1).alias("candidate_url"),
+        F.when(desc != "", desc).alias("descriptor"),
+    )
+
+
+_OG_RES = {
+    "og_title": r'<meta property="og:title" content="([^"]*)"',
+    "og_type": r'<meta property="og:type" content="([^"]*)"',
+    "og_image": r'<meta property="og:image" content="([^"]*)"',
+    "og_url": r'<meta property="og:url" content="([^"]*)"',
+    "twitter_card": r'<meta name="twitter:card" content="([^"]*)"',
+}
+
+
+def opengraph_meta(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """OpenGraph / Twitter-card metadata -> (url, og_title, og_type,
+    og_image, og_url, twitter_card): the structured article-metadata layer
+    social crawlers read — og:title/og:image are routinely CLEANER than
+    <title>/first-img for article corpora (no site-name suffixes, no nav
+    icons), og:url is one more canonical-election signal beside
+    link rel=canonical, og:image feeds the multimodal harvest. Five
+    regexp_extract calls over ONE decode, extract_html_metadata's exact
+    shape; absent fields are NULL. All codegen, no shuffle.
+    """
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    cols = [
+        F.nullif(F.regexp_extract(html_txt, pat, 1), F.lit("")).alias(name)
+        for name, pat in _OG_RES.items()
+    ]
+    return df.select(F.col(url_col).alias("url"), *cols)
+
+
+_META_CHARSET_SNIFF_RE = r'(?i)<meta charset="([^"]*)"'
+
+
+def charset_sniff(
+    df: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    ctype_col: str = "content_type",
+) -> DataFrame:
+    """Charset resolution census -> (url, bom, header_charset,
+    meta_charset, effective): the decode-dispatch decision
+    (kernels.decode_html owns the fallback EXECUTION; this operator makes
+    the decision itself auditable corpus-wide). Precedence follows the
+    WHATWG encoding sniff: a byte-order mark is authoritative over the
+    HTTP header, which outranks in-markup <meta charset> (the page can't
+    describe its own encoding reliably — the meta tag is only readable if
+    the ASCII-compatible guess already worked).
+
+    BOM detection reads the payload's first octets through the latin-1
+    bijection (startswith on the 2-3 BOM bytes); header/meta are one
+    regexp each. All codegen, no UDF, no shuffle — the census runs at
+    scan speed next to the decode itself.
+    """
+    lat = F.decode(F.col(payload_col), "ISO-8859-1")
+    bom = (
+        F.when(lat.startswith("\xef\xbb\xbf"), F.lit("utf-8"))
+        .when(lat.startswith("\xff\xfe"), F.lit("utf-16le"))
+        .when(lat.startswith("\xfe\xff"), F.lit("utf-16be"))
+    )
+    hdr = F.lower(
+        F.regexp_extract(F.col(ctype_col), r"(?i);\s*charset=([^;\s]+)", 1)
+    )
+    meta = F.lower(F.regexp_extract(lat, _META_CHARSET_SNIFF_RE, 1))
+    header_charset = F.when(hdr != "", hdr)
+    meta_charset = F.when(meta != "", meta)
+    return df.select(
+        F.col(url_col).alias("url"),
+        bom.alias("bom"),
+        header_charset.alias("header_charset"),
+        meta_charset.alias("meta_charset"),
+        F.coalesce(bom, header_charset, meta_charset).alias("effective"),
+    )

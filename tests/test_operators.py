@@ -7303,3 +7303,51 @@ def test_data_uri_extraction_skips_non_base64_and_empty_pages(spark):
     rows = extract_data_uris(df).collect()
     assert [r["url"] for r in rows] == ["u3"]
     assert rows[0]["mime"] == "image/gif"
+
+
+def test_idn_decode_handles_mixed_labels_and_isolates_bad_ace(spark):
+    from legal_document_ocr_spark.operators.urls import idn_decode_hosts
+
+    df = spark.createDataFrame(
+        [("xn--mnchen-3ya.shop.example",), ("plain.example",),
+         ("xn--zzzzzz.example",)],
+        "host string",
+    )
+    rows = {r["host"]: r for r in idn_decode_hosts(df).collect()}
+    assert rows["xn--mnchen-3ya.shop.example"]["unicode_host"] == "münchen.shop.example"
+    assert rows["xn--mnchen-3ya.shop.example"]["is_idn"] == 1
+    assert rows["plain.example"]["unicode_host"] == "plain.example"
+    assert rows["plain.example"]["is_idn"] == 0
+    assert rows["xn--zzzzzz.example"]["ok"] == 0
+    assert rows["xn--zzzzzz.example"]["unicode_host"] is None
+
+
+def test_parse_srcset_drops_empty_candidates_and_defaults_descriptor(spark):
+    from legal_document_ocr_spark.operators.urls import parse_srcset
+
+    html = '<img srcset="a.jpg 1x, , b.jpg,">'.encode()
+    df = spark.createDataFrame([("u", html)], "url string, html binary")
+    rows = sorted(parse_srcset(df).collect(), key=lambda r: r["candidate_pos"])
+    got = [(r["candidate_pos"], r["candidate_url"], r["descriptor"]) for r in rows]
+    assert got == [(0, "a.jpg", "1x"), (2, "b.jpg", None)]
+
+
+def test_charset_sniff_utf16_boms_outrank_header_and_meta(spark):
+    from legal_document_ocr_spark.operators.urls import charset_sniff
+
+    rows = {
+        r["url"]: r
+        for r in charset_sniff(
+            spark.createDataFrame(
+                [
+                    ("le", b"\xff\xfex\x00", "text/html; charset=utf-8"),
+                    ("be", b"\xfe\xffhtml", "text/html"),
+                    ("none", b'<meta charset="koi8-r">x', "text/html"),
+                ],
+                "url string, payload binary, content_type string",
+            )
+        ).collect()
+    }
+    assert rows["le"]["effective"] == "utf-16le"
+    assert rows["be"]["effective"] == "utf-16be"
+    assert rows["none"]["effective"] == "koi8-r"
