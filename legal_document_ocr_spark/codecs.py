@@ -15,8 +15,8 @@ WebP and video).
 Scope: non-interlaced 8-bit-depth PNG in grayscale (color type 0), RGB (2)
 and RGBA (6) with all five scanline filters; uncompressed 24-bit BMP;
 PCM WAV; baseline + progressive JPEG (jpeg.py); GIF87a/89a first frame; chunky 8-bit
-gray/RGB TIFF (uncompressed/PackBits strips, II and MM byte orders,
-WhiteIsZero inverted). Reference analogue: the reference leans on PIL inside
+gray/RGB TIFF (uncompressed/PackBits/LZW strips with the horizontal-
+differencing predictor, II and MM byte orders, WhiteIsZero inverted). Reference analogue: the reference leans on PIL inside
 image_preprocessing_service.py:57-122 — same contract, stdlib engine.
 These kernels run inside Arrow-batched mapInPandas stages
 (operators/multimodal.py); per-image Python is the accepted cost of a real
@@ -492,6 +492,138 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF6 §13): MSB-first variable-width codes,
+    ClearCode=256 / EOI=257, first string code 258, and the spec's EARLY
+    code-width change — the width bumps as soon as the next free code
+    equals ``(1 << width) - 1`` (one code earlier than GIF's LSB-first
+    variant above). Table resets at 4094 so early change never needs a
+    13th bit. Synthesis/roundtrip side of ``_tiff_lzw_decode``."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code  # TIFF is MSB-first
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {}
+    next_code = 258
+
+    def reset() -> None:
+        nonlocal table, width, next_code
+        table = {bytes([i]): i for i in range(256)}
+        width = 9
+        next_code = 258
+
+    reset()
+    put(256)
+    w = b""
+    for b in data:
+        wk = w + bytes((b,))
+        if wk in table:
+            w = wk
+            continue
+        put(table[w])
+        table[wk] = next_code
+        next_code += 1
+        # decoder lag: the decoder assigns entry k one code AFTER the
+        # encoder did, so its early-change trip (table length 511/1023/
+        # 2047) lands one emitted code later — hence == (1 << width),
+        # not the (1 << width) - 1 the decoder checks.
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:  # leave room: 4095 would force a 13th bit
+            put(256)
+            reset()
+        w = bytes((b,))
+    if w:
+        put(table[w])
+    put(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """Inverse of :func:`_tiff_lzw_encode`, following the TIFF6 §13
+    decoder pseudo-code exactly (the spec's 7/7/7/8/8/7/7/6/6 worked
+    example is test-pinned). Raises ValueError on truncation or a code
+    the table cannot have assigned yet."""
+    out = bytearray()
+    pos = 0
+    acc = 0
+    nbits = 0
+    width = 9
+    table: list[bytes] = []
+
+    def reset() -> None:
+        nonlocal table, width
+        table = [bytes((i,)) for i in range(256)] + [b"", b""]
+        width = 9
+
+    reset()
+    prev: bytes | None = None
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == 256:
+            reset()
+            prev = None
+            continue
+        if code == 257:
+            break
+        if code < len(table) and (code < 256 or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt TIFF LZW code")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            # early change: NextCode == (1 << width) - 1 switches width NOW
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("TIFF LZW output shorter than strip")
+    return bytes(out[:expected])
+
+
+def _predictor2_encode(raw: bytes, stride: int, spp: int) -> bytes:
+    """TIFF tag 317 = 2 (horizontal differencing), forward direction:
+    within each row, each sample becomes its delta vs the same channel
+    one pixel left (mod 256). Applied per strip BEFORE compression."""
+    out = bytearray(raw)
+    for r0 in range(0, len(raw), stride):
+        row_end = min(r0 + stride, len(raw))
+        for i in range(row_end - 1, r0 + spp - 1, -1):
+            out[i] = (out[i] - raw[i - spp]) & 0xFF
+    return bytes(out)
+
+
+def _predictor2_decode(raw: bytearray, stride: int, spp: int) -> None:
+    """Undo horizontal differencing in place (per-row running sum)."""
+    for r0 in range(0, len(raw), stride):
+        row_end = min(r0 + stride, len(raw))
+        for i in range(r0 + spp, row_end):
+            raw[i] = (raw[i] + raw[i - spp]) & 0xFF
+
+
 def encode_tiff(
     width: int,
     height: int,
@@ -499,21 +631,34 @@ def encode_tiff(
     mode: str = "L",
     *,
     packbits: bool = False,
+    lzw: bool = False,
+    predictor: int = 1,
     rows_per_strip: int | None = None,
     big_endian: bool = False,
 ) -> bytes:
     """Minimal baseline TIFF encoder (chunky, 8-bit, gray or RGB, one or
-    more strips, compression none/PackBits). For roundtrip tests."""
+    more strips, compression none/PackBits/LZW, predictor none/horizontal
+    differencing). For roundtrip tests."""
     spp = {"L": 1, "RGB": 3}[mode]
     if len(pixels) != width * height * spp:
         raise ValueError("pixel buffer does not match dimensions")
+    if packbits and lzw:
+        raise ValueError("pick one compression")
+    if predictor not in (1, 2):
+        raise ValueError("only predictor 1 (none) / 2 (horizontal) supported")
     e = ">" if big_endian else "<"
     rps = rows_per_strip or height
     stride = width * spp
     strips = []
     for y0 in range(0, height, rps):
         raw = pixels[y0 * stride : min(y0 + rps, height) * stride]
-        strips.append(_packbits_encode(raw) if packbits else raw)
+        if predictor == 2:
+            raw = _predictor2_encode(raw, stride, spp)
+        if packbits:
+            raw = _packbits_encode(raw)
+        elif lzw:
+            raw = _tiff_lzw_encode(raw)
+        strips.append(raw)
 
     # strip data starts right after the 8-byte header; IFD follows the data
     offsets, counts, pos = [], [], 8
@@ -543,7 +688,7 @@ def encode_tiff(
         (256, 4, [width]),
         (257, 4, [height]),
         (258, 3, [8] * spp),
-        (259, 3, [32773 if packbits else 1]),
+        (259, 3, [5 if lzw else 32773 if packbits else 1]),
         (262, 3, [2 if mode == "RGB" else 1]),
         (273, 4, offsets),
         (277, 3, [spp]),
@@ -551,6 +696,8 @@ def encode_tiff(
         (279, 4, counts),
         (284, 3, [1]),
     ]
+    if predictor == 2:
+        tags.append((317, 3, [2]))
     n_entries = len(tags)
     ifd = struct.pack(e + "H", n_entries)
     for tag, typ, vals in tags:
@@ -560,14 +707,15 @@ def encode_tiff(
 
 
 def decode_tiff(payload: bytes) -> dict:
-    """Decode a baseline chunky 8-bit gray/RGB TIFF (compression none or
-    PackBits, either byte order, multi-strip): {width, height, mode,
-    pixels}. WhiteIsZero grayscale is inverted to the BlackIsZero
-    convention the other decoders emit. Same hardening contract as
-    decode_png: truncated IFDs/strips, dimension bombs and unsupported
-    layouts raise ValueError/NotImplementedError before large allocation.
-    Tiled TIFF, LZW/JPEG-in-TIFF and planar layouts stay library-bound
-    (documented, not silent)."""
+    """Decode a baseline chunky 8-bit gray/RGB TIFF (compression none,
+    PackBits or LZW — MSB-first early-change variant — with predictor
+    none/horizontal-differencing, either byte order, multi-strip):
+    {width, height, mode, pixels}. WhiteIsZero grayscale is inverted to
+    the BlackIsZero convention the other decoders emit. Same hardening
+    contract as decode_png: truncated IFDs/strips, dimension bombs and
+    unsupported layouts raise ValueError/NotImplementedError before
+    large allocation. Tiled TIFF, JPEG/deflate-in-TIFF and planar
+    layouts stay library-bound (documented, not silent)."""
     if payload[:4] == b"II*\x00":
         e = "<"
     elif payload[:4] == b"MM\x00*":
@@ -600,7 +748,7 @@ def decode_tiff(payload: bytes) -> dict:
     for i in range(n_entries):
         base = ifd_off + 2 + 12 * i
         tag, typ, count = struct.unpack(e + "HHI", payload[base : base + 8])
-        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284):
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 317):
             tags[tag] = read_values(typ, count, payload[base + 8 : base + 12])
 
     for required in (256, 257, 273, 279):
@@ -616,11 +764,14 @@ def decode_tiff(payload: bytes) -> dict:
         raise NotImplementedError(
             "only chunky 8-bit grayscale/RGB TIFF supported"
         )
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            "only uncompressed and PackBits TIFF supported (LZW/JPEG-in-"
-            "TIFF need an external codec)"
+            "only uncompressed, LZW and PackBits TIFF supported (JPEG/"
+            "deflate-in-TIFF need an external codec)"
         )
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"unsupported TIFF predictor {predictor}")
     if photo not in (0, 1, 2):
         raise NotImplementedError(f"unsupported TIFF photometric {photo}")
     if width <= 0 or height <= 0:
@@ -646,12 +797,16 @@ def decode_tiff(payload: bytes) -> dict:
         raw = payload[off : off + cnt]
         if comp == 32773:
             out += _packbits_decode(raw, expected)
+        elif comp == 5:
+            out += _tiff_lzw_decode(raw, expected)
         else:
             if cnt < expected:
                 raise ValueError("TIFF strip shorter than its rows")
             out += raw[:expected]
     if len(out) != height * stride:
         raise ValueError("TIFF pixel data does not cover the image")
+    if predictor == 2:
+        _predictor2_decode(out, stride, spp)
     if photo == 0:  # WhiteIsZero -> invert to BlackIsZero
         out = bytearray(255 - b for b in out)
     mode = "L" if spp == 1 else "RGB"

@@ -986,6 +986,80 @@ FROM documents
 """
 
 
+def q_tiff_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF-LZW + predictor decode roundtrip (codecs._tiff_lzw_decode via
+    decode_tiff/image_decode — round 4 session 18, retiring the LZW half
+    of the TIFF scope note): synthesize one LZW-compressed TIFF per
+    document with predictor (none/horizontal-differencing), byte order
+    and strip layout varying by doc_id so the MSB-first early-change
+    code path, the predictor undo and multi-strip reassembly are all
+    exercised across the corpus. The LZW bit-level semantics are pinned
+    separately against the TIFF6 §13 worked example
+    (tests/test_codecs.py). Oracle restates the synthesis closed form:
+    pixel (x,y,c) = (3*doc_id + 5x + 17y + 11c) % 256."""
+    import pandas as _pd
+
+    from ..codecs import encode_tiff
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = d % 10 + 2
+                h = d % 6 + 2
+                ch = 3 if d % 2 == 1 else 1
+                px = bytes(
+                    (3 * d + 5 * x + 17 * y + 11 * c) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(ch)
+                )
+                payloads.append(
+                    encode_tiff(
+                        w,
+                        h,
+                        px,
+                        "RGB" if ch == 3 else "L",
+                        lzw=True,
+                        predictor=2 if d % 3 == 0 else 1,
+                        big_endian=d % 5 == 0,
+                        rows_per_strip=2 if d % 7 == 0 else None,
+                    )
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pages = _spread(_docs(spark, sf_dir).select("doc_id"))
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.image_decode(payloads)
+
+
+_SQL_TIFF_LZW_DECODE = """
+SELECT doc_id,
+  (doc_id % 10 + 2)::int AS width,
+  (doc_id % 6 + 2)::int AS height,
+  CASE WHEN doc_id % 2 = 1 THEN 'RGB' ELSE 'L' END AS mode,
+  list_sum(flatten(list_transform(range((doc_id % 6 + 2)::int), y ->
+    flatten(list_transform(range((doc_id % 10 + 2)::int), x ->
+      list_transform(range(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END), c ->
+        (3*doc_id + 5*x + 17*y + 11*c) % 256))))))::bigint AS px_sum,
+  NULL::varchar AS error
+FROM documents
+"""
+
+
 def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossless-WebP (VP8L) decode roundtrip (vp8l.py via
     multimodal.image_decode — round 4, retiring the WebP half of the last

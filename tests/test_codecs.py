@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import io
+import random
 import struct
 import wave
 
@@ -654,16 +655,104 @@ def test_tiff_hardening():
         bomb = bomb[: j + 8] + struct.pack("<I", 1 << 16) + bomb[j + 12 :]
     with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
         decode_tiff(bomb)
-    # LZW compression is declared out of scope, not mis-decoded
+    # deflate-in-TIFF is declared out of scope, not mis-decoded
     j = good.find(struct.pack("<HHI", 259, 3, 1))
-    lzw = good[: j + 8] + struct.pack("<H", 5) + good[j + 10 :]
+    defl = good[: j + 8] + struct.pack("<H", 8) + good[j + 10 :]
     with pytest.raises(NotImplementedError):
-        decode_tiff(lzw)
+        decode_tiff(defl)
     # strip shorter than its rows
     j = good.find(struct.pack("<HHI", 279, 4, 1))
     short = good[: j + 8] + struct.pack("<I", 1) + good[j + 12 :]
     with pytest.raises(ValueError):
         decode_tiff(short)
+
+
+# ---------------------------------------------------------------------------
+# TIFF LZW + horizontal-differencing predictor (round 4, session 18)
+# ---------------------------------------------------------------------------
+
+
+def test_tiff_lzw_spec_worked_example_pins_msb_first_and_code_numbering():
+    """TIFF6 §13's example: bytes 7 7 7 8 8 7 7 6 6 compress to the code
+    sequence 256 7 258 8 8 258 6 6 257 — hand-packed MSB-first at 9 bits.
+    Pins bit order, Clear/EOI numbering, and string-table semantics
+    against the published spec, not just self-roundtrip."""
+    from legal_document_ocr_spark.codecs import _tiff_lzw_decode, _tiff_lzw_encode
+
+    codes = [256, 7, 258, 8, 8, 258, 6, 6, 257]
+    acc = nbits = 0
+    packed = bytearray()
+    for c in codes:
+        acc = (acc << 9) | c
+        nbits += 9
+        while nbits >= 8:
+            packed.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+    if nbits:
+        packed.append((acc << (8 - nbits)) & 0xFF)
+    data = bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+    assert _tiff_lzw_decode(bytes(packed), 9) == data
+    assert _tiff_lzw_encode(data) == bytes(packed)
+
+
+def test_tiff_lzw_roundtrip_across_width_growth_and_table_reset():
+    from legal_document_ocr_spark.codecs import _tiff_lzw_decode, _tiff_lzw_encode
+
+    rng = random.Random(7)
+    low_entropy = bytes(rng.randrange(6) for _ in range(40000))  # deep table
+    assert _tiff_lzw_decode(_tiff_lzw_encode(low_entropy), 40000) == low_entropy
+    # incompressible data fills the table to the 4094 reset repeatedly
+    hard = bytes((i * i * 31 + i) % 256 for i in range(120000))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(hard), len(hard)) == hard
+    assert _tiff_lzw_decode(_tiff_lzw_encode(b""), 0) == b""
+    with pytest.raises(ValueError):
+        _tiff_lzw_decode(_tiff_lzw_encode(b"abcabcabc")[:2], 9)
+
+
+@pytest.mark.parametrize("mode,ch", [("L", 1), ("RGB", 3)])
+@pytest.mark.parametrize("predictor", [1, 2])
+@pytest.mark.parametrize("big_endian", [False, True])
+@pytest.mark.parametrize("rows_per_strip", [None, 2])
+def test_tiff_lzw_predictor_roundtrip(mode, ch, predictor, big_endian, rows_per_strip):
+    from legal_document_ocr_spark.codecs import decode_tiff, encode_tiff
+
+    w, h = 7, 5
+    px = bytes((3 * i + 11) % 256 for i in range(w * h * ch))
+    dec = decode_tiff(
+        encode_tiff(
+            w, h, px, mode,
+            lzw=True,
+            predictor=predictor,
+            big_endian=big_endian,
+            rows_per_strip=rows_per_strip,
+        )
+    )
+    assert dec == {"width": w, "height": h, "mode": mode, "pixels": px}
+
+
+def test_tiff_predictor_smooth_gradient_actually_helps_lzw():
+    """Horizontal differencing turns a smooth gradient into runs — the
+    predictor must shrink the LZW stream (that's its whole point) and
+    still roundtrip. Also pins predictor-2-with-PackBits and rejects the
+    floating-point predictor (3)."""
+    import struct as _s
+
+    from legal_document_ocr_spark.codecs import decode_tiff, encode_tiff
+
+    w, h = 64, 16
+    px = bytes(min(255, x * 2 + y) for y in range(h) for x in range(w))
+    flat = encode_tiff(w, h, px, "L", lzw=True)
+    pred = encode_tiff(w, h, px, "L", lzw=True, predictor=2)
+    assert len(pred) < len(flat)
+    assert decode_tiff(pred)["pixels"] == px
+    pb = encode_tiff(w, h, px, "L", packbits=True, predictor=2)
+    assert decode_tiff(pb)["pixels"] == px
+    bad = pred
+    j = bad.find(_s.pack("<HHI", 317, 3, 1))
+    bad = bad[: j + 8] + _s.pack("<H", 3) + bad[j + 10 :]
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bad)
 
 
 # ---------------------------------------------------------------------------
