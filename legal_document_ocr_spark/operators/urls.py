@@ -2689,3 +2689,81 @@ def charset_sniff(
         meta_charset.alias("meta_charset"),
         F.coalesce(bom, header_charset, meta_charset).alias("effective"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AMP <-> canonical variant election (round 4, session 18)
+# ---------------------------------------------------------------------------
+
+_HTML_TAG_RE = r"(?is)<html\b[^>]*>"
+_AMP_ATTR_RE = r'(?i)[\s"\'](amp|⚡)([\s=>/]|$)'
+_REL_CANONICAL_RE = (
+    r'(?is)<link\b[^>]*rel="canonical"[^>]*href="([^"]*)"[^>]*>'
+)
+_REL_AMPHTML_RE = r'(?is)<link\b[^>]*rel="amphtml"[^>]*href="([^"]*)"[^>]*>'
+
+
+def amp_canonical_pairs(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """AMP-variant election -> (canonical_url, amp_url, claimed_by_amp,
+    claimed_by_canonical, bidirectional, keep_url): AMP pages are
+    near-exact duplicates of their canonical article served from a
+    second URL (often a different host, e.g. the AMP cache), so a
+    curation pipeline that doesn't collapse the pair double-counts the
+    article AND pollutes near-dup stats with a systematic variant
+    family. The pairing is claimed from both sides — the AMP page's
+    ``<html amp>``/``<html ⚡>`` marker plus its rel=canonical link, and
+    the canonical page's rel=amphtml link — and only the BIDIRECTIONAL
+    claim is election-grade (one-sided rel=canonical is a classic spam
+    vector: anyone can claim any canonical). ``keep_url`` elects the
+    canonical for bidirectional pairs and stays NULL otherwise (the
+    caller decides what to do with unconfirmed claims).
+
+    Scale shape: two codegen scans over the corpus (no UDF), then ONE
+    equi-join on the (canonical_url, amp_url) pair key. Both sides are
+    corpus-sized and pre-filtered to pages that actually carry the
+    links, so the join is pinned shuffle_hash — never broadcast (the
+    crawl_frontier lesson). Full outer keeps one-sided claims visible.
+    """
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    html_tag = F.regexp_extract(html_txt, _HTML_TAG_RE, 0)
+    is_amp = html_tag.rlike(_AMP_ATTR_RE)
+    canonical_href = F.regexp_extract(html_txt, _REL_CANONICAL_RE, 1)
+    amphtml_href = F.regexp_extract(html_txt, _REL_AMPHTML_RE, 1)
+
+    amp_side = (
+        df.select(
+            F.col(url_col).alias("amp_url"),
+            F.when(is_amp, canonical_href).alias("canonical_url"),
+        )
+        .where(F.col("canonical_url").isNotNull() & (F.col("canonical_url") != ""))
+        .withColumn("claimed_by_amp", F.lit(1))
+    )
+    canon_side = (
+        df.select(
+            F.col(url_col).alias("canonical_url"),
+            F.when(~is_amp, amphtml_href).alias("amp_url"),
+        )
+        .where(F.col("amp_url").isNotNull() & (F.col("amp_url") != ""))
+        .withColumn("claimed_by_canonical", F.lit(1))
+    )
+    paired = amp_side.join(
+        canon_side.hint("shuffle_hash"),
+        ["canonical_url", "amp_url"],
+        "full_outer",
+    )
+    both = (
+        F.col("claimed_by_amp").isNotNull()
+        & F.col("claimed_by_canonical").isNotNull()
+    )
+    return paired.select(
+        "canonical_url",
+        "amp_url",
+        F.coalesce("claimed_by_amp", F.lit(0)).alias("claimed_by_amp"),
+        F.coalesce("claimed_by_canonical", F.lit(0)).alias(
+            "claimed_by_canonical"
+        ),
+        both.cast("int").alias("bidirectional"),
+        F.when(both, F.col("canonical_url")).alias("keep_url"),
+    )

@@ -191,3 +191,184 @@ SELECT
        ELSE 'utf-8' END AS effective
 FROM documents
 """
+
+
+def _urls(spark: SparkSession, sf_dir: str):
+    """(doc_id, url) in the corpus's canonical URL shape."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example.com/"), "lang",
+            F.lit("/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+
+
+_CRLF = "\r\n"
+
+
+def q_cookie_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-Cookie parse (warc.parse_set_cookie): every doc's response sets
+    a session cookie whose Secure/HttpOnly/SameSite attributes vary by
+    doc_id stride, every 5th doc adds a long-lived tracking cookie
+    (Max-Age + Domain), and every BODY carries a decoy Set-Cookie line
+    the head-only scan must ignore. All codegen."""
+    from ..sources.warc import parse_set_cookie
+
+    u = _urls(spark, sf_dir)
+    d = F.col("doc_id")
+    line1 = F.concat(
+        F.lit("Set-Cookie: sid=s"), d.cast("string"), F.lit("; Path=/"),
+        F.when(d % 2 == 0, F.lit("; Secure")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("; HttpOnly")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("; SameSite=Lax"))
+        .when(d % 4 == 1, F.lit("; SameSite=Strict"))
+        .otherwise(F.lit("")),
+        F.lit(_CRLF),
+    )
+    line2 = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.lit("Set-Cookie: track=1; Max-Age="),
+            (d * 100).cast("string"),
+            F.lit("; Domain=.x.example" + _CRLF),
+        ),
+    ).otherwise(F.lit(""))
+    payload = F.concat(
+        F.lit("HTTP/1.1 200 OK" + _CRLF),
+        line1,
+        F.lit("Content-Type: text/html" + _CRLF),
+        line2,
+        F.lit(_CRLF + "<html>Set-Cookie: spoof=1; Secure</html>"),
+    )
+    return parse_set_cookie(u.select("url", payload.alias("payload")))
+
+
+def _sql_cookie_census() -> str:
+    return """
+WITH u AS (
+  SELECT doc_id,
+    'https://' || source || '.example.com/' || lang || '/' || doc_id AS url
+  FROM documents
+)
+SELECT url, 0::bigint AS cookie_idx, 'sid' AS name,
+  (doc_id % 2 = 0)::int AS secure,
+  (doc_id % 3 = 0)::int AS httponly,
+  CASE WHEN doc_id % 4 = 0 THEN 'lax'
+       WHEN doc_id % 4 = 1 THEN 'strict' END AS samesite,
+  NULL::bigint AS max_age, NULL::varchar AS domain, '/' AS path
+FROM u
+UNION ALL
+SELECT url, 1::bigint, 'track', 0, 0, NULL, doc_id * 100, '.x.example', NULL
+FROM u WHERE doc_id % 5 = 0
+"""
+
+
+def q_security_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Security-header census (warc.parse_security_headers): HSTS max-age,
+    CSP, X-Frame-Options, Referrer-Policy, nosniff and the Set-Cookie
+    count each planted on their own doc_id stride so every NULL/value
+    combination appears; the body echoes X-Frame-Options and Set-Cookie
+    lines the head-only scan must not count."""
+    from ..sources.warc import parse_security_headers
+
+    u = _urls(spark, sf_dir)
+    d = F.col("doc_id")
+    hline = lambda cond, body: F.when(  # noqa: E731
+        cond, F.concat(body, F.lit(_CRLF))
+    ).otherwise(F.lit(""))
+    payload = F.concat(
+        F.lit("HTTP/1.1 200 OK" + _CRLF),
+        hline(
+            d % 3 == 0,
+            F.concat(
+                F.lit("Strict-Transport-Security: max-age="),
+                (d * 37).cast("string"),
+                F.when(d % 6 == 0, F.lit("; includeSubDomains")).otherwise(
+                    F.lit("")
+                ),
+            ),
+        ),
+        hline(d % 2 == 0, F.lit("Content-Security-Policy: default-src 'self'")),
+        hline(d % 5 == 0, F.lit("X-Frame-Options: DENY")),
+        hline(d % 5 == 1, F.lit("X-Frame-Options: SAMEORIGIN")),
+        hline(d % 7 == 0, F.lit("Referrer-Policy: no-referrer")),
+        hline(d % 4 == 0, F.lit("X-Content-Type-Options: nosniff")),
+        hline(d % 3 >= 1, F.lit("Set-Cookie: a=1")),
+        hline(d % 3 == 2, F.lit("Set-Cookie: b=2; Secure")),
+        F.lit(_CRLF),
+        F.lit("<html>X-Frame-Options: ALLOWALL" + _CRLF),
+        F.lit("Set-Cookie: spoof=1</html>"),
+    )
+    return parse_security_headers(u.select("url", payload.alias("payload")))
+
+
+def _sql_security_headers() -> str:
+    return """
+SELECT
+  'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+  CASE WHEN doc_id % 3 = 0 THEN doc_id * 37 END::bigint AS hsts_max_age,
+  (doc_id % 2 = 0)::int AS has_csp,
+  CASE WHEN doc_id % 5 = 0 THEN 'deny'
+       WHEN doc_id % 5 = 1 THEN 'sameorigin' END AS xfo,
+  CASE WHEN doc_id % 7 = 0 THEN 'no-referrer' END AS referrer_policy,
+  (doc_id % 4 = 0)::int AS nosniff,
+  (doc_id % 3)::bigint AS n_cookies
+FROM documents
+"""
+
+
+def q_amp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMP-variant election (urls.amp_canonical_pairs): each document
+    yields a canonical page and an /amp variant; every 5th doc's
+    canonical omits its rel=amphtml back-link (one-sided AMP claim,
+    spam-shaped) and every 7th doc's AMP page omits rel=canonical
+    (one-sided canonical claim) — only the bidirectional remainder
+    elects keep_url. Every 35th doc claims nothing and must vanish.
+    A plain page carrying rel=canonical (the /amp-less every-7th) must
+    not read as an AMP claim — the <html amp> marker gates it."""
+    from ..operators.urls import amp_canonical_pairs
+
+    u = _urls(spark, sf_dir)
+    d = F.col("doc_id")
+    canon_html = F.concat(
+        F.lit('<html lang="en"><head>'),
+        F.when(
+            d % 5 != 0,
+            F.concat(F.lit('<link rel="amphtml" href="'), F.col("url"), F.lit('/amp">')),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>campfire</body></html>"),  # 'amp' substring decoy
+    )
+    amp_html = F.concat(
+        F.lit("<html amp><head>"),
+        F.when(
+            d % 7 != 0,
+            F.concat(F.lit('<link rel="canonical" href="'), F.col("url"), F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    pages = u.select("url", F.encode(canon_html, "UTF-8").alias("html")).unionByName(
+        u.select(
+            F.concat(F.col("url"), F.lit("/amp")).alias("url"),
+            F.encode(amp_html, "UTF-8").alias("html"),
+        )
+    )
+    return amp_canonical_pairs(pages)
+
+
+def _sql_amp_pairs() -> str:
+    return """
+WITH u AS (
+  SELECT doc_id,
+    'https://' || source || '.example.com/' || lang || '/' || doc_id AS url
+  FROM documents
+)
+SELECT url AS canonical_url, url || '/amp' AS amp_url,
+  (doc_id % 7 <> 0)::int AS claimed_by_amp,
+  (doc_id % 5 <> 0)::int AS claimed_by_canonical,
+  (doc_id % 7 <> 0 AND doc_id % 5 <> 0)::int AS bidirectional,
+  CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0 THEN url END AS keep_url
+FROM u
+WHERE doc_id % 7 <> 0 OR doc_id % 5 <> 0
+"""

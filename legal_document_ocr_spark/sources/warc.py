@@ -1151,3 +1151,90 @@ def decompress_gzip_bodies(
             yield pd.DataFrame(out)
 
     return sel.mapInPandas(kernel, _GUNZIP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Response-header security/tracking census (round 4, session 18)
+# ---------------------------------------------------------------------------
+
+_SET_COOKIE_RE = r"(?mi)^Set-Cookie:\s*([^\r\n]+)"
+_STS_MAXAGE_RE = r"(?i)(^|[;\s])max-age\s*=\s*(\d+)"
+_XFO_RE = r"(?mi)^X-Frame-Options:\s*([^\r\n]+)"
+_REFPOL_RE = r"(?mi)^Referrer-Policy:\s*([^\r\n]+)"
+_STS_RE = r"(?mi)^Strict-Transport-Security:\s*([^\r\n]+)"
+_CSP_RE = r"(?mi)^Content-Security-Policy:"
+_NOSNIFF_RE = r"(?mi)^X-Content-Type-Options:\s*nosniff\s*$"
+
+
+def parse_set_cookie(
+    df: DataFrame, url_col: str = "url", payload_col: str = "payload"
+) -> DataFrame:
+    """``Set-Cookie`` response headers -> one row per cookie (url,
+    cookie_idx, name, secure, httponly, samesite, max_age, domain,
+    path): the tracking-surface census a provenance-conscious corpus
+    wants next to the opt-out battery — third-party-capable cookies
+    (Domain=.x) and long-lived ones (Max-Age) mark tracking-heavy hosts,
+    a quality/compliance signal.
+
+    Only the HTTP head is scanned (``substring_index`` to the first
+    blank line) so a body echoing 'Set-Cookie:' cannot spoof a cookie —
+    the same anti-spoof contract as ``parse_x_robots``. One
+    regexp_extract_all + posexplode; each attribute is one token-
+    anchored extract over the cookie string (RFC 6265 attributes are
+    ``;``-separated, names case-insensitive). Flag attributes read as
+    0/1, valued ones NULL when absent. All codegen, no UDF, no shuffle.
+    """
+    head = F.substring_index(F.col(payload_col), _CRLF + _CRLF, 1)
+    cookies = F.regexp_extract_all(head, F.lit(_SET_COOKIE_RE), 1)
+    ex = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(cookies).alias("cookie_idx", "ck"),
+    )
+    ck = F.col("ck")
+    val = lambda name: F.nullif(  # noqa: E731
+        F.regexp_extract(ck, rf"(?i);\s*{name}\s*=\s*([^;\s]+)", 1), F.lit("")
+    )
+    flag = lambda name: ck.rlike(rf"(?i);\s*{name}\s*(;|$)").cast("int")  # noqa: E731
+    return ex.select(
+        "url",
+        F.col("cookie_idx").cast("long").alias("cookie_idx"),
+        F.trim(F.regexp_extract(ck, r"^\s*([^=;\s]+)\s*=", 1)).alias("name"),
+        flag("secure").alias("secure"),
+        flag("httponly").alias("httponly"),
+        F.lower(val("samesite")).alias("samesite"),
+        val("max-age").cast("long").alias("max_age"),
+        F.lower(val("domain")).alias("domain"),
+        val("path").alias("path"),
+    )
+
+
+def parse_security_headers(
+    df: DataFrame, url_col: str = "url", payload_col: str = "payload"
+) -> DataFrame:
+    """Response security-header census -> (url, hsts_max_age, has_csp,
+    xfo, referrer_policy, nosniff, n_cookies): the host-hygiene signal
+    set (HSTS/CSP/X-Frame-Options/Referrer-Policy/nosniff) that
+    correlates with site operational quality — a cheap corpus-level
+    trust feature beside url_spam and error_pages — plus the Set-Cookie
+    count feeding the tracking census. Head-only scan (body echoes
+    cannot spoof), one codegen extract per header, no UDF, no shuffle.
+    """
+    head = F.substring_index(F.col(payload_col), _CRLF + _CRLF, 1)
+    sts = F.regexp_extract(head, _STS_RE, 1)
+    return df.select(
+        F.col(url_col).alias("url"),
+        F.nullif(F.regexp_extract(sts, _STS_MAXAGE_RE, 2), F.lit(""))
+        .cast("long")
+        .alias("hsts_max_age"),
+        head.rlike(_CSP_RE).cast("int").alias("has_csp"),
+        F.nullif(
+            F.lower(F.trim(F.regexp_extract(head, _XFO_RE, 1))), F.lit("")
+        ).alias("xfo"),
+        F.nullif(
+            F.lower(F.trim(F.regexp_extract(head, _REFPOL_RE, 1))), F.lit("")
+        ).alias("referrer_policy"),
+        head.rlike(_NOSNIFF_RE).cast("int").alias("nosniff"),
+        F.size(F.regexp_extract_all(head, F.lit(_SET_COOKIE_RE), 1))
+        .cast("long")
+        .alias("n_cookies"),
+    )

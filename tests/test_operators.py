@@ -7351,3 +7351,84 @@ def test_charset_sniff_utf16_boms_outrank_header_and_meta(spark):
     assert rows["le"]["effective"] == "utf-16le"
     assert rows["be"]["effective"] == "utf-16be"
     assert rows["none"]["effective"] == "koi8-r"
+
+
+def test_parse_set_cookie_attributes_and_head_only_scan(spark):
+    from legal_document_ocr_spark.sources.warc import parse_set_cookie
+
+    crlf = "\r\n"
+    payload = (
+        "HTTP/1.1 200 OK" + crlf
+        + "Set-Cookie: sid=abc123; Path=/; Secure; HttpOnly; SameSite=Lax" + crlf
+        + "Content-Type: text/html" + crlf
+        + "Set-Cookie: track=1; Max-Age=31536000; Domain=.example.com" + crlf
+        + crlf
+        + "<html>Set-Cookie: spoof=1; Secure</html>"
+    )
+    df = spark.createDataFrame([("u", payload)], "url string, payload string")
+    rows = sorted(parse_set_cookie(df).collect(), key=lambda r: r["cookie_idx"])
+    assert [r["name"] for r in rows] == ["sid", "track"]  # body decoy ignored
+    sid, track = rows
+    assert (sid["secure"], sid["httponly"], sid["samesite"], sid["path"]) == (
+        1, 1, "lax", "/",
+    )
+    assert sid["max_age"] is None and sid["domain"] is None
+    assert (track["secure"], track["httponly"], track["samesite"]) == (0, 0, None)
+    assert track["max_age"] == 31536000 and track["domain"] == ".example.com"
+
+
+def test_parse_security_headers_census_and_decoys(spark):
+    from legal_document_ocr_spark.sources.warc import parse_security_headers
+
+    crlf = "\r\n"
+    full = (
+        "HTTP/1.1 200 OK" + crlf
+        + "Strict-Transport-Security: max-age=63072000; includeSubDomains" + crlf
+        + "Content-Security-Policy: default-src 'self'" + crlf
+        + "X-Frame-Options: DENY" + crlf
+        + "Referrer-Policy: strict-origin" + crlf
+        + "X-Content-Type-Options: nosniff" + crlf
+        + "Set-Cookie: a=1" + crlf + "Set-Cookie: b=2" + crlf
+        + crlf
+        + "body X-Frame-Options: SAMEORIGIN"  # body echo must not count
+    )
+    bare = "HTTP/1.1 200 OK" + crlf + crlf + "Strict-Transport-Security: max-age=1"
+    df = spark.createDataFrame(
+        [("full", full), ("bare", bare)], "url string, payload string"
+    )
+    rows = {r["url"]: r for r in parse_security_headers(df).collect()}
+    f = rows["full"]
+    assert f["hsts_max_age"] == 63072000 and f["has_csp"] == 1
+    assert f["xfo"] == "deny" and f["referrer_policy"] == "strict-origin"
+    assert f["nosniff"] == 1 and f["n_cookies"] == 2
+    b = rows["bare"]
+    assert b["hsts_max_age"] is None and b["has_csp"] == 0
+    assert b["xfo"] is None and b["nosniff"] == 0 and b["n_cookies"] == 0
+
+
+def test_amp_canonical_pairs_requires_bidirectional_claim(spark):
+    from legal_document_ocr_spark.operators.urls import amp_canonical_pairs
+
+    def page(url, html):
+        return (url, html.encode())
+
+    df = spark.createDataFrame(
+        [
+            # bidirectional pair: canonical c1 <-> amp a1
+            page("c1", '<html><link rel="amphtml" href="a1"></html>'),
+            page("a1", '<html amp><link rel="canonical" href="c1"></html>'),
+            # one-sided: amp a2 claims c2, but c2 doesn't link back
+            page("a2", '<html ⚡ lang="en"><link rel="canonical" href="c2"></html>'),
+            page("c2", "<html><p>plain</p></html>"),
+            # non-AMP page with a canonical link must NOT enter the amp side
+            page("c3", '<html lang="en"><link rel="canonical" href="c1"></html>'),
+        ],
+        "url string, html binary",
+    )
+    rows = {(r["canonical_url"], r["amp_url"]): r for r in amp_canonical_pairs(df).collect()}
+    assert set(rows) == {("c1", "a1"), ("c2", "a2")}
+    good = rows[("c1", "a1")]
+    assert good["bidirectional"] == 1 and good["keep_url"] == "c1"
+    oneside = rows[("c2", "a2")]
+    assert (oneside["claimed_by_amp"], oneside["claimed_by_canonical"]) == (1, 0)
+    assert oneside["bidirectional"] == 0 and oneside["keep_url"] is None
