@@ -2767,3 +2767,99 @@ def amp_canonical_pairs(
         both.cast("int").alias("bidirectional"),
         F.when(both, F.col("canonical_url")).alias("keep_url"),
     )
+
+
+# ---------------------------------------------------------------------------
+# License detection + FAQ pair mining (round 4, session 18)
+# ---------------------------------------------------------------------------
+
+_CC_URL_RE = (
+    r"(?i)creativecommons\.org/(?:licenses/([a-z][a-z-]*[a-z])/(\d\.\d)"
+    r"|(publicdomain)/zero/(\d\.\d))"
+)
+_REL_LICENSE_RE = r'(?is)<link\b[^>]*rel="license"[^>]*href="([^"]*)"'
+_A_REL_LICENSE_RE = r'(?is)<a\b[^>]*rel="license"[^>]*href="([^"]*)"'
+
+
+def license_detect(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Creative-Commons license detection -> (url, license, version,
+    via_rel_license, commercial_ok, derivatives_ok): the compliance gate
+    a training-data pipeline runs before admitting a page into a
+    redistributable corpus — CC-BY/CC-BY-SA/CC0 pages are the openly
+    licensable slice of the crawl, NC/ND variants constrain use, and an
+    unmarked page is all-rights-reserved by default (license NULL).
+
+    Detection is URL-anchored (the canonical creativecommons.org license
+    URL, in a ``rel="license"`` link/anchor or anywhere in the markup),
+    never keyword-based — prose ABOUT licenses ("this is not CC-BY")
+    cannot false-positive. First match wins (pages legitimately carry
+    one license). ``commercial_ok``/``derivatives_ok`` decode the code's
+    NC/ND modules; CC0 is public domain (both 1). Three codegen
+    extracts over one decode, no UDF, no shuffle.
+    """
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    rel_href = F.coalesce(
+        F.nullif(F.regexp_extract(html_txt, _REL_LICENSE_RE, 1), F.lit("")),
+        F.nullif(F.regexp_extract(html_txt, _A_REL_LICENSE_RE, 1), F.lit("")),
+    )
+    code_any = F.lower(F.regexp_extract(html_txt, _CC_URL_RE, 1))
+    ver_any = F.regexp_extract(html_txt, _CC_URL_RE, 2)
+    zero_any = F.regexp_extract(html_txt, _CC_URL_RE, 3)
+    zero_ver = F.regexp_extract(html_txt, _CC_URL_RE, 4)
+    license_ = F.when(zero_any != "", F.lit("cc0")).when(
+        code_any != "", F.concat(F.lit("cc-"), code_any)
+    )
+    version = F.when(zero_any != "", zero_ver).when(code_any != "", ver_any)
+    via_rel = (
+        rel_href.isNotNull() & rel_href.rlike(r"(?i)creativecommons\.org/")
+    ).cast("int")
+    nc = license_.contains("-nc")
+    nd = license_.contains("-nd")
+    return df.select(
+        F.col(url_col).alias("url"),
+        license_.alias("license"),
+        version.alias("version"),
+        F.when(license_.isNotNull(), via_rel).otherwise(F.lit(0)).alias(
+            "via_rel_license"
+        ),
+        F.when(license_.isNotNull(), (~nc).cast("int")).alias("commercial_ok"),
+        F.when(license_.isNotNull(), (~nd).cast("int")).alias("derivatives_ok"),
+    )
+
+
+_FAQ_FRAG_RE = r"(?is)<h([23])[^>]*>[^<]*\?\s*</h\1>\s*<p[^>]*>[^<]*</p>"
+
+
+def faq_pairs(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """FAQ question/answer mining -> (url, pair_idx, question, answer):
+    instruction-tuning data hiding in plain markup — a heading that ends
+    with '?' followed immediately by a paragraph is a (prompt, response)
+    pair at web scale (the structural sibling of schema.org FAQPage,
+    which ``jsonld_extract`` covers on the metadata side).
+
+    Two-stage fragment extract (the link_relations idiom): group-0
+    fragments once — the heading level is back-referenced so an
+    <h2>…</h3> mismatch can't pair — then question/answer per fragment;
+    both are whitespace-collapsed and trimmed. Headings without a
+    trailing '?' or without an adjacent <p> yield nothing. All codegen,
+    no UDF, no shuffle.
+    """
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    frags = F.regexp_extract_all(html_txt, F.lit(_FAQ_FRAG_RE), 0)
+    ex = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(frags).alias("pair_idx", "frag"),
+    )
+    clean = lambda c: F.trim(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
+    q = F.regexp_extract(F.col("frag"), r"(?is)<h[23][^>]*>([^<]*\?)\s*</h", 1)
+    a = F.regexp_extract(F.col("frag"), r"(?is)<p[^>]*>([^<]*)</p>", 1)
+    return ex.select(
+        "url",
+        F.col("pair_idx").cast("long").alias("pair_idx"),
+        clean(q).alias("question"),
+        clean(a).alias("answer"),
+    )

@@ -372,3 +372,89 @@ SELECT url AS canonical_url, url || '/amp' AS amp_url,
 FROM u
 WHERE doc_id % 7 <> 0 OR doc_id % 5 <> 0
 """
+
+
+def q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC-license detection (urls.license_detect): doc_id%4 rotates
+    CC-BY-4.0 via rel=license, CC-BY-NC-ND-3.0 via a plain anchor, CC0,
+    and unlicensed; every page also carries prose mentioning 'CC-BY'
+    that must never read as a license (URL-anchored detection)."""
+    from ..operators.urls import license_detect
+
+    u = _urls(spark, sf_dir)
+    d = F.col("doc_id")
+    body = (
+        F.when(d % 4 == 0, F.lit(
+            '<link rel="license" '
+            'href="https://creativecommons.org/licenses/by/4.0/">'))
+        .when(d % 4 == 1, F.lit(
+            '<a rel="license" href="http://creativecommons.org/licenses/'
+            'by-nc-nd/3.0/">some rights</a>'))
+        .when(d % 4 == 2, F.lit(
+            '<a href="https://creativecommons.org/publicdomain/zero/1.0/">'
+            'no rights reserved</a>'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), body,
+        F.lit("</head><body><p>prose saying CC-BY is nice</p></body></html>"),
+    )
+    return license_detect(u.select("url", F.encode(html, "UTF-8").alias("html")))
+
+
+def _sql_license_detect() -> str:
+    return """
+SELECT
+  'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+  CASE doc_id % 4 WHEN 0 THEN 'cc-by' WHEN 1 THEN 'cc-by-nc-nd'
+       WHEN 2 THEN 'cc0' END AS license,
+  CASE doc_id % 4 WHEN 0 THEN '4.0' WHEN 1 THEN '3.0'
+       WHEN 2 THEN '1.0' END AS version,
+  (doc_id % 4 IN (0, 1))::int AS via_rel_license,
+  CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 0 WHEN 2 THEN 1 END AS commercial_ok,
+  CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 0 WHEN 2 THEN 1 END AS derivatives_ok
+FROM documents
+"""
+
+
+def q_faq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAQ Q/A mining (urls.faq_pairs): each doc plants doc_id%4 heading+
+    paragraph pairs (alternating h2/h3) plus a non-question heading and
+    an orphan question with no adjacent <p> — only the real pairs mine."""
+    from ..operators.urls import faq_pairs
+
+    u = _urls(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+
+    def pair(i: int):
+        lvl = str(2 + i % 2)
+        return F.when(
+            d % 4 >= i + 1,
+            F.concat(
+                F.lit(f"<h{lvl}>Q{i} of doc "), ds, F.lit(f"?</h{lvl}>"),
+                F.lit(f"<p>A{i} for "), ds, F.lit(".</p>"),
+            ),
+        ).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit("<html><h2>Intro heading</h2><p>not mined</p>"),
+        pair(0), pair(1), pair(2),
+        F.lit("<h2>Orphan?</h2><div>no p</div></html>"),
+    )
+    return faq_pairs(u.select("url", F.encode(html, "UTF-8").alias("html")))
+
+
+def _sql_faq_pairs() -> str:
+    return """
+WITH u AS (
+  SELECT doc_id,
+    'https://' || source || '.example.com/' || lang || '/' || doc_id AS url
+  FROM documents
+), i AS (SELECT unnest(range(3))::bigint AS pair_idx)
+SELECT url, pair_idx,
+  'Q' || pair_idx || ' of doc ' || doc_id || '?' AS question,
+  'A' || pair_idx || ' for ' || doc_id || '.' AS answer
+FROM u, i
+WHERE doc_id % 4 >= pair_idx + 1
+"""

@@ -7432,3 +7432,57 @@ def test_amp_canonical_pairs_requires_bidirectional_claim(spark):
     oneside = rows[("c2", "a2")]
     assert (oneside["claimed_by_amp"], oneside["claimed_by_canonical"]) == (1, 0)
     assert oneside["bidirectional"] == 0 and oneside["keep_url"] is None
+
+
+def test_license_detect_url_anchored_and_module_decode(spark):
+    from legal_document_ocr_spark.operators.urls import license_detect
+
+    def page(url, html):
+        return (url, html.encode())
+
+    df = spark.createDataFrame(
+        [
+            page("by", '<html><link rel="license" '
+                       'href="https://creativecommons.org/licenses/by/4.0/"></html>'),
+            page("nc-nd", '<html><a rel="license" href="http://creativecommons.org'
+                          '/licenses/by-nc-nd/3.0/">license</a></html>'),
+            page("cc0", '<html><a href="https://creativecommons.org/publicdomain'
+                        '/zero/1.0/">cc0</a></html>'),
+            page("prose", "<html><p>this page is not CC-BY licensed</p></html>"),
+            page("plain", "<html><p>nothing</p></html>"),
+        ],
+        "url string, html binary",
+    )
+    rows = {r["url"]: r for r in license_detect(df).collect()}
+    by = rows["by"]
+    assert (by["license"], by["version"], by["via_rel_license"]) == ("cc-by", "4.0", 1)
+    assert (by["commercial_ok"], by["derivatives_ok"]) == (1, 1)
+    ncnd = rows["nc-nd"]
+    assert (ncnd["license"], ncnd["version"]) == ("cc-by-nc-nd", "3.0")
+    assert (ncnd["commercial_ok"], ncnd["derivatives_ok"]) == (0, 0)
+    assert ncnd["via_rel_license"] == 1
+    cc0 = rows["cc0"]
+    assert (cc0["license"], cc0["version"], cc0["via_rel_license"]) == ("cc0", "1.0", 0)
+    assert (cc0["commercial_ok"], cc0["derivatives_ok"]) == (1, 1)
+    for u in ("prose", "plain"):  # keyword prose can't false-positive
+        assert rows[u]["license"] is None and rows[u]["commercial_ok"] is None
+        assert rows[u]["via_rel_license"] == 0
+
+
+def test_faq_pairs_requires_question_mark_and_adjacent_paragraph(spark):
+    from legal_document_ocr_spark.operators.urls import faq_pairs
+
+    html = (
+        "<html><h2>What is Spark?</h2><p>A distributed engine.</p>"
+        "<h3>  How   does it scale? </h3>\n<p>Via partitions.</p>"
+        "<h2>Not a question</h2><p>ignored</p>"
+        "<h2>Orphan question?</h2><div>not a p</div>"
+        "<h2>Mismatch?</h3><p>level mismatch ignored</p></html>"
+    ).encode()
+    df = spark.createDataFrame([("u", html)], "url string, html binary")
+    rows = sorted(faq_pairs(df).collect(), key=lambda r: r["pair_idx"])
+    got = [(r["question"], r["answer"]) for r in rows]
+    assert got == [
+        ("What is Spark?", "A distributed engine."),
+        ("How does it scale?", "Via partitions."),
+    ]
