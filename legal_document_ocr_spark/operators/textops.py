@@ -5000,3 +5000,77 @@ def dehyphenate(docs: DataFrame, text_col: str = "text") -> DataFrame:
         fixed.alias("text_fixed"),
         ((F.length(c) - F.length(fixed)) / 2).cast("long").alias("n_joins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation (round 4, session 18)
+# ---------------------------------------------------------------------------
+
+DEFAULT_ABBREVIATIONS: tuple[str, ...] = (
+    "Dr", "Mr", "Mrs", "Ms", "Prof", "St", "No", "Fig", "vs", "etc",
+    "Jr", "Sr",
+)
+
+_SENT_FRAG_RE = r"[^.!?]*[.!?]+|[^.!?]+$"
+
+
+def split_sentences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    abbreviations: tuple[str, ...] = DEFAULT_ABBREVIATIONS,
+) -> DataFrame:
+    """Sentence segmentation -> (doc_id, sent_idx, sentence, n_chars):
+    the unit the bitext miner, sentence-level deduper and sequence
+    packer all want below the document grain. Two-phase: (1) ONE
+    regexp_extract_all splits the text into terminal-punctuation
+    fragments (a trailing unpunctuated fragment survives as the last
+    sentence), (2) fragments ending in a single period whose last token
+    is a known abbreviation ("Dr.", "No.", initials-free guard list —
+    multi-dot abbreviations like "e.g." are out of scope, documented)
+    are merged forward by an exclusive running count of sentence-ending
+    fragments, then reassembled in order. Sentences are whitespace-
+    collapsed; whitespace-only groups are dropped.
+
+    Scale shape: the window and the reassembly group are BOTH keyed by
+    doc (bounded by one document's fragment count — never corpus-wide),
+    and the groupBy reuses the window's doc_id exchange (subset-key
+    clustering), so the whole operator is ONE exchange + per-doc sorts.
+    The fragment regex is RE2-compatible by construction so the DuckDB
+    oracle runs the literal same split on the same text.
+    """
+    abbr_re = rf"(^|[\s.])({'|'.join(abbreviations)})\.$"
+    frags = F.regexp_extract_all(F.col(text_col), F.lit(_SENT_FRAG_RE), 0)
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(frags).alias("pos", "frag"),
+    )
+    is_end = (
+        F.col("frag").rlike(r"[.!?]$") & ~F.col("frag").rlike(abbr_re)
+    ).cast("int")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    parts = ex.select(
+        "doc_id",
+        "pos",
+        "frag",
+        F.coalesce(F.sum(is_end).over(w), F.lit(0)).alias("sent_idx"),
+    )
+    raw = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "frag"))),
+            lambda s: s["frag"],
+        ),
+        "",
+    )
+    assembled = parts.groupBy("doc_id", "sent_idx").agg(raw.alias("raw"))
+    sentence = F.trim(F.regexp_replace("raw", r"\s+", " "))
+    return assembled.select(
+        "doc_id",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        sentence.alias("sentence"),
+        F.length(sentence).cast("long").alias("n_chars"),
+    ).where(sentence != "")

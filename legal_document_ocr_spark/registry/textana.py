@@ -2066,3 +2066,59 @@ SELECT doc_id, text_fixed,
   ((length(broken) - length(text_fixed)) / 2)::bigint AS n_joins
 FROM f
 """
+
+
+def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (textops.split_sentences) over the real
+    corpus text with punctuation injected by four literal replaces
+    ('merge'->'end.', 'window'->'huh?', 'scan'->'Dr.', 'batch'->'No. 7')
+    so terminal runs, question/exclamation breaks and abbreviation
+    merges all occur naturally per document. The oracle runs the SAME
+    injection and an independent SQL reimplementation of the split
+    (fragments + exclusive running end-count + ordered reassembly) —
+    the fragment regex is RE2-compatible by construction."""
+    deco = F.col("text")
+    for pat, rep in (
+        ("merge", "end."),
+        ("window", "huh?"),
+        ("scan", "Dr."),
+        ("batch", "No. 7"),
+    ):
+        deco = F.replace(deco, F.lit(pat), F.lit(rep))
+    return textops.split_sentences(
+        _docs(spark, sf_dir).select("doc_id", deco.alias("text"))
+    )
+
+
+_SQL_SPLIT_SENTENCES = r"""
+WITH deco AS (
+  SELECT doc_id,
+    replace(replace(replace(replace(text,
+      'merge', 'end.'), 'window', 'huh?'), 'scan', 'Dr.'),
+      'batch', 'No. 7') AS text
+  FROM documents
+), fr AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$')) AS frag,
+    unnest(range(len(regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$'))))
+      ::bigint AS pos
+  FROM deco
+), flags AS (
+  SELECT doc_id, pos, frag,
+    (regexp_matches(frag, '[.!?]$') AND NOT regexp_matches(frag,
+      '(^|[\s.])(Dr|Mr|Mrs|Ms|Prof|St|No|Fig|vs|etc|Jr|Sr)\.$'))::int AS is_end
+  FROM fr
+), sids AS (
+  SELECT doc_id, pos, frag,
+    coalesce(SUM(is_end) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent_idx
+  FROM flags
+), asm AS (
+  SELECT doc_id, sent_idx::bigint AS sent_idx,
+    trim(regexp_replace(string_agg(frag, '' ORDER BY pos), '\s+', ' ', 'g'))
+      AS sentence
+  FROM sids GROUP BY doc_id, sent_idx
+)
+SELECT doc_id, sent_idx, sentence, length(sentence)::bigint AS n_chars
+FROM asm WHERE sentence <> ''
+"""

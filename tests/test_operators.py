@@ -7486,3 +7486,39 @@ def test_faq_pairs_requires_question_mark_and_adjacent_paragraph(spark):
         ("What is Spark?", "A distributed engine."),
         ("How does it scale?", "Via partitions."),
     ]
+
+
+def test_split_sentences_abbreviation_merge_and_trailing_fragment(spark):
+    from legal_document_ocr_spark.operators.textops import split_sentences
+
+    df = spark.createDataFrame(
+        [
+            (1, "First one. Dr. Smith said hi! Really? No. 7 works... tail bit"),
+            (2, "   "),  # whitespace-only -> no rows
+            (3, "single sentence no punct"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        split_sentences(df).collect(), key=lambda r: (r["doc_id"], r["sent_idx"])
+    )
+    got = [(r["doc_id"], r["sent_idx"], r["sentence"]) for r in rows]
+    assert got == [
+        (1, 0, "First one."),
+        (1, 1, "Dr. Smith said hi!"),  # Dr. merged forward, not a break
+        (1, 2, "Really?"),
+        (1, 3, "No. 7 works..."),  # No. merged; ellipsis ends normally
+        (1, 4, "tail bit"),  # unpunctuated tail survives
+        (3, 0, "single sentence no punct"),
+    ]
+    assert all(r["n_chars"] == len(r["sentence"]) for r in rows)
+
+
+def test_split_sentences_plan_is_one_exchange(spark):
+    """The reassembly groupBy must reuse the window's doc_id exchange —
+    a second Exchange means the subset-key clustering regressed."""
+    from legal_document_ocr_spark.operators.textops import split_sentences
+
+    df = spark.createDataFrame([(1, "a. b. c.")], "doc_id long, text string")
+    plan = split_sentences(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
