@@ -2863,3 +2863,43 @@ def faq_pairs(
         clean(q).alias("question"),
         clean(a).alias("answer"),
     )
+
+
+_FORM_TAG_RE = r"(?is)<form\b[^>]*>"
+_INPUT_TAG_RE = r"(?is)<input\b[^>]*>"
+
+
+def form_census(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Form census -> (url, n_forms, n_inputs, has_password, has_search,
+    has_upload, n_post_forms): page-TYPE classification from form
+    structure — a password input marks a login/paywall shell whose text
+    is navigation chrome (exclude from the corpus), a search input marks
+    SERP-like pages (dedup magnets), an upload input marks app UIs, and
+    POST forms mark interactive endpoints the crawler shouldn't re-fetch
+    as content. Two regexp_extract_all passes (form tags, input tags) +
+    per-fragment attribute probes folded with exists(); all codegen, no
+    UDF, no shuffle — the census runs at scan speed.
+    """
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    forms = F.regexp_extract_all(html_txt, F.lit(_FORM_TAG_RE), 0)
+    inputs = F.regexp_extract_all(html_txt, F.lit(_INPUT_TAG_RE), 0)
+    typed = lambda t: F.exists(  # noqa: E731
+        inputs, lambda i: i.rlike(rf'(?i)type="{t}"')
+    ).cast("int")
+    n_post = F.size(
+        F.filter(forms, lambda f: f.rlike(r'(?i)method="post"'))
+    )
+    return df.select(
+        F.col(url_col).alias("url"),
+        F.size(forms).cast("long").alias("n_forms"),
+        F.size(inputs).cast("long").alias("n_inputs"),
+        typed("password").alias("has_password"),
+        (
+            F.exists(inputs, lambda i: i.rlike(r'(?i)type="search"'))
+            | F.exists(inputs, lambda i: i.rlike(r'(?i)name="q"'))
+        ).cast("int").alias("has_search"),
+        typed("file").alias("has_upload"),
+        n_post.cast("long").alias("n_post_forms"),
+    )

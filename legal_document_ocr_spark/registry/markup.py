@@ -458,3 +458,40 @@ SELECT url, pair_idx,
 FROM u, i
 WHERE doc_id % 4 >= pair_idx + 1
 """
+
+
+def q_form_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Form census (urls.form_census): every 3rd doc a login form
+    (password input, POST), every 4th a search form (type=search),
+    every 5th an upload form (type=file, POST), every doc one text
+    input baseline; prose mentioning input attributes must not count."""
+    from ..operators.urls import form_census
+
+    u = _urls(spark, sf_dir)
+    d = F.col("doc_id")
+    part = lambda cond, frag: F.when(cond, F.lit(frag)).otherwise(F.lit(""))  # noqa: E731
+    html = F.concat(
+        F.lit('<html><form method="get"><input type="text" name="t"></form>'),
+        part(d % 3 == 0,
+             '<form method="post"><input type="password" name="pw"></form>'),
+        part(d % 4 == 0, '<form method="get"><input type="search" name="s"></form>'),
+        part(d % 5 == 0, '<form method="post"><input type="file" name="f"></form>'),
+        F.lit('<p>prose: input type="password" said nobody</p></html>'),
+    )
+    return form_census(u.select("url", F.encode(html, "UTF-8").alias("html")))
+
+
+def _sql_form_census() -> str:
+    return """
+SELECT
+  'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+  (1 + (doc_id % 3 = 0)::int + (doc_id % 4 = 0)::int
+     + (doc_id % 5 = 0)::int)::bigint AS n_forms,
+  (1 + (doc_id % 3 = 0)::int + (doc_id % 4 = 0)::int
+     + (doc_id % 5 = 0)::int)::bigint AS n_inputs,
+  (doc_id % 3 = 0)::int AS has_password,
+  (doc_id % 4 = 0)::int AS has_search,
+  (doc_id % 5 = 0)::int AS has_upload,
+  ((doc_id % 3 = 0)::int + (doc_id % 5 = 0)::int)::bigint AS n_post_forms
+FROM documents
+"""

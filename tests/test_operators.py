@@ -7522,3 +7522,31 @@ def test_split_sentences_plan_is_one_exchange(spark):
     df = spark.createDataFrame([(1, "a. b. c.")], "doc_id long, text string")
     plan = split_sentences(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_form_census_classifies_login_search_and_upload_shells(spark):
+    from legal_document_ocr_spark.operators.urls import form_census
+
+    login = (
+        '<html><form method="POST" action="/login">'
+        '<input type="text" name="user"><input type="password" name="pw">'
+        "</form></html>"
+    ).encode()
+    search = (
+        '<html><form method="get"><input type="search" name="q"></form>'
+        '<form method="post"><input type="file" name="up"></form></html>'
+    ).encode()
+    plain = b"<html><p>no forms here, input type=password as prose</p></html>"
+    df = spark.createDataFrame(
+        [("login", login), ("search", search), ("plain", plain)],
+        "url string, html binary",
+    )
+    rows = {r["url"]: r for r in form_census(df).collect()}
+    lg = rows["login"]
+    assert (lg["n_forms"], lg["n_inputs"], lg["has_password"]) == (1, 2, 1)
+    assert (lg["has_search"], lg["n_post_forms"]) == (0, 1)
+    se = rows["search"]
+    assert (se["n_forms"], se["has_search"], se["has_upload"]) == (2, 1, 1)
+    assert (se["has_password"], se["n_post_forms"]) == (0, 1)
+    pl = rows["plain"]  # prose mentioning attributes is not a tag
+    assert (pl["n_forms"], pl["n_inputs"], pl["has_password"]) == (0, 0, 0)
