@@ -925,3 +925,82 @@ def synth_typed_payloads(docs: DataFrame) -> DataFrame:
             F.array(*[F.lit(m) for m in SYNTH_CT_MIMES]), decl_idx
         ).alias("declared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DCT perceptual hash (round 4, session 18)
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash_hex", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def phash63(img: dict) -> str:
+    """63-bit DCT perceptual hash (pHash) as 16 lowercase hex chars:
+    nearest-resample to 32x32 integer luma, 2-D DCT-II (float64 cosine
+    matrix — deterministic for identical pixel input), keep the 8x8
+    low-frequency corner, drop DC, bit i = coefficient i > median of the
+    63 AC coefficients. Robust to recompression/resize like aHash but
+    frequency-weighted, so global contrast tweaks and dithering flip far
+    fewer bits; DC exclusion makes it (near-)invariant to uniform
+    brightness shifts. Same decoded pixels ⇒ bit-identical hash
+    regardless of container format (PNG/BMP/TIFF/...) — the property
+    the `phash_groups` oracle pins."""
+    import numpy as np
+
+    w, h, mode, px = img["width"], img["height"], img["mode"], img["pixels"]
+    ch = {"L": 1, "RGB": 3, "RGBA": 4}[mode]
+    a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch).astype(np.int64)
+    if ch >= 3:
+        g = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    else:
+        g = a[:, :, 0]
+    yi = (np.arange(32) * h) // 32
+    xi = (np.arange(32) * w) // 32
+    s = g[np.ix_(yi, xi)].astype(np.float64)
+    k = np.arange(32, dtype=np.float64)
+    cos_m = np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / 64.0)
+    d = cos_m @ s @ cos_m.T
+    ac = d[:8, :8].ravel()[1:]
+    med = float(np.median(ac))
+    bits = 0
+    for i, v in enumerate(ac):
+        if v > med:
+            bits |= 1 << (62 - i)
+    return f"{bits:016x}"
+
+
+def image_phash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """DCT perceptual hash per image — image_ahash's frequency-domain
+    sibling (same stage shape: decode + hash in one Arrow batch,
+    per-record error isolation, 24 bytes/row out, payloads never move
+    past this stage; image_near_pairs' chunked hamming join applies
+    unchanged to phash_hex)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..codecs import decode_image as _decode
+
+        for pdf in batches:
+            out = {"doc_id": [], "phash_hex": [], "error": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    hx = phash63(_decode(bytes(payload)))
+                except Exception as e:  # noqa: BLE001 — per-record isolation
+                    out["doc_id"].append(doc_id)
+                    out["phash_hex"].append(None)
+                    out["error"].append(_decode_error_label(e))
+                    continue
+                out["doc_id"].append(doc_id)
+                out["phash_hex"].append(hx)
+                out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    selected = ensure_parallelism(df).selectExpr("doc_id", f"{payload_col} as payload")
+    return selected.mapInPandas(kernel, PHASH_SCHEMA)

@@ -1902,3 +1902,72 @@ FROM op a JOIN op b
   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 GROUP BY 1, 2 HAVING count(*) >= 2
 """
+
+
+def q_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual hash format-invariance (multimodal.image_phash):
+    docs share one of 37 content groups (distinct gradient frequencies —
+    verified pairwise-distinct pHashes) but each doc encodes its group's
+    pixels in a rotating container (PNG / TIFF-LZW /
+    TIFF-PackBits+predictor), so the decoded pixels are identical
+    within a group and the 63-bit DCT hash must collide EXACTLY across
+    formats. Output is (doc_id, n_same_phash) — the size of the doc's
+    phash-equality class; the oracle states the group size in closed
+    form. The hash itself never appears in the contract (floating-point
+    DCT values are engine-internal; only the exact-collision property is
+    the spec)."""
+    import pandas as _pd
+
+    from ..codecs import encode_png, encode_tiff
+    from ..operators.multimodal import image_phash
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d % 37
+                w, h = 12 + g % 9, 10 + g % 5
+                px = bytes(
+                    (g * 13 + (3 + g % 7) * x + (5 + g % 11) * y) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                fmt = d % 3
+                if fmt == 0:
+                    payloads.append(encode_png(w, h, px, 0))
+                elif fmt == 1:
+                    payloads.append(encode_tiff(w, h, px, "L", lzw=True))
+                else:
+                    payloads.append(
+                        encode_tiff(w, h, px, "L", packbits=True, predictor=2)
+                    )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pages = _spread(_docs(spark, sf_dir).select("doc_id"))
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    sigs = image_phash(payloads)
+    counts = sigs.groupBy("phash_hex").agg(F.count("*").alias("n_same_phash"))
+    return (
+        sigs.join(counts.hint("shuffle_hash"), "phash_hex")
+        .select("doc_id", "n_same_phash")
+    )
+
+
+_SQL_PHASH_GROUPS = """
+SELECT doc_id,
+  count(*) OVER (PARTITION BY doc_id % 37)::bigint AS n_same_phash
+FROM documents
+"""

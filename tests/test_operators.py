@@ -7550,3 +7550,26 @@ def test_form_census_classifies_login_search_and_upload_shells(spark):
     assert (se["has_password"], se["n_post_forms"]) == (0, 1)
     pl = rows["plain"]  # prose mentioning attributes is not a tag
     assert (pl["n_forms"], pl["n_inputs"], pl["has_password"]) == (0, 0, 0)
+
+
+def test_phash_format_invariance_and_error_isolation(spark):
+    from legal_document_ocr_spark.codecs import encode_png, encode_tiff
+    from legal_document_ocr_spark.operators.multimodal import image_phash
+
+    w, h = 16, 11
+    px = bytes((7 + 13 * x + 29 * y) % 256 for y in range(h) for x in range(w))
+    other = bytes((5 * x * x + 3 * y) % 256 for y in range(h) for x in range(w))
+    df = spark.createDataFrame(
+        [
+            (1, encode_png(w, h, px, 0)),
+            (2, encode_tiff(w, h, px, "L", lzw=True, predictor=2)),
+            (3, encode_png(w, h, other, 0)),
+            (4, b"garbage not an image"),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in image_phash(df).collect()}
+    assert rows[1]["phash_hex"] == rows[2]["phash_hex"]  # format-invariant
+    assert rows[1]["phash_hex"] != rows[3]["phash_hex"]  # content-sensitive
+    assert rows[4]["phash_hex"] is None and rows[4]["error"] is not None
+    assert len(rows[1]["phash_hex"]) == 16
