@@ -495,3 +495,51 @@ SELECT
   ((doc_id % 3 = 0)::int + (doc_id % 5 = 0)::int)::bigint AS n_post_forms
 FROM documents
 """
+
+
+def q_code_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-block mining (urls.extract_code_blocks): each doc plants
+    doc_id%3 blocks — a language-tagged two-line function with escaped
+    entities and indentation, a plain <pre>, and a lang-c# one-liner —
+    whitespace preserved, entities unescaped one level."""
+    from ..operators.urls import extract_code_blocks
+
+    u = _urls(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    b0 = F.when(
+        d % 3 >= 1,
+        F.concat(
+            F.lit('<pre><code class="language-python">\ndef f'), ds,
+            F.lit("(a):\n    return a &lt; "), ds, F.lit("\n</code></pre>"),
+        ),
+    ).otherwise(F.lit(""))
+    b1 = F.when(
+        d % 3 >= 2,
+        F.concat(F.lit("<pre>plain "), ds, F.lit("\n  indented</pre>")),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><p>pre amble</p>"), b0, b1, F.lit("</html>")
+    )
+    return extract_code_blocks(
+        u.select("url", F.encode(html, "UTF-8").alias("html"))
+    )
+
+
+def _sql_code_blocks() -> str:
+    return """
+WITH u AS (
+  SELECT doc_id,
+    'https://' || source || '.example.com/' || lang || '/' || doc_id AS url
+  FROM documents
+)
+SELECT url, 0::bigint AS block_idx, 'python' AS lang_hint,
+  'def f' || doc_id || '(a):' || chr(10) || '    return a < ' || doc_id
+    AS code,
+  2::bigint AS n_lines
+FROM u WHERE doc_id % 3 >= 1
+UNION ALL
+SELECT url, 1::bigint, NULL,
+  'plain ' || doc_id || chr(10) || '  indented', 2::bigint
+FROM u WHERE doc_id % 3 >= 2
+"""

@@ -7573,3 +7573,25 @@ def test_phash_format_invariance_and_error_isolation(spark):
     assert rows[1]["phash_hex"] != rows[3]["phash_hex"]  # content-sensitive
     assert rows[4]["phash_hex"] is None and rows[4]["error"] is not None
     assert len(rows[1]["phash_hex"]) == 16
+
+
+def test_extract_code_blocks_preserves_indentation_and_unescapes(spark):
+    from legal_document_ocr_spark.operators.urls import extract_code_blocks
+
+    html = (
+        "<html><p>prose</p>"
+        '<pre><code class="language-python">\n'
+        "def f(a, b):\n    return a &lt; b &amp;&amp; True\n</code></pre>"
+        "<pre>plain  block\n  indented</pre>"
+        '<pre class="x"><code class="lang-c#">x-&gt;y;</code></pre>'
+        "</html>"
+    ).encode()
+    df = spark.createDataFrame([("u", html)], "url string, html binary")
+    rows = sorted(extract_code_blocks(df).collect(), key=lambda r: r["block_idx"])
+    py, plain, cs = rows
+    assert py["lang_hint"] == "python"
+    assert py["code"] == "def f(a, b):\n    return a < b && True"
+    assert py["n_lines"] == 2
+    assert plain["lang_hint"] is None
+    assert plain["code"] == "plain  block\n  indented"  # interior ws kept
+    assert (cs["lang_hint"], cs["code"], cs["n_lines"]) == ("c#", "x->y;", 1)
