@@ -2945,3 +2945,47 @@ def extract_code_blocks(
         code.alias("code"),
         F.size(F.split(code, "\n", -1)).cast("long").alias("n_lines"),
     )
+
+
+_MATH_FRAG_RE = (
+    r"(?s)\$\$.*?\$\$|\\\[.*?\\\]|(?is)<math\b[^>]*>.*?</math>"
+)
+
+
+def extract_math_blocks(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Display-math mining -> (url, block_idx, notation, math, n_chars):
+    the math-LM training slice — ``$$...$$`` and ``\\[...\\]`` LaTeX
+    display blocks plus ``<math>`` MathML elements, each fragment tagged
+    with its notation so downstream normalizers dispatch correctly.
+    Delimiters are stripped (MathML keeps inner markup — it IS the
+    notation); interior whitespace collapses to single spaces (math
+    layout, unlike code indentation, is whitespace-insensitive). One
+    alternation extract_all + posexplode + per-fragment strips; all
+    codegen, no UDF, no shuffle."""
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    frags = F.regexp_extract_all(html_txt, F.lit(_MATH_FRAG_RE), 0)
+    ex = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(frags).alias("block_idx", "frag"),
+    )
+    fr = F.col("frag")
+    notation = (
+        F.when(fr.startswith("$$"), F.lit("latex"))
+        .when(fr.startswith("\\["), F.lit("latex"))
+        .otherwise(F.lit("mathml"))
+    )
+    inner = (
+        F.when(fr.startswith("$$"), F.expr("substring(frag, 3, length(frag) - 4)"))
+        .when(fr.startswith("\\["), F.expr("substring(frag, 3, length(frag) - 4)"))
+        .otherwise(F.regexp_extract(fr, r"(?is)<math\b[^>]*>(.*?)</math>", 1))
+    )
+    math = F.trim(F.regexp_replace(inner, r"\s+", " "))
+    return ex.select(
+        "url",
+        F.col("block_idx").cast("long").alias("block_idx"),
+        notation.alias("notation"),
+        math.alias("math"),
+        F.length(math).cast("long").alias("n_chars"),
+    ).where(math != "")

@@ -543,3 +543,51 @@ SELECT url, 1::bigint, NULL,
   'plain ' || doc_id || chr(10) || '  indented', 2::bigint
 FROM u WHERE doc_id % 3 >= 2
 """
+
+
+def q_math_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Display-math mining (urls.extract_math_blocks): every 2nd doc a
+    $$ block (whitespace-padded — collapses), every 3rd a \\[ \\] block,
+    every 5th a MathML element; inline single-dollar prose on every page
+    must never pair into a block."""
+    from ..operators.urls import extract_math_blocks
+
+    u = _urls(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    b = lambda cond, *parts: F.when(cond, F.concat(*parts)).otherwise(F.lit(""))  # noqa: E731
+    html = F.concat(
+        F.lit("<html><p>inline $5 or $9 prose</p>"),
+        b(d % 2 == 0, F.lit("<p>$$\n x_"), ds, F.lit(" + 1 \n$$</p>")),
+        b(d % 3 == 0, F.lit("<p>\\[ \\frac{"), ds, F.lit("}{2} \\]</p>")),
+        b(d % 5 == 0, F.lit("<math><mn>"), ds, F.lit("</mn></math>")),
+        F.lit("</html>"),
+    )
+    return extract_math_blocks(
+        u.select("url", F.encode(html, "UTF-8").alias("html"))
+    )
+
+
+def _sql_math_blocks() -> str:
+    return """
+WITH u AS (
+  SELECT doc_id,
+    'https://' || source || '.example.com/' || lang || '/' || doc_id AS url
+  FROM documents
+), rows_ AS (
+  SELECT url, doc_id, 0 AS slot, 'latex' AS notation,
+    'x_' || doc_id || ' + 1' AS math
+  FROM u WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT url, doc_id, 1, 'latex', '\\frac{' || doc_id || '}{2}'
+  FROM u WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT url, doc_id, 2, 'mathml', '<mn>' || doc_id || '</mn>'
+  FROM u WHERE doc_id % 5 = 0
+)
+SELECT url,
+  (row_number() OVER (PARTITION BY doc_id ORDER BY slot) - 1)::bigint
+    AS block_idx,
+  notation, math, length(math)::bigint AS n_chars
+FROM rows_
+"""

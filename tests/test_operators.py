@@ -7595,3 +7595,24 @@ def test_extract_code_blocks_preserves_indentation_and_unescapes(spark):
     assert plain["lang_hint"] is None
     assert plain["code"] == "plain  block\n  indented"  # interior ws kept
     assert (cs["lang_hint"], cs["code"], cs["n_lines"]) == ("c#", "x->y;", 1)
+
+
+def test_extract_math_blocks_three_notations_and_delimiter_strip(spark):
+    from legal_document_ocr_spark.operators.urls import extract_math_blocks
+
+    html = (
+        "<html><p>price is $5 and $7</p>"  # inline dollars must not pair
+        "<p>$$\n  e^{i\\pi} + 1 = 0\n$$</p>"
+        "<p>\\[ \\int_0^1 x\\,dx \\]</p>"
+        '<math display="block"><mi>x</mi><mo>=</mo><mn>2</mn></math>'
+        "<p>$$$$</p>"  # empty block drops
+        "</html>"
+    ).encode()
+    df = spark.createDataFrame([("u", html)], "url string, html binary")
+    rows = sorted(extract_math_blocks(df).collect(), key=lambda r: r["block_idx"])
+    got = [(r["notation"], r["math"]) for r in rows]
+    assert got == [
+        ("latex", "e^{i\\pi} + 1 = 0"),
+        ("latex", "\\int_0^1 x\\,dx"),
+        ("mathml", "<mi>x</mi><mo>=</mo><mn>2</mn>"),
+    ]
