@@ -5074,3 +5074,103 @@ def split_sentences(
         sentence.alias("sentence"),
         F.length(sentence).cast("long").alias("n_chars"),
     ).where(sentence != "")
+
+
+# ---------------------------------------------------------------------------
+# WordPiece-style greedy longest-match tokenizer (round 4, session 18)
+# ---------------------------------------------------------------------------
+
+
+def wordpiece_segment(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    max_piece_len: int = 4,
+    top_multi: int = 40,
+) -> DataFrame:
+    """WordPiece-style tokenizer: seed a piece vocabulary from weighted
+    substring counts, then segment by GREEDY LONGEST-MATCH — the
+    BERT-tokenizer inference rule, the family the BPE battery
+    (merge-rule training, ``bpe_train_merges``) doesn't cover. Output:
+    one row per distinct word (word, n, segmentation, n_pieces) with
+    ``segmentation`` the space-joined pieces.
+
+    Seeding: every substring of length <= ``max_piece_len`` of every
+    distinct word, counted with multiplicity x word frequency; the
+    vocabulary is all single characters (so segmentation can never
+    dead-end — no UNK) plus the ``top_multi`` multi-char pieces by
+    (count DESC, piece ASC) — a deterministic integer ranking, no float
+    likelihoods (the cross-engine float trap).
+
+    The 100 TB shape is bpe_train_merges' exactly: ONE corpus-sized pass
+    builds the word-frequency vocab (map-side combined, bounded by
+    distinct words); candidate counting, ranking, and the greedy scan
+    all run on that bounded table. The seed vocabulary (<= alphabet +
+    top_multi pieces) is collected and broadcast into one Arrow-batched
+    mapInPandas over the distinct-word table — the sequential
+    longest-match scan is inexpressible in codegen, and the table it
+    runs over is vocabulary-sized, never corpus-sized. Applying the
+    trained pieces to the full corpus is the same kernel mapped over
+    corpus rows (fertility-style), deliberately not fused here.
+    """
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    words = (
+        docs.select(F.explode(toks).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    cand = (
+        words.select("word", "n", F.explode(
+            F.sequence(F.lit(1), F.length("word"))).alias("s"))
+        .select("word", "n", "s", F.explode(
+            F.sequence(F.lit(1), F.lit(max_piece_len))).alias("l"))
+        .where(F.col("s") + F.col("l") <= F.length("word") + 1)
+        .select(F.expr("substring(word, s, l)").alias("piece"), "n")
+    )
+    counts = cand.groupBy("piece").agg(F.sum("n").alias("cnt"))
+    multi = (
+        counts.where(F.length("piece") >= 2)
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(top_multi)
+        .select("piece")
+    )
+    singles = counts.where(F.length("piece") == 1).select("piece")
+    vocab = {
+        r["piece"] for r in multi.unionByName(singles).distinct().collect()
+    }
+    if not vocab:
+        return docs.sparkSession.createDataFrame(
+            [], "word string, n long, segmentation string, n_pieces long"
+        )
+    max_len = max(len(p) for p in vocab)
+    bvocab = docs.sparkSession.sparkContext.broadcast(vocab)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vs = bvocab.value
+        for pdf in batches:
+            segs: list[str] = []
+            nps: list[int] = []
+            for word in pdf["word"]:
+                pos, pieces = 0, []
+                while pos < len(word):
+                    for ln in range(min(max_len, len(word) - pos), 0, -1):
+                        p = word[pos : pos + ln]
+                        if p in vs:
+                            pieces.append(p)
+                            pos += ln
+                            break
+                segs.append(" ".join(pieces))
+                nps.append(len(pieces))
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n": pdf["n"],
+                    "segmentation": segs,
+                    "n_pieces": nps,
+                }
+            )
+
+    return ensure_parallelism(words).mapInPandas(
+        kernel, "word string, n long, segmentation string, n_pieces long"
+    )

@@ -2122,3 +2122,110 @@ WITH deco AS (
 SELECT doc_id, sent_idx, sentence, length(sentence)::bigint AS n_chars
 FROM asm WHERE sentence <> ''
 """
+
+
+def q_wordpiece_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style greedy longest-match segmentation
+    (textops.wordpiece_segment) of the corpus's distinct-word table:
+    seed pieces = all substrings len<=4 weighted by word frequency, top
+    40 multi-char by (count, piece) + all single chars (no UNK). The
+    oracle re-derives the seed ranking and replays the greedy scan as a
+    12-step unrolled MATERIALIZED-CTE chain — a fully independent SQL
+    reimplementation, no float anywhere."""
+    return textops.wordpiece_segment(_docs(spark, sf_dir))
+
+
+def q_wordpiece_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted piece usage of the wordpiece segmentation —
+    the trained-artifact view: (piece, usage, n_words); usage sums word
+    frequencies per occurrence (a piece used twice in one word counts
+    twice), n_words counts distinct words using the piece."""
+    seg = textops.wordpiece_segment(_docs(spark, sf_dir))
+    ex = seg.select(
+        "word", "n", F.explode(F.split("segmentation", " ")).alias("piece")
+    )
+    return ex.groupBy("piece").agg(
+        F.sum("n").alias("usage"),
+        F.countDistinct("word").alias("n_words"),
+    )
+
+
+def _wordpiece_seg_cte() -> str:
+    """Shared oracle CTE chain ending in seg12 (completed segmentations).
+
+    Each step consumes >=1 char via max_by(piece, len) longest-match;
+    MATERIALIZED stops DuckDB inlining the doubly-referenced step CTEs
+    (exponential blowup otherwise). 12 steps cover words to length 12 —
+    the corpus vocabulary maxes at 8 ('customer')."""
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    steps = []
+    prev = "seg0"
+    for k in range(1, 13):
+        cur = f"seg{k}"
+        steps.append(f"""
+{cur} AS MATERIALIZED (
+  SELECT word, n, pos + len(best) AS pos,
+    CASE WHEN pieces = '' THEN best ELSE pieces || ' ' || best END AS pieces
+  FROM (
+    SELECT s.word, s.n, s.pos, s.pieces,
+      max_by(v.piece, len(v.piece)) AS best
+    FROM {prev} s JOIN vocab v
+      ON v.piece = substr(s.word, s.pos::int, len(v.piece))
+    WHERE s.pos <= len(s.word)
+    GROUP BY s.word, s.n, s.pos, s.pieces
+  )
+  UNION ALL
+  SELECT word, n, pos, pieces FROM {prev} WHERE pos > len(word)
+)""")
+        prev = cur
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT w AS word, count(*)::bigint AS n
+  FROM (SELECT unnest({toks}) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1
+),
+cand AS (
+  SELECT unnest(flatten(list_transform(range(1, len(word)+1), s ->
+    list_transform(range(1, 5), l ->
+      CASE WHEN s + l <= len(word) + 1
+           THEN substr(word, s::int, l::int) END)))) AS piece,
+    n
+  FROM words
+),
+cnts AS MATERIALIZED (
+  SELECT piece, sum(n)::bigint AS cnt FROM cand
+  WHERE piece IS NOT NULL GROUP BY 1
+),
+vocab AS MATERIALIZED (
+  SELECT piece FROM (
+    SELECT piece, cnt FROM cnts WHERE len(piece) >= 2
+    ORDER BY cnt DESC, piece LIMIT 40
+  )
+  UNION
+  SELECT piece FROM cnts WHERE len(piece) = 1
+),
+seg0 AS (SELECT word, n, 1::bigint AS pos, '' AS pieces FROM words),
+{','.join(steps)}"""
+
+
+def _sql_wordpiece_segments() -> str:
+    return (
+        _wordpiece_seg_cte()
+        + """
+SELECT word, n, pieces AS segmentation,
+  len(string_split(pieces, ' '))::bigint AS n_pieces
+FROM seg12
+"""
+    )
+
+
+def _sql_wordpiece_usage() -> str:
+    return (
+        _wordpiece_seg_cte()
+        + """
+SELECT piece, sum(n)::bigint AS usage,
+  count(DISTINCT word)::bigint AS n_words
+FROM (SELECT word, n, unnest(string_split(pieces, ' ')) AS piece FROM seg12)
+GROUP BY piece
+"""
+    )

@@ -7616,3 +7616,24 @@ def test_extract_math_blocks_three_notations_and_delimiter_strip(spark):
         ("latex", "\\int_0^1 x\\,dx"),
         ("mathml", "<mi>x</mi><mo>=</mo><mn>2</mn>"),
     ]
+
+
+def test_wordpiece_segment_greedy_longest_match_no_unk(spark):
+    from legal_document_ocr_spark.operators.textops import wordpiece_segment
+
+    # top_multi=4 keeps only {ab, aba, ba, abab}; 'abab' segments whole,
+    # 'abaqq' (longer than max_piece_len) forces greedy backoff through
+    # 'aba' then single-char 'q's, and 'zzzz' (no multi piece survives
+    # the cut) falls all the way back to singles — the no-UNK guarantee.
+    df = spark.createDataFrame(
+        [("abab abab abab abab abaqq",), ("abab zzzz",)], "text string"
+    )
+    rows = {
+        r["word"]: r
+        for r in wordpiece_segment(df, top_multi=4).collect()
+    }
+    assert rows["abab"]["segmentation"] == "abab"
+    assert rows["abab"]["n_pieces"] == 1 and rows["abab"]["n"] == 5
+    assert rows["abaqq"]["segmentation"] == "aba q q"  # greedy backoff
+    assert rows["zzzz"]["segmentation"] == "z z z z"  # single-char floor
+    assert all(r["segmentation"] for r in rows.values())
