@@ -591,3 +591,105 @@ SELECT url,
   notation, math, length(math)::bigint AS n_chars
 FROM rows_
 """
+
+
+def q_image_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal harvest capstone: the four REAL image-source parsers
+    (urls.extract_image_alt_pairs, parse_srcset, opengraph_meta,
+    extract_data_uris) over one decorated corpus, root-relative targets
+    resolved uniformly, then deduped per (url, candidate) with
+    precedence election og > img > srcset > data (min_by over the
+    priority — map-side combined, ONE exchange). Overlaps are planted —
+    every page's srcset repeats the img src, every 3rd doc's og:image
+    IS the img src — so the election and n_sources are load-bearing.
+    Output: (url, candidate, via, n_sources)."""
+    from ..operators.urls import (
+        extract_data_uris,
+        extract_image_alt_pairs,
+        opengraph_meta,
+        parse_srcset,
+    )
+
+    u = _urls(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    og_target = F.when(
+        d % 3 == 0, F.concat(F.lit("/i/"), ds, F.lit(".jpg"))
+    ).otherwise(F.concat(F.lit("/og/"), ds, F.lit(".jpg")))
+    html = F.concat(
+        F.lit('<html><head><meta property="og:image" content="'),
+        og_target, F.lit('">'),
+        F.lit('</head><body><img src="/i/'), ds,
+        F.lit('.jpg" alt="picture '), ds, F.lit('">'),
+        F.lit('<img srcset="/i/'), ds, F.lit(".jpg 2x, /i/"), ds,
+        F.lit('-s.jpg 480w" alt="">'),
+        F.when(
+            d % 5 == 0,
+            F.lit('<img src="data:image/gif;base64,R0lGODdh" alt="">'),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = u.select("url", F.encode(html, "UTF-8").alias("html"))
+
+    host = F.concat(
+        F.lit("https://"),
+        F.regexp_extract("url", r"^https://([^/]+)/", 1),
+    )
+    resolve = lambda c: F.when(  # noqa: E731
+        c.startswith("/"), F.concat(host, c)
+    ).otherwise(c)
+
+    img = extract_image_alt_pairs(pages).select(
+        "url", F.col("img_url").alias("candidate"),
+        F.lit("img").alias("via"), F.lit(2).alias("prio"),
+    )
+    srcset = parse_srcset(pages).select(
+        "url", resolve(F.col("candidate_url")).alias("candidate"),
+        F.lit("srcset").alias("via"), F.lit(3).alias("prio"),
+    )
+    og = (
+        opengraph_meta(pages)
+        .where(F.col("og_image").isNotNull())
+        .select(
+            "url", resolve(F.col("og_image")).alias("candidate"),
+            F.lit("og").alias("via"), F.lit(1).alias("prio"),
+        )
+    )
+    data = extract_data_uris(pages).select(
+        "url",
+        F.concat(F.lit("data:"), "mime", F.lit(":"), "payload_md5").alias(
+            "candidate"
+        ),
+        F.lit("data").alias("via"), F.lit(4).alias("prio"),
+    )
+    allc = img.unionByName(srcset).unionByName(og).unionByName(data)
+    return allc.groupBy("url", "candidate").agg(
+        F.min_by("via", "prio").alias("via"),
+        F.count("*").alias("n_sources"),
+    )
+
+
+def _sql_image_harvest() -> str:
+    return """
+WITH u AS (
+  SELECT doc_id, source, lang,
+    'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+    'https://' || source || '.example.com' AS host
+  FROM documents
+)
+SELECT url, host || '/i/' || doc_id || '.jpg' AS candidate,
+  CASE WHEN doc_id % 3 = 0 THEN 'og' ELSE 'img' END AS via,
+  -- img src + srcset 2x candidate always; og:image joins every 3rd doc
+  (2 + (doc_id % 3 = 0)::int)::bigint AS n_sources
+FROM u
+UNION ALL
+SELECT url, host || '/i/' || doc_id || '-s.jpg', 'srcset', 1::bigint FROM u
+UNION ALL
+SELECT url, host || '/og/' || doc_id || '.jpg', 'og', 1::bigint
+FROM u WHERE doc_id % 3 <> 0
+UNION ALL
+SELECT url,
+  'data:image/gif:' || md5(lower(to_hex(from_base64('R0lGODdh')))),
+  'data', 1::bigint
+FROM u WHERE doc_id % 5 = 0
+"""

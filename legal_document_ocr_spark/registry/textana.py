@@ -2229,3 +2229,37 @@ FROM (SELECT word, n, unnest(string_split(pieces, ' ')) AS piece FROM seg12)
 GROUP BY piece
 """
     )
+
+
+def q_wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus fertility of the wordpiece tokenizer (pieces per token,
+    frequency-weighted) — the quality gauge that decides whether the
+    seed vocabulary is worth keeping (fertility near 1 = whole words
+    survive; near word length = vocabulary too small). Integer-exact:
+    micro-units via floor, the float-portability discipline."""
+    seg = textops.wordpiece_segment(_docs(spark, sf_dir))
+    tot = seg.agg(
+        F.sum(F.col("n") * F.col("n_pieces")).alias("pieces"),
+        F.sum("n").alias("tokens"),
+    )
+    return tot.select(
+        F.col("pieces").cast("long").alias("total_pieces"),
+        F.col("tokens").cast("long").alias("total_tokens"),
+        F.floor(F.col("pieces") * 1000000 / F.col("tokens"))
+        .cast("long")
+        .alias("fertility_micro"),
+    )
+
+
+def _sql_wordpiece_fertility() -> str:
+    return (
+        _wordpiece_seg_cte()
+        + """
+SELECT sum(n * n_pieces)::bigint AS total_pieces,
+  sum(n)::bigint AS total_tokens,
+  floor(sum(n * n_pieces) * 1000000 / sum(n))::bigint AS fertility_micro
+FROM (
+  SELECT n, len(string_split(pieces, ' '))::bigint AS n_pieces FROM seg12
+)
+"""
+    )
