@@ -726,3 +726,30 @@ WITH cells AS (
 SELECT d::bigint AS d, slot, count(*)::bigint AS cnt
 FROM cells GROUP BY d, slot ORDER BY d, slot
 """
+
+
+def q_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multimodal decode (streaming.stream_media_decode — the
+    14th surface, first binary one): PNG payloads synthesized and
+    decoded inside the stream via the batch Arrow kernel, drained
+    availableNow in append mode; stateless, so row-for-row the batch
+    decode — the oracle restates the synthesis closed form."""
+    from ..streaming.pipeline import run_stream_to_table, stream_media_decode
+
+    name = "stream_media_decode_result"
+    sdf = stream_media_decode(spark, f"{sf_dir}/documents.parquet")
+    run_stream_to_table(spark, sdf, name, output_mode="append")
+    return spark.table(name)
+
+
+_SQL_STREAM_MEDIA_DECODE = """
+SELECT doc_id,
+  (doc_id % 7 + 2)::int AS width,
+  (doc_id % 5 + 2)::int AS height,
+  'L' AS mode,
+  list_sum(flatten(list_transform(range((doc_id % 5 + 2)::int), y ->
+    list_transform(range((doc_id % 7 + 2)::int), x ->
+      (doc_id + 3*x + 5*y) % 256))))::bigint AS px_sum,
+  NULL::varchar AS error
+FROM documents
+"""

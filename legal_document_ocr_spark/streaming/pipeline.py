@@ -669,3 +669,52 @@ def stream_cms_registers(
         .groupBy("d", "slot")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def stream_media_decode(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """Streaming multimodal decode — the 14th streaming surface and the
+    first BINARY one: image payloads arriving on the stream decode
+    through the SAME Arrow kernel as the batch ``image_decode`` stage
+    (codecs.decode_png via operators.multimodal._image_decode), emitting
+    per-image (width, height, mode, px_sum, error) rows in append mode.
+    The decode is stateless, so the availableNow drain is row-for-row
+    the batch decode of the same payloads — which is what the oracle
+    states in closed form. Per-record error isolation carries over
+    unchanged: a corrupt payload error-flags its own output row, it
+    cannot fail the micro-batch.
+
+    Streaming nuance vs the batch stage: ``ensure_parallelism`` probes
+    ``df.rdd`` (illegal on a streaming plan), so the kernel maps over
+    the source's own partitioning — at scale a file-stream source
+    arrives pre-partitioned by file, the batch concern doesn't apply.
+
+    Output: (doc_id, width, height, mode, px_sum, error).
+    """
+    from ..operators.multimodal import IMAGE_DECODE_SCHEMA, _image_decode
+
+    stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(
+        _as_stream_dir(spark, docs_dir)
+    )
+
+    def _synth(batches):
+        import pandas as pd
+
+        from ..codecs import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 7 + 2, d % 5 + 2
+                px = bytes(
+                    (d + 3 * x + 5 * y) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(encode_png(w, h, px, 0))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = stream.select("doc_id").mapInPandas(
+        _synth, "doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(_image_decode, IMAGE_DECODE_SCHEMA)
