@@ -121,6 +121,14 @@ HEADLINE = [
     "consistent_hash_moves",  # rendezvous re-shard audit (pure codegen battery)
     "source_similarity",      # inter-source shingle Jaccard, in-row pair fan-out
     "stitch_series",          # paginated-article reassembly (bounded collect)
+    # round-4 session-18 additions
+    "warc_gz_members",        # .warc.gz member walk (real CC file framing)
+    "split_sentences",        # sentence grain: explode + ONE-exchange reassembly
+    "wordpiece_segments",     # greedy longest-match tokenizer (vocab-table Arrow)
+    "amp_pairs",              # AMP<->canonical pair election (SHJ full-outer)
+    "phash_groups",           # DCT perceptual hash (mapInPandas) + count join
+    "image_harvest",          # 4-parser multimodal capstone, min_by election
+    "tiff_lzw_decode",        # TIFF6 LZW + predictor decode (mapInPandas)
 ]
 
 
