@@ -594,21 +594,19 @@ FROM rows_
 
 
 def q_image_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal harvest capstone: the four REAL image-source parsers
-    (urls.extract_image_alt_pairs, parse_srcset, opengraph_meta,
-    extract_data_uris) over one decorated corpus, root-relative targets
-    resolved uniformly, then deduped per (url, candidate) with
-    precedence election og > img > srcset > data (min_by over the
-    priority — map-side combined, ONE exchange). Overlaps are planted —
-    every page's srcset repeats the img src, every 3rd doc's og:image
-    IS the img src — so the election and n_sources are load-bearing.
-    Output: (url, candidate, via, n_sources)."""
-    from ..operators.urls import (
-        extract_data_uris,
-        extract_image_alt_pairs,
-        opengraph_meta,
-        parse_srcset,
-    )
+    """Multimodal harvest capstone (urls.harvest_image_candidates): all
+    four image sources — captioned img src, srcset, og:image, data-URI —
+    mined in ONE fused scan of the payload (the standalone parsers each
+    re-read the html column; their unit oracles pin per-source
+    semantics, and test_harvest_image_candidates_matches_standalone_
+    parsers pins the fusion's equivalence to their composition), then
+    deduped per (url, candidate) with precedence election og > img >
+    srcset > data (min_by — map-side combined, ONE exchange, no joins).
+    Overlaps are planted — every page's srcset repeats the img src,
+    every 3rd doc's og:image IS the img src — so the election and
+    n_sources are load-bearing. Output: (url, candidate, via,
+    n_sources)."""
+    from ..operators.urls import harvest_image_candidates
 
     u = _urls(spark, sf_dir)
     d = F.col("doc_id")
@@ -630,40 +628,7 @@ def q_image_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</body></html>"),
     )
     pages = u.select("url", F.encode(html, "UTF-8").alias("html"))
-
-    host = F.concat(
-        F.lit("https://"),
-        F.regexp_extract("url", r"^https://([^/]+)/", 1),
-    )
-    resolve = lambda c: F.when(  # noqa: E731
-        c.startswith("/"), F.concat(host, c)
-    ).otherwise(c)
-
-    img = extract_image_alt_pairs(pages).select(
-        "url", F.col("img_url").alias("candidate"),
-        F.lit("img").alias("via"), F.lit(2).alias("prio"),
-    )
-    srcset = parse_srcset(pages).select(
-        "url", resolve(F.col("candidate_url")).alias("candidate"),
-        F.lit("srcset").alias("via"), F.lit(3).alias("prio"),
-    )
-    og = (
-        opengraph_meta(pages)
-        .where(F.col("og_image").isNotNull())
-        .select(
-            "url", resolve(F.col("og_image")).alias("candidate"),
-            F.lit("og").alias("via"), F.lit(1).alias("prio"),
-        )
-    )
-    data = extract_data_uris(pages).select(
-        "url",
-        F.concat(F.lit("data:"), "mime", F.lit(":"), "payload_md5").alias(
-            "candidate"
-        ),
-        F.lit("data").alias("via"), F.lit(4).alias("prio"),
-    )
-    allc = img.unionByName(srcset).unionByName(og).unionByName(data)
-    return allc.groupBy("url", "candidate").agg(
+    return harvest_image_candidates(pages).groupBy("url", "candidate").agg(
         F.min_by("via", "prio").alias("via"),
         F.count("*").alias("n_sources"),
     )

@@ -7637,3 +7637,57 @@ def test_wordpiece_segment_greedy_longest_match_no_unk(spark):
     assert rows["abaqq"]["segmentation"] == "aba q q"  # greedy backoff
     assert rows["zzzz"]["segmentation"] == "z z z z"  # single-char floor
     assert all(r["segmentation"] for r in rows.values())
+
+
+def test_harvest_image_candidates_matches_standalone_parsers(spark):
+    """The fused single-scan harvest must equal the composition of the
+    four standalone parsers (whose unit oracles pin per-source
+    semantics) on a page exercising every source and resolution case."""
+    from legal_document_ocr_spark.operators.urls import (
+        extract_data_uris,
+        extract_image_alt_pairs,
+        harvest_image_candidates,
+        opengraph_meta,
+        parse_srcset,
+    )
+
+    html = (
+        '<html><head><meta property="og:image" content="/og/a.jpg"></head>'
+        '<body><img src="/i/a.jpg" alt="pic a">'
+        '<img src="//cdn.example.net/b.jpg" alt="pic b">'
+        '<img src="uncaptioned.jpg" alt="">'  # dropped: empty alt
+        '<img src="data:image/gif;base64,R0lGODdh" alt="inline">'  # data, not img
+        '<img srcset="/i/a.jpg 2x, , c.jpg 480w" alt="">'
+        "</body></html>"
+    ).encode()
+    pages = spark.createDataFrame(
+        [("https://h.example.com/x/1", html)], "url string, html binary"
+    )
+    fused = {
+        (r["url"], r["candidate"], r["via"])
+        for r in harvest_image_candidates(pages).collect()
+    }
+
+    def resolve(c):
+        if c.startswith("//"):
+            return "https:" + c
+        if c.startswith("/"):
+            return "https://h.example.com" + c
+        return c
+
+    composed = set()
+    for r in extract_image_alt_pairs(pages).collect():
+        if not r["img_url"].startswith("data:"):
+            composed.add((r["url"], r["img_url"], "img"))
+    for r in parse_srcset(pages).collect():
+        composed.add((r["url"], resolve(r["candidate_url"]), "srcset"))
+    for r in opengraph_meta(pages).collect():
+        if r["og_image"]:
+            composed.add((r["url"], resolve(r["og_image"]), "og"))
+    for r in extract_data_uris(pages).collect():
+        composed.add(
+            (r["url"], f"data:{r['mime']}:{r['payload_md5']}", "data")
+        )
+    assert fused == composed
+    assert ("https://h.example.com/x/1", "https://h.example.com/i/a.jpg", "img") in fused
+    assert ("https://h.example.com/x/1", "https://cdn.example.net/b.jpg", "img") in fused
