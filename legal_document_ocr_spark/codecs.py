@@ -15,8 +15,9 @@ WebP and video).
 Scope: non-interlaced 8-bit-depth PNG in grayscale (color type 0), RGB (2)
 and RGBA (6) with all five scanline filters; uncompressed 24-bit BMP;
 PCM WAV; baseline + progressive JPEG (jpeg.py); GIF87a/89a first frame; chunky 8-bit
-gray/RGB TIFF (uncompressed/PackBits/LZW strips with the horizontal-
-differencing predictor, II and MM byte orders, WhiteIsZero inverted). Reference analogue: the reference leans on PIL inside
+gray/RGB TIFF (uncompressed/PackBits/LZW/deflate strips with the
+horizontal-differencing predictor, II and MM byte orders, WhiteIsZero
+inverted). Reference analogue: the reference leans on PIL inside
 image_preprocessing_service.py:57-122 — same contract, stdlib engine.
 These kernels run inside Arrow-batched mapInPandas stages
 (operators/multimodal.py); per-image Python is the accepted cost of a real
@@ -632,17 +633,18 @@ def encode_tiff(
     *,
     packbits: bool = False,
     lzw: bool = False,
+    deflate: bool = False,
     predictor: int = 1,
     rows_per_strip: int | None = None,
     big_endian: bool = False,
 ) -> bytes:
     """Minimal baseline TIFF encoder (chunky, 8-bit, gray or RGB, one or
-    more strips, compression none/PackBits/LZW, predictor none/horizontal
-    differencing). For roundtrip tests."""
+    more strips, compression none/PackBits/LZW/deflate, predictor
+    none/horizontal differencing). For roundtrip tests."""
     spp = {"L": 1, "RGB": 3}[mode]
     if len(pixels) != width * height * spp:
         raise ValueError("pixel buffer does not match dimensions")
-    if packbits and lzw:
+    if packbits + lzw + deflate > 1:
         raise ValueError("pick one compression")
     if predictor not in (1, 2):
         raise ValueError("only predictor 1 (none) / 2 (horizontal) supported")
@@ -658,6 +660,8 @@ def encode_tiff(
             raw = _packbits_encode(raw)
         elif lzw:
             raw = _tiff_lzw_encode(raw)
+        elif deflate:
+            raw = zlib.compress(raw, 6)
         strips.append(raw)
 
     # strip data starts right after the 8-byte header; IFD follows the data
@@ -688,7 +692,7 @@ def encode_tiff(
         (256, 4, [width]),
         (257, 4, [height]),
         (258, 3, [8] * spp),
-        (259, 3, [5 if lzw else 32773 if packbits else 1]),
+        (259, 3, [5 if lzw else 8 if deflate else 32773 if packbits else 1]),
         (262, 3, [2 if mode == "RGB" else 1]),
         (273, 4, offsets),
         (277, 3, [spp]),
@@ -708,14 +712,15 @@ def encode_tiff(
 
 def decode_tiff(payload: bytes) -> dict:
     """Decode a baseline chunky 8-bit gray/RGB TIFF (compression none,
-    PackBits or LZW — MSB-first early-change variant — with predictor
-    none/horizontal-differencing, either byte order, multi-strip):
+    PackBits, deflate/zlib (8), or LZW — MSB-first early-change variant —
+    with predictor none/horizontal-differencing, either byte order,
+    multi-strip):
     {width, height, mode, pixels}. WhiteIsZero grayscale is inverted to
     the BlackIsZero convention the other decoders emit. Same hardening
     contract as decode_png: truncated IFDs/strips, dimension bombs and
     unsupported layouts raise ValueError/NotImplementedError before
-    large allocation. Tiled TIFF, JPEG/deflate-in-TIFF and planar
-    layouts stay library-bound (documented, not silent)."""
+    large allocation. Tiled TIFF, JPEG-in-TIFF and planar layouts stay
+    library-bound (documented, not silent)."""
     if payload[:4] == b"II*\x00":
         e = "<"
     elif payload[:4] == b"MM\x00*":
@@ -764,10 +769,10 @@ def decode_tiff(payload: bytes) -> dict:
         raise NotImplementedError(
             "only chunky 8-bit grayscale/RGB TIFF supported"
         )
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773):
         raise NotImplementedError(
-            "only uncompressed, LZW and PackBits TIFF supported (JPEG/"
-            "deflate-in-TIFF need an external codec)"
+            "only uncompressed, LZW, deflate and PackBits TIFF supported "
+            "(JPEG-in-TIFF needs an external codec)"
         )
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
@@ -799,6 +804,14 @@ def decode_tiff(payload: bytes) -> dict:
             out += _packbits_decode(raw, expected)
         elif comp == 5:
             out += _tiff_lzw_decode(raw, expected)
+        elif comp == 8:
+            try:
+                inflated = zlib.decompress(raw)
+            except zlib.error as e:
+                raise ValueError(f"corrupt TIFF deflate strip: {e}") from e
+            if len(inflated) < expected:
+                raise ValueError("TIFF deflate strip shorter than its rows")
+            out += inflated[:expected]
         else:
             if cnt < expected:
                 raise ValueError("TIFF strip shorter than its rows")

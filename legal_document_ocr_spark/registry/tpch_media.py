@@ -991,9 +991,12 @@ def q_tiff_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode_tiff/image_decode — round 4 session 18, retiring the LZW half
     of the TIFF scope note): synthesize one LZW-compressed TIFF per
     document with predictor (none/horizontal-differencing), byte order
-    and strip layout varying by doc_id so the MSB-first early-change
-    code path, the predictor undo and multi-strip reassembly are all
-    exercised across the corpus. The LZW bit-level semantics are pinned
+    and strip layout varying by doc_id — every 11th doc swaps LZW for
+    deflate-in-TIFF (compression 8, stdlib zlib) — so the MSB-first
+    early-change code path, the zlib strip path, the predictor undo and
+    multi-strip reassembly are all exercised across the corpus; the
+    oracle is compression-blind by construction (same pixels either
+    way). The LZW bit-level semantics are pinned
     separately against the TIFF6 §13 worked example
     (tests/test_codecs.py). Oracle restates the synthesis closed form:
     pixel (x,y,c) = (3*doc_id + 5x + 17y + 11c) % 256."""
@@ -1015,13 +1018,15 @@ def q_tiff_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for x in range(w)
                     for c in range(ch)
                 )
+                deflate = d % 11 == 0
                 payloads.append(
                     encode_tiff(
                         w,
                         h,
                         px,
                         "RGB" if ch == 3 else "L",
-                        lzw=True,
+                        lzw=not deflate,
+                        deflate=deflate,
                         predictor=2 if d % 3 == 0 else 1,
                         big_endian=d % 5 == 0,
                         rows_per_strip=2 if d % 7 == 0 else None,

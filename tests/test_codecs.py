@@ -655,11 +655,11 @@ def test_tiff_hardening():
         bomb = bomb[: j + 8] + struct.pack("<I", 1 << 16) + bomb[j + 12 :]
     with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
         decode_tiff(bomb)
-    # deflate-in-TIFF is declared out of scope, not mis-decoded
+    # JPEG-in-TIFF is declared out of scope, not mis-decoded
     j = good.find(struct.pack("<HHI", 259, 3, 1))
-    defl = good[: j + 8] + struct.pack("<H", 8) + good[j + 10 :]
+    jp = good[: j + 8] + struct.pack("<H", 7) + good[j + 10 :]
     with pytest.raises(NotImplementedError):
-        decode_tiff(defl)
+        decode_tiff(jp)
     # strip shorter than its rows
     j = good.find(struct.pack("<HHI", 279, 4, 1))
     short = good[: j + 8] + struct.pack("<I", 1) + good[j + 12 :]
@@ -979,3 +979,23 @@ def test_jpeg_progressive_eobrun_spans_blocks():
     # block 2 must be flat DC (no ACs) == 16/8 + 128 = 130 everywhere
     right = [dec["pixels"][y * 16 + x] for y in range(8) for x in range(8, 16)]
     assert set(right) == {130}
+
+
+@pytest.mark.parametrize("mode,ch", [("L", 1), ("RGB", 3)])
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_tiff_deflate_roundtrip_and_corrupt_strip_isolated(mode, ch, predictor):
+    from legal_document_ocr_spark.codecs import decode_tiff, encode_tiff
+
+    w, h = 9, 6
+    px = bytes((5 * i + 3) % 256 for i in range(w * h * ch))
+    enc = encode_tiff(
+        w, h, px, mode, deflate=True, predictor=predictor, rows_per_strip=2
+    )
+    assert decode_tiff(enc) == {
+        "width": w, "height": h, "mode": mode, "pixels": px,
+    }
+    # corrupt the first strip's zlib bytes -> ValueError, not zlib.error
+    body = bytearray(enc)
+    body[10] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(body))
