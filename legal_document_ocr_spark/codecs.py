@@ -41,10 +41,44 @@ _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
 MAX_IMAGE_PIXELS = 1 << 26
 
 
-def encode_png(width: int, height: int, pixels: bytes, color_type: int = 0) -> bytes:
-    """Minimal PNG encoder (filter 0 rows, one IDAT). ``pixels`` is
-    row-major samples, ``len == width*height*channels``."""
-    ch = _PNG_CHANNELS[color_type]
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_pass_dims(width: int, height: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Non-empty Adam7 passes as (x0, y0, dx, dy, pass_w, pass_h)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color_type: int = 0,
+    *,
+    palette: bytes | None = None,
+    trns: bytes | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal PNG encoder (filter 0 rows, one IDAT; optional Adam7
+    interlace and indexed color). ``pixels`` is row-major samples,
+    ``len == width*height*channels`` — palette indices for color type 3
+    (``palette`` = 3*n RGB bytes, optional ``trns`` per-entry alpha)."""
+    if color_type == 3:
+        ch = 1
+        if palette is None or len(palette) % 3 or not 3 <= len(palette) <= 768:
+            raise ValueError("color type 3 needs a 3*n-byte palette (n<=256)")
+    else:
+        ch = _PNG_CHANNELS[color_type]
     if len(pixels) != width * height * ch:
         raise ValueError("pixel buffer does not match dimensions")
 
@@ -56,17 +90,32 @@ def encode_png(width: int, height: int, pixels: bytes, color_type: int = 0) -> b
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     stride = width * ch
-    raw = b"".join(
-        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
-    )
-    return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
-    )
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(width, height):
+            for py in range(ph):
+                y = y0 + py * dy
+                row = bytearray()
+                for px_i in range(pw):
+                    x = x0 + px_i * dx
+                    row += pixels[(y * width + x) * ch : (y * width + x) * ch + ch]
+                parts.append(b"\x00" + bytes(row))
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(
+            b"\x00" + pixels[y * stride : (y + 1) * stride]
+            for y in range(height)
+        )
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += chunk(b"PLTE", palette)
+        if trns is not None:
+            out += chunk(b"tRNS", trns)
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
 
 
 def _unfilter(raw: bytes, width: int, height: int, ch: int) -> bytes:
@@ -106,17 +155,22 @@ def _unfilter(raw: bytes, width: int, height: int, ch: int) -> bytes:
 
 
 def decode_png(payload: bytes) -> dict:
-    """Decode a non-interlaced 8-bit PNG: {width, height, mode, pixels}.
+    """Decode an 8-bit PNG — gray (0), RGB (2), indexed (3, PLTE +
+    optional tRNS -> RGB/RGBA) and RGBA (6), plain or Adam7-interlaced:
+    {width, height, mode, pixels}.
 
     Hardened against attacker-controlled input (a crawl corpus is exactly
     that): truncated chunk framing, missing/short IHDR, dimensioned
-    decompression bombs (> MAX_IMAGE_PIXELS) and short IDAT streams all
-    raise ValueError BEFORE any large allocation — never KeyError /
-    IndexError / MemoryError.
+    decompression bombs (> MAX_IMAGE_PIXELS), short IDAT streams, and
+    palette indices past the PLTE all raise ValueError BEFORE any large
+    allocation — never KeyError / IndexError / MemoryError.
     """
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, width, height, ctype, idat = 8, None, None, None, b""
+    interlace = 0
+    plte: bytes | None = None
+    trns: bytes | None = None
     while pos < len(payload):
         if pos + 8 > len(payload):
             raise ValueError("truncated PNG chunk header")
@@ -132,9 +186,14 @@ def decode_png(payload: bytes) -> dict:
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data[:13]
             )
-            if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
+            if (
+                depth != 8
+                or (ctype not in _PNG_CHANNELS and ctype != 3)
+                or interlace not in (0, 1)
+            ):
                 raise NotImplementedError(
-                    "only 8-bit non-interlaced gray/RGB/RGBA PNG supported"
+                    "only 8-bit gray/RGB/indexed/RGBA PNG supported "
+                    "(plain or Adam7)"
                 )
             if width <= 0 or height <= 0:
                 raise ValueError("invalid PNG dimensions")
@@ -143,23 +202,75 @@ def decode_png(payload: bytes) -> dict:
                     f"PNG dimensions {width}x{height} exceed "
                     f"MAX_IMAGE_PIXELS={MAX_IMAGE_PIXELS}"
                 )
+        elif tag == b"PLTE":
+            if length % 3 or length > 768:
+                raise ValueError("malformed PLTE")
+            plte = data
+        elif tag == b"tRNS":
+            trns = data
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
             break
     if ctype is None:
         raise ValueError("PNG missing IHDR")
-    ch = _PNG_CHANNELS[ctype]
+    if ctype == 3 and plte is None:
+        raise ValueError("indexed PNG missing PLTE")
+    ch = 1 if ctype == 3 else _PNG_CHANNELS[ctype]
     try:
         raw = zlib.decompress(idat)
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    if len(raw) != height * (1 + width * ch):
-        raise ValueError(
-            f"PNG pixel data length {len(raw)} does not match "
-            f"{height}x{width}x{ch} scanlines"
-        )
-    pixels = _unfilter(raw, width, height, ch)
+    if interlace:
+        passes = _adam7_pass_dims(width, height)
+        expected = sum(ph * (1 + pw * ch) for _, _, _, _, pw, ph in passes)
+        if len(raw) != expected:
+            raise ValueError(
+                f"PNG pixel data length {len(raw)} does not match the "
+                f"Adam7 pass layout ({expected})"
+            )
+        pixels_b = bytearray(width * height * ch)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            span = ph * (1 + pw * ch)
+            sub = _unfilter(raw[off : off + span], pw, ph, ch)
+            off += span
+            for py in range(ph):
+                y = y0 + py * dy
+                for px_i in range(pw):
+                    x = x0 + px_i * dx
+                    s = (py * pw + px_i) * ch
+                    d = (y * width + x) * ch
+                    pixels_b[d : d + ch] = sub[s : s + ch]
+        pixels = bytes(pixels_b)
+    else:
+        if len(raw) != height * (1 + width * ch):
+            raise ValueError(
+                f"PNG pixel data length {len(raw)} does not match "
+                f"{height}x{width}x{ch} scanlines"
+            )
+        pixels = _unfilter(raw, width, height, ch)
+    if ctype == 3:
+        n_entries = len(plte) // 3
+        if any(i >= n_entries for i in pixels):
+            raise ValueError("PNG palette index past PLTE")
+        if trns is not None:
+            alpha = trns + b"\xff" * (n_entries - len(trns))
+            out = bytearray(len(pixels) * 4)
+            for j, i in enumerate(pixels):
+                out[j * 4 : j * 4 + 3] = plte[i * 3 : i * 3 + 3]
+                out[j * 4 + 3] = alpha[i]
+            return {
+                "width": width, "height": height,
+                "mode": "RGBA", "pixels": bytes(out),
+            }
+        out = bytearray(len(pixels) * 3)
+        for j, i in enumerate(pixels):
+            out[j * 3 : j * 3 + 3] = plte[i * 3 : i * 3 + 3]
+        return {
+            "width": width, "height": height,
+            "mode": "RGB", "pixels": bytes(out),
+        }
     mode = {1: "L", 3: "RGB", 4: "RGBA"}[ch]
     return {"width": width, "height": height, "mode": mode, "pixels": pixels}
 

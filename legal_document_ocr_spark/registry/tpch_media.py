@@ -1976,3 +1976,97 @@ SELECT doc_id,
   count(*) OVER (PARTITION BY doc_id % 37)::bigint AS n_same_phash
 FROM documents
 """
+
+
+def q_png_variants_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG indexed-color + Adam7 decode roundtrip (codecs.decode_png via
+    image_decode — round 4 session 18, retiring the non-interlaced /
+    truecolor-only scope notes): doc_id%4 rotates plain gray, Adam7
+    gray, indexed->RGB, and Adam7 indexed+tRNS->RGBA; palette entry e is
+    (7e, 11e, 13e) % 256 and index(x,y) = (d + x + 2y) % 16, so the
+    oracle restates the palette expansion in closed form."""
+    import pandas as _pd
+
+    from ..codecs import encode_png
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 8 + 2, d % 4 + 2
+                v = d % 4
+                if v < 2:
+                    px = bytes(
+                        (d + 13 * x + 29 * y) % 256
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    payloads.append(encode_png(w, h, px, 0, interlace=v == 1))
+                    continue
+                pal = bytes(
+                    c for e in range(16)
+                    for c in ((7 * e) % 256, (11 * e) % 256, (13 * e) % 256)
+                )
+                idx = bytes(
+                    (d + x + 2 * y) % 16 for y in range(h) for x in range(w)
+                )
+                trns = (
+                    bytes((16 * e) % 256 for e in range(8)) if v == 3 else None
+                )
+                payloads.append(
+                    encode_png(
+                        w, h, idx, 3,
+                        palette=pal, trns=trns, interlace=v == 3,
+                    )
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pages = _spread(_docs(spark, sf_dir).select("doc_id"))
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.image_decode(payloads)
+
+
+_SQL_PNG_VARIANTS_DECODE = """
+WITH px AS (
+  SELECT doc_id, (doc_id % 8 + 2)::int AS w, (doc_id % 4 + 2)::int AS h,
+    doc_id % 4 AS v
+  FROM documents
+)
+SELECT doc_id, w AS width, h AS height,
+  CASE v WHEN 0 THEN 'L' WHEN 1 THEN 'L' WHEN 2 THEN 'RGB'
+         ELSE 'RGBA' END AS mode,
+  CASE WHEN v < 2 THEN
+    list_sum(flatten(list_transform(range(h), y ->
+      list_transform(range(w), x -> (doc_id + 13*x + 29*y) % 256))))
+  WHEN v = 2 THEN
+    list_sum(flatten(list_transform(range(h), y ->
+      list_transform(range(w), x ->
+        (7*((doc_id + x + 2*y) % 16)) % 256
+        + (11*((doc_id + x + 2*y) % 16)) % 256
+        + (13*((doc_id + x + 2*y) % 16)) % 256))))
+  ELSE
+    list_sum(flatten(list_transform(range(h), y ->
+      list_transform(range(w), x ->
+        (7*((doc_id + x + 2*y) % 16)) % 256
+        + (11*((doc_id + x + 2*y) % 16)) % 256
+        + (13*((doc_id + x + 2*y) % 16)) % 256
+        + CASE WHEN (doc_id + x + 2*y) % 16 < 8
+               THEN (16*((doc_id + x + 2*y) % 16)) % 256
+               ELSE 255 END))))
+  END::bigint AS px_sum,
+  NULL::varchar AS error
+FROM px
+"""

@@ -999,3 +999,57 @@ def test_tiff_deflate_roundtrip_and_corrupt_strip_isolated(mode, ch, predictor):
     body[10] ^= 0xFF
     with pytest.raises(ValueError):
         decode_tiff(bytes(body))
+
+
+# ---------------------------------------------------------------------------
+# PNG indexed color + Adam7 interlace (round 4, session 18)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ct,ch", [(0, 1), (2, 3), (6, 4)])
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (8, 8), (13, 9), (16, 5)])
+def test_png_adam7_roundtrip_every_type_and_sub_pass_dims(ct, ch, w, h):
+    """Adam7 roundtrip incl. images smaller than the pass steps (empty
+    passes must be skipped on both sides)."""
+    px = bytes((7 * i + ct) % 256 for i in range(w * h * ch))
+    dec = decode_png(encode_png(w, h, px, ct, interlace=True))
+    assert (dec["width"], dec["height"], dec["pixels"]) == (w, h, px)
+
+
+def test_png_palette_expands_plte_and_trns():
+    pal = bytes(range(30))  # 10 RGB entries
+    idx = bytes([0, 3, 9, 5, 1, 2])
+    dec = decode_png(encode_png(3, 2, idx, 3, palette=pal))
+    assert dec["mode"] == "RGB"
+    assert dec["pixels"] == b"".join(pal[i * 3 : i * 3 + 3] for i in idx)
+    dec = decode_png(
+        encode_png(3, 2, idx, 3, palette=pal, trns=bytes([10, 20, 30]))
+    )
+    assert dec["mode"] == "RGBA"  # tRNS pads with opaque 255 past entry 2
+    exp = b"".join(
+        pal[i * 3 : i * 3 + 3] + bytes([(10, 20, 30)[i] if i < 3 else 255])
+        for i in idx
+    )
+    assert dec["pixels"] == exp
+    # interlaced + indexed compose
+    dec = decode_png(encode_png(3, 2, idx, 3, palette=pal, interlace=True))
+    assert dec["pixels"] == b"".join(pal[i * 3 : i * 3 + 3] for i in idx)
+
+
+def test_png_palette_hardening():
+    pal = bytes(range(30))
+    with pytest.raises(ValueError, match="palette index past PLTE"):
+        decode_png(encode_png(2, 1, bytes([0, 11]), 3, palette=pal))
+    # indexed without PLTE
+    import zlib as _zlib
+
+    from legal_document_ocr_spark.codecs import _PNG_SIG
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    raw = _zlib.compress(b"\x00\x00")
+    bad = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", raw)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(bad)
