@@ -17,7 +17,8 @@ and RGBA (6) with all five scanline filters; uncompressed 24-bit BMP;
 PCM WAV; baseline + progressive JPEG (jpeg.py); GIF87a/89a first frame; chunky 8-bit
 gray/RGB TIFF (uncompressed/PackBits/LZW/deflate strips with the
 horizontal-differencing predictor, II and MM byte orders, WhiteIsZero
-inverted). Reference analogue: the reference leans on PIL inside
+inverted); ICO favicon containers (PNG or 32-bit BGRA DIB members,
+largest member elected). Reference analogue: the reference leans on PIL inside
 image_preprocessing_service.py:57-122 — same contract, stdlib engine.
 These kernels run inside Arrow-batched mapInPandas stages
 (operators/multimodal.py); per-image Python is the accepted cost of a real
@@ -326,11 +327,13 @@ def decode_wav(payload: bytes) -> dict:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Dispatch by magic bytes. PNG/BMP/baseline-JPEG/GIF/TIFF decode for
-    real (jpeg.py: Huffman + IDCT, grayscale/YCbCr, 4:2:0, restart markers;
-    decode_gif below: LZW + interlace + palette; decode_tiff below:
-    uncompressed/PackBits strips, both byte orders); remaining formats
-    (WebP/video frames) still need an external codec."""
+    """Dispatch by magic bytes. PNG/BMP/baseline-JPEG/GIF/TIFF/ICO and
+    lossless WebP decode for real (jpeg.py: Huffman + IDCT,
+    grayscale/YCbCr, all samplings, restart markers; decode_gif below:
+    LZW + interlace + palette; decode_tiff below: none/PackBits/LZW/
+    deflate strips, both byte orders; decode_ico below: largest-member
+    election); lossy-VP8 WebP and video frames still need an external
+    codec."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"BM":
@@ -347,10 +350,12 @@ def decode_image(payload: bytes) -> dict:
         from .vp8l import decode_webp
 
         return decode_webp(payload)
+    if payload[:4] == b"\x00\x00\x01\x00":
+        return decode_ico(payload)
     raise NotImplementedError(
-        "only PNG, BMP, baseline JPEG, GIF, TIFF and lossless WebP (VP8L) "
-        "decode without an external codec library (lossy-VP8 WebP and "
-        "video need PIL/cv2/ffmpeg)"
+        "only PNG, BMP, baseline JPEG, GIF, TIFF, ICO and lossless WebP "
+        "(VP8L) decode without an external codec library (lossy-VP8 WebP "
+        "and video need PIL/cv2/ffmpeg)"
     )
 
 
@@ -1249,4 +1254,117 @@ def parse_exif(payload: bytes) -> dict:
         "datetime": ifd0.get(0x0132),
         "x_resolution_micro": rat_micro(ifd0, 0x011A),
         "exposure_micro": rat_micro(sub, 0x829A),
+    }
+
+
+# ---------------------------------------------------------------------------
+# ICO (favicon container — round 4, session 18)
+#
+# Favicons are the one image a crawler fetches for EVERY host, so the
+# corpus accumulates them at host cardinality; the container is a tiny
+# directory over PNG members (modern) or headerless BMP DIBs with a
+# doubled-height AND mask (legacy). Pure struct work.
+# ---------------------------------------------------------------------------
+
+
+def encode_ico(members: list) -> bytes:
+    """Build an ICO from member tuples ``(width, height, payload)`` where
+    payload is a complete PNG, or ``(width, height, rgba)`` raw pixels to
+    embed as a 32-bit BGRA DIB (chosen when the payload is not PNG-
+    magic). For roundtrip tests."""
+    entries = bytearray()
+    blobs = []
+    off = 6 + 16 * len(members)
+    for w, h, payload in members:
+        if payload[:8] != _PNG_SIG:  # embed as 32-bit BGRA DIB
+            rgba = payload
+            if len(rgba) != w * h * 4:
+                raise ValueError("raw member must be RGBA pixels")
+            dib = bytearray(
+                struct.pack(
+                    "<IiiHHIIiiII", 40, w, h * 2, 1, 32, 0, 0, 0, 0, 0, 0
+                )
+            )
+            for y in range(h - 1, -1, -1):  # bottom-up BGRA
+                for x in range(w):
+                    r, g, b, a = rgba[(y * w + x) * 4 : (y * w + x) * 4 + 4]
+                    dib += bytes((b, g, r, a))
+            and_stride = ((w + 31) // 32) * 4
+            dib += b"\x00" * (and_stride * h)  # AND mask: all visible
+            payload = bytes(dib)
+        entries += struct.pack(
+            "<BBBBHHII",
+            w if w < 256 else 0,
+            h if h < 256 else 0,
+            0, 0, 1, 32, len(payload), off,
+        )
+        blobs.append(payload)
+        off += len(payload)
+    return (
+        struct.pack("<HHH", 0, 1, len(members))
+        + bytes(entries)
+        + b"".join(blobs)
+    )
+
+
+def decode_ico(payload: bytes) -> dict:
+    """Decode an ICO favicon container: pick the LARGEST-area member
+    (the harvest wants the best asset), decode it — PNG members through
+    decode_png, legacy members as headerless 32-bit BGRA DIBs (doubled
+    height, bottom-up, AND mask ignored in favor of the alpha channel) —
+    and return {width, height, mode, pixels, n_members}. Same hardening
+    contract as the other decoders: truncated directories/members and
+    unsupported DIB depths raise before large allocation."""
+    if payload[:4] != b"\x00\x00\x01\x00" or len(payload) < 6:
+        raise ValueError("not an ICO")
+    (count,) = struct.unpack("<H", payload[4:6])
+    if count == 0 or 6 + 16 * count > len(payload):
+        raise ValueError("truncated ICO directory")
+    best = None
+    for i in range(count):
+        base = 6 + 16 * i
+        bw, bh, _, _, _, _, size, off = struct.unpack(
+            "<BBBBHHII", payload[base : base + 16]
+        )
+        w = bw or 256
+        h = bh or 256
+        if off + size > len(payload):
+            raise ValueError("ICO member out of bounds")
+        if best is None or w * h > best[0] * best[1]:
+            best = (w, h, off, size)
+    w, h, off, size = best
+    member = payload[off : off + size]
+    if member[:8] == _PNG_SIG:
+        dec = decode_png(member)
+        dec["n_members"] = count
+        return dec
+    if len(member) < 40:
+        raise ValueError("truncated ICO DIB header")
+    (
+        hdr_sz, dw, dh, planes, bpp, comp, _img_sz, _xp, _yp, _cu, _ci
+    ) = struct.unpack("<IiiHHIIiiII", member[:40])
+    if hdr_sz != 40 or comp != 0:
+        raise NotImplementedError("only BITMAPINFOHEADER DIB ICO members")
+    if bpp != 32:
+        raise NotImplementedError(
+            "only 32-bit BGRA or PNG ICO members supported"
+        )
+    if dw != w or dh != 2 * h:
+        raise ValueError("ICO DIB dimensions disagree with the directory")
+    if w * h > MAX_IMAGE_PIXELS:
+        raise ValueError("ICO dimensions exceed MAX_IMAGE_PIXELS")
+    need = 40 + w * h * 4
+    if len(member) < need:
+        raise ValueError("truncated ICO DIB pixel data")
+    out = bytearray(w * h * 4)
+    pos = 40
+    for y in range(h - 1, -1, -1):  # stored bottom-up
+        for x in range(w):
+            b, g, r, a = member[pos : pos + 4]
+            d = (y * w + x) * 4
+            out[d : d + 4] = bytes((r, g, b, a))
+            pos += 4
+    return {
+        "width": w, "height": h, "mode": "RGBA",
+        "pixels": bytes(out), "n_members": count,
     }

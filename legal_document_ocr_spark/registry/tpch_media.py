@@ -2070,3 +2070,64 @@ SELECT doc_id, w AS width, h AS height,
   NULL::varchar AS error
 FROM px
 """
+
+
+def q_ico_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICO favicon decode (codecs.decode_ico via image_decode): each doc
+    gets a two-member favicon — a small 32-bit BGRA DIB and a larger
+    PNG whose dims/pixels vary by doc_id — and the decoder must elect
+    the LARGEST member (the PNG) every time; every 3rd doc flips the
+    order so election can't be positional. Oracle restates the PNG
+    member's closed form: pixel (x,y) = (2*doc_id + 9x + 17y) % 256.
+    image_decode's schema drops n_members (shared across formats)."""
+    import pandas as _pd
+
+    from ..codecs import encode_ico, encode_png
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 9 + 3, d % 6 + 3
+                px = bytes(
+                    (2 * d + 9 * x + 17 * y) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                big = encode_png(w, h, px, 0)
+                small = bytes((d + i) % 256 for i in range(2 * 2 * 4))
+                members = [(2, 2, small), (w, h, big)]
+                if d % 3 == 0:
+                    members.reverse()
+                payloads.append(encode_ico(members))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pages = _spread(_docs(spark, sf_dir).select("doc_id"))
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.image_decode(payloads)
+
+
+_SQL_ICO_DECODE = """
+SELECT doc_id,
+  (doc_id % 9 + 3)::int AS width,
+  (doc_id % 6 + 3)::int AS height,
+  'L' AS mode,
+  list_sum(flatten(list_transform(range((doc_id % 6 + 3)::int), y ->
+    list_transform(range((doc_id % 9 + 3)::int), x ->
+      (2*doc_id + 9*x + 17*y) % 256))))::bigint AS px_sum,
+  NULL::varchar AS error
+FROM documents
+"""

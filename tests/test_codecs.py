@@ -1053,3 +1053,49 @@ def test_png_palette_hardening():
     )
     with pytest.raises(ValueError, match="missing PLTE"):
         decode_png(bad)
+
+
+# ---------------------------------------------------------------------------
+# ICO favicon container (round 4, session 18)
+# ---------------------------------------------------------------------------
+
+
+def test_ico_elects_largest_member_and_decodes_both_kinds():
+    from legal_document_ocr_spark.codecs import (
+        decode_ico,
+        decode_image,
+        encode_ico,
+        encode_png,
+    )
+
+    rgba = bytes((i * 5) % 256 for i in range(4 * 3 * 4))
+    png = encode_png(6, 5, bytes((3 * i) % 256 for i in range(6 * 5)), 0)
+    ico = encode_ico([(4, 3, rgba), (6, 5, png)])
+    dec = decode_image(ico)  # dispatch via \x00\x00\x01\x00 magic
+    assert (dec["width"], dec["height"], dec["n_members"]) == (6, 5, 2)
+    assert dec["mode"] == "L"
+    # legacy DIB member: BGRA bottom-up + AND mask, RGBA out
+    only_dib = decode_ico(encode_ico([(4, 3, rgba)]))
+    assert (only_dib["mode"], only_dib["pixels"]) == ("RGBA", rgba)
+
+
+def test_ico_hardening():
+    from legal_document_ocr_spark.codecs import decode_ico, encode_ico
+
+    rgba = bytes(4 * 3 * 4)
+    good = encode_ico([(4, 3, rgba)])
+    with pytest.raises(ValueError):
+        decode_ico(b"\x00\x00\x01\x00\x05")  # truncated header
+    with pytest.raises(ValueError):
+        decode_ico(good[:30])  # truncated directory
+    # member offset past EOF
+    bad = bytearray(good)
+    bad[6 + 12 : 6 + 16] = struct.pack("<I", len(good) + 100)
+    with pytest.raises(ValueError, match="out of bounds"):
+        decode_ico(bytes(bad))
+    # 8-bit DIB member is declared out of scope
+    eight = bytearray(good)
+    # bpp lives at DIB offset 14 within the member (after 6+16 directory)
+    eight[6 + 16 + 14 : 6 + 16 + 16] = struct.pack("<H", 8)
+    with pytest.raises(NotImplementedError):
+        decode_ico(bytes(eight))
