@@ -3076,3 +3076,65 @@ def harvest_image_candidates(
     return base.select(
         F.col("_u").alias("url"), F.explode(all_cands).alias("c")
     ).select("url", "c.candidate", "c.via", "c.prio")
+
+
+_SCRIPT_SRC_RE = r'(?is)<script\b[^>]*\bsrc="([^"]*)"'
+_STYLE_HREF_RE = r'(?is)<link\b[^>]*rel="stylesheet"[^>]*href="([^"]*)"'
+_IFRAME_SRC_RE = r'(?is)<iframe\b[^>]*\bsrc="([^"]*)"'
+
+
+def page_assets(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Sub-resource census -> (url, n_scripts, n_styles, n_imgs,
+    n_iframes, n_third_party, third_party_hosts): page-weight and
+    tracking structure from the asset graph — a page whose scripts come
+    mostly from OTHER hosts is ad-tech-heavy (quality signal beside
+    url_spam/security_headers), iframes mark embed shells, and the
+    distinct third-party host list feeds the tracker-domain rollup.
+
+    Third-party = an absolute-URL asset (script/style/iframe src) whose
+    host differs from the page's own; protocol-relative counts too
+    (same test as extract_links' resolution). One decode, four
+    extract_all passes, host comparison and distinct-host assembly all
+    in array expressions — codegen, no UDF, no shuffle.
+    """
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    page_host = F.lower(F.regexp_extract(F.col(url_col), _AUTH_RE, 1))
+    scripts = F.regexp_extract_all(html_txt, F.lit(_SCRIPT_SRC_RE), 1)
+    styles = F.regexp_extract_all(html_txt, F.lit(_STYLE_HREF_RE), 1)
+    iframes = F.regexp_extract_all(html_txt, F.lit(_IFRAME_SRC_RE), 1)
+    imgs = F.regexp_extract_all(html_txt, F.lit(_IMG_TAG_RE), 0)
+    refs = F.concat(scripts, styles, iframes)
+    asset_host = lambda a: F.lower(  # noqa: E731
+        F.when(
+            a.startswith("//"), F.regexp_extract(a, r"^//([^/?#]+)", 1)
+        ).otherwise(F.regexp_extract(a, _AUTH_RE, 1))
+    )
+    tp_hosts = F.array_distinct(
+        F.filter(
+            F.transform(
+                refs,
+                lambda a: F.when(
+                    (asset_host(a) != "") & (asset_host(a) != page_host),
+                    asset_host(a),
+                ),
+            ),
+            lambda h: h.isNotNull(),
+        )
+    )
+    n_tp = F.size(
+        F.filter(
+            refs,
+            lambda a: (asset_host(a) != "") & (asset_host(a) != page_host),
+        )
+    )
+    return df.select(
+        F.col(url_col).alias("url"),
+        F.size(scripts).cast("long").alias("n_scripts"),
+        F.size(styles).cast("long").alias("n_styles"),
+        F.size(imgs).cast("long").alias("n_imgs"),
+        F.size(iframes).cast("long").alias("n_iframes"),
+        n_tp.cast("long").alias("n_third_party"),
+        F.array_join(F.array_sort(tp_hosts), ",").alias("third_party_hosts"),
+    )

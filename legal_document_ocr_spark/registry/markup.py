@@ -658,3 +658,59 @@ SELECT url,
   'data', 1::bigint
 FROM u WHERE doc_id % 5 = 0
 """
+
+
+def q_page_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-resource census (urls.page_assets): every doc one first-party
+    script + d%3 imgs; every 2nd doc a third-party tracker script, every
+    5th a protocol-relative ad script (same host as the tracker on every
+    10th — distinct-host dedup is load-bearing), every 7th a first-party
+    stylesheet, every 4th a third-party iframe; an inline script must
+    not count."""
+    from ..operators.urls import page_assets
+
+    u = _urls(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    part = lambda c, frag: F.when(c, frag).otherwise(F.lit(""))  # noqa: E731
+    img = F.concat(F.lit('<img src="/i/'), ds, F.lit('.jpg" alt="x">'))
+    html = F.concat(
+        F.lit('<html><script src="/js/app.js"></script>'),
+        F.lit("<script>inline()</script>"),
+        part(d % 2 == 0, F.lit('<script src="https://t1.example.net/t.js"></script>')),
+        part(
+            d % 5 == 0,
+            F.when(
+                d % 10 == 0,
+                F.lit('<script src="//t1.example.net/a.js"></script>'),
+            ).otherwise(F.lit('<script src="//ads.example.org/a.js"></script>')),
+        ),
+        part(d % 7 == 0, F.lit('<link rel="stylesheet" href="/css/m.css">')),
+        part(d % 4 == 0, F.lit('<iframe src="https://f.example.io/e"></iframe>')),
+        F.when(d % 3 >= 1, img).otherwise(F.lit("")),
+        F.when(d % 3 >= 2, img).otherwise(F.lit("")),
+        F.lit("</html>"),
+    )
+    return page_assets(u.select("url", F.encode(html, "UTF-8").alias("html")))
+
+
+def _sql_page_assets() -> str:
+    return """
+SELECT
+  'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+  (1 + (doc_id % 2 = 0)::int + (doc_id % 5 = 0)::int)::bigint AS n_scripts,
+  (doc_id % 7 = 0)::int::bigint AS n_styles,
+  (doc_id % 3)::bigint AS n_imgs,
+  (doc_id % 4 = 0)::int::bigint AS n_iframes,
+  ((doc_id % 2 = 0)::int + (doc_id % 5 = 0)::int
+     + (doc_id % 4 = 0)::int)::bigint AS n_third_party,
+  coalesce(array_to_string(list_sort(list_distinct(
+    [h FOR h IN [
+      CASE WHEN doc_id % 2 = 0 THEN 't1.example.net' END,
+      CASE WHEN doc_id % 5 = 0 THEN
+        CASE WHEN doc_id % 10 = 0 THEN 't1.example.net'
+             ELSE 'ads.example.org' END END,
+      CASE WHEN doc_id % 4 = 0 THEN 'f.example.io' END
+    ] IF h IS NOT NULL])), ','), '') AS third_party_hosts
+FROM documents
+"""

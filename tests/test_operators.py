@@ -7691,3 +7691,29 @@ def test_harvest_image_candidates_matches_standalone_parsers(spark):
     assert fused == composed
     assert ("https://h.example.com/x/1", "https://h.example.com/i/a.jpg", "img") in fused
     assert ("https://h.example.com/x/1", "https://cdn.example.net/b.jpg", "img") in fused
+
+
+def test_page_assets_counts_and_third_party_split(spark):
+    from legal_document_ocr_spark.operators.urls import page_assets
+
+    html = (
+        '<html><script src="/js/app.js"></script>'
+        '<script src="https://cdn.tracker.net/t.js"></script>'
+        '<script src="//ads.example.org/a.js"></script>'
+        "<script>inline();</script>"  # no src -> not counted
+        '<link rel="stylesheet" href="https://h.example.com/css/m.css">'
+        '<link rel="alternate" href="/feed.xml">'  # not a stylesheet
+        '<img src="/i/a.jpg" alt="x"><img src="/i/b.jpg" alt="y">'
+        '<iframe src="https://cdn.tracker.net/frame"></iframe></html>'
+    ).encode()
+    df = spark.createDataFrame(
+        [("https://h.example.com/p/1", html)], "url string, html binary"
+    )
+    r = page_assets(df).collect()[0]
+    assert (r["n_scripts"], r["n_styles"], r["n_imgs"], r["n_iframes"]) == (
+        3, 1, 2, 1,
+    )
+    # tracker script + protocol-relative ad + tracker iframe; same-host
+    # absolute stylesheet and root-relative script are first-party
+    assert r["n_third_party"] == 3
+    assert r["third_party_hosts"] == "ads.example.org,cdn.tracker.net"
