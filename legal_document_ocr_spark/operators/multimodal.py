@@ -1004,3 +1004,79 @@ def image_phash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     selected = ensure_parallelism(df).selectExpr("doc_id", f"{payload_col} as payload")
     return selected.mapInPandas(kernel, PHASH_SCHEMA)
+
+
+IMAGE_COLORS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mean_r", LongType()),
+        StructField("mean_g", LongType()),
+        StructField("mean_b", LongType()),
+        StructField("dominant_bucket", LongType()),
+        StructField("n_px", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def image_colors(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Color profile per image -> (doc_id, mean_r/g/b, dominant_bucket,
+    n_px, error): the cheap visual feature a harvest wants before any
+    model — mean color finds blank/placeholder assets (solid-color
+    tracking pixels), the dominant 9-bit bucket (3 bits/channel,
+    r<<6|g<<3|b) clusters thumbnails by palette family. Integer-exact
+    (floored means, smallest-bucket tie-break) so the oracle can state
+    it in closed form. Same stage shape as image_ahash: decode +
+    profile in one Arrow batch, per-record error isolation, payloads
+    never move past this stage."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..codecs import decode_image as _decode
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "mean_r": [], "mean_g": [], "mean_b": [],
+                "dominant_bucket": [], "n_px": [], "error": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                out["doc_id"].append(doc_id)
+                try:
+                    img = _decode(bytes(payload))
+                    ch = {"L": 1, "RGB": 3, "RGBA": 4}[img["mode"]]
+                    a = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(
+                        -1, ch
+                    ).astype(np.int64)
+                    if ch == 1:
+                        rgb = np.repeat(a, 3, axis=1)
+                    else:
+                        rgb = a[:, :3]
+                    n = rgb.shape[0]
+                    means = rgb.sum(axis=0) // n
+                    buckets = (
+                        ((rgb[:, 0] >> 5) << 6)
+                        | ((rgb[:, 1] >> 5) << 3)
+                        | (rgb[:, 2] >> 5)
+                    )
+                    counts = np.bincount(buckets, minlength=512)
+                    dom = int(counts.argmax())  # argmax = smallest on ties
+                except Exception as e:  # noqa: BLE001 — per-record isolation
+                    for k in (
+                        "mean_r", "mean_g", "mean_b", "dominant_bucket", "n_px"
+                    ):
+                        out[k].append(None)
+                    out["error"].append(_decode_error_label(e))
+                    continue
+                out["mean_r"].append(int(means[0]))
+                out["mean_g"].append(int(means[1]))
+                out["mean_b"].append(int(means[2]))
+                out["dominant_bucket"].append(dom)
+                out["n_px"].append(int(n))
+                out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    selected = ensure_parallelism(df).selectExpr("doc_id", f"{payload_col} as payload")
+    return selected.mapInPandas(kernel, IMAGE_COLORS_SCHEMA)

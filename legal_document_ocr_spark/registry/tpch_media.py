@@ -2131,3 +2131,86 @@ SELECT doc_id,
   NULL::varchar AS error
 FROM documents
 """
+
+
+def q_image_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color profile (multimodal.image_colors) over per-doc RGB PNGs with
+    pixel (x,y) = (r,g,b) = ((d+8x)%256, (2d+16y)%256, (3d)%256) — blue
+    is constant per image so the dominant 9-bit bucket sweep has real
+    collisions; the oracle restates means (floored) and the bucket
+    argmax (smallest on ties) in closed form."""
+    import pandas as _pd
+
+    from ..codecs import encode_png
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 6 + 2, d % 4 + 2
+                px = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        px += bytes((
+                            (d + 8 * x) % 256,
+                            (2 * d + 16 * y) % 256,
+                            (3 * d) % 256,
+                        ))
+                payloads.append(encode_png(w, h, bytes(px), 2))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pages = _spread(_docs(spark, sf_dir).select("doc_id"))
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.image_colors(payloads)
+
+
+_SQL_IMAGE_COLORS = """
+WITH px AS (
+  SELECT doc_id, (doc_id % 6 + 2)::int AS w, (doc_id % 4 + 2)::int AS h
+  FROM documents
+), flat AS (
+  SELECT doc_id, w, h,
+    unnest(flatten(list_transform(range(h), y ->
+      list_transform(range(w), x ->
+        {r: (doc_id + 8*x) % 256,
+         g: (2*doc_id + 16*y) % 256,
+         b: (3*doc_id) % 256})))) AS p
+  FROM px
+), agg AS (
+  SELECT doc_id, w, h,
+    sum(p.r) // count(*) AS mean_r,
+    sum(p.g) // count(*) AS mean_g,
+    sum(p.b) // count(*) AS mean_b,
+    count(*) AS n_px
+  FROM flat GROUP BY doc_id, w, h
+), bk AS (
+  SELECT doc_id,
+    ((p.r // 32) * 64 + (p.g // 32) * 8 + (p.b // 32)) AS bucket,
+    count(*) AS c
+  FROM flat GROUP BY doc_id, bucket
+), dom AS (
+  SELECT doc_id, bucket AS dominant_bucket
+  FROM (
+    SELECT doc_id, bucket,
+      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bucket) AS rn
+    FROM bk
+  ) WHERE rn = 1
+)
+SELECT a.doc_id, a.mean_r::bigint AS mean_r, a.mean_g::bigint AS mean_g,
+  a.mean_b::bigint AS mean_b, d.dominant_bucket::bigint AS dominant_bucket,
+  a.n_px::bigint AS n_px, NULL::varchar AS error
+FROM agg a JOIN dom d USING (doc_id)
+"""

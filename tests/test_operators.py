@@ -7717,3 +7717,23 @@ def test_page_assets_counts_and_third_party_split(spark):
     # absolute stylesheet and root-relative script are first-party
     assert r["n_third_party"] == 3
     assert r["third_party_hosts"] == "ads.example.org,cdn.tracker.net"
+
+
+def test_image_colors_means_buckets_and_error_isolation(spark):
+    from legal_document_ocr_spark.codecs import encode_png
+    from legal_document_ocr_spark.operators.multimodal import image_colors
+
+    solid = encode_png(2, 2, bytes([200, 100, 30] * 4), 2)  # solid RGB
+    gray = encode_png(2, 1, bytes([10, 250]), 0)  # L replicates to RGB
+    df = spark.createDataFrame(
+        [(1, solid), (2, gray), (3, b"junk")],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in image_colors(df).collect()}
+    s = rows[1]
+    assert (s["mean_r"], s["mean_g"], s["mean_b"], s["n_px"]) == (200, 100, 30, 4)
+    assert s["dominant_bucket"] == (200 >> 5) * 64 + (100 >> 5) * 8 + (30 >> 5)
+    g = rows[2]
+    assert (g["mean_r"], g["mean_g"], g["mean_b"]) == (130, 130, 130)
+    assert g["dominant_bucket"] == 0  # tie between buckets of 10 and 250 -> smallest
+    assert rows[3]["error"] is not None and rows[3]["mean_r"] is None
