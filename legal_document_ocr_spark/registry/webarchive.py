@@ -391,3 +391,38 @@ SELECT url, 1::bigint, 'source', NULL, NULL,
   md5(lower(to_hex(encode(source))))
 FROM u
 """
+
+
+def q_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP ingestion (sources.archives.split_zip_members): one archive
+    per 10 docs, stored/deflated members alternating; member payloads
+    byte-verified via md5, ordering via row-number within archive.
+    compressed_size stays out of the contract (zlib-level-dependent)."""
+    from ..sources.archives import split_zip_members, synthesize_zip_archives_df
+
+    arcs = synthesize_zip_archives_df(spark, sf_dir)
+    m = split_zip_members(arcs)
+    return m.select(
+        "archive",
+        "member_idx",
+        "name",
+        "size",
+        "method",
+        "crc_ok",
+        F.md5(F.lower(F.hex("payload"))).alias("payload_md5"),
+    )
+
+
+_SQL_ZIP_MEMBERS = """
+SELECT
+  'arc-' || (doc_id // 10) || '.zip' AS archive,
+  (row_number() OVER (PARTITION BY doc_id // 10 ORDER BY doc_id) - 1)::bigint
+    AS member_idx,
+  'doc-' || doc_id || '.txt' AS name,
+  ((9 + length(doc_id::varchar)) * (doc_id % 4 + 1))::bigint AS size,
+  CASE WHEN doc_id % 2 = 1 THEN 'deflated' ELSE 'stored' END AS method,
+  1 AS crc_ok,
+  md5(lower(to_hex(encode(repeat('payload ' || doc_id || ' ',
+    (doc_id % 4 + 1)::int))))) AS payload_md5
+FROM documents
+"""

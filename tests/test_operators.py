@@ -7737,3 +7737,41 @@ def test_image_colors_means_buckets_and_error_isolation(spark):
     assert (g["mean_r"], g["mean_g"], g["mean_b"]) == (130, 130, 130)
     assert g["dominant_bucket"] == 0  # tie between buckets of 10 and 250 -> smallest
     assert rows[3]["error"] is not None and rows[3]["mean_r"] is None
+
+
+def test_split_zip_members_byte_exact_crc_and_error_isolation(spark):
+    import io
+    import zipfile
+
+    from legal_document_ocr_spark.sources.archives import split_zip_members
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("a.txt", b"hello hello hello", zipfile.ZIP_DEFLATED)
+        zf.writestr("dir/", b"")
+        zf.writestr("b.bin", bytes(range(256)), zipfile.ZIP_STORED)
+    good = buf.getvalue()
+    # corrupt b.bin's stored bytes -> CRC mismatch isolates that member
+    corrupt = bytearray(good)
+    pos = good.find(bytes(range(256)))
+    corrupt[pos] ^= 0xFF
+    df = spark.createDataFrame(
+        [("good.zip", good), ("bad.zip", bytes(corrupt)), ("junk.zip", b"PK\x00no")],
+        "archive string, payload binary",
+    )
+    rows = [
+        (r["archive"], r["name"], r["crc_ok"], r["payload"], r["error"])
+        for r in split_zip_members(df).collect()
+    ]
+    by_arc = {}
+    for a, n, ok, p, e in rows:
+        by_arc.setdefault(a, []).append((n, ok, p, e))
+    g = dict((n, (ok, p)) for n, ok, p, _ in by_arc["good.zip"])
+    assert set(g) == {"a.txt", "b.bin"}  # dir skipped
+    assert g["a.txt"] == (1, bytearray(b"hello hello hello"))
+    assert g["b.bin"][1] == bytearray(range(256))
+    bad = {n: (ok, e) for n, ok, _, e in by_arc["bad.zip"]}
+    assert bad["b.bin"][0] == 0 and "BadZipFile" in bad["b.bin"][1]
+    assert bad["a.txt"][0] == 1  # sibling member survives
+    junk = by_arc["junk.zip"]
+    assert len(junk) == 1 and "BadZipFile" in junk[0][3]
