@@ -310,12 +310,81 @@ def decode_bmp(payload: bytes) -> dict:
     return {"width": width, "height": height, "mode": "RGB", "pixels": bytes(out)}
 
 
+def _g711_ulaw_to_pcm16(b: int) -> int:
+    """ITU-T G.711 μ-law byte -> linear 16-bit sample (table semantics
+    verified against CPython's audioop.ulaw2lin in the test suite)."""
+    b = ~b & 0xFF
+    exp = (b >> 4) & 7
+    mant = b & 0x0F
+    sample = (((mant << 3) + 0x84) << exp) - 0x84
+    return -sample if b & 0x80 else sample
+
+
+def _g711_alaw_to_pcm16(b: int) -> int:
+    """ITU-T G.711 A-law byte -> linear 16-bit sample (verified against
+    audioop.alaw2lin)."""
+    b ^= 0x55
+    exp = (b >> 4) & 7
+    mant = b & 0x0F
+    if exp:
+        sample = ((mant << 4) + 0x108) << (exp - 1)
+    else:
+        sample = (mant << 4) + 8
+    # A-law: bit 7 SET means positive (opposite of μ-law's complemented form)
+    return sample if b & 0x80 else -sample
+
+
+_ULAW_TABLE = [_g711_ulaw_to_pcm16(i) for i in range(256)]
+_ALAW_TABLE = [_g711_alaw_to_pcm16(i) for i in range(256)]
+
+
 def decode_wav(payload: bytes) -> dict:
-    """Decode a PCM WAV via stdlib wave: {channels, sample_rate, n_frames,
-    sample_width, pcm}."""
+    """Decode a WAV: {channels, sample_rate, n_frames, sample_width,
+    pcm}. PCM (format 1) reads through stdlib wave; G.711 A-law (6) and
+    μ-law (7) — the telephony/voicemail encodings still common in
+    crawled audio — expand through the ITU-T tables to 16-bit linear
+    PCM (sample_width comes back 2). Truncated RIFF framing raises
+    ValueError, not struct.error."""
     import io
     import wave
 
+    fmt_tag = None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos = 12
+        while pos + 8 <= len(payload):
+            tag = payload[pos : pos + 4]
+            (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            if tag == b"fmt " and ln >= 16:
+                (fmt_tag,) = struct.unpack(
+                    "<H", payload[pos + 8 : pos + 10]
+                )
+                break
+            pos += 8 + ln + (ln & 1)
+    if fmt_tag in (6, 7):
+        # wave refuses compressed formats; walk the RIFF chunks directly
+        ch, rate = struct.unpack("<HI", payload[pos + 10 : pos + 16])
+        pos2 = 12
+        data = None
+        while pos2 + 8 <= len(payload):
+            tag = payload[pos2 : pos2 + 4]
+            (ln,) = struct.unpack("<I", payload[pos2 + 4 : pos2 + 8])
+            if tag == b"data":
+                if pos2 + 8 + ln > len(payload):
+                    raise ValueError("truncated WAV data chunk")
+                data = payload[pos2 + 8 : pos2 + 8 + ln]
+                break
+            pos2 += 8 + ln + (ln & 1)
+        if data is None:
+            raise ValueError("WAV missing data chunk")
+        table = _ALAW_TABLE if fmt_tag == 6 else _ULAW_TABLE
+        pcm = struct.pack(f"<{len(data)}h", *(table[b] for b in data))
+        return {
+            "channels": ch,
+            "sample_rate": rate,
+            "n_frames": len(data) // ch,
+            "sample_width": 2,
+            "pcm": pcm,
+        }
     with wave.open(io.BytesIO(payload), "rb") as w:
         return {
             "channels": w.getnchannels(),
@@ -324,6 +393,25 @@ def decode_wav(payload: bytes) -> dict:
             "sample_width": w.getsampwidth(),
             "pcm": w.readframes(w.getnframes()),
         }
+
+
+def encode_wav_g711(
+    samples: bytes, *, alaw: bool = False, channels: int = 1,
+    sample_rate: int = 8000,
+) -> bytes:
+    """Wrap raw G.711 bytes in a WAV container (format tag 6/7). For
+    roundtrip tests and synthesis — the companded bytes are the input."""
+    fmt = struct.pack(
+        "<HHIIHH", 6 if alaw else 7, channels, sample_rate,
+        sample_rate * channels, channels, 8,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(samples))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
 
 
 def decode_image(payload: bytes) -> dict:

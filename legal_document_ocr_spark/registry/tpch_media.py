@@ -2214,3 +2214,68 @@ SELECT a.doc_id, a.mean_r::bigint AS mean_r, a.mean_g::bigint AS mean_g,
   a.n_px::bigint AS n_px, NULL::varchar AS error
 FROM agg a JOIN dom d USING (doc_id)
 """
+
+
+def q_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 telephony WAV decode (codecs.decode_wav format tags 6/7 via
+    audio_decode): companded byte i = (7*doc_id + 13*i) % 256, docs
+    alternating u-law/A-law; the oracle restates the ITU-T expansion in
+    closed-form integer arithmetic (the 512-entry tables are pinned
+    against CPython's audioop in the unit suite)."""
+    import pandas as _pd
+
+    from ..codecs import encode_wav_g711
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                raw = bytes((7 * d + 13 * i) % 256 for i in range(d % 24 + 4))
+                payloads.append(encode_wav_g711(raw, alaw=d % 2 == 1))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pages = _spread(_docs(spark, sf_dir).select("doc_id"))
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.audio_decode(payloads)
+
+
+_SQL_G711_DECODE = """
+WITH s AS (
+  SELECT doc_id, i, (7*doc_id + 13*i) % 256 AS b
+  FROM documents, unnest(range((doc_id % 24 + 4)::int)) AS t(i)
+), ex AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN
+      -- u-law: complement, biased mantissa, sign = bit 7 of complement
+      CASE WHEN (255 - b) >= 128 THEN -1 ELSE 1 END
+        * ((((255 - b) % 16) * 8 + 132) * (1 << (((255 - b) // 16) % 8)) - 132)
+    ELSE
+      -- A-law: xor 0x55, bit 7 SET means positive
+      CASE WHEN b >= 128 THEN 1 ELSE -1 END
+        * CASE WHEN ((xor(b::bigint, 85) // 16) % 8) > 0
+               THEN ((xor(b::bigint, 85) % 16) * 16 + 264)
+                    * (1 << (((xor(b::bigint, 85) // 16) % 8) - 1))
+               ELSE (xor(b::bigint, 85) % 16) * 16 + 8 END
+    END AS sample
+  FROM s
+)
+SELECT d.doc_id, 1::int AS channels, 8000::int AS sample_rate,
+  (d.doc_id % 24 + 4)::bigint AS n_frames,
+  sum(e.sample)::bigint AS sample_sum,
+  NULL::varchar AS error
+FROM documents d JOIN ex e ON d.doc_id = e.doc_id
+GROUP BY d.doc_id
+"""

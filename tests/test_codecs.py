@@ -1099,3 +1099,45 @@ def test_ico_hardening():
     eight[6 + 16 + 14 : 6 + 16 + 16] = struct.pack("<H", 8)
     with pytest.raises(NotImplementedError):
         decode_ico(bytes(eight))
+
+
+# ---------------------------------------------------------------------------
+# G.711 u-law / A-law WAV (round 4, session 18)
+# ---------------------------------------------------------------------------
+
+
+def test_g711_tables_match_audioop_reference():
+    """CPython's audioop (present through 3.12) carries the ITU-T G.711
+    reference tables — every one of the 512 byte expansions must match.
+    Import-guarded so the suite survives its 3.13 removal."""
+    audioop = pytest.importorskip("audioop")
+    from legal_document_ocr_spark.codecs import _ALAW_TABLE, _ULAW_TABLE
+
+    for i in range(256):
+        assert _ULAW_TABLE[i] == struct.unpack(
+            "<h", audioop.ulaw2lin(bytes([i]), 2)
+        )[0]
+        assert _ALAW_TABLE[i] == struct.unpack(
+            "<h", audioop.alaw2lin(bytes([i]), 2)
+        )[0]
+
+
+def test_g711_wav_decode_and_pcm_regression():
+    from legal_document_ocr_spark.codecs import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    raw = bytes(range(256))
+    d = decode_wav(encode_wav_g711(raw))
+    assert (d["sample_width"], d["n_frames"], d["sample_rate"]) == (2, 256, 8000)
+    assert struct.unpack("<256h", d["pcm"]) == tuple(_ULAW_TABLE[b] for b in raw)
+    d = decode_wav(encode_wav_g711(raw, alaw=True, channels=2))
+    assert d["channels"] == 2 and d["n_frames"] == 128
+    assert struct.unpack("<256h", d["pcm"]) == tuple(_ALAW_TABLE[b] for b in raw)
+    # truncated data chunk
+    enc = encode_wav_g711(raw)
+    with pytest.raises(ValueError):
+        decode_wav(enc[:-10])
