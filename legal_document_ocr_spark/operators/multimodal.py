@@ -1080,3 +1080,81 @@ def image_colors(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     selected = ensure_parallelism(df).selectExpr("doc_id", f"{payload_col} as payload")
     return selected.mapInPandas(kernel, IMAGE_COLORS_SCHEMA)
+
+
+MEDIA_PROFILE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mode", StringType()),
+        StructField("px_sum", LongType()),
+        StructField("phash_hex", StringType()),
+        StructField("mean_r", LongType()),
+        StructField("mean_g", LongType()),
+        StructField("mean_b", LongType()),
+        StructField("dominant_bucket", LongType()),
+        StructField("solid", IntegerType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def media_profile(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """FUSED media profiling — decode + pixel sum + DCT pHash + color
+    profile + solid-color flag in ONE Arrow stage: the production shape
+    for a media curation pipeline, where running image_decode,
+    image_phash and image_colors as separate stages would decode every
+    payload three times (at 100 TB of media that's the whole bill).
+    The standalone stages stay for single-facet use and pin the shared
+    kernels' semantics; this operator composes the same functions
+    per-record. ``solid`` = every byte of the decoded pixel buffer
+    equal (tracking pixels, placeholder thumbs). Per-record error
+    isolation as everywhere in the family."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..codecs import decode_image as _decode
+
+        cols = [f.name for f in MEDIA_PROFILE_SCHEMA.fields]
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+
+            def emit(**kw) -> None:
+                for c in cols:
+                    out[c].append(kw.get(c))
+
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    img = _decode(bytes(payload))
+                    ch = {"L": 1, "RGB": 3, "RGBA": 4}[img["mode"]]
+                    a = np.frombuffer(
+                        img["pixels"], dtype=np.uint8
+                    ).reshape(-1, ch).astype(np.int64)
+                    rgb = np.repeat(a, 3, axis=1) if ch == 1 else a[:, :3]
+                    n = rgb.shape[0]
+                    means = rgb.sum(axis=0) // n
+                    buckets = (
+                        ((rgb[:, 0] >> 5) << 6)
+                        | ((rgb[:, 1] >> 5) << 3)
+                        | (rgb[:, 2] >> 5)
+                    )
+                    dom = int(np.bincount(buckets, minlength=512).argmax())
+                    emit(
+                        doc_id=doc_id,
+                        width=img["width"], height=img["height"],
+                        mode=img["mode"], px_sum=int(a.sum()),
+                        phash_hex=phash63(img),
+                        mean_r=int(means[0]), mean_g=int(means[1]),
+                        mean_b=int(means[2]), dominant_bucket=dom,
+                        solid=int(a.max() == a.min()),
+                    )
+                except Exception as e:  # noqa: BLE001 — per-record isolation
+                    emit(doc_id=doc_id, error=_decode_error_label(e))
+            yield pd.DataFrame(out)
+
+    selected = ensure_parallelism(df).selectExpr("doc_id", f"{payload_col} as payload")
+    return selected.mapInPandas(kernel, MEDIA_PROFILE_SCHEMA)

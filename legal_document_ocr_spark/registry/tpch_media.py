@@ -2279,3 +2279,111 @@ SELECT d.doc_id, 1::int AS channels, 8000::int AS sample_rate,
 FROM documents d JOIN ex e ON d.doc_id = e.doc_id
 GROUP BY d.doc_id
 """
+
+
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media curation capstone (multimodal.media_profile — the FUSED
+    decode+pHash+color stage, payload touched ONCE): docs share one of
+    29 content groups served in rotating containers (PNG / TIFF-LZW /
+    ICO-wrapped-PNG — identical decoded pixels), every 13th doc's
+    payload is corrupted (error row, dropped), solid placeholder groups
+    (g%7==0) are filtered BEFORE dedup (a constant image's DCT hash is
+    float-noise-driven, so blanks must not reach the hash grouping —
+    that ordering is the point of the funnel), survivors group by exact
+    pHash (24 groups, pairwise-distinct hashes verified) and elect the
+    min-doc_id representative. Output: (doc_id, ok, solid, group_size,
+    keep). Scale shape: one Arrow stage + one short-key groupBy + one
+    hinted ShuffledHashJoin back; payloads never pass the profile."""
+    import pandas as _pd
+
+    from ..codecs import encode_ico, encode_png, encode_tiff
+    from ..operators.multimodal import media_profile
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d % 29
+                w, h = g % 7 + 3, g % 5 + 3
+                if g % 7 == 0:
+                    px = bytes([(g * 11) % 256] * (w * h))
+                else:
+                    px = bytes(
+                        (g * 13 + 5 * x + 9 * y) % 256
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                fmt = d % 3
+                if fmt == 0:
+                    p = encode_png(w, h, px, 0)
+                elif fmt == 1:
+                    p = encode_tiff(w, h, px, "L", lzw=True)
+                else:
+                    p = encode_ico([(w, h, encode_png(w, h, px, 0))])
+                if d % 13 == 0:
+                    p = b"corrupt" + p[:10]
+                payloads.append(p)
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pages = _spread(_docs(spark, sf_dir).select("doc_id"))
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    prof = media_profile(payloads).select(
+        "doc_id",
+        F.col("error").isNull().cast("int").alias("ok"),
+        "solid",
+        "phash_hex",
+    )
+    survivors = prof.where((F.col("ok") == 1) & (F.col("solid") == 0))
+    groups = survivors.groupBy("phash_hex").agg(
+        F.count("*").alias("group_size"),
+        F.min("doc_id").alias("rep"),
+    )
+    joined = survivors.join(groups.hint("shuffle_hash"), "phash_hex").select(
+        "doc_id",
+        F.lit(1).alias("ok"),
+        F.lit(0).alias("solid"),
+        F.col("group_size").cast("long").alias("group_size"),
+        (F.col("doc_id") == F.col("rep")).cast("int").alias("keep"),
+    )
+    rest = prof.where((F.col("ok") == 0) | (F.col("solid") != 0)).select(
+        "doc_id",
+        "ok",
+        F.coalesce("solid", F.lit(0)).alias("solid"),
+        F.lit(None).cast("long").alias("group_size"),
+        F.lit(0).alias("keep"),
+    )
+    return joined.unionByName(rest)
+
+
+_SQL_MEDIA_PIPELINE = """
+WITH base AS (
+  SELECT doc_id, doc_id % 29 AS g,
+    (doc_id % 13 <> 0)::int AS ok,
+    (doc_id % 29 % 7 = 0)::int AS solid
+  FROM documents
+), surv AS (
+  SELECT doc_id, g FROM base WHERE ok = 1 AND solid = 0
+), grp AS (
+  SELECT g, count(*) AS group_size, min(doc_id) AS rep FROM surv GROUP BY g
+)
+SELECT b.doc_id,
+  CASE WHEN b.ok = 1 AND b.solid = 0 THEN 1 ELSE b.ok END AS ok,
+  CASE WHEN b.ok = 0 THEN 0 ELSE b.solid END AS solid,
+  CASE WHEN b.ok = 1 AND b.solid = 0 THEN gr.group_size END::bigint
+    AS group_size,
+  (b.ok = 1 AND b.solid = 0 AND b.doc_id = gr.rep)::int AS keep
+FROM base b LEFT JOIN grp gr ON b.g = gr.g
+"""

@@ -7775,3 +7775,36 @@ def test_split_zip_members_byte_exact_crc_and_error_isolation(spark):
     assert bad["a.txt"][0] == 1  # sibling member survives
     junk = by_arc["junk.zip"]
     assert len(junk) == 1 and "BadZipFile" in junk[0][3]
+
+
+def test_media_profile_fused_matches_standalone_stages(spark):
+    """The fused profile must agree with image_decode/image_phash/
+    image_colors on the same payloads (shared kernels, one decode)."""
+    from legal_document_ocr_spark.codecs import encode_png, encode_tiff
+    from legal_document_ocr_spark.operators.multimodal import (
+        image_colors,
+        image_phash,
+        media_profile,
+    )
+
+    w, h = 7, 5
+    px = bytes((11 + 13 * x + 29 * y) % 256 for y in range(h) for x in range(w))
+    df = spark.createDataFrame(
+        [
+            (1, encode_png(w, h, px, 0)),
+            (2, encode_tiff(w, h, px, "L", lzw=True)),
+            (3, encode_png(2, 2, bytes([9] * 4), 0)),  # solid
+            (4, b"garbage"),
+        ],
+        "doc_id long, payload binary",
+    )
+    fused = {r["doc_id"]: r for r in media_profile(df).collect()}
+    ph = {r["doc_id"]: r["phash_hex"] for r in image_phash(df).collect()}
+    co = {r["doc_id"]: r for r in image_colors(df).collect()}
+    for d in (1, 2, 3):
+        assert fused[d]["phash_hex"] == ph[d]
+        assert fused[d]["mean_r"] == co[d]["mean_r"]
+        assert fused[d]["dominant_bucket"] == co[d]["dominant_bucket"]
+    assert fused[1]["phash_hex"] == fused[2]["phash_hex"]  # format-invariant
+    assert (fused[1]["solid"], fused[3]["solid"]) == (0, 1)
+    assert fused[4]["error"] is not None and fused[4]["phash_hex"] is None
