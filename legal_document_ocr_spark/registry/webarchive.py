@@ -426,3 +426,36 @@ SELECT
     (doc_id % 4 + 1)::int))))) AS payload_md5
 FROM documents
 """
+
+
+def q_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tar/tar.gz ingestion (sources.archives.split_tar_members): one
+    tarball per 10 docs, alternating plain/gzipped by group (compression
+    sniffed from magic, never the filename); payloads md5-verified,
+    mtimes closed-form."""
+    from ..sources.archives import split_tar_members, synthesize_tar_archives_df
+
+    arcs = synthesize_tar_archives_df(spark, sf_dir)
+    return split_tar_members(arcs).select(
+        "archive",
+        "member_idx",
+        "name",
+        "size",
+        "mtime",
+        F.md5(F.lower(F.hex("payload"))).alias("payload_md5"),
+    )
+
+
+_SQL_TAR_MEMBERS = """
+SELECT
+  'drop-' || (doc_id // 10) || '.tar'
+    || CASE WHEN (doc_id // 10) % 2 = 1 THEN '.gz' ELSE '' END AS archive,
+  (row_number() OVER (PARTITION BY doc_id // 10 ORDER BY doc_id) - 1)::bigint
+    AS member_idx,
+  'docs/doc-' || doc_id || '.txt' AS name,
+  ((5 + length(doc_id::varchar)) * (doc_id % 5 + 1))::bigint AS size,
+  (1700000000 + doc_id)::bigint AS mtime,
+  md5(lower(to_hex(encode(repeat('tar ' || doc_id || ' ',
+    (doc_id % 5 + 1)::int))))) AS payload_md5
+FROM documents
+"""

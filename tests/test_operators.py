@@ -7808,3 +7808,36 @@ def test_media_profile_fused_matches_standalone_stages(spark):
     assert fused[1]["phash_hex"] == fused[2]["phash_hex"]  # format-invariant
     assert (fused[1]["solid"], fused[3]["solid"]) == (0, 1)
     assert fused[4]["error"] is not None and fused[4]["phash_hex"] is None
+
+
+def test_split_tar_members_gz_sniff_and_tear_isolation(spark):
+    import gzip
+    import io
+    import tarfile
+
+    from legal_document_ocr_spark.sources.archives import split_tar_members
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, body in (("a.txt", b"alpha"), ("d/b.bin", bytes(range(64)))):
+            info = tarfile.TarInfo(name)
+            info.size = len(body)
+            tf.addfile(info, io.BytesIO(body))
+        dir_info = tarfile.TarInfo("d/")
+        dir_info.type = tarfile.DIRTYPE
+        tf.addfile(dir_info)  # directory skipped
+    plain = buf.getvalue()
+    gz = gzip.compress(plain, mtime=0)
+    torn = plain[: 512 + 256]  # header + half of a.txt's data block
+    df = spark.createDataFrame(
+        [("p.tar", plain), ("z.tar.gz", gz), ("t.tar", torn)],
+        "archive string, payload binary",
+    )
+    rows = {}
+    for r in split_tar_members(df).collect():
+        rows.setdefault(r["archive"], []).append(r)
+    for arc in ("p.tar", "z.tar.gz"):
+        got = {r["name"]: bytes(r["payload"]) for r in rows[arc] if r["name"]}
+        assert got == {"a.txt": b"alpha", "d/b.bin": bytes(range(64))}
+    t = rows["t.tar"]
+    assert any(r["error"] for r in t)  # tear surfaces as an error row
