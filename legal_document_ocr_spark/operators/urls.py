@@ -3138,3 +3138,70 @@ def page_assets(
         n_tp.cast("long").alias("n_third_party"),
         F.array_join(F.array_sort(tp_hosts), ",").alias("third_party_hosts"),
     )
+
+
+_IPV4_HOST_RE = r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$"
+
+
+def url_safety(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Fetch-safety gate -> (url, scheme_ok, host_kind, private_target,
+    port_ok, fetchable): the SSRF battery a crawler runs BEFORE
+    touching the network — redirect chains and attacker-authored pages
+    can point the fetcher at link-local metadata services
+    (169.254.169.254), RFC 1918 ranges, loopback, or exotic schemes,
+    and a fleet that fetches them exfiltrates its own credentials.
+
+    Classification is codegen-only: scheme whitelist (http/https),
+    host_kind in (name, ip4, localhost), IPv4 literals range-checked
+    octet-wise (loopback 127/8, RFC 1918 10/8 + 172.16/12 + 192.168/16,
+    link-local 169.254/16, 0.0.0.0), explicit ports bounded to
+    (80, 443, 8080, 8443). ``fetchable`` is the conjunction. DNS-level
+    private resolution (a NAME resolving to 10.x) is a resolver-side
+    check by nature and stays out of scope (documented) — this gate
+    kills the literal-IP and scheme vectors at scan speed.
+    """
+    url = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    auth = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
+    host = F.regexp_extract(auth, r"^([^:]*)", 1)
+    port_s = F.regexp_extract(auth, r":(\d+)$", 1)
+    scheme_ok = scheme.isin("http", "https").cast("int")
+    o = [
+        F.nullif(F.regexp_extract(host, _IPV4_HOST_RE, i), F.lit("")).cast(
+            "int"
+        )
+        for i in (1, 2, 3, 4)
+    ]
+    is_ip4 = o[0].isNotNull() & (o[0] <= 255) & (o[1] <= 255) & (
+        o[2] <= 255
+    ) & (o[3] <= 255)
+    host_kind = (
+        F.when(host == "localhost", F.lit("localhost"))
+        .when(is_ip4, F.lit("ip4"))
+        .otherwise(F.lit("name"))
+    )
+    private_ip = is_ip4 & (
+        (o[0] == 127)
+        | (o[0] == 10)
+        | ((o[0] == 172) & (o[1] >= 16) & (o[1] <= 31))
+        | ((o[0] == 192) & (o[1] == 168))
+        | ((o[0] == 169) & (o[1] == 254))
+        | ((o[0] == 0) & (o[1] == 0) & (o[2] == 0) & (o[3] == 0))
+    )
+    private_target = (
+        private_ip | (host_kind == "localhost")
+    ).cast("int")
+    port_ok = F.when(port_s == "", F.lit(1)).otherwise(
+        port_s.cast("int").isin(80, 443, 8080, 8443).cast("int")
+    )
+    fetchable = (
+        (scheme_ok == 1) & (private_target == 0) & (port_ok == 1)
+    ).cast("int")
+    return df.select(
+        url.alias("url"),
+        scheme_ok.alias("scheme_ok"),
+        host_kind.alias("host_kind"),
+        private_target.alias("private_target"),
+        port_ok.alias("port_ok"),
+        fetchable.alias("fetchable"),
+    )

@@ -714,3 +714,67 @@ SELECT
     ] IF h IS NOT NULL])), ','), '') AS third_party_hosts
 FROM documents
 """
+
+
+_SAFETY_URLS: tuple[tuple[str, int, str, int, int], ...] = (
+    # (url-suffix template slot, scheme_ok, host_kind, private, port_ok)
+    ("https://site{}.example.com/p", 1, "name", 0, 1),
+    ("http://site{}.example.com:8080/p", 1, "name", 0, 1),
+    ("http://site{}.example.com:2375/p", 1, "name", 0, 0),
+    ("ftp://site{}.example.com/p", 0, "name", 0, 1),
+    ("http://169.254.169.254/meta/{}", 1, "ip4", 1, 1),
+    ("http://10.1.2.3/x/{}", 1, "ip4", 1, 1),
+    ("http://172.20.0.1/x/{}", 1, "ip4", 1, 1),
+    ("http://172.15.0.1/x/{}", 1, "ip4", 0, 1),
+    ("http://192.168.0.9/x/{}", 1, "ip4", 1, 1),
+    ("http://127.0.0.1/x/{}", 1, "ip4", 1, 1),
+    ("http://localhost/x/{}", 1, "localhost", 1, 1),
+    ("http://8.8.8.8/x/{}", 1, "ip4", 0, 1),
+    ("http://999.1.1.1/x/{}", 1, "name", 0, 1),
+)
+
+
+def q_url_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSRF fetch gate (urls.url_safety) over a corpus cycling through
+    13 vectors: clean names, odd ports, non-http schemes, the cloud
+    metadata IP, every RFC 1918 range (plus the 172.15 just-outside
+    control), loopback, localhost, a public literal IP, and a malformed
+    IPv4 that must read as a NAME."""
+    from ..operators.urls import url_safety
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.element_at(
+        F.array(*[F.lit(u[0]) for u in _SAFETY_URLS]),
+        (F.col("doc_id") % len(_SAFETY_URLS) + 1).cast("int"),
+    )
+    url = F.replace(url, F.lit("{}"), F.col("doc_id").cast("string"))
+    return url_safety(docs.select(url.alias("url")))
+
+
+def _sql_url_safety() -> str:
+    n = len(_SAFETY_URLS)
+    u_case = " ".join(
+        f"WHEN {i} THEN '{u[0]}'" for i, u in enumerate(_SAFETY_URLS)
+    )
+    cases = {}
+    for j, name in ((1, "scheme_ok"), (2, "host_kind"), (3, "private_target"), (4, "port_ok")):
+        vals = " ".join(
+            f"WHEN {i} THEN "
+            + (f"'{u[j]}'" if name == "host_kind" else str(u[j]))
+            for i, u in enumerate(_SAFETY_URLS)
+        )
+        cases[name] = f"CASE doc_id % {n} {vals} END"
+    fetch = " ".join(
+        f"WHEN {i} THEN {int(u[1] == 1 and u[3] == 0 and u[4] == 1)}"
+        for i, u in enumerate(_SAFETY_URLS)
+    )
+    return f"""
+SELECT
+  replace(CASE doc_id % {n} {u_case} END, '{{}}', doc_id::varchar) AS url,
+  {cases['scheme_ok']}::int AS scheme_ok,
+  {cases['host_kind']} AS host_kind,
+  {cases['private_target']}::int AS private_target,
+  {cases['port_ok']}::int AS port_ok,
+  CASE doc_id % {n} {fetch} END::int AS fetchable
+FROM documents
+"""

@@ -7841,3 +7841,39 @@ def test_split_tar_members_gz_sniff_and_tear_isolation(spark):
         assert got == {"a.txt": b"alpha", "d/b.bin": bytes(range(64))}
     t = rows["t.tar"]
     assert any(r["error"] for r in t)  # tear surfaces as an error row
+
+
+def test_url_safety_kills_ssrf_vectors(spark):
+    from legal_document_ocr_spark.operators.urls import url_safety
+
+    urls = [
+        "https://h.example.com/a",
+        "http://h.example.com:8080/a",
+        "http://h.example.com:2375/a",  # weird port
+        "ftp://h.example.com/a",  # scheme
+        "http://169.254.169.254/latest/meta-data",  # cloud metadata
+        "http://10.0.0.5/x",
+        "http://172.20.1.1/x",
+        "http://172.15.1.1/x",  # just OUTSIDE 172.16/12
+        "http://192.168.1.1/x",
+        "http://127.0.0.1:80/x",
+        "http://localhost/x",
+        "http://8.8.8.8/x",  # public literal IP: kind ip4, fetchable
+        "http://999.1.1.1/x",  # not a valid IPv4 -> name
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    r = {x["url"]: x for x in url_safety(df).collect()}
+    assert r["https://h.example.com/a"]["fetchable"] == 1
+    assert r["http://h.example.com:8080/a"]["fetchable"] == 1
+    assert r["http://h.example.com:2375/a"]["port_ok"] == 0
+    assert r["ftp://h.example.com/a"]["scheme_ok"] == 0
+    for bad in (
+        "http://169.254.169.254/latest/meta-data", "http://10.0.0.5/x",
+        "http://172.20.1.1/x", "http://192.168.1.1/x",
+        "http://127.0.0.1:80/x", "http://localhost/x",
+    ):
+        assert r[bad]["private_target"] == 1 and r[bad]["fetchable"] == 0, bad
+    assert r["http://172.15.1.1/x"]["private_target"] == 0
+    assert r["http://8.8.8.8/x"]["host_kind"] == "ip4"
+    assert r["http://8.8.8.8/x"]["fetchable"] == 1
+    assert r["http://999.1.1.1/x"]["host_kind"] == "name"
