@@ -129,6 +129,9 @@ HEADLINE = [
     "phash_groups",           # DCT perceptual hash (mapInPandas) + count join
     "image_harvest",          # 4-parser multimodal capstone, min_by election
     "tiff_lzw_decode",        # TIFF6 LZW + predictor decode (mapInPandas)
+    "media_pipeline",         # FUSED decode+pHash+colors funnel capstone
+    "zip_members",            # archive-parallel ZIP member ingestion
+    "page_assets",            # asset census + third-party split (codegen)
 ]
 
 
