@@ -1658,3 +1658,141 @@ LEFT JOIN s1 a ON a.src = w.start
 LEFT JOIN s2 b ON b.src = a.nxt
 LEFT JOIN s3 c ON c.src = b.nxt
 """
+
+
+# ---------------------------------------------------------------------------
+# xml_sink_readback / xml_field_extract / variant_shred
+# (round-4 session-19: Spark-4-native semi-structured surfaces)
+# ---------------------------------------------------------------------------
+
+
+def q_xml_sink_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML datasource sink + schema-pinned read-back (Spark 4's
+    built-in XML source — the spark-xml lineage): documents metadata
+    written as ``<docs><doc>…</doc></docs>`` part files, read back with an
+    explicit schema (inference is a second full pass at 100 TB), then a
+    per-lang aggregate proving every value survived the markup round trip
+    (the writer's entity escaping is on the hot path for real titles)."""
+    import tempfile
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="ldos-xml-")
+    (
+        d.write.format("xml")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .mode("overwrite")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id long, lang string, source string, n_chars long")
+        .load(path)
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+
+
+_SQL_XML_SINK_READBACK = """
+SELECT lang, count(*)::bigint AS n_docs, sum(n_chars)::bigint AS sum_chars,
+  min(doc_id)::bigint AS min_doc, count(DISTINCT source)::bigint AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+def q_xml_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``from_xml`` + Hive xpath scalar surface over per-row XML records:
+    each doc is serialized to ``<doc id=…><lang/><t/><n/></doc>`` with an
+    order-correct entity-escape chain (& first, then angle brackets) on a
+    48-char text prefix, parsed back JVM-side with an explicit struct
+    schema (``ignoreSurroundingSpaces=false`` — 19% of prefixes carry
+    boundary whitespace a default parse would eat), plus ``xpath_long``
+    on the numeric element. The oracle states the original fields: any
+    escaping or whitespace defect breaks equality. All codegen — no UDF,
+    no shuffle before the final projection."""
+    d = _docs(spark, sf_dir)
+    esc = F.substring("text", 1, 48)
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    xml = F.concat(
+        F.lit('<doc id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><lang>'),
+        F.col("lang"),
+        F.lit("</lang><t>"),
+        esc,
+        F.lit("</t><n>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</n></doc>"),
+    )
+    parsed = F.from_xml(
+        xml,
+        "lang STRING, t STRING, n LONG",
+        {"ignoreSurroundingSpaces": "false"},
+    )
+    return d.select(
+        "doc_id",
+        parsed.getField("lang").alias("xlang"),
+        parsed.getField("t").alias("xtext"),
+        F.expr(
+            "xpath_long(concat('<doc><n>', cast(n_chars as string), "
+            "'</n></doc>'), '/doc/n')"
+        ).alias("xn"),
+    )
+
+
+_SQL_XML_FIELD_EXTRACT = """
+SELECT doc_id, lang AS xlang, substr(text, 1, 48) AS xtext,
+  n_chars::bigint AS xn
+FROM documents
+"""
+
+
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT shredding over the events JSON payload:
+    ``parse_json`` to the binary VARIANT encoding once, then typed path
+    extraction (``variant_get`` — hard-fails on type mismatch),
+    null-safe probing of an absent path (``try_variant_get`` must yield
+    NULL on every row, never a task failure), and ``schema_of_variant``
+    pinned to the literal shredded schema. VARIANT is the 100 TB answer
+    to ragged telemetry: one binary column, typed access at scan speed,
+    no per-key string re-parse."""
+    ev = _tbl(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    miss = F.expr("try_variant_get(parse_json(props), '$.missing', 'long')")
+    rows = ev.select(
+        "event_type",
+        k.alias("k"),
+        miss.alias("m"),
+        F.schema_of_variant(v).alias("sch"),
+    )
+    return rows.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("k") > 50, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hi"),
+        F.min("k").cast("long").alias("k_min"),
+        F.max("k").cast("long").alias("k_max"),
+        F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing"),
+        F.min("sch").alias("sch"),
+    )
+
+
+_SQL_VARIANT_SHRED = """
+SELECT event_type, count(*)::bigint AS n,
+  sum(CASE WHEN (props->>'k')::bigint > 50 THEN 1 ELSE 0 END)::bigint
+    AS n_hi,
+  min((props->>'k')::bigint) AS k_min,
+  max((props->>'k')::bigint) AS k_max,
+  count(*)::bigint AS n_missing,
+  'OBJECT<k: BIGINT>' AS sch
+FROM events GROUP BY event_type
+"""

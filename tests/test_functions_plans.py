@@ -55,3 +55,48 @@ def test_plan_helpers(spark):
     assert has_broadcast_join(joined)
     agg = docs.groupBy("lang").count()
     assert count_exchanges(agg) >= 1
+
+
+def test_xml_escape_roundtrip_adversarial(spark):
+    """The xml_field_extract escape chain must survive strings that contain
+    pre-escaped entities, bare markup, and boundary whitespace — cases the
+    synthetic corpus never produces."""
+    nasty = [
+        "a & b < c > d",
+        "&amp; already escaped",
+        "<t>fake element</t>",
+        "  leading and trailing  ",
+        'quotes " and \' pass through',
+        "&&&<<<>>>",
+    ]
+    df = spark.createDataFrame([(s,) for s in nasty], "orig string")
+    esc = F.col("orig")
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    xml = F.concat(F.lit("<r><t>"), esc, F.lit("</t></r>"))
+    back = df.select(
+        "orig",
+        F.from_xml(
+            xml, "t STRING", {"ignoreSurroundingSpaces": "false"}
+        ).getField("t").alias("rt"),
+    )
+    assert all(r.orig == r.rt for r in back.collect())
+
+
+def test_variant_typed_access_null_safety(spark):
+    """try_variant_get returns NULL (not a task failure) for absent paths
+    and for type-incompatible casts; variant_get succeeds on the typed
+    path. schema_of_variant reflects the shredded shape."""
+    df = spark.createDataFrame(
+        [('{"k": 7, "s": "x"}',), ('{"k": 9, "s": "y"}',)], "props string"
+    )
+    out = df.selectExpr(
+        "variant_get(parse_json(props), '$.k', 'long') AS k",
+        "try_variant_get(parse_json(props), '$.missing', 'long') AS m",
+        "try_variant_get(parse_json(props), '$.s', 'long') AS bad_cast",
+        "schema_of_variant(parse_json(props)) AS sch",
+    ).collect()
+    assert [r.k for r in out] == [7, 9]
+    assert all(r.m is None for r in out)
+    assert all(r.bad_cast is None for r in out)
+    assert all(r.sch == "OBJECT<k: BIGINT, s: STRING>" for r in out)
