@@ -132,6 +132,10 @@ HEADLINE = [
     "media_pipeline",         # FUSED decode+pHash+colors funnel capstone
     "zip_members",            # archive-parallel ZIP member ingestion
     "page_assets",            # asset census + third-party split (codegen)
+    # round-4 session-19 additions
+    "variant_shred",          # Spark-4 VARIANT typed shredding (scan speed)
+    "xml_field_extract",      # from_xml + xpath escape round trip (codegen)
+    "homoglyph_domains",      # confusable-skeleton spoof census (translate)
 ]
 
 

@@ -3205,3 +3205,59 @@ def url_safety(df: DataFrame, url_col: str = "url") -> DataFrame:
         port_ok.alias("port_ok"),
         fetchable.alias("fetchable"),
     )
+
+
+# --- confusable-skeleton homoglyph detection (round-4 session-19) ---------
+
+# Pinned single-codepoint confusable map — a deterministic UTS #39
+# "skeleton" subset covering the Cyrillic/Greek lookalikes and digit
+# confusables that dominate real domain-spoof corpora. Single-char
+# translate() only (multi-char folds like rn->m are a candidate-recall
+# refinement, documented out of scope): both engines restate the same
+# table, so the oracle can never drift from the operator.
+_CONFUSABLE_SRC = "аеорсхуіѕοαı" + "01"
+_CONFUSABLE_DST = "aeopcxyiso" + "ai" + "ol"
+
+
+def confusable_skeleton(df: DataFrame, col: str = "domain") -> DataFrame:
+    """Append ``skeleton``: the confusable-folded, lowercased form of
+    ``col``. Pure translate()+lower() codegen — runs at scan speed; at
+    100 TB this is the map side of a skeleton-keyed join against a
+    bounded brand list, never a Python pass."""
+    return df.withColumn(
+        "skeleton",
+        F.translate(
+            F.lower(F.col(col)), _CONFUSABLE_SRC, _CONFUSABLE_DST
+        ),
+    )
+
+
+def homoglyph_spoofs(
+    domains: DataFrame, brands: DataFrame, col: str = "domain"
+) -> DataFrame:
+    """Flag domains whose confusable skeleton collides with a protected
+    brand domain while the raw string differs — the IDN-homograph /
+    digit-substitution phishing shape (complements url_safety's
+    pre-network battery and idn_hosts' ACE decode).
+
+    ``brands`` (one ``brand`` column, ascii-lowercase) is bounded by
+    construction — broadcast it; ``domains`` is corpus-sized and only
+    ever map-side translated. Left join keeps legit + unrelated rows so
+    the result is a census, not just the hit list."""
+    b = confusable_skeleton(
+        brands.select(F.col("brand")), "brand"
+    ).withColumnRenamed("skeleton", "brand_skeleton")
+    d = confusable_skeleton(domains, col)
+    return d.join(
+        F.broadcast(b), d["skeleton"] == b["brand_skeleton"], "left"
+    ).select(
+        *domains.columns,
+        "skeleton",
+        "brand",
+        F.when(
+            F.col("brand").isNotNull() & (F.col(col) != F.col("brand")), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_spoof"),
+    )

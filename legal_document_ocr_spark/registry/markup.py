@@ -778,3 +778,77 @@ SELECT
   CASE doc_id % {n} {fetch} END::int AS fetchable
 FROM documents
 """
+
+
+# --- homoglyph_domains (round-4 session-19) --------------------------------
+
+# planted census cycling by doc_id % 12: three protected brands, six
+# confusable spoofs (Cyrillic а/о, Greek ο, digit 0/1), three unrelated
+# domains (the suffix-attack shape is documented out of scope for the
+# single-label skeleton).
+_SPOOF_DOMAINS: tuple[str, ...] = (
+    "paypal.com",
+    "pаypаl.com",      # Cyrillic а
+    "paypa1.com",                # digit 1
+    "google.com",
+    "gооgle.com",      # Cyrillic о
+    "g00gle.com",                # digit 0
+    "amazon.com",
+    "аmazon.com",           # Cyrillic а
+    "amazοn.com",           # Greek ο
+    "example.org",
+    "news.site",
+    "paypal-support.example",
+)
+_BRAND_DOMAINS: tuple[str, ...] = ("paypal.com", "google.com", "amazon.com")
+
+
+def q_homoglyph_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusable-skeleton homoglyph spoof census (UTS #39 subset —
+    urls.homoglyph_spoofs): domains whose skeleton collides with a
+    protected brand while the raw string differs flag is_spoof=1; the
+    brand list is bounded-broadcast, the corpus side is one translate()
+    at scan speed. Complements idn_hosts (ACE decode) and url_safety
+    (pre-network battery)."""
+    from ..operators.urls import homoglyph_spoofs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    domain = F.element_at(
+        F.array(*[F.lit(s) for s in _SPOOF_DOMAINS]),
+        (F.col("doc_id") % len(_SPOOF_DOMAINS) + 1).cast("int"),
+    )
+    brands = spark.createDataFrame(
+        [(b,) for b in _BRAND_DOMAINS], "brand string"
+    )
+    return homoglyph_spoofs(
+        docs.select("doc_id", domain.alias("domain")), brands
+    )
+
+
+def _sql_homoglyph_domains() -> str:
+    from ..operators.urls import _CONFUSABLE_DST, _CONFUSABLE_SRC
+
+    dom_case = " ".join(
+        f"WHEN {i} THEN '{d}'" for i, d in enumerate(_SPOOF_DOMAINS)
+    )
+    brand_rows = ", ".join(f"('{b}')" for b in _BRAND_DOMAINS)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE doc_id % {len(_SPOOF_DOMAINS)} {dom_case} END AS domain
+  FROM documents
+),
+b(brand) AS (SELECT * FROM (VALUES {brand_rows})),
+s AS (
+  SELECT doc_id, domain,
+    translate(lower(domain), '{_CONFUSABLE_SRC}', '{_CONFUSABLE_DST}')
+      AS skeleton
+  FROM d
+)
+SELECT doc_id, domain, skeleton, brand,
+  (CASE WHEN brand IS NOT NULL AND domain <> brand THEN 1 ELSE 0 END)::int
+    AS is_spoof
+FROM s LEFT JOIN b
+  ON s.skeleton = translate(lower(b.brand),
+                            '{_CONFUSABLE_SRC}', '{_CONFUSABLE_DST}')
+"""

@@ -1796,3 +1796,54 @@ SELECT event_type, count(*)::bigint AS n,
   'OBJECT<k: BIGINT>' AS sch
 FROM events GROUP BY event_type
 """
+
+
+def q_variant_explode_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``variant_explode`` TVF over per-event JSON tag arrays: the array
+    fan-out half of the VARIANT surface (variant_shred covers typed path
+    access). One parse per row, LATERAL explode at the JVM, typed
+    extraction from each VARIANT element; per-tag census with per-slot
+    counts proves positions survive. The 100 TB shape for ragged tag
+    arrays: no from_json schema declaration, no string re-parse per
+    element."""
+    ev = _tbl(spark, sf_dir, "events")
+    j = F.format_string(
+        '{"tags":[%d,%d,%d]}',
+        F.col("event_id") % 7,
+        (F.col("event_id") * 3 + 1) % 11,
+        (F.col("event_id") * 5 + 2) % 13,
+    )
+    ev.select(j.alias("j")).createOrReplaceTempView("_ldos_variant_tags")
+    exploded = spark.sql(
+        """
+        SELECT variant_get(t.value, '$', 'long') AS tag, t.pos AS pos
+        FROM _ldos_variant_tags,
+        LATERAL variant_explode(variant_get(parse_json(j), '$.tags')) AS t
+        """
+    )
+    return exploded.groupBy("tag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("pos") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos0"),
+        F.sum(F.when(F.col("pos") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos1"),
+        F.sum(F.when(F.col("pos") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos2"),
+    )
+
+
+_SQL_VARIANT_EXPLODE_TAGS = """
+WITH tags AS (
+  SELECT event_id % 7 AS tag, 0 AS pos FROM events
+  UNION ALL SELECT (event_id * 3 + 1) % 11, 1 FROM events
+  UNION ALL SELECT (event_id * 5 + 2) % 13, 2 FROM events
+)
+SELECT tag::bigint AS tag, count(*)::bigint AS n,
+  sum(CASE WHEN pos = 0 THEN 1 ELSE 0 END)::bigint AS n_pos0,
+  sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END)::bigint AS n_pos1,
+  sum(CASE WHEN pos = 2 THEN 1 ELSE 0 END)::bigint AS n_pos2
+FROM tags GROUP BY tag
+"""
