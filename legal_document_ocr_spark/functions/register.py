@@ -20,6 +20,7 @@ expression builders — no row-at-a-time Python):
 - ``ldos_clean_text(txt)     -> string`` (K8 golden normalization)
 - ``ldos_norm_match(txt)     -> string`` (K16 match-key normalization)
 - ``ldos_nfc(txt)            -> string`` (UAX #15 NFC canonicalization)
+- ``ldos_shingles(txt, k)    -> TABLE(pos, shingle)`` (Python UDTF, §2.10)
 """
 
 from __future__ import annotations
@@ -80,6 +81,21 @@ def _nfc_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         )
 
 
+class _ShinglesUDTF:
+    """Python UDTF (Spark 3.5+ table-function surface, §2.10): expand a
+    string into its positional k-shingles. UDTFs are row-at-a-time Python
+    — the repo's corpus-scale shingling stays in the codegen path
+    (dedup.minhash_bands); this is the declared escape hatch for
+    genuinely imperative row→table expansion, exercised over BOUNDED
+    inputs (distinct hosts, vocab tables), never raw documents."""
+
+    def eval(self, text: str, k: int):  # noqa: D102 — UDTF contract
+        if text is None or k is None or k <= 0:
+            return
+        for i in range(max(0, len(text) - k + 1)):
+            yield i, text[i : i + k]
+
+
 def register_all(spark: SparkSession) -> None:
     """Register the full SQL function surface on a session (idempotent)."""
     spark.udf.register("ldos_extract_page", _extract_page_udf)
@@ -88,3 +104,9 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ldos_clean_text", _clean_text_udf)
     spark.udf.register("ldos_norm_match", _norm_match_udf)
     spark.udf.register("ldos_nfc", _nfc_udf)
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register(
+        "ldos_shingles",
+        udtf(_ShinglesUDTF, returnType="pos int, shingle string"),
+    )

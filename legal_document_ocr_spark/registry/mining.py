@@ -1847,3 +1847,95 @@ SELECT tag::bigint AS tag, count(*)::bigint AS n,
   sum(CASE WHEN pos = 2 THEN 1 ELSE 0 END)::bigint AS n_pos2
 FROM tags GROUP BY tag
 """
+
+
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` aggregation (the scalable sessionizer:
+    a special merging aggregate — one shuffle on user_id, NO
+    full-partition sort window, exactly what sessionize_events' lag
+    formulation is the oracle shape for). 30-minute gap; sessions merge
+    while the next event lands strictly inside the previous window end,
+    microsecond-exact. Value sums go through cents-integers (the float
+    portability discipline)."""
+    _utc(spark)
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start"))
+            .cast("long")
+            .alias("start_sec"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+_SQL_SESSION_WINDOW_AGG = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+         THEN 1 ELSE 0 END AS is_break
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+    sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id, floor(epoch(min(ts)))::bigint AS start_sec,
+  count(*)::bigint AS n_events,
+  sum(round(value * 100)::bigint)::bigint AS value_cents
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (§2.10 — the table-function third of the
+    UDF/UDAF/UDTF contract): ``ldos_shingles`` LATERAL-expands each
+    DISTINCT host into positional 3-shingles, then a shingle census.
+    Scale discipline: the UDTF runs over the bounded distinct-host table
+    (20 rows), never the corpus — corpus-scale shingling stays in the
+    codegen minhash path."""
+    from ..functions.register import register_all
+
+    register_all(spark)
+    docs = _docs(spark, sf_dir)
+    docs.select("source").distinct().createOrReplaceTempView(
+        "_ldos_udtf_hosts"
+    )
+    return spark.sql(
+        """
+        SELECT shingle, count(*) AS n, min(source) AS min_source,
+               min(pos) AS min_pos
+        FROM _ldos_udtf_hosts, LATERAL ldos_shingles(source, 3)
+        GROUP BY shingle
+        """
+    ).select(
+        "shingle",
+        F.col("n").cast("long").alias("n"),
+        "min_source",
+        F.col("min_pos").cast("long").alias("min_pos"),
+    )
+
+
+_SQL_UDTF_SHINGLES = """
+WITH hosts AS (SELECT DISTINCT source FROM documents),
+sh AS (
+  SELECT source, i AS pos, substr(source, i + 1, 3) AS shingle
+  FROM hosts, LATERAL unnest(range(0, greatest(len(source) - 2, 0)))
+    AS t(i)
+)
+SELECT shingle, count(*)::bigint AS n, min(source) AS min_source,
+  min(pos)::bigint AS min_pos
+FROM sh GROUP BY shingle
+"""
