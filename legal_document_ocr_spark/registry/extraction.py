@@ -491,3 +491,42 @@ SELECT count(*)::bigint AS n_rows,
     AS member_digest
 FROM u
 """
+
+
+def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage counters via DataFrame.observe (scale/metrics.py): input
+    row count, char sum, and per-lang tally ride the SAME job as the
+    downstream keep-filter action — zero extra scans (the 100 TB
+    contract; a .count() per gauge would re-read the corpus). The
+    one-row result fuses the observed metrics with the action's own
+    aggregate."""
+    from ..scale.metrics import observed_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    observed, obs = observed_counts(
+        docs,
+        "ldos_input",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "sum_chars": F.sum("n_chars"),
+            "n_en": F.count(F.when(F.col("lang") == "en", F.lit(1))),
+        },
+    )
+    kept = (
+        observed.where(F.col("n_chars") > 100)
+        .agg(F.count("*").alias("k"))
+        .collect()[0]["k"]
+    )
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["sum_chars"]), int(m["n_en"]), int(kept))],
+        "n_rows long, sum_chars long, n_en long, n_kept long",
+    )
+
+
+_SQL_OBSERVED_METRICS = """
+SELECT count(*)::bigint AS n_rows, sum(n_chars)::bigint AS sum_chars,
+  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::bigint AS n_en,
+  sum(CASE WHEN n_chars > 100 THEN 1 ELSE 0 END)::bigint AS n_kept
+FROM documents
+"""

@@ -753,3 +753,15 @@ SELECT doc_id,
   NULL::varchar AS error
 FROM documents
 """
+
+
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window drained availableNow in complete mode —
+    must equal the batch session_window_agg (same oracle)."""
+    from ..streaming.pipeline import run_stream_to_table, stream_session_window
+
+    _utc(spark)
+    name = "stream_session_window_result"
+    sdf = stream_session_window(spark, f"{sf_dir}/events.parquet")
+    run_stream_to_table(spark, sdf, name)
+    return spark.table(name)

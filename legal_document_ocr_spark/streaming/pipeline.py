@@ -718,3 +718,40 @@ def stream_media_decode(spark: SparkSession, docs_dir: str) -> DataFrame:
         _synth, "doc_id long, payload binary"
     )
     return payloads.mapInPandas(_image_decode, IMAGE_DECODE_SCHEMA)
+
+
+def stream_session_window(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming built-in ``session_window`` aggregation (15th surface):
+    the merging sessionizer under event time + watermark — state is one
+    open window per (user, session), merged as late-but-in-watermark
+    events arrive, evicted once the watermark passes the window end.
+    The batch twin (``q_session_window_agg``) shares the projection, so
+    an availableNow drain must reproduce the batch result row-for-row.
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(_as_stream_dir(spark, events_dir))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("long").alias("start_sec"),
+            "n_events",
+            "value_cents",
+        )
+    )

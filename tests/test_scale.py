@@ -301,3 +301,31 @@ def test_iceberg_real_catalog_roundtrip(tmp_path):
             store.read_results(spark, as_of=snap1).count()
     finally:
         spark.stop()
+
+
+def test_observed_counts_ride_the_action(spark):
+    """observe() lineage counters: metrics computed in the SAME job as the
+    downstream action match a direct aggregation, and see rows at the
+    observation point (before the downstream filter)."""
+    import pyspark.sql.functions as F
+
+    from legal_document_ocr_spark.scale.metrics import observed_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    observed, obs = observed_counts(
+        docs,
+        "t_obs",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "sum_chars": F.sum("n_chars"),
+        },
+    )
+    kept = observed.where(F.col("n_chars") > 100).count()
+    direct = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s")
+    ).collect()[0]
+    m = obs.get
+    assert m["n_rows"] == direct["n"] == 500
+    assert m["sum_chars"] == direct["s"]
+    # observation sees pre-filter rows; the action saw fewer
+    assert kept < m["n_rows"]
