@@ -530,3 +530,51 @@ SELECT count(*)::bigint AS n_rows, sum(n_chars)::bigint AS sum_chars,
   sum(CASE WHEN n_chars > 100 THEN 1 ELSE 0 END)::bigint AS n_kept
 FROM documents
 """
+
+
+def q_ansi_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe scalar battery (the 100 TB contract: one
+    hostile row NULLs its own cell, never kills the job — Spark 4 runs
+    ANSI by default, so un-tried arithmetic on dirty web data is a task
+    failure waiting for the worst partition). Planted per-row hazards:
+    div-by-zero (doc_id%5==0), bigint overflow (doc_id%7==0, d>0),
+    unparseable int (doc_id%11==0), array index past the end
+    (doc_id%4==3). try_element_at protects OOB but NOT index 0 — that
+    edge raises by spec and is pinned in tests, so the index expression
+    is 1-based by construction."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    big = F.lit(9223372036854775807).cast("long")
+    return docs.select(
+        "doc_id",
+        F.try_divide(F.col("n_chars"), d % 5).alias("safe_div"),
+        F.try_add(
+            F.when(d % 7 == 0, big).otherwise(F.col("n_chars")), d
+        ).alias("safe_add"),
+        F.try_to_number(
+            F.when(d % 11 == 0, F.lit("1x3")).otherwise(
+                F.col("n_chars").cast("string")
+            ),
+            F.lit("999999"),
+        )
+        .cast("long")
+        .alias("safe_num"),
+        F.try_element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (d % 4 + 1).cast("int"),
+        ).alias("safe_elem"),
+    )
+
+
+_SQL_ANSI_SAFETY = """
+SELECT doc_id,
+  CASE WHEN doc_id % 5 = 0 THEN NULL
+       ELSE n_chars::double / (doc_id % 5) END AS safe_div,
+  CASE WHEN doc_id % 7 = 0 THEN
+         (CASE WHEN doc_id > 0 THEN NULL ELSE 9223372036854775807 END)
+       ELSE (n_chars + doc_id)::bigint END AS safe_add,
+  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE n_chars::bigint END AS safe_num,
+  CASE (doc_id % 4 + 1) WHEN 1 THEN 'a' WHEN 2 THEN 'b' WHEN 3 THEN 'c'
+       ELSE NULL END AS safe_elem
+FROM documents
+"""

@@ -100,3 +100,15 @@ def test_variant_typed_access_null_safety(spark):
     assert all(r.m is None for r in out)
     assert all(r.bad_cast is None for r in out)
     assert all(r.sch == "OBJECT<k: BIGINT, s: STRING>" for r in out)
+
+
+def test_try_element_at_index_zero_still_raises(spark):
+    """try_element_at protects out-of-bounds, NOT invalid index 0 — that
+    edge raises by spec (pinned so ansi_safety's 1-based index expression
+    stays load-bearing)."""
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="INVALID_INDEX_OF_ZERO"):
+        spark.sql("SELECT try_element_at(array('a'), 0)").collect()
+    ok = spark.sql("SELECT try_element_at(array('a'), 5) AS v").collect()
+    assert ok[0].v is None
