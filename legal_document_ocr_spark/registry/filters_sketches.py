@@ -2311,3 +2311,44 @@ SELECT shard_to, n_docs, n_moved,
   floor(n_moved * 1000000 / n_docs)::bigint AS moved_ppm
 FROM c
 """
+
+
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via the bitmap aggregate family
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_or_agg / bitmap_count) — the mergeable-exact alternative
+    sitting between count(DISTINCT) (exact, but shuffles raw keys) and
+    the HLL battery (mergeable, approximate): integer ids fold into
+    fixed 4 KB bucket bitmaps map-side, the shuffle carries
+    (lang, bucket, bitmap) — bounded by id-range/32768 per group, never
+    by row count — and OR-merge is associative, so partial aggregation
+    is lossless. OR-merge is only valid WITHIN a bucket (bit positions
+    repeat across buckets — doc 0/bucket 0 and doc 1/bucket 1 share
+    position 0, a collision this query's first draft hit at sf0.01), so
+    the shape is construct per (lang, source, bucket) -> bitmap_or_agg
+    per (lang, bucket) -> SUM of per-bucket counts per lang."""
+    docs = _docs(spark, sf_dir)
+    per_source = docs.groupBy(
+        "lang", "source", F.bitmap_bucket_number(F.col("doc_id")).alias("bkt")
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position(F.col("doc_id"))
+        ).alias("b")
+    )
+    per_bucket = per_source.groupBy("lang", "bkt").agg(
+        F.bitmap_count(F.bitmap_or_agg(F.col("b"))).alias("n")
+    )
+    return per_bucket.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_distinct"),
+        F.count("*").cast("long").alias("n_buckets"),
+    )
+
+
+_SQL_BITMAP_DISTINCT = """
+SELECT lang, count(DISTINCT doc_id)::bigint AS n_distinct,
+  -- Spark's bitmap_bucket_number is 1-based: floor((v-1)/32768)+1,
+  -- so value 0 lands in bucket 0 on its own
+  count(DISTINCT floor((doc_id - 1) / 32768.0)::bigint + 1)::bigint
+    AS n_buckets
+FROM documents GROUP BY lang
+"""
