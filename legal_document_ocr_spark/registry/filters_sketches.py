@@ -2352,3 +2352,33 @@ SELECT lang, count(DISTINCT doc_id)::bigint AS n_distinct,
     AS n_buckets
 FROM documents GROUP BY lang
 """
+
+
+def q_listagg_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.0 ``listagg ... WITHIN GROUP (ORDER BY ...)`` — the
+    ordered string-aggregation reporting surface (DuckDB mirrors it as
+    ``string_agg(... ORDER BY ...)``). Deterministic because the WITHIN
+    GROUP order is total (distinct sources); the group payload is the
+    bounded per-lang distinct-source set, never raw rows — at 100 TB a
+    listagg over unbounded rows is a single-task string build, so the
+    distinct comes first by construction."""
+    docs = _docs(spark, sf_dir)
+    per = docs.select("lang", "source").distinct()
+    per.createOrReplaceTempView("_ldos_listagg_src")
+    return spark.sql(
+        """
+        SELECT lang,
+               listagg(source, '|') WITHIN GROUP (ORDER BY source)
+                 AS sources,
+               count(*) AS n_sources
+        FROM _ldos_listagg_src GROUP BY lang
+        """
+    ).select("lang", "sources", F.col("n_sources").cast("long").alias("n_sources"))
+
+
+_SQL_LISTAGG_SOURCES = """
+WITH d AS (SELECT DISTINCT lang, source FROM documents)
+SELECT lang, string_agg(source, '|' ORDER BY source) AS sources,
+  count(*)::bigint AS n_sources
+FROM d GROUP BY lang
+"""
