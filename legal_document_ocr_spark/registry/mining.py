@@ -1939,3 +1939,34 @@ SELECT shingle, count(*)::bigint AS n, min(source) AS min_source,
   min(pos)::bigint AS min_pos
 FROM sh GROUP BY shingle
 """
+
+
+def q_bloom_sink_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet bloom-filter sink: doc_id carries a written bloom filter
+    (`parquet.bloom.filter.enabled#doc_id`) so 100 TB point-in-set
+    probes skip row groups whose filter says "definitely absent" —
+    min/max strides can't prune high-cardinality ids that span every
+    stride. The readback runs exactly that shape (IN-list lookup);
+    bloom presence itself is pinned by the footprint test in
+    tests/test_scale.py (pyarrow here predates bloom metadata
+    accessors, so presence is asserted via the written-size delta)."""
+    import tempfile
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="ldos-bloom-")
+    (
+        docs.write.option("parquet.bloom.filter.enabled#doc_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#doc_id", "1000000")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.where(
+        F.col("doc_id").isin([7, 42, 137, 404, 499])
+    ).select("doc_id", "lang", "n_chars")
+
+
+_SQL_BLOOM_SINK_READBACK = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id IN (7, 42, 137, 404, 499)
+"""

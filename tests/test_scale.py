@@ -329,3 +329,37 @@ def test_observed_counts_ride_the_action(spark):
     assert m["sum_chars"] == direct["s"]
     # observation sees pre-filter rows; the action saw fewer
     assert kept < m["n_rows"]
+
+
+def test_parquet_bloom_filter_footprint(spark, tmp_path):
+    """The bloom-filter write option must actually land in the file: the
+    with-bloom footprint exceeds the without-bloom footprint (pyarrow in
+    this environment predates bloom metadata accessors, so presence is
+    pinned via the size delta of otherwise-identical writes)."""
+    import os
+
+    df = spark.range(50_000).selectExpr(
+        "id AS doc_id", "cast(id % 5 AS string) AS lang"
+    ).coalesce(1)
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    df.write.mode("overwrite").parquet(plain)
+    (
+        df.write.option("parquet.bloom.filter.enabled#doc_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#doc_id", "50000")
+        .mode("overwrite")
+        .parquet(bloomed)
+    )
+
+    def sz(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    assert sz(bloomed) > sz(plain) + 4096
+    # and the data survives identically
+    assert (
+        spark.read.parquet(bloomed).orderBy("doc_id").collect()
+        == spark.read.parquet(plain).orderBy("doc_id").collect()
+    )
