@@ -136,6 +136,8 @@ HEADLINE = [
     "variant_shred",          # Spark-4 VARIANT typed shredding (scan speed)
     "xml_field_extract",      # from_xml + xpath escape round trip (codegen)
     "homoglyph_domains",      # confusable-skeleton spoof census (translate)
+    "session_window_agg",     # built-in merging sessionizer (one exchange)
+    "bitmap_distinct",        # bitmap exact-distinct (mergeable 4KB buckets)
 ]
 
 
