@@ -2382,3 +2382,37 @@ SELECT lang, string_agg(source, '|' ORDER BY source) AS sources,
   count(*)::bigint AS n_sources
 FROM d GROUP BY lang
 """
+
+
+def q_hll_native_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in DataSketches HLL surface (hll_sketch_agg / hll_union_agg
+    / hll_sketch_estimate, lgConfigK=14) beside the from-scratch HLL
+    battery: per-source sketches union TWO-LEVEL (the mergeability that
+    makes sketch columns materializable per shard and rolled up later
+    without touching rows again). The estimate is deterministic but
+    leaves set-mode exactness above a few thousand distincts per group
+    (measured: en at sf0.1 reads 2051 vs 2059 exact), so the oracle
+    pins the EXACT count plus a 3% error bound the lgK=14 rsd (~0.8%)
+    clears at any test SF — not estimate equality."""
+    docs = _docs(spark, sf_dir)
+    per_source = docs.groupBy("lang", "source").agg(
+        F.hll_sketch_agg("doc_id", 14).alias("sk"),
+        F.countDistinct("doc_id").alias("nd"),
+    )
+    return per_source.groupBy("lang").agg(
+        F.sum("nd").cast("long").alias("n_exact"),
+        (
+            F.abs(
+                F.hll_sketch_estimate(F.hll_union_agg(F.col("sk")))
+                - F.sum("nd")
+            )
+            <= F.sum("nd") * 0.03
+        ).alias("within_3pct"),
+    )
+
+
+_SQL_HLL_NATIVE_DISTINCT = """
+SELECT lang, count(DISTINCT doc_id)::bigint AS n_exact,
+  true AS within_3pct
+FROM documents GROUP BY lang
+"""
