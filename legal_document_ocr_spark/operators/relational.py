@@ -4258,3 +4258,348 @@ def dow_seasonality(events: DataFrame, *, ts_col: str = "ts") -> DataFrame:
         "n",
         F.floor(F.col("n") * 1000000 / total).cast("long").alias("share_ppm"),
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    *,
+    t_micro: int = 300000,
+    report_col: str = "source",
+) -> DataFrame:
+    """t-closeness census — the third rung of the release-audit ladder
+    after ``k_anonymity`` (group too small) and ``l_diversity`` (group
+    too uniform): a quasi-identifier group whose sensitive-value
+    DISTRIBUTION sits far from the corpus-wide one leaks information by
+    skew even when it is large and diverse (Li et al. ICDE'07). Distance
+    is total variation = (1/2)·Σ_v |p_g(v) − p(v)| — the categorical
+    instance of the paper's EMD — in exact cleared-denominator integers:
+    |c_gv·N − t_v·n_g| summed as decimal(38,0), one pinned double
+    division into micro-units at the end.
+
+    Parity anchor: same per-document metadata surface as ``k_anonymity``
+    (reference list/filter endpoint, app/services/document_service.py:
+    83-229); this audit gates publishing that surface.
+
+    Scale shape: the corpus is touched by ONE map-side-combined groupBy
+    on (QI, sensitive); everything after runs on bounded tables — the
+    (QI x sensitive-domain) grid is built by cross-joining the bounded
+    group census with the BROADCAST bounded value-total table (the zero
+    cells must exist: a group missing a value still owes |0 − t_v·n_g|),
+    and the left join back to observed cells is bounded x bounded.
+    Nothing corpus-sized moves twice, no window anywhere.
+
+    Output per ``report_col``: n_rows, n_groups, max_t_micro,
+    risky_groups (tv > t_micro), risky_rows, risk_ppm.
+    """
+    qi = [F.col(c) for c in qi_cols]
+    cells = df.groupBy(*qi, F.col(sensitive_col).alias("_tc_v")).agg(
+        F.count("*").cast("long").alias("_tc_c")
+    )
+    vals = cells.groupBy("_tc_v").agg(
+        F.sum("_tc_c").cast("long").alias("_tc_tv")
+    )
+    total = vals.agg(F.sum("_tc_tv").cast("long").alias("_tc_n"))
+    groups = cells.groupBy(*qi).agg(
+        F.sum("_tc_c").cast("long").alias("_tc_ng")
+    )
+    grid = (
+        groups.crossJoin(F.broadcast(vals))
+        .crossJoin(F.broadcast(total))
+        .join(cells, [*qi_cols, "_tc_v"], "left")
+        .withColumn("_tc_c0", F.coalesce(F.col("_tc_c"), F.lit(0)))
+    )
+    term = F.abs(
+        F.col("_tc_c0").cast("decimal(38,0)") * F.col("_tc_n")
+        - F.col("_tc_tv").cast("decimal(38,0)") * F.col("_tc_ng")
+    )
+    per = grid.groupBy(*qi).agg(
+        F.max("_tc_ng").alias("_tc_ng"),
+        F.max("_tc_n").alias("_tc_n"),
+        F.sum(term).alias("_tc_s"),
+    )
+    tv_micro = F.floor(
+        F.col("_tc_s").cast("double")
+        * 1000000
+        / (
+            2.0
+            * F.col("_tc_ng").cast("double")
+            * F.col("_tc_n").cast("double")
+        )
+    ).cast("long")
+    per = per.withColumn("_tc_tvm", tv_micro)
+    risky = F.when(F.col("_tc_tvm") > t_micro, 1).otherwise(0)
+    return (
+        per.groupBy(F.col(report_col))
+        .agg(
+            F.sum("_tc_ng").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_groups"),
+            F.max("_tc_tvm").cast("long").alias("max_t_micro"),
+            F.sum(risky).cast("long").alias("risky_groups"),
+            F.sum(risky * F.col("_tc_ng")).cast("long").alias("risky_rows"),
+        )
+        .select(
+            report_col,
+            "n_rows",
+            "n_groups",
+            "max_t_micro",
+            "risky_groups",
+            "risky_rows",
+            F.floor(F.col("risky_rows") * 1000000 / F.col("n_rows"))
+            .cast("long")
+            .alias("risk_ppm"),
+        )
+    )
+
+
+def mann_whitney(
+    df: DataFrame,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    group_col: str = "source",
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two groups' value
+    distributions — the nonparametric companion to ``welch_ttest``
+    (which trusts moments) and ``ks_statistic`` (sup of one CDF gap):
+    U measures P(a > b) via ranks, robust to outliers and any monotone
+    transform of the values.
+
+    Exactness: ranks come from the distinct-VALUE distribution table,
+    not from per-row ranking — with c_v ties at value v and C_v rows
+    strictly below, every tied row carries average rank C_v + (c_v+1)/2,
+    so TWICE the rank sum of A is the integer Σ_v ca_v·(2·C_v + c_v + 1)
+    and u2 = 2·U_A = that minus n_a(n_a+1) exactly. The tie-corrected
+    normal z uses Var(U) = (na·nb/12)·((n+1) − T/(n(n−1))) with
+    T = Σ(c³−c): z = (u2 − na·nb) / sqrt(na·nb/3·((n+1) − T/(n(n−1)))),
+    ONE pinned IEEE expression floored to micro.
+
+    Scale shape (cusum/theil discipline): the corpus is touched by ONE
+    map-side-combined groupBy(value); the cumulative-count window runs
+    on the bounded distinct-value table only (k distinct values, not n
+    rows) in a single partition — legitimate because the value domain is
+    bounded, never corpus-sized.
+
+    Output: one row (n_a, n_b, u2_a, tie_t, z_micro).
+    """
+    ia = F.when(F.col(group_col) == group_a, 1).otherwise(0)
+    ib = F.when(F.col(group_col) == group_b, 1).otherwise(0)
+    d = df.where(F.col(group_col).isin(group_a, group_b)).select(
+        F.col(value_col).cast("long").alias("_mw_v"),
+        ia.alias("_mw_a"),
+        ib.alias("_mw_b"),
+    )
+    dist = d.groupBy("_mw_v").agg(
+        F.sum("_mw_a").cast("long").alias("_mw_ca"),
+        F.sum("_mw_b").cast("long").alias("_mw_cb"),
+    )
+    w = Window.orderBy("_mw_v").rowsBetween(Window.unboundedPreceding, -1)
+    c = (F.col("_mw_ca") + F.col("_mw_cb")).cast("long")
+    dist = dist.withColumn(
+        "_mw_cum", F.coalesce(F.sum(c).over(w), F.lit(0)).cast("long")
+    )
+    r2 = 2 * F.col("_mw_cum") + c + 1
+    agg = dist.agg(
+        F.sum("_mw_ca").cast("long").alias("n_a"),
+        F.sum("_mw_cb").cast("long").alias("n_b"),
+        F.sum(F.col("_mw_ca").cast("decimal(38,0)") * r2).alias("_mw_r2a"),
+        F.sum((c * c * c - c).cast("decimal(38,0)")).alias("tie_t"),
+    )
+    u2 = (
+        F.col("_mw_r2a")
+        - F.col("n_a").cast("decimal(38,0)") * (F.col("n_a") + 1)
+    ).cast("decimal(38,0)")
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    var3 = (
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        / 3.0
+        * (
+            (n + 1.0)
+            - F.col("tie_t").cast("double") / (n * (n - 1.0))
+        )
+    )
+    z = (
+        u2.cast("double")
+        - F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    ) / F.sqrt(var3)
+    return agg.select(
+        "n_a",
+        "n_b",
+        u2.cast("long").alias("u2_a"),
+        F.col("tie_t").cast("long").alias("tie_t"),
+        F.floor(z * 1000000).cast("long").alias("z_micro"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    raters: list,
+    *,
+    report_col: str = "source",
+) -> DataFrame:
+    """Fleiss' kappa across m >= 2 deterministic binary raters (quality
+    filters voting keep/drop on every document) — the multi-rater
+    generalization of ``filter_agreement``'s Cohen kappa: how much the
+    filter ENSEMBLE agrees beyond chance, per source. Near-zero kappa
+    says the filters are independent signals; near-one says they are
+    redundant and the ensemble adds nothing over any single member.
+
+    Fully rational — no float until the final division: with m raters,
+    k_i = keep-votes on doc i, P_i = (k_i² + (m−k_i)² − m)/(m(m−1)),
+    S = Σk_i, Q = Σ(k_i² + (m−k_i)² − m), E = S² + (mN−S)², clearing
+    denominators in kappa = (P̄−P_e)/(1−P_e) with P̄ = Q/(N·m(m−1)) and
+    P_e = E/(m²N²) gives
+        kappa = (Q·m²N² − N·m(m−1)·E) / (N·m(m−1)·(m²N² − E)),
+    computed in decimal(38,0) numerator/denominator and floored to
+    micro-units through one pinned double division.
+
+    Scale shape: every rater is a codegen column expression, so the
+    corpus is touched by ONE scan folding straight into a
+    map-side-combined groupBy(report_col); the kappa algebra runs on the
+    bounded per-source table. No join, no window, nothing collected.
+
+    Output per source: n_docs, m_raters, keep_votes, kappa_micro.
+    """
+    m = len(raters)
+    k = None
+    for r in raters:
+        c = F.when(r, 1).otherwise(0)
+        k = c if k is None else k + c
+    k = k.cast("long")
+    per = df.groupBy(F.col(report_col)).agg(
+        F.count("*").cast("long").alias("_fk_n"),
+        F.sum(k).cast("long").alias("_fk_s"),
+        F.sum(k * k + (m - k) * (m - k) - m).cast("long").alias("_fk_q"),
+    )
+    n_ = F.col("_fk_n").cast("decimal(38,0)")
+    s_ = F.col("_fk_s").cast("decimal(38,0)")
+    q_ = F.col("_fk_q").cast("decimal(38,0)")
+    e_ = s_ * s_ + (m * n_ - s_) * (m * n_ - s_)
+    num = (q_ * (m * m) * n_ * n_ - n_ * (m * (m - 1)) * e_).cast("double")
+    den = (n_ * (m * (m - 1)) * ((m * m) * n_ * n_ - e_)).cast("double")
+    return per.select(
+        report_col,
+        F.col("_fk_n").alias("n_docs"),
+        F.lit(m).cast("long").alias("m_raters"),
+        F.col("_fk_s").alias("keep_votes"),
+        F.floor(num * 1000000 / den).cast("long").alias("kappa_micro"),
+    )
+
+
+def shannon_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    cat_col: str = "lang",
+) -> DataFrame:
+    """Shannon entropy + Pielou evenness of the category mix per group —
+    the log-scaled companion to ``simpson_diversity`` (pair-collision
+    probability): H charges rare categories more, and H/ln(k) normalizes
+    to [0,1] so groups with different category counts compare.
+
+    Determinism (theil_index discipline): H = ln(n) − (1/n)·Σ c·ln(c)
+    with every ln computed on the BOUNDED (group x category) census
+    table as count·round(ln(c),6) decimal terms — partial-agg order
+    cannot move the sum, and the ln ulp is absorbed by the round.
+
+    Scale shape: ONE map-side-combined groupBy on the bounded
+    (group, category) key, then a tiny groupBy(group). No window, no
+    join.
+
+    Output per group: n_docs, n_cats, shannon_micro, evenness_micro.
+    """
+    cells = df.groupBy(
+        F.col(group_col), F.col(cat_col).alias("_sh_c")
+    ).agg(F.count("*").cast("long").alias("_sh_n"))
+    term = (
+        F.col("_sh_n").cast("decimal(18,0)")
+        * F.round(F.log(F.col("_sh_n").cast("double")), 6).cast(
+            "decimal(18,6)"
+        )
+    )
+    per = cells.groupBy(group_col).agg(
+        F.sum("_sh_n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_cats"),
+        F.sum(term).alias("_sh_s"),
+    )
+    h = F.round(F.log(F.col("n_docs").cast("double")), 6) - F.col(
+        "_sh_s"
+    ).cast("double") / F.col("n_docs").cast("double")
+    even = F.when(
+        F.col("n_cats") > 1,
+        F.floor(
+            h
+            / F.round(F.log(F.col("n_cats").cast("double")), 6)
+            * 1000000
+        ),
+    ).otherwise(F.lit(0))
+    return per.select(
+        group_col,
+        "n_docs",
+        "n_cats",
+        F.floor(h * 1000000).cast("long").alias("shannon_micro"),
+        even.cast("long").alias("evenness_micro"),
+    )
+
+
+def peak_concurrency(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Peak concurrent-interval census per user via the classic
+    sweep-line: each event opens a half-open session interval
+    [t, t + dur) (dur derived all-integer from the event id so both
+    engines agree bit-for-bit), the interval endpoints become +1/−1
+    deltas, and the running sum's maximum is that user's peak
+    concurrency — the same shape that audits simultaneous fetches per
+    crawler host slot or overlapping capture windows per URL.
+
+    Determinism under ties: endpoints sort by (t, delta), so at equal t
+    the −1 of a closing interval lands before the +1 of an opening one
+    (half-open semantics) — and within a tied (t, delta) run the prefix
+    sums form the same SET whichever order the tied rows take, so
+    max(running) is order-independent without a third tiebreak.
+
+    Scale shape: the 2x endpoint fan-out is a per-row array explode (no
+    second scan); the running sum is a window PARTITIONED BY USER —
+    per-user event counts are bounded (the sessionize_events precedent),
+    never corpus-wide. The final histogram groupBy runs on the bounded
+    per-user peak table.
+
+    Output: peak -> n_users histogram (bounded by max per-user fan-in),
+    ordered by peak.
+    """
+    t0 = F.col(ts_col).cast("timestamp").cast("long")
+    dur = (60 + F.col("event_id") % 240).cast("long")
+    pts = events.select(
+        F.col(user_col).alias("_pc_u"),
+        F.explode(
+            F.array(
+                F.struct(
+                    t0.alias("t"), F.lit(1).cast("long").alias("d")
+                ),
+                F.struct(
+                    (t0 + dur).alias("t"),
+                    F.lit(-1).cast("long").alias("d"),
+                ),
+            )
+        ).alias("_pc_p"),
+    ).select("_pc_u", F.col("_pc_p.t").alias("_pc_t"), F.col("_pc_p.d").alias("_pc_d"))
+    w = Window.partitionBy("_pc_u").orderBy("_pc_t", "_pc_d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = F.sum("_pc_d").over(w)
+    peaks = (
+        pts.withColumn("_pc_r", run)
+        .groupBy("_pc_u")
+        .agg(F.max("_pc_r").cast("long").alias("_pc_peak"))
+    )
+    return (
+        peaks.groupBy(F.col("_pc_peak").alias("peak"))
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("peak")
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import _TOKS, _docs, _tbl
+from .common import _TOKS, _docs, _tbl, _utc
 from .curation import _COS_SQL, _sign_bucket_sql
 from .mining import _DEMO_EDGES_SQL
 from .relational_web import _host_graph_edges
@@ -2199,4 +2199,235 @@ SELECT source,
   floor(sum(CASE WHEN ld < 2 THEN n ELSE 0 END) * 1000000 / sum(n))::bigint
     AS risk_ppm
 FROM g GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# t_closeness (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness census (relational.t_closeness) over the
+    (source, 100-char length band) quasi-identifier with ``lang`` as the
+    sensitive attribute — completes the release-audit ladder
+    k_anonymity -> l_diversity -> t_closeness on the same metadata
+    surface: groups whose language MIX sits far (total variation, exact
+    cleared-denominator integers) from the corpus-wide mix leak by skew
+    even when large and diverse."""
+    from ..operators.relational import t_closeness
+
+    docs = _docs(spark, sf_dir).select(
+        "source", "lang", (F.col("n_chars") / 100).cast("long").alias("band")
+    )
+    return t_closeness(docs, ["source", "band"], "lang", t_micro=300000)
+
+
+_SQL_T_CLOSENESS = """
+WITH cells AS (
+  SELECT source, n_chars // 100 AS band, lang AS v, count(*)::bigint AS c
+  FROM documents GROUP BY 1, 2, 3
+),
+vals AS (SELECT v, sum(c)::bigint AS tv FROM cells GROUP BY v),
+tot AS (SELECT sum(tv)::bigint AS n FROM vals),
+grp AS (SELECT source, band, sum(c)::bigint AS ng FROM cells GROUP BY 1, 2),
+grid AS (
+  SELECT g.source, g.band, g.ng, t.n, v.tv, coalesce(c.c, 0)::bigint AS c0
+  FROM grp g CROSS JOIN tot t CROSS JOIN vals v
+  LEFT JOIN cells c ON c.source = g.source AND c.band = g.band AND c.v = v.v
+),
+per AS (
+  SELECT source, band, max(ng)::bigint AS ng, max(n)::bigint AS n,
+    sum(abs(c0::hugeint * n - tv::hugeint * ng)) AS s
+  FROM grid GROUP BY 1, 2
+),
+tm AS (
+  SELECT source, ng,
+    floor(s::double * 1000000
+          / (2.0 * ng::double * n::double))::bigint AS tvm
+  FROM per
+)
+SELECT source,
+  sum(ng)::bigint AS n_rows,
+  count(*)::bigint AS n_groups,
+  max(tvm)::bigint AS max_t_micro,
+  sum(CASE WHEN tvm > 300000 THEN 1 ELSE 0 END)::bigint AS risky_groups,
+  sum(CASE WHEN tvm > 300000 THEN ng ELSE 0 END)::bigint AS risky_rows,
+  floor(sum(CASE WHEN tvm > 300000 THEN ng ELSE 0 END) * 1000000
+        / sum(ng))::bigint AS risk_ppm
+FROM tm GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# mann_whitney (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between src0's and src1's length distributions
+    (relational.mann_whitney) — exact tie-corrected integer rank sums
+    off the bounded distinct-value table, one pinned IEEE z."""
+    from ..operators.relational import mann_whitney
+
+    return mann_whitney(_docs(spark, sf_dir), "n_chars", "src0", "src1")
+
+
+_SQL_MANN_WHITNEY = """
+WITH d AS (
+  SELECT n_chars::bigint AS v,
+    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia,
+    CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS ib
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+dist AS (
+  SELECT v, sum(ia)::bigint AS ca, sum(ib)::bigint AS cb FROM d GROUP BY v
+),
+cum AS (
+  SELECT v, ca, cb, (ca + cb)::bigint AS c,
+    coalesce(sum(ca + cb) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint AS cumb
+  FROM dist
+),
+a AS (
+  SELECT sum(ca)::bigint AS n_a, sum(cb)::bigint AS n_b,
+    sum(ca::hugeint * (2 * cumb + c + 1)) AS r2a,
+    sum(c::hugeint * c * c - c) AS tie_t
+  FROM cum
+)
+SELECT n_a, n_b,
+  (r2a - n_a::hugeint * (n_a + 1))::bigint AS u2_a,
+  tie_t::bigint AS tie_t,
+  floor(((r2a - n_a::hugeint * (n_a + 1))::double
+         - n_a::double * n_b::double)
+        / sqrt(n_a::double * n_b::double / 3.0
+               * ((n_a + n_b + 1)::double
+                  - tie_t::double
+                    / ((n_a + n_b)::double * (n_a + n_b - 1)::double)))
+        * 1000000)::bigint AS z_micro
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# fleiss_kappa (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa per source (relational.fleiss_kappa) across three
+    deterministic binary quality raters — length (n_chars >= 200) and
+    two content rules — the multi-rater extension of
+    ``filter_agreement``; fully rational until one pinned division."""
+    from ..operators.relational import fleiss_kappa
+
+    d = _docs(spark, sf_dir)
+    return fleiss_kappa(
+        d,
+        [
+            F.col("n_chars") >= 200,
+            F.col("text").contains(" the "),
+            F.col("text").contains(" a "),
+        ],
+    )
+
+
+_SQL_FLEISS_KAPPA = """
+WITH c AS (
+  SELECT source,
+    (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+     + CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END
+     + CASE WHEN contains(text, ' a ') THEN 1 ELSE 0 END)::bigint AS k
+  FROM documents
+),
+g AS (
+  SELECT source, count(*)::bigint AS n, sum(k)::bigint AS s,
+    sum(k * k + (3 - k) * (3 - k) - 3)::bigint AS q
+  FROM c GROUP BY source
+)
+SELECT source, n AS n_docs, 3::bigint AS m_raters, s AS keep_votes,
+  floor((q::hugeint * 9 * n * n
+         - n::hugeint * 6
+           * (s::hugeint * s + (3 * n - s)::hugeint * (3 * n - s)))::double
+        * 1000000
+        / (n::hugeint * 6
+           * (9 * n::hugeint * n
+              - (s::hugeint * s
+                 + (3 * n - s)::hugeint * (3 * n - s))))::double)::bigint
+    AS kappa_micro
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# shannon_diversity (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_shannon_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy + Pielou evenness of the language mix per source
+    (relational.shannon_diversity) — the log-scaled companion to
+    ``simpson_diversity``; all ln() terms on the bounded census table
+    with the theil_index rounding discipline."""
+    from ..operators.relational import shannon_diversity
+
+    return shannon_diversity(_docs(spark, sf_dir), "source", "lang")
+
+
+_SQL_SHANNON_DIVERSITY = """
+WITH cells AS (
+  SELECT source, lang AS c, count(*)::bigint AS n
+  FROM documents GROUP BY 1, 2
+),
+per AS (
+  SELECT source, sum(n)::bigint AS n_docs, count(*)::bigint AS n_cats,
+    sum(n::decimal(18,0) * round(ln(n::double), 6)::decimal(18,6)) AS s
+  FROM cells GROUP BY source
+)
+SELECT source, n_docs, n_cats,
+  floor((round(ln(n_docs::double), 6) - s::double / n_docs::double)
+        * 1000000)::bigint AS shannon_micro,
+  CASE WHEN n_cats > 1 THEN
+    floor((round(ln(n_docs::double), 6) - s::double / n_docs::double)
+          / round(ln(n_cats::double), 6) * 1000000)::bigint
+  ELSE 0 END AS evenness_micro
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
+# peak_concurrency (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak-concurrency histogram over per-event session
+    intervals (relational.peak_concurrency) — max simultaneous open
+    intervals per user, the shape that audits concurrent fetches per
+    crawler slot; half-open [t, t+dur) semantics pinned by the
+    (t, delta) endpoint ordering."""
+    from ..operators.relational import peak_concurrency
+
+    _utc(spark)
+    return peak_concurrency(_tbl(spark, sf_dir, "events"))
+
+
+_SQL_PEAK_CONCURRENCY = """
+WITH pts AS (
+  SELECT user_id AS u, floor(epoch(ts))::bigint AS t, 1::bigint AS d
+  FROM events
+  UNION ALL
+  SELECT user_id, floor(epoch(ts))::bigint + 60 + event_id % 240,
+    (-1)::bigint
+  FROM events
+),
+r AS (
+  SELECT u,
+    sum(d) OVER (PARTITION BY u ORDER BY t, d
+                 ROWS UNBOUNDED PRECEDING)::bigint AS run
+  FROM pts
+),
+p AS (SELECT u, max(run)::bigint AS peak FROM r GROUP BY u)
+SELECT peak, count(*)::bigint AS n_users
+FROM p GROUP BY peak ORDER BY peak
 """
