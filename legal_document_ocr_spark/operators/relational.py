@@ -4603,3 +4603,70 @@ def peak_concurrency(
         .agg(F.count("*").cast("long").alias("n_users"))
         .orderBy("peak")
     )
+
+
+def quantile_sketch(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Build the exact mergeable distribution sketch behind
+    ``grouped_quantiles``: per-(group, value) counts over a
+    bounded-domain integer column. This IS a sketch in the mergeable-
+    summary sense — bounded size independent of row count, and two
+    sketches merge by summing counts per cell with zero error (the
+    property ``merge_quantile_sketches`` + the parity oracle prove) —
+    the exact-arithmetic sibling of KLL/t-digest for columns whose
+    domain is bounded (doc length, token count, latency ms, status
+    code).
+
+    Scale shape: ONE map-side-combined groupBy on the bounded
+    (group x value) key; nothing else.
+    """
+    return df.groupBy(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("val")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+
+
+def merge_quantile_sketches(*sketches: DataFrame) -> DataFrame:
+    """Merge distribution sketches by summing per-cell counts — the
+    incremental-maintenance face (rollup_merge / merge_minhash_states
+    discipline): merged(state, batch) must equal the full recompute,
+    which is exactly what the parity oracle states.
+
+    Scale shape: union + ONE map-side-combined groupBy on the bounded
+    cell key.
+    """
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("grp", "val").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def quantiles_from_sketch(
+    sketch: DataFrame,
+    group_col: str = "source",
+    qs_ppm: tuple[int, ...] = (500000, 900000, 990000),
+) -> DataFrame:
+    """Exact discrete quantiles from a distribution sketch — the read
+    face of ``quantile_sketch``; same stated all-integer definition as
+    ``grouped_quantiles`` (smallest value whose cumulative count >=
+    ceil(q_ppm·n/10^6)), windows over the bounded sketch only.
+    """
+    w_cum = Window.partitionBy("grp").orderBy("val")
+    w_all = Window.partitionBy("grp")
+    cum = sketch.select(
+        "grp",
+        "val",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n_rows"),
+    )
+    aggs = [F.max("n_rows").cast("long").alias("n_rows")]
+    for q in qs_ppm:
+        need = F.expr(f"({q} * n_rows + 999999) div 1000000")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= need, F.col("val")))
+            .cast("long")
+            .alias(f"q_{q}")
+        )
+    return cum.groupBy(F.col("grp").alias(group_col)).agg(*aggs)

@@ -3261,3 +3261,35 @@ def homoglyph_spoofs(
         .cast("int")
         .alias("is_spoof"),
     )
+
+
+def toc_extract(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Table-of-contents integrity census -> (url, n_links, n_resolved,
+    n_dangling): in-page fragment links (href="#x") matched against the
+    page's own id="x" anchors — the navigation-structure signal document
+    QA uses (a dangling TOC entry means the extraction lost a section, a
+    rich resolved TOC marks long-form structured content worth keeping).
+
+    Semantics are over DISTINCT fragment targets, deliberately: that
+    lets the whole check run as array_intersect/array_distinct over two
+    once-evaluated extracted arrays — plain function arguments, NOT
+    higher-order-function lambdas, so nothing is re-inlined per element
+    (the CollapseProject/HOF trap BASELINE.md documents) and the page
+    bytes are scanned exactly twice (one regexp pass per array). All
+    codegen, no UDF, no shuffle, no explode.
+    """
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    ids = F.regexp_extract_all(html_txt, F.lit(r'(?is)\bid="([^"]+)"'), 1)
+    frags = F.array_distinct(
+        F.regexp_extract_all(html_txt, F.lit(r'(?is)href="#([^"]+)"'), 1)
+    )
+    n_links = F.size(frags).cast("long")
+    n_resolved = F.size(F.array_intersect(frags, ids)).cast("long")
+    return df.select(
+        F.col(url_col).alias("url"),
+        n_links.alias("n_links"),
+        n_resolved.alias("n_resolved"),
+        (n_links - n_resolved).cast("long").alias("n_dangling"),
+    )

@@ -852,3 +852,55 @@ FROM s LEFT JOIN b
   ON s.skeleton = translate(lower(b.brand),
                             '{_CONFUSABLE_SRC}', '{_CONFUSABLE_DST}')
 """
+
+
+# ---------------------------------------------------------------------------
+# toc_extract (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_toc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOC integrity census (urls.toc_extract): each doc plants
+    doc_id%4+1 sections with id="s{k}" anchors and matching href="#s{k}"
+    TOC links; every 5th doc adds a dangling link (#s9, no target) and
+    every doc carries an external href that must not count."""
+    from ..operators.urls import toc_extract
+
+    u = _urls(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+
+    def sec(i: int):
+        return F.when(
+            d % 4 >= i,
+            F.concat(
+                F.lit(f'<a href="#s{i}">Section {i}</a>'),
+                F.lit(f'<h2 id="s{i}">Section {i} of doc '),
+                ds,
+                F.lit("</h2>"),
+            ),
+        ).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit('<html><a href="https://ext.example.com/">ext</a>'),
+        F.lit('<a href="#s0">Section 0</a><h2 id="s0">Section 0</h2>'),
+        sec(1),
+        sec(2),
+        sec(3),
+        F.when(d % 5 == 0, F.lit('<a href="#s9">missing</a>')).otherwise(
+            F.lit("")
+        ),
+        F.lit("</html>"),
+    )
+    return toc_extract(u.select("url", F.encode(html, "UTF-8").alias("html")))
+
+
+_SQL_TOC_EXTRACT = """
+SELECT
+  'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+  (doc_id % 4 + 1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::bigint
+    AS n_links,
+  (doc_id % 4 + 1)::bigint AS n_resolved,
+  (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::bigint AS n_dangling
+FROM documents
+"""

@@ -2431,3 +2431,49 @@ p AS (SELECT u, max(run)::bigint AS peak FROM r GROUP BY u)
 SELECT peak, count(*)::bigint AS n_users
 FROM p GROUP BY peak ORDER BY peak
 """
+
+
+# ---------------------------------------------------------------------------
+# quantile_sketch_merge (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable exact quantile sketches (relational.quantile_sketch /
+    merge_quantile_sketches / quantiles_from_sketch): state = docs with
+    doc_id % 3 != 0, batch = the rest; quantiles read off the MERGED
+    sketch must equal the full-corpus exact quantiles — which is what
+    the oracle states, so parity PROVES the count-sum merge is exact
+    (the bounded-domain sibling of KLL/t-digest mergeability)."""
+    from ..operators.relational import (
+        merge_quantile_sketches,
+        quantile_sketch,
+        quantiles_from_sketch,
+    )
+
+    d = _docs(spark, sf_dir)
+    state = quantile_sketch(d.where(F.col("doc_id") % 3 != 0), "source", "n_chars")
+    batch = quantile_sketch(d.where(F.col("doc_id") % 3 == 0), "source", "n_chars")
+    return quantiles_from_sketch(merge_quantile_sketches(state, batch))
+
+
+_SQL_QUANTILE_SKETCH_MERGE = """
+WITH dist AS (
+  SELECT source AS grp, n_chars AS val, count(*) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, val,
+    sum(cnt) OVER (PARTITION BY grp ORDER BY val) AS cum,
+    sum(cnt) OVER (PARTITION BY grp) AS n_rows
+  FROM dist
+)
+SELECT grp AS source, max(n_rows)::bigint AS n_rows,
+  min(CASE WHEN cum >= (500000 * n_rows + 999999) // 1000000
+        THEN val END)::bigint AS q_500000,
+  min(CASE WHEN cum >= (900000 * n_rows + 999999) // 1000000
+        THEN val END)::bigint AS q_900000,
+  min(CASE WHEN cum >= (990000 * n_rows + 999999) // 1000000
+        THEN val END)::bigint AS q_990000
+FROM cum GROUP BY grp
+"""

@@ -2995,3 +2995,42 @@ SELECT series::bigint AS series,
   7::bigint AS n_pages
 FROM p GROUP BY series HAVING count(*) = 7
 """
+
+
+# ---------------------------------------------------------------------------
+# cdx_zipnum (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_cdx_zipnum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZipNum cluster.idx over the CDX capture index
+    (sources/warc.zipnum_blocks): one summary row per 20-line block of
+    each per-file sorted CDX shard — the binary-searchable secondary
+    index Common Crawl ships beside cc-index. Per-file windows only,
+    exactly like cdx_index itself."""
+    from ..sources.warc import cdx_index, synthesize_warc_files_df, zipnum_blocks
+
+    _utc(spark)
+    return zipnum_blocks(cdx_index(synthesize_warc_files_df(spark, sf_dir)))
+
+
+def _sql_cdx_zipnum() -> str:
+    return f"""
+WITH idx AS ({_sql_cdx_index()}),
+r AS (
+  SELECT warc_file, url, ts_epoch,
+    row_number() OVER (PARTITION BY warc_file ORDER BY url, ts_epoch)
+      AS rn
+  FROM idx
+),
+b AS (
+  SELECT warc_file, (rn - 1) // 20 AS block_id,
+    url || chr(9) || lpad(ts_epoch::varchar, 12, '0') AS enc
+  FROM r
+)
+SELECT warc_file, block_id::bigint AS block_id,
+  split_part(min(enc), chr(9), 1) AS first_url,
+  split_part(min(enc), chr(9), 2)::bigint AS first_ts_epoch,
+  count(*)::bigint AS n_lines
+FROM b GROUP BY warc_file, block_id
+"""

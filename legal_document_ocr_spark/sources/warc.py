@@ -1238,3 +1238,60 @@ def parse_security_headers(
         .cast("long")
         .alias("n_cookies"),
     )
+
+
+def zipnum_blocks(
+    cdx: DataFrame,
+    *,
+    lines_per_block: int = 20,
+) -> DataFrame:
+    """ZipNum-style secondary index over a CDX capture index — the
+    cluster.idx Common Crawl ships beside cc-index: the sorted CDX lines
+    are cut into blocks of ``lines_per_block`` and ONE summary row per
+    block ((first key) -> block locator) lets a reader binary-search the
+    tiny secondary index and decompress exactly one block to answer a
+    URL lookup, instead of scanning the shard.
+
+    Scale shape: ordering is per CDX shard (= ``warc_file``), the same
+    per-file-window-only discipline as ``cdx_index`` — shards
+    parallelize across the cluster and the in-shard walk is bounded by
+    records-per-file, never corpus size; the global index is the union
+    of shard indexes (how the real cluster.idx is assembled from
+    pre-sorted cdx-*.gz ranges). No global sort anywhere in the plan.
+
+    Determinism: the block's first key is min() of the TAB-fixed-width
+    string encoding url || TAB || lpad(ts, 12) — lexicographic equals
+    (url, ts) order because the padded field is fixed-width and URLs
+    cannot contain TAB (the revisit_dedup min-encoding discipline; a
+    struct min would pit Spark struct comparison against an
+    engine-specific SQL row comparison).
+
+    Output: (warc_file, block_id, first_url, first_ts_epoch, n_lines).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("warc_file").orderBy("url", "ts_epoch")
+    enc = F.concat_ws(
+        "\t", F.col("url"), F.lpad(F.col("ts_epoch").cast("string"), 12, "0")
+    )
+    rows = cdx.select(
+        "warc_file",
+        enc.alias("_zn_enc"),
+        F.row_number().over(w).alias("_zn_rn"),
+    ).withColumn(
+        "block_id",
+        ((F.col("_zn_rn") - 1) / lines_per_block).cast("long"),
+    )
+    agg = rows.groupBy("warc_file", "block_id").agg(
+        F.min("_zn_enc").alias("_zn_first"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+    return agg.select(
+        "warc_file",
+        "block_id",
+        F.substring_index(F.col("_zn_first"), "\t", 1).alias("first_url"),
+        F.substring_index(F.col("_zn_first"), "\t", -1)
+        .cast("long")
+        .alias("first_ts_epoch"),
+        "n_lines",
+    )
