@@ -5174,3 +5174,143 @@ def wordpiece_segment(
     return ensure_parallelism(words).mapInPandas(
         kernel, "word string, n long, segmentation string, n_pieces long"
     )
+
+
+
+def unigram_scored_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    max_piece_len: int = 4,
+    top_multi: int = 40,
+) -> tuple[DataFrame, DataFrame]:
+    """(distinct-word table, scored piece vocabulary) for the unigram
+    tokenizer — split out so tests can score alternative segmentations
+    under the exact same integer micro-nat scores the Viterbi kernel
+    sees. Seeding is byte-identical to ``wordpiece_segment``; scores are
+    s(cnt) − s(total) with s(x) = floor(round(ln(x), 6)·10^6) computed
+    on the bounded vocab table only."""
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    words = (
+        docs.select(F.explode(toks).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    cand = (
+        words.select("word", "n", F.explode(
+            F.sequence(F.lit(1), F.length("word"))).alias("s"))
+        .select("word", "n", "s", F.explode(
+            F.sequence(F.lit(1), F.lit(max_piece_len))).alias("l"))
+        .where(F.col("s") + F.col("l") <= F.length("word") + 1)
+        .select(F.expr("substring(word, s, l)").alias("piece"), "n")
+    )
+    counts = cand.groupBy("piece").agg(F.sum("n").alias("cnt"))
+    multi = (
+        counts.where(F.length("piece") >= 2)
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(top_multi)
+    )
+    singles = counts.where(F.length("piece") == 1)
+    vocab_df = multi.unionByName(singles).distinct()
+    total = vocab_df.agg(F.sum("cnt").alias("t"))
+    s_of = lambda c: F.floor(  # noqa: E731
+        F.round(F.log(c.cast("double")), 6) * 1000000
+    ).cast("long")
+    scored = vocab_df.crossJoin(F.broadcast(total)).select(
+        "piece", (s_of(F.col("cnt")) - s_of(F.col("t"))).alias("score")
+    )
+    return words, scored
+
+
+def unigram_segment(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    max_piece_len: int = 4,
+    top_multi: int = 40,
+) -> DataFrame:
+    """SentencePiece-style UNIGRAM-LM tokenizer inference: Viterbi
+    best-likelihood segmentation of every distinct word under a piece
+    vocabulary with unigram scores — the third member of the tokenizer
+    triad (``bpe_train_merges`` trains merge RULES, ``wordpiece_segment``
+    applies greedy LONGEST-MATCH; unigram picks the globally best
+    segmentation by score, Kudo ACL'18). Output: one row per distinct
+    word (word, n, n_pieces, best_micro) with ``best_micro`` the Viterbi
+    log-likelihood in micro-nats.
+
+    Seeding matches ``wordpiece_segment`` exactly (substrings len <=
+    ``max_piece_len`` weighted by word frequency; top ``top_multi``
+    multi-char by (count DESC, piece ASC) + all single chars, so no
+    UNK); piece score = s(cnt) − s(total) where s(x) =
+    floor(round(ln(x), 6)·10^6) is computed ONCE per vocab entry on the
+    bounded vocab table (the theil/char_entropy ln-rounding discipline —
+    floor, never ::bigint, because DuckDB's cast rounds where Spark's
+    truncates). Everything after is integer arithmetic.
+
+    Tie-break, exact and engine-free: the DP maximizes the single
+    integer v = Σ(64·score − 1) = 64·Σscore − n_pieces. Distinct score
+    sums differ by >= 1 micro-nat, so the 64x spread strictly dominates
+    the <= 63 piece-count term: max v == lexicographic (Σscore DESC,
+    n_pieces ASC), and n_pieces = (−v) % 64, Σscore = (v + n_pieces)/64
+    recover exactly. No float leaves the vocab table; equal-score
+    alternate segmentations cannot make the output nondeterministic
+    because only (v, n_pieces) are emitted.
+
+    Scale shape (bpe/wordpiece discipline): ONE corpus-sized pass builds
+    the distinct-word table (map-side combined); candidates, ranking and
+    scores run on that bounded table; the scored vocabulary (<= alphabet
+    + top_multi rows) is collected and broadcast into one Arrow-batched
+    mapInPandas whose Viterbi DP runs over the VOCABULARY-sized word
+    table, never the corpus. Applying to corpus rows is the same kernel
+    mapped per row (fertility-style).
+    """
+    words, scored = unigram_scored_vocab(
+        docs, text_col, max_piece_len=max_piece_len, top_multi=top_multi
+    )
+    vocab = {r["piece"]: r["score"] for r in scored.collect()}
+    if not vocab:
+        return docs.sparkSession.createDataFrame(
+            [], "word string, n long, n_pieces long, best_micro long"
+        )
+    max_len = max(len(p) for p in vocab)
+    bvocab = docs.sparkSession.sparkContext.broadcast(vocab)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vs = bvocab.value
+        for pdf in batches:
+            nps: list[int] = []
+            bests: list[int] = []
+            for word in pdf["word"]:
+                ln = len(word)
+                best: list[int | None] = [None] * (ln + 1)
+                best[0] = 0
+                for j in range(1, ln + 1):
+                    b = None
+                    for pl in range(1, min(max_len, j) + 1):
+                        prev = best[j - pl]
+                        if prev is None:
+                            continue
+                        sc = vs.get(word[j - pl : j])
+                        if sc is None:
+                            continue
+                        v = prev + 64 * sc - 1
+                        if b is None or v > b:
+                            b = v
+                    best[j] = b
+                v = best[ln]
+                np_ = (-v) % 64
+                nps.append(np_)
+                bests.append((v + np_) // 64)
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n": pdf["n"],
+                    "n_pieces": nps,
+                    "best_micro": bests,
+                }
+            )
+
+    return ensure_parallelism(words).mapInPandas(
+        kernel, "word string, n long, n_pieces long, best_micro long"
+    )

@@ -2263,3 +2263,135 @@ FROM (
 )
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram_segments / unigram_fertility (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_unigram_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM Viterbi segmentation (textops.unigram_segment) of the
+    distinct-word table — the SentencePiece-inference member of the
+    tokenizer triad (BPE trains merges, WordPiece matches greedily,
+    unigram maximizes total piece score). The oracle re-derives the
+    scored vocabulary and replays the Viterbi DP as a 12-step unrolled
+    MATERIALIZED-CTE frontier expansion — integer arithmetic throughout
+    (the 64·score − 1 combined objective)."""
+    return textops.unigram_segment(_docs(spark, sf_dir))
+
+
+def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus fertility + mean Viterbi score of the unigram tokenizer —
+    the vocabulary-quality gauge read before adopting the vocab. By
+    construction the Viterbi TOTAL SCORE dominates any other
+    segmentation of the same word under the same vocab -- the greedy
+    (WordPiece) one included; fertility may go either way (test-pinned
+    score dominance in tests/test_operators.py)."""
+    seg = textops.unigram_segment(_docs(spark, sf_dir))
+    tot = seg.agg(
+        F.sum(F.col("n") * F.col("n_pieces")).alias("pieces"),
+        F.sum("n").alias("tokens"),
+        F.sum(F.col("n") * F.col("best_micro")).alias("score"),
+    )
+    return tot.select(
+        F.col("pieces").cast("long").alias("total_pieces"),
+        F.col("tokens").cast("long").alias("total_tokens"),
+        F.floor(F.col("pieces") * 1000000 / F.col("tokens"))
+        .cast("long")
+        .alias("fertility_micro"),
+        F.floor(F.col("score") / F.col("tokens"))
+        .cast("long")
+        .alias("mean_score_micro"),
+    )
+
+
+def _unigram_seg_cte() -> str:
+    """Shared oracle CTE chain ending in u12 (Viterbi frontier, done).
+
+    Frontier expansion by piece count: step k holds, per (word, pos),
+    the max combined value v over segment-prefixes of exactly k pieces
+    (finished words carried and re-merged at pos = len+1). 12 steps
+    cover words to length 12 — the corpus vocabulary maxes at 8."""
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    steps = []
+    prev = "u0"
+    for k in range(1, 13):
+        cur = f"u{k}"
+        steps.append(f"""
+{cur} AS MATERIALIZED (
+  SELECT word, n, pos, max(v)::bigint AS v FROM (
+    SELECT s.word, s.n, s.pos + len(c.piece) AS pos,
+      s.v + 64 * c.score - 1 AS v
+    FROM {prev} s JOIN vsc c
+      ON c.piece = substr(s.word, s.pos::int, len(c.piece))
+    WHERE s.pos <= len(s.word)
+    UNION ALL
+    SELECT word, n, pos, v FROM {prev} WHERE pos > len(word)
+  ) GROUP BY word, n, pos
+)""")
+        prev = cur
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT w AS word, count(*)::bigint AS n
+  FROM (SELECT unnest({toks}) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1
+),
+cand AS (
+  SELECT unnest(flatten(list_transform(range(1, len(word)+1), s ->
+    list_transform(range(1, 5), l ->
+      CASE WHEN s + l <= len(word) + 1
+           THEN substr(word, s::int, l::int) END)))) AS piece,
+    n
+  FROM words
+),
+cnts AS MATERIALIZED (
+  SELECT piece, sum(n)::bigint AS cnt FROM cand
+  WHERE piece IS NOT NULL GROUP BY 1
+),
+vocab AS MATERIALIZED (
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM cnts WHERE len(piece) >= 2
+    ORDER BY cnt DESC, piece LIMIT 40
+  )
+  UNION
+  SELECT piece, cnt FROM cnts WHERE len(piece) = 1
+),
+tot AS (SELECT sum(cnt)::bigint AS t FROM vocab),
+vsc AS MATERIALIZED (
+  SELECT piece,
+    (floor(round(ln(cnt::double), 6) * 1000000)::bigint
+     - floor(round(ln(t::double), 6) * 1000000)::bigint) AS score
+  FROM vocab, tot
+),
+u0 AS (SELECT word, n, 1::bigint AS pos, 0::bigint AS v FROM words),
+{','.join(steps)},
+useg AS (
+  SELECT word, n, max(v)::bigint AS v
+  FROM u12 WHERE pos > len(word) GROUP BY word, n
+)"""
+
+
+def _sql_unigram_segments() -> str:
+    return (
+        _unigram_seg_cte()
+        + """
+SELECT word, n, ((-v) % 64)::bigint AS n_pieces,
+  ((v + (-v) % 64) // 64)::bigint AS best_micro
+FROM useg
+"""
+    )
+
+
+def _sql_unigram_fertility() -> str:
+    return (
+        _unigram_seg_cte()
+        + """
+SELECT sum(n * ((-v) % 64))::bigint AS total_pieces,
+  sum(n)::bigint AS total_tokens,
+  floor(sum(n * ((-v) % 64)) * 1000000 / sum(n))::bigint AS fertility_micro,
+  floor(sum(n * ((v + (-v) % 64) // 64))::double / sum(n)::double)::bigint
+    AS mean_score_micro
+FROM useg
+"""
+    )

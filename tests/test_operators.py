@@ -7877,3 +7877,39 @@ def test_url_safety_kills_ssrf_vectors(spark):
     assert r["http://8.8.8.8/x"]["host_kind"] == "ip4"
     assert r["http://8.8.8.8/x"]["fetchable"] == 1
     assert r["http://999.1.1.1/x"]["host_kind"] == "name"
+
+
+def test_unigram_viterbi_dominates_greedy_segmentation(spark):
+    """The Viterbi combined objective v = 64·Σscore − n_pieces must be
+    >= the greedy (WordPiece) segmentation's value for EVERY word under
+    the same scored vocabulary — the optimality property that makes the
+    unigram face worth having next to greedy longest-match."""
+    from legal_document_ocr_spark.operators.textops import (
+        unigram_scored_vocab,
+        unigram_segment,
+        wordpiece_segment,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    _, scored = unigram_scored_vocab(docs)
+    score = {r["piece"]: r["score"] for r in scored.collect()}
+
+    uni = {
+        r["word"]: (r["best_micro"], r["n_pieces"])
+        for r in unigram_segment(docs).collect()
+    }
+    greedy = {
+        r["word"]: r["segmentation"].split(" ")
+        for r in wordpiece_segment(docs).collect()
+    }
+    assert set(uni) == set(greedy) and uni
+    tighter = 0
+    for word, pieces in greedy.items():
+        v_greedy = sum(64 * score[p] - 1 for p in pieces)
+        b, np_ = uni[word]
+        v_uni = 64 * b - np_
+        assert v_uni >= v_greedy, (word, v_uni, v_greedy)
+        if v_uni > v_greedy:
+            tighter = tighter + 1
+    # the objective must actually bite somewhere, else the entry is vacuous
+    assert tighter > 0
