@@ -138,6 +138,11 @@ HEADLINE = [
     "homoglyph_domains",      # confusable-skeleton spoof census (translate)
     "session_window_agg",     # built-in merging sessionizer (one exchange)
     "bitmap_distinct",        # bitmap exact-distinct (mergeable 4KB buckets)
+    # round-4 session-20 additions
+    "unigram_segments",       # unigram-LM Viterbi tokenizer (vocab-table Arrow DP)
+    "t_closeness",            # privacy-ladder TV distance on the bounded grid
+    "peak_concurrency",       # sweep-line interval concurrency (per-user window)
+    "cdx_zipnum",             # ZipNum cluster.idx (per-file windows only)
 ]
 
 

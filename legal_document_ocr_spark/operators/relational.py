@@ -4283,31 +4283,38 @@ def t_closeness(
     83-229); this audit gates publishing that surface.
 
     Scale shape: the corpus is touched by ONE map-side-combined groupBy
-    on (QI, sensitive); everything after runs on bounded tables — the
-    (QI x sensitive-domain) grid is built by cross-joining the bounded
-    group census with the BROADCAST bounded value-total table (the zero
-    cells must exist: a group missing a value still owes |0 − t_v·n_g|),
-    and the left join back to observed cells is bounded x bounded.
-    Nothing corpus-sized moves twice, no window anywhere.
+    on (QI, sensitive); the cells table is persisted (three consumers)
+    and everything after runs on it. The grid cross-joins the QI-domain
+    group census with the BROADCAST sensitive-domain value totals (the
+    zero cells must exist: a group missing a value still owes
+    |0 − t_v·n_g|); the join back to observed cells is pinned
+    shuffle_hash because the QI domain is hosts x bands at corpus scale
+    — domain-sized, not small (plan: 2 bounded broadcasts, 1 SHJ, no
+    window anywhere).
 
     Output per ``report_col``: n_rows, n_groups, max_t_micro,
     risky_groups (tv > t_micro), risky_rows, risk_ppm.
     """
     qi = [F.col(c) for c in qi_cols]
+    # persisted: consumed by the value totals, the group census AND the
+    # grid join-back — without it the corpus subtree re-scans per consumer
+    # (the session-13 persist-sweep lesson)
     cells = df.groupBy(*qi, F.col(sensitive_col).alias("_tc_v")).agg(
         F.count("*").cast("long").alias("_tc_c")
-    )
+    ).persist()
     vals = cells.groupBy("_tc_v").agg(
         F.sum("_tc_c").cast("long").alias("_tc_tv")
     )
     total = vals.agg(F.sum("_tc_tv").cast("long").alias("_tc_n"))
-    groups = cells.groupBy(*qi).agg(
-        F.sum("_tc_c").cast("long").alias("_tc_ng")
-    )
+    # vals/total are sensitive-domain-sized — legitimately broadcast; the
+    # cells join-back is QI-domain-sized (hosts x bands at corpus scale),
+    # so it must stay a shuffle join, never a planner broadcast
     grid = (
-        groups.crossJoin(F.broadcast(vals))
+        cells.groupBy(*qi)
+        .agg(F.sum("_tc_c").cast("long").alias("_tc_ng"))
+        .crossJoin(F.broadcast(vals))
         .crossJoin(F.broadcast(total))
-        .join(cells, [*qi_cols, "_tc_v"], "left")
+        .join(cells.hint("shuffle_hash"), [*qi_cols, "_tc_v"], "left")
         .withColumn("_tc_c0", F.coalesce(F.col("_tc_c"), F.lit(0)))
     )
     term = F.abs(
