@@ -1158,3 +1158,73 @@ def media_profile(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     selected = ensure_parallelism(df).selectExpr("doc_id", f"{payload_col} as payload")
     return selected.mapInPandas(kernel, MEDIA_PROFILE_SCHEMA)
+
+
+IMAGE_HISTOGRAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bin", LongType()),
+        StructField("n_px_bin", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def image_histogram(
+    df: DataFrame, payload_col: str = "payload", *, bins: int = 16
+) -> DataFrame:
+    """Luminance histogram per image -> (doc_id, bin, n_px_bin, error),
+    one row per OCCUPIED bin: the exposure/contrast profile a media
+    harvest reads before keeping an asset (all-dark and all-bright
+    histograms are placeholders and failed renders; a flat histogram is
+    photographic content). Luminance is the exact integer BT.601-ish
+    mix lum = (2r + 5g + b) // 8 binned as lum·bins // 256 — integer
+    arithmetic end to end so the oracle states the histogram in closed
+    form.
+
+    Same stage shape as image_colors: decode + profile in one Arrow
+    batch, per-record error isolation (a corrupt payload yields one
+    (doc_id, NULL, NULL, error) row, never a task failure), payloads
+    never move past this stage — at scale only the (doc_id, bin) rows
+    shuffle onward, <= bins per image.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..codecs import decode_image as _decode
+
+        for pdf in batches:
+            out = {"doc_id": [], "bin": [], "n_px_bin": [], "error": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    img = _decode(bytes(payload))
+                    ch = {"L": 1, "RGB": 3, "RGBA": 4}[img["mode"]]
+                    a = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(
+                        -1, ch
+                    ).astype(np.int64)
+                    if ch == 1:
+                        r = g = b = a[:, 0]
+                    else:
+                        r, g, b = a[:, 0], a[:, 1], a[:, 2]
+                    lum = (2 * r + 5 * g + b) // 8
+                    hist = np.bincount(lum * bins // 256, minlength=bins)
+                except Exception as e:  # noqa: BLE001 — per-record isolation
+                    out["doc_id"].append(doc_id)
+                    out["bin"].append(None)
+                    out["n_px_bin"].append(None)
+                    out["error"].append(_decode_error_label(e))
+                    continue
+                for i in np.nonzero(hist)[0]:
+                    out["doc_id"].append(doc_id)
+                    out["bin"].append(int(i))
+                    out["n_px_bin"].append(int(hist[i]))
+                    out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    selected = ensure_parallelism(df).selectExpr(
+        "doc_id", f"{payload_col} as payload"
+    )
+    return selected.mapInPandas(kernel, IMAGE_HISTOGRAM_SCHEMA)

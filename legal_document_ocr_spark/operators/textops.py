@@ -5314,3 +5314,62 @@ def unigram_segment(
     return ensure_parallelism(words).mapInPandas(
         kernel, "word string, n long, n_pieces long, best_micro long"
     )
+
+
+def sentence_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Sentence-grain boilerplate dedup (the CCNet move one level below
+    ``line_dedup``): segment every document with ``split_sentences``,
+    census each distinct sentence's document reach, and drop sentences
+    appearing in >= ``min_docs`` documents — subscription prompts,
+    courtesy lines and cookie banners die here while unique prose
+    survives. Output per document: (doc_id, n_sents, n_kept, kept_fp)
+    with ``kept_fp`` the md5 of the surviving sentences joined in
+    original order (the byte-checkable survivor fingerprint).
+
+    Scale shape (line_dedup discipline): the census is ONE map-side-
+    combined groupBy on the md5 sentence key (count_distinct doc expands
+    to the bounded distinct (key, doc) pair set); the join back is
+    pinned shuffle_hash — the census table is distinct-sentence-sized,
+    corpus-scale, never broadcast. The sentence table feeds both join
+    sides, so the split subtree evaluates twice (two corpus scans,
+    deliberate — persisting a corpus-sized sentence table would trade a
+    re-scan for executor storage; the tfidf_pairs trade, documented
+    there too). Final per-doc reassembly reuses one groupBy(doc).
+    """
+    sents = split_sentences(df, id_col, text_col).withColumn(
+        "_sd_key", F.md5(F.col("sentence"))
+    )
+    census = sents.groupBy("_sd_key").agg(
+        F.count_distinct(F.col("doc_id")).cast("long").alias("_sd_docs")
+    )
+    joined = sents.join(census.hint("shuffle_hash"), "_sd_key")
+    kept = F.col("_sd_docs") < min_docs
+    per = joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_sents"),
+        F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                kept,
+                                F.struct(
+                                    F.col("sent_idx"), F.col("sentence")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: x["sentence"],
+                ),
+                "\n",
+            )
+        ).alias("kept_fp"),
+    )
+    return per

@@ -765,3 +765,47 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = stream_session_window(spark, f"{sf_dir}/events.parquet")
     run_stream_to_table(spark, sdf, name)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# stream_quantile_sketch (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-quantile sketch (streaming.stream_quantile_sketch
+    — 16th streaming surface): the (group, value) count sketch
+    maintained by a complete-mode streaming aggregate, drained
+    availableNow, then read with quantiles_from_sketch — the answers
+    must equal the batch exact quantiles, which is what the oracle
+    states (the streaming face of quantile_sketch_merge's mergeability
+    proof)."""
+    from ..operators.relational import quantiles_from_sketch
+    from ..streaming.pipeline import run_stream_to_table, stream_quantile_sketch
+
+    name = "stream_quantile_sketch_result"
+    sdf = stream_quantile_sketch(spark, f"{sf_dir}/documents.parquet")
+    run_stream_to_table(spark, sdf, name, output_mode="complete")
+    return quantiles_from_sketch(spark.table(name))
+
+
+_SQL_STREAM_QUANTILE_SKETCH = """
+WITH dist AS (
+  SELECT source AS grp, n_chars AS val, count(*) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, val,
+    sum(cnt) OVER (PARTITION BY grp ORDER BY val) AS cum,
+    sum(cnt) OVER (PARTITION BY grp) AS n_rows
+  FROM dist
+)
+SELECT grp AS source, max(n_rows)::bigint AS n_rows,
+  min(CASE WHEN cum >= (500000 * n_rows + 999999) // 1000000
+        THEN val END)::bigint AS q_500000,
+  min(CASE WHEN cum >= (900000 * n_rows + 999999) // 1000000
+        THEN val END)::bigint AS q_900000,
+  min(CASE WHEN cum >= (990000 * n_rows + 999999) // 1000000
+        THEN val END)::bigint AS q_990000
+FROM cum GROUP BY grp
+"""

@@ -2395,3 +2395,68 @@ SELECT sum(n * ((-v) % 64))::bigint AS total_pieces,
 FROM useg
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# sentence_dedup (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-grain boilerplate dedup (textops.sentence_dedup): each
+    doc's text gains a global boilerplate tail ('Subscribe now.',
+    appears in every doc) and a per-source courtesy line (25 docs each)
+    — both must drop at min_docs=2 while the unique content sentence
+    survives; kept_fp byte-checks the survivors in order."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(". Subscribe now. Courtesy of "),
+            F.col("source"),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return textops.sentence_dedup(d)
+
+
+_SQL_SENTENCE_DEDUP = r"""
+WITH deco AS (
+  SELECT doc_id,
+    text || '. Subscribe now. Courtesy of ' || source || '.' AS text
+  FROM documents
+), fr AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$')) AS frag,
+    unnest(range(len(regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$'))))
+      ::bigint AS pos
+  FROM deco
+), flags AS (
+  SELECT doc_id, pos, frag,
+    (regexp_matches(frag, '[.!?]$') AND NOT regexp_matches(frag,
+      '(^|[\s.])(Dr|Mr|Mrs|Ms|Prof|St|No|Fig|vs|etc|Jr|Sr)\.$'))::int AS is_end
+  FROM fr
+), sids AS (
+  SELECT doc_id, pos, frag,
+    coalesce(SUM(is_end) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent_idx
+  FROM flags
+), asm AS (
+  SELECT doc_id, sent_idx::bigint AS sent_idx,
+    trim(regexp_replace(string_agg(frag, '' ORDER BY pos), '\s+', ' ', 'g'))
+      AS sentence
+  FROM sids GROUP BY doc_id, sent_idx
+), sents AS (
+  SELECT doc_id, sent_idx, sentence FROM asm WHERE sentence <> ''
+), census AS (
+  SELECT sentence, count(DISTINCT doc_id)::bigint AS n_docs
+  FROM sents GROUP BY sentence
+)
+SELECT s.doc_id,
+  count(*)::bigint AS n_sents,
+  sum(CASE WHEN c.n_docs < 2 THEN 1 ELSE 0 END)::bigint AS n_kept,
+  md5(coalesce(string_agg(CASE WHEN c.n_docs < 2 THEN s.sentence END,
+    chr(10) ORDER BY s.sent_idx), '')) AS kept_fp
+FROM sents s JOIN census c ON c.sentence = s.sentence
+GROUP BY s.doc_id
+"""

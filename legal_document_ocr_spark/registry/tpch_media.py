@@ -2387,3 +2387,70 @@ SELECT b.doc_id,
   (b.ok = 1 AND b.solid = 0 AND b.doc_id = gr.rep)::int AS keep
 FROM base b LEFT JOIN grp gr ON b.g = gr.g
 """
+
+
+# ---------------------------------------------------------------------------
+# image_histogram (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luminance histogram (multimodal.image_histogram) over the same
+    per-doc RGB PNG synthesis as image_colors — integer BT.601-ish
+    lum = (2r+5g+b)//8 binned 16-way; the oracle restates the histogram
+    in closed form over the pixel lattice."""
+    import pandas as _pd
+
+    from ..codecs import encode_png
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 6 + 2, d % 4 + 2
+                px = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        px += bytes((
+                            (d + 8 * x) % 256,
+                            (2 * d + 16 * y) % 256,
+                            (3 * d) % 256,
+                        ))
+                payloads.append(encode_png(w, h, bytes(px), 2))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pages = _spread(_docs(spark, sf_dir).select("doc_id"))
+    payloads = pages.mapInPandas(
+        _synth,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return multimodal.image_histogram(payloads)
+
+
+_SQL_IMAGE_HISTOGRAM = """
+WITH px AS (
+  SELECT doc_id, (doc_id % 6 + 2)::int AS w, (doc_id % 4 + 2)::int AS h
+  FROM documents
+), flat AS (
+  SELECT doc_id,
+    unnest(flatten(list_transform(range(h), y ->
+      list_transform(range(w), x ->
+        (2 * ((doc_id + 8*x) % 256)
+         + 5 * ((2*doc_id + 16*y) % 256)
+         + (3*doc_id) % 256) // 8)))) AS lum
+  FROM px
+)
+SELECT doc_id, (lum * 16 // 256)::bigint AS bin,
+  count(*)::bigint AS n_px_bin, NULL::varchar AS error
+FROM flat GROUP BY doc_id, bin
+"""

@@ -755,3 +755,26 @@ def stream_session_window(
             "value_cents",
         )
     )
+
+
+def stream_quantile_sketch(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """Streaming distribution-sketch maintenance — the 16th streaming
+    surface: the exact bounded-domain quantile sketch of
+    ``relational.quantile_sketch`` ((group, value) -> count) kept
+    continuously up to date over arriving documents. Counts are sums —
+    mergeable and batching-independent — so the state store holds at
+    most |group x value-domain| rows regardless of stream length, and
+    the availableNow drain in ``complete`` mode is BIT-FOR-BIT the
+    batch sketch; reading exact quantiles off the drained table
+    (``quantiles_from_sketch``) therefore answers the same numbers the
+    batch path does — which is what the oracle states directly as exact
+    quantile SQL over the corpus.
+
+    Output: (grp, val, cnt), one row per occupied sketch cell.
+    """
+    stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(
+        _as_stream_dir(spark, docs_dir)
+    )
+    return stream.groupBy(
+        F.col("source").alias("grp"), F.col("n_chars").alias("val")
+    ).agg(F.count("*").cast("long").alias("cnt"))
