@@ -4677,3 +4677,152 @@ def quantiles_from_sketch(
             .alias(f"q_{q}")
         )
     return cum.groupBy(F.col("grp").alias(group_col)).agg(*aggs)
+
+
+def concentration_indices(
+    df: DataFrame, group_col: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Market-concentration battery over the host/document distribution
+    — one row (n_hosts, n_docs, hhi_micro, hhi_norm_micro, mld_micro)
+    joining the inequality family (``host_gini``, ``theil_index``):
+
+    - HHI = Σ share_i² (Herfindahl-Hirschman), the merger-review gauge —
+      exact as floor(Σx²·10^6 / N²);
+    - normalized HHI = (HHI − 1/n)/(1 − 1/n), 0 even .. 1 monopoly —
+      exact as floor((Σx²·n − N²)·10^6 / (N²·(n−1)));
+    - MLD (mean log deviation, Theil's L) = ln(μ) − mean(ln x) — the
+      ε→1 Atkinson index in log form (A = 1 − e^−MLD), kept in the
+      ln-only rounding discipline deliberately: an exp() would pit two
+      libm implementations against a floor boundary.
+
+    Scale shape (theil_index discipline): ONE map-side-combined
+    groupBy(group), then every log term on the provably bounded
+    distinct-count distribution table (k distinct counts need
+    Σx ≥ k(k+1)/2 docs); Σx² is a plain decimal aggregate off the same
+    table. No window, no join, nothing corpus-sized past the first
+    groupBy.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").cast("long").alias("x"))
+    dist = counts.groupBy("x").agg(F.count("*").cast("long").alias("m"))
+    lnterm = (
+        F.col("m").cast("decimal(18,0)")
+        * F.round(F.log(F.col("x").cast("double")), 6).cast("decimal(18,6)")
+    )
+    agg = dist.agg(
+        F.sum("m").cast("long").alias("n"),
+        F.sum(F.col("m") * F.col("x")).cast("long").alias("t"),
+        F.sum(
+            (F.col("m").cast("decimal(38,0)") * F.col("x") * F.col("x"))
+        ).alias("sx2"),
+        F.sum(lnterm).alias("slnx"),
+    )
+    n_, t_, sx2 = F.col("n"), F.col("t"), F.col("sx2")
+    mld = F.round(
+        F.log(t_.cast("double") / n_.cast("double")), 6
+    ) - F.col("slnx").cast("double") / n_.cast("double")
+    return agg.select(
+        n_.alias("n_hosts"),
+        t_.alias("n_docs"),
+        F.floor(
+            sx2.cast("double")
+            * 1000000
+            / (t_.cast("double") * t_.cast("double"))
+        ).cast("long").alias("hhi_micro"),
+        F.floor(
+            (sx2 * n_ - t_.cast("decimal(38,0)") * t_).cast("double")
+            * 1000000
+            / ((t_.cast("decimal(38,0)") * t_) * (n_ - 1)).cast("double")
+        ).cast("long").alias("hhi_norm_micro"),
+        F.floor(mld * 1000000).cast("long").alias("mld_micro"),
+    )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Population Stability Index per group between two snapshots — the
+    production-ML drift gauge (PSI = Σ_bins (p_A − p_B)·ln(p_A/p_B))
+    complementing the family this repo already carries: KL
+    (source_divergence, vs the corpus mix), EMD (ordered mass
+    transport), KS/CvM (sup/integral CDF gaps) — PSI is symmetric,
+    per-bin decomposable, and the industry threshold convention
+    (0.1 warn / 0.25 act) makes it the monitoring default.
+
+    Bins are the emd_drift log2 buckets (bit_length of value+1 — integer,
+    never float log); add-1 smoothing on the per-group bucket grid keeps
+    empty bins finite. Exactness: with M = n + K (K = grid bins),
+    PSI = Σ ((c_A+1)·M_B − (c_B+1)·M_A) · ln((c_A+1)·M_B /
+    ((c_B+1)·M_A)) / (M_A·M_B); each bin term is ONE pinned double
+    product of the exact decimal mass difference with the round(ln·,6)
+    ratio, itself rounded to 6 dp before an exact decimal sum (the
+    chi_square pattern — partial-agg order can't move it), then ONE
+    pinned double division at the end.
+
+    Scale shape: each snapshot is touched by ONE map-side-combined
+    groupBy on (group, bucket); the full-outer bucket-grid join and
+    everything after run on bounded tables (groups x <=64 buckets).
+    """
+    b = F.length(F.bin(F.col(value_col) + 1)).cast("long")
+
+    def gb(d: DataFrame, cn: str) -> DataFrame:
+        return d.groupBy(
+            F.col(group_col).alias("grp"), b.alias("bkt")
+        ).agg(F.count("*").cast("long").alias(cn))
+
+    ga, gbb = gb(df_a, "ca"), gb(df_b, "cb")
+    grid = (
+        ga.join(gbb, ["grp", "bkt"], "full_outer")
+        .select(
+            "grp",
+            "bkt",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+    )
+    per = grid.groupBy("grp").agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count("*").cast("long").alias("k"),
+    )
+    j = grid.join(per.hint("shuffle_hash"), "grp").select(
+        "grp",
+        "bkt",
+        (F.col("ca") + 1).alias("sa"),
+        (F.col("cb") + 1).alias("sb"),
+        (F.col("na") + F.col("k")).alias("ma"),
+        (F.col("nb") + F.col("k")).alias("mb"),
+    )
+    # chi_square discipline: ONE pinned double expression per row,
+    # rounded to 6 dp before the exact decimal sum — a decimal x decimal
+    # product here would trip Spark's precision-overflow scale reduction
+    # (the BASELINE.md round-3 trap) where DuckDB keeps the scale
+    dn = (
+        F.col("sa").cast("decimal(38,0)") * F.col("mb")
+        - F.col("sb").cast("decimal(38,0)") * F.col("ma")
+    )
+    lr = F.round(
+        F.log(
+            (F.col("sa").cast("double") * F.col("mb").cast("double"))
+            / (F.col("sb").cast("double") * F.col("ma").cast("double"))
+        ),
+        6,
+    )
+    term = F.round(dn.cast("double") * lr, 6).cast("decimal(28,6)")
+    agg = j.groupBy(F.col("grp").alias(group_col)).agg(
+        F.max("ma").alias("ma"),
+        F.max("mb").alias("mb"),
+        F.sum(term).alias("s"),
+    )
+    return agg.select(
+        group_col,
+        (F.col("ma")).cast("long").alias("m_a"),
+        (F.col("mb")).cast("long").alias("m_b"),
+        F.floor(
+            F.col("s").cast("double")
+            * 1000000
+            / (F.col("ma").cast("double") * F.col("mb").cast("double"))
+        ).cast("long").alias("psi_micro"),
+    )

@@ -5373,3 +5373,53 @@ def sentence_dedup(
         ).alias("kept_fp"),
     )
     return per
+
+
+def brier_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Brier score per source of the stopword-share 'quality
+    probability' against the content label contains(' the ') — the
+    squared-error calibration gauge completing the eval set next to
+    ``reliability_bins`` (binned calibration curve) and
+    ``score_calibration`` (rank normalization): Brier = mean((p − y)²),
+    proper and decomposable, the single number a filter's probability
+    output is judged by.
+
+    All-integer: p_ppm = floor(n_stop·10^6 / n_tokens) and y·10^6 are
+    exact ints, so Σ(p_ppm − y_ppm)² is an exact decimal and
+    brier_micro = floor(Σ/(n·10^6)) needs one pinned division. ONE
+    corpus scan folding straight into a map-side-combined
+    groupBy(source); the stopword membership runs against a 10-literal
+    array (never a join).
+
+    Output per source: n_docs, mean_p_ppm, pos_rate_ppm, brier_micro.
+    """
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    n_tokens = F.size(toks)
+    stop_lits = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_lits, t)))
+    p_ppm = F.when(
+        n_tokens > 0, F.floor(n_stop.cast("long") * 1000000 / n_tokens)
+    ).otherwise(F.lit(0)).cast("long")
+    y_ppm = (
+        F.when(F.col(text_col).contains(" the "), 1000000)
+        .otherwise(0)
+        .cast("long")
+    )
+    d = p_ppm - y_ppm
+    per = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(p_ppm).cast("long").alias("_bs_p"),
+        F.sum((y_ppm / 1000000).cast("long")).cast("long").alias("_bs_y"),
+        F.sum((d * d).cast("decimal(38,0)")).alias("_bs_s"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        F.floor(F.col("_bs_p") / F.col("n_docs")).cast("long").alias("mean_p_ppm"),
+        F.floor(F.col("_bs_y") * 1000000 / F.col("n_docs"))
+        .cast("long")
+        .alias("pos_rate_ppm"),
+        F.floor(
+            F.col("_bs_s").cast("double") / (F.col("n_docs").cast("double") * 1000000.0)
+        ).cast("long").alias("brier_micro"),
+    )

@@ -2477,3 +2477,124 @@ SELECT grp AS source, max(n_rows)::bigint AS n_rows,
         THEN val END)::bigint AS q_990000
 FROM cum GROUP BY grp
 """
+
+
+# ---------------------------------------------------------------------------
+# concentration_indices / psi_drift / brier_score (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_concentration_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration battery (relational.concentration_indices): HHI,
+    normalized HHI and mean-log-deviation of the per-host document
+    distribution — the merger-review companions to host_gini/theil_index
+    on the same bounded distribution table."""
+    from ..operators.relational import concentration_indices
+
+    return concentration_indices(_docs(spark, sf_dir))
+
+
+_SQL_CONCENTRATION_INDICES = """
+WITH c AS (SELECT source, count(*)::bigint AS x FROM documents GROUP BY 1),
+d AS (SELECT x, count(*)::bigint AS m FROM c GROUP BY x),
+a AS (
+  SELECT sum(m)::bigint AS n, sum(m * x)::bigint AS t,
+    sum(m::hugeint * x * x) AS sx2,
+    sum(m::decimal(18,0)
+        * round(ln(x::double), 6)::decimal(18,6)) AS slnx
+  FROM d
+)
+SELECT n AS n_hosts, t AS n_docs,
+  floor(sx2::double * 1000000 / (t::double * t::double))::bigint
+    AS hhi_micro,
+  floor((sx2 * n - t::hugeint * t)::double * 1000000
+        / ((t::hugeint * t) * (n - 1))::double)::bigint AS hhi_norm_micro,
+  floor((round(ln(t::double / n::double), 6) - slnx::double / n::double)
+        * 1000000)::bigint AS mld_micro
+FROM a
+"""
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per source (relational.psi_drift)
+    between the corpus and a +18-chars snapshot (the quantile_drift
+    shift) over log2 length buckets — the industry drift monitor
+    (0.1 warn / 0.25 act) beside KL/EMD/KS/CvM."""
+    from ..operators.relational import psi_drift
+
+    a = _docs(spark, sf_dir).select("source", "n_chars")
+    b = _docs(spark, sf_dir).select(
+        "source", (F.col("n_chars") + 18).alias("n_chars")
+    )
+    return psi_drift(a, b)
+
+
+_SQL_PSI_DRIFT = """
+WITH a AS (
+  SELECT source AS grp, length(bin(n_chars + 1))::bigint AS bkt,
+    count(*)::bigint AS ca
+  FROM documents GROUP BY 1, 2
+),
+bb AS (
+  SELECT source AS grp, length(bin(n_chars + 18 + 1))::bigint AS bkt,
+    count(*)::bigint AS cb
+  FROM documents GROUP BY 1, 2
+),
+grid AS (
+  SELECT coalesce(a.grp, bb.grp) AS grp, coalesce(a.bkt, bb.bkt) AS bkt,
+    coalesce(ca, 0)::bigint AS ca, coalesce(cb, 0)::bigint AS cb
+  FROM a FULL OUTER JOIN bb ON a.grp = bb.grp AND a.bkt = bb.bkt
+),
+per AS (
+  SELECT grp, sum(ca)::bigint AS na, sum(cb)::bigint AS nb,
+    count(*)::bigint AS k
+  FROM grid GROUP BY grp
+),
+j AS (
+  SELECT g.grp, (ca + 1)::bigint AS sa, (cb + 1)::bigint AS sb,
+    (na + k)::bigint AS ma, (nb + k)::bigint AS mb
+  FROM grid g JOIN per p ON p.grp = g.grp
+),
+t AS (
+  SELECT grp, max(ma) AS ma, max(mb) AS mb,
+    sum(round((sa::hugeint * mb - sb::hugeint * ma)::double
+        * round(ln((sa::double * mb::double)
+                   / (sb::double * ma::double)), 6), 6)
+        ::decimal(28,6)) AS s
+  FROM j GROUP BY grp
+)
+SELECT grp AS source, ma::bigint AS m_a, mb::bigint AS m_b,
+  floor(s::double * 1000000 / (ma::double * mb::double))::bigint
+    AS psi_micro
+FROM t
+"""
+
+
+def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier calibration score per source (textops.brier_score) of the
+    stopword-share probability against the contains-' the ' label —
+    all-integer squared error in ppm, one pinned final division."""
+    from ..operators.textops import brier_score
+
+    return brier_score(_docs(spark, sf_dir))
+
+
+_SQL_BRIER_SCORE = f"""
+WITH d AS (
+  SELECT source,
+    CASE WHEN len({_TOKS}) > 0
+      THEN (len(list_filter({_TOKS},
+             t -> t IN ('the','a','of','and','is','to','in','that','it',
+                        'for'))) * 1000000) // len({_TOKS})
+      ELSE 0 END AS p_ppm,
+    CASE WHEN contains(text, ' the ') THEN 1000000 ELSE 0 END AS y_ppm
+  FROM documents
+)
+SELECT source, count(*)::bigint AS n_docs,
+  floor(sum(p_ppm) / count(*))::bigint AS mean_p_ppm,
+  floor(sum(y_ppm // 1000000) * 1000000 / count(*))::bigint
+    AS pos_rate_ppm,
+  floor(sum((p_ppm - y_ppm)::hugeint * (p_ppm - y_ppm))::double
+        / (count(*)::double * 1000000.0))::bigint AS brier_micro
+FROM d GROUP BY source
+"""
