@@ -3034,3 +3034,84 @@ SELECT warc_file, block_id::bigint AS block_id,
   count(*)::bigint AS n_lines
 FROM b GROUP BY warc_file, block_id
 """
+
+
+# ---------------------------------------------------------------------------
+# seasonal_anomaly (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted daily anomaly flags: per-(event_type, day)
+    counts judged against the type's SAME-WEEKDAY median/MAD baseline
+    (robust_outliers over the (type, dow) key) — the composition of
+    dow_seasonality's insight (Mondays run hot by design) with the
+    median/MAD robustness host_length_outliers uses: a spike only flags
+    if it is anomalous FOR THAT WEEKDAY. All-integer; dow derives from
+    the epoch day ((day+4) % 7, 1970-01-01 = Thursday = 4) so no engine
+    calendar is consulted."""
+    from ..operators.relational import robust_outliers
+
+    _utc(spark)
+    ev = _tbl(spark, sf_dir, "events")
+    day = F.floor(
+        F.col("ts").cast("timestamp").cast("long") / 86400
+    ).cast("long")
+    daily = ev.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    keyed = daily.withColumn(
+        "grp",
+        F.concat_ws(
+            "|", F.col("event_type"), ((F.col("day") + 4) % 7).cast("string")
+        ),
+    )
+    out = robust_outliers(keyed, "grp", "n")
+    return out.select(
+        "event_type",
+        "day",
+        "n",
+        "med",
+        "mad",
+        F.col("is_outlier").cast("int").alias("is_anomaly"),
+    )
+
+
+_SQL_SEASONAL_ANOMALY = """
+WITH daily AS (
+  SELECT event_type, (floor(epoch(ts))::bigint // 86400) AS day,
+    count(*)::bigint AS n
+  FROM events GROUP BY 1, 2
+),
+v AS (
+  SELECT event_type, day, n,
+    event_type || '|' || ((day + 4) % 7)::varchar AS grp
+  FROM daily
+),
+d1 AS (SELECT grp, n AS val, count(*) AS cnt FROM v GROUP BY 1, 2),
+c1 AS (
+  SELECT grp, val, sum(cnt) OVER (PARTITION BY grp ORDER BY val) AS cum,
+    sum(cnt) OVER (PARTITION BY grp) AS nn
+  FROM d1
+),
+med AS (
+  SELECT grp, min(CASE WHEN cum >= (nn + 1) // 2 THEN val END)::bigint AS med
+  FROM c1 GROUP BY 1
+),
+dev AS (
+  SELECT v.grp, abs(v.n - med.med) AS val FROM v JOIN med USING (grp)
+),
+d2 AS (SELECT grp, val, count(*) AS cnt FROM dev GROUP BY 1, 2),
+c2 AS (
+  SELECT grp, val, sum(cnt) OVER (PARTITION BY grp ORDER BY val) AS cum,
+    sum(cnt) OVER (PARTITION BY grp) AS nn
+  FROM d2
+),
+mad AS (
+  SELECT grp, min(CASE WHEN cum >= (nn + 1) // 2 THEN val END)::bigint AS mad
+  FROM c2 GROUP BY 1
+)
+SELECT v.event_type, v.day::bigint AS day, v.n, med.med, mad.mad,
+  (abs(v.n - med.med) > 3 * mad.mad)::int AS is_anomaly
+FROM v JOIN med USING (grp) JOIN mad USING (grp)
+"""
