@@ -5423,3 +5423,86 @@ def brier_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("_bs_s").cast("double") / (F.col("n_docs").cast("double") * 1000000.0)
         ).cast("long").alias("brier_micro"),
     )
+
+
+MEASUREMENT_UNITS: dict[str, tuple[str, int]] = {
+    # unit -> (SI family label, integer multiplier to the family base)
+    "km": ("m", 1000),
+    "m": ("m", 1),
+    "kg": ("g", 1000),
+    "g": ("g", 1),
+    "GB": ("B", 1073741824),
+    "MB": ("B", 1048576),
+    "KB": ("B", 1024),
+}
+
+
+def measurements_extract(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Quantity mining: extract '<integer> <unit>' measurement mentions
+    and normalize them to integer base units (km→m, kg→g, GB/MB/KB→bytes)
+    — the numeric-fact layer structured-data harvests want from raw prose
+    (product specs, dataset cards, infrastructure pages). Exact by
+    construction: units carry integer multipliers, values parse as
+    bigints, nothing floats.
+
+    Scale shape: ONE regexp_extract_all per row, the per-match fan-out is
+    an in-row posexplode (no second scan), unit→multiplier is a CASE
+    ladder (never a join — the unit table is 7 literals), and one
+    map-side-combined groupBy(source, family) aggregates. Pushes nothing
+    corpus-sized anywhere.
+
+    Output per (source, unit_si): n_mentions, total_si, max_si.
+    """
+    pat = r"(\d+) (km|kg|GB|MB|KB|m|g)\b"
+    matches = F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+    ex = docs.select(
+        "source", F.explode(matches).alias("_me_m")
+    ).select(
+        "source",
+        F.regexp_extract(F.col("_me_m"), pat, 1).cast("long").alias("_me_v"),
+        F.regexp_extract(F.col("_me_m"), pat, 2).alias("_me_u"),
+    )
+    fam = F.lit(None).cast("string")
+    mult = F.lit(None).cast("long")
+    for u, (f_, m_) in MEASUREMENT_UNITS.items():
+        fam = F.when(F.col("_me_u") == u, F.lit(f_)).otherwise(fam)
+        mult = F.when(F.col("_me_u") == u, F.lit(m_)).otherwise(mult)
+    si = (F.col("_me_v") * mult).cast("long")
+    return (
+        ex.select("source", fam.alias("unit_si"), si.alias("_me_si"))
+        .groupBy("source", "unit_si")
+        .agg(
+            F.count("*").cast("long").alias("n_mentions"),
+            F.sum("_me_si").cast("long").alias("total_si"),
+            F.max("_me_si").cast("long").alias("max_si"),
+        )
+    )
+
+
+def quote_mining(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attributed-quote mining: '"…," said Speaker' patterns -> one row
+    per (doc_id, quote, speaker) — dialogue/citation training pairs
+    hiding in prose (the free-text sibling of ``faq_pairs``' markup
+    shape). Quotes under 10 chars are noise and don't match; the
+    attribution verb is anchored so an unattributed quotation yields
+    nothing.
+
+    Scale shape: ONE regexp_extract_all per row (group-0 fragments),
+    in-row posexplode, per-fragment group extracts — all codegen, no
+    UDF, no shuffle beyond the explode's narrow output.
+
+    Output: (doc_id, quote_idx, quote, speaker).
+    """
+    pat = r'"([^"]{10,})," said ([A-Za-z0-9]+)'
+    frags = F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+    ex = docs.select(
+        F.col("doc_id"), F.posexplode(frags).alias("quote_idx", "_qm_f")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("quote_idx").cast("long").alias("quote_idx"),
+        F.regexp_extract(F.col("_qm_f"), pat, 1).alias("quote"),
+        F.regexp_extract(F.col("_qm_f"), pat, 2).alias("speaker"),
+    )

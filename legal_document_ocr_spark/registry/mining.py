@@ -1970,3 +1970,108 @@ _SQL_BLOOM_SINK_READBACK = """
 SELECT doc_id, lang, n_chars FROM documents
 WHERE doc_id IN (7, 42, 137, 404, 499)
 """
+
+
+# ---------------------------------------------------------------------------
+# measurements_extract / quote_mining (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_measurements_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity mining (textops.measurements_extract) over text with
+    injected '<n> km' / '<n> MB' mentions — integer SI normalization
+    (km->m, MB->bytes), per-(source, family) rollup; the oracle runs the
+    same RE2-compatible extraction and CASE-ladder normalization."""
+    from ..operators.textops import measurements_extract
+
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" spec "),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(" km and "),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(" MB"),
+        ).alias("text"),
+    )
+    return measurements_extract(d)
+
+
+_SQL_MEASUREMENTS_EXTRACT = r"""
+WITH d AS (
+  SELECT source,
+    text || ' spec ' || (doc_id % 50) || ' km and ' || (doc_id % 20)
+         || ' MB' AS text
+  FROM documents
+),
+ex AS (
+  SELECT source,
+    unnest(regexp_extract_all(text, '(\d+) (km|kg|GB|MB|KB|m|g)\b')) AS m
+  FROM d
+),
+p AS (
+  SELECT source,
+    regexp_extract(m, '(\d+) (km|kg|GB|MB|KB|m|g)\b', 1)::bigint AS v,
+    regexp_extract(m, '(\d+) (km|kg|GB|MB|KB|m|g)\b', 2) AS u
+  FROM ex
+),
+n AS (
+  SELECT source,
+    CASE u WHEN 'km' THEN 'm' WHEN 'm' THEN 'm'
+           WHEN 'kg' THEN 'g' WHEN 'g' THEN 'g' ELSE 'B' END AS unit_si,
+    v * CASE u WHEN 'km' THEN 1000 WHEN 'kg' THEN 1000
+               WHEN 'GB' THEN 1073741824 WHEN 'MB' THEN 1048576
+               WHEN 'KB' THEN 1024 ELSE 1 END AS si
+  FROM p
+)
+SELECT source, unit_si, count(*)::bigint AS n_mentions,
+  sum(si)::bigint AS total_si, max(si)::bigint AS max_si
+FROM n GROUP BY 1, 2
+"""
+
+
+def q_quote_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attributed-quote mining (textops.quote_mining): every doc plants
+    one '"…," said AgentK' pair; every 3rd doc adds an UNattributed
+    decoy quote that must not match."""
+    from ..operators.textops import quote_mining
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(' "Quality over quantity always," said Agent'),
+            (F.col("doc_id") % 9).cast("string"),
+            F.lit("."),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(' "This decoy has no attribution."'),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return quote_mining(d)
+
+
+_SQL_QUOTE_MINING = r"""
+WITH d AS (
+  SELECT doc_id,
+    text || ' "Quality over quantity always," said Agent'
+         || (doc_id % 9) || '.'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' "This decoy has no attribution."' ELSE '' END AS text
+  FROM documents
+),
+ex AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(text,
+      '"([^"]{10,})," said ([A-Za-z0-9]+)')) AS m,
+    unnest(range(len(regexp_extract_all(text,
+      '"([^"]{10,})," said ([A-Za-z0-9]+)'))))::bigint AS quote_idx
+  FROM d
+)
+SELECT doc_id, quote_idx,
+  regexp_extract(m, '"([^"]{10,})," said ([A-Za-z0-9]+)', 1) AS quote,
+  regexp_extract(m, '"([^"]{10,})," said ([A-Za-z0-9]+)', 2) AS speaker
+FROM ex
+"""
