@@ -4773,6 +4773,9 @@ def psi_drift(
         ).agg(F.count("*").cast("long").alias(cn))
 
     ga, gbb = gb(df_a, "ca"), gb(df_b, "cb")
+    # persisted: the bounded grid (groups x <=64 buckets) feeds both the
+    # per-group totals and the term join — without it each consumer
+    # re-scans BOTH snapshot subtrees (plan-audited: 4 corpus scans)
     grid = (
         ga.join(gbb, ["grp", "bkt"], "full_outer")
         .select(
@@ -4781,6 +4784,7 @@ def psi_drift(
             F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
             F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
         )
+        .persist()
     )
     per = grid.groupBy("grp").agg(
         F.sum("ca").cast("long").alias("na"),

@@ -3065,7 +3065,7 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             "|", F.col("event_type"), ((F.col("day") + 4) % 7).cast("string")
         ),
-    )
+    ).persist()  # bounded (types x days); robust_outliers consumes it 3x
     out = robust_outliers(keyed, "grp", "n")
     return out.select(
         "event_type",
