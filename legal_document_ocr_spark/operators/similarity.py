@@ -1267,3 +1267,51 @@ def grid_dbscan(
         F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_points"),
     )
     return per.unionByName(noise).orderBy("cluster_id")
+
+
+def embedding_sq8_audit(emb: DataFrame) -> DataFrame:
+    """Int8 scalar-quantization audit over the embedding corpus — the
+    memory-4x trade every large ANN deployment measures before flipping
+    it on: quantize each component to q = floor((x − lo)·255/(hi − lo))
+    with corpus-global (lo, hi), reconstruct, and report per-label
+    reconstruction error. Exactness discipline: the per-element squared
+    error is ONE pinned double chain floored into pico-units
+    (floor(err²·10^12) — a double SUM over 64 components would be
+    partial-order-dependent; integer sums are not), so the oracle
+    restates it bit-for-bit.
+
+    Scale shape: one aggregate for the bounded (lo, hi) scalar pair
+    (broadcast), one posexplode over components (narrow — 64 rows per
+    vector, no corpus-sized shuffle until the final map-side-combined
+    groupBy(label)). At 10^12 vectors the explode is the same shape the
+    IVF assignment stage already carries.
+
+    Output per label: n_vecs, dim, total_err_pico, mse_pico
+    (= floor(total / (n_vecs·dim))).
+    """
+    mm = emb.select(F.explode("embedding").alias("x")).agg(
+        F.min(F.col("x").cast("double")).alias("lo"),
+        F.max(F.col("x").cast("double")).alias("hi"),
+    )
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "x")
+    ).crossJoin(F.broadcast(mm))
+    x = F.col("x").cast("double")
+    lo, hi = F.col("lo"), F.col("hi")
+    q = F.floor((x - lo) * 255.0 / (hi - lo))
+    xr = lo + q.cast("double") * (hi - lo) / 255.0
+    err_pico = F.floor((x - xr) * (x - xr) * 1000000000000.0).cast("long")
+    per = ex.groupBy("label").agg(
+        F.count_distinct("vec_id").cast("long").alias("n_vecs"),
+        (F.count("*") / F.count_distinct("vec_id")).cast("long").alias("dim"),
+        F.sum(err_pico).cast("long").alias("total_err_pico"),
+    )
+    return per.select(
+        "label",
+        "n_vecs",
+        "dim",
+        "total_err_pico",
+        F.floor(
+            F.col("total_err_pico") / (F.col("n_vecs") * F.col("dim"))
+        ).cast("long").alias("mse_pico"),
+    )

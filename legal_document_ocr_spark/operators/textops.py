@@ -5506,3 +5506,60 @@ def quote_mining(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_extract(F.col("_qm_f"), pat, 1).alias("quote"),
         F.regexp_extract(F.col("_qm_f"), pat, 2).alias("speaker"),
     )
+
+
+def sentence_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    budget_chars: int = 200,
+) -> DataFrame:
+    """Sentence-aligned chunking for retrieval corpora: documents split
+    with ``split_sentences``, then cut into chunks at sentence
+    boundaries by CHARACTER-BUDGET SPANS — sentence s starts a new chunk
+    iff the running char count before it crosses a ``budget_chars``
+    multiple (chunk_id = chars_before div budget). Unlike greedy
+    first-fit (a sequential fold only an unrolled DP could oracle), the
+    span rule is a pure cumulative sum — exactly SQL-expressible — while
+    preserving the property RAG wants: no sentence is ever split, chunk
+    sizes hover around the budget (a sentence longer than the budget
+    gets its own over-budget chunk rather than being torn).
+
+    Scale shape: split_sentences is ONE exchange + per-doc sorts; the
+    running count is a window per doc (bounded by one document's
+    sentence count), and the chunk reassembly groupBy reuses the same
+    doc-keyed exchange. Nothing corpus-wide anywhere.
+
+    Output: (doc_id, chunk_id, n_sents, n_chars, chunk_fp) with
+    ``chunk_fp`` the md5 of the chunk's sentences joined in order.
+    """
+    sents = split_sentences(df, id_col, text_col)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("sent_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = sents.withColumn(
+        "chunk_id",
+        (
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / budget_chars
+        ).cast("long"),
+    )
+    return chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").cast("long").alias("n_sents"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("sent_idx"), F.col("sentence"))
+                        )
+                    ),
+                    lambda x: x["sentence"],
+                ),
+                "\n",
+            )
+        ).alias("chunk_fp"),
+    )

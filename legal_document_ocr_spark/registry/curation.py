@@ -1469,3 +1469,49 @@ SELECT g AS source, sum(pn)::bigint AS n_docs, sum(pv)::bigint AS sum_value,
   count(*)::bigint AS n_salt_parts
 FROM p1 GROUP BY g ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding_sq8 (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization audit (similarity.embedding_sq8_audit):
+    corpus-global (lo, hi) scale, floor quantization, per-label
+    reconstruction MSE in pico-units — every per-element error is one
+    pinned double chain floored to bigint BEFORE summation, so no
+    float partial-sum order exists to diverge."""
+    return similarity.embedding_sq8_audit(_tbl(spark, sf_dir, "embeddings"))
+
+
+_SQL_EMBEDDING_SQ8 = """
+WITH mm AS (
+  SELECT min(x::double) AS lo, max(x::double) AS hi
+  FROM (SELECT unnest(embedding) AS x FROM embeddings)
+),
+ex AS (
+  SELECT vec_id, label, unnest(embedding)::double AS x FROM embeddings
+),
+e2 AS (
+  -- xr must be the IDENTICAL association as the Spark chain
+  -- (lo + (q*(hi-lo))/255): a - b - c is NOT a - (b + c) in IEEE
+  SELECT vec_id, label, x,
+    lo + floor((x - lo) * 255.0 / (hi - lo)) * (hi - lo) / 255.0 AS xr
+  FROM ex, mm
+),
+e3 AS (
+  SELECT vec_id, label,
+    floor((x - xr) * (x - xr) * 1000000000000.0)::bigint AS err_pico
+  FROM e2
+),
+per AS (
+  SELECT label, count(DISTINCT vec_id)::bigint AS n_vecs,
+    (count(*) / count(DISTINCT vec_id))::bigint AS dim,
+    sum(err_pico)::bigint AS total_err_pico
+  FROM e3 GROUP BY label
+)
+SELECT label, n_vecs, dim, total_err_pico,
+  floor(total_err_pico / (n_vecs * dim))::bigint AS mse_pico
+FROM per
+"""

@@ -2460,3 +2460,74 @@ SELECT s.doc_id,
 FROM sents s JOIN census c ON c.sentence = s.sentence
 GROUP BY s.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# sentence_chunks (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aligned retrieval chunking (textops.sentence_chunks)
+    over the punctuation-decorated corpus (the split_sentences
+    injection): 200-char budget spans cut at sentence boundaries —
+    chunk_id is a pure cumulative-sum function, so the oracle restates
+    it exactly; chunk_fp byte-checks each chunk's sentence content in
+    order."""
+    deco = F.col("text")
+    for pat, rep in (
+        ("merge", "end."),
+        ("window", "huh?"),
+        ("scan", "Dr."),
+        ("batch", "No. 7"),
+    ):
+        deco = F.replace(deco, F.lit(pat), F.lit(rep))
+    return textops.sentence_chunks(
+        _docs(spark, sf_dir).select("doc_id", deco.alias("text"))
+    )
+
+
+_SQL_SENTENCE_CHUNKS = r"""
+WITH deco AS (
+  SELECT doc_id,
+    replace(replace(replace(replace(text,
+      'merge', 'end.'), 'window', 'huh?'), 'scan', 'Dr.'),
+      'batch', 'No. 7') AS text
+  FROM documents
+), fr AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$')) AS frag,
+    unnest(range(len(regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$'))))
+      ::bigint AS pos
+  FROM deco
+), flags AS (
+  SELECT doc_id, pos, frag,
+    (regexp_matches(frag, '[.!?]$') AND NOT regexp_matches(frag,
+      '(^|[\s.])(Dr|Mr|Mrs|Ms|Prof|St|No|Fig|vs|etc|Jr|Sr)\.$'))::int AS is_end
+  FROM fr
+), sids AS (
+  SELECT doc_id, pos, frag,
+    coalesce(SUM(is_end) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent_idx
+  FROM flags
+), asm AS (
+  SELECT doc_id, sent_idx::bigint AS sent_idx,
+    trim(regexp_replace(string_agg(frag, '' ORDER BY pos), '\s+', ' ', 'g'))
+      AS sentence
+  FROM sids GROUP BY doc_id, sent_idx
+), sents AS (
+  SELECT doc_id, sent_idx, sentence, length(sentence)::bigint AS n_chars
+  FROM asm WHERE sentence <> ''
+), ch AS (
+  SELECT doc_id, sent_idx, sentence, n_chars,
+    (coalesce(SUM(n_chars) OVER (PARTITION BY doc_id ORDER BY sent_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 200)
+      ::bigint AS chunk_id
+  FROM sents
+)
+SELECT doc_id, chunk_id,
+  count(*)::bigint AS n_sents,
+  sum(n_chars)::bigint AS n_chars,
+  md5(string_agg(sentence, chr(10) ORDER BY sent_idx)) AS chunk_fp
+FROM ch GROUP BY doc_id, chunk_id
+"""
