@@ -958,3 +958,74 @@ def pagerank_convergence(
         .cast("long")
         .alias("delta_nano"),
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 3,
+) -> DataFrame:
+    """EXACT truncated harmonic centrality (incoming sense): for every
+    node v, H(v) = Σ_{u reaching v within max_hops} 1/d(u, v) — the
+    centrality HyperBall approximates at web scale (Boldi & Vigna's
+    motivating application); this exact bounded-hop evaluation is the
+    validation twin (the ngram_jaccard-to-minhash relationship): run it
+    on a subgraph or demo graph to calibrate the sketch, never on 10^8
+    hosts — the per-ORIGIN labeled BFS state is |V|·|B| pairs, which is
+    exactly the blowup HyperBall's registers exist to avoid (stated
+    here, measured in its docstring pairing with ``hyperball``).
+
+    Determinism: synchronous rounds, first-touch per (origin, node)
+    pair via LEFT ANTI — d is the true shortest hop count <= max_hops.
+    All-integer output: harmonic_x6 = 6·n1 + 3·n2 + 2·n3 (6 = lcm of
+    1..3), so no reciprocal ever floats.
+
+    Scale shape per round: ONE shuffle_hash join (pair frontier onto the
+    edge list) and one LEFT ANTI against the labeled pair set — both
+    pinned shuffle_hash (the labeled set grows; the accidental-broadcast
+    trap). Output: (node, n1, n2, n3, harmonic_x6).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().persist()
+    labels = e.select(F.col("src").alias("origin")).distinct().select(
+        "origin", F.col("origin").alias("node"), F.lit(0).alias("hop")
+    ).persist()
+    for h in range(1, max_hops + 1):
+        frontier = (
+            labels.where(F.col("hop") == h - 1)
+            .select("origin", F.col("node").alias("src"))
+            .join(e.hint("shuffle_hash"), "src")
+            .select("origin", F.col("dst").alias("node"))
+            .distinct()
+            .join(
+                labels.select("origin", "node").hint("shuffle_hash"),
+                ["origin", "node"],
+                "left_anti",
+            )
+            .withColumn("hop", F.lit(h))
+        )
+        labels = labels.unionByName(frontier).persist()
+    reached = labels.where(F.col("hop") > 0)
+    per = reached.groupBy("node").agg(
+        F.sum(F.when(F.col("hop") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("hop") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("hop") == 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n3"),
+    )
+    return per.select(
+        "node",
+        "n1",
+        "n2",
+        "n3",
+        (6 * F.col("n1") + 3 * F.col("n2") + 2 * F.col("n3"))
+        .cast("long")
+        .alias("harmonic_x6"),
+    )

@@ -2075,3 +2075,59 @@ SELECT doc_id, quote_idx,
   regexp_extract(m, '"([^"]{10,})," said ([A-Za-z0-9]+)', 2) AS speaker
 FROM ex
 """
+
+
+# ---------------------------------------------------------------------------
+# harmonic_centrality (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact truncated harmonic centrality (graph.harmonic_centrality,
+    3 hops, all-integer x6 output) over the demo host graph — the
+    validation twin of ``hyperball``'s sketched ball sizes; the oracle
+    unrolls the same per-origin first-touch rounds."""
+    from ..operators.graph import harmonic_centrality
+
+    return harmonic_centrality(_host_graph_edges(spark, sf_dir))
+
+
+def _sql_harmonic_centrality(max_hops: int = 3) -> str:
+    parts = [
+        f"""WITH {_DEMO_EDGES_SQL},
+de AS (SELECT DISTINCT src, dst FROM e),
+l0 AS (SELECT DISTINCT src AS origin, src AS node, 0 AS hop FROM de)"""
+    ]
+    prev_front, prev_lab = "l0", "l0"
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f""",
+f{h} AS (
+  SELECT DISTINCT l.origin, de.dst AS node, {h} AS hop
+  FROM {prev_front} l JOIN de ON de.src = l.node
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {prev_lab} x
+    WHERE x.origin = l.origin AND x.node = de.dst
+  )
+),
+l{h} AS (SELECT * FROM {prev_lab} UNION ALL SELECT * FROM f{h})"""
+        )
+        prev_front, prev_lab = f"f{h}", f"l{h}"
+    fronts = " UNION ALL ".join(
+        f"SELECT * FROM f{h}" for h in range(1, max_hops + 1)
+    )
+    parts.append(
+        f""",
+reached AS ({fronts}),
+per AS (
+  SELECT node,
+    sum(CASE WHEN hop = 1 THEN 1 ELSE 0 END)::bigint AS n1,
+    sum(CASE WHEN hop = 2 THEN 1 ELSE 0 END)::bigint AS n2,
+    sum(CASE WHEN hop = 3 THEN 1 ELSE 0 END)::bigint AS n3
+  FROM reached GROUP BY node
+)
+SELECT node, n1, n2, n3,
+  (6 * n1 + 3 * n2 + 2 * n3)::bigint AS harmonic_x6
+FROM per"""
+    )
+    return "".join(parts)
