@@ -3293,3 +3293,76 @@ def toc_extract(
         n_resolved.alias("n_resolved"),
         (n_links - n_resolved).cast("long").alias("n_dangling"),
     )
+
+
+def robots_directive_merge(
+    df: DataFrame,
+    url_col: str = "url",
+    headers_col: str = "headers",
+    html_col: str = "html",
+) -> DataFrame:
+    """Effective robots directives per page from BOTH channels — the
+    X-Robots-Tag HTTP header and the <meta name="robots"> tag — under
+    the most-restrictive-wins rule search engines apply (Google's
+    documented combination semantics): noindex or nofollow from EITHER
+    channel sticks. The merge matters because a crawler that honors only
+    one channel silently indexes pages the publisher blocked in the
+    other; ``conflict`` (one channel silent, the other blocking) is the
+    audit column.
+
+    Head-only discipline: the header scan runs on the headers string
+    only, so a decoy 'X-Robots-Tag: noindex' in the BODY never matches
+    (the parse_x_robots contract); the meta scan accepts any attribute
+    order via two narrow regexps. All codegen, one scan, no UDF, one
+    map-side-combined groupBy(source host).
+
+    Output per host: n_pages, hdr_noindex, meta_noindex,
+    eff_noindex, eff_nofollow, conflicts.
+    """
+    hdr = F.lower(F.col(headers_col))
+    hx = F.regexp_extract(
+        hdr, r"(?m)^x-robots-tag:\s*([^\r\n]*)$", 1
+    )
+    hdr_noindex = (
+        hx.contains("noindex") | hx.contains("none")
+    ).cast("int")
+    hdr_nofollow = (
+        hx.contains("nofollow") | hx.contains("none")
+    ).cast("int")
+    html_txt = F.lower(F.decode(F.col(html_col), "UTF-8"))
+    meta = F.regexp_extract(
+        html_txt,
+        r'<meta\s+name="robots"\s+content="([^"]*)"',
+        1,
+    )
+    meta_noindex = (
+        meta.contains("noindex") | meta.contains("none")
+    ).cast("int")
+    meta_nofollow = (
+        meta.contains("nofollow") | meta.contains("none")
+    ).cast("int")
+    eff_noindex = F.greatest(hdr_noindex, meta_noindex)
+    eff_nofollow = F.greatest(hdr_nofollow, meta_nofollow)
+    conflict = (
+        (hdr_noindex != meta_noindex) | (hdr_nofollow != meta_nofollow)
+    ).cast("int")
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/]+)/", 1)
+    return (
+        df.select(
+            host.alias("host"),
+            hdr_noindex.alias("_rm_hn"),
+            meta_noindex.alias("_rm_mn"),
+            eff_noindex.alias("_rm_en"),
+            eff_nofollow.alias("_rm_ef"),
+            conflict.alias("_rm_c"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.sum("_rm_hn").cast("long").alias("hdr_noindex"),
+            F.sum("_rm_mn").cast("long").alias("meta_noindex"),
+            F.sum("_rm_en").cast("long").alias("eff_noindex"),
+            F.sum("_rm_ef").cast("long").alias("eff_nofollow"),
+            F.sum("_rm_c").cast("long").alias("conflicts"),
+        )
+    )

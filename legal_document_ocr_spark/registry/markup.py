@@ -904,3 +904,72 @@ SELECT
   (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::bigint AS n_dangling
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# robots_directive_merge (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_robots_directive_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header+meta robots combination census
+    (urls.robots_directive_merge): every 3rd doc sends an X-Robots-Tag
+    noindex header, every 5th a meta-robots noindex, every 4th a meta
+    nofollow — overlapping moduli force real conflicts; the body decoy
+    'X-Robots-Tag: noindex' line must never match (head-only scan)."""
+    from ..operators.urls import robots_directive_merge
+
+    d = _urls(spark, sf_dir)
+    did = F.col("doc_id")
+    crlf = "\r\n"
+    headers = F.concat(
+        F.lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" + crlf),
+        F.when(
+            did % 3 == 0, F.lit("X-Robots-Tag: noindex" + crlf)
+        ).otherwise(F.lit("")),
+    )
+    meta = F.when(
+        did % 5 == 0,
+        F.lit('<meta name="robots" content="noindex">'),
+    ).otherwise(
+        F.when(
+            did % 4 == 0,
+            F.lit('<meta name="robots" content="nofollow">'),
+        ).otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        meta,
+        F.lit("</head><body>X-Robots-Tag: noindex (decoy)</body></html>"),
+    )
+    return robots_directive_merge(
+        d.select(
+            "url",
+            headers.alias("headers"),
+            F.encode(html, "UTF-8").alias("html"),
+        )
+    )
+
+
+_SQL_ROBOTS_DIRECTIVE_MERGE = """
+WITH d AS (
+  SELECT doc_id, source || '.example.com' AS host,
+    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS hn,
+    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS mn,
+    CASE WHEN doc_id % 5 <> 0 AND doc_id % 4 = 0 THEN 1 ELSE 0 END AS mf
+  FROM documents
+),
+e AS (
+  SELECT host, hn, mn, mf,
+    greatest(hn, mn) AS en, mf AS ef,
+    CASE WHEN hn <> mn OR 0 <> mf THEN 1 ELSE 0 END AS c
+  FROM d
+)
+SELECT host, count(*)::bigint AS n_pages,
+  sum(hn)::bigint AS hdr_noindex,
+  sum(mn)::bigint AS meta_noindex,
+  sum(en)::bigint AS eff_noindex,
+  sum(ef)::bigint AS eff_nofollow,
+  sum(c)::bigint AS conflicts
+FROM e GROUP BY host
+"""
