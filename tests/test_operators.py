@@ -7913,3 +7913,34 @@ def test_unigram_viterbi_dominates_greedy_segmentation(spark):
             tighter = tighter + 1
     # the objective must actually bite somewhere, else the entry is vacuous
     assert tighter > 0
+
+
+def test_peak_concurrency_tie_order_independence(spark):
+    """Crafted coincident endpoints: the half-open convention must close
+    intervals before opening new ones at the same instant, and tied
+    same-delta endpoints must not make the peak depend on row order."""
+    import datetime as _dt
+
+    from legal_document_ocr_spark.operators.relational import (
+        peak_concurrency,
+    )
+
+    base = _dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, sec):
+        return (eid, base + _dt.timedelta(seconds=sec), uid, "click", 0.0, "{}")
+
+    # user 1: event_id 180 -> dur 60+180%240 = 240; second starts exactly
+    # at the first's end (t=240): half-open => peak 1, not 2
+    # user 2: two identical-duration events at the same start => peak 2
+    rows = [
+        ev(180, 1, 0), ev(180 + 240, 1, 240),
+        ev(120, 2, 0), ev(360, 2, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    got = {r["peak"]: r["n_users"] for r in peak_concurrency(df).collect()}
+    assert got == {1: 1, 2: 1}
