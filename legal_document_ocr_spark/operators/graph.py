@@ -1029,3 +1029,70 @@ def harmonic_centrality(
         .cast("long")
         .alias("harmonic_x6"),
     )
+
+
+def bowtie_membership(
+    edges: DataFrame,
+    pivots: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    pivot_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Bow-tie web-graph decomposition relative to a pivot set (Broder
+    et al. WWW'00): every node classifies by bounded-hop reachability —
+    CORE (reaches the pivots AND is reached by them: the mutually-
+    connected component the pivots sit in), IN (reaches the pivots but
+    isn't reached — pages that link toward the core), OUT (reached from
+    the pivots but doesn't link back), DISCONNECTED (neither, within
+    ``max_hops``). The census that tells a crawl operator what fraction
+    of the known web their seed set can actually reach — and what
+    fraction can reach THEM (spam rings live in IN; orphaned content in
+    OUT).
+
+    Built as two ``seed_reachability`` passes — forward on the edges,
+    backward on the reversed edges — so every scale property of that
+    operator carries over verbatim (per round: one shuffle_hash join +
+    one LEFT ANTI, the labeled set never broadcasts); classification is
+    a full-outer join of the two bounded-round label tables against the
+    node census.
+
+    Output: (node, fwd_hop, bwd_hop, cls) — hops are NULL when
+    unreached; cls in {'CORE','IN','OUT','DISC'}.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    p = pivots.select(F.col(pivot_col).alias("node"))
+    fwd = seed_reachability(e, p, max_hops=max_hops).withColumnRenamed(
+        "hop", "fwd_hop"
+    )
+    bwd = seed_reachability(rev, p, max_hops=max_hops).withColumnRenamed(
+        "hop", "bwd_hop"
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    j = nodes.join(fwd.hint("shuffle_hash"), "node", "left").join(
+        bwd.hint("shuffle_hash"), "node", "left"
+    )
+    reached_fwd = F.col("fwd_hop").isNotNull()
+    reached_bwd = F.col("bwd_hop").isNotNull()
+    cls = (
+        F.when(reached_fwd & reached_bwd, F.lit("CORE"))
+        .when(reached_bwd, F.lit("IN"))
+        .when(reached_fwd, F.lit("OUT"))
+        .otherwise(F.lit("DISC"))
+    )
+    return j.select(
+        "node",
+        F.col("fwd_hop").cast("long").alias("fwd_hop"),
+        F.col("bwd_hop").cast("long").alias("bwd_hop"),
+        cls.alias("cls"),
+    )

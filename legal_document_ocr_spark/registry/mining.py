@@ -2131,3 +2131,57 @@ SELECT node, n1, n2, n3,
 FROM per"""
     )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# bowtie_membership (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_bowtie_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie decomposition (graph.bowtie_membership, Broder WWW'00)
+    of the demo host graph relative to the every-7th-host pivot set:
+    CORE/IN/OUT/DISC by 3-hop forward and backward reachability; the
+    oracle unrolls both BFS directions."""
+    from ..operators.graph import bowtie_membership
+
+    hosts = _docs(spark, sf_dir).select("source").distinct()
+    idx = F.regexp_replace("source", "^src", "").cast("int")
+    pivots = hosts.where(idx % 7 == 0).select(F.col("source").alias("node"))
+    return bowtie_membership(_host_graph_edges(spark, sf_dir), pivots)
+
+
+def _sql_bowtie_membership(max_hops: int = 3) -> str:
+    def chain(tag: str, edge_cte: str) -> str:
+        parts = [
+            f"""{tag}l0 AS (
+  SELECT DISTINCT source AS node, 0 AS hop FROM documents
+  WHERE regexp_replace(source, '^src', '')::int % 7 = 0
+)"""
+        ]
+        for h in range(1, max_hops + 1):
+            parts.append(
+                f"""{tag}f{h} AS (
+  SELECT DISTINCT d.dst AS node, {h} AS hop
+  FROM {edge_cte} d JOIN {tag}l{h-1} l ON d.src = l.node AND l.hop = {h-1}
+  WHERE NOT EXISTS (SELECT 1 FROM {tag}l{h-1} x WHERE x.node = d.dst)
+),
+{tag}l{h} AS (SELECT * FROM {tag}l{h-1} UNION ALL SELECT * FROM {tag}f{h})"""
+            )
+        return ",\n".join(parts)
+
+    return f"""WITH {_DEMO_EDGES_SQL},
+de AS (SELECT DISTINCT src, dst FROM e),
+rde AS (SELECT dst AS src, src AS dst FROM de),
+nodes AS (SELECT src AS node FROM de UNION SELECT dst FROM de),
+{chain('f', 'de')},
+{chain('b', 'rde')}
+SELECT n.node, fw.hop::bigint AS fwd_hop, bw.hop::bigint AS bwd_hop,
+  CASE WHEN fw.hop IS NOT NULL AND bw.hop IS NOT NULL THEN 'CORE'
+       WHEN bw.hop IS NOT NULL THEN 'IN'
+       WHEN fw.hop IS NOT NULL THEN 'OUT'
+       ELSE 'DISC' END AS cls
+FROM nodes n
+LEFT JOIN fl{max_hops} fw ON fw.node = n.node
+LEFT JOIN bl{max_hops} bw ON bw.node = n.node
+"""
