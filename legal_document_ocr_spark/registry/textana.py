@@ -2531,3 +2531,147 @@ SELECT doc_id, chunk_id,
   md5(string_agg(sentence, chr(10) ORDER BY sent_idx)) AS chunk_fp
 FROM ch GROUP BY doc_id, chunk_id
 """
+
+
+# ---------------------------------------------------------------------------
+# rag_corpus_pipeline (round-4 session-20 capstone)
+# ---------------------------------------------------------------------------
+
+
+def q_rag_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-corpus capstone: boilerplate-injected docs -> sentence split
+    -> cross-doc sentence dedup (min_docs=2) -> sentence-aligned
+    200-char chunking of the SURVIVORS -> per-source census — the
+    composition that turns a raw crawl into a retrieval corpus, wired
+    from the session's sentence_dedup and sentence_chunks machinery
+    (same injection, same census key, same budget-span rule).
+
+    Scale shape: split_sentences' one doc-keyed exchange; census
+    groupBy on the md5 sentence key; join-back pinned shuffle_hash;
+    the chunk window and both per-doc groupBys reuse the doc-keyed
+    exchange; final per-source rollup joins docs on doc_id (pinned
+    shuffle_hash — corpus-sized both sides).
+
+    Output per source: n_docs, n_sents, n_kept, n_chunks, kept_chars.
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(". Subscribe now. Courtesy of "),
+            F.col("source"),
+            F.lit("."),
+        ).alias("text"),
+    )
+    sents = textops.split_sentences(d.select("doc_id", "text")).withColumn(
+        "_rp_key", F.md5(F.col("sentence"))
+    )
+    census = sents.groupBy("_rp_key").agg(
+        F.count_distinct("doc_id").cast("long").alias("_rp_docs")
+    )
+    joined = sents.join(census.hint("shuffle_hash"), "_rp_key")
+    kept = joined.where(F.col("_rp_docs") < 2)
+    from pyspark.sql import Window as _W
+
+    w = (
+        _W.partitionBy("doc_id")
+        .orderBy("sent_idx")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    chunked = kept.withColumn(
+        "_rp_chunk",
+        (F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / 200).cast("long"),
+    )
+    per_kept = chunked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("_rp_nk"),
+        F.count_distinct("_rp_chunk").cast("long").alias("_rp_nc"),
+        F.sum("n_chars").cast("long").alias("_rp_kc"),
+    )
+    per_all = sents.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("_rp_ns")
+    )
+    per_doc = per_all.join(per_kept.hint("shuffle_hash"), "doc_id", "left")
+    rolled = (
+        per_doc.join(
+            d.select("doc_id", "source").hint("shuffle_hash"), "doc_id"
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_rp_ns").cast("long").alias("n_sents"),
+            F.sum(F.coalesce(F.col("_rp_nk"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.coalesce(F.col("_rp_nc"), F.lit(0)))
+            .cast("long")
+            .alias("n_chunks"),
+            F.sum(F.coalesce(F.col("_rp_kc"), F.lit(0)))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+    )
+    return rolled
+
+
+_SQL_RAG_CORPUS_PIPELINE = r"""
+WITH deco AS (
+  SELECT doc_id, source,
+    text || '. Subscribe now. Courtesy of ' || source || '.' AS text
+  FROM documents
+), fr AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$')) AS frag,
+    unnest(range(len(regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$'))))
+      ::bigint AS pos
+  FROM deco
+), flags AS (
+  SELECT doc_id, pos, frag,
+    (regexp_matches(frag, '[.!?]$') AND NOT regexp_matches(frag,
+      '(^|[\s.])(Dr|Mr|Mrs|Ms|Prof|St|No|Fig|vs|etc|Jr|Sr)\.$'))::int AS is_end
+  FROM fr
+), sids AS (
+  SELECT doc_id, pos, frag,
+    coalesce(SUM(is_end) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent_idx
+  FROM flags
+), asm AS (
+  SELECT doc_id, sent_idx::bigint AS sent_idx,
+    trim(regexp_replace(string_agg(frag, '' ORDER BY pos), '\s+', ' ', 'g'))
+      AS sentence
+  FROM sids GROUP BY doc_id, sent_idx
+), sents AS (
+  SELECT doc_id, sent_idx, sentence, length(sentence)::bigint AS n_chars
+  FROM asm WHERE sentence <> ''
+), census AS (
+  SELECT sentence, count(DISTINCT doc_id)::bigint AS n_docs
+  FROM sents GROUP BY sentence
+), kept AS (
+  SELECT s.doc_id, s.sent_idx, s.n_chars
+  FROM sents s JOIN census c ON c.sentence = s.sentence
+  WHERE c.n_docs < 2
+), chunked AS (
+  SELECT doc_id, sent_idx, n_chars,
+    (coalesce(SUM(n_chars) OVER (PARTITION BY doc_id ORDER BY sent_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 200)
+      ::bigint AS chunk_id
+  FROM kept
+), per_kept AS (
+  SELECT doc_id, count(*)::bigint AS nk,
+    count(DISTINCT chunk_id)::bigint AS nc, sum(n_chars)::bigint AS kc
+  FROM chunked GROUP BY doc_id
+), per_all AS (
+  SELECT doc_id, count(*)::bigint AS ns FROM sents GROUP BY doc_id
+)
+SELECT d.source,
+  count(*)::bigint AS n_docs,
+  sum(a.ns)::bigint AS n_sents,
+  sum(coalesce(k.nk, 0))::bigint AS n_kept,
+  sum(coalesce(k.nc, 0))::bigint AS n_chunks,
+  sum(coalesce(k.kc, 0))::bigint AS kept_chars
+FROM per_all a
+LEFT JOIN per_kept k ON k.doc_id = a.doc_id
+JOIN (SELECT DISTINCT doc_id, source FROM documents) d
+  ON d.doc_id = a.doc_id
+GROUP BY d.source
+"""
