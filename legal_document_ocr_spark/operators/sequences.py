@@ -440,3 +440,94 @@ def interarrival_stats(
         .cast("long")
         .alias("lambda_micro"),
     ).orderBy("event_type")
+
+
+def markov_entropy_rate(
+    events: DataFrame,
+    *,
+    iters: int = 8,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain:
+    H = Σ_i π_i · Σ_j P_ij·ln(1/P_ij) — the single compressibility
+    number for behavioral streams (a near-zero rate says sessions are
+    templated bot traffic; the maximum ln(S) says types are i.i.d.),
+    composing ``markov_stationary``'s fixpoint with the conditional
+    entropy of each row of the transition matrix.
+
+    Exactness: π comes from the same round(·,12)-decimal power
+    iteration as ``markov_stationary`` (shared fixpoint, full double
+    precision — NOT the micro-floored output); each (i,j) entropy term
+    is the pinned chain (π_i·(c/r))·round(ln(r/c),6), rounded to 12 dp
+    into an exact decimal sum over the bounded S×S matrix.
+
+    Scale shape: identical to markov_stationary — ONE per-user lag
+    window over the corpus, then everything on the bounded matrix.
+
+    Output: one row (n_states, n_transitions, entropy_rate_micro).
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(id_col),
+            F.col(type_col).alias("j"),
+        )
+        .withColumn("i", F.lag("j").over(w))
+        .where(F.col("i").isNotNull())
+        .groupBy("i", "j")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    totals = pairs.groupBy("i").agg(F.sum("c").cast("long").alias("r"))
+    trans = pairs.join(F.broadcast(totals), "i").persist()
+    states = events.select(F.col(type_col).alias("st")).distinct().persist()
+    n_states = states.count()
+    x = states.select(
+        "st", F.lit(1.0 / n_states).cast("double").alias("x")
+    )
+    for _ in range(iters):
+        inflow = (
+            x.join(trans, x["st"] == trans["i"])
+            .select(
+                F.col("j").alias("st2"),
+                F.round(
+                    F.col("x")
+                    * F.col("c").cast("double")
+                    / F.col("r").cast("double"),
+                    12,
+                )
+                .cast("decimal(28,12)")
+                .alias("term"),
+            )
+            .groupBy("st2")
+            .agg(F.sum("term").cast("double").alias("xin"))
+        )
+        x = states.join(
+            inflow, states["st"] == inflow["st2"], "left"
+        ).select("st", F.coalesce("xin", F.lit(0.0)).alias("x"))
+    term = F.round(
+        F.col("x")
+        * (F.col("c").cast("double") / F.col("r").cast("double"))
+        * F.round(
+            F.log(F.col("r").cast("double") / F.col("c").cast("double")), 6
+        ),
+        12,
+    ).cast("decimal(28,12)")
+    h = x.join(trans, x["st"] == trans["i"]).agg(
+        F.sum(term).alias("s")
+    )
+    counts = pairs.agg(F.count("*").cast("long").alias("nt"))
+    return (
+        h.crossJoin(F.broadcast(counts))
+        .select(
+            F.lit(n_states).cast("long").alias("n_states"),
+            F.col("nt").alias("n_transitions"),
+            F.floor(F.col("s").cast("double") * 1000000)
+            .cast("long")
+            .alias("entropy_rate_micro"),
+        )
+    )

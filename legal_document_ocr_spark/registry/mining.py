@@ -2185,3 +2185,36 @@ FROM nodes n
 LEFT JOIN fl{max_hops} fw ON fw.node = n.node
 LEFT JOIN bl{max_hops} bw ON bw.node = n.node
 """
+
+
+# ---------------------------------------------------------------------------
+# markov_entropy_rate (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the event-type chain
+    (sequences.markov_entropy_rate): π·row-entropy over the bounded
+    transition matrix, π from the shared 8-round fixpoint — the
+    behavioral-compressibility gauge beside markov_stationary."""
+    from ..operators.sequences import markov_entropy_rate
+
+    return markov_entropy_rate(_tbl(_utc(spark), sf_dir, "events"), iters=8)
+
+
+def _sql_markov_entropy_rate(iters: int = 8) -> str:
+    base = _sql_markov_stationary(iters).rsplit("\nSELECT", 1)[0]
+    return (
+        base
+        + f"""
+SELECT (SELECT count(*) FROM st)::bigint AS n_states,
+  (SELECT count(*) FROM pairs)::bigint AS n_transitions,
+  floor(s::double * 1000000)::bigint AS entropy_rate_micro
+FROM (
+  SELECT sum(round(x.x * (tr.c::double / tr.r::double)
+      * round(ln(tr.r::double / tr.c::double), 6), 12)
+      ::decimal(28,12)) AS s
+  FROM x{iters} x JOIN tr ON x.st = tr.i
+)
+"""
+    )
