@@ -1515,3 +1515,80 @@ SELECT label, n_vecs, dim, total_err_pico,
   floor(total_err_pico / (n_vecs * dim))::bigint AS mse_pico
 FROM per
 """
+
+
+# ---------------------------------------------------------------------------
+# sq8_recall (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval impact of int8 scalar quantization: top-10 cosine
+    neighbors of query 0 under RECONSTRUCTED (quantize->dequantize)
+    vectors vs the exact top-10 — the recall number that decides
+    whether the 4x memory saving of ``embedding_sq8`` is free or not.
+    Reconstruction shares the exact pinned chain with the audit entry;
+    both top-10s use the deterministic (cosine desc, vec_id) order."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    mm = emb.select(F.explode("embedding").alias("x")).agg(
+        F.min(F.col("x").cast("double")).alias("lo"),
+        F.max(F.col("x").cast("double")).alias("hi"),
+    )
+    lo, hi = F.col("lo"), F.col("hi")
+    rec = emb.crossJoin(F.broadcast(mm)).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: lo
+            + F.floor((x.cast("double") - lo) * 255.0 / (hi - lo))
+            * (hi - lo)
+            / 255.0,
+        ).alias("embedding"),
+    )
+    exact = similarity.cosine_topk(emb, 0, k=10).select("vec_id")
+    quant = similarity.cosine_topk(rec, 0, k=10).select("vec_id")
+    hit = exact.join(quant, "vec_id").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    return hit.select(
+        F.lit(10).cast("long").alias("k"),
+        "n_overlap",
+        F.floor(F.col("n_overlap") * 1000000 / 10)
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+
+
+def _sql_sq8_recall() -> str:
+    cos_e = _COS_SQL.format(a="e.v", b="q.qv")
+    cos_r = _COS_SQL.format(a="er.v", b="qr.qv")
+    return f"""
+WITH mm AS (
+  SELECT min(x::double) AS lo, max(x::double) AS hi
+  FROM (SELECT unnest(embedding) AS x FROM embeddings)
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+  FROM embeddings
+),
+er AS (
+  SELECT vec_id,
+    list_transform(embedding, x ->
+      lo + floor((x::double - lo) * 255.0 / (hi - lo)) * (hi - lo)
+      / 255.0) AS v
+  FROM embeddings, mm
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qr AS (SELECT v AS qv FROM er WHERE vec_id = 0),
+t_exact AS (
+  SELECT e.vec_id FROM e, q WHERE e.vec_id <> 0
+  ORDER BY round({cos_e}, 6) DESC, e.vec_id LIMIT 10
+),
+t_q AS (
+  SELECT er.vec_id FROM er, qr WHERE er.vec_id <> 0
+  ORDER BY round({cos_r}, 6) DESC, er.vec_id LIMIT 10
+)
+SELECT 10::bigint AS k, count(*)::bigint AS n_overlap,
+  floor(count(*) * 1000000 / 10)::bigint AS recall_ppm
+FROM t_exact JOIN t_q USING (vec_id)
+"""
