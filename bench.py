@@ -143,6 +143,9 @@ HEADLINE = [
     "t_closeness",            # privacy-ladder TV distance on the bounded grid
     "peak_concurrency",       # sweep-line interval concurrency (per-user window)
     "cdx_zipnum",             # ZipNum cluster.idx (per-file windows only)
+    "sentence_dedup",         # CCNet sentence-grain boilerplate removal
+    "psi_drift",              # PSI drift monitor on log2 buckets
+    "rag_corpus_pipeline",    # capstone: sentence dedup -> survivor chunking
 ]
 
 
