@@ -7944,3 +7944,40 @@ def test_peak_concurrency_tie_order_independence(spark):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     got = {r["peak"]: r["n_users"] for r in peak_concurrency(df).collect()}
     assert got == {1: 1, 2: 1}
+
+
+def test_session20_epoch_entries_pin_utc_themselves(spark):
+    """The timezone trap (verify-skill round-2 note): epoch-sensitive
+    registry entries must produce identical results whatever timezone
+    the driver session starts in, because their wrappers pin UTC."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    try:
+        for name in ("peak_concurrency", "seasonal_anomaly"):
+            spark.conf.set(
+                "spark.sql.session.timeZone", "America/New_York"
+            )
+            sdf = qs[name](spark, "/root/testdata/sf0.001")
+            rows = sorted(
+                tuple(str(v) for v in r) for r in sdf.collect()
+            )
+            orows = sorted(
+                tuple(str(v) for v in r)
+                for r in con.execute(oracles[name]).fetchall()
+            )
+            assert rows == orows, name
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
