@@ -1592,3 +1592,58 @@ SELECT 10::bigint AS k, count(*)::bigint AS n_overlap,
   floor(count(*) * 1000000 / 10)::bigint AS recall_ppm
 FROM t_exact JOIN t_q USING (vec_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# skew_join_salted (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (scale/salt.salted_join) under the correctness
+    gate: a deliberately hot-keyed fact (every 4th doc collapses onto
+    the 'hot' key) joined to per-key metadata through the salt
+    machinery — the oracle is the PLAIN join restated, so parity proves
+    salting is row-exact. Aggregated per key so the check is
+    order-free."""
+    from ..scale.salt import salted_join
+
+    d = _docs(spark, sf_dir)
+    key = F.when(F.col("doc_id") % 4 == 0, F.lit("hot")).otherwise(
+        F.col("source")
+    )
+    fact = d.select(
+        "doc_id", key.alias("join_key"), F.col("n_chars").cast("long").alias("w")
+    )
+    dim = (
+        fact.select("join_key")
+        .distinct()
+        .select(
+            "join_key",
+            F.length("join_key").cast("long").alias("key_len"),
+        )
+    )
+    joined = salted_join(fact, dim, "join_key", "doc_id", n_salt=8)
+    return joined.groupBy("join_key").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("w").cast("long").alias("sum_w"),
+        F.max("key_len").cast("long").alias("key_len"),
+    )
+
+
+_SQL_SKEW_JOIN_SALTED = """
+WITH fact AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN 'hot' ELSE source END AS join_key,
+    n_chars::bigint AS w
+  FROM documents
+),
+dim AS (
+  SELECT join_key, length(join_key)::bigint AS key_len
+  FROM (SELECT DISTINCT join_key FROM fact)
+)
+SELECT f.join_key, count(*)::bigint AS n_rows, sum(f.w)::bigint AS sum_w,
+  max(d.key_len)::bigint AS key_len
+FROM fact f JOIN dim d ON d.join_key = f.join_key
+GROUP BY f.join_key
+"""

@@ -130,3 +130,51 @@ def salted_group_counts(
         )
         .orderBy(group_col)
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    salt_src_col: str,
+    *,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join — THE canonical salting move for a join whose
+    key distribution is hot (one host/key holding a corpus-scale share
+    puts its entire partition in one task): the fact side gains a
+    deterministic salt in [0, n_salt) from the portable md5 of a
+    per-row column, the dim side is replicated n_salt× by an in-row
+    explode, and the join runs on (key, salt) — the hot key's rows now
+    spread across n_salt tasks. Row-identical to the plain join (what
+    the parity oracle states), because every fact row meets exactly the
+    one dim replica carrying its salt.
+
+    Complements ``salted_group_counts`` (the AGGREGATION face of the
+    same technique) and AQE's skew-join splitting — which only fires on
+    sort-merge paths with size statistics; pre-salting is the plan-
+    stable answer when the skew is known (BASELINE.md skew harness
+    measures 4.6× on exactly this shape).
+
+    Scale note: dim replication costs n_salt× the dim exchange — right
+    when dim is the (much) smaller side but too big or too mutable to
+    broadcast (1e8-host metadata); the join itself is pinned
+    shuffle_hash so the planner can never broadcast the replicated side
+    by accident.
+    """
+    salt = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(salt_src_col).cast("string")), 1, 7),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_salt),
+    )
+    fact_s = fact.withColumn("_sj_salt", salt)
+    dim_r = dim.withColumn(
+        "_sj_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<long>")),
+    )
+    return fact_s.join(
+        dim_r.hint("shuffle_hash"), [key_col, "_sj_salt"]
+    ).drop("_sj_salt")
