@@ -4830,3 +4830,65 @@ def psi_drift(
             / (F.col("ma").cast("double") * F.col("mb").cast("double"))
         ).cast("long").alias("psi_micro"),
     )
+
+
+def range_partition_audit(
+    df: DataFrame, value_col: str = "n_chars", qs_ppm: tuple[int, ...] = (250000, 500000, 750000)
+) -> DataFrame:
+    """Range-partitioner layout audit: derive exact split points from
+    the bounded value-distribution sketch (the same stated quantile
+    definition as ``grouped_quantiles`` — smallest value whose
+    cumulative count >= ceil(q·n/10^6)), assign every row its range by
+    threshold comparison, and report per-range (n_rows, min_v, max_v) —
+    the audit that verifies a global-sort file layout (ORDER BY output,
+    time-range partitioning) has non-overlapping, balanced ranges
+    BEFORE 100 TB gets written in that order. This is what Spark's
+    RangePartitioner does by reservoir sample; the sketch derivation is
+    the exact, deterministic version.
+
+    Scale shape: ONE map-side-combined groupBy(value) builds the
+    bounded distribution; the cumulative window runs on that bounded
+    table only (mann_whitney discipline); the 3-threshold row
+    broadcasts; range assignment is a codegen CASE at scan speed and
+    ONE map-side-combined groupBy(range) closes.
+
+    Output: (range_id, n_rows, min_v, max_v) ordered by range_id —
+    non-overlap is visible as max_v(range k) < min_v(range k+1).
+    """
+    v = F.col(value_col).cast("long")
+    dist = df.groupBy(v.alias("_rp_v")).agg(
+        F.count("*").cast("long").alias("_rp_c")
+    )
+    w = Window.orderBy("_rp_v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = dist.select(
+        "_rp_v",
+        F.sum("_rp_c").over(w).alias("_rp_cum"),
+        F.sum("_rp_c").over(w_all).alias("_rp_n"),
+    )
+    aggs = []
+    for q in qs_ppm:
+        need = F.expr(f"({q} * _rp_n + 999999) div 1000000")
+        aggs.append(
+            F.min(F.when(F.col("_rp_cum") >= need, F.col("_rp_v")))
+            .cast("long")
+            .alias(f"_rp_t{q}")
+        )
+    th = cum.agg(*aggs)
+    j = df.select(v.alias("_rp_val")).crossJoin(F.broadcast(th))
+    rid = F.lit(len(qs_ppm)).cast("long")
+    for i, q in enumerate(reversed(qs_ppm)):
+        rid = F.when(
+            F.col("_rp_val") < F.col(f"_rp_t{q}"),
+            F.lit(len(qs_ppm) - 1 - i),
+        ).otherwise(rid)
+    return (
+        j.select(rid.alias("range_id"), "_rp_val")
+        .groupBy("range_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("_rp_val").cast("long").alias("min_v"),
+            F.max("_rp_val").cast("long").alias("max_v"),
+        )
+        .orderBy("range_id")
+    )

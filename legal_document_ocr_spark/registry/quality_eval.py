@@ -2598,3 +2598,49 @@ SELECT source, count(*)::bigint AS n_docs,
         / (count(*)::double * 1000000.0))::bigint AS brier_micro
 FROM d GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# range_partition_audit (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_range_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioner layout audit (relational.range_partition_audit)
+    over doc lengths at p25/p50/p75 split points — exact sketch-derived
+    thresholds (the deterministic version of Spark's reservoir-sampled
+    RangePartitioner), per-range counts and min/max proving
+    non-overlap."""
+    from ..operators.relational import range_partition_audit
+
+    return range_partition_audit(_docs(spark, sf_dir))
+
+
+_SQL_RANGE_PARTITION_AUDIT = """
+WITH dist AS (
+  SELECT n_chars::bigint AS v, count(*)::bigint AS c
+  FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+  FROM dist
+),
+th AS (
+  SELECT
+    min(CASE WHEN cum >= (250000 * n + 999999) // 1000000
+          THEN v END)::bigint AS t25,
+    min(CASE WHEN cum >= (500000 * n + 999999) // 1000000
+          THEN v END)::bigint AS t50,
+    min(CASE WHEN cum >= (750000 * n + 999999) // 1000000
+          THEN v END)::bigint AS t75
+  FROM cum
+)
+SELECT (CASE WHEN d.n_chars < t25 THEN 0
+             WHEN d.n_chars < t50 THEN 1
+             WHEN d.n_chars < t75 THEN 2
+             ELSE 3 END)::bigint AS range_id,
+  count(*)::bigint AS n_rows,
+  min(d.n_chars)::bigint AS min_v,
+  max(d.n_chars)::bigint AS max_v
+FROM documents d, th GROUP BY 1
+"""
