@@ -4892,3 +4892,43 @@ def range_partition_audit(
         )
         .orderBy("range_id")
     )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window_sec: int = 600,
+    slide_sec: int = 300,
+) -> DataFrame:
+    """Sliding-window event counts via the built-in ``F.window`` with a
+    slide — completing the window-type triple next to
+    ``windowed_event_counts`` (tumbling) and ``session_window_agg``
+    (gap-merged): each event lands in window_sec/slide_sec overlapping
+    windows, the shape behind every rate-limiter and rolling-rate
+    dashboard. Counts only (no value sums) so the overlap fan-out stays
+    all-integer.
+
+    Scale shape: F.window expands each row to its window assignments
+    IN-ROW (no self-join), then ONE map-side-combined groupBy on the
+    bounded (window_start, type) key. Callers pin the session timezone
+    (the registry wrapper sets UTC) — window bucketing reads instants.
+
+    Output: (window_start, event_type, n_events) ordered.
+    """
+    w = F.window(
+        F.col(ts_col), f"{window_sec} seconds", f"{slide_sec} seconds"
+    )
+    return (
+        events.groupBy(
+            w.alias("_sw"), F.col("event_type")
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            # NTZ start -> instant -> epoch (the registry's _utc idiom)
+            F.col("_sw.start").cast("timestamp").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -3115,3 +3115,39 @@ SELECT v.event_type, v.day::bigint AS day, v.n, med.med, mad.mad,
   (abs(v.n - med.med) > 3 * mad.mad)::int AS is_anomaly
 FROM v JOIN med USING (grp) JOIN mad USING (grp)
 """
+
+
+# ---------------------------------------------------------------------------
+# sliding_event_counts (round-4 session-20)
+# ---------------------------------------------------------------------------
+
+
+def q_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (relational.sliding_event_counts, 10-min windows
+    every 5 min): each event contributes to exactly two windows; the
+    oracle materializes both window starts per event by integer
+    arithmetic — no window function, no engine window semantics to
+    disagree over."""
+    _utc(spark)
+    from ..operators.relational import sliding_event_counts
+
+    return sliding_event_counts(_tbl(spark, sf_dir, "events"))
+
+
+_SQL_SLIDING_EVENT_COUNTS = """
+WITH base AS (
+  SELECT event_type,
+    -- ::bigint BEFORE //: DuckDB // on DOUBLE is plain division
+    -- (the BASELINE round-3 trap)
+    (floor(epoch(ts))::bigint // 300) * 300 AS b
+  FROM events
+),
+ex AS (
+  SELECT event_type, b AS ws FROM base
+  UNION ALL
+  SELECT event_type, b - 300 AS ws FROM base
+)
+SELECT ws::bigint AS window_start, event_type,
+  count(*)::bigint AS n_events
+FROM ex GROUP BY ws, event_type ORDER BY window_start, event_type
+"""
