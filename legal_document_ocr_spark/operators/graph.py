@@ -16,6 +16,8 @@ iterations with the same literals.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -979,8 +981,11 @@ def harmonic_centrality(
 
     Determinism: synchronous rounds, first-touch per (origin, node)
     pair via LEFT ANTI — d is the true shortest hop count <= max_hops.
-    All-integer output: harmonic_x6 = 6·n1 + 3·n2 + 2·n3 (6 = lcm of
-    1..3), so no reciprocal ever floats.
+    All-integer output: hop buckets n1..n{max_hops} and
+    harmonic_x{L} = Σ_h (L/h)·n_h with L = lcm(1..max_hops) (x6 for
+    the default max_hops=3), so no reciprocal ever floats; both the
+    bucket columns and the lcm weights derive from ``max_hops``, so
+    non-default hops are exact too (not silently truncated at 3).
 
     Scale shape per round: ONE shuffle_hash join (pair frontier onto the
     edge list) and one LEFT ANTI against the labeled pair set — both
@@ -1009,25 +1014,24 @@ def harmonic_centrality(
         )
         labels = labels.unionByName(frontier).persist()
     reached = labels.where(F.col("hop") > 0)
+    lcm_w = 1
+    for h in range(1, max_hops + 1):
+        lcm_w = lcm_w * h // math.gcd(lcm_w, h)
     per = reached.groupBy("node").agg(
-        F.sum(F.when(F.col("hop") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n1"),
-        F.sum(F.when(F.col("hop") == 2, 1).otherwise(0))
-        .cast("long")
-        .alias("n2"),
-        F.sum(F.when(F.col("hop") == 3, 1).otherwise(0))
-        .cast("long")
-        .alias("n3"),
+        *[
+            F.sum(F.when(F.col("hop") == h, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{h}")
+            for h in range(1, max_hops + 1)
+        ]
+    )
+    harmonic = sum(
+        (lcm_w // h) * F.col(f"n{h}") for h in range(1, max_hops + 1)
     )
     return per.select(
         "node",
-        "n1",
-        "n2",
-        "n3",
-        (6 * F.col("n1") + 3 * F.col("n2") + 2 * F.col("n3"))
-        .cast("long")
-        .alias("harmonic_x6"),
+        *[f"n{h}" for h in range(1, max_hops + 1)],
+        harmonic.cast("long").alias(f"harmonic_x{lcm_w}"),
     )
 
 

@@ -4412,7 +4412,9 @@ def mann_whitney(
         F.sum("_mw_ca").cast("long").alias("n_a"),
         F.sum("_mw_cb").cast("long").alias("n_b"),
         F.sum(F.col("_mw_ca").cast("decimal(38,0)") * r2).alias("_mw_r2a"),
-        F.sum((c * c * c - c).cast("decimal(38,0)")).alias("tie_t"),
+        F.sum(
+            c.cast("decimal(38,0)") * c * c - c
+        ).alias("tie_t"),
     )
     u2 = (
         F.col("_mw_r2a")
@@ -4486,13 +4488,21 @@ def fleiss_kappa(
     q_ = F.col("_fk_q").cast("decimal(38,0)")
     e_ = s_ * s_ + (m * n_ - s_) * (m * n_ - s_)
     num = (q_ * (m * m) * n_ * n_ - n_ * (m * (m - 1)) * e_).cast("double")
-    den = (n_ * (m * (m - 1)) * ((m * m) * n_ * n_ - e_)).cast("double")
+    den_d = (m * m) * n_ * n_ - e_
+    den = (n_ * (m * (m - 1)) * den_d).cast("double")
+    # den_d == 0 iff every doc got a unanimous vote the same way
+    # (P_e = 1): kappa is 0/0 — Spark's non-ANSI division NULLs while
+    # DuckDB doubles give nan; pin the degenerate case to 1000000
+    # (perfect agreement) in BOTH engines.
+    kappa = F.when(
+        den_d != 0, F.floor(num * 1000000 / den)
+    ).otherwise(F.lit(1000000))
     return per.select(
         report_col,
         F.col("_fk_n").alias("n_docs"),
         F.lit(m).cast("long").alias("m_raters"),
         F.col("_fk_s").alias("keep_votes"),
-        F.floor(num * 1000000 / den).cast("long").alias("kappa_micro"),
+        kappa.cast("long").alias("kappa_micro"),
     )
 
 
@@ -4728,11 +4738,22 @@ def concentration_indices(
             * 1000000
             / (t_.cast("double") * t_.cast("double"))
         ).cast("long").alias("hhi_micro"),
-        F.floor(
-            (sx2 * n_ - t_.cast("decimal(38,0)") * t_).cast("double")
-            * 1000000
-            / ((t_.cast("decimal(38,0)") * t_) * (n_ - 1)).cast("double")
-        ).cast("long").alias("hhi_norm_micro"),
+        F.when(
+            n_ > 1,
+            F.floor(
+                (sx2 * n_ - t_.cast("decimal(38,0)") * t_).cast("double")
+                * 1000000
+                / (
+                    (t_.cast("decimal(38,0)") * t_) * (n_ - 1)
+                ).cast("double")
+            ),
+        )
+        # n=1 (single host): (HHI-1/n)/(1-1/n) is 0/0 — Spark's
+        # non-ANSI division would NULL while DuckDB doubles give
+        # inf/nan; pin the degenerate case to -1 in BOTH engines.
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("hhi_norm_micro"),
         F.floor(mld * 1000000).cast("long").alias("mld_micro"),
     )
 

@@ -1125,7 +1125,22 @@ def mmr_select(
     bounded-table-collect regime of ivf/bpe_train.
 
     Output: (sel_rank, doc_id, mmr_score), k rows in selection order.
+
+    Bounds (guarded): n_candidates <= 4096 and k <= n_candidates — the
+    driver holds the n-row candidate pool and its n² pairwise scores,
+    so an unbounded pool would turn the bounded-table collect into a
+    corpus collect; misuse fails fast instead.
     """
+    if n_candidates > 4096:
+        raise ValueError(
+            "mmr_select is bounded to n_candidates <= 4096 (the driver "
+            "collects the candidate pool and its n^2 pairwise scores)"
+        )
+    if k > n_candidates:
+        raise ValueError(
+            "mmr_select requires k <= n_candidates "
+            f"(got k={k}, n_candidates={n_candidates})"
+        )
     from .textops import ws_tokens
 
     qs = sorted(set(query_terms))

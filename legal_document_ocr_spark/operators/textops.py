@@ -4056,7 +4056,17 @@ def lm_greedy_decode(
     bpe_train), never a corpus rescan.
 
     Output: (step, token), steps rows.
+
+    Bounds (guarded): steps <= 1024 — each step is one TakeOrdered(1)
+    driver job on the bounded bigram table; a huge-steps misuse fails
+    fast instead of scheduling thousands of jobs (the bpe_train_merges
+    discipline).
     """
+    if steps > 1024:
+        raise ValueError(
+            "lm_greedy_decode is bounded to steps <= 1024 (each step is "
+            "a driver-scheduled TakeOrdered job on the bigram table)"
+        )
     lt = ws_tokens(F.lower(F.col(text_col)))
     src = docs.select(lt.alias("toks")).persist()
     start_rows = (
@@ -4942,7 +4952,16 @@ def greedy_cover(
 
     Output: (round, doc_id, new_terms, cum_terms) — one row per pick;
     stops early if the vocabulary is exhausted.
+
+    Bounds (guarded): rounds <= 256 — each round is ~2 driver-scheduled
+    jobs, so a large-rounds misuse would schedule thousands of jobs;
+    it fails fast instead (the bpe_train_merges discipline).
     """
+    if rounds > 256:
+        raise ValueError(
+            "greedy_cover is bounded to rounds <= 256 (each round is a "
+            "driver-scheduled job pair over the uncovered stream)"
+        )
     toks = (
         docs.select(
             F.col("doc_id"),
@@ -5257,6 +5276,16 @@ def unigram_segment(
     alternate segmentations cannot make the output nondeterministic
     because only (v, n_pieces) are emitted.
 
+    Input bounds (hard contract, guarded in the kernel): the dominance
+    argument and the (−v) % 64 recovery require n_pieces <= 63, and
+    n_pieces is bounded by word length, so any word >= 64 chars raises
+    ValueError instead of silently mis-decoding. Separately, the SQL
+    oracle unrolls the Viterbi DP to 12 pieces, so words whose best
+    segmentation needs > 12 pieces are outside the oracle contract
+    (single chars are always in vocab, so that means words > 12 chars
+    with no multi-char coverage); the Spark kernel itself is exact for
+    any word < 64 chars.
+
     Scale shape (bpe/wordpiece discipline): ONE corpus-sized pass builds
     the distinct-word table (map-side combined); candidates, ranking and
     scores run on that bounded table; the scored vocabulary (<= alphabet
@@ -5283,6 +5312,12 @@ def unigram_segment(
             bests: list[int] = []
             for word in pdf["word"]:
                 ln = len(word)
+                if ln >= 64:
+                    raise ValueError(
+                        "unigram_segment: word of length "
+                        f"{ln} >= 64 breaks the mod-64 piece-count "
+                        "packing (n_pieces must stay <= 63)"
+                    )
                 best: list[int | None] = [None] * (ln + 1)
                 best[0] = 0
                 for j in range(1, ln + 1):

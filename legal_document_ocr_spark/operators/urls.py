@@ -3330,11 +3330,17 @@ def robots_directive_merge(
         hx.contains("nofollow") | hx.contains("none")
     ).cast("int")
     html_txt = F.lower(F.decode(F.col(html_col), "UTF-8"))
-    meta = F.regexp_extract(
+    meta_nc = F.regexp_extract(
         html_txt,
-        r'<meta\s+name="robots"\s+content="([^"]*)"',
+        r'<meta\b[^>]*\bname="robots"[^>]*\bcontent="([^"]*)"',
         1,
     )
+    meta_cn = F.regexp_extract(
+        html_txt,
+        r'<meta\b[^>]*\bcontent="([^"]*)"[^>]*\bname="robots"',
+        1,
+    )
+    meta = F.when(meta_nc != "", meta_nc).otherwise(meta_cn)
     meta_noindex = (
         meta.contains("noindex") | meta.contains("none")
     ).cast("int")

@@ -2346,7 +2346,10 @@ g AS (
   FROM c GROUP BY source
 )
 SELECT source, n AS n_docs, 3::bigint AS m_raters, s AS keep_votes,
-  floor((q::hugeint * 9 * n * n
+  CASE WHEN 9 * n::hugeint * n
+            - (s::hugeint * s + (3 * n - s)::hugeint * (3 * n - s)) = 0
+  THEN 1000000::bigint
+  ELSE floor((q::hugeint * 9 * n * n
          - n::hugeint * 6
            * (s::hugeint * s + (3 * n - s)::hugeint * (3 * n - s)))::double
         * 1000000
@@ -2354,7 +2357,7 @@ SELECT source, n AS n_docs, 3::bigint AS m_raters, s AS keep_votes,
            * (9 * n::hugeint * n
               - (s::hugeint * s
                  + (3 * n - s)::hugeint * (3 * n - s))))::double)::bigint
-    AS kappa_micro
+  END AS kappa_micro
 FROM g
 """
 
@@ -2507,8 +2510,10 @@ a AS (
 SELECT n AS n_hosts, t AS n_docs,
   floor(sx2::double * 1000000 / (t::double * t::double))::bigint
     AS hhi_micro,
-  floor((sx2 * n - t::hugeint * t)::double * 1000000
-        / ((t::hugeint * t) * (n - 1))::double)::bigint AS hhi_norm_micro,
+  CASE WHEN n > 1 THEN
+    floor((sx2 * n - t::hugeint * t)::double * 1000000
+          / ((t::hugeint * t) * (n - 1))::double)::bigint
+  ELSE -1 END AS hhi_norm_micro,
   floor((round(ln(t::double / n::double), 6) - slnx::double / n::double)
         * 1000000)::bigint AS mld_micro
 FROM a

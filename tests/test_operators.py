@@ -2891,6 +2891,125 @@ def test_bpe_train_merges_rejects_unbounded_vocab_training(spark):
         textops.bpe_train_merges(docs, n_merges=257)
 
 
+def test_driver_loop_operators_enforce_documented_bounds(spark):
+    """Round-5 hardening (VERDICT item 7): every bounded-driver-loop
+    operator fails fast on out-of-regime arguments instead of silently
+    scheduling thousands of jobs or collecting an unbounded pool —
+    greedy_cover rounds, lm_greedy_decode steps, mmr_select pool/k."""
+    import pytest as _pytest
+
+    from legal_document_ocr_spark.operators import textops
+    from legal_document_ocr_spark.operators.similarity import mmr_select
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="rounds <= 256"):
+        textops.greedy_cover(docs, rounds=257)
+    with _pytest.raises(ValueError, match="steps <= 1024"):
+        textops.lm_greedy_decode(docs, steps=1025)
+    with _pytest.raises(ValueError, match="n_candidates <= 4096"):
+        mmr_select(docs, ["a"], n_candidates=4097)
+    with _pytest.raises(ValueError, match="k <= n_candidates"):
+        mmr_select(docs, ["a"], n_candidates=8, k=9)
+
+
+def test_unigram_segment_kernel_rejects_mod64_overflow_words(spark):
+    """The (−v) % 64 piece-count packing is only invertible while
+    n_pieces <= 63 (bounded by word length); a >= 64-char word must
+    raise inside the kernel rather than silently mis-decode (ADVICE
+    round 4)."""
+    import pytest as _pytest
+
+    from legal_document_ocr_spark.operators import textops
+
+    long_word = "ab" * 32  # 64 chars
+    docs = spark.createDataFrame(
+        [(1, long_word + " ok")], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="mod-64"):
+        textops.unigram_segment(docs).collect()
+
+
+def test_robots_meta_scan_accepts_reversed_attribute_order(spark):
+    """<meta content="noindex" name="robots"> (content before name, or
+    intervening attributes) must count as a meta directive — the ADVICE
+    round-4 undercount fix."""
+    from legal_document_ocr_spark.operators.urls import (
+        robots_directive_merge,
+    )
+
+    rows = [
+        (
+            "http://a.example.com/1",
+            "HTTP/1.1 200 OK\r\n",
+            b'<html><head><meta content="noindex" name="robots">'
+            b"</head></html>",
+        ),
+        (
+            "http://a.example.com/2",
+            "HTTP/1.1 200 OK\r\n",
+            b'<html><head><meta charset="utf-8" name="robots" '
+            b'content="nofollow"></head></html>',
+        ),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, headers string, html binary"
+    )
+    out = robots_directive_merge(df).collect()[0]
+    assert out["meta_noindex"] == 1
+    assert out["eff_nofollow"] == 1
+
+
+def test_harmonic_centrality_nondefault_hops_keeps_all_buckets(spark):
+    """max_hops=4 on a 4-chain must credit the hop-4 origin with lcm
+    weights derived from max_hops (x12), not silently drop hop>=4
+    contributions (ADVICE round 4): on edges 1->2->3->4->5, node 5 is
+    reached at hops 1,2,3,4 from origins 4,3,2,1 -> harmonic_x12 =
+    12+6+4+3 = 25."""
+    from legal_document_ocr_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = {
+        r["node"]: r
+        for r in harmonic_centrality(edges, max_hops=4).collect()
+    }
+    assert set(out[5].asDict()) == {
+        "node", "n1", "n2", "n3", "n4", "harmonic_x12"
+    }
+    assert out[5]["n4"] == 1
+    assert out[5]["harmonic_x12"] == 12 + 6 + 4 + 3
+
+
+def test_degenerate_group_stats_emit_pinned_sentinels(spark):
+    """Single-host concentration (n=1) and unanimously-agreeing raters
+    (P_e=1) hit 0/0 denominators where Spark NULLs and DuckDB infs —
+    both are pinned: hhi_norm_micro=-1, kappa_micro=1000000 (ADVICE
+    round 4)."""
+    from legal_document_ocr_spark.operators.relational import (
+        concentration_indices,
+        fleiss_kappa,
+    )
+
+    one_host = spark.createDataFrame(
+        [("h", i) for i in range(3)], "source string, doc_id long"
+    )
+    row = concentration_indices(one_host).collect()[0]
+    assert row["n_hosts"] == 1 and row["hhi_norm_micro"] == -1
+    assert row["hhi_micro"] == 1000000
+
+    docs = spark.createDataFrame(
+        [("s", 500), ("s", 600)], "source string, n_chars long"
+    )
+    raters = [F.col("n_chars") >= 0, F.col("n_chars") >= 1]
+    krow = fleiss_kappa(docs, raters).collect()[0]
+    assert krow["kappa_micro"] == 1000000
+
+
 def test_semantic_dedup_keeps_outlier_and_plan_broadcasts_only_centroids(spark):
     """SemDeDup (round 4): an exact-copy pair is a distance tie -> the
     larger id drops; a near-dup pair drops the member closer to its
