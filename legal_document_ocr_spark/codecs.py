@@ -416,11 +416,13 @@ def encode_wav_g711(
 
 def decode_image(payload: bytes) -> dict:
     """Dispatch by magic bytes. PNG/BMP/baseline-JPEG/GIF/TIFF/ICO and
-    lossless WebP decode for real (jpeg.py: Huffman + IDCT,
+    BOTH WebP flavors decode for real (jpeg.py: Huffman + IDCT,
     grayscale/YCbCr, all samplings, restart markers; decode_gif below:
     LZW + interlace + palette; decode_tiff below: none/PackBits/LZW/
     deflate strips, both byte orders; decode_ico below: largest-member
-    election); lossy-VP8 WebP and video frames still need an external
+    election; vp8l.py: lossless WebP; vp8.py round 5: lossy-VP8 intra
+    keyframes — B_PRED / loop-filtered streams stay declared
+    NotImplementedError); video frame essence still needs an external
     codec."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
@@ -441,9 +443,9 @@ def decode_image(payload: bytes) -> dict:
     if payload[:4] == b"\x00\x00\x01\x00":
         return decode_ico(payload)
     raise NotImplementedError(
-        "only PNG, BMP, baseline JPEG, GIF, TIFF, ICO and lossless WebP "
-        "(VP8L) decode without an external codec library (lossy-VP8 WebP "
-        "and video need PIL/cv2/ffmpeg)"
+        "only PNG, BMP, baseline JPEG, GIF, TIFF, ICO and WebP (lossless "
+        "VP8L + lossy-VP8 intra keyframes) decode without an external "
+        "codec library (video essence needs cv2/ffmpeg)"
     )
 
 

@@ -1,0 +1,996 @@
+"""Pure-stdlib lossy-WebP (VP8) intra-frame codec — round 5.
+
+Round 4 left lossy VP8 as the last declared image-format stub. This
+module implements the RFC 6386 baseline KEYFRAME pipeline with stdlib
+integers only: the VP8 boolean (arithmetic) coder, tree-coded macroblock
+modes, the band/context token scheme for DCT coefficients (all six
+extra-bit categories), dequantization, the inverse 4x4 DCT (20091 /
+35468 multiplier form) and the inverse Walsh-Hadamard transform for the
+Y2 (luma-DC) layer, and the four 16x16 / chroma intra predictors
+(DC / V / H / TM), with box-upsampled YUV->RGB output matching the
+JPEG decoder's JFIF conversion.
+
+Declared boundaries (NotImplementedError, surfaced in the multimodal
+stage's per-record error column, never silent):
+
+- B_PRED (per-4x4 submode) macroblocks — the paired encoder never emits
+  them and the decoder raises;
+- loop-filtered streams (``filter_level > 0``) — the in-loop deblocker
+  is not implemented, so only level-0 streams reconstruct exactly;
+- segmentation and multi-partition token streams — parsed and rejected.
+
+Sandbox honesty note on table constants: this container has no
+reference VP8 codec (no libwebp/PIL/ffmpeg) to transcribe or
+cross-validate the RFC's large data tables against, so the default
+token probabilities, token-probability-update flags and the 128-entry
+quantizer lookup ramps are REPO-PINNED values (flat 128 token priors, a
+monotone quantizer ramp anchored at the known qindex-0 step of 4).
+Entropy-coder probabilities affect only compression ratio, never
+reconstruction, so every stream produced by the paired encoder decodes
+bit-exactly; interop with externally-encoded files would need the
+published constants dropped into ``_DEFAULT_COEFF_PROBS`` /
+``_COEFF_UPDATE_PROBS`` / ``_DC_QLOOKUP`` / ``_AC_QLOOKUP`` — a
+data-only swap with no code change. The bitstream STRUCTURE (tag,
+dimension records, header field order, tree shapes, band mapping,
+category bases and extra-bit counts, transform arithmetic) follows the
+published RFC.
+
+Oracle contract (the encode->decode pattern of jpeg.py/vp8l.py): the
+encoder runs CLOSED-LOOP — it reconstructs each macroblock exactly as
+the decoder will before predicting the next — and returns that
+reconstruction, so ``decode == encoder reconstruction`` holds for ANY
+input, and for macroblock-constant images at qindex 0 the roundtrip is
+pixel-exact (asserted in tests; the closed-form the SQL oracle uses).
+
+Reference analogue: the reference whitelists image uploads through PIL
+(app/utils/validation.py, app/services/image_preprocessing_service.py);
+this closes the last format that previously required that library.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------------------
+# boolean (arithmetic) coder — RFC 6386 §7
+# ---------------------------------------------------------------------------
+
+
+class BoolDecoder:
+    """RFC 6386 §7.3 reference decoder: 16-bit value window, byte fill."""
+
+    def __init__(self, data: bytes) -> None:
+        self._d = data
+        self._pos = 2
+        self.value = (
+            (data[0] << 8 | data[1]) if len(data) >= 2
+            else (data[0] << 8 if data else 0)
+        )
+        self.range = 255
+        self._shift = 0  # bits consumed since last byte fill
+
+    def get(self, prob: int) -> int:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        big = split << 8
+        if self.value >= big:
+            bit = 1
+            self.range -= split
+            self.value -= big
+        else:
+            bit = 0
+            self.range = split
+        while self.range < 128:
+            self.value <<= 1
+            self.range <<= 1
+            self._shift += 1
+            if self._shift == 8:
+                self._shift = 0
+                if self._pos < len(self._d):
+                    self.value |= self._d[self._pos]
+                self._pos += 1
+        return bit
+
+    def get_bit(self) -> int:
+        return self.get(128)
+
+    def get_uint(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.get_bit()
+        return v
+
+    def get_signed(self, nbits: int) -> int:
+        v = self.get_uint(nbits)
+        return -v if self.get_bit() else v
+
+    def read_tree(self, tree: tuple, probs) -> int:
+        i = 0
+        while True:
+            i = tree[i + self.get(probs[i >> 1])]
+            if i <= 0:
+                return -i
+
+
+class BoolEncoder:
+    """Mirror of the decoder; Python big-ints absorb carry propagation.
+
+    ``low`` tracks the interval lower bound at the same scale as
+    ``range`` (both shift together on renormalization), so the final
+    stream is just ``low`` rounded up inside the interval and written
+    big-endian — validated against :class:`BoolDecoder` by the
+    randomized roundtrip in tests/test_codecs.py.
+    """
+
+    def __init__(self) -> None:
+        self.low = 0
+        self.range = 255
+        self.shift = 0
+
+    def put(self, bit: int, prob: int) -> None:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if bit:
+            self.low += split
+            self.range -= split
+        else:
+            self.range = split
+        while self.range < 128:
+            self.low <<= 1
+            self.range <<= 1
+            self.shift += 1
+
+    def put_bit(self, bit: int) -> None:
+        self.put(bit, 128)
+
+    def put_uint(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.put_bit((value >> i) & 1)
+
+    def put_signed(self, value: int, nbits: int) -> None:
+        self.put_uint(abs(value), nbits)
+        self.put_bit(1 if value < 0 else 0)
+
+    def write_tree(self, tree: tuple, probs, value: int) -> None:
+        # walk the tree to the leaf, emitting the branch bits
+        path: list[tuple[int, int]] = []
+
+        def walk(i: int) -> bool:
+            for b in (0, 1):
+                nxt = tree[i + b]
+                if nxt == -value and nxt <= 0:
+                    path.append((i >> 1, b))
+                    return True
+                if nxt > 0:
+                    path.append((i >> 1, b))
+                    if walk(nxt):
+                        return True
+                    path.pop()
+            return False
+
+        if not walk(0):
+            raise ValueError(f"value {value} not in tree")
+        for prob_i, b in path:
+            self.put(b, probs[prob_i])
+
+    def get_bytes(self) -> bytes:
+        """Terminate: pick the smallest in-interval value whose trailing
+        fraction is zero, pad to whole bytes + the decoder's 16-bit
+        preload."""
+        total_bits = self.shift + 16
+        # interval at scale 2^shift is [low, low+range) in units where
+        # the decoder's value window carries 8 extra fraction bits; the
+        # emitted integer V (total_bits wide) must satisfy
+        # low << 8 <= V_prefix < (low + range) << 8 for every prefix
+        # the decoder examines — V = low << 8 (exact lower bound, the
+        # fraction the decoder reproduces) always qualifies.
+        v = self.low << 8
+        nbytes = (total_bits + 7) // 8
+        v <<= nbytes * 8 - total_bits
+        return v.to_bytes(nbytes, "big")
+
+
+# ---------------------------------------------------------------------------
+# fixed tables — trees per RFC 6386 §8.2/§11/§13; pinned data noted above
+# ---------------------------------------------------------------------------
+
+DC_PRED, V_PRED, H_PRED, TM_PRED, B_PRED = 0, 1, 2, 3, 4
+
+_KF_YMODE_TREE = (-B_PRED, 2, 4, 6, -DC_PRED, -V_PRED, -H_PRED, -TM_PRED)
+_KF_YMODE_PROB = (145, 156, 163, 128)
+_UV_MODE_TREE = (-DC_PRED, 2, -V_PRED, 4, -H_PRED, -TM_PRED)
+_KF_UV_MODE_PROB = (142, 114, 183)
+
+# token alphabet
+ZERO_TOKEN, ONE_TOKEN, TWO_TOKEN, THREE_TOKEN, FOUR_TOKEN = 0, 1, 2, 3, 4
+CAT1, CAT2, CAT3, CAT4, CAT5, CAT6, EOB_TOKEN = 5, 6, 7, 8, 9, 10, 11
+
+_COEFF_TREE = (
+    -EOB_TOKEN, 2,
+    -ZERO_TOKEN, 4,
+    -ONE_TOKEN, 6,
+    8, 12,
+    -TWO_TOKEN, 10,
+    -THREE_TOKEN, -FOUR_TOKEN,
+    14, 16,
+    -CAT1, -CAT2,
+    18, 20,
+    -CAT3, -CAT4,
+    -CAT5, -CAT6,
+)
+
+_CAT_BASE = {CAT1: 5, CAT2: 7, CAT3: 11, CAT4: 19, CAT5: 35, CAT6: 67}
+_CAT_PROBS = {
+    CAT1: (159,),
+    CAT2: (165, 145),
+    CAT3: (173, 148, 140),
+    CAT4: (176, 155, 140, 135),
+    CAT5: (180, 157, 141, 134, 130),
+    CAT6: (254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129),
+}
+
+_COEFF_BANDS = (0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
+_ZIGZAG = (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+# repo-pinned (see module docstring): flat priors — structure real,
+# constants swappable for the published tables without code change
+_DEFAULT_COEFF_PROBS = [
+    [[[128] * 11 for _ in range(3)] for _ in range(8)] for _ in range(4)
+]
+_COEFF_UPDATE_PROB = 252  # pinned update-flag prior
+
+# repo-pinned monotone quantizer ramps anchored at the known qindex-0
+# step (dc=4, ac=4); 128 entries each
+_DC_QLOOKUP = tuple(4 + (i * 153 + 63) // 127 if i else 4 for i in range(128))
+_AC_QLOOKUP = tuple(4 + (i * 280 + 63) // 127 if i else 4 for i in range(128))
+
+
+def _clamp_q(i: int) -> int:
+    return 0 if i < 0 else 127 if i > 127 else i
+
+
+def _dequant_factors(qi: int, deltas: dict) -> dict:
+    y1dc = _DC_QLOOKUP[_clamp_q(qi + deltas.get("y_dc", 0))]
+    y1ac = _AC_QLOOKUP[_clamp_q(qi)]
+    y2dc = _DC_QLOOKUP[_clamp_q(qi + deltas.get("y2_dc", 0))] * 2
+    y2ac = max(8, _AC_QLOOKUP[_clamp_q(qi + deltas.get("y2_ac", 0))] * 155 // 100)
+    uvdc = min(132, _DC_QLOOKUP[_clamp_q(qi + deltas.get("uv_dc", 0))])
+    uvac = _AC_QLOOKUP[_clamp_q(qi + deltas.get("uv_ac", 0))]
+    return {
+        "y1": (y1dc, y1ac), "y2": (y2dc, y2ac), "uv": (uvdc, uvac),
+    }
+
+
+# ---------------------------------------------------------------------------
+# transforms — RFC 6386 §14.3
+# ---------------------------------------------------------------------------
+
+_C1 = 20091  # cospi8sqrt2 - 1, Q16
+_C2 = 35468  # sinpi8sqrt2, Q16
+
+
+def idct4x4(coeffs: list[int]) -> list[int]:
+    """Inverse 4x4 DCT, (x+4)>>3 final scaling — RFC 6386 §14.3."""
+    tmp = [0] * 16
+    for i in range(4):
+        ip = coeffs[i::4]
+        a1 = ip[0] + ip[2]
+        b1 = ip[0] - ip[2]
+        c1 = ((ip[1] * _C2) >> 16) - (ip[3] + ((ip[3] * _C1) >> 16))
+        d1 = (ip[1] + ((ip[1] * _C1) >> 16)) + ((ip[3] * _C2) >> 16)
+        tmp[i] = a1 + d1
+        tmp[i + 12] = a1 - d1
+        tmp[i + 4] = b1 + c1
+        tmp[i + 8] = b1 - c1
+    out = [0] * 16
+    for i in range(4):
+        ip = tmp[i * 4 : i * 4 + 4]
+        a1 = ip[0] + ip[2]
+        b1 = ip[0] - ip[2]
+        c1 = ((ip[1] * _C2) >> 16) - (ip[3] + ((ip[3] * _C1) >> 16))
+        d1 = (ip[1] + ((ip[1] * _C1) >> 16)) + ((ip[3] * _C2) >> 16)
+        out[i * 4] = (a1 + d1 + 4) >> 3
+        out[i * 4 + 3] = (a1 - d1 + 4) >> 3
+        out[i * 4 + 1] = (b1 + c1 + 4) >> 3
+        out[i * 4 + 2] = (b1 - c1 + 4) >> 3
+    return out
+
+
+def iwht4x4(coeffs: list[int]) -> list[int]:
+    """Inverse Walsh-Hadamard for the Y2 (luma DC) layer."""
+    tmp = [0] * 16
+    for i in range(4):
+        a1 = coeffs[i] + coeffs[12 + i]
+        b1 = coeffs[4 + i] + coeffs[8 + i]
+        c1 = coeffs[4 + i] - coeffs[8 + i]
+        d1 = coeffs[i] - coeffs[12 + i]
+        tmp[i] = a1 + b1
+        tmp[4 + i] = c1 + d1
+        tmp[8 + i] = a1 - b1
+        tmp[12 + i] = d1 - c1
+    out = [0] * 16
+    for i in range(4):
+        ip = tmp[i * 4 : i * 4 + 4]
+        a1 = ip[0] + ip[3]
+        b1 = ip[1] + ip[2]
+        c1 = ip[1] - ip[2]
+        d1 = ip[0] - ip[3]
+        out[i * 4] = (a1 + b1 + 3) >> 3
+        out[i * 4 + 1] = (c1 + d1 + 3) >> 3
+        out[i * 4 + 2] = (a1 - b1 + 3) >> 3
+        out[i * 4 + 3] = (d1 - c1 + 3) >> 3
+    return out
+
+
+def fdct4x4(block: list[int]) -> list[int]:
+    """Forward 4x4 DCT, the encoder-side pair of :func:`idct4x4` (same
+    2217/5352 butterfly shape, SYMMETRIC zero-preserving rounding — a
+    repo variant: the encoder is closed-loop, so forward-transform
+    rounding affects only compression quality, never reconstruction;
+    constant blocks map to an exact DC of 8x the constant with zero AC,
+    the property the qindex-0 exact-roundtrip oracle relies on)."""
+    tmp = [0] * 16
+    for i in range(4):
+        ip = block[i * 4 : i * 4 + 4]
+        a1 = (ip[0] + ip[3]) << 3
+        b1 = (ip[1] + ip[2]) << 3
+        c1 = (ip[1] - ip[2]) << 3
+        d1 = (ip[0] - ip[3]) << 3
+        tmp[i * 4] = a1 + b1
+        tmp[i * 4 + 2] = a1 - b1
+        tmp[i * 4 + 1] = (c1 * 2217 + d1 * 5352 + 2048) >> 12
+        tmp[i * 4 + 3] = (d1 * 2217 - c1 * 5352 + 2048) >> 12
+    out = [0] * 16
+    for i in range(4):
+        ip = tmp[i::4]
+        a1 = ip[0] + ip[3]
+        b1 = ip[1] + ip[2]
+        c1 = ip[1] - ip[2]
+        d1 = ip[0] - ip[3]
+        out[i] = (a1 + b1 + 7) >> 4
+        out[i + 8] = (a1 - b1 + 7) >> 4
+        out[i + 4] = (c1 * 2217 + d1 * 5352 + 32768) >> 16
+        out[i + 12] = (d1 * 2217 - c1 * 5352 + 32768) >> 16
+    return out
+
+
+def fwht4x4(block: list[int]) -> list[int]:
+    """Forward WHT for the Y2 layer (the 4x butterfly shape of libvpx's
+    vp8_short_walsh4x4 with SYMMETRIC sign-free rounding — the same
+    closed-loop freedom as :func:`fdct4x4`: a constant-d input maps to
+    an exact DC of 64·d with zero AC for BOTH signs, which keeps the
+    qindex-0 roundtrip exact on negative residuals too)."""
+    tmp = [0] * 16
+    for i in range(4):
+        ip = block[i * 4 : i * 4 + 4]
+        a1 = (ip[0] + ip[2]) << 2
+        d1 = (ip[1] + ip[3]) << 2
+        c1 = (ip[1] - ip[3]) << 2
+        b1 = (ip[0] - ip[2]) << 2
+        tmp[i * 4] = a1 + d1
+        tmp[i * 4 + 1] = b1 + c1
+        tmp[i * 4 + 2] = b1 - c1
+        tmp[i * 4 + 3] = a1 - d1
+    out = [0] * 16
+    for i in range(4):
+        a1 = tmp[i] + tmp[8 + i]
+        d1 = tmp[4 + i] + tmp[12 + i]
+        c1 = tmp[4 + i] - tmp[12 + i]
+        b1 = tmp[i] - tmp[8 + i]
+        out[i] = (a1 + d1 + 3) >> 3
+        out[4 + i] = (b1 + c1 + 3) >> 3
+        out[8 + i] = (b1 - c1 + 3) >> 3
+        out[12 + i] = (a1 - d1 + 3) >> 3
+    return out
+
+
+def _clamp255(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+# ---------------------------------------------------------------------------
+# intra predictors (16x16 luma / 8x8 chroma) — RFC 6386 §12.2
+# ---------------------------------------------------------------------------
+
+
+def _predict(plane, stride, x0, y0, size, mode, have_above, have_left):
+    """Return a size x size prediction block read from reconstructed
+    neighbors in ``plane`` (row-major bytearray of width ``stride``)."""
+    above = (
+        [plane[(y0 - 1) * stride + x0 + i] for i in range(size)]
+        if have_above else None
+    )
+    left = (
+        [plane[(y0 + i) * stride + x0 - 1] for i in range(size)]
+        if have_left else None
+    )
+    if mode == DC_PRED:
+        if above and left:
+            dc = (sum(above) + sum(left) + size) >> (
+                5 if size == 16 else 4
+            )
+        elif above:
+            dc = (sum(above) + size // 2) >> (4 if size == 16 else 3)
+        elif left:
+            dc = (sum(left) + size // 2) >> (4 if size == 16 else 3)
+        else:
+            dc = 128
+        return [[dc] * size for _ in range(size)]
+    if mode == V_PRED:
+        row = above if above else [127] * size
+        return [list(row) for _ in range(size)]
+    if mode == H_PRED:
+        col = left if left else [129] * size
+        return [[col[r]] * size for r in range(size)]
+    if mode == TM_PRED:
+        al = (
+            plane[(y0 - 1) * stride + x0 - 1]
+            if have_above and have_left
+            else 129 if have_left else 127
+        )
+        arow = above if above else [127] * size
+        lcol = left if left else [129] * size
+        return [
+            [_clamp255(lcol[r] + arow[c] - al) for c in range(size)]
+            for r in range(size)
+        ]
+    raise NotImplementedError(f"prediction mode {mode}")
+
+
+# ---------------------------------------------------------------------------
+# token layer
+# ---------------------------------------------------------------------------
+
+
+def _decode_block(bd, probs_plane, first_coeff, ctx, dq_dc, dq_ac):
+    """Decode one 4x4 coefficient block; returns (coeffs[16] dequantized,
+    nonzero_flag)."""
+    coeffs = [0] * 16
+    i = first_coeff
+    nz = 0
+    skip_eob = False
+    while i < 16:
+        band = _COEFF_BANDS[i]
+        p = probs_plane[band][ctx]
+        if skip_eob:
+            # after a ZERO token the EOB branch is skipped (tree idx 2)
+            node = 2
+        else:
+            node = 0
+        tok = None
+        j = node
+        while True:
+            j = _COEFF_TREE[j + bd.get(p[j >> 1])]
+            if j <= 0:
+                tok = -j
+                break
+        if tok == EOB_TOKEN:
+            break
+        if tok == ZERO_TOKEN:
+            ctx = 0
+            skip_eob = True
+            i += 1
+            continue
+        if tok <= FOUR_TOKEN:
+            val = tok
+        else:
+            base = _CAT_BASE[tok]
+            extra = 0
+            for cp in _CAT_PROBS[tok]:
+                extra = (extra << 1) | bd.get(cp)
+            val = base + extra
+        if bd.get_bit():
+            val = -val
+        pos = _ZIGZAG[i]
+        coeffs[pos] = val * (dq_dc if pos == 0 else dq_ac)
+        nz = 1
+        ctx = 1 if abs(val) == 1 else 2
+        skip_eob = False
+        i += 1
+    return coeffs, nz
+
+
+def _encode_block(be, probs_plane, first_coeff, ctx, levels):
+    """Token-encode quantized ``levels`` (natural order); mirror of
+    :func:`_decode_block`. Returns nonzero flag."""
+    zz = [levels[_ZIGZAG[i]] for i in range(16)]
+    last = -1
+    for i in range(first_coeff, 16):
+        if zz[i]:
+            last = i
+    i = first_coeff
+    nz = 0
+    skip_eob = False
+    while i < 16:
+        band = _COEFF_BANDS[i]
+        p = probs_plane[band][ctx]
+        if i > last:
+            if not skip_eob:
+                # EOB: tree path "0" at root
+                be.put(0, p[0])
+            # after a ZERO token an EOB cannot be coded; levels ending
+            # in zeros after a ZERO token code explicit ZEROs instead
+            else:
+                be.put(0, p[1])  # ZERO token via node 2 (skip-EOB entry)
+                ctx = 0
+                i += 1
+                continue
+            break
+        v = zz[i]
+        if v == 0:
+            if skip_eob:
+                be.put(0, p[1])
+            else:
+                be.put(1, p[0])
+                be.put(0, p[1])
+            ctx = 0
+            skip_eob = True
+            i += 1
+            continue
+        a = abs(v)
+        if not skip_eob:
+            be.put(1, p[0])  # not EOB
+        be.put(1, p[1])  # not ZERO
+        if a == 1:
+            be.put(0, p[2])
+            ctx = 1
+        else:
+            be.put(1, p[2])
+            if a <= 4:
+                be.put(0, p[3])
+                if a == 2:
+                    be.put(0, p[4])
+                else:
+                    be.put(1, p[4])
+                    be.put(0 if a == 3 else 1, p[5])
+            else:
+                be.put(1, p[3])
+                if a in range(5, 11):  # cat1/cat2
+                    be.put(0, p[6])
+                    if a <= 6:
+                        be.put(0, p[7])
+                        cat = CAT1
+                    else:
+                        be.put(1, p[7])
+                        cat = CAT2
+                else:
+                    be.put(1, p[6])
+                    if a <= 34:
+                        be.put(0, p[8])
+                        if a <= 18:
+                            be.put(0, p[9])
+                            cat = CAT3
+                        else:
+                            be.put(1, p[9])
+                            cat = CAT4
+                    else:
+                        be.put(1, p[8])
+                        if a <= 66:
+                            be.put(0, p[10])
+                            cat = CAT5
+                        else:
+                            be.put(1, p[10])
+                            cat = CAT6
+                extra = a - _CAT_BASE[cat]
+                cps = _CAT_PROBS[cat]
+                for k, cp in enumerate(cps):
+                    be.put((extra >> (len(cps) - 1 - k)) & 1, cp)
+            ctx = 2
+        be.put_bit(1 if v < 0 else 0)
+        nz = 1
+        skip_eob = False
+        i += 1
+    return nz
+
+
+# ---------------------------------------------------------------------------
+# frame decode
+# ---------------------------------------------------------------------------
+
+
+def decode_vp8_frame(data: bytes) -> dict:
+    """Decode a VP8 keyframe to planar YUV420:
+    {width, height, mode: 'YUV420', y, u, v} (bytes each)."""
+    if len(data) < 10:
+        raise ValueError("truncated VP8 frame")
+    tag = data[0] | data[1] << 8 | data[2] << 16
+    if tag & 1:
+        raise NotImplementedError("VP8 interframes need reference buffers")
+    part1_size = tag >> 5
+    if data[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("bad VP8 keyframe start code")
+    (wrec,) = struct.unpack("<H", data[6:8])
+    (hrec,) = struct.unpack("<H", data[8:10])
+    width, height = wrec & 0x3FFF, hrec & 0x3FFF
+    if width == 0 or height == 0:
+        raise ValueError("zero VP8 dimensions")
+    bd = BoolDecoder(data[10 : 10 + part1_size])
+    bd.get_bit()  # color space
+    bd.get_bit()  # clamping
+    if bd.get_bit():
+        raise NotImplementedError("VP8 segmentation not supported")
+    bd.get_bit()  # filter type
+    filter_level = bd.get_uint(6)
+    bd.get_uint(3)  # sharpness
+    if filter_level:
+        raise NotImplementedError(
+            "VP8 loop filter not implemented (filter_level > 0)"
+        )
+    if bd.get_bit():  # lf delta enabled
+        if bd.get_bit():  # update
+            for _ in range(8):
+                if bd.get_bit():
+                    bd.get_signed(6)
+    if bd.get_uint(2):
+        raise NotImplementedError("multiple VP8 token partitions")
+    qi = bd.get_uint(7)
+    deltas = {}
+    for key in ("y_dc", "y2_dc", "y2_ac", "uv_dc", "uv_ac"):
+        if bd.get_bit():
+            deltas[key] = bd.get_signed(4)
+    dq = _dequant_factors(qi, deltas)
+    bd.get_bit()  # refresh entropy (keyframe)
+    probs = [
+        [[list(p) for p in ctxs] for ctxs in bands]
+        for bands in _DEFAULT_COEFF_PROBS
+    ]
+    for i in range(4):
+        for j in range(8):
+            for k in range(3):
+                for m in range(11):
+                    if bd.get(_COEFF_UPDATE_PROB):
+                        probs[i][j][k][m] = bd.get_uint(8)
+    skip_enabled = bd.get_bit()
+    skip_prob = bd.get_uint(8) if skip_enabled else 0
+
+    td = BoolDecoder(data[10 + part1_size :])
+
+    mb_cols = (width + 15) >> 4
+    mb_rows = (height + 15) >> 4
+    ls = mb_cols * 16
+    cs = mb_cols * 8
+    y_plane = bytearray(ls * mb_rows * 16)
+    u_plane = bytearray(cs * mb_rows * 8)
+    v_plane = bytearray(cs * mb_rows * 8)
+
+    above_y_nz = [[0] * 4 for _ in range(mb_cols)]
+    above_u_nz = [[0] * 2 for _ in range(mb_cols)]
+    above_v_nz = [[0] * 2 for _ in range(mb_cols)]
+    above_y2_nz = [0] * mb_cols
+
+    for mr in range(mb_rows):
+        left_y_nz = [0] * 4
+        left_u_nz = [0] * 2
+        left_v_nz = [0] * 2
+        left_y2_nz = 0
+        for mc in range(mb_cols):
+            skip = td_skip = False
+            if skip_enabled:
+                skip = bool(bd.get(skip_prob))
+                td_skip = skip
+            ymode = bd.read_tree(_KF_YMODE_TREE, _KF_YMODE_PROB)
+            if ymode == B_PRED:
+                raise NotImplementedError("VP8 B_PRED macroblocks")
+            uvmode = bd.read_tree(_UV_MODE_TREE, _KF_UV_MODE_PROB)
+
+            # --- Y2 layer ---
+            if td_skip:
+                y2 = [0] * 16
+                above_y2_nz[mc] = left_y2_nz = 0
+                yblock_dcs = [0] * 16
+            else:
+                ctx = above_y2_nz[mc] + left_y2_nz
+                y2q, y2nz = _decode_block(
+                    td, probs[1], 0, ctx, dq["y2"][0], dq["y2"][1]
+                )
+                above_y2_nz[mc] = left_y2_nz = y2nz
+                yblock_dcs = iwht4x4(y2q)
+
+            # --- luma blocks (plane 0, first coeff 1) ---
+            have_above, have_left = mr > 0, mc > 0
+            pred = _predict(
+                y_plane, ls, mc * 16, mr * 16, 16, ymode,
+                have_above, have_left,
+            )
+            for sb in range(16):
+                br, bc = sb >> 2, sb & 3
+                if td_skip:
+                    coeffs, nzf = [0] * 16, 0
+                else:
+                    ctx = above_y_nz[mc][bc] + left_y_nz[br]
+                    coeffs, nzf = _decode_block(
+                        td, probs[0], 1, ctx, dq["y1"][0], dq["y1"][1]
+                    )
+                above_y_nz[mc][bc] = left_y_nz[br] = nzf
+                coeffs[0] = yblock_dcs[sb]
+                res = idct4x4(coeffs)
+                for r in range(4):
+                    for c in range(4):
+                        yy, xx = br * 4 + r, bc * 4 + c
+                        y_plane[(mr * 16 + yy) * ls + mc * 16 + xx] = (
+                            _clamp255(pred[yy][xx] + res[r * 4 + c])
+                        )
+
+            # --- chroma (plane 2, first coeff 0) ---
+            for plane, above_nz, left_nz in (
+                (u_plane, above_u_nz, left_u_nz),
+                (v_plane, above_v_nz, left_v_nz),
+            ):
+                predc = _predict(
+                    plane, cs, mc * 8, mr * 8, 8, uvmode,
+                    have_above, have_left,
+                )
+                for sb in range(4):
+                    br, bc = sb >> 1, sb & 1
+                    if td_skip:
+                        coeffs, nzf = [0] * 16, 0
+                    else:
+                        ctx = above_nz[mc][bc] + left_nz[br]
+                        coeffs, nzf = _decode_block(
+                            td, probs[2], 0, ctx, dq["uv"][0], dq["uv"][1]
+                        )
+                    above_nz[mc][bc] = left_nz[br] = nzf
+                    res = idct4x4(coeffs)
+                    for r in range(4):
+                        for c in range(4):
+                            yy, xx = br * 4 + r, bc * 4 + c
+                            plane[(mr * 8 + yy) * cs + mc * 8 + xx] = (
+                                _clamp255(predc[yy][xx] + res[r * 4 + c])
+                            )
+
+    # crop padding
+    uvw, uvh = (width + 1) >> 1, (height + 1) >> 1
+    return {
+        "width": width, "height": height, "mode": "YUV420",
+        "y": b"".join(
+            bytes(y_plane[r * ls : r * ls + width]) for r in range(height)
+        ),
+        "u": b"".join(
+            bytes(u_plane[r * cs : r * cs + uvw]) for r in range(uvh)
+        ),
+        "v": b"".join(
+            bytes(v_plane[r * cs : r * cs + uvw]) for r in range(uvh)
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# frame encode (closed-loop, 16x16 modes only)
+# ---------------------------------------------------------------------------
+
+
+def _quantize(coeffs: list[int], dq_dc: int, dq_ac: int) -> list[int]:
+    """Symmetric round-to-nearest; magnitudes clamp at 2114 (cat6's
+    base 67 + 11 extra bits), the largest token-codable level."""
+    out = [0] * 16
+    for i in range(16):
+        q = dq_dc if i == 0 else dq_ac
+        c = coeffs[i]
+        lv = (abs(c) + q // 2) // q
+        if lv > 2114:
+            lv = 2114
+        out[i] = lv if c >= 0 else -lv
+    return out
+
+
+def encode_vp8_frame(
+    width: int,
+    height: int,
+    y: bytes,
+    u: bytes,
+    v: bytes,
+    *,
+    qindex: int = 0,
+    ymode: int = DC_PRED,
+    uvmode: int = DC_PRED,
+) -> tuple[bytes, dict]:
+    """Encode planar YUV420 as a VP8 keyframe (16x16 intra modes only,
+    filter level 0, single token partition). Returns
+    ``(frame_bytes, reconstruction)`` where ``reconstruction`` is the
+    decoder-exact closed-loop output dict (same shape as
+    :func:`decode_vp8_frame`) — the oracle contract."""
+    mb_cols = (width + 15) >> 4
+    mb_rows = (height + 15) >> 4
+    ls, cs = mb_cols * 16, mb_cols * 8
+    uvw, uvh = (width + 1) >> 1, (height + 1) >> 1
+
+    def pad(plane, w, h, stride, rows):
+        out = bytearray(stride * rows)
+        for r in range(rows):
+            for c in range(stride):
+                sr, sc = min(r, h - 1), min(c, w - 1)
+                out[r * stride + c] = plane[sr * w + sc]
+        return out
+
+    src_y = pad(y, width, height, ls, mb_rows * 16)
+    src_u = pad(u, uvw, uvh, cs, mb_rows * 8)
+    src_v = pad(v, uvw, uvh, cs, mb_rows * 8)
+    rec_y = bytearray(ls * mb_rows * 16)
+    rec_u = bytearray(cs * mb_rows * 8)
+    rec_v = bytearray(cs * mb_rows * 8)
+
+    dq = _dequant_factors(qindex, {})
+    probs = _DEFAULT_COEFF_PROBS
+
+    # header partition
+    bh = BoolEncoder()
+    bh.put_bit(0)  # color space
+    bh.put_bit(0)  # clamping
+    bh.put_bit(0)  # no segmentation
+    bh.put_bit(0)  # filter type
+    bh.put_uint(0, 6)  # filter level 0
+    bh.put_uint(0, 3)  # sharpness
+    bh.put_bit(0)  # no lf deltas
+    bh.put_uint(0, 2)  # one token partition
+    bh.put_uint(qindex, 7)
+    for _ in range(5):
+        bh.put_bit(0)  # no quant deltas
+    bh.put_bit(1)  # refresh entropy
+    for i in range(4):
+        for j in range(8):
+            for k in range(3):
+                for m in range(11):
+                    bh.put(0, _COEFF_UPDATE_PROB)  # no prob updates
+    bh.put_bit(0)  # mb_no_coeff_skip disabled
+
+    bt = BoolEncoder()
+
+    above_y_nz = [[0] * 4 for _ in range(mb_cols)]
+    above_u_nz = [[0] * 2 for _ in range(mb_cols)]
+    above_v_nz = [[0] * 2 for _ in range(mb_cols)]
+    above_y2_nz = [0] * mb_cols
+
+    for mr in range(mb_rows):
+        left_y_nz = [0] * 4
+        left_u_nz = [0] * 2
+        left_v_nz = [0] * 2
+        left_y2_nz = 0
+        for mc in range(mb_cols):
+            bh.write_tree(_KF_YMODE_TREE, _KF_YMODE_PROB, ymode)
+            bh.write_tree(_UV_MODE_TREE, _KF_UV_MODE_PROB, uvmode)
+            have_above, have_left = mr > 0, mc > 0
+
+            # --- luma ---
+            pred = _predict(
+                rec_y, ls, mc * 16, mr * 16, 16, ymode,
+                have_above, have_left,
+            )
+            sub_coeffs = []
+            for sb in range(16):
+                br, bc = sb >> 2, sb & 3
+                block = [
+                    src_y[(mr * 16 + br * 4 + r) * ls + mc * 16 + bc * 4 + c]
+                    - pred[br * 4 + r][bc * 4 + c]
+                    for r in range(4)
+                    for c in range(4)
+                ]
+                sub_coeffs.append(fdct4x4(block))
+            y2_in = [sub_coeffs[sb][0] for sb in range(16)]
+            y2_coeffs = fwht4x4(y2_in)
+            y2_levels = _quantize(y2_coeffs, dq["y2"][0], dq["y2"][1])
+            ctx = above_y2_nz[mc] + left_y2_nz
+            y2nz = _encode_block(bt, probs[1], 0, ctx, y2_levels)
+            above_y2_nz[mc] = left_y2_nz = y2nz
+            y2_deq = [
+                y2_levels[i] * (dq["y2"][0] if i == 0 else dq["y2"][1])
+                for i in range(16)
+            ]
+            yblock_dcs = iwht4x4(y2_deq)
+
+            for sb in range(16):
+                br, bc = sb >> 2, sb & 3
+                levels = _quantize(sub_coeffs[sb], dq["y1"][0], dq["y1"][1])
+                levels[0] = 0  # DC lives in Y2
+                ctx = above_y_nz[mc][bc] + left_y_nz[br]
+                nzf = _encode_block(bt, probs[0], 1, ctx, levels)
+                above_y_nz[mc][bc] = left_y_nz[br] = nzf
+                deq = [
+                    levels[i] * (dq["y1"][0] if i == 0 else dq["y1"][1])
+                    for i in range(16)
+                ]
+                deq[0] = yblock_dcs[sb]
+                res = idct4x4(deq)
+                for r in range(4):
+                    for c in range(4):
+                        yy, xx = br * 4 + r, bc * 4 + c
+                        rec_y[(mr * 16 + yy) * ls + mc * 16 + xx] = (
+                            _clamp255(pred[yy][xx] + res[r * 4 + c])
+                        )
+
+            # --- chroma ---
+            for src, rec, above_nz, left_nz in (
+                (src_u, rec_u, above_u_nz, left_u_nz),
+                (src_v, rec_v, above_v_nz, left_v_nz),
+            ):
+                predc = _predict(
+                    rec, cs, mc * 8, mr * 8, 8, uvmode,
+                    have_above, have_left,
+                )
+                for sb in range(4):
+                    br, bc = sb >> 1, sb & 1
+                    block = [
+                        src[(mr * 8 + br * 4 + r) * cs + mc * 8 + bc * 4 + c]
+                        - predc[br * 4 + r][bc * 4 + c]
+                        for r in range(4)
+                        for c in range(4)
+                    ]
+                    coeffs = fdct4x4(block)
+                    levels = _quantize(coeffs, dq["uv"][0], dq["uv"][1])
+                    ctx = above_nz[mc][bc] + left_nz[br]
+                    nzf = _encode_block(bt, probs[2], 0, ctx, levels)
+                    above_nz[mc][bc] = left_nz[br] = nzf
+                    deq = [
+                        levels[i] * (dq["uv"][0] if i == 0 else dq["uv"][1])
+                        for i in range(16)
+                    ]
+                    res = idct4x4(deq)
+                    for r in range(4):
+                        for c in range(4):
+                            yy, xx = br * 4 + r, bc * 4 + c
+                            rec[(mr * 8 + yy) * cs + mc * 8 + xx] = (
+                                _clamp255(predc[yy][xx] + res[r * 4 + c])
+                            )
+
+    part1 = bh.get_bytes()
+    part2 = bt.get_bytes()
+    tag = (0) | (0 << 1) | (1 << 4) | (len(part1) << 5)
+    frame = (
+        bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
+        + b"\x9d\x01\x2a"
+        + struct.pack("<H", width)
+        + struct.pack("<H", height)
+        + part1
+        + part2
+    )
+    recon = {
+        "width": width, "height": height, "mode": "YUV420",
+        "y": b"".join(
+            bytes(rec_y[r * ls : r * ls + width]) for r in range(height)
+        ),
+        "u": b"".join(
+            bytes(rec_u[r * cs : r * cs + uvw]) for r in range(uvh)
+        ),
+        "v": b"".join(
+            bytes(rec_v[r * cs : r * cs + uvw]) for r in range(uvh)
+        ),
+    }
+    return frame, recon
+
+
+# ---------------------------------------------------------------------------
+# WebP container
+# ---------------------------------------------------------------------------
+
+
+def encode_webp_lossy(
+    width: int, height: int, y: bytes, u: bytes, v: bytes, **kw
+) -> tuple[bytes, dict]:
+    """Wrap an encoded VP8 keyframe in a RIFF/WEBP container; returns
+    (webp_bytes, closed_loop_reconstruction)."""
+    frame, recon = encode_vp8_frame(width, height, y, u, v, **kw)
+    chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
+    if len(frame) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff, recon
+
+
+def yuv420_to_rgb(img: dict) -> dict:
+    """Box-upsample + JFIF float conversion (the jpeg.py convention) so
+    lossy WebP plugs into the image dict contract: chroma-flat-128
+    frames convert to exact gray (r=g=b=Y)."""
+    w, h = img["width"], img["height"]
+    uvw = (w + 1) >> 1
+    yb, ub, vb = img["y"], img["u"], img["v"]
+    out = bytearray(w * h * 3)
+    for r in range(h):
+        for c in range(w):
+            yy = yb[r * w + c]
+            cb = ub[(r >> 1) * uvw + (c >> 1)]
+            cr = vb[(r >> 1) * uvw + (c >> 1)]
+            rr = yy + 1.402 * (cr - 128)
+            gg = yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+            bb = yy + 1.772 * (cb - 128)
+            base = (r * w + c) * 3
+            out[base] = _clamp255(int(round(rr)))
+            out[base + 1] = _clamp255(int(round(gg)))
+            out[base + 2] = _clamp255(int(round(bb)))
+    return {"width": w, "height": h, "mode": "RGB", "pixels": bytes(out)}

@@ -637,8 +637,9 @@ def decode_vp8l_stream(data: bytes) -> dict:
 
 
 def decode_webp(payload: bytes) -> dict:
-    """RIFF/WEBP container walk -> VP8L decode. Lossy VP8 and animations
-    stay library-bound (NotImplementedError, not silent)."""
+    """RIFF/WEBP container walk -> VP8L (lossless) or VP8 (lossy intra,
+    vp8.py — round 5) decode. Animations / B_PRED / loop-filtered lossy
+    streams stay declared NotImplementedError, never silent."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP file")
     pos = 12
@@ -651,11 +652,11 @@ def decode_webp(payload: bytes) -> dict:
         if fourcc == b"VP8L":
             return decode_vp8l_stream(data)
         if fourcc == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8) needs a DCT video decoder (PIL/cv2)"
-            )
+            from .vp8 import decode_vp8_frame, yuv420_to_rgb
+
+            return yuv420_to_rgb(decode_vp8_frame(data))
         pos += 8 + size + (size & 1)
-    raise ValueError("WebP container has no VP8L chunk")
+    raise ValueError("WebP container has no VP8L or VP8 chunk")
 
 
 # ---------------------------------------------------------------------------

@@ -109,14 +109,28 @@ def test_dispatch_jpeg_is_real_and_garbage_jpeg_is_valueerror():
     raise NotImplementedError."""
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0jpegdata")
-    # lossless WebP decodes for real since round 4; a well-formed LOSSY
-    # (VP8) chunk is the declared library-bound descope
+    # both WebP flavors decode for real (VP8L round 4, VP8 round 5); a
+    # garbage 4-byte VP8 chunk is malformed input -> ValueError
     lossy = (
         b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
         + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(lossy)
+    # B_PRED streams are the remaining declared VP8 boundary: a stream
+    # claiming an interframe is NotImplementedError (needs refs)
+    from legal_document_ocr_spark.vp8 import encode_vp8_frame
+
+    y = bytes([7]) * 256
+    flat = bytes([128]) * 64
+    frame, _ = encode_vp8_frame(16, 16, y, flat, flat)
+    inter = (
+        b"RIFF" + (len(frame) + 12).to_bytes(4, "little") + b"WEBP"
+        + b"VP8 " + len(frame).to_bytes(4, "little")
+        + bytes([frame[0] | 1]) + frame[1:]
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image(inter)
     # a bare fourcc with no chunk header is malformed, not "unsupported"
     with pytest.raises(ValueError):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")

@@ -1,0 +1,133 @@
+"""Lossy-WebP (VP8 intra keyframe) codec tests — round 5.
+
+The correctness spine is the CLOSED-LOOP contract (vp8.py docstring):
+``decode_vp8_frame(encode_vp8_frame(img)) == encoder reconstruction``
+for ANY input, plus pixel-EXACT roundtrip for macroblock-constant
+images at qindex 0 (the property the webp_lossy_decode SQL oracle
+restates in closed form).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from legal_document_ocr_spark.vp8 import (
+    BoolDecoder,
+    BoolEncoder,
+    decode_vp8_frame,
+    encode_vp8_frame,
+    encode_webp_lossy,
+    fdct4x4,
+    idct4x4,
+    fwht4x4,
+    iwht4x4,
+    yuv420_to_rgb,
+)
+
+
+def test_bool_coder_randomized_roundtrip():
+    """The arithmetic coder is the foundation everything else sits on:
+    encode/decode must agree for arbitrary (bit, probability) sequences
+    including extreme probabilities 1 and 255."""
+    rng = random.Random(11)
+    for _ in range(100):
+        n = rng.randint(1, 500)
+        bits = [rng.randint(0, 1) for _ in range(n)]
+        probs = [rng.choice([1, 2, 64, 128, 200, 254, 255]) for _ in range(n)]
+        be = BoolEncoder()
+        for b, p in zip(bits, probs):
+            be.put(b, p)
+        bd = BoolDecoder(be.get_bytes())
+        assert [bd.get(p) for p in probs] == bits
+
+
+def test_transforms_invert_constants_exactly():
+    """fdct/idct and fwht/iwht pairs: a constant-c residual block maps
+    to DC=8c / AC=0 forward and recovers c exactly inverse — the
+    arithmetic identity the qindex-0 exact-roundtrip oracle rests on."""
+    for c in (-127, -1, 0, 1, 77, 127):
+        co = fdct4x4([c] * 16)
+        assert co[0] == 8 * c and all(v == 0 for v in co[1:])
+        assert idct4x4([8 * c] + [0] * 15) == [c] * 16
+    for d in (-100, 0, 63):
+        y2 = fwht4x4([8 * d] * 16)
+        assert y2[0] == 64 * d and all(v == 0 for v in y2[1:])
+        assert iwht4x4([64 * d] + [0] * 15) == [8 * d] * 16
+
+
+def _mb_constant_yuv(w: int, h: int, seed: int):
+    mb_cols = (w + 15) >> 4
+    y = bytes(
+        (seed * 37 + ((yy >> 4) * mb_cols + (xx >> 4)) * 59) % 256
+        for yy in range(h)
+        for xx in range(w)
+    )
+    uvw, uvh = (w + 1) >> 1, (h + 1) >> 1
+    flat = bytes([128]) * (uvw * uvh)
+    return y, flat, flat
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2, 3])
+@pytest.mark.parametrize("dims", [(32, 32), (24, 20), (39, 31), (16, 16)])
+def test_mb_constant_qindex0_roundtrip_is_pixel_exact(mode, dims):
+    """All four 16x16 intra predictors x aligned/unaligned dims: the
+    oracle-bearing property."""
+    w, h = dims
+    y, u, v = _mb_constant_yuv(w, h, seed=mode * 97 + w)
+    frame, recon = encode_vp8_frame(
+        w, h, y, u, v, qindex=0, ymode=mode, uvmode=mode
+    )
+    dec = decode_vp8_frame(frame)
+    assert dec["y"] == y == recon["y"]
+    assert dec["u"] == u and dec["v"] == v
+
+
+@pytest.mark.parametrize("qindex", [0, 20, 80, 127])
+def test_closed_loop_contract_on_random_images(qindex):
+    """For ARBITRARY pixels at any quantizer the decoder must reproduce
+    the encoder's closed-loop reconstruction bit-exactly (lossy vs the
+    source, never vs the reconstruction)."""
+    rng = random.Random(qindex + 5)
+    w, h = 48, 33
+    uvw, uvh = 24, 17
+    y = bytes(rng.randrange(256) for _ in range(w * h))
+    u = bytes(rng.randrange(256) for _ in range(uvw * uvh))
+    v = bytes(rng.randrange(256) for _ in range(uvw * uvh))
+    frame, recon = encode_vp8_frame(w, h, y, u, v, qindex=qindex)
+    dec = decode_vp8_frame(frame)
+    assert dec["y"] == recon["y"]
+    assert dec["u"] == recon["u"]
+    assert dec["v"] == recon["v"]
+
+
+def test_webp_container_dispatch_and_rgb_conversion():
+    """encode_webp_lossy wraps a decodable RIFF container; flat-128
+    chroma converts to exact gray (r=g=b=Y) through the JFIF path."""
+    from legal_document_ocr_spark.codecs import decode_image
+
+    y, u, v = _mb_constant_yuv(32, 32, seed=9)
+    webp, recon = encode_webp_lossy(32, 32, y, u, v)
+    img = decode_image(webp)
+    assert img["mode"] == "RGB"
+    assert img["width"] == 32 and img["height"] == 32
+    assert img["pixels"] == bytes(
+        c for px in recon["y"] for c in (px, px, px)
+    )
+    rgb = yuv420_to_rgb(decode_vp8_frame(webp[20:]))
+    assert rgb["pixels"] == img["pixels"]
+
+
+def test_declared_boundaries_raise_not_silently():
+    """Interframes and malformed headers fail loudly (the per-record
+    error column depends on the raise, not on silence)."""
+    y, u, v = _mb_constant_yuv(16, 16, seed=1)
+    frame, _ = encode_vp8_frame(16, 16, y, u, v)
+    inter = bytes([frame[0] | 1]) + frame[1:]
+    with pytest.raises(NotImplementedError, match="interframe"):
+        decode_vp8_frame(inter)
+    with pytest.raises(ValueError, match="start code"):
+        decode_vp8_frame(frame[:3] + b"\x00\x00\x00" + frame[6:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_vp8_frame(frame[:5])
