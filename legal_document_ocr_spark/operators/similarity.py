@@ -1054,18 +1054,23 @@ def jl_distortion(
     Output: (vec_id, orig_sq_micro, proj_sq_scaled, ratio_micro).
     """
     signs = jl_signs(dim, k)
+    # per-term floor(x²·10¹²) bigints, NOT round(x², 12): a half-ulp
+    # round tie pushed the decimal sum across the floor(·10⁶) boundary
+    # between engines on one sf0.1 vector (999999 vs 1000000) — floor
+    # of an IEEE product is engine-identical, round half-ties are not
+    # (the repo's float-portability discipline, BASELINE round 2)
     orig = F.floor(
         F.aggregate(
             F.transform(
                 F.col(vec_col),
-                lambda x: F.round(
-                    x.cast("double") * x.cast("double"), 12
-                ).cast("decimal(28,12)"),
+                lambda x: F.floor(
+                    x.cast("double") * x.cast("double") * 1e12
+                ).cast("long"),
             ),
-            F.lit(0).cast("decimal(38,12)"),
-            lambda a, v: (a + v).cast("decimal(38,12)"),
-        )
-        * 1000000
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        ).cast("decimal(38,0)")
+        / 1000000
     ).cast("long")
     sq = None
     for j in range(k):

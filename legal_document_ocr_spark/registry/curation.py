@@ -1186,7 +1186,7 @@ WITH {s_cte},
 {e_cte},
 p AS (
   SELECT vec_id::bigint AS vec_id,
-    floor(sum(round(x * x, 12)::decimal(28,12)) * 1000000)::bigint
+    (sum(floor(x * x * 1e12)::bigint)::bigint // 1000000)::bigint
       AS orig_sq_micro,
     {projs}
   FROM e JOIN s USING (i)
