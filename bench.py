@@ -73,6 +73,7 @@ HEADLINE = [
     # round-4 additions
     "cdc_chunks",             # content-defined chunking (zero-shuffle HOFs)
     "webp_decode",            # real lossless-WebP/VP8L decode (mapInPandas)
+    "webp_lossy_decode",      # round-5: real lossy-VP8 intra decode (vp8.py)
     "audio_features",         # integer-exact PCM quality gauges
     "video_frames",           # real AVI/RIFF frame extraction (mapInPandas)
     "volume_shipping",        # TPC-H Q7 fact-fact shuffle_hash + dim broadcasts
