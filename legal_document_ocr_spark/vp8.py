@@ -17,7 +17,12 @@ stage's per-record error column, never silent):
   them and the decoder raises;
 - loop-filtered streams (``filter_level > 0``) — the in-loop deblocker
   is not implemented, so only level-0 streams reconstruct exactly;
-- segmentation and multi-partition token streams — parsed and rejected.
+- segmentation — parsed and rejected.
+
+Multi-partition token streams (RFC §9.5: macroblock rows interleaved
+across 1/2/4/8 bool streams, the row-parallel decode affordance) ARE
+supported on both sides — ``token_partitions`` on the encoder, size
+records + per-row stream selection in the decoder.
 
 Sandbox honesty note on table constants: this container has no
 reference VP8 codec (no libwebp/PIL/ffmpeg) to transcribe or
@@ -619,8 +624,7 @@ def decode_vp8_frame(data: bytes) -> dict:
             for _ in range(8):
                 if bd.get_bit():
                     bd.get_signed(6)
-    if bd.get_uint(2):
-        raise NotImplementedError("multiple VP8 token partitions")
+    n_parts = 1 << bd.get_uint(2)
     qi = bd.get_uint(7)
     deltas = {}
     for key in ("y_dc", "y2_dc", "y2_ac", "uv_dc", "uv_ac"):
@@ -641,7 +645,22 @@ def decode_vp8_frame(data: bytes) -> dict:
     skip_enabled = bd.get_bit()
     skip_prob = bd.get_uint(8) if skip_enabled else 0
 
-    td = BoolDecoder(data[10 + part1_size :])
+    # token partitions: (n_parts - 1) 3-byte LE sizes, then the streams;
+    # macroblock row r decodes from partition r % n_parts (RFC 6386 §9.5)
+    tok = data[10 + part1_size :]
+    if n_parts == 1:
+        tds = [BoolDecoder(tok)]
+    else:
+        sizes = [
+            tok[i * 3] | tok[i * 3 + 1] << 8 | tok[i * 3 + 2] << 16
+            for i in range(n_parts - 1)
+        ]
+        pos = (n_parts - 1) * 3
+        tds = []
+        for s in sizes:
+            tds.append(BoolDecoder(tok[pos : pos + s]))
+            pos += s
+        tds.append(BoolDecoder(tok[pos:]))
 
     mb_cols = (width + 15) >> 4
     mb_rows = (height + 15) >> 4
@@ -657,6 +676,7 @@ def decode_vp8_frame(data: bytes) -> dict:
     above_y2_nz = [0] * mb_cols
 
     for mr in range(mb_rows):
+        td = tds[mr % n_parts]
         left_y_nz = [0] * 4
         left_u_nz = [0] * 2
         left_v_nz = [0] * 2
@@ -781,9 +801,11 @@ def encode_vp8_frame(
     qindex: int = 0,
     ymode: int = DC_PRED,
     uvmode: int = DC_PRED,
+    token_partitions: int = 1,
 ) -> tuple[bytes, dict]:
     """Encode planar YUV420 as a VP8 keyframe (16x16 intra modes only,
-    filter level 0, single token partition). Returns
+    filter level 0; ``token_partitions`` in {1,2,4,8} interleaves
+    macroblock rows across that many token streams). Returns
     ``(frame_bytes, reconstruction)`` where ``reconstruction`` is the
     decoder-exact closed-loop output dict (same shape as
     :func:`decode_vp8_frame`) — the oracle contract."""
@@ -819,7 +841,9 @@ def encode_vp8_frame(
     bh.put_uint(0, 6)  # filter level 0
     bh.put_uint(0, 3)  # sharpness
     bh.put_bit(0)  # no lf deltas
-    bh.put_uint(0, 2)  # one token partition
+    if token_partitions not in (1, 2, 4, 8):
+        raise ValueError("token_partitions must be 1, 2, 4 or 8")
+    bh.put_uint(token_partitions.bit_length() - 1, 2)  # log2 partitions
     bh.put_uint(qindex, 7)
     for _ in range(5):
         bh.put_bit(0)  # no quant deltas
@@ -831,7 +855,7 @@ def encode_vp8_frame(
                     bh.put(0, _COEFF_UPDATE_PROB)  # no prob updates
     bh.put_bit(0)  # mb_no_coeff_skip disabled
 
-    bt = BoolEncoder()
+    bts = [BoolEncoder() for _ in range(token_partitions)]
 
     above_y_nz = [[0] * 4 for _ in range(mb_cols)]
     above_u_nz = [[0] * 2 for _ in range(mb_cols)]
@@ -839,6 +863,7 @@ def encode_vp8_frame(
     above_y2_nz = [0] * mb_cols
 
     for mr in range(mb_rows):
+        bt = bts[mr % token_partitions]
         left_y_nz = [0] * 4
         left_u_nz = [0] * 2
         left_v_nz = [0] * 2
@@ -930,7 +955,11 @@ def encode_vp8_frame(
                             )
 
     part1 = bh.get_bytes()
-    part2 = bt.get_bytes()
+    streams = [b.get_bytes() for b in bts]
+    part2 = b"".join(
+        bytes((len(st) & 0xFF, (len(st) >> 8) & 0xFF, (len(st) >> 16) & 0xFF))
+        for st in streams[:-1]
+    ) + b"".join(streams)
     tag = (0) | (0 << 1) | (1 << 4) | (len(part1) << 5)
     frame = (
         bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))

@@ -102,6 +102,27 @@ def test_closed_loop_contract_on_random_images(qindex):
     assert dec["v"] == recon["v"]
 
 
+@pytest.mark.parametrize("parts", [2, 4, 8])
+def test_multi_partition_token_streams(parts):
+    """RFC §9.5 row-interleaved token partitions: size records + per-row
+    stream selection must reproduce the single-partition reconstruction
+    exactly (same closed-loop output, different container layout)."""
+    rng = random.Random(parts)
+    w, h = 40, 68  # 3 x 5 macroblocks (> parts rows for real interleave)
+    y = bytes(rng.randrange(256) for _ in range(w * h))
+    u = bytes(rng.randrange(256) for _ in range(20 * 34))
+    v = bytes(rng.randrange(256) for _ in range(20 * 34))
+    f1, rc1 = encode_vp8_frame(w, h, y, u, v, qindex=25)
+    fn, rcn = encode_vp8_frame(
+        w, h, y, u, v, qindex=25, token_partitions=parts
+    )
+    assert rc1["y"] == rcn["y"]  # partitioning never changes pixels
+    dec = decode_vp8_frame(fn)
+    assert dec["y"] == rcn["y"] and dec["u"] == rcn["u"]
+    with pytest.raises(ValueError, match="token_partitions"):
+        encode_vp8_frame(w, h, y, u, v, token_partitions=3)
+
+
 def test_webp_container_dispatch_and_rgb_conversion():
     """encode_webp_lossy wraps a decodable RIFF container; flat-128
     chroma converts to exact gray (r=g=b=Y) through the JFIF path."""
