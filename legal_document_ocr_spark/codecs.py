@@ -9,8 +9,8 @@ grayscale/YCbCr, 4:2:0, restart markers) and a GIF decoder (LZW +
 interlace + palette below); round 4 added baseline TIFF (the reference
 whitelist's last unhandled image format) and lossless WebP (vp8l.py —
 canonical prefix codes, LZ77, color cache, all four inverse transforms),
-so the stub now covers only genuinely-library-bound codecs (lossy-VP8
-WebP and video).
+and round 5 added lossy-VP8 intra keyframes (vp8.py), so the stub now
+covers only video essence.
 
 Scope: non-interlaced 8-bit-depth PNG in grayscale (color type 0), RGB (2)
 and RGBA (6) with all five scanline filters; uncompressed 24-bit BMP;
