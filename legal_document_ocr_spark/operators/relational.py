@@ -4438,7 +4438,10 @@ def mann_whitney(
         "n_a",
         "n_b",
         u2.cast("long").alias("u2_a"),
-        F.col("tie_t").cast("long").alias("tie_t"),
+        # decimal(38,0), NOT long: tie_t = Σ(c³−c) is cubic in the tie
+        # size, so >2.09M tied rows exceed int64 — the ADVICE r4 wrap,
+        # now exact end-to-end (oracle side is hugeint, uncast)
+        F.col("tie_t"),
         F.floor(z * 1000000).cast("long").alias("z_micro"),
     )
 

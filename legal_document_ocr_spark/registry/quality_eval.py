@@ -2297,7 +2297,7 @@ a AS (
 )
 SELECT n_a, n_b,
   (r2a - n_a::hugeint * (n_a + 1))::bigint AS u2_a,
-  tie_t::bigint AS tie_t,
+  tie_t AS tie_t,
   floor(((r2a - n_a::hugeint * (n_a + 1))::double
          - n_a::double * n_b::double)
         / sqrt(n_a::double * n_b::double / 3.0

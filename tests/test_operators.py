@@ -2985,6 +2985,23 @@ def test_harmonic_centrality_nondefault_hops_keeps_all_buckets(spark):
     assert out[5]["harmonic_x12"] == 12 + 6 + 4 + 3
 
 
+def test_mann_whitney_tie_correction_exact_past_int64_cube(spark):
+    """ADVICE r4 (medium): c³−c cubed in int64 wraps for ties beyond
+    ~2.09M rows. A 3M-row tie must yield the exact 2.7e19 tie_t (as
+    decimal — it exceeds int64 — mirroring the oracle's hugeint)."""
+    from legal_document_ocr_spark.operators.relational import mann_whitney
+
+    big = spark.range(3_000_000).select(
+        F.lit("a").alias("g"), F.lit(7).alias("v")
+    )
+    small = spark.createDataFrame([("b", 5), ("b", 9)], "g string, v long")
+    out = mann_whitney(
+        big.unionByName(small), "v", "a", "b", group_col="g"
+    ).collect()[0]
+    c = 3_000_000
+    assert int(out["tie_t"]) == c * c * c - c
+
+
 def test_degenerate_group_stats_emit_pinned_sentinels(spark):
     """Single-host concentration (n=1) and unanimously-agreeing raters
     (P_e=1) hit 0/0 denominators where Spark NULLs and DuckDB infs —
