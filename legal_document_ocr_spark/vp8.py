@@ -13,16 +13,18 @@ JPEG decoder's JFIF conversion.
 Declared boundaries (NotImplementedError, surfaced in the multimodal
 stage's per-record error column, never silent):
 
-- B_PRED (per-4x4 submode) macroblocks — the paired encoder never emits
-  them and the decoder raises;
 - loop-filtered streams (``filter_level > 0``) — the in-loop deblocker
   is not implemented, so only level-0 streams reconstruct exactly;
 - segmentation — parsed and rejected.
 
-Multi-partition token streams (RFC §9.5: macroblock rows interleaved
-across 1/2/4/8 bool streams, the row-parallel decode affordance) ARE
-supported on both sides — ``token_partitions`` on the encoder, size
-records + per-row stream selection in the decoder.
+Supported beyond the 16x16 modes: B_PRED macroblocks (all ten per-4x4
+submodes in their H.264-identical forms, neighbor-context submode
+coding, no-Y2 plane-3 coefficients, the above-right edge conventions —
+``_predict4`` is shared verbatim by encoder and decoder, so the
+closed-loop contract covers every submode), and multi-partition token
+streams (RFC §9.5: macroblock rows interleaved across 1/2/4/8 bool
+streams — ``token_partitions`` on the encoder, size records + per-row
+stream selection in the decoder).
 
 Sandbox honesty note on table constants: this container has no
 reference VP8 codec (no libwebp/PIL/ffmpeg) to transcribe or
@@ -203,6 +205,177 @@ _KF_YMODE_TREE = (-B_PRED, 2, 4, 6, -DC_PRED, -V_PRED, -H_PRED, -TM_PRED)
 _KF_YMODE_PROB = (145, 156, 163, 128)
 _UV_MODE_TREE = (-DC_PRED, 2, -V_PRED, 4, -H_PRED, -TM_PRED)
 _KF_UV_MODE_PROB = (142, 114, 183)
+
+# 4x4 subblock (B_PRED) intra modes — the H.264-identical decad
+B_DC, B_TM, B_VE, B_HE, B_LD, B_RD, B_VR, B_VL, B_HD, B_HU = range(10)
+
+_BMODE_TREE = (
+    -B_DC, 2,
+    -B_TM, 4,
+    -B_VE, 6,
+    8, 12,
+    -B_HE, 10,
+    -B_RD, -B_VR,
+    -B_LD, 14,
+    -B_VL, 16,
+    -B_HD, -B_HU,
+)
+# kf submode probs are conditioned on (above submode, left submode) —
+# 10x10x9 table; repo-pinned flat priors (see module docstring: priors
+# affect only ratio, never reconstruction)
+_KF_BMODE_PROBS = [
+    [(128,) * 9 for _ in range(10)] for _ in range(10)
+]
+# 16x16 mode -> implied submode for neighbor context (RFC §11.3)
+_IMPLIED_BMODE = {DC_PRED: B_DC, V_PRED: B_VE, H_PRED: B_HE, TM_PRED: B_TM}
+
+
+def _avg3(x: int, y: int, z: int) -> int:
+    return (x + 2 * y + z + 2) >> 2
+
+
+def _avg2(x: int, y: int) -> int:
+    return (x + y + 1) >> 1
+
+
+def _predict4(mode: int, a: list, ar: list, left: list, al: int) -> list:
+    """4x4 subblock prediction from the 13-pixel context (above a[0..3],
+    above-right ar[0..3], left[0..3], corner al) — the ten B_PRED modes
+    in their H.264-identical forms; shared verbatim by encoder and
+    decoder (the closed-loop symmetry that guarantees roundtrip)."""
+    p = [[0] * 4 for _ in range(4)]
+    if mode == B_DC:
+        dc = (sum(a) + sum(left) + 4) >> 3
+        return [[dc] * 4 for _ in range(4)]
+    if mode == B_TM:
+        return [
+            [_clamp255(left[r] + a[c] - al) for c in range(4)]
+            for r in range(4)
+        ]
+    if mode == B_VE:
+        row = [
+            _avg3(al if c == 0 else a[c - 1], a[c], ar[0] if c == 3 else a[c + 1])
+            for c in range(4)
+        ]
+        return [list(row) for _ in range(4)]
+    if mode == B_HE:
+        col = [
+            _avg3(
+                al if r == 0 else left[r - 1],
+                left[r],
+                left[3] if r == 3 else left[r + 1],
+            )
+            for r in range(4)
+        ]
+        return [[col[r]] * 4 for r in range(4)]
+    e = a + ar  # 8-pixel top edge for the down-left diagonal
+    if mode == B_LD:
+        for r in range(4):
+            for c in range(4):
+                k = r + c
+                p[r][c] = (
+                    _avg3(e[6], e[7], e[7]) if k == 6
+                    else _avg3(e[k], e[k + 1], e[k + 2])
+                )
+        return p
+    # q[-4..4] packed as q[0..8]: left bottom-up, corner, above l-to-r
+    q = [left[3], left[2], left[1], left[0], al, a[0], a[1], a[2], a[3]]
+    if mode == B_RD:
+        for r in range(4):
+            for c in range(4):
+                k = 4 + c - r
+                p[r][c] = _avg3(q[k - 1], q[k], q[k + 1])
+        return p
+    if mode == B_VR:
+        for r in range(4):
+            for c in range(4):
+                z = 2 * c - r
+                if z >= 0 and z % 2 == 0:
+                    p[r][c] = _avg2(q[4 + c - (r >> 1) - 1], q[4 + c - (r >> 1)])
+                elif z >= 0:
+                    p[r][c] = _avg3(
+                        q[4 + c - (r >> 1) - 2],
+                        q[4 + c - (r >> 1) - 1],
+                        q[4 + c - (r >> 1)],
+                    )
+                elif z == -1:
+                    p[r][c] = _avg3(q[3], q[4], q[5])
+                else:
+                    p[r][c] = _avg3(q[4 - r + 2], q[4 - r + 1], q[4 - r])
+        return p
+    if mode == B_HD:
+        for r in range(4):
+            for c in range(4):
+                z = 2 * r - c
+                if z >= 0 and z % 2 == 0:
+                    p[r][c] = _avg2(q[4 - r + (c >> 1)], q[4 - r + (c >> 1) - 1])
+                elif z >= 0:
+                    p[r][c] = _avg3(
+                        q[4 - r + (c >> 1) + 1],
+                        q[4 - r + (c >> 1)],
+                        q[4 - r + (c >> 1) - 1],
+                    )
+                elif z == -1:
+                    p[r][c] = _avg3(q[5], q[4], q[3])
+                else:
+                    p[r][c] = _avg3(q[4 + c - 2], q[4 + c - 1], q[4 + c])
+        return p
+    if mode == B_VL:
+        for r in range(4):
+            for c in range(4):
+                k = c + (r >> 1)
+                if r % 2 == 0:
+                    p[r][c] = _avg2(e[k], e[k + 1])
+                else:
+                    p[r][c] = _avg3(e[k], e[k + 1], e[k + 2])
+        return p
+    if mode == B_HU:
+        for r in range(4):
+            for c in range(4):
+                z = c + 2 * r
+                k = r + (c >> 1)
+                if z < 6 and z % 2 == 0:
+                    p[r][c] = _avg2(left[k], left[k + 1])
+                elif z < 5:
+                    p[r][c] = _avg3(left[k], left[k + 1], left[k + 2])
+                elif z == 5:
+                    p[r][c] = _avg3(left[2], left[3], left[3])
+                else:
+                    p[r][c] = left[3]
+        return p
+    raise NotImplementedError(f"subblock mode {mode}")
+
+
+def _sb_context(plane, stride, px: int, py: int, plane_w: int, top_y: int):
+    """(a, ar, left, al) for the subblock at (px, py): synthesized
+    127/129 borders outside the frame; above-right falls back to the MB
+    row above (``top_y``) for right-column subblocks and replicates the
+    last above pixel past the plane edge (the RFC §12.3 conventions)."""
+    if py > 0:
+        a = [plane[(py - 1) * stride + px + i] for i in range(4)]
+    else:
+        a = [127] * 4
+    if px > 0:
+        left = [plane[(py + i) * stride + px - 1] for i in range(4)]
+    else:
+        left = [129] * 4
+    if py > 0 and px > 0:
+        al = plane[(py - 1) * stride + px - 1]
+    elif py > 0:
+        al = 129
+    else:
+        al = 127
+    ar_y = py - 1 if (px + 4) % 16 != 0 else top_y - 1
+    ar = []
+    for i in range(4):
+        x = px + 4 + i
+        if ar_y < 0:
+            ar.append(127)
+        elif x < plane_w:
+            ar.append(plane[ar_y * stride + x])
+        else:
+            ar.append(plane[ar_y * stride + plane_w - 1])
+    return a, ar, left, al
 
 # token alphabet
 ZERO_TOKEN, ONE_TOKEN, TWO_TOKEN, THREE_TOKEN, FOUR_TOKEN = 0, 1, 2, 3, 4
@@ -674,6 +847,7 @@ def decode_vp8_frame(data: bytes) -> dict:
     above_u_nz = [[0] * 2 for _ in range(mb_cols)]
     above_v_nz = [[0] * 2 for _ in range(mb_cols)]
     above_y2_nz = [0] * mb_cols
+    above_sub = [[B_DC] * 4 for _ in range(mb_cols)]
 
     for mr in range(mb_rows):
         td = tds[mr % n_parts]
@@ -681,6 +855,7 @@ def decode_vp8_frame(data: bytes) -> dict:
         left_u_nz = [0] * 2
         left_v_nz = [0] * 2
         left_y2_nz = 0
+        left_sub = [B_DC] * 4
         for mc in range(mb_cols):
             skip = td_skip = False
             if skip_enabled:
@@ -688,46 +863,90 @@ def decode_vp8_frame(data: bytes) -> dict:
                 td_skip = skip
             ymode = bd.read_tree(_KF_YMODE_TREE, _KF_YMODE_PROB)
             if ymode == B_PRED:
-                raise NotImplementedError("VP8 B_PRED macroblocks")
+                submodes = [0] * 16
+                for sb in range(16):
+                    br, bc = sb >> 2, sb & 3
+                    amode = (
+                        submodes[sb - 4] if br > 0 else above_sub[mc][bc]
+                    )
+                    lmode = (
+                        submodes[sb - 1] if bc > 0 else left_sub[br]
+                    )
+                    submodes[sb] = bd.read_tree(
+                        _BMODE_TREE, _KF_BMODE_PROBS[amode][lmode]
+                    )
+                for i in range(4):
+                    above_sub[mc][i] = submodes[12 + i]
+                    left_sub[i] = submodes[i * 4 + 3]
+            else:
+                imp = _IMPLIED_BMODE[ymode]
+                above_sub[mc] = [imp] * 4
+                left_sub = [imp] * 4
             uvmode = bd.read_tree(_UV_MODE_TREE, _KF_UV_MODE_PROB)
 
-            # --- Y2 layer ---
-            if td_skip:
-                y2 = [0] * 16
-                above_y2_nz[mc] = left_y2_nz = 0
-                yblock_dcs = [0] * 16
-            else:
-                ctx = above_y2_nz[mc] + left_y2_nz
-                y2q, y2nz = _decode_block(
-                    td, probs[1], 0, ctx, dq["y2"][0], dq["y2"][1]
-                )
-                above_y2_nz[mc] = left_y2_nz = y2nz
-                yblock_dcs = iwht4x4(y2q)
-
-            # --- luma blocks (plane 0, first coeff 1) ---
-            have_above, have_left = mr > 0, mc > 0
-            pred = _predict(
-                y_plane, ls, mc * 16, mr * 16, 16, ymode,
-                have_above, have_left,
-            )
-            for sb in range(16):
-                br, bc = sb >> 2, sb & 3
-                if td_skip:
-                    coeffs, nzf = [0] * 16, 0
-                else:
-                    ctx = above_y_nz[mc][bc] + left_y_nz[br]
-                    coeffs, nzf = _decode_block(
-                        td, probs[0], 1, ctx, dq["y1"][0], dq["y1"][1]
+            if ymode == B_PRED:
+                # --- per-subblock predict/decode/reconstruct (no Y2;
+                # plane type 3 = Y with DC, first coeff 0); y2 nz
+                # contexts stay untouched per RFC ---
+                for sb in range(16):
+                    br, bc = sb >> 2, sb & 3
+                    px, py = mc * 16 + bc * 4, mr * 16 + br * 4
+                    a, arr, lft, al = _sb_context(
+                        y_plane, ls, px, py, ls, mr * 16
                     )
-                above_y_nz[mc][bc] = left_y_nz[br] = nzf
-                coeffs[0] = yblock_dcs[sb]
-                res = idct4x4(coeffs)
-                for r in range(4):
-                    for c in range(4):
-                        yy, xx = br * 4 + r, bc * 4 + c
-                        y_plane[(mr * 16 + yy) * ls + mc * 16 + xx] = (
-                            _clamp255(pred[yy][xx] + res[r * 4 + c])
+                    pred4 = _predict4(submodes[sb], a, arr, lft, al)
+                    if td_skip:
+                        coeffs, nzf = [0] * 16, 0
+                    else:
+                        ctx = above_y_nz[mc][bc] + left_y_nz[br]
+                        coeffs, nzf = _decode_block(
+                            td, probs[3], 0, ctx, dq["y1"][0], dq["y1"][1]
                         )
+                    above_y_nz[mc][bc] = left_y_nz[br] = nzf
+                    res = idct4x4(coeffs)
+                    for r in range(4):
+                        for c in range(4):
+                            y_plane[(py + r) * ls + px + c] = _clamp255(
+                                pred4[r][c] + res[r * 4 + c]
+                            )
+            else:
+                # --- Y2 layer ---
+                if td_skip:
+                    above_y2_nz[mc] = left_y2_nz = 0
+                    yblock_dcs = [0] * 16
+                else:
+                    ctx = above_y2_nz[mc] + left_y2_nz
+                    y2q, y2nz = _decode_block(
+                        td, probs[1], 0, ctx, dq["y2"][0], dq["y2"][1]
+                    )
+                    above_y2_nz[mc] = left_y2_nz = y2nz
+                    yblock_dcs = iwht4x4(y2q)
+
+                # --- luma blocks (plane 0, first coeff 1) ---
+                have_above, have_left = mr > 0, mc > 0
+                pred = _predict(
+                    y_plane, ls, mc * 16, mr * 16, 16, ymode,
+                    have_above, have_left,
+                )
+                for sb in range(16):
+                    br, bc = sb >> 2, sb & 3
+                    if td_skip:
+                        coeffs, nzf = [0] * 16, 0
+                    else:
+                        ctx = above_y_nz[mc][bc] + left_y_nz[br]
+                        coeffs, nzf = _decode_block(
+                            td, probs[0], 1, ctx, dq["y1"][0], dq["y1"][1]
+                        )
+                    above_y_nz[mc][bc] = left_y_nz[br] = nzf
+                    coeffs[0] = yblock_dcs[sb]
+                    res = idct4x4(coeffs)
+                    for r in range(4):
+                        for c in range(4):
+                            yy, xx = br * 4 + r, bc * 4 + c
+                            y_plane[(mr * 16 + yy) * ls + mc * 16 + xx] = (
+                                _clamp255(pred[yy][xx] + res[r * 4 + c])
+                            )
+            have_above, have_left = mr > 0, mc > 0
 
             # --- chroma (plane 2, first coeff 0) ---
             for plane, above_nz, left_nz in (
@@ -802,13 +1021,16 @@ def encode_vp8_frame(
     ymode: int = DC_PRED,
     uvmode: int = DC_PRED,
     token_partitions: int = 1,
+    b_modes=B_DC,
 ) -> tuple[bytes, dict]:
-    """Encode planar YUV420 as a VP8 keyframe (16x16 intra modes only,
-    filter level 0; ``token_partitions`` in {1,2,4,8} interleaves
-    macroblock rows across that many token streams). Returns
-    ``(frame_bytes, reconstruction)`` where ``reconstruction`` is the
-    decoder-exact closed-loop output dict (same shape as
-    :func:`decode_vp8_frame`) — the oracle contract."""
+    """Encode planar YUV420 as a VP8 keyframe (all five luma modes incl.
+    B_PRED per-4x4 submodes — ``b_modes`` is one submode int or a
+    16-list applied per subblock when ``ymode == B_PRED``; filter level
+    0; ``token_partitions`` in {1,2,4,8} interleaves macroblock rows
+    across that many token streams). Returns ``(frame_bytes,
+    reconstruction)`` where ``reconstruction`` is the decoder-exact
+    closed-loop output dict (same shape as :func:`decode_vp8_frame`) —
+    the oracle contract."""
     mb_cols = (width + 15) >> 4
     mb_rows = (height + 15) >> 4
     ls, cs = mb_cols * 16, mb_cols * 8
@@ -861,6 +1083,13 @@ def encode_vp8_frame(
     above_u_nz = [[0] * 2 for _ in range(mb_cols)]
     above_v_nz = [[0] * 2 for _ in range(mb_cols)]
     above_y2_nz = [0] * mb_cols
+    above_sub = [[B_DC] * 4 for _ in range(mb_cols)]
+    wanted_sub = (
+        list(b_modes) if isinstance(b_modes, (list, tuple))
+        else [b_modes] * 16
+    )
+    if len(wanted_sub) != 16:
+        raise ValueError("b_modes must be one submode or a 16-list")
 
     for mr in range(mb_rows):
         bt = bts[mr % token_partitions]
@@ -868,57 +1097,116 @@ def encode_vp8_frame(
         left_u_nz = [0] * 2
         left_v_nz = [0] * 2
         left_y2_nz = 0
+        left_sub = [B_DC] * 4
         for mc in range(mb_cols):
             bh.write_tree(_KF_YMODE_TREE, _KF_YMODE_PROB, ymode)
+            if ymode == B_PRED:
+                for sb in range(16):
+                    br, bc = sb >> 2, sb & 3
+                    amode = (
+                        wanted_sub[sb - 4] if br > 0 else above_sub[mc][bc]
+                    )
+                    lmode = (
+                        wanted_sub[sb - 1] if bc > 0 else left_sub[br]
+                    )
+                    bh.write_tree(
+                        _BMODE_TREE,
+                        _KF_BMODE_PROBS[amode][lmode],
+                        wanted_sub[sb],
+                    )
+                for i in range(4):
+                    above_sub[mc][i] = wanted_sub[12 + i]
+                    left_sub[i] = wanted_sub[i * 4 + 3]
+            else:
+                imp = _IMPLIED_BMODE[ymode]
+                above_sub[mc] = [imp] * 4
+                left_sub = [imp] * 4
             bh.write_tree(_UV_MODE_TREE, _KF_UV_MODE_PROB, uvmode)
             have_above, have_left = mr > 0, mc > 0
 
-            # --- luma ---
-            pred = _predict(
-                rec_y, ls, mc * 16, mr * 16, 16, ymode,
-                have_above, have_left,
-            )
-            sub_coeffs = []
-            for sb in range(16):
-                br, bc = sb >> 2, sb & 3
-                block = [
-                    src_y[(mr * 16 + br * 4 + r) * ls + mc * 16 + bc * 4 + c]
-                    - pred[br * 4 + r][bc * 4 + c]
-                    for r in range(4)
-                    for c in range(4)
-                ]
-                sub_coeffs.append(fdct4x4(block))
-            y2_in = [sub_coeffs[sb][0] for sb in range(16)]
-            y2_coeffs = fwht4x4(y2_in)
-            y2_levels = _quantize(y2_coeffs, dq["y2"][0], dq["y2"][1])
-            ctx = above_y2_nz[mc] + left_y2_nz
-            y2nz = _encode_block(bt, probs[1], 0, ctx, y2_levels)
-            above_y2_nz[mc] = left_y2_nz = y2nz
-            y2_deq = [
-                y2_levels[i] * (dq["y2"][0] if i == 0 else dq["y2"][1])
-                for i in range(16)
-            ]
-            yblock_dcs = iwht4x4(y2_deq)
-
-            for sb in range(16):
-                br, bc = sb >> 2, sb & 3
-                levels = _quantize(sub_coeffs[sb], dq["y1"][0], dq["y1"][1])
-                levels[0] = 0  # DC lives in Y2
-                ctx = above_y_nz[mc][bc] + left_y_nz[br]
-                nzf = _encode_block(bt, probs[0], 1, ctx, levels)
-                above_y_nz[mc][bc] = left_y_nz[br] = nzf
-                deq = [
-                    levels[i] * (dq["y1"][0] if i == 0 else dq["y1"][1])
+            if ymode == B_PRED:
+                # --- per-subblock closed loop (no Y2; plane 3, DC
+                # in-block) — predict from the evolving reconstruction
+                # exactly as the decoder will ---
+                for sb in range(16):
+                    br, bc = sb >> 2, sb & 3
+                    px, py = mc * 16 + bc * 4, mr * 16 + br * 4
+                    a, arr, lft, al = _sb_context(
+                        rec_y, ls, px, py, ls, mr * 16
+                    )
+                    pred4 = _predict4(wanted_sub[sb], a, arr, lft, al)
+                    block = [
+                        src_y[(py + r) * ls + px + c] - pred4[r][c]
+                        for r in range(4)
+                        for c in range(4)
+                    ]
+                    levels = _quantize(
+                        fdct4x4(block), dq["y1"][0], dq["y1"][1]
+                    )
+                    ctx = above_y_nz[mc][bc] + left_y_nz[br]
+                    nzf = _encode_block(bt, probs[3], 0, ctx, levels)
+                    above_y_nz[mc][bc] = left_y_nz[br] = nzf
+                    deq = [
+                        levels[i] * (dq["y1"][0] if i == 0 else dq["y1"][1])
+                        for i in range(16)
+                    ]
+                    res = idct4x4(deq)
+                    for r in range(4):
+                        for c in range(4):
+                            rec_y[(py + r) * ls + px + c] = _clamp255(
+                                pred4[r][c] + res[r * 4 + c]
+                            )
+            else:
+                # --- luma ---
+                pred = _predict(
+                    rec_y, ls, mc * 16, mr * 16, 16, ymode,
+                    have_above, have_left,
+                )
+                sub_coeffs = []
+                for sb in range(16):
+                    br, bc = sb >> 2, sb & 3
+                    block = [
+                        src_y[
+                            (mr * 16 + br * 4 + r) * ls + mc * 16 + bc * 4 + c
+                        ]
+                        - pred[br * 4 + r][bc * 4 + c]
+                        for r in range(4)
+                        for c in range(4)
+                    ]
+                    sub_coeffs.append(fdct4x4(block))
+                y2_in = [sub_coeffs[sb][0] for sb in range(16)]
+                y2_coeffs = fwht4x4(y2_in)
+                y2_levels = _quantize(y2_coeffs, dq["y2"][0], dq["y2"][1])
+                ctx = above_y2_nz[mc] + left_y2_nz
+                y2nz = _encode_block(bt, probs[1], 0, ctx, y2_levels)
+                above_y2_nz[mc] = left_y2_nz = y2nz
+                y2_deq = [
+                    y2_levels[i] * (dq["y2"][0] if i == 0 else dq["y2"][1])
                     for i in range(16)
                 ]
-                deq[0] = yblock_dcs[sb]
-                res = idct4x4(deq)
-                for r in range(4):
-                    for c in range(4):
-                        yy, xx = br * 4 + r, bc * 4 + c
-                        rec_y[(mr * 16 + yy) * ls + mc * 16 + xx] = (
-                            _clamp255(pred[yy][xx] + res[r * 4 + c])
-                        )
+                yblock_dcs = iwht4x4(y2_deq)
+
+                for sb in range(16):
+                    br, bc = sb >> 2, sb & 3
+                    levels = _quantize(
+                        sub_coeffs[sb], dq["y1"][0], dq["y1"][1]
+                    )
+                    levels[0] = 0  # DC lives in Y2
+                    ctx = above_y_nz[mc][bc] + left_y_nz[br]
+                    nzf = _encode_block(bt, probs[0], 1, ctx, levels)
+                    above_y_nz[mc][bc] = left_y_nz[br] = nzf
+                    deq = [
+                        levels[i] * (dq["y1"][0] if i == 0 else dq["y1"][1])
+                        for i in range(16)
+                    ]
+                    deq[0] = yblock_dcs[sb]
+                    res = idct4x4(deq)
+                    for r in range(4):
+                        for c in range(4):
+                            yy, xx = br * 4 + r, bc * 4 + c
+                            rec_y[(mr * 16 + yy) * ls + mc * 16 + xx] = (
+                                _clamp255(pred[yy][xx] + res[r * 4 + c])
+                            )
 
             # --- chroma ---
             for src, rec, above_nz, left_nz in (

@@ -3,10 +3,9 @@
 WebP is the dominant modern web image format; round 3 left it as the
 declared stub. Lossless WebP (VP8L) is Huffman + LZ77 + color cache +
 four reversible transforms — no DCT, no float — so it is pure-integer
-stdlib work, same as the GIF/JPEG/TIFF decoders. Lossy WebP (VP8) needs
-a full DCT video intra-frame decoder and stays library-bound
-(``decode_image`` keeps raising NotImplementedError for it, with the
-per-record error-column isolation the multimodal stage applies).
+stdlib work, same as the GIF/JPEG/TIFF decoders. Lossy WebP (VP8 intra
+keyframes) decodes for real since round 5 (vp8.py), dispatched from
+``decode_webp`` below.
 
 Implemented per the public "WebP Lossless Bitstream Specification":
 
@@ -638,8 +637,8 @@ def decode_vp8l_stream(data: bytes) -> dict:
 
 def decode_webp(payload: bytes) -> dict:
     """RIFF/WEBP container walk -> VP8L (lossless) or VP8 (lossy intra,
-    vp8.py — round 5) decode. Animations / B_PRED / loop-filtered lossy
-    streams stay declared NotImplementedError, never silent."""
+    vp8.py — round 5, incl. B_PRED) decode. Animations / loop-filtered
+    lossy streams stay declared NotImplementedError, never silent."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP file")
     pos = 12

@@ -117,8 +117,7 @@ def test_dispatch_jpeg_is_real_and_garbage_jpeg_is_valueerror():
     )
     with pytest.raises(ValueError):
         decode_image(lossy)
-    # B_PRED streams are the remaining declared VP8 boundary: a stream
-    # claiming an interframe is NotImplementedError (needs refs)
+    # interframes are a declared VP8 boundary (need reference buffers)
     from legal_document_ocr_spark.vp8 import encode_vp8_frame
 
     y = bytes([7]) * 256

@@ -102,6 +102,61 @@ def test_closed_loop_contract_on_random_images(qindex):
     assert dec["v"] == recon["v"]
 
 
+@pytest.mark.parametrize("submode", list(range(10)))
+def test_b_pred_all_submodes_closed_loop(submode):
+    """Every per-4x4 B_PRED submode (DC/TM/VE/HE + the six diagonals)
+    must satisfy the closed-loop contract on random pixels — the
+    predictor code is shared encoder/decoder, so this pins both."""
+    from legal_document_ocr_spark.vp8 import B_PRED
+
+    rng = random.Random(submode + 31)
+    w, h = 40, 36
+    y = bytes(rng.randrange(256) for _ in range(w * h))
+    u = bytes(rng.randrange(256) for _ in range(20 * 18))
+    v = bytes(rng.randrange(256) for _ in range(20 * 18))
+    frame, recon = encode_vp8_frame(
+        w, h, y, u, v, qindex=15, ymode=B_PRED, b_modes=submode
+    )
+    dec = decode_vp8_frame(frame)
+    assert dec["y"] == recon["y"] and dec["u"] == recon["u"]
+
+
+def test_b_pred_mixed_submodes_and_4x4_constant_exactness():
+    """Mixed per-subblock submodes exercise the neighbor-context mode
+    coding; a 4x4-constant image under B_DC at qindex 0 roundtrips
+    pixel-exactly (constant residuals quantize losslessly through the
+    in-block DC path — no Y2 for B_PRED)."""
+    from legal_document_ocr_spark.vp8 import B_PRED
+
+    rng = random.Random(77)
+    w, h = 40, 36
+    y = bytes(rng.randrange(256) for _ in range(w * h))
+    u = bytes(rng.randrange(256) for _ in range(20 * 18))
+    v = bytes(rng.randrange(256) for _ in range(20 * 18))
+    mix = [(i * 7 + 3) % 10 for i in range(16)]
+    frame, recon = encode_vp8_frame(
+        w, h, y, u, v, qindex=0, ymode=B_PRED, b_modes=mix
+    )
+    dec = decode_vp8_frame(frame)
+    assert dec["y"] == recon["y"]
+
+    const4 = bytes(
+        ((yy // 4) * 31 + (xx // 4) * 17) % 256
+        for yy in range(32)
+        for xx in range(32)
+    )
+    flat = bytes([128]) * 256
+    frame, recon = encode_vp8_frame(
+        32, 32, const4, flat, flat, qindex=0, ymode=B_PRED, b_modes=0
+    )
+    dec = decode_vp8_frame(frame)
+    assert dec["y"] == const4 == recon["y"]
+    with pytest.raises(ValueError, match="16-list"):
+        encode_vp8_frame(
+            32, 32, const4, flat, flat, ymode=B_PRED, b_modes=[0, 1]
+        )
+
+
 @pytest.mark.parametrize("parts", [2, 4, 8])
 def test_multi_partition_token_streams(parts):
     """RFC §9.5 row-interleaved token partitions: size records + per-row
