@@ -780,6 +780,23 @@ def decode_vp8_frame(data: bytes) -> dict:
     width, height = wrec & 0x3FFF, hrec & 0x3FFF
     if width == 0 or height == 0:
         raise ValueError("zero VP8 dimensions")
+    # decompression-bomb bound before any allocation or MB loop (the
+    # PNG MAX_IMAGE_PIXELS contract): a corrupted/crafted header can
+    # declare 16383x16383 and a pure-Python decode would grind for
+    # minutes — also require enough payload for >= 1 bit/MB, the
+    # cheapest structural plausibility check
+    from .codecs import MAX_IMAGE_PIXELS
+
+    if width * height > MAX_IMAGE_PIXELS:
+        raise ValueError(
+            f"VP8 dimensions {width}x{height} exceed MAX_IMAGE_PIXELS"
+        )
+    n_mbs = (((width + 15) >> 4)) * (((height + 15) >> 4))
+    # ymode+uvmode per MB are coded with the spec's FIXED keyframe mode
+    # probabilities, which bound the per-MB cost well above 0.5 bit —
+    # so a payload under n_mbs/2 bits cannot be a legal keyframe
+    if len(data) * 16 < n_mbs:
+        raise ValueError("VP8 payload too short for declared dimensions")
     bd = BoolDecoder(data[10 : 10 + part1_size])
     bd.get_bit()  # color space
     bd.get_bit()  # clamping
@@ -824,6 +841,8 @@ def decode_vp8_frame(data: bytes) -> dict:
     if n_parts == 1:
         tds = [BoolDecoder(tok)]
     else:
+        if len(tok) < (n_parts - 1) * 3:
+            raise ValueError("truncated VP8 token partition size records")
         sizes = [
             tok[i * 3] | tok[i * 3 + 1] << 8 | tok[i * 3 + 2] << 16
             for i in range(n_parts - 1)

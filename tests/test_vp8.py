@@ -195,6 +195,35 @@ def test_webp_container_dispatch_and_rgb_conversion():
     assert rgb["pixels"] == img["pixels"]
 
 
+def test_fuzz_malformed_input_raises_valueerror_only():
+    """Garbage / truncated / bit-flipped streams must raise ValueError
+    or NotImplementedError — never IndexError or a hang: a crafted
+    header declaring 16383x16383 hits the MAX_IMAGE_PIXELS bound (the
+    PNG decompression-bomb contract), and short payloads fail the
+    bits-per-macroblock plausibility check before the MB loop."""
+    rng = random.Random(9)
+    y = bytes([7]) * 256
+    flat = bytes([128]) * 64
+    frame, _ = encode_vp8_frame(16, 16, y, flat, flat)
+    for trial in range(600):
+        mode = trial % 3
+        if mode == 0:
+            data = bytes(
+                rng.randrange(256) for _ in range(rng.randint(0, 40))
+            )
+        elif mode == 1:
+            data = frame[: rng.randint(0, len(frame))]
+        else:
+            b = bytearray(frame)
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            data = bytes(b)
+        try:
+            decode_vp8_frame(data)
+        except (ValueError, NotImplementedError):
+            pass
+
+
 def test_declared_boundaries_raise_not_silently():
     """Interframes and malformed headers fail loudly (the per-record
     error column depends on the raise, not on silence)."""
