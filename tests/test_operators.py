@@ -414,8 +414,8 @@ def test_image_decode_isolates_malformed_records(spark):
     rows = [
         (1, good),
         (2, good[:20]),              # truncated PNG
-        # lossy VP8 chunk: the declared library-bound boundary (VP8L
-        # decodes for real since round 4)
+        # garbage lossy-VP8 chunk: VP8 decodes for real since round 5,
+        # so a 4-byte body is malformed input (ValueError), not a stub
         (3, b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd"),
         (4, None),                    # null payload -> skipped entirely
         (5, b"\xff\xd8\xff\xe0jpg"),  # garbage JPEG body
@@ -425,7 +425,7 @@ def test_image_decode_isolates_malformed_records(spark):
     out = {r["doc_id"]: r for r in multimodal.image_decode(df).collect()}
     assert out[1]["px_sum"] == 10 and out[1]["error"] is None
     assert out[2]["width"] is None and out[2]["error"].startswith("ValueError")
-    assert out[3]["error"].startswith("NotImplementedError")
+    assert out[3]["error"].startswith("ValueError")
     assert 4 not in out
     assert out[5]["error"].startswith("ValueError")
     assert out[6]["error"].startswith("ValueError")
