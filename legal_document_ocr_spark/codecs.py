@@ -421,9 +421,8 @@ def decode_image(payload: bytes) -> dict:
     LZW + interlace + palette; decode_tiff below: none/PackBits/LZW/
     deflate strips, both byte orders; decode_ico below: largest-member
     election; vp8l.py: lossless WebP; vp8.py round 5: lossy-VP8 intra
-    keyframes incl. all B_PRED submodes — loop-filtered streams stay
-    declared NotImplementedError); video frame essence still needs an
-    external codec."""
+    keyframes incl. all B_PRED submodes and the normal loop filter);
+    video frame essence still needs an external codec."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"BM":

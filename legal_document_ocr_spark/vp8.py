@@ -13,18 +13,27 @@ JPEG decoder's JFIF conversion.
 Declared boundaries (NotImplementedError, surfaced in the multimodal
 stage's per-record error column, never silent):
 
-- loop-filtered streams (``filter_level > 0``) — the in-loop deblocker
-  is not implemented, so only level-0 streams reconstruct exactly;
-- segmentation — parsed and rejected.
+- segmentation — parsed and rejected;
+- the "simple" loop filter variant (``filter_type=1``) — the NORMAL
+  in-loop deblocker is implemented (below); simple-filter streams are
+  rejected, not mis-filtered;
+- interframes (need reference buffers).
 
 Supported beyond the 16x16 modes: B_PRED macroblocks (all ten per-4x4
 submodes in their H.264-identical forms, neighbor-context submode
 coding, no-Y2 plane-3 coefficients, the above-right edge conventions —
 ``_predict4`` is shared verbatim by encoder and decoder, so the
-closed-loop contract covers every submode), and multi-partition token
+closed-loop contract covers every submode); multi-partition token
 streams (RFC §9.5: macroblock rows interleaved across 1/2/4/8 bool
 streams — ``token_partitions`` on the encoder, size records + per-row
-stream selection in the decoder).
+stream selection in the decoder); and the NORMAL loop filter (RFC §15:
+filter-mask + high-edge-variance logic, 4-tap subblock and 27/18/9-tap
+macroblock-edge filters, interior-edge suppression for coefficientless
+non-B_PRED MBs) applied as the spec's post-reconstruction pass — intra
+prediction reads unfiltered pixels, the output frame is filtered, and
+the closed-loop encoder applies the identical pass to its returned
+reconstruction (measured to halve mean reconstruction error on smooth
+blocked content, i.e. it is a real deblocker, not a no-op).
 
 Sandbox honesty note on table constants: this container has no
 reference VP8 codec (no libwebp/PIL/ffmpeg) to transcribe or
@@ -614,6 +623,172 @@ def _predict(plane, stride, x0, y0, size, mode, have_above, have_left):
 
 
 # ---------------------------------------------------------------------------
+# in-loop deblocking filter — RFC 6386 §15 (normal filter)
+# ---------------------------------------------------------------------------
+
+
+def _s(v: int) -> int:
+    """Pixel -> signed working domain (v - 128)."""
+    return v - 128
+
+
+def _c(v: int) -> int:
+    """Signed clamp to [-128, 127] (the RFC's c())."""
+    return -128 if v < -128 else 127 if v > 127 else v
+
+
+def _u(v: int) -> int:
+    """Signed working domain -> pixel, clamped."""
+    return _clamp255(v + 128)
+
+
+def _filter_params(level: int, sharpness: int, keyframe: bool = True):
+    interior = level
+    if sharpness:
+        interior >>= 2 if sharpness > 4 else 1
+        if interior > 9 - sharpness:
+            interior = 9 - sharpness
+    if interior < 1:
+        interior = 1
+    hev = 0
+    if keyframe:
+        if level >= 40:
+            hev = 2
+        elif level >= 15:
+            hev = 1
+    mb_edge = (level + 2) * 2 + interior
+    sub_edge = level * 2 + interior
+    return interior, mb_edge, sub_edge, hev
+
+
+def _filter_mask(p3, p2, p1, p0, q0, q1, q2, q3, edge_limit, interior):
+    return (
+        abs(p0 - q0) * 2 + abs(p1 - q1) // 2 <= edge_limit
+        and abs(p3 - p2) <= interior
+        and abs(p2 - p1) <= interior
+        and abs(p1 - p0) <= interior
+        and abs(q1 - q0) <= interior
+        and abs(q2 - q1) <= interior
+        and abs(q3 - q2) <= interior
+    )
+
+
+def _common_adjust(use_outer, P1, P0, Q0, Q1):
+    a = _c((_c(P1 - Q1) if use_outer else 0) + 3 * (Q0 - P0))
+    f1 = _c(a + 4) >> 3
+    f2 = _c(a + 3) >> 3
+    return _u(Q0 - f1), _u(P0 + f2), f1
+
+
+def _subblock_filter(px, hev_t, edge_limit, interior):
+    """px = [p3..q3] pixel values; returns filtered or None (mask)."""
+    p3, p2, p1, p0, q0, q1, q2, q3 = px
+    if not _filter_mask(p3, p2, p1, p0, q0, q1, q2, q3, edge_limit, interior):
+        return None
+    hev = abs(p1 - p0) > hev_t or abs(q1 - q0) > hev_t
+    P1, P0, Q0, Q1 = _s(p1), _s(p0), _s(q0), _s(q1)
+    q0n, p0n, f1 = _common_adjust(hev, P1, P0, Q0, Q1)
+    out = [p3, p2, p1, p0n, q0n, q1, q2, q3]
+    if not hev:
+        a = (f1 + 1) >> 1
+        out[5] = _u(Q1 - a)
+        out[2] = _u(P1 + a)
+    return out
+
+
+def _mb_filter(px, hev_t, edge_limit, interior):
+    p3, p2, p1, p0, q0, q1, q2, q3 = px
+    if not _filter_mask(p3, p2, p1, p0, q0, q1, q2, q3, edge_limit, interior):
+        return None
+    hev = abs(p1 - p0) > hev_t or abs(q1 - q0) > hev_t
+    P2, P1, P0 = _s(p2), _s(p1), _s(p0)
+    Q0, Q1, Q2 = _s(q0), _s(q1), _s(q2)
+    if hev:
+        q0n, p0n, _ = _common_adjust(True, P1, P0, Q0, Q1)
+        return [p3, p2, p1, p0n, q0n, q1, q2, q3]
+    w = _c(_c(P1 - Q1) + 3 * (Q0 - P0))
+    a = _c((27 * w + 63) >> 7)
+    q0n, p0n = _u(Q0 - a), _u(P0 + a)
+    a = _c((18 * w + 63) >> 7)
+    q1n, p1n = _u(Q1 - a), _u(P1 + a)
+    a = _c((9 * w + 63) >> 7)
+    q2n, p2n = _u(Q2 - a), _u(P2 + a)
+    return [p3, p2n, p1n, p0n, q0n, q1n, q2n, q3]
+
+
+def _loop_filter_frame(
+    y_plane, u_plane, v_plane, ls, cs, mb_rows, mb_cols,
+    level, sharpness, interior_flags,
+):
+    """Normal loop filter over the reconstructed planes, in-place —
+    shared verbatim by decoder and closed-loop encoder. Per MB in
+    raster order: vertical edges left-to-right (MB-left edge with the
+    wide mb filter, interior columns with the subblock filter), then
+    horizontal edges top-to-bottom; luma interior at 4/8/12, chroma at
+    4. ``interior_flags[mb_r][mb_c]`` says whether the MB's interior
+    edges filter (it has coefficients or is B_PRED — RFC §15.2)."""
+    if level == 0:
+        return
+    interior, mb_edge, sub_edge, hev_t = _filter_params(level, sharpness)
+
+    def vert_edge(plane, stride, x, y0, n_rows, fn, limit):
+        for r in range(n_rows):
+            base = (y0 + r) * stride
+            px = [plane[base + x - 4 + i] for i in range(8)]
+            out = fn(px, hev_t, limit, interior)
+            if out is not None:
+                for i in range(8):
+                    plane[base + x - 4 + i] = out[i]
+
+    def horiz_edge(plane, stride, x0, y, n_cols, fn, limit):
+        for c in range(n_cols):
+            xx = x0 + c
+            px = [plane[(y - 4 + i) * stride + xx] for i in range(8)]
+            out = fn(px, hev_t, limit, interior)
+            if out is not None:
+                for i in range(8):
+                    plane[(y - 4 + i) * stride + xx] = out[i]
+
+    for mr in range(mb_rows):
+        for mc in range(mb_cols):
+            inter = interior_flags[mr][mc]
+            yx, yy = mc * 16, mr * 16
+            cx, cy = mc * 8, mr * 8
+            if mc > 0:
+                vert_edge(y_plane, ls, yx, yy, 16, _mb_filter, mb_edge)
+                vert_edge(u_plane, cs, cx, cy, 8, _mb_filter, mb_edge)
+                vert_edge(v_plane, cs, cx, cy, 8, _mb_filter, mb_edge)
+            if inter:
+                for dx in (4, 8, 12):
+                    vert_edge(
+                        y_plane, ls, yx + dx, yy, 16,
+                        _subblock_filter, sub_edge,
+                    )
+                vert_edge(
+                    u_plane, cs, cx + 4, cy, 8, _subblock_filter, sub_edge
+                )
+                vert_edge(
+                    v_plane, cs, cx + 4, cy, 8, _subblock_filter, sub_edge
+                )
+            if mr > 0:
+                horiz_edge(y_plane, ls, yx, yy, 16, _mb_filter, mb_edge)
+                horiz_edge(u_plane, cs, cx, cy, 8, _mb_filter, mb_edge)
+                horiz_edge(v_plane, cs, cx, cy, 8, _mb_filter, mb_edge)
+            if inter:
+                for dy in (4, 8, 12):
+                    horiz_edge(
+                        y_plane, ls, yx, yy + dy, 16,
+                        _subblock_filter, sub_edge,
+                    )
+                horiz_edge(
+                    u_plane, cs, cx, cy + 4, 8, _subblock_filter, sub_edge
+                )
+                horiz_edge(
+                    v_plane, cs, cx, cy + 4, 8, _subblock_filter, sub_edge
+                )
+
+
+# ---------------------------------------------------------------------------
 # token layer
 # ---------------------------------------------------------------------------
 
@@ -802,12 +977,13 @@ def decode_vp8_frame(data: bytes) -> dict:
     bd.get_bit()  # clamping
     if bd.get_bit():
         raise NotImplementedError("VP8 segmentation not supported")
-    bd.get_bit()  # filter type
+    filter_type = bd.get_bit()
     filter_level = bd.get_uint(6)
-    bd.get_uint(3)  # sharpness
-    if filter_level:
+    sharpness = bd.get_uint(3)
+    if filter_type and filter_level:
         raise NotImplementedError(
-            "VP8 loop filter not implemented (filter_level > 0)"
+            "VP8 simple-filter streams (filter_type=1) not supported; "
+            "the normal loop filter is implemented"
         )
     if bd.get_bit():  # lf delta enabled
         if bd.get_bit():  # update
@@ -867,6 +1043,7 @@ def decode_vp8_frame(data: bytes) -> dict:
     above_v_nz = [[0] * 2 for _ in range(mb_cols)]
     above_y2_nz = [0] * mb_cols
     above_sub = [[B_DC] * 4 for _ in range(mb_cols)]
+    interior_flags = [[0] * mb_cols for _ in range(mb_rows)]
 
     for mr in range(mb_rows):
         td = tds[mr % n_parts]
@@ -876,6 +1053,7 @@ def decode_vp8_frame(data: bytes) -> dict:
         left_y2_nz = 0
         left_sub = [B_DC] * 4
         for mc in range(mb_cols):
+            mb_nz = 0
             skip = td_skip = False
             if skip_enabled:
                 skip = bool(bd.get(skip_prob))
@@ -922,6 +1100,7 @@ def decode_vp8_frame(data: bytes) -> dict:
                             td, probs[3], 0, ctx, dq["y1"][0], dq["y1"][1]
                         )
                     above_y_nz[mc][bc] = left_y_nz[br] = nzf
+                    mb_nz += nzf
                     res = idct4x4(coeffs)
                     for r in range(4):
                         for c in range(4):
@@ -939,6 +1118,7 @@ def decode_vp8_frame(data: bytes) -> dict:
                         td, probs[1], 0, ctx, dq["y2"][0], dq["y2"][1]
                     )
                     above_y2_nz[mc] = left_y2_nz = y2nz
+                    mb_nz += y2nz
                     yblock_dcs = iwht4x4(y2q)
 
                 # --- luma blocks (plane 0, first coeff 1) ---
@@ -957,6 +1137,7 @@ def decode_vp8_frame(data: bytes) -> dict:
                             td, probs[0], 1, ctx, dq["y1"][0], dq["y1"][1]
                         )
                     above_y_nz[mc][bc] = left_y_nz[br] = nzf
+                    mb_nz += nzf
                     coeffs[0] = yblock_dcs[sb]
                     res = idct4x4(coeffs)
                     for r in range(4):
@@ -986,6 +1167,7 @@ def decode_vp8_frame(data: bytes) -> dict:
                             td, probs[2], 0, ctx, dq["uv"][0], dq["uv"][1]
                         )
                     above_nz[mc][bc] = left_nz[br] = nzf
+                    mb_nz += nzf
                     res = idct4x4(coeffs)
                     for r in range(4):
                         for c in range(4):
@@ -993,6 +1175,12 @@ def decode_vp8_frame(data: bytes) -> dict:
                             plane[(mr * 8 + yy) * cs + mc * 8 + xx] = (
                                 _clamp255(predc[yy][xx] + res[r * 4 + c])
                             )
+            interior_flags[mr][mc] = 1 if (ymode == B_PRED or mb_nz) else 0
+
+    _loop_filter_frame(
+        y_plane, u_plane, v_plane, ls, cs, mb_rows, mb_cols,
+        filter_level, sharpness, interior_flags,
+    )
 
     # crop padding
     uvw, uvh = (width + 1) >> 1, (height + 1) >> 1
@@ -1041,6 +1229,8 @@ def encode_vp8_frame(
     uvmode: int = DC_PRED,
     token_partitions: int = 1,
     b_modes=B_DC,
+    filter_level: int = 0,
+    sharpness: int = 0,
 ) -> tuple[bytes, dict]:
     """Encode planar YUV420 as a VP8 keyframe (all five luma modes incl.
     B_PRED per-4x4 submodes — ``b_modes`` is one submode int or a
@@ -1078,9 +1268,9 @@ def encode_vp8_frame(
     bh.put_bit(0)  # color space
     bh.put_bit(0)  # clamping
     bh.put_bit(0)  # no segmentation
-    bh.put_bit(0)  # filter type
-    bh.put_uint(0, 6)  # filter level 0
-    bh.put_uint(0, 3)  # sharpness
+    bh.put_bit(0)  # filter type 0 = normal
+    bh.put_uint(filter_level, 6)
+    bh.put_uint(sharpness, 3)
     bh.put_bit(0)  # no lf deltas
     if token_partitions not in (1, 2, 4, 8):
         raise ValueError("token_partitions must be 1, 2, 4 or 8")
@@ -1103,6 +1293,7 @@ def encode_vp8_frame(
     above_v_nz = [[0] * 2 for _ in range(mb_cols)]
     above_y2_nz = [0] * mb_cols
     above_sub = [[B_DC] * 4 for _ in range(mb_cols)]
+    interior_flags = [[0] * mb_cols for _ in range(mb_rows)]
     wanted_sub = (
         list(b_modes) if isinstance(b_modes, (list, tuple))
         else [b_modes] * 16
@@ -1118,6 +1309,7 @@ def encode_vp8_frame(
         left_y2_nz = 0
         left_sub = [B_DC] * 4
         for mc in range(mb_cols):
+            mb_nz = 0
             bh.write_tree(_KF_YMODE_TREE, _KF_YMODE_PROB, ymode)
             if ymode == B_PRED:
                 for sb in range(16):
@@ -1165,6 +1357,7 @@ def encode_vp8_frame(
                     ctx = above_y_nz[mc][bc] + left_y_nz[br]
                     nzf = _encode_block(bt, probs[3], 0, ctx, levels)
                     above_y_nz[mc][bc] = left_y_nz[br] = nzf
+                    mb_nz += nzf
                     deq = [
                         levels[i] * (dq["y1"][0] if i == 0 else dq["y1"][1])
                         for i in range(16)
@@ -1199,6 +1392,7 @@ def encode_vp8_frame(
                 ctx = above_y2_nz[mc] + left_y2_nz
                 y2nz = _encode_block(bt, probs[1], 0, ctx, y2_levels)
                 above_y2_nz[mc] = left_y2_nz = y2nz
+                mb_nz += y2nz
                 y2_deq = [
                     y2_levels[i] * (dq["y2"][0] if i == 0 else dq["y2"][1])
                     for i in range(16)
@@ -1214,6 +1408,7 @@ def encode_vp8_frame(
                     ctx = above_y_nz[mc][bc] + left_y_nz[br]
                     nzf = _encode_block(bt, probs[0], 1, ctx, levels)
                     above_y_nz[mc][bc] = left_y_nz[br] = nzf
+                    mb_nz += nzf
                     deq = [
                         levels[i] * (dq["y1"][0] if i == 0 else dq["y1"][1])
                         for i in range(16)
@@ -1249,6 +1444,7 @@ def encode_vp8_frame(
                     ctx = above_nz[mc][bc] + left_nz[br]
                     nzf = _encode_block(bt, probs[2], 0, ctx, levels)
                     above_nz[mc][bc] = left_nz[br] = nzf
+                    mb_nz += nzf
                     deq = [
                         levels[i] * (dq["uv"][0] if i == 0 else dq["uv"][1])
                         for i in range(16)
@@ -1260,6 +1456,14 @@ def encode_vp8_frame(
                             rec[(mr * 8 + yy) * cs + mc * 8 + xx] = (
                                 _clamp255(predc[yy][xx] + res[r * 4 + c])
                             )
+            interior_flags[mr][mc] = 1 if (ymode == B_PRED or mb_nz) else 0
+
+    # closed loop: the decoder applies the in-loop filter to its output,
+    # so the returned reconstruction must too
+    _loop_filter_frame(
+        rec_y, rec_u, rec_v, ls, cs, mb_rows, mb_cols,
+        filter_level, sharpness, interior_flags,
+    )
 
     part1 = bh.get_bytes()
     streams = [b.get_bytes() for b in bts]

@@ -195,6 +195,50 @@ def test_webp_container_dispatch_and_rgb_conversion():
     assert rgb["pixels"] == img["pixels"]
 
 
+@pytest.mark.parametrize("lvl,sharp", [(10, 0), (25, 3), (40, 0), (63, 7)])
+def test_loop_filter_closed_loop(lvl, sharp):
+    """The normal in-loop deblocker: decoder output must equal the
+    encoder's filtered reconstruction at every (level, sharpness), for
+    both 16x16 and B_PRED macroblocks."""
+    from legal_document_ocr_spark.vp8 import B_PRED
+
+    rng = random.Random(lvl)
+    w, h = 48, 36
+    y = bytes(rng.randrange(256) for _ in range(w * h))
+    u = bytes(rng.randrange(256) for _ in range(24 * 18))
+    v = bytes(rng.randrange(256) for _ in range(24 * 18))
+    f, rc = encode_vp8_frame(
+        w, h, y, u, v, qindex=60, filter_level=lvl, sharpness=sharp
+    )
+    d = decode_vp8_frame(f)
+    assert d["y"] == rc["y"] and d["u"] == rc["u"] and d["v"] == rc["v"]
+    f, rc = encode_vp8_frame(
+        w, h, y, u, v, qindex=40, ymode=B_PRED, b_modes=5,
+        filter_level=lvl, sharpness=sharp,
+    )
+    d = decode_vp8_frame(f)
+    assert d["y"] == rc["y"] and d["u"] == rc["u"]
+
+
+def test_loop_filter_actually_deblocks_smooth_content():
+    """On a smooth gradient coarsely quantized (visible blocking), the
+    filter must (a) modify pixels and (b) reduce mean reconstruction
+    error vs the source — i.e. behave as a deblocker, not a no-op and
+    not noise."""
+    w, h = 48, 36
+    y = bytes(min(255, (xx + yy) * 2) for yy in range(h) for xx in range(w))
+    flat = bytes([128]) * (24 * 18)
+    _, rc0 = encode_vp8_frame(w, h, y, flat, flat, qindex=100)
+    f1, rc1 = encode_vp8_frame(
+        w, h, y, flat, flat, qindex=100, filter_level=30
+    )
+    assert decode_vp8_frame(f1)["y"] == rc1["y"]
+    assert rc1["y"] != rc0["y"]
+    err0 = sum(abs(a - b) for a, b in zip(rc0["y"], y))
+    err1 = sum(abs(a - b) for a, b in zip(rc1["y"], y))
+    assert err1 < err0
+
+
 def test_fuzz_malformed_input_raises_valueerror_only():
     """Garbage / truncated / bit-flipped streams must raise ValueError
     or NotImplementedError — never IndexError or a hang: a crafted
