@@ -14,10 +14,11 @@ Declared boundaries (NotImplementedError, surfaced in the multimodal
 stage's per-record error column, never silent):
 
 - segmentation — parsed and rejected;
-- the "simple" loop filter variant (``filter_type=1``) — the NORMAL
-  in-loop deblocker is implemented (below); simple-filter streams are
-  rejected, not mis-filtered;
 - interframes (need reference buffers).
+
+Both loop filter variants are implemented: the NORMAL deblocker (below)
+and the "simple" filter (``filter_type=1``: luma-only, the short
+p0/q0+p1/q1 mask and the outer-tap 4-tap adjust).
 
 Supported beyond the 16x16 modes: B_PRED macroblocks (all ten per-4x4
 submodes in their H.264-identical forms, neighbor-context submode
@@ -716,9 +717,19 @@ def _mb_filter(px, hev_t, edge_limit, interior):
     return [p3, p2n, p1n, p0n, q0n, q1n, q2n, q3]
 
 
+def _simple_filter(px, hev_t, edge_limit, interior):
+    """The 'simple' variant (filter_type=1): luma-only, the short mask
+    (no interior terms, no hev) and the 4-tap adjust with outer taps."""
+    p3, p2, p1, p0, q0, q1, q2, q3 = px
+    if abs(p0 - q0) * 2 + abs(p1 - q1) // 2 > edge_limit:
+        return None
+    q0n, p0n, _ = _common_adjust(True, _s(p1), _s(p0), _s(q0), _s(q1))
+    return [p3, p2, p1, p0n, q0n, q1, q2, q3]
+
+
 def _loop_filter_frame(
     y_plane, u_plane, v_plane, ls, cs, mb_rows, mb_cols,
-    level, sharpness, interior_flags,
+    level, sharpness, interior_flags, simple=False,
 ):
     """Normal loop filter over the reconstructed planes, in-place —
     shared verbatim by decoder and closed-loop encoder. Per MB in
@@ -730,6 +741,9 @@ def _loop_filter_frame(
     if level == 0:
         return
     interior, mb_edge, sub_edge, hev_t = _filter_params(level, sharpness)
+    mb_fn = _simple_filter if simple else _mb_filter
+    sb_fn = _simple_filter if simple else _subblock_filter
+    do_chroma = not simple  # simple filter is luma-only (RFC §15.1)
 
     def vert_edge(plane, stride, x, y0, n_rows, fn, limit):
         for r in range(n_rows):
@@ -755,37 +769,31 @@ def _loop_filter_frame(
             yx, yy = mc * 16, mr * 16
             cx, cy = mc * 8, mr * 8
             if mc > 0:
-                vert_edge(y_plane, ls, yx, yy, 16, _mb_filter, mb_edge)
-                vert_edge(u_plane, cs, cx, cy, 8, _mb_filter, mb_edge)
-                vert_edge(v_plane, cs, cx, cy, 8, _mb_filter, mb_edge)
+                vert_edge(y_plane, ls, yx, yy, 16, mb_fn, mb_edge)
+                if do_chroma:
+                    vert_edge(u_plane, cs, cx, cy, 8, mb_fn, mb_edge)
+                    vert_edge(v_plane, cs, cx, cy, 8, mb_fn, mb_edge)
             if inter:
                 for dx in (4, 8, 12):
                     vert_edge(
-                        y_plane, ls, yx + dx, yy, 16,
-                        _subblock_filter, sub_edge,
+                        y_plane, ls, yx + dx, yy, 16, sb_fn, sub_edge
                     )
-                vert_edge(
-                    u_plane, cs, cx + 4, cy, 8, _subblock_filter, sub_edge
-                )
-                vert_edge(
-                    v_plane, cs, cx + 4, cy, 8, _subblock_filter, sub_edge
-                )
+                if do_chroma:
+                    vert_edge(u_plane, cs, cx + 4, cy, 8, sb_fn, sub_edge)
+                    vert_edge(v_plane, cs, cx + 4, cy, 8, sb_fn, sub_edge)
             if mr > 0:
-                horiz_edge(y_plane, ls, yx, yy, 16, _mb_filter, mb_edge)
-                horiz_edge(u_plane, cs, cx, cy, 8, _mb_filter, mb_edge)
-                horiz_edge(v_plane, cs, cx, cy, 8, _mb_filter, mb_edge)
+                horiz_edge(y_plane, ls, yx, yy, 16, mb_fn, mb_edge)
+                if do_chroma:
+                    horiz_edge(u_plane, cs, cx, cy, 8, mb_fn, mb_edge)
+                    horiz_edge(v_plane, cs, cx, cy, 8, mb_fn, mb_edge)
             if inter:
                 for dy in (4, 8, 12):
                     horiz_edge(
-                        y_plane, ls, yx, yy + dy, 16,
-                        _subblock_filter, sub_edge,
+                        y_plane, ls, yx, yy + dy, 16, sb_fn, sub_edge
                     )
-                horiz_edge(
-                    u_plane, cs, cx, cy + 4, 8, _subblock_filter, sub_edge
-                )
-                horiz_edge(
-                    v_plane, cs, cx, cy + 4, 8, _subblock_filter, sub_edge
-                )
+                if do_chroma:
+                    horiz_edge(u_plane, cs, cx, cy + 4, 8, sb_fn, sub_edge)
+                    horiz_edge(v_plane, cs, cx, cy + 4, 8, sb_fn, sub_edge)
 
 
 # ---------------------------------------------------------------------------
@@ -980,11 +988,6 @@ def decode_vp8_frame(data: bytes) -> dict:
     filter_type = bd.get_bit()
     filter_level = bd.get_uint(6)
     sharpness = bd.get_uint(3)
-    if filter_type and filter_level:
-        raise NotImplementedError(
-            "VP8 simple-filter streams (filter_type=1) not supported; "
-            "the normal loop filter is implemented"
-        )
     if bd.get_bit():  # lf delta enabled
         if bd.get_bit():  # update
             for _ in range(8):
@@ -1180,6 +1183,7 @@ def decode_vp8_frame(data: bytes) -> dict:
     _loop_filter_frame(
         y_plane, u_plane, v_plane, ls, cs, mb_rows, mb_cols,
         filter_level, sharpness, interior_flags,
+        simple=bool(filter_type),
     )
 
     # crop padding
@@ -1231,6 +1235,7 @@ def encode_vp8_frame(
     b_modes=B_DC,
     filter_level: int = 0,
     sharpness: int = 0,
+    simple_filter: bool = False,
 ) -> tuple[bytes, dict]:
     """Encode planar YUV420 as a VP8 keyframe (all five luma modes incl.
     B_PRED per-4x4 submodes — ``b_modes`` is one submode int or a
@@ -1268,7 +1273,7 @@ def encode_vp8_frame(
     bh.put_bit(0)  # color space
     bh.put_bit(0)  # clamping
     bh.put_bit(0)  # no segmentation
-    bh.put_bit(0)  # filter type 0 = normal
+    bh.put_bit(1 if simple_filter else 0)  # filter type (0 = normal)
     bh.put_uint(filter_level, 6)
     bh.put_uint(sharpness, 3)
     bh.put_bit(0)  # no lf deltas
@@ -1462,7 +1467,7 @@ def encode_vp8_frame(
     # so the returned reconstruction must too
     _loop_filter_frame(
         rec_y, rec_u, rec_v, ls, cs, mb_rows, mb_cols,
-        filter_level, sharpness, interior_flags,
+        filter_level, sharpness, interior_flags, simple=simple_filter,
     )
 
     part1 = bh.get_bytes()

@@ -239,6 +239,27 @@ def test_loop_filter_actually_deblocks_smooth_content():
     assert err1 < err0
 
 
+@pytest.mark.parametrize("lvl", [10, 40, 63])
+def test_simple_filter_closed_loop_and_luma_only(lvl):
+    """filter_type=1: the simple variant filters luma only; decoder
+    output must equal the encoder's simply-filtered reconstruction."""
+    import random as _r
+
+    rng = _r.Random(lvl)
+    w, h = 48, 36
+    y = bytes(min(255, (xx + yy) * 2) for yy in range(h) for xx in range(w))
+    u = bytes(rng.randrange(256) for _ in range(24 * 18))
+    v = bytes(rng.randrange(256) for _ in range(24 * 18))
+    f, rc = encode_vp8_frame(
+        w, h, y, u, v, qindex=100, filter_level=lvl, simple_filter=True
+    )
+    d = decode_vp8_frame(f)
+    assert d["y"] == rc["y"] and d["u"] == rc["u"]
+    _, rc0 = encode_vp8_frame(w, h, y, u, v, qindex=100)
+    assert rc["y"] != rc0["y"]   # luma filtered
+    assert rc["u"] == rc0["u"]   # chroma untouched
+
+
 def test_fuzz_malformed_input_raises_valueerror_only():
     """Garbage / truncated / bit-flipped streams must raise ValueError
     or NotImplementedError — never IndexError or a hang: a crafted
