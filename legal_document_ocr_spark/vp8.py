@@ -10,15 +10,14 @@ Y2 (luma-DC) layer, and the four 16x16 / chroma intra predictors
 (DC / V / H / TM), with box-upsampled YUV->RGB output matching the
 JPEG decoder's JFIF conversion.
 
-Declared boundaries (NotImplementedError, surfaced in the multimodal
-stage's per-record error column, never silent):
-
-- segmentation — parsed and rejected;
-- interframes (need reference buffers).
-
-Both loop filter variants are implemented: the NORMAL deblocker (below)
-and the "simple" filter (``filter_type=1``: luma-only, the short
-p0/q0+p1/q1 mask and the outer-tap 4-tap adjust).
+Declared boundary (NotImplementedError, surfaced in the multimodal
+stage's per-record error column, never silent): interframes — they need
+reference frame buffers, i.e. video decode, the stated external-codec
+line. Every KEYFRAME feature is implemented: segmentation (per-MB
+segment map with tree-coded ids, per-segment quantizers and filter
+levels, absolute or delta), both loop filter variants (the NORMAL
+deblocker and the luma-only "simple" filter), B_PRED, multi-partition
+token streams.
 
 Supported beyond the 16x16 modes: B_PRED macroblocks (all ten per-4x4
 submodes in their H.264-identical forms, neighbor-context submode
@@ -238,6 +237,9 @@ _KF_BMODE_PROBS = [
 ]
 # 16x16 mode -> implied submode for neighbor context (RFC §11.3)
 _IMPLIED_BMODE = {DC_PRED: B_DC, V_PRED: B_VE, H_PRED: B_HE, TM_PRED: B_TM}
+
+# per-MB segment id: 4-leaf balanced tree, 3 probs (RFC §10)
+_SEG_TREE = (2, 4, -0, -1, -2, -3)
 
 
 def _avg3(x: int, y: int, z: int) -> int:
@@ -729,7 +731,7 @@ def _simple_filter(px, hev_t, edge_limit, interior):
 
 def _loop_filter_frame(
     y_plane, u_plane, v_plane, ls, cs, mb_rows, mb_cols,
-    level, sharpness, interior_flags, simple=False,
+    level, sharpness, interior_flags, simple=False, mb_levels=None,
 ):
     """Normal loop filter over the reconstructed planes, in-place —
     shared verbatim by decoder and closed-loop encoder. Per MB in
@@ -738,14 +740,21 @@ def _loop_filter_frame(
     horizontal edges top-to-bottom; luma interior at 4/8/12, chroma at
     4. ``interior_flags[mb_r][mb_c]`` says whether the MB's interior
     edges filter (it has coefficients or is B_PRED — RFC §15.2)."""
-    if level == 0:
+    if level == 0 and mb_levels is None:
         return
-    interior, mb_edge, sub_edge, hev_t = _filter_params(level, sharpness)
+    # per-MB levels (segmentation): params cached per distinct level
+    _params_cache: dict = {}
+
+    def params_for(lv):
+        if lv not in _params_cache:
+            _params_cache[lv] = _filter_params(lv, sharpness)
+        return _params_cache[lv]
+
     mb_fn = _simple_filter if simple else _mb_filter
     sb_fn = _simple_filter if simple else _subblock_filter
     do_chroma = not simple  # simple filter is luma-only (RFC §15.1)
 
-    def vert_edge(plane, stride, x, y0, n_rows, fn, limit):
+    def vert_edge(plane, stride, x, y0, n_rows, fn, limit, hev_t, interior):
         for r in range(n_rows):
             base = (y0 + r) * stride
             px = [plane[base + x - 4 + i] for i in range(8)]
@@ -754,7 +763,7 @@ def _loop_filter_frame(
                 for i in range(8):
                     plane[base + x - 4 + i] = out[i]
 
-    def horiz_edge(plane, stride, x0, y, n_cols, fn, limit):
+    def horiz_edge(plane, stride, x0, y, n_cols, fn, limit, hev_t, interior):
         for c in range(n_cols):
             xx = x0 + c
             px = [plane[(y - 4 + i) * stride + xx] for i in range(8)]
@@ -765,35 +774,39 @@ def _loop_filter_frame(
 
     for mr in range(mb_rows):
         for mc in range(mb_cols):
+            lv = mb_levels[mr][mc] if mb_levels is not None else level
+            if lv == 0:
+                continue
+            interior, mb_edge, sub_edge, hev_t = params_for(lv)
             inter = interior_flags[mr][mc]
             yx, yy = mc * 16, mr * 16
             cx, cy = mc * 8, mr * 8
             if mc > 0:
-                vert_edge(y_plane, ls, yx, yy, 16, mb_fn, mb_edge)
+                vert_edge(y_plane, ls, yx, yy, 16, mb_fn, mb_edge, hev_t, interior)
                 if do_chroma:
-                    vert_edge(u_plane, cs, cx, cy, 8, mb_fn, mb_edge)
-                    vert_edge(v_plane, cs, cx, cy, 8, mb_fn, mb_edge)
+                    vert_edge(u_plane, cs, cx, cy, 8, mb_fn, mb_edge, hev_t, interior)
+                    vert_edge(v_plane, cs, cx, cy, 8, mb_fn, mb_edge, hev_t, interior)
             if inter:
                 for dx in (4, 8, 12):
                     vert_edge(
-                        y_plane, ls, yx + dx, yy, 16, sb_fn, sub_edge
+                        y_plane, ls, yx + dx, yy, 16, sb_fn, sub_edge, hev_t, interior
                     )
                 if do_chroma:
-                    vert_edge(u_plane, cs, cx + 4, cy, 8, sb_fn, sub_edge)
-                    vert_edge(v_plane, cs, cx + 4, cy, 8, sb_fn, sub_edge)
+                    vert_edge(u_plane, cs, cx + 4, cy, 8, sb_fn, sub_edge, hev_t, interior)
+                    vert_edge(v_plane, cs, cx + 4, cy, 8, sb_fn, sub_edge, hev_t, interior)
             if mr > 0:
-                horiz_edge(y_plane, ls, yx, yy, 16, mb_fn, mb_edge)
+                horiz_edge(y_plane, ls, yx, yy, 16, mb_fn, mb_edge, hev_t, interior)
                 if do_chroma:
-                    horiz_edge(u_plane, cs, cx, cy, 8, mb_fn, mb_edge)
-                    horiz_edge(v_plane, cs, cx, cy, 8, mb_fn, mb_edge)
+                    horiz_edge(u_plane, cs, cx, cy, 8, mb_fn, mb_edge, hev_t, interior)
+                    horiz_edge(v_plane, cs, cx, cy, 8, mb_fn, mb_edge, hev_t, interior)
             if inter:
                 for dy in (4, 8, 12):
                     horiz_edge(
-                        y_plane, ls, yx, yy + dy, 16, sb_fn, sub_edge
+                        y_plane, ls, yx, yy + dy, 16, sb_fn, sub_edge, hev_t, interior
                     )
                 if do_chroma:
-                    horiz_edge(u_plane, cs, cx, cy + 4, 8, sb_fn, sub_edge)
-                    horiz_edge(v_plane, cs, cx, cy + 4, 8, sb_fn, sub_edge)
+                    horiz_edge(u_plane, cs, cx, cy + 4, 8, sb_fn, sub_edge, hev_t, interior)
+                    horiz_edge(v_plane, cs, cx, cy + 4, 8, sb_fn, sub_edge, hev_t, interior)
 
 
 # ---------------------------------------------------------------------------
@@ -983,8 +996,27 @@ def decode_vp8_frame(data: bytes) -> dict:
     bd = BoolDecoder(data[10 : 10 + part1_size])
     bd.get_bit()  # color space
     bd.get_bit()  # clamping
-    if bd.get_bit():
-        raise NotImplementedError("VP8 segmentation not supported")
+    seg_enabled = bd.get_bit()
+    seg_update_map = 0
+    seg_abs = 0
+    seg_q = [0, 0, 0, 0]
+    seg_lf = [0, 0, 0, 0]
+    seg_tree_probs = [255, 255, 255]
+    if seg_enabled:
+        seg_update_map = bd.get_bit()
+        update_data = bd.get_bit()
+        if update_data:
+            seg_abs = bd.get_bit()
+            for i in range(4):
+                if bd.get_bit():
+                    seg_q[i] = bd.get_signed(7)
+            for i in range(4):
+                if bd.get_bit():
+                    seg_lf[i] = bd.get_signed(6)
+        if seg_update_map:
+            for i in range(3):
+                if bd.get_bit():
+                    seg_tree_probs[i] = bd.get_uint(8)
     filter_type = bd.get_bit()
     filter_level = bd.get_uint(6)
     sharpness = bd.get_uint(3)
@@ -999,7 +1031,15 @@ def decode_vp8_frame(data: bytes) -> dict:
     for key in ("y_dc", "y2_dc", "y2_ac", "uv_dc", "uv_ac"):
         if bd.get_bit():
             deltas[key] = bd.get_signed(4)
-    dq = _dequant_factors(qi, deltas)
+    if seg_enabled:
+        seg_dq = [
+            _dequant_factors(
+                _clamp_q(seg_q[i] if seg_abs else qi + seg_q[i]), deltas
+            )
+            for i in range(4)
+        ]
+    else:
+        seg_dq = [_dequant_factors(qi, deltas)] * 4
     bd.get_bit()  # refresh entropy (keyframe)
     probs = [
         [[list(p) for p in ctxs] for ctxs in bands]
@@ -1047,6 +1087,7 @@ def decode_vp8_frame(data: bytes) -> dict:
     above_y2_nz = [0] * mb_cols
     above_sub = [[B_DC] * 4 for _ in range(mb_cols)]
     interior_flags = [[0] * mb_cols for _ in range(mb_rows)]
+    mb_seg = [[0] * mb_cols for _ in range(mb_rows)]
 
     for mr in range(mb_rows):
         td = tds[mr % n_parts]
@@ -1057,6 +1098,11 @@ def decode_vp8_frame(data: bytes) -> dict:
         left_sub = [B_DC] * 4
         for mc in range(mb_cols):
             mb_nz = 0
+            seg_id = 0
+            if seg_update_map:
+                seg_id = bd.read_tree(_SEG_TREE, seg_tree_probs)
+            dq = seg_dq[seg_id]
+            mb_seg[mr][mc] = seg_id
             skip = td_skip = False
             if skip_enabled:
                 skip = bool(bd.get(skip_prob))
@@ -1180,10 +1226,21 @@ def decode_vp8_frame(data: bytes) -> dict:
                             )
             interior_flags[mr][mc] = 1 if (ymode == B_PRED or mb_nz) else 0
 
+    if seg_enabled:
+        def _seg_level(i):
+            lv = seg_lf[i] if seg_abs else filter_level + seg_lf[i]
+            return 0 if lv < 0 else 63 if lv > 63 else lv
+
+        mb_levels = [
+            [_seg_level(mb_seg[mr][mc]) for mc in range(mb_cols)]
+            for mr in range(mb_rows)
+        ]
+    else:
+        mb_levels = None
     _loop_filter_frame(
         y_plane, u_plane, v_plane, ls, cs, mb_rows, mb_cols,
         filter_level, sharpness, interior_flags,
-        simple=bool(filter_type),
+        simple=bool(filter_type), mb_levels=mb_levels,
     )
 
     # crop padding
@@ -1236,6 +1293,9 @@ def encode_vp8_frame(
     filter_level: int = 0,
     sharpness: int = 0,
     simple_filter: bool = False,
+    segment_map=None,
+    segment_q=None,
+    segment_lf=None,
 ) -> tuple[bytes, dict]:
     """Encode planar YUV420 as a VP8 keyframe (all five luma modes incl.
     B_PRED per-4x4 submodes — ``b_modes`` is one submode int or a
@@ -1265,14 +1325,44 @@ def encode_vp8_frame(
     rec_u = bytearray(cs * mb_rows * 8)
     rec_v = bytearray(cs * mb_rows * 8)
 
-    dq = _dequant_factors(qindex, {})
+    seg_enabled = segment_map is not None
+    seg_q = (
+        (list(segment_q) if segment_q is not None else [qindex] * 4)
+        if seg_enabled else [qindex] * 4
+    )
+    seg_lf = (
+        (list(segment_lf) if segment_lf is not None
+         else [filter_level] * 4)
+        if seg_enabled else [filter_level] * 4
+    )
+    if seg_enabled:
+        seg_dq = [
+            _dequant_factors(_clamp_q(seg_q[i]), {}) for i in range(4)
+        ]
+    else:
+        seg_dq = [_dequant_factors(qindex, {})] * 4
     probs = _DEFAULT_COEFF_PROBS
 
     # header partition
     bh = BoolEncoder()
     bh.put_bit(0)  # color space
     bh.put_bit(0)  # clamping
-    bh.put_bit(0)  # no segmentation
+    if seg_enabled:
+        bh.put_bit(1)  # segmentation enabled
+        bh.put_bit(1)  # update mb segmentation map
+        bh.put_bit(1)  # update segment feature data
+        bh.put_bit(1)  # absolute values
+        for i in range(4):
+            bh.put_bit(1)
+            bh.put_signed(seg_q[i], 7)
+        for i in range(4):
+            bh.put_bit(1)
+            bh.put_signed(seg_lf[i], 6)
+        for _ in range(3):
+            bh.put_bit(1)
+            bh.put_uint(128, 8)  # pinned tree probs (shared w/ decoder)
+    else:
+        bh.put_bit(0)  # no segmentation
     bh.put_bit(1 if simple_filter else 0)  # filter type (0 = normal)
     bh.put_uint(filter_level, 6)
     bh.put_uint(sharpness, 3)
@@ -1299,6 +1389,7 @@ def encode_vp8_frame(
     above_y2_nz = [0] * mb_cols
     above_sub = [[B_DC] * 4 for _ in range(mb_cols)]
     interior_flags = [[0] * mb_cols for _ in range(mb_rows)]
+    mb_seg = [[0] * mb_cols for _ in range(mb_rows)]
     wanted_sub = (
         list(b_modes) if isinstance(b_modes, (list, tuple))
         else [b_modes] * 16
@@ -1315,6 +1406,12 @@ def encode_vp8_frame(
         left_sub = [B_DC] * 4
         for mc in range(mb_cols):
             mb_nz = 0
+            seg_id = 0
+            if seg_enabled:
+                seg_id = segment_map[mr][mc]
+                bh.write_tree(_SEG_TREE, (128, 128, 128), seg_id)
+            dq = seg_dq[seg_id]
+            mb_seg[mr][mc] = seg_id
             bh.write_tree(_KF_YMODE_TREE, _KF_YMODE_PROB, ymode)
             if ymode == B_PRED:
                 for sb in range(16):
@@ -1465,9 +1562,20 @@ def encode_vp8_frame(
 
     # closed loop: the decoder applies the in-loop filter to its output,
     # so the returned reconstruction must too
+    if seg_enabled:
+        mb_levels = [
+            [
+                max(0, min(63, seg_lf[mb_seg[mr][mc]]))
+                for mc in range(mb_cols)
+            ]
+            for mr in range(mb_rows)
+        ]
+    else:
+        mb_levels = None
     _loop_filter_frame(
         rec_y, rec_u, rec_v, ls, cs, mb_rows, mb_cols,
         filter_level, sharpness, interior_flags, simple=simple_filter,
+        mb_levels=mb_levels,
     )
 
     part1 = bh.get_bytes()
