@@ -58,6 +58,12 @@ CORPUS_QUERIES = [
     "lm_scores",         # text: self-trained char-bigram LM scoring
     "media_pipeline",    # multimodal: fused decode+pHash+dedup funnel
     "sentence_dedup",    # text: corpus-wide sentence census + join-back
+    # round-5 widening: the other document-driven heavy families
+    "minhash_pairs",     # dedup: banded signatures -> bucket equi-joins
+    "winnow_fingerprints",  # text: rolling-hash winnowing
+    "line_dedup",        # text: corpus-level boilerplate line removal
+    "bm25_scores",       # retrieval: df census + per-doc scoring join
+    "curation_pipeline", # capstone: composed filter->dedup->select
 ]
 
 
